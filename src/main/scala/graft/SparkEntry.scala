@@ -1,13 +1,161 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.adapters.TestData
+import graft.core.GraftSession
+import graft.ingest.Normalizer
+import graft.marts.{ColdMarts, HotMarts}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Each entry binds one engine transform (graft.marts / graft.analysis /
+  * graft.relational) to the driver's synthetic tables (TESTDATA.md) with a
+  * DuckDB-equivalent oracle in [[oracleSql]]. All queries order their output
+  * by a unique key so the parquet dump is deterministic.
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    ColdMarts.dailyTraffic(TestData.clicks(spark, "/root/testdata/sf0.001"))
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = martQueries
+
+  private def martQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // #1 mart_session_analysis (SURVEY §2.6.1: A1,A2,A3,P9)
+    "q01_session_analysis" -> { (s, d) =>
+      ColdMarts.sessionAnalysis(TestData.clicks(s, d))
+        .orderBy("session_id", "event_date")
+    },
+    // #2 mart_daily_traffic (SURVEY §2.6.2: A1,A2,A4,W1,J1,P10)
+    "q02_daily_traffic" -> { (s, d) =>
+      ColdMarts.dailyTraffic(TestData.clicks(s, d)).orderBy("event_date")
+    },
+    // #3 mart_clinical_areas analog (SURVEY §2.6.3: G1,P12,P13,P5,A1,A2)
+    "q03_top_terms" -> { (s, d) =>
+      ColdMarts.multiValueCounts(TestData.documents(s, d),
+          multiCol = "text", sep = " ", sessionCol = "doc_id", valueName = "term")
+        .orderBy(desc("search_count"), col("term")).limit(100)
+    },
+    // #4 mart_popular_documents (SURVEY §2.6.4: A1,A2,O1)
+    "q04_popular_documents" -> { (s, d) =>
+      ColdMarts.popularDocuments(TestData.clicks(s, d))
+    },
+    // #5 mart_realtime_traffic_minute (SURVEY §2.6.5: P11,A1,A2)
+    "q05_traffic_minute" -> { (s, d) =>
+      HotMarts.trafficPerMinute(TestData.clicks(s, d)).orderBy("event_minute")
+    },
+    // #6 mart_realtime_top_docs (SURVEY §2.6.6: W2,O2)
+    "q06_top_docs" -> { (s, d) =>
+      HotMarts.topDocs(TestData.clicks(s, d), k = 20).orderBy("rank")
+    },
+    // #7 mart_realtime_clinical_trend, trend_pct implemented (SURVEY §2.6.7)
+    "q07_category_trend" -> { (s, d) =>
+      val counts = TestData.clicks(s, d)
+        .groupBy("event_date", "event_type")
+        .agg(count(lit(1)).as("clicks"),
+             countDistinct(col("session_id")).as("unique_sessions"))
+      HotMarts.categoryTrend(counts, "event_type", "event_date", "clicks")
+        .orderBy("event_type", "event_date")
+    },
+    // #8 mart_realtime_anomaly_sessions (SURVEY §2.6.8: A5,P14,P15)
+    //    thresholds scaled to the synthetic table's traffic density
+    "q08_anomaly_sessions" -> { (s, d) =>
+      HotMarts.anomalySessions(TestData.clicks(s, d),
+          windowDuration = "5 minutes", warnAt = 2, criticalAt = 3)
+        .orderBy("window_start", "session_id")
+    },
+    // D1 analog, replay-deterministic batch dedup (SURVEY §2.4 D1)
+    "q09_dedup_first_click" -> { (s, d) =>
+      Normalizer.dedupFirst(TestData.clicks(s, d),
+          keys = Seq("session_id", "event_type", "event_date"),
+          orderCols = Seq(col("event_ts"), col("event_id")))
+        .select("event_id", "session_id", "event_type", "event_date", "event_ts")
+        .orderBy("event_id")
+    }
+  )
+
+  /** DuckDB oracle for each query key, against the same parquet tables. */
+  def oracleSql: Map[String, String] = Map(
+    "q01_session_analysis" ->
+      """SELECT CAST(user_id AS VARCHAR) AS session_id, CAST(ts AS DATE) AS event_date,
+        | count(*) AS click_count,
+        | count(DISTINCT CAST(props->>'$.k' AS INTEGER)) AS unique_docs,
+        | min(CAST(ts AS TIMESTAMP)) AS first_click_ts,
+        | max(CAST(ts AS TIMESTAMP)) AS last_click_ts,
+        | date_diff('second', min(CAST(ts AS TIMESTAMP)), max(CAST(ts AS TIMESTAMP))) AS session_duration_sec
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q02_daily_traffic" ->
+      """WITH c AS (
+        |  SELECT CAST(ts AS DATE) AS event_date, hour(CAST(ts AS TIMESTAMP)) AS h,
+        |         CAST(user_id AS VARCHAR) AS session_id,
+        |         CAST(props->>'$.k' AS INTEGER) AS document_id
+        |  FROM events),
+        |hourly AS (SELECT event_date, h, count(*) AS hc FROM c GROUP BY 1, 2),
+        |peak AS (
+        |  SELECT event_date, h AS peak_hour FROM (
+        |    SELECT event_date, h, row_number() OVER (PARTITION BY event_date ORDER BY hc DESC, h) AS rn
+        |    FROM hourly) WHERE rn = 1),
+        |daily AS (
+        |  SELECT event_date, count(*) AS total_events,
+        |         count(DISTINCT session_id) AS unique_sessions,
+        |         count(DISTINCT document_id) AS unique_documents
+        |  FROM c GROUP BY 1)
+        |SELECT d.event_date, d.total_events, d.unique_sessions, d.unique_documents, p.peak_hour
+        |FROM daily d LEFT JOIN peak p USING (event_date) ORDER BY d.event_date""".stripMargin,
+    "q03_top_terms" ->
+      """SELECT term, count(*) AS search_count, count(DISTINCT doc_id) AS unique_sessions
+        |FROM (SELECT doc_id, trim(unnest(string_split(text, ' '))) AS term
+        |      FROM documents WHERE text IS NOT NULL AND text <> '')
+        |WHERE term <> ''
+        |GROUP BY term ORDER BY search_count DESC, term LIMIT 100""".stripMargin,
+    "q04_popular_documents" ->
+      """SELECT CAST(ts AS DATE) AS event_date,
+        | CAST(props->>'$.k' AS INTEGER) AS document_id,
+        | count(*) AS view_count,
+        | count(DISTINCT CAST(user_id AS VARCHAR)) AS unique_sessions
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 3 DESC, 2""".stripMargin,
+    "q05_traffic_minute" ->
+      """SELECT date_trunc('minute', CAST(ts AS TIMESTAMP)) AS event_minute,
+        | count(*) AS total_clicks,
+        | count(DISTINCT CAST(user_id AS VARCHAR)) AS unique_sessions,
+        | count(DISTINCT CAST(props->>'$.k' AS INTEGER)) AS unique_docs
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q06_top_docs" ->
+      """SELECT document_id, click_count, unique_sessions, "rank" FROM (
+        | SELECT CAST(props->>'$.k' AS INTEGER) AS document_id,
+        |        count(*) AS click_count,
+        |        count(DISTINCT CAST(user_id AS VARCHAR)) AS unique_sessions,
+        |        row_number() OVER (ORDER BY count(*) DESC, CAST(props->>'$.k' AS INTEGER)) AS "rank"
+        | FROM events GROUP BY 1)
+        |WHERE "rank" <= 20 ORDER BY "rank"""".stripMargin,
+    "q07_category_trend" ->
+      """WITH counts AS (
+        |  SELECT CAST(ts AS DATE) AS event_date, event_type,
+        |         count(*) AS clicks,
+        |         count(DISTINCT CAST(user_id AS VARCHAR)) AS unique_sessions
+        |  FROM events GROUP BY 1, 2)
+        |SELECT event_date, event_type, clicks, unique_sessions,
+        |  round((clicks - lag(clicks) OVER w) * 100.0 / lag(clicks) OVER w, 2) AS trend_pct
+        |FROM counts WINDOW w AS (PARTITION BY event_type ORDER BY event_date)
+        |ORDER BY event_type, event_date""".stripMargin,
+    "q08_anomaly_sessions" ->
+      """SELECT time_bucket(INTERVAL '5 minutes', CAST(ts AS TIMESTAMP)) AS window_start,
+        | time_bucket(INTERVAL '5 minutes', CAST(ts AS TIMESTAMP)) + INTERVAL '5 minutes' AS window_end,
+        | CAST(user_id AS VARCHAR) AS session_id,
+        | count(*) AS event_count,
+        | CASE WHEN count(*) >= 3 THEN 'CRITICAL' ELSE 'WARNING' END AS severity
+        |FROM events GROUP BY 1, 2, 3 HAVING count(*) >= 2
+        |ORDER BY 1, 3""".stripMargin,
+    "q09_dedup_first_click" ->
+      """SELECT event_id, session_id, event_type, event_date, event_ts FROM (
+        | SELECT event_id, CAST(user_id AS VARCHAR) AS session_id, event_type,
+        |        CAST(ts AS DATE) AS event_date, CAST(ts AS TIMESTAMP) AS event_ts,
+        |        row_number() OVER (PARTITION BY CAST(user_id AS VARCHAR), event_type, CAST(ts AS DATE)
+        |                           ORDER BY CAST(ts AS TIMESTAMP), event_id) AS rn
+        | FROM events) WHERE rn = 1 ORDER BY event_id""".stripMargin
+  )
 }

@@ -1,0 +1,42 @@
+package graft.core
+
+import org.apache.spark.sql.SparkSession
+
+/** Canonical SparkSession settings for the engine.
+  *
+  * Design notes (100 TB posture):
+  *  - AQE on (Spark 4 default): runtime coalescing of shuffle partitions,
+  *    skew-join splitting, and dynamic join-strategy switching are the
+  *    first line of defense at scale.
+  *  - `spark.sql.shuffle.partitions` is sized to the local core count here;
+  *    on a real cluster it should be ~2-3x total cores and AQE coalesces down.
+  *  - UTC session timezone: all timestamp semantics (bucketing, unix_timestamp)
+  *    must be timezone-stable for oracle parity and cross-cluster determinism.
+  *  - `nanosAsLong`: the test tables carry parquet TIMESTAMP(NANOS) columns,
+  *    which Spark does not natively support; we read them as long and convert
+  *    explicitly (see [[graft.adapters.TestData.events]]).
+  */
+object GraftSession {
+  def tune(b: SparkSession.Builder, cores: Int): SparkSession.Builder = b
+    .config("spark.sql.shuffle.partitions", cores.toString)
+    .config("spark.sql.adaptive.enabled", "true")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .config("spark.sql.parquet.aggregatePushdown", "true")
+    .config("spark.ui.enabled", "false")
+
+  /** Local session for tests/CLI runs. */
+  def local(cores: Int = Runtime.getRuntime.availableProcessors()): SparkSession = {
+    val s = tune(SparkSession.builder().master(s"local[$cores]").appName("graft"), cores)
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  /** Make an externally-built session safe for graft reads (idempotent). */
+  def prepare(spark: SparkSession): SparkSession = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark
+  }
+}
