@@ -4,9 +4,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.adapters.TestData
-import graft.core.GraftSession
+import graft.core.{GraftSession, Tables}
 import graft.ingest.Normalizer
 import graft.marts.{ColdMarts, HotMarts}
+import graft.relational.Relational
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -22,7 +23,54 @@ object SparkEntry {
     ColdMarts.dailyTraffic(TestData.clicks(spark, "/root/testdata/sf0.001"))
 
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = martQueries
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    martQueries ++ relationalQueries
+
+  private def relationalQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // A1-A3, P6: single-pass grouped aggregate (TPC-H Q1 shape)
+    "q10_pricing_summary" -> { (s, d) =>
+      Relational.pricingSummary(Tables.lineitem(s, d))
+    },
+    // J1 generalized: broadcast dim-chain join (TPC-H Q5 shape)
+    "q11_revenue_by_nation" -> { (s, d) =>
+      Relational.revenueByNation(Tables.lineitem(s, d), Tables.supplier(s, d),
+        Tables.nation(s, d), Tables.region(s, d))
+    },
+    // fact-fact shuffle join + broadcast + top-K (TPC-H Q10 shape)
+    "q12_top_customers" -> { (s, d) =>
+      Relational.topCustomers(Tables.lineitem(s, d), Tables.orders(s, d),
+        Tables.customer(s, d))
+    },
+    // left_semi existence join (TPC-H Q4 shape)
+    "q13_order_priority" -> { (s, d) =>
+      Relational.orderPriorityWithBigLines(Tables.orders(s, d), Tables.lineitem(s, d))
+    },
+    // left outer join + double aggregation (TPC-H Q13 shape)
+    "q14_customer_distribution" -> { (s, d) =>
+      Relational.customerOrderDistribution(Tables.customer(s, d), Tables.orders(s, d))
+    },
+    // share-of-total window over aggregate (TPC-H Q14 shape)
+    "q15_revenue_share_by_type" -> { (s, d) =>
+      Relational.revenueShareByType(Tables.lineitem(s, d), Tables.part(s, d))
+    },
+    // running-total window per partition
+    "q16_running_monthly_revenue" -> { (s, d) =>
+      Relational.runningMonthlyRevenue(Tables.lineitem(s, d), Tables.supplier(s, d),
+        Tables.nation(s, d))
+    },
+    // partitioned top-K window (argmax per key at scale)
+    "q17_top_parts_per_brand" -> { (s, d) =>
+      Relational.topPartsPerBrand(Tables.part(s, d))
+    },
+    // CASE-ladder histogram
+    "q18_order_value_buckets" -> { (s, d) =>
+      Relational.orderValueBuckets(Tables.orders(s, d))
+    },
+    // left_anti NOT EXISTS
+    "q19_orders_without_lines" -> { (s, d) =>
+      Relational.ordersWithoutLines(Tables.orders(s, d), Tables.lineitem(s, d))
+    }
+  )
 
   private def martQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // #1 mart_session_analysis (SURVEY §2.6.1: A1,A2,A3,P9)
@@ -156,6 +204,86 @@ object SparkEntry {
         |        CAST(ts AS DATE) AS event_date, CAST(ts AS TIMESTAMP) AS event_ts,
         |        row_number() OVER (PARTITION BY CAST(user_id AS VARCHAR), event_type, CAST(ts AS DATE)
         |                           ORDER BY CAST(ts AS TIMESTAMP), event_id) AS rn
-        | FROM events) WHERE rn = 1 ORDER BY event_id""".stripMargin
+        | FROM events) WHERE rn = 1 ORDER BY event_id""".stripMargin,
+    "q10_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        | sum(l_quantity) AS sum_qty,
+        | round(sum(l_extendedprice), 2) AS sum_base_price,
+        | round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+        | round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+        | round(avg(l_quantity), 4) AS avg_qty,
+        | round(avg(l_discount), 4) AS avg_disc,
+        | count(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '2000-12-31 00:00:00'
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q11_revenue_by_nation" ->
+      """SELECT r_name AS region_name, n_name AS nation_name,
+        | round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        | count(*) AS line_count
+        |FROM lineitem
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q12_top_customers" ->
+      """WITH pc AS (
+        |  SELECT o_custkey, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        |         count(*) AS line_count
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey GROUP BY 1)
+        |SELECT c_custkey, c_name, c_mktsegment, revenue, line_count
+        |FROM pc JOIN customer ON o_custkey = c_custkey
+        |ORDER BY revenue DESC, c_custkey LIMIT 10""".stripMargin,
+    "q13_order_priority" ->
+      """SELECT o_orderpriority, count(*) AS order_count
+        |FROM orders
+        |WHERE EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_quantity >= 49)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q14_customer_distribution" ->
+      """WITH pc AS (
+        |  SELECT c_custkey, count(o_orderkey) AS order_count
+        |  FROM customer LEFT JOIN orders ON c_custkey = o_custkey GROUP BY 1)
+        |SELECT order_count, count(*) AS custdist
+        |FROM pc GROUP BY 1 ORDER BY custdist DESC, order_count DESC""".stripMargin,
+    "q15_revenue_share_by_type" ->
+      """WITH bt AS (
+        |  SELECT p_type, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey GROUP BY 1)
+        |SELECT p_type, revenue,
+        |  round(revenue * 100.0 / sum(revenue) OVER (), 2) AS revenue_pct
+        |FROM bt ORDER BY p_type""".stripMargin,
+    "q16_running_monthly_revenue" ->
+      """WITH m AS (
+        |  SELECT n_name AS nation_name, date_trunc('month', l_shipdate) AS ship_month,
+        |         round(sum(l_extendedprice * (1 - l_discount)), 2) AS monthly_revenue
+        |  FROM lineitem
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  GROUP BY 1, 2)
+        |SELECT nation_name, ship_month, monthly_revenue,
+        |  round(sum(monthly_revenue) OVER (PARTITION BY nation_name ORDER BY ship_month
+        |        ROWS UNBOUNDED PRECEDING), 2) AS cumulative_revenue
+        |FROM m ORDER BY 1, 2""".stripMargin,
+    "q17_top_parts_per_brand" ->
+      """SELECT p_brand, p_partkey, p_name, p_retailprice, price_rank FROM (
+        | SELECT p_brand, p_partkey, p_name, p_retailprice,
+        |        row_number() OVER (PARTITION BY p_brand
+        |                           ORDER BY p_retailprice DESC, p_partkey) AS price_rank
+        | FROM part) WHERE price_rank <= 3 ORDER BY p_brand, price_rank""".stripMargin,
+    "q18_order_value_buckets" ->
+      """SELECT CASE WHEN o_totalprice < 1000 THEN '0_under_1k'
+        |            WHEN o_totalprice < 10000 THEN '1_1k_to_10k'
+        |            WHEN o_totalprice < 100000 THEN '2_10k_to_100k'
+        |            ELSE '3_over_100k' END AS bucket,
+        | count(*) AS order_count,
+        | round(sum(o_totalprice), 2) AS total_value
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q19_orders_without_lines" ->
+      """SELECT o_orderkey, o_orderstatus, o_totalprice
+        |FROM orders
+        |WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey)
+        |ORDER BY o_orderkey""".stripMargin
   )
 }
