@@ -4,7 +4,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.adapters.TestData
+import graft.analysis.{Dedup, Multimodal, Similarity, TextAnalysis}
 import graft.core.{GraftSession, Tables}
+import graft.functions.SimHash
 import graft.ingest.Normalizer
 import graft.marts.{ColdMarts, HotMarts}
 import graft.relational.Relational
@@ -24,7 +26,76 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    martQueries ++ relationalQueries
+    martQueries ++ relationalQueries ++ analysisQueries
+
+  private def analysisQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // text quality scoring (token stats, stopword ratio, quality bands)
+    "q20_text_stats" -> { (s, d) =>
+      TextAnalysis.textStats(TestData.documents(s, d)).orderBy("doc_id")
+    },
+    // language-ID confusion matrix (stopword-marker heuristic vs labels)
+    "q21_lang_id" -> { (s, d) =>
+      TextAnalysis.langIdConfusion(TestData.documents(s, d))
+    },
+    // content fingerprints (md5-normalized + winnowing-style robust)
+    "q22_fingerprints" -> { (s, d) =>
+      val docs = TestData.documents(s, d)
+      docs.select(col("doc_id"),
+          TextAnalysis.fingerprint(col("text")).as("fingerprint"),
+          TextAnalysis.robustFingerprint(col("text")).as("robust_fingerprint"))
+        .orderBy("doc_id")
+    },
+    // exact dedup groups by fingerprint (hash groupBy)
+    "q30_exact_dedup" -> { (s, d) =>
+      Dedup.exactDupGroups(TestData.documents(s, d))
+        .select("fingerprint", "keeper", "n_dupes")
+        .orderBy("keeper")
+    },
+    // MinHash+LSH near-dup candidates, exact-Jaccard verified
+    "q31_minhash_neardups" -> { (s, d) =>
+      Dedup.minhashNearDupPairs(TestData.documents(s, d)).orderBy("doc_a", "doc_b")
+    },
+    // exact n-gram Jaccard pairs via inverted-index join
+    "q32_ngram_jaccard" -> { (s, d) =>
+      Dedup.ngramJaccardPairs(TestData.documents(s, d)).orderBy("doc_a", "doc_b")
+    },
+    // brute-force cosine top-k (exact ANN baseline)
+    "q33_knn_bruteforce" -> { (s, d) =>
+      val emb = TestData.embeddings(s, d)
+      Similarity.knnBruteForce(emb, emb.filter(col("vec_id") < 8), k = 5)
+        .orderBy("query_id", "rank")
+    },
+    // SimHash near-dup buckets via custom Catalyst expression (no SQL oracle:
+    // engine-specific hash; driver records rows-only)
+    "q34_simhash_buckets" -> { (s, d) =>
+      val docs = TestData.documents(s, d)
+      val sigs = docs.select(col("doc_id"),
+        SimHash.simhash64(TextAnalysis.tokens(col("text"))).as("simhash"))
+      val bands = sigs.select(col("doc_id"), col("simhash"),
+        explode(expr("transform(sequence(0,3), b -> " +
+          "struct(b as band_id, shiftright(simhash, b*16) & 65535 as band_key))")).as("b"))
+        .select(col("doc_id"), col("simhash"), col("b.band_id"), col("b.band_key"))
+      bands.as("x").join(bands.as("y"),
+          col("x.band_id") === col("y.band_id") &&
+            col("x.band_key") === col("y.band_key") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+          bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).as("hamming"))
+        .distinct()
+        .filter(col("hamming") <= 6)
+        .orderBy("doc_a", "doc_b")
+    },
+    // LSH-bucketed ANN (scale path; deterministic hyperplanes; rows-only)
+    "q35_knn_lsh" -> { (s, d) =>
+      val emb = TestData.embeddings(s, d)
+      Similarity.knnLsh(emb, emb.filter(col("vec_id") < 64), dim = 64, k = 5, nPlanes = 6)
+        .orderBy("query_id", "rank")
+    },
+    // multimodal: binary media column → per-partition stub decode → metadata
+    "q40_media_metadata" -> { (s, d) =>
+      Multimodal.mediaMetadata(s, TestData.documents(s, d)).orderBy("doc_id")
+    }
+  )
 
   private def relationalQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // A1-A3, P6: single-pass grouped aggregate (TPC-H Q1 shape)
@@ -284,6 +355,130 @@ object SparkEntry {
       """SELECT o_orderkey, o_orderstatus, o_totalprice
         |FROM orders
         |WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey)
-        |ORDER BY o_orderkey""".stripMargin
+        |ORDER BY o_orderkey""".stripMargin,
+    "q20_text_stats" ->
+      """WITH t AS (
+        |  SELECT doc_id, text,
+        |    string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')), ' ') AS toks
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id,
+        |    len(toks) AS n_tokens,
+        |    len(list_distinct(toks)) AS n_unique_tokens,
+        |    len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS n_bpe_tokens,
+        |    round(CAST(length(array_to_string(toks, '')) AS DOUBLE) / len(toks), 4) AS avg_token_len,
+        |    round(CAST(len(list_filter(toks, x -> x IN ('the','a','an','of','and','to','in','is','it','for'))) AS DOUBLE) / len(toks), 4) AS stopword_ratio
+        |  FROM t),
+        |sc AS (
+        |  SELECT *, round(least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 40.0
+        |      + (CAST(n_unique_tokens AS DOUBLE) / n_tokens) * 40.0
+        |      + CASE WHEN stopword_ratio BETWEEN 0.01 AND 0.6 THEN 20.0 ELSE 0.0 END, 2) AS quality_score
+        |  FROM s)
+        |SELECT doc_id, n_tokens, n_unique_tokens, n_bpe_tokens, avg_token_len, stopword_ratio, quality_score,
+        |  CASE WHEN quality_score >= 60 THEN 'high' WHEN quality_score >= 35 THEN 'medium' ELSE 'low' END AS quality_band
+        |FROM sc ORDER BY doc_id""".stripMargin,
+    "q21_lang_id" ->
+      """WITH t AS (
+        |  SELECT lang AS lang_label,
+        |    string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')), ' ') AS toks
+        |  FROM documents),
+        |s AS (
+        |  SELECT lang_label,
+        |    len(list_filter(toks, x -> x IN ('the','a','of','and','to','is'))) AS s_en,
+        |    len(list_filter(toks, x -> x IN ('der','die','das','und','ist','nicht'))) AS s_de,
+        |    len(list_filter(toks, x -> x IN ('el','la','de','y','es','que'))) AS s_es,
+        |    len(list_filter(toks, x -> x IN ('le','les','et','est','une','pas'))) AS s_fr
+        |  FROM t),
+        |g AS (
+        |  SELECT lang_label,
+        |    CASE WHEN s_en = 0 AND s_de = 0 AND s_es = 0 AND s_fr = 0 THEN 'unknown'
+        |         WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr THEN 'en'
+        |         WHEN s_de >= s_es AND s_de >= s_fr THEN 'de'
+        |         WHEN s_es >= s_fr THEN 'es'
+        |         ELSE 'fr' END AS guessed_lang
+        |  FROM s)
+        |SELECT lang_label, guessed_lang, count(*) AS n_docs
+        |FROM g GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q22_fingerprints" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')) AS norm
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, norm, string_split(norm, ' ') AS toks FROM t)
+        |SELECT doc_id, md5(norm) AS fingerprint,
+        |  md5(array_to_string(list_sort(list_transform(
+        |        CASE WHEN len(toks) >= 3
+        |             THEN list_transform(range(len(toks) - 2), i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])
+        |             ELSE [] END,
+        |        s -> md5(s)))[1:8], ',')) AS robust_fingerprint
+        |FROM sh ORDER BY doc_id""".stripMargin,
+    "q30_exact_dedup" ->
+      """SELECT md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g'))) AS fingerprint,
+        | min(doc_id) AS keeper, count(*) AS n_dupes
+        |FROM documents GROUP BY 1 ORDER BY keeper""".stripMargin,
+    "q31_minhash_neardups" ->
+      """WITH toks AS (
+        |  SELECT doc_id AS id,
+        |    string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')), ' ') AS t
+        |  FROM documents),
+        |sets AS (
+        |  SELECT id, list_distinct(list_transform(range(len(t) - 2), i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])) AS sh
+        |  FROM toks WHERE len(t) >= 3),
+        |sigs AS (
+        |  SELECT id, sh,
+        |    list_transform(range(16), i -> list_min(list_transform(sh, s -> md5(i::VARCHAR || '|' || s)))) AS sig
+        |  FROM sets),
+        |bands AS (
+        |  SELECT id, b AS band_id, md5(array_to_string(sig[b*4+1:b*4+4], ',')) AS band_hash
+        |  FROM sigs CROSS JOIN (VALUES (0), (1), (2), (3)) AS bl(b)),
+        |cand AS (
+        |  SELECT DISTINCT x.id AS doc_a, y.id AS doc_b
+        |  FROM bands x JOIN bands y
+        |    ON x.band_id = y.band_id AND x.band_hash = y.band_hash AND x.id < y.id),
+        |verified AS (
+        |  SELECT doc_a, doc_b,
+        |    CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) / len(list_distinct(list_concat(sa.sh, sb.sh))) AS j
+        |  FROM cand JOIN sets sa ON doc_a = sa.id JOIN sets sb ON doc_b = sb.id)
+        |SELECT doc_a, doc_b, round(j, 4) AS jaccard
+        |FROM verified WHERE j >= 0.8 ORDER BY doc_a, doc_b""".stripMargin,
+    "q32_ngram_jaccard" ->
+      """WITH toks AS (
+        |  SELECT doc_id AS id,
+        |    string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')), ' ') AS t
+        |  FROM documents),
+        |sets AS (
+        |  SELECT id, list_distinct(list_transform(range(len(t) - 2), i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])) AS sh
+        |  FROM toks WHERE len(t) >= 3),
+        |inv AS (SELECT id, len(sh) AS n_sh, unnest(sh) AS shingle FROM sets),
+        |common AS (
+        |  SELECT x.id AS doc_a, y.id AS doc_b, x.n_sh AS na, y.n_sh AS nb, count(*) AS c
+        |  FROM inv x JOIN inv y ON x.shingle = y.shingle AND x.id < y.id
+        |  GROUP BY 1, 2, 3, 4)
+        |SELECT doc_a, doc_b, round(CAST(c AS DOUBLE) / (na + nb - c), 4) AS jaccard
+        |FROM common WHERE CAST(c AS DOUBLE) / (na + nb - c) >= 0.8
+        |ORDER BY doc_a, doc_b""".stripMargin,
+    "q33_knn_bruteforce" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 8),
+        |c AS (SELECT vec_id AS neighbor_id, embedding AS ce FROM embeddings),
+        |p AS (
+        |  SELECT query_id, neighbor_id,
+        |    list_sum(list_transform(range(1, len(qe) + 1), i -> CAST(ce[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE)))
+        |      / (sqrt(list_sum(list_transform(range(1, len(ce) + 1), i -> CAST(ce[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE))))
+        |         * sqrt(list_sum(list_transform(range(1, len(qe) + 1), i -> CAST(qe[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE))))) AS cosine
+        |  FROM c CROSS JOIN q WHERE query_id <> neighbor_id),
+        |r AS (
+        |  SELECT query_id, neighbor_id, cosine,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS "rank"
+        |  FROM p)
+        |SELECT query_id, neighbor_id, "rank", round(cosine, 4) AS cosine
+        |FROM r WHERE "rank" <= 5 ORDER BY query_id, "rank"""".stripMargin,
+    "q40_media_metadata" ->
+      """SELECT doc_id,
+        | octet_length(encode(text)) AS n_bytes,
+        | 64 + (octet_length(encode(text)) % 448) AS width,
+        | 64 + ((ascii(text) * 7) % 448) AS height,
+        | CASE octet_length(encode(text)) % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'webp' END AS format
+        |FROM documents ORDER BY doc_id""".stripMargin
   )
 }

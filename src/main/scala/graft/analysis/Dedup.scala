@@ -1,0 +1,153 @@
+package graft.analysis
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Deduplication operators for training-data pipelines, in increasing
+  * fuzziness: exact (hash groupBy), MinHash+LSH (near-dup candidate
+  * generation at scale), exact n-gram Jaccard via inverted index, and
+  * embedding-cosine near-dup (see [[Similarity]]).
+  *
+  * Scale doctrine:
+  *  - exact dedup is one hash-aggregate on the fingerprint — the shuffle
+  *    carries 〈fingerprint, id〉 pairs only, never document bodies;
+  *  - MinHash+LSH replaces the O(n²) pair space with per-band hash buckets:
+  *    the self-join shuffles on (band, band_hash), so only docs agreeing on a
+  *    full band ever meet — this is the only known way to near-dedup 10⁹+
+  *    documents (Broder's resemblance sketches);
+  *  - the inverted-index Jaccard join is exact and still avoids n²: pairs are
+  *    generated per shared shingle and hash-aggregated; worst case degrades
+  *    with ubiquitous shingles — at web scale, drop shingles with document
+  *    frequency above a cutoff first (they contribute no discrimination).
+  *
+  * Everything is md5-based so signatures are engine-portable and
+  * deterministic (no RNG, no seed drift between runs/engines).
+  */
+object Dedup {
+
+  /** Contiguous token n-grams ("shingles") as strings: size-n+1 of them for
+    * size tokens, empty for documents shorter than n tokens. */
+  def shingles(tokens: Column, n: Int = 3): Column =
+    when(size(tokens) >= n,
+      transform(
+        sequence(lit(0), size(tokens) - n),
+        i => concat_ws(" ", (0 until n).map(j => element_at(tokens, i + j + 1)): _*)))
+      .otherwise(array().cast(ArrayType(StringType)))
+
+  /** Distinct shingle set per document. */
+  def shingleSet(text: Column, n: Int = 3): Column =
+    array_distinct(shingles(TextAnalysis.tokens(text), n))
+
+  /** MinHash signature: k independent permutations simulated by k salted
+    * md5 hash families; the signature component is the lexicographic min.
+    * Pr[min_i(A) == min_i(B)] = Jaccard(A,B) — Broder's estimator. */
+  def minhashSignature(shingleSet: Column, k: Int = 16): Column =
+    transform(
+      sequence(lit(0), lit(k - 1)),
+      i => array_min(transform(shingleSet, s => md5(concat(i.cast(StringType), lit("|"), s)))))
+
+  /** LSH band keys: hash each band of `rowsPerBand` consecutive signature
+    * components; docs sharing any full band become candidates.
+    * With k=16, bands=4, r=4: P(candidate) = 1-(1-j⁴)⁴ — steep around j≈0.7. */
+  def lshBandHashes(signature: Column, bands: Int = 4, rowsPerBand: Int = 4): Column =
+    transform(
+      sequence(lit(0), lit(bands - 1)),
+      b => struct(
+        b.as("band_id"),
+        md5(concat_ws(",", slice(signature, b * rowsPerBand + 1, lit(rowsPerBand)))).as("band_hash")))
+
+  /** Exact-duplicate groups by content fingerprint: one hash aggregate.
+    * Output: fingerprint, keeper (min id), n_dupes, dup_ids (sorted). */
+  def exactDupGroups(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    docs
+      .select(col(idCol), TextAnalysis.fingerprint(col(textCol)).as("fingerprint"))
+      .groupBy("fingerprint")
+      .agg(
+        min(col(idCol)).as("keeper"),
+        count(lit(1)).as("n_dupes"),
+        array_sort(collect_list(col(idCol))).as("dup_ids"))
+
+  /** Keep one document per fingerprint (the min-id row) — the actual dedup.
+    * Window argmin over the fingerprint: single shuffle, no join back. */
+  def dedupExact(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("__fp").orderBy(col(idCol))
+    docs
+      .withColumn("__fp", TextAnalysis.fingerprint(col(textCol)))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__fp", "__rn")
+  }
+
+  /** Near-duplicate pairs via MinHash+LSH candidates, verified with exact
+    * Jaccard on the shingle sets. Output: doc_a, doc_b, jaccard (≥ minJaccard),
+    * one row per unordered pair.
+    *
+    * Physical shape: shingle+signature projection (no shuffle) → explode
+    * bands (4× row growth only) → self-join shuffled on (band_id, band_hash)
+    * → distinct pairs → join back to shingle sets → exact verify. The
+    * verification join is on doc ids of the (small) candidate set. */
+  def minhashNearDupPairs(
+      docs: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      shingleN: Int = 3,
+      k: Int = 16,
+      bands: Int = 4,
+      minJaccard: Double = 0.8): DataFrame = {
+    val withSets = docs.select(
+      col(idCol).as("id"),
+      shingleSet(col(textCol), shingleN).as("sh"))
+    val sigs = withSets.select(
+      col("id"), col("sh"),
+      minhashSignature(col("sh"), k).as("sig"))
+    val bandRows = sigs
+      .select(col("id"), explode(lshBandHashes(col("sig"), bands, k / bands)).as("b"))
+      .select(col("id"), col("b.band_id"), col("b.band_hash"))
+    val candidates = bandRows.as("x")
+      .join(bandRows.as("y"),
+        col("x.band_id") === col("y.band_id") &&
+          col("x.band_hash") === col("y.band_hash") &&
+          col("x.id") < col("y.id"))
+      .select(col("x.id").as("doc_a"), col("y.id").as("doc_b"))
+      .distinct()
+    val sets = withSets.select(col("id"), col("sh"))
+    candidates
+      .join(sets.withColumnRenamed("id", "doc_a").withColumnRenamed("sh", "sh_a"), "doc_a")
+      .join(sets.withColumnRenamed("id", "doc_b").withColumnRenamed("sh", "sh_b"), "doc_b")
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast(DoubleType) /
+          size(array_union(col("sh_a"), col("sh_b"))).cast(DoubleType))
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
+  }
+
+  /** Exact n-gram Jaccard pairs via inverted-index join (no LSH, no n²):
+    * explode distinct shingles, join on the shingle, count common shingles
+    * per pair, then jaccard = common / (|A| + |B| - common).
+    * At web scale add a document-frequency cutoff on shingles first. */
+  def ngramJaccardPairs(
+      docs: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      shingleN: Int = 3,
+      minJaccard: Double = 0.8): DataFrame = {
+    val sets = docs.select(col(idCol).as("id"), shingleSet(col(textCol), shingleN).as("sh"))
+      .withColumn("n_sh", size(col("sh")))
+    val inverted = sets.select(col("id"), col("n_sh"), explode(col("sh")).as("shingle"))
+    val common = inverted.as("x")
+      .join(inverted.as("y"),
+        col("x.shingle") === col("y.shingle") && col("x.id") < col("y.id"))
+      .groupBy(
+        col("x.id").as("doc_a"), col("y.id").as("doc_b"),
+        col("x.n_sh").as("n_a"), col("y.n_sh").as("n_b"))
+      .agg(count(lit(1)).as("common"))
+    common
+      .withColumn("jaccard",
+        col("common").cast(DoubleType) /
+          (col("n_a") + col("n_b") - col("common")).cast(DoubleType))
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
+  }
+}

@@ -1,0 +1,80 @@
+package graft.analysis
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal-column plumbing: images/audio/video ride through the pipeline
+  * as opaque `binary` columns plus typed metadata, exactly like any other
+  * column — parquet stores them page-compressed, partition pruning and
+  * predicate pushdown on the metadata columns still work, and only the
+  * operators that decode pay for the bytes.
+  *
+  * The decode itself is STUBBED (this container has no image/audio codecs):
+  * [[stubDecode]] derives deterministic fake dimensions from the byte
+  * content. Everything around it — the binary schema, the typed Dataset
+  * boundary, the mapPartitions batch shape that amortizes per-partition
+  * decoder initialization, the metadata projection — is the real production
+  * plumbing and is tested.
+  */
+object Multimodal {
+
+  final case class MediaRecord(doc_id: Long, media: Array[Byte])
+  final case class MediaMeta(doc_id: Long, n_bytes: Int, width: Int, height: Int, format: String)
+
+  /** Manufacture a binary media column from a text corpus (UTF-8 bytes) —
+    * stands in for reading real image bytes; schema-identical to the real
+    * thing. */
+  def attachBinary(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    docs.select(col(idCol).cast(LongType).as("doc_id"),
+      encode(col(textCol), "UTF-8").as("media"))
+
+  /** STUB decoder — deterministic fake in place of libjpeg/ffmpeg: dimensions
+    * and format derive only from byte length and first byte, so results are
+    * reproducible and oracle-checkable. A real implementation swaps only this
+    * function. */
+  def stubDecode(r: MediaRecord): MediaMeta = {
+    val n = r.media.length
+    val first = if (n > 0) r.media(0) & 0xff else 0
+    MediaMeta(
+      doc_id = r.doc_id,
+      n_bytes = n,
+      width = 64 + (n % 448),
+      height = 64 + ((first * 7) % 448),
+      format = (n % 3) match {
+        case 0 => "png"
+        case 1 => "jpeg"
+        case _ => "webp"
+      })
+  }
+
+  /** Decode/feature-extract over partitions: the mapPartitions boundary is
+    * deliberate — a real codec holds native context (dictionaries, GPU
+    * handles) that must be initialized once per partition, not per row.
+    * Batch shape: one iterator in, one iterator out, constant memory. */
+  def decodeMeta(media: Dataset[MediaRecord]): Dataset[MediaMeta] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      // real pipeline: val codec = Decoder.acquire() — once per partition
+      it.map(stubDecode)
+    }
+  }
+
+  /** End-to-end: docs → binary media → per-partition decode → metadata
+    * DataFrame. */
+  def mediaMetadata(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    decodeMeta(attachBinary(docs).as[MediaRecord]).toDF()
+  }
+
+  /** Frame sampling: cut the binary into fixed-size chunks and keep every
+    * `stride`-th one — the shape of video frame extraction (explode stays a
+    * built-in generator; rows grow by n_frames/stride only). */
+  def sampleFrames(media: DataFrame, chunkBytes: Int = 64, stride: Int = 4): DataFrame =
+    media
+      .withColumn("n_chunks", ceil(length(col("media")).cast(DoubleType) / chunkBytes).cast(IntegerType))
+      .withColumn("frame_idx",
+        explode(filter(sequence(lit(0), col("n_chunks") - 1), i => i % stride === 0)))
+      .select(col("doc_id"), col("frame_idx"),
+        col("media").substr(col("frame_idx") * chunkBytes + 1, lit(chunkBytes)).as("frame"))
+}

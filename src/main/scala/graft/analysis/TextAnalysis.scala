@@ -1,0 +1,105 @@
+package graft.analysis
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * token counting, quality scoring, language identification, and content
+  * fingerprinting. Everything is built from codegen'd built-in expressions —
+  * no UDFs — so the per-document cost is a single projection pass and the
+  * operators scale linearly with document count (embarrassingly parallel, no
+  * shuffle at all until a downstream aggregate).
+  */
+object TextAnalysis {
+
+  /** Lowercase, strip non-alphanumerics, collapse whitespace — the canonical
+    * normalization used before fingerprinting/dedup. */
+  def normalized(text: Column): Column =
+    trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9\\s]", " "), "\\s+", " "))
+
+  /** Whitespace tokens of the normalized text. */
+  def tokens(text: Column): Column = split(normalized(text), " ")
+
+  /** BPE-ish subword segmentation regex: words / digit runs / single symbols.
+    * A real BPE vocab lookup is a dictionary join; the regex segmentation is
+    * the standard cheap pre-tokenizer (same shape GPT-2's splitter uses). */
+  val bpeTokenPattern = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"
+
+  def bpeTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(bpeTokenPattern), lit(0)))
+
+  /** Per-document token statistics + heuristic quality score.
+    * Output: doc_id, n_tokens, n_unique_tokens, n_bpe_tokens, avg_token_len,
+    * stopword_ratio, quality_score, quality_band. */
+  def textStats(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val toks = tokens(col(textCol))
+    val nTokens = size(toks)
+    val stopHits = size(filter(toks, t => t.isin(stopwordsEn: _*)))
+    docs.select(
+        col(idCol),
+        nTokens.as("n_tokens"),
+        size(array_distinct(toks)).as("n_unique_tokens"),
+        bpeTokenCount(col(textCol)).as("n_bpe_tokens"),
+        round(length(concat_ws("", toks)).cast(DoubleType) / nTokens, 4).as("avg_token_len"),
+        round(stopHits.cast(DoubleType) / nTokens, 4).as("stopword_ratio"))
+      .withColumn("quality_score",
+        // length band (0-40) + lexical diversity (0-40) + stopword sanity (0-20):
+        // the standard cheap pre-filter shape for web-scale corpora
+        round(
+          least(col("n_tokens").cast(DoubleType) / 100.0, lit(1.0)) * 40.0
+            + (col("n_unique_tokens").cast(DoubleType) / col("n_tokens")) * 40.0
+            + when(col("stopword_ratio").between(0.01, 0.6), 20.0).otherwise(0.0),
+          2))
+      .withColumn("quality_band",
+        when(col("quality_score") >= 60, "high")
+          .when(col("quality_score") >= 35, "medium")
+          .otherwise("low"))
+  }
+
+  /** Stopword-marker language ID: score each candidate language by marker-
+    * token hits and take the argmax (fixed tie order). This is the cheap
+    * n-gram/stopword heuristic family (van Noord's textcat shape) — exact
+    * char-n-gram profiles would be a dictionary join against trained
+    * profiles, same plumbing, heavier constants. */
+  def langId(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val toks = tokens(col(textCol))
+    def score(markers: Seq[String]): Column =
+      size(filter(toks, t => t.isin(markers: _*)))
+    val scored = docs.select(
+      col(idCol), col("lang").as("lang_label"),
+      score(markersEn).as("s_en"), score(markersDe).as("s_de"),
+      score(markersEs).as("s_es"), score(markersFr).as("s_fr"))
+    scored.withColumn("guessed_lang",
+      when(col("s_en") === 0 && col("s_de") === 0 && col("s_es") === 0 && col("s_fr") === 0, "unknown")
+        .when(col("s_en") >= col("s_de") && col("s_en") >= col("s_es") && col("s_en") >= col("s_fr"), "en")
+        .when(col("s_de") >= col("s_es") && col("s_de") >= col("s_fr"), "de")
+        .when(col("s_es") >= col("s_fr"), "es")
+        .otherwise("fr"))
+  }
+
+  /** Confusion-matrix rollup of [[langId]] against the labeled lang column. */
+  def langIdConfusion(docs: DataFrame): DataFrame =
+    langId(docs)
+      .groupBy("lang_label", "guessed_lang")
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy("lang_label", "guessed_lang")
+
+  /** Content fingerprint of the normalized text (md5 — stable across engines
+    * and runs; use for exact dedup keys). */
+  def fingerprint(text: Column): Column = md5(normalized(text))
+
+  /** Winnowing-style robust fingerprint: the k lexicographically smallest
+    * shingle hashes — stable under small edits (a local edit perturbs only
+    * the shingles covering it, and min-selection keeps the rest). */
+  def robustFingerprint(text: Column, shingleSize: Int = 3, keep: Int = 8): Column =
+    md5(concat_ws(",",
+      slice(array_sort(transform(Dedup.shingles(tokens(text), shingleSize), s => md5(s))), 1, keep)))
+
+  // Public stopword/marker lists (standard high-frequency function words).
+  val stopwordsEn: Seq[String] = Seq("the", "a", "an", "of", "and", "to", "in", "is", "it", "for")
+  val markersEn: Seq[String] = Seq("the", "a", "of", "and", "to", "is")
+  val markersDe: Seq[String] = Seq("der", "die", "das", "und", "ist", "nicht")
+  val markersEs: Seq[String] = Seq("el", "la", "de", "y", "es", "que")
+  val markersFr: Seq[String] = Seq("le", "les", "et", "est", "une", "pas")
+}
