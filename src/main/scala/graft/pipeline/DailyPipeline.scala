@@ -1,0 +1,70 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ingest.Normalizer
+import graft.marts.ColdMarts
+import graft.sinks.ParquetLayerSink
+
+/** Local batch pipeline runner — replaces the reference's Airflow DAG chain
+  * (producer → streaming → batch → mart → load,
+  * orchestration/dags/pipeline/tripclick_main_dag.py:118-126) for
+  * single-process runs and tests. Each stage is a pure function over paths;
+  * orchestration (retries, scheduling) is deliberately out of scope — any
+  * scheduler can call these.
+  */
+object DailyPipeline {
+
+  final case class Layout(root: String) {
+    val archiveRaw = s"$root/archive_raw"
+    val curated = s"$root/curated"
+    def mart(name: String) = s"$root/analytics_mart/$name"
+  }
+
+  /** Stage 1 (reference: batch_to_archive_raw.py): raw JSONL → archive-raw
+    * layer, append-partitioned by event_date, duplicates retained. */
+  def archiveRaw(spark: SparkSession, jsonlDir: String, layout: Layout): Long = {
+    val raw = spark.read.text(jsonlDir).withColumnRenamed("value", "json")
+    val parsed = Normalizer.fromJsonLines(raw)
+      .withColumn("ingested_at", current_timestamp())
+      .withColumn("ingestion_type", lit("batch"))
+    ParquetLayerSink.appendPartitioned(parsed, layout.archiveRaw)
+    spark.read.parquet(layout.archiveRaw).count()
+  }
+
+  /** Stage 2 (batch analog of streaming_to_curated_stream.py): archive-raw →
+    * deduplicated curated layer. Batch dedup is the replay-deterministic
+    * argmin variant, not arbitrary-row dropDuplicates. */
+  def curate(spark: SparkSession, layout: Layout): Long = {
+    val raw = spark.read.parquet(layout.archiveRaw)
+      .drop("ingested_at", "ingestion_type")
+    val deduped = Normalizer.dedupFirst(raw,
+      keys = Seq("dedup_key"),
+      orderCols = Seq(col("event_ts"), col("session_id")))
+    ParquetLayerSink.overwriteMart(deduped, layout.curated, Some("event_date"))
+    spark.read.parquet(layout.curated).count()
+  }
+
+  /** Stage 3 (reference: etl_to_analytics_mart.py): curated → 4 cold marts. */
+  def coldMarts(spark: SparkSession, layout: Layout): Map[String, Long] = {
+    val curated = spark.read.parquet(layout.curated)
+    val marts = Map(
+      "mart_session_analysis" -> ColdMarts.sessionAnalysis(curated),
+      "mart_daily_traffic" -> ColdMarts.dailyTraffic(curated),
+      "mart_clinical_areas" -> ColdMarts.clinicalAreas(curated),
+      "mart_popular_documents" -> ColdMarts.popularDocuments(curated, withTitle = true))
+    marts.map { case (name, df) =>
+      ParquetLayerSink.overwriteMart(df, layout.mart(name))
+      name -> spark.read.parquet(layout.mart(name)).count()
+    }
+  }
+
+  /** Full daily cycle. Returns per-stage row counts for assertion/logging. */
+  def run(spark: SparkSession, jsonlDir: String, root: String): Map[String, Long] = {
+    val layout = Layout(root)
+    val rawN = archiveRaw(spark, jsonlDir, layout)
+    val curatedN = curate(spark, layout)
+    Map("archive_raw" -> rawN, "curated" -> curatedN) ++ coldMarts(spark, layout)
+  }
+}

@@ -1,0 +1,77 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.ingest.Normalizer
+import graft.sinks.ParquetLayerSink
+
+/** Streaming Kafka→Curated job
+  * (reference: streaming_to_curated_stream.py — SURVEY.md §3.2):
+  * raw frames → normalize → watermarked streaming dedup → per-micro-batch
+  * partitioned parquet append, with checkpointing.
+  *
+  * Dedup semantics (D1): `dropDuplicates("dedup_key")` after
+  * `withWatermark(event_ts, …)` keeps per-key state in the state store and
+  * expires it when the watermark passes — at-least-once input becomes
+  * effectively-once output, with state bounded by (keys arriving within the
+  * watermark) instead of growing forever. That bound is what makes this work
+  * on an unbounded 100 TB/day stream.
+  *
+  * Sources are abstracted (SURVEY.md §7.4): tests drive this with a file
+  * source; production uses [[kafkaSource]] with identical downstream code.
+  */
+object CuratedStreamJob {
+
+  /** Production source: Kafka subscription, config-compatible with the
+    * reference's options (S2C:110-118). Not exercisable in this sandbox —
+    * kept thin and identical in shape to the tested file source. */
+  def kafkaSource(spark: SparkSession, bootstrapServers: String, topic: String): DataFrame =
+    spark.readStream
+      .format("kafka")
+      .option("kafka.bootstrap.servers", bootstrapServers)
+      .option("subscribe", topic)
+      .option("startingOffsets", "latest")
+      .option("failOnDataLoss", "false")
+      .load()
+
+  /** Test/backfill source: stream a directory of JSON-lines event files. */
+  def jsonlSource(spark: SparkSession, dir: String, maxFilesPerTrigger: Int = 10): DataFrame =
+    spark.readStream
+      .format("text")
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .load(dir)
+      .withColumnRenamed("value", "json")
+
+  /** The transform: normalize + watermarked dedup. `rawIsKafka` selects the
+    * frame parser; everything downstream is shared. */
+  def curate(raw: DataFrame, rawIsKafka: Boolean, watermark: String = "10 minutes"): DataFrame = {
+    val normalized =
+      if (rawIsKafka) Normalizer.fromKafkaFrame(raw)
+      else Normalizer.fromJsonLines(raw)
+    normalized
+      .withWatermark("event_ts", watermark)
+      .dropDuplicates(Seq("dedup_key"))
+  }
+
+  /** Start the stream: foreachBatch partitioned append with an empty-batch
+    * guard (reference: S2C:157-176). The reference's per-batch `coalesce(1)`
+    * is dropped — ParquetLayerSink bounds file sizes instead and the
+    * [[graft.sinks.Compactor]] owns small-file cleanup off the hot path. */
+  def start(
+      curated: DataFrame,
+      outputPath: String,
+      checkpointPath: String,
+      trigger: Trigger = Trigger.ProcessingTime("1 minute")): StreamingQuery =
+    curated.writeStream
+      .outputMode("append")
+      .trigger(trigger)
+      .option("checkpointLocation", checkpointPath)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          ParquetLayerSink.appendPartitioned(batch, outputPath)
+        }
+      }
+      .start()
+}

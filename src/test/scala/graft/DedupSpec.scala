@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.analysis.{Dedup, TextAnalysis}
+import graft.functions.SimHash
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog near the river bank"),
+    (2L, "the quick brown fox jumps over the lazy dog near the river edge"), // near-dup of 1
+    (3L, "completely different content about spark catalyst optimizer rules engine"),
+    (4L, "The quick  brown fox jumps over the lazy dog near the river bank!") // exact dup of 1 after normalization
+  ).toDF("doc_id", "text")
+
+  test("shingles: size-n+1 shingles, empty below n tokens") {
+    val out = spark.range(1).select(
+      Dedup.shingles(split(lit("a b c d"), " "), 3).as("sh"),
+      Dedup.shingles(split(lit("a b"), " "), 3).as("short"))
+      .collect().head
+    assert(out.getSeq[String](0) === Seq("a b c", "b c d"))
+    assert(out.getSeq[String](1) === Seq())
+  }
+
+  test("exact dedup groups collapse normalization-equal docs") {
+    val groups = Dedup.exactDupGroups(docs).filter(col("n_dupes") > 1).collect()
+    assert(groups.length === 1)
+    assert(groups.head.getAs[Long]("keeper") === 1L)
+    assert(groups.head.getSeq[Long](groups.head.fieldIndex("dup_ids")) === Seq(1L, 4L))
+    assert(Dedup.dedupExact(docs).count() === 3)
+  }
+
+  test("minhash LSH finds the near-dup pair and skips unrelated docs") {
+    val pairs = Dedup.minhashNearDupPairs(docs, minJaccard = 0.5)
+      .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")))
+    assert(pairs.contains((1L, 2L)))
+    assert(pairs.contains((1L, 4L))) // exact dup → jaccard 1.0
+    assert(!pairs.exists { case (a, b) => a == 3L || b == 3L })
+  }
+
+  test("inverted-index jaccard agrees with LSH on high-similarity pairs") {
+    val lsh = Dedup.minhashNearDupPairs(docs, minJaccard = 0.5)
+      .select("doc_a", "doc_b", "jaccard").collect().toSet
+    val exact = Dedup.ngramJaccardPairs(docs, minJaccard = 0.5)
+      .select("doc_a", "doc_b", "jaccard").collect().toSet
+    // LSH candidates ⊆ exact pairs, and jaccard values identical where both exist
+    assert(lsh.subsetOf(exact))
+    assert(exact.nonEmpty)
+  }
+
+  test("simhash: identical docs hash equal; near-dups land within hamming 10") {
+    val sigs = docs.select(col("doc_id"),
+      SimHash.simhash64(TextAnalysis.tokens(col("text"))).as("h"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sigs(1L) === sigs(4L)) // normalization-identical
+    assert(java.lang.Long.bitCount(sigs(1L) ^ sigs(2L)) <= 10)
+    assert(java.lang.Long.bitCount(sigs(1L) ^ sigs(3L)) > 10)
+  }
+}

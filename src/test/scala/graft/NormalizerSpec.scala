@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ingest.Normalizer
+
+class NormalizerSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def rawDf(lines: Seq[String]) =
+    spark.createDataset(lines).toDF("json")
+
+  test("fromJsonLines produces the curated snake_case projection") {
+    val out = Normalizer.fromJsonLines(rawDf(Seq(
+      Fixtures.rawEventJson("s1", 42, "2026-01-01T15:00:00+00:00", "2026-01-01"))))
+    assert(out.columns.toSeq === Seq("session_id", "document_id", "url", "title",
+      "doi", "keywords", "clinical_areas", "event_ts", "event_date", "dedup_key"))
+    val row = out.collect().head
+    assert(row.getAs[String]("session_id") === "s1")
+    assert(row.getAs[Int]("document_id") === 42)
+    assert(row.getAs[java.sql.Timestamp]("event_ts").toInstant.toString
+      === "2026-01-01T15:00:00Z")
+  }
+
+  test("rows with null dedup_key are dropped (P5)") {
+    val good = Fixtures.rawEventJson("s1", 1, "2026-01-01T15:00:00+00:00", "2026-01-01")
+    val bad = good.replace(""","dedup_key":"s1-1-2026-01-01T15:00:00+00:00"}""", "}")
+    assert(Normalizer.fromJsonLines(rawDf(Seq(good, bad))).count() === 1)
+  }
+
+  test("legacy /Date(ms)/ parses to the right instant (P17)") {
+    val out = spark.range(1)
+      .select(Normalizer.parseLegacyDate(lit("/Date(1452038902000)/")).as("ts"))
+      .collect().head.getTimestamp(0)
+    assert(out.toInstant.toEpochMilli === 1452038902000L)
+  }
+
+  test("dedupKey is a stable 16-hex-char digest (P16)") {
+    val keys = spark.range(2)
+      .select(Normalizer.dedupKey(lit("s1"), lit(7), lit("2026-01-01T15:00:00")).as("k"))
+      .collect().map(_.getString(0))
+    assert(keys(0) === keys(1))
+    assert(keys(0).matches("[0-9a-f]{16}"))
+  }
+
+  test("dedupFirst keeps exactly the first row per key, deterministically") {
+    val df = Seq(
+      ("k1", "2026-01-01T15:00:00", 1),
+      ("k1", "2026-01-01T15:00:01", 2),
+      ("k2", "2026-01-01T15:00:02", 3)
+    ).toDF("dedup_key", "ts", "payload")
+    val out = Normalizer.dedupFirst(df, Seq("dedup_key"), Seq(col("ts"), col("payload")))
+      .orderBy("dedup_key").collect()
+    assert(out.map(_.getAs[Int]("payload")).toSeq === Seq(1, 3))
+  }
+}

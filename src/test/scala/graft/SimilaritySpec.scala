@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.analysis.Similarity
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val vecs = Seq(
+    (0L, Array(1.0f, 0.0f, 0.0f)),
+    (1L, Array(0.9f, 0.1f, 0.0f)),   // close to 0
+    (2L, Array(0.0f, 1.0f, 0.0f)),   // orthogonal to 0
+    (3L, Array(-1.0f, 0.0f, 0.0f)),  // opposite of 0
+    (4L, Array(0.5f, 0.5f, 0.0f))
+  ).toDF("vec_id", "embedding")
+
+  test("cosine expression matches hand computation") {
+    val c = spark.range(1).select(
+      Similarity.cosine(
+        array(lit(1.0f), lit(2.0f), lit(3.0f)),
+        array(lit(4.0f), lit(5.0f), lit(6.0f))).as("c"))
+      .collect().head.getDouble(0)
+    val expected = 32.0 / (math.sqrt(14.0) * math.sqrt(77.0))
+    assert(math.abs(c - expected) < 1e-12)
+  }
+
+  test("brute-force knn ranks by cosine with deterministic ties") {
+    val out = Similarity.knnBruteForce(vecs, vecs.filter(col("vec_id") === 0), k = 3)
+      .orderBy("rank").collect()
+    assert(out.map(_.getAs[Long]("neighbor_id")).toSeq === Seq(1L, 4L, 2L))
+    assert(out.map(_.getAs[Int]("rank")).toSeq === Seq(1, 2, 3))
+    assert(out.head.getAs[Double]("cosine") > 0.99)
+  }
+
+  test("lsh signature is deterministic and buckets identical vectors together") {
+    val sig = vecs.select(Similarity.lshSignature(col("embedding"), 3, 8).as("b"))
+      .collect().map(_.getLong(0))
+    val sig2 = vecs.select(Similarity.lshSignature(col("embedding"), 3, 8).as("b"))
+      .collect().map(_.getLong(0))
+    assert(sig.toSeq === sig2.toSeq)        // reproducible across plans
+    assert(sig(0) === sig(1))               // near-identical vectors co-bucket
+    assert(sig(0) !== sig(3))               // opposite vector lands elsewhere
+  }
+
+  test("embedding near-dup pairs finds the close pair at high threshold") {
+    val pairs = Similarity.embeddingNearDupPairs(vecs, dim = 3, minCosine = 0.95, nPlanes = 4)
+      .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")))
+    assert(pairs.contains((0L, 1L)))
+    assert(!pairs.exists { case (a, b) => a == 3L || b == 3L })
+  }
+}

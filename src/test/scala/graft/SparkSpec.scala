@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.GraftSession
+
+/** Shared test harness: one SparkSession for the whole forked test JVM. */
+object TestSpark {
+  lazy val spark: SparkSession = GraftSession.local(4)
+}
+
+abstract class SparkSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = TestSpark.spark
+
+  def tmpDir(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+}
+
+/** Builders for TripClick-shaped raw JSON events (the reference's input
+  * format, SURVEY.md §1.2) without copying any reference data. */
+object Fixtures {
+
+  def rawEventJson(
+      sessionId: String,
+      documentId: Int,
+      eventTs: String,          // ISO-8601
+      eventDate: String,        // YYYY-MM-DD
+      clinicalAreas: String = ",Oncology,Surgery",
+      title: String = "doc title",
+      dedupKey: String = null): String = {
+    val key = Option(dedupKey).getOrElse(s"$sessionId-$documentId-$eventTs")
+    s"""{"DateCreated":"/Date(1452038902000)/","SessionId":"$sessionId",""" +
+      s""""DocumentId":$documentId,"Url":"http://example.org/d/$documentId",""" +
+      s""""Title":"$title","DOI":"10.1000/$documentId","Keywords":"kw1 kw2",""" +
+      s""""ClinicalAreas":"$clinicalAreas","Documents":[],""" +
+      s""""event_ts":"$eventTs","event_date":"$eventDate","dedup_key":"$key"}"""
+  }
+
+  /** Write JSONL files to a directory; returns the directory. */
+  def writeJsonl(dir: String, name: String, lines: Seq[String]): String = {
+    val p = java.nio.file.Paths.get(dir, name)
+    java.nio.file.Files.write(p, String.join("\n", lines: _*).getBytes("UTF-8"))
+    dir
+  }
+}

@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.streaming.{CuratedStreamJob, HotMartStreamJob}
+
+class StreamingSpec extends SparkSpec {
+
+  test("curated stream: watermarked dedup collapses replayed events (D1+K2)") {
+    val inDir = tmpDir("stream_in")
+    val outDir = tmpDir("stream_out") + "/curated"
+    val ckDir = tmpDir("stream_ck")
+
+    val e1 = Fixtures.rawEventJson("s1", 1, "2026-01-01T15:00:00+00:00", "2026-01-01", dedupKey = "k1")
+    val e2 = Fixtures.rawEventJson("s1", 2, "2026-01-01T15:01:00+00:00", "2026-01-01", dedupKey = "k2")
+    val e3 = Fixtures.rawEventJson("s2", 3, "2026-01-01T15:02:00+00:00", "2026-01-01", dedupKey = "k3")
+    // k1 replayed (at-least-once delivery) in both files
+    Fixtures.writeJsonl(inDir, "part-000.json", Seq(e1, e2, e1))
+    Fixtures.writeJsonl(inDir, "part-001.json", Seq(e1, e3))
+
+    val source = CuratedStreamJob.jsonlSource(spark, inDir, maxFilesPerTrigger = 1)
+    val curated = CuratedStreamJob.curate(source, rawIsKafka = false)
+    val q = CuratedStreamJob.start(curated, outDir, ckDir, Trigger.AvailableNow())
+    q.awaitTermination(120000)
+
+    val out = spark.read.parquet(outDir)
+    assert(out.count() === 3) // k1 seen 3x across 2 micro-batches → once
+    assert(out.select("dedup_key").distinct().count() === 3)
+    // partitioned layout survives
+    assert(out.columns.contains("event_date"))
+  }
+
+  test("hot-mart stream: per-batch fan-out computes all four marts") {
+    val inDir = tmpDir("hot_in")
+    val ckDir = tmpDir("hot_ck")
+    // write a curated batch as parquet for the file stream
+    val lines = Seq(
+      Fixtures.rawEventJson("s1", 1, "2026-01-01T15:00:00+00:00", "2026-01-01", dedupKey = "a1"),
+      Fixtures.rawEventJson("s1", 1, "2026-01-01T15:00:30+00:00", "2026-01-01", dedupKey = "a2"),
+      Fixtures.rawEventJson("s2", 2, "2026-01-01T15:04:00+00:00", "2026-01-01", dedupKey = "a3"))
+    import spark.implicits._
+    val curated = graft.ingest.Normalizer.fromJsonLines(
+      spark.createDataset(lines).toDF("json"))
+    curated.write.parquet(inDir + "/data")
+
+    val src = HotMartStreamJob.parquetSource(spark, inDir + "/data", curated.schema, 10)
+    @volatile var got: Option[HotMartStreamJob.HotMartBatch] = None
+    val q = HotMartStreamJob.start(src, b => got = Some(b), ckDir, Trigger.AvailableNow())
+    q.awaitTermination(120000)
+
+    val b = got.get
+    assert(b.trafficMinute.count() === 2)      // minutes 15:00 (x2) and 15:04
+    assert(b.topDocs.orderBy("rank").collect().head.getAs[Int]("document_id") === 1)
+    assert(b.categoryTrend.count() > 0)        // exploded clinical areas
+    // s1 has 2 events in the 15:00 5-min window → warning at default 50? no:
+    // default thresholds (50/100) yield no anomalies on 3 events
+    assert(b.anomalies.count() === 0)
+  }
+}
