@@ -91,6 +91,13 @@ object SparkEntry {
       Similarity.knnLsh(emb, emb.filter(col("vec_id") < 64), dim = 64, k = 5, nPlanes = 6)
         .orderBy("query_id", "rank")
     },
+    // gap-based sessionization (window-function batch variant; the
+    // streaming flatMapGroupsWithState twin is spec-verified)
+    "q36_sessionize" -> { (s, d) =>
+      graft.streaming.Sessionize.sessionizeBatch(
+          TestData.clicks(s, d), gapSeconds = 1800, userCol = "session_id")
+        .orderBy("session_id", "session_idx")
+    },
     // multimodal: binary media column → per-partition stub decode → metadata
     "q40_media_metadata" -> { (s, d) =>
       Multimodal.mediaMetadata(s, TestData.documents(s, d)).orderBy("doc_id")
@@ -473,6 +480,20 @@ object SparkEntry {
         |  FROM p)
         |SELECT query_id, neighbor_id, "rank", round(cosine, 4) AS cosine
         |FROM r WHERE "rank" <= 5 ORDER BY query_id, "rank"""".stripMargin,
+    "q36_sessionize" ->
+      """WITH c AS (
+        |  SELECT CAST(user_id AS VARCHAR) AS session_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+        |f AS (
+        |  SELECT session_id, ts,
+        |    CASE WHEN date_diff('second', lag(ts) OVER w, ts) > 1800 THEN 1 ELSE 0 END AS flag
+        |  FROM c WINDOW w AS (PARTITION BY session_id ORDER BY ts)),
+        |s AS (
+        |  SELECT session_id, ts,
+        |    sum(flag) OVER (PARTITION BY session_id ORDER BY ts ROWS UNBOUNDED PRECEDING) + 1 AS session_idx
+        |  FROM f)
+        |SELECT session_id, session_idx, min(ts) AS session_start, max(ts) AS session_end,
+        |  count(*) AS n_events
+        |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q40_media_metadata" ->
       """SELECT doc_id,
         | octet_length(encode(text)) AS n_bytes,

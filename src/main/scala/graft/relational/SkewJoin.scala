@@ -1,0 +1,38 @@
+package graft.relational
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Salted join for skewed keys.
+  *
+  * AQE's skew-join splitting (on by default) handles most skew at runtime;
+  * this explicit salt is the fallback for the pathologies AQE can't fix —
+  * a single hot key whose post-split partitions still overwhelm executors,
+  * or a skewed BROADCAST-ineligible dimension. Standard construction:
+  * the big side gets a deterministic salt in [0, saltFactor); the small side
+  * is replicated saltFactor times; the join key becomes (key, salt), so one
+  * hot key spreads over saltFactor reducers.
+  *
+  * Cost model: small side grows saltFactor×; big side shuffle unchanged in
+  * bytes but uniform in distribution. Pick saltFactor ≈ (hot-key rows /
+  * target-partition rows).
+  */
+object SkewJoin {
+
+  def saltedEquiJoin(
+      big: DataFrame,
+      small: DataFrame,
+      key: String,
+      saltFactor: Int = 8,
+      joinType: String = "inner"): DataFrame = {
+    require(saltFactor > 0)
+    // xxhash64 over the whole row is deterministic and spreads better than
+    // monotonically_increasing_id (which is partition-correlated)
+    val salted = big.withColumn("__salt",
+      pmod(xxhash64(big.columns.map(col): _*), lit(saltFactor)))
+    val replicated = small
+      .withColumn("__salt", explode(sequence(lit(0), lit(saltFactor - 1))))
+      .withColumn("__salt", col("__salt").cast("long"))
+    salted.join(replicated, Seq(key, "__salt"), joinType).drop("__salt")
+  }
+}

@@ -1,0 +1,102 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types.LongType
+
+/** Gap-based sessionization — the custom-state operator family the reference
+  * never needed (its SessionIds are upstream-assigned) but a complete engine
+  * must offer. Two implementations with identical semantics:
+  *
+  *  - [[sessionize]]: streaming, `flatMapGroupsWithState` with O(1) state
+  *    per key (the open session's bounds) and event-time timeout tied to the
+  *    watermark — bounded state on an unbounded stream;
+  *  - [[sessionizeBatch]]: batch, pure window functions (lag → gap flag →
+  *    running session index → aggregate) — one shuffle on the user key,
+  *    fully declarative so Catalyst/AQE own the physical plan.
+  */
+object Sessionize {
+
+  final case class Click(user_id: String, event_ts: Timestamp)
+  final case class OpenSession(start: Long, end: Long, n: Int)
+  final case class Session(
+      user_id: String, session_start: Timestamp, session_end: Timestamp, n_events: Int)
+
+  /** Streaming sessionization. Closed sessions are emitted as the stream
+    * progresses; in batch execution timeouts never fire, so only sessions
+    * closed by a later event in the same batch are emitted. */
+  def sessionize(
+      clicks: Dataset[Click],
+      gapSeconds: Long = 1800,
+      watermark: String = "30 minutes"): Dataset[Session] = {
+    import clicks.sparkSession.implicits._
+    clicks
+      .withWatermark("event_ts", watermark) // required for event-time timeouts
+      .as[Click]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[OpenSession, Session](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(
+        (user, events, state) => flush(user, events, state, gapSeconds * 1000))
+  }
+
+  private def flush(
+      user: String,
+      events: Iterator[Click],
+      state: GroupState[OpenSession],
+      gapMs: Long): Iterator[Session] = {
+    if (state.hasTimedOut) {
+      val s = state.get
+      state.remove()
+      return Iterator(Session(user, new Timestamp(s.start), new Timestamp(s.end), s.n))
+    }
+    val sorted = events.map(_.event_ts.getTime).toArray.sorted
+    var open = state.getOption
+    val closed = Array.newBuilder[Session]
+    sorted.foreach { t =>
+      open match {
+        case Some(s) if t - s.end <= gapMs =>
+          open = Some(s.copy(end = math.max(s.end, t), n = s.n + 1))
+        case Some(s) =>
+          closed += Session(user, new Timestamp(s.start), new Timestamp(s.end), s.n)
+          open = Some(OpenSession(t, t, 1))
+        case None =>
+          open = Some(OpenSession(t, t, 1))
+      }
+    }
+    open.foreach { s =>
+      state.update(s)
+      // batch execution has no watermark → timeouts unsupported there
+      try state.setTimeoutTimestamp(s.end + gapMs)
+      catch { case _: UnsupportedOperationException => () }
+    }
+    closed.result().iterator
+  }
+
+  /** Batch sessionization over a frame with `user_id` + `event_ts` columns.
+    * Output: user_id, session_idx (1-based per user), session_start,
+    * session_end, n_events. */
+  def sessionizeBatch(
+      clicks: DataFrame,
+      gapSeconds: Long = 1800,
+      userCol: String = "user_id",
+      tsCol: String = "event_ts"): DataFrame = {
+    val byUser = Window.partitionBy(userCol).orderBy(tsCol)
+    val gapFlag = when(
+      unix_timestamp(col(tsCol)) - unix_timestamp(lag(col(tsCol), 1).over(byUser))
+        > gapSeconds, 1L).otherwise(0L)
+    clicks
+      .withColumn("__new_session", gapFlag)
+      .withColumn("session_idx",
+        sum(col("__new_session")).over(byUser.rowsBetween(Window.unboundedPreceding, 0))
+          .cast(LongType) + 1)
+      .groupBy(col(userCol), col("session_idx"))
+      .agg(
+        min(col(tsCol)).as("session_start"),
+        max(col(tsCol)).as("session_end"),
+        count(lit(1)).as("n_events"))
+  }
+}

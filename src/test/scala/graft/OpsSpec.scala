@@ -1,0 +1,78 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.ingest.KafkaFrames
+import graft.relational.SkewJoin
+import graft.streaming.Sessionize
+
+class OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("kafka producer frame: session-keyed json value round-trips (K8)") {
+    val raw = Seq(
+      Fixtures.rawEventJson("s1", 1, "2026-01-01T15:00:00+00:00", "2026-01-01", dedupKey = "k1"))
+    val curated = graft.ingest.Normalizer.fromJsonLines(
+      spark.createDataset(raw).toDF("json"))
+    // curated → producer frame shape
+    val frame = KafkaFrames.toProducerFrame(curated)
+    assert(frame.columns.toSeq === Seq("key", "value"))
+    val row = frame.collect().head
+    assert(row.getAs[String]("key") === "s1")
+    assert(row.getAs[String]("value").contains("\"dedup_key\":\"k1\""))
+  }
+
+  test("salted join equals the plain join result (skew path)") {
+    val big = Seq.tabulate(1000)(i => (i % 3, i)).toDF("k", "v")          // skewed: 3 keys
+    val small = Seq((0, "a"), (1, "b"), (2, "c"), (9, "zz")).toDF("k", "name")
+    val plain = big.join(small, Seq("k")).select("k", "v", "name")
+    val salted = SkewJoin.saltedEquiJoin(big, small, "k", saltFactor = 4)
+      .select("k", "v", "name")
+    assert(salted.count() === plain.count())
+    assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty)
+  }
+
+  private def t(s: String) = Timestamp.valueOf(s)
+
+  test("batch sessionization: gaps split sessions, bounds and counts correct") {
+    val clicks = Seq(
+      ("u1", t("2026-01-01 10:00:00")),
+      ("u1", t("2026-01-01 10:10:00")),   // same session (10 min gap)
+      ("u1", t("2026-01-01 11:30:00")),   // > 30 min gap → new session
+      ("u2", t("2026-01-01 09:00:00"))
+    ).toDF("user_id", "event_ts")
+    val out = Sessionize.sessionizeBatch(clicks, gapSeconds = 1800)
+      .orderBy("user_id", "session_idx").collect()
+    assert(out.length === 3)
+    assert(out(0).getAs[Long]("n_events") === 2)
+    assert(out(0).getAs[Timestamp]("session_end") === t("2026-01-01 10:10:00"))
+    assert(out(1).getAs[Long]("n_events") === 1)
+    assert(out(2).getAs[String]("user_id") === "u2")
+  }
+
+  test("streaming sessionization: closed sessions emit, open state holds (flatMapGroupsWithState)") {
+    import spark.implicits._
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Sessionize.Click](spark)
+    val sessions = Sessionize.sessionize(input.toDS(), gapSeconds = 1800)
+    val q = sessions.writeStream
+      .format("memory").queryName("sessions_out")
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      input.addData(
+        Sessionize.Click("u1", t("2026-01-01 10:00:00")),
+        Sessionize.Click("u1", t("2026-01-01 10:10:00")))
+      q.processAllAvailable()
+      // session still open → nothing emitted
+      assert(spark.table("sessions_out").count() === 0)
+      input.addData(Sessionize.Click("u1", t("2026-01-01 12:00:00"))) // gap closes it
+      q.processAllAvailable()
+      val out = spark.table("sessions_out").as[Sessionize.Session].collect()
+      assert(out.length === 1)
+      assert(out.head.n_events === 2)
+      assert(out.head.session_end === t("2026-01-01 10:10:00"))
+    } finally q.stop()
+  }
+}
