@@ -43,6 +43,23 @@ class NormalizerSpec extends SparkSpec {
     assert(keys(0).matches("[0-9a-f]{16}"))
   }
 
+  test("archiveRawProjection keeps curated fields + kafka + load metadata (B2A)") {
+    val json = Fixtures.rawEventJson("s1", 7, "2026-01-01T15:00:00+00:00", "2026-01-01")
+    val kafkaFrame = Seq(
+      ("s1".getBytes("UTF-8"), json.getBytes("UTF-8"), "tripclick_raw_logs", 0, 42L,
+        new java.sql.Timestamp(1767279600000L))
+    ).toDF("key", "value", "topic", "partition", "offset", "timestamp")
+    val out = Normalizer.archiveRawProjection(kafkaFrame, ingestionType = "batch")
+    val row = out.collect().head
+    assert(row.getAs[String]("session_id") === "s1")
+    assert(row.getAs[String]("kafka_key") === "s1")
+    assert(row.getAs[String]("topic") === "tripclick_raw_logs")
+    assert(row.getAs[Long]("offset") === 42L)
+    assert(row.getAs[String]("ingestion_type") === "batch")
+    assert(out.columns.contains("ingested_at"))
+    assert(row.getAs[java.sql.Timestamp]("event_ts") !== null)
+  }
+
   test("dedupFirst keeps exactly the first row per key, deterministically") {
     val df = Seq(
       ("k1", "2026-01-01T15:00:00", 1),

@@ -30,6 +30,37 @@ class StreamingSpec extends SparkSpec {
     assert(out.columns.contains("event_date"))
   }
 
+  test("curated stream late-arrival contract (D1): late NEW keys pass; watermark only bounds state") {
+    // Reference parity: dropDuplicates(["dedup_key"]) after withWatermark
+    // (S2C:147-151) bounds the dedup STATE by the watermark — it does not
+    // reject late rows (the event-time column is not among the dedup keys).
+    // A late event with an unseen key is therefore still curated; only
+    // replays whose key is still in state are collapsed. Strict late-row
+    // rejection would be dropDuplicatesWithinWatermark, a semantic change.
+    val inDir = tmpDir("late_in")
+    val outDir = tmpDir("late_out") + "/curated"
+    val ckDir = tmpDir("late_ck")
+    // batch 1 advances event time to 16:00 → watermark 15:50 after the batch
+    Fixtures.writeJsonl(inDir, "part-000.json", Seq(
+      Fixtures.rawEventJson("s1", 1, "2026-01-01T16:00:00+00:00", "2026-01-01", dedupKey = "w1")))
+    // batch 2: a fresh event, a 30-min-late new-key event, and a replay of w1
+    Fixtures.writeJsonl(inDir, "part-001.json", Seq(
+      Fixtures.rawEventJson("s1", 2, "2026-01-01T16:01:00+00:00", "2026-01-01", dedupKey = "w2"),
+      Fixtures.rawEventJson("s9", 9, "2026-01-01T15:30:00+00:00", "2026-01-01", dedupKey = "w9"),
+      Fixtures.rawEventJson("s1", 1, "2026-01-01T16:00:00+00:00", "2026-01-01", dedupKey = "w1")))
+
+    val source = CuratedStreamJob.jsonlSource(spark, inDir, maxFilesPerTrigger = 1)
+    val curated = CuratedStreamJob.curate(source, rawIsKafka = false, watermark = "10 minutes")
+    val q = CuratedStreamJob.start(curated, outDir, ckDir, Trigger.AvailableNow())
+    q.awaitTermination(120000)
+
+    val keys = spark.read.parquet(outDir)
+      .select("dedup_key").collect().map(_.getString(0)).toList
+    assert(keys.count(_ == "w1") === 1, "replayed key within watermark collapses")
+    assert(keys.contains("w2"))
+    assert(keys.contains("w9"), "late new-key event is curated (at-least-once tolerance)")
+  }
+
   test("hot-mart stream: per-batch fan-out computes all four marts") {
     val inDir = tmpDir("hot_in")
     val ckDir = tmpDir("hot_ck")
