@@ -91,6 +91,13 @@ object SparkEntry {
       Similarity.knnLsh(emb, emb.filter(col("vec_id") < 64), dim = 64, k = 5, nPlanes = 6)
         .orderBy("query_id", "rank")
     },
+    // IVF-ANN: k-means coarse quantizer + probe join (rows-only: k-means
+    // cells are engine-specific)
+    "q37_knn_ivf" -> { (s, d) =>
+      val emb = TestData.embeddings(s, d)
+      Similarity.knnIvf(emb, emb.filter(col("vec_id") < 8), k = 5, nCells = 8, nProbe = 2)
+        .orderBy("query_id", "rank")
+    },
     // gap-based sessionization (window-function batch variant; the
     // streaming flatMapGroupsWithState twin is spec-verified)
     "q36_sessionize" -> { (s, d) =>

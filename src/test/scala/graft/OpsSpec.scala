@@ -35,6 +35,19 @@ class OpsSpec extends SparkSpec {
     assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty)
   }
 
+  test("multimodal frame sampling: strided chunks with correct bytes") {
+    val docs = Seq((1L, "abcdefghij" * 10)).toDF("doc_id", "text") // 100 bytes
+    val media = graft.analysis.Multimodal.attachBinary(docs)
+    val frames = graft.analysis.Multimodal.sampleFrames(media, chunkBytes = 16, stride = 2)
+      .orderBy("frame_idx").collect()
+    // 100 bytes → 7 chunks (0..6), stride 2 → indices 0,2,4,6
+    assert(frames.map(_.getAs[Int]("frame_idx")).toSeq === Seq(0, 2, 4, 6))
+    val first = new String(frames.head.getAs[Array[Byte]]("frame"), "UTF-8")
+    assert(first === "abcdefghijabcdef")
+    // final partial chunk keeps the tail bytes only
+    assert(frames.last.getAs[Array[Byte]]("frame").length === 4)
+  }
+
   private def t(s: String) = Timestamp.valueOf(s)
 
   test("batch sessionization: gaps split sessions, bounds and counts correct") {

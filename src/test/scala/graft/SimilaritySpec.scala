@@ -43,6 +43,16 @@ class SimilaritySpec extends SparkSpec {
     assert(sig(0) !== sig(3))               // opposite vector lands elsewhere
   }
 
+  test("ivf knn with full probing equals brute force (exactness at nProbe=nCells)") {
+    val out = Similarity.knnIvf(vecs, vecs.filter(col("vec_id") === 0),
+        k = 3, nCells = 2, nProbe = 2)
+      .orderBy("rank").collect()
+    val exact = Similarity.knnBruteForce(vecs, vecs.filter(col("vec_id") === 0), k = 3)
+      .orderBy("rank").collect()
+    assert(out.map(_.getAs[Long]("neighbor_id")).toSeq ===
+      exact.map(_.getAs[Long]("neighbor_id")).toSeq)
+  }
+
   test("embedding near-dup pairs finds the close pair at high threshold") {
     val pairs = Similarity.embeddingNearDupPairs(vecs, dim = 3, minCosine = 0.95, nPlanes = 4)
       .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")))
