@@ -7,7 +7,7 @@ import org.apache.spark.sql.types._
 
 /** Similarity search over an embedding column (`Array[Float]`).
   *
-  * Two paths, per the standard ANN playbook:
+  * Three paths, per the standard ANN playbook:
   *  - [[knnBruteForce]]: exact top-k by cosine — broadcast the (small) query
   *    set against the corpus; per-row cost is one fused dot-product
   *    expression, no shuffle until the final per-query top-k. This is the
@@ -15,6 +15,8 @@ import org.apache.spark.sql.types._
   *  - [[knnLsh]]: random-hyperplane sign-LSH (Charikar) — corpus is bucketed
   *    by a bit signature, queries probe only their own bucket. Sub-linear
   *    candidate sets at the cost of recall; the scale path for corpus×corpus.
+  *  - [[knnIvf]]: k-means coarse quantizer + probed cells — data-adaptive
+  *    buckets; better recall/cost than LSH on clustered corpora.
   *
   * All arithmetic is double-precision built-in expressions (zip_with +
   * aggregate) — codegen'd, no UDF, no Python roundtrip.
@@ -49,8 +51,15 @@ object Similarity {
     val q = queries.select(
       col(idCol).as("query_id"), col(vecCol).as("q_vec"),
       l2Norm(col(vecCol)).as("q_norm"))
-    val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
-      .withColumn("cosine", dot(col("c_vec"), col("q_vec")) / (col("c_norm") * col("q_norm")))
+    topKByCosine(c.join(broadcast(q), col("query_id") =!= col("neighbor_id")), k)
+  }
+
+  /** Shared ANN tail: score candidate 〈query, neighbor〉 rows by cosine
+    * (expects c_vec/c_norm/q_vec/q_norm), rank per query with deterministic
+    * ties, keep k. */
+  private def topKByCosine(candidates: DataFrame, k: Int): DataFrame = {
+    val scored = candidates.withColumn("cosine",
+      dot(col("c_vec"), col("q_vec")) / (col("c_norm") * col("q_norm")))
     val w = Window.partitionBy("query_id").orderBy(desc("cosine"), col("neighbor_id"))
     scored
       .withColumn("rank", row_number().over(w))
@@ -101,14 +110,8 @@ object Similarity {
       col(idCol).as("query_id"), col(vecCol).as("q_vec"),
       l2Norm(col(vecCol)).as("q_norm"),
       lshSignature(col(vecCol), dim, nPlanes).as("bucket"))
-    val scored = c.join(broadcast(q), Seq("bucket"))
-      .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cosine", dot(col("c_vec"), col("q_vec")) / (col("c_norm") * col("q_norm")))
-    val w = Window.partitionBy("query_id").orderBy(desc("cosine"), col("neighbor_id"))
-    scored
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("rank"), round(col("cosine"), 4).as("cosine"))
+    topKByCosine(
+      c.join(broadcast(q), Seq("bucket")).filter(col("query_id") =!= col("neighbor_id")), k)
   }
 
   /** IVF (inverted-file) ANN: a k-means coarse quantizer partitions the
@@ -118,10 +121,18 @@ object Similarity {
     * clustered corpora (this is the Faiss IVF-Flat shape, expressed as a
     * Spark join).
     *
-    * Scale shape: training samples a bounded subset to the driver via MLlib
-    * KMeans (cheap, one pass); assignment is a broadcast of nCells centroid
-    * vectors; the probe join shuffles on cell id only. Deterministic via the
-    * fixed seed.
+    * Cosine consistency: vectors are L2-normalized before clustering and
+    * cell assignment, so L2-nearest cell == cosine-nearest cell — without
+    * this, magnitude would dominate cell shape while the final ranking uses
+    * cosine, and recall would collapse for off-magnitude neighbors.
+    *
+    * Scale shape: k-means fits on a bounded sample with bounded iterations;
+    * the nCells centroids ship as expression literals, so cell assignment is
+    * a map-side codegen'd argmin (no shuffle, same pattern as
+    * [[lshSignature]]'s planes); the probe join shuffles on cell id only.
+    * Reproducible for a fixed input layout (seeded); k-means|| sampling
+    * still varies with partitioning, so treat cell membership as
+    * approximate, not a stable artifact across engines.
     */
   def knnIvf(
       corpus: DataFrame,
@@ -131,50 +142,61 @@ object Similarity {
       nProbe: Int = 2,
       idCol: String = "vec_id",
       vecCol: String = "embedding",
-      seed: Long = 42L): DataFrame = {
-    import org.apache.spark.ml.feature.VectorAssembler
+      seed: Long = 42L,
+      maxFitRows: Long = 100000L): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
 
-    val spark = corpus.sparkSession
-    val asVec = corpus.select(
-      col(idCol), col(vecCol),
-      array_to_vector(col(vecCol).cast("array<double>")).as("features"))
+    // norm let-bound through a single-element transform so it evaluates once
+    // per row in every execution path (same CSE-trap avoidance as
+    // Dedup.shingles — an unbound reference would recompute the full dot
+    // product per element)
+    def unit(v: Column): Column =
+      element_at(
+        transform(array(l2Norm(v)), n =>
+          transform(v, x => when(n > 0, x.cast(DoubleType) / n).otherwise(lit(0.0)))),
+        1)
+
+    // bounded, seeded fit on normalized vectors — training is a cheap
+    // capped step, not a full corpus scan
+    val corpusCount = corpus.count()
+    val fraction = math.min(1.0, maxFitRows.toDouble / math.max(1L, corpusCount))
+    val fitInput = corpus.sample(withReplacement = false, fraction, seed)
+      .select(array_to_vector(unit(col(vecCol))).as("features"))
     val model = new KMeans()
-      .setK(nCells).setSeed(seed).setFeaturesCol("features")
-      .fit(asVec)
-    val centroids = model.clusterCenters.zipWithIndex.map { case (c, i) => (i, c.toArray) }
-    val centroidDf = spark.createDataFrame(centroids.toSeq).toDF("cell", "centroid")
+      .setK(nCells).setSeed(seed).setMaxIter(10).setFeaturesCol("features")
+      .fit(fitInput)
+    val centroids = model.clusterCenters.map(_.toArray)
 
-    // cell assignment for the corpus (nearest centroid, argmin by L2)
-    def nearestCells(df: DataFrame, n: Int): DataFrame = {
-      val joined = df.crossJoin(broadcast(centroidDf))
-        .withColumn("d2", aggregate(
-          zip_with(col(vecCol), col("centroid"), (x, y) =>
-            (x.cast(DoubleType) - y) * (x.cast(DoubleType) - y)),
-          lit(0.0), (acc, v) => acc + v))
-      val w = Window.partitionBy(idCol).orderBy(col("d2"), col("cell"))
-      joined.withColumn("__r", row_number().over(w)).filter(col("__r") <= n)
-        .drop("__r", "d2", "centroid", "features")
-    }
+    /** nearest `n` cells as a pure projection: the unit vector is let-bound
+      * once per row, then distance to each centroid literal is computed from
+      * the bound variable, packed as (d2, cell) structs, sorted, sliced. */
+    def cellsOf(v: Column, n: Int): Column =
+      element_at(
+        transform(array(unit(v)), u => {
+          val dists = centroids.zipWithIndex.map { case (c, i) =>
+            val cLit = array(c.map(lit): _*)
+            struct(
+              aggregate(zip_with(u, cLit, (x, y) => (x - y) * (x - y)),
+                lit(0.0), (acc, d) => acc + d).as("d2"),
+              lit(i).as("cell"))
+          }
+          transform(slice(array_sort(array(dists: _*)), 1, n), s => s.getField("cell"))
+        }),
+        1)
 
-    val corpusCells = nearestCells(asVec, 1)
-      .select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"), col("cell"))
-      .withColumn("c_norm", l2Norm(col("c_vec")))
-    val queryCells = nearestCells(
-        queries.select(col(idCol), col(vecCol),
-          array_to_vector(col(vecCol).cast("array<double>")).as("features")), nProbe)
-      .select(col(idCol).as("query_id"), col(vecCol).as("q_vec"), col("cell"))
-      .withColumn("q_norm", l2Norm(col("q_vec")))
+    val corpusCells = corpus.select(
+        col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"),
+        l2Norm(col(vecCol)).as("c_norm"),
+        element_at(cellsOf(col(vecCol), 1), 1).as("cell"))
+    val queryCells = queries.select(
+        col(idCol).as("query_id"), col(vecCol).as("q_vec"),
+        l2Norm(col(vecCol)).as("q_norm"),
+        explode(cellsOf(col(vecCol), nProbe)).as("cell"))
 
-    val scored = corpusCells.join(broadcast(queryCells), Seq("cell"))
+    val candidates = corpusCells.join(broadcast(queryCells), Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cosine", dot(col("c_vec"), col("q_vec")) / (col("c_norm") * col("q_norm")))
-    val w = Window.partitionBy("query_id").orderBy(desc("cosine"), col("neighbor_id"))
-    scored
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("rank"), round(col("cosine"), 4).as("cosine"))
+    topKByCosine(candidates, k)
   }
 
   /** Embedding-cosine near-duplicate pairs: corpus×corpus through LSH
