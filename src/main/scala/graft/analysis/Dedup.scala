@@ -123,6 +123,12 @@ object Dedup {
     val withSets = docs.repartition(par).select(
       col(idCol).as("id"),
       shingleSet(col(textCol), shingleN).as("sh"))
+      // docs shorter than the shingle size have empty sets → all-null
+      // signatures → every band hash collapses to the same bucket and the
+      // self-join re-creates the O(m²) pair space LSH exists to avoid; they
+      // can't be near-dups of anything, so drop them up front (the SQL
+      // oracle does the same with WHERE len(t) >= n)
+      .filter(size(col("sh")) > 0)
       .persist()
     val sigs = withSets.select(
       col("id"),
@@ -159,10 +165,12 @@ object Dedup {
       idCol: String = "doc_id",
       shingleN: Int = 3,
       minJaccard: Double = 0.8): DataFrame = {
-    // materialized + spread for the same reasons as minhashNearDupPairs
+    // materialized + spread + short-doc filtered for the same reasons as
+    // minhashNearDupPairs
     val sets = docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
       .select(col(idCol).as("id"), shingleSet(col(textCol), shingleN).as("sh"))
       .withColumn("n_sh", size(col("sh")))
+      .filter(col("n_sh") > 0)
       .persist()
     val inverted = sets.select(col("id"), col("n_sh"), explode(col("sh")).as("shingle"))
     val common = inverted.as("x")

@@ -30,17 +30,20 @@ object Multimodal {
       encode(col(textCol), "UTF-8").as("media"))
 
   /** STUB decoder — deterministic fake in place of libjpeg/ffmpeg: dimensions
-    * and format derive only from byte length and first byte, so results are
-    * reproducible and oracle-checkable. A real implementation swaps only this
-    * function. */
+    * and format derive from byte length and the first decoded code point
+    * (matching the SQL oracle's `ascii(text)` for any UTF-8 input, not just
+    * ASCII), so results are reproducible and oracle-checkable. A real
+    * implementation swaps only this function. */
   def stubDecode(r: MediaRecord): MediaMeta = {
-    val n = r.media.length
-    val first = if (n > 0) r.media(0) & 0xff else 0
+    val bytes = if (r.media == null) Array.emptyByteArray else r.media
+    val n = bytes.length
+    val first = if (n > 0) new String(bytes, "UTF-8").codePointAt(0) else 0
     MediaMeta(
       doc_id = r.doc_id,
       n_bytes = n,
       width = 64 + (n % 448),
       height = 64 + ((first * 7) % 448),
+      // format cycles on byte length — stable across re-encodings of the fake
       format = (n % 3) match {
         case 0 => "png"
         case 1 => "jpeg"
@@ -74,7 +77,11 @@ object Multimodal {
     media
       .withColumn("n_chunks", ceil(length(col("media")).cast(DoubleType) / chunkBytes).cast(IntegerType))
       .withColumn("frame_idx",
-        explode(filter(sequence(lit(0), col("n_chunks") - 1), i => i % stride === 0)))
+        // empty media → 0 chunks; sequence(0,-1) would yield [0,-1] (Spark
+        // auto-steps backwards), so guard to an empty frame list instead
+        explode(when(col("n_chunks") > 0,
+            filter(sequence(lit(0), col("n_chunks") - 1), i => i % stride === 0))
+          .otherwise(array().cast("array<int>"))))
       .select(col("doc_id"), col("frame_idx"),
         col("media").substr(col("frame_idx") * chunkBytes + 1, lit(chunkBytes)).as("frame"))
 }

@@ -74,7 +74,9 @@ object ColdMarts {
     val exploded = df
       .filter(col(multiCol).isNotNull && col(multiCol) =!= "")
       .select((extraKeys :+ sessionCol).map(col) :+
-        explode(split(col(multiCol), sep)).as(valueName): _*)
+        // sep is a literal separator, not a regex — quote it (an unquoted
+        // "|" or "." would silently split per character)
+        explode(split(col(multiCol), java.util.regex.Pattern.quote(sep))).as(valueName): _*)
       .withColumn(valueName, trim(col(valueName)))
       .filter(col(valueName) =!= "")
     exploded

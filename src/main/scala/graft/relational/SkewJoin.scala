@@ -26,6 +26,11 @@ object SkewJoin {
       saltFactor: Int = 8,
       joinType: String = "inner"): DataFrame = {
     require(saltFactor > 0)
+    // right/full outer would preserve each unmatched small-side REPLICA,
+    // emitting saltFactor copies of it — only big-side-preserving joins are
+    // sound under small-side replication
+    require(Set("inner", "left", "left_outer", "cross").contains(joinType.toLowerCase),
+      s"saltedEquiJoin supports big-side-preserving joins only, got $joinType")
     // xxhash64 over the whole row is deterministic and spreads better than
     // monotonically_increasing_id (which is partition-correlated)
     val salted = big.withColumn("__salt",

@@ -17,11 +17,21 @@ import org.apache.spark.sql.{SaveMode, SparkSession}
   */
 object Compactor {
 
-  def compact(spark: SparkSession, layerPath: String, targetFiles: Int = 1): Unit = {
+  /** `partitionCols` MUST name the layer's partition columns (e.g.
+    * `Seq("event_date")` for the curated layer) — a flat rewrite of a
+    * partitioned layer would mix flat files into a partitioned directory
+    * tree, breaking every subsequent read and silently dropping partition
+    * pruning. */
+  def compact(
+      spark: SparkSession,
+      layerPath: String,
+      targetFiles: Int = 1,
+      partitionCols: Seq[String] = Nil): Unit = {
     val tmpPath = layerPath.stripSuffix("/") + "_compacted"
     val df = spark.read.parquet(layerPath)
-    df.coalesce(targetFiles)
+    val writer = df.coalesce(targetFiles)
       .write.mode(SaveMode.Overwrite)
+    (if (partitionCols.nonEmpty) writer.partitionBy(partitionCols: _*) else writer)
       .parquet(tmpPath)
 
     val fs = FileSystem.get(

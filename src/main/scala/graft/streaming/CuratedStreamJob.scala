@@ -45,14 +45,24 @@ object CuratedStreamJob {
       .withColumnRenamed("value", "json")
 
   /** The transform: normalize + watermarked dedup. `rawIsKafka` selects the
-    * frame parser; everything downstream is shared. */
+    * frame parser; everything downstream is shared.
+    *
+    * Deliberate deviation from the reference: the reference's
+    * `withWatermark(...).dropDuplicates(["dedup_key"])` (S2C:147-151) does
+    * NOT bound its state — Spark only evicts dedup state when the event-time
+    * column is part of the dedup keys, so on an unbounded stream that state
+    * store grows forever. `dropDuplicatesWithinWatermark` is the operator
+    * built for this contract: state for a key is dropped once the watermark
+    * passes it, duplicates within the watermark collapse, and a duplicate
+    * arriving later than the watermark may re-emit (the documented
+    * at-least-once edge the downstream idempotent upsert sink absorbs). */
   def curate(raw: DataFrame, rawIsKafka: Boolean, watermark: String = "10 minutes"): DataFrame = {
     val normalized =
       if (rawIsKafka) Normalizer.fromKafkaFrame(raw)
       else Normalizer.fromJsonLines(raw)
     normalized
       .withWatermark("event_ts", watermark)
-      .dropDuplicates(Seq("dedup_key"))
+      .dropDuplicatesWithinWatermark(Seq("dedup_key"))
   }
 
   /** Start the stream: foreachBatch partitioned append with an empty-batch

@@ -54,6 +54,12 @@ object HotMartStreamJob {
         .withColumn("updated_at", current_timestamp()),
       topDocs = HotMarts.topDocs(batch, 20, exact)
         .withColumn("batch_id", lit(batchId)),
+      // NOTE: within one micro-batch the lag window usually sees a single
+      // event_date per area, so trend_pct is null here — the real
+      // day-over-day trend needs history and is produced by the batch /
+      // backfill path (ColdMarts over the full curated layer, q07); the hot
+      // path carries current counts and the serving-side upsert keeps the
+      // mart's trend column from the last batch that could compute it.
       categoryTrend = HotMarts.categoryTrend(
           areaCounts, "clinical_area", "event_date", "search_count")
         .withColumn("batch_id", lit(batchId)),

@@ -10,14 +10,18 @@ import org.apache.spark.sql.types.LongType
 
 /** Gap-based sessionization — the custom-state operator family the reference
   * never needed (its SessionIds are upstream-assigned) but a complete engine
-  * must offer. Two implementations with identical semantics:
+  * must offer.
   *
   *  - [[sessionize]]: streaming, `flatMapGroupsWithState` with O(1) state
   *    per key (the open session's bounds) and event-time timeout tied to the
-  *    watermark — bounded state on an unbounded stream;
+  *    watermark — bounded state on an unbounded stream. Agrees with the
+  *    batch variant on in-order data; cross-batch stragglers older than the
+  *    open session minus the gap are emitted as singleton sessions instead
+  *    of rewriting already-emitted history (append-mode constraint).
   *  - [[sessionizeBatch]]: batch, pure window functions (lag → gap flag →
   *    running session index → aggregate) — one shuffle on the user key,
-  *    fully declarative so Catalyst/AQE own the physical plan.
+  *    fully declarative so Catalyst/AQE own the physical plan; exact for any
+  *    ordering since it sees all data.
   */
 object Sessionize {
 
@@ -58,11 +62,20 @@ object Sessionize {
     val closed = Array.newBuilder[Session]
     sorted.foreach { t =>
       open match {
-        case Some(s) if t - s.end <= gapMs =>
-          open = Some(s.copy(end = math.max(s.end, t), n = s.n + 1))
-        case Some(s) =>
+        // within gap of the open session on either side → merge, extending
+        // both bounds (a late-but-within-watermark event may precede start)
+        case Some(s) if t >= s.start - gapMs && t <= s.end + gapMs =>
+          open = Some(OpenSession(math.min(s.start, t), math.max(s.end, t), s.n + 1))
+        case Some(s) if t > s.end + gapMs =>
           closed += Session(user, new Timestamp(s.start), new Timestamp(s.end), s.n)
           open = Some(OpenSession(t, t, 1))
+        case Some(_) =>
+          // older than the open session by more than the gap: it belongs to
+          // an earlier, already-closed session window. Emit it as its own
+          // session rather than rewriting emitted history — a documented
+          // approximation of the batch variant, which sees all data and
+          // would have merged it there.
+          closed += Session(user, new Timestamp(t), new Timestamp(t), 1)
         case None =>
           open = Some(OpenSession(t, t, 1))
       }

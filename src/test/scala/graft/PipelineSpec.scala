@@ -35,4 +35,20 @@ class PipelineSpec extends SparkSpec {
     assert(after === 1)
     assert(spark.read.parquet(layer).count() === 1000)
   }
+
+  test("compactor preserves a partitioned layout (K4 on curated-style layers)") {
+    import spark.implicits._
+    val root = tmpDir("compact_part")
+    val layer = root + "/layer"
+    Seq((1, "2026-01-01"), (2, "2026-01-01"), (3, "2026-01-02"))
+      .toDF("id", "event_date")
+      .repartition(4)
+      .write.partitionBy("event_date").parquet(layer)
+    Compactor.compact(spark, layer, targetFiles = 1, partitionCols = Seq("event_date"))
+    val dirs = new java.io.File(layer).listFiles().filter(_.isDirectory).map(_.getName).sorted
+    assert(dirs.toSeq === Seq("event_date=2026-01-01", "event_date=2026-01-02"))
+    val back = spark.read.parquet(layer)
+    assert(back.count() === 3)
+    assert(back.columns.contains("event_date"))
+  }
 }
