@@ -143,7 +143,7 @@ object Similarity {
       idCol: String = "vec_id",
       vecCol: String = "embedding",
       seed: Long = 42L,
-      maxFitRows: Long = 100000L): DataFrame = {
+      maxFitRows: Int = 100000): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
 
@@ -158,13 +158,13 @@ object Similarity {
         1)
 
     // bounded, seeded fit on normalized vectors — training is a cheap
-    // capped step, not a full corpus scan
-    val corpusCount = corpus.count()
-    val fraction = math.min(1.0, maxFitRows.toDouble / math.max(1L, corpusCount))
-    val fitInput = corpus.sample(withReplacement = false, fraction, seed)
+    // capped step (limit, not a count+sample pass), and a coarse quantizer
+    // needs neither k-means|| init nor many iterations
+    val fitInput = corpus.limit(maxFitRows.toInt)
       .select(array_to_vector(unit(col(vecCol))).as("features"))
     val model = new KMeans()
-      .setK(nCells).setSeed(seed).setMaxIter(10).setFeaturesCol("features")
+      .setK(nCells).setSeed(seed).setMaxIter(5).setInitMode("random")
+      .setFeaturesCol("features")
       .fit(fitInput)
     val centroids = model.clusterCenters.map(_.toArray)
 
