@@ -18,8 +18,11 @@ import org.apache.spark.sql.types._
   *  - [[knnIvf]]: k-means coarse quantizer + probed cells — data-adaptive
   *    buckets; better recall/cost than LSH on clustered corpora.
   *
-  * All arithmetic is double-precision built-in expressions (zip_with +
-  * aggregate) — codegen'd, no UDF, no Python roundtrip.
+  * Scoring runs through [[graft.functions.VectorOps.cosineSim]] — a native
+  * Catalyst expression computing dot + norms in one primitive loop inside
+  * whole-stage codegen. The composable `zip_with`/`aggregate` forms ([[dot]],
+  * [[l2Norm]], [[cosine]]) remain for ad-hoc use and mixed-type inputs
+  * (e.g. the IVF centroid distances against double literals).
   */
 object Similarity {
 
@@ -36,30 +39,25 @@ object Similarity {
 
   /** Exact top-k neighbors for each query vector.
     * Queries are broadcast (they must be small — that is the contract of this
-    * path); the corpus scan computes cosine in one projection, then a
-    * per-query window keeps k rows. Norms are precomputed on both sides so
-    * the inner loop is one dot product, not three. */
+    * path); the corpus scan computes cosine in one fused projection, then a
+    * per-query window keeps k rows. */
   def knnBruteForce(
       corpus: DataFrame,
       queries: DataFrame,
       k: Int = 5,
       idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
-    val c = corpus.select(
-      col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"),
-      l2Norm(col(vecCol)).as("c_norm"))
-    val q = queries.select(
-      col(idCol).as("query_id"), col(vecCol).as("q_vec"),
-      l2Norm(col(vecCol)).as("q_norm"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
     topKByCosine(c.join(broadcast(q), col("query_id") =!= col("neighbor_id")), k)
   }
 
   /** Shared ANN tail: score candidate 〈query, neighbor〉 rows by cosine
-    * (expects c_vec/c_norm/q_vec/q_norm), rank per query with deterministic
-    * ties, keep k. */
+    * (expects float-array columns c_vec/q_vec), rank per query with
+    * deterministic ties, keep k. */
   private def topKByCosine(candidates: DataFrame, k: Int): DataFrame = {
     val scored = candidates.withColumn("cosine",
-      dot(col("c_vec"), col("q_vec")) / (col("c_norm") * col("q_norm")))
+      graft.functions.VectorOps.cosineSim(col("c_vec"), col("q_vec")))
     val w = Window.partitionBy("query_id").orderBy(desc("cosine"), col("neighbor_id"))
     scored
       .withColumn("rank", row_number().over(w))
@@ -104,11 +102,9 @@ object Similarity {
       vecCol: String = "embedding"): DataFrame = {
     val c = corpus.select(
       col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"),
-      l2Norm(col(vecCol)).as("c_norm"),
       lshSignature(col(vecCol), dim, nPlanes).as("bucket"))
     val q = queries.select(
       col(idCol).as("query_id"), col(vecCol).as("q_vec"),
-      l2Norm(col(vecCol)).as("q_norm"),
       lshSignature(col(vecCol), dim, nPlanes).as("bucket"))
     topKByCosine(
       c.join(broadcast(q), Seq("bucket")).filter(col("query_id") =!= col("neighbor_id")), k)
@@ -187,11 +183,9 @@ object Similarity {
 
     val corpusCells = corpus.select(
         col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"),
-        l2Norm(col(vecCol)).as("c_norm"),
         element_at(cellsOf(col(vecCol), 1), 1).as("cell"))
     val queryCells = queries.select(
         col(idCol).as("query_id"), col(vecCol).as("q_vec"),
-        l2Norm(col(vecCol)).as("q_norm"),
         explode(cellsOf(col(vecCol), nProbe)).as("cell"))
 
     val candidates = corpusCells.join(broadcast(queryCells), Seq("cell"))
@@ -211,12 +205,11 @@ object Similarity {
       vecCol: String = "embedding"): DataFrame = {
     val c = corpus.select(
       col(idCol).as("id"), col(vecCol).as("vec"),
-      l2Norm(col(vecCol)).as("norm"),
       lshSignature(col(vecCol), dim, nPlanes).as("bucket"))
     c.as("x").join(c.as("y"),
         col("x.bucket") === col("y.bucket") && col("x.id") < col("y.id"))
       .withColumn("cosine",
-        dot(col("x.vec"), col("y.vec")) / (col("x.norm") * col("y.norm")))
+        graft.functions.VectorOps.cosineSim(col("x.vec"), col("y.vec")))
       .filter(col("cosine") >= minCosine)
       .select(col("x.id").as("doc_a"), col("y.id").as("doc_b"),
         round(col("cosine"), 4).as("cosine"))
