@@ -25,9 +25,12 @@ object GraftSession {
     .config("spark.sql.parquet.aggregatePushdown", "true")
     .config("spark.ui.enabled", "false")
 
-  /** Local session for tests/CLI runs. */
+  /** Local session for tests/CLI runs. Warehouse goes to a temp dir so
+    * bucketed-table tests never write into the working directory. */
   def local(cores: Int = Runtime.getRuntime.availableProcessors()): SparkSession = {
     val s = tune(SparkSession.builder().master(s"local[$cores]").appName("graft"), cores)
+      .config("spark.sql.warehouse.dir",
+        java.nio.file.Files.createTempDirectory("graft-warehouse").toString)
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
