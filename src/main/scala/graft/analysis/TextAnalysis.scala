@@ -89,12 +89,18 @@ object TextAnalysis {
     * and runs; use for exact dedup keys). */
   def fingerprint(text: Column): Column = md5(normalized(text))
 
-  /** Winnowing-style robust fingerprint: the k lexicographically smallest
-    * shingle hashes — stable under small edits (a local edit perturbs only
-    * the shingles covering it, and min-selection keeps the rest). */
+  /** Bottom-k resemblance sketch: the k lexicographically smallest shingle
+    * hashes. An edit touching m tokens perturbs at most m+shingleSize-1
+    * shingles, so two sketches of a lightly-edited document overlap in at
+    * least keep-(m+shingleSize-1) elements — compare sketches by overlap,
+    * not equality. */
+  def robustSketch(text: Column, shingleSize: Int = 3, keep: Int = 8): Column =
+    slice(array_sort(transform(Dedup.shingles(tokens(text), shingleSize), s => md5(s))), 1, keep)
+
+  /** Collapsed single-value form of [[robustSketch]] for storage/equality
+    * keys; equal only when the whole bottom-k agrees. */
   def robustFingerprint(text: Column, shingleSize: Int = 3, keep: Int = 8): Column =
-    md5(concat_ws(",",
-      slice(array_sort(transform(Dedup.shingles(tokens(text), shingleSize), s => md5(s))), 1, keep)))
+    md5(concat_ws(",", robustSketch(text, shingleSize, keep)))
 
   // Public stopword/marker lists (standard high-frequency function words).
   val stopwordsEn: Seq[String] = Seq("the", "a", "an", "of", "and", "to", "in", "is", "it", "for")

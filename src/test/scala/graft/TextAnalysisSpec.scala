@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.analysis.TextAnalysis
+
+class TextAnalysisSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def one(c: org.apache.spark.sql.Column): org.apache.spark.sql.Row =
+    spark.range(1).select(c.as("x")).collect().head
+
+  test("normalization lowercases, strips symbols, collapses whitespace") {
+    assert(one(TextAnalysis.normalized(lit("  Hello,   WORLD!! 42  "))).getString(0)
+      === "hello world 42")
+  }
+
+  test("bpe-ish token count segments words, digit runs, and symbols") {
+    // "don't stop99!" → don, ', t, stop, 99, !
+    assert(one(TextAnalysis.bpeTokenCount(lit("don't stop99!"))).getInt(0) === 6)
+  }
+
+  test("text stats: counts, ratios, quality bands") {
+    val docs = Seq(
+      (1L, "the cat sat on the mat and the dog ran to the park"),
+      (2L, "aaa aaa aaa aaa")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.textStats(docs).orderBy("doc_id").collect()
+    val rich = out(0)
+    assert(rich.getAs[Int]("n_tokens") === 13)
+    assert(rich.getAs[Double]("stopword_ratio") > 0.3) // the/on/and/to/the...
+    assert(rich.getAs[String]("quality_band") !== null)
+    val poor = out(1)
+    assert(poor.getAs[Int]("n_unique_tokens") === 1)
+    assert(poor.getAs[Double]("stopword_ratio") === 0.0)
+    assert(poor.getAs[Double]("quality_score") < rich.getAs[Double]("quality_score"))
+  }
+
+  test("lang id picks the language with most marker hits; unknown when none") {
+    val docs = Seq(
+      (1L, "the cat and the dog is fast", "en"),
+      (2L, "der hund und die katze ist nicht da", "de"),
+      (3L, "zzz qqq www", "zz")
+    ).toDF("doc_id", "text", "lang")
+    val out = TextAnalysis.langId(docs).orderBy("doc_id").collect()
+    assert(out(0).getAs[String]("guessed_lang") === "en")
+    assert(out(1).getAs[String]("guessed_lang") === "de")
+    assert(out(2).getAs[String]("guessed_lang") === "unknown")
+  }
+
+  test("fingerprint is normalization-invariant; robust fingerprint survives a tail edit") {
+    val fp = spark.range(1).select(
+      TextAnalysis.fingerprint(lit("Hello,  World!")).as("a"),
+      TextAnalysis.fingerprint(lit("hello world")).as("b")).collect().head
+    assert(fp.getString(0) === fp.getString(1))
+
+    // a one-token tail edit perturbs ≤ 3 shingles, so bottom-8 sketches
+    // must overlap in ≥ 5 elements; an unrelated doc shares nothing
+    val base = (1 to 30).map(i => s"word$i").mkString("", " ", " ") // distinct shingles
+    val rf = spark.range(1).select(
+      size(array_intersect(
+        TextAnalysis.robustSketch(lit(base + "tail one")),
+        TextAnalysis.robustSketch(lit(base + "tail two")))).as("near"),
+      size(array_intersect(
+        TextAnalysis.robustSketch(lit(base + "tail one")),
+        TextAnalysis.robustSketch(lit("entirely different text here now")))).as("far"))
+      .collect().head
+    assert(rf.getAs[Int]("near") >= 5, "local edit keeps most of the sketch")
+    assert(rf.getAs[Int]("far") === 0)
+  }
+}
