@@ -154,6 +154,20 @@ object SparkEntry {
     // left_anti NOT EXISTS
     "q19_orders_without_lines" -> { (s, d) =>
       Relational.ordersWithoutLines(Tables.orders(s, d), Tables.lineitem(s, d))
+    },
+    // exact percentile aggregate (approx_percentile is the 100TB switch)
+    "q23_value_percentiles" -> { (s, d) =>
+      Relational.valuePercentiles(TestData.clicks(s, d))
+    },
+    // ROLLUP multi-granularity totals
+    "q24_revenue_rollup" -> { (s, d) =>
+      Relational.revenueRollup(Tables.lineitem(s, d), Tables.supplier(s, d),
+        Tables.nation(s, d), Tables.region(s, d))
+    },
+    // pivot with explicit keys
+    "q25_daily_type_pivot" -> { (s, d) =>
+      Relational.dailyTypePivot(TestData.clicks(s, d),
+        Seq("click", "error", "purchase", "signup", "view"))
     }
   )
 
@@ -427,6 +441,31 @@ object SparkEntry {
         |             ELSE [] END,
         |        s -> md5(s)))[1:8], ',')) AS robust_fingerprint
         |FROM sh ORDER BY doc_id""".stripMargin,
+    "q23_value_percentiles" ->
+      """SELECT event_type,
+        | round(quantile_cont(value, 0.25), 6) AS p25,
+        | round(quantile_cont(value, 0.50), 6) AS p50,
+        | round(quantile_cont(value, 0.95), 6) AS p95,
+        | count(*) AS n
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q24_revenue_rollup" ->
+      """SELECT r_name AS region_name, n_name AS nation_name,
+        | round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        | count(*) AS line_count
+        |FROM lineitem
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP (r_name, n_name)
+        |ORDER BY region_name ASC NULLS FIRST, nation_name ASC NULLS FIRST""".stripMargin,
+    "q25_daily_type_pivot" ->
+      """SELECT CAST(ts AS DATE) AS event_date,
+        | count(*) FILTER (WHERE event_type = 'click') AS click,
+        | count(*) FILTER (WHERE event_type = 'error') AS error,
+        | count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+        | count(*) FILTER (WHERE event_type = 'signup') AS signup,
+        | count(*) FILTER (WHERE event_type = 'view') AS view
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "q30_exact_dedup" ->
       """SELECT md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g'))) AS fingerprint,
         | min(doc_id) AS keeper, count(*) AS n_dupes

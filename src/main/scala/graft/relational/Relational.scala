@@ -160,6 +160,60 @@ object Relational {
         round(sum(col("o_totalprice")), 2).as("total_value"))
       .orderBy("bucket")
 
+  /** Exact percentiles per group via the `percentile` aggregate (linear
+    * interpolation — ANSI/DuckDB quantile_cont semantics). Exact percentile
+    * is a sort-based aggregate; at 100 TB prefer `approx_percentile`
+    * (KLL/GK sketch, mergeable, map-side-combinable) — same call shape,
+    * `exact = false`. */
+  def valuePercentiles(
+      events: DataFrame,
+      groupCol: String = "event_type",
+      valueCol: String = "value",
+      exact: Boolean = true): DataFrame = {
+    val ps = array(lit(0.25), lit(0.5), lit(0.95))
+    val pct =
+      if (exact) percentile(col(valueCol), ps)
+      else percentile_approx(col(valueCol), ps, lit(10000))
+    events.groupBy(groupCol)
+      .agg(
+        // round(6): interpolated quantiles of 2-decimal inputs are exact at
+        // ≤5 decimals, so 6 digits is boundary-free (round(2) would sit on
+        // .xx5 ties and diverge between engines)
+        round(element_at(pct, 1), 6).as("p25"),
+        round(element_at(pct, 2), 6).as("p50"),
+        round(element_at(pct, 3), 6).as("p95"),
+        count(lit(1)).as("n"))
+      .orderBy(groupCol)
+  }
+
+  /** Hierarchical totals via ROLLUP: (region, nation) → per-nation rows,
+    * per-region subtotals, grand total — one Expand + one aggregate, the
+    * multi-granularity answer without re-scanning per level. */
+  def revenueRollup(
+      lineitem: DataFrame, supplier: DataFrame, nation: DataFrame,
+      region: DataFrame): DataFrame =
+    lineitem
+      .join(broadcast(supplier), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+      .rollup(col("r_name").as("region_name"), col("n_name").as("nation_name"))
+      .agg(round(sum(revenue), 2).as("revenue"), count(lit(1)).as("line_count"))
+      .orderBy(col("region_name").asc_nulls_first, col("nation_name").asc_nulls_first)
+
+  /** Wide daily matrix via pivot with EXPLICIT pivot values — never let the
+    * engine scan for distinct pivot keys at scale (that is an extra pass and
+    * a nondeterministic column order). */
+  def dailyTypePivot(
+      events: DataFrame,
+      types: Seq[String],
+      dateCol: String = "event_date",
+      typeCol: String = "event_type"): DataFrame =
+    events.groupBy(dateCol)
+      .pivot(typeCol, types)
+      .agg(count(lit(1)))
+      .na.fill(0L, types)
+      .orderBy(dateCol)
+
   /** Anti join: orders that have no lineitem at all (referential holes) —
     * left_anti is the scalable NOT EXISTS (no null-aware cross product). */
   def ordersWithoutLines(orders: DataFrame, lineitem: DataFrame): DataFrame =
