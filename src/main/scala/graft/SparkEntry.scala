@@ -91,6 +91,12 @@ object SparkEntry {
       Similarity.knnLsh(emb, emb.filter(col("vec_id") < 64), dim = 64, k = 5, nPlanes = 6)
         .orderBy("query_id", "rank")
     },
+    // embedding-cosine near-dup pairs, exact baseline (oracle-checked);
+    // the LSH-bucketed variant is the 100TB path (spec-verified)
+    "q38_embedding_neardups" -> { (s, d) =>
+      Similarity.embeddingNearDupPairsExact(TestData.embeddings(s, d), minCosine = 0.4)
+        .orderBy("doc_a", "doc_b")
+    },
     // IVF-ANN: k-means coarse quantizer + probe join (rows-only: k-means
     // cells are engine-specific)
     "q37_knn_ivf" -> { (s, d) =>
@@ -526,6 +532,19 @@ object SparkEntry {
         |  FROM p)
         |SELECT query_id, neighbor_id, "rank", round(cosine, 4) AS cosine
         |FROM r WHERE "rank" <= 5 ORDER BY query_id, "rank"""".stripMargin,
+    "q38_embedding_neardups" ->
+      """WITH e AS (SELECT vec_id, embedding FROM embeddings),
+        |p AS (
+        |  SELECT x.vec_id AS doc_a, y.vec_id AS doc_b,
+        |    list_sum(list_transform(range(1, len(x.embedding) + 1),
+        |        i -> CAST(x.embedding[i] AS DOUBLE) * CAST(y.embedding[i] AS DOUBLE)))
+        |      / (sqrt(list_sum(list_transform(range(1, len(x.embedding) + 1),
+        |            i -> CAST(x.embedding[i] AS DOUBLE) * CAST(x.embedding[i] AS DOUBLE))))
+        |         * sqrt(list_sum(list_transform(range(1, len(y.embedding) + 1),
+        |            i -> CAST(y.embedding[i] AS DOUBLE) * CAST(y.embedding[i] AS DOUBLE))))) AS cosine
+        |  FROM e x JOIN e y ON x.vec_id < y.vec_id)
+        |SELECT doc_a, doc_b, round(cosine, 4) AS cosine
+        |FROM p WHERE cosine >= 0.4 ORDER BY doc_a, doc_b""".stripMargin,
     "q36_sessionize" ->
       """WITH c AS (
         |  SELECT CAST(user_id AS VARCHAR) AS session_id, CAST(ts AS TIMESTAMP) AS ts FROM events),

@@ -193,6 +193,24 @@ object Similarity {
     topKByCosine(candidates, k)
   }
 
+  /** Exact embedding-cosine near-duplicate pairs by full self-comparison —
+    * the correctness baseline for [[embeddingNearDupPairs]]. O(n²/2) scored
+    * pairs through one fused cosine per pair; fine to ~10⁵ vectors, after
+    * which the LSH/IVF bucketed variants are the only viable shape. */
+  def embeddingNearDupPairsExact(
+      corpus: DataFrame,
+      minCosine: Double,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val c = corpus.select(col(idCol).as("id"), col(vecCol).as("vec"))
+    c.as("x").join(c.as("y"), col("x.id") < col("y.id"))
+      .withColumn("cosine",
+        graft.functions.VectorOps.cosineSim(col("x.vec"), col("y.vec")))
+      .filter(col("cosine") >= minCosine)
+      .select(col("x.id").as("doc_a"), col("y.id").as("doc_b"),
+        round(col("cosine"), 4).as("cosine"))
+  }
+
   /** Embedding-cosine near-duplicate pairs: corpus×corpus through LSH
     * buckets (no broadcast side — both sides shuffle on the bucket key).
     * Exactly the MinHash-LSH shape with cosine instead of Jaccard. */
