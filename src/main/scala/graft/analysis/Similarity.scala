@@ -203,13 +203,17 @@ object Similarity {
       idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
     val c = corpus.select(col(idCol).as("id"), col(vecCol).as("vec"))
-    c.as("x").join(c.as("y"), col("x.id") < col("y.id"))
+    scorePairs(c.as("x").join(c.as("y"), col("x.id") < col("y.id")), minCosine)
+  }
+
+  /** Shared near-dup tail: score x/y vec pairs, threshold, project. */
+  private def scorePairs(joined: DataFrame, minCosine: Double): DataFrame =
+    joined
       .withColumn("cosine",
         graft.functions.VectorOps.cosineSim(col("x.vec"), col("y.vec")))
       .filter(col("cosine") >= minCosine)
       .select(col("x.id").as("doc_a"), col("y.id").as("doc_b"),
         round(col("cosine"), 4).as("cosine"))
-  }
 
   /** Embedding-cosine near-duplicate pairs: corpus×corpus through LSH
     * buckets (no broadcast side — both sides shuffle on the bucket key).
@@ -224,12 +228,9 @@ object Similarity {
     val c = corpus.select(
       col(idCol).as("id"), col(vecCol).as("vec"),
       lshSignature(col(vecCol), dim, nPlanes).as("bucket"))
-    c.as("x").join(c.as("y"),
-        col("x.bucket") === col("y.bucket") && col("x.id") < col("y.id"))
-      .withColumn("cosine",
-        graft.functions.VectorOps.cosineSim(col("x.vec"), col("y.vec")))
-      .filter(col("cosine") >= minCosine)
-      .select(col("x.id").as("doc_a"), col("y.id").as("doc_b"),
-        round(col("cosine"), 4).as("cosine"))
+    scorePairs(
+      c.as("x").join(c.as("y"),
+        col("x.bucket") === col("y.bucket") && col("x.id") < col("y.id")),
+      minCosine)
   }
 }

@@ -90,10 +90,11 @@ object TextAnalysis {
   def fingerprint(text: Column): Column = md5(normalized(text))
 
   /** Bottom-k resemblance sketch: the k lexicographically smallest shingle
-    * hashes. An edit touching m tokens perturbs at most m+shingleSize-1
-    * shingles, so two sketches of a lightly-edited document overlap in at
-    * least keep-(m+shingleSize-1) elements — compare sketches by overlap,
-    * not equality. */
+    * hashes. An edit touching m tokens perturbs at most p = m+shingleSize-1
+    * shingles; in the worst case the edit both evicts p sketch members and
+    * introduces p new small hashes that displace p more, so two sketches of
+    * a lightly-edited document overlap in at least keep-2p elements —
+    * compare sketches by overlap, not equality. */
   def robustSketch(text: Column, shingleSize: Int = 3, keep: Int = 8): Column =
     slice(array_sort(transform(Dedup.shingles(tokens(text), shingleSize), s => md5(s))), 1, keep)
 

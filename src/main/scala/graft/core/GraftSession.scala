@@ -26,11 +26,16 @@ object GraftSession {
     .config("spark.ui.enabled", "false")
 
   /** Local session for tests/CLI runs. Warehouse goes to a temp dir so
-    * bucketed-table tests never write into the working directory. */
+    * bucketed-table tests never write into the working directory; the dir is
+    * only created when this call will actually build the session (getOrCreate
+    * ignores configs when a session already exists). */
   def local(cores: Int = Runtime.getRuntime.availableProcessors()): SparkSession = {
-    val s = tune(SparkSession.builder().master(s"local[$cores]").appName("graft"), cores)
-      .config("spark.sql.warehouse.dir",
-        java.nio.file.Files.createTempDirectory("graft-warehouse").toString)
+    val b = tune(SparkSession.builder().master(s"local[$cores]").appName("graft"), cores)
+    val alreadyExists =
+      SparkSession.getDefaultSession.orElse(SparkSession.getActiveSession).isDefined
+    val s = (if (alreadyExists) b
+             else b.config("spark.sql.warehouse.dir",
+               java.nio.file.Files.createTempDirectory("graft-warehouse").toString))
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s

@@ -15,6 +15,7 @@ object ProbePerf {
       val t0 = System.nanoTime()
       val c = df.count()
       println(f"[perf] $n rows=$c time=${(System.nanoTime() - t0) / 1e9}%.2f s")
+      spark.catalog.clearCache() // same per-query hygiene as Bench/Verify
     }
     spark.stop()
   }
