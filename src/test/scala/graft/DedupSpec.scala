@@ -50,6 +50,26 @@ class DedupSpec extends SparkSpec {
     assert(exact.nonEmpty)
   }
 
+  test("corpus prep: quality gate, exact dedup, near-dup removal compose") {
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+      (2L, "the quick brown fox jumps over the lazy dog near the river bank now"), // near-dup of 1
+      (3L, "the catalyst optimizer rewrites logical plans into efficient physical operators"),
+      (4L, "The quick brown fox jumps over the lazy dog near the river bank today!"), // exact dup of 1
+      (5L, "aaa aaa aaa aaa aaa aaa")  // degenerate, fails quality
+    ).toDF("doc_id", "text")
+    val counts = graft.analysis.CorpusPrep.stageCounts(corpus,
+      graft.analysis.CorpusPrep.Thresholds(minQuality = 35.0, minJaccard = 0.5))
+    assert(counts("input") === 5)
+    assert(counts("quality_pass") === 4)          // 5 dropped
+    assert(counts("exact_deduped") === 3)         // 4 collapsed into 1
+    assert(counts("near_dedup_survivors") === 2)  // 2 removed as near-dup of 1
+    val survivors = graft.analysis.CorpusPrep.prepareCorpus(corpus,
+        graft.analysis.CorpusPrep.Thresholds(minQuality = 35.0, minJaccard = 0.5))
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(survivors.toSeq === Seq(1L, 3L))
+  }
+
   test("simhash: identical docs hash equal; near-dups land within hamming 10") {
     val sigs = docs.select(col("doc_id"),
       SimHash.simhash64(TextAnalysis.tokens(col("text"))).as("h"))
