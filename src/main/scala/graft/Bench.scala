@@ -8,8 +8,11 @@ object Bench {
         SparkSession.builder().master(s"local[$cpus]"), cpus.toInt)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // amortize JVM/codegen warmup outside the measured window
+    // amortize JVM/codegen/parquet-reader warmup outside the measured window
+    // (region is a 5-row dim table — this warms code paths, not data)
     spark.range(1000000).selectExpr("sum(id)").collect()
+    try graft.core.Tables.region(spark, sfDir).count()
+    catch { case _: Throwable => () }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try {
