@@ -168,6 +168,11 @@ object SparkEntry {
     "q19_orders_without_lines" -> { (s, d) =>
       Relational.ordersWithoutLines(Tables.orders(s, d), Tables.lineitem(s, d))
     },
+    // set operations: INTERSECT / EXCEPT cohort algebra
+    "q26_cohort_set_ops" -> { (s, d) =>
+      Relational.cohortIntersectExcept(TestData.clicks(s, d),
+        inBoth = ("purchase", "click"), butNot = "error")
+    },
     // exact percentile aggregate (approx_percentile is the 100TB switch)
     "q23_value_percentiles" -> { (s, d) =>
       Relational.valuePercentiles(TestData.clicks(s, d))
@@ -454,6 +459,14 @@ object SparkEntry {
         |             ELSE [] END,
         |        s -> md5(s)))[1:8], ',')) AS robust_fingerprint
         |FROM sh ORDER BY doc_id""".stripMargin,
+    "q26_cohort_set_ops" ->
+      """SELECT CAST(user_id AS VARCHAR) AS session_id, CAST(ts AS DATE) AS event_date
+        |FROM events WHERE event_type = 'purchase'
+        |INTERSECT
+        |SELECT CAST(user_id AS VARCHAR), CAST(ts AS DATE) FROM events WHERE event_type = 'click'
+        |EXCEPT
+        |SELECT CAST(user_id AS VARCHAR), CAST(ts AS DATE) FROM events WHERE event_type = 'error'
+        |ORDER BY session_id, event_date""".stripMargin,
     "q23_value_percentiles" ->
       """SELECT event_type,
         | round(quantile_cont(value, 0.25), 6) AS p25,

@@ -214,6 +214,22 @@ object Relational {
       .na.fill(0L, types)
       .orderBy(dateCol)
 
+  /** Set operations (INTERSECT / EXCEPT, both distinct-semantics): cohort
+    * algebra over single-key frames. Spark plans these as semi/anti joins
+    * over pre-distincted inputs — one shuffle per operand on the key. */
+  def cohortIntersectExcept(
+      events: DataFrame,
+      inBoth: (String, String),
+      butNot: String,
+      keyCols: Seq[String] = Seq("session_id", "event_date"),
+      typeCol: String = "event_type"): DataFrame = {
+    def cohort(t: String) = events.filter(col(typeCol) === t).select(keyCols.map(col): _*)
+    cohort(inBoth._1)
+      .intersect(cohort(inBoth._2))
+      .except(cohort(butNot))
+      .orderBy(keyCols.map(col): _*)
+  }
+
   /** Anti join: orders that have no lineitem at all (referential holes) —
     * left_anti is the scalable NOT EXISTS (no null-aware cross product). */
   def ordersWithoutLines(orders: DataFrame, lineitem: DataFrame): DataFrame =
