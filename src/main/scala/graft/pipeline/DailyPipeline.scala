@@ -60,6 +60,22 @@ object DailyPipeline {
     }
   }
 
+  /** Stage 4 (reference: load_to_postgres.py:46-64 via
+    * dags/mart/tripclick_load_postgres.py): re-read each cold-mart parquet
+    * dir and full-refresh it into the serving database over JDBC. */
+  def loadToServing(
+      spark: SparkSession,
+      layout: Layout,
+      jdbcUrl: String,
+      martNames: Seq[String] = Seq("mart_session_analysis", "mart_daily_traffic",
+        "mart_clinical_areas", "mart_popular_documents"),
+      props: java.util.Properties = new java.util.Properties()): Map[String, Long] =
+    martNames.map { name =>
+      val df = spark.read.parquet(layout.mart(name))
+      graft.sinks.JdbcUpsertSink.overwrite(df, jdbcUrl, name, props)
+      name -> df.count()
+    }.toMap
+
   /** Full daily cycle. Returns per-stage row counts for assertion/logging. */
   def run(spark: SparkSession, jsonlDir: String, root: String): Map[String, Long] = {
     val layout = Layout(root)

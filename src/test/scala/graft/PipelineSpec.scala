@@ -24,6 +24,66 @@ class PipelineSpec extends SparkSpec {
     assert(counts("mart_clinical_areas") > 0)
   }
 
+  test("serving load: cold marts land in the JDBC store (K5, L2P stage)") {
+    val inDir = tmpDir("serve_in")
+    val root = tmpDir("serve_root")
+    Fixtures.writeJsonl(inDir, "events.json", Seq(
+      Fixtures.rawEventJson("s1", 1, "2026-01-01T15:00:00+00:00", "2026-01-01", dedupKey = "x1"),
+      Fixtures.rawEventJson("s2", 2, "2026-01-01T15:10:00+00:00", "2026-01-01", dedupKey = "x2")))
+    DailyPipeline.run(spark, inDir, root)
+
+    val url = "jdbc:derby:memory:graft_serving;create=true"
+    val counts = DailyPipeline.loadToServing(spark, DailyPipeline.Layout(root), url)
+    assert(counts("mart_session_analysis") === 2)
+    val conn = java.sql.DriverManager.getConnection(url)
+    val rs = conn.createStatement().executeQuery(
+      "SELECT count(*) FROM mart_daily_traffic")
+    rs.next()
+    assert(rs.getInt(1) === 1) // one day
+    conn.close()
+  }
+
+  test("hot-mart stream -> JDBC upsert round trip (K7 serving integration)") {
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.sinks.JdbcUpsertSink
+    import graft.streaming.HotMartStreamJob
+
+    val url = "jdbc:derby:memory:graft_hot;create=true"
+    val c0 = java.sql.DriverManager.getConnection(url)
+    c0.createStatement().executeUpdate(
+      "CREATE TABLE rt_traffic (\"minute_key\" VARCHAR(32) PRIMARY KEY, \"total_clicks\" INT)")
+    c0.close()
+
+    val inDir = tmpDir("hotjdbc_in")
+    val ckDir = tmpDir("hotjdbc_ck")
+    import spark.implicits._
+    val curated = graft.ingest.Normalizer.fromJsonLines(spark.createDataset(Seq(
+      Fixtures.rawEventJson("s1", 1, "2026-01-01T15:00:10+00:00", "2026-01-01", dedupKey = "h1"),
+      Fixtures.rawEventJson("s1", 2, "2026-01-01T15:00:40+00:00", "2026-01-01", dedupKey = "h2"),
+      Fixtures.rawEventJson("s2", 3, "2026-01-01T15:02:00+00:00", "2026-01-01", dedupKey = "h3")
+    )).toDF("json"))
+    curated.write.parquet(inDir + "/data")
+
+    val src = HotMartStreamJob.parquetSource(spark, inDir + "/data", curated.schema, 10)
+    val q = HotMartStreamJob.start(src, b => {
+      val tm = b.trafficMinute.selectExpr(
+        "CAST(event_minute AS STRING) AS minute_key",
+        "CAST(total_clicks AS INT) AS total_clicks")
+      JdbcUpsertSink.upsert(tm, url, "rt_traffic", Seq("minute_key"),
+        JdbcUpsertSink.AnsiMergeDialect, b.batchId,
+        stagingColumnTypes = Some("minute_key VARCHAR(32), total_clicks INT"))
+    }, ckDir, Trigger.AvailableNow())
+    q.awaitTermination(120000)
+
+    val conn = java.sql.DriverManager.getConnection(url)
+    val rs = conn.createStatement().executeQuery(
+      "SELECT \"minute_key\", \"total_clicks\" FROM rt_traffic ORDER BY \"minute_key\"")
+    val rows = Iterator.continually(rs).takeWhile(_.next())
+      .map(r => (r.getString(1), r.getInt(2))).toList
+    conn.close()
+    assert(rows.map(_._2) === List(2, 1)) // 15:00 has two clicks, 15:02 one
+  }
+
   test("compactor rewrites a layer in place (K4)") {
     val root = tmpDir("compact")
     val layer = root + "/layer"
