@@ -63,13 +63,22 @@ object TextAnalysis {
     * char-n-gram profiles would be a dictionary join against trained
     * profiles, same plumbing, heavier constants. */
   def langId(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
-    val toks = tokens(col(textCol))
-    def score(markers: Seq[String]): Column =
-      size(filter(toks, t => t.isin(markers: _*)))
-    val scored = docs.select(
-      col(idCol), col("lang").as("lang_label"),
-      score(markersEn).as("s_en"), score(markersDe).as("s_de"),
-      score(markersEs).as("s_es"), score(markersFr).as("s_fr"))
+    // all four scores from ONE evaluation of the tokenizer: the token array
+    // is let-bound through a single-element transform (the CSE-trap pattern;
+    // see Dedup.shingles) and the per-language hit counts come out as one
+    // array column
+    def score(tks: Column, markers: Seq[String]): Column =
+      size(filter(tks, t => t.isin(markers: _*)))
+    val scoresArr = element_at(
+      transform(array(tokens(col(textCol))), tks =>
+        array(score(tks, markersEn), score(tks, markersDe),
+          score(tks, markersEs), score(tks, markersFr))),
+      1)
+    val scored = docs
+      .select(col(idCol), col("lang").as("lang_label"), scoresArr.as("__s"))
+      .select(col(idCol), col("lang_label"),
+        element_at(col("__s"), 1).as("s_en"), element_at(col("__s"), 2).as("s_de"),
+        element_at(col("__s"), 3).as("s_es"), element_at(col("__s"), 4).as("s_fr"))
     scored.withColumn("guessed_lang",
       when(col("s_en") === 0 && col("s_de") === 0 && col("s_es") === 0 && col("s_fr") === 0, "unknown")
         .when(col("s_en") >= col("s_de") && col("s_en") >= col("s_es") && col("s_en") >= col("s_fr"), "en")
