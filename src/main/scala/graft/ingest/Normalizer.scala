@@ -70,6 +70,34 @@ object Normalizer {
     "event_ts" -> "event_ts", "event_date" -> "event_date",
     "dedup_key" -> "dedup_key")
 
+  /** Parse with a dead-letter side channel: rows whose JSON fails to parse
+    * (from_json → null struct) or that lack the dedup key are captured with
+    * the raw payload instead of silently vanishing — at pipeline scale,
+    * silent drop rates are how corpora rot. Returns (curated, deadLetter). */
+  def fromJsonLinesWithDeadLetter(
+      lines: DataFrame, jsonCol: String = "json"): (DataFrame, DataFrame) = {
+    // from_json in PERMISSIVE mode yields a null-FIELDED struct on malformed
+    // input, not a null struct — the corrupt-record column is the reliable
+    // malformed-row signal
+    val parseSchema = graft.schema.TripClick.rawSchema
+      .add(StructField("_corrupt_record", StringType))
+    val parsed = lines.select(
+      col(jsonCol).as("raw"),
+      from_json(col(jsonCol), parseSchema,
+        Map("mode" -> "PERMISSIVE",
+          "columnNameOfCorruptRecord" -> "_corrupt_record")).as("data"))
+    val corrupt = col("data._corrupt_record").isNotNull
+    val good = curatedProjection(parsed.filter(
+      !corrupt && col("data.dedup_key").isNotNull))
+    val bad = parsed
+      .filter(corrupt || col("data.dedup_key").isNull)
+      .select(col("raw"),
+        when(corrupt, "unparseable_json")
+          .otherwise("missing_dedup_key").as("reject_reason"),
+        current_timestamp().as("rejected_at"))
+    (good, bad)
+  }
+
   /** Producer-side dedup key, engine edition
     * (reference: ingestion/producer/producer_base.py:42-53 computes
     * xxhash64(session|document|ts).hexdigest() with md5 fallback).

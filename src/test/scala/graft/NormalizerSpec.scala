@@ -43,6 +43,20 @@ class NormalizerSpec extends SparkSpec {
     assert(keys(0).matches("[0-9a-f]{16}"))
   }
 
+  test("dead-letter channel captures unparseable and keyless rows with reasons") {
+    val good = Fixtures.rawEventJson("s1", 1, "2026-01-01T15:00:00+00:00", "2026-01-01")
+    val keyless = good.replace(""","dedup_key":"s1-1-2026-01-01T15:00:00+00:00"}""", "}")
+    val garbage = "this is { not json"
+    val (ok, bad) = Normalizer.fromJsonLinesWithDeadLetter(
+      rawDf(Seq(good, keyless, garbage)))
+    assert(ok.count() === 1)
+    val rejects = bad.select("reject_reason").collect().map(_.getString(0)).sorted
+    assert(rejects.toSeq === Seq("missing_dedup_key", "unparseable_json"))
+    // raw payload preserved for replay/forensics
+    assert(bad.filter(col("reject_reason") === "unparseable_json")
+      .select("raw").collect().head.getString(0) === garbage)
+  }
+
   test("archiveRawProjection keeps curated fields + kafka + load metadata (B2A)") {
     val json = Fixtures.rawEventJson("s1", 7, "2026-01-01T15:00:00+00:00", "2026-01-01")
     val kafkaFrame = Seq(

@@ -84,6 +84,51 @@ class PipelineSpec extends SparkSpec {
     assert(rows.map(_._2) === List(2, 1)) // 15:00 has two clicks, 15:02 one
   }
 
+  test("incremental mart refresh touches only the partitions of new events") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    import graft.pipeline.IncrementalMart
+    import graft.marts.ColdMarts
+
+    val root = tmpDir("incr")
+    val curatedPath = root + "/curated"
+    val martPath = root + "/mart_daily"
+    def mkCurated(rows: Seq[(String, Int, String, String)]) =
+      rows.map { case (s, d, ts, day) =>
+        (s, d, java.sql.Timestamp.valueOf(ts), java.sql.Date.valueOf(day))
+      }.toDF("session_id", "document_id", "event_ts", "event_date")
+
+    // day1 + day2 curated; full mart build
+    mkCurated(Seq(
+      ("a", 1, "2026-01-01 10:00:00", "2026-01-01"),
+      ("b", 2, "2026-01-02 11:00:00", "2026-01-02")))
+      .write.partitionBy("event_date").parquet(curatedPath)
+    IncrementalMart.overwriteTouchedPartitions(
+      ColdMarts.dailyTraffic(spark.read.parquet(curatedPath)), martPath)
+    val day1FileBefore = new java.io.File(martPath + "/event_date=2026-01-01")
+      .listFiles().filter(_.getName.endsWith(".parquet")).map(_.lastModified).max
+
+    // new events arrive for day2 only → append to curated, refresh
+    val newEvents = mkCurated(Seq(
+      ("c", 3, "2026-01-02 12:00:00", "2026-01-02"),
+      ("b", 2, "2026-01-02 13:00:00", "2026-01-02")))
+    newEvents.write.mode("append").partitionBy("event_date").parquet(curatedPath)
+    Thread.sleep(1100) // ensure mtime resolution can distinguish rewrites
+    val touched = IncrementalMart.refresh(spark, curatedPath, martPath,
+      newEvents, df => ColdMarts.dailyTraffic(df))
+    assert(touched === Seq("2026-01-02"))
+
+    val mart = spark.read.parquet(martPath)
+    val day2 = mart.filter(col("event_date") === "2026-01-02").collect().head
+    assert(day2.getAs[Long]("total_events") === 3)
+    assert(day2.getAs[Long]("unique_sessions") === 2)
+    // day1 partition rows intact and its files untouched by the refresh
+    assert(mart.filter(col("event_date") === "2026-01-01").count() === 1)
+    val day1FileAfter = new java.io.File(martPath + "/event_date=2026-01-01")
+      .listFiles().filter(_.getName.endsWith(".parquet")).map(_.lastModified).max
+    assert(day1FileAfter === day1FileBefore, "untouched partition must not be rewritten")
+  }
+
   test("compactor rewrites a layer in place (K4)") {
     val root = tmpDir("compact")
     val layer = root + "/layer"
