@@ -74,11 +74,16 @@ object TextAnalysis {
         array(score(tks, markersEn), score(tks, markersDe),
           score(tks, markersEs), score(tks, markersFr))),
       1)
+    // coalesce(…, 0): null text propagates null scores, which would fall
+    // through every when() branch to the last otherwise — zeroing them
+    // routes null/empty docs to 'unknown' instead
     val scored = docs
       .select(col(idCol), col("lang").as("lang_label"), scoresArr.as("__s"))
       .select(col(idCol), col("lang_label"),
-        element_at(col("__s"), 1).as("s_en"), element_at(col("__s"), 2).as("s_de"),
-        element_at(col("__s"), 3).as("s_es"), element_at(col("__s"), 4).as("s_fr"))
+        coalesce(element_at(col("__s"), 1), lit(0)).as("s_en"),
+        coalesce(element_at(col("__s"), 2), lit(0)).as("s_de"),
+        coalesce(element_at(col("__s"), 3), lit(0)).as("s_es"),
+        coalesce(element_at(col("__s"), 4), lit(0)).as("s_fr"))
     scored.withColumn("guessed_lang",
       when(col("s_en") === 0 && col("s_de") === 0 && col("s_es") === 0 && col("s_fr") === 0, "unknown")
         .when(col("s_en") >= col("s_de") && col("s_en") >= col("s_es") && col("s_en") >= col("s_fr"), "en")

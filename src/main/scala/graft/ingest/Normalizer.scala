@@ -73,7 +73,10 @@ object Normalizer {
   /** Parse with a dead-letter side channel: rows whose JSON fails to parse
     * (from_json → null struct) or that lack the dedup key are captured with
     * the raw payload instead of silently vanishing — at pipeline scale,
-    * silent drop rates are how corpora rot. Returns (curated, deadLetter). */
+    * silent drop rates are how corpora rot. Returns (curated, deadLetter).
+    * Both frames share the parse plan lazily; a caller materializing both
+    * sides should cache the input (or write good first, bad second) to avoid
+    * parsing the source twice. */
   def fromJsonLinesWithDeadLetter(
       lines: DataFrame, jsonCol: String = "json"): (DataFrame, DataFrame) = {
     // from_json in PERMISSIVE mode yields a null-FIELDED struct on malformed
@@ -92,7 +95,8 @@ object Normalizer {
     val bad = parsed
       .filter(corrupt || col("data.dedup_key").isNull)
       .select(col("raw"),
-        when(corrupt, "unparseable_json")
+        when(col("raw").isNull, "null_payload")
+          .when(corrupt, "unparseable_json")
           .otherwise("missing_dedup_key").as("reject_reason"),
         current_timestamp().as("rejected_at"))
     (good, bad)

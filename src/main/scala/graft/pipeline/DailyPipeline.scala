@@ -46,18 +46,26 @@ object DailyPipeline {
     spark.read.parquet(layout.curated).count()
   }
 
-  /** Stage 3 (reference: etl_to_analytics_mart.py): curated → 4 cold marts. */
+  /** The four cold marts, by name — single source of truth for the compute
+    * and serving-load stages. */
+  val coldMartNames: Seq[String] = Seq("mart_session_analysis", "mart_daily_traffic",
+    "mart_clinical_areas", "mart_popular_documents")
+
+  /** Stage 3 (reference: etl_to_analytics_mart.py): curated → 4 cold marts.
+    * Marts are partitioned by event_date — every mart's keys include the
+    * date, downstream reads prune on it, and the layout is what
+    * [[IncrementalMart]] requires for partition-scoped refresh. */
   def coldMarts(spark: SparkSession, layout: Layout): Map[String, Long] = {
     val curated = spark.read.parquet(layout.curated)
-    val marts = Map(
+    val marts: Map[String, org.apache.spark.sql.DataFrame] = Map(
       "mart_session_analysis" -> ColdMarts.sessionAnalysis(curated),
       "mart_daily_traffic" -> ColdMarts.dailyTraffic(curated),
       "mart_clinical_areas" -> ColdMarts.clinicalAreas(curated),
       "mart_popular_documents" -> ColdMarts.popularDocuments(curated, withTitle = true))
-    marts.map { case (name, df) =>
-      ParquetLayerSink.overwriteMart(df, layout.mart(name))
+    coldMartNames.map { name =>
+      ParquetLayerSink.overwriteMart(marts(name), layout.mart(name), Some("event_date"))
       name -> spark.read.parquet(layout.mart(name)).count()
-    }
+    }.toMap
   }
 
   /** Stage 4 (reference: load_to_postgres.py:46-64 via
@@ -67,8 +75,7 @@ object DailyPipeline {
       spark: SparkSession,
       layout: Layout,
       jdbcUrl: String,
-      martNames: Seq[String] = Seq("mart_session_analysis", "mart_daily_traffic",
-        "mart_clinical_areas", "mart_popular_documents"),
+      martNames: Seq[String] = coldMartNames,
       props: java.util.Properties = new java.util.Properties()): Map[String, Long] =
     martNames.map { name =>
       val df = spark.read.parquet(layout.mart(name))

@@ -19,24 +19,22 @@ import org.apache.spark.sql.functions._
   */
 object IncrementalMart {
 
-  /** Overwrite only the partitions present in `martSlice` (which must be
-    * partitioned by `partitionCol`). */
+  /** Overwrite only the partitions present in `martSlice`. The target mart
+    * must already be laid out partitioned by `partitionCol` (as
+    * [[DailyPipeline.coldMarts]] writes them) — mixing this into a flat mart
+    * directory would leave the old root-level files alongside the new
+    * partition dirs. The overwrite mode is a per-write option, not a session
+    * conf toggle, so concurrent refreshes of different marts can't race each
+    * other into a static (delete-everything) overwrite. */
   def overwriteTouchedPartitions(
       martSlice: DataFrame,
       martPath: String,
-      partitionCol: String = "event_date"): Unit = {
-    val spark = martSlice.sparkSession
-    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try martSlice.write
+      partitionCol: String = "event_date"): Unit =
+    martSlice.write
       .mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
       .partitionBy(partitionCol)
       .parquet(martPath)
-    finally prev match {
-      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
-      case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
-    }
-  }
 
   /** Incrementally refresh a per-date mart: slice the curated layer to the
     * dates present in `newEvents` (partition pruning makes this slice read

@@ -54,7 +54,8 @@ class DedupPropertySpec extends SparkSpec {
         assert(Normalizer.dedupFirst(out, Seq("dedup_key"), order).count()
           === collected.length.toLong)
         // permutation-stable
-        val shuffled = scala.util.Random.shuffle(rows).toDF("dedup_key", "ts", "payload")
+        val shuffled = new scala.util.Random(rows.hashCode.toLong)
+          .shuffle(rows).toDF("dedup_key", "ts", "payload")
         val outShuffled = Normalizer.dedupFirst(shuffled, Seq("dedup_key"), order)
           .collect().map(r => (r.getString(0), r.getInt(1), r.getInt(2))).sorted
         assert(outShuffled.toSeq ===
