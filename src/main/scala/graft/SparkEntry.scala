@@ -45,6 +45,11 @@ object SparkEntry {
           TextAnalysis.robustFingerprint(col("text")).as("robust_fingerprint"))
         .orderBy("doc_id")
     },
+    // search scoring: TF x smoothed-IDF ranking (the domain's query side)
+    "q27_search_rank" -> { (s, d) =>
+      graft.analysis.SearchRank.search(TestData.documents(s, d),
+        terms = Seq("spark", "query", "hash"), k = 20)
+    },
     // exact dedup groups by fingerprint (hash groupBy)
     "q30_exact_dedup" -> { (s, d) =>
       Dedup.exactDupGroups(TestData.documents(s, d))
@@ -492,6 +497,25 @@ object SparkEntry {
         | count(*) FILTER (WHERE event_type = 'signup') AS signup,
         | count(*) FILTER (WHERE event_type = 'view') AS view
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q27_search_rank" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')), ' ') AS t
+        |  FROM documents),
+        |stats AS (SELECT
+        |  (SELECT count(*) FROM documents) AS n,
+        |  (SELECT count(*) FROM toks WHERE list_contains(list_distinct(t), 'spark')) AS df_spark,
+        |  (SELECT count(*) FROM toks WHERE list_contains(list_distinct(t), 'query')) AS df_query,
+        |  (SELECT count(*) FROM toks WHERE list_contains(list_distinct(t), 'hash')) AS df_hash),
+        |scored AS (
+        |  SELECT doc_id,
+        |    round(
+        |      CAST(len(list_filter(t, x -> x = 'spark')) AS DOUBLE) * ((n - df_spark + 0.5) / (df_spark + 0.5))
+        |      + CAST(len(list_filter(t, x -> x = 'query')) AS DOUBLE) * ((n - df_query + 0.5) / (df_query + 0.5))
+        |      + CAST(len(list_filter(t, x -> x = 'hash')) AS DOUBLE) * ((n - df_hash + 0.5) / (df_hash + 0.5)), 4) AS score
+        |  FROM toks CROSS JOIN stats)
+        |SELECT doc_id, score FROM scored WHERE score > 0
+        |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
     "q30_exact_dedup" ->
       """SELECT md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g'))) AS fingerprint,
         | min(doc_id) AS keeper, count(*) AS n_dupes

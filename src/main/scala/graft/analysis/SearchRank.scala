@@ -1,0 +1,63 @@
+package graft.analysis
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
+
+/** Term-based document search scoring — the query-side capability the
+  * reference's domain (clinical search logs) implies but its pipeline never
+  * had. TF×IDF shape with the BM25-style smoothed document-frequency ratio
+  * `(N - df + 0.5) / (df + 0.5)` kept rational (no log): transcendental
+  * functions are not bit-identical across math libraries, and a rational
+  * weight preserves the ranking while staying oracle-exact.
+  *
+  * Scale shape: document frequencies for the (few) query terms are one
+  * tiny aggregate collected to the driver and folded into the scoring
+  * expression as literals — the corpus scan then scores every document in
+  * a single codegen'd projection, and top-k plans as TakeOrderedAndProject.
+  */
+object SearchRank {
+
+  /** Per-term document frequencies over distinct tokens. */
+  def documentFrequencies(
+      docs: DataFrame, terms: Seq[String], textCol: String = "text"): Map[String, Long] = {
+    val rows = docs
+      .select(explode(array_distinct(TextAnalysis.tokens(col(textCol)))).as("t"))
+      .filter(col("t").isin(terms: _*))
+      .groupBy("t").count()
+      .collect()
+    val found = rows.map(r => r.getString(0) -> r.getLong(1)).toMap
+    terms.map(t => t -> found.getOrElse(t, 0L)).toMap
+  }
+
+  /** Top-k documents for a bag-of-terms query. Output: doc_id, score
+    * (rounded), per-term hit count columns omitted by design — callers
+    * wanting explanations can recompute tf cheaply. */
+  def search(
+      docs: DataFrame,
+      terms: Seq[String],
+      k: Int = 20,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    require(terms.nonEmpty)
+    val n = docs.count()
+    val dfs = documentFrequencies(docs, terms, textCol)
+    def idf(t: String): Double = {
+      val d = dfs(t).toDouble
+      (n - d + 0.5) / (d + 0.5)
+    }
+    val toks = TextAnalysis.tokens(col(textCol))
+    // one let-bound tokenizer evaluation; per-term tf × idf literals summed
+    val score: Column = element_at(
+      transform(array(toks), tks =>
+        terms.map(t =>
+          size(filter(tks, x => x === t)).cast(DoubleType) * lit(idf(t)))
+          .reduce(_ + _)),
+      1)
+    docs
+      .select(col(idCol), round(score, 4).as("score"))
+      .filter(col("score") > 0)
+      .orderBy(desc("score"), col(idCol))
+      .limit(k)
+  }
+}
