@@ -18,16 +18,16 @@ import org.apache.spark.sql.types.DoubleType
   */
 object SearchRank {
 
-  /** Per-term document frequencies over distinct tokens. */
-  def documentFrequencies(
-      docs: DataFrame, terms: Seq[String], textCol: String = "text"): Map[String, Long] = {
-    val rows = docs
-      .select(explode(array_distinct(TextAnalysis.tokens(col(textCol)))).as("t"))
-      .filter(col("t").isin(terms: _*))
-      .groupBy("t").count()
-      .collect()
-    val found = rows.map(r => r.getString(0) -> r.getLong(1)).toMap
-    terms.map(t => t -> found.getOrElse(t, 0L)).toMap
+  /** Corpus size + per-term document frequencies in ONE aggregate pass:
+    * the scan tokenizes each document once and emits n plus one
+    * contains-count per term. */
+  def corpusStats(
+      docs: DataFrame, terms: Seq[String], textCol: String = "text"): (Long, Map[String, Long]) = {
+    val toks = array_distinct(TextAnalysis.tokens(col(textCol)))
+    val aggs = count(lit(1)).as("n") +:
+      terms.map(t => sum(when(array_contains(toks, t), 1L).otherwise(0L)).as(s"df_$t"))
+    val row = docs.agg(aggs.head, aggs.tail: _*).collect().head
+    (row.getAs[Long]("n"), terms.map(t => t -> row.getAs[Long](s"df_$t")).toMap)
   }
 
   /** Top-k documents for a bag-of-terms query. Output: doc_id, score
@@ -40,8 +40,7 @@ object SearchRank {
       textCol: String = "text",
       idCol: String = "doc_id"): DataFrame = {
     require(terms.nonEmpty)
-    val n = docs.count()
-    val dfs = documentFrequencies(docs, terms, textCol)
+    val (n, dfs) = corpusStats(docs, terms, textCol)
     def idf(t: String): Double = {
       val d = dfs(t).toDouble
       (n - d + 0.5) / (d + 0.5)
