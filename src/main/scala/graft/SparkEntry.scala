@@ -173,6 +173,10 @@ object SparkEntry {
     "q19_orders_without_lines" -> { (s, d) =>
       Relational.ordersWithoutLines(Tables.orders(s, d), Tables.lineitem(s, d))
     },
+    // analytic windows: lead / first_value / gaps / ntile in one frame
+    "q28_user_event_analytics" -> { (s, d) =>
+      Relational.userEventAnalytics(TestData.clicks(s, d))
+    },
     // set operations: INTERSECT / EXCEPT cohort algebra
     "q26_cohort_set_ops" -> { (s, d) =>
       Relational.cohortIntersectExcept(TestData.clicks(s, d),
@@ -464,6 +468,16 @@ object SparkEntry {
         |             ELSE [] END,
         |        s -> md5(s)))[1:8], ',')) AS robust_fingerprint
         |FROM sh ORDER BY doc_id""".stripMargin,
+    "q28_user_event_analytics" ->
+      """SELECT event_id, CAST(user_id AS VARCHAR) AS session_id,
+        | CAST(ts AS TIMESTAMP) AS event_ts, event_type,
+        | lead(event_type) OVER w AS next_event_type,
+        | first_value(event_type) OVER w AS first_event_type,
+        | date_diff('second', CAST(ts AS TIMESTAMP), lead(CAST(ts AS TIMESTAMP)) OVER w) AS gap_to_next_sec,
+        | ntile(4) OVER w AS session_quartile
+        |FROM events
+        |WINDOW w AS (PARTITION BY CAST(user_id AS VARCHAR) ORDER BY CAST(ts AS TIMESTAMP), event_id)
+        |ORDER BY event_id""".stripMargin,
     "q26_cohort_set_ops" ->
       """SELECT CAST(user_id AS VARCHAR) AS session_id, CAST(ts AS DATE) AS event_date
         |FROM events WHERE event_type = 'purchase'

@@ -214,6 +214,21 @@ object Relational {
       .na.fill(0L, types)
       .orderBy(dateCol)
 
+  /** Analytic-window breadth over an event stream: lead (next event),
+    * first_value (session anchor), inter-event gap, and ntile quartiles —
+    * one shuffle on the partition key serves every function in the frame. */
+  def userEventAnalytics(clicks: DataFrame): DataFrame = {
+    val w = Window.partitionBy("session_id").orderBy(col("event_ts"), col("event_id"))
+    clicks.select(
+        col("event_id"), col("session_id"), col("event_ts"), col("event_type"))
+      .withColumn("next_event_type", lead(col("event_type"), 1).over(w))
+      .withColumn("first_event_type", first(col("event_type")).over(w))
+      .withColumn("gap_to_next_sec",
+        lead(unix_timestamp(col("event_ts")), 1).over(w) - unix_timestamp(col("event_ts")))
+      .withColumn("session_quartile", ntile(4).over(w))
+      .orderBy("event_id")
+  }
+
   /** Set operations (INTERSECT / EXCEPT, both distinct-semantics): cohort
     * algebra over single-key frames. Spark plans these as semi/anti joins
     * over pre-distincted inputs — one shuffle per operand on the key. */

@@ -67,6 +67,32 @@ object HotMartStreamJob {
         .withColumn("batch_id", lit(batchId)))
   }
 
+  /** TRUE stateful anomaly detection — unlike the reference's per-batch
+    * tumbling windows (RT:284-290 recomputes within each micro-batch, so a
+    * burst split across two batches is invisible), this is a global
+    * watermarked streaming aggregation: window state accumulates across
+    * batches in the state store and each window emits once, when the
+    * watermark closes it. The engine improvement the reference's comment
+    * wished for. */
+  def statefulAnomalySessions(
+      curatedStream: DataFrame,
+      windowDuration: String = "5 minutes",
+      watermark: String = "10 minutes",
+      warnAt: Long = 50,
+      criticalAt: Long = 100): DataFrame =
+    curatedStream
+      .withWatermark("event_ts", watermark)
+      .groupBy(window(col("event_ts"), windowDuration).as("w"), col("session_id"))
+      .agg(count(lit(1)).as("event_count"))
+      .filter(col("event_count") >= warnAt)
+      .select(
+        col("w.start").as("window_start"),
+        col("w.end").as("window_end"),
+        col("session_id"),
+        col("event_count"),
+        when(col("event_count") >= criticalAt, "CRITICAL")
+          .otherwise("WARNING").as("severity"))
+
   /** Start the stream; `sink` is called once per non-empty micro-batch with
     * the four mart frames (production: JDBC upsert/append; tests: collect). */
   def start(

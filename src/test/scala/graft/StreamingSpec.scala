@@ -61,6 +61,35 @@ class StreamingSpec extends SparkSpec {
     assert(keys.contains("w9"), "late new-key event is curated (at-least-once tolerance)")
   }
 
+  test("stateful anomaly windows accumulate across micro-batches (append mode)") {
+    import spark.implicits._
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(String, java.sql.Timestamp)](spark)
+    val stream = input.toDF().toDF("session_id", "event_ts")
+    val out = HotMartStreamJob.statefulAnomalySessions(
+      stream, windowDuration = "5 minutes", watermark = "1 minute", warnAt = 2, criticalAt = 3)
+    val q = out.writeStream.format("memory").queryName("anomalies_out")
+      .outputMode("append").start()
+    try {
+      def t(s: String) = java.sql.Timestamp.valueOf(s)
+      // batch 1: one event in the 10:00 window — per-batch logic would never flag it
+      input.addData(("s1", t("2026-01-01 10:01:00")))
+      q.processAllAvailable()
+      // batch 2: second event in the SAME window (burst split across batches)
+      input.addData(("s1", t("2026-01-01 10:02:00")))
+      q.processAllAvailable()
+      assert(spark.table("anomalies_out").count() === 0) // window not closed yet
+      // batch 3: event time advances past window end + watermark → emit
+      input.addData(("s2", t("2026-01-01 10:30:00")))
+      q.processAllAvailable()
+      val rows = spark.table("anomalies_out").collect()
+      assert(rows.length === 1)
+      assert(rows.head.getAs[String]("session_id") === "s1")
+      assert(rows.head.getAs[Long]("event_count") === 2) // cross-batch accumulation
+      assert(rows.head.getAs[String]("severity") === "WARNING")
+    } finally q.stop()
+  }
+
   test("hot-mart stream: per-batch fan-out computes all four marts") {
     val inDir = tmpDir("hot_in")
     val ckDir = tmpDir("hot_ck")
