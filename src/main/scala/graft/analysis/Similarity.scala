@@ -156,13 +156,18 @@ object Similarity {
     // bounded, seeded fit on normalized vectors — training is a cheap
     // capped step (limit, not a count+sample pass), and a coarse quantizer
     // needs neither k-means|| init nor many iterations
+    // persist: k-means re-evaluates its input once per init/iteration pass —
+    // uncached, that is 6-7 scan+normalize passes and the dominant variance
     val fitInput = corpus.limit(maxFitRows.toInt)
       .select(array_to_vector(unit(col(vecCol))).as("features"))
-    val model = new KMeans()
-      .setK(nCells).setSeed(seed).setMaxIter(5).setInitMode("random")
-      .setFeaturesCol("features")
-      .fit(fitInput)
-    val centroids = model.clusterCenters.map(_.toArray)
+      .persist()
+    val centroids =
+      try new KMeans()
+        .setK(nCells).setSeed(seed).setMaxIter(5).setInitMode("random")
+        .setFeaturesCol("features")
+        .fit(fitInput)
+        .clusterCenters.map(_.toArray)
+      finally { fitInput.unpersist(); () }
 
     /** nearest `n` cells as a pure projection: the unit vector is let-bound
       * once per row, then distance to each centroid literal is computed from
