@@ -80,18 +80,9 @@ object HotMartStreamJob {
       watermark: String = "10 minutes",
       warnAt: Long = 50,
       criticalAt: Long = 100): DataFrame =
-    curatedStream
-      .withWatermark("event_ts", watermark)
-      .groupBy(window(col("event_ts"), windowDuration).as("w"), col("session_id"))
-      .agg(count(lit(1)).as("event_count"))
-      .filter(col("event_count") >= warnAt)
-      .select(
-        col("w.start").as("window_start"),
-        col("w.end").as("window_end"),
-        col("session_id"),
-        col("event_count"),
-        when(col("event_count") >= criticalAt, "CRITICAL")
-          .otherwise("WARNING").as("severity"))
+    HotMarts.anomalySessions(
+      curatedStream.withWatermark("event_ts", watermark),
+      windowDuration, warnAt, criticalAt)
 
   /** Start the stream; `sink` is called once per non-empty micro-batch with
     * the four mart frames (production: JDBC upsert/append; tests: collect). */
