@@ -177,6 +177,10 @@ object SparkEntry {
     "q28_user_event_analytics" -> { (s, d) =>
       Relational.userEventAnalytics(TestData.clicks(s, d))
     },
+    // set operations: UNION-distinct cohort
+    "q29_converting_user_days" -> { (s, d) =>
+      Relational.convertingUserDays(TestData.clicks(s, d))
+    },
     // set operations: INTERSECT / EXCEPT cohort algebra
     "q26_cohort_set_ops" -> { (s, d) =>
       Relational.cohortIntersectExcept(TestData.clicks(s, d),
@@ -468,6 +472,12 @@ object SparkEntry {
         |             ELSE [] END,
         |        s -> md5(s)))[1:8], ',')) AS robust_fingerprint
         |FROM sh ORDER BY doc_id""".stripMargin,
+    "q29_converting_user_days" ->
+      """SELECT CAST(user_id AS VARCHAR) AS session_id, CAST(ts AS DATE) AS event_date
+        |FROM events WHERE event_type = 'purchase'
+        |UNION
+        |SELECT CAST(user_id AS VARCHAR), CAST(ts AS DATE) FROM events WHERE event_type = 'signup'
+        |ORDER BY session_id, event_date""".stripMargin,
     "q28_user_event_analytics" ->
       """SELECT event_id, CAST(user_id AS VARCHAR) AS session_id,
         | CAST(ts AS TIMESTAMP) AS event_ts, event_type,

@@ -245,6 +245,16 @@ object Relational {
       .orderBy(keyCols.map(col): _*)
   }
 
+  /** UNION with distinct semantics: the converting-actions cohort — any
+    * (user, day) with a purchase OR a signup, deduplicated. Spark plans
+    * union+distinct as one hash aggregate over the concatenated scans. */
+  def convertingUserDays(events: DataFrame): DataFrame = {
+    def slice(t: String) = events.filter(col("event_type") === t)
+      .select("session_id", "event_date")
+    slice("purchase").union(slice("signup")).distinct()
+      .orderBy("session_id", "event_date")
+  }
+
   /** Anti join: orders that have no lineitem at all (referential holes) —
     * left_anti is the scalable NOT EXISTS (no null-aware cross product). */
   def ordersWithoutLines(orders: DataFrame, lineitem: DataFrame): DataFrame =
