@@ -70,12 +70,14 @@ object SparkEntry {
       Similarity.knnBruteForce(emb, emb.filter(col("vec_id") < 8), k = 5)
         .orderBy("query_id", "rank")
     },
-    // SimHash near-dup buckets via custom Catalyst expression (no SQL oracle:
-    // engine-specific hash; driver records rows-only)
+    // SimHash near-dup buckets via custom Catalyst expression. Gated with the
+    // PORTABLE md5 token hash so the DuckDB oracle can rebuild the identical
+    // 64-bit signature (bit votes, band keys, hamming — all replicated in
+    // SQL); the FNV-1a fast path stays spec-verified (OpsSpec).
     "q34_simhash_buckets" -> { (s, d) =>
       val docs = TestData.documents(s, d)
       val sigs = docs.select(col("doc_id"),
-        SimHash.simhash64(TextAnalysis.tokens(col("text"))).as("simhash"))
+        SimHash.simhash64Md5(TextAnalysis.tokens(col("text"))).as("simhash"))
       val bands = sigs.select(col("doc_id"), col("simhash"),
         explode(expr("transform(sequence(0,3), b -> " +
           "struct(b as band_id, shiftright(simhash, b*16) & 65535 as band_key))")).as("b"))
@@ -90,10 +92,14 @@ object SparkEntry {
         .filter(col("hamming") <= 6)
         .orderBy("doc_a", "doc_b")
     },
-    // LSH-bucketed ANN (scale path; deterministic hyperplanes; rows-only)
+    // LSH-bucketed ANN (scale path). Gated with the axis-sign signature —
+    // the same bucketed physical shape as the random-plane variant (which
+    // stays spec-verified), but engine-portable, so the oracle reproduces
+    // buckets, candidates, and ranks exactly.
     "q35_knn_lsh" -> { (s, d) =>
       val emb = TestData.embeddings(s, d)
-      Similarity.knnLsh(emb, emb.filter(col("vec_id") < 64), dim = 64, k = 5, nPlanes = 6)
+      Similarity.knnLshWith(emb, emb.filter(col("vec_id") < 64),
+          Similarity.axisSignSignature(_, 6), k = 5)
         .orderBy("query_id", "rank")
     },
     // embedding-cosine near-dup pairs, exact baseline (oracle-checked);
@@ -102,12 +108,22 @@ object SparkEntry {
       Similarity.embeddingNearDupPairsExact(TestData.embeddings(s, d), minCosine = 0.4)
         .orderBy("doc_a", "doc_b")
     },
-    // IVF-ANN: k-means coarse quantizer + probe join (rows-only: k-means
-    // cells are engine-specific)
+    // IVF-ANN: k-means coarse quantizer + probe join. Gated at nProbe=nCells
+    // (exhaustive probing ≡ brute force, so the q33 brute-force SQL is a full
+    // oracle for the whole IVF plumbing — cells, probe join, ranking);
+    // sub-linear probing (nProbe < nCells) is SimilaritySpec-verified.
     "q37_knn_ivf" -> { (s, d) =>
       val emb = TestData.embeddings(s, d)
-      Similarity.knnIvf(emb, emb.filter(col("vec_id") < 8), k = 5, nCells = 8, nProbe = 2)
+      Similarity.knnIvf(emb, emb.filter(col("vec_id") < 8), k = 5, nCells = 8, nProbe = 8)
         .orderBy("query_id", "rank")
+    },
+    // embedding near-dup pairs through LSH buckets — the 100 TB path of q38
+    // (both sides shuffle on the bucket key, never all-pairs), gated with the
+    // portable axis-sign signature so the oracle rebuilds the same buckets
+    "q39_embedding_neardups_lsh" -> { (s, d) =>
+      Similarity.embeddingNearDupPairsWith(TestData.embeddings(s, d),
+          Similarity.axisSignSignature(_, 6), minCosine = 0.4)
+        .orderBy("doc_a", "doc_b")
     },
     // gap-based sessionization (window-function batch variant; the
     // streaming flatMapGroupsWithState twin is spec-verified)
@@ -335,12 +351,14 @@ object SparkEntry {
         |        row_number() OVER (PARTITION BY CAST(user_id AS VARCHAR), event_type, CAST(ts AS DATE)
         |                           ORDER BY CAST(ts AS TIMESTAMP), event_id) AS rn
         | FROM events) WHERE rn = 1 ORDER BY event_id""".stripMargin,
+    // Money sums run in DECIMAL on both sides (exact, order-independent) and
+    // surface as DOUBLE — see Relational.moneySum.
     "q10_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         | sum(l_quantity) AS sum_qty,
-        | round(sum(l_extendedprice), 2) AS sum_base_price,
-        | round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-        | round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+        | CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_base_price,
+        | CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE) AS sum_disc_price,
+        | CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2))) * (CAST(1 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(4,2)))), 2) AS DOUBLE) AS sum_charge,
         | round(avg(l_quantity), 4) AS avg_qty,
         | round(avg(l_discount), 4) AS avg_disc,
         | count(*) AS count_order
@@ -348,7 +366,7 @@ object SparkEntry {
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q11_revenue_by_nation" ->
       """SELECT r_name AS region_name, n_name AS nation_name,
-        | round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        | CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE) AS revenue,
         | count(*) AS line_count
         |FROM lineitem
         |JOIN supplier ON l_suppkey = s_suppkey
@@ -359,7 +377,8 @@ object SparkEntry {
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q12_top_customers" ->
       """WITH pc AS (
-        |  SELECT o_custkey, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        |  SELECT o_custkey,
+        |         CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE) AS revenue,
         |         count(*) AS line_count
         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey GROUP BY 1)
         |SELECT c_custkey, c_name, c_mktsegment, revenue, line_count
@@ -379,22 +398,26 @@ object SparkEntry {
         |FROM pc GROUP BY 1 ORDER BY custdist DESC, order_count DESC""".stripMargin,
     "q15_revenue_share_by_type" ->
       """WITH bt AS (
-        |  SELECT p_type, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |  SELECT p_type,
+        |         CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE) AS revenue
         |  FROM lineitem JOIN part ON l_partkey = p_partkey GROUP BY 1)
         |SELECT p_type, revenue,
         |  round(revenue * 100.0 / sum(revenue) OVER (), 2) AS revenue_pct
         |FROM bt ORDER BY p_type""".stripMargin,
+    // cumulative sum runs over UNROUNDED decimal month totals (exact), both
+    // columns rounded to cents only at the edge — mirrors runningMonthlyRevenue
     "q16_running_monthly_revenue" ->
       """WITH m AS (
         |  SELECT n_name AS nation_name, date_trunc('month', l_shipdate) AS ship_month,
-        |         round(sum(l_extendedprice * (1 - l_discount)), 2) AS monthly_revenue
+        |         sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS monthly_dec
         |  FROM lineitem
         |  JOIN supplier ON l_suppkey = s_suppkey
         |  JOIN nation ON s_nationkey = n_nationkey
         |  GROUP BY 1, 2)
-        |SELECT nation_name, ship_month, monthly_revenue,
-        |  round(sum(monthly_revenue) OVER (PARTITION BY nation_name ORDER BY ship_month
-        |        ROWS UNBOUNDED PRECEDING), 2) AS cumulative_revenue
+        |SELECT nation_name, ship_month,
+        |  CAST(round(monthly_dec, 2) AS DOUBLE) AS monthly_revenue,
+        |  CAST(round(sum(monthly_dec) OVER (PARTITION BY nation_name ORDER BY ship_month
+        |        ROWS UNBOUNDED PRECEDING), 2) AS DOUBLE) AS cumulative_revenue
         |FROM m ORDER BY 1, 2""".stripMargin,
     "q17_top_parts_per_brand" ->
       """SELECT p_brand, p_partkey, p_name, p_retailprice, price_rank FROM (
@@ -408,7 +431,7 @@ object SparkEntry {
         |            WHEN o_totalprice < 100000 THEN '2_10k_to_100k'
         |            ELSE '3_over_100k' END AS bucket,
         | count(*) AS order_count,
-        | round(sum(o_totalprice), 2) AS total_value
+        | CAST(round(sum(CAST(o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS total_value
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
     "q19_orders_without_lines" ->
       """SELECT o_orderkey, o_orderstatus, o_totalprice
@@ -505,7 +528,7 @@ object SparkEntry {
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "q24_revenue_rollup" ->
       """SELECT r_name AS region_name, n_name AS nation_name,
-        | round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        | CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE) AS revenue,
         | count(*) AS line_count
         |FROM lineitem
         |JOIN supplier ON l_suppkey = s_suppkey
@@ -600,6 +623,94 @@ object SparkEntry {
         |  FROM p)
         |SELECT query_id, neighbor_id, "rank", round(cosine, 4) AS cosine
         |FROM r WHERE "rank" <= 5 ORDER BY query_id, "rank"""".stripMargin,
+    // rebuilds the md5-portable SimHash bit-for-bit: per-token 64-bit hash =
+    // first 8 md5 bytes (big-endian; bit b lives in hex digit 16 - b//4 at
+    // nibble bit b%4), per-bit ±1 vote across tokens, sign → signature bit;
+    // band keys and hamming are recomputed from the same bit vector
+    "q34_simhash_buckets" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')), ' ') AS t
+        |  FROM documents),
+        |hs AS (SELECT doc_id, list_transform(t, s -> substring(md5(s), 1, 16)) AS h FROM toks),
+        |bits AS (
+        |  SELECT doc_id,
+        |    list_transform(range(64), b ->
+        |      CASE WHEN list_sum(list_transform(h, x ->
+        |        CASE WHEN (((instr('0123456789abcdef', substring(x, CAST(16 - b // 4 AS INT), 1)) - 1) >> (b % 4)) & 1) = 1
+        |             THEN 1 ELSE -1 END)) > 0 THEN 1 ELSE 0 END) AS bv
+        |  FROM hs),
+        |bands AS (
+        |  SELECT doc_id, bb AS band_id,
+        |    CAST(list_sum(list_transform(range(16), j -> bv[CAST(bb*16 + j + 1 AS INT)] << j)) AS BIGINT) AS band_key
+        |  FROM bits CROSS JOIN (VALUES (0), (1), (2), (3)) AS bl(bb)),
+        |cand AS (
+        |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+        |  FROM bands x JOIN bands y
+        |    ON x.band_id = y.band_id AND x.band_key = y.band_key AND x.doc_id < y.doc_id),
+        |ham AS (
+        |  SELECT doc_a, doc_b,
+        |    CAST(list_sum(list_transform(range(64), i ->
+        |      CASE WHEN xa.bv[CAST(i + 1 AS INT)] <> yb.bv[CAST(i + 1 AS INT)] THEN 1 ELSE 0 END)) AS BIGINT) AS hamming
+        |  FROM cand JOIN bits xa ON doc_a = xa.doc_id JOIN bits yb ON doc_b = yb.doc_id)
+        |SELECT doc_a, doc_b, hamming FROM ham WHERE hamming <= 6
+        |ORDER BY doc_a, doc_b""".stripMargin,
+    // axis-sign LSH buckets (bit j = sign of component j) — engine-portable,
+    // so buckets, candidates, and per-query ranks replicate exactly
+    "q35_knn_lsh" ->
+      """WITH e AS (
+        |  SELECT vec_id, embedding,
+        |    CAST(list_sum(list_transform(range(6), j ->
+        |      CASE WHEN embedding[CAST(j + 1 AS INT)] >= 0 THEN (1 << j) ELSE 0 END)) AS BIGINT) AS bucket
+        |  FROM embeddings),
+        |q AS (SELECT vec_id AS query_id, embedding AS qe, bucket FROM e WHERE vec_id < 64),
+        |c AS (SELECT vec_id AS neighbor_id, embedding AS ce, bucket FROM e),
+        |p AS (
+        |  SELECT query_id, neighbor_id,
+        |    list_sum(list_transform(range(1, len(qe) + 1), i -> CAST(ce[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE)))
+        |      / (sqrt(list_sum(list_transform(range(1, len(ce) + 1), i -> CAST(ce[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE))))
+        |         * sqrt(list_sum(list_transform(range(1, len(qe) + 1), i -> CAST(qe[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE))))) AS cosine
+        |  FROM c JOIN q USING (bucket) WHERE query_id <> neighbor_id),
+        |r AS (
+        |  SELECT query_id, neighbor_id, cosine,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS "rank"
+        |  FROM p)
+        |SELECT query_id, neighbor_id, "rank", round(cosine, 4) AS cosine
+        |FROM r WHERE "rank" <= 5 ORDER BY query_id, "rank"""".stripMargin,
+    // nProbe = nCells ⇒ every query probes every cell ⇒ IVF ≡ brute force,
+    // so the q33 brute-force SQL gates the full IVF plumbing
+    "q37_knn_ivf" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 8),
+        |c AS (SELECT vec_id AS neighbor_id, embedding AS ce FROM embeddings),
+        |p AS (
+        |  SELECT query_id, neighbor_id,
+        |    list_sum(list_transform(range(1, len(qe) + 1), i -> CAST(ce[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE)))
+        |      / (sqrt(list_sum(list_transform(range(1, len(ce) + 1), i -> CAST(ce[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE))))
+        |         * sqrt(list_sum(list_transform(range(1, len(qe) + 1), i -> CAST(qe[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE))))) AS cosine
+        |  FROM c CROSS JOIN q WHERE query_id <> neighbor_id),
+        |r AS (
+        |  SELECT query_id, neighbor_id, cosine,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS "rank"
+        |  FROM p)
+        |SELECT query_id, neighbor_id, "rank", round(cosine, 4) AS cosine
+        |FROM r WHERE "rank" <= 5 ORDER BY query_id, "rank"""".stripMargin,
+    "q39_embedding_neardups_lsh" ->
+      """WITH e AS (
+        |  SELECT vec_id, embedding,
+        |    CAST(list_sum(list_transform(range(6), j ->
+        |      CASE WHEN embedding[CAST(j + 1 AS INT)] >= 0 THEN (1 << j) ELSE 0 END)) AS BIGINT) AS bucket
+        |  FROM embeddings),
+        |p AS (
+        |  SELECT x.vec_id AS doc_a, y.vec_id AS doc_b,
+        |    list_sum(list_transform(range(1, len(x.embedding) + 1),
+        |        i -> CAST(x.embedding[i] AS DOUBLE) * CAST(y.embedding[i] AS DOUBLE)))
+        |      / (sqrt(list_sum(list_transform(range(1, len(x.embedding) + 1),
+        |            i -> CAST(x.embedding[i] AS DOUBLE) * CAST(x.embedding[i] AS DOUBLE))))
+        |         * sqrt(list_sum(list_transform(range(1, len(y.embedding) + 1),
+        |            i -> CAST(y.embedding[i] AS DOUBLE) * CAST(y.embedding[i] AS DOUBLE))))) AS cosine
+        |  FROM e x JOIN e y ON x.bucket = y.bucket AND x.vec_id < y.vec_id)
+        |SELECT doc_a, doc_b, round(cosine, 4) AS cosine
+        |FROM p WHERE cosine >= 0.4 ORDER BY doc_a, doc_b""".stripMargin,
     "q38_embedding_neardups" ->
       """WITH e AS (SELECT vec_id, embedding FROM embeddings),
         |p AS (
@@ -622,7 +733,7 @@ object SparkEntry {
         |  FROM c WINDOW w AS (PARTITION BY session_id ORDER BY ts)),
         |s AS (
         |  SELECT session_id, ts,
-        |    sum(flag) OVER (PARTITION BY session_id ORDER BY ts ROWS UNBOUNDED PRECEDING) + 1 AS session_idx
+        |    CAST(sum(flag) OVER (PARTITION BY session_id ORDER BY ts ROWS UNBOUNDED PRECEDING) + 1 AS BIGINT) AS session_idx
         |  FROM f)
         |SELECT session_id, session_idx, min(ts) AS session_start, max(ts) AS session_end,
         |  count(*) AS n_events

@@ -145,7 +145,7 @@ object Dedup {
       .select(col("x.id").as("doc_a"), col("y.id").as("doc_b"))
       .distinct()
     val sets = withSets.select(col("id"), col("sh"))
-    candidates
+    val result = candidates
       .join(sets.withColumnRenamed("id", "doc_a").withColumnRenamed("sh", "sh_a"), "doc_a")
       .join(sets.withColumnRenamed("id", "doc_b").withColumnRenamed("sh", "sh_b"), "doc_b")
       .withColumn("jaccard",
@@ -153,18 +153,38 @@ object Dedup {
           size(array_union(col("sh_a"), col("sh_b"))).cast(DoubleType))
       .filter(col("jaccard") >= minJaccard)
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
+    // eager localCheckpoint: the (small) pair set is materialized here, so
+    // the sketch intermediates can be unpersisted before returning — callers
+    // get a leak-free call (checkpoint blocks are ContextCleaner-managed,
+    // persist() entries are not). Also the production shape: the pair set is
+    // the artifact, the sketches are scaffolding.
+    try result.localCheckpoint(true)
+    finally { withSets.unpersist(); sigs.unpersist(); () }
   }
 
   /** Exact n-gram Jaccard pairs via inverted-index join (no LSH, no n²):
     * explode distinct shingles, join on the shingle, count common shingles
     * per pair, then jaccard = common / (|A| + |B| - common).
-    * At web scale add a document-frequency cutoff on shingles first. */
+    *
+    * `maxShingleDf` is the web-scale guard: a shingle shared by m documents
+    * contributes m²/2 join rows, so one boilerplate phrase present in 10⁶
+    * docs would alone produce 5·10¹¹ rows — the latent quadratic of every
+    * inverted-index self-join. Dropping shingles with document frequency
+    * above the cutoff bounds the per-shingle fan-out at maxShingleDf²/2.
+    * Semantics under a cutoff: dropped shingles leave the set sizes (the
+    * jaccard denominator) untouched and only vanish from the common count —
+    * the estimate is biased LOW, so the cutoff can only miss pairs, never
+    * fabricate them, and any pair whose common shingles all sit below the
+    * cutoff is returned with its exact score (DedupSpec proves both).
+    * `Long.MaxValue` (default) disables the cutoff — exact for every pair. */
   def ngramJaccardPairs(
       docs: DataFrame,
       textCol: String = "text",
       idCol: String = "doc_id",
       shingleN: Int = 3,
-      minJaccard: Double = 0.8): DataFrame = {
+      minJaccard: Double = 0.8,
+      maxShingleDf: Long = Long.MaxValue): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     // materialized + spread + short-doc filtered for the same reasons as
     // minhashNearDupPairs
     val sets = docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
@@ -172,7 +192,16 @@ object Dedup {
       .withColumn("n_sh", size(col("sh")))
       .filter(col("n_sh") > 0)
       .persist()
-    val inverted = sets.select(col("id"), col("n_sh"), explode(col("sh")).as("shingle"))
+    val invertedAll = sets.select(col("id"), col("n_sh"), explode(col("sh")).as("shingle"))
+    // df filter via a window count: ONE shuffle on the shingle, and the
+    // resulting hash-partitioning is exactly what the self-join below needs,
+    // so Catalyst reuses it (no second exchange)
+    val inverted =
+      if (maxShingleDf == Long.MaxValue) invertedAll
+      else invertedAll
+        .withColumn("__df", count(lit(1)).over(Window.partitionBy("shingle")))
+        .filter(col("__df") <= maxShingleDf)
+        .drop("__df")
     val common = inverted.as("x")
       .join(inverted.as("y"),
         col("x.shingle") === col("y.shingle") && col("x.id") < col("y.id"))
@@ -180,11 +209,14 @@ object Dedup {
         col("x.id").as("doc_a"), col("y.id").as("doc_b"),
         col("x.n_sh").as("n_a"), col("y.n_sh").as("n_b"))
       .agg(count(lit(1)).as("common"))
-    common
+    val result = common
       .withColumn("jaccard",
         col("common").cast(DoubleType) /
           (col("n_a") + col("n_b") - col("common")).cast(DoubleType))
       .filter(col("jaccard") >= minJaccard)
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
+    // eager + unpersist, same contract as minhashNearDupPairs
+    try result.localCheckpoint(true)
+    finally { sets.unpersist(); () }
   }
 }

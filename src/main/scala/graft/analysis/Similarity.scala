@@ -87,6 +87,19 @@ object Similarity {
     bits.reduce(_ + _)
   }
 
+  /** Axis-aligned sign signature: bit j = sign of component j. The same
+    * bucketing contract as [[lshSignature]] (axis planes are a fixed rotation
+    * away from random ones), with one extra property: it is trivially
+    * replicable in plain SQL, so an LSH-bucketed query can be gated against a
+    * DuckDB oracle exactly — buckets, candidates, and ranks all match.
+    * Prefer [[lshSignature]] when the embedding axes are correlated (random
+    * planes decorrelate); prefer this when cross-engine reproducibility of
+    * the buckets themselves matters. */
+  def axisSignSignature(vec: Column, nBits: Int): Column =
+    (0 until nBits)
+      .map(j => when(element_at(vec, j + 1) >= 0, lit(1L << j)).otherwise(lit(0L)))
+      .reduce(_ + _)
+
   /** ANN top-k: bucket corpus and queries by LSH signature, search only
     * within the bucket. Recall < 1 by construction; raise nPlanes for purer
     * buckets (less work, lower recall) or lower it for the opposite. The
@@ -99,13 +112,24 @@ object Similarity {
       k: Int = 5,
       nPlanes: Int = 8,
       idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame =
+    knnLshWith(corpus, queries, lshSignature(_, dim, nPlanes), k, idCol, vecCol)
+
+  /** [[knnLsh]] with an injectable signature (e.g. [[axisSignSignature]]
+    * for engine-portable buckets). */
+  def knnLshWith(
+      corpus: DataFrame,
+      queries: DataFrame,
+      signatureOf: Column => Column,
+      k: Int = 5,
+      idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
     val c = corpus.select(
       col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"),
-      lshSignature(col(vecCol), dim, nPlanes).as("bucket"))
+      signatureOf(col(vecCol)).as("bucket"))
     val q = queries.select(
       col(idCol).as("query_id"), col(vecCol).as("q_vec"),
-      lshSignature(col(vecCol), dim, nPlanes).as("bucket"))
+      signatureOf(col(vecCol)).as("bucket"))
     topKByCosine(
       c.join(broadcast(q), Seq("bucket")).filter(col("query_id") =!= col("neighbor_id")), k)
   }
@@ -229,10 +253,21 @@ object Similarity {
       minCosine: Double = 0.95,
       nPlanes: Int = 8,
       idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame =
+    embeddingNearDupPairsWith(corpus, lshSignature(_, dim, nPlanes), minCosine, idCol, vecCol)
+
+  /** [[embeddingNearDupPairs]] with an injectable signature (e.g.
+    * [[axisSignSignature]] for engine-portable buckets — the configuration
+    * the driver gate runs, so the 100 TB bucketed path has a full oracle). */
+  def embeddingNearDupPairsWith(
+      corpus: DataFrame,
+      signatureOf: Column => Column,
+      minCosine: Double = 0.95,
+      idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
     val c = corpus.select(
       col(idCol).as("id"), col(vecCol).as("vec"),
-      lshSignature(col(vecCol), dim, nPlanes).as("bucket"))
+      signatureOf(col(vecCol)).as("bucket"))
     scorePairs(
       c.as("x").join(c.as("y"),
         col("x.bucket") === col("y.bucket") && col("x.id") < col("y.id")),

@@ -35,15 +35,41 @@ object SimHash {
     h
   }
 
+  /** Portable per-token hash: big-endian long of the first 8 bytes of
+    * md5(token). Any engine with an md5 function reproduces it bit-for-bit
+    * (the correctness-gate variant — the driver's DuckDB oracle rebuilds the
+    * identical signature); FNV-1a stays the fast default (no digest object,
+    * no allocation). */
+  private val md5Digest = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  def md5hash64(bytes: Array[Byte]): Long = {
+    val md = md5Digest.get()
+    md.reset()
+    val d = md.digest(bytes)
+    var out = 0L
+    var i = 0
+    while (i < 8) { out = (out << 8) | (d(i) & 0xffL); i += 1 }
+    out
+  }
+
   /** SimHash of a token array: per-bit vote of each token's 64-bit hash,
     * sign of the vote becomes the output bit. Called from generated code. */
-  def compute(tokens: ArrayData): Long = {
+  def compute(tokens: ArrayData): Long = computeVotes(tokens, portable = false)
+
+  /** [[compute]] with the engine-portable md5 token hash. */
+  def computeMd5(tokens: ArrayData): Long = computeVotes(tokens, portable = true)
+
+  private def computeVotes(tokens: ArrayData, portable: Boolean): Long = {
     val acc = new Array[Int](64)
     var t = 0
     val n = tokens.numElements()
     while (t < n) {
       if (!tokens.isNullAt(t)) {
-        val h = fnv1a64(tokens.getUTF8String(t).getBytes)
+        val bytes = tokens.getUTF8String(t).getBytes
+        val h = if (portable) md5hash64(bytes) else fnv1a64(bytes)
         var b = 0
         while (b < 64) {
           if (((h >>> b) & 1L) == 1L) acc(b) += 1 else acc(b) -= 1
@@ -65,17 +91,27 @@ object SimHash {
     import org.apache.spark.sql.graftbridge.ColumnBridge
     ColumnBridge.column(SimHash64Expr(ColumnBridge.expression(tokens)))
   }
+
+  /** [[simhash64]] with the portable md5 token hash. */
+  def simhash64Md5(tokens: Column): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(SimHash64Expr(ColumnBridge.expression(tokens), portable = true))
+  }
 }
 
-case class SimHash64Expr(child: Expression) extends UnaryExpression {
+case class SimHash64Expr(child: Expression, portable: Boolean = false)
+    extends UnaryExpression {
   override def dataType: DataType = LongType
-  override def prettyName: String = "simhash64"
+  override def prettyName: String = if (portable) "simhash64_md5" else "simhash64"
+
+  private def method: String = if (portable) "computeMd5" else "compute"
 
   override def nullSafeEval(input: Any): Any =
-    SimHash.compute(input.asInstanceOf[ArrayData])
+    if (portable) SimHash.computeMd5(input.asInstanceOf[ArrayData])
+    else SimHash.compute(input.asInstanceOf[ArrayData])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.functions.SimHash.compute($c)")
+    defineCodeGen(ctx, ev, c => s"graft.functions.SimHash.$method($c)")
 
   override protected def withNewChildInternal(newChild: Expression): SimHash64Expr =
     copy(child = newChild)

@@ -1,8 +1,9 @@
 package graft.relational
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
 
 /** Relational operator suite over the TPC-H-style star schema.
   *
@@ -24,7 +25,24 @@ import org.apache.spark.sql.functions._
   */
 object Relational {
 
-  private def revenue = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+  /** Money arithmetic runs in DECIMAL, not DOUBLE: decimal sums are exact and
+    * order-independent, so results are bit-identical regardless of partition
+    * count, merge order, or engine — double sums are not (a 2 000-row month
+    * whose true total sits on a half-cent boundary rounds differently
+    * depending on summation order; observed as one-cent drift vs the oracle).
+    * At 100 TB this is the difference between a reproducible ledger and a
+    * nondeterministic one. Inputs are 2-decimal values stored as doubles, so
+    * the casts below are lossless; results are rounded to cents and returned
+    * as DOUBLE to keep the public schema unchanged. */
+  private val moneyT = DecimalType(12, 2)   // covers TPC-H price domains
+  private val rateT = DecimalType(4, 2)     // discount/tax ∈ [0, 1), 2 decimals
+  private def money(c: Column): Column = c.cast(moneyT)
+  private def oneMinus(rate: Column): Column = lit(1).cast(DecimalType(3, 2)) - rate.cast(rateT)
+  private def onePlus(rate: Column): Column = lit(1).cast(DecimalType(3, 2)) + rate.cast(rateT)
+  /** l_extendedprice·(1−l_discount) as DECIMAL(18,4) — exact. */
+  private def revenue = money(col("l_extendedprice")) * oneMinus(col("l_discount"))
+  /** Exact decimal sum, rounded to cents, surfaced as DOUBLE. */
+  private def moneySum(c: Column): Column = round(sum(c), 2).cast(DoubleType)
 
   /** TPC-H Q1-shaped pricing summary: single-pass hash aggregate with
     * map-side partials; the shuffle carries 〈flag,status〉 × partial states
@@ -36,9 +54,9 @@ object Relational {
       .groupBy("l_returnflag", "l_linestatus")
       .agg(
         sum(col("l_quantity")).as("sum_qty"),
-        round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
-        round(sum(revenue), 2).as("sum_disc_price"),
-        round(sum(revenue * (lit(1.0) + col("l_tax"))), 2).as("sum_charge"),
+        moneySum(money(col("l_extendedprice"))).as("sum_base_price"),
+        moneySum(revenue).as("sum_disc_price"),
+        moneySum(revenue * onePlus(col("l_tax"))).as("sum_charge"),
         round(avg(col("l_quantity")), 4).as("avg_qty"),
         round(avg(col("l_discount")), 4).as("avg_disc"),
         count(lit(1)).as("count_order"))
@@ -57,7 +75,7 @@ object Relational {
       .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
       .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
       .groupBy(col("r_name").as("region_name"), col("n_name").as("nation_name"))
-      .agg(round(sum(revenue), 2).as("revenue"), count(lit(1)).as("line_count"))
+      .agg(moneySum(revenue).as("revenue"), count(lit(1)).as("line_count"))
       .orderBy("region_name", "nation_name")
 
   /** TPC-H Q10-shaped top customers: the one genuine fact⋈fact shuffle join
@@ -69,7 +87,7 @@ object Relational {
     val perCustomer = lineitem
       .join(orders, col("l_orderkey") === col("o_orderkey"))
       .groupBy("o_custkey")
-      .agg(round(sum(revenue), 2).as("revenue"), count(lit(1)).as("line_count"))
+      .agg(moneySum(revenue).as("revenue"), count(lit(1)).as("line_count"))
     perCustomer
       .join(broadcast(customer), col("o_custkey") === col("c_custkey"))
       .select(col("c_custkey"), col("c_name"), col("c_mktsegment"),
@@ -110,7 +128,7 @@ object Relational {
     val byType = lineitem
       .join(broadcast(part), col("l_partkey") === col("p_partkey"))
       .groupBy("p_type")
-      .agg(round(sum(revenue), 2).as("revenue"))
+      .agg(moneySum(revenue).as("revenue"))
     byType
       .withColumn("revenue_pct",
         round(col("revenue") * 100.0 / sum(col("revenue")).over(Window.partitionBy()), 2))
@@ -119,7 +137,10 @@ object Relational {
 
   /** Running (cumulative) monthly revenue per nation: running-total window
     * over pre-aggregated month rows — partitioned by nation so no global
-    * sort; each partition holds ≤ #months rows regardless of fact size. */
+    * sort; each partition holds ≤ #months rows regardless of fact size.
+    * The cumulative sum runs over the UNROUNDED decimal month totals, so
+    * rounding error cannot compound down the running total; both columns are
+    * rounded to cents only at the edge. */
   def runningMonthlyRevenue(
       lineitem: DataFrame, supplier: DataFrame, nation: DataFrame): DataFrame = {
     val monthly = lineitem
@@ -127,11 +148,14 @@ object Relational {
       .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
       .groupBy(col("n_name").as("nation_name"),
         date_trunc("month", col("l_shipdate")).as("ship_month"))
-      .agg(round(sum(revenue), 2).as("monthly_revenue"))
+      .agg(sum(revenue).as("__monthly_dec"))
     val w = Window.partitionBy("nation_name").orderBy("ship_month")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     monthly
-      .withColumn("cumulative_revenue", round(sum(col("monthly_revenue")).over(w), 2))
+      .withColumn("cumulative_revenue",
+        round(sum(col("__monthly_dec")).over(w), 2).cast(DoubleType))
+      .withColumn("monthly_revenue", round(col("__monthly_dec"), 2).cast(DoubleType))
+      .select("nation_name", "ship_month", "monthly_revenue", "cumulative_revenue")
       .orderBy("nation_name", "ship_month")
   }
 
@@ -157,7 +181,7 @@ object Relational {
           .otherwise("3_over_100k"))
       .groupBy("bucket")
       .agg(count(lit(1)).as("order_count"),
-        round(sum(col("o_totalprice")), 2).as("total_value"))
+        moneySum(money(col("o_totalprice"))).as("total_value"))
       .orderBy("bucket")
 
   /** Exact percentiles per group via the `percentile` aggregate (linear
@@ -197,7 +221,7 @@ object Relational {
       .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
       .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
       .rollup(col("r_name").as("region_name"), col("n_name").as("nation_name"))
-      .agg(round(sum(revenue), 2).as("revenue"), count(lit(1)).as("line_count"))
+      .agg(moneySum(revenue).as("revenue"), count(lit(1)).as("line_count"))
       .orderBy(col("region_name").asc_nulls_first, col("nation_name").asc_nulls_first)
 
   /** Wide daily matrix via pivot with EXPLICIT pivot values — never let the

@@ -82,9 +82,20 @@ object Sessionize {
     }
     open.foreach { s =>
       state.update(s)
-      // batch execution has no watermark → timeouts unsupported there
-      try state.setTimeoutTimestamp(s.end + gapMs)
-      catch { case _: UnsupportedOperationException => () }
+      // Clamp the timeout strictly above the current watermark. Spark's
+      // late-row filter drops most below-watermark stragglers before they
+      // reach this function, but an open session whose end+gap has been
+      // overtaken by the watermark between triggers (equality at the fire
+      // boundary, or late-filter vs eviction watermark divergence) would
+      // request a timeout at/below the watermark — setTimeoutTimestamp
+      // throws IllegalArgumentException and kills the whole streaming
+      // query. Clamped, the session times out on the next trigger instead.
+      // Batch execution has no watermark → timeouts unsupported there (the
+      // UnsupportedOperationException arm).
+      try {
+        val wm = state.getCurrentWatermarkMs()
+        state.setTimeoutTimestamp(math.max(wm + 1, s.end + gapMs))
+      } catch { case _: UnsupportedOperationException => () }
     }
     closed.result().iterator
   }

@@ -78,4 +78,44 @@ class DedupSpec extends SparkSpec {
     assert(java.lang.Long.bitCount(sigs(1L) ^ sigs(2L)) <= 10)
     assert(java.lang.Long.bitCount(sigs(1L) ^ sigs(3L)) > 10)
   }
+
+  test("simhash md5 variant: same vote semantics, portable hash differs from fnv") {
+    val toks = TextAnalysis.tokens(col("text"))
+    val rows = docs.select(col("doc_id"),
+      SimHash.simhash64(toks).as("fnv"), SimHash.simhash64Md5(toks).as("md5"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val md5 = rows.map(r => r._1 -> r._3).toMap
+    assert(md5(1L) === md5(4L)) // normalization-identical under either hash
+    assert(java.lang.Long.bitCount(md5(1L) ^ md5(2L)) <= 10)
+    assert(java.lang.Long.bitCount(md5(1L) ^ md5(3L)) > 10)
+    assert(rows.exists(r => r._2 != r._3)) // genuinely different token hash
+  }
+
+  test("ngram jaccard df-cutoff: rare-shingle pairs exact, never fabricates, biased low") {
+    // docs 1/2: a near-dup pair whose shared shingles appear ONLY in those
+    // two docs (df = 2). docs 3..6: unrelated content glued together by one
+    // boilerplate tail phrase — its shingles have df = 4 and are the only
+    // thing those docs share (the m²/2 blow-up shape the cutoff exists for).
+    val corpus = Seq(
+      (1L, "alpha bravo charlie delta echo foxtrot golf hotel"),
+      (2L, "alpha bravo charlie delta echo foxtrot golf india"),
+      (3L, "red apples grow slowly please subscribe to our newsletter today"),
+      (4L, "blue trains arrive late please subscribe to our newsletter today"),
+      (5L, "green fields stretch far please subscribe to our newsletter today"),
+      (6L, "black clouds gather fast please subscribe to our newsletter today")
+    ).toDF("doc_id", "text")
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) ->
+        r.getAs[Double]("jaccard")).toMap
+    val exact = pairs(Dedup.ngramJaccardPairs(corpus, minJaccard = 0.1))
+    val cut = pairs(Dedup.ngramJaccardPairs(corpus, minJaccard = 0.1, maxShingleDf = 2))
+    // cutoff never fabricates pairs and never raises a score
+    assert(cut.keySet.subsetOf(exact.keySet))
+    cut.foreach { case (k, j) => assert(j <= exact(k) + 1e-9) }
+    // the rare-shingle pair is untouched: identical exact score
+    assert(cut(1L -> 2L) === exact(1L -> 2L))
+    // boilerplate-only pairs (df = 4 > cutoff) vanish entirely
+    assert(exact.keySet.exists { case (a, b) => a >= 3L && b >= 3L })
+    assert(!cut.keySet.exists { case (a, b) => a >= 3L && b >= 3L })
+  }
 }

@@ -101,4 +101,44 @@ class OpsSpec extends SparkSpec {
       assert(out.head.session_end === t("2026-01-01 10:10:00"))
     } finally q.stop()
   }
+
+  test("streaming sessionization survives a below-watermark straggler for a stateless key") {
+    // Contract under a below-watermark straggler: the query must NOT die.
+    // Spark's stateful-operator late-row filter drops the straggler before
+    // it reaches the state function (so it produces no session — it is LATE
+    // by the declared watermark, the documented discard semantics), and the
+    // clamp in Sessionize.flush guards the residual timeout-at/below-
+    // watermark edge so no configuration of straggler + watermark advance
+    // can throw. Live keys keep sessionizing throughout.
+    import spark.implicits._
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Sessionize.Click](spark)
+    val sessions = Sessionize.sessionize(input.toDS(), gapSeconds = 1800,
+      watermark = "30 minutes")
+    val q = sessions.writeStream
+      .format("memory").queryName("straggler_out")
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      // batch 1: advance the watermark to 11:30 (12:00 − 30 min delay)
+      input.addData(Sessionize.Click("u1", t("2026-01-01 12:00:00")))
+      q.processAllAvailable()
+      // batch 2: u2's only event is at 10:00 — 90 min below the watermark,
+      // so its natural timeout (10:30) would also sit below the watermark
+      input.addData(Sessionize.Click("u2", t("2026-01-01 10:00:00")))
+      q.processAllAvailable()
+      assert(q.isActive, "query must survive the below-watermark straggler")
+      // watermark advances; u1's 12:00 session times out and emits
+      input.addData(Sessionize.Click("u1", t("2026-01-01 14:00:00")))
+      q.processAllAvailable()
+      input.addData(Sessionize.Click("u1", t("2026-01-01 16:00:00")))
+      q.processAllAvailable()
+      assert(q.isActive)
+      val byUser = spark.table("straggler_out").as[Sessionize.Session]
+        .collect().groupBy(_.user_id)
+      // the straggler was dropped by the late filter: no u2 session, ever
+      assert(!byUser.contains("u2"), "below-watermark straggler is discarded, not sessionized")
+      // live keys were unaffected: u1's 12:00 singleton closed and emitted
+      val u1 = byUser("u1")
+      assert(u1.exists(s => s.session_start === t("2026-01-01 12:00:00") && s.n_events === 1))
+    } finally q.stop()
+  }
 }

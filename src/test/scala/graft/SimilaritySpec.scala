@@ -59,4 +59,32 @@ class SimilaritySpec extends SparkSpec {
     assert(pairs.contains((0L, 1L)))
     assert(!pairs.exists { case (a, b) => a == 3L || b == 3L })
   }
+
+  test("axis-sign signature: bit j mirrors sign of component j") {
+    val sig = vecs.orderBy("vec_id")
+      .select(Similarity.axisSignSignature(col("embedding"), 3).as("b"))
+      .collect().map(_.getLong(0))
+    // bit j is set iff component j ≥ 0, so zero components count as positive
+    assert(sig(0) === 7L)  // (1, 0, 0)  → all non-negative
+    assert(sig(1) === 7L)  // (0.9, 0.1, 0) co-buckets with vec 0
+    assert(sig(3) === 6L)  // (-1, 0, 0) → bit 0 clear
+    assert(sig(0) !== sig(3))
+  }
+
+  test("knnLshWith degenerate single bucket equals brute force (injectable path)") {
+    val q = vecs.filter(col("vec_id") === 0)
+    val lsh = Similarity.knnLshWith(vecs, q, _ => lit(0L), k = 3)
+      .orderBy("rank").collect()
+    val exact = Similarity.knnBruteForce(vecs, q, k = 3).orderBy("rank").collect()
+    assert(lsh.map(_.toSeq).toSeq === exact.map(_.toSeq).toSeq)
+  }
+
+  test("embeddingNearDupPairsWith degenerate single bucket equals exact pairs") {
+    val bucketed = Similarity.embeddingNearDupPairsWith(vecs, _ => lit(0L), minCosine = 0.4)
+      .orderBy("doc_a", "doc_b").collect()
+    val exact = Similarity.embeddingNearDupPairsExact(vecs, minCosine = 0.4)
+      .orderBy("doc_a", "doc_b").collect()
+    assert(bucketed.map(_.toSeq).toSeq === exact.map(_.toSeq).toSeq)
+    assert(bucketed.nonEmpty)
+  }
 }
