@@ -33,6 +33,19 @@ object SparkEntry {
     "q20_text_stats" -> { (s, d) =>
       TextAnalysis.textStats(TestData.documents(s, d)).orderBy("doc_id")
     },
+    // deterministic stratified sampling: md5-bucket gate per language
+    // stratum — reproducible in any engine, no shuffle, retry-stable
+    "q44_stratified_sample" -> { (s, d) =>
+      graft.analysis.Sampling.stratifiedHashSample(
+          TestData.documents(s, d), strataCol = "lang", keyCol = "doc_id",
+          fractions = Map("en" -> 0.5, "de" -> 0.25), default = 0.1)
+        .select("doc_id", "lang", "source")
+        .orderBy("doc_id")
+    },
+    // corpus-wide top-k n-grams by document frequency (boilerplate detector)
+    "q45_top_ngrams" -> { (s, d) =>
+      TextAnalysis.topNgrams(TestData.documents(s, d), n = 3, k = 20)
+    },
     // language-ID confusion matrix (stopword-marker heuristic vs labels)
     "q21_lang_id" -> { (s, d) =>
       TextAnalysis.langIdConfusion(TestData.documents(s, d))
@@ -149,6 +162,47 @@ object SparkEntry {
     // A1-A3, P6: single-pass grouped aggregate (TPC-H Q1 shape)
     "q10_pricing_summary" -> { (s, d) =>
       Relational.pricingSummary(Tables.lineitem(s, d))
+    },
+    // as-of join (union+window, one shuffle): each purchase matched to the
+    // user's most recent strictly-earlier click; DuckDB's native ASOF JOIN
+    // is the oracle
+    "q42_asof_join" -> { (s, d) =>
+      val ev = TestData.eventsRaw(s, d)
+      graft.relational.TemporalJoin.asofJoin(
+          left = ev.filter(col("event_type") === "purchase")
+            .select("event_id", "user_id", "ts"),
+          right = ev.filter(col("event_type") === "click")
+            .select(col("user_id"), col("ts"), col("event_id").as("click_id")),
+          key = "user_id", leftTime = "ts", rightTime = "ts",
+          rightPayload = Seq("click_id"), rightPrefix = "last_",
+          strict = true, rightTieBreak = Some("click_id"))
+        .select(col("event_id"), col("user_id"), col("ts").as("purchase_ts"),
+          col("last_click_id"), col("last_ts").as("last_click_ts"),
+          (unix_timestamp(col("ts")) - unix_timestamp(col("last_ts")))
+            .as("gap_sec"))
+        .orderBy("event_id")
+    },
+    // banded range join (interval → band explosion, equi-join on band):
+    // views in the hour after each error by the same user
+    "q43_range_join" -> { (s, d) =>
+      val ev = TestData.eventsRaw(s, d)
+      val errors = ev.filter(col("event_type") === "error")
+        .select(col("event_id").as("error_id"), col("user_id"),
+          col("ts").as("win_start"),
+          (col("ts") + expr("INTERVAL 1 HOUR")).as("win_end"))
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("event_id").as("view_id"), col("user_id"), col("ts"))
+      graft.relational.TemporalJoin.bandedRangeJoin(
+          views, errors, key = "user_id", pointTime = "ts",
+          startCol = "win_start", endCol = "win_end", bandSeconds = 3600L)
+        .select(col("error_id"), col("view_id"),
+          (unix_timestamp(col("ts")) - unix_timestamp(col("win_start")))
+            .as("gap_sec"))
+        .orderBy("error_id", "view_id")
+    },
+    // CUBE: all 2² grouping combinations of (priority, status) in one pass
+    "q46_order_cube" -> { (s, d) =>
+      Relational.orderCube(Tables.orders(s, d))
     },
     // J1 generalized: broadcast dim-chain join (TPC-H Q5 shape)
     "q11_revenue_by_nation" -> { (s, d) =>
@@ -351,6 +405,37 @@ object SparkEntry {
         |        row_number() OVER (PARTITION BY CAST(user_id AS VARCHAR), event_type, CAST(ts AS DATE)
         |                           ORDER BY CAST(ts AS TIMESTAMP), event_id) AS rn
         | FROM events) WHERE rn = 1 ORDER BY event_id""".stripMargin,
+    // DuckDB's native ASOF JOIN is the independent oracle for the engine's
+    // union+window as-of join (no ties exist on (user_id, ts), so ASOF's
+    // free tie choice and the engine's explicit tie-break coincide)
+    "q42_asof_join" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, event_type FROM events),
+        |p AS (SELECT event_id, user_id, ts FROM e WHERE event_type = 'purchase'),
+        |c AS (SELECT event_id AS last_click_id, user_id, ts FROM e WHERE event_type = 'click')
+        |SELECT p.event_id, p.user_id, p.ts AS purchase_ts,
+        |  c.last_click_id, c.ts AS last_click_ts,
+        |  date_diff('second', c.ts, p.ts) AS gap_sec
+        |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts > c.ts
+        |ORDER BY p.event_id""".stripMargin,
+    // plain BETWEEN join as the oracle for the banded range join
+    "q43_range_join" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, event_type FROM events),
+        |err AS (SELECT event_id AS error_id, user_id, ts AS win_start,
+        |          ts + INTERVAL 1 HOUR AS win_end
+        |        FROM e WHERE event_type = 'error'),
+        |v AS (SELECT event_id AS view_id, user_id, ts FROM e WHERE event_type = 'view')
+        |SELECT error_id, view_id, date_diff('second', win_start, v.ts) AS gap_sec
+        |FROM v JOIN err ON v.user_id = err.user_id
+        |  AND v.ts > win_start AND v.ts <= win_end
+        |ORDER BY error_id, view_id""".stripMargin,
+    "q46_order_cube" ->
+      """SELECT o_orderpriority AS priority, o_orderstatus AS status,
+        | count(*) AS order_count,
+        | CAST(round(sum(CAST(o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS total_value
+        |FROM orders GROUP BY CUBE (o_orderpriority, o_orderstatus)
+        |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""".stripMargin,
     // Money sums run in DECIMAL on both sides (exact, order-independent) and
     // surface as DOUBLE — see Relational.moneySum.
     "q10_pricing_summary" ->
@@ -459,6 +544,27 @@ object SparkEntry {
         |SELECT doc_id, n_tokens, n_unique_tokens, n_bpe_tokens, avg_token_len, stopword_ratio, quality_score,
         |  CASE WHEN quality_score >= 60 THEN 'high' WHEN quality_score >= 35 THEN 'medium' ELSE 'low' END AS quality_band
         |FROM sc ORDER BY doc_id""".stripMargin,
+    // md5 hash-gate sampling: bucket = first 8 md5 hex chars as int % 10000,
+    // thresholds 5000/2500/1000 = round(fraction * buckets)
+    "q44_stratified_sample" ->
+      """SELECT doc_id, lang, source FROM documents
+        |WHERE (('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 10000) <
+        |  CASE WHEN lang = 'en' THEN 5000 WHEN lang = 'de' THEN 2500 ELSE 1000 END
+        |ORDER BY doc_id""".stripMargin,
+    // same tokenization/shingling as q32; counts keep repeats (total_count)
+    // while doc_freq is per-document distinct
+    "q45_top_ngrams" ->
+      """WITH toks AS (
+        |  SELECT doc_id AS id,
+        |    string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')), ' ') AS t
+        |  FROM documents),
+        |sh AS (
+        |  SELECT id, unnest(list_transform(range(len(t) - 2), i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])) AS ngram
+        |  FROM toks WHERE len(t) >= 3)
+        |SELECT ngram, count(DISTINCT id) AS doc_freq, count(*) AS total_count
+        |FROM sh GROUP BY 1
+        |ORDER BY doc_freq DESC, total_count DESC, ngram
+        |LIMIT 20""".stripMargin,
     "q21_lang_id" ->
       """WITH t AS (
         |  SELECT lang AS lang_label,

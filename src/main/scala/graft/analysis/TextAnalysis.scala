@@ -117,6 +117,32 @@ object TextAnalysis {
   def robustFingerprint(text: Column, shingleSize: Int = 3, keep: Int = 8): Column =
     md5(concat_ws(",", robustSketch(text, shingleSize, keep)))
 
+  /** Corpus-wide top-k n-grams by document frequency (distinct docs
+    * containing the n-gram) with total occurrence count alongside — the
+    * boilerplate detector: its output is what feeds a `maxShingleDf`-style
+    * cutoff ([[Dedup.ngramJaccardPairs]]) or a line-level scrubber.
+    *
+    * Scale shape: explode → two-level aggregate. The first aggregate
+    * (per-doc distinct) is map-side combinable because a document's shingles
+    * are co-located in its row; the second shuffles 〈ngram, partial〉 pairs
+    * only — never document bodies — and the final top-k is a
+    * TakeOrderedAndProject (no global sort materialization). Ties break
+    * lexicographically so the result is deterministic. */
+  def topNgrams(
+      docs: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      n: Int = 3,
+      k: Int = 20): DataFrame = {
+    val exploded = docs.select(
+        col(idCol).as("id"), explode(Dedup.shingles(tokens(col(textCol)), n)).as("ngram"))
+    exploded
+      .groupBy("ngram")
+      .agg(countDistinct(col("id")).as("doc_freq"), count(lit(1)).as("total_count"))
+      .orderBy(col("doc_freq").desc, col("total_count").desc, col("ngram"))
+      .limit(k)
+  }
+
   // Public stopword/marker lists (standard high-frequency function words).
   val stopwordsEn: Seq[String] = Seq("the", "a", "an", "of", "and", "to", "in", "is", "it", "for")
   val markersEn: Seq[String] = Seq("the", "a", "of", "and", "to", "is")

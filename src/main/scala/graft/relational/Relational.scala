@@ -224,6 +224,20 @@ object Relational {
       .agg(moneySum(revenue).as("revenue"), count(lit(1)).as("line_count"))
       .orderBy(col("region_name").asc_nulls_first, col("nation_name").asc_nulls_first)
 
+  /** CUBE over order (priority × status): all 2ᵏ grouping combinations in
+    * one pass — like [[revenueRollup]] but with the cross-dimensional
+    * subtotals (status totals regardless of priority) a rollup's strictly
+    * nested hierarchy omits. Same scale shape: Expand multiplies rows by the
+    * number of grouping sets BEFORE the aggregate, but map-side partial
+    * aggregation collapses them immediately, so the shuffle carries
+    * 〈grouping-set keys〉 × partial states, never 4× the fact table. */
+  def orderCube(orders: DataFrame): DataFrame =
+    orders
+      .cube(col("o_orderpriority").as("priority"), col("o_orderstatus").as("status"))
+      .agg(count(lit(1)).as("order_count"),
+        moneySum(money(col("o_totalprice"))).as("total_value"))
+      .orderBy(col("priority").asc_nulls_first, col("status").asc_nulls_first)
+
   /** Wide daily matrix via pivot with EXPLICIT pivot values — never let the
     * engine scan for distinct pivot keys at scale (that is an extra pass and
     * a nondeterministic column order). */

@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.analysis.Sampling
+
+class SamplingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val rows = (1L to 2000L).map(i =>
+    (i, if (i % 4 == 0) "en" else if (i % 4 == 1) "de" else "zh"))
+    .toDF("id", "lang")
+
+  test("hash sample hits the target fraction within tolerance and is deterministic") {
+    val s1 = Sampling.hashSample(rows, "id", 0.3).select("id").as[Long].collect().toSet
+    val s2 = Sampling.hashSample(rows.repartition(13), "id", 0.3)
+      .select("id").as[Long].collect().toSet
+    assert(s1 === s2, "selection must not depend on partitioning")
+    val rate = s1.size.toDouble / 2000
+    assert(rate > 0.25 && rate < 0.35, s"rate $rate out of tolerance")
+  }
+
+  test("smaller fraction is a subset of larger (nested carve-outs)") {
+    val p = Sampling.hashSample(rows, "id", 0.1).select("id").as[Long].collect().toSet
+    val q = Sampling.hashSample(rows, "id", 0.4).select("id").as[Long].collect().toSet
+    assert(p.subsetOf(q))
+  }
+
+  test("stratified: per-stratum rates honored, default applied to unlisted strata") {
+    val out = Sampling.stratifiedHashSample(rows, "lang", "id",
+      fractions = Map("en" -> 0.8, "de" -> 0.2), default = 0.0)
+    val byLang = out.groupBy("lang").count().as[(String, Long)].collect().toMap
+    val totals = rows.groupBy("lang").count().as[(String, Long)].collect().toMap
+    assert(!byLang.contains("zh"), "default 0.0 must exclude unlisted strata")
+    val enRate = byLang("en").toDouble / totals("en")
+    val deRate = byLang("de").toDouble / totals("de")
+    assert(enRate > 0.72 && enRate < 0.88, s"en rate $enRate")
+    assert(deRate > 0.13 && deRate < 0.27, s"de rate $deRate")
+  }
+
+  test("stratified membership is independent of the stratum column (same key → same bucket)") {
+    // a document keeps/loses membership based only on its key hash vs the
+    // stratum threshold — relabeling a stratum to the same fraction must
+    // select the identical ids
+    val a = Sampling.stratifiedHashSample(rows, "lang", "id",
+      Map("en" -> 0.3), default = 0.3).select("id").as[Long].collect().toSet
+    val b = Sampling.hashSample(rows, "id", 0.3).select("id").as[Long].collect().toSet
+    assert(a === b)
+  }
+
+  test("sample plan is a pure filter: no exchange") {
+    val plan = Sampling.hashSample(rows, "id", 0.5)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"sampling must not shuffle:\n$plan")
+  }
+}

@@ -68,4 +68,21 @@ class TextAnalysisSpec extends SparkSpec {
     assert(rf.getAs[Int]("near") >= 5, "local edit keeps most of the sketch")
     assert(rf.getAs[Int]("far") === 0)
   }
+
+  test("topNgrams: doc_freq counts distinct docs, total_count keeps repeats, ties break lexically") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the cat sat the cat sat"), // "the cat sat" twice in ONE doc
+      (2L, "the cat sat on a mat"),
+      (3L, "a dog ran a dog ran"),
+      (4L, "zz top band zz top band") // ties with "a dog ran" on both counts
+    ).toDF("doc_id", "text")
+    val top = TextAnalysis.topNgrams(docs, n = 3, k = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(top.head === (("the cat sat", 2L, 3L))) // 2 docs, 3 occurrences
+    // doc 3 and doc 4 shapes tie at (1 doc, 2 occurrences) repeatedly;
+    // within equal counts the ngram itself must order the output
+    val tied = top.tail.map(_._1)
+    assert(tied === tied.sorted, s"tie order must be lexicographic: ${tied.toSeq}")
+  }
 }
