@@ -90,4 +90,20 @@ object DailyPipeline {
     val curatedN = curate(spark, layout)
     Map("archive_raw" -> rawN, "curated" -> curatedN) ++ coldMarts(spark, layout)
   }
+
+  /** [[run]] under [[Orchestrator]] supervision with the reference DAG's
+    * policies (1 retry / 5-min delay / 30-min SLA per batch stage,
+    * fail-fast chaining). Stage bodies are idempotent (append of identical
+    * re-parsed input is curated away by dedup; marts are overwrite), so a
+    * retry after a partial failure converges. */
+  def runManaged(
+      spark: SparkSession,
+      jsonlDir: String,
+      root: String): Seq[Orchestrator.StageReport] = {
+    val layout = Layout(root)
+    Orchestrator.run(spark, Seq(
+      Orchestrator.Stage("archive_raw")(() => { archiveRaw(spark, jsonlDir, layout); () }),
+      Orchestrator.Stage("curate")(() => { curate(spark, layout); () }),
+      Orchestrator.Stage("cold_marts")(() => { coldMarts(spark, layout); () })))
+  }
 }

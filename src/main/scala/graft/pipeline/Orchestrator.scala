@@ -1,0 +1,119 @@
+package graft.pipeline
+
+import java.util.concurrent.{Executors, TimeoutException, TimeUnit}
+
+import scala.concurrent.duration._
+import scala.util.control.NonFatal
+
+import org.apache.spark.sql.SparkSession
+
+/** Stage orchestration with the reference DAG's semantics — retries with a
+  * fixed delay, an SLA timeout per stage, fail-fast chaining — as a library,
+  * not a scheduler (reference:
+  * orchestration/dags/processing/tripclick_spark_archive_raw_dag.py:28
+  * `retries=1, retry_delay=5min`, :93 `cmd_timeout=1800`;
+  * tripclick_streaming_curated_dag.py:28 `retries=0` for streaming, :93
+  * `cmd_timeout=4200`).
+  *
+  * The Spark-native part is the timeout KILL: each attempt runs under a
+  * dedicated job group, and an SLA breach calls
+  * `SparkContext.cancelJobGroup`, which interrupts the stage's running tasks
+  * cluster-wide — an orchestrator that only abandons the driver thread would
+  * leave executors burning through a 100 TB scan. Retries re-enter the stage
+  * body from scratch, so stage bodies must be idempotent (they are: every
+  * sink in this pipeline is overwrite-partition or replay-safe upsert,
+  * SURVEY.md §2.2).
+  */
+object Orchestrator {
+
+  /** Per-stage policy. `retries` = additional attempts after the first. */
+  final case class Policy(
+      retries: Int = 1,
+      retryDelay: FiniteDuration = 5.minutes,
+      slaTimeout: FiniteDuration = 30.minutes)
+
+  /** The reference's batch policy (1 retry / 5 min / 30 min SLA). */
+  val batchPolicy: Policy = Policy()
+  /** The reference's streaming policy: never retry a streaming job
+    * (checkpoint recovery owns restart semantics), 70 min SLA. */
+  val streamingPolicy: Policy = Policy(retries = 0, slaTimeout = 70.minutes)
+
+  final case class Stage(name: String, policy: Policy = batchPolicy)(
+      val body: () => Unit)
+
+  final case class StageReport(
+      name: String,
+      attempts: Int,
+      succeeded: Boolean,
+      durationMs: Long,
+      error: Option[String])
+
+  /** Run stages in order, fail-fast: a stage that exhausts its retries stops
+    * the chain (downstream stages are reported as not attempted, mirroring
+    * Airflow's upstream_failed). `sleep` is injectable for tests. */
+  def run(
+      spark: SparkSession,
+      stages: Seq[Stage],
+      sleep: FiniteDuration => Unit = d => Thread.sleep(d.toMillis)): Seq[StageReport] = {
+    val reports = Vector.newBuilder[StageReport]
+    var failed = false
+    stages.foreach { stage =>
+      if (failed) {
+        reports += StageReport(stage.name, 0, succeeded = false, 0L,
+          Some("upstream_failed"))
+      } else {
+        val r = runStage(spark, stage, sleep)
+        reports += r
+        failed = !r.succeeded
+      }
+    }
+    reports.result()
+  }
+
+  private def runStage(
+      spark: SparkSession,
+      stage: Stage,
+      sleep: FiniteDuration => Unit): StageReport = {
+    val t0 = System.nanoTime()
+    var attempt = 0
+    var lastError: Option[String] = None
+    while (attempt <= stage.policy.retries) {
+      if (attempt > 0) sleep(stage.policy.retryDelay)
+      attempt += 1
+      attemptOnce(spark, stage, attempt) match {
+        case None =>
+          return StageReport(stage.name, attempt, succeeded = true,
+            (System.nanoTime() - t0) / 1000000L, None)
+        case some => lastError = some
+      }
+    }
+    StageReport(stage.name, attempt, succeeded = false,
+      (System.nanoTime() - t0) / 1000000L, lastError)
+  }
+
+  /** One attempt under its own job group; SLA breach cancels the group
+    * (interrupting running tasks) before reporting the timeout. */
+  private def attemptOnce(
+      spark: SparkSession, stage: Stage, attempt: Int): Option[String] = {
+    val group = s"graft-stage-${stage.name}-$attempt"
+    val exec = Executors.newSingleThreadExecutor(r => {
+      val t = new Thread(r, group); t.setDaemon(true); t
+    })
+    val fut = exec.submit(new java.util.concurrent.Callable[Unit] {
+      def call(): Unit = {
+        spark.sparkContext.setJobGroup(group, s"stage ${stage.name}", true)
+        try stage.body()
+        finally spark.sparkContext.clearJobGroup()
+      }
+    })
+    try { fut.get(stage.policy.slaTimeout.toMillis, TimeUnit.MILLISECONDS); None }
+    catch {
+      case _: TimeoutException =>
+        spark.sparkContext.cancelJobGroup(group)
+        fut.cancel(true)
+        Some(s"sla_timeout after ${stage.policy.slaTimeout}")
+      case NonFatal(e) =>
+        Some(Option(e.getCause).getOrElse(e).toString)
+    } finally exec.shutdownNow()
+  }
+}
