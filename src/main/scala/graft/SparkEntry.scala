@@ -145,6 +145,18 @@ object SparkEntry {
           TestData.clicks(s, d), gapSeconds = 1800, userCol = "session_id")
         .orderBy("session_id", "session_idx")
     },
+    // Spark's NATIVE session_window operator (vs q36's window-function
+    // formulation): strict-gap merge semantics, window.end = last + gap
+    "q47_session_window" -> { (s, d) =>
+      graft.streaming.Sessionize.sessionWindowAgg(
+          TestData.eventsRaw(s, d), gap = "30 minutes", tsCol = "ts")
+        .orderBy("user_id", "session_start")
+    },
+    // Gopher-family repetition quality signals (dup token/2-gram/3-gram
+    // fractions) — single projection pass, no shuffle
+    "q48_repetition_stats" -> { (s, d) =>
+      TextAnalysis.repetitionStats(TestData.documents(s, d)).orderBy("doc_id")
+    },
     // multimodal: binary media column → per-partition stub decode → metadata
     "q40_media_metadata" -> { (s, d) =>
       Multimodal.mediaMetadata(s, TestData.documents(s, d)).orderBy("doc_id")
@@ -544,6 +556,41 @@ object SparkEntry {
         |SELECT doc_id, n_tokens, n_unique_tokens, n_bpe_tokens, avg_token_len, stopword_ratio, quality_score,
         |  CASE WHEN quality_score >= 60 THEN 'high' WHEN quality_score >= 35 THEN 'medium' ELSE 'low' END AS quality_band
         |FROM sc ORDER BY doc_id""".stripMargin,
+    // native session_window semantics: a gap of exactly 30 min still MERGES
+    // (inclusive boundary, verified in StreamJoinSpec); session_end = last
+    // event + gap
+    "q47_session_window" ->
+      """WITH c AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+        |f AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR ts > lag(ts) OVER w + INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS flag
+        |  FROM c WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |s AS (
+        |  SELECT user_id, ts,
+        |    sum(flag) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM f)
+        |SELECT user_id, min(ts) AS session_start,
+        |  max(ts) + INTERVAL 30 MINUTE AS session_end, count(*) AS n_events
+        |FROM s GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""".stripMargin,
+    // dup fraction = 1 - distinct/total per granularity; same tokenization
+    // as q20/q32
+    "q48_repetition_stats" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')), ' ') AS t
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, t,
+        |    CASE WHEN len(t) >= 2 THEN list_transform(range(len(t) - 1), i -> t[i+1] || ' ' || t[i+2]) ELSE [] END AS b,
+        |    CASE WHEN len(t) >= 3 THEN list_transform(range(len(t) - 2), i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]) ELSE [] END AS tri
+        |  FROM toks)
+        |SELECT doc_id, len(t) AS n_tokens,
+        |  CASE WHEN len(t) > 0 THEN round(1.0 - CAST(len(list_distinct(t)) AS DOUBLE) / len(t), 4) ELSE 0.0 END AS dup_token_frac,
+        |  CASE WHEN len(b) > 0 THEN round(1.0 - CAST(len(list_distinct(b)) AS DOUBLE) / len(b), 4) ELSE 0.0 END AS dup_bigram_frac,
+        |  CASE WHEN len(tri) > 0 THEN round(1.0 - CAST(len(list_distinct(tri)) AS DOUBLE) / len(tri), 4) ELSE 0.0 END AS dup_trigram_frac
+        |FROM g ORDER BY doc_id""".stripMargin,
     // md5 hash-gate sampling: bucket = first 8 md5 hex chars as int % 10000,
     // thresholds 5000/2500/1000 = round(fraction * buckets)
     "q44_stratified_sample" ->

@@ -117,6 +117,28 @@ object TextAnalysis {
   def robustFingerprint(text: Column, shingleSize: Int = 3, keep: Int = 8): Column =
     md5(concat_ws(",", robustSketch(text, shingleSize, keep)))
 
+  /** Per-document repetition signals (the Gopher-rules quality family):
+    * fraction of duplicated tokens / 2-grams / 3-grams, i.e.
+    * `1 − distinct/total` per granularity. Machine-generated and boiler-
+    * plate text scores high; clean prose stays low. A single projection
+    * pass — arrays never leave the row, no explode, no shuffle. */
+  def repetitionStats(
+      docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    def dupFrac(arr: Column): Column = {
+      val total = size(arr)
+      when(total > 0,
+        round(lit(1.0) - size(array_distinct(arr)).cast(DoubleType) / total, 4))
+        .otherwise(0.0)
+    }
+    val toks = tokens(col(textCol))
+    docs.select(
+      col(idCol),
+      size(toks).as("n_tokens"),
+      dupFrac(toks).as("dup_token_frac"),
+      dupFrac(Dedup.shingles(toks, 2)).as("dup_bigram_frac"),
+      dupFrac(Dedup.shingles(toks, 3)).as("dup_trigram_frac"))
+  }
+
   /** Corpus-wide top-k n-grams by document frequency (distinct docs
     * containing the n-gram) with total occurrence count alongside — the
     * boilerplate detector: its output is what feeds a `maxShingleDf`-style

@@ -100,6 +100,33 @@ object Sessionize {
     closed.result().iterator
   }
 
+  /** Sessionization via Spark's NATIVE `session_window` operator — the
+    * third member of the family: [[sessionize]] (custom state, append-mode
+    * streaming), [[sessionizeBatch]] (window functions, exact batch), and
+    * this (built-in merging session windows; works in both batch and
+    * streaming with a watermark, complete/update/append per Spark's rules).
+    *
+    * Semantics (verified empirically, StreamJoinSpec): `session_window`
+    * merges an event landing EXACTLY at the current window end (gap
+    * inclusive — same merge rule as [[sessionizeBatch]]'s `> gap` new-
+    * session flag), and its `window.end` is last_event + gap, not
+    * last_event. Kept as Spark defines them — the point of this variant is
+    * built-in fidelity.
+    * Output: user_id, session_start, session_end, n_events. */
+  def sessionWindowAgg(
+      clicks: DataFrame,
+      gap: String = "30 minutes",
+      userCol: String = "user_id",
+      tsCol: String = "event_ts",
+      watermark: Option[String] = None): DataFrame = {
+    val src = watermark.fold(clicks)(clicks.withWatermark(tsCol, _))
+    src
+      .groupBy(col(userCol), session_window(col(tsCol), gap).as("__w"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col(userCol), col("__w.start").as("session_start"),
+        col("__w.end").as("session_end"), col("n_events"))
+  }
+
   /** Batch sessionization over a frame with `user_id` + `event_ts` columns.
     * Output: user_id, session_idx (1-based per user), session_start,
     * session_end, n_events. */

@@ -69,6 +69,22 @@ class TextAnalysisSpec extends SparkSpec {
     assert(rf.getAs[Int]("far") === 0)
   }
 
+  test("repetitionStats: looping text scores high, clean prose low, degenerate docs zero") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "spam spam spam spam spam spam"),          // one token looped
+      (2L, "the quick brown fox jumps over dogs"),    // all distinct
+      (3L, "ab"),                                     // 1 token: no n-grams
+      (4L, "")                                        // empty
+    ).toDF("doc_id", "text")
+    val m = TextAnalysis.repetitionStats(docs).collect()
+      .map(r => r.getLong(0) -> (r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    assert(m(1L)._1 > 0.8 && m(1L)._2 > 0.7 && m(1L)._3 > 0.7, s"looped: ${m(1L)}")
+    assert(m(2L) === ((0.0, 0.0, 0.0)))
+    assert(m(3L)._2 === 0.0 && m(3L)._3 === 0.0)
+    assert(m(4L) === ((0.0, 0.0, 0.0)))
+  }
+
   test("topNgrams: doc_freq counts distinct docs, total_count keeps repeats, ties break lexically") {
     import spark.implicits._
     val docs = Seq(
