@@ -138,6 +138,16 @@ object SparkEntry {
           Similarity.axisSignSignature(_, 6), minCosine = 0.4)
         .orderBy("doc_a", "doc_b")
     },
+    // pairs → dedup decisions: near-dup pairs are not transitive, so the
+    // unit of deletion is the connected component, not the pair. Iterative
+    // min-label propagation over the q38 pair graph; keeper = min doc id per
+    // component. Oracle: DuckDB recursive-CTE transitive closure.
+    "q49_dedup_clusters" -> { (s, d) =>
+      val emb = TestData.embeddings(s, d)
+      val pairs = Similarity.embeddingNearDupPairsExact(emb, minCosine = 0.4)
+      Dedup.dedupClusters(pairs, emb.select(col("vec_id").as("doc_id")))
+        .orderBy("doc_id")
+    },
     // gap-based sessionization (window-function batch variant; the
     // streaming flatMapGroupsWithState twin is spec-verified)
     "q36_sessionize" -> { (s, d) =>
@@ -877,6 +887,25 @@ object SparkEntry {
         |  FROM e x JOIN e y ON x.vec_id < y.vec_id)
         |SELECT doc_a, doc_b, round(cosine, 4) AS cosine
         |FROM p WHERE cosine >= 0.4 ORDER BY doc_a, doc_b""".stripMargin,
+    "q49_dedup_clusters" ->
+      """WITH RECURSIVE p AS (
+        |  SELECT x.vec_id AS doc_a, y.vec_id AS doc_b
+        |  FROM embeddings x JOIN embeddings y ON x.vec_id < y.vec_id
+        |  WHERE list_sum(list_transform(range(1, len(x.embedding) + 1),
+        |        i -> CAST(x.embedding[i] AS DOUBLE) * CAST(y.embedding[i] AS DOUBLE)))
+        |      / (sqrt(list_sum(list_transform(range(1, len(x.embedding) + 1),
+        |            i -> CAST(x.embedding[i] AS DOUBLE) * CAST(x.embedding[i] AS DOUBLE))))
+        |         * sqrt(list_sum(list_transform(range(1, len(y.embedding) + 1),
+        |            i -> CAST(y.embedding[i] AS DOUBLE) * CAST(y.embedding[i] AS DOUBLE)))))
+        |        >= 0.4),
+        |sym AS (SELECT doc_a AS a, doc_b AS b FROM p
+        |        UNION SELECT doc_b AS a, doc_a AS b FROM p),
+        |reach(id, r) AS (
+        |  SELECT vec_id, vec_id FROM embeddings
+        |  UNION
+        |  SELECT reach.id, sym.b FROM reach JOIN sym ON sym.a = reach.r)
+        |SELECT id AS doc_id, min(r) AS cluster_id, (id = min(r)) AS is_keeper
+        |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
     "q36_sessionize" ->
       """WITH c AS (
         |  SELECT CAST(user_id AS VARCHAR) AS session_id, CAST(ts AS TIMESTAMP) AS ts FROM events),

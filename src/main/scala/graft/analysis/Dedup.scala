@@ -219,4 +219,71 @@ object Dedup {
     try result.localCheckpoint(true)
     finally { sets.unpersist(); () }
   }
+
+  /** Connected components by min-label propagation: every node starts
+    * labeled with itself; each round every node takes the min of its own
+    * label and its neighbors' labels; converged when no label changes.
+    * Output: (id, component) where component = min node id in the component.
+    *
+    * This is the step near-dup PAIRS need to become dedup decisions: pair
+    * sets are not transitive (A~B, B~C but A≁C), so keeping "one doc per
+    * pair" under-deletes — the unit of dedup is the connected component.
+    *
+    * Scale shape: each round is one equi-join edges⋈labels + one min
+    * aggregate — all shuffles on node id, no global structure. Rounds
+    * needed = graph diameter; near-dup graphs are dense small clusters
+    * (diameter ≲ 3), so convergence is fast. For adversarial long-chain
+    * graphs the published fix is alternating small-star/large-star
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond"),
+    * which converges in O(log n) rounds with the same per-round shape —
+    * swap it in here if diameters grow. Each round localCheckpoints:
+    * iterative lineage would otherwise grow the plan unboundedly. */
+  def connectedComponents(
+      edges: DataFrame,
+      nodes: DataFrame,
+      srcCol: String = "src",
+      dstCol: String = "dst",
+      idCol: String = "id",
+      maxIter: Int = 20): DataFrame = {
+    val sym = edges
+      .select(col(srcCol).as("a"), col(dstCol).as("b"))
+      .union(edges.select(col(dstCol).as("a"), col(srcCol).as("b")))
+      .distinct()
+      .persist()
+    sym.count() // materialize once; reused every round
+    var labels = nodes.select(col(idCol).as("id"), col(idCol).as("label"))
+      .localCheckpoint(true)
+    var round = 0
+    var changed = 1L
+    while (changed > 0 && round < maxIter) {
+      val nbrMin = sym.join(labels, col("b") === col("id"))
+        .groupBy(col("a")).agg(min(col("label")).as("nbr_label"))
+      val next = labels.as("l")
+        .join(nbrMin.as("m"), col("l.id") === col("m.a"), "left")
+        .select(col("l.id").as("id"),
+          least(col("l.label"), coalesce(col("m.nbr_label"), col("l.label"))).as("label"))
+        .localCheckpoint(true)
+      changed = next.as("n").join(labels.as("o"), "id")
+        .filter(col("n.label") =!= col("o.label")).count()
+      labels = next
+      round += 1
+    }
+    sym.unpersist()
+    require(changed == 0, s"connectedComponents did not converge in $maxIter rounds")
+    labels.select(col("id"), col("label").as("component"))
+  }
+
+  /** Pairs → dedup decisions: cluster near-dup pairs into connected
+    * components over the full doc set (singletons keep themselves) and mark
+    * the canonical keeper (min id per component).
+    * Output: doc_id, cluster_id, is_keeper. */
+  def dedupClusters(
+      pairs: DataFrame,
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      pairA: String = "doc_a",
+      pairB: String = "doc_b"): DataFrame =
+    connectedComponents(pairs, docs, srcCol = pairA, dstCol = pairB, idCol = idCol)
+      .select(col("id").as(idCol), col("component").as("cluster_id"),
+        (col("id") === col("component")).as("is_keeper"))
 }

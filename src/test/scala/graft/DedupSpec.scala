@@ -118,4 +118,20 @@ class DedupSpec extends SparkSpec {
     assert(exact.keySet.exists { case (a, b) => a >= 3L && b >= 3L })
     assert(!cut.keySet.exists { case (a, b) => a >= 3L && b >= 3L })
   }
+
+  test("dedup clusters: non-transitive chains merge into one component, singletons keep themselves") {
+    // 1~2, 2~3 but NOT 1~3 (the non-transitivity motivating components);
+    // 10..14 is a 5-node chain needing several propagation rounds;
+    // 7 is a singleton with no pairs at all.
+    val nodes = (Seq(1L, 2L, 3L, 7L) ++ (10L to 14L)).toDF("doc_id")
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (11L, 12L), (12L, 13L), (13L, 14L))
+      .toDF("doc_a", "doc_b")
+    val out = Dedup.dedupClusters(pairs, nodes).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).sortBy(_._1)
+    assert(out.toSeq === Seq(
+      (1L, 1L, true), (2L, 1L, false), (3L, 1L, false),
+      (7L, 7L, true),
+      (10L, 10L, true), (11L, 10L, false), (12L, 10L, false),
+      (13L, 10L, false), (14L, 10L, false)))
+  }
 }
