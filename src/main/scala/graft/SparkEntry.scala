@@ -46,6 +46,37 @@ object SparkEntry {
     "q45_top_ngrams" -> { (s, d) =>
       TextAnalysis.topNgrams(TestData.documents(s, d), n = 3, k = 20)
     },
+    // benchmark decontamination: fraction of each corpus doc's distinct
+    // 3-grams appearing in the eval split (doc_id % 10 = 0 stands in for a
+    // held-out benchmark); eval n-gram set broadcasts, corpus never shuffles
+    "q50_contamination" -> { (s, d) =>
+      val docs = TestData.documents(s, d)
+      TextAnalysis.ngramContamination(
+          docs.filter(col("doc_id") % 10 =!= 0),
+          docs.filter(col("doc_id") % 10 === 0), n = 3, minRatio = 0.2)
+        .orderBy("doc_id")
+    },
+    // PII scrub: detect + redact emails/phones/IPs. The synthetic documents
+    // carry no PII, so deterministic PII is injected per doc_id residue
+    // class (identically in the oracle) to make the counts non-trivial.
+    "q51_pii_scrub" -> { (s, d) =>
+      val docs = TestData.documents(s, d).select(col("doc_id"),
+        concat(
+          col("text"),
+          when(col("doc_id") % 3 === 0,
+            concat(lit(" reach me at user"), col("doc_id"), lit("@example.com")))
+            .otherwise(lit("")),
+          when(col("doc_id") % 5 === 0, lit(" call 010-1234-5678")).otherwise(lit("")),
+          when(col("doc_id") % 7 === 0,
+            concat(lit(" from host 10.0.0."), col("doc_id") % 256)).otherwise(lit("")))
+          .as("text"))
+      TextAnalysis.piiStats(docs).orderBy("doc_id")
+    },
+    // C4-style corpus-wide sentence dedup: global first occurrence wins,
+    // documents reassemble from survivors in original order
+    "q52_sentence_dedup" -> { (s, d) =>
+      Dedup.sentenceDedup(TestData.documents(s, d)).orderBy("doc_id")
+    },
     // language-ID confusion matrix (stopword-marker heuristic vs labels)
     "q21_lang_id" -> { (s, d) =>
       TextAnalysis.langIdConfusion(TestData.documents(s, d))
@@ -622,6 +653,74 @@ object SparkEntry {
         |FROM sh GROUP BY 1
         |ORDER BY doc_freq DESC, total_count DESC, ngram
         |LIMIT 20""".stripMargin,
+    "q50_contamination" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')), ' ') AS t
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(t) >= 3
+        |      THEN list_distinct(list_transform(range(len(t) - 2), i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]))
+        |      ELSE [] END AS grams
+        |  FROM toks),
+        |ev AS (SELECT DISTINCT unnest(grams) AS ngram FROM sh WHERE doc_id % 10 = 0),
+        |corpus AS (SELECT doc_id, grams FROM sh WHERE doc_id % 10 <> 0),
+        |dn AS (SELECT doc_id, unnest(grams) AS ngram FROM corpus),
+        |hits AS (SELECT dn.doc_id, count(*) AS n_contaminated
+        |         FROM dn JOIN ev USING (ngram) GROUP BY 1)
+        |SELECT c.doc_id, len(c.grams) AS n_ngrams,
+        |  COALESCE(h.n_contaminated, 0) AS n_contaminated,
+        |  round(CASE WHEN len(c.grams) > 0
+        |    THEN CAST(COALESCE(h.n_contaminated, 0) AS DOUBLE) / len(c.grams)
+        |    ELSE 0.0 END, 4) AS contamination_ratio,
+        |  round(CASE WHEN len(c.grams) > 0
+        |    THEN CAST(COALESCE(h.n_contaminated, 0) AS DOUBLE) / len(c.grams)
+        |    ELSE 0.0 END, 4) >= 0.2 AS is_contaminated
+        |FROM corpus c LEFT JOIN hits h ON c.doc_id = h.doc_id
+        |ORDER BY c.doc_id""".stripMargin,
+    "q51_pii_scrub" ->
+      """WITH d AS (
+        |  SELECT doc_id, text
+        |    || CASE WHEN doc_id % 3 = 0 THEN ' reach me at user' || doc_id || '@example.com' ELSE '' END
+        |    || CASE WHEN doc_id % 5 = 0 THEN ' call 010-1234-5678' ELSE '' END
+        |    || CASE WHEN doc_id % 7 = 0 THEN ' from host 10.0.0.' || (doc_id % 256) ELSE '' END AS text
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id,
+        |    len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+        |    len(regexp_extract_all(text, '\b\d{3}[-.]\d{3,4}[-.]\d{4}\b')) AS n_phones,
+        |    len(regexp_extract_all(text, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ips,
+        |    regexp_replace(regexp_replace(regexp_replace(text,
+        |        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |        '\b\d{3}[-.]\d{3,4}[-.]\d{4}\b', '<PHONE>', 'g'),
+        |        '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS scrubbed_text
+        |  FROM d)
+        |SELECT doc_id, n_emails, n_phones, n_ips, scrubbed_text,
+        |  (n_emails + n_phones + n_ips) > 0 AS has_pii
+        |FROM c ORDER BY doc_id""".stripMargin,
+    "q52_sentence_dedup" ->
+      """WITH d AS (SELECT doc_id, string_split(text, '. ') AS l FROM documents),
+        |e AS (SELECT doc_id, l, unnest(range(len(l))) AS pos FROM d),
+        |s AS (SELECT doc_id, CAST(pos AS BIGINT) AS pos, l[CAST(pos + 1 AS INT)] AS sentence FROM e),
+        |s2 AS (
+        |  SELECT doc_id, pos, sentence,
+        |    trim(regexp_replace(regexp_replace(lower(sentence), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')) AS k
+        |  FROM s),
+        |s3 AS (SELECT * FROM s2 WHERE k <> ''),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY k ORDER BY doc_id, pos) AS rn FROM s3),
+        |kept AS (SELECT doc_id, pos, sentence FROM r WHERE rn = 1),
+        |agg AS (
+        |  SELECT doc_id, count(*) AS n_kept,
+        |    string_agg(sentence, '. ' ORDER BY pos) AS deduped_text
+        |  FROM kept GROUP BY doc_id),
+        |tot AS (SELECT doc_id, count(*) AS n_sentences FROM s3 GROUP BY doc_id)
+        |SELECT d.doc_id, COALESCE(t.n_sentences, 0) AS n_sentences,
+        |  COALESCE(a.n_kept, 0) AS n_kept, COALESCE(a.deduped_text, '') AS deduped_text
+        |FROM d
+        |LEFT JOIN tot t ON d.doc_id = t.doc_id
+        |LEFT JOIN agg a ON d.doc_id = a.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
     "q21_lang_id" ->
       """WITH t AS (
         |  SELECT lang AS lang_label,

@@ -273,6 +273,43 @@ object Dedup {
     labels.select(col("id"), col("label").as("component"))
   }
 
+  /** C4-style corpus-wide sentence dedup: only the FIRST occurrence — in
+    * (doc_id, position) order — of each normalized sentence survives
+    * anywhere in the corpus; documents are reassembled from their surviving
+    * sentences in original order. This is the boilerplate scrub C4 runs
+    * before document-level dedup (terms-of-service lines, cookie banners,
+    * nav text repeat across millions of pages).
+    *
+    * Scale shape: shuffle on the normalized sentence key (row_number picks
+    * the global first), then one groupBy doc to reassemble — sentence
+    * bodies shuffle once each, and per-doc state is bounded by document
+    * length. Output: doc_id, n_sentences, n_kept, deduped_text (empty if
+    * every sentence was seen earlier). */
+  def sentenceDedup(
+      docs: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sent = docs
+      .select(col(idCol), posexplode(split(col(textCol), "\\. ")).as(Seq("pos", "sentence")))
+      .withColumn("k", TextAnalysis.normalized(col("sentence")))
+      .filter(col("k") =!= "")
+    val kept = sent
+      .withColumn("rn",
+        row_number().over(Window.partitionBy("k").orderBy(col(idCol), col("pos"))))
+      .filter(col("rn") === 1)
+    val reassembled = kept.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_kept"),
+        concat_ws(". ",
+          transform(array_sort(collect_list(struct(col("pos"), col("sentence")))),
+            s => s.getField("sentence"))).as("deduped_text"))
+    docs.select(col(idCol))
+      .join(sent.groupBy(col(idCol)).agg(count(lit(1)).as("n_sentences")), Seq(idCol), "left")
+      .join(reassembled, Seq(idCol), "left")
+      .na.fill(0L, Seq("n_sentences", "n_kept"))
+      .na.fill("", Seq("deduped_text"))
+  }
+
   /** Pairs → dedup decisions: cluster near-dup pairs into connected
     * components over the full doc set (singletons keep themselves) and mark
     * the canonical keeper (min id per component).

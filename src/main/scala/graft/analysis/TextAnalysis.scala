@@ -165,6 +165,73 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** Benchmark decontamination: flag corpus documents whose n-gram sets
+    * overlap an evaluation set — the standard guard against training on test
+    * data. A document is scored by the fraction of its DISTINCT n-grams that
+    * appear anywhere in the eval set (the usual 13-gram/8-gram overlap test,
+    * parameterized).
+    *
+    * Scale shape: the eval side collapses to a distinct n-gram set — eval
+    * benchmarks are tiny next to a training corpus, so it broadcasts and the
+    * corpus side never shuffles document bodies: explode per-doc distinct
+    * n-grams, broadcast-hash-join, count per doc. If the eval set ever
+    * outgrows broadcast, drop the hint and the same plan shuffles on the
+    * n-gram — still never all-pairs.
+    *
+    * Output: doc_id, n_ngrams, n_contaminated, contamination_ratio,
+    * is_contaminated (ratio ≥ minRatio). Docs shorter than n tokens have
+    * zero n-grams and ratio 0. */
+  def ngramContamination(
+      corpus: DataFrame,
+      evalSet: DataFrame,
+      n: Int = 3,
+      minRatio: Double = 0.2,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val evalNgrams = evalSet
+      .select(explode(Dedup.shingles(tokens(col(textCol)), n)).as("ngram"))
+      .distinct()
+    val docNgrams = corpus.select(col(idCol),
+      explode(array_distinct(Dedup.shingles(tokens(col(textCol)), n))).as("ngram"))
+    val hits = docNgrams.join(broadcast(evalNgrams), Seq("ngram"))
+      .groupBy(idCol).agg(count(lit(1)).as("n_contaminated"))
+    corpus
+      .select(col(idCol),
+        size(array_distinct(Dedup.shingles(tokens(col(textCol)), n))).as("n_ngrams"))
+      .join(hits, Seq(idCol), "left")
+      .na.fill(0L, Seq("n_contaminated"))
+      .withColumn("contamination_ratio",
+        round(when(col("n_ngrams") > 0,
+          col("n_contaminated").cast(DoubleType) / col("n_ngrams")).otherwise(0.0), 4))
+      .withColumn("is_contaminated", col("contamination_ratio") >= minRatio)
+  }
+
+  /** PII patterns, deliberately portable across Java regex (Spark) and RE2
+    * (DuckDB oracle): no backreferences, no lookaround. */
+  val emailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val phonePattern = "\\b\\d{3}[-.]\\d{3,4}[-.]\\d{4}\\b"
+  val ipPattern = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+
+  /** PII detection + redaction — the scrub pass a training corpus runs before
+    * anything else ships. Counts are taken on the raw text; redaction applies
+    * email → phone → IP in that fixed order so the output is deterministic.
+    * Pure projection (codegen'd regexes), no shuffle, scales linearly.
+    * Output: doc_id, n_emails, n_phones, n_ips, scrubbed_text, has_pii. */
+  def piiStats(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val t = col(textCol)
+    val scrubbed = regexp_replace(
+      regexp_replace(
+        regexp_replace(t, emailPattern, "<EMAIL>"),
+        phonePattern, "<PHONE>"),
+      ipPattern, "<IP>")
+    docs.select(col(idCol),
+        size(regexp_extract_all(t, lit(emailPattern), lit(0))).as("n_emails"),
+        size(regexp_extract_all(t, lit(phonePattern), lit(0))).as("n_phones"),
+        size(regexp_extract_all(t, lit(ipPattern), lit(0))).as("n_ips"),
+        scrubbed.as("scrubbed_text"))
+      .withColumn("has_pii", (col("n_emails") + col("n_phones") + col("n_ips")) > 0)
+  }
+
   // Public stopword/marker lists (standard high-frequency function words).
   val stopwordsEn: Seq[String] = Seq("the", "a", "an", "of", "and", "to", "in", "is", "it", "for")
   val markersEn: Seq[String] = Seq("the", "a", "of", "and", "to", "is")

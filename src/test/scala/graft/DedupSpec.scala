@@ -119,6 +119,19 @@ class DedupSpec extends SparkSpec {
     assert(!cut.keySet.exists { case (a, b) => a >= 3L && b >= 3L })
   }
 
+  test("sentence dedup: corpus-wide first occurrence wins, docs reassemble in order") {
+    val corpus = Seq(
+      (1L, "unique one. shared line. unique two."),
+      (2L, "shared line. another unique."),
+      (3L, "shared line.") // everything already seen → empty doc
+    ).toDF("doc_id", "text")
+    val out = Dedup.sentenceDedup(corpus).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(out(1L) === ((3L, 3L, "unique one. shared line. unique two.")))
+    assert(out(2L) === ((2L, 1L, "another unique.")))
+    assert(out(3L) === ((1L, 0L, "")))
+  }
+
   test("dedup clusters: non-transitive chains merge into one component, singletons keep themselves") {
     // 1~2, 2~3 but NOT 1~3 (the non-transitivity motivating components);
     // 10..14 is a 5-node chain needing several propagation rounds;

@@ -101,4 +101,36 @@ class TextAnalysisSpec extends SparkSpec {
     val tied = top.tail.map(_._1)
     assert(tied === tied.sorted, s"tie order must be lexicographic: ${tied.toSeq}")
   }
+
+  test("contamination: full/partial/zero overlap and sub-n-token docs") {
+    val evalSet = Seq((100L, "alpha bravo charlie delta echo")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "alpha bravo charlie delta echo"),               // all 3 n-grams shared
+      (2L, "alpha bravo charlie unrelated words here pad"), // 1 of 5 shared = 0.2 boundary
+      (3L, "completely different text about something else"),
+      (4L, "too short")                                     // < 3 tokens → 0 n-grams
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.ngramContamination(corpus, evalSet, n = 3, minRatio = 0.2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getLong(2), r.getDouble(3), r.getBoolean(4)))).toMap
+    assert(out(1L) === ((3, 3L, 1.0, true)))
+    assert(out(2L) === ((5, 1L, 0.2, true))) // ratio ≥ minRatio is inclusive
+    assert(out(3L) === ((4, 0L, 0.0, false)))
+    assert(out(4L) === ((0, 0L, 0.0, false)))
+  }
+
+  test("pii scrub: counts and fixed-order redaction of emails, phones, ips") {
+    val docs = Seq(
+      (1L, "mail a.b+c@test.org or x@y.io, dial 010-1234-5678, host 10.0.0.1"),
+      (2L, "nothing sensitive here at all"),
+      (3L, "ip only 192.168.255.3 twice 192.168.255.3")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.piiStats(docs).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getInt(2), r.getInt(3), r.getString(4), r.getBoolean(5)))).toMap
+    assert(out(1L) === ((2, 1, 1,
+      "mail <EMAIL> or <EMAIL>, dial <PHONE>, host <IP>", true)))
+    assert(out(2L) === ((0, 0, 0, "nothing sensitive here at all", false)))
+    assert(out(3L) === ((0, 0, 2, "ip only <IP> twice <IP>", true)))
+  }
 }
