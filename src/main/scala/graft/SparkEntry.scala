@@ -9,7 +9,7 @@ import graft.core.{GraftSession, Tables}
 import graft.functions.SimHash
 import graft.ingest.Normalizer
 import graft.marts.{ColdMarts, HotMarts}
-import graft.relational.Relational
+import graft.relational.{ChangeCapture, Relational}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -284,6 +284,37 @@ object SparkEntry {
       Relational.runningMonthlyRevenue(Tables.lineitem(s, d), Tables.supplier(s, d),
         Tables.nation(s, d))
     },
+    // calendar RANGE frame: 7-day rolling revenue per nation on epoch-day
+    // (ROWS frames widen silently across missing days; RANGE doesn't)
+    "q53_rolling_revenue" -> { (s, d) =>
+      Relational.rollingRevenue(Tables.lineitem(s, d), Tables.orders(s, d),
+        Tables.customer(s, d), Tables.nation(s, d))
+    },
+    // CDC snapshot diff: added/deleted/changed via one full outer join on
+    // the key, content compared by md5 digest. Snapshots are carved from
+    // orders by deterministic residue classes (identically in the oracle):
+    // old drops %13 keys, new drops %17 keys and edits priority on %5.
+    // o_orderdate is hashed as its DATE — timestamp-to-string rendering is
+    // engine-specific, date rendering is ISO everywhere.
+    "q54_snapshot_diff" -> { (s, d) =>
+      val orders = Tables.orders(s, d).withColumn("order_day", to_date(col("o_orderdate")))
+      val oldSnap = orders.filter(col("o_orderkey") % 13 =!= 0)
+      val newSnap = orders.filter(col("o_orderkey") % 17 =!= 0)
+        .withColumn("o_orderpriority",
+          when(col("o_orderkey") % 5 === 0, concat(col("o_orderpriority"), lit("*")))
+            .otherwise(col("o_orderpriority")))
+      ChangeCapture.snapshotDiff(oldSnap, newSnap, Seq("o_orderkey"),
+          Seq("o_orderstatus", "o_orderpriority", "order_day"))
+        .orderBy("o_orderkey")
+    },
+    // SCD2 interval build: per-session document-view history collapsed to
+    // one row per run of equal values, validity window via lag+lead
+    "q55_scd2_intervals" -> { (s, d) =>
+      graft.relational.ChangeCapture.scd2Intervals(
+          TestData.clicks(s, d), keyCol = "session_id",
+          attrCol = "document_id", tsCol = "event_ts")
+        .orderBy("session_id", "valid_from")
+    },
     // partitioned top-K window (argmax per key at scale)
     "q17_top_parts_per_brand" -> { (s, d) =>
       Relational.topPartsPerBrand(Tables.part(s, d))
@@ -557,6 +588,59 @@ object SparkEntry {
         |  CAST(round(sum(monthly_dec) OVER (PARTITION BY nation_name ORDER BY ship_month
         |        ROWS UNBOUNDED PRECEDING), 2) AS DOUBLE) AS cumulative_revenue
         |FROM m ORDER BY 1, 2""".stripMargin,
+    "q53_rolling_revenue" ->
+      """WITH daily AS (
+        |  SELECT n_name AS nation_name, CAST(o_orderdate AS DATE) AS order_day,
+        |    sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS daily_dec
+        |  FROM lineitem
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  GROUP BY 1, 2)
+        |SELECT nation_name, order_day,
+        |  CAST(round(daily_dec, 2) AS DOUBLE) AS daily_revenue,
+        |  CAST(round(sum(daily_dec) OVER (PARTITION BY nation_name
+        |      ORDER BY date_diff('day', DATE '1970-01-01', order_day)
+        |      RANGE BETWEEN 6 PRECEDING AND CURRENT ROW), 2) AS DOUBLE) AS rolling_revenue
+        |FROM daily ORDER BY 1, 2""".stripMargin,
+    "q54_snapshot_diff" ->
+      """WITH os AS (
+        |  SELECT o_orderkey, md5(concat_ws('|',
+        |      COALESCE(o_orderstatus, ''), COALESCE(o_orderpriority, ''),
+        |      COALESCE(CAST(CAST(o_orderdate AS DATE) AS VARCHAR), ''))) AS old_hash
+        |  FROM orders WHERE o_orderkey % 13 <> 0),
+        |ns AS (
+        |  SELECT o_orderkey, md5(concat_ws('|',
+        |      COALESCE(o_orderstatus, ''),
+        |      COALESCE(CASE WHEN o_orderkey % 5 = 0 THEN o_orderpriority || '*' ELSE o_orderpriority END, ''),
+        |      COALESCE(CAST(CAST(o_orderdate AS DATE) AS VARCHAR), ''))) AS new_hash
+        |  FROM orders WHERE o_orderkey % 17 <> 0)
+        |SELECT o_orderkey, old_hash, new_hash, change_type FROM (
+        |  SELECT COALESCE(os.o_orderkey, ns.o_orderkey) AS o_orderkey,
+        |    os.old_hash, ns.new_hash,
+        |    CASE WHEN os.old_hash IS NULL THEN 'added'
+        |         WHEN ns.new_hash IS NULL THEN 'deleted'
+        |         WHEN os.old_hash <> ns.new_hash THEN 'changed' END AS change_type
+        |  FROM os FULL OUTER JOIN ns ON os.o_orderkey = ns.o_orderkey)
+        |WHERE change_type IS NOT NULL ORDER BY o_orderkey""".stripMargin,
+    "q55_scd2_intervals" ->
+      """WITH c AS (
+        |  SELECT CAST(user_id AS VARCHAR) AS session_id,
+        |         CAST(props->>'$.k' AS INTEGER) AS document_id,
+        |         CAST(ts AS TIMESTAMP) AS event_ts
+        |  FROM events),
+        |m AS (
+        |  SELECT session_id, document_id, event_ts,
+        |    lag(document_id) OVER (PARTITION BY session_id ORDER BY event_ts) AS prev_doc,
+        |    row_number() OVER (PARTITION BY session_id ORDER BY event_ts) AS rn
+        |  FROM c),
+        |cp AS (
+        |  SELECT session_id, document_id, event_ts FROM m
+        |  WHERE rn = 1 OR prev_doc IS DISTINCT FROM document_id)
+        |SELECT session_id, document_id, event_ts AS valid_from,
+        |  lead(event_ts) OVER (PARTITION BY session_id ORDER BY event_ts) AS valid_to,
+        |  lead(event_ts) OVER (PARTITION BY session_id ORDER BY event_ts) IS NULL AS is_current
+        |FROM cp ORDER BY session_id, valid_from""".stripMargin,
     "q17_top_parts_per_brand" ->
       """SELECT p_brand, p_partkey, p_name, p_retailprice, price_rank FROM (
         | SELECT p_brand, p_partkey, p_name, p_retailprice,

@@ -159,6 +159,34 @@ object Relational {
       .orderBy("nation_name", "ship_month")
   }
 
+  /** Rolling revenue per nation over a calendar-day RANGE frame: exact
+    * decimal daily totals first, then `rangeBetween` on epoch-day so
+    * calendar gaps are honored — a ROWS frame silently widens the window
+    * when days are missing. The fact table collapses to ≤ #days rows per
+    * nation before any window runs, so the per-partition window state is
+    * tiny regardless of fact size. */
+  def rollingRevenue(
+      lineitem: DataFrame,
+      orders: DataFrame,
+      customer: DataFrame,
+      nation: DataFrame,
+      windowDays: Int = 7): DataFrame = {
+    val daily = lineitem
+      .join(orders, col("l_orderkey") === col("o_orderkey"))
+      .join(customer, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name").as("nation_name"), to_date(col("o_orderdate")).as("order_day"))
+      .agg(sum(revenue).as("__daily_dec"))
+    val w = Window.partitionBy("nation_name")
+      .orderBy(datediff(col("order_day"), to_date(lit("1970-01-01"))))
+      .rangeBetween(-(windowDays - 1).toLong, 0L)
+    daily
+      .withColumn("rolling_revenue", round(sum(col("__daily_dec")).over(w), 2).cast(DoubleType))
+      .withColumn("daily_revenue", round(col("__daily_dec"), 2).cast(DoubleType))
+      .select("nation_name", "order_day", "daily_revenue", "rolling_revenue")
+      .orderBy("nation_name", "order_day")
+  }
+
   /** Top-K per group via partitioned window rank: the canonical "argmax per
     * key" at scale — one shuffle on the partition key, per-partition heap. */
   def topPartsPerBrand(part: DataFrame, k: Int = 3): DataFrame = {
