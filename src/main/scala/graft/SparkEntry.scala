@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.adapters.TestData
-import graft.analysis.{CorpusPrep, Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.analysis.{CorpusPrep, Dedup, Graphs, Multimodal, Similarity, TextAnalysis}
 import graft.core.{GraftSession, Tables}
 import graft.functions.SimHash
 import graft.ingest.Normalizer
@@ -76,6 +76,16 @@ object SparkEntry {
     // documents reassemble from survivors in original order
     "q52_sentence_dedup" -> { (s, d) =>
       Dedup.sentenceDedup(TestData.documents(s, d)).orderBy("doc_id")
+    },
+    // co-click graph PageRank: documents co-clicked in a session form an
+    // undirected graph (hub sessions dropped pre-join); 5 power iterations,
+    // ranks scaled to mean 1. Oracle unrolls the same 5 iterations in SQL.
+    "q56_doc_pagerank" -> { (s, d) =>
+      val edges = Graphs.cooccurrenceEdges(
+        TestData.clicks(s, d), "session_id", "document_id", maxPerKey = 100)
+      Graphs.pageRank(edges, damping = 0.85, iterations = 5)
+        .withColumnRenamed("id", "document_id")
+        .orderBy("document_id")
     },
     // language-ID confusion matrix (stopword-marker heuristic vs labels)
     "q21_lang_id" -> { (s, d) =>
@@ -1070,6 +1080,52 @@ object SparkEntry {
         |  FROM e x JOIN e y ON x.vec_id < y.vec_id)
         |SELECT doc_a, doc_b, round(cosine, 4) AS cosine
         |FROM p WHERE cosine >= 0.4 ORDER BY doc_a, doc_b""".stripMargin,
+    "q56_doc_pagerank" ->
+      """WITH clicks AS (
+        |  SELECT DISTINCT CAST(user_id AS VARCHAR) AS sid, CAST(props->>'$.k' AS INTEGER) AS doc
+        |  FROM events WHERE CAST(props->>'$.k' AS INTEGER) IS NOT NULL),
+        |ok AS (SELECT sid FROM clicks GROUP BY sid HAVING count(*) <= 100),
+        |ce AS (
+        |  SELECT a.doc AS src, b.doc AS dst
+        |  FROM clicks a JOIN ok USING (sid) JOIN clicks b ON a.sid = b.sid AND a.doc < b.doc
+        |  GROUP BY 1, 2),
+        |sym AS (SELECT src AS u, dst AS v FROM ce UNION ALL SELECT dst AS u, src AS v FROM ce),
+        |deg AS (SELECT u, count(*) AS d FROM sym GROUP BY u),
+        |nodes AS (SELECT DISTINCT u AS id FROM sym),
+        |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+        |p0 AS (SELECT id, CAST(1 AS DOUBLE) / (SELECT n FROM nn) AS r FROM nodes),
+        |p1 AS (
+        |  SELECT nd.id, (CAST(1 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / (SELECT n FROM nn)
+        |    + CAST(0.85 AS DOUBLE) * COALESCE(sum(p.r / dg.d), 0) AS r
+        |  FROM nodes nd LEFT JOIN sym s ON s.v = nd.id
+        |  LEFT JOIN p0 p ON s.u = p.id LEFT JOIN deg dg ON s.u = dg.u
+        |  GROUP BY nd.id),
+        |p2 AS (
+        |  SELECT nd.id, (CAST(1 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / (SELECT n FROM nn)
+        |    + CAST(0.85 AS DOUBLE) * COALESCE(sum(p.r / dg.d), 0) AS r
+        |  FROM nodes nd LEFT JOIN sym s ON s.v = nd.id
+        |  LEFT JOIN p1 p ON s.u = p.id LEFT JOIN deg dg ON s.u = dg.u
+        |  GROUP BY nd.id),
+        |p3 AS (
+        |  SELECT nd.id, (CAST(1 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / (SELECT n FROM nn)
+        |    + CAST(0.85 AS DOUBLE) * COALESCE(sum(p.r / dg.d), 0) AS r
+        |  FROM nodes nd LEFT JOIN sym s ON s.v = nd.id
+        |  LEFT JOIN p2 p ON s.u = p.id LEFT JOIN deg dg ON s.u = dg.u
+        |  GROUP BY nd.id),
+        |p4 AS (
+        |  SELECT nd.id, (CAST(1 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / (SELECT n FROM nn)
+        |    + CAST(0.85 AS DOUBLE) * COALESCE(sum(p.r / dg.d), 0) AS r
+        |  FROM nodes nd LEFT JOIN sym s ON s.v = nd.id
+        |  LEFT JOIN p3 p ON s.u = p.id LEFT JOIN deg dg ON s.u = dg.u
+        |  GROUP BY nd.id),
+        |p5 AS (
+        |  SELECT nd.id, (CAST(1 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / (SELECT n FROM nn)
+        |    + CAST(0.85 AS DOUBLE) * COALESCE(sum(p.r / dg.d), 0) AS r
+        |  FROM nodes nd LEFT JOIN sym s ON s.v = nd.id
+        |  LEFT JOIN p4 p ON s.u = p.id LEFT JOIN deg dg ON s.u = dg.u
+        |  GROUP BY nd.id)
+        |SELECT id AS document_id, r * (SELECT n FROM nn) AS pagerank
+        |FROM p5 ORDER BY document_id""".stripMargin,
     "q49_dedup_clusters" ->
       """WITH RECURSIVE p AS (
         |  SELECT x.vec_id AS doc_a, y.vec_id AS doc_b

@@ -1,0 +1,82 @@
+package graft.analysis
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Graph analytics over co-occurrence structure (documents co-clicked in a
+  * session, products co-bought in an order). Complements
+  * [[Dedup.connectedComponents]]: components answer "which nodes belong
+  * together", PageRank answers "which nodes matter".
+  */
+object Graphs {
+
+  /** Co-occurrence edges: undirected (src < dst) pairs of items sharing a
+    * key, weighted by how many keys they co-occur under.
+    *
+    * The self-join is quadratic PER KEY, so hub keys (a crawler session
+    * clicking 10k docs) are dropped via `maxPerKey` BEFORE the join — the
+    * standard guard that keeps co-occurrence mining linear-ish at 100 TB;
+    * hubs carry no signal anyway (their co-clicks are noise, not affinity).
+    * The key-size filter is an aggregate + semi-joinable frame, never a
+    * window over raw rows. */
+  def cooccurrenceEdges(
+      df: DataFrame,
+      keyCol: String,
+      itemCol: String,
+      maxPerKey: Int = 100): DataFrame = {
+    val pairs = df.select(col(keyCol).as("__k"), col(itemCol).as("__i"))
+      .filter(col("__i").isNotNull)
+      .distinct()
+    val smallKeys = pairs.groupBy("__k").agg(count(lit(1)).as("__n"))
+      .filter(col("__n") <= maxPerKey)
+      .select("__k")
+    val bounded = pairs.join(smallKeys, "__k")
+    bounded.as("a")
+      .join(bounded.as("b"),
+        col("a.__k") === col("b.__k") && col("a.__i") < col("b.__i"))
+      .groupBy(col("a.__i").as("src"), col("b.__i").as("dst"))
+      .agg(count(lit(1)).as("weight"))
+  }
+
+  /** PageRank by power iteration over an undirected edge list (edges are
+    * symmetrized internally; weights are ignored — every distinct edge
+    * carries r/deg). Ranks are scaled by N so the mean is 1.0 and small
+    * scores stay comparable across corpus sizes.
+    *
+    * Scale shape: each iteration is one equi-join edges⋈ranks plus one sum
+    * aggregate — both shuffle on node id only; `localCheckpoint` after each
+    * iteration cuts the growing lineage (the same iterative-plan rule as
+    * [[Dedup.connectedComponents]]). The node set derives from the edge
+    * list, so there are no dangling nodes and no lost mass.
+    *
+    * Output: id, pagerank (double, mean 1.0). */
+  def pageRank(
+      edges: DataFrame,
+      damping: Double = 0.85,
+      iterations: Int = 5,
+      srcCol: String = "src",
+      dstCol: String = "dst"): DataFrame = {
+    val sym = edges.select(col(srcCol).as("u"), col(dstCol).as("v"))
+      .union(edges.select(col(dstCol).as("u"), col(srcCol).as("v")))
+      .persist()
+    val deg = sym.groupBy("u").agg(count(lit(1)).as("deg"))
+    val nodes = sym.select(col("u").as("id")).distinct().persist()
+    val n = nodes.count()
+    var ranks = nodes.withColumn("r", lit(1.0 / n)).localCheckpoint(true)
+    for (_ <- 1 to iterations) {
+      val contribs = sym
+        .join(ranks, col("u") === col("id"))
+        .join(deg, "u")
+        .select(col("v"), (col("r") / col("deg")).as("c"))
+        .groupBy("v").agg(sum("c").as("inflow"))
+      ranks = nodes
+        .join(contribs, col("id") === col("v"), "left")
+        .select(col("id"),
+          (lit((1 - damping) / n) +
+            lit(damping) * coalesce(col("inflow"), lit(0.0))).as("r"))
+        .localCheckpoint(true)
+    }
+    sym.unpersist(); nodes.unpersist()
+    ranks.select(col("id"), (col("r") * n).as("pagerank"))
+  }
+}
