@@ -91,6 +91,12 @@ object SparkEntry {
     "q21_lang_id" -> { (s, d) =>
       TextAnalysis.langIdConfusion(TestData.documents(s, d))
     },
+    // sparse TF-IDF cosine pairs via inverted term index (df-cutoff guards
+    // the quadratic; decimal-summed dots for shuffle-order independence)
+    "q57_tfidf_pairs" -> { (s, d) =>
+      graft.analysis.SearchRank.tfidfPairs(TestData.documents(s, d), minCosine = 0.3)
+        .orderBy("doc_a", "doc_b")
+    },
     // content fingerprints (md5-normalized + winnowing-style robust)
     "q22_fingerprints" -> { (s, d) =>
       val docs = TestData.documents(s, d)
@@ -1080,6 +1086,37 @@ object SparkEntry {
         |  FROM e x JOIN e y ON x.vec_id < y.vec_id)
         |SELECT doc_a, doc_b, round(cosine, 4) AS cosine
         |FROM p WHERE cosine >= 0.4 ORDER BY doc_a, doc_b""".stripMargin,
+    "q57_tfidf_pairs" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')), ' ') AS t
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id AS id, unnest(list_transform(range(len(t) - 2), i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])) AS term
+        |  FROM toks WHERE len(t) >= 3),
+        |tf AS (SELECT id, term, count(*) AS tf FROM sh WHERE term <> '' GROUP BY 1, 2),
+        |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+        |dfs AS (
+        |  SELECT term, count(*) AS df FROM tf GROUP BY 1
+        |  HAVING count(*) <= greatest(2, (SELECT n FROM nn) // 50)),
+        |w AS (
+        |  SELECT tf.id, tf.term,
+        |    CAST(tf.tf AS DOUBLE) *
+        |      ((CAST((SELECT n FROM nn) AS DOUBLE) - CAST(df AS DOUBLE) + CAST(0.5 AS DOUBLE))
+        |        / (CAST(df AS DOUBLE) + CAST(0.5 AS DOUBLE))) AS w
+        |  FROM tf JOIN dfs USING (term)),
+        |norms AS (SELECT id, sum(CAST(w * w AS DECIMAL(28,12))) AS norm2 FROM w GROUP BY id),
+        |pairs AS (
+        |  SELECT a.id AS doc_a, b.id AS doc_b, sum(CAST(a.w * b.w AS DECIMAL(28,12))) AS dot
+        |  FROM w a JOIN w b ON a.term = b.term AND a.id < b.id
+        |  GROUP BY 1, 2),
+        |sc AS (
+        |  SELECT doc_a, doc_b,
+        |    round(CAST(p.dot AS DOUBLE) /
+        |      (sqrt(CAST(na.norm2 AS DOUBLE)) * sqrt(CAST(nb.norm2 AS DOUBLE))), 4) AS cosine
+        |  FROM pairs p JOIN norms na ON p.doc_a = na.id JOIN norms nb ON p.doc_b = nb.id)
+        |SELECT doc_a, doc_b, cosine FROM sc WHERE cosine >= 0.3
+        |ORDER BY doc_a, doc_b""".stripMargin,
     "q56_doc_pagerank" ->
       """WITH clicks AS (
         |  SELECT DISTINCT CAST(user_id AS VARCHAR) AS sid, CAST(props->>'$.k' AS INTEGER) AS doc

@@ -59,4 +59,62 @@ object SearchRank {
       .orderBy(desc("score"), col(idCol))
       .limit(k)
   }
+
+  /** All-pairs TF-IDF cosine similarity above a threshold through an
+    * inverted index on terms — the sparse-vector sibling of the dense
+    * embedding near-dup join ([[Similarity]]).
+    *
+    * Scale shape: pair candidates come only from shared terms, and terms
+    * with document frequency above n/50 are dropped BEFORE the self-join —
+    * ubiquitous terms contribute ~zero idf weight but quadratic join pairs
+    * (the same latent-quadratic guard as `Dedup.ngramJaccardPairs`'
+    * maxShingleDf). Weights stay rational (no log) for cross-engine
+    * exactness, and dot products / norms are summed as DECIMAL so the
+    * result is independent of shuffle order — the q16 lesson applied:
+    * order-dependent double summation is not reproducible, decimal sums
+    * are.
+    *
+    * Output: doc_a, doc_b, cosine (rounded to 4). */
+  def tfidfPairs(
+      docs: DataFrame,
+      minCosine: Double = 0.3,
+      ngram: Int = 3,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(28, 12)
+    // n-gram terms (ngram = 1 degrades to unigrams): phrase terms keep the
+    // vocabulary large and document frequencies low, which is what makes
+    // both the idf weights and the df cutoff meaningful on corpora whose
+    // unigram vocabulary is saturated
+    val tf = docs
+      .select(col(idCol).as("id"),
+        explode(Dedup.shingles(TextAnalysis.tokens(col(textCol)), ngram)).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy("id", "term").agg(count(lit(1)).as("tf"))
+    val n = docs.count()
+    val maxDf = math.max(2L, n / 50)
+    val dfs = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf)
+    val w = tf.join(dfs, "term")
+      .select(col("id"), col("term"),
+        (col("tf").cast(DoubleType) *
+          ((lit(n.toDouble) - col("df").cast(DoubleType) + lit(0.5)) /
+            (col("df").cast(DoubleType) + lit(0.5)))).as("w"))
+      .persist()
+    val norms = w.groupBy("id").agg(sum((col("w") * col("w")).cast(dec)).as("norm2"))
+    val pairs = w.as("a")
+      .join(w.as("b"), col("a.term") === col("b.term") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("doc_a"), col("b.id").as("doc_b"))
+      .agg(sum((col("a.w") * col("b.w")).cast(dec)).as("dot"))
+    val result = pairs
+      .join(norms.select(col("id").as("doc_a"), col("norm2").as("na")), "doc_a")
+      .join(norms.select(col("id").as("doc_b"), col("norm2").as("nb")), "doc_b")
+      .withColumn("cosine",
+        round(col("dot").cast(DoubleType) /
+          (sqrt(col("na").cast(DoubleType)) * sqrt(col("nb").cast(DoubleType))), 4))
+      .filter(col("cosine") >= minCosine)
+      .select(col("doc_a"), col("doc_b"), col("cosine"))
+    try result.localCheckpoint(true)
+    finally { w.unpersist(); () }
+  }
 }

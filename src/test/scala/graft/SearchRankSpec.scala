@@ -31,4 +31,34 @@ class SearchRankSpec extends SparkSpec {
     // a query for a term nobody has returns nothing
     assert(SearchRank.search(docs, Seq("zzz"), k = 10).count() === 0)
   }
+
+  test("tfidf pairs: identical docs hit cosine 1, disjoint docs produce no pair") {
+    // 100 docs so the df cutoff (max(2, n/50) = 2) keeps pair-terms with
+    // df <= 2: docs 1/2 share rare terms; 3 is disjoint; filler docs are
+    // mutually disjoint single-word docs
+    val corpus = (Seq(
+      (1L, "quantum flux capacitor resonance"),
+      (2L, "quantum flux capacitor resonance"),
+      (3L, "entirely unrelated material")
+    ) ++ (4L to 100L).map(i => (i, s"filler$i"))).toDF("doc_id", "text")
+    val out = SearchRank.tfidfPairs(corpus, minCosine = 0.1)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(out === Map((1L, 2L) -> 1.0))
+  }
+
+  test("tfidf pairs: partial overlap scores between 0 and 1, df cutoff drops boilerplate terms") {
+    // 'common tail phrase' appears in 3 of 100 docs -> df 3 > cutoff 2 ->
+    // dropped: docs 1/2 still pair through 'alpha beta gamma' (df 2), but
+    // doc 3 — whose ONLY shared 3-gram is the boilerplate — pairs with
+    // nobody (without the cutoff it would)
+    val corpus = (Seq(
+      (1L, "alpha beta gamma common tail phrase"),
+      (2L, "alpha beta gamma delta common tail phrase"),
+      (3L, "unrelated stuff here common tail phrase")
+    ) ++ (4L to 100L).map(i => (i, s"filler$i"))).toDF("doc_id", "text")
+    val out = SearchRank.tfidfPairs(corpus, minCosine = 0.05)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(out.keySet === Set((1L, 2L)))
+    assert(out(1L -> 2L) > 0.0 && out(1L -> 2L) < 1.0)
+  }
 }
