@@ -369,6 +369,22 @@ object SparkEntry {
     "q25_daily_type_pivot" -> { (s, d) =>
       Relational.dailyTypePivot(TestData.clicks(s, d),
         Seq("click", "error", "purchase", "signup", "view"))
+    },
+    // fuzzy entity matching: levenshtein pairs within a brand block —
+    // blocking bounds the quadratic; distance is exact edit distance
+    "q58_fuzzy_match" -> { (s, d) =>
+      Dedup.fuzzyMatchPairs(Tables.part(s, d),
+          blockCol = "p_brand", idCol = "p_partkey", strCol = "p_name", maxDistance = 2)
+        .orderBy("id_a", "id_b")
+    },
+    // unpivot (melt): the pivot round-trip back to long form — Expand
+    // projection, zero shuffle beyond the pivot it inverts
+    "q59_melt_pivot" -> { (s, d) =>
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      Relational.melt(
+          Relational.dailyTypePivot(TestData.clicks(s, d), types),
+          ids = Seq("event_date"), values = types, varName = "event_type", valName = "cnt")
+        .orderBy("event_date", "event_type")
     }
   )
 
@@ -906,6 +922,24 @@ object SparkEntry {
         | count(*) FILTER (WHERE event_type = 'signup') AS signup,
         | count(*) FILTER (WHERE event_type = 'view') AS view
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q58_fuzzy_match" ->
+      """SELECT a.p_brand, a.p_partkey AS id_a, b.p_partkey AS id_b,
+        |  a.p_name AS str_a, b.p_name AS str_b,
+        |  CAST(levenshtein(a.p_name, b.p_name) AS INT) AS distance
+        |FROM part a JOIN part b
+        |  ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+        |WHERE levenshtein(a.p_name, b.p_name) <= 2
+        |ORDER BY id_a, id_b""".stripMargin,
+    "q59_melt_pivot" ->
+      """WITH c AS (
+        |  SELECT CAST(ts AS DATE) AS event_date, event_type, count(*) AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |d AS (SELECT DISTINCT CAST(ts AS DATE) AS event_date FROM events),
+        |t AS (SELECT unnest(['click', 'error', 'purchase', 'signup', 'view']) AS event_type)
+        |SELECT d.event_date, t.event_type, COALESCE(c.cnt, 0) AS cnt
+        |FROM d CROSS JOIN t
+        |LEFT JOIN c ON c.event_date = d.event_date AND c.event_type = t.event_type
+        |ORDER BY d.event_date, t.event_type""".stripMargin,
     "q27_search_rank" ->
       """WITH toks AS (
         |  SELECT doc_id,

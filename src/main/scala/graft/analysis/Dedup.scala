@@ -310,6 +310,38 @@ object Dedup {
       .na.fill("", Seq("deduped_text"))
   }
 
+  /** Fuzzy entity matching: pairs of near-identical strings (edit distance
+    * ≤ maxDistance) WITHIN a blocking key — classic entity resolution.
+    * Blocking is what makes this survive scale: the quadratic comparison
+    * runs per block, so the blocking column must bound block sizes (brand,
+    * zip, first-k chars...); an unblocked corpus-wide fuzzy join is
+    * O(n²) by definition and deliberately not offered.
+    * Output: blockCol, id_a, id_b, str_a, str_b, distance. */
+  def fuzzyMatchPairs(
+      df: DataFrame,
+      blockCol: String,
+      idCol: String,
+      strCol: String,
+      maxDistance: Int = 2): DataFrame = {
+    val side = df.select(col(blockCol), col(idCol), col(strCol))
+    // two cheap bounds before the expensive comparison: |len(a)-len(b)| ≤ d
+    // is a sound lower bound on edit distance, and the thresholded
+    // levenshtein variant abandons rows early once the distance provably
+    // exceeds d (returns -1) instead of filling the full DP matrix
+    side.as("a")
+      .join(side.as("b"),
+        col(s"a.$blockCol") === col(s"b.$blockCol") &&
+          col(s"a.$idCol") < col(s"b.$idCol") &&
+          abs(length(col(s"a.$strCol")) - length(col(s"b.$strCol"))) <= maxDistance)
+      .withColumn("distance",
+        levenshtein(col(s"a.$strCol"), col(s"b.$strCol"), maxDistance))
+      .filter(col("distance").between(0, maxDistance))
+      .select(col(s"a.$blockCol").as(blockCol),
+        col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"),
+        col(s"a.$strCol").as("str_a"), col(s"b.$strCol").as("str_b"),
+        col("distance"))
+  }
+
   /** Pairs → dedup decisions: cluster near-dup pairs into connected
     * components over the full doc set (singletons keep themselves) and mark
     * the canonical keeper (min id per component).

@@ -280,6 +280,18 @@ object Relational {
       .na.fill(0L, types)
       .orderBy(dateCol)
 
+  /** Unpivot (melt): wide columns back to long rows — the inverse of
+    * [[dailyTypePivot]]. Spark's native `unpivot` plans as an Expand
+    * projection (one output row per value column per input row), no
+    * shuffle at all; the value columns must share a type. */
+  def melt(
+      df: DataFrame,
+      ids: Seq[String],
+      values: Seq[String],
+      varName: String,
+      valName: String): DataFrame =
+    df.unpivot(ids.map(col).toArray, values.map(col).toArray, varName, valName)
+
   /** Analytic-window breadth over an event stream: lead (next event),
     * first_value (session anchor), inter-event gap, and ntile quartiles —
     * one shuffle on the partition key serves every function in the frame. */

@@ -119,6 +119,18 @@ class DedupSpec extends SparkSpec {
     assert(!cut.keySet.exists { case (a, b) => a >= 3L && b >= 3L })
   }
 
+  test("fuzzy match: levenshtein pairs stay inside blocks, distance bounded") {
+    val parts = Seq(
+      (1L, "B1", "red widget"),
+      (2L, "B1", "red wadget"),  // distance 1
+      (3L, "B1", "blue cable"),  // far from both
+      (4L, "B2", "red widget")   // identical string, DIFFERENT block → no pair
+    ).toDF("pk", "brand", "name")
+    val out = Dedup.fuzzyMatchPairs(parts, "brand", "pk", "name", maxDistance = 2)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"), r.getAs[Int]("distance")))
+    assert(out.toSeq === Seq((1L, 2L, 1)))
+  }
+
   test("sentence dedup: corpus-wide first occurrence wins, docs reassemble in order") {
     val corpus = Seq(
       (1L, "unique one. shared line. unique two."),

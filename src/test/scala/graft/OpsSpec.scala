@@ -25,6 +25,23 @@ class OpsSpec extends SparkSpec {
     assert(row.getAs[String]("value").contains("\"dedup_key\":\"k1\""))
   }
 
+  test("melt inverts pivot: every (id, type) cell becomes a row, zero-fills included") {
+    import spark.implicits._
+    import graft.relational.Relational
+    val events = Seq(
+      ("2024-01-01", "click"), ("2024-01-01", "click"), ("2024-01-01", "view"),
+      ("2024-01-02", "view")
+    ).toDF("event_date", "event_type")
+    val types = Seq("click", "view")
+    val long = Relational.melt(
+        Relational.dailyTypePivot(events, types, dateCol = "event_date"),
+        Seq("event_date"), types, "event_type", "cnt")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(long === Map(
+      ("2024-01-01", "click") -> 2L, ("2024-01-01", "view") -> 1L,
+      ("2024-01-02", "click") -> 0L, ("2024-01-02", "view") -> 1L))
+  }
+
   test("salted join equals the plain join result (skew path)") {
     val big = Seq.tabulate(1000)(i => (i % 3, i)).toDF("k", "v")          // skewed: 3 keys
     val small = Seq((0, "a"), (1, "b"), (2, "c"), (9, "zz")).toDF("k", "name")
