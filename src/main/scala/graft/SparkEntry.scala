@@ -377,6 +377,26 @@ object SparkEntry {
           blockCol = "p_brand", idCol = "p_partkey", strCol = "p_name", maxDistance = 2)
         .orderBy("id_a", "id_b")
     },
+    // calendar gap fill + forward fill: dense date spine per nation over
+    // sparse high-value order days, last observation carried forward
+    "q60_gap_fill" -> { (s, d) =>
+      val daily = Tables.orders(s, d)
+        .filter(col("o_totalprice") > 450000)
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name").as("nation_name"), to_date(col("o_orderdate")).as("day"))
+        .agg(count(lit(1)).as("n_orders"))
+      Relational.gapFillDaily(daily, "nation_name", "day", "n_orders")
+        .orderBy("nation_name", "day")
+    },
+    // ordered funnel: per-session earliest step times, each step strictly
+    // after the previous (view → click → purchase)
+    "q61_funnel" -> { (s, d) =>
+      graft.analysis.Funnel.stepTimes(TestData.clicks(s, d),
+          Seq("view", "click", "purchase"), keyCol = "session_id",
+          typeCol = "event_type", tsCol = "event_ts")
+        .orderBy("session_id")
+    },
     // unpivot (melt): the pivot round-trip back to long form — Expand
     // projection, zero shuffle beyond the pivot it inverts
     "q59_melt_pivot" -> { (s, d) =>
@@ -922,6 +942,38 @@ object SparkEntry {
         | count(*) FILTER (WHERE event_type = 'signup') AS signup,
         | count(*) FILTER (WHERE event_type = 'view') AS view
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q60_gap_fill" ->
+      """WITH daily AS (
+        |  SELECT n_name AS nation_name, CAST(o_orderdate AS DATE) AS day, count(*) AS n_orders
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  WHERE o_totalprice > 450000 GROUP BY 1, 2),
+        |b AS (SELECT nation_name, min(day) AS mn, max(day) AS mx FROM daily GROUP BY 1),
+        |spine AS (
+        |  SELECT nation_name,
+        |    CAST(unnest(generate_series(CAST(mn AS TIMESTAMP), CAST(mx AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS day
+        |  FROM b),
+        |j AS (
+        |  SELECT s.nation_name, s.day, d.n_orders
+        |  FROM spine s LEFT JOIN daily d ON s.nation_name = d.nation_name AND s.day = d.day)
+        |SELECT nation_name, day, n_orders,
+        |  last_value(n_orders IGNORE NULLS) OVER (PARTITION BY nation_name ORDER BY day
+        |    ROWS UNBOUNDED PRECEDING) AS filled,
+        |  n_orders IS NULL AS is_filled
+        |FROM j ORDER BY nation_name, day""".stripMargin,
+    "q61_funnel" ->
+      """WITH e AS (
+        |  SELECT CAST(user_id AS VARCHAR) AS sid, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events),
+        |s1 AS (SELECT sid, min(ts) AS t1 FROM e WHERE event_type = 'view' GROUP BY 1),
+        |s2 AS (
+        |  SELECT e.sid, min(ts) AS t2 FROM e JOIN s1 ON e.sid = s1.sid
+        |  WHERE event_type = 'click' AND ts > t1 GROUP BY 1),
+        |s3 AS (
+        |  SELECT e.sid, min(ts) AS t3 FROM e JOIN s2 ON e.sid = s2.sid
+        |  WHERE event_type = 'purchase' AND ts > t2 GROUP BY 1)
+        |SELECT s1.sid AS session_id, t1, t2, t3
+        |FROM s1 LEFT JOIN s2 ON s1.sid = s2.sid LEFT JOIN s3 ON s1.sid = s3.sid
+        |ORDER BY session_id""".stripMargin,
     "q58_fuzzy_match" ->
       """SELECT a.p_brand, a.p_partkey AS id_a, b.p_partkey AS id_b,
         |  a.p_name AS str_a, b.p_name AS str_b,

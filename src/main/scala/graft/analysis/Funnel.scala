@@ -1,0 +1,61 @@
+package graft.analysis
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Ordered funnel analysis: how many keys (sessions, users) reach step k of
+  * a required event sequence, where step k counts only if it happens
+  * STRICTLY AFTER step k-1 (an out-of-order purchase does not complete a
+  * view→click→purchase funnel).
+  */
+object Funnel {
+
+  /** Per-key earliest completion time of each step. Step 1 is a plain
+    * conditional min; each later step joins the previous step's frame and
+    * takes the min event time after it — k-1 joins total, each on the key
+    * with aggregate-sized sides (one row per key that reached the step),
+    * never on raw events. Output: keyCol, t1..tk (null once the funnel
+    * breaks... keys missing step 1 are absent entirely). */
+  def stepTimes(
+      events: DataFrame,
+      steps: Seq[String],
+      keyCol: String,
+      typeCol: String,
+      tsCol: String): DataFrame = {
+    require(steps.nonEmpty)
+    var cur = events.filter(col(typeCol) === steps.head)
+      .groupBy(col(keyCol)).agg(min(col(tsCol)).as("t1"))
+    for ((step, i) <- steps.tail.zipWithIndex) {
+      val prev = (1 to i + 1).map(j => s"t$j")
+      val next = events.filter(col(typeCol) === step)
+        .join(cur, keyCol)
+        .filter(col(tsCol) > col(s"t${i + 1}"))
+        .groupBy(keyCol, prev: _*)
+        .agg(min(col(tsCol)).as(s"t${i + 2}"))
+      // keys that stalled at step i+1 keep their prefix, with a null tail
+      cur = cur.join(next.select((keyCol +: Seq(s"t${i + 2}")).map(col): _*), Seq(keyCol), "left")
+    }
+    cur
+  }
+
+  /** Funnel summary: one row per step with how many keys reached it and
+    * the conversion rate vs step 1. */
+  def summary(
+      events: DataFrame,
+      steps: Seq[String],
+      keyCol: String,
+      typeCol: String,
+      tsCol: String): DataFrame = {
+    val times = stepTimes(events, steps, keyCol, typeCol, tsCol)
+    val aggs = steps.indices.map(i => count(col(s"t${i + 1}")).as(s"c${i + 1}"))
+    val counts = times.agg(aggs.head, aggs.tail: _*).collect().head
+    val rows = steps.zipWithIndex.map { case (s, i) =>
+      (i + 1, s, counts.getAs[Long](s"c${i + 1}"))
+    }
+    val spark = events.sparkSession
+    import spark.implicits._
+    rows.toDF("step_index", "step", "sessions")
+      .withColumn("conversion",
+        round(col("sessions").cast("double") / lit(rows.head._3.toDouble), 4))
+  }
+}

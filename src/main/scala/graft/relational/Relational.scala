@@ -280,6 +280,29 @@ object Relational {
       .na.fill(0L, types)
       .orderBy(dateCol)
 
+  /** Calendar gap filling + forward fill: expand each group's day range to
+    * a dense date spine (`sequence` + explode — rows bounded by calendar
+    * days, not by fact size), left-join the real values back, and carry the
+    * last observation forward with an ignore-nulls `last` window. The spine
+    * join and the window share the same (key, day) partitioning, so this
+    * costs one shuffle beyond the pre-aggregation.
+    * Output: keyCol, dayCol, valCol (null on gap days), filled, is_filled. */
+  def gapFillDaily(
+      daily: DataFrame,
+      keyCol: String,
+      dayCol: String,
+      valCol: String): DataFrame = {
+    val spine = daily.groupBy(keyCol)
+      .agg(min(dayCol).as("__min"), max(dayCol).as("__max"))
+      .select(col(keyCol),
+        explode(sequence(col("__min"), col("__max"), expr("interval 1 day"))).as(dayCol))
+    val w = Window.partitionBy(keyCol).orderBy(dayCol)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine.join(daily, Seq(keyCol, dayCol), "left")
+      .withColumn("filled", last(col(valCol), ignoreNulls = true).over(w))
+      .withColumn("is_filled", col(valCol).isNull)
+  }
+
   /** Unpivot (melt): wide columns back to long rows — the inverse of
     * [[dailyTypePivot]]. Spark's native `unpivot` plans as an Expand
     * projection (one output row per value column per input row), no

@@ -1,0 +1,56 @@
+package graft
+
+import graft.analysis.Funnel
+import graft.relational.Relational
+
+class FunnelSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val events = Seq(
+    // s1 completes in order
+    ("s1", "view", 10L), ("s1", "click", 20L), ("s1", "purchase", 30L),
+    // s2: purchase BEFORE click — funnel must stall at click
+    ("s2", "view", 10L), ("s2", "purchase", 15L), ("s2", "click", 20L),
+    // s3: view only
+    ("s3", "view", 5L),
+    // s4: no view at all — absent from the funnel entirely
+    ("s4", "click", 1L), ("s4", "purchase", 2L)
+  ).toDF("sid", "etype", "ts")
+
+  test("step times: strict ordering enforced, stalls keep prefix, no-entry keys absent") {
+    val out = Funnel.stepTimes(events, Seq("view", "click", "purchase"), "sid", "etype", "ts")
+      .collect()
+      .map(r => r.getString(0) -> ((Option(r.get(1)), Option(r.get(2)), Option(r.get(3)))))
+      .toMap
+    assert(out.keySet === Set("s1", "s2", "s3"))
+    assert(out("s1") === ((Some(10L), Some(20L), Some(30L))))
+    assert(out("s2") === ((Some(10L), Some(20L), None))) // purchase@15 < click@20 doesn't count
+    assert(out("s3") === ((Some(5L), None, None)))
+  }
+
+  test("summary: counts per step and conversion vs step 1") {
+    val out = Funnel.summary(events, Seq("view", "click", "purchase"), "sid", "etype", "ts")
+      .collect().map(r => r.getInt(0) -> ((r.getLong(2), r.getDouble(3)))).toMap
+    assert(out(1) === ((3L, 1.0)))
+    assert(out(2) === ((2L, 0.6667)))
+    assert(out(3) === ((1L, 0.3333)))
+  }
+
+  test("gap fill: spine densifies, forward fill carries last value, flags set") {
+    val daily = Seq(
+      ("a", java.sql.Date.valueOf("2024-01-01"), 5L),
+      ("a", java.sql.Date.valueOf("2024-01-04"), 7L),
+      ("b", java.sql.Date.valueOf("2024-01-02"), 1L)
+    ).toDF("k", "day", "v")
+    val out = Relational.gapFillDaily(daily, "k", "day", "v")
+      .collect()
+      .map(r => (r.getString(0), r.getDate(1).toString, Option(r.get(2)), r.getLong(3), r.getBoolean(4)))
+      .sortBy(r => (r._1, r._2))
+    assert(out.toSeq === Seq(
+      ("a", "2024-01-01", Some(5L), 5L, false),
+      ("a", "2024-01-02", None, 5L, true),
+      ("a", "2024-01-03", None, 5L, true),
+      ("a", "2024-01-04", Some(7L), 7L, false),
+      ("b", "2024-01-02", Some(1L), 1L, false)))
+  }
+}
