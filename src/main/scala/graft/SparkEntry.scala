@@ -377,6 +377,12 @@ object SparkEntry {
           blockCol = "p_brand", idCol = "p_partkey", strCol = "p_name", maxDistance = 2)
         .orderBy("id_a", "id_b")
     },
+    // robust outliers: median + MAD per event type, k=6 robust z-score
+    "q62_mad_outliers" -> { (s, d) =>
+      Relational.madOutliers(TestData.clicks(s, d),
+          groupCol = "event_type", idCol = "event_id", valCol = "value", k = 6.0)
+        .orderBy("event_id")
+    },
     // calendar gap fill + forward fill: dense date spine per nation over
     // sparse high-value order days, last observation carried forward
     "q60_gap_fill" -> { (s, d) =>
@@ -942,6 +948,19 @@ object SparkEntry {
         | count(*) FILTER (WHERE event_type = 'signup') AS signup,
         | count(*) FILTER (WHERE event_type = 'view') AS view
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q62_mad_outliers" ->
+      """WITH e AS (SELECT event_id, event_type, value FROM events),
+        |m AS (SELECT event_type, quantile_cont(value, 0.5) AS med FROM e GROUP BY 1),
+        |d AS (
+        |  SELECT e.event_type, e.event_id, e.value, m.med, abs(e.value - m.med) AS absdev
+        |  FROM e JOIN m ON e.event_type = m.event_type),
+        |md AS (SELECT event_type, quantile_cont(absdev, 0.5) AS mad FROM d GROUP BY 1)
+        |SELECT d.event_type, d.event_id, d.value,
+        |  round(d.med, 6) AS median, round(md.mad, 6) AS mad,
+        |  round(d.absdev / md.mad, 4) AS robust_z
+        |FROM d JOIN md ON d.event_type = md.event_type
+        |WHERE d.absdev > 6 * md.mad
+        |ORDER BY d.event_id""".stripMargin,
     "q60_gap_fill" ->
       """WITH daily AS (
         |  SELECT n_name AS nation_name, CAST(o_orderdate AS DATE) AS day, count(*) AS n_orders

@@ -238,6 +238,31 @@ object Relational {
       .orderBy(groupCol)
   }
 
+  /** Robust per-group outlier detection via median + MAD: flag rows whose
+    * absolute deviation from the group median exceeds k × MAD (the robust
+    * z-score — unlike mean/stddev, one huge outlier cannot mask others by
+    * inflating the scale estimate). Two exact grouped percentile passes +
+    * two broadcast joins back (group-stats frames are tiny); at 100 TB the
+    * same shape runs on `percentile_approx` like [[valuePercentiles]].
+    * Output: groupCol, idCol, valCol, median, mad, robust_z. */
+  def madOutliers(
+      df: DataFrame,
+      groupCol: String,
+      idCol: String,
+      valCol: String,
+      k: Double = 6.0): DataFrame = {
+    val med = df.groupBy(groupCol).agg(percentile(col(valCol), lit(0.5)).as("med"))
+    val dev = df.select(col(groupCol), col(idCol), col(valCol))
+      .join(broadcast(med), groupCol)
+      .withColumn("absdev", abs(col(valCol) - col("med")))
+    val mad = dev.groupBy(groupCol).agg(percentile(col("absdev"), lit(0.5)).as("mad"))
+    dev.join(broadcast(mad), groupCol)
+      .filter(col("absdev") > lit(k) * col("mad"))
+      .select(col(groupCol), col(idCol), col(valCol),
+        round(col("med"), 6).as("median"), round(col("mad"), 6).as("mad"),
+        round(col("absdev") / col("mad"), 4).as("robust_z"))
+  }
+
   /** Hierarchical totals via ROLLUP: (region, nation) → per-nation rows,
     * per-region subtotals, grand total — one Expand + one aggregate, the
     * multi-granularity answer without re-scanning per level. */

@@ -42,6 +42,16 @@ class OpsSpec extends SparkSpec {
       ("2024-01-02", "click") -> 0L, ("2024-01-02", "view") -> 1L))
   }
 
+  test("mad outliers: extreme value flagged, inliers untouched, scale is robust") {
+    import spark.implicits._
+    val df = ((1 to 9).map(i => ("g", i.toLong, i.toDouble)) :+ (("g", 100L, 100.0)))
+      .toDF("grp", "id", "v")
+    val out = graft.relational.Relational.madOutliers(df, "grp", "id", "v", k = 6.0)
+      .collect().map(r => (r.getLong(1), r.getDouble(5)))
+    // median 5.5, MAD 2.5 -> only 100 (absdev 94.5, z 37.8) crosses 6*MAD=15
+    assert(out.toSeq === Seq((100L, 37.8)))
+  }
+
   test("salted join equals the plain join result (skew path)") {
     val big = Seq.tabulate(1000)(i => (i % 3, i)).toDF("k", "v")          // skewed: 3 keys
     val small = Seq((0, "a"), (1, "b"), (2, "c"), (9, "zz")).toDF("k", "name")
