@@ -377,6 +377,19 @@ object SparkEntry {
           blockCol = "p_brand", idCol = "p_partkey", strCol = "p_name", maxDistance = 2)
         .orderBy("id_a", "id_b")
     },
+    // one-pass data-quality profile of orders (nulls / cardinality / range
+    // per column); doubles pre-cast to DECIMAL so min/max strings render
+    // identically across engines
+    "q63_profile" -> { (s, d) =>
+      val orders = Tables.orders(s, d).select(
+        col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("o_totalprice").cast("decimal(12,2)").as("o_totalprice"),
+        to_date(col("o_orderdate")).as("o_orderdate"), col("o_orderpriority"))
+      graft.analysis.Profiling.profile(orders,
+          Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+            "o_orderdate", "o_orderpriority"))
+        .orderBy("column_name")
+    },
     // robust outliers: median + MAD per event type, k=6 robust z-score
     "q62_mad_outliers" -> { (s, d) =>
       Relational.madOutliers(TestData.clicks(s, d),
@@ -948,6 +961,32 @@ object SparkEntry {
         | count(*) FILTER (WHERE event_type = 'signup') AS signup,
         | count(*) FILTER (WHERE event_type = 'view') AS view
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q63_profile" ->
+      """WITH o AS (
+        |  SELECT o_orderkey, o_custkey, o_orderstatus,
+        |    CAST(o_totalprice AS DECIMAL(12,2)) AS o_totalprice,
+        |    CAST(o_orderdate AS DATE) AS o_orderdate, o_orderpriority
+        |  FROM orders)
+        |SELECT * FROM (
+        |  SELECT 'o_orderkey' AS column_name, count(*) - count(o_orderkey) AS n_nulls,
+        |    count(DISTINCT o_orderkey) AS n_distinct,
+        |    CAST(min(o_orderkey) AS VARCHAR) AS min_value, CAST(max(o_orderkey) AS VARCHAR) AS max_value FROM o
+        |  UNION ALL
+        |  SELECT 'o_custkey', count(*) - count(o_custkey), count(DISTINCT o_custkey),
+        |    CAST(min(o_custkey) AS VARCHAR), CAST(max(o_custkey) AS VARCHAR) FROM o
+        |  UNION ALL
+        |  SELECT 'o_orderstatus', count(*) - count(o_orderstatus), count(DISTINCT o_orderstatus),
+        |    CAST(min(o_orderstatus) AS VARCHAR), CAST(max(o_orderstatus) AS VARCHAR) FROM o
+        |  UNION ALL
+        |  SELECT 'o_totalprice', count(*) - count(o_totalprice), count(DISTINCT o_totalprice),
+        |    CAST(min(o_totalprice) AS VARCHAR), CAST(max(o_totalprice) AS VARCHAR) FROM o
+        |  UNION ALL
+        |  SELECT 'o_orderdate', count(*) - count(o_orderdate), count(DISTINCT o_orderdate),
+        |    CAST(min(o_orderdate) AS VARCHAR), CAST(max(o_orderdate) AS VARCHAR) FROM o
+        |  UNION ALL
+        |  SELECT 'o_orderpriority', count(*) - count(o_orderpriority), count(DISTINCT o_orderpriority),
+        |    CAST(min(o_orderpriority) AS VARCHAR), CAST(max(o_orderpriority) AS VARCHAR) FROM o)
+        |ORDER BY column_name""".stripMargin,
     "q62_mad_outliers" ->
       """WITH e AS (SELECT event_id, event_type, value FROM events),
         |m AS (SELECT event_type, quantile_cont(value, 0.5) AS med FROM e GROUP BY 1),

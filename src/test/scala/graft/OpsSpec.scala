@@ -42,6 +42,19 @@ class OpsSpec extends SparkSpec {
       ("2024-01-02", "click") -> 0L, ("2024-01-02", "view") -> 1L))
   }
 
+  test("profile: nulls, cardinality, and range per column in one pass") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Option("a"), Option(10)), (2L, Option("b"), None), (3L, Option.empty[String], Option(30))
+    ).toDF("id", "s", "v")
+    val out = graft.analysis.Profiling.profile(df, Seq("id", "s", "v"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3), r.getString(4)))).toMap
+    assert(out("id") === ((0L, 3L, "1", "3")))
+    assert(out("s") === ((1L, 2L, "a", "b")))
+    assert(out("v") === ((1L, 2L, "10", "30")))
+  }
+
   test("mad outliers: extreme value flagged, inliers untouched, scale is robust") {
     import spark.implicits._
     val df = ((1 to 9).map(i => ("g", i.toLong, i.toDouble)) :+ (("g", 100L, 100.0)))
