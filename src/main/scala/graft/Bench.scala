@@ -53,7 +53,10 @@ object Bench {
     val qs = ok.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
     val spread = results.collect { case (n, Some(_), s, _) => "\"" + n + "\":" + fmt(s) }
       .mkString("{", ",", "}")
-    val failures = results.collect { case (n, None, _, _) => "\"" + n + "\"" }
+    // keyed on the failure itself, not on "no successful rep": a query that
+    // succeeds once and then crashes on a later rep is flaky, and hiding it
+    // from the failures array would report it as healthy
+    val failures = results.collect { case (n, _, _, Some(_)) => "\"" + n + "\"" }
       .mkString("[", ",", "]")
     val total = ok.map(_._2).sum
     println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","reps":$reps,"queries":$qs,"spread":$spread,"failures":$failures,"sf":"$sfDir"}""")

@@ -677,14 +677,15 @@ object SparkEntry {
     "q54_snapshot_diff" ->
       """WITH os AS (
         |  SELECT o_orderkey, md5(concat_ws('|',
-        |      COALESCE(o_orderstatus, ''), COALESCE(o_orderpriority, ''),
-        |      COALESCE(CAST(CAST(o_orderdate AS DATE) AS VARCHAR), ''))) AS old_hash
+        |      COALESCE(replace(replace(o_orderstatus, '\', '\\'), '|', '\|'), '\N'),
+        |      COALESCE(replace(replace(o_orderpriority, '\', '\\'), '|', '\|'), '\N'),
+        |      COALESCE(replace(replace(CAST(CAST(o_orderdate AS DATE) AS VARCHAR), '\', '\\'), '|', '\|'), '\N'))) AS old_hash
         |  FROM orders WHERE o_orderkey % 13 <> 0),
         |ns AS (
         |  SELECT o_orderkey, md5(concat_ws('|',
-        |      COALESCE(o_orderstatus, ''),
-        |      COALESCE(CASE WHEN o_orderkey % 5 = 0 THEN o_orderpriority || '*' ELSE o_orderpriority END, ''),
-        |      COALESCE(CAST(CAST(o_orderdate AS DATE) AS VARCHAR), ''))) AS new_hash
+        |      COALESCE(replace(replace(o_orderstatus, '\', '\\'), '|', '\|'), '\N'),
+        |      COALESCE(replace(replace(CASE WHEN o_orderkey % 5 = 0 THEN o_orderpriority || '*' ELSE o_orderpriority END, '\', '\\'), '|', '\|'), '\N'),
+        |      COALESCE(replace(replace(CAST(CAST(o_orderdate AS DATE) AS VARCHAR), '\', '\\'), '|', '\|'), '\N'))) AS new_hash
         |  FROM orders WHERE o_orderkey % 17 <> 0)
         |SELECT o_orderkey, old_hash, new_hash, change_type FROM (
         |  SELECT COALESCE(os.o_orderkey, ns.o_orderkey) AS o_orderkey,

@@ -54,8 +54,11 @@ object Funnel {
     }
     val spark = events.sparkSession
     import spark.implicits._
+    // an empty funnel (nobody reached step 1) reports 0.0 conversion rather
+    // than a null-producing divide by zero
+    val base = math.max(rows.head._3, 1L).toDouble
     rows.toDF("step_index", "step", "sessions")
       .withColumn("conversion",
-        round(col("sessions").cast("double") / lit(rows.head._3.toDouble), 4))
+        round(col("sessions").cast("double") / lit(base), 4))
   }
 }

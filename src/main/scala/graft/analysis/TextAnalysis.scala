@@ -191,19 +191,28 @@ object TextAnalysis {
     val evalNgrams = evalSet
       .select(explode(Dedup.shingles(tokens(col(textCol)), n)).as("ngram"))
       .distinct()
-    val docNgrams = corpus.select(col(idCol),
-      explode(array_distinct(Dedup.shingles(tokens(col(textCol)), n))).as("ngram"))
-    val hits = docNgrams.join(broadcast(evalNgrams), Seq("ngram"))
-      .groupBy(idCol).agg(count(lit(1)).as("n_contaminated"))
-    corpus
+    // tokenize+shingle is the dominant CPU cost of the whole pass; project
+    // the distinct-gram array ONCE and persist it so the two consumers
+    // (per-doc size, exploded join side) don't re-run the regex pipeline
+    // over the full corpus each — the frame spills to disk if it outgrows
+    // memory, and the eager tail below releases it
+    val grams = corpus
       .select(col(idCol),
-        size(array_distinct(Dedup.shingles(tokens(col(textCol)), n))).as("n_ngrams"))
+        array_distinct(Dedup.shingles(tokens(col(textCol)), n)).as("__grams"))
+      .persist()
+    val hits = grams.select(col(idCol), explode(col("__grams")).as("ngram"))
+      .join(broadcast(evalNgrams), Seq("ngram"))
+      .groupBy(idCol).agg(count(lit(1)).as("n_contaminated"))
+    val result = grams
+      .select(col(idCol), size(col("__grams")).as("n_ngrams"))
       .join(hits, Seq(idCol), "left")
       .na.fill(0L, Seq("n_contaminated"))
       .withColumn("contamination_ratio",
         round(when(col("n_ngrams") > 0,
           col("n_contaminated").cast(DoubleType) / col("n_ngrams")).otherwise(0.0), 4))
       .withColumn("is_contaminated", col("contamination_ratio") >= minRatio)
+    try result.localCheckpoint(true)
+    finally { grams.unpersist(); () }
   }
 
   /** PII patterns, deliberately portable across Java regex (Spark) and RE2

@@ -26,11 +26,16 @@ import org.apache.spark.sql.SparkSession
   */
 object Orchestrator {
 
-  /** Per-stage policy. `retries` = additional attempts after the first. */
+  /** Per-stage policy. `retries` = additional attempts after the first.
+    * `cancelDrain` bounds how long a timed-out attempt is given to actually
+    * terminate after the job-group cancel — a retry must never overlap a
+    * still-running previous attempt (two concurrent executions of the same
+    * stage body race on the same sink). */
   final case class Policy(
       retries: Int = 1,
       retryDelay: FiniteDuration = 5.minutes,
-      slaTimeout: FiniteDuration = 30.minutes)
+      slaTimeout: FiniteDuration = 30.minutes,
+      cancelDrain: FiniteDuration = 30.seconds)
 
   /** The reference's batch policy (1 retry / 5 min / 30 min SLA). */
   val batchPolicy: Policy = Policy()
@@ -84,17 +89,28 @@ object Orchestrator {
         case None =>
           return StageReport(stage.name, attempt, succeeded = true,
             (System.nanoTime() - t0) / 1000000L, None)
-        case some => lastError = some
+        case Some(f) =>
+          lastError = Some(f.msg)
+          if (!f.retryable)
+            return StageReport(stage.name, attempt, succeeded = false,
+              (System.nanoTime() - t0) / 1000000L, lastError)
       }
     }
     StageReport(stage.name, attempt, succeeded = false,
       (System.nanoTime() - t0) / 1000000L, lastError)
   }
 
+  private final case class Failure(msg: String, retryable: Boolean)
+
   /** One attempt under its own job group; SLA breach cancels the group
-    * (interrupting running tasks) before reporting the timeout. */
+    * (interrupting running tasks) and then WAITS (bounded by `cancelDrain`)
+    * for the stage thread to actually die — retrying while the timed-out
+    * attempt still runs would put two executions of the stage body on the
+    * same sink. A thread that survives the drain makes the failure
+    * non-retryable. Fatal throwables (OOM etc.) propagate instead of being
+    * retried in a JVM that just proved itself degraded. */
   private def attemptOnce(
-      spark: SparkSession, stage: Stage, attempt: Int): Option[String] = {
+      spark: SparkSession, stage: Stage, attempt: Int): Option[Failure] = {
     val group = s"graft-stage-${stage.name}-$attempt"
     val exec = Executors.newSingleThreadExecutor(r => {
       val t = new Thread(r, group); t.setDaemon(true); t
@@ -111,9 +127,22 @@ object Orchestrator {
       case _: TimeoutException =>
         spark.sparkContext.cancelJobGroup(group)
         fut.cancel(true)
-        Some(s"sla_timeout after ${stage.policy.slaTimeout}")
+        exec.shutdownNow()
+        val drained = exec.awaitTermination(
+          stage.policy.cancelDrain.toMillis, TimeUnit.MILLISECONDS)
+        if (drained)
+          Some(Failure(s"sla_timeout after ${stage.policy.slaTimeout}", retryable = true))
+        else
+          Some(Failure(
+            s"sla_timeout after ${stage.policy.slaTimeout}; stage thread did not " +
+              s"terminate within ${stage.policy.cancelDrain} — retries skipped to " +
+              "avoid concurrent execution", retryable = false))
+      case e: java.util.concurrent.ExecutionException =>
+        val cause = Option(e.getCause).getOrElse(e)
+        if (NonFatal(cause)) Some(Failure(cause.toString, retryable = true))
+        else throw cause
       case NonFatal(e) =>
-        Some(Option(e.getCause).getOrElse(e).toString)
+        Some(Failure(Option(e.getCause).getOrElse(e).toString, retryable = true))
     } finally exec.shutdownNow()
   }
 }

@@ -23,16 +23,24 @@ object ChangeCapture {
     * dates) — floating-point rendering is engine-specific, so hash a
     * rounded decimal cast rather than a raw double.
     *
+    * The digest is injective over the row: cell values backslash-escape the
+    * delimiter ('|' → '\|', '\' → '\\') so a '|' inside a value cannot
+    * shift column boundaries, and NULL encodes as the sentinel '\N' (which
+    * a real "\N" value escapes away from), so NULL ≠ empty string.
+    *
     * Output: keyCols*, old_hash, new_hash, change_type. */
   def snapshotDiff(
       oldSnap: DataFrame,
       newSnap: DataFrame,
       keyCols: Seq[String],
       compareCols: Seq[String]): DataFrame = {
+    def cell(c: String) = coalesce(
+      replace(replace(col(c).cast(StringType), lit("\\"), lit("\\\\")),
+        lit("|"), lit("\\|")),
+      lit("\\N"))
     def hashed(df: DataFrame, as: String): DataFrame =
       df.select(keyCols.map(col) :+
-        md5(concat_ws("|",
-          compareCols.map(c => coalesce(col(c).cast(StringType), lit(""))): _*)).as(as): _*)
+        md5(concat_ws("|", compareCols.map(cell): _*)).as(as): _*)
     hashed(oldSnap, "old_hash")
       .join(hashed(newSnap, "new_hash"), keyCols, "full_outer")
       .withColumn("change_type",

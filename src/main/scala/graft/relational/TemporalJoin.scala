@@ -64,18 +64,25 @@ object TemporalJoin {
     // strict flips the tags so an equal-time right row sorts after the left
     // row and is not yet visible to it
     val (rightTag, leftTag) = if (strict) (1, 0) else (0, 1)
+    // the tie column keeps its NATIVE type (casting a string id to long
+    // would null it out and silently lose determinism); it only ever
+    // disambiguates right rows among themselves — left vs right order at
+    // equal time is decided by __side alone, so the left side's tie value
+    // is irrelevant and a typed null suffices
+    val tieType = rightTieBreak.map(c => right.schema(c).dataType)
+      .getOrElse(org.apache.spark.sql.types.LongType)
     val rightSide = right.select(
       col(key).as("__k"),
       col(rightTime).as("__t"),
       lit(rightTag).as("__side"),
-      rightTieBreak.map(col).getOrElse(lit(0L)).cast("long").as("__tie"),
+      rightTieBreak.map(col).getOrElse(lit(0L)).cast(tieType).as("__tie"),
       payloadT.as("__payload"),
       lit(null).cast(leftRowType).as("__lrow"))
     val leftSide = left.select(
       col(key).as("__k"),
       col(leftTime).as("__t"),
       lit(leftTag).as("__side"),
-      lit(Long.MaxValue).as("__tie"),
+      lit(null).cast(tieType).as("__tie"),
       lit(null).cast(payloadType).as("__payload"),
       leftRowT.as("__lrow"))
     val w = Window.partitionBy("__k")

@@ -15,13 +15,25 @@ class ChangeCaptureSpec extends SparkSpec {
     assert(out === Map(1L -> "deleted", 3L -> "changed", 4L -> "added"))
   }
 
-  test("snapshot diff: null-safe content hash distinguishes null from empty") {
-    val oldSnap = Seq((1L, Option.empty[String])).toDF("k", "v")
-    val newSnap = Seq((1L, Option(""))).toDF("k", "v")
-    // null and "" both coalesce to the same digest input by design (stable
-    // cross-engine hashing beats null-vs-empty discrimination here) — the
-    // row must therefore read as unchanged, not flap on every diff
-    assert(ChangeCapture.snapshotDiff(oldSnap, newSnap, Seq("k"), Seq("v")).count() === 0)
+  test("snapshot diff: digest is injective — null vs empty and shifted delimiters both surface") {
+    // null → '\N' sentinel, distinct from '' → these rows are CHANGED
+    val o1 = Seq((1L, Option.empty[String])).toDF("k", "v")
+    val n1 = Seq((1L, Option(""))).toDF("k", "v")
+    assert(ChangeCapture.snapshotDiff(o1, n1, Seq("k"), Seq("v"))
+      .collect().map(_.getAs[String]("change_type")).toSeq === Seq("changed"))
+    // '|' inside a value must not shift column boundaries:
+    // ("x", "y|z") vs ("x|y", "z") concat differently once escaped
+    val o2 = Seq((1L, "x", "y|z")).toDF("k", "a", "b")
+    val n2 = Seq((1L, "x|y", "z")).toDF("k", "a", "b")
+    assert(ChangeCapture.snapshotDiff(o2, n2, Seq("k"), Seq("a", "b"))
+      .collect().map(_.getAs[String]("change_type")).toSeq === Seq("changed"))
+    // a literal backslash-N value is NOT confused with the null sentinel
+    val o3 = Seq((1L, Option("\\N"))).toDF("k", "v")
+    val n3 = Seq((1L, Option.empty[String])).toDF("k", "v")
+    assert(ChangeCapture.snapshotDiff(o3, n3, Seq("k"), Seq("v"))
+      .collect().map(_.getAs[String]("change_type")).toSeq === Seq("changed"))
+    // identical rows (including identical nulls) still drop out
+    assert(ChangeCapture.snapshotDiff(o1, o1, Seq("k"), Seq("v")).count() === 0)
   }
 
   test("scd2: runs collapse (nulls included), intervals chain, last is current") {

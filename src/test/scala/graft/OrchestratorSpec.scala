@@ -65,6 +65,25 @@ class OrchestratorSpec extends SparkSpec {
     assert(r.durationMs < 30000, s"cancel must not wait for the job: ${r.durationMs}ms")
   }
 
+  test("a timed-out stage whose thread survives the drain is NOT retried") {
+    val calls = new AtomicInteger(0)
+    val release = new java.util.concurrent.CountDownLatch(1)
+    val reports = Orchestrator.run(spark, Seq(
+      Stage("stuck", Policy(retries = 3, retryDelay = 1.minute,
+          slaTimeout = 200.millis, cancelDrain = 200.millis))(() => {
+        calls.incrementAndGet()
+        // swallow the cancel interrupt and keep "running" until released —
+        // the un-killable stage body the drain guard exists for
+        while (release.getCount > 0)
+          try release.await() catch { case _: InterruptedException => () }
+      })),
+      sleep = noSleep)
+    release.countDown()
+    assert(calls.get() === 1, "no concurrent second attempt was launched")
+    assert(reports.head.attempts === 1 && !reports.head.succeeded)
+    assert(reports.head.error.exists(_.contains("did not terminate")))
+  }
+
   test("managed daily pipeline runs end-to-end with per-stage reports") {
     val dir = tmpDir("orch_in")
     Fixtures.writeJsonl(dir, "events.json", Seq(

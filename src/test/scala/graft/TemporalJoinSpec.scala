@@ -62,6 +62,20 @@ class TemporalJoinSpec extends SparkSpec {
     assert(out.select("asof_price").as[Long].head() === 9L)
   }
 
+  test("asof tie-break on a STRING column keeps its native ordering (no lossy long cast)") {
+    import spark.implicits._
+    val left = Seq(("k", 10L)).toDF("key", "t")
+    val right = Seq(("k", 10L, "uuid-b", "B"), ("k", 10L, "uuid-a", "A"))
+      .toDF("key", "t", "rid", "payload")
+    val out = graft.relational.TemporalJoin.asofJoin(
+        left, right, key = "key", leftTime = "t", rightTime = "t",
+        rightPayload = Seq("payload"), strict = false, rightTieBreak = Some("rid"))
+      .collect()
+    // both right rows share (key, t); the larger rid string must win
+    assert(out.length === 1)
+    assert(out.head.getAs[String]("asof_payload") === "B")
+  }
+
   test("asof equals the naive join+argmax formulation on a dense fixture") {
     val ev = adapters.TestData.eventsRaw(spark, "/root/testdata/sf0.001")
     val left = ev.filter(col("event_type") === "purchase")
