@@ -61,6 +61,39 @@ class StreamingSpec extends SparkSpec {
     assert(keys.contains("w9"), "late new-key event is curated (at-least-once tolerance)")
   }
 
+  test("kafka wire format: binary-value records parse through the full streaming curate path") {
+    // no broker is available offline, but the exact frame Spark's Kafka
+    // source yields — binary key/value + topic/partition/offset/timestamp —
+    // is reproduced through MemoryStream, so S2's parse + watermarked-dedup
+    // path runs end-to-end on the wire format itself
+    import spark.implicits._
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Array[Byte], Array[Byte], String, Int, Long, java.sql.Timestamp)](spark)
+    val kafkaShaped = input.toDF()
+      .toDF("key", "value", "topic", "partition", "offset", "timestamp")
+    val out = CuratedStreamJob.curate(kafkaShaped, rawIsKafka = true)
+    val q = out.writeStream.format("memory").queryName("kafka_curated")
+      .outputMode("append").start()
+    try {
+      def rec(sid: String, doc: Int, ts: String, key: String) =
+        (sid.getBytes("UTF-8"),
+          Fixtures.rawEventJson(sid, doc, ts, "2026-01-01", dedupKey = key).getBytes("UTF-8"),
+          "tripclick_raw_logs", 0, 0L, java.sql.Timestamp.valueOf("2026-01-01 12:00:00"))
+      input.addData(
+        rec("s1", 7, "2026-01-01T12:00:00+00:00", "k1"),
+        rec("s1", 7, "2026-01-01T12:00:00+00:00", "k1"), // duplicate delivery
+        rec("s2", 9, "2026-01-01T12:01:00+00:00", "k2"))
+      q.processAllAvailable()
+      val rows = spark.table("kafka_curated").collect()
+        .map(r => r.getAs[String]("session_id") ->
+          ((r.getAs[Int]("document_id"), r.getAs[String]("url"), r.getAs[String]("dedup_key"))))
+        .toMap
+      assert(rows.size === 2, "wire duplicate collapsed by watermarked dedup")
+      assert(rows("s1") === ((7, "http://example.org/d/7", "k1")))
+      assert(rows("s2") === ((9, "http://example.org/d/9", "k2")))
+    } finally q.stop()
+  }
+
   test("stateful anomaly windows accumulate across micro-batches (append mode)") {
     import spark.implicits._
     val input = org.apache.spark.sql.execution.streaming.runtime
