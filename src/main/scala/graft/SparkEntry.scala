@@ -33,6 +33,15 @@ object SparkEntry {
     "q20_text_stats" -> { (s, d) =>
       TextAnalysis.textStats(TestData.documents(s, d)).orderBy("doc_id")
     },
+    // weighted deterministic sampling: inclusion probability proportional
+    // to token count, same md5 gate, mean weight folded as a literal
+    "q64_weighted_sample" -> { (s, d) =>
+      val docs = TestData.documents(s, d)
+        .withColumn("n_tokens", size(TextAnalysis.tokens(col("text"))))
+      graft.analysis.Sampling.weightedHashSample(docs,
+          keyCol = "doc_id", weightCol = "n_tokens", fraction = 0.3)
+        .select("doc_id", "n_tokens").orderBy("doc_id")
+    },
     // deterministic stratified sampling: md5-bucket gate per language
     // stratum — reproducible in any engine, no shuffle, retry-stable
     "q44_stratified_sample" -> { (s, d) =>
@@ -376,6 +385,11 @@ object SparkEntry {
       Dedup.fuzzyMatchPairs(Tables.part(s, d),
           blockCol = "p_brand", idCol = "p_partkey", strCol = "p_name", maxDistance = 2)
         .orderBy("id_a", "id_b")
+    },
+    // rank-function breadth: dense_rank / percent_rank / cume_dist in one
+    // window pass per priority class
+    "q65_rank_analytics" -> { (s, d) =>
+      Relational.priceRankAnalytics(Tables.orders(s, d)).orderBy("o_orderkey")
     },
     // one-pass data-quality profile of orders (nulls / cardinality / range
     // per column); doubles pre-cast to DECIMAL so min/max strings render
@@ -790,6 +804,24 @@ object SparkEntry {
         |FROM g ORDER BY doc_id""".stripMargin,
     // md5 hash-gate sampling: bucket = first 8 md5 hex chars as int % 10000,
     // thresholds 5000/2500/1000 = round(fraction * buckets)
+    "q64_weighted_sample" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    len(string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')), ' ')) AS n_tokens
+        |  FROM documents),
+        |m AS (SELECT avg(n_tokens) AS mw FROM d)
+        |SELECT doc_id, n_tokens FROM d
+        |WHERE (('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 10000)
+        |  < CAST(0.3 AS DOUBLE) * CAST(10000 AS DOUBLE) * n_tokens / (SELECT mw FROM m)
+        |ORDER BY doc_id""".stripMargin,
+    "q65_rank_analytics" ->
+      """SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |  CAST(dense_rank() OVER w AS INT) AS price_dense_rank,
+        |  round(percent_rank() OVER w, 6) AS price_percent_rank,
+        |  round(cume_dist() OVER w, 6) AS price_cume_dist
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice)
+        |ORDER BY o_orderkey""".stripMargin,
     "q44_stratified_sample" ->
       """SELECT doc_id, lang, source FROM documents
         |WHERE (('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 10000) <

@@ -53,4 +53,27 @@ object Sampling {
     }
     df.filter(hashBucket(col(keyCol), buckets) < threshold)
   }
+
+  /** Weighted deterministic sample: inclusion probability proportional to a
+    * weight column — p_i = fraction · wᵢ / mean(w), capped at 1 by the
+    * bucket range itself — gated on the same md5 bucket, so every
+    * hashSample property survives (exactly-once under retries,
+    * partitioning-independent, reproducible in any engine) while heavy rows
+    * (long documents, high-value sessions) oversample. The mean weight is
+    * ONE 1-row aggregate folded in as a literal; the per-row threshold is
+    * pure double arithmetic in a fixed evaluation order so an external
+    * oracle reproduces the selected set bit-for-bit. Expected sample size
+    * ≈ fraction·n while few rows clamp. */
+  def weightedHashSample(
+      df: DataFrame,
+      keyCol: String,
+      weightCol: String,
+      fraction: Double,
+      buckets: Int = DefaultBuckets): DataFrame = {
+    require(fraction >= 0 && fraction <= 1, s"fraction out of [0,1]: $fraction")
+    val meanW = df.agg(avg(col(weightCol))).collect().head.getDouble(0)
+    require(meanW > 0, s"mean($weightCol) must be positive, got $meanW")
+    df.filter(hashBucket(col(keyCol), buckets) <
+      lit(fraction) * lit(buckets.toDouble) * col(weightCol) / lit(meanW))
+  }
 }

@@ -238,6 +238,19 @@ object Relational {
       .orderBy(groupCol)
   }
 
+  /** Analytic rank family over one window — dense_rank, percent_rank,
+    * cume_dist share a single sort per partition (Catalyst evaluates all
+    * three in one Window operator). Ties in the order column get equal
+    * ranks in every engine, so the output is deterministic without a
+    * tie-break. */
+  def priceRankAnalytics(orders: DataFrame): DataFrame = {
+    val w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice")
+    orders.select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"),
+      dense_rank().over(w).as("price_dense_rank"),
+      round(percent_rank().over(w), 6).as("price_percent_rank"),
+      round(cume_dist().over(w), 6).as("price_cume_dist"))
+  }
+
   /** Robust per-group outlier detection via median + MAD: flag rows whose
     * absolute deviation from the group median exceeds k × MAD (the robust
     * z-score — unlike mean/stddev, one huge outlier cannot mask others by

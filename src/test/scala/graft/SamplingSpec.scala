@@ -48,6 +48,28 @@ class SamplingSpec extends SparkSpec {
     assert(a === b)
   }
 
+  test("weighted sampling: heavy rows oversample, zero weight never selects, determinism holds") {
+    import spark.implicits._
+    // half the keys weigh 1, half weigh 9 → heavy rows should be selected
+    // at ~9x the light rate at fraction 0.1 (mean weight 5 → p=0.02 vs 0.18)
+    val df = (1L to 4000L).map(i => (i, if (i % 2 == 0) 9.0 else 1.0)).toDF("id", "w")
+    val picked = Sampling.weightedHashSample(df, "id", "w", fraction = 0.1)
+      .select("id").as[Long].collect().toSet
+    val heavy = picked.count(_ % 2 == 0).toDouble
+    val light = picked.count(_ % 2 != 0).toDouble
+    assert(heavy / 2000 > 0.12 && heavy / 2000 < 0.25, s"heavy rate ${heavy / 2000}")
+    assert(light / 2000 > 0.005 && light / 2000 < 0.05, s"light rate ${light / 2000}")
+    // zero-weight rows can never be selected (threshold 0 > no bucket)
+    val withZero = df.withColumn("w", when(col("id") <= 2000, 0.0).otherwise(col("w")))
+    val z = Sampling.weightedHashSample(withZero, "id", "w", fraction = 0.1)
+      .select("id").as[Long].collect()
+    assert(z.forall(_ > 2000))
+    // same inputs → identical set on re-run (determinism)
+    val again = Sampling.weightedHashSample(df, "id", "w", fraction = 0.1)
+      .select("id").as[Long].collect().toSet
+    assert(again === picked)
+  }
+
   test("sample plan is a pure filter: no exchange") {
     val plan = Sampling.hashSample(rows, "id", 0.5)
       .queryExecution.executedPlan.toString
