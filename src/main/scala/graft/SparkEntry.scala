@@ -465,6 +465,18 @@ object SparkEntry {
     "q05_traffic_minute" -> { (s, d) =>
       HotMarts.trafficPerMinute(TestData.clicks(s, d)).orderBy("event_minute")
     },
+    // hot/cold reconciliation: the hot minute mart computed on events seen
+    // before a mid-minute cutoff vs the cold full recompute — late minutes
+    // read cold_only, the straddled minute reads drift
+    "q66_hot_cold_reconcile" -> { (s, d) =>
+      val clicks = TestData.clicks(s, d)
+      val cutoff = lit("2024-01-20 09:25:30").cast("timestamp")
+      graft.pipeline.Reconcile.diff(
+          HotMarts.trafficPerMinute(clicks.filter(col("event_ts") < cutoff)),
+          HotMarts.trafficPerMinute(clicks),
+          Seq("event_minute"), Seq("total_clicks", "unique_sessions", "unique_docs"))
+        .orderBy("event_minute")
+    },
     // #6 mart_realtime_top_docs (SURVEY §2.6.6: W2,O2)
     "q06_top_docs" -> { (s, d) =>
       HotMarts.topDocs(TestData.clicks(s, d), k = 20).orderBy("rank")
@@ -541,6 +553,35 @@ object SparkEntry {
         | count(DISTINCT CAST(user_id AS VARCHAR)) AS unique_sessions,
         | count(DISTINCT CAST(props->>'$.k' AS INTEGER)) AS unique_docs
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q66_hot_cold_reconcile" ->
+      """WITH cold AS (
+        |  SELECT date_trunc('minute', CAST(ts AS TIMESTAMP)) AS event_minute,
+        |    count(*) AS total_clicks,
+        |    count(DISTINCT CAST(user_id AS VARCHAR)) AS unique_sessions,
+        |    count(DISTINCT CAST(props->>'$.k' AS INTEGER)) AS unique_docs
+        |  FROM events GROUP BY 1),
+        |hot AS (
+        |  SELECT date_trunc('minute', CAST(ts AS TIMESTAMP)) AS event_minute,
+        |    count(*) AS total_clicks,
+        |    count(DISTINCT CAST(user_id AS VARCHAR)) AS unique_sessions,
+        |    count(DISTINCT CAST(props->>'$.k' AS INTEGER)) AS unique_docs
+        |  FROM events WHERE CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-20 09:25:30'
+        |  GROUP BY 1),
+        |hh AS (
+        |  SELECT event_minute, md5(concat_ws('|', CAST(total_clicks AS VARCHAR),
+        |    CAST(unique_sessions AS VARCHAR), CAST(unique_docs AS VARCHAR))) AS old_hash
+        |  FROM hot),
+        |ch AS (
+        |  SELECT event_minute, md5(concat_ws('|', CAST(total_clicks AS VARCHAR),
+        |    CAST(unique_sessions AS VARCHAR), CAST(unique_docs AS VARCHAR))) AS new_hash
+        |  FROM cold)
+        |SELECT event_minute, old_hash, new_hash,
+        |  CASE WHEN old_hash IS NULL THEN 'cold_only'
+        |       WHEN new_hash IS NULL THEN 'hot_only'
+        |       ELSE 'drift' END AS status
+        |FROM hh FULL OUTER JOIN ch USING (event_minute)
+        |WHERE old_hash IS NULL OR new_hash IS NULL OR old_hash <> new_hash
+        |ORDER BY event_minute""".stripMargin,
     "q06_top_docs" ->
       """SELECT document_id, click_count, unique_sessions, "rank" FROM (
         | SELECT CAST(props->>'$.k' AS INTEGER) AS document_id,

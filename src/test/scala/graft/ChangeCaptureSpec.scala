@@ -36,6 +36,19 @@ class ChangeCaptureSpec extends SparkSpec {
     assert(ChangeCapture.snapshotDiff(o1, o1, Seq("k"), Seq("v")).count() === 0)
   }
 
+  test("reconcile: hot_only / cold_only / drift classified, summary rates add up") {
+    import graft.pipeline.Reconcile
+    val hot = Seq((1L, 10L), (2L, 20L), (3L, 30L)).toDF("k", "v")
+    val cold = Seq((2L, 20L), (3L, 99L), (4L, 40L)).toDF("k", "v")
+    val d = Reconcile.diff(hot, cold, Seq("k"), Seq("v"))
+      .collect().map(r => r.getLong(0) -> r.getAs[String]("status")).toMap
+    assert(d === Map(1L -> "hot_only", 3L -> "drift", 4L -> "cold_only"))
+    val s = Reconcile.summary(hot, cold, Seq("k"), Seq("v")).collect().head
+    assert((s.getLong(0), s.getLong(1), s.getLong(2), s.getLong(3), s.getLong(4), s.getLong(5))
+      === ((3L, 3L, 1L, 1L, 1L, 1L)))
+    assert(math.abs(s.getDouble(6) - 1.0 / 3) < 1e-12)
+  }
+
   test("scd2: runs collapse (nulls included), intervals chain, last is current") {
     val events = Seq(
       ("s", Option(10), 1L), ("s", Option(10), 2L), ("s", Option(20), 3L),
