@@ -100,6 +100,15 @@ object SparkEntry {
     "q21_lang_id" -> { (s, d) =>
       TextAnalysis.langIdConfusion(TestData.documents(s, d))
     },
+    // batched inference boundary: fixed-size batches inside each partition
+    // (the GPU-feeding shape); the deterministic md5 stub model makes the
+    // batching plumbing itself oracle-checkable
+    "q67_batched_embed" -> { (s, d) =>
+      Multimodal.batchedEmbed(TestData.documents(s, d), batchSize = 32)
+        .select(col("doc_id"), posexplode(col("embedding")).as(Seq("dim", "value")))
+        .withColumn("value", round(col("value"), 6))
+        .orderBy("doc_id", "dim")
+    },
     // sparse TF-IDF cosine pairs via inverted term index (df-cutoff guards
     // the quadratic; decimal-summed dots for shuffle-order independence)
     "q57_tfidf_pairs" -> { (s, d) =>
@@ -1304,6 +1313,11 @@ object SparkEntry {
         |  FROM e x JOIN e y ON x.vec_id < y.vec_id)
         |SELECT doc_a, doc_b, round(cosine, 4) AS cosine
         |FROM p WHERE cosine >= 0.4 ORDER BY doc_a, doc_b""".stripMargin,
+    "q67_batched_embed" ->
+      """WITH e AS (SELECT doc_id, text, unnest(range(8)) AS j FROM documents)
+        |SELECT doc_id, CAST(j AS INT) AS dim,
+        |  round(CAST(('0x' || substring(md5(text), CAST(2 * j + 1 AS INT), 2))::BIGINT AS DOUBLE) / 256.0, 6) AS value
+        |FROM e ORDER BY doc_id, dim""".stripMargin,
     "q57_tfidf_pairs" ->
       """WITH toks AS (
         |  SELECT doc_id,

@@ -97,6 +97,51 @@ object Multimodal {
     }
   }
 
+  /** Batched model inference — the GPU-feeding boundary for embedding
+    * generation at corpus scale: rows group into fixed-size batches INSIDE
+    * each partition (a real model wants one matmul per batch, pinned
+    * buffers sized to batchSize, never per-row calls), the model function
+    * maps a whole batch, and the iterator shape keeps memory constant —
+    * only one batch is resident per partition at a time. Row order and
+    * count are preserved exactly; the final batch per partition is partial.
+    *
+    * `model` is injectable; [[md5StubModel]] is the deterministic stand-in
+    * (no inference runtime in the sandbox) whose output an external SQL
+    * oracle reproduces — so the batching plumbing itself is correctness-
+    * gated, not just eyeballed. */
+  def batchedEmbed(
+      docs: DataFrame,
+      model: Seq[String] => Seq[Array[Double]] = md5StubModel,
+      batchSize: Int = 32,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    require(batchSize > 0)
+    import docs.sparkSession.implicits._
+    docs.select(col(idCol).cast(LongType), col(textCol).cast(StringType))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        // real pipeline: model/session handle acquired once per partition
+        it.grouped(batchSize).flatMap { batch =>
+          val vecs = model(batch.map(_._2))
+          require(vecs.length == batch.length,
+            s"model returned ${vecs.length} vectors for a batch of ${batch.length}")
+          batch.map(_._1).zip(vecs)
+        }
+      }
+      .toDF(idCol, "embedding")
+  }
+
+  /** Deterministic stub "encoder": dimension j of the embedding is byte j of
+    * the text's md5, scaled to [0, 1) — reproducible in any engine with an
+    * md5 function (8 hex pairs → ints / 256). */
+  def md5StubModel(batch: Seq[String]): Seq[Array[Double]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    batch.map { text =>
+      val h = md.digest(Option(text).getOrElse("").getBytes("UTF-8"))
+      Array.tabulate(8)(j => (h(j) & 0xff) / 256.0)
+    }
+  }
+
   /** Frame sampling: cut the binary into fixed-size chunks and keep every
     * `stride`-th one — the shape of video frame extraction (explode stays a
     * built-in generator; rows grow by n_frames/stride only). */

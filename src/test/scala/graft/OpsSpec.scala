@@ -75,6 +75,36 @@ class OpsSpec extends SparkSpec {
     assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty)
   }
 
+  test("batched embed: full batches except the partition tail, rows preserved, model batch-called") {
+    import spark.implicits._
+    import graft.analysis.Multimodal
+    val sizes = spark.sparkContext.collectionAccumulator[Int]("batch_sizes")
+    val docs = (1L to 23L).map(i => (i, s"doc $i")).toDF("doc_id", "text").repartition(2)
+    // closures serialize per task even in local mode, so the model reports
+    // its batch sizes through an accumulator
+    val out = Multimodal.batchedEmbed(docs,
+      model = batch => { sizes.add(batch.length); batch.map(_ => Array(1.0)) },
+      batchSize = 5).collect()
+    assert(out.length === 23, "every row survives batching")
+    assert(out.map(_.getLong(0)).toSet === (1L to 23L).toSet)
+    val observed = {
+      import scala.jdk.CollectionConverters._
+      sizes.value.asScala.map(_.intValue).toList
+    }
+    assert(observed.forall(_ <= 5))
+    assert(observed.count(_ < 5) <= 2, "at most one partial batch per partition")
+    assert(observed.sum === 23)
+  }
+
+  test("batched embed stub model is deterministic and md5-derived") {
+    import spark.implicits._
+    import graft.analysis.Multimodal
+    val docs = Seq((1L, "hello")).toDF("doc_id", "text")
+    val vec = Multimodal.batchedEmbed(docs).collect().head.getSeq[Double](1)
+    val md = java.security.MessageDigest.getInstance("MD5").digest("hello".getBytes("UTF-8"))
+    assert(vec === (0 until 8).map(j => (md(j) & 0xff) / 256.0))
+  }
+
   test("multimodal resize: fixed output size, deterministic sampling, null-safe") {
     import graft.analysis.Multimodal
     val docs = Seq((1L, "abcdefghij" * 20), (2L, "xy")).toDF("doc_id", "text")
