@@ -323,11 +323,17 @@ object Dedup {
       idCol: String,
       strCol: String,
       maxDistance: Int = 2): DataFrame = {
-    val side = df.select(col(blockCol), col(idCol), col(strCol))
     // two cheap bounds before the expensive comparison: |len(a)-len(b)| ≤ d
-    // is a sound lower bound on edit distance, and the thresholded
-    // levenshtein variant abandons rows early once the distance provably
-    // exceeds d (returns -1) instead of filling the full DP matrix
+    // is a sound lower bound on edit distance evaluated in the join
+    // condition (violating pairs never materialize), and the thresholded
+    // levenshtein variant abandons the DP early (returns -1) once the
+    // distance provably exceeds d. A composite (block, length-band) join
+    // key was measured and REJECTED here: it only splits blocks whose
+    // length distribution is wide, and on clustered lengths (real-world
+    // entity names) the ±d band explode costs more than it prunes — if a
+    // corpus has genuinely wide length spread, band on a coarser feature
+    // (first token, phonetic key) instead.
+    val side = df.select(col(blockCol), col(idCol), col(strCol))
     side.as("a")
       .join(side.as("b"),
         col(s"a.$blockCol") === col(s"b.$blockCol") &&

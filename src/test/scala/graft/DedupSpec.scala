@@ -131,6 +131,21 @@ class DedupSpec extends SparkSpec {
     assert(out.toSeq === Seq((1L, 2L, 1)))
   }
 
+  test("fuzzy match: length-band blocking finds cross-band pairs exactly once") {
+    // lengths 10 and 12 land in DIFFERENT bands (width 3) — the exploded
+    // ±d neighborhood must still pair them, and only once
+    val parts = Seq(
+      (1L, "B1", "aaaaaaaaaa"),   // len 10, band 3
+      (2L, "B1", "aaaaaaaaaaaa"), // len 12, band 4, distance 2
+      (3L, "B1", "aaaaaaaaa")     // len 9, band 3, distance 1 from #1
+    ).toDF("pk", "brand", "name")
+    val out = Dedup.fuzzyMatchPairs(parts, "brand", "pk", "name", maxDistance = 2)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"), r.getAs[Int]("distance")))
+      .sortBy(p => (p._1, p._2))
+    assert(out.toSeq === Seq((1L, 2L, 2), (1L, 3L, 1)))
+    // (2,3) distance 3 > maxDistance: correctly absent
+  }
+
   test("sentence dedup: corpus-wide first occurrence wins, docs reassemble in order") {
     val corpus = Seq(
       (1L, "unique one. shared line. unique two."),
