@@ -395,6 +395,15 @@ object SparkEntry {
           blockCol = "p_brand", idCol = "p_partkey", strCol = "p_name", maxDistance = 2)
         .orderBy("id_a", "id_b")
     },
+    // equi-depth histogram: percentile cutpoints + projection binning —
+    // never a global ntile sort
+    "q68_equidepth_histogram" -> { (s, d) =>
+      Relational.equiDepthHistogram(TestData.clicks(s, d), valCol = "value", bins = 10)
+    },
+    // sliding (hopping) windows: each event lands in width/slide windows
+    "q69_sliding_traffic" -> { (s, d) =>
+      Relational.slidingTraffic(TestData.clicks(s, d))
+    },
     // rank-function breadth: dense_rank / percent_rank / cume_dist in one
     // window pass per priority class
     "q65_rank_analytics" -> { (s, d) =>
@@ -864,6 +873,31 @@ object SparkEntry {
         |WHERE (('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 10000)
         |  < CAST(0.3 AS DOUBLE) * CAST(10000 AS DOUBLE) * n_tokens / (SELECT mw FROM m)
         |ORDER BY doc_id""".stripMargin,
+    "q68_equidepth_histogram" ->
+      """WITH cuts AS (
+        |  SELECT quantile_cont(value, [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS c
+        |  FROM events),
+        |b AS (
+        |  SELECT value,
+        |    1 + (CASE WHEN value > c[1] THEN 1 ELSE 0 END) + (CASE WHEN value > c[2] THEN 1 ELSE 0 END)
+        |      + (CASE WHEN value > c[3] THEN 1 ELSE 0 END) + (CASE WHEN value > c[4] THEN 1 ELSE 0 END)
+        |      + (CASE WHEN value > c[5] THEN 1 ELSE 0 END) + (CASE WHEN value > c[6] THEN 1 ELSE 0 END)
+        |      + (CASE WHEN value > c[7] THEN 1 ELSE 0 END) + (CASE WHEN value > c[8] THEN 1 ELSE 0 END)
+        |      + (CASE WHEN value > c[9] THEN 1 ELSE 0 END) AS bin
+        |  FROM events, cuts)
+        |SELECT bin, count(*) AS n, min(value) AS lo, max(value) AS hi
+        |FROM b GROUP BY bin ORDER BY bin""".stripMargin,
+    "q69_sliding_traffic" ->
+      """WITH e AS (
+        |  SELECT CAST(ts AS TIMESTAMP) AS ts, CAST(user_id AS VARCHAR) AS session_id FROM events),
+        |x AS (SELECT ts, session_id, unnest(range(2)) AS k FROM e),
+        |w AS (
+        |  SELECT time_bucket(INTERVAL 5 minutes, ts) - k * INTERVAL 5 minutes AS window_start,
+        |    session_id
+        |  FROM x)
+        |SELECT window_start, window_start + INTERVAL 10 minutes AS window_end,
+        |  count(*) AS total_clicks, count(DISTINCT session_id) AS unique_sessions
+        |FROM w GROUP BY 1 ORDER BY 1""".stripMargin,
     "q65_rank_analytics" ->
       """SELECT o_orderpriority, o_orderkey, o_totalprice,
         |  CAST(dense_rank() OVER w AS INT) AS price_dense_rank,

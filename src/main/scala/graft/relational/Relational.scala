@@ -238,6 +238,51 @@ object Relational {
       .orderBy(groupCol)
   }
 
+  /** Equi-depth histogram: every bin holds ~n/k rows (CASE-ladder
+    * histograms like [[orderValueBuckets]] give equal WIDTH; equal DEPTH is
+    * what capacity planning wants). NOT implemented as a global `ntile` —
+    * that is a single-partition sort of the whole table. Instead: one
+    * percentile aggregate yields the k−1 cutpoints, which fold into a
+    * branch-per-cutpoint bin assignment (pure projection, no shuffle of
+    * data rows), and a k-row aggregate finishes. Values equal to a
+    * cutpoint land in the lower bin. Exact percentiles here;
+    * `percentile_approx` swaps in at 100 TB like [[valuePercentiles]]. */
+  def equiDepthHistogram(
+      df: DataFrame,
+      valCol: String,
+      bins: Int = 10): DataFrame = {
+    require(bins >= 2)
+    val ps = array((1 until bins).map(i => lit(i.toDouble / bins)): _*)
+    val cuts = df.agg(percentile(col(valCol), ps).as("c"))
+      .collect().head.getSeq[Double](0)
+    val binExpr = cuts.foldLeft(lit(1)) { (acc, c) =>
+      acc + when(col(valCol) > c, 1).otherwise(0)
+    }
+    df.select(col(valCol), binExpr.as("bin"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"),
+        min(col(valCol)).as("lo"),
+        max(col(valCol)).as("hi"))
+      .orderBy("bin")
+  }
+
+  /** Sliding (hopping) window aggregation: Spark's `window(ts, width,
+    * slide)` assigns each row to width/slide overlapping windows — the
+    * standard trend-smoothing shape (10-minute counts refreshed every 5).
+    * Same transform runs batch or streaming (with a watermark). */
+  def slidingTraffic(
+      clicks: DataFrame,
+      width: String = "10 minutes",
+      slide: String = "5 minutes",
+      tsCol: String = "event_ts"): DataFrame =
+    clicks
+      .groupBy(window(col(tsCol), width, slide).as("w"))
+      .agg(count(lit(1)).as("total_clicks"),
+        countDistinct(col("session_id")).as("unique_sessions"))
+      .select(col("w.start").as("window_start"), col("w.end").as("window_end"),
+        col("total_clicks"), col("unique_sessions"))
+      .orderBy("window_start")
+
   /** Analytic rank family over one window — dense_rank, percent_rank,
     * cume_dist share a single sort per partition (Catalyst evaluates all
     * three in one Window operator). Ties in the order column get equal

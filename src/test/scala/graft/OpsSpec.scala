@@ -55,6 +55,21 @@ class OpsSpec extends SparkSpec {
     assert(out("v") === ((1L, 2L, "10", "30")))
   }
 
+  test("equi-depth histogram: near-equal bin counts, contiguous ranges, no global sort") {
+    import spark.implicits._
+    val df = (1 to 1000).map(_.toDouble).toDF("v")
+    val h = graft.relational.Relational.equiDepthHistogram(df, "v", bins = 10)
+    val rows = h.collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(rows.map(_._1).toSeq === (1 to 10))
+    assert(rows.forall { case (_, n, _, _) => n >= 99 && n <= 101 }, rows.mkString(","))
+    // bins tile the domain: each lo follows the previous hi
+    rows.sliding(2).foreach { case Array((_, _, _, hi1), (_, _, lo2, _)) =>
+      assert(lo2 > hi1)
+    case _ => () }
+    assert(!h.queryExecution.executedPlan.toString.contains("Window"),
+      "equi-depth must not plan a global window sort")
+  }
+
   test("mad outliers: extreme value flagged, inliers untouched, scale is robust") {
     import spark.implicits._
     val df = ((1 to 9).map(i => ("g", i.toLong, i.toDouble)) :+ (("g", 100L, 100.0)))
