@@ -402,7 +402,7 @@ object SparkEntry {
     },
     // sliding (hopping) windows: each event lands in width/slide windows
     "q69_sliding_traffic" -> { (s, d) =>
-      Relational.slidingTraffic(TestData.clicks(s, d))
+      Relational.slidingTraffic(TestData.clicks(s, d)).orderBy("window_start")
     },
     // rank-function breadth: dense_rank / percent_rank / cume_dist in one
     // window pass per priority class

@@ -108,6 +108,6 @@ object ColdMarts {
 
   /** Exact parity ↔ sketch mode switch (SURVEY.md §7.4: exact distinct is the
     * dominant shuffle cost at 100 TB). */
-  private[marts] def distinctCount(c: org.apache.spark.sql.Column, exact: Boolean) =
+  private[graft] def distinctCount(c: org.apache.spark.sql.Column, exact: Boolean) =
     if (exact) countDistinct(c) else approx_count_distinct(c)
 }

@@ -274,14 +274,18 @@ object Relational {
       clicks: DataFrame,
       width: String = "10 minutes",
       slide: String = "5 minutes",
-      tsCol: String = "event_ts"): DataFrame =
+      tsCol: String = "event_ts",
+      exact: Boolean = true): DataFrame =
     clicks
       .groupBy(window(col(tsCol), width, slide).as("w"))
       .agg(count(lit(1)).as("total_clicks"),
-        countDistinct(col("session_id")).as("unique_sessions"))
+        // exact distinct is not a streaming-capable aggregate; the streaming
+        // twin flips to the sketch, same switch as the hot marts
+        graft.marts.ColdMarts.distinctCount(col("session_id"), exact).as("unique_sessions"))
+      // no orderBy here: sorting is illegal on a streaming aggregate in
+      // append mode — batch callers order at the edge
       .select(col("w.start").as("window_start"), col("w.end").as("window_end"),
         col("total_clicks"), col("unique_sessions"))
-      .orderBy("window_start")
 
   /** Analytic rank family over one window — dense_rank, percent_rank,
     * cume_dist share a single sort per partition (Catalyst evaluates all

@@ -30,6 +30,28 @@ class DedupPropertySpec extends SparkSpec {
   private val batchGen: Gen[List[(String, Int, Int)]] =
     Gen.listOfN(40, eventGen)
 
+  private val graphGen: Gen[List[(Long, Long)]] = for {
+    n <- Gen.choose(0, 25)
+    edges <- Gen.listOfN(n, for {
+      a <- Gen.choose(1L, 15L); b <- Gen.choose(1L, 15L) if a != b
+    } yield (math.min(a, b), math.max(a, b)))
+  } yield edges
+
+  test("connected components agree with a union-find reference on random graphs") {
+    forSamples(graphGen, n = 10) { edges =>
+      val nodes = (1L to 15L).toList
+      // driver-side union-find ground truth
+      val parent = scala.collection.mutable.Map(nodes.map(v => v -> v): _*)
+      def find(x: Long): Long = if (parent(x) == x) x else { val r = find(parent(x)); parent(x) = r; r }
+      edges.foreach { case (a, b) => val (ra, rb) = (find(a), find(b)); if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb) }
+      val truth = nodes.map(v => v -> find(v)).toMap
+      val got = graft.analysis.Dedup.connectedComponents(
+          edges.toDF("src", "dst"), nodes.toDF("id"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got === truth, s"edges=$edges")
+    }
+  }
+
   test("dedupFirst: one row per key, subset of input, idempotent, order-insensitive") {
     forSamples(batchGen) { rows =>
       {

@@ -94,6 +94,30 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sliding traffic is the same transform streaming: overlapping windows close past the watermark") {
+    import spark.implicits._
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(String, java.sql.Timestamp)](spark)
+    val stream = input.toDF().toDF("session_id", "event_ts")
+      .withWatermark("event_ts", "1 minute")
+    val out = graft.relational.Relational.slidingTraffic(stream, exact = false)
+    val q = out.writeStream.format("memory").queryName("sliding_out")
+      .outputMode("append").start()
+    try {
+      def t(s: String) = java.sql.Timestamp.valueOf(s)
+      input.addData(("s1", t("2026-01-01 10:01:00")), ("s2", t("2026-01-01 10:03:00")))
+      q.processAllAvailable()
+      // advance event time far enough that both overlapping windows close
+      input.addData(("s9", t("2026-01-01 10:30:00")))
+      q.processAllAvailable()
+      val rows = spark.table("sliding_out").collect()
+        .map(r => r.getTimestamp(0).toString -> ((r.getLong(2), r.getLong(3)))).toMap
+      // 10:01 and 10:03 land in BOTH [09:55,10:05) and [10:00,10:10)
+      assert(rows("2026-01-01 09:55:00.0") === ((2L, 2L)))
+      assert(rows("2026-01-01 10:00:00.0") === ((2L, 2L)))
+    } finally q.stop()
+  }
+
   test("stateful anomaly windows accumulate across micro-batches (append mode)") {
     import spark.implicits._
     val input = org.apache.spark.sql.execution.streaming.runtime
