@@ -1350,7 +1350,7 @@ object SparkEntry {
     "q67_batched_embed" ->
       """WITH e AS (SELECT doc_id, text, unnest(range(8)) AS j FROM documents)
         |SELECT doc_id, CAST(j AS INT) AS dim,
-        |  round(CAST(('0x' || substring(md5(text), CAST(2 * j + 1 AS INT), 2))::BIGINT AS DOUBLE) / 256.0, 6) AS value
+        |  round(CAST(('0x' || substring(md5(COALESCE(text, '')), CAST(2 * j + 1 AS INT), 2))::BIGINT AS DOUBLE) / 256.0, 6) AS value
         |FROM e ORDER BY doc_id, dim""".stripMargin,
     "q57_tfidf_pairs" ->
       """WITH toks AS (

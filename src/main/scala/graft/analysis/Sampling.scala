@@ -71,7 +71,10 @@ object Sampling {
       fraction: Double,
       buckets: Int = DefaultBuckets): DataFrame = {
     require(fraction >= 0 && fraction <= 1, s"fraction out of [0,1]: $fraction")
-    val meanW = df.agg(avg(col(weightCol))).collect().head.getDouble(0)
+    val row = df.agg(avg(col(weightCol))).collect().head
+    require(!row.isNullAt(0),
+      s"weightedHashSample: no rows (or all-null $weightCol) to average")
+    val meanW = row.getDouble(0)
     require(meanW > 0, s"mean($weightCol) must be positive, got $meanW")
     df.filter(hashBucket(col(keyCol), buckets) <
       lit(fraction) * lit(buckets.toDouble) * col(weightCol) / lit(meanW))

@@ -128,19 +128,38 @@ object Orchestrator {
         spark.sparkContext.cancelJobGroup(group)
         fut.cancel(true)
         exec.shutdownNow()
-        val drained = exec.awaitTermination(
+        val deadline = System.nanoTime() + stage.policy.cancelDrain.toNanos
+        // the body thread dying is necessary but NOT sufficient — cancel is
+        // async on the executors, so also wait for the group's Spark jobs
+        // to leave RUNNING before declaring the attempt dead
+        val threadDead = exec.awaitTermination(
           stage.policy.cancelDrain.toMillis, TimeUnit.MILLISECONDS)
-        if (drained)
+        def jobsLive(): Boolean = {
+          val st = spark.sparkContext.statusTracker
+          st.getJobIdsForGroup(group).exists(id =>
+            st.getJobInfo(id).exists(_.status() == org.apache.spark.JobExecutionStatus.RUNNING))
+        }
+        var live = jobsLive()
+        while (live && System.nanoTime() < deadline) {
+          Thread.sleep(50)
+          live = jobsLive()
+        }
+        if (threadDead && !live)
           Some(Failure(s"sla_timeout after ${stage.policy.slaTimeout}", retryable = true))
         else
           Some(Failure(
-            s"sla_timeout after ${stage.policy.slaTimeout}; stage thread did not " +
-              s"terminate within ${stage.policy.cancelDrain} — retries skipped to " +
-              "avoid concurrent execution", retryable = false))
+            s"sla_timeout after ${stage.policy.slaTimeout}; attempt still running " +
+              s"after ${stage.policy.cancelDrain} drain (thread dead=$threadDead, " +
+              s"jobs live=$live) — retries skipped to avoid concurrent execution",
+            retryable = false))
       case e: java.util.concurrent.ExecutionException =>
-        val cause = Option(e.getCause).getOrElse(e)
-        if (NonFatal(cause)) Some(Failure(cause.toString, retryable = true))
-        else throw cause
+        Option(e.getCause).getOrElse(e) match {
+          case c if NonFatal(c) => Some(Failure(c.toString, retryable = true))
+          // interrupts are a cancellation signal, not a JVM health problem —
+          // report them as an ordinary stage failure (NonFatal excludes them)
+          case c: InterruptedException => Some(Failure(c.toString, retryable = true))
+          case c => throw c // VM errors etc: never retry in a degraded JVM
+        }
       case NonFatal(e) =>
         Some(Failure(Option(e.getCause).getOrElse(e).toString, retryable = true))
     } finally exec.shutdownNow()

@@ -253,8 +253,10 @@ object Relational {
       bins: Int = 10): DataFrame = {
     require(bins >= 2)
     val ps = array((1 until bins).map(i => lit(i.toDouble / bins)): _*)
-    val cuts = df.agg(percentile(col(valCol), ps).as("c"))
-      .collect().head.getSeq[Double](0)
+    val statsRow = df.agg(percentile(col(valCol), ps).as("c")).collect().head
+    require(!statsRow.isNullAt(0),
+      s"equiDepthHistogram: no rows (or all-null $valCol) to bin")
+    val cuts = statsRow.getSeq[Double](0)
     val binExpr = cuts.foldLeft(lit(1)) { (acc, c) =>
       acc + when(col(valCol) > c, 1).otherwise(0)
     }

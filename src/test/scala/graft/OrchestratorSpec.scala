@@ -81,7 +81,7 @@ class OrchestratorSpec extends SparkSpec {
     release.countDown()
     assert(calls.get() === 1, "no concurrent second attempt was launched")
     assert(reports.head.attempts === 1 && !reports.head.succeeded)
-    assert(reports.head.error.exists(_.contains("did not terminate")))
+    assert(reports.head.error.exists(_.contains("retries skipped")))
   }
 
   test("managed daily pipeline runs end-to-end with per-stage reports") {
