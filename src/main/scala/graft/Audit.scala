@@ -1,0 +1,30 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Ad-hoc per-query timing harness: `runMain graft.Audit q58_fuzzy_match ...`
+  * runs each named query min-of-3 at SPARK_GRAFT_SF_DIR — the local feedback
+  * loop for plan work without a full Bench pass. */
+object Audit {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = graft.core.GraftSession.tune(
+        SparkSession.builder().master("local[32]"), 32)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark.range(1000000).selectExpr("sum(id)").collect()
+    args.foreach { name =>
+      var best = Double.MaxValue
+      for (_ <- 0 until 3) {
+        val t0 = System.nanoTime()
+        val n = SparkEntry.queries(name)(spark, sfDir).count()
+        val dt = (System.nanoTime() - t0) / 1e9
+        best = math.min(best, dt)
+        println(f"[audit] $name rows=$n t=$dt%.3f")
+        spark.catalog.clearCache()
+      }
+      println(f"[audit] $name MIN=$best%.3f")
+    }
+    spark.stop()
+  }
+}

@@ -395,6 +395,18 @@ object SparkEntry {
           blockCol = "p_brand", idCol = "p_partkey", strCol = "p_name", maxDistance = 2)
         .orderBy("id_a", "id_b")
     },
+    // fuzzy matching with a COMPOSITE blocking key (brand, first token):
+    // the 100 TB path — p_brand cardinality is constant in corpus size, so
+    // brand-only blocks grow quadratically with data; a string-derived
+    // second feature multiplies block count with the data. Semantics are
+    // deliberately narrower (pairs must share the first token exactly) and
+    // the oracle replicates that bound
+    "q70_fuzzy_match_blocked" -> { (s, d) =>
+      Dedup.fuzzyMatchPairs(Tables.part(s, d),
+          blockCol = "p_brand", idCol = "p_partkey", strCol = "p_name", maxDistance = 2,
+          secondaryBlock = Some(substring_index(_, " ", 1)))
+        .orderBy("id_a", "id_b")
+    },
     // equi-depth histogram: percentile cutpoints + projection binning —
     // never a global ntile sort
     "q68_equidepth_histogram" -> { (s, d) =>
@@ -1155,6 +1167,16 @@ object SparkEntry {
         |  CAST(levenshtein(a.p_name, b.p_name) AS INT) AS distance
         |FROM part a JOIN part b
         |  ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+        |WHERE levenshtein(a.p_name, b.p_name) <= 2
+        |ORDER BY id_a, id_b""".stripMargin,
+    "q70_fuzzy_match_blocked" ->
+      """SELECT a.p_brand, a.p_partkey AS id_a, b.p_partkey AS id_b,
+        |  a.p_name AS str_a, b.p_name AS str_b,
+        |  CAST(levenshtein(a.p_name, b.p_name) AS INT) AS distance
+        |FROM part a JOIN part b
+        |  ON a.p_brand = b.p_brand
+        | AND split_part(a.p_name, ' ', 1) = split_part(b.p_name, ' ', 1)
+        | AND a.p_partkey < b.p_partkey
         |WHERE levenshtein(a.p_name, b.p_name) <= 2
         |ORDER BY id_a, id_b""".stripMargin,
     "q59_melt_pivot" ->

@@ -146,6 +146,26 @@ class DedupSpec extends SparkSpec {
     // (2,3) distance 3 > maxDistance: correctly absent
   }
 
+  test("fuzzy match: composite secondary blocking narrows to same-first-token pairs") {
+    import org.apache.spark.sql.functions.substring_index
+    val parts = Seq(
+      (1L, "B1", "red widget"),
+      (2L, "B1", "red wadget"),  // distance 1, same first token
+      (3L, "B1", "rad widget"),  // distance 1 from #1, DIFFERENT first token
+      (4L, "B1", "red widgets")  // distance 1 from #1, same first token
+    ).toDF("pk", "brand", "name")
+    val exact = Dedup.fuzzyMatchPairs(parts, "brand", "pk", "name", maxDistance = 2)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    val blocked = Dedup.fuzzyMatchPairs(parts, "brand", "pk", "name", maxDistance = 2,
+        secondaryBlock = Some(substring_index(_, " ", 1)))
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    // blocked is a subset: recall traded for scale, never fabrication
+    assert(blocked.subsetOf(exact))
+    // cross-first-token pairs vanish, same-first-token pairs survive
+    assert(exact.contains((1L, 3L)) && !blocked.contains((1L, 3L)))
+    assert(blocked.contains((1L, 2L)) && blocked.contains((1L, 4L)))
+  }
+
   test("sentence dedup: corpus-wide first occurrence wins, docs reassemble in order") {
     val corpus = Seq(
       (1L, "unique one. shared line. unique two."),
