@@ -142,6 +142,15 @@ object SparkEntry {
     "q32_ngram_jaccard" -> { (s, d) =>
       Dedup.ngramJaccardPairs(TestData.documents(s, d)).orderBy("doc_a", "doc_b")
     },
+    // the df-cutoff path of the same operator — the web-scale guard that
+    // bounds per-shingle join fan-out at maxShingleDf²/2. Semantics are
+    // biased LOW (dropped high-df shingles vanish from the common count but
+    // not the denominator — pairs can only be missed, never fabricated);
+    // the oracle replicates exactly that bias
+    "q71_ngram_jaccard_cutoff" -> { (s, d) =>
+      Dedup.ngramJaccardPairs(TestData.documents(s, d), maxShingleDf = 4)
+        .orderBy("doc_a", "doc_b")
+    },
     // brute-force cosine top-k (exact ANN baseline)
     "q33_knn_bruteforce" -> { (s, d) =>
       val emb = TestData.embeddings(s, d)
@@ -210,6 +219,18 @@ object SparkEntry {
     "q49_dedup_clusters" -> { (s, d) =>
       val emb = TestData.embeddings(s, d)
       val pairs = Similarity.embeddingNearDupPairsExact(emb, minCosine = 0.4)
+      Dedup.dedupClusters(pairs, emb.select(col("vec_id").as("doc_id")))
+        .orderBy("doc_id")
+    },
+    // the composition a 100 TB dedup actually runs: connected components
+    // over the LSH-BUCKETED pair generator (q39's sub-quadratic path)
+    // instead of q49's O(n²) exact feed — pair recall is bounded by the
+    // bucket agreement, and the recursive-CTE oracle closes over exactly
+    // that pair set
+    "q72_dedup_clusters_lsh" -> { (s, d) =>
+      val emb = TestData.embeddings(s, d)
+      val pairs = Similarity.embeddingNearDupPairsWith(emb,
+        Similarity.axisSignSignature(_, 6), minCosine = 0.4)
       Dedup.dedupClusters(pairs, emb.select(col("vec_id").as("doc_id")))
         .orderBy("doc_id")
     },
@@ -1253,6 +1274,27 @@ object SparkEntry {
         |SELECT doc_a, doc_b, round(CAST(c AS DOUBLE) / (na + nb - c), 4) AS jaccard
         |FROM common WHERE CAST(c AS DOUBLE) / (na + nb - c) >= 0.8
         |ORDER BY doc_a, doc_b""".stripMargin,
+    // identical to q32 except high-df shingles are dropped from the inverted
+    // index BEFORE the pair join (df <= 4) while n_sh keeps the full set
+    // size — the biased-low cutoff semantics, replicated bit-for-bit
+    "q71_ngram_jaccard_cutoff" ->
+      """WITH toks AS (
+        |  SELECT doc_id AS id,
+        |    string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')), ' ') AS t
+        |  FROM documents),
+        |sets AS (
+        |  SELECT id, list_distinct(list_transform(range(len(t) - 2), i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])) AS sh
+        |  FROM toks WHERE len(t) >= 3),
+        |inv AS (SELECT id, len(sh) AS n_sh, unnest(sh) AS shingle FROM sets),
+        |df AS (SELECT shingle, count(*) AS df FROM inv GROUP BY 1),
+        |inv2 AS (SELECT inv.id, inv.n_sh, inv.shingle FROM inv JOIN df USING (shingle) WHERE df <= 4),
+        |common AS (
+        |  SELECT x.id AS doc_a, y.id AS doc_b, x.n_sh AS na, y.n_sh AS nb, count(*) AS c
+        |  FROM inv2 x JOIN inv2 y ON x.shingle = y.shingle AND x.id < y.id
+        |  GROUP BY 1, 2, 3, 4)
+        |SELECT doc_a, doc_b, round(CAST(c AS DOUBLE) / (na + nb - c), 4) AS jaccard
+        |FROM common WHERE CAST(c AS DOUBLE) / (na + nb - c) >= 0.8
+        |ORDER BY doc_a, doc_b""".stripMargin,
     "q33_knn_bruteforce" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 8),
         |c AS (SELECT vec_id AS neighbor_id, embedding AS ce FROM embeddings),
@@ -1455,6 +1497,32 @@ object SparkEntry {
       """WITH RECURSIVE p AS (
         |  SELECT x.vec_id AS doc_a, y.vec_id AS doc_b
         |  FROM embeddings x JOIN embeddings y ON x.vec_id < y.vec_id
+        |  WHERE list_sum(list_transform(range(1, len(x.embedding) + 1),
+        |        i -> CAST(x.embedding[i] AS DOUBLE) * CAST(y.embedding[i] AS DOUBLE)))
+        |      / (sqrt(list_sum(list_transform(range(1, len(x.embedding) + 1),
+        |            i -> CAST(x.embedding[i] AS DOUBLE) * CAST(x.embedding[i] AS DOUBLE))))
+        |         * sqrt(list_sum(list_transform(range(1, len(y.embedding) + 1),
+        |            i -> CAST(y.embedding[i] AS DOUBLE) * CAST(y.embedding[i] AS DOUBLE)))))
+        |        >= 0.4),
+        |sym AS (SELECT doc_a AS a, doc_b AS b FROM p
+        |        UNION SELECT doc_b AS a, doc_a AS b FROM p),
+        |reach(id, r) AS (
+        |  SELECT vec_id, vec_id FROM embeddings
+        |  UNION
+        |  SELECT reach.id, sym.b FROM reach JOIN sym ON sym.a = reach.r)
+        |SELECT id AS doc_id, min(r) AS cluster_id, (id = min(r)) AS is_keeper
+        |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
+    // q49's transitive closure, but over the LSH-bucketed pair set (q39's
+    // generator): candidates exist only where the 6-axis sign buckets agree
+    "q72_dedup_clusters_lsh" ->
+      """WITH RECURSIVE e AS (
+        |  SELECT vec_id, embedding,
+        |    CAST(list_sum(list_transform(range(6), j ->
+        |      CASE WHEN embedding[CAST(j + 1 AS INT)] >= 0 THEN (1 << j) ELSE 0 END)) AS BIGINT) AS bucket
+        |  FROM embeddings),
+        |p AS (
+        |  SELECT x.vec_id AS doc_a, y.vec_id AS doc_b
+        |  FROM e x JOIN e y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
         |  WHERE list_sum(list_transform(range(1, len(x.embedding) + 1),
         |        i -> CAST(x.embedding[i] AS DOUBLE) * CAST(y.embedding[i] AS DOUBLE)))
         |      / (sqrt(list_sum(list_transform(range(1, len(x.embedding) + 1),

@@ -85,15 +85,24 @@ object SearchRank {
     // n-gram terms (ngram = 1 degrades to unigrams): phrase terms keep the
     // vocabulary large and document frequencies low, which is what makes
     // both the idf weights and the df cutoff meaningful on corpora whose
-    // unigram vocabulary is saturated
+    // unigram vocabulary is saturated.
+    //
+    // ONE scan of docs feeds everything, including the corpus size n:
+    // explode_outer emits a null-term marker row for docs with no terms
+    // (empty text, fewer than `ngram` tokens — nullif folds "" into the
+    // same marker), so every doc survives into the persisted tf frame and
+    // n = distinct ids over it. A separate docs.count() would be a second
+    // scan of the corpus purely to count rows the tf scan already saw.
     val tf = docs
       .select(col(idCol).as("id"),
-        explode(Dedup.shingles(TextAnalysis.tokens(col(textCol)), ngram)).as("term"))
-      .filter(col("term") =!= "")
+        explode_outer(Dedup.shingles(TextAnalysis.tokens(col(textCol)), ngram)).as("term0"))
+      .select(col("id"), nullif(col("term0"), lit("")).as("term"))
       .groupBy("id", "term").agg(count(lit(1)).as("tf"))
-    val n = docs.count()
+      .persist()
+    val n = tf.select("id").distinct().count()
     val maxDf = math.max(2L, n / 50)
-    val dfs = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val dfs = tf.filter(col("term").isNotNull)
+      .groupBy("term").agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDf)
     val w = tf.join(dfs, "term")
       .select(col("id"), col("term"),
@@ -115,6 +124,6 @@ object SearchRank {
       .filter(col("cosine") >= minCosine)
       .select(col("doc_a"), col("doc_b"), col("cosine"))
     try result.localCheckpoint(true)
-    finally { w.unpersist(); () }
+    finally { w.unpersist(); tf.unpersist(); () }
   }
 }

@@ -61,4 +61,20 @@ class SearchRankSpec extends SparkSpec {
     assert(out.keySet === Set((1L, 2L)))
     assert(out(1L -> 2L) > 0.0 && out(1L -> 2L) < 1.0)
   }
+
+  test("tfidf pairs: term-less docs still count in n (single-scan fold keeps the cutoff honest)") {
+    // 150 docs, 147 with no 3-grams at all (empty / too short). True n = 150
+    // puts the df cutoff at max(2, 150/50) = 3, so the df-3 shared phrase
+    // survives and all three real docs pair. If term-less docs fell out of n
+    // (the single-scan trap), the cutoff would collapse to 2 and drop the
+    // phrase — zero pairs.
+    val corpus = (Seq(
+      (1L, "alpha beta gamma"),
+      (2L, "alpha beta gamma"),
+      (3L, "alpha beta gamma")
+    ) ++ (4L to 150L).map(i => (i, if (i % 2 == 0) "" else "two words"))).toDF("doc_id", "text")
+    val out = SearchRank.tfidfPairs(corpus, minCosine = 0.1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out === Set((1L, 2L), (1L, 3L), (2L, 3L)))
+  }
 }
