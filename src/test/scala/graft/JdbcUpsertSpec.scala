@@ -43,4 +43,30 @@ class JdbcUpsertSpec extends SparkSpec {
     assert(sql.contains("ON CONFLICT (\"event_minute\") DO UPDATE SET"))
     assert(sql.contains("\"total_clicks\" = EXCLUDED.\"total_clicks\""))
   }
+
+  test("postgres dialect golden SQL: exact statement text for a representative mart") {
+    // The Postgres path cannot execute in this sandbox (no server), so its
+    // SQL is pinned verbatim: any change to quoting, clause order, or the
+    // EXCLUDED form is a deliberate, reviewed diff — not silent drift.
+    // Shape matches the reference's psycopg2 upsert (RT:117-131) with a
+    // composite conflict key.
+    val sql = JdbcUpsertSink.PostgresDialect.mergeSql(
+      "mart_realtime_top_docs", "mart_realtime_top_docs_stage_7",
+      Seq("window_start", "document_id"), Seq("clicks", "rank"))
+    val expected =
+      """INSERT INTO mart_realtime_top_docs ("window_start", "document_id", "clicks", "rank")
+        |SELECT "window_start", "document_id", "clicks", "rank" FROM mart_realtime_top_docs_stage_7
+        |ON CONFLICT ("window_start", "document_id") DO UPDATE SET "clicks" = EXCLUDED."clicks", "rank" = EXCLUDED."rank"""".stripMargin
+    assert(sql === expected)
+  }
+
+  test("ansi merge dialect golden SQL: exact statement text") {
+    val sql = JdbcUpsertSink.AnsiMergeDialect.mergeSql(
+      "traffic", "traffic_stage_2", Seq("minute_key"), Seq("clicks"))
+    val expected =
+      """MERGE INTO traffic t USING traffic_stage_2 s ON (t."minute_key" = s."minute_key")
+        |WHEN MATCHED THEN UPDATE SET t."clicks" = s."clicks"
+        |WHEN NOT MATCHED THEN INSERT ("minute_key", "clicks") VALUES (s."minute_key", s."clicks")""".stripMargin
+    assert(sql === expected)
+  }
 }

@@ -105,8 +105,13 @@ class StreamingSpec extends SparkSpec {
       .outputMode("append").start()
     try {
       def t(s: String) = java.sql.Timestamp.valueOf(s)
-      input.addData(("s1", t("2026-01-01 10:01:00")), ("s2", t("2026-01-01 10:03:00")))
+      // the two events arrive in SEPARATE micro-batches: the overlapping
+      // windows must accumulate state across batches, not per-batch counts
+      input.addData(("s1", t("2026-01-01 10:01:00")))
       q.processAllAvailable()
+      input.addData(("s2", t("2026-01-01 10:03:00")))
+      q.processAllAvailable()
+      assert(spark.table("sliding_out").count() === 0) // nothing closed yet
       // advance event time far enough that both overlapping windows close
       input.addData(("s9", t("2026-01-01 10:30:00")))
       q.processAllAvailable()
