@@ -96,6 +96,29 @@ object SparkEntry {
         .withColumnRenamed("id", "document_id")
         .orderBy("document_id")
     },
+    // per-node triangle counts over the co-click graph: degree-ordered
+    // orientation (compact-forward) bounds wedge fan-out at O(√m) per node
+    // — hub-proof where a naive neighbor-pair join is quadratic in degree
+    "q73_triangle_count" -> { (s, d) =>
+      val edges = Graphs.cooccurrenceEdges(
+        TestData.clicks(s, d), "session_id", "document_id", maxPerKey = 100)
+      Graphs.triangleCounts(edges)
+        .withColumnRenamed("id", "document_id")
+        .orderBy("document_id")
+    },
+    // cohort retention triangle: keys cohorted by first active day, exact
+    // distinct actives per (cohort, offset) cell
+    "q74_retention" -> { (s, d) =>
+      Relational.retentionMatrix(TestData.clicks(s, d))
+        .orderBy("cohort_day", "day_offset")
+    },
+    // first-touch attribution: one window pass credits each purchase to the
+    // session's earliest view — never a conversions⋈touches self-join
+    "q75_attribution" -> { (s, d) =>
+      graft.analysis.Funnel.firstTouchAttribution(
+          TestData.clicks(s, d), touchType = "view", conversionType = "purchase")
+        .orderBy("document_id")
+    },
     // language-ID confusion matrix (stopword-marker heuristic vs labels)
     "q21_lang_id" -> { (s, d) =>
       TextAnalysis.langIdConfusion(TestData.documents(s, d))
@@ -1447,6 +1470,58 @@ object SparkEntry {
         |  FROM pairs p JOIN norms na ON p.doc_a = na.id JOIN norms nb ON p.doc_b = nb.id)
         |SELECT doc_a, doc_b, cosine FROM sc WHERE cosine >= 0.3
         |ORDER BY doc_a, doc_b""".stripMargin,
+    // same co-click edge CTE as q56; triangles via the same degree-ordered
+    // orientation the Spark side uses (each triangle closes once at its
+    // smallest (deg, id) corner)
+    "q73_triangle_count" ->
+      """WITH clicks AS (
+        |  SELECT DISTINCT CAST(user_id AS VARCHAR) AS sid, CAST(props->>'$.k' AS INTEGER) AS doc
+        |  FROM events WHERE CAST(props->>'$.k' AS INTEGER) IS NOT NULL),
+        |ok AS (SELECT sid FROM clicks GROUP BY sid HAVING count(*) <= 100),
+        |ce AS (
+        |  SELECT a.doc AS src, b.doc AS dst
+        |  FROM clicks a JOIN ok USING (sid) JOIN clicks b ON a.sid = b.sid AND a.doc < b.doc
+        |  GROUP BY 1, 2),
+        |sym AS (SELECT src AS u, dst AS v FROM ce UNION ALL SELECT dst AS u, src AS v FROM ce),
+        |deg AS (SELECT u, count(*) AS d FROM sym GROUP BY u),
+        |o AS (
+        |  SELECT s.u, s.v
+        |  FROM sym s JOIN deg da ON s.u = da.u JOIN deg db ON s.v = db.u
+        |  WHERE da.d < db.d OR (da.d = db.d AND s.u < s.v)),
+        |tri AS (
+        |  SELECT x.u AS a, x.v AS b, y.v AS c
+        |  FROM o x JOIN o y ON x.u = y.u AND x.v <> y.v
+        |  JOIN o z ON z.u = x.v AND z.v = y.v),
+        |pern AS (
+        |  SELECT id, count(*) AS n_triangles FROM (
+        |    SELECT a AS id FROM tri UNION ALL SELECT b FROM tri UNION ALL SELECT c FROM tri)
+        |  GROUP BY 1),
+        |nodes AS (SELECT DISTINCT u AS id FROM sym)
+        |SELECT nodes.id AS document_id, COALESCE(n_triangles, 0) AS n_triangles
+        |FROM nodes LEFT JOIN pern USING (id) ORDER BY document_id""".stripMargin,
+    "q74_retention" ->
+      """WITH active AS (
+        |  SELECT DISTINCT CAST(user_id AS VARCHAR) AS k, CAST(ts AS DATE) AS day FROM events),
+        |cohort AS (SELECT k, min(day) AS cohort_day FROM active GROUP BY 1)
+        |SELECT cohort_day, CAST(date_diff('day', cohort_day, day) AS INT) AS day_offset,
+        |  count(DISTINCT k) AS n_active
+        |FROM active JOIN cohort USING (k)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q75_attribution" ->
+      """WITH c AS (
+        |  SELECT event_id, CAST(user_id AS VARCHAR) AS session_id,
+        |    CAST(props->>'$.k' AS INTEGER) AS document_id,
+        |    CAST(ts AS TIMESTAMP) AS ts, event_type, value
+        |  FROM events),
+        |f AS (
+        |  SELECT *,
+        |    first_value(CASE WHEN event_type = 'view' THEN document_id END IGNORE NULLS)
+        |      OVER (PARTITION BY session_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS first_touch
+        |  FROM c)
+        |SELECT first_touch AS document_id, count(*) AS n_conversions,
+        |  CAST(round(sum(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE) AS attributed_value
+        |FROM f WHERE event_type = 'purchase' AND first_touch IS NOT NULL
+        |GROUP BY 1 ORDER BY document_id""".stripMargin,
     "q56_doc_pagerank" ->
       """WITH clicks AS (
         |  SELECT DISTINCT CAST(user_id AS VARCHAR) AS sid, CAST(props->>'$.k' AS INTEGER) AS doc

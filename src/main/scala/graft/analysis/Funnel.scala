@@ -38,6 +38,43 @@ object Funnel {
     cur
   }
 
+  /** First-touch attribution: every conversion is credited to the FIRST
+    * touch event seen earlier in the same key's timeline (the classic
+    * marketing-attribution rule; last-touch is the same window with a
+    * running `last`). One window pass — the running first-non-null touch
+    * rides an unbounded-preceding frame over (ts, id)-ordered events, so
+    * the shuffle is one partition-by-key exchange, never a self-join of
+    * conversions against touches. Conversions with no prior touch drop out.
+    *
+    * The conversion value is summed as DECIMAL (shuffle-order-independent;
+    * the q16 lesson) and surfaced as a rounded double.
+    *
+    * Output: one row per touch item — itemCol, n_conversions,
+    * attributed_value. */
+  def firstTouchAttribution(
+      events: DataFrame,
+      touchType: String,
+      conversionType: String,
+      keyCol: String = "session_id",
+      typeCol: String = "event_type",
+      tsCol: String = "event_ts",
+      idCol: String = "event_id",
+      itemCol: String = "document_id",
+      valueCol: String = "value"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.{DecimalType, DoubleType}
+    val w = Window.partitionBy(keyCol).orderBy(col(tsCol), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events
+      .withColumn("__first_touch",
+        first(when(col(typeCol) === touchType, col(itemCol)), ignoreNulls = true).over(w))
+      .filter(col(typeCol) === conversionType && col("__first_touch").isNotNull)
+      .groupBy(col("__first_touch").as(itemCol))
+      .agg(count(lit(1)).as("n_conversions"),
+        round(sum(col(valueCol).cast(DecimalType(18, 2))), 2)
+          .cast(DoubleType).as("attributed_value"))
+  }
+
   /** Funnel summary: one row per step with how many keys reached it and
     * the conversion rate vs step 1. */
   def summary(

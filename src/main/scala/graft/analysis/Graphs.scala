@@ -89,4 +89,52 @@ object Graphs {
     }
     ranks.select(col("id"), (col("r") * n).as("pagerank"))
   }
+
+  /** Per-node triangle counts over an undirected edge list — the local
+    * clustering signal (a doc whose neighbors also co-click each other is a
+    * topical hub, not a drive-by).
+    *
+    * Scale shape: DEGREE-ORDERED ORIENTATION (compact-forward). Each edge
+    * is directed from its lower (degree, id) endpoint to the higher, and
+    * wedges are generated only between OUT-neighbors, so every triangle is
+    * produced exactly once at its smallest corner and — the point — wedge
+    * fan-out is bounded by oriented out-degree, which is O(√m) for any
+    * graph. A naive neighbor-pair join fans out quadratically at hub nodes
+    * (a 10⁵-degree hub alone yields 5·10⁹ wedges); orientation caps the
+    * hub's out-degree at √m regardless. The closing-edge join consumes the
+    * wedge stream shuffled on the (v, w) pair.
+    *
+    * Output: id, n_triangles (0 for triangle-free nodes). */
+  def triangleCounts(
+      edges: DataFrame,
+      srcCol: String = "src",
+      dstCol: String = "dst"): DataFrame = {
+    val und = edges
+      .select(least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+    val sym = und.union(und.select(col("b").as("a"), col("a").as("b")))
+    val deg = sym.groupBy(col("a").as("n")).agg(count(lit(1)).as("d"))
+    val oriented = sym
+      .join(deg.select(col("n").as("a"), col("d").as("da")), "a")
+      .join(deg.select(col("n").as("b"), col("d").as("db")), "b")
+      .filter(col("da") < col("db") || (col("da") === col("db") && col("a") < col("b")))
+      .select(col("a").as("u"), col("b").as("v"))
+      .persist()
+    // out-neighbor pairs of u; the closing edge exists in `oriented` in
+    // exactly one direction, so each triangle closes exactly once
+    val tri = oriented.as("x")
+      .join(oriented.as("y"), col("x.u") === col("y.u") && col("x.v") =!= col("y.v"))
+      .select(col("x.u").as("u"), col("x.v").as("v"), col("y.v").as("w"))
+      .join(oriented.select(col("u").as("v"), col("v").as("w")), Seq("v", "w"))
+    val perNode = tri
+      .select(explode(array(col("u"), col("v"), col("w"))).as("id"))
+      .groupBy("id").agg(count(lit(1)).as("n_triangles"))
+    val result = sym.select(col("a").as("id")).distinct()
+      .join(perNode, Seq("id"), "left")
+      .na.fill(0L, Seq("n_triangles"))
+    try result.localCheckpoint(true)
+    finally { oriented.unpersist(); () }
+  }
 }

@@ -435,6 +435,30 @@ object Relational {
       .orderBy(keyCols.map(col): _*)
   }
 
+  /** Cohort retention matrix: keys are cohorted by their FIRST active day;
+    * each later active day increments (cohort_day, day_offset). The classic
+    * growth-analytics triangle.
+    *
+    * Scale shape: the (key, day) activity set is distinct-ed first (one
+    * hash aggregate — activity shrinks to at most keys × days), the cohort
+    * day is a min-aggregate on the key, and the join back is key-to-key so
+    * it reuses the activity frame's hash partitioning. The final aggregate
+    * is countDistinct on the key within (cohort_day, offset) cells — exact
+    * here, `approx_count_distinct` at 100 TB (the marts' switch).
+    *
+    * Output: cohort_day, day_offset (0 = cohort day itself), n_active. */
+  def retentionMatrix(
+      events: DataFrame,
+      keyCol: String = "session_id",
+      dateCol: String = "event_date"): DataFrame = {
+    val active = events.select(col(keyCol).as("__k"), col(dateCol).as("__day")).distinct()
+    val cohort = active.groupBy("__k").agg(min(col("__day")).as("cohort_day"))
+    active.join(cohort, "__k")
+      .groupBy(col("cohort_day"),
+        datediff(col("__day"), col("cohort_day")).as("day_offset"))
+      .agg(countDistinct(col("__k")).as("n_active"))
+  }
+
   /** UNION with distinct semantics: the converting-actions cohort — any
     * (user, day) with a purchase OR a signup, deduplicated. Spark plans
     * union+distinct as one hash aggregate over the concatenated scans. */

@@ -36,6 +36,43 @@ class FunnelSpec extends SparkSpec {
     assert(out(3) === ((1L, 0.3333)))
   }
 
+  test("first-touch attribution: earliest view wins, conversions without a prior touch drop") {
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val clicks = Seq(
+      // s1: views doc 7 then doc 8, buys twice — BOTH purchases credit doc 7
+      (1L, "s1", Some(7), t("2026-01-01 10:00:00"), "view", 0.0),
+      (2L, "s1", Some(8), t("2026-01-01 10:01:00"), "view", 0.0),
+      (3L, "s1", Some(8), t("2026-01-01 10:02:00"), "purchase", 10.0),
+      (4L, "s1", Some(7), t("2026-01-01 10:03:00"), "purchase", 2.5),
+      // s2: purchase BEFORE any view — unattributable, dropped
+      (5L, "s2", Some(9), t("2026-01-01 11:00:00"), "purchase", 99.0),
+      (6L, "s2", Some(9), t("2026-01-01 11:01:00"), "view", 0.0),
+      // s3: first view has a NULL doc — skipped; doc 5 gets the credit
+      (7L, "s3", None, t("2026-01-01 12:00:00"), "view", 0.0),
+      (8L, "s3", Some(5), t("2026-01-01 12:01:00"), "view", 0.0),
+      (9L, "s3", Some(5), t("2026-01-01 12:02:00"), "purchase", 4.0)
+    ).toDF("event_id", "session_id", "document_id", "event_ts", "event_type", "value")
+    val out = Funnel.firstTouchAttribution(clicks, "view", "purchase")
+      .collect().map(r => r.getInt(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(out === Map(7 -> ((2L, 12.5)), 5 -> ((1L, 4.0))))
+  }
+
+  test("retention matrix: first active day cohorts, offsets count distinct actives") {
+    def d(s: String) = java.sql.Date.valueOf(s)
+    val events = Seq(
+      // cohort 01-01: a active on days 0 and 2; b only day 0 (twice — distinct!)
+      ("a", d("2026-01-01")), ("a", d("2026-01-03")),
+      ("b", d("2026-01-01")), ("b", d("2026-01-01")),
+      // cohort 01-02: c active days 0 and 1
+      ("c", d("2026-01-02")), ("c", d("2026-01-03"))
+    ).toDF("session_id", "event_date")
+    val out = Relational.retentionMatrix(events)
+      .collect().map(r => (r.getDate(0).toString, r.getInt(1)) -> r.getLong(2)).toMap
+    assert(out === Map(
+      ("2026-01-01", 0) -> 2L, ("2026-01-01", 2) -> 1L,
+      ("2026-01-02", 0) -> 1L, ("2026-01-02", 1) -> 1L))
+  }
+
   test("gap fill: spine densifies, forward fill carries last value, flags set") {
     val daily = Seq(
       ("a", java.sql.Date.valueOf("2024-01-01"), 5L),

@@ -38,4 +38,28 @@ class GraphsSpec extends SparkSpec {
     assert(out(0) > out(1)) // star center dominates its leaves
     assert(math.abs(out(5) - out(6)) < 1e-15)
   }
+
+  test("triangles: clique counts, paths are triangle-free, duplicate/reversed edges collapse") {
+    // 4-clique on 1..4 (each node sits in C(3,2)=3 triangles), a dangling
+    // path 4-5-6 (no triangles for 5,6), one duplicate and one reversed
+    // edge that must not double-count
+    val edges = (Seq(
+      (1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4),
+      (4, 5), (5, 6),
+      (2, 1), (3, 4) // reversed + duplicate
+    )).toDF("src", "dst")
+    val out = Graphs.triangleCounts(edges)
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(out === Map(1 -> 3L, 2 -> 3L, 3 -> 3L, 4 -> 3L, 5 -> 0L, 6 -> 0L))
+  }
+
+  test("triangles: hub star plus one closing edge yields exactly one triangle") {
+    // hub 0 with leaves 1..20; only (1,2) closes — orientation must not
+    // enumerate the hub's C(20,2) wedge space into phantom triangles
+    val edges = ((1 to 20).map(i => (0, i)) :+ ((1, 2))).toDF("src", "dst")
+    val out = Graphs.triangleCounts(edges)
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(out(0) === 1L && out(1) === 1L && out(2) === 1L)
+    assert((3 to 20).forall(out(_) === 0L))
+  }
 }
