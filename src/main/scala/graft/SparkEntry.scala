@@ -119,6 +119,21 @@ object SparkEntry {
           TestData.clicks(s, d), touchType = "view", conversionType = "purchase")
         .orderBy("document_id")
     },
+    // video-shaped frame sampling over the binary media column: fixed-size
+    // chunks, every stride-th kept; gated on frame digests so the oracle
+    // never compares raw binary
+    "q76_frame_sample" -> { (s, d) =>
+      val media = Multimodal.attachBinary(TestData.documents(s, d))
+      Multimodal.sampleFrames(media, chunkBytes = 64, stride = 4)
+        .select(col("doc_id"), col("frame_idx"),
+          length(col("frame")).as("frame_bytes"), md5(col("frame")).as("frame_md5"))
+        .orderBy("doc_id", "frame_idx")
+    },
+    // first-order Markov transition counts between event types per session
+    "q77_transition_matrix" -> { (s, d) =>
+      Relational.transitionMatrix(TestData.clicks(s, d))
+        .orderBy("prev_type", "event_type")
+    },
     // language-ID confusion matrix (stopword-marker heuristic vs labels)
     "q21_lang_id" -> { (s, d) =>
       TextAnalysis.langIdConfusion(TestData.documents(s, d))
@@ -1499,6 +1514,32 @@ object SparkEntry {
         |nodes AS (SELECT DISTINCT u AS id FROM sym)
         |SELECT nodes.id AS document_id, COALESCE(n_triangles, 0) AS n_triangles
         |FROM nodes LEFT JOIN pern USING (id) ORDER BY document_id""".stripMargin,
+    // DuckDB cannot substring a BLOB, so the oracle slices the VARCHAR text
+    // instead — byte-identical to the engine's binary slicing because the
+    // corpus is pure ASCII (verified: 0 docs where octet_length <> length);
+    // md5 of the substring hashes the same UTF-8 bytes either way
+    "q76_frame_sample" ->
+      """WITH c AS (SELECT doc_id, text,
+        |  CAST(ceil(octet_length(encode(text)) / 64.0) AS INT) AS n_chunks FROM documents),
+        |f AS (
+        |  SELECT doc_id, CAST(unnest(list_filter(range(0, n_chunks), i -> i % 4 = 0)) AS INT) AS frame_idx, text
+        |  FROM c WHERE n_chunks > 0)
+        |SELECT doc_id, frame_idx,
+        |  length(substring(text, frame_idx * 64 + 1, 64)) AS frame_bytes,
+        |  md5(substring(text, frame_idx * 64 + 1, 64)) AS frame_md5
+        |FROM f ORDER BY doc_id, frame_idx""".stripMargin,
+    "q77_transition_matrix" ->
+      """WITH c AS (
+        |  SELECT event_id, CAST(user_id AS VARCHAR) AS sid, event_type,
+        |    CAST(ts AS TIMESTAMP) AS ts
+        |  FROM events),
+        |l AS (
+        |  SELECT sid, event_type,
+        |    lag(event_type) OVER (PARTITION BY sid ORDER BY ts, event_id) AS prev_type
+        |  FROM c)
+        |SELECT prev_type, event_type, count(*) AS n
+        |FROM l WHERE prev_type IS NOT NULL
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q74_retention" ->
       """WITH active AS (
         |  SELECT DISTINCT CAST(user_id AS VARCHAR) AS k, CAST(ts AS DATE) AS day FROM events),

@@ -435,6 +435,25 @@ object Relational {
       .orderBy(keyCols.map(col): _*)
   }
 
+  /** Event-type transition matrix (first-order Markov counts): per key,
+    * events ordered by (ts, id) emit (previous type → type) pairs via one
+    * `lag` window; the aggregate collapses to |types|² cells. One shuffle
+    * on the key, one tiny aggregate — the standard clickstream-behavior
+    * summary. Output: prev_type, event_type, n. */
+  def transitionMatrix(
+      events: DataFrame,
+      keyCol: String = "session_id",
+      typeCol: String = "event_type",
+      tsCol: String = "event_ts",
+      idCol: String = "event_id"): DataFrame = {
+    val w = Window.partitionBy(keyCol).orderBy(col(tsCol), col(idCol))
+    events
+      .withColumn("prev_type", lag(col(typeCol), 1).over(w))
+      .filter(col("prev_type").isNotNull)
+      .groupBy(col("prev_type"), col(typeCol))
+      .agg(count(lit(1)).as("n"))
+  }
+
   /** Cohort retention matrix: keys are cohorted by their FIRST active day;
     * each later active day increments (cohort_day, day_offset). The classic
     * growth-analytics triangle.

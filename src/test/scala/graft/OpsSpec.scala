@@ -226,4 +226,20 @@ class OpsSpec extends SparkSpec {
       assert(u1.exists(s => s.session_start === t("2026-01-01 12:00:00") && s.n_events === 1))
     } finally q.stop()
   }
+
+  test("transition matrix: per-key lag pairs, session boundaries never bridge") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val events = Seq(
+      (1L, "s1", "view", ts("2026-01-01 10:00:00")),
+      (2L, "s1", "click", ts("2026-01-01 10:01:00")),
+      (3L, "s1", "click", ts("2026-01-01 10:02:00")),
+      // s2 starts with purchase — no (click, purchase) pair across sessions
+      (4L, "s2", "purchase", ts("2026-01-01 10:03:00")),
+      (5L, "s2", "view", ts("2026-01-01 10:04:00"))
+    ).toDF("event_id", "session_id", "event_type", "event_ts")
+    val out = graft.relational.Relational.transitionMatrix(events)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(out === Map(
+      ("view", "click") -> 1L, ("click", "click") -> 1L, ("purchase", "view") -> 1L))
+  }
 }
