@@ -24,6 +24,13 @@ object Profiling {
     * Output: column_name, n_nulls, n_distinct, min_value, max_value. */
   def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty)
+    // spread first: the multi-distinct aggregate plans an Expand ×(k+1)
+    // before the partial aggregate, so its CPU cost is (k+1)× the scan —
+    // and a small single parquet file arrives as ONE split, pinning all of
+    // it to one core (measured 4×+ on a 32-core local run). On a real
+    // cluster the input arrives in many splits and this rebalance is one
+    // narrow-row shuffle; same rule as the sketch pipelines.
+    val spread = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
     val aggs = cols.flatMap { c =>
       Seq(
         (count(lit(1)) - count(col(c))).as(s"${c}__nulls"),
@@ -31,7 +38,7 @@ object Profiling {
         min(col(c)).cast(StringType).as(s"${c}__min"),
         max(col(c)).cast(StringType).as(s"${c}__max"))
     }
-    val row = df.agg(aggs.head, aggs.tail: _*).collect().head
+    val row = spread.agg(aggs.head, aggs.tail: _*).collect().head
     val spark = df.sparkSession
     import spark.implicits._
     cols.map { c =>

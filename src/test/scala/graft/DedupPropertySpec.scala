@@ -52,6 +52,25 @@ class DedupPropertySpec extends SparkSpec {
     }
   }
 
+  test("triangle counts agree with a brute-force reference on random graphs") {
+    forSamples(graphGen, n = 10) { edges =>
+      val und = edges.filter { case (a, b) => a != b }.toSet
+      val nodes = und.flatMap { case (a, b) => Seq(a, b) }.toList.sorted
+      def adj(a: Long, b: Long) = und.contains((math.min(a, b), math.max(a, b)))
+      val truth = nodes.map { v =>
+        v -> nodes.combinations(2).count {
+          case Seq(x, y) => x != v && y != v && adj(v, x) && adj(v, y) && adj(x, y)
+          case _ => false
+        }.toLong
+      }.toMap
+      if (und.nonEmpty) {
+        val got = graft.analysis.Graphs.triangleCounts(und.toList.toDF("src", "dst"))
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(got === truth, s"edges=$und")
+      }
+    }
+  }
+
   test("dedupFirst: one row per key, subset of input, idempotent, order-insensitive") {
     forSamples(batchGen) { rows =>
       {
