@@ -176,6 +176,17 @@ object SparkEntry {
     "q31_minhash_neardups" -> { (s, d) =>
       Dedup.minhashNearDupPairs(TestData.documents(s, d)).orderBy("doc_a", "doc_b")
     },
+    // incremental near-dup: the daily-ingest shape — new docs (doc_id%10=0)
+    // sketched and band-joined against the existing corpus's materialized
+    // signatures; candidates cross the boundary only, cost scales with the
+    // batch, never the corpus
+    "q78_incremental_neardups" -> { (s, d) =>
+      val docs = TestData.documents(s, d)
+      Dedup.incrementalNearDupPairs(
+          docs.filter(col("doc_id") % 10 === 0),
+          docs.filter(col("doc_id") % 10 =!= 0))
+        .orderBy("new_id", "existing_id")
+    },
     // exact n-gram Jaccard pairs via inverted-index join
     "q32_ngram_jaccard" -> { (s, d) =>
       Dedup.ngramJaccardPairs(TestData.documents(s, d)).orderBy("doc_a", "doc_b")
@@ -1296,6 +1307,34 @@ object SparkEntry {
         |  FROM cand JOIN sets sa ON doc_a = sa.id JOIN sets sb ON doc_b = sb.id)
         |SELECT doc_a, doc_b, round(j, 4) AS jaccard
         |FROM verified WHERE j >= 0.8 ORDER BY doc_a, doc_b""".stripMargin,
+    // q31's md5 minhash/band pipeline with the candidate join restricted to
+    // the new/existing boundary (x new, y existing, no ordering constraint)
+    "q78_incremental_neardups" ->
+      """WITH toks AS (
+        |  SELECT doc_id AS id,
+        |    string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')), ' ') AS t
+        |  FROM documents),
+        |sets AS (
+        |  SELECT id, list_distinct(list_transform(range(len(t) - 2), i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])) AS sh
+        |  FROM toks WHERE len(t) >= 3),
+        |sigs AS (
+        |  SELECT id, sh,
+        |    list_transform(range(16), i -> list_min(list_transform(sh, s -> md5(i::VARCHAR || '|' || s)))) AS sig
+        |  FROM sets),
+        |bands AS (
+        |  SELECT id, b AS band_id, md5(array_to_string(sig[b*4+1:b*4+4], ',')) AS band_hash
+        |  FROM sigs CROSS JOIN (VALUES (0), (1), (2), (3)) AS bl(b)),
+        |cand AS (
+        |  SELECT DISTINCT x.id AS new_id, y.id AS existing_id
+        |  FROM bands x JOIN bands y
+        |    ON x.band_id = y.band_id AND x.band_hash = y.band_hash
+        |  WHERE x.id % 10 = 0 AND y.id % 10 <> 0),
+        |verified AS (
+        |  SELECT new_id, existing_id,
+        |    CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) / len(list_distinct(list_concat(sa.sh, sb.sh))) AS j
+        |  FROM cand JOIN sets sa ON new_id = sa.id JOIN sets sb ON existing_id = sb.id)
+        |SELECT new_id, existing_id, round(j, 4) AS jaccard
+        |FROM verified WHERE j >= 0.8 ORDER BY new_id, existing_id""".stripMargin,
     "q32_ngram_jaccard" ->
       """WITH toks AS (
         |  SELECT doc_id AS id,

@@ -162,6 +162,53 @@ object Dedup {
     finally { withSets.unpersist(); sigs.unpersist(); () }
   }
 
+  /** Incremental near-dup: NEW documents against an EXISTING corpus — the
+    * shape a daily ingest actually runs. The existing side's shingle sets
+    * and LSH band keys are a materialized artifact (computed once when
+    * those docs arrived); only the new batch is sketched, and the band join
+    * generates candidates strictly ACROSS the boundary — new-vs-new dedup
+    * is [[minhashNearDupPairs]] on the batch, and existing-vs-existing was
+    * settled when the existing docs were new. Cost per day scales with
+    * |batch| × bucket collision rate, never with corpus size.
+    * Output: new_id, existing_id, jaccard (≥ minJaccard). */
+  def incrementalNearDupPairs(
+      newDocs: DataFrame,
+      existingDocs: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      shingleN: Int = 3,
+      k: Int = 16,
+      bands: Int = 4,
+      minJaccard: Double = 0.8): DataFrame = {
+    val par = newDocs.sparkSession.sparkContext.defaultParallelism
+    def sketch(docs: DataFrame) = docs.repartition(par).select(
+        col(idCol).as("id"),
+        shingleSet(col(textCol), shingleN).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .withColumn("sig", minhashSignature(col("sh"), k))
+      .persist()
+    val newSide = sketch(newDocs)
+    val oldSide = sketch(existingDocs)
+    def bandRows(side: DataFrame) = side
+      .select(col("id"), explode(lshBandHashes(col("sig"), bands, k / bands)).as("b"))
+      .select(col("id"), col("b.band_id"), col("b.band_hash"))
+    val candidates = bandRows(newSide).as("x")
+      .join(bandRows(oldSide).as("y"),
+        col("x.band_id") === col("y.band_id") && col("x.band_hash") === col("y.band_hash"))
+      .select(col("x.id").as("new_id"), col("y.id").as("existing_id"))
+      .distinct()
+    val result = candidates
+      .join(newSide.select(col("id").as("new_id"), col("sh").as("sh_a")), "new_id")
+      .join(oldSide.select(col("id").as("existing_id"), col("sh").as("sh_b")), "existing_id")
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast(DoubleType) /
+          size(array_union(col("sh_a"), col("sh_b"))).cast(DoubleType))
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("new_id"), col("existing_id"), round(col("jaccard"), 4).as("jaccard"))
+    try result.localCheckpoint(true)
+    finally { newSide.unpersist(); oldSide.unpersist(); () }
+  }
+
   /** Exact n-gram Jaccard pairs via inverted-index join (no LSH, no n²):
     * explode distinct shingles, join on the shingle, count common shingles
     * per pair, then jaccard = common / (|A| + |B| - common).

@@ -119,6 +119,29 @@ class DedupSpec extends SparkSpec {
     assert(!cut.keySet.exists { case (a, b) => a >= 3L && b >= 3L })
   }
 
+  test("incremental near-dups: cross-boundary pairs only, agrees with the batch operator") {
+    val base = "the quick brown fox jumps over the lazy dog again and again"
+    val corpus = Seq(
+      (10L, base),                       // new batch (id % 10 == 0)
+      (20L, "completely different text about spark query planning internals"),
+      (1L, base),                        // existing near-dup of 10
+      (2L, base + " extra"),             // existing near-dup of 10
+      (3L, "unrelated existing document content with many distinct words here")
+    ).toDF("doc_id", "text")
+    val newDocs = corpus.filter($"doc_id" % 10 === 0)
+    val existing = corpus.filter($"doc_id" % 10 =!= 0)
+    val out = Dedup.incrementalNearDupPairs(newDocs, existing, minJaccard = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // only new-vs-existing pairs, never existing-vs-existing (1,2) or new-vs-new
+    assert(out.keySet === Set((10L, 1L), (10L, 2L)))
+    assert(out(10L -> 1L) === 1.0)
+    // the full-batch operator over the union finds the same cross-boundary
+    // pairs (plus the existing-existing ones this operator must NOT emit)
+    val full = Dedup.minhashNearDupPairs(corpus, minJaccard = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(full.contains((1L, 10L)) && full.contains((2L, 10L)) && full.contains((1L, 2L)))
+  }
+
   test("fuzzy match: levenshtein pairs stay inside blocks, distance bounded") {
     val parts = Seq(
       (1L, "B1", "red widget"),
