@@ -106,6 +106,15 @@ object SparkEntry {
         .withColumnRenamed("id", "document_id")
         .orderBy("document_id")
     },
+    // item-item co-visitation recommendations: top-k co-clicked neighbors
+    // per document, one degree-bounded window over the hub-guarded edges
+    "q79_covisit_recs" -> { (s, d) =>
+      val edges = Graphs.cooccurrenceEdges(
+        TestData.clicks(s, d), "session_id", "document_id", maxPerKey = 100)
+      Graphs.covisitationRecs(edges, k = 3)
+        .withColumnRenamed("item", "document_id")
+        .orderBy("document_id", "rank")
+    },
     // cohort retention triangle: keys cohorted by first active day, exact
     // distinct actives per (cohort, offset) cell
     "q74_retention" -> { (s, d) =>
@@ -1579,6 +1588,24 @@ object SparkEntry {
         |SELECT prev_type, event_type, count(*) AS n
         |FROM l WHERE prev_type IS NOT NULL
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q79_covisit_recs" ->
+      """WITH clicks AS (
+        |  SELECT DISTINCT CAST(user_id AS VARCHAR) AS sid, CAST(props->>'$.k' AS INTEGER) AS doc
+        |  FROM events WHERE CAST(props->>'$.k' AS INTEGER) IS NOT NULL),
+        |ok AS (SELECT sid FROM clicks GROUP BY sid HAVING count(*) <= 100),
+        |ce AS (
+        |  SELECT a.doc AS src, b.doc AS dst, count(*) AS weight
+        |  FROM clicks a JOIN ok USING (sid) JOIN clicks b ON a.sid = b.sid AND a.doc < b.doc
+        |  GROUP BY 1, 2),
+        |sym AS (
+        |  SELECT src AS document_id, dst AS rec, weight FROM ce
+        |  UNION ALL SELECT dst AS document_id, src AS rec, weight FROM ce),
+        |r AS (
+        |  SELECT document_id, rec, weight,
+        |    row_number() OVER (PARTITION BY document_id ORDER BY weight DESC, rec) AS "rank"
+        |  FROM sym)
+        |SELECT document_id, rec, weight, CAST("rank" AS INT) AS "rank"
+        |FROM r WHERE "rank" <= 3 ORDER BY document_id, "rank"""".stripMargin,
     "q74_retention" ->
       """WITH active AS (
         |  SELECT DISTINCT CAST(user_id AS VARCHAR) AS k, CAST(ts AS DATE) AS day FROM events),

@@ -137,4 +137,30 @@ object Graphs {
     try result.localCheckpoint(true)
     finally { oriented.unpersist(); () }
   }
+
+  /** Item-item co-visitation recommendations: for every item, the top-k
+    * most co-occurring neighbors — the classic "people who viewed X also
+    * viewed" list, straight off the co-occurrence edges.
+    *
+    * Scale shape: one window over the symmetrized edge list, partitioned by
+    * the source item — ranking work is per-item and bounded by item degree
+    * (already hub-guarded upstream by `cooccurrenceEdges`' maxPerKey).
+    * Deterministic tie-break (weight desc, neighbor asc) keeps the list
+    * stable across runs and engines.
+    * Output: item, rec, weight, rank (1..k). */
+  def covisitationRecs(
+      edges: DataFrame,
+      k: Int = 3,
+      srcCol: String = "src",
+      dstCol: String = "dst",
+      weightCol: String = "weight"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sym = edges
+      .select(col(srcCol).as("item"), col(dstCol).as("rec"), col(weightCol).as("weight"))
+      .union(edges.select(col(dstCol).as("item"), col(srcCol).as("rec"), col(weightCol).as("weight")))
+    val w = Window.partitionBy("item").orderBy(col("weight").desc, col("rec").asc)
+    sym
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
 }

@@ -53,6 +53,20 @@ class GraphsSpec extends SparkSpec {
     assert(out === Map(1 -> 3L, 2 -> 3L, 3 -> 3L, 4 -> 3L, 5 -> 0L, 6 -> 0L))
   }
 
+  test("covisitation recs: symmetric, weight-ranked, deterministic ties, k-bounded") {
+    val edges = Seq(
+      (1, 2, 5L), (1, 3, 5L), (1, 4, 2L), (1, 5, 1L), // node 1 has 4 neighbors
+      (2, 3, 7L)
+    ).toDF("src", "dst", "weight")
+    val out = Graphs.covisitationRecs(edges, k = 3)
+      .collect().map(r => (r.getInt(0), r.getInt(3)) -> ((r.getInt(1), r.getLong(2)))).toMap
+    // ties (2 and 3 both weight 5) break on neighbor id; k=3 drops node 5
+    assert(out((1, 1)) === ((2, 5L)) && out((1, 2)) === ((3, 5L)) && out((1, 3)) === ((4, 2L)))
+    assert(!out.contains((1, 4)))
+    // symmetry: 3 recommends 2 first (weight 7 beats 5 from node 1)
+    assert(out((3, 1)) === ((2, 7L)) && out((3, 2)) === ((1, 5L)))
+  }
+
   test("triangles: hub star plus one closing edge yields exactly one triangle") {
     // hub 0 with leaves 1..20; only (1,2) closes — orientation must not
     // enumerate the hub's C(20,2) wedge space into phantom triangles
