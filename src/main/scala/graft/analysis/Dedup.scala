@@ -162,15 +162,66 @@ object Dedup {
     finally { withSets.unpersist(); sigs.unpersist(); () }
   }
 
+  /** The (id, sh, sig) sketch frame the near-dup operators consume: distinct
+    * shingle set + minhash signature per doc, short docs dropped. This is
+    * the MATERIALIZED ARTIFACT of an incremental dedup — compute it when
+    * docs arrive, write it next to the corpus, and hand it to
+    * [[incrementalNearDupPairsAgainstSketch]] forever after. */
+  def sketchDocs(
+      docs: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      shingleN: Int = 3,
+      k: Int = 16): DataFrame =
+    docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
+      .select(col(idCol).as("id"), shingleSet(col(textCol), shingleN).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .withColumn("sig", minhashSignature(col("sh"), k))
+
   /** Incremental near-dup: NEW documents against an EXISTING corpus — the
-    * shape a daily ingest actually runs. The existing side's shingle sets
-    * and LSH band keys are a materialized artifact (computed once when
-    * those docs arrived); only the new batch is sketched, and the band join
-    * generates candidates strictly ACROSS the boundary — new-vs-new dedup
-    * is [[minhashNearDupPairs]] on the batch, and existing-vs-existing was
-    * settled when the existing docs were new. Cost per day scales with
-    * |batch| × bucket collision rate, never with corpus size.
+    * shape a daily ingest actually runs. Only the new batch is sketched;
+    * the existing side is the PRECOMPUTED (id, sh, sig) artifact from
+    * [[sketchDocs]] (computed once when those docs arrived — re-sketching
+    * the corpus per ingest would be the O(corpus) cost this operator
+    * exists to avoid). The band join generates candidates strictly ACROSS
+    * the boundary — new-vs-new dedup is [[minhashNearDupPairs]] on the
+    * batch, and existing-vs-existing was settled when the existing docs
+    * were new. Cost per day scales with |batch| × bucket collision rate,
+    * never with corpus size.
     * Output: new_id, existing_id, jaccard (≥ minJaccard). */
+  def incrementalNearDupPairsAgainstSketch(
+      newDocs: DataFrame,
+      existingSketch: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      shingleN: Int = 3,
+      k: Int = 16,
+      bands: Int = 4,
+      minJaccard: Double = 0.8): DataFrame = {
+    val newSide = sketchDocs(newDocs, textCol, idCol, shingleN, k).persist()
+    def bandRows(side: DataFrame) = side
+      .select(col("id"), explode(lshBandHashes(col("sig"), bands, k / bands)).as("b"))
+      .select(col("id"), col("b.band_id"), col("b.band_hash"))
+    val candidates = bandRows(newSide).as("x")
+      .join(bandRows(existingSketch).as("y"),
+        col("x.band_id") === col("y.band_id") && col("x.band_hash") === col("y.band_hash"))
+      .select(col("x.id").as("new_id"), col("y.id").as("existing_id"))
+      .distinct()
+    val result = candidates
+      .join(newSide.select(col("id").as("new_id"), col("sh").as("sh_a")), "new_id")
+      .join(existingSketch.select(col("id").as("existing_id"), col("sh").as("sh_b")), "existing_id")
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast(DoubleType) /
+          size(array_union(col("sh_a"), col("sh_b"))).cast(DoubleType))
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("new_id"), col("existing_id"), round(col("jaccard"), 4).as("jaccard"))
+    try result.localCheckpoint(true)
+    finally { newSide.unpersist(); () }
+  }
+
+  /** Convenience overload sketching the existing side from raw docs — for
+    * one-off runs and the correctness gate; production ingests pass the
+    * materialized sketch to [[incrementalNearDupPairsAgainstSketch]]. */
   def incrementalNearDupPairs(
       newDocs: DataFrame,
       existingDocs: DataFrame,
@@ -180,33 +231,10 @@ object Dedup {
       k: Int = 16,
       bands: Int = 4,
       minJaccard: Double = 0.8): DataFrame = {
-    val par = newDocs.sparkSession.sparkContext.defaultParallelism
-    def sketch(docs: DataFrame) = docs.repartition(par).select(
-        col(idCol).as("id"),
-        shingleSet(col(textCol), shingleN).as("sh"))
-      .filter(size(col("sh")) > 0)
-      .withColumn("sig", minhashSignature(col("sh"), k))
-      .persist()
-    val newSide = sketch(newDocs)
-    val oldSide = sketch(existingDocs)
-    def bandRows(side: DataFrame) = side
-      .select(col("id"), explode(lshBandHashes(col("sig"), bands, k / bands)).as("b"))
-      .select(col("id"), col("b.band_id"), col("b.band_hash"))
-    val candidates = bandRows(newSide).as("x")
-      .join(bandRows(oldSide).as("y"),
-        col("x.band_id") === col("y.band_id") && col("x.band_hash") === col("y.band_hash"))
-      .select(col("x.id").as("new_id"), col("y.id").as("existing_id"))
-      .distinct()
-    val result = candidates
-      .join(newSide.select(col("id").as("new_id"), col("sh").as("sh_a")), "new_id")
-      .join(oldSide.select(col("id").as("existing_id"), col("sh").as("sh_b")), "existing_id")
-      .withColumn("jaccard",
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast(DoubleType) /
-          size(array_union(col("sh_a"), col("sh_b"))).cast(DoubleType))
-      .filter(col("jaccard") >= minJaccard)
-      .select(col("new_id"), col("existing_id"), round(col("jaccard"), 4).as("jaccard"))
-    try result.localCheckpoint(true)
-    finally { newSide.unpersist(); oldSide.unpersist(); () }
+    val oldSide = sketchDocs(existingDocs, textCol, idCol, shingleN, k).persist()
+    try incrementalNearDupPairsAgainstSketch(
+      newDocs, oldSide, textCol, idCol, shingleN, k, bands, minJaccard)
+    finally { oldSide.unpersist(); () }
   }
 
   /** Exact n-gram Jaccard pairs via inverted-index join (no LSH, no n²):
@@ -293,8 +321,10 @@ object Dedup {
     * partitions (the old label rides along in `__old`) instead of paying a
     * join per round.
     *
-    * Precondition: every edge endpoint appears in `nodes` (true by
-    * construction for dedup pair sets, which are derived from the doc set). */
+    * Edges whose endpoints are not in `nodes` are INERT (filtered before
+    * the loop): an out-of-set id must never become a component label, or a
+    * cluster could end up keeper-less (its min label pointing at a node
+    * that does not exist downstream). */
   def connectedComponents(
       edges: DataFrame,
       nodes: DataFrame,
@@ -302,10 +332,16 @@ object Dedup {
       dstCol: String = "dst",
       idCol: String = "id",
       maxIter: Int = 20): DataFrame = {
+    // both-endpoints-in-nodes filter: two semi-joins of the (small) edge
+    // set against the node ids, once before the loop — keeps out-of-set
+    // endpoints inert instead of letting them become labels
+    val nodeIds = nodes.select(col(idCol).as("__nid"))
     val sym = edges
       .select(col(srcCol).as("a"), col(dstCol).as("b"))
       .union(edges.select(col(dstCol).as("a"), col(srcCol).as("b")))
       .distinct()
+      .join(nodeIds.withColumnRenamed("__nid", "a"), Seq("a"), "left_semi")
+      .join(nodeIds.withColumnRenamed("__nid", "b"), Seq("b"), "left_semi")
       .persist()
     sym.count() // materialize once; reused every round
     // Only nodes touched by an edge can ever leave their own label —
@@ -420,12 +456,17 @@ object Dedup {
     // violating pairs never reach the DP (none changes the result set):
     //  1. |len(a)-len(b)| ≤ d — lengths precomputed per ROW (not per pair);
     //  2. bit_count(sig_a XOR sig_b) ≤ 2d over a 64-bit char-class presence
-    //     bitmap: one edit inserts/deletes/substitutes one char, flipping at
-    //     most 2 presence bits (the removed class and the added class), so
-    //     lev ≤ d forces XOR popcount ≤ 2d. Class collisions (ascii mod 64)
-    //     only make the filter less selective, never unsound. Two ALU ops
-    //     per pair replace a ~2·d·len DP for the ~90% of pairs that differ
-    //     in character inventory;
+    //     bitmap: one edit inserts/deletes/substitutes one CHARACTER,
+    //     flipping at most 2 presence bits (the removed class and the added
+    //     class), so lev ≤ d forces XOR popcount ≤ 2d. Class collisions
+    //     (ascii mod 64) only make the filter less selective, never
+    //     unsound. Soundness requires one class per CHARACTER, but
+    //     split("") yields UTF-16 code units — a supplementary-plane char
+    //     (emoji) splits into two lone surrogates, which would contribute
+    //     two classes while levenshtein counts one char. All surrogate
+    //     code units (0xD800-0xDFFF) therefore collapse into a single
+    //     class: any astral char contributes exactly that one bit, and the
+    //     ≤2-flips-per-edit bound holds for every Unicode string;
     //  3. thresholded levenshtein abandons the DP early (returns -1) once
     //     the distance provably exceeds d — and it is evaluated ONCE per
     //     surviving candidate, as a single `>= 0` conjunct INSIDE the join
@@ -439,7 +480,11 @@ object Dedup {
     val charSig = aggregate(
       split(col(strCol), ""),
       lit(0L),
-      (acc, c) => acc.bitwiseOR(call_function("shiftleft", lit(1L), ascii(c) % lit(64))))
+      (acc, c) => {
+        val cp = ascii(c)
+        val cls = when(cp.between(0xD800, 0xDFFF), lit(63)).otherwise(cp % lit(64))
+        acc.bitwiseOR(call_function("shiftleft", lit(1L), cls))
+      })
     val side = df.select(
       Seq(col(blockCol), col(idCol), col(strCol),
         length(col(strCol)).as("__len"), charSig.as("__sig")) ++

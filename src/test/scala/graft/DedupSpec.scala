@@ -169,6 +169,52 @@ class DedupSpec extends SparkSpec {
     // (2,3) distance 3 > maxDistance: correctly absent
   }
 
+  test("fuzzy match: supplementary-plane chars stay sound (surrogate class collapse)") {
+    // 𝕏 (U+1D54F) and 😀 (U+1F600) are both astral: split("") sees two
+    // UTF-16 code units each, but levenshtein counts ONE char — the bitmap
+    // bound must not drop the lev-1 pair
+    val parts = Seq(
+      (1L, "B1", "𝕏"),
+      (2L, "B1", "😀"),
+      (3L, "B1", "café menu"),   // BMP non-ascii
+      (4L, "B1", "cafe menu")         // distance 1 from #3
+    ).toDF("pk", "brand", "name")
+    val out = Dedup.fuzzyMatchPairs(parts, "brand", "pk", "name", maxDistance = 2)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"), r.getAs[Int]("distance"))).toSet
+    assert(out.contains((1L, 2L, 1)))
+    assert(out.contains((3L, 4L, 1)))
+  }
+
+  test("connected components: dangling edges are inert, clusters keep a keeper") {
+    // edge (1,99) references node 99 which is NOT in the node set; the old
+    // failure mode let 99 become the component label → keeper-less cluster
+    val pairs = Seq((1L, 2L), (1L, 99L)).toDF("doc_a", "doc_b")
+    val docs = Seq(1L, 2L, 3L).toDF("doc_id")
+    val out = Dedup.dedupClusters(pairs, docs)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    assert(out === Map(
+      1L -> ((1L, true)), 2L -> ((1L, false)), 3L -> ((3L, true))))
+  }
+
+  test("incremental near-dups: materialized-sketch path equals the raw-docs path") {
+    val base = "the quick brown fox jumps over the lazy dog again and again"
+    val corpus = Seq(
+      (10L, base), (1L, base), (2L, base + " extra"),
+      (3L, "unrelated existing document content with many distinct words here")
+    ).toDF("doc_id", "text")
+    val newDocs = corpus.filter($"doc_id" % 10 === 0)
+    val existing = corpus.filter($"doc_id" % 10 =!= 0)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val viaRaw = rows(Dedup.incrementalNearDupPairs(newDocs, existing, minJaccard = 0.5))
+    val sketch = Dedup.sketchDocs(existing).persist()
+    val viaArtifact = rows(Dedup.incrementalNearDupPairsAgainstSketch(
+      newDocs, sketch, minJaccard = 0.5))
+    sketch.unpersist()
+    assert(viaRaw === viaArtifact)
+    assert(viaRaw.keySet === Set((10L, 1L), (10L, 2L)))
+  }
+
   test("fuzzy match: composite secondary blocking narrows to same-first-token pairs") {
     import org.apache.spark.sql.functions.substring_index
     val parts = Seq(
