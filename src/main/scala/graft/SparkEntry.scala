@@ -143,6 +143,10 @@ object SparkEntry {
       Relational.transitionMatrix(TestData.clicks(s, d))
         .orderBy("prev_type", "event_type")
     },
+    // top session paths: first-5-event type sequences counted corpus-wide
+    "q80_top_paths" -> { (s, d) =>
+      Relational.topSessionPaths(TestData.clicks(s, d), maxSteps = 5, k = 20)
+    },
     // language-ID confusion matrix (stopword-marker heuristic vs labels)
     "q21_lang_id" -> { (s, d) =>
       TextAnalysis.langIdConfusion(TestData.documents(s, d))
@@ -1576,6 +1580,21 @@ object SparkEntry {
         |  length(substring(text, frame_idx * 64 + 1, 64)) AS frame_bytes,
         |  md5(substring(text, frame_idx * 64 + 1, 64)) AS frame_md5
         |FROM f ORDER BY doc_id, frame_idx""".stripMargin,
+    "q80_top_paths" ->
+      """WITH c AS (
+        |  SELECT event_id, CAST(user_id AS VARCHAR) AS sid, event_type,
+        |    CAST(ts AS TIMESTAMP) AS ts
+        |  FROM events),
+        |r AS (
+        |  SELECT sid, event_type,
+        |    row_number() OVER (PARTITION BY sid ORDER BY ts, event_id) AS rn
+        |  FROM c),
+        |p AS (
+        |  SELECT sid, string_agg(event_type, '>' ORDER BY rn) AS path
+        |  FROM r WHERE rn <= 5 GROUP BY sid)
+        |SELECT path, count(*) AS n_sessions
+        |FROM p GROUP BY path
+        |ORDER BY n_sessions DESC, path LIMIT 20""".stripMargin,
     "q77_transition_matrix" ->
       """WITH c AS (
         |  SELECT event_id, CAST(user_id AS VARCHAR) AS sid, event_type,

@@ -435,6 +435,37 @@ object Relational {
       .orderBy(keyCols.map(col): _*)
   }
 
+  /** Top session paths: the ordered sequence of the first `maxSteps` event
+    * types per key, counted across keys — the classic "what do sessions
+    * actually do" report. The per-key sequence is assembled with
+    * collect_list + array_sort on (ts, id) structs (deterministic without a
+    * pre-shuffle sort: the sort runs inside each aggregation buffer, whose
+    * size `maxSteps` bounds via the row_number prefilter), then paths
+    * aggregate corpus-wide and top-k plans as TakeOrderedAndProject.
+    * Output: path ("a>b>c"), n_sessions — top k by (count desc, path). */
+  def topSessionPaths(
+      events: DataFrame,
+      maxSteps: Int = 5,
+      k: Int = 20,
+      keyCol: String = "session_id",
+      typeCol: String = "event_type",
+      tsCol: String = "event_ts",
+      idCol: String = "event_id"): DataFrame = {
+    val w = Window.partitionBy(keyCol).orderBy(col(tsCol), col(idCol))
+    val prefix = events
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= maxSteps)
+    prefix
+      .groupBy(col(keyCol))
+      .agg(concat_ws(">",
+        transform(
+          array_sort(collect_list(struct(col("__rn"), col(typeCol).as("t")))),
+          s => s.getField("t"))).as("path"))
+      .groupBy(col("path")).agg(count(lit(1)).as("n_sessions"))
+      .orderBy(col("n_sessions").desc, col("path"))
+      .limit(k)
+  }
+
   /** Event-type transition matrix (first-order Markov counts): per key,
     * events ordered by (ts, id) emit (previous type → type) pairs via one
     * `lag` window; the aggregate collapses to |types|² cells. One shuffle

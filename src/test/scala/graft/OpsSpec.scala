@@ -242,4 +242,21 @@ class OpsSpec extends SparkSpec {
     assert(out === Map(
       ("view", "click") -> 1L, ("click", "click") -> 1L, ("purchase", "view") -> 1L))
   }
+
+  test("top session paths: ordered prefixes, maxSteps truncation, count-desc ranking") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val events = Seq(
+      (1L, "s1", "view", ts("2026-01-01 10:00:00")),
+      (2L, "s1", "click", ts("2026-01-01 10:01:00")),
+      (3L, "s2", "view", ts("2026-01-01 10:00:00")),
+      (4L, "s2", "click", ts("2026-01-01 10:01:00")),
+      (5L, "s2", "purchase", ts("2026-01-01 10:02:00")), // truncated at maxSteps=2
+      (6L, "s3", "error", ts("2026-01-01 10:00:00"))
+    ).toDF("event_id", "session_id", "event_type", "event_ts")
+    val out = graft.relational.Relational.topSessionPaths(events, maxSteps = 2, k = 10)
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    // two sessions share the truncated "view>click" prefix; ranked first
+    assert(out.head === ("view>click" -> 2L))
+    assert(out.toMap === Map("view>click" -> 2L, "error" -> 1L))
+  }
 }
