@@ -147,6 +147,16 @@ object SparkEntry {
     "q80_top_paths" -> { (s, d) =>
       Relational.topSessionPaths(TestData.clicks(s, d), maxSteps = 5, k = 20)
     },
+    // weighted PageRank: rank mass flows proportional to co-click counts —
+    // a pair co-clicked in 50 sessions pulls 50x a one-off; same lazy
+    // 5-round chain as q56, strength replaces degree
+    "q81_pagerank_weighted" -> { (s, d) =>
+      val edges = Graphs.cooccurrenceEdges(
+        TestData.clicks(s, d), "session_id", "document_id", maxPerKey = 100)
+      Graphs.pageRank(edges, damping = 0.85, iterations = 5, weightCol = Some("weight"))
+        .withColumnRenamed("id", "document_id")
+        .orderBy("document_id")
+    },
     // language-ID confusion matrix (stopword-marker heuristic vs labels)
     "q21_lang_id" -> { (s, d) =>
       TextAnalysis.langIdConfusion(TestData.documents(s, d))
@@ -1648,6 +1658,54 @@ object SparkEntry {
         |  CAST(round(sum(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE) AS attributed_value
         |FROM f WHERE event_type = 'purchase' AND first_touch IS NOT NULL
         |GROUP BY 1 ORDER BY document_id""".stripMargin,
+    // q56's unrolled power iteration with edge weights: deg becomes the
+    // weight-strength sum and each hop carries r*w/strength
+    "q81_pagerank_weighted" ->
+      """WITH clicks AS (
+        |  SELECT DISTINCT CAST(user_id AS VARCHAR) AS sid, CAST(props->>'$.k' AS INTEGER) AS doc
+        |  FROM events WHERE CAST(props->>'$.k' AS INTEGER) IS NOT NULL),
+        |ok AS (SELECT sid FROM clicks GROUP BY sid HAVING count(*) <= 100),
+        |ce AS (
+        |  SELECT a.doc AS src, b.doc AS dst, CAST(count(*) AS DOUBLE) AS w
+        |  FROM clicks a JOIN ok USING (sid) JOIN clicks b ON a.sid = b.sid AND a.doc < b.doc
+        |  GROUP BY 1, 2),
+        |sym AS (SELECT src AS u, dst AS v, w FROM ce UNION ALL SELECT dst AS u, src AS v, w FROM ce),
+        |deg AS (SELECT u, sum(w) AS d FROM sym GROUP BY u),
+        |nodes AS (SELECT DISTINCT u AS id FROM sym),
+        |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+        |p0 AS (SELECT id, CAST(1 AS DOUBLE) / (SELECT n FROM nn) AS r FROM nodes),
+        |p1 AS (
+        |  SELECT nd.id, (CAST(1 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / (SELECT n FROM nn)
+        |    + CAST(0.85 AS DOUBLE) * COALESCE(sum(p.r * s.w / dg.d), 0) AS r
+        |  FROM nodes nd LEFT JOIN sym s ON s.v = nd.id
+        |  LEFT JOIN p0 p ON s.u = p.id LEFT JOIN deg dg ON s.u = dg.u
+        |  GROUP BY nd.id),
+        |p2 AS (
+        |  SELECT nd.id, (CAST(1 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / (SELECT n FROM nn)
+        |    + CAST(0.85 AS DOUBLE) * COALESCE(sum(p.r * s.w / dg.d), 0) AS r
+        |  FROM nodes nd LEFT JOIN sym s ON s.v = nd.id
+        |  LEFT JOIN p1 p ON s.u = p.id LEFT JOIN deg dg ON s.u = dg.u
+        |  GROUP BY nd.id),
+        |p3 AS (
+        |  SELECT nd.id, (CAST(1 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / (SELECT n FROM nn)
+        |    + CAST(0.85 AS DOUBLE) * COALESCE(sum(p.r * s.w / dg.d), 0) AS r
+        |  FROM nodes nd LEFT JOIN sym s ON s.v = nd.id
+        |  LEFT JOIN p2 p ON s.u = p.id LEFT JOIN deg dg ON s.u = dg.u
+        |  GROUP BY nd.id),
+        |p4 AS (
+        |  SELECT nd.id, (CAST(1 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / (SELECT n FROM nn)
+        |    + CAST(0.85 AS DOUBLE) * COALESCE(sum(p.r * s.w / dg.d), 0) AS r
+        |  FROM nodes nd LEFT JOIN sym s ON s.v = nd.id
+        |  LEFT JOIN p3 p ON s.u = p.id LEFT JOIN deg dg ON s.u = dg.u
+        |  GROUP BY nd.id),
+        |p5 AS (
+        |  SELECT nd.id, (CAST(1 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / (SELECT n FROM nn)
+        |    + CAST(0.85 AS DOUBLE) * COALESCE(sum(p.r * s.w / dg.d), 0) AS r
+        |  FROM nodes nd LEFT JOIN sym s ON s.v = nd.id
+        |  LEFT JOIN p4 p ON s.u = p.id LEFT JOIN deg dg ON s.u = dg.u
+        |  GROUP BY nd.id)
+        |SELECT id AS document_id, r * (SELECT n FROM nn) AS pagerank
+        |FROM p5 ORDER BY document_id""".stripMargin,
     "q56_doc_pagerank" ->
       """WITH clicks AS (
         |  SELECT DISTINCT CAST(user_id AS VARCHAR) AS sid, CAST(props->>'$.k' AS INTEGER) AS doc

@@ -39,8 +39,11 @@ object Graphs {
   }
 
   /** PageRank by power iteration over an undirected edge list (edges are
-    * symmetrized internally; weights are ignored — every distinct edge
-    * carries r/deg). Ranks are scaled by N so the mean is 1.0 and small
+    * symmetrized internally). Unweighted by default — every distinct edge
+    * carries r/deg; pass `weightCol` and each edge carries
+    * r·w/strength(u) instead (strength = sum of u's edge weights), so a
+    * pair co-clicked in 50 sessions pulls 50× the rank of a one-off
+    * co-click. Ranks are scaled by N so the mean is 1.0 and small
     * scores stay comparable across corpus sizes.
     *
     * Scale shape: each iteration is one equi-join edges⋈ranks plus one sum
@@ -65,19 +68,30 @@ object Graphs {
       iterations: Int = 5,
       srcCol: String = "src",
       dstCol: String = "dst",
-      checkpointInterval: Int = 10): DataFrame = {
-    val sym = edges.select(col(srcCol).as("u"), col(dstCol).as("v"))
-      .union(edges.select(col(dstCol).as("u"), col(srcCol).as("v")))
+      checkpointInterval: Int = 10,
+      weightCol: Option[String] = None): DataFrame = {
+    val w = weightCol.map(c => col(c).cast("double")).getOrElse(lit(1.0))
+    val sym = edges.select(col(srcCol).as("u"), col(dstCol).as("v"), w.as("w"))
+      .union(edges.select(col(dstCol).as("u"), col(srcCol).as("v"), w.as("w")))
       .persist()
-    val deg = sym.groupBy("u").agg(count(lit(1)).as("deg"))
+    // strength = out-weight mass; reduces to the degree when unweighted
+    // (count, not sum(1.0), so the unweighted plan is unchanged)
+    val deg = weightCol match {
+      case Some(_) => sym.groupBy("u").agg(sum(col("w")).as("deg"))
+      case None => sym.groupBy("u").agg(count(lit(1)).as("deg"))
+    }
     val nodes = sym.select(col("u").as("id")).distinct().persist()
     val n = nodes.count()
     var ranks = nodes.withColumn("r", lit(1.0 / n))
     for (i <- 1 to iterations) {
+      val contrib = weightCol match {
+        case Some(_) => col("r") * col("w") / col("deg")
+        case None => col("r") / col("deg")
+      }
       val contribs = sym
         .join(ranks, col("u") === col("id"))
         .join(deg, "u")
-        .select(col("v"), (col("r") / col("deg")).as("c"))
+        .select(col("v"), contrib.as("c"))
         .groupBy("v").agg(sum("c").as("inflow"))
       ranks = nodes
         .join(contribs, col("id") === col("v"), "left")

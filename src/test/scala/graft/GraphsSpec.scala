@@ -53,6 +53,19 @@ class GraphsSpec extends SparkSpec {
     assert(out === Map(1 -> 3L, 2 -> 3L, 3 -> 3L, 4 -> 3L, 5 -> 0L, 6 -> 0L))
   }
 
+  test("weighted pagerank: one iteration matches the hand calculation, heavy edges pull more") {
+    // 1 -(w=3)- 2 -(w=1)- 3: strength(1)=3, strength(2)=4, strength(3)=1
+    val edges = Seq((1, 2, 3L), (2, 3, 1L)).toDF("src", "dst", "weight")
+    val out = Graphs.pageRank(edges, damping = 0.85, iterations = 1, weightCol = Some("weight"))
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    val n = 3.0
+    assert(math.abs(out(1) - (0.05 + 0.85 * (1.0 / 3 * 3 / 4)) * n) < 1e-12)
+    assert(math.abs(out(2) - (0.05 + 0.85 * (1.0 / 3 + 1.0 / 3)) * n) < 1e-12)
+    assert(math.abs(out(3) - (0.05 + 0.85 * (1.0 / 3 * 1 / 4)) * n) < 1e-12)
+    // the heavy-edge neighbor of 2 outranks the light one
+    assert(out(1) > out(3))
+  }
+
   test("covisitation recs: symmetric, weight-ranked, deterministic ties, k-bounded") {
     val edges = Seq(
       (1, 2, 5L), (1, 3, 5L), (1, 4, 2L), (1, 5, 1L), // node 1 has 4 neighbors
