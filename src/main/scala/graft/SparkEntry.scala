@@ -128,6 +128,12 @@ object SparkEntry {
           TestData.clicks(s, d), touchType = "view", conversionType = "purchase")
         .orderBy("document_id")
     },
+    // last-touch sibling: same window, most recent view gets the credit
+    "q82_attribution_last" -> { (s, d) =>
+      graft.analysis.Funnel.lastTouchAttribution(
+          TestData.clicks(s, d), touchType = "view", conversionType = "purchase")
+        .orderBy("document_id")
+    },
     // video-shaped frame sampling over the binary media column: fixed-size
     // chunks, every stride-th kept; gated on frame digests so the oracle
     // never compares raw binary
@@ -1657,6 +1663,22 @@ object SparkEntry {
         |SELECT first_touch AS document_id, count(*) AS n_conversions,
         |  CAST(round(sum(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE) AS attributed_value
         |FROM f WHERE event_type = 'purchase' AND first_touch IS NOT NULL
+        |GROUP BY 1 ORDER BY document_id""".stripMargin,
+    "q82_attribution_last" ->
+      """WITH c AS (
+        |  SELECT event_id, CAST(user_id AS VARCHAR) AS session_id,
+        |    CAST(props->>'$.k' AS INTEGER) AS document_id,
+        |    CAST(ts AS TIMESTAMP) AS ts, event_type, value
+        |  FROM events),
+        |f AS (
+        |  SELECT *,
+        |    last_value(CASE WHEN event_type = 'view' THEN document_id END IGNORE NULLS)
+        |      OVER (PARTITION BY session_id ORDER BY ts, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_touch
+        |  FROM c)
+        |SELECT last_touch AS document_id, count(*) AS n_conversions,
+        |  CAST(round(sum(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE) AS attributed_value
+        |FROM f WHERE event_type = 'purchase' AND last_touch IS NOT NULL
         |GROUP BY 1 ORDER BY document_id""".stripMargin,
     // q56's unrolled power iteration with edge weights: deg becomes the
     // weight-strength sum and each hop carries r*w/strength

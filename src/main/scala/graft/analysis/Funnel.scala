@@ -40,11 +40,11 @@ object Funnel {
 
   /** First-touch attribution: every conversion is credited to the FIRST
     * touch event seen earlier in the same key's timeline (the classic
-    * marketing-attribution rule; last-touch is the same window with a
-    * running `last`). One window pass — the running first-non-null touch
-    * rides an unbounded-preceding frame over (ts, id)-ordered events, so
-    * the shuffle is one partition-by-key exchange, never a self-join of
-    * conversions against touches. Conversions with no prior touch drop out.
+    * marketing-attribution rule). One window pass — the running
+    * first-non-null touch rides an unbounded-preceding frame over
+    * (ts, id)-ordered events, so the shuffle is one partition-by-key
+    * exchange, never a self-join of conversions against touches.
+    * Conversions with no prior touch drop out.
     *
     * The conversion value is summed as DECIMAL (shuffle-order-independent;
     * the q16 lesson) and surfaced as a rounded double.
@@ -60,16 +60,49 @@ object Funnel {
       tsCol: String = "event_ts",
       idCol: String = "event_id",
       itemCol: String = "document_id",
-      valueCol: String = "value"): DataFrame = {
+      valueCol: String = "value"): DataFrame =
+    touchAttribution(events, touchType, conversionType, keyCol, typeCol,
+      tsCol, idCol, itemCol, valueCol, lastTouch = false)
+
+  /** Last-touch attribution: same single-window shape as
+    * [[firstTouchAttribution]], crediting the MOST RECENT touch before the
+    * conversion instead — the other standard attribution model. */
+  def lastTouchAttribution(
+      events: DataFrame,
+      touchType: String,
+      conversionType: String,
+      keyCol: String = "session_id",
+      typeCol: String = "event_type",
+      tsCol: String = "event_ts",
+      idCol: String = "event_id",
+      itemCol: String = "document_id",
+      valueCol: String = "value"): DataFrame =
+    touchAttribution(events, touchType, conversionType, keyCol, typeCol,
+      tsCol, idCol, itemCol, valueCol, lastTouch = true)
+
+  private def touchAttribution(
+      events: DataFrame,
+      touchType: String,
+      conversionType: String,
+      keyCol: String,
+      typeCol: String,
+      tsCol: String,
+      idCol: String,
+      itemCol: String,
+      valueCol: String,
+      lastTouch: Boolean): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.types.{DecimalType, DoubleType}
     val w = Window.partitionBy(keyCol).orderBy(col(tsCol), col(idCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val touch = when(col(typeCol) === touchType, col(itemCol))
+    val picked =
+      if (lastTouch) last(touch, ignoreNulls = true).over(w)
+      else first(touch, ignoreNulls = true).over(w)
     events
-      .withColumn("__first_touch",
-        first(when(col(typeCol) === touchType, col(itemCol)), ignoreNulls = true).over(w))
-      .filter(col(typeCol) === conversionType && col("__first_touch").isNotNull)
-      .groupBy(col("__first_touch").as(itemCol))
+      .withColumn("__touch", picked)
+      .filter(col(typeCol) === conversionType && col("__touch").isNotNull)
+      .groupBy(col("__touch").as(itemCol))
       .agg(count(lit(1)).as("n_conversions"),
         round(sum(col(valueCol).cast(DecimalType(18, 2))), 2)
           .cast(DoubleType).as("attributed_value"))

@@ -55,6 +55,11 @@ class FunnelSpec extends SparkSpec {
     val out = Funnel.firstTouchAttribution(clicks, "view", "purchase")
       .collect().map(r => r.getInt(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
     assert(out === Map(7 -> ((2L, 12.5)), 5 -> ((1L, 4.0))))
+    // last-touch flips s1's credit to doc 8 (most recent view before both
+    // purchases); s2 still unattributable, s3 still credits doc 5
+    val lastOut = Funnel.lastTouchAttribution(clicks, "view", "purchase")
+      .collect().map(r => r.getInt(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(lastOut === Map(8 -> ((2L, 12.5)), 5 -> ((1L, 4.0))))
   }
 
   test("retention matrix: first active day cohorts, offsets count distinct actives") {
