@@ -511,6 +511,10 @@ object SparkEntry {
     "q68_equidepth_histogram" -> { (s, d) =>
       Relational.equiDepthHistogram(TestData.clicks(s, d), valCol = "value", bins = 10)
     },
+    // equi-width sibling of q68: fixed bucket width, empty bins surfaced
+    "q83_equiwidth_histogram" -> { (s, d) =>
+      Relational.equiWidthHistogram(TestData.clicks(s, d), valCol = "value", bins = 10)
+    },
     // sliding (hopping) windows: each event lands in width/slide windows
     "q69_sliding_traffic" -> { (s, d) =>
       Relational.slidingTraffic(TestData.clicks(s, d)).orderBy("window_start")
@@ -998,6 +1002,18 @@ object SparkEntry {
         |  FROM events, cuts)
         |SELECT bin, count(*) AS n, min(value) AS lo, max(value) AS hi
         |FROM b GROUP BY bin ORDER BY bin""".stripMargin,
+    "q83_equiwidth_histogram" ->
+      """WITH s AS (SELECT CAST(min(value) AS DOUBLE) AS mn, CAST(max(value) AS DOUBLE) AS mx FROM events),
+        |b AS (
+        |  SELECT LEAST(10, CAST(floor((value - mn) / ((mx - mn) / 10)) AS INT) + 1) AS bin
+        |  FROM events CROSS JOIN s),
+        |c AS (SELECT bin, count(*) AS n FROM b GROUP BY 1),
+        |spine AS (SELECT CAST(unnest(range(1, 11)) AS INT) AS bin)
+        |SELECT spine.bin,
+        |  round(mn + (spine.bin - 1) * ((mx - mn) / 10), 6) AS lo,
+        |  round(mn + spine.bin * ((mx - mn) / 10), 6) AS hi,
+        |  COALESCE(n, 0) AS n
+        |FROM spine CROSS JOIN s LEFT JOIN c USING (bin) ORDER BY spine.bin""".stripMargin,
     "q69_sliding_traffic" ->
       """WITH e AS (
         |  SELECT CAST(ts AS TIMESTAMP) AS ts, CAST(user_id AS VARCHAR) AS session_id FROM events),

@@ -3,7 +3,7 @@ package graft.relational
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DecimalType, DoubleType}
+import org.apache.spark.sql.types.{DecimalType, DoubleType, IntegerType}
 
 /** Relational operator suite over the TPC-H-style star schema.
   *
@@ -265,6 +265,36 @@ object Relational {
       .agg(count(lit(1)).as("n"),
         min(col(valCol)).as("lo"),
         max(col(valCol)).as("hi"))
+      .orderBy("bin")
+  }
+
+  /** Equi-width histogram — the fixed-bucket sibling of
+    * [[equiDepthHistogram]]: one min/max aggregate fixes the range, the bin
+    * assignment is a pure projection (floor division, max clamped into the
+    * top bin), and empty bins surface with n = 0 via a bins-row spine so
+    * the shape of the distribution is visible, not just its support.
+    * Output: bin (1..bins), lo, hi (rounded), n. */
+  def equiWidthHistogram(
+      df: DataFrame,
+      valCol: String,
+      bins: Int = 10): DataFrame = {
+    require(bins >= 1)
+    val r = df.agg(min(col(valCol)).cast(DoubleType).as("mn"),
+      max(col(valCol)).cast(DoubleType).as("mx")).collect().head
+    require(!r.isNullAt(0), s"equiWidthHistogram: no rows (or all-null $valCol) to bin")
+    val (mn, mx) = (r.getDouble(0), r.getDouble(1))
+    val w = (mx - mn) / bins
+    val binExpr =
+      if (w == 0) lit(1)
+      else least(lit(bins), floor((col(valCol) - mn) / w).cast(IntegerType) + 1)
+    val counts = df.select(binExpr.as("bin")).groupBy("bin").agg(count(lit(1)).as("n"))
+    val spine = df.sparkSession.range(1, bins + 1)
+      .select(col("id").cast(IntegerType).as("bin"))
+    spine.join(counts, Seq("bin"), "left").na.fill(0L, Seq("n"))
+      .select(col("bin"),
+        round(lit(mn) + (col("bin") - 1) * w, 6).as("lo"),
+        round(lit(mn) + col("bin") * w, 6).as("hi"),
+        col("n"))
       .orderBy("bin")
   }
 

@@ -243,6 +243,16 @@ class OpsSpec extends SparkSpec {
       ("view", "click") -> 1L, ("click", "click") -> 1L, ("purchase", "view") -> 1L))
   }
 
+  test("equi-width histogram: fixed edges, max clamps into top bin, empty bins surface") {
+    val df = Seq(0.0, 0.5, 1.0, 9.5, 10.0).toDF("v")
+    val out = graft.relational.Relational.equiWidthHistogram(df, "v", bins = 5)
+      .collect().map(r => r.getInt(0) -> ((r.getDouble(1), r.getDouble(2), r.getLong(3)))).toMap
+    // width 2: bin1 [0,2) holds 0, 0.5, 1; bins 2-4 empty but present; bin5 holds 9.5 and the max
+    assert(out(1) === ((0.0, 2.0, 3L)))
+    assert(out(2) === ((2.0, 4.0, 0L)) && out(3) === ((4.0, 6.0, 0L)) && out(4) === ((6.0, 8.0, 0L)))
+    assert(out(5) === ((8.0, 10.0, 2L)))
+  }
+
   test("top session paths: ordered prefixes, maxSteps truncation, count-desc ranking") {
     def ts(s: String) = java.sql.Timestamp.valueOf(s)
     val events = Seq(
