@@ -128,7 +128,10 @@ object Graphs {
         greatest(col(srcCol), col(dstCol)).as("b"))
       .filter(col("a") =!= col("b"))
       .distinct()
-    val sym = und.union(und.select(col("b").as("a"), col("a").as("b")))
+    // persist: `edges` may itself be an expensive join (co-click generation)
+    // and sym feeds the degree aggregate, the orientation join AND the final
+    // node frame — unpersisted, the upstream plan re-executes for each
+    val sym = und.union(und.select(col("b").as("a"), col("a").as("b"))).persist()
     val deg = sym.groupBy(col("a").as("n")).agg(count(lit(1)).as("d"))
     val oriented = sym
       .join(deg.select(col("n").as("a"), col("d").as("da")), "a")
@@ -149,7 +152,7 @@ object Graphs {
       .join(perNode, Seq("id"), "left")
       .na.fill(0L, Seq("n_triangles"))
     try result.localCheckpoint(true)
-    finally { oriented.unpersist(); () }
+    finally { oriented.unpersist(); sym.unpersist(); () }
   }
 
   /** Item-item co-visitation recommendations: for every item, the top-k
