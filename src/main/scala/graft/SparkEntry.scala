@@ -1002,11 +1002,15 @@ object SparkEntry {
         |  FROM events, cuts)
         |SELECT bin, count(*) AS n, min(value) AS lo, max(value) AS hi
         |FROM b GROUP BY bin ORDER BY bin""".stripMargin,
+    // mirrors the operator's null exclusion and its w==0 degenerate branch
+    // (all-equal values -> everything in bin 1, no division by zero)
     "q83_equiwidth_histogram" ->
-      """WITH s AS (SELECT CAST(min(value) AS DOUBLE) AS mn, CAST(max(value) AS DOUBLE) AS mx FROM events),
+      """WITH v AS (SELECT value FROM events WHERE value IS NOT NULL),
+        |s AS (SELECT CAST(min(value) AS DOUBLE) AS mn, CAST(max(value) AS DOUBLE) AS mx FROM v),
         |b AS (
-        |  SELECT LEAST(10, CAST(floor((value - mn) / ((mx - mn) / 10)) AS INT) + 1) AS bin
-        |  FROM events CROSS JOIN s),
+        |  SELECT CASE WHEN mx = mn THEN 1
+        |    ELSE LEAST(10, CAST(floor((value - mn) / ((mx - mn) / 10)) AS INT) + 1) END AS bin
+        |  FROM v CROSS JOIN s),
         |c AS (SELECT bin, count(*) AS n FROM b GROUP BY 1),
         |spine AS (SELECT CAST(unnest(range(1, 11)) AS INT) AS bin)
         |SELECT spine.bin,

@@ -82,12 +82,12 @@ object Graphs {
     }
     val nodes = sym.select(col("u").as("id")).distinct().persist()
     val n = nodes.count()
+    val contrib = weightCol match {
+      case Some(_) => col("r") * col("w") / col("deg")
+      case None => col("r") / col("deg")
+    }
     var ranks = nodes.withColumn("r", lit(1.0 / n))
     for (i <- 1 to iterations) {
-      val contrib = weightCol match {
-        case Some(_) => col("r") * col("w") / col("deg")
-        case None => col("r") / col("deg")
-      }
       val contribs = sym
         .join(ranks, col("u") === col("id"))
         .join(deg, "u")

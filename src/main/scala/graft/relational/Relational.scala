@@ -279,7 +279,11 @@ object Relational {
       valCol: String,
       bins: Int = 10): DataFrame = {
     require(bins >= 1)
-    val r = df.agg(min(col(valCol)).cast(DoubleType).as("mn"),
+    // null values are excluded up front: binning arithmetic on null yields
+    // null, and Spark's null-skipping least() would otherwise silently
+    // drop such rows into the TOP bin instead of out of the histogram
+    val src = df.filter(col(valCol).isNotNull)
+    val r = src.agg(min(col(valCol)).cast(DoubleType).as("mn"),
       max(col(valCol)).cast(DoubleType).as("mx")).collect().head
     require(!r.isNullAt(0), s"equiWidthHistogram: no rows (or all-null $valCol) to bin")
     val (mn, mx) = (r.getDouble(0), r.getDouble(1))
@@ -287,7 +291,7 @@ object Relational {
     val binExpr =
       if (w == 0) lit(1)
       else least(lit(bins), floor((col(valCol) - mn) / w).cast(IntegerType) + 1)
-    val counts = df.select(binExpr.as("bin")).groupBy("bin").agg(count(lit(1)).as("n"))
+    val counts = src.select(binExpr.as("bin")).groupBy("bin").agg(count(lit(1)).as("n"))
     val spine = df.sparkSession.range(1, bins + 1)
       .select(col("id").cast(IntegerType).as("bin"))
     spine.join(counts, Seq("bin"), "left").na.fill(0L, Seq("n"))
@@ -472,6 +476,11 @@ object Relational {
     * pre-shuffle sort: the sort runs inside each aggregation buffer, whose
     * size `maxSteps` bounds via the row_number prefilter), then paths
     * aggregate corpus-wide and top-k plans as TakeOrderedAndProject.
+    *
+    * Null event types render as "(null)" so a [view, null, click] session
+    * cannot masquerade as a genuine view→click path (concat_ws silently
+    * skips nulls). Pick a `sep` that cannot occur inside a type name —
+    * a type containing the separator makes paths ambiguous by construction.
     * Output: path ("a>b>c"), n_sessions — top k by (count desc, path). */
   def topSessionPaths(
       events: DataFrame,
@@ -480,16 +489,18 @@ object Relational {
       keyCol: String = "session_id",
       typeCol: String = "event_type",
       tsCol: String = "event_ts",
-      idCol: String = "event_id"): DataFrame = {
+      idCol: String = "event_id",
+      sep: String = ">"): DataFrame = {
     val w = Window.partitionBy(keyCol).orderBy(col(tsCol), col(idCol))
     val prefix = events
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") <= maxSteps)
     prefix
       .groupBy(col(keyCol))
-      .agg(concat_ws(">",
+      .agg(concat_ws(sep,
         transform(
-          array_sort(collect_list(struct(col("__rn"), col(typeCol).as("t")))),
+          array_sort(collect_list(struct(col("__rn"),
+            coalesce(col(typeCol), lit("(null)")).as("t")))),
           s => s.getField("t"))).as("path"))
       .groupBy(col("path")).agg(count(lit(1)).as("n_sessions"))
       .orderBy(col("n_sessions").desc, col("path"))

@@ -251,6 +251,16 @@ class OpsSpec extends SparkSpec {
     assert(out(1) === ((0.0, 2.0, 3L)))
     assert(out(2) === ((2.0, 4.0, 0L)) && out(3) === ((4.0, 6.0, 0L)) && out(4) === ((6.0, 8.0, 0L)))
     assert(out(5) === ((8.0, 10.0, 2L)))
+    // nulls are excluded, not silently clamped into the top bin
+    val withNulls = Seq(Some(1.0), Some(9.0), None).toDF("v")
+    val nOut = graft.relational.Relational.equiWidthHistogram(withNulls, "v", bins = 2)
+      .collect().map(r => r.getInt(0) -> r.getLong(3)).toMap
+    assert(nOut === Map(1 -> 1L, 2 -> 1L))
+    // all-equal values degenerate to one bin, no division blowup
+    val flat = Seq(5.0, 5.0, 5.0).toDF("v")
+    val fOut = graft.relational.Relational.equiWidthHistogram(flat, "v", bins = 4)
+      .collect().map(r => r.getInt(0) -> r.getLong(3)).toMap
+    assert(fOut(1) === 3L && (2 to 4).forall(fOut(_) === 0L))
   }
 
   test("top session paths: ordered prefixes, maxSteps truncation, count-desc ranking") {
@@ -268,5 +278,15 @@ class OpsSpec extends SparkSpec {
     // two sessions share the truncated "view>click" prefix; ranked first
     assert(out.head === ("view>click" -> 2L))
     assert(out.toMap === Map("view>click" -> 2L, "error" -> 1L))
+    // a null type renders as "(null)" — it must NOT collapse into the
+    // null-free path concat_ws would silently produce
+    val withNull = Seq(
+      (1L, "s1", Some("view"), ts("2026-01-01 10:00:00")),
+      (2L, "s1", None: Option[String], ts("2026-01-01 10:01:00")),
+      (3L, "s1", Some("click"), ts("2026-01-01 10:02:00"))
+    ).toDF("event_id", "session_id", "event_type", "event_ts")
+    val nPaths = graft.relational.Relational.topSessionPaths(withNull, maxSteps = 5, k = 10)
+      .collect().map(_.getString(0)).toSet
+    assert(nPaths === Set("view>(null)>click"))
   }
 }
