@@ -519,6 +519,30 @@ object SparkEntry {
     "q69_sliding_traffic" -> { (s, d) =>
       Relational.slidingTraffic(TestData.clicks(s, d)).orderBy("window_start")
     },
+    // bounded-hop multi-source BFS over the co-click graph: distance to 3
+    // landmark docs; per-hop join + min-agg, state = nodes × landmarks
+    "q86_shortest_paths" -> { (s, d) =>
+      val edges = Graphs.cooccurrenceEdges(
+        TestData.clicks(s, d), "session_id", "document_id", maxPerKey = 100)
+      Graphs.shortestPaths(edges, landmarks = Seq(1, 2, 3), maxHops = 4)
+        .select(col("id").cast("int").as("document_id"),
+          col("landmark").cast("int").as("landmark"),
+          col("dist").cast("bigint").as("dist"))
+        .orderBy("document_id", "landmark")
+    },
+    // KMV bottom-k distinct sketch: O(k) state per group vs count(distinct)'s
+    // unbounded shuffle; md5-parity hashing makes the estimate oracle-exact
+    "q84_kmv_distinct" -> { (s, d) =>
+      graft.analysis.Sketches.distinctEstimate(
+        Tables.events(s, d), groupCol = "event_type", valueCol = "user_id", k = 64)
+    },
+    // sketch mergeability: per-day sketches merged into one union estimate —
+    // the property exact distinct counts lack (no rescan of history)
+    "q85_kmv_union" -> { (s, d) =>
+      graft.analysis.Sketches.unionEstimate(
+        TestData.eventsRaw(s, d).withColumn("day", to_date(col("ts"))),
+        valueCol = "user_id", k = 64, partitionCol = Some("day"))
+    },
     // rank-function breadth: dense_rank / percent_rank / cume_dist in one
     // window pass per priority class
     "q65_rank_analytics" -> { (s, d) =>
@@ -1018,6 +1042,58 @@ object SparkEntry {
         |  round(mn + spine.bin * ((mx - mn) / 10), 6) AS hi,
         |  COALESCE(n, 0) AS n
         |FROM spine CROSS JOIN s LEFT JOIN c USING (bin) ORDER BY spine.bin""".stripMargin,
+    // BFS as a bounded recursive CTE: distinct-union recursion terminates at
+    // the hop bound, min(d) collapses multiple paths exactly like the
+    // engine's per-round min-aggregate
+    "q86_shortest_paths" ->
+      """WITH RECURSIVE clicks AS (
+        |  SELECT DISTINCT CAST(user_id AS VARCHAR) AS sid, CAST(props->>'$.k' AS INTEGER) AS doc
+        |  FROM events WHERE CAST(props->>'$.k' AS INTEGER) IS NOT NULL),
+        |ok AS (SELECT sid FROM clicks GROUP BY sid HAVING count(*) <= 100),
+        |ce AS (
+        |  SELECT a.doc AS src, b.doc AS dst
+        |  FROM clicks a JOIN ok USING (sid) JOIN clicks b USING (sid)
+        |  WHERE a.doc < b.doc
+        |  GROUP BY 1, 2),
+        |sym AS (
+        |  SELECT src AS u, dst AS v FROM ce
+        |  UNION SELECT dst AS u, src AS v FROM ce),
+        |walk(id, landmark, d) AS (
+        |  SELECT DISTINCT u, u, 0 FROM sym WHERE u IN (1, 2, 3)
+        |  UNION
+        |  SELECT e.v, w.landmark, w.d + 1
+        |  FROM walk w JOIN sym e ON e.u = w.id WHERE w.d < 4)
+        |SELECT id AS document_id, landmark, CAST(min(d) AS BIGINT) AS dist
+        |FROM walk GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // replicates the bottom-64 KMV sketch bit-for-bit: same 60-bit md5 hash,
+    // same (k-1)/U(k) estimator, exact below k distinct values
+    "q84_kmv_distinct" ->
+      """WITH h AS (
+        |  SELECT DISTINCT event_type,
+        |    ('0x' || substr(md5(user_id::VARCHAR), 1, 15))::BIGINT AS hv
+        |  FROM events),
+        |r AS (
+        |  SELECT event_type, hv,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY hv) AS rn
+        |  FROM h),
+        |s AS (
+        |  SELECT event_type, count(*) AS n, max(hv) AS kth
+        |  FROM r WHERE rn <= 64 GROUP BY event_type)
+        |SELECT event_type,
+        |  CASE WHEN n < 64 THEN round(n::DOUBLE, 4)
+        |       ELSE round(63 * 1152921504606846976.0 / kth, 4) END AS est_distinct
+        |FROM s ORDER BY event_type""".stripMargin,
+    // union-of-days sketch == sketch of the union, so the oracle can skip
+    // the per-day stage and take bottom-64 over all distinct user hashes
+    "q85_kmv_union" ->
+      """WITH h AS (
+        |  SELECT DISTINCT ('0x' || substr(md5(user_id::VARCHAR), 1, 15))::BIGINT AS hv
+        |  FROM events),
+        |r AS (SELECT hv, row_number() OVER (ORDER BY hv) AS rn FROM h),
+        |s AS (SELECT count(*) AS n, max(hv) AS kth FROM r WHERE rn <= 64)
+        |SELECT CASE WHEN n < 64 THEN round(n::DOUBLE, 4)
+        |            ELSE round(63 * 1152921504606846976.0 / kth, 4) END AS est_distinct
+        |FROM s""".stripMargin,
     "q69_sliding_traffic" ->
       """WITH e AS (
         |  SELECT CAST(ts AS TIMESTAMP) AS ts, CAST(user_id AS VARCHAR) AS session_id FROM events),

@@ -155,6 +155,53 @@ object Graphs {
     finally { oriented.unpersist(); sym.unpersist(); () }
   }
 
+  /** Bounded-hop multi-source BFS: minimum hop distance from every reachable
+    * node to each landmark node, up to `maxHops`. The landmark set is how
+    * shortest paths stay tractable at scale — all-pairs distances are
+    * quadratic in nodes, but distance-to-k-landmarks is k columns of
+    * per-node state and is what sketches like Das Sarma et al. (WSDM 2010)
+    * build on.
+    *
+    * Scale shape: Pregel-style relabeling — each hop is one equi-join of the
+    * current distance frame against the symmetrized edge list (shuffle on
+    * node id) plus a min-aggregate on (node, landmark). State is bounded by
+    * nodes × landmarks, never by path count: the min-agg collapses the
+    * exponential path explosion every round. Like [[pageRank]], the chain
+    * stays LAZY across the bounded hop count (no per-round action);
+    * `localCheckpoint` cuts lineage every `checkpointInterval` rounds for
+    * large bounds.
+    *
+    * Output: id, landmark, dist (0 for the landmarks themselves). */
+  def shortestPaths(
+      edges: DataFrame,
+      landmarks: Seq[Any],
+      maxHops: Int = 4,
+      srcCol: String = "src",
+      dstCol: String = "dst",
+      checkpointInterval: Int = 10): DataFrame = {
+    require(landmarks.nonEmpty, "shortestPaths needs at least one landmark")
+    val sym = edges
+      .select(col(srcCol).as("u"), col(dstCol).as("v"))
+      .union(edges.select(col(dstCol).as("u"), col(srcCol).as("v")))
+      .distinct()
+      .persist()
+    val seeds = landmarks.map(l => lit(l))
+    var dist = sym.select(col("u").as("id")).distinct()
+      .filter(col("id").isin(seeds: _*))
+      .select(col("id"), col("id").as("landmark"), lit(0).as("dist"))
+    for (h <- 1 to maxHops) {
+      val relaxed = dist
+        .join(sym, col("id") === col("u"))
+        .select(col("v").as("id"), col("landmark"), (col("dist") + 1).as("dist"))
+      dist = dist.union(relaxed)
+        .groupBy("id", "landmark")
+        .agg(min("dist").as("dist"))
+      if (checkpointInterval > 0 && h % checkpointInterval == 0 && h < maxHops)
+        dist = dist.localCheckpoint(true)
+    }
+    dist
+  }
+
   /** Item-item co-visitation recommendations: for every item, the top-k
     * most co-occurring neighbors — the classic "people who viewed X also
     * viewed" list, straight off the co-occurrence edges.

@@ -1,0 +1,143 @@
+package graft.analysis
+
+import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+
+/** Mergeable cardinality sketches.
+  *
+  * At 100 TB an exact `count(distinct key)` shuffles every distinct key to
+  * its group's reducer — state and network grow with the data. A KMV
+  * (k-minimum-values / bottom-k theta) sketch keeps only the k smallest
+  * distinct hash values per group: O(k) state per group regardless of input
+  * size, full map-side partial aggregation, and the sketches merge
+  * associatively — so the same aggregate serves per-partition rollup,
+  * incremental daily maintenance, and set-union estimates without rescanning
+  * history. Estimator: with U(k) the k-th smallest hash mapped into (0,1],
+  * est = (k-1)/U(k)  (Bar-Yossef et al., RANDOM 2002; the classic bottom-k
+  * estimator). Below k distinct values the sketch is exact by construction.
+  *
+  * Reference behavior anchor: the reference counts distinct users/sessions
+  * per mart group exactly at its ~60k-event scale
+  * (spark_jobs/batch/archive_raw_to_mart.py:70-90, countDistinct per mart);
+  * this module is the scale path for the same question.
+  *
+  * Hashing is md5-based (first 15 hex chars → 60-bit non-negative long) so
+  * an external SQL engine can replicate the sketch bit-for-bit:
+  * `('0x'||substr(md5(v),1,15))::BIGINT` in DuckDB equals
+  * `conv(substr(md5(v),1,15),16,10)` here — parity is what makes the
+  * estimate oracle-checkable, not just "approximately right".
+  */
+object Sketches {
+
+  /** 2^60 — the size of the 15-hex-char hash space; maps a hash to (0,1]. */
+  val HashSpace: Double = 1152921504606846976.0d
+
+  /** 60-bit md5-derived hash of a string column (non-negative long). */
+  def hash60(v: Column): Column =
+    conv(substring(md5(v.cast("string")), 1, 15), 16, 10).cast("long")
+
+  /** Bottom-k distinct aggregator over pre-hashed longs. Buffer is a sorted
+    * distinct Array[Long] of at most k elements, so partial (map-side)
+    * buffers and shuffle rows are both O(k).
+    */
+  final class BottomK(k: Int) extends Aggregator[Long, Array[Long], Array[Long]] {
+    require(k >= 2, s"bottom-k needs k >= 2, got $k")
+
+    def zero: Array[Long] = Array.emptyLongArray
+
+    def reduce(buf: Array[Long], v: Long): Array[Long] = {
+      val i = java.util.Arrays.binarySearch(buf, v)
+      if (i >= 0) buf // already present
+      else {
+        val ins = -i - 1
+        if (buf.length < k) {
+          val out = new Array[Long](buf.length + 1)
+          System.arraycopy(buf, 0, out, 0, ins)
+          out(ins) = v
+          System.arraycopy(buf, ins, out, ins + 1, buf.length - ins)
+          out
+        } else if (ins < k) {
+          // v beats the current k-th smallest: shift the tail right, drop max
+          val out = new Array[Long](k)
+          System.arraycopy(buf, 0, out, 0, ins)
+          out(ins) = v
+          System.arraycopy(buf, ins, out, ins + 1, k - ins - 1)
+          out
+        } else buf
+      }
+    }
+
+    def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+      if (a.isEmpty) return b
+      if (b.isEmpty) return a
+      val out = new Array[Long](math.min(k, a.length + b.length))
+      var i = 0; var j = 0; var n = 0
+      while (n < out.length && (i < a.length || j < b.length)) {
+        val take =
+          if (i >= a.length) { val v = b(j); j += 1; v }
+          else if (j >= b.length) { val v = a(i); i += 1; v }
+          else if (a(i) < b(j)) { val v = a(i); i += 1; v }
+          else if (a(i) > b(j)) { val v = b(j); j += 1; v }
+          else { val v = a(i); i += 1; j += 1; v } // equal: dedup
+        out(n) = take; n += 1
+      }
+      if (n == out.length) out else java.util.Arrays.copyOf(out, n)
+    }
+
+    def finish(buf: Array[Long]): Array[Long] = buf
+    // expression encoders keep the sketch an unboxed long-array in Tungsten
+    // rows (java/kryo serialization would box and copy on every merge)
+    def bufferEncoder: Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+    def outputEncoder: Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+  }
+
+  /** Cardinality estimate from a finished bottom-k sketch column (sorted
+    * ascending): exact below k, (k-1)/U(k) at k. Rounded to 4 dp so two
+    * engines computing the same doubles agree after formatting.
+    */
+  def estimate(sketch: Column, k: Int): Column =
+    round(
+      when(size(sketch) < k, size(sketch).cast("double"))
+        .otherwise(lit((k - 1).toDouble) * lit(HashSpace) /
+          element_at(sketch, k).cast("double")),
+      4)
+
+  /** Per-group distinct-count estimates: one pass, O(k) state per group.
+    * Output: groupCol, est_distinct (sorted by groupCol).
+    */
+  def distinctEstimate(
+      df: DataFrame, groupCol: String, valueCol: String, k: Int = 64): DataFrame = {
+    val bottomK = udaf(new BottomK(k), Encoders.scalaLong)
+    df.select(col(groupCol), hash60(col(valueCol)).as("h"))
+      .groupBy(groupCol)
+      .agg(bottomK(col("h")).as("sketch"))
+      .select(col(groupCol), estimate(col("sketch"), k).as("est_distinct"))
+      .orderBy(groupCol)
+  }
+
+  /** Distinct-count estimate of the UNION of the groups' underlying sets,
+    * computed by merging the per-group sketches — no rescan of the raw data.
+    * This is the property exact distinct counts do not have: |A ∪ B| cannot
+    * be derived from |A| and |B|, but union of bottom-k sketches is again
+    * the bottom-k sketch of the union. Output: one row (est_distinct).
+    */
+  def unionEstimate(
+      df: DataFrame, valueCol: String, k: Int = 64,
+      partitionCol: Option[String] = None): DataFrame = {
+    val bottomK = udaf(new BottomK(k), Encoders.scalaLong)
+    // two-level: per-partition sketches first (as a real pipeline would
+    // materialize daily), then merged — exercising merge() across groups
+    val perPart = partitionCol match {
+      case Some(p) =>
+        df.select(col(p), hash60(col(valueCol)).as("h"))
+          .groupBy(p).agg(bottomK(col("h")).as("sketch"))
+          .select(explode(col("sketch")).as("h"))
+      case None => df.select(hash60(col(valueCol)).as("h"))
+    }
+    perPart.agg(bottomK(col("h")).as("sketch"))
+      .select(estimate(col("sketch"), k).as("est_distinct"))
+  }
+}

@@ -89,4 +89,18 @@ class GraphsSpec extends SparkSpec {
     assert(out(0) === 1L && out(1) === 1L && out(2) === 1L)
     assert((3 to 20).forall(out(_) === 0L))
   }
+
+  test("shortest paths: hop distances, hop bound, unreachable nodes absent") {
+    // path 1-2-3-4-5 plus isolated edge 8-9; landmark 1
+    val edges = Seq((1, 2), (2, 3), (3, 4), (4, 5), (8, 9)).toDF("src", "dst")
+    val out = Graphs.shortestPaths(edges, landmarks = Seq(1), maxHops = 3)
+      .collect().map(r => r.getInt(0) -> r.getInt(2)).toMap
+    assert(out === Map(1 -> 0, 2 -> 1, 3 -> 2, 4 -> 3)) // 5 beyond bound; 8,9 unreachable
+    // two landmarks: min path collapses, each node carries one row per landmark
+    val out2 = Graphs.shortestPaths(edges, landmarks = Seq(1, 5), maxHops = 4)
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getInt(2)).toMap
+    assert(out2((3, 1)) === 2 && out2((3, 5)) === 2 && out2((5, 5)) === 0)
+    // a landmark absent from the graph contributes no rows
+    assert(Graphs.shortestPaths(edges, landmarks = Seq(99), maxHops = 2).count() === 0)
+  }
 }

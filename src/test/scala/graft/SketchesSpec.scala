@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.analysis.Sketches
+
+class SketchesSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("bottom-k reduce/merge: sorted, distinct, capped at k") {
+    val agg = new Sketches.BottomK(4)
+    val a = Seq(9L, 3L, 7L, 3L, 1L).foldLeft(agg.zero)(agg.reduce)
+    assert(a.toSeq === Seq(1L, 3L, 7L, 9L))
+    val b = Seq(2L, 3L, 8L).foldLeft(agg.zero)(agg.reduce)
+    assert(agg.merge(a, b).toSeq === Seq(1L, 2L, 3L, 7L)) // dedup of 3, capped
+    assert(agg.merge(agg.zero, b).toSeq === b.toSeq)
+    assert(agg.merge(b, agg.zero).toSeq === b.toSeq)
+  }
+
+  test("below k distinct values the estimate is exact") {
+    val df = (1 to 40).map(i => ("g", i % 7)).toDF("g", "v")
+    val out = Sketches.distinctEstimate(df, "g", "v", k = 64).collect().head
+    assert(out.getAs[Double]("est_distinct") === 7.0)
+  }
+
+  test("at n >> k the estimate lands within the sketch's error envelope") {
+    // k=64 → relative standard error 1/sqrt(k-2) ≈ 12.7%; allow 4 sigma
+    val n = 5000
+    val df = (1 to n).map(i => ("g", i)).toDF("g", "v")
+    val est = Sketches.distinctEstimate(df, "g", "v", k = 64)
+      .collect().head.getAs[Double]("est_distinct")
+    assert(math.abs(est - n) / n < 0.51, s"estimate $est too far from $n")
+  }
+
+  test("merged per-partition sketches equal the single-pass union sketch") {
+    val df = (1 to 3000).map(i => (s"day${i % 5}", i % 900)).toDF("day", "v")
+    val merged = Sketches.unionEstimate(df, "v", k = 64, partitionCol = Some("day"))
+      .collect().head.getAs[Double]("est_distinct")
+    val single = Sketches.unionEstimate(df, "v", k = 64, partitionCol = None)
+      .collect().head.getAs[Double]("est_distinct")
+    assert(merged === single) // mergeability: bit-identical, not just close
+  }
+
+  test("hash60 is non-negative and stable") {
+    val out = spark.range(1).select(
+      Sketches.hash60(lit("a")).as("h1"), Sketches.hash60(lit("a")).as("h2"),
+      Sketches.hash60(lit("b")).as("h3")).collect().head
+    assert(out.getAs[Long]("h1") === 57446577476672362L) // int(md5('a')[:15], 16)
+    assert(out.getAs[Long]("h1") === out.getAs[Long]("h2"))
+    assert(out.getAs[Long]("h1") !== out.getAs[Long]("h3"))
+  }
+}
