@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.adapters.TestData
-import graft.analysis.{CorpusPrep, Dedup, Graphs, Multimodal, Similarity, TextAnalysis}
+import graft.analysis.{CorpusPrep, Dedup, Graphs, Multimodal, Similarity, TextAnalysis, TimeSeries}
 import graft.core.{GraftSession, Tables}
 import graft.functions.SimHash
 import graft.ingest.Normalizer
@@ -518,6 +518,35 @@ object SparkEntry {
     // sliding (hopping) windows: each event lands in width/slide windows
     "q69_sliding_traffic" -> { (s, d) =>
       Relational.slidingTraffic(TestData.clicks(s, d)).orderBy("window_start")
+    },
+    // gaps-and-islands: maximal consecutive-active-day streaks per user via
+    // the day − row_number constant-group trick — one window pass, no joins
+    "q87_activity_streaks" -> { (s, d) =>
+      TimeSeries.activityStreaks(
+          TestData.eventsRaw(s, d).withColumn("day", to_date(col("ts"))),
+          keyCol = "user_id", dayCol = "day")
+        .withColumnRenamed("key", "user_id")
+        .orderBy("user_id", "streak_start")
+    },
+    // windowed EWMA smoothing of per-type daily traffic: two running sums
+    // (value and weight, both pre-scaled by (1-α)^-rn) — codegen'd, no arrays
+    "q88_ewma_traffic" -> { (s, d) =>
+      val daily = TestData.eventsRaw(s, d)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"))
+      TimeSeries.ewma(daily, keyCol = "event_type", orderCol = "day",
+          valCol = "n", alpha = 0.3, lookback = 14)
+        .orderBy("event_type", "day")
+    },
+    // level-shift changepoints: trailing vs preceding 7-day mean jump > 5
+    // events/day — CUSUM recast as two window frames so it distributes
+    "q89_level_shifts" -> { (s, d) =>
+      val daily = TestData.eventsRaw(s, d)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"))
+      TimeSeries.levelShifts(daily, keyCol = "event_type", orderCol = "day",
+          valCol = "n", width = 7, threshold = 5.0)
+        .orderBy("event_type", "day")
     },
     // bounded-hop multi-source BFS over the co-click graph: distance to 3
     // landmark docs; per-hop join + min-agg, state = nodes × landmarks
@@ -1042,6 +1071,48 @@ object SparkEntry {
         |  round(mn + spine.bin * ((mx - mn) / 10), 6) AS hi,
         |  COALESCE(n, 0) AS n
         |FROM spine CROSS JOIN s LEFT JOIN c USING (bin) ORDER BY spine.bin""".stripMargin,
+    "q87_activity_streaks" ->
+      """WITH active AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        |x AS (SELECT user_id, day,
+        |        row_number() OVER (PARTITION BY user_id ORDER BY day) AS rn
+        |      FROM active)
+        |SELECT user_id, min(day) AS streak_start, max(day) AS streak_end,
+        |  count(*) AS len_days
+        |FROM (SELECT user_id, day, day - rn::INTEGER AS grp FROM x)
+        |GROUP BY user_id, grp ORDER BY user_id, streak_start""".stripMargin,
+    // ::DOUBLE casts force IEEE arithmetic (DuckDB decimal literals would
+    // otherwise compute 1-0.3 exactly and diverge from the engine's doubles)
+    "q88_ewma_traffic" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |x AS (SELECT event_type, day, n,
+        |        row_number() OVER (PARTITION BY event_type ORDER BY day) AS rn
+        |      FROM daily)
+        |SELECT event_type, day, n,
+        |  round(sum(n * pow(1.0::DOUBLE / (1.0::DOUBLE - 0.3::DOUBLE), rn)) OVER w
+        |        / sum(pow(1.0::DOUBLE / (1.0::DOUBLE - 0.3::DOUBLE), rn)) OVER w, 4) AS ewma
+        |FROM x
+        |WINDOW w AS (PARTITION BY event_type ORDER BY day
+        |             ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_type, day""".stripMargin,
+    "q89_level_shifts" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |x AS (SELECT event_type, day, n,
+        |  count(*) OVER a AS na, count(*) OVER b AS nb,
+        |  round(avg(n) OVER b, 4) AS before_mean, round(avg(n) OVER a, 4) AS after_mean
+        |  FROM daily
+        |  WINDOW a AS (PARTITION BY event_type ORDER BY day
+        |               ROWS BETWEEN CURRENT ROW AND 6 FOLLOWING),
+        |         b AS (PARTITION BY event_type ORDER BY day
+        |               ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING))
+        |SELECT event_type, day, n, before_mean, after_mean,
+        |  round(after_mean - before_mean, 4) AS shift
+        |FROM x
+        |WHERE na = 7 AND nb = 7 AND abs(round(after_mean - before_mean, 4)) > 5
+        |ORDER BY event_type, day""".stripMargin,
     // BFS as a bounded recursive CTE: distinct-union recursion terminates at
     // the hop bound, min(d) collapses multiple paths exactly like the
     // engine's per-round min-aggregate

@@ -1,0 +1,91 @@
+package graft.analysis
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Per-key time-series analytics: streaks, smoothing, level shifts.
+  *
+  * All three operators are single window passes partitioned by the series
+  * key — the shuffle moves each key's rows once, work per key is linear in
+  * its row count, and everything stays inside whole-stage codegen (no
+  * arrays, no UDFs). That is the shape that survives 100 TB: a series with
+  * 10^9 keys parallelizes across the cluster, and no operator here ever
+  * needs a key's full history in memory at once (running frames only).
+  *
+  * Reference behavior anchor: the reference's realtime marts track per-key
+  * counts over time windows (spark_jobs/streaming/streaming_to_realtime_
+  * dashboard.py:60-118); these operators are the batch-analytics
+  * continuations of the same per-key series.
+  */
+object TimeSeries {
+
+  /** Gaps-and-islands: maximal runs of CONSECUTIVE active days per key.
+    *
+    * The classic row_number trick: within a key, day - row_number(day) is
+    * constant exactly over a run of consecutive days, so one window pass +
+    * one aggregate finds every island — no self-join, no iteration.
+    * Output: key, streak_start, streak_end, len_days. */
+  def activityStreaks(
+      df: DataFrame, keyCol: String, dayCol: String): DataFrame = {
+    val active = df.select(col(keyCol).as("key"), col(dayCol).as("day")).distinct()
+    val w = Window.partitionBy("key").orderBy("day")
+    active
+      .withColumn("grp", date_sub(col("day"), row_number().over(w)))
+      .groupBy("key", "grp")
+      .agg(min("day").as("streak_start"), max("day").as("streak_end"),
+        count(lit(1)).as("len_days"))
+      .drop("grp")
+  }
+
+  /** Windowed EWMA: exponentially-weighted moving average of `valCol` over
+    * the last `lookback` rows per key, weights (1-alpha)^lag normalized to
+    * sum 1 within the frame.
+    *
+    * Implemented as two running sums — x·(1-alpha)^(-rn) and its weight
+    * twin — so the whole thing is one codegen'd window pass: no arrays, no
+    * higher-order functions, and an external SQL engine reproduces it
+    * bit-for-bit. The (1-alpha)^(-rn) rescaling grows with row number;
+    * with the bounded `lookback` this is exact and safe to ~1400 rows per
+    * key at alpha=0.3 (double overflows ~1e308); longer series should be
+    * smoothed in calendar chunks with the frame re-anchored per chunk. */
+  def ewma(
+      df: DataFrame, keyCol: String, orderCol: String, valCol: String,
+      alpha: Double = 0.3, lookback: Int = 14): DataFrame = {
+    require(alpha > 0 && alpha < 1, s"alpha must be in (0,1), got $alpha")
+    val r = 1.0 / (1.0 - alpha)
+    val wOrd = Window.partitionBy(keyCol).orderBy(orderCol)
+    val wFrame = wOrd.rowsBetween(-(lookback - 1), Window.currentRow)
+    df
+      .withColumn("__rn", row_number().over(wOrd))
+      .withColumn("__scale", pow(lit(r), col("__rn")))
+      .withColumn("ewma",
+        round(sum(col(valCol) * col("__scale")).over(wFrame) /
+          sum(col("__scale")).over(wFrame), 4))
+      .drop("__rn", "__scale")
+  }
+
+  /** Level-shift detection: days where the trailing `width`-row mean jumped
+    * by more than `threshold` versus the preceding `width`-row mean.
+    * CUSUM-style changepoint flagging recast as two running means — window
+    * frames instead of a sequential scan, so it distributes per key.
+    * Output: input columns + before_mean, after_mean, shift (flagged rows
+    * only; the first/last `width`-1 rows have incomplete frames and are
+    * exempted, as a sequential CUSUM's burn-in would be). */
+  def levelShifts(
+      df: DataFrame, keyCol: String, orderCol: String, valCol: String,
+      width: Int = 7, threshold: Double = 1.0): DataFrame = {
+    val wOrd = Window.partitionBy(keyCol).orderBy(orderCol)
+    val after = wOrd.rowsBetween(Window.currentRow, width - 1)
+    val before = wOrd.rowsBetween(-width, -1)
+    df
+      .withColumn("__na", count(lit(1)).over(after))
+      .withColumn("__nb", count(lit(1)).over(before))
+      .withColumn("before_mean", round(avg(col(valCol)).over(before), 4))
+      .withColumn("after_mean", round(avg(col(valCol)).over(after), 4))
+      .filter(col("__na") === width && col("__nb") === width)
+      .withColumn("shift", round(col("after_mean") - col("before_mean"), 4))
+      .filter(abs(col("shift")) > threshold)
+      .drop("__na", "__nb")
+  }
+}

@@ -1,0 +1,66 @@
+package graft
+
+import java.sql.Date
+
+import org.apache.spark.sql.functions._
+
+import graft.analysis.TimeSeries
+
+class TimeSeriesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def d(s: String) = Date.valueOf(s)
+
+  test("activity streaks: islands split on gaps, duplicates collapse") {
+    val df = Seq(
+      ("u1", "2024-01-01"), ("u1", "2024-01-02"), ("u1", "2024-01-03"),
+      ("u1", "2024-01-03"), // duplicate day must not break the island
+      ("u1", "2024-01-05"),
+      ("u2", "2024-01-10")
+    ).toDF("u", "day").select(col("u"), to_date(col("day")).as("day"))
+    val out = TimeSeries.activityStreaks(df, "u", "day")
+      .collect()
+      .map(r => (r.getString(0), r.getDate(1).toString, r.getDate(2).toString, r.getLong(3)))
+      .toSet
+    assert(out === Set(
+      ("u1", "2024-01-01", "2024-01-03", 3L),
+      ("u1", "2024-01-05", "2024-01-05", 1L),
+      ("u2", "2024-01-10", "2024-01-10", 1L)))
+  }
+
+  test("ewma: first row is the raw value, weights decay geometrically") {
+    val df = Seq(("k", 1, 10.0), ("k", 2, 20.0), ("k", 3, 20.0))
+      .toDF("k", "t", "v")
+    val out = TimeSeries.ewma(df, "k", "t", "v", alpha = 0.5, lookback = 14)
+      .orderBy("t").collect().map(_.getAs[Double]("ewma"))
+    assert(out(0) === 10.0) // single-row frame: weight normalizes to 1
+    // row 2: weights (0.5, 1)/1.5 → (10*0.5 + 20)/1.5 = 16.6667
+    assert(out(1) === 16.6667)
+    // row 3: weights (0.25, 0.5, 1)/1.75 → (2.5 + 10 + 20)/1.75 = 18.5714
+    assert(out(2) === 18.5714)
+  }
+
+  test("ewma lookback bounds the frame") {
+    val df = (1 to 10).map(i => ("k", i, if (i == 1) 1000.0 else 0.0))
+      .toDF("k", "t", "v")
+    val out = TimeSeries.ewma(df, "k", "t", "v", alpha = 0.5, lookback = 3)
+      .orderBy("t").collect().map(_.getAs[Double]("ewma"))
+    assert(out(2) > 0.0)   // spike still inside the 3-row frame
+    assert(out(3) === 0.0) // spike aged out exactly at the bound
+  }
+
+  test("level shifts: step change flagged, burn-in rows exempt") {
+    // 7 days at 10, then 7 days at 20: the boundary day sees before=10,
+    // after=20 → shift 10; interior days have mixed frames under threshold 9
+    val df = (1 to 14).map(i => ("k", i, if (i <= 7) 10.0 else 20.0))
+      .toDF("k", "t", "v")
+    val out = TimeSeries.levelShifts(df, "k", "t", "v", width = 7, threshold = 9.0)
+      .collect()
+    assert(out.length === 1)
+    assert(out.head.getAs[Int]("t") === 8)
+    assert(out.head.getAs[Double]("shift") === 10.0)
+    // nothing flagged on a flat series
+    val flat = (1 to 20).map(i => ("k", i, 5.0)).toDF("k", "t", "v")
+    assert(TimeSeries.levelShifts(flat, "k", "t", "v", 7, 0.1).count() === 0)
+  }
+}
