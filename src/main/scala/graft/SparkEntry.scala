@@ -519,6 +519,25 @@ object SparkEntry {
     "q69_sliding_traffic" -> { (s, d) =>
       Relational.slidingTraffic(TestData.clicks(s, d)).orderBy("window_start")
     },
+    // bloom-prefiltered semi-join: probe side pruned at the scan before the
+    // shuffle; exact semi-join after the filter restores exactness
+    "q90_bloom_semijoin" -> { (s, d) =>
+      val bigOrders = Tables.orders(s, d).filter(col("o_totalprice") > 400000)
+        .select("o_orderkey")
+      graft.relational.BloomJoin.semiJoin(
+          Tables.lineitem(s, d), bigOrders,
+          probeKey = "l_orderkey", buildKey = "o_orderkey",
+          expectedItems = 50000)
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+        .orderBy("l_orderkey", "l_linenumber")
+    },
+    // 2-D Pareto frontier: distinct-axis aggregate + cumulative-min sweep
+    // instead of the O(n²) NOT EXISTS dominance join
+    "q91_pareto_frontier" -> { (s, d) =>
+      Relational.paretoFrontier(Tables.part(s, d),
+          idCol = "p_partkey", maxCol = "p_size", minCol = "p_retailprice")
+        .orderBy("p_partkey")
+    },
     // gaps-and-islands: maximal consecutive-active-day streaks per user via
     // the day − row_number constant-group trick — one window pass, no joins
     "q87_activity_streaks" -> { (s, d) =>
@@ -1071,6 +1090,22 @@ object SparkEntry {
         |  round(mn + spine.bin * ((mx - mn) / 10), 6) AS hi,
         |  COALESCE(n, 0) AS n
         |FROM spine CROSS JOIN s LEFT JOIN c USING (bin) ORDER BY spine.bin""".stripMargin,
+    "q90_bloom_semijoin" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+        |FROM lineitem l
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |              WHERE o.o_orderkey = l.l_orderkey AND o.o_totalprice > 400000)
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    // dominance semantics spelled out: >= / <= both axes, strict on one;
+    // the engine's sweep formulation must agree with this definition exactly
+    "q91_pareto_frontier" ->
+      """SELECT p_partkey, p_size, p_retailprice
+        |FROM part p
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM part q
+        |  WHERE q.p_size >= p.p_size AND q.p_retailprice <= p.p_retailprice
+        |    AND (q.p_size > p.p_size OR q.p_retailprice < p.p_retailprice))
+        |ORDER BY p_partkey""".stripMargin,
     "q87_activity_streaks" ->
       """WITH active AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
         |x AS (SELECT user_id, day,

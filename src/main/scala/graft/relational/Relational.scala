@@ -361,6 +361,39 @@ object Relational {
         round(col("absdev") / col("mad"), 4).as("robust_z"))
   }
 
+  /** 2-D Pareto frontier (skyline): rows not dominated by any other row —
+    * maximize `maxCol`, minimize `minCol`; a dominator is ≥/≤ on both axes
+    * and strictly better on at least one. Ties on both axes survive
+    * together.
+    *
+    * Scale shape: the naive NOT EXISTS formulation is an O(n²) theta-join.
+    * Instead: (1) aggregate min(minCol) per maxCol value — a plain grouped
+    * agg that collapses the data to ≤ |distinct maxCol| rows (for discrete
+    * axes like size/priority, a few dozen); (2) run the cumulative-min
+    * sweep over that tiny frame (the only global window, on rows already
+    * reduced); (3) semi-join the surviving (maxCol, minCol) corners back to
+    * recover every tying row. For continuous maxCol the same code holds —
+    * step 1 just reduces less, and the sweep input is bounded by distinct
+    * axis values, not data size.
+    * Output: the input row projection idCol, maxCol, minCol. */
+  def paretoFrontier(
+      df: DataFrame, idCol: String, maxCol: String, minCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val perAxis = df.groupBy(maxCol).agg(min(minCol).as("__best"))
+    // strictly-larger maxCol frame: any earlier row with __best <= mine
+    // dominates me (strict on maxCol); equal-best ties within one axis value
+    // were already collapsed by the aggregate
+    val sweep = Window.orderBy(col(maxCol).desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val corners = perAxis
+      .withColumn("__lo", min(col("__best")).over(sweep))
+      .filter(col("__lo").isNull || col("__best") < col("__lo"))
+      .select(col(maxCol), col("__best").as(minCol))
+    df.select(col(idCol), col(maxCol), col(minCol))
+      .join(corners, Seq(maxCol, minCol), "left_semi")
+      .select(idCol, maxCol, minCol)
+  }
+
   /** Hierarchical totals via ROLLUP: (region, nation) → per-nation rows,
     * per-region subtotals, grand total — one Expand + one aggregate, the
     * multi-granularity answer without re-scanning per level. */
