@@ -519,6 +519,30 @@ object SparkEntry {
     "q69_sliding_traffic" -> { (s, d) =>
       Relational.slidingTraffic(TestData.clicks(s, d)).orderBy("window_start")
     },
+    // Morton (Z-order) clustering key: pure shift/mask interleave of two
+    // bounded dimensions - the layout key behind 2-D zone-map skipping
+    "q93_zorder_key" -> { (s, d) =>
+      val o = Tables.orders(s, d).select(
+        col("o_orderkey"),
+        col("o_custkey").bitwiseAND(lit(1023)).as("x"),
+        col("o_orderkey").bitwiseAND(lit(1023)).as("y"))
+      o.select(col("o_orderkey"),
+          graft.functions.ZOrder.zValue(col("x"), col("y"), bits = 10).as("zkey"))
+        .orderBy("o_orderkey")
+    },
+    // Fellegi-Sunter record linkage: every blocked pair scored (agreement
+    // AND disagreement weights), links at score >= 5; DP once per pair
+    "q92_record_linkage" -> { (s, d) =>
+      Dedup.linkageScores(Tables.part(s, d),
+          idCol = "p_partkey",
+          blocks = Seq(
+            ("blk_brand", col("p_brand")),
+            ("blk_tok1", substring_index(col("p_name"), " ", 1))),
+          exactFields = Seq(("p_size", 2.0, -1.0), ("p_type", 3.0, -1.0)),
+          fuzzyField = "p_name", fuzzyMaxDist = 3,
+          fuzzyWeights = (4.0, -2.0), threshold = 5.0)
+        .orderBy("id_a", "id_b")
+    },
     // bloom-prefiltered semi-join: probe side pruned at the scan before the
     // shuffle; exact semi-join after the filter restores exactness
     "q90_bloom_semijoin" -> { (s, d) =>
@@ -1090,6 +1114,39 @@ object SparkEntry {
         |  round(mn + spine.bin * ((mx - mn) / 10), 6) AS hi,
         |  COALESCE(n, 0) AS n
         |FROM spine CROSS JOIN s LEFT JOIN c USING (bin) ORDER BY spine.bin""".stripMargin,
+    // same interleave spelled out in SQL bit arithmetic (10 bits per axis)
+    "q93_zorder_key" -> {
+      val terms = (0 until 10).map(i =>
+        s"((((x >> $i) & 1) << ${2 * i}) | (((y >> $i) & 1) << ${2 * i + 1}))")
+        .mkString(" | ")
+      s"""SELECT o_orderkey, CAST($terms AS BIGINT) AS zkey
+         |FROM (SELECT o_orderkey, o_custkey & 1023 AS x, o_orderkey & 1023 AS y
+         |      FROM orders)
+         |ORDER BY o_orderkey""".stripMargin
+    },
+    "q92_record_linkage" ->
+      """WITH side AS (
+        |  SELECT p_partkey, p_name, p_size, p_type, p_brand,
+        |    string_split(p_name, ' ')[1] AS tok1
+        |  FROM part),
+        |pairs AS (
+        |  SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+        |    (a.p_size = b.p_size)::INT AS agree_p_size,
+        |    (a.p_type = b.p_type)::INT AS agree_p_type,
+        |    levenshtein(a.p_name, b.p_name) AS lev
+        |  FROM side a JOIN side b
+        |    ON a.p_brand = b.p_brand AND a.tok1 = b.tok1
+        |   AND a.p_partkey < b.p_partkey),
+        |sc AS (
+        |  SELECT id_a, id_b, agree_p_size, agree_p_type,
+        |    CASE WHEN lev <= 3 THEN lev END AS name_distance,
+        |    round((CASE WHEN agree_p_size = 1 THEN 2.0 ELSE -1.0 END
+        |        + CASE WHEN agree_p_type = 1 THEN 3.0 ELSE -1.0 END
+        |        + CASE WHEN lev <= 3 THEN 4.0 ELSE -2.0 END)::DOUBLE, 4) AS score
+        |  FROM pairs)
+        |SELECT id_a, id_b, agree_p_size, agree_p_type,
+        |  CAST(name_distance AS INT) AS name_distance, score
+        |FROM sc WHERE score >= 5.0 ORDER BY id_a, id_b""".stripMargin,
     "q90_bloom_semijoin" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
         |FROM lineitem l

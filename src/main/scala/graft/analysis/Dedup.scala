@@ -505,6 +505,58 @@ object Dedup {
         levenshtein(col(s"a.$strCol"), col(s"b.$strCol"), maxDistance).as("distance"))
   }
 
+  /** Fellegi–Sunter record-linkage scoring over blocked candidate pairs:
+    * each compared field contributes its agreement weight (≈ log2(m/u),
+    * supplied by the caller from labeled data or priors) when it matches
+    * and its disagreement weight when it doesn't; the pair's score is the
+    * sum, and pairs at or above `threshold` are emitted as links.
+    *
+    * Unlike [[fuzzyMatchPairs]] — which only keeps pairs whose strings
+    * match — every blocked pair is SCORED, disagreements included, so the
+    * string-distance DP runs once per candidate pair in the post-join
+    * projection (never in a join conjunct that would re-evaluate it).
+    * Blocking is therefore the entire scale story: pass a composite
+    * `blocks` list whose cardinality grows with the data (brand × first
+    * name token here, phonetic keys in general); multi-pass blocking is
+    * the union of calls with different `blocks`.
+    *
+    * Output: id_a, id_b, one agree_<field> flag per exact field,
+    * name_distance (null when beyond `fuzzyMaxDist`), score. */
+  def linkageScores(
+      df: DataFrame,
+      idCol: String,
+      blocks: Seq[(String, Column)],
+      exactFields: Seq[(String, Double, Double)],
+      fuzzyField: String,
+      fuzzyMaxDist: Int,
+      fuzzyWeights: (Double, Double),
+      threshold: Double): DataFrame = {
+    val sideCols =
+      (idCol +: fuzzyField +: exactFields.map(_._1)).distinct.map(col) ++
+        blocks.map { case (n, e) => e.as(n) }
+    val side = df.select(sideCols: _*)
+    val joinCond = blocks
+      .map { case (n, _) => col(s"a.$n") === col(s"b.$n") }
+      .reduce(_ && _) && col(s"a.$idCol") < col(s"b.$idCol")
+    val lev = levenshtein(col(s"a.$fuzzyField"), col(s"b.$fuzzyField"), fuzzyMaxDist)
+    val agreeFlags = exactFields.map { case (f, _, _) =>
+      (col(s"a.$f") === col(s"b.$f")).cast("int").as(s"agree_$f")
+    }
+    val exactScore = exactFields.map { case (f, wa, wd) =>
+      when(col(s"agree_$f") === 1, lit(wa)).otherwise(lit(wd))
+    }.reduce(_ + _)
+    val fuzzyScore = when(col("name_distance").isNotNull, lit(fuzzyWeights._1))
+      .otherwise(lit(fuzzyWeights._2))
+    side.as("a")
+      .join(side.as("b"), joinCond)
+      .select(
+        col(s"a.$idCol").as("id_a") +: col(s"b.$idCol").as("id_b") +:
+          agreeFlags :+
+          when(lev >= 0, lev).as("name_distance"): _*)
+      .withColumn("score", round(exactScore + fuzzyScore, 4))
+      .filter(col("score") >= threshold)
+  }
+
   /** Pairs → dedup decisions: cluster near-dup pairs into connected
     * components over the full doc set (singletons keep themselves) and mark
     * the canonical keeper (min id per component).

@@ -263,4 +263,25 @@ class DedupSpec extends SparkSpec {
       (10L, 10L, true), (11L, 10L, false), (12L, 10L, false),
       (13L, 10L, false), (14L, 10L, false)))
   }
+
+  test("linkage scores: disagreements scored, not dropped; threshold gates links") {
+    val recs = Seq(
+      // block (X, acme): near-identical names, same size+type -> strong link
+      (1L, "X", "acme widget red", 5, "t1"),
+      (2L, "X", "acme widget rex", 5, "t1"),
+      // same block, name miles off, fields agree -> scored but below threshold
+      (3L, "X", "acme completely different thing", 5, "t1"),
+      // different first token -> never paired with 1/2/3
+      (4L, "X", "zeta widget red", 5, "t1")
+    ).toDF("id", "brand", "name", "size", "typ")
+    val out = Dedup.linkageScores(recs, idCol = "id",
+        blocks = Seq(("b1", col("brand")),
+          ("b2", org.apache.spark.sql.functions.substring_index(col("name"), " ", 1))),
+        exactFields = Seq(("size", 2.0, -1.0), ("typ", 3.0, -1.0)),
+        fuzzyField = "name", fuzzyMaxDist = 2, fuzzyWeights = (4.0, -2.0),
+        threshold = 5.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getAs[Double]("score")))
+    // (1,2): 2+3+4 = 9; (1,3)/(2,3): 2+3-2 = 3 < 5; 4 blocked away
+    assert(out.toSeq === Seq((1L, 2L, 9.0)))
+  }
 }
