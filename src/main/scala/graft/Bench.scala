@@ -26,7 +26,12 @@ object Bench {
     spark.range(1000000).selectExpr("sum(id)").collect()
     try graft.core.Tables.region(spark, sfDir).count()
     catch { case _: Throwable => () }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // local iteration only: SPARK_GRAFT_BENCH_ONLY=q57,q49 benches a subset
+    // (the driver never sets it, so per-round numbers stay complete)
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSeq)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.exists(name.contains)) }
+      .map { case (name, fn) =>
       val times = Array.newBuilder[Double]
       var failure: Option[String] = None
       var r = 0

@@ -363,11 +363,15 @@ object Dedup {
         .select(col("l.id").as("id"),
           least(col("l.label"), coalesce(col("m.nbr_label"), col("l.label"))).as("label"),
           col("l.label").as("__old"))
-        .localCheckpoint(true)
       // pointer jump: labels are node ids, so label(label(v)) is a valid —
       // and by monotonicity smaller-or-equal — label for v in the same
       // component; the left join tolerates labels pointing at already-
-      // converged nodes outside the frame (coalesce keeps the stepped value)
+      // converged nodes outside the frame (coalesce keeps the stepped value).
+      // stepped is referenced twice but NOT checkpointed: its parents are a
+      // checkpointed RDD and the cached sym, so the duplicated subplan is
+      // one shallow join — one fused job per round beats two materialization
+      // jobs (measured 6.4s -> see PLANS.md; localCheckpoint per round was
+      // the dominant cost at gate scale, not the joins)
       val next = stepped.as("x")
         .join(stepped.select(col("id").as("lid"), col("label").as("llabel")).as("y"),
           col("x.label") === col("y.lid"), "left")
@@ -378,6 +382,8 @@ object Dedup {
       changed = next.filter(col("label") =!= col("__old")).count()
       labels = next.drop("__old")
       round += 1
+      if (sys.env.contains("GRAFT_CC_DEBUG"))
+        System.err.println(s"[cc] round=$round changed=$changed")
     }
     sym.unpersist()
     require(changed == 0, s"connectedComponents did not converge in $maxIter rounds")

@@ -24,17 +24,30 @@ object Graphs {
       keyCol: String,
       itemCol: String,
       maxPerKey: Int = 100): DataFrame = {
-    val pairs = df.select(col(keyCol).as("__k"), col(itemCol).as("__i"))
+    // One grouped collect_set gathers each key's distinct items (set
+    // semantics dedup repeat clicks in the same pass), the size filter
+    // drops hubs, and the C(k,2) pair expansion is two chained generators
+    // over the SORTED array — posexplode picks src, slice yields only the
+    // items after it, so src < dst by construction. Two shuffles total
+    // (key agg, edge agg) versus the previous distinct + key-count +
+    // semi-join + self-join chain's four, and no duplicated subplan: the
+    // old self-join evaluated the bounded frame twice per side. Hub keys
+    // do materialize their item set in the aggregation buffer before the
+    // filter (bounded by the key's distinct-item count, ~80KB per 10k-item
+    // crawler session) — acceptable because the buffer is per-key
+    // transient, while the join it replaces shuffled every hub row. */
+    val sessions = df
+      .select(col(keyCol).as("__k"), col(itemCol).as("__i"))
       .filter(col("__i").isNotNull)
-      .distinct()
-    val smallKeys = pairs.groupBy("__k").agg(count(lit(1)).as("__n"))
-      .filter(col("__n") <= maxPerKey)
-      .select("__k")
-    val bounded = pairs.join(smallKeys, "__k")
-    bounded.as("a")
-      .join(bounded.as("b"),
-        col("a.__k") === col("b.__k") && col("a.__i") < col("b.__i"))
-      .groupBy(col("a.__i").as("src"), col("b.__i").as("dst"))
+      .groupBy("__k")
+      .agg(sort_array(collect_set(col("__i"))).as("__items"))
+      .filter(size(col("__items")).between(2, maxPerKey))
+    sessions
+      .select(posexplode(col("__items")).as(Seq("__pos", "src")), col("__items"))
+      .select(col("src"),
+        explode(slice(col("__items"), col("__pos") + lit(2),
+          size(col("__items")))).as("dst"))
+      .groupBy("src", "dst")
       .agg(count(lit(1)).as("weight"))
   }
 
@@ -162,11 +175,11 @@ object Graphs {
     * per-node state and is what sketches like Das Sarma et al. (WSDM 2010)
     * build on.
     *
-    * Scale shape: Pregel-style relabeling — each hop is one equi-join of the
-    * current distance frame against the symmetrized edge list (shuffle on
-    * node id) plus a min-aggregate on (node, landmark). State is bounded by
-    * nodes × landmarks, never by path count: the min-agg collapses the
-    * exponential path explosion every round. Like [[pageRank]], the chain
+    * Scale shape: layered frontier expansion — each hop is one equi-join of
+    * the previous layer against the symmetrized edge list (shuffle on node
+    * id) plus a per-layer distinct that bounds the layer by
+    * nodes × landmarks, so path-count explosion never materializes; one
+    * final min-aggregate merges the layers. Like [[pageRank]], the chain
     * stays LAZY across the bounded hop count (no per-round action);
     * `localCheckpoint` cuts lineage every `checkpointInterval` rounds for
     * large bounds.
@@ -186,20 +199,32 @@ object Graphs {
       .distinct()
       .persist()
     val seeds = landmarks.map(l => lit(l))
-    var dist = sym.select(col("u").as("id")).distinct()
+    // LAYERED relaxation: layer_h holds nodes reached at hop h (deduped,
+    // but NOT anti-joined against earlier layers — that would re-reference
+    // the accumulated frame). Each layer references only its predecessor
+    // ONCE, so the lazy plan stays LINEAR in maxHops; the naive
+    // dist = f(dist, dist) recurrence doubles the subplan every hop
+    // (2^hops copies — measured 5.7s vs this form at sf0.1, PLANS.md q86).
+    // Revisited nodes reappear in later layers with larger d; the single
+    // final min-aggregate collapses them, and per-layer distinct() bounds
+    // every layer by nodes × landmarks.
+    var layer = sym.select(col("u").as("id")).distinct()
       .filter(col("id").isin(seeds: _*))
       .select(col("id"), col("id").as("landmark"), lit(0).as("dist"))
+    val layers = Seq.newBuilder[DataFrame]
+    layers += layer
     for (h <- 1 to maxHops) {
-      val relaxed = dist
+      layer = layer
         .join(sym, col("id") === col("u"))
-        .select(col("v").as("id"), col("landmark"), (col("dist") + 1).as("dist"))
-      dist = dist.union(relaxed)
-        .groupBy("id", "landmark")
-        .agg(min("dist").as("dist"))
+        .select(col("v").as("id"), col("landmark"), lit(h).as("dist"))
+        .distinct()
       if (checkpointInterval > 0 && h % checkpointInterval == 0 && h < maxHops)
-        dist = dist.localCheckpoint(true)
+        layer = layer.localCheckpoint(true)
+      layers += layer
     }
-    dist
+    layers.result().reduce(_ union _)
+      .groupBy("id", "landmark")
+      .agg(min("dist").as("dist"))
   }
 
   /** Item-item co-visitation recommendations: for every item, the top-k

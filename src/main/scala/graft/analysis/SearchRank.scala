@@ -87,22 +87,23 @@ object SearchRank {
     // both the idf weights and the df cutoff meaningful on corpora whose
     // unigram vocabulary is saturated.
     //
-    // ONE scan of docs feeds everything, including the corpus size n:
-    // explode_outer emits a null-term marker row for docs with no terms
-    // (empty text, fewer than `ngram` tokens — nullif folds "" into the
-    // same marker), so every doc survives into the persisted tf frame and
-    // n = distinct ids over it. A separate docs.count() would be a second
-    // scan of the corpus purely to count rows the tf scan already saw.
+    // n comes from a separate docs.count() ON PURPOSE: empty-token docs must
+    // count in n (they are corpus members even with no terms), and a parquet
+    // count(*) is metadata-only — no column data is read, at any scale. The
+    // "single-scan" alternative (explode_outer + persist tf + distinct-count
+    // ids over it) was built and MEASURED SLOWER: 3.5s vs 1.3s min-of-3 at
+    // sf0.1 — caching 850k (id,term,tf) rows and shuffling them again for
+    // the distinct costs far more than the free metadata count, and the
+    // fused codegen recompute of tf for its two consumers beats the cache
+    // round-trip. Evidence in PLANS.md (q57).
     val tf = docs
       .select(col(idCol).as("id"),
-        explode_outer(Dedup.shingles(TextAnalysis.tokens(col(textCol)), ngram)).as("term0"))
-      .select(col("id"), nullif(col("term0"), lit("")).as("term"))
+        explode(Dedup.shingles(TextAnalysis.tokens(col(textCol)), ngram)).as("term"))
+      .filter(col("term") =!= "")
       .groupBy("id", "term").agg(count(lit(1)).as("tf"))
-      .persist()
-    val n = tf.select("id").distinct().count()
+    val n = docs.count()
     val maxDf = math.max(2L, n / 50)
-    val dfs = tf.filter(col("term").isNotNull)
-      .groupBy("term").agg(count(lit(1)).as("df"))
+    val dfs = tf.groupBy("term").agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDf)
     val w = tf.join(dfs, "term")
       .select(col("id"), col("term"),
@@ -124,6 +125,6 @@ object SearchRank {
       .filter(col("cosine") >= minCosine)
       .select(col("doc_a"), col("doc_b"), col("cosine"))
     try result.localCheckpoint(true)
-    finally { w.unpersist(); tf.unpersist(); () }
+    finally { w.unpersist(); () }
   }
 }
