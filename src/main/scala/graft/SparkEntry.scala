@@ -519,6 +519,17 @@ object SparkEntry {
     "q69_sliding_traffic" -> { (s, d) =>
       Relational.slidingTraffic(TestData.clicks(s, d)).orderBy("window_start")
     },
+    // per-doc token Shannon entropy (perplexity stand-in): two map-side
+    // combinable aggregates, DECIMAL-summed c*log2(c) terms
+    "q94_token_entropy" -> { (s, d) =>
+      TextAnalysis.tokenEntropy(TestData.documents(s, d)).orderBy("doc_id")
+    },
+    // sorted batch packing: distributed global rank (range partition +
+    // per-partition offsets, never a one-task window), per-batch padding
+    "q95_batch_packing" -> { (s, d) =>
+      CorpusPrep.lengthBucketedBatches(TestData.documents(s, d), batchSize = 16)
+        .orderBy("batch_id")
+    },
     // Morton (Z-order) clustering key: pure shift/mask interleave of two
     // bounded dimensions - the layout key behind 2-D zone-map skipping
     "q93_zorder_key" -> { (s, d) =>
@@ -1114,6 +1125,44 @@ object SparkEntry {
         |  round(mn + spine.bin * ((mx - mn) / 10), 6) AS hi,
         |  COALESCE(n, 0) AS n
         |FROM spine CROSS JOIN s LEFT JOIN c USING (bin) ORDER BY spine.bin""".stripMargin,
+    // H = log2(n) − (Σ c·log2 c)/n with the sum in DECIMAL(28,12) exactly
+    // like the engine; n_tokens cast to BIGINT (DuckDB sum() is HUGEINT)
+    "q94_token_entropy" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')), ' ')) AS tok
+        |  FROM documents),
+        |counts AS (
+        |  SELECT doc_id, tok, count(*) AS c FROM toks WHERE tok <> ''
+        |  GROUP BY doc_id, tok),
+        |agg AS (
+        |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+        |    count(*) AS n_distinct,
+        |    sum(CAST(c::DOUBLE * log2(c::DOUBLE) AS DECIMAL(28,12))) AS clogc
+        |  FROM counts GROUP BY doc_id)
+        |SELECT doc_id, n_tokens, n_distinct,
+        |  round(log2(n_tokens::DOUBLE) - clogc::DOUBLE / n_tokens::DOUBLE, 4)
+        |    AS token_entropy
+        |FROM agg ORDER BY doc_id""".stripMargin,
+    // rank by (n_tok desc, doc_id) = the engine's distributed order; the
+    // oracle can afford the single-node window the engine avoids
+    "q95_batch_packing" ->
+      """WITH sized AS (
+        |  SELECT doc_id,
+        |    coalesce(len(list_filter(string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')), ' '), x -> x <> '')), 0) AS n_tok
+        |  FROM documents),
+        |ranked AS (
+        |  SELECT n_tok,
+        |    row_number() OVER (ORDER BY n_tok DESC, doc_id) AS rnk
+        |  FROM sized),
+        |batches AS (
+        |  SELECT CAST(floor((rnk - 1) / 16.0) AS INT) AS batch_id, n_tok FROM ranked)
+        |SELECT batch_id, count(*) AS n_docs, max(n_tok) AS max_tokens,
+        |  CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+        |  CASE WHEN max(n_tok) > 0
+        |    THEN round(1.0::DOUBLE - CAST(sum(n_tok) AS DOUBLE) /
+        |      (count(*) * max(n_tok))::DOUBLE, 4)
+        |    ELSE 0.0::DOUBLE END AS padding_frac
+        |FROM batches GROUP BY batch_id ORDER BY batch_id""".stripMargin,
     // same interleave spelled out in SQL bit arithmetic (10 bits per axis)
     "q93_zorder_key" -> {
       val terms = (0 until 10).map(i =>

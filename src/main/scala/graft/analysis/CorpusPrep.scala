@@ -37,6 +37,64 @@ object CorpusPrep {
     exact.join(losers, Seq(idCol), "left_anti")
   }
 
+  /** Length-bucketed batch packing: assign documents to fixed-size training
+    * batches in token-length order, so sequences in a batch have similar
+    * lengths and padding-to-max waste stays low — the standard "sorted
+    * batching" trick every LLM data loader runs. Reports per-batch packing
+    * stats; `padding_frac` is the fraction of the batch's token buffer
+    * (n_docs × max_tokens) that padding would waste.
+    *
+    * Scale shape: one global sort on token count (a range exchange — the
+    * same shape as any ORDER BY), one ranking window over it (reuses the
+    * range partitioning), one aggregate on batch id. Deterministic
+    * tie-break on the id keeps batch assignment reproducible across runs
+    * and engines. Output: batch_id, n_docs, max_tokens, total_tokens,
+    * padding_frac. */
+  def lengthBucketedBatches(
+      docs: DataFrame,
+      batchSize: Int = 16,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = docs.sparkSession
+    // Global ranking WITHOUT a single-partition window (`Window.orderBy`
+    // with no partition moves the whole corpus to one task): range-partition
+    // on the sort key, materialize once so partition identity is stable,
+    // count rows per partition (a #partitions-row frame — the one bounded
+    // driver-side step), and add each partition's cumulative offset to its
+    // local row numbers. This is the standard distributed ORDER BY + rank.
+    val parts = spark.sparkContext.defaultParallelism
+    // null text → null tokens → null size; symbol-only text normalizes to ""
+    // whose split is [""] — array_remove + coalesce make both count 0
+    val ranged = docs
+      .select(col(idCol),
+        coalesce(size(array_remove(TextAnalysis.tokens(col(textCol)), "")), lit(0))
+          .as("n_tok"))
+      .repartitionByRange(parts, col("n_tok").desc, col(idCol))
+      .withColumn("pid", spark_partition_id())
+      .localCheckpoint(true)
+    val offsets = ranged.groupBy("pid").agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getAs[Int]("pid"), r.getAs[Long]("n")))
+      .sortBy(_._1)
+      .scanLeft((0, 0L)) { case ((_, cum), (pid, n)) => (pid, cum + n) }
+      .sliding(2).collect { case Array((_, cum), (pid, _)) => (pid, cum) }.toSeq
+    val offsetDf = spark.createDataFrame(offsets).toDF("pid", "offset")
+    val local = Window.partitionBy("pid").orderBy(col("n_tok").desc, col(idCol))
+    ranged
+      .join(broadcast(offsetDf), "pid")
+      .withColumn("rank", col("offset") + row_number().over(local))
+      .withColumn("batch_id", floor((col("rank") - 1) / batchSize).cast("int"))
+      .groupBy("batch_id")
+      .agg(count(lit(1)).as("n_docs"), max("n_tok").as("max_tokens"),
+        sum("n_tok").as("total_tokens"))
+      // a tail batch of all-empty docs has max_tokens 0: nothing to pad
+      .withColumn("padding_frac",
+        when(col("max_tokens") > 0,
+          round(lit(1.0) - col("total_tokens").cast("double") /
+            (col("n_docs") * col("max_tokens")).cast("double"), 4))
+          .otherwise(lit(0.0)))
+  }
+
   /** Per-stage survivor counts — the pipeline's observability surface. */
   def stageCounts(docs: DataFrame, t: Thresholds = Thresholds()): Map[String, Long] = {
     val qualityPass = docs.join(

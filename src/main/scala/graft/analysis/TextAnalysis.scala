@@ -139,6 +139,37 @@ object TextAnalysis {
       dupFrac(Dedup.shingles(toks, 3)).as("dup_trigram_frac"))
   }
 
+  /** Per-document token Shannon entropy — the classic cheap perplexity
+    * stand-in for quality filtering: machine-generated or templated text
+    * has low entropy (few distinct tokens dominate), natural prose sits
+    * high. Output: doc_id, n_tokens, n_distinct, token_entropy (bits,
+    * round 4).
+    *
+    * Scale shape: explode → (doc, token) count → per-doc sum. Both
+    * aggregates are map-side combinable (a doc's tokens are co-located in
+    * its row), so the shuffle carries 〈(doc,token), count〉 partials and
+    * then 〈doc, decimal〉 — never text. Entropy terms are cast to
+    * DECIMAL(28,12) before the sum so it is shuffle-order-independent (the
+    * q16 lesson: double sums reorder across engines and runs). */
+  def tokenEntropy(
+      docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(28, 12)
+    val counts = docs
+      .select(col(idCol), explode(tokens(col(textCol))).as("tok"))
+      .filter(col("tok") =!= "")
+      .groupBy(idCol, "tok").agg(count(lit(1)).as("c"))
+    counts
+      .groupBy(idCol)
+      .agg(sum("c").as("n_tokens"), count(lit(1)).as("n_distinct"),
+        sum((col("c").cast(DoubleType) * log(2.0, col("c").cast(DoubleType)))
+          .cast(dec)).as("clogc"))
+      // H = log2(n) - (1/n)·Σ c·log2 c — one pass, no second join for p=c/n
+      .select(col(idCol), col("n_tokens"), col("n_distinct"),
+        round(log(2.0, col("n_tokens").cast(DoubleType)) -
+          col("clogc").cast(DoubleType) / col("n_tokens").cast(DoubleType),
+          4).as("token_entropy"))
+  }
+
   /** Corpus-wide top-k n-grams by document frequency (distinct docs
     * containing the n-gram) with total occurrence count alongside — the
     * boilerplate detector: its output is what feeds a `maxShingleDf`-style

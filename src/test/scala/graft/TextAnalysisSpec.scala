@@ -133,4 +133,36 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(2L) === ((0, 0, 0, "nothing sensitive here at all", false)))
     assert(out(3L) === ((0, 0, 2, "ip only <IP> twice <IP>", true)))
   }
+
+  test("token entropy: uniform is log2(n), constant is 0, empty docs drop") {
+    val docs = Seq(
+      (1L, "a b c d"),         // 4 distinct, uniform -> H = 2.0
+      (2L, "x x x x"),         // one token -> H = 0.0
+      (3L, "a a b b"),         // 2 distinct, uniform -> H = 1.0
+      (4L, ""),                // no tokens -> no row
+      (5L, "a a a b")          // H = 2 - (3*log2 3)/4 = 0.8113
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.tokenEntropy(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out(1L) === ((4L, 4L, 2.0)))
+    assert(out(2L) === ((4L, 1L, 0.0)))
+    assert(out(3L) === ((4L, 2L, 1.0)))
+    assert(out(5L) === ((4L, 2L, 0.8113)))
+    assert(!out.contains(4L))
+  }
+
+  test("batch packing: length-sorted batches, padding math, empty-doc tail") {
+    // 5 docs of lengths 4,4,3,1,0 with batchSize 2:
+    // batch0 = (4,4) pad 0; batch1 = (3,1) pad 1-4/6; batch2 = (0) pad 0
+    val docs = Seq(
+      (1L, "a b c d"), (2L, "w x y z"), (3L, "a b c"), (4L, "q"), (5L, "")
+    ).toDF("doc_id", "text")
+    val out = graft.analysis.CorpusPrep.lengthBucketedBatches(docs, batchSize = 2)
+      .collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getInt(2), r.getLong(3), r.getDouble(4))))
+      .toMap
+    assert(out(0) === ((2L, 4, 8L, 0.0)))
+    assert(out(1) === ((2L, 3, 4L, 0.3333)))
+    assert(out(2) === ((1L, 0, 0L, 0.0)))
+  }
 }
