@@ -519,6 +519,18 @@ object SparkEntry {
     "q69_sliding_traffic" -> { (s, d) =>
       Relational.slidingTraffic(TestData.clicks(s, d)).orderBy("window_start")
     },
+    // A/B test: deterministic md5-parity arm split over users, pooled
+    // two-proportion z on purchase conversion; math runs on a 2-row frame
+    "q96_ab_test" -> { (s, d) =>
+      graft.analysis.Stats.twoProportionZ(
+        Tables.events(s, d), unitCol = "user_id",
+        outcomeCol = col("event_type") === "purchase" && col("value") > 180)
+    },
+    // chi-square independence of (lang, source): marginals broadcast back
+    // onto the contingency cells, DECIMAL-summed (O-E)^2/E
+    "q97_chi_square" -> { (s, d) =>
+      graft.analysis.Stats.chiSquare(TestData.documents(s, d), "lang", "source")
+    },
     // per-doc token Shannon entropy (perplexity stand-in): two map-side
     // combinable aggregates, DECIMAL-summed c*log2(c) terms
     "q94_token_entropy" -> { (s, d) =>
@@ -1125,6 +1137,54 @@ object SparkEntry {
         |  round(mn + spine.bin * ((mx - mn) / 10), 6) AS hi,
         |  COALESCE(n, 0) AS n
         |FROM spine CROSS JOIN s LEFT JOIN c USING (bin) ORDER BY spine.bin""".stripMargin,
+    "q96_ab_test" ->
+      """WITH per_unit AS (
+        |  SELECT user_id,
+        |    max(CASE WHEN event_type = 'purchase' AND value > 180 THEN 1 ELSE 0 END) AS converted
+        |  FROM events GROUP BY user_id),
+        |armed AS (
+        |  SELECT converted,
+        |    CASE WHEN ('0x' || substr(md5(user_id::VARCHAR), 1, 1))::BIGINT % 2 = 0
+        |         THEN 'A' ELSE 'B' END AS arm
+        |  FROM per_unit),
+        |arms AS (SELECT arm, count(*) AS n, sum(converted) AS conv
+        |         FROM armed GROUP BY arm),
+        |wide AS (SELECT
+        |  CAST(max(CASE WHEN arm = 'A' THEN n END) AS BIGINT) AS n_a,
+        |  CAST(max(CASE WHEN arm = 'A' THEN conv END) AS BIGINT) AS conv_a,
+        |  CAST(max(CASE WHEN arm = 'B' THEN n END) AS BIGINT) AS n_b,
+        |  CAST(max(CASE WHEN arm = 'B' THEN conv END) AS BIGINT) AS conv_b
+        |  FROM arms)
+        |SELECT n_a, conv_a, n_b, conv_b,
+        |  round(conv_a::DOUBLE / n_a::DOUBLE, 4) AS rate_a,
+        |  round(conv_b::DOUBLE / n_b::DOUBLE, 4) AS rate_b,
+        |  round((conv_a::DOUBLE / n_a::DOUBLE - conv_b::DOUBLE / n_b::DOUBLE)
+        |    / sqrt(((conv_a + conv_b)::DOUBLE / (n_a + n_b)::DOUBLE)
+        |      * (1.0::DOUBLE - (conv_a + conv_b)::DOUBLE / (n_a + n_b)::DOUBLE)
+        |      * (1.0::DOUBLE / n_a::DOUBLE + 1.0::DOUBLE / n_b::DOUBLE)), 4) AS z_score,
+        |  abs((conv_a::DOUBLE / n_a::DOUBLE - conv_b::DOUBLE / n_b::DOUBLE)
+        |    / sqrt(((conv_a + conv_b)::DOUBLE / (n_a + n_b)::DOUBLE)
+        |      * (1.0::DOUBLE - (conv_a + conv_b)::DOUBLE / (n_a + n_b)::DOUBLE)
+        |      * (1.0::DOUBLE / n_a::DOUBLE + 1.0::DOUBLE / n_b::DOUBLE))) > 1.96
+        |    AS significant
+        |FROM wide""".stripMargin,
+    "q97_chi_square" ->
+      """WITH obs AS (
+        |  SELECT lang AS a, source AS b, count(*) AS o
+        |  FROM documents GROUP BY 1, 2),
+        |ra AS (SELECT a, sum(o) AS ra FROM obs GROUP BY a),
+        |cb AS (SELECT b, sum(o) AS cb FROM obs GROUP BY b),
+        |nn AS (SELECT sum(o)::DOUBLE AS n FROM obs),
+        |cells AS (
+        |  SELECT coalesce(o, 0) AS o, ra::DOUBLE * cb::DOUBLE / n AS e
+        |  FROM ra CROSS JOIN cb LEFT JOIN obs USING (a, b) CROSS JOIN nn),
+        |terms AS (
+        |  SELECT CAST((o::DOUBLE - e) * (o::DOUBLE - e) / e AS DECIMAL(28,12)) AS t
+        |  FROM cells)
+        |SELECT round(CAST(sum(t) AS DOUBLE), 4) AS chi2,
+        |  CAST(((SELECT count(*) FROM ra) - 1) * ((SELECT count(*) FROM cb) - 1) AS INT) AS dof,
+        |  count(*) AS n_cells
+        |FROM terms""".stripMargin,
     // H = log2(n) − (Σ c·log2 c)/n with the sum in DECIMAL(28,12) exactly
     // like the engine; n_tokens cast to BIGINT (DuckDB sum() is HUGEINT)
     "q94_token_entropy" ->

@@ -1,0 +1,94 @@
+package graft.analysis
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
+
+/** Experiment / distribution statistics over event frames.
+  *
+  * Both tests reduce to grouped counts before any math touches them, so the
+  * heavy stage is one (or two chained) map-side-combinable aggregates; the
+  * test statistics are computed on frames whose size is bounded by group
+  * cardinality (arms, contingency cells), never data size. Deterministic
+  * md5-based arm assignment makes experiments replayable across engines —
+  * the same property the sampling operators build on
+  * ([[Sampling.hashBucket]]).
+  */
+object Stats {
+
+  /** Deterministic 50/50 arm assignment: parity of the first md5 nibble of
+    * the unit key. Stable across runs, engines, and data order. */
+  def armOf(unit: Column): Column =
+    when(conv(substring(md5(unit.cast("string")), 1, 1), 16, 10) % 2 === 0, "A")
+      .otherwise("B")
+
+  /** Two-proportion z-test between arms A and B of `df`.
+    *
+    * Input grain: one row per (unit, outcome) observation; the unit's
+    * outcome is `converted` = max(outcomeCol) (any success counts). The
+    * pooled z statistic: z = (pA − pB) / √(p̂(1−p̂)(1/nA + 1/nB)) with
+    * p̂ the pooled rate. |z| > 1.96 ⇒ significant at α = 0.05.
+    * Output (one row): nA, convA, nB, convB, rate_a, rate_b, z_score,
+    * significant. */
+  def twoProportionZ(
+      df: DataFrame, unitCol: String, outcomeCol: Column): DataFrame = {
+    val perUnit = df
+      .groupBy(col(unitCol).as("unit"))
+      .agg(max(outcomeCol.cast("int")).as("converted"))
+      .withColumn("arm", armOf(col("unit")))
+    val arms = perUnit.groupBy("arm")
+      .agg(count(lit(1)).as("n"), sum("converted").as("conv"))
+    val wide = arms
+      .agg(
+        max(when(col("arm") === "A", col("n"))).as("n_a"),
+        max(when(col("arm") === "A", col("conv"))).as("conv_a"),
+        max(when(col("arm") === "B", col("n"))).as("n_b"),
+        max(when(col("arm") === "B", col("conv"))).as("conv_b"))
+    val pA = col("conv_a").cast(DoubleType) / col("n_a").cast(DoubleType)
+    val pB = col("conv_b").cast(DoubleType) / col("n_b").cast(DoubleType)
+    val pooled = (col("conv_a") + col("conv_b")).cast(DoubleType) /
+      (col("n_a") + col("n_b")).cast(DoubleType)
+    val se = sqrt(pooled * (lit(1.0) - pooled) *
+      (lit(1.0) / col("n_a").cast(DoubleType) + lit(1.0) / col("n_b").cast(DoubleType)))
+    wide.select(
+      col("n_a"), col("conv_a"), col("n_b"), col("conv_b"),
+      round(pA, 4).as("rate_a"), round(pB, 4).as("rate_b"),
+      round((pA - pB) / se, 4).as("z_score"),
+      (abs((pA - pB) / se) > 1.96).as("significant"))
+  }
+
+  /** Pearson chi-square test of independence between two categorical
+    * columns. Observed counts come from one grouped aggregate; expected
+    * counts from the row/column marginals joined back (both marginal frames
+    * are category-cardinality-sized — broadcast). The statistic sums
+    * (O−E)²/E over cells in DECIMAL so the total is shuffle-order-stable.
+    * Output: chi2 (round 4), dof, n_cells. */
+  def chiSquare(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(28, 12)
+    val obs = df.groupBy(col(aCol).as("a"), col(bCol).as("b"))
+      .agg(count(lit(1)).as("o"))
+      .persist()
+    val rowTot = obs.groupBy("a").agg(sum("o").as("ra"))
+    val colTot = obs.groupBy("b").agg(sum("o").as("cb"))
+    val n = obs.agg(sum("o")).collect().head.getLong(0).toDouble
+    // the FULL grid, not just observed cells: an absent combination still
+    // contributes (0−E)²/E = E, and dropping those silently deflates the
+    // statistic exactly when association is strongest
+    val cells = rowTot.crossJoin(colTot)
+      .join(obs, Seq("a", "b"), "left")
+      .withColumn("o", coalesce(col("o"), lit(0L)))
+      .withColumn("e", col("ra").cast(DoubleType) * col("cb").cast(DoubleType) / lit(n))
+      .withColumn("term",
+        ((col("o").cast(DoubleType) - col("e")) * (col("o").cast(DoubleType) - col("e"))
+          / col("e")).cast(dec))
+    val nA = rowTot.count()
+    val nB = colTot.count()
+    val out = cells.agg(
+      round(sum("term").cast(DoubleType), 4).as("chi2"),
+      count(lit(1)).as("n_cells"))
+      .withColumn("dof", lit(((nA - 1) * (nB - 1)).toInt))
+      .select("chi2", "dof", "n_cells")
+    try out.localCheckpoint(true)
+    finally { obs.unpersist(); () }
+  }
+}

@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.analysis.Stats
+
+class StatsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("arm assignment is deterministic and roughly balanced") {
+    val units = (1 to 2000).map(i => Tuple1(i.toLong)).toDF("u")
+    val arms = units.select(Stats.armOf(col("u")).as("arm"))
+      .groupBy("arm").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(arms.keySet === Set("A", "B"))
+    assert(math.abs(arms("A") - arms("B")) < 300) // ~4 sigma of binomial(2000, .5)
+    // repeat run gives identical split (pure hash, no RNG)
+    val again = units.select(Stats.armOf(col("u")).as("arm"))
+      .groupBy("arm").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(again === arms)
+  }
+
+  test("two-proportion z: hand-checked statistic and significance") {
+    // construct unit outcomes directly, then verify against manual math:
+    // find which arm each unit lands in, induce rates 0.5 vs 0.1
+    val units = (1 to 400).map(i => (i.toLong, "x"))
+      .toDF("u", "pad")
+    val withArm = units.select(col("u"), Stats.armOf(col("u")).as("arm"))
+    val byArm = withArm.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val obs = (1 to 400).map { i =>
+      val converted = if (byArm(i.toLong) == "A") i % 2 == 0 else i % 10 == 0
+      (i.toLong, converted)
+    }.toDF("u", "converted")
+    val out = Stats.twoProportionZ(obs, "u", col("converted")).collect().head
+    val (nA, cA) = (out.getAs[Long]("n_a"), out.getAs[Long]("conv_a"))
+    val (nB, cB) = (out.getAs[Long]("n_b"), out.getAs[Long]("conv_b"))
+    val (pa, pb) = (cA.toDouble / nA, cB.toDouble / nB)
+    val pool = (cA + cB).toDouble / (nA + nB)
+    val z = (pa - pb) / math.sqrt(pool * (1 - pool) * (1.0 / nA + 1.0 / nB))
+    assert(math.abs(out.getAs[Double]("z_score") - math.rint(z * 1e4) / 1e4) < 1e-9)
+    assert(out.getAs[Boolean]("significant")) // 0.5 vs 0.1 at n=400 is decisive
+  }
+
+  test("chi-square: independent columns give ~0, dependent give large") {
+    val indep = (1 to 1000).map(i => (s"a${i % 2}", s"b${i % 5}")).toDF("x", "y")
+    val r1 = Stats.chiSquare(indep, "x", "y").collect().head
+    assert(r1.getAs[Double]("chi2") === 0.0) // perfectly balanced grid
+    assert(r1.getAs[Int]("dof") === 4 && r1.getAs[Long]("n_cells") === 10L)
+    val dep = (1 to 1000).map(i => (s"a${i % 2}", s"b${i % 2}")).toDF("x", "y")
+    val r2 = Stats.chiSquare(dep, "x", "y").collect().head
+    assert(r2.getAs[Double]("chi2") === 1000.0) // perfect association: chi2 = n
+  }
+}
