@@ -519,6 +519,13 @@ object SparkEntry {
     "q69_sliding_traffic" -> { (s, d) =>
       Relational.slidingTraffic(TestData.clicks(s, d)).orderBy("window_start")
     },
+    // multimodal near-dup: binary media -> mapPartitions decode/feature
+    // stub -> native simhash pHash -> banded hamming join (image dedup shape)
+    "q98_phash_neardups" -> { (s, d) =>
+      graft.analysis.Multimodal.perceptualNearDupPairs(
+          TestData.documents(s, d), maxHamming = 6)
+        .orderBy("doc_a", "doc_b")
+    },
     // A/B test: deterministic md5-parity arm split over users, pooled
     // two-proportion z on purchase conversion; math runs on a 2-row frame
     "q96_ab_test" -> { (s, d) =>
@@ -1137,6 +1144,37 @@ object SparkEntry {
         |  round(mn + spine.bin * ((mx - mn) / 10), 6) AS hi,
         |  COALESCE(n, 0) AS n
         |FROM spine CROSS JOIN s LEFT JOIN c USING (bin) ORDER BY spine.bin""".stripMargin,
+    // q34's bit-exact simhash rebuild over the decoded fake media (decode ∘
+    // encode = identity, so the pHash equals the text simhash); null media
+    // rows drop, matching the engine's flatMap
+    "q98_phash_neardups" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')), ' ') AS t
+        |  FROM documents WHERE text IS NOT NULL),
+        |hs AS (SELECT doc_id, list_transform(t, s -> substring(md5(s), 1, 16)) AS h FROM toks),
+        |bits AS (
+        |  SELECT doc_id,
+        |    list_transform(range(64), b ->
+        |      CASE WHEN list_sum(list_transform(h, x ->
+        |        CASE WHEN (((instr('0123456789abcdef', substring(x, CAST(16 - b // 4 AS INT), 1)) - 1) >> (b % 4)) & 1) = 1
+        |             THEN 1 ELSE -1 END)) > 0 THEN 1 ELSE 0 END) AS bv
+        |  FROM hs),
+        |bands AS (
+        |  SELECT doc_id, bb AS band_id,
+        |    CAST(list_sum(list_transform(range(16), j -> bv[CAST(bb*16 + j + 1 AS INT)] << j)) AS BIGINT) AS band_key
+        |  FROM bits CROSS JOIN (VALUES (0), (1), (2), (3)) AS bl(bb)),
+        |cand AS (
+        |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+        |  FROM bands x JOIN bands y
+        |    ON x.band_id = y.band_id AND x.band_key = y.band_key AND x.doc_id < y.doc_id),
+        |ham AS (
+        |  SELECT doc_a, doc_b,
+        |    CAST(list_sum(list_transform(range(64), i ->
+        |      CASE WHEN xa.bv[CAST(i + 1 AS INT)] <> yb.bv[CAST(i + 1 AS INT)] THEN 1 ELSE 0 END)) AS BIGINT) AS hamming
+        |  FROM cand JOIN bits xa ON doc_a = xa.doc_id JOIN bits yb ON doc_b = yb.doc_id)
+        |SELECT doc_a, doc_b, hamming FROM ham WHERE hamming <= 6
+        |ORDER BY doc_a, doc_b""".stripMargin,
     "q96_ab_test" ->
       """WITH per_unit AS (
         |  SELECT user_id,

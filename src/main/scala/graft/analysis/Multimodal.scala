@@ -51,6 +51,58 @@ object Multimodal {
       })
   }
 
+  final case class MediaTokens(doc_id: Long, tokens: Array[String])
+
+  /** STUB visual-feature extractor: decodes the fake media bytes back to
+    * text and tokenizes with EXACTLY the engine's normalization (the fake
+    * of "decode image → visual words"). A real implementation swaps the
+    * body for codec + patch/embedding features; the mapPartitions boundary,
+    * schema, and downstream hashing stay as-is. Null media (null source
+    * row) yields no feature row, matching the SQL oracle's IS NOT NULL. */
+  def decodeFeatures(media: Dataset[MediaRecord]): Dataset[MediaTokens] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      // real pipeline: acquire codec/GPU context once per partition here
+      it.flatMap { r =>
+        if (r.media == null) Iterator.empty
+        else {
+          val text = new String(r.media, "UTF-8")
+          val norm = text.toLowerCase(java.util.Locale.ROOT)
+            .replaceAll("[^a-z0-9\\s]", " ").replaceAll("\\s+", " ").trim
+          Iterator.single(MediaTokens(r.doc_id, norm.split(" ", -1)))
+        }
+      }
+    }
+  }
+
+  /** Perceptual-hash near-duplicate pairs over the binary media column:
+    * decode → feature tokens (stubbed) → 64-bit simhash as the pHash →
+    * banded hamming-bucket join. This is image/video dedup at 100 TB
+    * shape: the quadratic work is confined to 16-bit band buckets (a pair
+    * within hamming ≤ 6 of 64 bits shares at least one of 4 bands by
+    * pigeonhole), the codec runs once per row at the mapPartitions
+    * boundary, and the hash + band join are native codegen expressions.
+    * Output: doc_a, doc_b, hamming. */
+  def perceptualNearDupPairs(
+      docs: DataFrame, maxHamming: Int = 6): DataFrame = {
+    import docs.sparkSession.implicits._
+    val feats = decodeFeatures(attachBinary(docs).as[MediaRecord]).toDF()
+    val sigs = feats.select(col("doc_id"),
+      graft.functions.SimHash.simhash64Md5(col("tokens")).as("phash"))
+    val bands = sigs.select(col("doc_id"), col("phash"),
+      explode(expr("transform(sequence(0,3), b -> " +
+        "struct(b as band_id, shiftright(phash, b*16) & 65535 as band_key))")).as("b"))
+      .select(col("doc_id"), col("phash"), col("b.band_id"), col("b.band_key"))
+    bands.as("x").join(bands.as("y"),
+        col("x.band_id") === col("y.band_id") &&
+          col("x.band_key") === col("y.band_key") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        bit_count(col("x.phash").bitwiseXOR(col("y.phash"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
   /** Decode/feature-extract over partitions: the mapPartitions boundary is
     * deliberate — a real codec holds native context (dictionaries, GPU
     * handles) that must be initialized once per partition, not per row.

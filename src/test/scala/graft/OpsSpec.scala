@@ -146,6 +146,28 @@ class OpsSpec extends SparkSpec {
     assert(frames.last.getAs[Array[Byte]]("frame").length === 4)
   }
 
+  test("perceptual near-dups: decode stub tokenizes like the engine, bands find pairs") {
+    import graft.analysis.Multimodal
+    val docs = Seq(
+      (1L, "The Quick! brown fox jumps over the lazy dog again and again"),
+      (2L, "The Quick! brown fox jumps over the lazy dog again and AGAIN"), // case-only diff
+      (3L, "an entirely different document about catalyst plan rewrites"),
+      (4L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    // decoded tokens must equal the Column-side normalization exactly
+    val fromBinary = Multimodal.decodeFeatures(
+        Multimodal.attachBinary(docs).as[Multimodal.MediaRecord])
+      .collect().map(m => m.doc_id -> m.tokens.toSeq).toMap
+    val fromText = docs.filter(col("text").isNotNull)
+      .select(col("doc_id"), graft.analysis.TextAnalysis.tokens(col("text")).as("t"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(fromBinary === fromText)
+    assert(!fromBinary.contains(4L)) // null media -> no feature row
+    val pairs = Multimodal.perceptualNearDupPairs(docs, maxHamming = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(pairs.toSeq === Seq((1L, 2L, 0))) // identical after normalization
+  }
+
   private def t(s: String) = Timestamp.valueOf(s)
 
   test("batch sessionization: gaps split sessions, bounds and counts correct") {
