@@ -519,6 +519,16 @@ object SparkEntry {
     "q69_sliding_traffic" -> { (s, d) =>
       Relational.slidingTraffic(TestData.clicks(s, d)).orderBy("window_start")
     },
+    // count-min frequency sketch: depth x width grid of longs regardless of
+    // key cardinality; estimates are upper bounds, grid is oracle-exact
+    "q99_countmin" -> { (s, d) =>
+      val events = Tables.events(s, d)
+      val sketch = graft.analysis.CountMin.build(events, "user_id", depth = 4, width = 256)
+      val probes = events.filter(col("user_id") % 10 === 0)
+        .select(col("user_id")).distinct()
+      graft.analysis.CountMin.estimate(sketch, probes, "user_id", depth = 4, width = 256)
+        .orderBy("key")
+    },
     // multimodal near-dup: binary media -> mapPartitions decode/feature
     // stub -> native simhash pHash -> banded hamming join (image dedup shape)
     "q98_phash_neardups" -> { (s, d) =>
@@ -1144,6 +1154,22 @@ object SparkEntry {
         |  round(mn + spine.bin * ((mx - mn) / 10), 6) AS hi,
         |  COALESCE(n, 0) AS n
         |FROM spine CROSS JOIN s LEFT JOIN c USING (bin) ORDER BY spine.bin""".stripMargin,
+    // rebuilds the identical depth×width grid (same salted md5 hash) and
+    // takes the same min-of-cells estimate
+    "q99_countmin" ->
+      """WITH grid AS (
+        |  SELECT r AS row,
+        |    ('0x' || substr(md5(r::VARCHAR || '|' || user_id::VARCHAR), 1, 15))::BIGINT % 256 AS bucket
+        |  FROM events CROSS JOIN (VALUES (0), (1), (2), (3)) AS t(r)),
+        |sketch AS (SELECT row, bucket, count(*) AS c FROM grid GROUP BY 1, 2),
+        |probes AS (SELECT DISTINCT user_id AS key FROM events WHERE user_id % 10 = 0),
+        |cells AS (
+        |  SELECT key, r AS row,
+        |    ('0x' || substr(md5(r::VARCHAR || '|' || key::VARCHAR), 1, 15))::BIGINT % 256 AS bucket
+        |  FROM probes CROSS JOIN (VALUES (0), (1), (2), (3)) AS t(r))
+        |SELECT key, CAST(min(coalesce(c, 0)) AS BIGINT) AS est_count
+        |FROM cells LEFT JOIN sketch USING (row, bucket)
+        |GROUP BY key ORDER BY key""".stripMargin,
     // q34's bit-exact simhash rebuild over the decoded fake media (decode ∘
     // encode = identity, so the pHash equals the text simhash); null media
     // rows drop, matching the engine's flatMap
