@@ -519,6 +519,15 @@ object SparkEntry {
     "q69_sliding_traffic" -> { (s, d) =>
       Relational.slidingTraffic(TestData.clicks(s, d)).orderBy("window_start")
     },
+    // sweep-line peak concurrency: intervals -> +1/-1 events -> running sum
+    // per day; half-open semantics via (ts, delta) ordering
+    "q100_peak_concurrency" -> { (s, d) =>
+      val iv = TestData.eventsRaw(s, d)
+        .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+        .agg(min(col("ts")).as("s"), max(col("ts")).as("e"))
+      Relational.peakConcurrency(iv, groupCol = "day", startCol = "s", endCol = "e")
+        .orderBy("day")
+    },
     // count-min frequency sketch: depth x width grid of longs regardless of
     // key cardinality; estimates are upper bounds, grid is oracle-exact
     "q99_countmin" -> { (s, d) =>
@@ -1154,6 +1163,20 @@ object SparkEntry {
         |  round(mn + spine.bin * ((mx - mn) / 10), 6) AS hi,
         |  COALESCE(n, 0) AS n
         |FROM spine CROSS JOIN s LEFT JOIN c USING (bin) ORDER BY spine.bin""".stripMargin,
+    "q100_peak_concurrency" ->
+      """WITH iv AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS day,
+        |    min(CAST(ts AS TIMESTAMP)) AS s, max(CAST(ts AS TIMESTAMP)) AS e
+        |  FROM events GROUP BY 1, 2),
+        |ev AS (
+        |  SELECT day, s AS ts, 1 AS delta FROM iv
+        |  UNION ALL SELECT day, e AS ts, -1 AS delta FROM iv),
+        |run AS (
+        |  SELECT day, sum(delta) OVER (PARTITION BY day ORDER BY ts, delta
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS live
+        |  FROM ev)
+        |SELECT day, CAST(max(live) AS BIGINT) AS max_concurrent
+        |FROM run GROUP BY day ORDER BY day""".stripMargin,
     // rebuilds the identical depth×width grid (same salted md5 hash) and
     // takes the same min-of-cells estimate
     "q99_countmin" ->

@@ -361,6 +361,30 @@ object Relational {
         round(col("absdev") / col("mad"), 4).as("robust_z"))
   }
 
+  /** Peak interval concurrency per group: the sweep-line classic — each
+    * interval becomes a +1 event at its start and a −1 at its end
+    * (half-open [start, end): an interval ending exactly when another
+    * starts does not overlap it, enforced by ordering −1 before +1 at equal
+    * timestamps), a running sum over the ordered events is the live
+    * concurrency, and its max is the answer. One shuffle on the group key,
+    * work per group linear in its interval count — never the O(n²)
+    * interval-overlap self-join.
+    * Output: groupCol, max_concurrent. */
+  def peakConcurrency(
+      intervals: DataFrame, groupCol: String,
+      startCol: String, endCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val events = intervals
+      .select(col(groupCol), col(startCol).as("ts"), lit(1).as("delta"))
+      .union(intervals.select(col(groupCol), col(endCol).as("ts"), lit(-1).as("delta")))
+    val w = Window.partitionBy(groupCol).orderBy(col("ts"), col("delta"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events
+      .withColumn("live", sum("delta").over(w))
+      .groupBy(groupCol)
+      .agg(max("live").as("max_concurrent"))
+  }
+
   /** 2-D Pareto frontier (skyline): rows not dominated by any other row —
     * maximize `maxCol`, minimize `minCol`; a dominator is ≥/≤ on both axes
     * and strictly better on at least one. Ties on both axes survive

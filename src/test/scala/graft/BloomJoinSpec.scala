@@ -45,4 +45,16 @@ class BloomJoinSpec extends SparkSpec {
       .collect().map(_.getLong(0))
     assert(out.toSeq === Seq(1L)) // 2 is dominated: same price, smaller size
   }
+
+  test("peak concurrency: overlap counts, touching intervals do not") {
+    val iv = Seq(
+      ("g", 0, 10), ("g", 5, 15), ("g", 9, 20), // 3 live in [9,10)
+      ("g", 10, 11),                            // starts AS the first ends -> no bump
+      ("h", 0, 1), ("h", 1, 2), ("h", 2, 3)     // chain of touching intervals
+    ).toDF("grp", "s", "e")
+    val out = Relational.peakConcurrency(iv, "grp", "s", "e")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out("g") === 3L)
+    assert(out("h") === 1L) // half-open: [0,1) and [1,2) never coexist
+  }
 }
