@@ -28,6 +28,27 @@ class ZOrderSpec extends SparkSpec {
     assert(out.getLong(0) === 5L) // masked to 3 -> bits 0,1 -> positions 0,2
   }
 
+  test("written z-ordered parquet files prune a 2-D box query by zone map") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-zorder").toString
+    val grid = (0 until 64).flatMap(x => (0 until 64).map(y => (x, y))).toDF("x", "y")
+    ZOrder.layoutByZ(grid, "x", "y", bits = 6, numPartitions = 16)
+      .write.mode("overwrite").parquet(dir)
+    // file-level zone maps: min/max of each column per physical file — what
+    // a reader's row-group/file pruning consults
+    val zones = spark.read.parquet(dir)
+      .groupBy(input_file_name().as("f"))
+      .agg(min("x").as("xlo"), max("x").as("xhi"), min("y").as("ylo"), max("y").as("yhi"))
+      .collect()
+    assert(zones.length >= 8, s"expected many files, got ${zones.length}")
+    // box query touching 1/16 of each axis; a file can serve it only if its
+    // zone overlaps BOTH ranges
+    val hit = zones.count(r =>
+      r.getAs[Int]("xlo") <= 15 && r.getAs[Int]("xhi") >= 12 &&
+        r.getAs[Int]("ylo") <= 47 && r.getAs[Int]("yhi") >= 44)
+    assert(hit * 2 <= zones.length,
+      s"z-layout should prune at least half the files for a small box; hit $hit/${zones.length}")
+  }
+
   test("z-layout keeps BOTH dimensions narrow per partition; x-sort does not") {
     // 64x64 grid; compare per-partition y-extent under z-layout vs x-sort
     val grid = (0 until 64).flatMap(x => (0 until 64).map(y => (x, y))).toDF("x", "y")
