@@ -519,6 +519,13 @@ object SparkEntry {
     "q69_sliding_traffic" -> { (s, d) =>
       Relational.slidingTraffic(TestData.clicks(s, d)).orderBy("window_start")
     },
+    // prefix-filtered set-similarity join (AllPairs/PPJoin): LOSSLESS
+    // candidate pruning - the oracle is exact all-pairs jaccard, so a green
+    // row PROVES the prefix filter misses nothing
+    "q101_prefix_jaccard" -> { (s, d) =>
+      Dedup.prefixJaccardPairs(TestData.documents(s, d), minJaccard = 0.6)
+        .orderBy("doc_a", "doc_b")
+    },
     // sweep-line peak concurrency: intervals -> +1/-1 events -> running sum
     // per day; half-open semantics via (ts, delta) ordering
     "q100_peak_concurrency" -> { (s, d) =>
@@ -1163,6 +1170,23 @@ object SparkEntry {
         |  round(mn + spine.bin * ((mx - mn) / 10), 6) AS hi,
         |  COALESCE(n, 0) AS n
         |FROM spine CROSS JOIN s LEFT JOIN c USING (bin) ORDER BY spine.bin""".stripMargin,
+    // exact all-pairs jaccard — deliberately NO prefix filter here: the
+    // engine's pruned join must reproduce the unpruned truth bit-for-bit
+    "q101_prefix_jaccard" ->
+      """WITH toks AS (
+        |  SELECT doc_id AS id,
+        |    string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')), ' ') AS t
+        |  FROM documents),
+        |sets AS (
+        |  SELECT id, list_distinct(list_transform(range(len(t) - 2), i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])) AS sh
+        |  FROM toks WHERE len(t) >= 3),
+        |pairs AS (
+        |  SELECT a.id AS doc_a, b.id AS doc_b,
+        |    round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |      / len(list_distinct(list_concat(a.sh, b.sh))), 4) AS jaccard
+        |  FROM sets a JOIN sets b ON a.id < b.id)
+        |SELECT doc_a, doc_b, jaccard FROM pairs
+        |WHERE jaccard >= 0.6 ORDER BY doc_a, doc_b""".stripMargin,
     "q100_peak_concurrency" ->
       """WITH iv AS (
         |  SELECT user_id, CAST(ts AS DATE) AS day,

@@ -511,6 +511,59 @@ object Dedup {
         levenshtein(col(s"a.$strCol"), col(s"b.$strCol"), maxDistance).as("distance"))
   }
 
+  /** Prefix-filtered set-similarity join (AllPairs/PPJoin family, Bayardo
+    * et al. WWW'07): LOSSLESS candidate pruning for jaccard ≥ t — unlike
+    * MinHash banding ([[minhashNearDupPairs]], probabilistic) or the df
+    * cutoff ([[ngramJaccardPairs]], biased low), the prefix filter provably
+    * misses nothing: two sets with jaccard ≥ t must share at least one
+    * token among each one's first |s| − ⌈t·|s|⌉ + 1 tokens in the GLOBAL
+    * frequency order, so indexing only those prefixes still finds every
+    * qualifying pair. Rarest-first ordering makes the indexed tokens the
+    * low-df ones — candidate fan-out per token stays small exactly where a
+    * full inverted index explodes.
+    *
+    * Scale shape: one df aggregate (vocabulary-sized), one window per doc
+    * to rank tokens (shuffle on doc id), a self-join confined to PREFIX
+    * postings, and exact verification on the candidates only. The gate
+    * proves losslessness: the oracle computes exact jaccard over ALL pairs
+    * and the engine must hash-match it.
+    * Output: doc_a, doc_b, jaccard (round 4). */
+  def prefixJaccardPairs(
+      docs: DataFrame,
+      minJaccard: Double = 0.6,
+      shingleSize: Int = 3,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sets = docs
+      .select(col(idCol).as("id"), shingleSet(col(textCol), shingleSize).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .persist()
+    val postings = sets.select(col("id"), size(col("sh")).as("len"),
+      explode(col("sh")).as("tok"))
+    val dfs = postings.groupBy("tok").agg(count(lit(1)).as("df"))
+    val ranked = postings.join(dfs, "tok")
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("id").orderBy(col("df"), col("tok"))))
+      // prefix length |s| − ⌈t|s|⌉ + 1 (rarest-first order)
+      .filter(col("rn") <= col("len") - ceil(lit(minJaccard) * col("len")) + 1)
+      .select("tok", "id")
+    val cand = ranked.as("a")
+      .join(ranked.as("b"), col("a.tok") === col("b.tok") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("doc_a"), col("b.id").as("doc_b"))
+      .distinct()
+    val result = cand
+      .join(sets.select(col("id").as("doc_a"), col("sh").as("sha")), "doc_a")
+      .join(sets.select(col("id").as("doc_b"), col("sh").as("shb")), "doc_b")
+      .withColumn("jaccard", round(
+        size(array_intersect(col("sha"), col("shb"))).cast("double") /
+          size(array_union(col("sha"), col("shb"))).cast("double"), 4))
+      .filter(col("jaccard") >= minJaccard)
+      .select("doc_a", "doc_b", "jaccard")
+    try result.localCheckpoint(true)
+    finally { sets.unpersist(); () }
+  }
+
   /** Fellegi–Sunter record-linkage scoring over blocked candidate pairs:
     * each compared field contributes its agreement weight (≈ log2(m/u),
     * supplied by the caller from labeled data or priors) when it matches

@@ -264,6 +264,27 @@ class DedupSpec extends SparkSpec {
       (13L, 10L, false), (14L, 10L, false)))
   }
 
+  test("prefix-filtered jaccard equals exact all-pairs jaccard (lossless)") {
+    val corpus = (docs.collect().map(r => (r.getLong(0), r.getString(1))).toSeq ++
+      Seq((5L, "spark catalyst optimizer rules engine for completely different content"),
+        (6L, "tiny doc"))) // < 3 tokens after shingling guard
+      .toDF("doc_id", "text")
+    val pruned = Dedup.prefixJaccardPairs(corpus, minJaccard = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // brute-force truth over the same shingle sets
+    val sets = corpus
+      .select(col("doc_id"), Dedup.shingleSet(col("text")).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val exact = sets.as("a").join(sets.as("b"), col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id"), col("b.doc_id"),
+        round(size(array_intersect(col("a.sh"), col("b.sh"))).cast("double") /
+          size(array_union(col("a.sh"), col("b.sh"))).cast("double"), 4).as("j"))
+      .filter(col("j") >= 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(pruned === exact)
+    assert(exact.nonEmpty) // the law shouldn't pass vacuously
+  }
+
   test("linkage scores: disagreements scored, not dropped; threshold gates links") {
     val recs = Seq(
       // block (X, acme): near-identical names, same size+type -> strong link
