@@ -519,6 +519,25 @@ object SparkEntry {
     "q69_sliding_traffic" -> { (s, d) =>
       Relational.slidingTraffic(TestData.clicks(s, d)).orderBy("window_start")
     },
+    // recency-weighted ranking: one projection + grouped DECIMAL sum, no
+    // windows; incrementally maintainable (scores x decay + new events)
+    "q102_decayed_popularity" -> { (s, d) =>
+      TimeSeries.decayedPopularity(
+          TestData.clicks(s, d).filter(col("document_id").isNotNull),
+          itemCol = "document_id", tsCol = "event_ts",
+          asOf = to_timestamp(lit("2024-02-01 00:00:00")), halfLifeDays = 7.0)
+        .orderBy("document_id")
+    },
+    // per-type daily-traffic OLS trend: closed-form slope/intercept with
+    // every accumulator in DECIMAL (bit-stable, unlike regr_slope doubles)
+    "q103_trend_slopes" -> { (s, d) =>
+      val daily = TestData.eventsRaw(s, d)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("x", datediff(col("day"), lit("2024-01-01")))
+      TimeSeries.trendSlopes(daily, groupCol = "event_type", xCol = "x", yCol = "n")
+        .orderBy("event_type")
+    },
     // prefix-filtered set-similarity join (AllPairs/PPJoin): LOSSLESS
     // candidate pruning - the oracle is exact all-pairs jaccard, so a green
     // row PROVES the prefix filter misses nothing
@@ -1170,6 +1189,48 @@ object SparkEntry {
         |  round(mn + spine.bin * ((mx - mn) / 10), 6) AS hi,
         |  COALESCE(n, 0) AS n
         |FROM spine CROSS JOIN s LEFT JOIN c USING (bin) ORDER BY spine.bin""".stripMargin,
+    // floor(epoch) on both sides: Spark's unix_timestamp truncates seconds,
+    // DuckDB's epoch() keeps fractions
+    "q102_decayed_popularity" ->
+      """WITH c AS (
+        |  SELECT CAST(props->>'$.k' AS INTEGER) AS document_id, CAST(ts AS TIMESTAMP) AS ts
+        |  FROM events WHERE CAST(props->>'$.k' AS INTEGER) IS NOT NULL),
+        |w AS (
+        |  SELECT document_id,
+        |    CAST(pow(0.5::DOUBLE,
+        |      ((epoch(TIMESTAMP '2024-02-01 00:00:00')::BIGINT
+        |        - floor(epoch(ts))::BIGINT)::DOUBLE / 86400.0) / 7.0::DOUBLE)
+        |      AS DECIMAL(28,12)) AS wt
+        |  FROM c)
+        |SELECT document_id, round(CAST(sum(wt) AS DOUBLE), 4) AS score,
+        |  count(*) AS n_events
+        |FROM w GROUP BY document_id ORDER BY document_id""".stripMargin,
+    // x and y are integral, so the DECIMAL(28,6) products are exact - no
+    // rounding ambiguity between engines in the accumulators
+    "q103_trend_slopes" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |xy AS (
+        |  SELECT event_type,
+        |    CAST(date_diff('day', DATE '2024-01-01', day) AS DECIMAL(28,6)) AS x,
+        |    CAST(n AS DECIMAL(28,6)) AS y
+        |  FROM daily),
+        |agg AS (
+        |  SELECT event_type, count(*) AS n,
+        |    sum(x) AS sx, sum(y) AS sy,
+        |    sum(CAST(x * y AS DECIMAL(28,6))) AS sxy,
+        |    sum(CAST(x * x AS DECIMAL(28,6))) AS sxx
+        |  FROM xy GROUP BY event_type)
+        |SELECT event_type, n,
+        |  CASE WHEN n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE <> 0.0 THEN
+        |    round((n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+        |      / (n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE), 6) END AS slope,
+        |  CASE WHEN n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE <> 0.0 THEN
+        |    round((sy::DOUBLE - ((n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+        |      / (n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE)) * sx::DOUBLE)
+        |      / n::DOUBLE, 6) END AS intercept
+        |FROM agg ORDER BY event_type""".stripMargin,
     // exact all-pairs jaccard — deliberately NO prefix filter here: the
     // engine's pruned join must reproduce the unpruned truth bit-for-bit
     "q101_prefix_jaccard" ->

@@ -65,6 +65,55 @@ object TimeSeries {
       .drop("__rn", "__scale")
   }
 
+  /** Exponentially time-decayed popularity: each event contributes
+    * 0.5^(age/halfLife), so an item's score halves every `halfLifeDays`
+    * without any state or windowing — just a projection and one grouped
+    * sum. This is the standard recency-weighted ranking trick: computable
+    * in one pass at any scale, and incrementally maintainable (yesterday's
+    * scores × decay + today's events). Terms are DECIMAL-cast before the
+    * sum so the total is shuffle-order-independent.
+    * Output: itemCol, score (round 4), n_events. */
+  def decayedPopularity(
+      df: DataFrame, itemCol: String, tsCol: String,
+      asOf: Column, halfLifeDays: Double = 7.0): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(28, 12)
+    val ageDays = (unix_timestamp(asOf) - unix_timestamp(col(tsCol)))
+      .cast("double") / lit(86400.0)
+    df
+      .withColumn("__w", pow(lit(0.5), ageDays / lit(halfLifeDays)).cast(dec))
+      .groupBy(itemCol)
+      .agg(round(sum("__w").cast("double"), 4).as("score"),
+        count(lit(1)).as("n_events"))
+  }
+
+  /** Per-group ordinary-least-squares trend: slope and intercept of value
+    * over an x index, via the closed form
+    * slope = (nΣxy − ΣxΣy) / (nΣx² − (Σx)²) with every Σ accumulated in
+    * DECIMAL — unlike `regr_slope`'s double accumulators, the result is
+    * bit-stable across partitionings and engines. One grouped aggregate;
+    * groups with a degenerate x variance yield null slope.
+    * Output: groupCol, n, slope (round 6), intercept (round 6). */
+  def trendSlopes(
+      df: DataFrame, groupCol: String, xCol: String, yCol: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(28, 6)
+    val x = col(xCol).cast(dec)
+    val y = col(yCol).cast(dec)
+    val agg = df.groupBy(groupCol).agg(
+      count(lit(1)).as("n"),
+      sum(x).as("sx"), sum(y).as("sy"),
+      sum((x * y).cast(dec)).as("sxy"), sum((x * x).cast(dec)).as("sxx"))
+    val n = col("n").cast("double")
+    val denom = n * col("sxx").cast("double") -
+      col("sx").cast("double") * col("sx").cast("double")
+    val slope = (n * col("sxy").cast("double") -
+      col("sx").cast("double") * col("sy").cast("double")) / denom
+    agg.select(col(groupCol), col("n"),
+      round(when(denom =!= 0.0, slope), 6).as("slope"),
+      round(when(denom =!= 0.0,
+        (col("sy").cast("double") - slope * col("sx").cast("double")) / n), 6)
+        .as("intercept"))
+  }
+
   /** Level-shift detection: days where the trailing `width`-row mean jumped
     * by more than `threshold` versus the preceding `width`-row mean.
     * CUSUM-style changepoint flagging recast as two running means — window

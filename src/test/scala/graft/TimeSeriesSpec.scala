@@ -49,6 +49,30 @@ class TimeSeriesSpec extends SparkSpec {
     assert(out(3) === 0.0) // spike aged out exactly at the bound
   }
 
+  test("decayed popularity: half-life weighting, exact at the knots") {
+    val df = Seq(
+      (1L, "2024-01-08 00:00:00"), // exactly asOf -> weight 1.0
+      (1L, "2024-01-01 00:00:00"), // one half-life old -> 0.5
+      (2L, "2023-12-25 00:00:00")  // two half-lives -> 0.25
+    ).toDF("item", "ts").select(col("item"), to_timestamp(col("ts")).as("ts"))
+    val out = TimeSeries.decayedPopularity(df, "item", "ts",
+        asOf = to_timestamp(lit("2024-01-08 00:00:00")), halfLifeDays = 7.0)
+      .collect().map(r => r.getLong(0) -> ((r.getDouble(1), r.getLong(2)))).toMap
+    assert(out(1L) === ((1.5, 2L)))
+    assert(out(2L) === ((0.25, 1L)))
+  }
+
+  test("trend slopes: exact line recovered, degenerate x gives null") {
+    val line = (0 to 9).map(x => ("up", x, 2 * x + 1)).toDF("g", "x", "y")
+    val flat = (0 to 9).map(_ => ("flat", 3, 7)).toDF("g", "x", "y")
+    val out = TimeSeries.trendSlopes(line.union(flat), "g", "x", "y")
+      .collect().map(r => r.getString(0) ->
+        ((Option(r.get(2)).map(_.asInstanceOf[Double]),
+          Option(r.get(3)).map(_.asInstanceOf[Double])))).toMap
+    assert(out("up") === ((Some(2.0), Some(1.0))))
+    assert(out("flat") === ((None, None))) // zero x variance
+  }
+
   test("level shifts: step change flagged, burn-in rows exempt") {
     // 7 days at 10, then 7 days at 20: the boundary day sees before=10,
     // after=20 → shift 10; interior days have mixed frames under threshold 9
