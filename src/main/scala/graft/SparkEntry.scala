@@ -519,6 +519,20 @@ object SparkEntry {
     "q69_sliding_traffic" -> { (s, d) =>
       Relational.slidingTraffic(TestData.clicks(s, d)).orderBy("window_start")
     },
+    // Adamic-Adar link prediction over the co-click graph: wedge join on
+    // the center node, hub-guarded upstream, DECIMAL-summed 1/ln(deg)
+    "q104_adamic_adar" -> { (s, d) =>
+      val edges = Graphs.cooccurrenceEdges(
+        TestData.clicks(s, d), "session_id", "document_id", maxPerKey = 100)
+      Graphs.adamicAdar(edges).orderBy("u", "v")
+    },
+    // PMI collocations: above-chance co-click association, counts reused
+    // from the edge aggregate + per-item key counts
+    "q105_pmi_pairs" -> { (s, d) =>
+      Graphs.pmiPairs(TestData.clicks(s, d), "session_id", "document_id",
+          maxPerKey = 100, minPairCount = 2)
+        .orderBy("u", "v")
+    },
     // recency-weighted ranking: one projection + grouped DECIMAL sum, no
     // windows; incrementally maintainable (scores x decay + new events)
     "q102_decayed_popularity" -> { (s, d) =>
@@ -1189,6 +1203,45 @@ object SparkEntry {
         |  round(mn + spine.bin * ((mx - mn) / 10), 6) AS hi,
         |  COALESCE(n, 0) AS n
         |FROM spine CROSS JOIN s LEFT JOIN c USING (bin) ORDER BY spine.bin""".stripMargin,
+    "q104_adamic_adar" ->
+      """WITH clicks AS (
+        |  SELECT DISTINCT CAST(user_id AS VARCHAR) AS sid, CAST(props->>'$.k' AS INTEGER) AS doc
+        |  FROM events WHERE CAST(props->>'$.k' AS INTEGER) IS NOT NULL),
+        |ok AS (SELECT sid FROM clicks GROUP BY sid HAVING count(*) <= 100),
+        |ce AS (
+        |  SELECT a.doc AS src, b.doc AS dst
+        |  FROM clicks a JOIN ok USING (sid) JOIN clicks b USING (sid)
+        |  WHERE a.doc < b.doc GROUP BY 1, 2),
+        |sym AS (
+        |  SELECT src AS w, dst AS n FROM ce
+        |  UNION SELECT dst AS w, src AS n FROM ce),
+        |deg AS (SELECT w, count(*) AS deg FROM sym GROUP BY w),
+        |weighted AS (
+        |  SELECT sym.w, sym.n,
+        |    CASE WHEN deg >= 2 THEN CAST(1.0::DOUBLE / ln(deg::DOUBLE) AS DECIMAL(28,12)) END AS contrib
+        |  FROM sym JOIN deg USING (w))
+        |SELECT a.n AS u, b.n AS v, count(*) AS common_neighbors,
+        |  round(CAST(sum(a.contrib) AS DOUBLE), 6) AS aa_score
+        |FROM weighted a JOIN weighted b ON a.w = b.w AND a.n < b.n
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // item counts come from ALL sessions, edge counts from hub-filtered
+    // ones — mirroring the engine's exact frame lineage
+    "q105_pmi_pairs" ->
+      """WITH clicks AS (
+        |  SELECT DISTINCT CAST(user_id AS VARCHAR) AS sid, CAST(props->>'$.k' AS INTEGER) AS doc
+        |  FROM events WHERE CAST(props->>'$.k' AS INTEGER) IS NOT NULL),
+        |ok AS (SELECT sid FROM clicks GROUP BY sid HAVING count(*) <= 100),
+        |ce AS (
+        |  SELECT a.doc AS src, b.doc AS dst, count(*) AS weight
+        |  FROM clicks a JOIN ok USING (sid) JOIN clicks b USING (sid)
+        |  WHERE a.doc < b.doc GROUP BY 1, 2
+        |  HAVING count(*) >= 2),
+        |nk AS (SELECT count(DISTINCT sid)::DOUBLE AS n FROM clicks),
+        |ci AS (SELECT doc, count(*) AS c FROM clicks GROUP BY doc)
+        |SELECT src AS u, dst AS v, weight AS c_uv,
+        |  round(ln(n * weight::DOUBLE / (cu.c::DOUBLE * cv.c::DOUBLE)), 6) AS pmi
+        |FROM ce JOIN ci cu ON ce.src = cu.doc JOIN ci cv ON ce.dst = cv.doc
+        |CROSS JOIN nk ORDER BY 1, 2""".stripMargin,
     // floor(epoch) on both sides: Spark's unix_timestamp truncates seconds,
     // DuckDB's epoch() keeps fractions
     "q102_decayed_popularity" ->

@@ -227,6 +227,80 @@ object Graphs {
       .agg(min("dist").as("dist"))
   }
 
+  /** Adamic–Adar link prediction scores: for every 2-hop pair (u, v), the
+    * sum of 1/ln(deg(w)) over their common neighbors w — the classic
+    * "which edges are missing" feature; rare shared neighbors are strong
+    * evidence, hubs are discounted toward zero.
+    *
+    * Scale shape: wedges are generated by a self-join on the CENTER node,
+    * so fan-out is deg(w)² per center — quadratic in degree, which is why
+    * the input edge list must be hub-guarded upstream
+    * ([[cooccurrenceEdges]]' maxPerKey does exactly that; for raw graphs
+    * cap center degree first). Contributions are DECIMAL-summed so scores
+    * are shuffle-order-stable. Existing edges are NOT excluded — callers
+    * doing link prediction anti-join them out; keeping them makes the
+    * score also useful as an edge-strength feature.
+    * Output: u, v (u < v), common_neighbors, aa_score (round 6). */
+  def adamicAdar(
+      edges: DataFrame,
+      srcCol: String = "src",
+      dstCol: String = "dst"): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(28, 12)
+    val sym = edges
+      .select(col(srcCol).as("w"), col(dstCol).as("n"))
+      .union(edges.select(col(dstCol).as("w"), col(srcCol).as("n")))
+      .distinct()
+      .persist()
+    val deg = sym.groupBy("w").agg(count(lit(1)).as("deg"))
+    // deg-1 nodes can never be wedge centers (a wedge needs two neighbors),
+    // but the projection still evaluates for them — guard the 1/ln(1)
+    // infinity before the ANSI decimal cast can throw on it
+    val weighted = sym.join(deg, "w")
+      .withColumn("contrib",
+        when(col("deg") >= 2,
+          (lit(1.0) / log(col("deg").cast("double"))).cast(dec)))
+    val result = weighted.as("a")
+      .join(weighted.select(col("w"), col("n").as("n2"), col("contrib").as("c2")).as("b"),
+        col("a.w") === col("b.w") && col("a.n") < col("b.n2"))
+      .groupBy(col("a.n").as("u"), col("b.n2").as("v"))
+      .agg(count(lit(1)).as("common_neighbors"),
+        round(sum(col("a.contrib")).cast("double"), 6).as("aa_score"))
+    try result.localCheckpoint(true)
+    finally { sym.unpersist(); () }
+  }
+
+  /** Pointwise mutual information of co-occurring item pairs:
+    * pmi = ln(n_keys · c_uv / (c_u · c_v)) where c_uv counts keys containing
+    * both items and c_u keys containing u — the collocation measure that
+    * separates "co-occur because both are popular" from "co-occur because
+    * they belong together". Positive = above-chance association.
+    *
+    * Scale shape: reuses the co-occurrence edge aggregate for c_uv and the
+    * per-item key counts for c_u — two grouped aggregates and one join of
+    * the (already-reduced) edge list against two broadcast-sized count
+    * frames. Output: u, v, c_uv, pmi (round 6). */
+  def pmiPairs(
+      df: DataFrame,
+      keyCol: String,
+      itemCol: String,
+      maxPerKey: Int = 100,
+      minPairCount: Long = 2): DataFrame = {
+    val edges = cooccurrenceEdges(df, keyCol, itemCol, maxPerKey)
+      .filter(col("weight") >= minPairCount)
+    val itemKeys = df
+      .select(col(keyCol).as("__k"), col(itemCol).as("item"))
+      .filter(col("item").isNotNull)
+      .distinct()
+    val nKeys = itemKeys.select("__k").distinct().count()
+    val itemCounts = itemKeys.groupBy("item").agg(count(lit(1)).as("ci"))
+    edges
+      .join(itemCounts.select(col("item").as("src"), col("ci").as("cu")), "src")
+      .join(itemCounts.select(col("item").as("dst"), col("ci").as("cv")), "dst")
+      .select(col("src").as("u"), col("dst").as("v"), col("weight").as("c_uv"),
+        round(log(lit(nKeys.toDouble) * col("weight").cast("double") /
+          (col("cu").cast("double") * col("cv").cast("double"))), 6).as("pmi"))
+  }
+
   /** Item-item co-visitation recommendations: for every item, the top-k
     * most co-occurring neighbors — the classic "people who viewed X also
     * viewed" list, straight off the co-occurrence edges.

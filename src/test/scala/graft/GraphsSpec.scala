@@ -90,6 +90,32 @@ class GraphsSpec extends SparkSpec {
     assert((3 to 20).forall(out(_) === 0L))
   }
 
+  test("adamic-adar: hand-computed scores, hubs discounted") {
+    // star center 0 with leaves 1..4, plus a private bridge 5 between 1 and 2:
+    // (1,2) share neighbors {0 (deg 4), 5 (deg 2)} -> 1/ln4 + 1/ln2
+    // (3,4) share only the hub 0 -> 1/ln4
+    val edges = ((1 to 4).map(i => (0, i)) ++ Seq((1, 5), (2, 5))).toDF("src", "dst")
+    val out = Graphs.adamicAdar(edges)
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> ((r.getLong(2), r.getDouble(3)))).toMap
+    def r6(d: Double) = math.rint(d * 1e6) / 1e6
+    assert(out((1, 2)) === ((2L, r6(1 / math.log(4) + 1 / math.log(2)))))
+    assert(out((3, 4)) === ((1L, r6(1 / math.log(4)))))
+    // shared-rare-neighbor pair outscores shared-hub pair
+    assert(out((1, 2))._2 > out((3, 4))._2)
+  }
+
+  test("pmi: together-only items positive, anti-correlated pairs low") {
+    // items A,B always co-occur (4 sessions); C appears in 4 other sessions
+    // alone with D; A-C never co-occur
+    val clicks = ((1 to 4).flatMap(s => Seq((s"s$s", "A"), (s"s$s", "B"))) ++
+      (5 to 8).flatMap(s => Seq((s"s$s", "C"), (s"s$s", "D")))).toDF("sid", "doc")
+    val out = Graphs.pmiPairs(clicks, "sid", "doc", minPairCount = 2)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(3)).toMap
+    // pmi(A,B) = ln(8 * 4 / (4*4)) = ln 2
+    assert(out(("A", "B")) === math.rint(math.log(2) * 1e6) / 1e6)
+    assert(!out.contains(("A", "C"))) // no co-occurrence -> no row
+  }
+
   test("shortest paths: hop distances, hop bound, unreachable nodes absent") {
     // path 1-2-3-4-5 plus isolated edge 8-9; landmark 1
     val edges = Seq((1, 2), (2, 3), (3, 4), (4, 5), (8, 9)).toDF("src", "dst")
