@@ -519,6 +519,20 @@ object SparkEntry {
     "q69_sliding_traffic" -> { (s, d) =>
       Relational.slidingTraffic(TestData.clicks(s, d)).orderBy("window_start")
     },
+    // hashing-trick vectorizer: unbounded vocab -> fixed dim, signed hash
+    // cancels collisions in expectation; no vocabulary table, no fit
+    "q106_hashed_features" -> { (s, d) =>
+      graft.analysis.Features.hashedFeatures(TestData.documents(s, d), dim = 256)
+        .orderBy("doc_id", "feature_idx")
+    },
+    // leave-one-out target encoding: (sum_y - y_i)/(n-1) per category,
+    // DECIMAL-accumulated, singletons null - no label leakage
+    "q107_loo_target_encode" -> { (s, d) =>
+      graft.analysis.Features.looTargetEncode(Tables.orders(s, d),
+          idCol = "o_orderkey", categoryCol = "o_orderpriority",
+          targetCol = "o_totalprice")
+        .orderBy("o_orderkey")
+    },
     // Adamic-Adar link prediction over the co-click graph: wedge join on
     // the center node, hub-guarded upstream, DECIMAL-summed 1/ln(deg)
     "q104_adamic_adar" -> { (s, d) =>
@@ -1203,6 +1217,29 @@ object SparkEntry {
         |  round(mn + spine.bin * ((mx - mn) / 10), 6) AS hi,
         |  COALESCE(n, 0) AS n
         |FROM spine CROSS JOIN s LEFT JOIN c USING (bin) ORDER BY spine.bin""".stripMargin,
+    "q106_hashed_features" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')), ' ')) AS tok
+        |  FROM documents),
+        |f AS (
+        |  SELECT doc_id,
+        |    ('0x' || substr(md5('i|' || tok), 1, 15))::BIGINT % 256 AS feature_idx,
+        |    CASE WHEN ('0x' || substr(md5('s|' || tok), 1, 15))::BIGINT % 2 = 0
+        |         THEN 1 ELSE -1 END AS sign
+        |  FROM toks WHERE tok <> '')
+        |SELECT doc_id, feature_idx, CAST(sum(sign) AS BIGINT) AS weight
+        |FROM f GROUP BY 1, 2 HAVING sum(sign) <> 0
+        |ORDER BY doc_id, feature_idx""".stripMargin,
+    "q107_loo_target_encode" ->
+      """WITH stats AS (
+        |  SELECT o_orderpriority,
+        |    sum(CAST(o_totalprice AS DECIMAL(28,8))) AS sy, count(*) AS n
+        |  FROM orders GROUP BY 1)
+        |SELECT o_orderkey, o_orderpriority, o_totalprice,
+        |  CASE WHEN n > 1 THEN
+        |    round((sy::DOUBLE - o_totalprice::DOUBLE) / (n - 1)::DOUBLE, 6) END AS loo_mean
+        |FROM orders JOIN stats USING (o_orderpriority)
+        |ORDER BY o_orderkey""".stripMargin,
     "q104_adamic_adar" ->
       """WITH clicks AS (
         |  SELECT DISTINCT CAST(user_id AS VARCHAR) AS sid, CAST(props->>'$.k' AS INTEGER) AS doc

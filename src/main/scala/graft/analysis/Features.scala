@@ -1,0 +1,59 @@
+package graft.analysis
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** ML feature preparation: the operators that turn cleaned corpus/event
+  * tables into model inputs. Everything is hash-deterministic (the engine's
+  * portable md5 scheme), so feature pipelines are replayable across runs,
+  * engines, and train/serve boundaries — the property that prevents
+  * training/serving skew.
+  */
+object Features {
+
+  /** The hashing trick (Weinberger et al., ICML'09): project an unbounded
+    * token vocabulary into a fixed `dim`-sized feature space with a signed
+    * hash — index = h1(tok) mod dim, sign = ±1 from h2(tok) — so collisions
+    * cancel in expectation instead of biasing upward. No vocabulary table,
+    * no fit step, mergeable by construction: the output is a sparse
+    * (row, index, weight) frame from one explode + one grouped sum.
+    * Output: idCol, feature_idx, weight (signed token-count sum; zero-sum
+    * collisions drop). */
+  def hashedFeatures(
+      docs: DataFrame, dim: Int = 256,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val tok = explode(TextAnalysis.tokens(col(textCol)))
+    docs
+      .select(col(idCol), tok.as("tok"))
+      .filter(col("tok") =!= "")
+      .withColumn("feature_idx",
+        pmod(Sketches.hash60(concat(lit("i|"), col("tok"))), lit(dim)))
+      .withColumn("sign",
+        when(Sketches.hash60(concat(lit("s|"), col("tok"))) % 2 === 0, 1L)
+          .otherwise(-1L))
+      .groupBy(idCol, "feature_idx")
+      .agg(sum("sign").as("weight"))
+      .filter(col("weight") =!= 0)
+  }
+
+  /** Leave-one-out target encoding: each row's categorical value is
+    * replaced by the mean target of OTHER rows in its category —
+    * (Σy − y_i)/(n − 1) — the standard high-cardinality encoder that
+    * avoids leaking a row's own label into its feature. Singleton
+    * categories yield null (no other rows to borrow from). Sums accumulate
+    * in DECIMAL so the encoding is identical across partitionings.
+    * Output: input idCol + categoryCol + target + loo_mean (round 6). */
+  def looTargetEncode(
+      df: DataFrame, idCol: String, categoryCol: String, targetCol: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(28, 8)
+    val stats = df.groupBy(categoryCol)
+      .agg(sum(col(targetCol).cast(dec)).as("__sy"), count(lit(1)).as("__n"))
+    df.select(col(idCol), col(categoryCol), col(targetCol))
+      .join(broadcast(stats), categoryCol)
+      .withColumn("loo_mean",
+        when(col("__n") > 1,
+          round((col("__sy").cast("double") - col(targetCol).cast("double")) /
+            (col("__n") - 1).cast("double"), 6)))
+      .select(idCol, categoryCol, targetCol, "loo_mean")
+  }
+}

