@@ -519,6 +519,14 @@ object SparkEntry {
     "q69_sliding_traffic" -> { (s, d) =>
       Relational.slidingTraffic(TestData.clicks(s, d)).orderBy("window_start")
     },
+    // deterministic Lloyd k-means: the WHOLE clustering loop is oracle-
+    // gated (first-k init, fixed-order distance sums, DECIMAL centroid
+    // means) - not just a projection of it
+    "q108_kmeans" -> { (s, d) =>
+      graft.analysis.Clustering.lloydKMeans(
+          TestData.embeddings(s, d), k = 4, iterations = 2)
+        .orderBy("vec_id")
+    },
     // hashing-trick vectorizer: unbounded vocab -> fixed dim, signed hash
     // cancels collisions in expectation; no vocabulary table, no fit
     "q106_hashed_features" -> { (s, d) =>
@@ -1217,6 +1225,60 @@ object SparkEntry {
         |  round(mn + spine.bin * ((mx - mn) / 10), 6) AS hi,
         |  COALESCE(n, 0) AS n
         |FROM spine CROSS JOIN s LEFT JOIN c USING (bin) ORDER BY spine.bin""".stripMargin,
+    // two Lloyd rounds unrolled: assign (rn over (d2, cluster)) -> DECIMAL
+    // centroid means -> assign -> means -> final assignment; empty clusters
+    // fall back to their previous centroid via the UNION ALL
+    "q108_kmeans" ->
+      """WITH e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+        |c0 AS (
+        |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cluster, v AS c
+        |  FROM e ORDER BY vec_id LIMIT 4),
+        |dd1 AS (
+        |  SELECT e.vec_id, c0.cluster,
+        |    list_sum(list_transform(range(64), i -> (e.v[i+1] - c0.c[i+1]) * (e.v[i+1] - c0.c[i+1]))) AS d2
+        |  FROM e CROSS JOIN c0),
+        |aa1 AS (
+        |  SELECT vec_id, cluster FROM (
+        |    SELECT vec_id, cluster,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY d2, cluster) AS rn
+        |    FROM dd1) WHERE rn = 1),
+        |u1 AS (
+        |  SELECT aa1.cluster, i AS dim,
+        |    sum(CAST(e.v[i+1] AS DECIMAL(38,12))) AS s, count(*) AS n
+        |  FROM aa1 JOIN e USING (vec_id) CROSS JOIN range(64) t(i)
+        |  GROUP BY 1, 2),
+        |c1 AS (
+        |  SELECT cluster, list(s::DOUBLE / n ORDER BY dim) AS c FROM u1 GROUP BY cluster
+        |  UNION ALL
+        |  SELECT cluster, c FROM c0 WHERE cluster NOT IN (SELECT cluster FROM u1)),
+        |dd2 AS (
+        |  SELECT e.vec_id, c1.cluster,
+        |    list_sum(list_transform(range(64), i -> (e.v[i+1] - c1.c[i+1]) * (e.v[i+1] - c1.c[i+1]))) AS d2
+        |  FROM e CROSS JOIN c1),
+        |aa2 AS (
+        |  SELECT vec_id, cluster FROM (
+        |    SELECT vec_id, cluster,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY d2, cluster) AS rn
+        |    FROM dd2) WHERE rn = 1),
+        |u2 AS (
+        |  SELECT aa2.cluster, i AS dim,
+        |    sum(CAST(e.v[i+1] AS DECIMAL(38,12))) AS s, count(*) AS n
+        |  FROM aa2 JOIN e USING (vec_id) CROSS JOIN range(64) t(i)
+        |  GROUP BY 1, 2),
+        |c2 AS (
+        |  SELECT cluster, list(s::DOUBLE / n ORDER BY dim) AS c FROM u2 GROUP BY cluster
+        |  UNION ALL
+        |  SELECT cluster, c FROM c1 WHERE cluster NOT IN (SELECT cluster FROM u2)),
+        |ddf AS (
+        |  SELECT e.vec_id, c2.cluster,
+        |    list_sum(list_transform(range(64), i -> (e.v[i+1] - c2.c[i+1]) * (e.v[i+1] - c2.c[i+1]))) AS d2
+        |  FROM e CROSS JOIN c2)
+        |SELECT vec_id, cluster, round(d2, 6) AS dist2 FROM (
+        |  SELECT vec_id, cluster, d2,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY d2, cluster) AS rn
+        |  FROM ddf) WHERE rn = 1
+        |ORDER BY vec_id""".stripMargin,
     "q106_hashed_features" ->
       """WITH toks AS (
         |  SELECT doc_id, unnest(string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')), ' ')) AS tok
