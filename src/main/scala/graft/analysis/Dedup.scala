@@ -541,8 +541,10 @@ object Dedup {
       .persist()
     val postings = sets.select(col("id"), size(col("sh")).as("len"),
       explode(col("sh")).as("tok"))
-    val dfs = postings.groupBy("tok").agg(count(lit(1)).as("df"))
-    val ranked = postings.join(dfs, "tok")
+    // df via a window over the postings themselves: one shuffle on tok,
+    // versus the aggregate+join shape's two (agg by tok, join back by tok)
+    val ranked = postings
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("tok")))
       .withColumn("rn", row_number().over(
         Window.partitionBy("id").orderBy(col("df"), col("tok"))))
       // prefix length |s| − ⌈t|s|⌉ + 1 (rarest-first order)
