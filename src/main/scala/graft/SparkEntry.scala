@@ -519,6 +519,12 @@ object SparkEntry {
     "q69_sliding_traffic" -> { (s, d) =>
       Relational.slidingTraffic(TestData.clicks(s, d)).orderBy("window_start")
     },
+    // exact quantile in two passes (histogram -> single-bucket sort):
+    // no global sort, no approx - the answer must equal the rank formula
+    "q109_exact_quantile" -> { (s, d) =>
+      Relational.exactQuantileTwoPass(
+        Tables.lineitem(s, d), valCol = "l_extendedprice", q = 0.5)
+    },
     // deterministic Lloyd k-means: the WHOLE clustering loop is oracle-
     // gated (first-k init, fixed-order distance sums, DECIMAL centroid
     // means) - not just a projection of it
@@ -1225,6 +1231,16 @@ object SparkEntry {
         |  round(mn + spine.bin * ((mx - mn) / 10), 6) AS hi,
         |  COALESCE(n, 0) AS n
         |FROM spine CROSS JOIN s LEFT JOIN c USING (bin) ORDER BY spine.bin""".stripMargin,
+    // the brute-force rank definition the two-pass trick must reproduce
+    "q109_exact_quantile" ->
+      """WITH v AS (
+        |  SELECT l_extendedprice::DOUBLE AS v FROM lineitem
+        |  WHERE l_extendedprice IS NOT NULL),
+        |n AS (SELECT count(*) AS n FROM v),
+        |r AS (SELECT v, row_number() OVER (ORDER BY v) AS rn FROM v)
+        |SELECT 0.5::DOUBLE AS q, n.n AS n, r.v AS value
+        |FROM r CROSS JOIN n
+        |WHERE rn = CAST(ceil(0.5 * n.n) AS BIGINT)""".stripMargin,
     // two Lloyd rounds unrolled: assign (rn over (d2, cluster)) -> DECIMAL
     // centroid means -> assign -> means -> final assignment; empty clusters
     // fall back to their previous centroid via the UNION ALL

@@ -361,6 +361,49 @@ object Relational {
         round(col("absdev") / col("mad"), 4).as("robust_z"))
   }
 
+  /** EXACT quantile without a global sort: the two-pass bin-refinement
+    * trick. Pass 1 histograms the column into `bins` equal-width buckets
+    * (one aggregate; bin counts return to the driver — `bins` scalars).
+    * The cumulative counts locate the single bucket containing the k-th
+    * smallest value (k = ⌈q·n⌉), and pass 2 sorts ONLY that bucket's rows
+    * (~n/bins of the data) to pick the exact element. At 100 TB this is
+    * two scans and a tiny sort versus `percentile`'s full-column
+    * materialization per group — and unlike percentile_approx the answer
+    * is exact. Degenerate distributions (one bucket holding everything,
+    * e.g. all-equal values) fall back to sorting that bucket — correct,
+    * just not sub-linear; a second refinement level would restore it.
+    * Output (1 row): q, n, value. */
+  def exactQuantileTwoPass(
+      df: DataFrame, valCol: String, q: Double, bins: Int = 1024): DataFrame = {
+    require(q > 0 && q <= 1, s"q must be in (0,1], got $q")
+    val spark = df.sparkSession
+    val vals = df.select(col(valCol).cast("double").as("v")).filter(col("v").isNotNull)
+    val head = vals.agg(min("v").as("mn"), max("v").as("mx"),
+      count(lit(1)).as("n")).collect().head
+    val (mn, mx, n) = (head.getDouble(0), head.getDouble(1), head.getLong(2))
+    val k = math.ceil(q * n).toLong
+    if (n == 0) return spark.emptyDataFrame.select(lit(q).as("q"), lit(0L).as("n"),
+      lit(null).cast("double").as("value")).limit(0)
+    val w = (mx - mn) / bins
+    val binOf =
+      if (w == 0) lit(0)
+      else least(lit(bins - 1), floor((col("v") - lit(mn)) / lit(w)).cast("int"))
+    val counts = vals.groupBy(binOf.as("bin")).agg(count(lit(1)).as("c"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    var cum = 0L
+    var target = -1
+    var before = 0L
+    (0 until bins).foreach { b =>
+      val c = counts.getOrElse(b, 0L)
+      if (target < 0 && cum + c >= k) { target = b; before = cum }
+      cum += c
+    }
+    val value = vals.filter(binOf === target)
+      .orderBy("v").limit((k - before).toInt)
+      .agg(max("v")).collect().head.getDouble(0)
+    spark.range(1).select(lit(q).as("q"), lit(n).as("n"), lit(value).as("value"))
+  }
+
   /** Peak interval concurrency per group: the sweep-line classic — each
     * interval becomes a +1 event at its start and a −1 at its end
     * (half-open [start, end): an interval ending exactly when another

@@ -146,6 +146,25 @@ class OpsSpec extends SparkSpec {
     assert(frames.last.getAs[Array[Byte]]("frame").length === 4)
   }
 
+  test("two-pass exact quantile matches the rank definition, incl. edge cases") {
+    import graft.relational.Relational
+    val df = (1 to 1000).map(i => Tuple1(i.toDouble)).toDF("x")
+    def q(p: Double) = Relational.exactQuantileTwoPass(df, "x", p, bins = 16)
+      .collect().head.getDouble(2)
+    assert(q(0.5) === 500.0)   // ceil(0.5*1000) = 500th smallest
+    assert(q(0.001) === 1.0)
+    assert(q(1.0) === 1000.0)
+    // all-equal values: the degenerate one-bucket fallback still answers
+    val flat = (1 to 50).map(_ => Tuple1(7.0)).toDF("x")
+    assert(Relational.exactQuantileTwoPass(flat, "x", 0.5, bins = 16)
+      .collect().head.getDouble(2) === 7.0)
+    // skewed: heavy duplicate mass in one bucket
+    val skew = ((1 to 900).map(_ => 1.0) ++ (1 to 100).map(i => i * 10.0))
+      .map(Tuple1(_)).toDF("x")
+    assert(Relational.exactQuantileTwoPass(skew, "x", 0.5, bins = 16)
+      .collect().head.getDouble(2) === 1.0)
+  }
+
   test("perceptual near-dups: decode stub tokenizes like the engine, bands find pairs") {
     import graft.analysis.Multimodal
     val docs = Seq(
