@@ -519,6 +519,14 @@ object SparkEntry {
     "q69_sliding_traffic" -> { (s, d) =>
       Relational.slidingTraffic(TestData.clicks(s, d)).orderBy("window_start")
     },
+    // Neyman allocation: budget split prop. to N_h*S_h with DECIMAL-exact
+    // variance; the sample SET itself replays (md5 rank selection)
+    "q110_neyman_sample" -> { (s, d) =>
+      graft.analysis.Sampling.neymanSample(Tables.orders(s, d),
+          strataCol = "o_orderpriority", idCol = "o_orderkey",
+          valCol = "o_totalprice", totalBudget = 300)
+        .orderBy("o_orderkey")
+    },
     // exact quantile in two passes (histogram -> single-bucket sort):
     // no global sort, no approx - the answer must equal the rank formula
     "q109_exact_quantile" -> { (s, d) =>
@@ -1231,6 +1239,34 @@ object SparkEntry {
         |  round(mn + spine.bin * ((mx - mn) / 10), 6) AS hi,
         |  COALESCE(n, 0) AS n
         |FROM spine CROSS JOIN s LEFT JOIN c USING (bin) ORDER BY spine.bin""".stripMargin,
+    // list_sum over stratum-ordered masses mirrors the engine's ordered
+    // driver-side sum; floor allocations capped at stratum size
+    "q110_neyman_sample" ->
+      """WITH stats AS (
+        |  SELECT o_orderpriority AS s, count(*) AS n,
+        |    sum(CAST(o_totalprice AS DECIMAL(38,8))) AS sx,
+        |    sum(CAST(CAST(o_totalprice AS DECIMAL(38,8))
+        |      * CAST(o_totalprice AS DECIMAL(38,8)) AS DECIMAL(38,8))) AS sxx
+        |  FROM orders GROUP BY 1),
+        |mass AS (
+        |  SELECT s, n,
+        |    n::DOUBLE * sqrt(greatest(0.0::DOUBLE,
+        |      (n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE)
+        |        / (n::DOUBLE * n::DOUBLE))) AS m
+        |  FROM stats),
+        |tot AS (SELECT list_sum(list(m ORDER BY s)) AS tm FROM mass),
+        |alloc AS (
+        |  SELECT s, least(n, CAST(floor(300 * m / tm) AS BIGINT)) AS nh
+        |  FROM mass CROSS JOIN tot),
+        |sel AS (
+        |  SELECT o_orderkey, o_orderpriority,
+        |    row_number() OVER (PARTITION BY o_orderpriority
+        |      ORDER BY ('0x' || substr(md5(o_orderkey::VARCHAR), 1, 8))::BIGINT % 1000000000,
+        |        o_orderkey) AS rank_in_stratum
+        |  FROM orders)
+        |SELECT o_orderkey, o_orderpriority, CAST(rank_in_stratum AS INT) AS rank_in_stratum
+        |FROM sel JOIN alloc ON sel.o_orderpriority = alloc.s
+        |WHERE rank_in_stratum <= nh ORDER BY o_orderkey""".stripMargin,
     // the brute-force rank definition the two-pass trick must reproduce
     "q109_exact_quantile" ->
       """WITH v AS (

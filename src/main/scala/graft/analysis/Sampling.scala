@@ -54,6 +54,56 @@ object Sampling {
     df.filter(hashBucket(col(keyCol), buckets) < threshold)
   }
 
+  /** Neyman-allocated stratified sample: a fixed total budget `m` is split
+    * across strata proportional to N_h·S_h (stratum size × standard
+    * deviation) — the allocation that minimizes the variance of the
+    * stratified mean estimator (Neyman 1934). Selection within a stratum
+    * is the deterministic md5 rank (lowest hashes win), so the SAMPLE SET
+    * itself — not just its size — replays across runs and engines.
+    *
+    * Determinism discipline: S_h comes from the exact closed form
+    * (n·Σx² − (Σx)²)/n² with both sums in DECIMAL — `stddev`'s double
+    * accumulators would let partitioning order shift an allocation by a
+    * whole row at rounding boundaries. Allocations use floor (total ≤ m);
+    * n_h is also capped at the stratum size.
+    * Output: idCol, strataCol, rank_in_stratum (1..n_h). */
+  def neymanSample(
+      df: DataFrame,
+      strataCol: String,
+      idCol: String,
+      valCol: String,
+      totalBudget: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dec = org.apache.spark.sql.types.DecimalType(38, 8)
+    val x = col(valCol).cast(dec)
+    val stats = df.groupBy(strataCol).agg(
+        count(lit(1)).as("n"), sum(x).as("sx"),
+        sum((x * x).cast(dec)).as("sxx"))
+      .collect().map { r =>
+        val n = r.getLong(1).toDouble
+        val sx = r.getDecimal(2).doubleValue()
+        val sxx = r.getDecimal(3).doubleValue()
+        val varPop = math.max(0.0, (n * sxx - sx * sx) / (n * n))
+        (r.get(0), r.getLong(1), n * math.sqrt(varPop))
+      }
+    // sum the (few) per-stratum masses in stratum order: an arbitrary-order
+    // double sum could differ in the last ulp from an external engine's and
+    // flip a floor() allocation at a boundary
+    val totalMass = stats.sortBy(_._1.toString).map(_._3).sum
+    require(totalMass > 0, "neymanSample: zero variance mass across all strata")
+    val alloc = stats.map { case (s, nh, mass) =>
+      s -> math.min(nh, math.floor(totalBudget * mass / totalMass).toLong)
+    }.toMap
+    val allocCol = alloc.foldLeft(lit(0L)) { case (acc, (s, nh)) =>
+      when(col(strataCol) === s, lit(nh)).otherwise(acc)
+    }
+    val w = Window.partitionBy(strataCol)
+      .orderBy(hashBucket(col(idCol), 1000000000), col(idCol))
+    df.select(col(idCol), col(strataCol))
+      .withColumn("rank_in_stratum", row_number().over(w))
+      .filter(col("rank_in_stratum") <= allocCol)
+  }
+
   /** Weighted deterministic sample: inclusion probability proportional to a
     * weight column — p_i = fraction · wᵢ / mean(w), capped at 1 by the
     * bucket range itself — gated on the same md5 bucket, so every

@@ -75,4 +75,28 @@ class SamplingSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"sampling must not shuffle:\n$plan")
   }
+
+  test("neyman sample: high-variance strata get more budget, determinism holds") {
+    // stratum 'wild' has ~100x the spread of 'tame' at equal size
+    val nRows = (1 to 200).map(i => (i.toLong, "tame", 100.0 + (i % 10))) ++
+      (201 to 400).map(i => (i.toLong, "wild", 100.0 + (i % 10) * 100))
+    val df = nRows.toDF("id", "s", "v")
+    val out = Sampling.neymanSample(df, "s", "id", "v", totalBudget = 100)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val byStratum = out.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(byStratum("wild") > 5 * byStratum.getOrElse("tame", 0))
+    assert(out.length <= 100)
+    // same inputs -> the same SET of ids, not just the same counts
+    val again = Sampling.neymanSample(df, "s", "id", "v", totalBudget = 100)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(again.sorted.toSeq === out.sorted.toSeq)
+  }
+
+  test("neyman sample: allocation capped at stratum size") {
+    val df = ((1 to 3).map(i => (i.toLong, "tiny", i * 1000.0)) ++
+      (4 to 103).map(i => (i.toLong, "big", 50.0 + i))).toDF("id", "s", "v")
+    val out = Sampling.neymanSample(df, "s", "id", "v", totalBudget = 80)
+      .collect().map(r => r.getString(1))
+    assert(out.count(_ == "tiny") <= 3)
+  }
 }
