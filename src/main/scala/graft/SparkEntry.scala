@@ -519,6 +519,23 @@ object SparkEntry {
     "q69_sliding_traffic" -> { (s, d) =>
       Relational.slidingTraffic(TestData.clicks(s, d)).orderBy("window_start")
     },
+    // rendezvous (HRW) sharding: argmax of per-shard hashes as a pure
+    // projection; minimal-disruption property pinned in RendezvousSpec
+    "q111_rendezvous_shards" -> { (s, d) =>
+      graft.relational.Rendezvous.assignments(
+          Tables.customer(s, d), keyCol = "c_custkey",
+          shards = Seq("shard-a", "shard-b", "shard-c", "shard-d", "shard-e"))
+        .orderBy("c_custkey")
+    },
+    // PSI drift monitor: reference-anchored equi-depth bins, smoothed
+    // proportions, exact decimal term sum - the ML-ops drift gate
+    "q112_psi_drift" -> { (s, d) =>
+      val ev = TestData.eventsRaw(s, d)
+      graft.analysis.Profiling.psiDrift(
+        ev.filter(to_date(col("ts")) <= lit("2024-01-15")),
+        ev.filter(to_date(col("ts")) > lit("2024-01-15")),
+        valCol = "value", bins = 10)
+    },
     // Neyman allocation: budget split prop. to N_h*S_h with DECIMAL-exact
     // variance; the sample SET itself replays (md5 rank selection)
     "q110_neyman_sample" -> { (s, d) =>
@@ -1239,6 +1256,56 @@ object SparkEntry {
         |  round(mn + spine.bin * ((mx - mn) / 10), 6) AS hi,
         |  COALESCE(n, 0) AS n
         |FROM spine CROSS JOIN s LEFT JOIN c USING (bin) ORDER BY spine.bin""".stripMargin,
+    "q111_rendezvous_shards" ->
+      """WITH scored AS (
+        |  SELECT c_custkey, s.shard,
+        |    ('0x' || substr(md5(s.shard || '|' || c_custkey::VARCHAR), 1, 15))::BIGINT AS score
+        |  FROM customer CROSS JOIN (VALUES ('shard-a'), ('shard-b'), ('shard-c'),
+        |    ('shard-d'), ('shard-e')) AS s(shard)),
+        |ranked AS (
+        |  SELECT c_custkey, shard,
+        |    row_number() OVER (PARTITION BY c_custkey ORDER BY score DESC, shard DESC) AS rn
+        |  FROM scored)
+        |SELECT c_custkey, shard FROM ranked WHERE rn = 1 ORDER BY c_custkey""".stripMargin,
+    // same reference-anchored deciles (quantile_cont = Spark percentile),
+    // same +0.5 smoothing, DECIMAL term sum
+    "q112_psi_drift" ->
+      """WITH ref AS (
+        |  SELECT value AS v FROM events
+        |  WHERE CAST(ts AS DATE) <= DATE '2024-01-15' AND value IS NOT NULL),
+        |cur AS (
+        |  SELECT value AS v FROM events
+        |  WHERE CAST(ts AS DATE) > DATE '2024-01-15' AND value IS NOT NULL),
+        |cuts AS (
+        |  SELECT quantile_cont(v, [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS c
+        |  FROM ref),
+        |rb AS (SELECT 1 + (CASE WHEN v > c[1] THEN 1 ELSE 0 END) + (CASE WHEN v > c[2] THEN 1 ELSE 0 END)
+        |      + (CASE WHEN v > c[3] THEN 1 ELSE 0 END) + (CASE WHEN v > c[4] THEN 1 ELSE 0 END)
+        |      + (CASE WHEN v > c[5] THEN 1 ELSE 0 END) + (CASE WHEN v > c[6] THEN 1 ELSE 0 END)
+        |      + (CASE WHEN v > c[7] THEN 1 ELSE 0 END) + (CASE WHEN v > c[8] THEN 1 ELSE 0 END)
+        |      + (CASE WHEN v > c[9] THEN 1 ELSE 0 END) AS bin FROM ref CROSS JOIN cuts),
+        |cb AS (SELECT 1 + (CASE WHEN v > c[1] THEN 1 ELSE 0 END) + (CASE WHEN v > c[2] THEN 1 ELSE 0 END)
+        |      + (CASE WHEN v > c[3] THEN 1 ELSE 0 END) + (CASE WHEN v > c[4] THEN 1 ELSE 0 END)
+        |      + (CASE WHEN v > c[5] THEN 1 ELSE 0 END) + (CASE WHEN v > c[6] THEN 1 ELSE 0 END)
+        |      + (CASE WHEN v > c[7] THEN 1 ELSE 0 END) + (CASE WHEN v > c[8] THEN 1 ELSE 0 END)
+        |      + (CASE WHEN v > c[9] THEN 1 ELSE 0 END) AS bin FROM cur CROSS JOIN cuts),
+        |rc AS (SELECT bin, count(*) AS c FROM rb GROUP BY bin),
+        |cc AS (SELECT bin, count(*) AS c FROM cb GROUP BY bin),
+        |nn AS (SELECT (SELECT count(*) FROM ref)::DOUBLE AS nref,
+        |              (SELECT count(*) FROM cur)::DOUBLE AS ncur),
+        |spine AS (SELECT CAST(unnest(range(1, 11)) AS INT) AS bin),
+        |terms AS (
+        |  SELECT CAST(((coalesce(rc.c, 0) + 0.5::DOUBLE) / (nref + 5.0::DOUBLE)
+        |         - (coalesce(cc.c, 0) + 0.5::DOUBLE) / (ncur + 5.0::DOUBLE))
+        |      * ln(((coalesce(rc.c, 0) + 0.5::DOUBLE) / (nref + 5.0::DOUBLE))
+        |         / ((coalesce(cc.c, 0) + 0.5::DOUBLE) / (ncur + 5.0::DOUBLE)))
+        |      AS DECIMAL(28,12)) AS t
+        |  FROM spine LEFT JOIN rc USING (bin) LEFT JOIN cc USING (bin) CROSS JOIN nn)
+        |SELECT round(CAST(sum(t) AS DOUBLE), 6) AS psi,
+        |  CAST((SELECT count(*) FROM ref) AS BIGINT) AS n_ref,
+        |  CAST((SELECT count(*) FROM cur) AS BIGINT) AS n_cur,
+        |  CAST(sum(t) AS DOUBLE) > 0.2 AS drifted
+        |FROM terms""".stripMargin,
     // list_sum over stratum-ordered masses mirrors the engine's ordered
     // driver-side sum; floor allocations capped at stratum size
     "q110_neyman_sample" ->

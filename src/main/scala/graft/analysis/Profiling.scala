@@ -22,6 +22,51 @@ object Profiling {
     * DECIMAL/DATE in the caller.
     *
     * Output: column_name, n_nulls, n_distinct, min_value, max_value. */
+  /** Population Stability Index between a reference and a current slice of
+    * the same column — the standard ML-ops drift monitor:
+    * PSI = Σ_bins (p_i − q_i)·ln(p_i/q_i), over equi-depth bins whose
+    * cutpoints come from the REFERENCE (so "drift" means "moved relative
+    * to where the reference mass sat"). Counts are Laplace-smoothed
+    * ((c+0.5)/(n+0.5·bins)) so empty bins cannot blow up the log.
+    * Convention: PSI < 0.1 stable, > 0.2 action-worthy.
+    *
+    * Scale shape: one percentile aggregate on the reference, then one
+    * grouped count per slice with the bin assignment folded into the
+    * projection (same cutpoint-fold as the equi-depth histogram); only
+    * 2·bins counts ever reach the driver. Terms are summed as exact
+    * BigDecimal in bin order, matching the oracle's DECIMAL sum.
+    * Output (1 row): psi (round 6), n_ref, n_cur, drifted. */
+  def psiDrift(
+      reference: DataFrame, current: DataFrame, valCol: String,
+      bins: Int = 10): DataFrame = {
+    val spark = reference.sparkSession
+    val ref = reference.select(col(valCol).as("v")).filter(col("v").isNotNull)
+    val cur = current.select(col(valCol).as("v")).filter(col("v").isNotNull)
+    val ps = array((1 until bins).map(i => lit(i.toDouble / bins)): _*)
+    val cuts = ref.agg(percentile(col("v"), ps)).collect().head.getSeq[Double](0)
+    val binExpr = cuts.foldLeft(lit(1)) { (acc, c) =>
+      acc + when(col("v") > c, 1).otherwise(0)
+    }
+    def binCounts(df: DataFrame): Map[Int, Long] =
+      df.select(binExpr.as("bin")).groupBy("bin").agg(count(lit(1)).as("c"))
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val rc = binCounts(ref)
+    val cc = binCounts(cur)
+    val nRef = rc.values.sum
+    val nCur = cc.values.sum
+    val psi = (1 to bins).map { b =>
+      val p = (rc.getOrElse(b, 0L) + 0.5) / (nRef + 0.5 * bins)
+      val q = (cc.getOrElse(b, 0L) + 0.5) / (nCur + 0.5 * bins)
+      // exact decimal term sum, same as the oracle's DECIMAL(28,12) cast
+      java.math.BigDecimal.valueOf((p - q) * math.log(p / q))
+        .setScale(12, java.math.RoundingMode.HALF_UP)
+    }.reduce(_ add _)
+    spark.range(1).select(
+      lit(psi.setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()).as("psi"),
+      lit(nRef).as("n_ref"), lit(nCur).as("n_cur"),
+      lit(psi.doubleValue() > 0.2).as("drifted"))
+  }
+
   def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty)
     // spread first: the multi-distinct aggregate plans an Expand ×(k+1)

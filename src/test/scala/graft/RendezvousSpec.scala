@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.analysis.Profiling
+import graft.relational.Rendezvous
+
+class RendezvousSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val keys = (1L to 2000L).map(Tuple1(_)).toDF("k")
+
+  test("rendezvous: every shard gets a reasonable share, assignment is stable") {
+    val shards = Seq("a", "b", "c", "d")
+    val out = Rendezvous.assignments(keys, "k", shards)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val sizes = out.values.groupBy(identity).view.mapValues(_.size).toMap
+    assert(sizes.keySet === shards.toSet)
+    sizes.values.foreach(s => assert(s > 300 && s < 700, s"skewed share: $sizes"))
+    val again = Rendezvous.assignments(keys, "k", shards)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(again === out)
+  }
+
+  test("rendezvous: removing a shard moves ONLY that shard's keys") {
+    val before = Rendezvous.assignments(keys, "k", Seq("a", "b", "c", "d"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val after = Rendezvous.assignments(keys, "k", Seq("a", "b", "c"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    before.foreach { case (k, s) =>
+      if (s != "d") assert(after(k) === s, s"key $k moved needlessly: $s -> ${after(k)}")
+      else assert(Seq("a", "b", "c").contains(after(k)))
+    }
+    // and adding it back restores the original map exactly
+    val restored = Rendezvous.assignments(keys, "k", Seq("a", "b", "c", "d"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(restored === before)
+  }
+
+  test("psi drift: self-comparison ~0, shifted distribution flags") {
+    val base = (1 to 5000).map(i => Tuple1((i % 100).toDouble)).toDF("v")
+    val same = Profiling.psiDrift(base, base, "v").collect().head
+    assert(math.abs(same.getDouble(0)) < 1e-9)
+    assert(!same.getBoolean(3))
+    val shifted = (1 to 5000).map(i => Tuple1((i % 100).toDouble + 60)).toDF("v")
+    val drift = Profiling.psiDrift(base, shifted, "v").collect().head
+    assert(drift.getDouble(0) > 0.2)
+    assert(drift.getBoolean(3))
+  }
+}
