@@ -539,19 +539,28 @@ object Dedup {
       .select(col(idCol).as("id"), shingleSet(col(textCol), shingleSize).as("sh"))
       .filter(size(col("sh")) > 0)
       .persist()
+    // tokens ride as 64-bit hashes through the candidate machinery: the
+    // shuffle/sort/join keys are longs, not 25-char shingle strings. This
+    // stays LOSSLESS: the global order is (df, h, tok) — fully consistent
+    // across docs (the string tie-break only fires between hash-colliding
+    // tokens) — and the candidate join on h is prefix-correct because a
+    // colliding class occupies contiguous ranks, so "some member in the
+    // prefix" ⟺ "h in the hashed prefix". Collisions can only ADD
+    // candidates, and verification is exact on the original shingle sets.
     val postings = sets.select(col("id"), size(col("sh")).as("len"),
       explode(col("sh")).as("tok"))
-    // df via a window over the postings themselves: one shuffle on tok,
-    // versus the aggregate+join shape's two (agg by tok, join back by tok)
+      .withColumn("h", xxhash64(col("tok")))
+    // df via a window over the postings themselves: one shuffle on the
+    // token hash, versus the aggregate+join shape's two
     val ranked = postings
-      .withColumn("df", count(lit(1)).over(Window.partitionBy("tok")))
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("h")))
       .withColumn("rn", row_number().over(
-        Window.partitionBy("id").orderBy(col("df"), col("tok"))))
+        Window.partitionBy("id").orderBy(col("df"), col("h"), col("tok"))))
       // prefix length |s| − ⌈t|s|⌉ + 1 (rarest-first order)
       .filter(col("rn") <= col("len") - ceil(lit(minJaccard) * col("len")) + 1)
-      .select("tok", "id")
+      .select("h", "id")
     val cand = ranked.as("a")
-      .join(ranked.as("b"), col("a.tok") === col("b.tok") && col("a.id") < col("b.id"))
+      .join(ranked.as("b"), col("a.h") === col("b.h") && col("a.id") < col("b.id"))
       .select(col("a.id").as("doc_a"), col("b.id").as("doc_b"))
       .distinct()
     val result = cand
