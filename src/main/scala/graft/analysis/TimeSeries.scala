@@ -86,6 +86,34 @@ object TimeSeries {
         count(lit(1)).as("n_events"))
   }
 
+  /** Incremental maintenance of [[decayedPopularity]]: yesterday's scores
+    * decay by 0.5^(Δt/halfLife) and the new batch's (already-decayed)
+    * contributions add on — a full outer join of two aggregate-sized
+    * frames, never a rescan of history. TimeSeriesSpec pins the law:
+    * increment(prev@t1, batch, t2) == direct(union, t2) (up to the same
+    * 4 dp the batch operator rounds to). This is what makes the operator a
+    * daily-maintainable artifact at 100 TB instead of a 100 TB rescan.
+    * Output: itemCol, score, n_events (cumulative). */
+  def decayedPopularityIncrement(
+      prev: DataFrame, prevAsOf: Column,
+      newEvents: DataFrame, itemCol: String, tsCol: String,
+      asOf: Column, halfLifeDays: Double = 7.0): DataFrame = {
+    val deltaDays = (unix_timestamp(asOf) - unix_timestamp(prevAsOf))
+      .cast("double") / lit(86400.0)
+    val decay = pow(lit(0.5), deltaDays / lit(halfLifeDays))
+    val fresh = decayedPopularity(newEvents, itemCol, tsCol, asOf, halfLifeDays)
+      .withColumnRenamed("score", "s_new")
+      .withColumnRenamed("n_events", "n_new")
+    prev.select(col(itemCol), (col("score") * decay).as("s_old"),
+        col("n_events").as("n_old"))
+      .join(fresh, Seq(itemCol), "full_outer")
+      .select(col(itemCol),
+        round(coalesce(col("s_old"), lit(0.0)) + coalesce(col("s_new"), lit(0.0)), 4)
+          .as("score"),
+        (coalesce(col("n_old"), lit(0L)) + coalesce(col("n_new"), lit(0L)))
+          .as("n_events"))
+  }
+
   /** Per-group ordinary-least-squares trend: slope and intercept of value
     * over an x index, via the closed form
     * slope = (nΣxy − ΣxΣy) / (nΣx² − (Σx)²) with every Σ accumulated in
