@@ -733,6 +733,15 @@ object SparkEntry {
           valCol = "n", width = 7, threshold = 5.0)
         .orderBy("event_type", "day")
     },
+    // landmark harmonic centrality: sum of 1/d over the BFS distances -
+    // the sampling approximation of the all-pairs definition
+    "q113_harmonic_centrality" -> { (s, d) =>
+      val edges = Graphs.cooccurrenceEdges(
+        TestData.clicks(s, d), "session_id", "document_id", maxPerKey = 100)
+      Graphs.harmonicCentrality(edges, landmarks = Seq(1, 2, 3, 4, 5), maxHops = 4)
+        .withColumnRenamed("id", "document_id")
+        .orderBy("document_id")
+    },
     // bounded-hop multi-source BFS over the co-click graph: distance to 3
     // landmark docs; per-hop join + min-agg, state = nodes × landmarks
     "q86_shortest_paths" -> { (s, d) =>
@@ -1757,6 +1766,31 @@ object SparkEntry {
         |FROM x
         |WHERE na = 7 AND nb = 7 AND abs(round(after_mean - before_mean, 4)) > 5
         |ORDER BY event_type, day""".stripMargin,
+    // q86's recursive BFS, then sum 1/d per node in DECIMAL
+    "q113_harmonic_centrality" ->
+      """WITH RECURSIVE clicks AS (
+        |  SELECT DISTINCT CAST(user_id AS VARCHAR) AS sid, CAST(props->>'$.k' AS INTEGER) AS doc
+        |  FROM events WHERE CAST(props->>'$.k' AS INTEGER) IS NOT NULL),
+        |ok AS (SELECT sid FROM clicks GROUP BY sid HAVING count(*) <= 100),
+        |ce AS (
+        |  SELECT a.doc AS src, b.doc AS dst
+        |  FROM clicks a JOIN ok USING (sid) JOIN clicks b USING (sid)
+        |  WHERE a.doc < b.doc
+        |  GROUP BY 1, 2),
+        |sym AS (
+        |  SELECT src AS u, dst AS v FROM ce
+        |  UNION SELECT dst AS u, src AS v FROM ce),
+        |walk(id, landmark, d) AS (
+        |  SELECT DISTINCT u, u, 0 FROM sym WHERE u IN (1, 2, 3, 4, 5)
+        |  UNION
+        |  SELECT e.v, w.landmark, w.d + 1
+        |  FROM walk w JOIN sym e ON e.u = w.id WHERE w.d < 4),
+        |dist AS (SELECT id, landmark, min(d) AS d FROM walk GROUP BY 1, 2)
+        |SELECT id AS document_id, count(*) AS n_landmarks_reached,
+        |  round(CAST(sum(CAST(1.0::DOUBLE / d::DOUBLE AS DECIMAL(28,12))) AS DOUBLE), 6)
+        |    AS harmonic
+        |FROM dist WHERE d > 0
+        |GROUP BY id ORDER BY id""".stripMargin,
     // BFS as a bounded recursive CTE: distinct-union recursion terminates at
     // the hop bound, min(d) collapses multiple paths exactly like the
     // engine's per-round min-aggregate

@@ -227,6 +227,28 @@ object Graphs {
       .agg(min("dist").as("dist"))
   }
 
+  /** Landmark-approximated harmonic centrality: Σ_{l ∈ landmarks} 1/d(v,l)
+    * over the bounded-hop distances of [[shortestPaths]] — the standard
+    * sampling approximation (exact harmonic centrality needs all-pairs
+    * distances, quadratic in nodes; k landmarks give an unbiased k/n-scaled
+    * estimate). Nodes that reach no landmark within the bound simply don't
+    * appear (centrality 0 by convention). Contributions are DECIMAL-summed.
+    * Output: id, n_landmarks_reached, harmonic (round 6). */
+  def harmonicCentrality(
+      edges: DataFrame,
+      landmarks: Seq[Any],
+      maxHops: Int = 4,
+      srcCol: String = "src",
+      dstCol: String = "dst"): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(28, 12)
+    shortestPaths(edges, landmarks, maxHops, srcCol, dstCol)
+      .filter(col("dist") > 0) // a landmark's own row contributes nothing
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_landmarks_reached"),
+        round(sum((lit(1.0) / col("dist").cast("double")).cast(dec))
+          .cast("double"), 6).as("harmonic"))
+  }
+
   /** Adamic–Adar link prediction scores: for every 2-hop pair (u, v), the
     * sum of 1/ln(deg(w)) over their common neighbors w — the classic
     * "which edges are missing" feature; rare shared neighbors are strong

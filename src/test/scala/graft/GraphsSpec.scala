@@ -90,6 +90,17 @@ class GraphsSpec extends SparkSpec {
     assert((3 to 20).forall(out(_) === 0L))
   }
 
+  test("harmonic centrality: 1/d sums, landmark self-rows excluded") {
+    // path 1-2-3-4; landmarks 1 and 4
+    val edges = Seq((1, 2), (2, 3), (3, 4)).toDF("src", "dst")
+    val out = Graphs.harmonicCentrality(edges, landmarks = Seq(1, 4), maxHops = 3)
+      .collect().map(r => r.getInt(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    def r6(d: Double) = math.rint(d * 1e6) / 1e6
+    assert(out(2) === ((2L, r6(1.0 + 1.0 / 2)))) // d(2,1)=1, d(2,4)=2
+    assert(out(3) === ((2L, r6(0.5 + 1.0))))
+    assert(out(1) === ((1L, r6(1.0 / 3)))) // only the far landmark counts
+  }
+
   test("adamic-adar: hand-computed scores, hubs discounted") {
     // star center 0 with leaves 1..4, plus a private bridge 5 between 1 and 2:
     // (1,2) share neighbors {0 (deg 4), 5 (deg 2)} -> 1/ln4 + 1/ln2
