@@ -544,6 +544,14 @@ object SparkEntry {
           valCol = "o_totalprice", totalBudget = 300)
         .orderBy("o_orderkey")
     },
+    // cardinality-capped rollup: top-10 documents by clicks, tail folded
+    // into one OTHER row - bounded report over an unbounded domain
+    "q114_topk_else_other" -> { (s, d) =>
+      Relational.topKElseOther(
+          TestData.clicks(s, d).filter(col("document_id").isNotNull),
+          groupCol = "document_id", measure = count(lit(1)), k = 10)
+        .orderBy("document_id")
+    },
     // exact quantile in two passes (histogram -> single-bucket sort):
     // no global sort, no approx - the answer must equal the rank formula
     "q109_exact_quantile" -> { (s, d) =>
@@ -1343,6 +1351,16 @@ object SparkEntry {
         |SELECT o_orderkey, o_orderpriority, CAST(rank_in_stratum AS INT) AS rank_in_stratum
         |FROM sel JOIN alloc ON sel.o_orderpriority = alloc.s
         |WHERE rank_in_stratum <= nh ORDER BY o_orderkey""".stripMargin,
+    "q114_topk_else_other" ->
+      """WITH g AS (
+        |  SELECT CAST(props->>'$.k' AS INTEGER) AS doc, count(*) AS m
+        |  FROM events WHERE CAST(props->>'$.k' AS INTEGER) IS NOT NULL
+        |  GROUP BY 1),
+        |top AS (SELECT doc FROM g ORDER BY m DESC, doc LIMIT 10)
+        |SELECT CASE WHEN doc IN (SELECT doc FROM top) THEN doc::VARCHAR
+        |            ELSE 'OTHER' END AS document_id,
+        |  CAST(sum(m) AS BIGINT) AS measure, count(*) AS n_groups
+        |FROM g GROUP BY 1 ORDER BY 1""".stripMargin,
     // the brute-force rank definition the two-pass trick must reproduce
     "q109_exact_quantile" ->
       """WITH v AS (

@@ -361,6 +361,28 @@ object Relational {
         round(col("absdev") / col("mad"), 4).as("robust_z"))
   }
 
+  /** Cardinality-capped rollup: keep the top-k groups by measure, collapse
+    * everything else into one 'OTHER' row — the standard guard that keeps
+    * a dashboard/report aggregate bounded when the group domain is
+    * unbounded (urls, user agents, error strings). Two aggregates: the
+    * grouped measure, then a TakeOrdered top-k whose key set folds the
+    * tail in a second tiny pass. Deterministic tie-break (measure desc,
+    * name asc). Output: groupCol (or 'OTHER'), measure, n_groups. */
+  def topKElseOther(
+      df: DataFrame, groupCol: String, measure: Column, k: Int): DataFrame = {
+    val grouped = df.groupBy(groupCol).agg(measure.as("m")).persist()
+    try {
+      val top = grouped.orderBy(col("m").desc, col(groupCol)).limit(k)
+        .select(groupCol).collect().map(_.get(0)).toSeq
+      val bucket = when(col(groupCol).isInCollection(top), col(groupCol).cast("string"))
+        .otherwise(lit("OTHER"))
+      grouped
+        .groupBy(bucket.as(groupCol))
+        .agg(sum("m").as("measure"), count(lit(1)).as("n_groups"))
+        .localCheckpoint(true)
+    } finally { grouped.unpersist(); () }
+  }
+
   /** EXACT quantile without a global sort: the two-pass bin-refinement
     * trick. Pass 1 histograms the column into `bins` equal-width buckets
     * (one aggregate; bin counts return to the driver — `bins` scalars).

@@ -146,6 +146,19 @@ class OpsSpec extends SparkSpec {
     assert(frames.last.getAs[Array[Byte]]("frame").length === 4)
   }
 
+  test("top-k else OTHER: tail folds, totals conserved, ties deterministic") {
+    import graft.relational.Relational
+    val rows = (Seq.fill(30)("a") ++ Seq.fill(20)("b") ++ Seq.fill(20)("c") ++
+      Seq.fill(5)("d") ++ Seq.fill(3)("e") ++ Seq.fill(2)("f"))
+      .map(Tuple1(_)).toDF("g")
+    val out = Relational.topKElseOther(rows, "g", count(lit(1)), k = 3)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // tie between b and c at 20: both beat the k=3 cut? no - k=3 keeps a,b,c
+    assert(out("a") === ((30L, 1L)) && out("b") === ((20L, 1L)) && out("c") === ((20L, 1L)))
+    assert(out("OTHER") === ((10L, 3L))) // d+e+f, 3 folded groups
+    assert(out.values.map(_._1).sum === 80L) // mass conserved
+  }
+
   test("two-pass exact quantile matches the rank definition, incl. edge cases") {
     import graft.relational.Relational
     val df = (1 to 1000).map(i => Tuple1(i.toDouble)).toDF("x")
