@@ -8,9 +8,22 @@ import org.apache.spark.sql.SparkSession
   * single-run protocol has ±2× per-query noise from JIT/GC/page-cache
   * variance (observed on identical bytecode across rounds), and min-of-N is
   * the standard way to estimate the deterministic cost under that noise.
-  * Per-query spread (max−min) is emitted alongside so the reader can see the
-  * residual variance, and failures are reported as an explicit array instead
-  * of folding a crash's time-to-failure into the total as if it succeeded.
+  *
+  * Ordering: queries run in NUMERIC id order (q2 before q10 before q100),
+  * not lexicographic — under a lexicographic sort, newly added q1NN queries
+  * insert between q10 and q11 and shift every later query's JVM/GC/page-cache
+  * warm state, which round 4 measured as phantom 2.4–5× "regressions" on
+  * unchanged code. Numeric order keeps new queries appended at the tail, so
+  * cross-round per-query deltas compare like against like.
+  *
+  * Spread-aware reps: after the base `reps` runs, a query whose runner-up
+  * time doesn't confirm its min (second_min − min ≥ min) gets extra reps
+  * (up to 2×reps+2 total) until it does — a min nothing came close to twice
+  * is noise, not a measurement. The emitted per-query `spread` is
+  * second_min − min (how well-confirmed the min is), NOT max − min (which
+  * only ever grows with reps and conflates one cold outlier with real
+  * variance). Failures are reported as an explicit array instead of folding
+  * a crash's time-to-failure into the total as if it succeeded.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -29,13 +42,25 @@ object Bench {
     // local iteration only: SPARK_GRAFT_BENCH_ONLY=q57,q49 benches a subset
     // (the driver never sets it, so per-round numbers stay complete)
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSeq)
-    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+    // numeric id sort: extract the integer from "qNN_..." so q100+ append at
+    // the tail instead of inserting between q10 and q11 (see scaladoc)
+    def numericId(name: String): (Int, String) =
+      ("""\d+""".r.findFirstIn(name).map(_.toInt).getOrElse(Int.MaxValue), name)
+    val maxReps = 2 * reps + 2
+    val results = SparkEntry.queries.toSeq.sortBy { case (n, _) => numericId(n) }
       .filter { case (name, _) => only.forall(_.exists(name.contains)) }
       .map { case (name, fn) =>
       val times = Array.newBuilder[Double]
       var failure: Option[String] = None
       var r = 0
-      while (r < reps && failure.isEmpty) {
+      // confirmed(ts): the runner-up ran within min of the min — i.e. two
+      // independent reps agree on the cost to within the cost itself
+      def spreadOf(ts: Array[Double]): Double =
+        if (ts.length < 2) Double.PositiveInfinity
+        else { val s = ts.sorted; s(1) - s(0) }
+      def needMore(ts: Array[Double]): Boolean =
+        ts.length < reps || (spreadOf(ts) >= ts.min && ts.length < maxReps)
+      while (failure.isEmpty && needMore(times.result())) {
         val t0 = System.nanoTime()
         try {
           val n = fn(spark, sfDir).count()
@@ -51,7 +76,8 @@ object Bench {
         r += 1
       }
       val ts = times.result()
-      (name, if (ts.isEmpty) None else Some(ts.min), if (ts.isEmpty) 0.0 else ts.max - ts.min, failure)
+      (name, if (ts.isEmpty) None else Some(ts.min),
+        if (ts.length < 2) 0.0 else spreadOf(ts), failure)
     }
     def fmt(d: Double) = f"$d%.4f"
     val ok = results.collect { case (n, Some(t), _, _) => n -> t }

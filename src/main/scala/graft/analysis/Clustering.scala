@@ -18,7 +18,8 @@ import org.apache.spark.sql.types.{DecimalType, DoubleType}
   *
   * Scale shape per iteration: assignment is a pure PROJECTION against
   * centroid literals (k·dim doubles broadcast inside the plan — no join,
-  * no shuffle), and the update is one explode + grouped decimal sum whose
+  * no shuffle; the vector rides along so the update never joins back to
+  * the points), and the update is one explode + grouped decimal sum whose
   * k·dim-row result returns to the driver (the model state, bounded by
   * model size, never data size). Exactly the two-phase structure every
   * distributed k-means runs; iterations is a small constant.
@@ -40,11 +41,13 @@ object Clustering {
         transform(col(vecCol), x => x.cast(DoubleType)).as("v"))
       .persist()
     try {
-      val dim = pts.select(size(col("v"))).first().getInt(0)
       // deterministic init: the k lowest-id points are the seed centroids
       var centroids: Array[Array[Double]] = pts.orderBy("id").limit(k)
         .collect().map(_.getSeq[Double](1).toArray)
 
+      // carries `v` through so the update phase never joins back to pts —
+      // assignment stays a pure projection and the only exchange per Lloyd
+      // round is the stats aggregate itself
       def assigned(): DataFrame = {
         val dists = centroids.zipWithIndex.map { case (c, i) =>
           val cLit = array(c.map(lit): _*)
@@ -55,13 +58,12 @@ object Clustering {
         }
         // lexicographic struct sort = (distance, cluster) tie-break
         pts.withColumn("best", element_at(array_sort(array(dists: _*)), 1))
-          .select(col("id"), col("best.cluster").as("cluster"),
+          .select(col("id"), col("v"), col("best.cluster").as("cluster"),
             col("best.d2").as("d2"))
       }
 
       for (_ <- 1 to iterations) {
         val stats = assigned()
-          .join(pts, "id")
           .select(col("cluster"), posexplode(col("v")).as(Seq("dim", "x")))
           .groupBy("cluster", "dim")
           .agg(sum(col("x").cast(dec)).as("s"), count(lit(1)).as("n"))

@@ -43,7 +43,17 @@ object Profiling {
     val ref = reference.select(col(valCol).as("v")).filter(col("v").isNotNull)
     val cur = current.select(col(valCol).as("v")).filter(col("v").isNotNull)
     val ps = array((1 until bins).map(i => lit(i.toDouble / bins)): _*)
-    val cuts = ref.agg(percentile(col("v"), ps)).collect().head.getSeq[Double](0)
+    val cutsRow = ref.agg(percentile(col("v"), ps)).collect().head
+    // empty/all-null reference → percentile is null; PSI is undefined
+    // (there is no reference mass to drift from), not a crash
+    if (cutsRow.isNullAt(0)) {
+      val nCur = cur.count()
+      return spark.range(1).select(
+        lit(null).cast("double").as("psi"),
+        lit(0L).as("n_ref"), lit(nCur).as("n_cur"),
+        lit(null).cast("boolean").as("drifted"))
+    }
+    val cuts = cutsRow.getSeq[Double](0)
     val binExpr = cuts.foldLeft(lit(1)) { (acc, c) =>
       acc + when(col("v") > c, 1).otherwise(0)
     }

@@ -19,7 +19,8 @@ import org.apache.spark.sql.functions._
   *
   * Reference behavior anchor: the reference counts distinct users/sessions
   * per mart group exactly at its ~60k-event scale
-  * (spark_jobs/batch/archive_raw_to_mart.py:70-90, countDistinct per mart);
+  * (processing/spark/jobs/etl_to_analytics_mart.py:144-145, countDistinct
+  * per mart);
   * this module is the scale path for the same question.
   *
   * Hashing is md5-based (first 15 hex chars → 60-bit non-negative long) so

@@ -14,8 +14,9 @@ import org.apache.spark.sql.functions._
   * needs a key's full history in memory at once (running frames only).
   *
   * Reference behavior anchor: the reference's realtime marts track per-key
-  * counts over time windows (spark_jobs/streaming/streaming_to_realtime_
-  * dashboard.py:60-118); these operators are the batch-analytics
+  * counts over time windows (processing/spark/jobs/
+  * streaming_to_analytics_mart_realtime.py:194-226); these operators are the
+  * batch-analytics
   * continuations of the same per-key series.
   */
 object TimeSeries {

@@ -69,7 +69,8 @@ object DailyPipeline {
   }
 
   /** Stage 4 (reference: load_to_postgres.py:46-64 via
-    * dags/mart/tripclick_load_postgres.py): re-read each cold-mart parquet
+    * orchestration/dags/mart/tripclick_load_postgres.py): re-read each
+    * cold-mart parquet
     * dir and full-refresh it into the serving database over JDBC. */
   def loadToServing(
       spark: SparkSession,

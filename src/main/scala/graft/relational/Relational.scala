@@ -383,47 +383,97 @@ object Relational {
     } finally { grouped.unpersist(); () }
   }
 
-  /** EXACT quantile without a global sort: the two-pass bin-refinement
-    * trick. Pass 1 histograms the column into `bins` equal-width buckets
-    * (one aggregate; bin counts return to the driver — `bins` scalars).
-    * The cumulative counts locate the single bucket containing the k-th
-    * smallest value (k = ⌈q·n⌉), and pass 2 sorts ONLY that bucket's rows
-    * (~n/bins of the data) to pick the exact element. At 100 TB this is
-    * two scans and a tiny sort versus `percentile`'s full-column
-    * materialization per group — and unlike percentile_approx the answer
-    * is exact. Degenerate distributions (one bucket holding everything,
-    * e.g. all-equal values) fall back to sorting that bucket — correct,
-    * just not sub-linear; a second refinement level would restore it.
+  /** EXACT quantile without a global sort: iterative bin refinement.
+    * Each pass histograms the surviving value range into `bins` equal-width
+    * buckets (one aggregate; per-bucket count/min/max return to the driver —
+    * 3·bins scalars), the cumulative counts locate the single bucket
+    * containing the k-th smallest value (k = ⌈q·n⌉), and the search narrows
+    * to that bucket's OBSERVED [min, max]. Well-distributed data exits after
+    * one histogram + a tiny sort of ~n/bins rows (the classic two-pass
+    * shape); a degenerate bucket (skew piling most of the column into one
+    * bin) triggers further refinement levels, each shrinking the candidate
+    * set ~bins×, so the final sort is always small — never the near-global
+    * CollectLimit a single level degrades to. Two short-circuits make the
+    * pathological cases FREE: a bucket whose min == max answers immediately
+    * with no sort at all (the all-equal column costs just histogram passes),
+    * and the final rank stays in Long until a required-small bucket is
+    * reached (guarded — no silent Int overflow). At 100 TB this is a few
+    * scans and a tiny sort versus `percentile`'s full-column
+    * materialization — and unlike percentile_approx the answer is exact.
     * Output (1 row): q, n, value. */
   def exactQuantileTwoPass(
       df: DataFrame, valCol: String, q: Double, bins: Int = 1024): DataFrame = {
-    require(q > 0 && q <= 1, s"q must be in (0,1], got $q")
     val spark = df.sparkSession
-    val vals = df.select(col(valCol).cast("double").as("v")).filter(col("v").isNotNull)
-    val head = vals.agg(min("v").as("mn"), max("v").as("mx"),
-      count(lit(1)).as("n")).collect().head
-    val (mn, mx, n) = (head.getDouble(0), head.getDouble(1), head.getLong(2))
-    val k = math.ceil(q * n).toLong
-    if (n == 0) return spark.emptyDataFrame.select(lit(q).as("q"), lit(0L).as("n"),
-      lit(null).cast("double").as("value")).limit(0)
-    val w = (mx - mn) / bins
-    val binOf =
-      if (w == 0) lit(0)
-      else least(lit(bins - 1), floor((col("v") - lit(mn)) / lit(w)).cast("int"))
-    val counts = vals.groupBy(binOf.as("bin")).agg(count(lit(1)).as("c"))
-      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
-    var cum = 0L
-    var target = -1
-    var before = 0L
-    (0 until bins).foreach { b =>
-      val c = counts.getOrElse(b, 0L)
-      if (target < 0 && cum + c >= k) { target = b; before = cum }
-      cum += c
+    exactQuantileProbe(df, valCol, q, bins) match {
+      case None => spark.emptyDataFrame.select(lit(q).as("q"), lit(0L).as("n"),
+        lit(null).cast("double").as("value")).limit(0)
+      case Some((value, n, _, _)) =>
+        spark.range(1).select(lit(q).as("q"), lit(n).as("n"), lit(value).as("value"))
     }
-    val value = vals.filter(binOf === target)
-      .orderBy("v").limit((k - before).toInt)
-      .agg(max("v")).collect().head.getDouble(0)
-    spark.range(1).select(lit(q).as("q"), lit(n).as("n"), lit(value).as("value"))
+  }
+
+  /** [[exactQuantileTwoPass]] with its execution shape exposed for tests:
+    * (value, n, refinement levels run, rows in the final sort — 0 when a
+    * single-valued bucket short-circuited). None on an empty column. */
+  private[graft] def exactQuantileProbe(
+      df: DataFrame, valCol: String, q: Double, bins: Int): Option[(Double, Long, Int, Long)] = {
+    require(q > 0 && q <= 1, s"q must be in (0,1], got $q")
+    val vals = df.select(col(valCol).cast("double").as("v")).filter(col("v").isNotNull)
+    val head = vals.agg(count(lit(1)).as("n"), min("v").as("mn"), max("v").as("mx"))
+      .collect().head
+    // count first: on an empty/all-null column min/max are null, so the
+    // doubles must not be read before the n == 0 return
+    val n = head.getLong(0)
+    if (n == 0) return None
+    var lo = head.getDouble(1)
+    var hi = head.getDouble(2)
+    var k = math.ceil(q * n).toLong // rank of the answer within [lo, hi] rows
+    var cur = vals                  // rows still in the candidate range
+    var cnt = n
+    var answer: Option[Double] = if (lo == hi) Some(lo) else None
+    // refine while the candidate bucket is still pathologically overfull
+    // (>8× the uniform expectation); cap the levels so range-shrink
+    // underflow at double resolution cannot loop
+    val fullEnough = 8L * math.max(n / bins, 1L)
+    var level = 0
+    while (answer.isEmpty && level < 8 && {
+        val w = (hi - lo) / bins
+        (level == 0 || cnt > fullEnough) && w > 0
+      }) {
+      val w = (hi - lo) / bins
+      val binOf = least(lit(bins - 1), floor((col("v") - lit(lo)) / lit(w)).cast("int"))
+      val rows = cur.groupBy(binOf.as("bin"))
+        .agg(count(lit(1)).as("c"), min("v").as("bmn"), max("v").as("bmx"))
+        .collect().map(r => r.getInt(0) -> r).toMap
+      var cum = 0L
+      var before = 0L
+      var found: Option[org.apache.spark.sql.Row] = None
+      (0 until bins).foreach { b =>
+        rows.get(b).foreach { r =>
+          val c = r.getLong(1)
+          if (found.isEmpty && cum + c >= k) { found = Some(r); before = cum }
+          cum += c
+        }
+      }
+      val hit = found.get // k ≤ cnt by construction, so a bucket always hits
+      k -= before
+      cnt = hit.getLong(1)
+      val (bmn, bmx) = (hit.getDouble(2), hit.getDouble(3))
+      if (bmn == bmx) answer = Some(bmn) // single-valued bucket: done, no sort
+      else {
+        // bins partition the value range, so the observed [bmn, bmx] window
+        // selects exactly this bucket's rows from the parent range
+        lo = bmn; hi = bmx
+        cur = vals.filter(col("v") >= lo && col("v") <= hi)
+      }
+      level += 1
+    }
+    val value = answer.getOrElse {
+      require(k <= Int.MaxValue,
+        s"quantile refinement left rank $k in a $cnt-row bucket — raise bins")
+      cur.orderBy("v").limit(k.toInt).agg(max("v")).collect().head.getDouble(0)
+    }
+    Some((value, n, level, if (answer.isDefined) 0L else cnt))
   }
 
   /** Peak interval concurrency per group: the sweep-line classic — each

@@ -176,6 +176,34 @@ class OpsSpec extends SparkSpec {
       .map(Tuple1(_)).toDF("x")
     assert(Relational.exactQuantileTwoPass(skew, "x", 0.5, bins = 16)
       .collect().head.getDouble(2) === 1.0)
+    // empty and all-null columns: no rows out, no NPE on the null min/max
+    assert(Relational.exactQuantileTwoPass(df.filter(col("x") < 0), "x", 0.5).count() === 0)
+    val nulls = Seq[Option[Double]](None, None).map(Tuple1(_)).toDF("x")
+    assert(Relational.exactQuantileTwoPass(nulls, "x", 0.5).count() === 0)
+  }
+
+  test("exact quantile refinement bounds the final sort when one bucket holds >90% of rows") {
+    import graft.relational.Relational
+    // 9500 of 10000 rows crowd into bin 0 of the level-0 histogram
+    // ([0, 62.5) at bins=16 over [0, 1000]); a single-level implementation
+    // would CollectLimit-sort ~95% of the column here
+    val skew = ((1 to 9500).map(i => i * 0.9 / 9500.0) ++
+      (1 to 500).map(i => i * 2.0)).map(Tuple1(_)).toDF("x")
+    val Some((value, n, levels, sortRows)) =
+      Relational.exactQuantileProbe(skew, "x", 0.5, bins = 16)
+    assert(n === 10000L)
+    val expect = skew.collect().map(_.getDouble(0)).sorted.apply(4999) // k=5000, 0-idx
+    assert(value === expect)
+    assert(levels >= 2, s"expected a second refinement level, got $levels")
+    // the refined bucket, not the 9500-row level-0 bucket, feeds the sort
+    assert(sortRows > 0 && sortRows <= 9500 / 16 * 8,
+      s"final sort saw $sortRows rows — refinement did not bound it")
+    // >90% of rows sharing ONE value: the single-valued-bucket short-circuit
+    // answers with no sort at all
+    val oneVal = ((1 to 9500).map(_ => 42.0) ++ (1 to 500).map(i => i * 2.0))
+      .map(Tuple1(_)).toDF("x")
+    val Some((v2, _, _, sr2)) = Relational.exactQuantileProbe(oneVal, "x", 0.5, bins = 16)
+    assert(v2 === 42.0 && sr2 === 0L)
   }
 
   test("perceptual near-dups: decode stub tokenizes like the engine, bands find pairs") {

@@ -46,5 +46,10 @@ class RendezvousSpec extends SparkSpec {
     val drift = Profiling.psiDrift(base, shifted, "v").collect().head
     assert(drift.getDouble(0) > 0.2)
     assert(drift.getBoolean(3))
+    // empty reference: PSI undefined (null), not an NPE on the null cuts
+    val empty = base.filter(col("v") < 0)
+    val undef = Profiling.psiDrift(empty, shifted, "v").collect().head
+    assert(undef.isNullAt(0) && undef.getLong(1) === 0L && undef.getLong(2) === 5000L)
+    assert(undef.isNullAt(3))
   }
 }
