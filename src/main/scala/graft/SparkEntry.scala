@@ -552,6 +552,18 @@ object SparkEntry {
           groupCol = "document_id", measure = count(lit(1)), k = 10)
         .orderBy("document_id")
     },
+    // salted skew join: the salt must be invisible - oracle is the PLAIN
+    // join, so the green row proves salt-and-replicate loses/dups nothing
+    "q115_salted_join" -> { (s, d) =>
+      graft.relational.SkewJoin.saltedSupplierRevenue(
+        Tables.lineitem(s, d), Tables.supplier(s, d), saltFactor = 8)
+    },
+    // bucketed co-located join: write-time hash layout + Exchange-free SMJ;
+    // oracle is the plain join (plan shape stays asserted in BucketingSpec)
+    "q116_bucketed_join" -> { (s, d) =>
+      graft.relational.Bucketing.bucketedOrderVolume(
+        s, Tables.lineitem(s, d), Tables.orders(s, d))
+    },
     // exact quantile in two passes (histogram -> single-bucket sort):
     // no global sort, no approx - the answer must equal the rank formula
     "q109_exact_quantile" -> { (s, d) =>
@@ -1361,6 +1373,19 @@ object SparkEntry {
         |            ELSE 'OTHER' END AS document_id,
         |  CAST(sum(m) AS BIGINT) AS measure, count(*) AS n_groups
         |FROM g GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the plain (unsalted) join: the salt must not change the result
+    "q115_salted_join" ->
+      """SELECT s_nationkey,
+        | CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE) AS revenue,
+        | count(*) AS line_count
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the plain (unbucketed) join: the bucket layout must not change it
+    "q116_bucketed_join" ->
+      """SELECT o_orderpriority, sum(l_quantity) AS sum_qty,
+        | count(*) AS line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // the brute-force rank definition the two-pass trick must reproduce
     "q109_exact_quantile" ->
       """WITH v AS (

@@ -40,4 +40,28 @@ object Bucketing {
       joinType: String = "inner"): DataFrame =
     spark.table(leftTable).hint("merge")
       .join(spark.table(rightTable), Seq(key), joinType)
+
+  /** Correctness gate for the bucketed-join path (q116): write lineitem and
+    * orders bucketed on the order key, join them shuffle-free, aggregate
+    * order volume per priority. The bucket layout must be invisible in the
+    * result — the DuckDB oracle is the plain SQL join — so the green
+    * hash-match row proves write-time hash partitioning + the Exchange-free
+    * sort-merge join lose and duplicate nothing (the plan-shape half stays
+    * asserted in BucketingSpec). Idempotent: Overwrite mode re-creates the
+    * two catalog tables per call. */
+  def bucketedOrderVolume(
+      spark: SparkSession,
+      lineitem: DataFrame,
+      orders: DataFrame,
+      nBuckets: Int = 8): DataFrame = {
+    import org.apache.spark.sql.functions._
+    writeBucketed(lineitem.select("l_orderkey", "l_quantity"),
+      "graft_bkt_lineitem", "l_orderkey", nBuckets)
+    writeBucketed(orders.select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority")),
+      "graft_bkt_orders", "l_orderkey", nBuckets)
+    colocatedJoin(spark, "graft_bkt_lineitem", "graft_bkt_orders", "l_orderkey")
+      .groupBy("o_orderpriority")
+      .agg(sum("l_quantity").as("sum_qty"), count(lit(1)).as("line_count"))
+      .orderBy("o_orderpriority")
+  }
 }

@@ -40,9 +40,9 @@ object Relational {
   private def oneMinus(rate: Column): Column = lit(1).cast(DecimalType(3, 2)) - rate.cast(rateT)
   private def onePlus(rate: Column): Column = lit(1).cast(DecimalType(3, 2)) + rate.cast(rateT)
   /** l_extendedprice·(1−l_discount) as DECIMAL(18,4) — exact. */
-  private def revenue = money(col("l_extendedprice")) * oneMinus(col("l_discount"))
+  private[relational] def revenue = money(col("l_extendedprice")) * oneMinus(col("l_discount"))
   /** Exact decimal sum, rounded to cents, surfaced as DOUBLE. */
-  private def moneySum(c: Column): Column = round(sum(c), 2).cast(DoubleType)
+  private[relational] def moneySum(c: Column): Column = round(sum(c), 2).cast(DoubleType)
 
   /** TPC-H Q1-shaped pricing summary: single-pass hash aggregate with
     * map-side partials; the shuffle carries 〈flag,status〉 × partial states

@@ -40,4 +40,24 @@ object SkewJoin {
       .withColumn("__salt", col("__salt").cast("long"))
     salted.join(replicated, Seq(key, "__salt"), joinType).drop("__salt")
   }
+
+  /** Correctness gate for [[saltedEquiJoin]] (q115): revenue per supplier
+    * nation computed THROUGH the salted join. The salt must be invisible in
+    * the result — an inner salted join produces exactly the plain join's
+    * rows — so the DuckDB oracle is the unsalted SQL join, and the green
+    * hash-match row proves salt-and-replicate is lossless end to end
+    * (the no-duplicate/no-drop property the OpsSpec asserts in-memory,
+    * proven here against an external engine on real tables). */
+  def saltedSupplierRevenue(
+      lineitem: DataFrame,
+      supplier: DataFrame,
+      saltFactor: Int = 8): DataFrame = {
+    val small = supplier.select(
+      col("s_suppkey").as("l_suppkey"), col("s_nationkey"))
+    saltedEquiJoin(lineitem, small, "l_suppkey", saltFactor)
+      .groupBy("s_nationkey")
+      .agg(Relational.moneySum(Relational.revenue).as("revenue"),
+        count(lit(1)).as("line_count"))
+      .orderBy("s_nationkey")
+  }
 }
