@@ -282,6 +282,17 @@ object SparkEntry {
       Similarity.knnIvf(emb, emb.filter(col("vec_id") < 8), k = 5, nCells = 8, nProbe = 8)
         .orderBy("query_id", "rank")
     },
+    // IVF with the deterministic Lloyd quantizer, gated at nProbe < nCells:
+    // the oracle rebuilds the quantizer (2 unrolled rounds on normalized
+    // vectors), replicates each query's 2-of-8 cell CHOICE, and hash-matches
+    // the probed ranking - the sub-linear path itself, not its exhaustive
+    // degeneration (which is all q37 proves)
+    "q117_knn_ivf_probed" -> { (s, d) =>
+      val emb = TestData.embeddings(s, d)
+      Similarity.knnIvfDeterministic(emb, emb.filter(col("vec_id") < 8),
+          k = 5, nCells = 8, nProbe = 2, quantizerIters = 2)
+        .orderBy("query_id", "rank")
+    },
     // embedding near-dup pairs through LSH buckets — the 100 TB path of q38
     // (both sides shuffle on the bucket key, never all-pairs), gated with the
     // portable axis-sign signature so the oracle rebuilds the same buckets
@@ -2369,6 +2380,81 @@ object SparkEntry {
         |      / (sqrt(list_sum(list_transform(range(1, len(ce) + 1), i -> CAST(ce[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE))))
         |         * sqrt(list_sum(list_transform(range(1, len(qe) + 1), i -> CAST(qe[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE))))) AS cosine
         |  FROM c CROSS JOIN q WHERE query_id <> neighbor_id),
+        |r AS (
+        |  SELECT query_id, neighbor_id, cosine,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS "rank"
+        |  FROM p)
+        |SELECT query_id, neighbor_id, "rank", round(cosine, 4) AS cosine
+        |FROM r WHERE "rank" <= 5 ORDER BY query_id, "rank"""".stripMargin,
+    // the deterministic-Lloyd quantizer unrolled on NORMALIZED vectors
+    // (q108's machinery), then each query's top-2 cells by (d2, cell),
+    // the probe join, and the exact cosine ranking within the candidates
+    "q117_knn_ivf_probed" ->
+      """WITH e AS (
+        |  SELECT vec_id, embedding,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE) /
+        |      sqrt(list_sum(list_transform(embedding, y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))))) AS u
+        |  FROM embeddings),
+        |c0 AS (
+        |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cluster, u AS c
+        |  FROM e ORDER BY vec_id LIMIT 8),
+        |dd1 AS (
+        |  SELECT e.vec_id, c0.cluster,
+        |    list_sum(list_transform(range(64), i -> (e.u[i+1] - c0.c[i+1]) * (e.u[i+1] - c0.c[i+1]))) AS d2
+        |  FROM e CROSS JOIN c0),
+        |aa1 AS (
+        |  SELECT vec_id, cluster FROM (
+        |    SELECT vec_id, cluster,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY d2, cluster) AS rn
+        |    FROM dd1) WHERE rn = 1),
+        |u1 AS (
+        |  SELECT aa1.cluster, i AS dim,
+        |    sum(CAST(e.u[i+1] AS DECIMAL(38,12))) AS s, count(*) AS n
+        |  FROM aa1 JOIN e USING (vec_id) CROSS JOIN range(64) t(i)
+        |  GROUP BY 1, 2),
+        |c1 AS (
+        |  SELECT cluster, list(s::DOUBLE / n ORDER BY dim) AS c FROM u1 GROUP BY cluster
+        |  UNION ALL
+        |  SELECT cluster, c FROM c0 WHERE cluster NOT IN (SELECT cluster FROM u1)),
+        |dd2 AS (
+        |  SELECT e.vec_id, c1.cluster,
+        |    list_sum(list_transform(range(64), i -> (e.u[i+1] - c1.c[i+1]) * (e.u[i+1] - c1.c[i+1]))) AS d2
+        |  FROM e CROSS JOIN c1),
+        |aa2 AS (
+        |  SELECT vec_id, cluster FROM (
+        |    SELECT vec_id, cluster,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY d2, cluster) AS rn
+        |    FROM dd2) WHERE rn = 1),
+        |u2 AS (
+        |  SELECT aa2.cluster, i AS dim,
+        |    sum(CAST(e.u[i+1] AS DECIMAL(38,12))) AS s, count(*) AS n
+        |  FROM aa2 JOIN e USING (vec_id) CROSS JOIN range(64) t(i)
+        |  GROUP BY 1, 2),
+        |c2 AS (
+        |  SELECT cluster, list(s::DOUBLE / n ORDER BY dim) AS c FROM u2 GROUP BY cluster
+        |  UNION ALL
+        |  SELECT cluster, c FROM c1 WHERE cluster NOT IN (SELECT cluster FROM u2)),
+        |ddf AS (
+        |  SELECT e.vec_id, c2.cluster,
+        |    list_sum(list_transform(range(64), i -> (e.u[i+1] - c2.c[i+1]) * (e.u[i+1] - c2.c[i+1]))) AS d2
+        |  FROM e CROSS JOIN c2),
+        |cellr AS (
+        |  SELECT vec_id, cluster,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY d2, cluster) AS rn
+        |  FROM ddf),
+        |corpus AS (SELECT vec_id AS neighbor_id, cluster AS cell FROM cellr WHERE rn = 1),
+        |probes AS (SELECT vec_id AS query_id, cluster AS cell FROM cellr WHERE rn <= 2 AND vec_id < 8),
+        |cand AS (
+        |  SELECT query_id, neighbor_id FROM probes JOIN corpus USING (cell)
+        |  WHERE query_id <> neighbor_id),
+        |p AS (
+        |  SELECT cand.query_id, cand.neighbor_id,
+        |    list_sum(list_transform(range(1, len(cq.embedding) + 1), i -> CAST(cn.embedding[i] AS DOUBLE) * CAST(cq.embedding[i] AS DOUBLE)))
+        |      / (sqrt(list_sum(list_transform(range(1, len(cn.embedding) + 1), i -> CAST(cn.embedding[i] AS DOUBLE) * CAST(cn.embedding[i] AS DOUBLE))))
+        |         * sqrt(list_sum(list_transform(range(1, len(cq.embedding) + 1), i -> CAST(cq.embedding[i] AS DOUBLE) * CAST(cq.embedding[i] AS DOUBLE))))) AS cosine
+        |  FROM cand
+        |  JOIN e cq ON cand.query_id = cq.vec_id
+        |  JOIN e cn ON cand.neighbor_id = cn.vec_id),
         |r AS (
         |  SELECT query_id, neighbor_id, cosine,
         |    row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS "rank"

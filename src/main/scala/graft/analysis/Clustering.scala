@@ -1,6 +1,6 @@
 package graft.analysis
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DecimalType, DoubleType}
 
@@ -14,7 +14,9 @@ import org.apache.spark.sql.types.{DecimalType, DoubleType}
   * and centroid means accumulated in DECIMAL before one double division —
   * so an external SQL engine reproduces every iteration exactly, and the
   * correctness gate covers the whole clustering loop, not just a projection
-  * of it.
+  * of it. [[Similarity.knnIvfDeterministic]] reuses the fit as a coarse
+  * quantizer, which is what makes a true nProbe < nCells IVF oracle (q117)
+  * possible.
   *
   * Scale shape per iteration: assignment is a pure PROJECTION against
   * centroid literals (k·dim doubles broadcast inside the plan — no join,
@@ -26,44 +28,44 @@ import org.apache.spark.sql.types.{DecimalType, DoubleType}
   */
 object Clustering {
 
-  /** Run `iterations` Lloyd rounds and return final assignments:
-    * idCol, cluster, dist2 (squared distance to the final centroid,
-    * round 6). */
-  def lloydKMeans(
+  /** Assignment projection: each row of `pts` (id, v) gets its nearest
+    * centroid by squared L2, ties broken by cluster id (lexicographic
+    * struct sort = (distance, cluster) tie-break). Keeps `v`. */
+  private def assignedOf(pts: DataFrame, centroids: Array[Array[Double]]): DataFrame = {
+    val dists = centroids.zipWithIndex.map { case (c, i) =>
+      val cLit = array(c.map(lit): _*)
+      struct(
+        aggregate(zip_with(col("v"), cLit, (x, y) => (x - y) * (x - y)),
+          lit(0.0), (acc, d) => acc + d).as("d2"),
+        lit(i).as("cluster"))
+    }
+    pts.withColumn("best", element_at(array_sort(array(dists: _*)), 1))
+      .select(col("id"), col("v"), col("best.cluster").as("cluster"),
+        col("best.d2").as("d2"))
+  }
+
+  private def ptsOf(points: DataFrame, idCol: String, vecCol: String): DataFrame =
+    points.select(col(idCol).as("id"),
+      transform(col(vecCol), x => x.cast(DoubleType)).as("v"))
+
+  /** Run `iterations` Lloyd rounds and return the final centroids —
+    * deterministic (first-k-by-id init, DECIMAL means), so an external SQL
+    * engine reproduces them bit-for-bit. Clusters that lose all members
+    * keep their previous centroid. */
+  def lloydCentroids(
       points: DataFrame,
-      k: Int = 4,
-      iterations: Int = 2,
+      k: Int,
+      iterations: Int,
       idCol: String = "vec_id",
-      vecCol: String = "embedding"): DataFrame = {
+      vecCol: String = "embedding"): Array[Array[Double]] = {
     val dec = DecimalType(38, 12)
-    val pts = points
-      .select(col(idCol).as("id"),
-        transform(col(vecCol), x => x.cast(DoubleType)).as("v"))
-      .persist()
+    val pts = ptsOf(points, idCol, vecCol).persist()
     try {
       // deterministic init: the k lowest-id points are the seed centroids
       var centroids: Array[Array[Double]] = pts.orderBy("id").limit(k)
         .collect().map(_.getSeq[Double](1).toArray)
-
-      // carries `v` through so the update phase never joins back to pts —
-      // assignment stays a pure projection and the only exchange per Lloyd
-      // round is the stats aggregate itself
-      def assigned(): DataFrame = {
-        val dists = centroids.zipWithIndex.map { case (c, i) =>
-          val cLit = array(c.map(lit): _*)
-          struct(
-            aggregate(zip_with(col("v"), cLit, (x, y) => (x - y) * (x - y)),
-              lit(0.0), (acc, d) => acc + d).as("d2"),
-            lit(i).as("cluster"))
-        }
-        // lexicographic struct sort = (distance, cluster) tie-break
-        pts.withColumn("best", element_at(array_sort(array(dists: _*)), 1))
-          .select(col("id"), col("v"), col("best.cluster").as("cluster"),
-            col("best.d2").as("d2"))
-      }
-
       for (_ <- 1 to iterations) {
-        val stats = assigned()
+        val stats = assignedOf(pts, centroids)
           .select(col("cluster"), posexplode(col("v")).as(Seq("dim", "x")))
           .groupBy("cluster", "dim")
           .agg(sum(col("x").cast(dec)).as("s"), count(lit(1)).as("n"))
@@ -77,10 +79,23 @@ object Clustering {
         }
         centroids = next // clusters with no members keep their old centroid
       }
-      assigned()
-        .select(col("id").as(idCol), col("cluster"),
-          round(col("d2"), 6).as("dist2"))
-        .localCheckpoint(true)
+      centroids
     } finally { pts.unpersist(); () }
+  }
+
+  /** Run `iterations` Lloyd rounds and return final assignments:
+    * idCol, cluster, dist2 (squared distance to the final centroid,
+    * round 6). */
+  def lloydKMeans(
+      points: DataFrame,
+      k: Int = 4,
+      iterations: Int = 2,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val centroids = lloydCentroids(points, k, iterations, idCol, vecCol)
+    assignedOf(ptsOf(points, idCol, vecCol), centroids)
+      .select(col("id").as(idCol), col("cluster"),
+        round(col("d2"), 6).as("dist2"))
+      .localCheckpoint(true)
   }
 }

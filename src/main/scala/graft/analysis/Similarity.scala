@@ -154,6 +154,53 @@ object Similarity {
     * still varies with partitioning, so treat cell membership as
     * approximate, not a stable artifact across engines.
     */
+  /** L2-normalize a vector column. The norm is let-bound through a
+    * single-element transform so it evaluates once per row in every
+    * execution path (same CSE-trap avoidance as Dedup.shingles — an
+    * unbound reference would recompute the full dot product per element). */
+  private[analysis] def unit(v: Column): Column =
+    element_at(
+      transform(array(l2Norm(v)), n =>
+        transform(v, x => when(n > 0, x.cast(DoubleType) / n).otherwise(lit(0.0)))),
+      1)
+
+  /** Nearest `n` cells of a vector as a pure projection: the unit vector is
+    * let-bound once per row, then distance to each centroid literal is
+    * computed from the bound variable, packed as (d2, cell) structs, sorted
+    * (lexicographic = deterministic (distance, cell) tie-break), sliced. */
+  private def nearestCells(
+      centroids: Array[Array[Double]], v: Column, n: Int): Column =
+    element_at(
+      transform(array(unit(v)), u => {
+        val dists = centroids.zipWithIndex.map { case (c, i) =>
+          val cLit = array(c.map(lit): _*)
+          struct(
+            aggregate(zip_with(u, cLit, (x, y) => (x - y) * (x - y)),
+              lit(0.0), (acc, d) => acc + d).as("d2"),
+            lit(i).as("cell"))
+        }
+        transform(slice(array_sort(array(dists: _*)), 1, n), s => s.getField("cell"))
+      }),
+      1)
+
+  /** Probe join shared by the IVF variants: corpus rows keyed by their ONE
+    * nearest cell, queries exploded over their `nProbe` nearest cells,
+    * equi-join on cell id, exact cosine ranking within the candidates. */
+  private def ivfProbe(
+      corpus: DataFrame, queries: DataFrame,
+      centroids: Array[Array[Double]], k: Int, nProbe: Int,
+      idCol: String, vecCol: String): DataFrame = {
+    val corpusCells = corpus.select(
+      col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"),
+      element_at(nearestCells(centroids, col(vecCol), 1), 1).as("cell"))
+    val queryCells = queries.select(
+      col(idCol).as("query_id"), col(vecCol).as("q_vec"),
+      explode(nearestCells(centroids, col(vecCol), nProbe)).as("cell"))
+    val candidates = corpusCells.join(broadcast(queryCells), Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+    topKByCosine(candidates, k)
+  }
+
   def knnIvf(
       corpus: DataFrame,
       queries: DataFrame,
@@ -166,16 +213,6 @@ object Similarity {
       maxFitRows: Int = 100000): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
-
-    // norm let-bound through a single-element transform so it evaluates once
-    // per row in every execution path (same CSE-trap avoidance as
-    // Dedup.shingles — an unbound reference would recompute the full dot
-    // product per element)
-    def unit(v: Column): Column =
-      element_at(
-        transform(array(l2Norm(v)), n =>
-          transform(v, x => when(n > 0, x.cast(DoubleType) / n).otherwise(lit(0.0)))),
-        1)
 
     // bounded, seeded fit on normalized vectors — training is a cheap
     // capped step (limit, not a count+sample pass), and a coarse quantizer
@@ -193,33 +230,37 @@ object Similarity {
         .clusterCenters.map(_.toArray)
       finally { fitInput.unpersist(); () }
 
-    /** nearest `n` cells as a pure projection: the unit vector is let-bound
-      * once per row, then distance to each centroid literal is computed from
-      * the bound variable, packed as (d2, cell) structs, sorted, sliced. */
-    def cellsOf(v: Column, n: Int): Column =
-      element_at(
-        transform(array(unit(v)), u => {
-          val dists = centroids.zipWithIndex.map { case (c, i) =>
-            val cLit = array(c.map(lit): _*)
-            struct(
-              aggregate(zip_with(u, cLit, (x, y) => (x - y) * (x - y)),
-                lit(0.0), (acc, d) => acc + d).as("d2"),
-              lit(i).as("cell"))
-          }
-          transform(slice(array_sort(array(dists: _*)), 1, n), s => s.getField("cell"))
-        }),
-        1)
+    ivfProbe(corpus, queries, centroids, k, nProbe, idCol, vecCol)
+  }
 
-    val corpusCells = corpus.select(
-        col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"),
-        element_at(cellsOf(col(vecCol), 1), 1).as("cell"))
-    val queryCells = queries.select(
-        col(idCol).as("query_id"), col(vecCol).as("q_vec"),
-        explode(cellsOf(col(vecCol), nProbe)).as("cell"))
-
-    val candidates = corpusCells.join(broadcast(queryCells), Seq("cell"))
-      .filter(col("query_id") =!= col("neighbor_id"))
-    topKByCosine(candidates, k)
+  /** [[knnIvf]] with the DETERMINISTIC Lloyd quantizer
+    * ([[Clustering.lloydCentroids]]) in place of the ML-library k-means:
+    * first-nCells-by-id init, fixed-order distance sums, DECIMAL centroid
+    * means — every step replayable in an external SQL engine. That turns
+    * the sub-linear probe path into an oracle-checkable operator: q117
+    * gates nProbe < nCells, where the quantizer, the per-query cell
+    * CHOICE, and the probed ranking must all match a DuckDB rebuild —
+    * unlike q37, whose nProbe = nCells setting only proves probing is
+    * lossless when it is exhaustive.
+    *
+    * Same scale shape as [[knnIvf]]: bounded fit (nCells·dim driver state),
+    * cell assignment as a map-side codegen'd argmin against centroid
+    * literals, probe join shuffling on cell id only. Fit is over the full
+    * corpus (deterministically — no sample) because the gate demands
+    * replayability; cap the corpus upstream if fitting cost matters. */
+  def knnIvfDeterministic(
+      corpus: DataFrame,
+      queries: DataFrame,
+      k: Int = 5,
+      nCells: Int = 8,
+      nProbe: Int = 2,
+      quantizerIters: Int = 2,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val unitized = corpus.select(col(idCol), unit(col(vecCol)).as("__u"))
+    val centroids =
+      Clustering.lloydCentroids(unitized, nCells, quantizerIters, idCol, "__u")
+    ivfProbe(corpus, queries, centroids, k, nProbe, idCol, vecCol)
   }
 
   /** Exact embedding-cosine near-duplicate pairs by full self-comparison —

@@ -53,6 +53,32 @@ class SimilaritySpec extends SparkSpec {
       exact.map(_.getAs[Long]("neighbor_id")).toSeq)
   }
 
+  test("deterministic ivf: full probing equals brute force, partial probing is a ranked subset") {
+    val q = vecs.filter(col("vec_id") === 0)
+    val full = Similarity.knnIvfDeterministic(vecs, q, k = 3, nCells = 2, nProbe = 2)
+      .orderBy("rank").collect()
+    val exact = Similarity.knnBruteForce(vecs, q, k = 3).orderBy("rank").collect()
+    assert(full.map(_.toSeq).toSeq === exact.map(_.toSeq).toSeq)
+    // nProbe < nCells: every returned neighbor keeps its exact cosine and
+    // ranks are dense from 1 with descending cosine (the probe only prunes
+    // candidates, never rescores)
+    val part = Similarity.knnIvfDeterministic(vecs, q, k = 3, nCells = 2, nProbe = 1)
+      .orderBy("rank").collect()
+    assert(part.nonEmpty && part.length <= full.length)
+    val exactCos = exact.map(r =>
+      r.getAs[Long]("neighbor_id") -> r.getAs[Double]("cosine")).toMap
+    part.zipWithIndex.foreach { case (r, i) =>
+      assert(r.getAs[Int]("rank") === i + 1)
+      val nid = r.getAs[Long]("neighbor_id")
+      // any neighbor also in the exact top-k carries the identical score
+      exactCos.get(nid).foreach(c => assert(r.getAs[Double]("cosine") === c))
+    }
+    // deterministic across invocations (no RNG anywhere in the path)
+    val part2 = Similarity.knnIvfDeterministic(vecs, q, k = 3, nCells = 2, nProbe = 1)
+      .orderBy("rank").collect()
+    assert(part.map(_.toSeq).toSeq === part2.map(_.toSeq).toSeq)
+  }
+
   test("embedding near-dup pairs finds the close pair at high threshold") {
     val pairs = Similarity.embeddingNearDupPairs(vecs, dim = 3, minCosine = 0.95, nPlanes = 4)
       .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")))
