@@ -352,6 +352,23 @@ object SparkEntry {
       CorpusPrep.prepareCorpus(TestData.documents(s, d))
         .select("doc_id", "lang", "source", "n_chars")
         .orderBy("doc_id")
+    },
+    // incremental capstone: the top decile of doc ids arrives as "today's
+    // batch" against yesterday's corpus + sketch + fingerprint artifacts;
+    // the oracle is the BATCH pipeline over the union (q41's SQL verbatim) —
+    // the law a daily ingest must satisfy
+    "q118_corpus_prep_increment" -> { (s, d) =>
+      val docs = TestData.documents(s, d)
+      val cut = docs.agg(max("doc_id")).collect().head.getLong(0) * 9 / 10
+      val old = docs.filter(col("doc_id") <= cut)
+      val fresh = docs.filter(col("doc_id") > cut)
+      CorpusPrep.prepareCorpusIncrement(
+          corpus = CorpusPrep.prepareCorpus(old),
+          exactSketch = CorpusPrep.exactSetSketch(old),
+          exactFingerprints = CorpusPrep.exactSetFingerprints(old),
+          newDocs = fresh)
+        .select("doc_id", "lang", "source", "n_chars")
+        .orderBy("doc_id")
     }
   )
 
@@ -919,6 +936,59 @@ object SparkEntry {
   )
 
   /** DuckDB oracle for each query key, against the same parquet tables. */
+  /** The batch corpus-prep pipeline in SQL — the oracle for BOTH q41 (batch
+    * over all documents) and q118 (incremental over a split of the same
+    * documents): the incremental path's whole contract is reproducing this
+    * rebuild exactly. */
+  private val corpusPrepBatchSql: String =
+    """WITH t AS (
+      |  SELECT doc_id, text,
+      |    trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')) AS norm
+      |  FROM documents),
+      |tt AS (SELECT doc_id, norm, string_split(norm, ' ') AS toks FROM t),
+      |s AS (
+      |  SELECT doc_id, norm, toks,
+      |    len(toks) AS n_tokens,
+      |    len(list_distinct(toks)) AS n_unique_tokens,
+      |    round(CAST(len(list_filter(toks, x -> x IN ('the','a','an','of','and','to','in','is','it','for'))) AS DOUBLE) / len(toks), 4) AS stopword_ratio
+      |  FROM tt),
+      |q AS (
+      |  SELECT doc_id, norm, toks,
+      |    round(least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 40.0
+      |      + (CAST(n_unique_tokens AS DOUBLE) / n_tokens) * 40.0
+      |      + CASE WHEN stopword_ratio BETWEEN 0.01 AND 0.6 THEN 20.0 ELSE 0.0 END, 2) AS quality_score
+      |  FROM s),
+      |pass AS (SELECT doc_id, norm, toks FROM q WHERE quality_score >= 35.0),
+      |keep AS (
+      |  SELECT doc_id, toks FROM (
+      |    SELECT doc_id, toks, row_number() OVER (PARTITION BY md5(norm) ORDER BY doc_id) AS rn
+      |    FROM pass) WHERE rn = 1),
+      |sets AS (
+      |  SELECT doc_id AS id,
+      |    list_distinct(list_transform(range(len(toks) - 2), i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])) AS sh
+      |  FROM keep WHERE len(toks) >= 3),
+      |sigs AS (
+      |  SELECT id, sh,
+      |    list_transform(range(16), i -> list_min(list_transform(sh, x -> md5(i::VARCHAR || '|' || x)))) AS sig
+      |  FROM sets),
+      |bands AS (
+      |  SELECT id, b AS band_id, md5(array_to_string(sig[b*4+1:b*4+4], ',')) AS band_hash
+      |  FROM sigs CROSS JOIN (VALUES (0), (1), (2), (3)) AS bl(b)),
+      |cand AS (
+      |  SELECT DISTINCT x.id AS doc_a, y.id AS doc_b
+      |  FROM bands x JOIN bands y
+      |    ON x.band_id = y.band_id AND x.band_hash = y.band_hash AND x.id < y.id),
+      |verified AS (
+      |  SELECT doc_a, doc_b FROM cand
+      |  JOIN sets sa ON doc_a = sa.id JOIN sets sb ON doc_b = sb.id
+      |  WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+      |        / len(list_distinct(list_concat(sa.sh, sb.sh))) >= 0.8),
+      |losers AS (SELECT DISTINCT doc_b FROM verified)
+      |SELECT d.doc_id, d.lang, d.source, d.n_chars
+      |FROM keep k JOIN documents d USING (doc_id)
+      |WHERE k.doc_id NOT IN (SELECT doc_b FROM losers)
+      |ORDER BY d.doc_id""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "q01_session_analysis" ->
       """SELECT CAST(user_id AS VARCHAR) AS session_id, CAST(ts AS DATE) AS event_date,
@@ -2807,54 +2877,10 @@ object SparkEntry {
         |SELECT session_id, session_idx, min(ts) AS session_start, max(ts) AS session_end,
         |  count(*) AS n_events
         |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
-    "q41_corpus_prep" ->
-      """WITH t AS (
-        |  SELECT doc_id, text,
-        |    trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')) AS norm
-        |  FROM documents),
-        |tt AS (SELECT doc_id, norm, string_split(norm, ' ') AS toks FROM t),
-        |s AS (
-        |  SELECT doc_id, norm, toks,
-        |    len(toks) AS n_tokens,
-        |    len(list_distinct(toks)) AS n_unique_tokens,
-        |    round(CAST(len(list_filter(toks, x -> x IN ('the','a','an','of','and','to','in','is','it','for'))) AS DOUBLE) / len(toks), 4) AS stopword_ratio
-        |  FROM tt),
-        |q AS (
-        |  SELECT doc_id, norm, toks,
-        |    round(least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 40.0
-        |      + (CAST(n_unique_tokens AS DOUBLE) / n_tokens) * 40.0
-        |      + CASE WHEN stopword_ratio BETWEEN 0.01 AND 0.6 THEN 20.0 ELSE 0.0 END, 2) AS quality_score
-        |  FROM s),
-        |pass AS (SELECT doc_id, norm, toks FROM q WHERE quality_score >= 35.0),
-        |keep AS (
-        |  SELECT doc_id, toks FROM (
-        |    SELECT doc_id, toks, row_number() OVER (PARTITION BY md5(norm) ORDER BY doc_id) AS rn
-        |    FROM pass) WHERE rn = 1),
-        |sets AS (
-        |  SELECT doc_id AS id,
-        |    list_distinct(list_transform(range(len(toks) - 2), i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])) AS sh
-        |  FROM keep WHERE len(toks) >= 3),
-        |sigs AS (
-        |  SELECT id, sh,
-        |    list_transform(range(16), i -> list_min(list_transform(sh, x -> md5(i::VARCHAR || '|' || x)))) AS sig
-        |  FROM sets),
-        |bands AS (
-        |  SELECT id, b AS band_id, md5(array_to_string(sig[b*4+1:b*4+4], ',')) AS band_hash
-        |  FROM sigs CROSS JOIN (VALUES (0), (1), (2), (3)) AS bl(b)),
-        |cand AS (
-        |  SELECT DISTINCT x.id AS doc_a, y.id AS doc_b
-        |  FROM bands x JOIN bands y
-        |    ON x.band_id = y.band_id AND x.band_hash = y.band_hash AND x.id < y.id),
-        |verified AS (
-        |  SELECT doc_a, doc_b FROM cand
-        |  JOIN sets sa ON doc_a = sa.id JOIN sets sb ON doc_b = sb.id
-        |  WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
-        |        / len(list_distinct(list_concat(sa.sh, sb.sh))) >= 0.8),
-        |losers AS (SELECT DISTINCT doc_b FROM verified)
-        |SELECT d.doc_id, d.lang, d.source, d.n_chars
-        |FROM keep k JOIN documents d USING (doc_id)
-        |WHERE k.doc_id NOT IN (SELECT doc_b FROM losers)
-        |ORDER BY d.doc_id""".stripMargin,
+    "q41_corpus_prep" -> corpusPrepBatchSql,
+    // SAME SQL as q41: the incremental path must reproduce the batch
+    // rebuild over the union exactly (monotonic-id law)
+    "q118_corpus_prep_increment" -> corpusPrepBatchSql,
     "q40_media_metadata" ->
       """SELECT doc_id,
         | octet_length(encode(text)) AS n_bytes,

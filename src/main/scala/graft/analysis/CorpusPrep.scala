@@ -37,6 +37,94 @@ object CorpusPrep {
     exact.join(losers, Seq(idCol), "left_anti")
   }
 
+  /** Sketch artifact a daily ingest must persist alongside the corpus: the
+    * (id, sh, sig) frame over the EXACT-DEDUP SET — quality survivors after
+    * exact dedup, INCLUDING near-dup losers. Losers' signatures must stay in
+    * the artifact: tomorrow's copy of a removed duplicate still has to match
+    * something, or it sneaks into the corpus the batch rebuild would have
+    * caught. */
+  def exactSetSketch(
+      docs: DataFrame,
+      t: Thresholds = Thresholds(),
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val qualityPass = docs.join(
+      TextAnalysis.textStats(docs, textCol, idCol)
+        .filter(col("quality_score") >= t.minQuality)
+        .select(idCol),
+      Seq(idCol))
+    Dedup.sketchDocs(Dedup.dedupExact(qualityPass, textCol, idCol), textCol, idCol)
+  }
+
+  /** Fingerprint artifact for incremental EXACT dedup: the distinct content
+    * fingerprints of the exact-dedup set. One narrow column, one per unique
+    * surviving text. */
+  def exactSetFingerprints(
+      docs: DataFrame,
+      t: Thresholds = Thresholds(),
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val qualityPass = docs.join(
+      TextAnalysis.textStats(docs, textCol, idCol)
+        .filter(col("quality_score") >= t.minQuality)
+        .select(idCol),
+      Seq(idCol))
+    qualityPass
+      .select(TextAnalysis.fingerprint(col(textCol)).as("fingerprint"))
+      .distinct()
+  }
+
+  /** Incremental [[prepareCorpus]] — the composition a production pipeline
+    * runs on every ingest. Yesterday's batch run left three artifacts:
+    * the surviving `corpus`, the [[exactSetSketch]], and the
+    * [[exactSetFingerprints]]. Today only the NEW batch is scored, sketched,
+    * and joined — cost scales with |batch| (× bucket collision rate for the
+    * cross near-dup join), never with corpus size.
+    *
+    * LAW (the q118 oracle): provided every new id exceeds every corpus id
+    * (monotonic ingest ids — what gives "first occurrence wins" a stable
+    * meaning across days), the result EQUALS the batch rebuild
+    * `prepareCorpus(old ∪ new)`. Stage by stage: quality is per-doc; exact
+    * keeps the min id per fingerprint, and new ids are all higher, so
+    * "drop new docs whose fingerprint is already known" is exactly the
+    * union window's verdict; LSH buckets are per-doc deterministic, so the
+    * union's pair set splits cleanly into old–old (settled yesterday),
+    * old–new (old id is always doc_a, so the new doc is always the loser —
+    * the cross join against the sketch), and new–new (the batch pair join).
+    * Output: corpus ∪ surviving new docs, original columns. */
+  def prepareCorpusIncrement(
+      corpus: DataFrame,
+      exactSketch: DataFrame,
+      exactFingerprints: DataFrame,
+      newDocs: DataFrame,
+      t: Thresholds = Thresholds(),
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val newQuality = newDocs.join(
+      TextAnalysis.textStats(newDocs, textCol, idCol)
+        .filter(col("quality_score") >= t.minQuality)
+        .select(idCol),
+      Seq(idCol))
+    // anti-join on fingerprint: the corpus-sized side shuffles once per
+    // ingest — or never, if the fingerprint artifact is written bucketed on
+    // fingerprint (same trick as Bucketing; the batch side is tiny either way)
+    val newExact = Dedup.dedupExact(newQuality, textCol, idCol)
+      .withColumn("__fp", TextAnalysis.fingerprint(col(textCol)))
+      .join(exactFingerprints.withColumnRenamed("fingerprint", "__fp"),
+        Seq("__fp"), "left_anti")
+      .drop("__fp")
+    val newNewLosers = Dedup
+      .minhashNearDupPairs(newExact, textCol, idCol, minJaccard = t.minJaccard)
+      .select(col("doc_b").as(idCol)).distinct()
+    val crossLosers = Dedup
+      .incrementalNearDupPairsAgainstSketch(
+        newExact, exactSketch, textCol, idCol, minJaccard = t.minJaccard)
+      .select(col("new_id").as(idCol)).distinct()
+    val newSurvivors = newExact
+      .join(newNewLosers.union(crossLosers).distinct(), Seq(idCol), "left_anti")
+    corpus.unionByName(newSurvivors)
+  }
+
   /** Length-bucketed batch packing: assign documents to fixed-size training
     * batches in token-length order, so sequences in a batch have similar
     * lengths and padding-to-max waste stays low — the standard "sorted

@@ -70,6 +70,36 @@ class DedupSpec extends SparkSpec {
     assert(survivors.toSeq === Seq(1L, 3L))
   }
 
+  test("incremental corpus prep equals the batch rebuild over the union") {
+    import graft.analysis.CorpusPrep
+    val t = CorpusPrep.Thresholds(minQuality = 35.0, minJaccard = 0.5)
+    val old = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+      (2L, "the quick brown fox jumps over the lazy dog near the river bank now"), // near-dup LOSER vs 1
+      (3L, "the catalyst optimizer rewrites logical plans into efficient physical operators")
+    ).toDF("doc_id", "text")
+    val fresh = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog near the river bank now"),  // exact dup of REMOVED loser 2
+      (11L, "the quick brown fox jumps over the lazy dog near the river bank soon"), // near-dup of 1 (and of loser 2)
+      (12L, "structured streaming checkpoints offsets and state between micro batch runs"),
+      (13L, "aaa aaa aaa aaa aaa aaa"), // fails quality
+      (14L, "structured streaming checkpoints offsets and state between micro batch runs") // exact dup of 12
+    ).toDF("doc_id", "text")
+    val incremental = CorpusPrep.prepareCorpusIncrement(
+        corpus = CorpusPrep.prepareCorpus(old, t),
+        exactSketch = CorpusPrep.exactSetSketch(old, t),
+        exactFingerprints = CorpusPrep.exactSetFingerprints(old, t),
+        newDocs = fresh, t = t)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    val batch = CorpusPrep.prepareCorpus(old.unionByName(fresh), t)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(incremental === batch)
+    // the case that forces the sketch to retain LOSERS: 10 is an exact copy
+    // of removed doc 2, so its fingerprint only exists in the exact set;
+    // 11 is caught by the cross near-dup join; survivors stay 1, 3, 12
+    assert(incremental === Seq(1L, 3L, 12L))
+  }
+
   test("simhash: identical docs hash equal; near-dups land within hamming 10") {
     val sigs = docs.select(col("doc_id"),
       SimHash.simhash64(TextAnalysis.tokens(col("text"))).as("h"))
