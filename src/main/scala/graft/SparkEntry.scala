@@ -353,6 +353,30 @@ object SparkEntry {
         .select("doc_id", "lang", "source", "n_chars")
         .orderBy("doc_id")
     },
+    // corpus-LM quality proxy: mean unigram log-prob under the corpus's own
+    // add-one-smoothed model (the CCNet/KenLM filter shape); DECIMAL-summed
+    "q119_unigram_logprob" -> { (s, d) =>
+      TextAnalysis.unigramLogProb(TestData.documents(s, d)).orderBy("doc_id")
+    },
+    // contrastive-training negatives: per-anchor top-k by md5(anchor|cand) -
+    // replayable across engines/retries, no RNG state
+    "q120_negative_sample" -> { (s, d) =>
+      val docs = TestData.documents(s, d)
+      graft.analysis.Sampling.negativeSample(
+          docs, docs.filter(col("doc_id") % 50 === 0), k = 5)
+        .orderBy("anchor_id", "rank")
+    },
+    // data-mixing weights: per-source token mass vs uniform target; the
+    // multiplier that rebalances a multi-source training mixture
+    "q121_mixture_weights" -> { (s, d) =>
+      CorpusPrep.sourceMixtureWeights(TestData.documents(s, d)).orderBy("source")
+    },
+    // b-bit minhash: 2-bit signature components (128x smaller sketches);
+    // the corrected collision estimate gated NEXT TO the exact jaccard
+    "q122_bbit_minhash" -> { (s, d) =>
+      Dedup.bbitMinhashPairs(TestData.documents(s, d), minJaccard = 0.8)
+        .orderBy("doc_a", "doc_b")
+    },
     // incremental capstone: the top decile of doc ids arrives as "today's
     // batch" against yesterday's corpus + sketch + fingerprint artifacts;
     // the oracle is the BATCH pipeline over the union (q41's SQL verbatim) —
@@ -2881,6 +2905,78 @@ object SparkEntry {
     // SAME SQL as q41: the incremental path must reproduce the batch
     // rebuild over the union exactly (monotonic-id law)
     "q118_corpus_prep_increment" -> corpusPrepBatchSql,
+    "q119_unigram_logprob" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')), ' ')) AS tok
+        |  FROM documents),
+        |tk AS (SELECT doc_id, tok FROM toks WHERE tok <> ''),
+        |freq AS (SELECT tok, count(*) AS c FROM tk GROUP BY 1),
+        |t AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(count(DISTINCT tok) AS BIGINT) AS v FROM tk),
+        |sc AS (
+        |  SELECT doc_id, count(*) AS n_tokens,
+        |    sum(CAST(ln(CAST(c + 1 AS DOUBLE) / CAST(n + v AS DOUBLE)) AS DECIMAL(28,12))) AS s
+        |  FROM tk CROSS JOIN t JOIN freq USING (tok)
+        |  GROUP BY 1)
+        |SELECT d.doc_id, COALESCE(sc.n_tokens, 0) AS n_tokens,
+        |  CASE WHEN sc.n_tokens > 0 THEN round(sc.s::DOUBLE / sc.n_tokens::DOUBLE, 6) END AS avg_logprob
+        |FROM documents d LEFT JOIN sc USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+    "q120_negative_sample" ->
+      """WITH a AS (SELECT doc_id AS anchor_id FROM documents WHERE doc_id % 50 = 0),
+        |c AS (SELECT doc_id AS neg_id FROM documents),
+        |r AS (
+        |  SELECT anchor_id, neg_id,
+        |    row_number() OVER (PARTITION BY anchor_id
+        |      ORDER BY md5(anchor_id::VARCHAR || '|' || neg_id::VARCHAR), neg_id) AS "rank"
+        |  FROM a CROSS JOIN c WHERE anchor_id <> neg_id)
+        |SELECT anchor_id, neg_id, "rank" FROM r WHERE "rank" <= 5
+        |ORDER BY anchor_id, "rank"""".stripMargin,
+    "q121_mixture_weights" ->
+      """WITH d AS (
+        |  SELECT source,
+        |    COALESCE(len(list_filter(string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')), ' '), x -> x <> '')), 0) AS n_tok
+        |  FROM documents),
+        |ps AS (SELECT source, count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens FROM d GROUP BY 1),
+        |t AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total, count(*) AS n_sources FROM ps)
+        |SELECT source, n_docs, n_tokens,
+        |  round(n_tokens::DOUBLE / total::DOUBLE, 6) AS share,
+        |  CASE WHEN n_tokens > 0
+        |    THEN round(total::DOUBLE / (n_sources::DOUBLE * n_tokens::DOUBLE), 6) END AS weight
+        |FROM ps CROSS JOIN t ORDER BY source""".stripMargin,
+    // q31's md5 minhash pipeline + the b-bit collision estimate: low 2 bits
+    // of each component = last hex char mod 4; est = (f - 1/4)/(1 - 1/4)
+    "q122_bbit_minhash" ->
+      """WITH toks AS (
+        |  SELECT doc_id AS id,
+        |    string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')), ' ') AS t
+        |  FROM documents),
+        |sets AS (
+        |  SELECT id, list_distinct(list_transform(range(len(t) - 2), i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])) AS sh
+        |  FROM toks WHERE len(t) >= 3),
+        |sigs AS (
+        |  SELECT id, sh,
+        |    list_transform(range(16), i -> list_min(list_transform(sh, s -> md5(i::VARCHAR || '|' || s)))) AS sig
+        |  FROM sets),
+        |bands AS (
+        |  SELECT id, b AS band_id, md5(array_to_string(sig[b*4+1:b*4+4], ',')) AS band_hash
+        |  FROM sigs CROSS JOIN (VALUES (0), (1), (2), (3)) AS bl(b)),
+        |cand AS (
+        |  SELECT DISTINCT x.id AS doc_a, y.id AS doc_b
+        |  FROM bands x JOIN bands y
+        |    ON x.band_id = y.band_id AND x.band_hash = y.band_hash AND x.id < y.id),
+        |verified AS (
+        |  SELECT doc_a, doc_b,
+        |    CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) / len(list_distinct(list_concat(sa.sh, sb.sh))) AS j,
+        |    CAST(list_sum(list_transform(range(16), i ->
+        |      CASE WHEN ('0x' || substring(ga.sig[i+1], 32, 1))::BIGINT % 4
+        |             = ('0x' || substring(gb.sig[i+1], 32, 1))::BIGINT % 4
+        |           THEN 1 ELSE 0 END)) AS DOUBLE) / 16 AS f
+        |  FROM cand
+        |  JOIN sets sa ON doc_a = sa.id JOIN sets sb ON doc_b = sb.id
+        |  JOIN sigs ga ON doc_a = ga.id JOIN sigs gb ON doc_b = gb.id)
+        |SELECT doc_a, doc_b, round(j, 4) AS jaccard,
+        |  round((f - 0.25::DOUBLE) / 0.75::DOUBLE, 4) AS jaccard_bbit
+        |FROM verified WHERE j >= 0.8 ORDER BY doc_a, doc_b""".stripMargin,
     "q40_media_metadata" ->
       """SELECT doc_id,
         | octet_length(encode(text)) AS n_bytes,

@@ -183,6 +183,37 @@ object CorpusPrep {
           .otherwise(lit(0.0)))
   }
 
+  /** Data-mixing weights: per-source token mass vs a UNIFORM target mixture
+    * — the rebalancing step a multi-source training run applies so one
+    * giant crawl doesn't drown the curated sources. weight_s multiplies a
+    * source's sampling rate to hit the target: weight = target_share /
+    * current_share = total / (n_sources · tokens_s).
+    *
+    * Scale shape: one grouped aggregate to source granularity (the corpus
+    * never moves again), a broadcast 1-row totals frame, and a projection —
+    * output is bounded by the source count. Division guarded for an
+    * all-empty source (weight null, not an ANSI divide-by-zero).
+    * Output: source, n_docs, n_tokens, share (round 6), weight (round 6). */
+  def sourceMixtureWeights(
+      docs: DataFrame,
+      sourceCol: String = "source",
+      textCol: String = "text"): DataFrame = {
+    val perSource = docs
+      .select(col(sourceCol).as("source"),
+        coalesce(size(array_remove(TextAnalysis.tokens(col(textCol)), "")), lit(0))
+          .as("n_tok"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tokens"))
+    val totals = perSource.agg(sum("n_tokens").as("total"), count(lit(1)).as("n_sources"))
+    perSource.crossJoin(broadcast(totals))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        round(col("n_tokens").cast("double") / col("total").cast("double"), 6).as("share"),
+        when(col("n_tokens") > 0,
+          round(col("total").cast("double") /
+            (col("n_sources").cast("double") * col("n_tokens").cast("double")), 6))
+          .as("weight"))
+  }
+
   /** Per-stage survivor counts — the pipeline's observability surface. */
   def stageCounts(docs: DataFrame, t: Thresholds = Thresholds()): Map[String, Long] = {
     val qualityPass = docs.join(

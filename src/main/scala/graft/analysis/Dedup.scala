@@ -162,6 +162,69 @@ object Dedup {
     finally { withSets.unpersist(); sigs.unpersist(); () }
   }
 
+  /** b-bit minhash (Li & König): keep only the low `bBits` of each signature
+    * component. At k=16, the full md5-string signature is ~512 bytes/doc;
+    * 2-bit components pack into 4 BYTES — the 100 TB sketch-storage win.
+    * The collision fraction f over the k components estimates Jaccard via
+    * ĵ = (f − 2⁻ᵇ)/(1 − 2⁻ᵇ): matching minima always collide, non-matching
+    * minima collide on b bits with probability 2⁻ᵇ, and the correction
+    * inverts that mixture. This gate emits the estimate NEXT TO the exact
+    * Jaccard on the LSH candidate pairs, so the estimator itself is
+    * oracle-checked (a production pipeline materializes only the packed
+    * b-bit sketch + band hashes and never re-reads text).
+    * Output: doc_a, doc_b, jaccard (exact, ≥ minJaccard), jaccard_bbit. */
+  def bbitMinhashPairs(
+      docs: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      shingleN: Int = 3,
+      k: Int = 16,
+      bands: Int = 4,
+      bBits: Int = 2,
+      minJaccard: Double = 0.8): DataFrame = {
+    require(bBits >= 1 && bBits <= 4, s"bBits must be 1..4 (one hex char), got $bBits")
+    val par = docs.sparkSession.sparkContext.defaultParallelism
+    val withSets = docs.repartition(par).select(
+        col(idCol).as("id"), shingleSet(col(textCol), shingleN).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .persist()
+    val sigs = withSets
+      .select(col("id"), minhashSignature(col("sh"), k).as("sig"))
+      .persist()
+    // low b bits of a component = its last hex char mod 2^b (portable:
+    // any engine with md5 + substring reproduces the packed sketch)
+    def bbit(component: Column): Column =
+      conv(substring(component, 32, 1), 16, 10).cast("long") % (1 << bBits)
+    val bandRows = sigs
+      .select(col("id"), explode(lshBandHashes(col("sig"), bands, k / bands)).as("b"))
+      .select(col("id"), col("b.band_id"), col("b.band_hash"))
+    val candidates = bandRows.as("x")
+      .join(bandRows.as("y"),
+        col("x.band_id") === col("y.band_id") &&
+          col("x.band_hash") === col("y.band_hash") &&
+          col("x.id") < col("y.id"))
+      .select(col("x.id").as("doc_a"), col("y.id").as("doc_b"))
+      .distinct()
+    val matchFrac = aggregate(
+      zip_with(col("sig_a"), col("sig_b"),
+        (x, y) => when(bbit(x) === bbit(y), 1).otherwise(0)),
+      lit(0), _ + _).cast(DoubleType) / k
+    val invB = 1.0 / (1 << bBits)
+    val result = candidates
+      .join(withSets.select(col("id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+      .join(withSets.select(col("id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+      .join(sigs.select(col("id").as("doc_a"), col("sig").as("sig_a")), "doc_a")
+      .join(sigs.select(col("id").as("doc_b"), col("sig").as("sig_b")), "doc_b")
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast(DoubleType) /
+          size(array_union(col("sh_a"), col("sh_b"))).cast(DoubleType))
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"),
+        round((matchFrac - lit(invB)) / lit(1.0 - invB), 4).as("jaccard_bbit"))
+    try result.localCheckpoint(true)
+    finally { withSets.unpersist(); sigs.unpersist(); () }
+  }
+
   /** The (id, sh, sig) sketch frame the near-dup operators consume: distinct
     * shingle set + minhash signature per doc, short docs dropped. This is
     * the MATERIALIZED ARTIFACT of an incremental dedup — compute it when

@@ -129,4 +129,33 @@ object Sampling {
     df.filter(hashBucket(col(keyCol), buckets) <
       lit(fraction) * lit(buckets.toDouble) * col(weightCol) / lit(meanW))
   }
+
+  /** Deterministic negative sampling for contrastive training data: each
+    * anchor draws `k` pseudo-random negatives from the candidate pool,
+    * ranked by md5(anchor|candidate) — no RNG state, so the drawn set is
+    * reproducible across runs, engines, retries, and partitionings (the
+    * property in-batch `rand()` sampling loses the moment a task retries),
+    * and a fresh anchor re-draws WITHOUT disturbing other anchors' draws.
+    *
+    * Scale shape: anchors broadcast against the pool (the contract: the
+    * anchor set is the small side — for anchor sets beyond broadcast size,
+    * run per-shard with a hash filter on anchors); the per-anchor top-k is
+    * one window over 〈anchor, candidate, hash〉 rows. Self-pairs excluded.
+    * Output: anchor_id, neg_id, rank (1..k). */
+  def negativeSample(
+      pool: DataFrame,
+      anchors: DataFrame,
+      k: Int,
+      idCol: String = "doc_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cand = pool.select(col(idCol).as("neg_id"))
+    val anc = anchors.select(col(idCol).as("anchor_id"))
+    val h = md5(concat(col("anchor_id").cast("string"), lit("|"),
+      col("neg_id").cast("string")))
+    val w = Window.partitionBy("anchor_id").orderBy(h, col("neg_id"))
+    cand.join(broadcast(anc), col("anchor_id") =!= col("neg_id"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("anchor_id", "neg_id", "rank")
+  }
 }

@@ -170,6 +170,42 @@ object TextAnalysis {
           4).as("token_entropy"))
   }
 
+  /** Corpus-LM quality score: each document's mean unigram log-probability
+    * under the corpus's own add-one-smoothed unigram model — the cheap
+    * stand-in for the CCNet/KenLM perplexity filter every web-scale corpus
+    * runs (far-off-distribution documents score low; templated/boilerplate
+    * documents score deceptively high, which is why this pairs with
+    * [[tokenEntropy]] rather than replacing it). p(t) = (c_t + 1)/(N + V).
+    *
+    * Scale shape: one token-count aggregate builds the model (vocab-sized,
+    * stays distributed), the scoring join shuffles on the token key (both
+    * sides narrow 〈token, count〉 / 〈(doc,token), count〉 rows — never text),
+    * and the per-doc mean reduces 〈doc, decimal〉 pairs. The two model
+    * scalars (N, V) ride a broadcast 1-row frame, so the whole thing is one
+    * lazy plan. Log terms are DECIMAL-cast before summing (q16 lesson).
+    * Output: doc_id, n_tokens, avg_logprob (round 6; null for empty docs). */
+  def unigramLogProb(
+      docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(28, 12)
+    val tok = docs
+      .select(col(idCol), explode(tokens(col(textCol))).as("tok"))
+      .filter(col("tok") =!= "")
+    val freq = tok.groupBy("tok").agg(count(lit(1)).as("c"))
+    val totals = freq.agg(sum("c").as("n"), count(lit(1)).as("v"))
+    val scored = tok
+      .join(freq, "tok")
+      .crossJoin(broadcast(totals))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(log((col("c") + lit(1.0)) / (col("n") + col("v"))).cast(dec)).as("s"))
+    docs.select(col(idCol))
+      .join(scored, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        when(col("n_tokens") > 0,
+          round(col("s").cast(DoubleType) / col("n_tokens").cast(DoubleType), 6))
+          .as("avg_logprob"))
+  }
+
   /** Corpus-wide top-k n-grams by document frequency (distinct docs
     * containing the n-gram) with total occurrence count alongside — the
     * boilerplate detector: its output is what feeds a `maxShingleDf`-style

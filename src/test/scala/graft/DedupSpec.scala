@@ -100,6 +100,20 @@ class DedupSpec extends SparkSpec {
     assert(incremental === Seq(1L, 3L, 12L))
   }
 
+  test("b-bit minhash: exact-dup pair estimates 1.0, estimate tracks the formula") {
+    val pair = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+      (2L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+      (3L, "the catalyst optimizer rewrites logical plans into efficient physical operators")
+    ).toDF("doc_id", "text")
+    val out = Dedup.bbitMinhashPairs(pair, minJaccard = 0.8).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getDouble(2), r.getDouble(3)))).toMap
+    // identical shingle sets -> identical signatures -> every b-bit
+    // component collides -> f = 1 -> corrected estimate exactly 1.0
+    assert(out((1L, 2L)) === ((1.0, 1.0)))
+    assert(out.size === 1)
+  }
+
   test("simhash: identical docs hash equal; near-dups land within hamming 10") {
     val sigs = docs.select(col("doc_id"),
       SimHash.simhash64(TextAnalysis.tokens(col("text"))).as("h"))

@@ -99,4 +99,24 @@ class SamplingSpec extends SparkSpec {
       .collect().map(r => r.getString(1))
     assert(out.count(_ == "tiny") <= 3)
   }
+
+  test("negative sampling: k per anchor, no self, deterministic, anchor-local draws") {
+    val pool = (1L to 40L).map(Tuple1(_)).toDF("doc_id")
+    val anchors = Seq(1L, 2L).map(Tuple1(_)).toDF("doc_id")
+    val out = Sampling.negativeSample(pool, anchors, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(out.length === 10)
+    assert(out.forall { case (a, n, _) => a != n })
+    out.groupBy(_._1).values.foreach(g => assert(g.map(_._3).sorted.toSeq === (1 to 5)))
+    // replayable: same draw on a rerun
+    val again = Sampling.negativeSample(pool, anchors, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(again.sorted.toSeq === out.sorted.toSeq)
+    // adding an anchor never disturbs existing anchors' draws (the hash
+    // depends only on the (anchor, candidate) pair)
+    val more = Sampling.negativeSample(pool,
+        Seq(1L, 2L, 3L).map(Tuple1(_)).toDF("doc_id"), k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(more.filter(_._1 != 3L).sorted.toSeq === out.sorted.toSeq)
+  }
 }

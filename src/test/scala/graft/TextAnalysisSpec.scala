@@ -151,6 +151,39 @@ class TextAnalysisSpec extends SparkSpec {
     assert(!out.contains(4L))
   }
 
+  test("unigram log-prob: hand-computed smoothed model, empty doc null") {
+    val docs = Seq(
+      (1L, "a a b"), (2L, "a c"), (3L, "")
+    ).toDF("doc_id", "text")
+    // freq: a=3, b=1, c=1; N=5, V=3 -> p(a)=4/8, p(b)=p(c)=2/8
+    val out = TextAnalysis.unigramLogProb(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1),
+        if (r.isNullAt(2)) Double.NaN else r.getDouble(2)))).toMap
+    def r6(d: Double) = BigDecimal(d).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out(1L)._1 === 3L)
+    assert(out(1L)._2 === r6((2 * math.log(0.5) + math.log(0.25)) / 3))
+    assert(out(2L)._1 === 2L)
+    assert(out(2L)._2 === r6((math.log(0.5) + math.log(0.25)) / 2))
+    assert(out(3L)._1 === 0L && out(3L)._2.isNaN)
+  }
+
+  test("mixture weights: shares sum to 1, weight equalizes source token mass") {
+    val docs = Seq(
+      (1L, "a b c d e f", "crawl"), (2L, "g h i j k l", "crawl"),
+      (3L, "m n o p", "books")
+    ).toDF("doc_id", "text", "source")
+    val out = graft.analysis.CorpusPrep.sourceMixtureWeights(docs).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))))
+      .toMap
+    assert(out("crawl") === ((2L, 12L, 0.75, 0.666667)))
+    assert(out("books") === ((1L, 4L, 0.25, 2.0)))
+    // share x weight = 1/n_sources for every source: the rebalanced mixture
+    // is uniform (up to the round-6 emission)
+    out.values.foreach { case (_, _, share, weight) =>
+      assert(math.abs(share * weight - 0.5) < 1e-5)
+    }
+  }
+
   test("batch packing: length-sorted batches, padding math, empty-doc tail") {
     // 5 docs of lengths 4,4,3,1,0 with batchSize 2:
     // batch0 = (4,4) pad 0; batch1 = (3,1) pad 1-4/6; batch2 = (0) pad 0
