@@ -386,11 +386,8 @@ object SparkEntry {
       val cut = docs.agg(max("doc_id")).collect().head.getLong(0) * 9 / 10
       val old = docs.filter(col("doc_id") <= cut)
       val fresh = docs.filter(col("doc_id") > cut)
-      CorpusPrep.prepareCorpusIncrement(
-          corpus = CorpusPrep.prepareCorpus(old),
-          exactSketch = CorpusPrep.exactSetSketch(old),
-          exactFingerprints = CorpusPrep.exactSetFingerprints(old),
-          newDocs = fresh)
+      val (corpus, sketch, fps) = CorpusPrep.batchArtifacts(old)
+      CorpusPrep.prepareCorpusIncrement(corpus, sketch, fps, fresh)
         .select("doc_id", "lang", "source", "n_chars")
         .orderBy("doc_id")
     }

@@ -37,47 +37,46 @@ object CorpusPrep {
     exact.join(losers, Seq(idCol), "left_anti")
   }
 
-  /** Sketch artifact a daily ingest must persist alongside the corpus: the
-    * (id, sh, sig) frame over the EXACT-DEDUP SET — quality survivors after
-    * exact dedup, INCLUDING near-dup losers. Losers' signatures must stay in
-    * the artifact: tomorrow's copy of a removed duplicate still has to match
-    * something, or it sneaks into the corpus the batch rebuild would have
-    * caught. */
-  def exactSetSketch(
+  /** One batch run's complete artifact set, computed in ONE pass over the
+    * quality+exact stages: (surviving corpus, exact-set sketch, exact-set
+    * fingerprints) — exactly what [[prepareCorpusIncrement]] consumes on the
+    * next ingest. The exact-dedup set is materialized once (eager
+    * localCheckpoint — at corpus scale this is the parquet write the daily
+    * job performs anyway) and all three artifacts derive from it, instead
+    * of re-running quality scoring and the dedup window per artifact.
+    *
+    * The sketch covers the exact set INCLUDING near-dup losers: tomorrow's
+    * copy of a removed duplicate still has to match something, or it sneaks
+    * into the corpus the batch rebuild would have caught. */
+  def batchArtifacts(
       docs: DataFrame,
       t: Thresholds = Thresholds(),
       textCol: String = "text",
-      idCol: String = "doc_id"): DataFrame = {
+      idCol: String = "doc_id"): (DataFrame, DataFrame, DataFrame) = {
     val qualityPass = docs.join(
       TextAnalysis.textStats(docs, textCol, idCol)
         .filter(col("quality_score") >= t.minQuality)
         .select(idCol),
       Seq(idCol))
-    Dedup.sketchDocs(Dedup.dedupExact(qualityPass, textCol, idCol), textCol, idCol)
-  }
-
-  /** Fingerprint artifact for incremental EXACT dedup: the distinct content
-    * fingerprints of the exact-dedup set. One narrow column, one per unique
-    * surviving text. */
-  def exactSetFingerprints(
-      docs: DataFrame,
-      t: Thresholds = Thresholds(),
-      textCol: String = "text",
-      idCol: String = "doc_id"): DataFrame = {
-    val qualityPass = docs.join(
-      TextAnalysis.textStats(docs, textCol, idCol)
-        .filter(col("quality_score") >= t.minQuality)
-        .select(idCol),
-      Seq(idCol))
-    qualityPass
+    val exact = Dedup.dedupExact(qualityPass, textCol, idCol).localCheckpoint(true)
+    val losers = Dedup
+      .minhashNearDupPairs(exact, textCol, idCol, minJaccard = t.minJaccard)
+      .select(col("doc_b").as(idCol)).distinct()
+    val corpus = exact.join(losers, Seq(idCol), "left_anti")
+    // the sketch is THE persisted artifact (its consumers read it twice:
+    // band join + jaccard verify) — materialize it, don't hand out a lazy
+    // recompute of shingles+signatures
+    val sketch = Dedup.sketchDocs(exact, textCol, idCol).localCheckpoint(true)
+    val fingerprints = exact
       .select(TextAnalysis.fingerprint(col(textCol)).as("fingerprint"))
       .distinct()
+    (corpus, sketch, fingerprints)
   }
 
   /** Incremental [[prepareCorpus]] — the composition a production pipeline
-    * runs on every ingest. Yesterday's batch run left three artifacts:
-    * the surviving `corpus`, the [[exactSetSketch]], and the
-    * [[exactSetFingerprints]]. Today only the NEW batch is scored, sketched,
+    * runs on every ingest. Yesterday's batch run left three artifacts
+    * ([[batchArtifacts]]): the surviving `corpus`, the exact-set sketch, and
+    * the exact-set fingerprints. Today only the NEW batch is scored, sketched,
     * and joined — cost scales with |batch| (× bucket collision rate for the
     * cross near-dup join), never with corpus size.
     *
@@ -107,12 +106,15 @@ object CorpusPrep {
       Seq(idCol))
     // anti-join on fingerprint: the corpus-sized side shuffles once per
     // ingest — or never, if the fingerprint artifact is written bucketed on
-    // fingerprint (same trick as Bucketing; the batch side is tiny either way)
+    // fingerprint (same trick as Bucketing; the batch side is tiny either way).
+    // newExact is batch-sized and consumed three times (both pair generators
+    // + the final anti-join) — materialize it once
     val newExact = Dedup.dedupExact(newQuality, textCol, idCol)
       .withColumn("__fp", TextAnalysis.fingerprint(col(textCol)))
       .join(exactFingerprints.withColumnRenamed("fingerprint", "__fp"),
         Seq("__fp"), "left_anti")
       .drop("__fp")
+      .localCheckpoint(true)
     val newNewLosers = Dedup
       .minhashNearDupPairs(newExact, textCol, idCol, minJaccard = t.minJaccard)
       .select(col("doc_b").as(idCol)).distinct()

@@ -23,6 +23,16 @@ object Bucketing {
       bucketCol: String,
       nBuckets: Int,
       sorted: Boolean = true): Unit = {
+    val spark = df.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    // a PREVIOUS session's table leaves its directory behind with no entry
+    // in this session's in-memory catalog; saveAsTable then refuses the
+    // occupied location — clear the orphan so re-creation is idempotent
+    // across sessions, not just within one
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) { fs.delete(loc, true); () }
     val w = df.write.mode(SaveMode.Overwrite).bucketBy(nBuckets, bucketCol)
     (if (sorted) w.sortBy(bucketCol) else w).saveAsTable(table)
   }

@@ -85,11 +85,9 @@ class DedupSpec extends SparkSpec {
       (13L, "aaa aaa aaa aaa aaa aaa"), // fails quality
       (14L, "structured streaming checkpoints offsets and state between micro batch runs") // exact dup of 12
     ).toDF("doc_id", "text")
-    val incremental = CorpusPrep.prepareCorpusIncrement(
-        corpus = CorpusPrep.prepareCorpus(old, t),
-        exactSketch = CorpusPrep.exactSetSketch(old, t),
-        exactFingerprints = CorpusPrep.exactSetFingerprints(old, t),
-        newDocs = fresh, t = t)
+    val (corpus, sketch, fps) = CorpusPrep.batchArtifacts(old, t)
+    val incremental = CorpusPrep
+      .prepareCorpusIncrement(corpus, sketch, fps, fresh, t = t)
       .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
     val batch = CorpusPrep.prepareCorpus(old.unionByName(fresh), t)
       .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
