@@ -353,6 +353,11 @@ object SparkEntry {
         .select("doc_id", "lang", "source", "n_chars")
         .orderBy("doc_id")
     },
+    // first BPE merge step: adjacent char-pair counts over the frequency-
+    // weighted vocabulary (pair counting never touches the corpus again)
+    "q124_bpe_merge_pairs" -> { (s, d) =>
+      TextAnalysis.bpeMergeCandidates(TestData.documents(s, d), k = 20)
+    },
     // corpus-LM quality proxy: mean unigram log-prob under the corpus's own
     // add-one-smoothed model (the CCNet/KenLM filter shape); DECIMAL-summed
     "q119_unigram_logprob" -> { (s, d) =>
@@ -612,6 +617,13 @@ object SparkEntry {
     "q116_bucketed_join" -> { (s, d) =>
       graft.relational.Bucketing.bucketedOrderVolume(
         s, Tables.lineitem(s, d), Tables.orders(s, d))
+    },
+    // per-group exact quantile, fully distributed: located bucket via a
+    // cumulative window over histogram rows, no driver-side bin state
+    "q123_grouped_quantile" -> { (s, d) =>
+      Relational.groupedExactQuantile(Tables.lineitem(s, d),
+          groupCol = "l_returnflag", valCol = "l_extendedprice", q = 0.5)
+        .orderBy("l_returnflag")
     },
     // exact quantile in two passes (histogram -> single-bucket sort):
     // no global sort, no approx - the answer must equal the rank formula
@@ -1488,6 +1500,29 @@ object SparkEntry {
         | count(*) AS line_count
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the per-group rank definition the distributed locator must reproduce
+    "q123_grouped_quantile" ->
+      """WITH v AS (
+        |  SELECT l_returnflag AS g, l_extendedprice::DOUBLE AS v FROM lineitem
+        |  WHERE l_extendedprice IS NOT NULL),
+        |n AS (SELECT g, count(*) AS n FROM v GROUP BY 1),
+        |r AS (SELECT g, v, row_number() OVER (PARTITION BY g ORDER BY v) AS rn FROM v)
+        |SELECT r.g AS l_returnflag, 0.5::DOUBLE AS q, n.n AS n, r.v AS value
+        |FROM r JOIN n USING (g)
+        |WHERE rn = CAST(ceil(0.5 * n.n) AS BIGINT)
+        |ORDER BY l_returnflag""".stripMargin,
+    "q124_bpe_merge_pairs" ->
+      """WITH toks AS (
+        |  SELECT unnest(string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')), ' ')) AS w
+        |  FROM documents),
+        |words AS (SELECT w, count(*) AS freq FROM toks WHERE w <> '' GROUP BY 1),
+        |pairs AS (
+        |  SELECT substring(w, CAST(pi + 1 AS INT), 2) AS pair, freq
+        |  FROM (SELECT w, freq, unnest(range(length(w) - 1)) AS pi
+        |        FROM words WHERE length(w) >= 2))
+        |SELECT pair, count(*) AS n_words, CAST(sum(freq) AS BIGINT) AS total_count
+        |FROM pairs GROUP BY 1
+        |ORDER BY total_count DESC, pair LIMIT 20""".stripMargin,
     // the brute-force rank definition the two-pass trick must reproduce
     "q109_exact_quantile" ->
       """WITH v AS (

@@ -206,6 +206,36 @@ object TextAnalysis {
           .as("avg_logprob"))
   }
 
+  /** The first BPE merge step: corpus-wide adjacent character-pair
+    * frequencies, weighted by word frequency — exactly the statistic a BPE
+    * tokenizer trainer maximizes per merge round (Sennrich et al.; a full
+    * trainer iterates merge → re-segment, each round this same aggregate
+    * over the current symbol sequences). Top-k candidates by total count,
+    * deterministic (count desc, pair asc) tie-break.
+    *
+    * Scale shape: tokens aggregate to 〈word, freq〉 FIRST (vocabulary-sized
+    * — this is what makes BPE training tractable: pair counting is over the
+    * vocab weighted by freq, never over the corpus), then each distinct
+    * word explodes into its ≤ len−1 pairs; the shuffle carries 〈pair,
+    * partial〉 rows. Output: pair, n_words, total_count. */
+  def bpeMergeCandidates(
+      docs: DataFrame, k: Int = 20,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val words = docs
+      .select(explode(tokens(col(textCol))).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+    words
+      .filter(length(col("w")) >= 2)
+      .select(col("w"), col("freq"),
+        explode(transform(sequence(lit(1), length(col("w")) - 1),
+          i => col("w").substr(i, lit(2)))).as("pair"))
+      .groupBy("pair")
+      .agg(count(lit(1)).as("n_words"), sum("freq").as("total_count"))
+      .orderBy(desc("total_count"), col("pair"))
+      .limit(k)
+  }
+
   /** Corpus-wide top-k n-grams by document frequency (distinct docs
     * containing the n-gram) with total occurrence count alongside — the
     * boilerplate detector: its output is what feeds a `maxShingleDf`-style

@@ -476,6 +476,54 @@ object Relational {
     Some((value, n, level, if (answer.isDefined) 0L else cnt))
   }
 
+  /** GROUP-WISE exact quantile, fully distributed — the per-group sibling of
+    * [[exactQuantileTwoPass]] with NO driver-side state (the global version
+    * collects bin counts; per group that would be #groups·bins rows of
+    * driver state, which dies at high cardinality). Shape:
+    * pass 1 aggregates per-group (min, max, n); the histogram groups on
+    * (group, bin) and the located bucket comes from a cumulative-count
+    * window over ≤ bins rows per group (never data rows); pass 2 joins the
+    * located-bucket frame back (aggregate-sized, broadcast) and ranks ONLY
+    * each group's bucket rows (~n_g/bins) in a per-group window. All-equal
+    * groups degrade to ranking their whole group — correct, linear, and
+    * confined to that group. Output: groupCol, q, n, value. */
+  def groupedExactQuantile(
+      df: DataFrame, groupCol: String, valCol: String, q: Double,
+      bins: Int = 1024): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(q > 0 && q <= 1, s"q must be in (0,1], got $q")
+    val vals = df.select(col(groupCol).as("g"), col(valCol).cast("double").as("v"))
+      .filter(col("v").isNotNull)
+    val stats = vals.groupBy("g")
+      .agg(min("v").as("lo"), max("v").as("hi"), count(lit(1)).as("n"))
+    def binOf = when(col("hi") === col("lo"), lit(0)).otherwise(
+      least(lit(bins - 1),
+        floor((col("v") - col("lo")) / ((col("hi") - col("lo")) / bins)).cast("int")))
+    val hist = vals.join(broadcast(stats), "g")
+      .groupBy(col("g"), binOf.as("bin"))
+      .agg(count(lit(1)).as("c"))
+    // located bucket per group: first bin whose cumulative count reaches
+    // k = ceil(q·n) — a window over the group's ≤ bins histogram rows
+    val wBins = Window.partitionBy("g").orderBy("bin")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val located = hist
+      .join(broadcast(stats.select(col("g"),
+        ceil(lit(q) * col("n")).cast("long").as("k"))), "g")
+      .withColumn("cum", sum("c").over(wBins))
+      .filter(col("cum") >= col("k"))
+      .groupBy("g")
+      .agg(min_by(struct(col("bin"), (col("cum") - col("c")).as("before")),
+        col("bin")).as("t"))
+      .select(col("g"), col("t.bin").as("target"), col("t.before"))
+    val wRank = Window.partitionBy("g").orderBy("v")
+    vals.join(broadcast(stats), "g")
+      .join(broadcast(located), "g")
+      .filter(binOf === col("target"))
+      .withColumn("rn", row_number().over(wRank))
+      .filter(col("rn") === ceil(lit(q) * col("n")).cast("long") - col("before"))
+      .select(col("g").as(groupCol), lit(q).as("q"), col("n"), col("v").as("value"))
+  }
+
   /** Peak interval concurrency per group: the sweep-line classic — each
     * interval becomes a +1 event at its start and a −1 at its end
     * (half-open [start, end): an interval ending exactly when another

@@ -206,6 +206,36 @@ class OpsSpec extends SparkSpec {
     assert(v2 === 42.0 && sr2 === 0L)
   }
 
+  test("grouped exact quantile: per-group medians, all-equal group, matches global on one group") {
+    import graft.relational.Relational
+    val df = ((1 to 100).map(i => ("a", i.toDouble)) ++
+      (1 to 10).map(i => ("b", i * 10.0)) ++
+      (1 to 7).map(_ => ("c", 42.0))).toDF("g", "x")
+    val out = Relational.groupedExactQuantile(df, "g", "x", q = 0.5, bins = 8)
+      .collect().map(r => r.getString(0) -> ((r.getLong(2), r.getDouble(3)))).toMap
+    assert(out("a") === ((100L, 50.0)))  // ceil(.5*100)=50th smallest
+    assert(out("b") === ((10L, 50.0)))   // 5th of 10,20,...,100
+    assert(out("c") === ((7L, 42.0)))    // all-equal group
+    // law: each group's answer equals the single-column two-pass answer
+    (Seq("a", "b", "c")).foreach { g =>
+      val solo = Relational.exactQuantileTwoPass(
+        df.filter(col("g") === g), "x", 0.5, bins = 8).collect().head.getDouble(2)
+      assert(out(g)._2 === solo, s"group $g diverged from the global operator")
+    }
+  }
+
+  test("bpe merge candidates: frequency-weighted pair counts from the vocab") {
+    import graft.analysis.TextAnalysis
+    val docs = Seq(
+      (1L, "aba aba cd"), (2L, "aba x")   // vocab: aba(3), cd(1), x(1)
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.bpeMergeCandidates(docs, k = 10).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // aba -> pairs ab, ba (1 word each, weight 3); cd -> cd (weight 1);
+    // single-char x contributes nothing
+    assert(out === Map("ab" -> ((1L, 3L)), "ba" -> ((1L, 3L)), "cd" -> ((1L, 1L))))
+  }
+
   test("perceptual near-dups: decode stub tokenizes like the engine, bands find pairs") {
     import graft.analysis.Multimodal
     val docs = Seq(
