@@ -353,6 +353,12 @@ object SparkEntry {
         .select("doc_id", "lang", "source", "n_chars")
         .orderBy("doc_id")
     },
+    // content-defined-chunk media dedup: frame-hash set jaccard via an
+    // inverted-index join - the re-encode/concat catcher beside q98's phash
+    "q125_chunk_overlap" -> { (s, d) =>
+      Multimodal.chunkOverlapPairs(TestData.documents(s, d), minJaccard = 0.5)
+        .orderBy("doc_a", "doc_b")
+    },
     // first BPE merge step: adjacent char-pair counts over the frequency-
     // weighted vocabulary (pair counting never touches the corpus again)
     "q124_bpe_merge_pairs" -> { (s, d) =>
@@ -1511,6 +1517,24 @@ object SparkEntry {
         |FROM r JOIN n USING (g)
         |WHERE rn = CAST(ceil(0.5 * n.n) AS BIGINT)
         |ORDER BY l_returnflag""".stripMargin,
+    // q76's frame sampling + md5 chunk hashes -> distinct-set jaccard
+    "q125_chunk_overlap" ->
+      """WITH c AS (SELECT doc_id, text,
+        |  CAST(ceil(octet_length(encode(text)) / 64.0) AS INT) AS n_chunks FROM documents),
+        |f AS (
+        |  SELECT DISTINCT doc_id, md5(substring(text, frame_idx * 64 + 1, 64)) AS h
+        |  FROM (SELECT doc_id, CAST(unnest(list_filter(range(0, n_chunks), i -> i % 4 = 0)) AS INT) AS frame_idx, text
+        |        FROM c WHERE n_chunks > 0)),
+        |sz AS (SELECT doc_id, count(*) AS n FROM f GROUP BY 1),
+        |common AS (
+        |  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS c
+        |  FROM f x JOIN f y ON x.h = y.h AND x.doc_id < y.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT doc_a, doc_b, c AS n_shared,
+        |  round(CAST(c AS DOUBLE) / (sa.n + sb.n - c), 4) AS jaccard
+        |FROM common JOIN sz sa ON doc_a = sa.doc_id JOIN sz sb ON doc_b = sb.doc_id
+        |WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.5
+        |ORDER BY doc_a, doc_b""".stripMargin,
     "q124_bpe_merge_pairs" ->
       """WITH toks AS (
         |  SELECT unnest(string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')), ' ')) AS w

@@ -194,6 +194,55 @@ object Multimodal {
     }
   }
 
+  /** Chunk-overlap media near-dup pairs: sample frames ([[sampleFrames]]),
+    * hash each frame's bytes, and score media pairs by Jaccard over their
+    * DISTINCT frame-hash sets via an inverted-index join on the hash — the
+    * content-defined-chunking dedup shape used for video/audio at scale
+    * (same join skeleton as Dedup.ngramJaccardPairs, with frame hashes in
+    * place of shingles). Complements [[perceptualNearDupPairs]]: pHash
+    * catches small visual edits, chunk overlap catches re-encodes/
+    * concatenations that share exact byte runs.
+    *
+    * Scale shape: frames aggregate to 〈doc, hash〉 distinct rows (bytes
+    * never join); `maxChunkDf` is the same quadratic-fan-out guard as the
+    * shingle cutoff — a chunk shared by m media contributes m²/2 join rows
+    * (think silence/black frames), and dropping high-df chunks only biases
+    * the estimate LOW. Output: doc_a, doc_b, n_shared, jaccard. */
+  def chunkOverlapPairs(
+      docs: DataFrame,
+      chunkBytes: Int = 64,
+      stride: Int = 4,
+      minJaccard: Double = 0.5,
+      maxChunkDf: Long = Long.MaxValue): DataFrame = {
+    val sets = sampleFrames(attachBinary(docs), chunkBytes, stride)
+      .select(col("doc_id"), md5(col("frame")).as("h"))
+      .distinct()
+      .persist()
+    try {
+      val sizes = sets.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val inv =
+        if (maxChunkDf == Long.MaxValue) sets
+        else sets.join(
+          sets.groupBy("h").agg(count(lit(1)).as("df"))
+            .filter(col("df") <= maxChunkDf).select("h"), "h")
+      val common = inv.as("x")
+        .join(inv.as("y"),
+          col("x.h") === col("y.h") && col("x.doc_id") < col("y.doc_id"))
+        .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+        .agg(count(lit(1)).as("n_shared"))
+      val result = common
+        .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
+        .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
+        .withColumn("jaccard",
+          col("n_shared").cast(DoubleType) /
+            (col("na") + col("nb") - col("n_shared")).cast(DoubleType))
+        .filter(col("jaccard") >= minJaccard)
+        .select(col("doc_a"), col("doc_b"), col("n_shared"),
+          round(col("jaccard"), 4).as("jaccard"))
+      result.localCheckpoint(true)
+    } finally { sets.unpersist(); () }
+  }
+
   /** Frame sampling: cut the binary into fixed-size chunks and keep every
     * `stride`-th one — the shape of video frame extraction (explode stays a
     * built-in generator; rows grow by n_frames/stride only). */

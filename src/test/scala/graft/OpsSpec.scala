@@ -206,6 +206,26 @@ class OpsSpec extends SparkSpec {
     assert(v2 === 42.0 && sr2 === 0L)
   }
 
+  test("chunk-overlap media near-dups: identical media 1.0, df cutoff only lowers") {
+    import graft.analysis.Multimodal
+    val base = ("x" * 64) + ("y" * 64) * 4 + ("z" * 64) * 4  // chunks 0,4,8 sampled
+    val docs = Seq(
+      (1L, base), (2L, base),                      // identical -> jaccard 1.0
+      (3L, ("q" * 64) + ("y" * 64) * 4 + ("w" * 64) * 4) // shares chunk 4 ("y"*64)
+    ).toDF("doc_id", "text")
+    val out = Multimodal.chunkOverlapPairs(docs, minJaccard = 0.1)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(out((1L, 2L)) === ((3L, 1.0)))
+    assert(out((1L, 3L))._2 < 1.0 && out((1L, 3L))._1 === 1L)
+    // a df cutoff drops the chunk shared by all three docs -> estimate can
+    // only fall (biased LOW, same semantics as the shingle cutoff)
+    val cut = Multimodal.chunkOverlapPairs(docs, minJaccard = 0.0, maxChunkDf = 2L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    cut.foreach { case (k, j) => assert(j <= out.get(k).map(_._2).getOrElse(1.0)) }
+    assert(!cut.contains((1L, 3L))) // their only shared chunk had df 3 > 2
+  }
+
   test("grouped exact quantile: per-group medians, all-equal group, matches global on one group") {
     import graft.relational.Relational
     val df = ((1 to 100).map(i => ("a", i.toDouble)) ++
