@@ -353,6 +353,13 @@ object SparkEntry {
         .select("doc_id", "lang", "source", "n_chars")
         .orderBy("doc_id")
     },
+    // winsorized min-max scaling: percentile-clipped robust normalizer,
+    // cutpoints broadcast, scaling a pure projection
+    "q126_winsorized_scale" -> { (s, d) =>
+      graft.analysis.Features.winsorizedScale(Tables.orders(s, d),
+          idCol = "o_orderkey", valCol = "o_totalprice")
+        .orderBy("o_orderkey")
+    },
     // content-defined-chunk media dedup: frame-hash set jaccard via an
     // inverted-index join - the re-encode/concat catcher beside q98's phash
     "q125_chunk_overlap" -> { (s, d) =>
@@ -1517,6 +1524,18 @@ object SparkEntry {
         |FROM r JOIN n USING (g)
         |WHERE rn = CAST(ceil(0.5 * n.n) AS BIGINT)
         |ORDER BY l_returnflag""".stripMargin,
+    // percentile(array) == quantile_cont(list) parity (q68/q112 recipe)
+    "q126_winsorized_scale" ->
+      """WITH cuts AS (
+        |  SELECT quantile_cont(o_totalprice::DOUBLE, [0.05, 0.95]) AS c FROM orders),
+        |d AS (
+        |  SELECT o_orderkey, o_totalprice::DOUBLE AS value, c[1] AS lo, c[2] AS hi
+        |  FROM orders CROSS JOIN cuts WHERE o_totalprice IS NOT NULL)
+        |SELECT o_orderkey, value,
+        |  round(least(greatest(value, lo), hi), 6) AS clipped,
+        |  CASE WHEN hi = lo THEN 0.5::DOUBLE
+        |       ELSE round((least(greatest(value, lo), hi) - lo) / (hi - lo), 6) END AS scaled
+        |FROM d ORDER BY o_orderkey""".stripMargin,
     // q76's frame sampling + md5 chunk hashes -> distinct-set jaccard
     "q125_chunk_overlap" ->
       """WITH c AS (SELECT doc_id, text,

@@ -27,15 +27,20 @@ object CountMin {
   def bucketOf(value: Column, row: Int, width: Int): Column =
     pmod(Sketches.hash60(concat(lit(s"$row|"), value.cast("string"))), lit(width))
 
+  /** All `depth` cells of a value as one generator — the single-pass form
+    * shared by the batch build and the streaming twin (a union of depth
+    * projections would scan the source depth times). */
+  def cellsOf(value: Column, depth: Int, width: Int): Column =
+    explode(array((0 until depth).map(r =>
+      struct(lit(r).as("row"), bucketOf(value, r, width).as("bucket"))): _*))
+
   /** Build the sketch grid: one row per (row, bucket) with its summed
     * count — at most depth×width rows, via one grouped aggregate whose
     * map-side partials are the per-partition sketch merge. */
-  def build(df: DataFrame, keyCol: String, depth: Int = 4, width: Int = 256): DataFrame = {
-    val rows = (0 until depth).map { r =>
-      df.select(lit(r).as("row"), bucketOf(col(keyCol), r, width).as("bucket"))
-    }.reduce(_ union _)
-    rows.groupBy("row", "bucket").agg(count(lit(1)).as("c"))
-  }
+  def build(df: DataFrame, keyCol: String, depth: Int = 4, width: Int = 256): DataFrame =
+    df.select(cellsOf(col(keyCol), depth, width).as("cell"))
+      .select(col("cell.row").as("row"), col("cell.bucket").as("bucket"))
+      .groupBy("row", "bucket").agg(count(lit(1)).as("c"))
 
   /** Point-estimate the frequency of each distinct probe key against the
     * sketch: join each probe's depth cells, take the min counter. Missing

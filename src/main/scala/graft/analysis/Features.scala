@@ -56,4 +56,30 @@ object Features {
             (col("__n") - 1).cast("double"), 6)))
       .select(idCol, categoryCol, targetCol, "loo_mean")
   }
+
+  /** Winsorized min-max scaling: clip a numeric feature at the [pLow, pHigh]
+    * percentiles, then scale the clipped value into [0, 1] — the robust
+    * normalizer every feature pipeline applies where raw min-max would let
+    * one outlier compress the whole distribution into a corner. Percentile
+    * cutpoints come from ONE `percentile` aggregate (exact; swap
+    * percentile_approx at 100 TB — same plumbing) broadcast as a 1-row
+    * frame, so scaling is a pure projection afterward. Degenerate spread
+    * (lo == hi) scales to 0.5 — mid-range, not a divide-by-zero.
+    * Output: idCol, value, clipped, scaled (round 6). */
+  def winsorizedScale(
+      df: DataFrame, idCol: String, valCol: String,
+      pLow: Double = 0.05, pHigh: Double = 0.95): DataFrame = {
+    require(pLow >= 0 && pHigh <= 1 && pLow < pHigh, s"bad percentile range [$pLow, $pHigh]")
+    val cuts = df.agg(
+      percentile(col(valCol).cast("double"), array(lit(pLow), lit(pHigh))).as("c"))
+      .select(element_at(col("c"), 1).as("lo"), element_at(col("c"), 2).as("hi"))
+    df.select(col(idCol), col(valCol).cast("double").as("value"))
+      .filter(col("value").isNotNull)
+      .crossJoin(broadcast(cuts))
+      .withColumn("clipped", least(greatest(col("value"), col("lo")), col("hi")))
+      .withColumn("scaled",
+        when(col("hi") === col("lo"), lit(0.5))
+          .otherwise(round((col("clipped") - col("lo")) / (col("hi") - col("lo")), 6)))
+      .select(col(idCol), col("value"), round(col("clipped"), 6).as("clipped"), col("scaled"))
+  }
 }

@@ -40,4 +40,24 @@ class FeaturesSpec extends SparkSpec {
     assert(out(3L) === Some(15.0)) // (10+20)/2
     assert(out(4L) === None)       // singleton category
   }
+
+  test("winsorized scale: outliers clip to the percentile fence, all-equal scales to 0.5") {
+    // 1..99 uniform plus one huge outlier: p95 fence clips it
+    val df = ((1 to 99).map(i => (i.toLong, i.toDouble)) :+ (100L, 1e9))
+      .toDF("id", "v")
+    val out = Features.winsorizedScale(df, "id", "v").collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(2), r.getDouble(3)))).toMap
+    val (loClip, hiClip) = (out(1L)._1, out(100L)._1)
+    assert(out(100L)._1 < 1e9)                 // outlier clipped at p95
+    assert(out(100L)._2 === 1.0)               // ...and scales to the top
+    assert(out(1L)._2 === 0.0)                 // low fence scales to 0
+    assert(out(50L)._1 === 50.0)               // interior values untouched
+    out.values.foreach { case (c, s) =>
+      assert(c >= loClip && c <= hiClip && s >= 0.0 && s <= 1.0)
+    }
+    // degenerate spread: every value equal -> scaled 0.5, no divide-by-zero
+    val flat = (1 to 10).map(i => (i.toLong, 7.0)).toDF("id", "v")
+    Features.winsorizedScale(flat, "id", "v").collect()
+      .foreach(r => assert(r.getDouble(3) === 0.5))
+  }
 }
