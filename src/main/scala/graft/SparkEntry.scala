@@ -96,6 +96,16 @@ object SparkEntry {
         .withColumnRenamed("id", "document_id")
         .orderBy("document_id")
     },
+    // community detection over the co-click graph: synchronous LPA, 3
+    // unrolled rounds, (count desc, label asc) tie-break - the whole loop
+    // is gated, like q56/q108
+    "q127_label_propagation" -> { (s, d) =>
+      val edges = Graphs.cooccurrenceEdges(
+        TestData.clicks(s, d), "session_id", "document_id", maxPerKey = 100)
+      Graphs.labelPropagation(edges, rounds = 3)
+        .withColumnRenamed("id", "document_id")
+        .orderBy("document_id")
+    },
     // per-node triangle counts over the co-click graph: degree-ordered
     // orientation (compact-forward) bounds wedge fan-out at O(√m) per node
     // — hub-proof where a naive neighbor-pair join is quadratic in degree
@@ -2871,6 +2881,39 @@ object SparkEntry {
         |  GROUP BY nd.id)
         |SELECT id AS document_id, r * (SELECT n FROM nn) AS pagerank
         |FROM p5 ORDER BY document_id""".stripMargin,
+    // q56's graph CTEs + 3 unrolled LPA sweeps; the row_number tie-break
+    // (count desc, label asc) mirrors the engine's struct-min argmax
+    "q127_label_propagation" ->
+      """WITH clicks AS (
+        |  SELECT DISTINCT CAST(user_id AS VARCHAR) AS sid, CAST(props->>'$.k' AS INTEGER) AS doc
+        |  FROM events WHERE CAST(props->>'$.k' AS INTEGER) IS NOT NULL),
+        |ok AS (SELECT sid FROM clicks GROUP BY sid HAVING count(*) <= 100),
+        |ce AS (
+        |  SELECT a.doc AS src, b.doc AS dst
+        |  FROM clicks a JOIN ok USING (sid) JOIN clicks b ON a.sid = b.sid AND a.doc < b.doc
+        |  GROUP BY 1, 2),
+        |sym AS (SELECT src AS u, dst AS v FROM ce UNION ALL SELECT dst AS u, src AS v FROM ce),
+        |l0 AS (SELECT DISTINCT u AS id, u AS label FROM sym),
+        |r1 AS (
+        |  SELECT id, label FROM (
+        |    SELECT s.u AS id, l.label, count(*) AS c,
+        |      row_number() OVER (PARTITION BY s.u ORDER BY count(*) DESC, l.label) AS rn
+        |    FROM sym s JOIN l0 l ON s.v = l.id GROUP BY s.u, l.label)
+        |  WHERE rn = 1),
+        |r2 AS (
+        |  SELECT id, label FROM (
+        |    SELECT s.u AS id, l.label, count(*) AS c,
+        |      row_number() OVER (PARTITION BY s.u ORDER BY count(*) DESC, l.label) AS rn
+        |    FROM sym s JOIN r1 l ON s.v = l.id GROUP BY s.u, l.label)
+        |  WHERE rn = 1),
+        |r3 AS (
+        |  SELECT id, label FROM (
+        |    SELECT s.u AS id, l.label, count(*) AS c,
+        |      row_number() OVER (PARTITION BY s.u ORDER BY count(*) DESC, l.label) AS rn
+        |    FROM sym s JOIN r2 l ON s.v = l.id GROUP BY s.u, l.label)
+        |  WHERE rn = 1)
+        |SELECT id AS document_id, label AS community FROM r3
+        |ORDER BY document_id""".stripMargin,
     "q56_doc_pagerank" ->
       """WITH clicks AS (
         |  SELECT DISTINCT CAST(user_id AS VARCHAR) AS sid, CAST(props->>'$.k' AS INTEGER) AS doc

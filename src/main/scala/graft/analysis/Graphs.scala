@@ -333,6 +333,39 @@ object Graphs {
     * Deterministic tie-break (weight desc, neighbor asc) keeps the list
     * stable across runs and engines.
     * Output: item, rec, weight, rank (1..k). */
+  /** Synchronous label propagation (community detection): every node starts
+    * as its own community, and each round adopts the most frequent label
+    * among its neighbors — deterministic via the (count desc, label asc)
+    * tie-break, which is what makes the whole loop oracle-checkable where
+    * async/randomized LPA is not. `rounds` is a small constant: LPA
+    * converges in a few sweeps on co-occurrence graphs, and a fixed unroll
+    * is replayable in SQL (same policy as [[pageRank]]).
+    *
+    * Scale shape per round: one equi-join of the symmetric edge list with
+    * the label frame (shuffle on node id; the payload is 〈node, label〉
+    * only — never adjacency), one grouped count, one argmax aggregate.
+    * The 3-round chain stays fully lazy — no mid-loop action, so Catalyst
+    * sees the whole plan and each round references its predecessor once
+    * (plan growth linear, the q86 lesson).
+    * Output: id, community (the propagated label). */
+  def labelPropagation(edges: DataFrame, rounds: Int = 3): DataFrame = {
+    val sym = edges.select(col("src").as("u"), col("dst").as("v"))
+      .union(edges.select(col("dst").as("u"), col("src").as("v")))
+    var labels = sym.select(col("u").as("id")).distinct()
+      .withColumn("label", col("id"))
+    for (_ <- 1 to rounds) {
+      labels = sym
+        .join(labels.withColumnRenamed("id", "v"), "v")
+        .groupBy(col("u").as("id"), col("label"))
+        .agg(count(lit(1)).as("c"))
+        // lexicographic struct min = (count desc, label asc) argmax
+        .groupBy("id")
+        .agg(min(struct((-col("c")).as("nc"), col("label"))).as("best"))
+        .select(col("id"), col("best.label").as("label"))
+    }
+    labels.select(col("id"), col("label").as("community"))
+  }
+
   def covisitationRecs(
       edges: DataFrame,
       k: Int = 3,

@@ -140,4 +140,17 @@ class GraphsSpec extends SparkSpec {
     // a landmark absent from the graph contributes no rows
     assert(Graphs.shortestPaths(edges, landmarks = Seq(99), maxHops = 2).count() === 0)
   }
+
+  test("label propagation: barbell graph splits into its two triangles, deterministic") {
+    // triangles {1,2,3} and {4,5,6} bridged by 3-4; hand-unrolled 3 sweeps
+    // with the (count desc, label asc) tie-break land on labels 1 and 3
+    val edges = Seq((1, 2), (1, 3), (2, 3), (4, 5), (4, 6), (5, 6), (3, 4))
+      .toDF("src", "dst")
+    val out = Graphs.labelPropagation(edges, rounds = 3)
+      .collect().map(r => r.getInt(0) -> r.getInt(1)).toMap
+    assert(out === Map(1 -> 1, 2 -> 1, 3 -> 1, 4 -> 3, 5 -> 3, 6 -> 3))
+    val again = Graphs.labelPropagation(edges, rounds = 3)
+      .collect().map(r => r.getInt(0) -> r.getInt(1)).toMap
+    assert(again === out)
+  }
 }
