@@ -96,6 +96,24 @@ object SparkEntry {
         .withColumnRenamed("id", "document_id")
         .orderBy("document_id")
     },
+    // DBSCAN-shape density clustering: core/border/noise roles over the
+    // LSH-bucketed cosine pair graph, CC on the core subgraph only
+    "q129_density_clusters" -> { (s, d) =>
+      Similarity.densityClusters(TestData.embeddings(s, d),
+          Similarity.axisSignSignature(_, 6), minCosine = 0.2, minPts = 2)
+        .orderBy("vec_id")
+    },
+    // hybrid-search rank fusion: RRF of the by-clicks and by-sessions
+    // top-100 lists - rank-based, so incomparable scores need no calibration
+    "q128_rrf_fusion" -> { (s, d) =>
+      val clicks = TestData.clicks(s, d).filter(col("document_id").isNotNull)
+      graft.analysis.SearchRank.reciprocalRankFusion(
+        clicks.groupBy("document_id").agg(count(lit(1)).as("n_clicks")),
+        clicks.groupBy("document_id").agg(countDistinct("session_id").as("n_sessions")),
+        idCol = "document_id",
+        orderA = Seq(desc("n_clicks")), orderB = Seq(desc("n_sessions")))
+        .select("document_id", "rank_a", "rank_b", "rrf")
+    },
     // community detection over the co-click graph: synchronous LPA, 3
     // unrolled rounds, (count desc, label asc) tie-break - the whole loop
     // is gated, like q56/q108
@@ -2881,6 +2899,68 @@ object SparkEntry {
         |  GROUP BY nd.id)
         |SELECT id AS document_id, r * (SELECT n FROM nn) AS pagerank
         |FROM p5 ORDER BY document_id""".stripMargin,
+    // q39's bucketed pair SQL at 0.2 + degree roles + recursive closure
+    // over the core-core subgraph + min-cluster border attachment
+    "q129_density_clusters" ->
+      """WITH RECURSIVE e AS (
+        |  SELECT vec_id, embedding,
+        |    CAST(list_sum(list_transform(range(6), j ->
+        |      CASE WHEN embedding[CAST(j + 1 AS INT)] >= 0 THEN (1 << j) ELSE 0 END)) AS BIGINT) AS bucket
+        |  FROM embeddings),
+        |p AS (
+        |  SELECT x.vec_id AS doc_a, y.vec_id AS doc_b
+        |  FROM e x JOIN e y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+        |  WHERE list_sum(list_transform(range(1, len(x.embedding) + 1),
+        |        i -> CAST(x.embedding[i] AS DOUBLE) * CAST(y.embedding[i] AS DOUBLE)))
+        |      / (sqrt(list_sum(list_transform(range(1, len(x.embedding) + 1),
+        |            i -> CAST(x.embedding[i] AS DOUBLE) * CAST(x.embedding[i] AS DOUBLE))))
+        |         * sqrt(list_sum(list_transform(range(1, len(y.embedding) + 1),
+        |            i -> CAST(y.embedding[i] AS DOUBLE) * CAST(y.embedding[i] AS DOUBLE)))))
+        |        >= 0.2),
+        |sym AS (SELECT doc_a AS id, doc_b AS nb FROM p UNION ALL SELECT doc_b, doc_a FROM p),
+        |core AS (SELECT id FROM sym GROUP BY id HAVING count(*) >= 2),
+        |csym AS (
+        |  SELECT doc_a AS a, doc_b AS b FROM p
+        |  WHERE doc_a IN (SELECT id FROM core) AND doc_b IN (SELECT id FROM core)
+        |  UNION
+        |  SELECT doc_b AS a, doc_a AS b FROM p
+        |  WHERE doc_a IN (SELECT id FROM core) AND doc_b IN (SELECT id FROM core)),
+        |reach(id, r) AS (
+        |  SELECT id, id FROM core
+        |  UNION
+        |  SELECT reach.id, csym.b FROM reach JOIN csym ON csym.a = reach.r),
+        |cl AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id),
+        |border AS (
+        |  SELECT s.id, min(cl.cluster_id) AS cluster_id
+        |  FROM sym s JOIN cl ON s.nb = cl.id
+        |  WHERE s.id NOT IN (SELECT id FROM core)
+        |  GROUP BY s.id)
+        |SELECT v.vec_id,
+        |  CASE WHEN cl.id IS NOT NULL THEN 'core'
+        |       WHEN border.id IS NOT NULL THEN 'border' ELSE 'noise' END AS role,
+        |  COALESCE(cl.cluster_id, border.cluster_id) AS cluster_id
+        |FROM embeddings v
+        |LEFT JOIN cl ON v.vec_id = cl.id
+        |LEFT JOIN border ON v.vec_id = border.id
+        |ORDER BY vec_id""".stripMargin,
+    "q128_rrf_fusion" ->
+      """WITH c AS (
+        |  SELECT CAST(props->>'$.k' AS INTEGER) AS doc, CAST(user_id AS VARCHAR) AS sid
+        |  FROM events WHERE CAST(props->>'$.k' AS INTEGER) IS NOT NULL),
+        |a AS (
+        |  SELECT doc, rank_a FROM (
+        |    SELECT doc, row_number() OVER (ORDER BY count(*) DESC, doc) AS rank_a
+        |    FROM c GROUP BY doc)
+        |  WHERE rank_a <= 100),
+        |b AS (
+        |  SELECT doc, rank_b FROM (
+        |    SELECT doc, row_number() OVER (ORDER BY count(DISTINCT sid) DESC, doc) AS rank_b
+        |    FROM c GROUP BY doc)
+        |  WHERE rank_b <= 100)
+        |SELECT COALESCE(a.doc, b.doc) AS document_id, rank_a, rank_b,
+        |  round(COALESCE(1.0::DOUBLE / (60 + rank_a), 0) + COALESCE(1.0::DOUBLE / (60 + rank_b), 0), 6) AS rrf
+        |FROM a FULL OUTER JOIN b ON a.doc = b.doc
+        |ORDER BY rrf DESC, document_id""".stripMargin,
     // q56's graph CTEs + 3 unrolled LPA sweeps; the row_number tie-break
     // (count desc, label asc) mirrors the engine's struct-min argmax
     "q127_label_propagation" ->

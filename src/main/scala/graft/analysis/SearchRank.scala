@@ -18,6 +18,38 @@ import org.apache.spark.sql.types.DoubleType
   */
 object SearchRank {
 
+  /** Reciprocal-rank fusion (Cormack et al., SIGIR'09) of two top-k
+    * rankings — the standard hybrid-search combiner (lexical ⊕ semantic,
+    * clicks ⊕ freshness): rrf(d) = Σ_lists 1/(c + rank_d), summing only
+    * over the lists that contain d. Rank-based, so incomparable scores
+    * fuse without calibration.
+    *
+    * Scale shape: each input list reduces to its top-k FIRST
+    * (TakeOrderedAndProject — per-partition heaps, the q06 rule), so the
+    * rank windows and the fusion join run over 2k rows, never corpus rows.
+    * Deterministic throughout: both orderings and the final ordering
+    * tie-break on the id. Output: idCol, rank_a, rank_b (null = absent
+    * from that list), rrf (round 6), ordered rrf desc. */
+  def reciprocalRankFusion(
+      listA: DataFrame, listB: DataFrame, idCol: String,
+      orderA: Seq[Column], orderB: Seq[Column],
+      k: Int = 100, c: Int = 60): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def ranked(df: DataFrame, order: Seq[Column], rankCol: String) = {
+      val top = df.orderBy(order :+ col(idCol): _*).limit(k)
+      top.withColumn(rankCol,
+        row_number().over(Window.orderBy(order :+ col(idCol): _*)))
+        .select(col(idCol), col(rankCol))
+    }
+    val a = ranked(listA, orderA, "rank_a")
+    val b = ranked(listB, orderB, "rank_b")
+    a.join(b, Seq(idCol), "full_outer")
+      .withColumn("rrf", round(
+        coalesce(lit(1.0) / (lit(c) + col("rank_a")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(c) + col("rank_b")), lit(0.0)), 6))
+      .orderBy(desc("rrf"), col(idCol))
+  }
+
   /** Corpus size + per-term document frequencies in ONE aggregate pass:
     * the scan tokenizes each document once and emits n plus one
     * contains-count per term. */

@@ -314,4 +314,53 @@ object Similarity {
         col("x.bucket") === col("y.bucket") && col("x.id") < col("y.id")),
       minCosine)
   }
+
+  /** Density-based clustering over embeddings — the DBSCAN shape, composed
+    * from the gated neighbor-pair generator and connected components:
+    * CORE points have ≥ `minPts` neighbors within the cosine ball
+    * (exclusive of self), clusters are connected components of the
+    * core–core pair graph, BORDER points attach to the smallest cluster id
+    * among their core neighbors, everything else is NOISE. The standard way
+    * to organize a near-dup-rich corpus into groups denser than pairwise
+    * thresholds alone: chains of borderline pairs don't chain clusters
+    * unless the interior is dense.
+    *
+    * Scale shape: pairs come from the LSH-bucketed generator (sub-quadratic
+    * — the same q39 path), degrees/roles are one grouped count, the CC runs
+    * on the core subgraph only (pointer-jumping, [[Dedup.dedupClusters]]),
+    * and border attachment is one join from the symmetric pair list.
+    * Output: idCol, role (core/border/noise), cluster_id (null for noise). */
+  def densityClusters(
+      corpus: DataFrame,
+      signatureOf: Column => Column,
+      minCosine: Double,
+      minPts: Int,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val pairs = embeddingNearDupPairsWith(corpus, signatureOf, minCosine, idCol, vecCol)
+      .select("doc_a", "doc_b")
+    val sym = pairs.select(col("doc_a").as("id"), col("doc_b").as("nb"))
+      .union(pairs.select(col("doc_b").as("id"), col("doc_a").as("nb")))
+    val core = sym.groupBy("id").agg(count(lit(1)).as("deg"))
+      .filter(col("deg") >= minPts).select("id")
+    val corePairs = pairs
+      .join(core.select(col("id").as("doc_a")), Seq("doc_a"), "left_semi")
+      .join(core.select(col("id").as("doc_b")), Seq("doc_b"), "left_semi")
+    val clusters = graft.analysis.Dedup
+      .dedupClusters(corePairs, core.select(col("id").as("doc_id")))
+      .select(col("doc_id").as("id"), col("cluster_id"))
+    // border: not core, but adjacent to ≥1 core point — inherit the
+    // smallest core neighbor's cluster (deterministic attachment)
+    val border = sym
+      .join(clusters.withColumnRenamed("id", "nb"), "nb")
+      .join(core, Seq("id"), "left_anti")
+      .groupBy("id").agg(min("cluster_id").as("cluster_id"))
+    val assigned = clusters.withColumn("role", lit("core"))
+      .unionByName(border.withColumn("role", lit("border")))
+    corpus.select(col(idCol).as("id"))
+      .join(assigned, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        coalesce(col("role"), lit("noise")).as("role"),
+        col("cluster_id"))
+  }
 }

@@ -79,6 +79,27 @@ class SimilaritySpec extends SparkSpec {
     assert(part.map(_.toSeq).toSeq === part2.map(_.toSeq).toSeq)
   }
 
+  test("density clusters: star core/border, isolated pair and singleton are noise") {
+    import graft.analysis.Similarity
+    val c15 = math.cos(math.toRadians(15)).toFloat
+    val s15 = math.sin(math.toRadians(15)).toFloat
+    val pts = Seq(
+      (1L, Array(1.0f, 0.0f)),    // center: pairs with 2 and 3 -> deg 2 -> core
+      (2L, Array(c15, s15)),      // leaf: pairs only with 1 -> border
+      (3L, Array(c15, -s15)),     // leaf: pairs only with 1 -> border
+      (5L, Array(0.0f, 1.0f)),    // no pairs -> noise
+      (6L, Array(-1.0f, 0.02f)),  // mutual pair 6-7, but neither is core:
+      (7L, Array(-1.0f, -0.02f))  //   a lone pair is noise, not a cluster
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.densityClusters(pts, _ => lit(0L), minCosine = 0.95, minPts = 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), if (r.isNullAt(2)) -1L else r.getLong(2)))).toMap
+    assert(out(1L) === (("core", 1L)))
+    assert(out(2L) === (("border", 1L)) && out(3L) === (("border", 1L)))
+    assert(out(5L) === (("noise", -1L)))
+    assert(out(6L) === (("noise", -1L)) && out(7L) === (("noise", -1L)))
+  }
+
   test("embedding near-dup pairs finds the close pair at high threshold") {
     val pairs = Similarity.embeddingNearDupPairs(vecs, dim = 3, minCosine = 0.95, nPlanes = 4)
       .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")))
