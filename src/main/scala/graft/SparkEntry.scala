@@ -881,6 +881,12 @@ object SparkEntry {
       graft.analysis.Sketches.distinctEstimate(
         Tables.events(s, d), groupCol = "event_type", valueCol = "user_id", k = 64)
     },
+    // HLL registers beside q84's KMV on the same question: 64 registers,
+    // rho from hex leading-zeros (no log2-of-double), small-range corrected
+    "q130_hll_distinct" -> { (s, d) =>
+      graft.analysis.Sketches.hllEstimate(
+        Tables.events(s, d), groupCol = "event_type", valueCol = "user_id")
+    },
     // sketch mergeability: per-day sketches merged into one union estimate —
     // the property exact distinct counts lack (no rescan of history)
     "q85_kmv_union" -> { (s, d) =>
@@ -2067,6 +2073,41 @@ object SparkEntry {
         |FROM walk GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // replicates the bottom-64 KMV sketch bit-for-bit: same 60-bit md5 hash,
     // same (k-1)/U(k) estimator, exact below k distinct values
+    // HLL registers rebuilt from the same md5 hex: bucket = first 2 chars
+    // mod 64, rho = leading-zero chars + nibble CASE (never log2-of-double)
+    "q130_hll_distinct" ->
+      """WITH h AS (
+        |  SELECT event_type, md5(user_id::VARCHAR) AS hex FROM events),
+        |t AS (
+        |  SELECT event_type,
+        |    CAST(('0x' || substring(hex, 1, 2))::BIGINT % 64 AS INT) AS bucket,
+        |    substring(hex, 3, 13) AS tail,
+        |    length(regexp_extract(substring(hex, 3, 13), '^(0*)', 1)) AS z
+        |  FROM h),
+        |rr AS (
+        |  SELECT event_type, bucket,
+        |    CASE WHEN z = 13 THEN 53
+        |         ELSE 4 * z + CASE WHEN ('0x' || substring(tail, CAST(z + 1 AS INT), 1))::BIGINT >= 8 THEN 1
+        |                           WHEN ('0x' || substring(tail, CAST(z + 1 AS INT), 1))::BIGINT >= 4 THEN 2
+        |                           WHEN ('0x' || substring(tail, CAST(z + 1 AS INT), 1))::BIGINT >= 2 THEN 3
+        |                           ELSE 4 END
+        |    END AS rho
+        |  FROM t),
+        |regs AS (SELECT event_type, bucket, max(rho) AS reg FROM rr GROUP BY 1, 2),
+        |agg AS (
+        |  SELECT event_type, count(*) AS used,
+        |    sum(CAST(pow(2.0, -reg) AS DECIMAL(38,30))) AS s_present
+        |  FROM regs GROUP BY 1),
+        |fin AS (
+        |  SELECT event_type,
+        |    CAST(s_present AS DOUBLE) + (64 - used) AS s,
+        |    64 - used AS v
+        |  FROM agg)
+        |SELECT event_type,
+        |  round(CASE WHEN (0.709::DOUBLE * 64 * 64) / s <= 160 AND v > 0
+        |             THEN 64.0::DOUBLE * ln(64.0::DOUBLE / v)
+        |             ELSE (0.709::DOUBLE * 64 * 64) / s END, 4) AS est_distinct
+        |FROM fin ORDER BY event_type""".stripMargin,
     "q84_kmv_distinct" ->
       """WITH h AS (
         |  SELECT DISTINCT event_type,

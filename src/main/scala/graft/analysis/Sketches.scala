@@ -109,6 +109,59 @@ object Sketches {
   /** Per-group distinct-count estimates: one pass, O(k) state per group.
     * Output: groupCol, est_distinct (sorted by groupCol).
     */
+  /** HyperLogLog distinct estimate — the register-family sibling of the
+    * bottom-k KMV sketch: m=64 registers, each holding the max "leading-
+    * zero rank" ρ seen in its bucket; est = α·m²/Σ2^(−M_j), with Flajolet's
+    * small-range correction m·ln(m/V) while raw ≤ 2.5m and V empty
+    * registers remain. State is 64 small ints per group FOREVER (vs KMV's
+    * k longs): the tightest distinct state there is, mergeable by register-
+    * wise max.
+    *
+    * What makes THIS HLL oracle-checkable where library HLLs are not: the
+    * hash is the engine's portable md5 scheme, the bucket is the first 2
+    * hex chars mod 64, and ρ is computed from the NEXT 13 hex chars by
+    * counting leading zero chars + a CASE over the first non-zero nibble —
+    * no log2-of-double anywhere (floor(ln x/ln 2) flips at powers of two
+    * between engines), so registers, Σ, and the estimate replay exactly.
+    * Register sums accumulate in DECIMAL(38,30) — 2^(−53) is far below
+    * double-sum reordering noise. Output: groupCol, est_distinct (round 4). */
+  def hllEstimate(
+      df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    val m = 64
+    val alpha = 0.709 // α_64, Flajolet et al. 2007
+    val dec = org.apache.spark.sql.types.DecimalType(38, 30)
+    val hex = md5(col(valueCol).cast("string"))
+    val tail = substring(hex, 3, 13) // 52 bits after the bucket chars
+    val z = length(regexp_extract(tail, "^(0*)", 1))
+    val nib = conv(substring(tail, z + 1, lit(1)), 16, 10).cast("int")
+    val rho = when(z === 13, lit(53)).otherwise(
+      lit(4) * z +
+        when(nib >= 8, 1).when(nib >= 4, 2).when(nib >= 2, 3).otherwise(4))
+    val regs = df
+      .select(col(groupCol),
+        (conv(substring(hex, 1, 2), 16, 10).cast("int") % m).as("bucket"),
+        rho.as("rho"))
+      .groupBy(groupCol, "bucket")
+      .agg(max("rho").as("reg"))
+    regs
+      .groupBy(groupCol)
+      .agg(count(lit(1)).as("used"),
+        sum(pow(lit(2.0), -col("reg")).cast(dec)).as("s_present"))
+      // empty registers contribute 2^0 = 1 each to Σ and count toward V;
+      // added in DOUBLE after the decimal register sum (a decimal ADD would
+      // hit Spark's precision-promotion scale reduction and desync engines)
+      .withColumn("s", col("s_present").cast("double") + (lit(m) - col("used")).cast("double"))
+      .withColumn("v", lit(m) - col("used"))
+      .withColumn("raw", lit(alpha * m * m) / col("s"))
+      .select(col(groupCol),
+        round(
+          when(col("raw") <= 2.5 * m && col("v") > 0,
+            lit(m.toDouble) * log(lit(m.toDouble) / col("v")))
+            .otherwise(col("raw")),
+          4).as("est_distinct"))
+      .orderBy(groupCol)
+  }
+
   def distinctEstimate(
       df: DataFrame, groupCol: String, valueCol: String, k: Int = 64): DataFrame = {
     val bottomK = udaf(new BottomK(k), Encoders.scalaLong)

@@ -41,6 +41,22 @@ class SketchesSpec extends SparkSpec {
     assert(merged === single) // mergeability: bit-identical, not just close
   }
 
+  test("hll estimate: within register-sketch error of truth, small range near-exact") {
+    import spark.implicits._
+    val big = (1 to 5000).map(i => ("big", s"u$i")) ++
+      (1 to 30).map(i => ("small", s"v${i % 12}")) // 12 distinct, repeated
+    val out = Sketches.hllEstimate(big.toDF("g", "v"), "g", "v")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // m=64 registers -> relative error ~1.04/sqrt(64) = 13%; allow 3 sigma
+    assert(math.abs(out("big") - 5000) / 5000.0 < 0.4, s"big est ${out("big")}")
+    // small range: the m*ln(m/V) correction is near-exact well below m
+    assert(math.abs(out("small") - 12) < 3, s"small est ${out("small")}")
+    // deterministic: same input, same estimate to the digit
+    val again = Sketches.hllEstimate(big.toDF("g", "v"), "g", "v")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(again === out)
+  }
+
   test("hash60 is non-negative and stable") {
     val out = spark.range(1).select(
       Sketches.hash60(lit("a")).as("h1"), Sketches.hash60(lit("a")).as("h2"),
