@@ -96,6 +96,19 @@ object SparkEntry {
         .withColumnRenamed("id", "document_id")
         .orderBy("document_id")
     },
+    // RAG/pretraining passage chunking: overlapping fixed-token windows,
+    // one generator per doc, codegen'd slices, no shuffle
+    "q131_passage_chunks" -> { (s, d) =>
+      CorpusPrep.chunkPassages(TestData.documents(s, d),
+          windowTokens = 64, strideTokens = 48)
+        .orderBy("doc_id", "passage_idx")
+    },
+    // hash-based m-out-of-n bootstrap: replayable replicate membership,
+    // DECIMAL-exact replicate means, quantile-band CI
+    "q132_subsample_ci" -> { (s, d) =>
+      graft.analysis.Stats.subsampleCI(Tables.orders(s, d),
+        idCol = "o_orderkey", valCol = "o_totalprice")
+    },
     // DBSCAN-shape density clustering: core/border/noise roles over the
     // LSH-bucketed cosine pair graph, CC on the core subgraph only
     "q129_density_clusters" -> { (s, d) =>
@@ -2940,6 +2953,33 @@ object SparkEntry {
         |  GROUP BY nd.id)
         |SELECT id AS document_id, r * (SELECT n FROM nn) AS pagerank
         |FROM p5 ORDER BY document_id""".stripMargin,
+    "q131_passage_chunks" ->
+      """WITH t AS (
+        |  SELECT doc_id, list_filter(string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')), ' '), x -> x <> '') AS toks
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, toks, CAST(unnest(range(0, len(toks), 48)) AS INT) AS start
+        |  FROM t WHERE len(toks) > 0)
+        |SELECT doc_id, CAST(start / 48 AS INT) AS passage_idx,
+        |  len(toks[start+1:start+64]) AS n_tokens,
+        |  array_to_string(toks[start+1:start+64], ' ') AS passage
+        |FROM s ORDER BY doc_id, passage_idx""".stripMargin,
+    "q132_subsample_ci" ->
+      """WITH v AS (
+        |  SELECT o_orderkey AS id, o_totalprice::DOUBLE AS v FROM orders
+        |  WHERE o_totalprice IS NOT NULL),
+        |r AS (SELECT id, v, unnest(range(20)) AS rep FROM v),
+        |sel AS (
+        |  SELECT rep, v FROM r
+        |  WHERE ('0x' || substring(md5(rep::VARCHAR || '|' || id::VARCHAR), 1, 8))::BIGINT % 10000 < 5000),
+        |m AS (SELECT rep, CAST(sum(CAST(v AS DECIMAL(28,8))) AS DOUBLE) / count(*) AS m FROM sel GROUP BY rep),
+        |band AS (SELECT quantile_cont(m, [0.025, 0.975]) AS q FROM m),
+        |tot AS (
+        |  SELECT count(*) AS n,
+        |    CAST(sum(CAST(v AS DECIMAL(28,8))) AS DOUBLE) / count(*) AS mean_raw
+        |  FROM v)
+        |SELECT n, round(mean_raw, 6) AS mean, round(q[1], 6) AS ci_lo, round(q[2], 6) AS ci_hi
+        |FROM tot CROSS JOIN band""".stripMargin,
     // q39's bucketed pair SQL at 0.2 + degree roles + recursive closure
     // over the core-core subgraph + min-cluster border attachment
     "q129_density_clusters" ->

@@ -185,6 +185,35 @@ object CorpusPrep {
           .otherwise(lit(0.0)))
   }
 
+  /** Passage chunking — the RAG/pretraining windowing step: split each
+    * document into fixed-size token windows with overlap (stride <
+    * window), so no boundary-spanning fact is lost to a hard cut. One
+    * generator per document (rows grow by ⌈n/stride⌉), the slice and
+    * reassembly are codegen'd array ops, no shuffle at all — the operator
+    * composes with downstream dedup/embedding exactly like any projection.
+    * Output: idCol, passage_idx (0-based window ordinal), n_tokens,
+    * passage (space-joined window). Empty docs produce no passages. */
+  def chunkPassages(
+      docs: DataFrame,
+      windowTokens: Int = 64,
+      strideTokens: Int = 48,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    require(windowTokens > 0 && strideTokens > 0 && strideTokens <= windowTokens,
+      s"need 0 < stride <= window, got stride=$strideTokens window=$windowTokens")
+    docs
+      .select(col(idCol),
+        array_remove(TextAnalysis.tokens(col(textCol)), "").as("toks"))
+      .filter(size(col("toks")) > 0)
+      .select(col(idCol), col("toks"),
+        explode(sequence(lit(0), size(col("toks")) - 1, lit(strideTokens)))
+          .as("start"))
+      .select(col(idCol),
+        (col("start") / strideTokens).cast("int").as("passage_idx"),
+        size(slice(col("toks"), col("start") + 1, lit(windowTokens))).as("n_tokens"),
+        concat_ws(" ", slice(col("toks"), col("start") + 1, lit(windowTokens))).as("passage"))
+  }
+
   /** Data-mixing weights: per-source token mass vs a UNIFORM target mixture
     * — the rebalancing step a multi-source training run applies so one
     * giant crawl doesn't drown the curated sources. weight_s multiplies a

@@ -22,6 +22,46 @@ object Stats {
     when(conv(substring(md5(unit.cast("string")), 1, 1), 16, 10) % 2 === 0, "A")
       .otherwise("B")
 
+  /** Deterministic subsample confidence interval for a mean — hash-based
+    * m-out-of-n bootstrap: `replicates` half-samples, each selected by the
+    * replayable md5 gate (replicate id salted into the hash, so replicates
+    * are independent draws yet every one of them re-selects the SAME rows
+    * on any engine, run, or retry — what rand()-based bootstraps lose),
+    * and the CI is the [α/2, 1−α/2] quantile band of the replicate means.
+    * Uncertainty quantification at corpus scale with zero RNG state.
+    *
+    * Scale shape: one explode (rows × replicates — bound `replicates`
+    * accordingly), one grouped DECIMAL mean per replicate (map-side
+    * combinable; exact, so replicate means are bit-stable), then the
+    * quantile runs over `replicates` scalars. Output (1 row): n, mean,
+    * ci_lo, ci_hi (round 6). */
+  def subsampleCI(
+      df: DataFrame, idCol: String, valCol: String,
+      replicates: Int = 20, fraction: Double = 0.5,
+      alpha: Double = 0.05): DataFrame = {
+    require(replicates > 1 && fraction > 0 && fraction < 1 && alpha > 0 && alpha < 1)
+    val dec = org.apache.spark.sql.types.DecimalType(28, 8)
+    val buckets = 10000
+    val vals = df.select(col(idCol).as("id"), col(valCol).cast("double").as("v"))
+      .filter(col("v").isNotNull)
+    val gate = conv(substring(
+        md5(concat(col("rep").cast("string"), lit("|"), col("id").cast("string"))),
+        1, 8), 16, 10).cast("long") % buckets
+    val repMeans = vals
+      .withColumn("rep", explode(sequence(lit(0), lit(replicates - 1))))
+      .filter(gate < lit((fraction * buckets).toLong))
+      .groupBy("rep")
+      .agg((sum(col("v").cast(dec)).cast("double") / count(lit(1))).as("m"))
+    val band = repMeans.agg(
+      percentile(col("m"), array(lit(alpha / 2), lit(1 - alpha / 2))).as("q"))
+      .select(element_at(col("q"), 1).as("ci_lo_raw"), element_at(col("q"), 2).as("ci_hi_raw"))
+    vals.agg(count(lit(1)).as("n"),
+        (sum(col("v").cast(dec)).cast("double") / count(lit(1))).as("mean_raw"))
+      .crossJoin(band)
+      .select(col("n"), round(col("mean_raw"), 6).as("mean"),
+        round(col("ci_lo_raw"), 6).as("ci_lo"), round(col("ci_hi_raw"), 6).as("ci_hi"))
+  }
+
   /** Two-proportion z-test between arms A and B of `df`.
     *
     * Input grain: one row per (unit, outcome) observation; the unit's

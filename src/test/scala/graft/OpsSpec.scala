@@ -206,6 +206,34 @@ class OpsSpec extends SparkSpec {
     assert(v2 === 42.0 && sr2 === 0L)
   }
 
+  test("passage chunking: overlapping windows, short tail, empty doc drops") {
+    import graft.analysis.CorpusPrep
+    val docs = Seq(
+      (1L, "t1 t2 t3 t4 t5 t6 t7 t8 t9 t10"),
+      (2L, "")
+    ).toDF("doc_id", "text")
+    val out = CorpusPrep.chunkPassages(docs, windowTokens = 4, strideTokens = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> ((r.getInt(2), r.getString(3))))
+      .toMap
+    assert(out((1L, 0)) === ((4, "t1 t2 t3 t4")))
+    assert(out((1L, 1)) === ((4, "t4 t5 t6 t7")))   // 1-token overlap
+    assert(out((1L, 2)) === ((4, "t7 t8 t9 t10")))
+    assert(out((1L, 3)) === ((1, "t10")))           // short tail window
+    assert(out.size === 4)                          // empty doc: no passages
+  }
+
+  test("subsample CI: band brackets the mean, deterministic replay") {
+    import graft.analysis.Stats
+    val df = (1 to 2000).map(i => (i.toLong, 100.0 + (i % 50))).toDF("id", "v")
+    val out = Stats.subsampleCI(df, "id", "v").collect().head
+    val (n, mean, lo, hi) = (out.getLong(0), out.getDouble(1), out.getDouble(2), out.getDouble(3))
+    assert(n === 2000L)
+    assert(lo < hi && lo <= mean && mean <= hi)
+    assert(math.abs(mean - 124.5) < 1e-6) // 100 + avg(0..49) = 100 + 24.5
+    val again = Stats.subsampleCI(df, "id", "v").collect().head
+    assert(again.toSeq === out.toSeq)
+  }
+
   test("chunk-overlap media near-dups: identical media 1.0, df cutoff only lowers") {
     import graft.analysis.Multimodal
     val base = ("x" * 64) + ("y" * 64) * 4 + ("z" * 64) * 4  // chunks 0,4,8 sampled
