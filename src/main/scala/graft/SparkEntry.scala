@@ -96,6 +96,19 @@ object SparkEntry {
         .withColumnRenamed("id", "document_id")
         .orderBy("document_id")
     },
+    // seasonal-naive anomaly detection: each (day, hour) load vs the
+    // MEDIAN load of that hour across days (robust baseline, no model fit)
+    "q133_seasonal_anomalies" -> { (s, d) =>
+      TimeSeries.seasonalAnomalies(TestData.clicks(s, d), tsCol = "event_ts")
+        .orderBy("event_date", "hour")
+    },
+    // mutual information between event type and hour-of-day: chi-square's
+    // "how strong" companion, DECIMAL-summed over the observed grid
+    "q134_mutual_information" -> { (s, d) =>
+      graft.analysis.Stats.mutualInformation(
+        TestData.clicks(s, d).withColumn("hour", hour(col("event_ts"))),
+        aCol = "event_type", bCol = "hour")
+    },
     // RAG/pretraining passage chunking: overlapping fixed-token windows,
     // one generator per doc, codegen'd slices, no shuffle
     "q131_passage_chunks" -> { (s, d) =>
@@ -2953,6 +2966,27 @@ object SparkEntry {
         |  GROUP BY nd.id)
         |SELECT id AS document_id, r * (SELECT n FROM nn) AS pagerank
         |FROM p5 ORDER BY document_id""".stripMargin,
+    "q133_seasonal_anomalies" ->
+      """WITH hourly AS (
+        |  SELECT CAST(ts AS DATE) AS event_date, hour(CAST(ts AS TIMESTAMP)) AS "hour", count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |base AS (SELECT "hour", quantile_cont(n, 0.5) AS baseline_median FROM hourly GROUP BY 1)
+        |SELECT event_date, hourly."hour" AS "hour", n, baseline_median,
+        |  round(n / baseline_median, 4) AS ratio,
+        |  n > 2.0::DOUBLE * baseline_median AS anomalous
+        |FROM hourly JOIN base ON hourly."hour" = base."hour"
+        |ORDER BY event_date, hourly."hour"""".stripMargin,
+    "q134_mutual_information" ->
+      """WITH c AS (
+        |  SELECT event_type AS a, hour(CAST(ts AS TIMESTAMP)) AS b FROM events),
+        |g AS (SELECT a, b, count(*) AS c FROM c GROUP BY 1, 2),
+        |ma AS (SELECT a, CAST(sum(c) AS BIGINT) AS ca FROM g GROUP BY 1),
+        |mb AS (SELECT b, CAST(sum(c) AS BIGINT) AS cb FROM g GROUP BY 1),
+        |t AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM g)
+        |SELECT n,
+        |  round(CAST(sum(CAST((g.c::DOUBLE / n) * ln(n::DOUBLE * g.c::DOUBLE / (ca::DOUBLE * cb::DOUBLE)) AS DECIMAL(28,12))) AS DOUBLE), 6) AS mi
+        |FROM g JOIN ma USING (a) JOIN mb USING (b) CROSS JOIN t
+        |GROUP BY n""".stripMargin,
     "q131_passage_chunks" ->
       """WITH t AS (
         |  SELECT doc_id, list_filter(string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')), ' '), x -> x <> '') AS toks

@@ -62,6 +62,32 @@ object Stats {
         round(col("ci_lo_raw"), 6).as("ci_lo"), round(col("ci_hi_raw"), 6).as("ci_hi"))
   }
 
+  /** Mutual information between two categorical columns — the
+    * dependence-strength companion to [[chiSquare]] (χ² answers "is there
+    * dependence", MI answers "how many nats of it"): I = Σ p(x,y)·ln(p(x,y)
+    * /(p(x)p(y))), summed over the observed grid. Feature-selection /
+    * leakage-screening workhorse. One grouped count to grid granularity,
+    * margins derived from the grid (no second scan), terms DECIMAL-summed
+    * so the statistic is bit-stable across partitionings and engines.
+    * Output (1 row): n, mi (nats, round 6). */
+  def mutualInformation(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(28, 12)
+    val grid = df.groupBy(col(aCol).as("a"), col(bCol).as("b"))
+      .agg(count(lit(1)).as("c")).persist()
+    try {
+      val ma = grid.groupBy("a").agg(sum("c").as("ca"))
+      val mb = grid.groupBy("b").agg(sum("c").as("cb"))
+      val n = grid.agg(sum("c")).collect().head.getLong(0)
+      val result = grid.join(broadcast(ma), "a").join(broadcast(mb), "b")
+        .select(((col("c").cast("double") / n) *
+          log(lit(n.toDouble) * col("c").cast("double") /
+            (col("ca").cast("double") * col("cb").cast("double"))))
+          .cast(dec).as("term"))
+        .agg(lit(n).as("n"), round(sum("term").cast("double"), 6).as("mi"))
+      result.localCheckpoint(true)
+    } finally { grid.unpersist(); () }
+  }
+
   /** Two-proportion z-test between arms A and B of `df`.
     *
     * Input grain: one row per (unit, outcome) observation; the unit's

@@ -21,6 +21,28 @@ import org.apache.spark.sql.functions._
   */
 object TimeSeries {
 
+  /** Seasonal-naive anomaly detection: compare each (day, hour) load
+    * against the MEDIAN load of that hour-of-day across all days — the
+    * ops-monitoring baseline that catches "3am looks like 3pm" without any
+    * model fit, robust to the handful of genuinely anomalous days that
+    * would poison a mean baseline. One aggregate to (day, hour) grain, one
+    * median per hour (24-row broadcast), then a projection.
+    * Output: event_date, hour, n, baseline_median, ratio (round 4),
+    * anomalous (n > factor·median). */
+  def seasonalAnomalies(
+      events: DataFrame, tsCol: String, factor: Double = 2.0): DataFrame = {
+    val hourly = events
+      .groupBy(to_date(col(tsCol)).as("event_date"), hour(col(tsCol)).as("hour"))
+      .agg(count(lit(1)).as("n"))
+    val base = hourly.groupBy("hour")
+      .agg(percentile(col("n"), lit(0.5)).as("baseline_median"))
+    hourly.join(broadcast(base), "hour")
+      .select(col("event_date"), col("hour"), col("n"),
+        col("baseline_median"),
+        round(col("n") / col("baseline_median"), 4).as("ratio"),
+        (col("n") > lit(factor) * col("baseline_median")).as("anomalous"))
+  }
+
   /** Gaps-and-islands: maximal runs of CONSECUTIVE active days per key.
     *
     * The classic row_number trick: within a key, day - row_number(day) is

@@ -49,4 +49,16 @@ class StatsSpec extends SparkSpec {
     val r2 = Stats.chiSquare(dep, "x", "y").collect().head
     assert(r2.getAs[Double]("chi2") === 1000.0) // perfect association: chi2 = n
   }
+
+  test("mutual information: zero for independent columns, ln 2 for a perfect copy") {
+    // independent: every (a, b) cell equally likely
+    val ind = (for { a <- Seq("x", "y"); b <- Seq(0, 1); _ <- 1 to 25 } yield (a, b))
+      .toDF("a", "b")
+    val mi0 = Stats.mutualInformation(ind, "a", "b").collect().head.getDouble(1)
+    assert(math.abs(mi0) < 1e-9)
+    // b is a function of a, both uniform over 2 values -> I = H = ln 2
+    val dep2 = (1 to 100).map(i => (if (i % 2 == 0) "x" else "y", i % 2)).toDF("a", "b")
+    val mi1 = Stats.mutualInformation(dep2, "a", "b").collect().head.getDouble(1)
+    assert(math.abs(mi1 - math.log(2)) < 1e-6)
+  }
 }

@@ -109,4 +109,21 @@ class TimeSeriesSpec extends SparkSpec {
     val flat = (1 to 20).map(i => ("k", i, 5.0)).toDF("k", "t", "v")
     assert(TimeSeries.levelShifts(flat, "k", "t", "v", 7, 0.1).count() === 0)
   }
+
+  test("seasonal anomalies: hour-of-day median baseline flags only the spiked day") {
+    // hour 9 on 3 days: 10, 10, 40 events; hour 10 steady at 6
+    val rows =
+      (1 to 10).map(i => s"2026-01-01 09:00:${i % 60}") ++
+      (1 to 10).map(i => s"2026-01-02 09:00:${i % 60}") ++
+      (1 to 40).map(i => s"2026-01-03 09:${i % 2}0:00") ++
+      (1 to 6).flatMap(i => Seq(s"2026-01-01 10:00:0$i", s"2026-01-02 10:00:0$i", s"2026-01-03 10:00:0$i"))
+    val df = rows.toDF("s").select(to_timestamp(col("s")).as("ts"))
+    val out = TimeSeries.seasonalAnomalies(df, "ts")
+      .collect().map(r => (r.getDate(0).toString, r.getInt(1)) -> ((r.getLong(2), r.getBoolean(5))))
+      .toMap
+    assert(out(("2026-01-03", 9)) === ((40L, true)))   // 40 > 2 x median 10
+    assert(out(("2026-01-01", 9)) === ((10L, false)))
+    assert(out(("2026-01-02", 10)) === ((6L, false)))  // steady hour never flags
+    assert(out.values.count(_._2) === 1)
+  }
 }
