@@ -499,7 +499,10 @@ object Relational {
     def binOf = when(col("hi") === col("lo"), lit(0)).otherwise(
       least(lit(bins - 1),
         floor((col("v") - col("lo")) / ((col("hi") - col("lo")) / bins)).cast("int")))
-    val hist = vals.join(broadcast(stats), "g")
+    // stats/located are #groups-sized: no broadcast HINT — AQE broadcasts
+    // them while they fit and falls back to a shuffle join on g at high
+    // group cardinality, where forcing broadcast would OOM the driver
+    val hist = vals.join(stats, "g")
       .groupBy(col("g"), binOf.as("bin"))
       .agg(count(lit(1)).as("c"))
     // located bucket per group: first bin whose cumulative count reaches
@@ -507,8 +510,8 @@ object Relational {
     val wBins = Window.partitionBy("g").orderBy("bin")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val located = hist
-      .join(broadcast(stats.select(col("g"),
-        ceil(lit(q) * col("n")).cast("long").as("k"))), "g")
+      .join(stats.select(col("g"),
+        ceil(lit(q) * col("n")).cast("long").as("k")), "g")
       .withColumn("cum", sum("c").over(wBins))
       .filter(col("cum") >= col("k"))
       .groupBy("g")
@@ -516,8 +519,8 @@ object Relational {
         col("bin")).as("t"))
       .select(col("g"), col("t.bin").as("target"), col("t.before"))
     val wRank = Window.partitionBy("g").orderBy("v")
-    vals.join(broadcast(stats), "g")
-      .join(broadcast(located), "g")
+    vals.join(stats, "g")
+      .join(located, "g")
       .filter(binOf === col("target"))
       .withColumn("rn", row_number().over(wRank))
       .filter(col("rn") === ceil(lit(q) * col("n")).cast("long") - col("before"))
