@@ -96,6 +96,23 @@ object SparkEntry {
         .withColumnRenamed("id", "document_id")
         .orderBy("document_id")
     },
+    // point-in-time SCD2 lookup - the feature-store "no leakage" join:
+    // each purchase sees the dimension version valid AT its timestamp
+    // (q55's intervals tile the timeline, so the as-of on valid_from IS
+    // interval membership); composes two gated operators
+    "q135_pit_lookup" -> { (s, d) =>
+      val clicks = TestData.clicks(s, d)
+      val dim = graft.relational.ChangeCapture.scd2Intervals(
+        clicks.filter(col("event_type") === "click"),
+        keyCol = "session_id", attrCol = "document_id", tsCol = "event_ts")
+      val facts = clicks.filter(col("event_type") === "purchase")
+        .select("session_id", "event_id", "event_ts")
+      graft.relational.TemporalJoin.asofJoin(
+          facts, dim, key = "session_id",
+          leftTime = "event_ts", rightTime = "valid_from",
+          rightPayload = Seq("document_id"), rightPrefix = "dim_")
+        .orderBy("event_id")
+    },
     // seasonal-naive anomaly detection: each (day, hour) load vs the
     // MEDIAN load of that hour across days (robust baseline, no model fit)
     "q133_seasonal_anomalies" -> { (s, d) =>
@@ -2966,6 +2983,31 @@ object SparkEntry {
         |  GROUP BY nd.id)
         |SELECT id AS document_id, r * (SELECT n FROM nn) AS pagerank
         |FROM p5 ORDER BY document_id""".stripMargin,
+    // q55's change-point SQL restricted to clicks + DuckDB's native ASOF
+    // LEFT JOIN picking the version valid at each purchase
+    "q135_pit_lookup" ->
+      """WITH c AS (
+        |  SELECT CAST(user_id AS VARCHAR) AS session_id,
+        |         CAST(props->>'$.k' AS INTEGER) AS document_id,
+        |         CAST(ts AS TIMESTAMP) AS event_ts
+        |  FROM events WHERE event_type = 'click'),
+        |m AS (
+        |  SELECT session_id, document_id, event_ts,
+        |    lag(document_id) OVER (PARTITION BY session_id ORDER BY event_ts) AS prev_doc,
+        |    row_number() OVER (PARTITION BY session_id ORDER BY event_ts) AS rn
+        |  FROM c),
+        |dim AS (
+        |  SELECT session_id, document_id, event_ts AS valid_from FROM m
+        |  WHERE rn = 1 OR prev_doc IS DISTINCT FROM document_id),
+        |f AS (
+        |  SELECT CAST(user_id AS VARCHAR) AS session_id, event_id,
+        |         CAST(ts AS TIMESTAMP) AS event_ts
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT f.session_id, f.event_id, f.event_ts,
+        |  d.document_id AS dim_document_id, d.valid_from AS dim_valid_from
+        |FROM f ASOF LEFT JOIN dim d
+        |  ON f.session_id = d.session_id AND f.event_ts >= d.valid_from
+        |ORDER BY f.event_id""".stripMargin,
     "q133_seasonal_anomalies" ->
       """WITH hourly AS (
         |  SELECT CAST(ts AS DATE) AS event_date, hour(CAST(ts AS TIMESTAMP)) AS "hour", count(*) AS n

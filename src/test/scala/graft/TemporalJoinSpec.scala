@@ -148,4 +148,33 @@ class TemporalJoinSpec extends SparkSpec {
     assert(banded.orderBy("error_id", "view_id").collect().toSeq ===
       naive.orderBy("error_id", "view_id").collect().toSeq)
   }
+
+  test("point-in-time scd2 lookup (as-of on valid_from) equals interval membership") {
+    import graft.relational.ChangeCapture
+    val history = Seq(
+      ("s1", 10, t("2026-01-01 10:00:00")),
+      ("s1", 20, t("2026-01-01 11:00:00")), // version change
+      ("s1", 20, t("2026-01-01 11:30:00")), // no change: same interval
+      ("s2", 77, t("2026-01-01 09:00:00"))
+    ).toDF("k", "doc", "ts")
+    val dim = ChangeCapture.scd2Intervals(history, "k", "doc", "ts")
+    val facts = Seq(
+      ("s1", 1L, t("2026-01-01 10:30:00")), // inside v1
+      ("s1", 2L, t("2026-01-01 11:00:00")), // boundary: new version inclusive
+      ("s1", 3L, t("2026-01-01 09:00:00")), // before first version -> null
+      ("s2", 4L, t("2026-01-01 12:00:00"))  // open-ended current version
+    ).toDF("k", "fid", "fts")
+    val pit = TemporalJoin.asofJoin(facts, dim, "k", "fts", "valid_from",
+        rightPayload = Seq("doc"), rightPrefix = "dim_")
+      .collect().map(r => r.getLong(1) ->
+        Option(r.get(r.fieldIndex("dim_doc"))).map(_.asInstanceOf[Int])).toMap
+    // the naive definition: the interval containing the fact timestamp
+    val naive = facts.join(dim,
+        facts("k") === dim("k") && col("fts") >= col("valid_from") &&
+          (col("valid_to").isNull || col("fts") < col("valid_to")), "left")
+      .collect().map(r => r.getLong(1) ->
+        Option(r.get(r.fieldIndex("doc"))).map(_.asInstanceOf[Int])).toMap
+    assert(pit === naive)
+    assert(pit === Map(1L -> Some(10), 2L -> Some(20), 3L -> None, 4L -> Some(77)))
+  }
 }
