@@ -113,6 +113,14 @@ object SparkEntry {
           rightPayload = Seq("document_id"), rightPrefix = "dim_")
         .orderBy("event_id")
     },
+    // substring-level dedup (Lee et al. 2022 shape): 8-token sliding
+    // windows fingerprinted BEFORE the shuffle (span text never moves);
+    // spans in >= 2 distinct docs reported with df, occurrence count, and
+    // deterministic struct-min first location
+    "q136_span_dedup" -> { (s, d) =>
+      Dedup.duplicatedSpans(TestData.documents(s, d), spanTokens = 8, minDocs = 2)
+        .orderBy("span_fp")
+    },
     // seasonal-naive anomaly detection: each (day, hour) load vs the
     // MEDIAN load of that hour across days (robust baseline, no model fit)
     "q133_seasonal_anomalies" -> { (s, d) =>
@@ -3008,6 +3016,28 @@ object SparkEntry {
         |FROM f ASOF LEFT JOIN dim d
         |  ON f.session_id = d.session_id AND f.event_ts >= d.valid_from
         |ORDER BY f.event_id""".stripMargin,
+    // q131's tokenization, stride-1 windows, the portable 60-bit md5
+    // fingerprint, and the struct-min first location as a two-level group
+    "q136_span_dedup" ->
+      """WITH t AS (
+        |  SELECT doc_id, list_filter(string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')), ' '), x -> x <> '') AS toks
+        |  FROM documents),
+        |w AS (
+        |  SELECT doc_id, CAST(unnest(range(0, len(toks) - 8 + 1)) AS INT) AS start, toks
+        |  FROM t WHERE len(toks) >= 8),
+        |f AS (
+        |  SELECT doc_id, start,
+        |    ('0x' || substr(md5(array_to_string(toks[start+1:start+8], ' ')), 1, 15))::BIGINT AS span_fp
+        |  FROM w),
+        |a AS (
+        |  SELECT span_fp, count(DISTINCT doc_id) AS n_docs,
+        |         CAST(count(*) AS BIGINT) AS n_occurrences, min(doc_id) AS first_doc
+        |  FROM f GROUP BY 1),
+        |b AS (SELECT span_fp, doc_id, min(start) AS first_start FROM f GROUP BY 1, 2)
+        |SELECT a.span_fp, a.n_docs, a.n_occurrences, a.first_doc, b.first_start
+        |FROM a JOIN b ON a.span_fp = b.span_fp AND a.first_doc = b.doc_id
+        |WHERE a.n_docs >= 2
+        |ORDER BY a.span_fp""".stripMargin,
     "q133_seasonal_anomalies" ->
       """WITH hourly AS (
         |  SELECT CAST(ts AS DATE) AS event_date, hour(CAST(ts AS TIMESTAMP)) AS "hour", count(*) AS n

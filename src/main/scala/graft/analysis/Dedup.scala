@@ -703,4 +703,48 @@ object Dedup {
     connectedComponents(pairs, docs, srcCol = pairA, dstCol = pairB, idCol = idCol)
       .select(col("id").as(idCol), col("component").as("cluster_id"),
         (col("id") === col("component")).as("is_keeper"))
+
+  /** Duplicated-span detection — SUBSTRING-level dedup (the Lee et al.,
+    * ACL 2022 "Deduplicating Training Data Makes Language Models Better"
+    * shape): every contiguous `spanTokens`-token window of every document is
+    * fingerprinted, and spans occurring in at least `minDocs` DISTINCT
+    * documents are reported with document frequency, total occurrence count,
+    * and the lexicographically-first location 〈doc, token offset〉. Document-
+    * level dedup ([[dedupExact]]/[[minhashNearDupPairs]]) misses boilerplate
+    * repeated INSIDE otherwise-distinct documents; this operator is the
+    * standard complement that finds it.
+    *
+    * Scale shape: the window expansion multiplies rows by ~tokens/doc —
+    * inherent to substring dedup — but the span TEXT never shuffles: each
+    * window is reduced to a 60-bit md5 fingerprint inside the projection,
+    * so the exchange carries only 〈fp, doc_id, start〉 and the groupBy is
+    * one hash aggregate with map-side partials. This trades the reference
+    * literature's suffix-array pass (which needs the whole corpus resident)
+    * for a shuffle that is linear in token count and embarrassingly
+    * partitionable — the variant that survives 100 TB. The struct-min gives
+    * a deterministic first location (no arbitrary-row nondeterminism).
+    * Output: span_fp, n_docs, n_occurrences, first_doc, first_start. */
+  def duplicatedSpans(
+      docs: DataFrame,
+      spanTokens: Int = 8,
+      minDocs: Int = 2,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    require(spanTokens > 0 && minDocs > 0,
+      s"need positive spanTokens/minDocs, got $spanTokens/$minDocs")
+    val toks = array_remove(TextAnalysis.tokens(col(textCol)), "")
+    docs
+      .select(col(idCol).as("doc_id"), shingles(toks, spanTokens).as("spans"))
+      .select(col("doc_id"), posexplode(col("spans")).as(Seq("start", "span")))
+      .select(col("doc_id"), col("start"),
+        conv(substring(md5(col("span")), 1, 15), 16, 10).cast(LongType).as("span_fp"))
+      .groupBy("span_fp")
+      .agg(
+        countDistinct("doc_id").as("n_docs"),
+        count(lit(1)).as("n_occurrences"),
+        min(struct(col("doc_id"), col("start"))).as("loc"))
+      .filter(col("n_docs") >= minDocs)
+      .select(col("span_fp"), col("n_docs"), col("n_occurrences"),
+        col("loc.doc_id").as("first_doc"), col("loc.start").cast(IntegerType).as("first_start"))
+  }
 }

@@ -347,4 +347,31 @@ class DedupSpec extends SparkSpec {
     // (1,2): 2+3+4 = 9; (1,3)/(2,3): 2+3-2 = 3 < 5; 4 blocked away
     assert(out.toSeq === Seq((1L, 2L, 9.0)))
   }
+
+  test("duplicated spans: cross-doc boilerplate found, within-doc repeats counted, short docs dropped") {
+    val boiler = "please subscribe to our newsletter for more updates today"
+    val corpus = Seq(
+      (10L, s"alpha beta gamma $boiler delta epsilon"),
+      (20L, s"$boiler something else entirely different here now"),
+      (30L, "unique content with no repeated spans anywhere in this document at all"),
+      (40L, "tiny doc") // < spanTokens tokens -> contributes no windows
+    ).toDF("doc_id", "text")
+    val out = Dedup.duplicatedSpans(corpus, spanTokens = 9, minDocs = 2).collect()
+    // the 9-token boilerplate sentence yields exactly one shared window
+    // per doc (it sits at different offsets, so only the full-sentence
+    // window is common to both)
+    assert(out.length === 1)
+    val r = out.head
+    assert(r.getAs[Long]("n_docs") === 2L)
+    assert(r.getAs[Long]("n_occurrences") === 2L)
+    // struct-min location: doc 10, where the span starts at token 3
+    assert(r.getAs[Long]("first_doc") === 10L)
+    assert(r.getAs[Int]("first_start") === 3)
+    // a doc repeating a span internally counts occurrences but not docs
+    val selfRep = Seq((1L, "x y z x y z x y z")).toDF("doc_id", "text")
+    val rep = Dedup.duplicatedSpans(selfRep, spanTokens = 3, minDocs = 1).collect()
+    val xyz = rep.find(_.getAs[Long]("n_occurrences") >= 3L)
+    assert(xyz.isDefined && xyz.get.getAs[Long]("n_docs") === 1L)
+    assert(Dedup.duplicatedSpans(selfRep, spanTokens = 3, minDocs = 2).isEmpty)
+  }
 }
