@@ -113,6 +113,16 @@ object SparkEntry {
           rightPayload = Seq("document_id"), rightPrefix = "dim_")
         .orderBy("event_id")
     },
+    // k-core decomposition: simultaneous peel of degree<k nodes over the
+    // co-click graph, bounded rounds (fixpoint-stable, SQL-unrollable);
+    // the dense-subgraph filter run before community/centrality passes
+    "q137_kcore" -> { (s, d) =>
+      val edges = Graphs.cooccurrenceEdges(
+        TestData.clicks(s, d), "session_id", "document_id", maxPerKey = 100)
+      Graphs.kCore(edges, k = 3, rounds = 4)
+        .withColumnRenamed("id", "document_id")
+        .orderBy("document_id")
+    },
     // substring-level dedup (Lee et al. 2022 shape): 8-token sliding
     // windows fingerprinted BEFORE the shuffle (span text never moves);
     // spans in >= 2 distinct docs reported with df, occurrence count, and
@@ -3016,6 +3026,28 @@ object SparkEntry {
         |FROM f ASOF LEFT JOIN dim d
         |  ON f.session_id = d.session_id AND f.event_ts >= d.valid_from
         |ORDER BY f.event_id""".stripMargin,
+    // q73's co-click edge CTE + four unrolled simultaneous peels (each
+    // round: degree >= 3 survivors, edges kept iff both endpoints live)
+    "q137_kcore" ->
+      """WITH clicks AS (
+        |  SELECT DISTINCT CAST(user_id AS VARCHAR) AS sid, CAST(props->>'$.k' AS INTEGER) AS doc
+        |  FROM events WHERE CAST(props->>'$.k' AS INTEGER) IS NOT NULL),
+        |ok AS (SELECT sid FROM clicks GROUP BY sid HAVING count(*) <= 100),
+        |ce AS (
+        |  SELECT a.doc AS src, b.doc AS dst
+        |  FROM clicks a JOIN ok USING (sid) JOIN clicks b ON a.sid = b.sid AND a.doc < b.doc
+        |  GROUP BY 1, 2),
+        |l0 AS (SELECT src AS u, dst AS v FROM ce UNION ALL SELECT dst, src FROM ce),
+        |k1 AS (SELECT u FROM l0 GROUP BY u HAVING count(*) >= 3),
+        |l1 AS (SELECT l.u, l.v FROM l0 l JOIN k1 a ON l.u = a.u JOIN k1 b ON l.v = b.u),
+        |k2 AS (SELECT u FROM l1 GROUP BY u HAVING count(*) >= 3),
+        |l2 AS (SELECT l.u, l.v FROM l1 l JOIN k2 a ON l.u = a.u JOIN k2 b ON l.v = b.u),
+        |k3 AS (SELECT u FROM l2 GROUP BY u HAVING count(*) >= 3),
+        |l3 AS (SELECT l.u, l.v FROM l2 l JOIN k3 a ON l.u = a.u JOIN k3 b ON l.v = b.u),
+        |k4 AS (SELECT u FROM l3 GROUP BY u HAVING count(*) >= 3),
+        |l4 AS (SELECT l.u, l.v FROM l3 l JOIN k4 a ON l.u = a.u JOIN k4 b ON l.v = b.u)
+        |SELECT u AS document_id, CAST(count(*) AS BIGINT) AS core_degree
+        |FROM l4 GROUP BY 1 ORDER BY 1""".stripMargin,
     // q131's tokenization, stride-1 windows, the portable 60-bit md5
     // fingerprint, and the struct-min first location as a two-level group
     "q136_span_dedup" ->

@@ -381,4 +381,42 @@ object Graphs {
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
   }
+
+  /** k-core decomposition by simultaneous peeling (Seidman's cores; the
+    * distributed analogue of Batagelj–Zaveršnik): each round deletes EVERY
+    * node whose current degree is below k, then recomputes degrees on the
+    * surviving subgraph; the fixpoint is the k-core — the standard
+    * "dense enough to matter" filter before community/centrality passes.
+    *
+    * `rounds` bounds the peel so the output is deterministic and SQL-
+    * unrollable (the q108 Lloyd rule): the result is the survivors after
+    * exactly `rounds` simultaneous peels, which IS the k-core whenever the
+    * graph converges earlier (peeling is monotone — once stable, further
+    * rounds are identity; the spec asserts convergence on its fixture).
+    *
+    * Scale shape: per round, one grouped count (degree) + two semi-joins
+    * (edge survives iff both endpoints do) — all hash-shuffles on node id,
+    * never materializing anything node-count-sized on the driver. The live
+    * edge set is localCheckpoint'd each round: every round references it
+    * twice (degree + filter), so an unbroken lineage would double the plan
+    * per round (the q86 duplication trap). Peel cost shrinks with the
+    * graph; rounds needed in practice is small (degeneracy ordering depth,
+    * not diameter).
+    * Output: id, core_degree (degree within the surviving subgraph). */
+  def kCore(edges: DataFrame, k: Int = 2, rounds: Int = 4): DataFrame = {
+    require(k >= 1 && rounds >= 1, s"need k/rounds >= 1, got $k/$rounds")
+    val sym = edges.select(col("src").as("u"), col("dst").as("v"))
+      .union(edges.select(col("dst").as("u"), col("src").as("v")))
+    var live = sym.localCheckpoint(eager = true)
+    for (_ <- 1 to rounds) {
+      val keep = live.groupBy("u").agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k).select("u")
+      live = live
+        .join(keep, Seq("u"), "leftsemi")
+        .join(keep.withColumnRenamed("u", "v"), Seq("v"), "leftsemi")
+        .select("u", "v")
+        .localCheckpoint(eager = true)
+    }
+    live.groupBy(col("u").as("id")).agg(count(lit(1)).as("core_degree"))
+  }
 }

@@ -153,4 +153,22 @@ class GraphsSpec extends SparkSpec {
       .collect().map(r => r.getInt(0) -> r.getInt(1)).toMap
     assert(again === out)
   }
+
+  test("k-core: pendant chain peels away, clique survives, bounded rounds hit the fixpoint") {
+    // 4-clique {1,2,3,4} + chain 4-5-6: peeling at k=3 removes 6 (deg 1),
+    // then 5, then 4 keeps degree 3 inside the clique
+    val edges = Seq((1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (4, 5), (5, 6))
+      .toDF("src", "dst")
+    val core = Graphs.kCore(edges, k = 3, rounds = 4)
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(core === Map(1 -> 3L, 2 -> 3L, 3 -> 3L, 4 -> 3L))
+    // simultaneous-peel semantics: round 1 drops BOTH 5 and 6 (5's degree
+    // counts 6 before the peel, but deg(5)=2 < 3 already), so 2 rounds
+    // suffice; extra rounds are identity (fixpoint)
+    val more = Graphs.kCore(edges, k = 3, rounds = 6)
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(more === core)
+    // k above the max degree empties the graph
+    assert(Graphs.kCore(edges, k = 5, rounds = 3).isEmpty)
+  }
 }
