@@ -113,6 +113,15 @@ object SparkEntry {
           rightPayload = Seq("document_id"), rightPrefix = "dim_")
         .orderBy("event_id")
     },
+    // MMR diversity re-rank (Carbonell-Goldstein): greedy head re-rank of
+    // the ANN top-20, score = 0.7*rel - 0.3*max-sim-to-selected; rel/sim
+    // 4dp-rounded pre-greedy so the sequential step is engine-portable
+    "q138_mmr_rerank" -> { (s, d) =>
+      val emb = TestData.embeddings(s, d)
+      Similarity.mmrRerank(emb, emb.filter(col("vec_id") === 0),
+          window = 20, take = 5, lambda = 0.7)
+        .orderBy("mmr_rank")
+    },
     // k-core decomposition: simultaneous peel of degree<k nodes over the
     // co-click graph, bounded rounds (fixpoint-stable, SQL-unrollable);
     // the dense-subgraph filter run before community/centrality passes
@@ -3026,6 +3035,54 @@ object SparkEntry {
         |FROM f ASOF LEFT JOIN dim d
         |  ON f.session_id = d.session_id AND f.event_ts >= d.valid_from
         |ORDER BY f.event_id""".stripMargin,
+    // q33's cosine + 4dp rounding, then the greedy unrolled as five
+    // LIMIT-1 steps; (1 - 0.7::DOUBLE) keeps the penalty coefficient the
+    // same IEEE double Scala's (1 - lambda) produces
+    "q138_mmr_rerank" ->
+      """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+        |c AS (SELECT vec_id AS id, embedding AS ce FROM embeddings WHERE vec_id <> 0),
+        |rel0 AS (
+        |  SELECT id,
+        |    list_sum(list_transform(range(1, len(qe) + 1), i -> CAST(ce[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE)))
+        |      / (sqrt(list_sum(list_transform(range(1, len(ce) + 1), i -> CAST(ce[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE))))
+        |         * sqrt(list_sum(list_transform(range(1, len(qe) + 1), i -> CAST(qe[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE))))) AS cos
+        |  FROM c CROSS JOIN q),
+        |cand AS (
+        |  SELECT id, round(cos, 4) AS rel
+        |  FROM (SELECT id, cos, row_number() OVER (ORDER BY cos DESC, id) AS rk FROM rel0)
+        |  WHERE rk <= 20),
+        |v AS (SELECT c.id, c.ce FROM c JOIN cand USING (id)),
+        |sp AS (
+        |  SELECT a.id AS ia, b.id AS ib,
+        |    round(list_sum(list_transform(range(1, len(a.ce) + 1), i -> CAST(a.ce[i] AS DOUBLE) * CAST(b.ce[i] AS DOUBLE)))
+        |      / (sqrt(list_sum(list_transform(range(1, len(a.ce) + 1), i -> CAST(a.ce[i] AS DOUBLE) * CAST(a.ce[i] AS DOUBLE))))
+        |         * sqrt(list_sum(list_transform(range(1, len(b.ce) + 1), i -> CAST(b.ce[i] AS DOUBLE) * CAST(b.ce[i] AS DOUBLE))))), 4) AS sim
+        |  FROM v a JOIN v b ON a.id < b.id),
+        |ss AS (SELECT ia, ib, sim FROM sp UNION ALL SELECT ib AS ia, ia AS ib, sim FROM sp),
+        |s1 AS (SELECT id, rel, 0.7::DOUBLE * rel AS score FROM cand ORDER BY score DESC, id LIMIT 1),
+        |r2 AS (SELECT id, rel FROM cand WHERE id NOT IN (SELECT id FROM s1)),
+        |p2 AS (SELECT r.id, r.rel, max(ss.sim) AS pen FROM r2 r JOIN ss ON ss.ia = r.id AND ss.ib IN (SELECT id FROM s1) GROUP BY 1, 2),
+        |s2 AS (SELECT id, rel, 0.7::DOUBLE * rel - (1 - 0.7::DOUBLE) * pen AS score FROM p2 ORDER BY score DESC, id LIMIT 1),
+        |sel2 AS (SELECT id FROM s1 UNION ALL SELECT id FROM s2),
+        |r3 AS (SELECT id, rel FROM cand WHERE id NOT IN (SELECT id FROM sel2)),
+        |p3 AS (SELECT r.id, r.rel, max(ss.sim) AS pen FROM r3 r JOIN ss ON ss.ia = r.id AND ss.ib IN (SELECT id FROM sel2) GROUP BY 1, 2),
+        |s3 AS (SELECT id, rel, 0.7::DOUBLE * rel - (1 - 0.7::DOUBLE) * pen AS score FROM p3 ORDER BY score DESC, id LIMIT 1),
+        |sel3 AS (SELECT id FROM sel2 UNION ALL SELECT id FROM s3),
+        |r4 AS (SELECT id, rel FROM cand WHERE id NOT IN (SELECT id FROM sel3)),
+        |p4 AS (SELECT r.id, r.rel, max(ss.sim) AS pen FROM r4 r JOIN ss ON ss.ia = r.id AND ss.ib IN (SELECT id FROM sel3) GROUP BY 1, 2),
+        |s4 AS (SELECT id, rel, 0.7::DOUBLE * rel - (1 - 0.7::DOUBLE) * pen AS score FROM p4 ORDER BY score DESC, id LIMIT 1),
+        |sel4 AS (SELECT id FROM sel3 UNION ALL SELECT id FROM s4),
+        |r5 AS (SELECT id, rel FROM cand WHERE id NOT IN (SELECT id FROM sel4)),
+        |p5 AS (SELECT r.id, r.rel, max(ss.sim) AS pen FROM r5 r JOIN ss ON ss.ia = r.id AND ss.ib IN (SELECT id FROM sel4) GROUP BY 1, 2),
+        |s5 AS (SELECT id, rel, 0.7::DOUBLE * rel - (1 - 0.7::DOUBLE) * pen AS score FROM p5 ORDER BY score DESC, id LIMIT 1),
+        |fin AS (
+        |  SELECT 1 AS mmr_rank, id, rel, score FROM s1
+        |  UNION ALL SELECT 2, id, rel, score FROM s2
+        |  UNION ALL SELECT 3, id, rel, score FROM s3
+        |  UNION ALL SELECT 4, id, rel, score FROM s4
+        |  UNION ALL SELECT 5, id, rel, score FROM s5)
+        |SELECT mmr_rank, id AS vec_id, rel AS relevance, round(score, 6) AS mmr_score
+        |FROM fin ORDER BY mmr_rank""".stripMargin,
     // q73's co-click edge CTE + four unrolled simultaneous peels (each
     // round: degree >= 3 survivors, edges kept iff both endpoints live)
     "q137_kcore" ->

@@ -363,4 +363,65 @@ object Similarity {
         coalesce(col("role"), lit("noise")).as("role"),
         col("cluster_id"))
   }
+
+  /** Maximal-marginal-relevance re-ranking (Carbonell & Goldstein, SIGIR
+    * 1998): greedily pick `take` results from the top-`window` relevance
+    * candidates, each step maximizing
+    * λ·rel(c) − (1−λ)·max_{s∈selected} sim(c, s) — the standard
+    * diversity-aware head re-rank RAG retrieval runs after ANN.
+    *
+    * Scale shape: relevance + candidate cut is [[knnBruteForce]] (broadcast
+    * query, fused codegen cosine, distributed); the pairwise candidate sims
+    * are computed distributed over the window-sized frame. Only then do the
+    * window rows (≤ `window` rels + C(window,2) sims — re-rank-head sized
+    * by contract, NOT corpus-sized) come to the driver for the inherently
+    * sequential greedy loop, mirroring how [[graft.analysis.Clustering]]
+    * holds k centroids. Determinism for the oracle: rel and sim are rounded
+    * to 4dp BEFORE the greedy (identical doubles cross-engine), ties break
+    * on ascending id, and the penalty term uses (1 − λ) computed in DOUBLE
+    * on both sides.
+    * Output: mmr_rank, vec_id, relevance, mmr_score (round 6). */
+  def mmrRerank(
+      corpus: DataFrame,
+      query: DataFrame,
+      window: Int = 20,
+      take: Int = 5,
+      lambda: Double = 0.7,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    require(take >= 1 && window >= take, s"need 1 <= take <= window, got $take/$window")
+    require(lambda >= 0.0 && lambda <= 1.0, s"need lambda in [0,1], got $lambda")
+    val spark = corpus.sparkSession
+    val cands = knnBruteForce(corpus, query, k = window, idCol, vecCol)
+      .select(col("neighbor_id").cast("long").as("id"), col("cosine").as("rel"))
+    val vecs = corpus
+      .select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
+      .join(broadcast(cands.select("id")), "id")
+    val sims = vecs.as("a")
+      .join(broadcast(vecs).as("b"), col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        round(graft.functions.VectorOps.cosineSim(col("a.v"), col("b.v")), 4).as("sim"))
+    val rel = cands.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val sim = sims.collect()
+      .flatMap { r =>
+        val (a, b, s) = (r.getLong(0), r.getLong(1), r.getDouble(2))
+        Seq((a, b) -> s, (b, a) -> s)
+      }.toMap
+    var selected = Vector.empty[(Long, Double, Double)] // (id, rel, score)
+    var remaining = rel.keySet
+    for (_ <- 1 to take) if (remaining.nonEmpty) {
+      val (bestScore, bestId) = remaining.toSeq.map { c =>
+        val pen = if (selected.isEmpty) 0.0 else selected.map(s => sim((c, s._1))).max
+        (lambda * rel(c) - (1 - lambda) * pen, c)
+      }.sortBy { case (score, id) => (-score, id) }.head
+      selected :+= ((bestId, rel(bestId), bestScore))
+      remaining -= bestId
+    }
+    import spark.implicits._
+    selected.zipWithIndex
+      .map { case ((id, r, s), i) => (i + 1, id, r, s) }
+      .toDF("mmr_rank", "vec_id", "relevance", "mmr_score")
+      .select(col("mmr_rank"), col("vec_id"), col("relevance"),
+        round(col("mmr_score"), 6).as("mmr_score"))
+  }
 }

@@ -134,4 +134,28 @@ class SimilaritySpec extends SparkSpec {
     assert(bucketed.map(_.toSeq).toSeq === exact.map(_.toSeq).toSeq)
     assert(bucketed.nonEmpty)
   }
+
+  test("mmr rerank: diversity term demotes the redundant near-clone of the first pick") {
+    // query along +x; candidates: 1 and 2 nearly collinear with the query
+    // (2 marginally closer), 3 off-axis but still relevant. Pure relevance
+    // ranks (2, 1, 3); MMR keeps 2 then prefers the DIVERSE 3 over 1.
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (1L, Array(0.98f, 0.199f, 0.0f)),
+      (2L, Array(0.99f, 0.141f, 0.0f)),
+      (3L, Array(0.6f, -0.8f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val out = Similarity
+      .mmrRerank(vecs, vecs.filter($"vec_id" === 0L), window = 3, take = 3, lambda = 0.5)
+      .orderBy("mmr_rank").collect()
+    assert(out.map(_.getLong(1)).toSeq === Seq(2L, 3L, 1L))
+    // rank 1 score is lambda * relevance with no penalty
+    assert(out.head.getDouble(3) === 0.5 * out.head.getDouble(2))
+    // scores never increase down the ranking
+    val scores = out.map(_.getDouble(3)).toSeq
+    assert(scores === scores.sorted.reverse)
+    // take beyond the window degrades gracefully to the window size
+    assert(Similarity.mmrRerank(vecs, vecs.filter($"vec_id" === 0L),
+      window = 2, take = 2).count() === 2)
+  }
 }
