@@ -113,6 +113,15 @@ object SparkEntry {
           rightPayload = Seq("document_id"), rightPrefix = "dim_")
         .orderBy("event_id")
     },
+    // asymmetric containment (Broder's other resemblance measure):
+    // near-SUBSET pairs symmetric jaccard misses — template/quote/
+    // boilerplate fragments inside much larger docs; both directions
+    // emitted from one unordered pair aggregate
+    "q139_containment" -> { (s, d) =>
+      Dedup.containmentPairs(TestData.documents(s, d),
+          shingleN = 3, minContainment = 0.7)
+        .orderBy("doc_src", "doc_dst")
+    },
     // MMR diversity re-rank (Carbonell-Goldstein): greedy head re-rank of
     // the ANN top-20, score = 0.7*rel - 0.3*max-sim-to-selected; rel/sim
     // 4dp-rounded pre-greedy so the sequential step is engine-portable
@@ -3035,6 +3044,28 @@ object SparkEntry {
         |FROM f ASOF LEFT JOIN dim d
         |  ON f.session_id = d.session_id AND f.event_ts >= d.valid_from
         |ORDER BY f.event_id""".stripMargin,
+    // q32's inverted-index CTEs; both directions projected from the one
+    // unordered pair aggregate, containment = c / n_src
+    "q139_containment" ->
+      """WITH toks AS (
+        |  SELECT doc_id AS id,
+        |    string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')), ' ') AS t
+        |  FROM documents),
+        |sets AS (
+        |  SELECT id, list_distinct(list_transform(range(len(t) - 2), i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])) AS sh
+        |  FROM toks WHERE len(t) >= 3),
+        |inv AS (SELECT id, len(sh) AS n_sh, unnest(sh) AS shingle FROM sets),
+        |common AS (
+        |  SELECT x.id AS doc_a, y.id AS doc_b, x.n_sh AS na, y.n_sh AS nb, count(*) AS c
+        |  FROM inv x JOIN inv y ON x.shingle = y.shingle AND x.id < y.id
+        |  GROUP BY 1, 2, 3, 4),
+        |directed AS (
+        |  SELECT doc_a AS doc_src, doc_b AS doc_dst, na AS n_src, c FROM common
+        |  UNION ALL
+        |  SELECT doc_b AS doc_src, doc_a AS doc_dst, nb AS n_src, c FROM common)
+        |SELECT doc_src, doc_dst, round(CAST(c AS DOUBLE) / CAST(n_src AS DOUBLE), 4) AS containment
+        |FROM directed WHERE CAST(c AS DOUBLE) / CAST(n_src AS DOUBLE) >= 0.7
+        |ORDER BY doc_src, doc_dst""".stripMargin,
     // q33's cosine + 4dp rounding, then the greedy unrolled as five
     // LIMIT-1 steps; (1 - 0.7::DOUBLE) keeps the penalty coefficient the
     // same IEEE double Scala's (1 - lambda) produces

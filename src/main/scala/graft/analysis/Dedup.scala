@@ -358,6 +358,63 @@ object Dedup {
     finally { sets.unpersist(); () }
   }
 
+  /** Asymmetric containment join — near-SUBSET detection. Containment
+    * C(a→b) = |Sₐ ∩ S_b| / |Sₐ| is 1.0 when every shingle of a appears in
+    * b (a is a template/boilerplate/quote embedded in b) even when their
+    * Jaccard is tiny because b is much larger — exactly the pair family
+    * symmetric near-dup ([[ngramJaccardPairs]]) is blind to; the standard
+    * screen for extracted-fragment and template contamination in training
+    * corpora (Broder's containment, the other half of the resemblance
+    * paper).
+    *
+    * Scale shape identical to [[ngramJaccardPairs]]: one shuffle on the
+    * shingle builds the inverted index (df cutoff drops ubiquitous
+    * shingles before any pair exists), the pair aggregate runs on UNORDERED
+    * pairs once, and both directions are then emitted by projection — the
+    * asymmetry costs nothing extra.
+    * Output: doc_src, doc_dst, containment (share of src's shingles also
+    * in dst, round 4) — one row per direction that clears the threshold. */
+  def containmentPairs(
+      docs: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      shingleN: Int = 3,
+      minContainment: Double = 0.9,
+      maxShingleDf: Long = Long.MaxValue): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sets = docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
+      .select(col(idCol).as("id"), shingleSet(col(textCol), shingleN).as("sh"))
+      .withColumn("n_sh", size(col("sh")))
+      .filter(col("n_sh") > 0)
+      .persist()
+    val invertedAll = sets.select(col("id"), col("n_sh"), explode(col("sh")).as("shingle"))
+    val inverted =
+      if (maxShingleDf == Long.MaxValue) invertedAll
+      else invertedAll
+        .withColumn("__df", count(lit(1)).over(Window.partitionBy("shingle")))
+        .filter(col("__df") <= maxShingleDf)
+        .drop("__df")
+    val common = inverted.as("x")
+      .join(inverted.as("y"),
+        col("x.shingle") === col("y.shingle") && col("x.id") < col("y.id"))
+      .groupBy(
+        col("x.id").as("doc_a"), col("y.id").as("doc_b"),
+        col("x.n_sh").as("n_a"), col("y.n_sh").as("n_b"))
+      .agg(count(lit(1)).as("common"))
+    val directed = common
+      .select(col("doc_a").as("doc_src"), col("doc_b").as("doc_dst"),
+        col("n_a").as("n_src"), col("common"))
+      .unionByName(common
+        .select(col("doc_b").as("doc_src"), col("doc_a").as("doc_dst"),
+          col("n_b").as("n_src"), col("common")))
+    val result = directed
+      .withColumn("containment", col("common").cast(DoubleType) / col("n_src").cast(DoubleType))
+      .filter(col("containment") >= minContainment)
+      .select(col("doc_src"), col("doc_dst"), round(col("containment"), 4).as("containment"))
+    try result.localCheckpoint(true)
+    finally { sets.unpersist(); () }
+  }
+
   /** Connected components by min-label propagation: every node starts
     * labeled with itself; each round every node takes the min of its own
     * label and its neighbors' labels; converged when no label changes.

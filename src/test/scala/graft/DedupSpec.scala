@@ -348,6 +348,24 @@ class DedupSpec extends SparkSpec {
     assert(out.toSeq === Seq((1L, 2L, 9.0)))
   }
 
+  test("containment: embedded fragment scores 1.0 toward its container, not vice versa") {
+    val fragment = "the quick brown fox jumps over the lazy dog"
+    val corpus = Seq(
+      (1L, fragment), // 7 shingles, all inside doc 2
+      (2L, s"a very long article begins here $fragment and then continues with plenty of unrelated material afterwards"),
+      (3L, "entirely disjoint text about catalyst optimizer internals and physical plans")
+    ).toDF("doc_id", "text")
+    val out = Dedup.containmentPairs(corpus, minContainment = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // every shingle of 1 appears in 2 -> C(1->2) = 1.0; 2 is much bigger
+    // than 1 so C(2->1) is far below threshold; 3 pairs with nobody
+    assert(out === Map((1L, 2L) -> 1.0))
+    // symmetric jaccard at the same threshold misses the pair entirely
+    assert(Dedup.ngramJaccardPairs(corpus, minJaccard = 0.9).isEmpty)
+    // df cutoff drops the ubiquitous shingle path: cutoff 1 kills all pairs
+    assert(Dedup.containmentPairs(corpus, minContainment = 0.5, maxShingleDf = 1).isEmpty)
+  }
+
   test("duplicated spans: cross-doc boilerplate found, within-doc repeats counted, short docs dropped") {
     val boiler = "please subscribe to our newsletter for more updates today"
     val corpus = Seq(
