@@ -113,6 +113,13 @@ object SparkEntry {
           rightPayload = Seq("document_id"), rightPrefix = "dim_")
         .orderBy("event_id")
     },
+    // temperature-based source resampling (XLM/mT5 alpha-smoothing):
+    // target mixture q_s ~ n_s^0.5, per-source keep rate min(1, q_s*N/n_s)
+    // quantized to basis points, kept set via the replayable md5 gate
+    "q140_temperature_resample" -> { (s, d) =>
+      CorpusPrep.temperatureResample(TestData.documents(s, d), alpha = 0.5)
+        .orderBy("source")
+    },
     // asymmetric containment (Broder's other resemblance measure):
     // near-SUBSET pairs symmetric jaccard misses — template/quote/
     // boilerplate fragments inside much larger docs; both directions
@@ -3044,6 +3051,28 @@ object SparkEntry {
         |FROM f ASOF LEFT JOIN dim d
         |  ON f.session_id = d.session_id AND f.event_ts >= d.valid_from
         |ORDER BY f.event_id""".stripMargin,
+    // DECIMAL-cast pow terms before the normalizer sum; rate arithmetic
+    // all ::DOUBLE; the q44 md5-bucket gate with a '|tsamp' salt
+    "q140_temperature_resample" ->
+      """WITH per AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY 1),
+        |tot AS (
+        |  SELECT CAST(sum(n_docs) AS BIGINT) AS n_total,
+        |    CAST(sum(CAST(pow(n_docs, 0.5::DOUBLE) AS DECIMAL(28,12))) AS DOUBLE) AS wsum
+        |  FROM per),
+        |r AS (
+        |  SELECT source, n_docs,
+        |    pow(n_docs, 0.5::DOUBLE) / wsum AS share,
+        |    least(1.0::DOUBLE, pow(n_docs, 0.5::DOUBLE) / wsum * n_total / n_docs) AS rate
+        |  FROM per CROSS JOIN tot),
+        |rb AS (SELECT source, n_docs, share, CAST(floor(rate * 10000) AS INT) AS rate_bp FROM r),
+        |k AS (
+        |  SELECT d.source, CAST(count(*) AS BIGINT) AS n_kept
+        |  FROM documents d JOIN rb ON d.source = rb.source
+        |  WHERE ('0x' || substr(md5(d.doc_id::VARCHAR || '|tsamp'), 1, 8))::BIGINT % 10000 < rate_bp
+        |  GROUP BY 1)
+        |SELECT rb.source, rb.n_docs, round(rb.share, 6) AS share, rb.rate_bp,
+        |  COALESCE(k.n_kept, 0) AS n_kept
+        |FROM rb LEFT JOIN k USING (source) ORDER BY rb.source""".stripMargin,
     // q32's inverted-index CTEs; both directions projected from the one
     // unordered pair aggregate, containment = c / n_src
     "q139_containment" ->

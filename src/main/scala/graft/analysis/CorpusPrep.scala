@@ -2,6 +2,7 @@ package graft.analysis
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType, IntegerType, StringType}
 
 /** End-to-end training-corpus preparation: the composed pipeline the
   * individual operators exist for —
@@ -243,6 +244,52 @@ object CorpusPrep {
           round(col("total").cast("double") /
             (col("n_sources").cast("double") * col("n_tokens").cast("double")), 6))
           .as("weight"))
+  }
+
+  /** Temperature-based source resampling — the α-smoothing rule
+    * multilingual/multi-source pretraining uses (XLM / mT5 style): target
+    * mixture q_s ∝ n_s^α flattens the source distribution (α=1 keeps it,
+    * α=0 is uniform), and each source keeps docs at rate
+    * min(1, q_s·N/n_s) so the materialized corpus approaches the target
+    * mixture by DOWN-sampling dominant sources only (no duplication).
+    * Selection is the replayable md5 gate of [[Sampling.hashBucket]] with
+    * rates quantized to basis points — the kept SET is a pure function of
+    * (doc_id, rates), stable across runs, engines, and cluster sizes.
+    *
+    * Scale shape: one grouped count to source granularity, a broadcast
+    * source→rate map (sources are few by definition), and one codegen'd
+    * filter pass for the kept count — the corpus shuffles zero times. The
+    * n_s^α terms are DECIMAL-cast before the cross-source sum so the
+    * normalizer is reorder-proof.
+    * Output (one row per source): source, n_docs, share (target mixture,
+    * round 6), rate_bp (keep rate in basis points), n_kept. */
+  def temperatureResample(
+      docs: DataFrame,
+      alpha: Double = 0.5,
+      sourceCol: String = "source",
+      idCol: String = "doc_id"): DataFrame = {
+    require(alpha >= 0.0 && alpha <= 1.0, s"need alpha in [0,1], got $alpha")
+    val per = docs.groupBy(col(sourceCol).as("source")).agg(count(lit(1)).as("n_docs"))
+    val tot = per.agg(
+      sum(col("n_docs")).as("n_total"),
+      sum(pow(col("n_docs"), lit(alpha)).cast(DecimalType(28, 12))).cast(DoubleType)
+        .as("wsum"))
+    val rates = per.crossJoin(broadcast(tot))
+      .withColumn("share", pow(col("n_docs"), lit(alpha)) / col("wsum"))
+      .withColumn("rate",
+        least(lit(1.0), col("share") * col("n_total") / col("n_docs")))
+      .select(col("source"), col("n_docs"), col("share"),
+        floor(col("rate") * 10000).cast(IntegerType).as("rate_bp"))
+    val kept = docs
+      .select(col(sourceCol).as("source"),
+        Sampling.hashBucket(concat(col(idCol).cast(StringType), lit("|tsamp"))).as("bucket"))
+      .join(broadcast(rates.select("source", "rate_bp")), "source")
+      .filter(col("bucket") < col("rate_bp"))
+      .groupBy("source").agg(count(lit(1)).as("n_kept"))
+    rates
+      .join(kept, Seq("source"), "left")
+      .select(col("source"), col("n_docs"), round(col("share"), 6).as("share"),
+        col("rate_bp"), coalesce(col("n_kept"), lit(0L)).as("n_kept"))
   }
 
   /** Per-stage survivor counts — the pipeline's observability surface. */

@@ -184,6 +184,29 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("temperature resample: alpha flattens the mixture, dominant source downsampled, alpha=1 is identity") {
+    // 90/10 split: at alpha=0.5 the target shares are 3:1, so the big
+    // source keeps ~83% (0.75*100/90) and the small one keeps everything
+    val docs = (1L to 90L).map(i => (i, "x", "crawl")) ++
+      (91L to 100L).map(i => (i, "x", "books"))
+    val df = docs.toDF("doc_id", "text", "source")
+    val out = graft.analysis.CorpusPrep.temperatureResample(df, alpha = 0.5)
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2), r.getInt(3), r.getLong(4))))
+      .toMap
+    val (nCrawl, shareCrawl, bpCrawl, keptCrawl) = out("crawl")
+    val (nBooks, shareBooks, bpBooks, keptBooks) = out("books")
+    assert(nCrawl === 90L && nBooks === 10L)
+    assert(shareCrawl === 0.75 && shareBooks === 0.25)
+    assert(bpCrawl === 8333 && bpBooks === 10000) // min(1, .25*100/10) = 1
+    assert(keptBooks === 10L)            // rate 1.0 keeps every doc
+    assert(keptCrawl < 90L && keptCrawl > 60L) // ~83% of 90, hash-gated
+    // alpha = 1 is the identity mixture: every rate is 1, everything kept
+    val id = graft.analysis.CorpusPrep.temperatureResample(df, alpha = 1.0)
+      .collect().map(r => r.getString(0) -> r.getLong(4)).toMap
+    assert(id === Map("crawl" -> 90L, "books" -> 10L))
+  }
+
   test("batch packing: length-sorted batches, padding math, empty-doc tail") {
     // 5 docs of lengths 4,4,3,1,0 with batchSize 2:
     // batch0 = (4,4) pad 0; batch1 = (3,1) pad 1-4/6; batch2 = (0) pad 0
