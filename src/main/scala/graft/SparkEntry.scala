@@ -113,6 +113,18 @@ object SparkEntry {
           rightPayload = Seq("document_id"), rightPrefix = "dim_")
         .orderBy("event_id")
     },
+    // k-anonymity + l-diversity release audit: equivalence classes over
+    // (event_type, value band), user_id as the sensitive attribute; one
+    // hash aggregate, class-count-sized output
+    "q141_k_anonymity" -> { (s, d) =>
+      graft.analysis.Profiling.kAnonymityAudit(
+          TestData.eventsRaw(s, d),
+          quasiIds = Seq(
+            ("event_type", col("event_type")),
+            ("value_band", floor(col("value") / 100).cast("int"))),
+          sensitive = col("user_id"), k = 5, l = 3)
+        .orderBy("event_type", "value_band")
+    },
     // temperature-based source resampling (XLM/mT5 alpha-smoothing):
     // target mixture q_s ~ n_s^0.5, per-source keep rate min(1, q_s*N/n_s)
     // quantized to basis points, kept set via the replayable md5 gate
@@ -3051,6 +3063,13 @@ object SparkEntry {
         |FROM f ASOF LEFT JOIN dim d
         |  ON f.session_id = d.session_id AND f.event_ts >= d.valid_from
         |ORDER BY f.event_id""".stripMargin,
+    "q141_k_anonymity" ->
+      """SELECT event_type, CAST(floor(value / 100) AS INT) AS value_band,
+        |  CAST(count(*) AS BIGINT) AS class_size,
+        |  count(DISTINCT user_id) AS n_sensitive_distinct,
+        |  count(*) < 5 AS k_risky,
+        |  count(DISTINCT user_id) < 3 AS l_risky
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // DECIMAL-cast pow terms before the normalizer sum; rate arithmetic
     // all ::DOUBLE; the q44 md5-bucket gate with a '|tsamp' salt
     "q140_temperature_resample" ->

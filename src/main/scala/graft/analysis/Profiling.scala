@@ -101,4 +101,36 @@ object Profiling {
         row.getAs[String](s"${c}__min"), row.getAs[String](s"${c}__max"))
     }.toDF("column_name", "n_nulls", "n_distinct", "min_value", "max_value")
   }
+
+  /** k-anonymity / l-diversity audit (Sweeney 2002; Machanavajjhala et al.
+    * 2007) — the release-gate check a dataset passes before leaving the
+    * pipeline: rows sharing one combination of quasi-identifier values form
+    * an equivalence class; a class with fewer than k members re-identifies
+    * its rows (k-anonymity violation), and one whose members share fewer
+    * than l distinct SENSITIVE values lets an attacker infer the sensitive
+    * attribute even at k-anonymous sizes (l-diversity violation —
+    * k-anonymity's known failure mode, the reason both are reported).
+    *
+    * Scale shape: one hash aggregate on the quasi-identifier tuple
+    * (count + distinct-count share the grouping); output is class-count
+    * sized, never row-sized. Quasi-identifiers are passed as named
+    * expressions so generalization hierarchies (bucketing, truncation)
+    * live in the call, not the operator.
+    * Output: one row per class — QI columns, class_size,
+    * n_sensitive_distinct, k_risky, l_risky. */
+  def kAnonymityAudit(
+      df: DataFrame,
+      quasiIds: Seq[(String, org.apache.spark.sql.Column)],
+      sensitive: org.apache.spark.sql.Column,
+      k: Int = 5,
+      l: Int = 3): DataFrame = {
+    require(quasiIds.nonEmpty && k >= 1 && l >= 1,
+      s"need quasi-ids and k/l >= 1, got ${quasiIds.size} ids, k=$k, l=$l")
+    df.groupBy(quasiIds.map { case (n, c) => c.as(n) }: _*)
+      .agg(
+        count(lit(1)).as("class_size"),
+        countDistinct(sensitive).as("n_sensitive_distinct"))
+      .withColumn("k_risky", col("class_size") < k)
+      .withColumn("l_risky", col("n_sensitive_distinct") < l)
+  }
 }

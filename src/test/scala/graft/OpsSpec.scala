@@ -449,4 +449,26 @@ class OpsSpec extends SparkSpec {
       .collect().map(_.getString(0)).toSet
     assert(nPaths === Set("view>(null)>click"))
   }
+
+  test("k-anonymity audit: small class k-risky, homogeneous sensitive value l-risky") {
+    import org.apache.spark.sql.functions.col
+    val rows = Seq(
+      // class (a, 1): 3 members, 3 distinct sensitive -> k-risky only (k=5)
+      ("a", 1, 101L), ("a", 1, 102L), ("a", 1, 103L),
+      // class (b, 2): 6 members but every sensitive value identical -> l-risky only
+      ("b", 2, 200L), ("b", 2, 200L), ("b", 2, 200L),
+      ("b", 2, 200L), ("b", 2, 200L), ("b", 2, 200L),
+      // class (c, 3): 5 members, 3 distinct -> clean
+      ("c", 3, 301L), ("c", 3, 302L), ("c", 3, 303L), ("c", 3, 301L), ("c", 3, 302L)
+    ).toDF("typ", "band", "uid")
+    val out = graft.analysis.Profiling.kAnonymityAudit(rows,
+        quasiIds = Seq(("typ", col("typ")), ("band", col("band"))),
+        sensitive = col("uid"), k = 5, l = 3)
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(2), r.getLong(3), r.getBoolean(4), r.getBoolean(5))))
+      .toMap
+    assert(out("a") === ((3L, 3L, true, false)))
+    assert(out("b") === ((6L, 1L, false, true)))
+    assert(out("c") === ((5L, 3L, false, false)))
+  }
 }
