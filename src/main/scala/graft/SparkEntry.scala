@@ -113,6 +113,15 @@ object SparkEntry {
           rightPayload = Seq("document_id"), rightPrefix = "dim_")
         .orderBy("event_id")
     },
+    // product quantization + ADC (Jegou et al.): per-subspace deterministic
+    // Lloyd codebooks (4x16 dims, 8 codes), codegen'd argmin encode, query
+    // scored via m table lookups — the memory-bound ANN regime
+    "q142_pq_adc" -> { (s, d) =>
+      val emb = TestData.embeddings(s, d)
+      Similarity.knnPqAdc(emb, emb.filter(col("vec_id") === 0),
+          m = 4, codes = 8, iterations = 2, topK = 10)
+        .orderBy("rank")
+    },
     // k-anonymity + l-diversity release audit: equivalence classes over
     // (event_type, value band), user_id as the sensitive attribute; one
     // hash aggregate, class-count-sized output
@@ -1166,6 +1175,69 @@ object SparkEntry {
       |FROM keep k JOIN documents d USING (doc_id)
       |WHERE k.doc_id NOT IN (SELECT doc_b FROM losers)
       |ORDER BY d.doc_id""".stripMargin
+
+  /** q142's oracle, generated: the q117 deterministic-Lloyd rebuild once
+    * per PQ subspace (4 × 16 dims, 8 codes, 2 rounds), then ADC as four
+    * distance-table lookups summed in subspace order. Generated rather
+    * than hand-written because the four blocks differ only in slice
+    * offsets — the same reason the Scala side loops over subspaces. */
+  private def pqLloydRound(j: Int, r: Int): String =
+    s"""dd${j}_$r AS (
+       |  SELECT v.vec_id, cc.cluster,
+       |    list_sum(list_transform(range(16), i -> (v.u[i+1] - cc.c[i+1]) * (v.u[i+1] - cc.c[i+1]))) AS d2
+       |  FROM e$j v CROSS JOIN c${j}_${r - 1} cc),
+       |aa${j}_$r AS (
+       |  SELECT vec_id, cluster FROM (
+       |    SELECT vec_id, cluster, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cluster) AS rn FROM dd${j}_$r)
+       |  WHERE rn = 1),
+       |uu${j}_$r AS (
+       |  SELECT aa${j}_$r.cluster, i AS dim, sum(CAST(e$j.u[i+1] AS DECIMAL(38,12))) AS s, count(*) AS n
+       |  FROM aa${j}_$r JOIN e$j USING (vec_id) CROSS JOIN range(16) t(i)
+       |  GROUP BY 1, 2),
+       |c${j}_$r AS (
+       |  SELECT cluster, list(s::DOUBLE / n ORDER BY dim) AS c FROM uu${j}_$r GROUP BY cluster
+       |  UNION ALL
+       |  SELECT cluster, c FROM c${j}_${r - 1} WHERE cluster NOT IN (SELECT cluster FROM uu${j}_$r))"""
+
+  private def pqSubspaceCtes(j: Int): String = {
+    val off = j * 16
+    s"""e$j AS (SELECT vec_id, list_transform(embedding[${off + 1}:${off + 16}], x -> CAST(x AS DOUBLE)) AS u FROM embeddings),
+       |c${j}_0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cluster, u AS c FROM (SELECT vec_id, u FROM e$j ORDER BY vec_id LIMIT 8)),
+       |${pqLloydRound(j, 1)},
+       |${pqLloydRound(j, 2)},
+       |ff$j AS (
+       |  SELECT v.vec_id, cc.cluster,
+       |    list_sum(list_transform(range(16), i -> (v.u[i+1] - cc.c[i+1]) * (v.u[i+1] - cc.c[i+1]))) AS d2
+       |  FROM e$j v CROSS JOIN c${j}_2 cc),
+       |codes$j AS (
+       |  SELECT vec_id, cluster AS code$j FROM (
+       |    SELECT vec_id, cluster, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cluster) AS rn FROM ff$j)
+       |  WHERE rn = 1),
+       |tab$j AS (
+       |  SELECT cc.cluster,
+       |    list_sum(list_transform(range(16), i -> (q.u[i+1] - cc.c[i+1]) * (q.u[i+1] - cc.c[i+1]))) AS d2
+       |  FROM c${j}_2 cc CROSS JOIN (SELECT u FROM e$j WHERE vec_id = 0) q)"""
+  }
+
+  private lazy val pqAdcOracle: String =
+    s"""WITH ${(0 until 4).map(pqSubspaceCtes).mkString(",\n")},
+       |joined AS (
+       |  SELECT e0.vec_id AS neighbor_id, t0.d2 + t1.d2 + t2.d2 + t3.d2 AS adc_d2
+       |  FROM e0
+       |  JOIN codes0 ON e0.vec_id = codes0.vec_id
+       |  JOIN codes1 ON e0.vec_id = codes1.vec_id
+       |  JOIN codes2 ON e0.vec_id = codes2.vec_id
+       |  JOIN codes3 ON e0.vec_id = codes3.vec_id
+       |  JOIN tab0 t0 ON codes0.code0 = t0.cluster
+       |  JOIN tab1 t1 ON codes1.code1 = t1.cluster
+       |  JOIN tab2 t2 ON codes2.code2 = t2.cluster
+       |  JOIN tab3 t3 ON codes3.code3 = t3.cluster
+       |  WHERE e0.vec_id <> 0),
+       |r AS (
+       |  SELECT neighbor_id, adc_d2, row_number() OVER (ORDER BY adc_d2, neighbor_id) AS "rank"
+       |  FROM joined)
+       |SELECT "rank", neighbor_id, round(adc_d2, 6) AS adc_d2 FROM r WHERE "rank" <= 10
+       |ORDER BY "rank"""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "q01_session_analysis" ->
@@ -3063,6 +3135,7 @@ object SparkEntry {
         |FROM f ASOF LEFT JOIN dim d
         |  ON f.session_id = d.session_id AND f.event_ts >= d.valid_from
         |ORDER BY f.event_id""".stripMargin,
+    "q142_pq_adc" -> pqAdcOracle,
     "q141_k_anonymity" ->
       """SELECT event_type, CAST(floor(value / 100) AS INT) AS value_band,
         |  CAST(count(*) AS BIGINT) AS class_size,

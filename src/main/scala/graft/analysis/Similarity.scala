@@ -424,4 +424,101 @@ object Similarity {
       .select(col("mmr_rank"), col("vec_id"), col("relevance"),
         round(col("mmr_score"), 6).as("mmr_score"))
   }
+
+  /** Product-quantization codebooks (Jégou, Douze & Schmid, "Product
+    * Quantization for Nearest Neighbor Search", TPAMI 2011): the space is
+    * split into `m` contiguous subspaces and a deterministic Lloyd codebook
+    * of `codes` centroids is fit per subspace
+    * ([[graft.analysis.Clustering.lloydCentroids]]: first-k-by-id init,
+    * DECIMAL means, pinned tie-breaks — so an external SQL engine rebuilds
+    * every codebook bit-for-bit). Driver state is m·codes·(dim/m) doubles —
+    * the codebook, by design small enough to broadcast. */
+  def pqCodebooks(
+      corpus: DataFrame,
+      m: Int = 4,
+      codes: Int = 8,
+      iterations: Int = 2,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): Array[Array[Array[Double]]] = {
+    val dim = corpus.select(size(col(vecCol)).as("d")).head.getAs[Int]("d")
+    require(dim % m == 0, s"dim $dim does not split into $m equal subspaces")
+    val sub = dim / m
+    (0 until m).toArray.map { j =>
+      graft.analysis.Clustering.lloydCentroids(
+        corpus.select(col(idCol).as("vec_id"),
+          slice(col(vecCol), j * sub + 1, sub).as("sub")),
+        codes, iterations, idCol = "vec_id", vecCol = "sub")
+    }
+  }
+
+  /** PQ-compressed top-k via asymmetric distance computation (ADC): every
+    * corpus vector is encoded as m byte-sized codes (argmin per-subspace
+    * centroid, ties to the lower code — a pure codegen'd projection with
+    * centroid literals, no join); the query stays UNquantized and its
+    * m×codes distance table is computed once on the driver, so scoring a
+    * vector is m table lookups + (m−1) adds instead of a dim-length scan.
+    * This is the memory-bound regime's ANN: at 100 TB of float32
+    * embeddings the PQ codes are dim·4/m bytes-per-vector smaller (64× here),
+    * which is the difference between scanning storage and scanning RAM.
+    *
+    * Scale shape: codebook fit is [[pqCodebooks]] (bounded driver state);
+    * encode + ADC is one projection pass over the corpus feeding
+    * TakeOrderedAndProject (the q06 rule — no global window, no full sort);
+    * the rank window runs over the ≤ topK collected head only.
+    * Output: rank, neighbor_id, adc_d2 (approx squared L2, round 6). */
+  def knnPqAdc(
+      corpus: DataFrame,
+      query: DataFrame,
+      m: Int = 4,
+      codes: Int = 8,
+      iterations: Int = 2,
+      topK: Int = 10,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val books = pqCodebooks(corpus, m, codes, iterations, idCol, vecCol)
+    val sub = books(0)(0).length
+    val qRow = query
+      .select(transform(col(vecCol), x => x.cast(DoubleType)).as("qv"),
+        col(idCol).cast("long").as("qid"))
+      .head
+    val qv = qRow.getSeq[Double](0).toArray
+    val qid = qRow.getLong(1)
+    // per-subspace ADC table: d²(query subvector, centroid) — ascending-dim
+    // sequential adds, the same order the oracle's list_sum evaluates in
+    val table: Array[Array[Double]] = books.zipWithIndex.map { case (cents, j) =>
+      cents.map { c =>
+        var acc = 0.0
+        var i = 0
+        while (i < sub) { val d = qv(j * sub + i) - c(i); acc += d * d; i += 1 }
+        acc
+      }
+    }
+    def codeCol(j: Int): Column = {
+      val dists = books(j).zipWithIndex.map { case (c, ci) =>
+        struct(
+          aggregate(
+            zip_with(slice(col("v"), j * sub + 1, sub), array(c.map(lit): _*),
+              (x, y) => (x - y) * (x - y)),
+            lit(0.0), (acc, d) => acc + d).as("d2"),
+          lit(ci).as("cluster"))
+      }
+      element_at(array_sort(array(dists: _*)), 1).getField("cluster")
+    }
+    val adc = (0 until m)
+      .map(j => element_at(array(table(j).map(lit): _*), col(s"code_$j") + 1))
+      .reduce(_ + _)
+    val scored = corpus
+      .select(col(idCol).cast("long").as("neighbor_id"),
+        transform(col(vecCol), x => x.cast(DoubleType)).as("v"))
+      .filter(col("neighbor_id") =!= qid)
+      .select(col("neighbor_id") +: (0 until m).map(j => codeCol(j).as(s"code_$j")): _*)
+      .withColumn("adc_d2", adc)
+      .select("neighbor_id", "adc_d2")
+      .orderBy(col("adc_d2"), col("neighbor_id"))
+      .limit(topK)
+    scored
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("adc_d2"), col("neighbor_id"))))
+      .select(col("rank"), col("neighbor_id"), round(col("adc_d2"), 6).as("adc_d2"))
+  }
 }

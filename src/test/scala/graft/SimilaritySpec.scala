@@ -135,6 +135,33 @@ class SimilaritySpec extends SparkSpec {
     assert(bucketed.nonEmpty)
   }
 
+  test("pq adc: separated clusters rank own-cluster first; output deterministic") {
+    // 4-dim, m=2 subspaces: cluster A near (1,0,1,0), B near (-1,0,-1,0);
+    // seeds (first 2 by id) are 0∈A and 1∈B, so Lloyd separates immediately
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.05f, 1.0f, 0.0f)), // query, in A
+      (1L, Array(-1.0f, 0.05f, -1.0f, 0.0f)),
+      (2L, Array(0.9f, 0.0f, 1.1f, 0.05f)),
+      (3L, Array(1.1f, -0.05f, 0.95f, 0.0f)),
+      (4L, Array(-0.9f, 0.0f, -1.1f, 0.05f)),
+      (5L, Array(-1.05f, 0.0f, -0.95f, -0.05f))
+    ).toDF("vec_id", "embedding")
+    val q = vecs.filter($"vec_id" === 0L)
+    val out = Similarity.knnPqAdc(vecs, q, m = 2, codes = 2, iterations = 2, topK = 5)
+      .orderBy("rank").collect()
+    assert(out.length === 5)
+    // both A members precede every B member under the quantized metric
+    assert(out.take(2).map(_.getLong(1)).toSet === Set(2L, 3L))
+    val d = out.map(_.getDouble(2))
+    assert(d.toSeq === d.sorted.toSeq)
+    val again = Similarity.knnPqAdc(vecs, q, m = 2, codes = 2, iterations = 2, topK = 5)
+      .orderBy("rank").collect()
+    assert(again.map(_.toSeq).toSeq === out.map(_.toSeq).toSeq)
+    // members of the same PQ cell as the query share one ADC distance —
+    // the quantized metric cannot distinguish within a cell
+    assert(d(0) === d(1))
+  }
+
   test("mmr rerank: diversity term demotes the redundant near-clone of the first pick") {
     // query along +x; candidates: 1 and 2 nearly collinear with the query
     // (2 marginally closer), 3 off-axis but still relevant. Pure relevance
