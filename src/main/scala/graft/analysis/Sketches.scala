@@ -106,9 +106,6 @@ object Sketches {
           element_at(sketch, k).cast("double")),
       4)
 
-  /** Per-group distinct-count estimates: one pass, O(k) state per group.
-    * Output: groupCol, est_distinct (sorted by groupCol).
-    */
   /** HyperLogLog distinct estimate — the register-family sibling of the
     * bottom-k KMV sketch: m=64 registers, each holding the max "leading-
     * zero rank" ρ seen in its bucket; est = α·m²/Σ2^(−M_j), with Flajolet's
@@ -124,25 +121,47 @@ object Sketches {
     * no log2-of-double anywhere (floor(ln x/ln 2) flips at powers of two
     * between engines), so registers, Σ, and the estimate replay exactly.
     * Register sums accumulate in DECIMAL(38,30) — 2^(−53) is far below
-    * double-sum reordering noise. Output: groupCol, est_distinct (round 4). */
-  def hllEstimate(
-      df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
-    val m = 64
-    val alpha = 0.709 // α_64, Flajolet et al. 2007
-    val dec = org.apache.spark.sql.types.DecimalType(38, 30)
-    val hex = md5(col(valueCol).cast("string"))
+    * double-sum reordering noise. Output: groupCol, est_distinct (round 4).
+    * Composed from [[hllRegisters]] + [[hllEstimateFromRegisters]] so the
+    * streaming twin ([[graft.streaming.StreamingHll]]) shares both halves. */
+  def hllEstimate(df: DataFrame, groupCol: String, valueCol: String): DataFrame =
+    hllEstimateFromRegisters(hllRegisters(df, groupCol, valueCol), groupCol)
+
+  /** Per-row HLL cell 〈bucket, rho〉 from the md5 hex — the projection both
+    * the batch estimator and the streaming register build share. rho is
+    * counted on the HEX STRING (leading-zero chars + a nibble case), never
+    * via log2 (cross-engine floor(log2) flips at powers of two). */
+  private[graft] def hllCell(value: Column, m: Int = 64): Column = {
+    val hex = md5(value.cast("string"))
     val tail = substring(hex, 3, 13) // 52 bits after the bucket chars
     val z = length(regexp_extract(tail, "^(0*)", 1))
     val nib = conv(substring(tail, z + 1, lit(1)), 16, 10).cast("int")
     val rho = when(z === 13, lit(53)).otherwise(
       lit(4) * z +
         when(nib >= 8, 1).when(nib >= 4, 2).when(nib >= 2, 3).otherwise(4))
-    val regs = df
-      .select(col(groupCol),
-        (conv(substring(hex, 1, 2), 16, 10).cast("int") % m).as("bucket"),
-        rho.as("rho"))
+    struct(
+      (conv(substring(hex, 1, 2), 16, 10).cast("int") % m).as("bucket"),
+      rho.as("rho"))
+  }
+
+  /** HLL register file per group: one grouped MAX — the mergeable heart of
+    * the sketch (max is idempotent and commutative, so registers from any
+    * partition of the data combine losslessly). */
+  private[graft] def hllRegisters(
+      df: DataFrame, groupCol: String, valueCol: String, m: Int = 64): DataFrame =
+    df.select(col(groupCol), hllCell(col(valueCol), m).as("cell"))
+      .select(col(groupCol), col("cell.bucket").as("bucket"), col("cell.rho").as("rho"))
       .groupBy(groupCol, "bucket")
       .agg(max("rho").as("reg"))
+
+  /** Estimator tail over a register file (from [[hllRegisters]] or the
+    * streaming twin): Σ 2^−reg in DECIMAL, empty registers added in DOUBLE,
+    * linear counting below 2.5m. */
+  private[graft] def hllEstimateFromRegisters(
+      regs: DataFrame, groupCol: String): DataFrame = {
+    val m = 64
+    val alpha = 0.709 // α_64, Flajolet et al. 2007
+    val dec = org.apache.spark.sql.types.DecimalType(38, 30)
     regs
       .groupBy(groupCol)
       .agg(count(lit(1)).as("used"),

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 
 import graft.analysis.Sketches
-import graft.streaming.StreamingSketch
+import graft.streaming.{StreamingHll, StreamingSketch}
 import graft.streaming.StreamingSketch.{Estimate, KeyedValue}
 
 class StreamingSketchSpec extends SparkSpec {
@@ -47,6 +47,41 @@ class StreamingSketchSpec extends SparkSpec {
       assert(streamed === batch) // bit-identical, not just close
       // batch-1 emission for g1 was exact (10 distinct < k)
       assert(seen((0L, "g1")) === 10.0)
+    } finally q.stop()
+  }
+
+  test("streaming hll registers across micro-batches equal the batch registers of the union") {
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[KeyedValue](spark)
+    // latest register per (group, bucket) via update-mode foreachBatch
+    val regs = scala.collection.concurrent.TrieMap.empty[(String, Int), Int]
+    val q = StreamingHll.buildStream(input.toDS().toDF(), "group", "value")
+      .writeStream
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        df.collect().foreach(r => regs((r.getString(0), r.getInt(1))) = r.getInt(2))
+      }
+      .outputMode("update").start()
+    try {
+      input.addData((1 to 40).map(i => KeyedValue("g1", s"a$i")) ++
+        (1 to 15).map(i => KeyedValue("g2", s"b$i")): _*)
+      q.processAllAvailable()
+      // overlap + new values: registers must take max with prior state
+      input.addData((21 to 80).map(i => KeyedValue("g1", s"a$i")) ++
+        (10 to 25).map(i => KeyedValue("g2", s"b$i")): _*)
+      q.processAllAvailable()
+      val union = ((1 to 80).map(i => ("g1", s"a$i")) ++
+        (1 to 25).map(i => ("g2", s"b$i"))).toDF("group", "value")
+      val batchRegs = Sketches.hllRegisters(union, "group", "value")
+        .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getInt(2)).toMap
+      assert(regs.toMap === batchRegs) // register-for-register, not just close
+      // and the estimate through the streamed registers is the batch estimate
+      val snapshot = regs.toSeq.map { case ((g, b), v) => (g, b, v) }
+        .toDF("group", "bucket", "reg")
+      val streamedEst = Sketches.hllEstimateFromRegisters(snapshot, "group")
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      val batchEst = Sketches.hllEstimate(union, "group", "value")
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      assert(streamedEst === batchEst)
     } finally q.stop()
   }
 }
