@@ -113,6 +113,15 @@ object SparkEntry {
           rightPayload = Seq("document_id"), rightPrefix = "dim_")
         .orderBy("event_id")
     },
+    // cluster-quality metrics (purity / ARI / NMI) of q108's deterministic
+    // k-means against the embeddings' reference label column: one grid
+    // aggregate, integer pair-count sums, DECIMAL-cast entropy terms
+    "q143_cluster_quality" -> { (s, d) =>
+      val emb = TestData.embeddings(s, d)
+      graft.analysis.Clustering.clusterQuality(
+        graft.analysis.Clustering.lloydKMeans(emb, k = 4, iterations = 2),
+        emb)
+    },
     // product quantization + ADC (Jegou et al.): per-subspace deterministic
     // Lloyd codebooks (4x16 dims, 8 codes), codegen'd argmin encode, query
     // scored via m table lookups — the memory-bound ANN regime
@@ -1176,6 +1185,63 @@ object SparkEntry {
       |WHERE k.doc_id NOT IN (SELECT doc_b FROM losers)
       |ORDER BY d.doc_id""".stripMargin
 
+  /** The q108 deterministic-Lloyd assignment chain (2 unrolled rounds,
+    * k=4, full 64-dim) up to `asg(vec_id, cluster, d2)` — shared verbatim
+    * by q108 (assignment output) and q143 (cluster-quality metrics over
+    * the assignment). Margins intentionally unstripped: the embedding
+    * string applies stripMargin over the whole composed oracle. */
+  private val kmeansAsgCtes: String =
+    """e AS (
+      |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+      |c0 AS (
+      |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cluster, v AS c
+      |  FROM e ORDER BY vec_id LIMIT 4),
+      |dd1 AS (
+      |  SELECT e.vec_id, c0.cluster,
+      |    list_sum(list_transform(range(64), i -> (e.v[i+1] - c0.c[i+1]) * (e.v[i+1] - c0.c[i+1]))) AS d2
+      |  FROM e CROSS JOIN c0),
+      |aa1 AS (
+      |  SELECT vec_id, cluster FROM (
+      |    SELECT vec_id, cluster,
+      |      row_number() OVER (PARTITION BY vec_id ORDER BY d2, cluster) AS rn
+      |    FROM dd1) WHERE rn = 1),
+      |u1 AS (
+      |  SELECT aa1.cluster, i AS dim,
+      |    sum(CAST(e.v[i+1] AS DECIMAL(38,12))) AS s, count(*) AS n
+      |  FROM aa1 JOIN e USING (vec_id) CROSS JOIN range(64) t(i)
+      |  GROUP BY 1, 2),
+      |c1 AS (
+      |  SELECT cluster, list(s::DOUBLE / n ORDER BY dim) AS c FROM u1 GROUP BY cluster
+      |  UNION ALL
+      |  SELECT cluster, c FROM c0 WHERE cluster NOT IN (SELECT cluster FROM u1)),
+      |dd2 AS (
+      |  SELECT e.vec_id, c1.cluster,
+      |    list_sum(list_transform(range(64), i -> (e.v[i+1] - c1.c[i+1]) * (e.v[i+1] - c1.c[i+1]))) AS d2
+      |  FROM e CROSS JOIN c1),
+      |aa2 AS (
+      |  SELECT vec_id, cluster FROM (
+      |    SELECT vec_id, cluster,
+      |      row_number() OVER (PARTITION BY vec_id ORDER BY d2, cluster) AS rn
+      |    FROM dd2) WHERE rn = 1),
+      |u2 AS (
+      |  SELECT aa2.cluster, i AS dim,
+      |    sum(CAST(e.v[i+1] AS DECIMAL(38,12))) AS s, count(*) AS n
+      |  FROM aa2 JOIN e USING (vec_id) CROSS JOIN range(64) t(i)
+      |  GROUP BY 1, 2),
+      |c2 AS (
+      |  SELECT cluster, list(s::DOUBLE / n ORDER BY dim) AS c FROM u2 GROUP BY cluster
+      |  UNION ALL
+      |  SELECT cluster, c FROM c1 WHERE cluster NOT IN (SELECT cluster FROM u2)),
+      |ddf AS (
+      |  SELECT e.vec_id, c2.cluster,
+      |    list_sum(list_transform(range(64), i -> (e.v[i+1] - c2.c[i+1]) * (e.v[i+1] - c2.c[i+1]))) AS d2
+      |  FROM e CROSS JOIN c2),
+      |asg AS (
+      |  SELECT vec_id, cluster, d2 FROM (
+      |    SELECT vec_id, cluster, d2,
+      |      row_number() OVER (PARTITION BY vec_id ORDER BY d2, cluster) AS rn
+      |    FROM ddf) WHERE rn = 1)"""
+
   /** q142's oracle, generated: the q117 deterministic-Lloyd rebuild once
     * per PQ subspace (4 × 16 dims, 8 codes, 2 rounds), then ADC as four
     * distance-table lookups summed in subspace order. Generated rather
@@ -1784,55 +1850,8 @@ object SparkEntry {
     // centroid means -> assign -> means -> final assignment; empty clusters
     // fall back to their previous centroid via the UNION ALL
     "q108_kmeans" ->
-      """WITH e AS (
-        |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
-        |c0 AS (
-        |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cluster, v AS c
-        |  FROM e ORDER BY vec_id LIMIT 4),
-        |dd1 AS (
-        |  SELECT e.vec_id, c0.cluster,
-        |    list_sum(list_transform(range(64), i -> (e.v[i+1] - c0.c[i+1]) * (e.v[i+1] - c0.c[i+1]))) AS d2
-        |  FROM e CROSS JOIN c0),
-        |aa1 AS (
-        |  SELECT vec_id, cluster FROM (
-        |    SELECT vec_id, cluster,
-        |      row_number() OVER (PARTITION BY vec_id ORDER BY d2, cluster) AS rn
-        |    FROM dd1) WHERE rn = 1),
-        |u1 AS (
-        |  SELECT aa1.cluster, i AS dim,
-        |    sum(CAST(e.v[i+1] AS DECIMAL(38,12))) AS s, count(*) AS n
-        |  FROM aa1 JOIN e USING (vec_id) CROSS JOIN range(64) t(i)
-        |  GROUP BY 1, 2),
-        |c1 AS (
-        |  SELECT cluster, list(s::DOUBLE / n ORDER BY dim) AS c FROM u1 GROUP BY cluster
-        |  UNION ALL
-        |  SELECT cluster, c FROM c0 WHERE cluster NOT IN (SELECT cluster FROM u1)),
-        |dd2 AS (
-        |  SELECT e.vec_id, c1.cluster,
-        |    list_sum(list_transform(range(64), i -> (e.v[i+1] - c1.c[i+1]) * (e.v[i+1] - c1.c[i+1]))) AS d2
-        |  FROM e CROSS JOIN c1),
-        |aa2 AS (
-        |  SELECT vec_id, cluster FROM (
-        |    SELECT vec_id, cluster,
-        |      row_number() OVER (PARTITION BY vec_id ORDER BY d2, cluster) AS rn
-        |    FROM dd2) WHERE rn = 1),
-        |u2 AS (
-        |  SELECT aa2.cluster, i AS dim,
-        |    sum(CAST(e.v[i+1] AS DECIMAL(38,12))) AS s, count(*) AS n
-        |  FROM aa2 JOIN e USING (vec_id) CROSS JOIN range(64) t(i)
-        |  GROUP BY 1, 2),
-        |c2 AS (
-        |  SELECT cluster, list(s::DOUBLE / n ORDER BY dim) AS c FROM u2 GROUP BY cluster
-        |  UNION ALL
-        |  SELECT cluster, c FROM c1 WHERE cluster NOT IN (SELECT cluster FROM u2)),
-        |ddf AS (
-        |  SELECT e.vec_id, c2.cluster,
-        |    list_sum(list_transform(range(64), i -> (e.v[i+1] - c2.c[i+1]) * (e.v[i+1] - c2.c[i+1]))) AS d2
-        |  FROM e CROSS JOIN c2)
-        |SELECT vec_id, cluster, round(d2, 6) AS dist2 FROM (
-        |  SELECT vec_id, cluster, d2,
-        |    row_number() OVER (PARTITION BY vec_id ORDER BY d2, cluster) AS rn
-        |  FROM ddf) WHERE rn = 1
+      s"""WITH $kmeansAsgCtes
+        |SELECT vec_id, cluster, round(d2, 6) AS dist2 FROM asg
         |ORDER BY vec_id""".stripMargin,
     "q106_hashed_features" ->
       """WITH toks AS (
@@ -3136,6 +3155,35 @@ object SparkEntry {
         |  ON f.session_id = d.session_id AND f.event_ts >= d.valid_from
         |ORDER BY f.event_id""".stripMargin,
     "q142_pq_adc" -> pqAdcOracle,
+    // q108's assignment chain + grid metrics: integer C(n,2) sums via >>1,
+    // the q134 DECIMAL MI recipe, entropy terms DECIMAL-cast the same way
+    "q143_cluster_quality" ->
+      s"""WITH $kmeansAsgCtes,
+        |lab AS (SELECT vec_id, label FROM embeddings),
+        |g AS (
+        |  SELECT a.cluster AS cl, l.label AS lb, count(*) AS c
+        |  FROM asg a JOIN lab l USING (vec_id) GROUP BY 1, 2),
+        |ma AS (SELECT cl, CAST(sum(c) AS BIGINT) AS a FROM g GROUP BY 1),
+        |mb AS (SELECT lb, CAST(sum(c) AS BIGINT) AS b FROM g GROUP BY 1),
+        |t AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM g),
+        |sidx AS (SELECT CAST(sum((c * (c - 1)) >> 1) AS BIGINT) AS sidx FROM g),
+        |saa AS (SELECT CAST(sum((a * (a - 1)) >> 1) AS BIGINT) AS sa FROM ma),
+        |sbb AS (SELECT CAST(sum((b * (b - 1)) >> 1) AS BIGINT) AS sb FROM mb),
+        |pur AS (SELECT CAST(sum(mx) AS BIGINT) AS pmax FROM (SELECT cl, max(c) AS mx FROM g GROUP BY 1)),
+        |mi AS (
+        |  SELECT CAST(sum(CAST((g.c::DOUBLE / n) * ln(n::DOUBLE * g.c::DOUBLE / (a::DOUBLE * b::DOUBLE)) AS DECIMAL(28,12))) AS DOUBLE) AS mi
+        |  FROM g JOIN ma USING (cl) JOIN mb USING (lb) CROSS JOIN t),
+        |hcc AS (SELECT -CAST(sum(CAST((a::DOUBLE / n) * ln(a::DOUBLE / n) AS DECIMAL(28,12))) AS DOUBLE) AS hc FROM ma CROSS JOIN t),
+        |hll AS (SELECT -CAST(sum(CAST((b::DOUBLE / n) * ln(b::DOUBLE / n) AS DECIMAL(28,12))) AS DOUBLE) AS hl FROM mb CROSS JOIN t),
+        |cn AS (SELECT ((n * (n - 1)) >> 1)::DOUBLE AS cn FROM t)
+        |SELECT n,
+        |  round(pmax::DOUBLE / n, 6) AS purity,
+        |  round(CASE WHEN (sa + sb)::DOUBLE / 2.0::DOUBLE = sa::DOUBLE * sb::DOUBLE / cn THEN 1.0::DOUBLE
+        |    ELSE (sidx::DOUBLE - sa::DOUBLE * sb::DOUBLE / cn)
+        |         / ((sa + sb)::DOUBLE / 2.0::DOUBLE - sa::DOUBLE * sb::DOUBLE / cn) END, 6) AS ari,
+        |  round(CASE WHEN hc * hl > 0 THEN mi / sqrt(hc * hl) ELSE 0.0::DOUBLE END, 6) AS nmi
+        |FROM t CROSS JOIN sidx CROSS JOIN saa CROSS JOIN sbb CROSS JOIN pur
+        |CROSS JOIN mi CROSS JOIN hcc CROSS JOIN hll CROSS JOIN cn""".stripMargin,
     "q141_k_anonymity" ->
       """SELECT event_type, CAST(floor(value / 100) AS INT) AS value_band,
         |  CAST(count(*) AS BIGINT) AS class_size,

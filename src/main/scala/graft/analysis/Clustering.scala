@@ -98,4 +98,75 @@ object Clustering {
         round(col("d2"), 6).as("dist2"))
       .localCheckpoint(true)
   }
+
+  /** External cluster-quality metrics against a reference labeling —
+    * the evaluation step after any clustering/quantization run:
+    *
+    *  - purity: Σ_c max_l n_cl / n (share of points whose cluster's
+    *    dominant label is theirs);
+    *  - ARI (Hubert & Arabie 1985): pair-counting agreement corrected for
+    *    chance — the C(n,2) sums are INTEGER arithmetic (x·(x−1) >> 1), so
+    *    every term is exact cross-engine and only the final ratio is a
+    *    double;
+    *  - NMI: MI(cluster, label)/√(H_c·H_l), every Σ term DECIMAL-cast
+    *    before summing (the q134 recipe) so reordering can't drift it.
+    *
+    * Scale shape: one join + grid aggregate (k×L rows — metric-sized, not
+    * data-sized); everything after is arithmetic over 1-row frames.
+    * Degenerate guards: a single cluster AND single label ⇒ ARI 1.0 (both
+    * partitions trivially agree); zero entropy on either side ⇒ NMI 0.
+    * Output (1 row): n, purity, ari, nmi (round 6). */
+  def clusterQuality(
+      assign: DataFrame,
+      reference: DataFrame,
+      idCol: String = "vec_id",
+      clusterCol: String = "cluster",
+      labelCol: String = "label"): DataFrame = {
+    val dec = DecimalType(28, 12)
+    val grid = assign.select(col(idCol).as("id"), col(clusterCol).as("cl"))
+      .join(reference.select(col(idCol).as("id"), col(labelCol).as("lb")), "id")
+      .groupBy("cl", "lb").agg(count(lit(1)).as("c"))
+      .persist()
+    try {
+      val n = grid.agg(sum("c")).collect().head.getLong(0)
+      require(n > 0, "clusterQuality needs a non-empty assignment∩reference")
+      val ma = grid.groupBy("cl").agg(sum("c").as("a"))
+      val mb = grid.groupBy("lb").agg(sum("c").as("b"))
+      def c2(x: org.apache.spark.sql.Column) = shiftright(x * (x - 1), 1)
+      val sidx = grid.agg(sum(c2(col("c"))).as("sidx"))
+      val sa = ma.agg(sum(c2(col("a"))).as("sa"))
+      val sb = mb.agg(sum(c2(col("b"))).as("sb"))
+      val pur = grid.groupBy("cl").agg(max("c").as("mx"))
+        .agg(sum("mx").as("pmax"))
+      val mi = grid.join(broadcast(ma), "cl").join(broadcast(mb), "lb")
+        .select(((col("c").cast(DoubleType) / n) *
+          log(lit(n.toDouble) * col("c").cast(DoubleType) /
+            (col("a").cast(DoubleType) * col("b").cast(DoubleType))))
+          .cast(dec).as("term"))
+        .agg(sum("term").cast(DoubleType).as("mi"))
+      def entropyOf(m: DataFrame, cnt: String, out: String) = m
+        .select(((col(cnt).cast(DoubleType) / n) * log(col(cnt).cast(DoubleType) / n))
+          .cast(dec).as("t"))
+        .agg((-sum("t").cast(DoubleType)).as(out))
+      val hc = entropyOf(ma, "a", "hc")
+      val hl = entropyOf(mb, "b", "hl")
+      val cn = (n * (n - 1) / 2).toDouble
+      val expected = col("sa").cast(DoubleType) * col("sb").cast(DoubleType) / lit(cn)
+      val maxterm = (col("sa") + col("sb")).cast(DoubleType) / lit(2.0)
+      val result = sidx.crossJoin(sa).crossJoin(sb).crossJoin(pur)
+        .crossJoin(mi).crossJoin(hc).crossJoin(hl)
+        .select(
+          lit(n).as("n"),
+          round(col("pmax").cast(DoubleType) / n, 6).as("purity"),
+          round(
+            when(maxterm === expected, lit(1.0))
+              .otherwise((col("sidx").cast(DoubleType) - expected) / (maxterm - expected)),
+            6).as("ari"),
+          round(
+            when(col("hc") * col("hl") > 0, col("mi") / sqrt(col("hc") * col("hl")))
+              .otherwise(lit(0.0)),
+            6).as("nmi"))
+      result.localCheckpoint(true)
+    } finally { grid.unpersist(); () }
+  }
 }

@@ -30,4 +30,27 @@ class ClusteringSpec extends SparkSpec {
     assert(a.forall(_._3 >= 0.0))
     assert(a.map(_._2).distinct.length <= 3) // at most k clusters used
   }
+
+  test("cluster quality: perfect match maxes metrics, independence zeroes NMI, degenerate guards hold") {
+    val ref = Seq((1L, 0), (2L, 0), (3L, 1), (4L, 1)).toDF("vec_id", "label")
+    // same partition under renamed cluster ids -> all three metrics = 1
+    val perfect = Seq((1L, 5), (2L, 5), (3L, 9), (4L, 9)).toDF("vec_id", "cluster")
+    val o1 = Clustering.clusterQuality(perfect, ref).collect().head
+    assert(o1.getLong(0) === 4L)
+    assert((o1.getDouble(1), o1.getDouble(2), o1.getDouble(3)) === ((1.0, 1.0, 1.0)))
+    // balanced independent grid: MI exactly 0, ARI at its chance-corrected
+    // negative value (hand-computed -0.5 for this 2x2 case)
+    val indep = Seq((1L, 0), (2L, 1), (3L, 0), (4L, 1)).toDF("vec_id", "cluster")
+    val o2 = Clustering.clusterQuality(indep, ref).collect().head
+    assert(o2.getDouble(3) === 0.0)
+    assert(o2.getDouble(2) === -0.5)
+    // one cluster over two labels: zero entropy side -> NMI 0, ARI 0 here
+    val single = Seq((1L, 7), (2L, 7), (3L, 7), (4L, 7)).toDF("vec_id", "cluster")
+    val o3 = Clustering.clusterQuality(single, ref).collect().head
+    assert((o3.getDouble(1), o3.getDouble(2), o3.getDouble(3)) === ((0.5, 0.0, 0.0)))
+    // one cluster AND one label: both partitions trivially agree -> ARI 1
+    val oneLab = Seq((1L, 0), (2L, 0), (3L, 0), (4L, 0)).toDF("vec_id", "label")
+    val o4 = Clustering.clusterQuality(single, oneLab).collect().head
+    assert((o4.getDouble(1), o4.getDouble(2), o4.getDouble(3)) === ((1.0, 1.0, 0.0)))
+  }
 }
