@@ -113,6 +113,29 @@ object SparkEntry {
           rightPayload = Seq("document_id"), rightPrefix = "dim_")
         .orderBy("event_id")
     },
+    // TextRank keyword extraction (Mihalcea-Tarau): weighted PageRank over
+    // the adjacent-token graph (len>=4 tokens, undirected least/greatest
+    // pairs), 5 power iterations, top-20 — q56/q81's engine on a text graph
+    "q144_textrank" -> { (s, d) =>
+      val t = filter(array_remove(TextAnalysis.tokens(col("text")), ""),
+        x => length(x) >= 4)
+      val pairs = TestData.documents(s, d)
+        .select(t.as("t")).filter(size(col("t")) >= 2)
+        .select(explode(zip_with(
+          slice(col("t"), lit(1), size(col("t")) - 1),
+          slice(col("t"), lit(2), size(col("t")) - 1),
+          (a, b) => struct(a.as("a"), b.as("b")))).as("p"))
+        .filter(col("p.a") =!= col("p.b"))
+        .select(least(col("p.a"), col("p.b")).as("src"),
+          greatest(col("p.a"), col("p.b")).as("dst"))
+      val edges = pairs.groupBy("src", "dst")
+        .agg(count(lit(1)).cast("double").as("weight"))
+      Graphs.pageRank(edges, damping = 0.85, iterations = 5,
+          weightCol = Some("weight"))
+        .orderBy(desc("pagerank"), col("id"))
+        .limit(20)
+        .select(col("id").as("token"), round(col("pagerank"), 6).as("textrank"))
+    },
     // cluster-quality metrics (purity / ARI / NMI) of q108's deterministic
     // k-means against the embeddings' reference label column: one grid
     // aggregate, integer pair-count sums, DECIMAL-cast entropy terms
@@ -1241,6 +1264,27 @@ object SparkEntry {
       |    SELECT vec_id, cluster, d2,
       |      row_number() OVER (PARTITION BY vec_id ORDER BY d2, cluster) AS rn
       |    FROM ddf) WHERE rn = 1)"""
+
+  /** Weighted-PageRank oracle midsection (q81's p0…p5 shape, generated):
+    * deg/nodes/nn/p0 + `rounds` unrolled power iterations over a
+    * caller-supplied `sym(u, v, w)` CTE. q144 composes it over the
+    * token-adjacency graph; q81 keeps its original hand-written text
+    * (byte-identical shape) since its gate predates this builder. */
+  private def pageRankIterCtes(rounds: Int): String = {
+    val iters = (1 to rounds).map { r =>
+      s"""p$r AS (
+         |  SELECT nd.id, (CAST(1 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / (SELECT n FROM nn)
+         |    + CAST(0.85 AS DOUBLE) * COALESCE(sum(p.r * s.w / dg.d), 0) AS r
+         |  FROM nodes nd LEFT JOIN sym s ON s.v = nd.id
+         |  LEFT JOIN p${r - 1} p ON s.u = p.id LEFT JOIN deg dg ON s.u = dg.u
+         |  GROUP BY nd.id)"""
+    }.mkString(",\n")
+    s"""deg AS (SELECT u, sum(w) AS d FROM sym GROUP BY u),
+       |nodes AS (SELECT DISTINCT u AS id FROM sym),
+       |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+       |p0 AS (SELECT id, CAST(1 AS DOUBLE) / (SELECT n FROM nn) AS r FROM nodes),
+       |$iters"""
+  }
 
   /** q142's oracle, generated: the q117 deterministic-Lloyd rebuild once
     * per PQ subspace (4 × 16 dims, 8 codes, 2 rounds), then ADC as four
@@ -3155,6 +3199,27 @@ object SparkEntry {
         |  ON f.session_id = d.session_id AND f.event_ts >= d.valid_from
         |ORDER BY f.event_id""".stripMargin,
     "q142_pq_adc" -> pqAdcOracle,
+    // q131's tokenization + len>=4 filter, adjacency bigrams via index
+    // ranges, least/greatest undirected pairs, then the generated q81
+    // iteration tail; top-20 by (rank desc, token)
+    "q144_textrank" ->
+      s"""WITH toks AS (
+        |  SELECT list_filter(string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g')), ' '), x -> x <> '') AS t0
+        |  FROM documents),
+        |seq AS (SELECT list_filter(t0, x -> len(x) >= 4) AS t FROM toks),
+        |bg0 AS (
+        |  SELECT t, CAST(unnest(range(0, len(t) - 1)) AS INT) AS i
+        |  FROM seq WHERE len(t) >= 2),
+        |bgp AS (SELECT t[i+1] AS a, t[i+2] AS b FROM bg0),
+        |ce AS (
+        |  SELECT least(a, b) AS src, greatest(a, b) AS dst, CAST(count(*) AS DOUBLE) AS w
+        |  FROM bgp WHERE a <> b GROUP BY 1, 2),
+        |sym AS (SELECT src AS u, dst AS v, w FROM ce UNION ALL SELECT dst AS u, src AS v, w FROM ce),
+        |${pageRankIterCtes(5)},
+        |sel AS (SELECT id AS token, r * (SELECT n FROM nn) AS pr FROM p5),
+        |top AS (SELECT token, pr, row_number() OVER (ORDER BY pr DESC, token) AS rk FROM sel)
+        |SELECT token, round(pr, 6) AS textrank FROM top WHERE rk <= 20
+        |ORDER BY pr DESC, token""".stripMargin,
     // q108's assignment chain + grid metrics: integer C(n,2) sums via >>1,
     // the q134 DECIMAL MI recipe, entropy terms DECIMAL-cast the same way
     "q143_cluster_quality" ->
