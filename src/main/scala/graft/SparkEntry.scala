@@ -113,6 +113,12 @@ object SparkEntry {
           rightPayload = Seq("document_id"), rightPrefix = "dim_")
         .orderBy("event_id")
     },
+    // pairwise Jensen-Shannon divergence between per-source unigram
+    // distributions over the top-500 vocab: the source-redundancy report
+    // behind data-mixing decisions; DECIMAL-cast terms, report-sized output
+    "q145_source_divergence" -> { (s, d) =>
+      TextAnalysis.sourceDivergence(TestData.documents(s, d), topV = 500)
+    },
     // TextRank keyword extraction (Mihalcea-Tarau): weighted PageRank over
     // the adjacent-token graph (len>=4 tokens, undirected least/greatest
     // pairs), 5 power iterations, top-20 — q56/q81's engine on a text graph
@@ -3199,6 +3205,36 @@ object SparkEntry {
         |  ON f.session_id = d.session_id AND f.event_ts >= d.valid_from
         |ORDER BY f.event_id""".stripMargin,
     "q142_pq_adc" -> pqAdcOracle,
+    // dense source x top-500-vocab grid, JSD terms guarded per side and
+    // DECIMAL-cast before the sum (q134 recipe)
+    "q145_source_divergence" ->
+      """WITH tk AS (
+        |  SELECT source, unnest(list_filter(string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')), ' '), x -> x <> '')) AS token
+        |  FROM documents),
+        |cnt AS (SELECT source, token, count(*) AS c FROM tk GROUP BY 1, 2),
+        |voc AS (
+        |  SELECT token FROM (
+        |    SELECT token, row_number() OVER (ORDER BY sum(c) DESC, token) AS rk
+        |    FROM cnt GROUP BY token) WHERE rk <= 500),
+        |src AS (SELECT DISTINCT source FROM documents),
+        |dense AS (
+        |  SELECT s.source, v.token, COALESCE(c.c, 0) AS c
+        |  FROM src s CROSS JOIN voc v
+        |  LEFT JOIN cnt c ON c.source = s.source AND c.token = v.token),
+        |tot AS (SELECT source, CAST(sum(c) AS BIGINT) AS tot FROM dense GROUP BY 1),
+        |p AS (
+        |  SELECT d.source, d.token, d.c::DOUBLE / t.tot AS p
+        |  FROM dense d JOIN tot t USING (source) WHERE t.tot > 0),
+        |pair AS (
+        |  SELECT x.source AS source_a, y.source AS source_b, x.p AS p, y.p AS q
+        |  FROM p x JOIN p y ON x.token = y.token AND x.source < y.source),
+        |terms AS (
+        |  SELECT source_a, source_b,
+        |    CAST(0.5::DOUBLE * (CASE WHEN p > 0 THEN p * ln(2.0::DOUBLE * p / (p + q)) ELSE 0.0::DOUBLE END)
+        |       + 0.5::DOUBLE * (CASE WHEN q > 0 THEN q * ln(2.0::DOUBLE * q / (p + q)) ELSE 0.0::DOUBLE END) AS DECIMAL(28,12)) AS term
+        |  FROM pair)
+        |SELECT source_a, source_b, round(CAST(sum(term) AS DOUBLE), 6) AS jsd
+        |FROM terms GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // q131's tokenization + len>=4 filter, adjacency bigrams via index
     // ranges, least/greatest undirected pairs, then the generated q81
     // iteration tail; top-20 by (rank desc, token)

@@ -339,6 +339,67 @@ object TextAnalysis {
   }
 
   // Public stopword/marker lists (standard high-frequency function words).
+  /** Pairwise Jensen–Shannon divergence between per-source unigram
+    * distributions — the "how different are my corpus slices" report a
+    * data-mixing run consults before setting weights ([[CorpusPrep
+    * .sourceMixtureWeights]]/[[CorpusPrep.temperatureResample]] decide HOW
+    * MUCH of each source; this measures how REDUNDANT two sources are).
+    * JSD = ½KL(P‖M) + ½KL(Q‖M), M = (P+Q)/2 — symmetric, bounded by ln 2,
+    * and defined when a token is missing from one side (its term is p·ln 2).
+    *
+    * Scale shape: distributions are restricted to the top-`topV` corpus
+    * vocabulary (deterministic count-desc/token-asc cut), so everything
+    * after the one token-count aggregate is bounded: the dense
+    * source×vocab grid is |S|·V rows, the pair join |S|²/2·V — report-
+    * sized, never corpus-sized. Terms are DECIMAL-cast before the sum
+    * (the q134 recipe) so cross-engine reordering can't drift the digest.
+    * Output: source_a, source_b, jsd (round 6), one row per unordered
+    * source pair. */
+  def sourceDivergence(
+      docs: DataFrame,
+      topV: Int = 500,
+      sourceCol: String = "source",
+      textCol: String = "text"): DataFrame = {
+    val dec = DecimalType(28, 12)
+    val cnt = docs
+      .select(col(sourceCol).as("source"),
+        explode(array_remove(tokens(col(textCol)), "")).as("token"))
+      .groupBy("source", "token").agg(count(lit(1)).as("c"))
+      .persist()
+    try {
+      val vocab = cnt.groupBy("token").agg(sum("c").as("tot"))
+        .orderBy(desc("tot"), col("token")).limit(topV).select("token")
+      val sources = docs.select(col(sourceCol).as("source")).distinct()
+      val dense = sources.crossJoin(broadcast(vocab))
+        .join(cnt, Seq("source", "token"), "left")
+        .select(col("source"), col("token"), coalesce(col("c"), lit(0L)).as("c"))
+      val tot = dense.groupBy("source").agg(sum("c").as("tot"))
+      val p = dense.join(broadcast(tot), "source")
+        .filter(col("tot") > 0)
+        .select(col("source"), col("token"),
+          (col("c").cast(DoubleType) / col("tot")).as("p"))
+      val pair = p.as("x")
+        .join(p.as("y"),
+          col("x.token") === col("y.token") && col("x.source") < col("y.source"))
+        .select(col("x.source").as("source_a"), col("y.source").as("source_b"),
+          col("x.p").as("p"), col("y.p").as("q"))
+      val term = (lit(0.5) *
+          when(col("p") > 0,
+            col("p") * log(lit(2.0) * col("p") / (col("p") + col("q"))))
+            .otherwise(lit(0.0)) +
+        lit(0.5) *
+          when(col("q") > 0,
+            col("q") * log(lit(2.0) * col("q") / (col("p") + col("q"))))
+            .otherwise(lit(0.0))).cast(dec)
+      val result = pair
+        .select(col("source_a"), col("source_b"), term.as("term"))
+        .groupBy("source_a", "source_b")
+        .agg(round(sum("term").cast(DoubleType), 6).as("jsd"))
+        .orderBy("source_a", "source_b")
+      result.localCheckpoint(true)
+    } finally { cnt.unpersist(); () }
+  }
+
   val stopwordsEn: Seq[String] = Seq("the", "a", "an", "of", "and", "to", "in", "is", "it", "for")
   val markersEn: Seq[String] = Seq("the", "a", "of", "and", "to", "is")
   val markersDe: Seq[String] = Seq("der", "die", "das", "und", "ist", "nicht")

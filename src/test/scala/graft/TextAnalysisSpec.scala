@@ -184,6 +184,21 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("source divergence: identical slices give 0, disjoint vocab gives ln 2") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta", "s1"),
+      (2L, "alpha beta gamma delta", "s2"), // same distribution as s1
+      (3L, "omega psi chi phi", "s3") // fully disjoint vocabulary
+    ).toDF("doc_id", "text", "source")
+    val out = graft.analysis.TextAnalysis.sourceDivergence(docs, topV = 100)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    assert(out.size === 3) // one row per unordered pair
+    assert(out(("s1", "s2")) === 0.0)
+    // JSD of disjoint distributions is its ln 2 upper bound
+    assert(out(("s1", "s3")) === 0.693147)
+    assert(out(("s2", "s3")) === 0.693147)
+  }
+
   test("temperature resample: alpha flattens the mixture, dominant source downsampled, alpha=1 is identity") {
     // 90/10 split: at alpha=0.5 the target shares are 3:1, so the big
     // source keeps ~83% (0.75*100/90) and the small one keeps everything
