@@ -113,6 +113,18 @@ object SparkEntry {
           rightPayload = Seq("document_id"), rightPrefix = "dim_")
         .orderBy("event_id")
     },
+    // Gini coefficient of click concentration over documents: rank-formula
+    // with an all-INTEGER numerator; the one-number skew report that says
+    // whether salting/skew-join machinery is warranted
+    "q146_gini" -> { (s, d) =>
+      graft.analysis.Stats.giniConcentration(TestData.clicks(s, d), "document_id")
+    },
+    // burstiness (Fano factor) of hourly load per event type: VMR over
+    // observed (date, hour) buckets, integer sums until the final ratios
+    "q147_burstiness" -> { (s, d) =>
+      TimeSeries.burstiness(TestData.clicks(s, d),
+        keyCol = "event_type", tsCol = "event_ts", dateCol = "event_date")
+    },
     // pairwise Jensen-Shannon divergence between per-source unigram
     // distributions over the top-500 vocab: the source-redundancy report
     // behind data-mixing decisions; DECIMAL-cast terms, report-sized output
@@ -3205,6 +3217,32 @@ object SparkEntry {
         |  ON f.session_id = d.session_id AND f.event_ts >= d.valid_from
         |ORDER BY f.event_id""".stripMargin,
     "q142_pq_adc" -> pqAdcOracle,
+    "q146_gini" ->
+      """WITH c AS (
+        |  SELECT CAST(props->>'$.k' AS INTEGER) AS doc FROM events
+        |  WHERE CAST(props->>'$.k' AS INTEGER) IS NOT NULL),
+        |x AS (SELECT doc, count(*) AS x FROM c GROUP BY 1),
+        |r AS (SELECT doc, x, row_number() OVER (ORDER BY x, doc) AS i FROM x),
+        |a AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_keys, CAST(sum(x) AS BIGINT) AS total,
+        |    CAST(sum(i * x) AS BIGINT) AS sixi
+        |  FROM r)
+        |SELECT n_keys, total,
+        |  round((2 * sixi - (n_keys + 1) * total)::DOUBLE / (n_keys::DOUBLE * total::DOUBLE), 6) AS gini
+        |FROM a""".stripMargin,
+    "q147_burstiness" ->
+      """WITH hourly AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS d, hour(CAST(ts AS TIMESTAMP)) AS h, count(*) AS x
+        |  FROM events GROUP BY 1, 2, 3),
+        |a AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS n_buckets,
+        |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(x * x) AS BIGINT) AS sxx
+        |  FROM hourly GROUP BY 1)
+        |SELECT event_type, n_buckets,
+        |  round(sx::DOUBLE / n_buckets, 6) AS mean,
+        |  round((sxx::DOUBLE / n_buckets - (sx::DOUBLE / n_buckets) * (sx::DOUBLE / n_buckets))
+        |        / (sx::DOUBLE / n_buckets), 6) AS vmr
+        |FROM a ORDER BY event_type""".stripMargin,
     // dense source x top-500-vocab grid, JSD terms guarded per side and
     // DECIMAL-cast before the sum (q134 recipe)
     "q145_source_divergence" ->

@@ -157,4 +157,32 @@ object Stats {
     try out.localCheckpoint(true)
     finally { obs.unpersist(); () }
   }
+
+  /** Gini coefficient of event concentration over a key — the standard
+    * inequality digest ("do 1% of the documents absorb 90% of the
+    * clicks?") a popularity-skew report leads with, and the number that
+    * says whether the skew-join/salting machinery is even needed.
+    * Computed by the rank formula G = (2·Σi·xᵢ − (n+1)·Σxᵢ) / (n·Σxᵢ)
+    * over counts sorted ascending — numerator and denominator are pure
+    * INTEGER sums (exact cross-engine); only the final ratio is a double.
+    *
+    * Scale shape: one hash aggregate to key granularity, then a rank +
+    * single aggregate over the key-count-sized frame (catalog-sized, not
+    * event-sized). The global rank window is over that aggregated frame
+    * only. Output (1 row): n_keys, total, gini (round 6). */
+  def giniConcentration(df: DataFrame, keyCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = df.filter(col(keyCol).isNotNull)
+      .groupBy(col(keyCol).as("k")).agg(count(lit(1)).as("x"))
+    val ranked = counts
+      .withColumn("i", row_number().over(Window.orderBy(col("x"), col("k"))))
+    ranked
+      .agg(count(lit(1)).as("n_keys"), sum("x").as("total"),
+        sum(col("i") * col("x")).as("sixi"))
+      .select(col("n_keys"), col("total"),
+        round(
+          (lit(2) * col("sixi") - (col("n_keys") + 1) * col("total")).cast(DoubleType) /
+            (col("n_keys").cast(DoubleType) * col("total").cast(DoubleType)),
+          6).as("gini"))
+  }
 }

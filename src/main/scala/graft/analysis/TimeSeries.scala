@@ -3,6 +3,7 @@ package graft.analysis
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
 
 /** Per-key time-series analytics: streaks, smoothing, level shifts.
   *
@@ -187,5 +188,39 @@ object TimeSeries {
       .withColumn("shift", round(col("after_mean") - col("before_mean"), 4))
       .filter(abs(col("shift")) > threshold)
       .drop("__na", "__nb")
+  }
+
+  /** Burstiness per key: the Fano factor (variance-to-mean ratio) of the
+    * key's hourly event counts over observed (date, hour) buckets. A
+    * Poisson-steady stream has VMR ≈ 1; VMR ≫ 1 is bursty (flash crowds,
+    * crawler storms — the traffic that needs the q08 anomaly mart and the
+    * skew machinery), VMR ≪ 1 is metronomic (bot heartbeat).
+    *
+    * Scale shape: one bucket aggregate (key × date × hour granularity)
+    * then one key-level aggregate; Σx and Σx² stay INTEGER until the final
+    * divisions, so engines agree exactly. Population variance
+    * E[x²] − E[x]², both expectations divided in DOUBLE in a fixed order.
+    * Output: one row per key — n_buckets, mean (round 6), vmr (round 6). */
+  def burstiness(
+      df: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      dateCol: String): DataFrame = {
+    val hourly = df
+      .groupBy(col(keyCol), col(dateCol).as("d"), hour(col(tsCol)).as("h"))
+      .agg(count(lit(1)).as("x"))
+    hourly
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n_buckets"), sum("x").as("sx"),
+        sum(col("x") * col("x")).as("sxx"))
+      .select(col(keyCol), col("n_buckets"),
+        round((col("sx").cast(DoubleType) / col("n_buckets")), 6).as("mean"),
+        round(
+          (col("sxx").cast(DoubleType) / col("n_buckets") -
+            (col("sx").cast(DoubleType) / col("n_buckets")) *
+              (col("sx").cast(DoubleType) / col("n_buckets"))) /
+            (col("sx").cast(DoubleType) / col("n_buckets")),
+          6).as("vmr"))
+      .orderBy(keyCol)
   }
 }

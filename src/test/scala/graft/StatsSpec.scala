@@ -61,4 +61,15 @@ class StatsSpec extends SparkSpec {
     val mi1 = Stats.mutualInformation(dep2, "a", "b").collect().head.getDouble(1)
     assert(math.abs(mi1 - math.log(2)) < 1e-6)
   }
+
+  test("gini concentration: uniform load 0, hand-computed skew, nulls dropped") {
+    val uniform = Seq("a", "a", "b", "b").toDF("k")
+    val u = Stats.giniConcentration(uniform, "k").collect().head
+    assert((u.getLong(0), u.getLong(1), u.getDouble(2)) === ((2L, 4L, 0.0)))
+    // counts (1, 9): G = (2*(1*1 + 2*9) - 3*10) / (2*10) = 8/20 = 0.4
+    val skew = (Seq.fill(1)("a") ++ Seq.fill(9)("b")).toDF("k")
+    assert(Stats.giniConcentration(skew, "k").collect().head.getDouble(2) === 0.4)
+    val withNull = Seq(Some("a"), Some("a"), None, Some("b"), Some("b")).toDF("k")
+    assert(Stats.giniConcentration(withNull, "k").collect().head.getLong(1) === 4L)
+  }
 }

@@ -126,4 +126,21 @@ class TimeSeriesSpec extends SparkSpec {
     assert(out(("2026-01-02", 10)) === ((6L, false)))  // steady hour never flags
     assert(out.values.count(_._2) === 1)
   }
+
+  test("burstiness: metronomic stream VMR 0, bursty stream hand-computed") {
+    def rows(typ: String, counts: Seq[Int]): Seq[(String, java.sql.Timestamp, Date)] =
+      counts.zipWithIndex.flatMap { case (c, h) =>
+        Seq.fill(c)((typ,
+          java.sql.Timestamp.valueOf(f"2026-01-01 $h%02d:15:00"),
+          d("2026-01-01")))
+      }
+    val df = (rows("steady", Seq(2, 2, 2)) ++ rows("bursty", Seq(1, 1, 10)))
+      .toDF("event_type", "event_ts", "event_date")
+    val out = TimeSeries.burstiness(df, "event_type", "event_ts", "event_date")
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3))))
+      .toMap
+    assert(out("steady") === ((3L, 2.0, 0.0)))
+    // counts (1,1,10): mean 4, E[x^2] = 34, var 18, VMR 4.5
+    assert(out("bursty") === ((3L, 4.0, 4.5)))
+  }
 }
