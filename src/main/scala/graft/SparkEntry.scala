@@ -113,6 +113,20 @@ object SparkEntry {
           rightPayload = Seq("document_id"), rightPrefix = "dim_")
         .orderBy("event_id")
     },
+    // ANN quality capstone: recall@10 of the PQ/ADC path against exact
+    // squared-L2 ground truth — the honesty metric every approximate
+    // index ships with; both sides fully oracle-expressed
+    "q148_ann_recall" -> { (s, d) =>
+      val emb = TestData.embeddings(s, d)
+      val q = emb.filter(col("vec_id") === 0)
+      val pq = Similarity.knnPqAdc(emb, q, m = 4, codes = 8, iterations = 2, topK = 10)
+        .select("neighbor_id")
+      val ex = Similarity.knnExactL2(emb, q, topK = 10).select("neighbor_id")
+      pq.join(ex, "neighbor_id")
+        .agg(count(lit(1)).as("n_common"))
+        .select(lit(10).as("k"), col("n_common"),
+          round(col("n_common").cast("double") / 10, 4).as("recall"))
+    },
     // Gini coefficient of click concentration over documents: rank-formula
     // with an all-INTEGER numerator; the one-number skew report that says
     // whether salting/skew-join machinery is warranted
@@ -1347,8 +1361,11 @@ object SparkEntry {
        |  FROM c${j}_2 cc CROSS JOIN (SELECT u FROM e$j WHERE vec_id = 0) q)"""
   }
 
-  private lazy val pqAdcOracle: String =
-    s"""WITH ${(0 until 4).map(pqSubspaceCtes).mkString(",\n")},
+  /** Shared PQ CTE block ending in `r(neighbor_id, adc_d2, "rank")` — the
+    * full quantize+encode+ADC chain. q142 selects the ranked head; q148
+    * joins it against the exact-L2 head for recall. */
+  private lazy val pqRankedCtes: String =
+    s"""${(0 until 4).map(pqSubspaceCtes).mkString(",\n")},
        |joined AS (
        |  SELECT e0.vec_id AS neighbor_id, t0.d2 + t1.d2 + t2.d2 + t3.d2 AS adc_d2
        |  FROM e0
@@ -1363,9 +1380,30 @@ object SparkEntry {
        |  WHERE e0.vec_id <> 0),
        |r AS (
        |  SELECT neighbor_id, adc_d2, row_number() OVER (ORDER BY adc_d2, neighbor_id) AS "rank"
-       |  FROM joined)
+       |  FROM joined)"""
+
+  private lazy val pqAdcOracle: String =
+    s"""WITH $pqRankedCtes
        |SELECT "rank", neighbor_id, round(adc_d2, 6) AS adc_d2 FROM r WHERE "rank" <= 10
        |ORDER BY "rank"""".stripMargin
+
+  /** q148's oracle: PQ/ADC top-10 vs exact squared-L2 top-10 (the exact
+    * side reuses the subspace frames — Σ of per-subspace distances to the
+    * RAW query subvectors is the full 64-dim distance), recall = overlap/k. */
+  private lazy val annRecallOracle: String =
+    s"""WITH $pqRankedCtes,
+       |ef AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS u FROM embeddings),
+       |exact AS (
+       |  SELECT v.vec_id,
+       |    row_number() OVER (ORDER BY
+       |      list_sum(list_transform(range(64), i -> (v.u[i+1] - q.u[i+1]) * (v.u[i+1] - q.u[i+1]))),
+       |      v.vec_id) AS rk
+       |  FROM ef v CROSS JOIN (SELECT u FROM ef WHERE vec_id = 0) q
+       |  WHERE v.vec_id <> 0),
+       |pq10 AS (SELECT neighbor_id AS vec_id FROM r WHERE "rank" <= 10),
+       |ex10 AS (SELECT vec_id FROM exact WHERE rk <= 10),
+       |hit AS (SELECT CAST(count(*) AS BIGINT) AS n_common FROM pq10 JOIN ex10 USING (vec_id))
+       |SELECT 10 AS k, n_common, round(n_common::DOUBLE / 10, 4) AS recall FROM hit""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "q01_session_analysis" ->
@@ -3217,6 +3255,7 @@ object SparkEntry {
         |  ON f.session_id = d.session_id AND f.event_ts >= d.valid_from
         |ORDER BY f.event_id""".stripMargin,
     "q142_pq_adc" -> pqAdcOracle,
+    "q148_ann_recall" -> annRecallOracle,
     "q146_gini" ->
       """WITH c AS (
         |  SELECT CAST(props->>'$.k' AS INTEGER) AS doc FROM events

@@ -425,6 +425,37 @@ object Similarity {
         round(col("mmr_score"), 6).as("mmr_score"))
   }
 
+  /** Exact squared-L2 top-k of a single query against the corpus — the
+    * ground-truth side of ANN recall evaluation ([[knnPqAdc]]'s honest
+    * yardstick). The query vector is inlined as a literal array so the
+    * distance is one fused codegen'd projection (no join at all), feeding
+    * TakeOrderedAndProject. Output: rank, neighbor_id, d2 (round 6). */
+  def knnExactL2(
+      corpus: DataFrame,
+      query: DataFrame,
+      topK: Int = 10,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val qRow = query
+      .select(transform(col(vecCol), x => x.cast(DoubleType)).as("qv"),
+        col(idCol).cast("long").as("qid"))
+      .head
+    val qLit = array(qRow.getSeq[Double](0).map(lit): _*)
+    val qid = qRow.getLong(1)
+    val top = corpus
+      .select(col(idCol).cast("long").as("neighbor_id"),
+        aggregate(
+          zip_with(transform(col(vecCol), x => x.cast(DoubleType)), qLit,
+            (x, y) => (x - y) * (x - y)),
+          lit(0.0), (acc, d) => acc + d).as("d2"))
+      .filter(col("neighbor_id") =!= qid)
+      .orderBy(col("d2"), col("neighbor_id"))
+      .limit(topK)
+    top
+      .withColumn("rank", row_number().over(Window.orderBy(col("d2"), col("neighbor_id"))))
+      .select(col("rank"), col("neighbor_id"), round(col("d2"), 6).as("d2"))
+  }
+
   /** Product-quantization codebooks (Jégou, Douze & Schmid, "Product
     * Quantization for Nearest Neighbor Search", TPAMI 2011): the space is
     * split into `m` contiguous subspaces and a deterministic Lloyd codebook

@@ -162,6 +162,19 @@ class SimilaritySpec extends SparkSpec {
     assert(d(0) === d(1))
   }
 
+  test("exact L2 knn: literal-query projection ranks by true distance") {
+    val vecs = Seq(
+      (0L, Array(0.0f, 0.0f)),
+      (1L, Array(1.0f, 0.0f)), // d2 = 1
+      (2L, Array(0.0f, 2.0f)), // d2 = 4
+      (3L, Array(3.0f, 4.0f)) // d2 = 25
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.knnExactL2(vecs, vecs.filter($"vec_id" === 0L), topK = 2)
+      .orderBy("rank").collect()
+    assert(out.map(r => (r.getInt(0), r.getLong(1), r.getDouble(2))).toSeq ===
+      Seq((1, 1L, 1.0), (2, 2L, 4.0)))
+  }
+
   test("mmr rerank: diversity term demotes the redundant near-clone of the first pick") {
     // query along +x; candidates: 1 and 2 nearly collinear with the query
     // (2 marginally closer), 3 off-axis but still relevant. Pure relevance
