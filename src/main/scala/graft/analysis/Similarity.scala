@@ -474,12 +474,52 @@ object Similarity {
     val dim = corpus.select(size(col(vecCol)).as("d")).head.getAs[Int]("d")
     require(dim % m == 0, s"dim $dim does not split into $m equal subspaces")
     val sub = dim / m
-    (0 until m).toArray.map { j =>
-      graft.analysis.Clustering.lloydCentroids(
-        corpus.select(col(idCol).as("vec_id"),
-          slice(col(vecCol), j * sub + 1, sub).as("sub")),
-        codes, iterations, idCol = "vec_id", vecCol = "sub")
-    }
+    val dec = org.apache.spark.sql.types.DecimalType(38, 12)
+    // FUSED fit: all m Lloyd runs share one corpus scan per round (m
+    // independent fits would scan m×). Bit-identical to per-subspace
+    // lloydCentroids: same first-k-by-id init, same argmin/tie-break
+    // expression per subspace, same DECIMAL means — proven by the q142/
+    // q148 oracles, which rebuild the PER-SUBSPACE formulation in SQL.
+    val pts = corpus
+      .select(col(idCol).as("id"),
+        transform(col(vecCol), x => x.cast(DoubleType)).as("v"))
+      .persist()
+    try {
+      var books: Array[Array[Array[Double]]] = {
+        val seeds = pts.orderBy("id").limit(codes).collect()
+          .map(_.getSeq[Double](1).toArray)
+        (0 until m).toArray.map(j => seeds.map(_.slice(j * sub, j * sub + sub)))
+      }
+      for (_ <- 1 to iterations) {
+        val perSub = (0 until m).map { j =>
+          val dists = books(j).zipWithIndex.map { case (c, ci) =>
+            struct(
+              aggregate(
+                zip_with(slice(col("v"), j * sub + 1, sub), array(c.map(lit): _*),
+                  (x, y) => (x - y) * (x - y)),
+                lit(0.0), (acc, d) => acc + d).as("d2"),
+              lit(ci).as("cluster"))
+          }
+          struct(lit(j).as("j"),
+            element_at(array_sort(array(dists: _*)), 1).getField("cluster").as("cluster"),
+            slice(col("v"), j * sub + 1, sub).as("sv"))
+        }
+        val stats = pts
+          .select(explode(array(perSub: _*)).as("s"))
+          .select(col("s.j").as("j"), col("s.cluster").as("cluster"),
+            posexplode(col("s.sv")).as(Seq("dim", "x")))
+          .groupBy("j", "cluster", "dim")
+          .agg(sum(col("x").cast(dec)).as("s"), count(lit(1)).as("n"))
+          .collect()
+        val next = books.map(_.map(_.clone()))
+        stats.foreach { r =>
+          next(r.getAs[Int]("j"))(r.getAs[Int]("cluster"))(r.getAs[Int]("dim")) =
+            r.getAs[java.math.BigDecimal]("s").doubleValue() / r.getAs[Long]("n")
+        }
+        books = next // clusters with no members keep their previous centroid
+      }
+      books
+    } finally { pts.unpersist(); () }
   }
 
   /** PQ-compressed top-k via asymmetric distance computation (ADC): every
