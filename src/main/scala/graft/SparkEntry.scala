@@ -113,6 +113,17 @@ object SparkEntry {
           rightPayload = Seq("document_id"), rightPrefix = "dim_")
         .orderBy("event_id")
     },
+    // incremental span dedup, law-gated: per-(span, doc) index rows merge
+    // disjointly across ingests, so corpus-index UNION batch-index reports
+    // identically to the batch rebuild — the oracle IS q136's whole-corpus
+    // SQL while Spark computes via the merged artifacts
+    "q149_span_dedup_increment" -> { (s, d) =>
+      val docs = TestData.documents(s, d)
+      val corpusIdx = Dedup.spanIndex(docs.filter(col("doc_id") % 10 < 8))
+      val batchIdx = Dedup.spanIndex(docs.filter(col("doc_id") % 10 >= 8))
+      Dedup.duplicatedSpansFromIndex(corpusIdx.unionByName(batchIdx), minDocs = 2)
+        .orderBy("span_fp")
+    },
     // ANN quality capstone: recall@10 of the PQ/ADC path against exact
     // squared-L2 ground truth — the honesty metric every approximate
     // index ships with; both sides fully oracle-expressed
@@ -1239,6 +1250,30 @@ object SparkEntry {
       |FROM keep k JOIN documents d USING (doc_id)
       |WHERE k.doc_id NOT IN (SELECT doc_b FROM losers)
       |ORDER BY d.doc_id""".stripMargin
+
+  /** q136's whole-corpus span-dedup SQL — also q149's oracle verbatim
+    * (the incremental-index law: merged per-doc-grain indexes report
+    * identically to the batch rebuild). */
+  private val spanDedupOracle: String =
+    """WITH t AS (
+      |  SELECT doc_id, list_filter(string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')), ' '), x -> x <> '') AS toks
+      |  FROM documents),
+      |w AS (
+      |  SELECT doc_id, CAST(unnest(range(0, len(toks) - 8 + 1)) AS INT) AS start, toks
+      |  FROM t WHERE len(toks) >= 8),
+      |f AS (
+      |  SELECT doc_id, start,
+      |    ('0x' || substr(md5(array_to_string(toks[start+1:start+8], ' ')), 1, 15))::BIGINT AS span_fp
+      |  FROM w),
+      |a AS (
+      |  SELECT span_fp, count(DISTINCT doc_id) AS n_docs,
+      |         CAST(count(*) AS BIGINT) AS n_occurrences, min(doc_id) AS first_doc
+      |  FROM f GROUP BY 1),
+      |b AS (SELECT span_fp, doc_id, min(start) AS first_start FROM f GROUP BY 1, 2)
+      |SELECT a.span_fp, a.n_docs, a.n_occurrences, a.first_doc, b.first_start
+      |FROM a JOIN b ON a.span_fp = b.span_fp AND a.first_doc = b.doc_id
+      |WHERE a.n_docs >= 2
+      |ORDER BY a.span_fp""".stripMargin
 
   /** The q108 deterministic-Lloyd assignment chain (2 unrolled rounds,
     * k=4, full 64-dim) up to `asg(vec_id, cluster, d2)` — shared verbatim
@@ -3485,26 +3520,10 @@ object SparkEntry {
         |FROM l4 GROUP BY 1 ORDER BY 1""".stripMargin,
     // q131's tokenization, stride-1 windows, the portable 60-bit md5
     // fingerprint, and the struct-min first location as a two-level group
-    "q136_span_dedup" ->
-      """WITH t AS (
-        |  SELECT doc_id, list_filter(string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')), ' '), x -> x <> '') AS toks
-        |  FROM documents),
-        |w AS (
-        |  SELECT doc_id, CAST(unnest(range(0, len(toks) - 8 + 1)) AS INT) AS start, toks
-        |  FROM t WHERE len(toks) >= 8),
-        |f AS (
-        |  SELECT doc_id, start,
-        |    ('0x' || substr(md5(array_to_string(toks[start+1:start+8], ' ')), 1, 15))::BIGINT AS span_fp
-        |  FROM w),
-        |a AS (
-        |  SELECT span_fp, count(DISTINCT doc_id) AS n_docs,
-        |         CAST(count(*) AS BIGINT) AS n_occurrences, min(doc_id) AS first_doc
-        |  FROM f GROUP BY 1),
-        |b AS (SELECT span_fp, doc_id, min(start) AS first_start FROM f GROUP BY 1, 2)
-        |SELECT a.span_fp, a.n_docs, a.n_occurrences, a.first_doc, b.first_start
-        |FROM a JOIN b ON a.span_fp = b.span_fp AND a.first_doc = b.doc_id
-        |WHERE a.n_docs >= 2
-        |ORDER BY a.span_fp""".stripMargin,
+    "q136_span_dedup" -> spanDedupOracle,
+    // the law gate: the oracle is the WHOLE-CORPUS rebuild verbatim; only
+    // the Spark side goes through the merged incremental index
+    "q149_span_dedup_increment" -> spanDedupOracle,
     "q133_seasonal_anomalies" ->
       """WITH hourly AS (
         |  SELECT CAST(ts AS DATE) AS event_date, hour(CAST(ts AS TIMESTAMP)) AS "hour", count(*) AS n

@@ -789,19 +789,43 @@ object Dedup {
       idCol: String = "doc_id"): DataFrame = {
     require(spanTokens > 0 && minDocs > 0,
       s"need positive spanTokens/minDocs, got $spanTokens/$minDocs")
+    duplicatedSpansFromIndex(spanIndex(docs, spanTokens, textCol, idCol), minDocs)
+  }
+
+  /** Mergeable span index at 〈span_fp, doc_id〉 grain: per-doc occurrence
+    * count and first offset for every distinct span a document contains.
+    * This is [[duplicatedSpans]]' pre-aggregate, exposed because it is the
+    * MATERIALIZABLE artifact of the daily-ingest shape: rows are keyed by
+    * doc, so index(corpus ∪ batch) = index(corpus) ∪ index(batch) exactly
+    * (disjoint doc sets never share a row), and a daily increment
+    * tokenizes ONLY its batch — cost ∝ |batch|, never the corpus (the q78
+    * incremental law, at substring granularity). */
+  def spanIndex(
+      docs: DataFrame,
+      spanTokens: Int = 8,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
     val toks = array_remove(TextAnalysis.tokens(col(textCol)), "")
     docs
       .select(col(idCol).as("doc_id"), shingles(toks, spanTokens).as("spans"))
       .select(col("doc_id"), posexplode(col("spans")).as(Seq("start", "span")))
       .select(col("doc_id"), col("start"),
         conv(substring(md5(col("span")), 1, 15), 16, 10).cast(LongType).as("span_fp"))
+      .groupBy("span_fp", "doc_id")
+      .agg(count(lit(1)).as("n_occ"), min("start").as("min_start"))
+  }
+
+  /** [[duplicatedSpans]]' report over a (possibly merged) [[spanIndex]]:
+    * n_docs is a plain count because the index is unique per
+    * 〈span_fp, doc_id〉, so the merge needs no distinct-rollup. */
+  def duplicatedSpansFromIndex(index: DataFrame, minDocs: Int = 2): DataFrame =
+    index
       .groupBy("span_fp")
       .agg(
-        countDistinct("doc_id").as("n_docs"),
-        count(lit(1)).as("n_occurrences"),
-        min(struct(col("doc_id"), col("start"))).as("loc"))
+        count(lit(1)).as("n_docs"),
+        sum("n_occ").as("n_occurrences"),
+        min(struct(col("doc_id"), col("min_start").as("start"))).as("loc"))
       .filter(col("n_docs") >= minDocs)
       .select(col("span_fp"), col("n_docs"), col("n_occurrences"),
         col("loc.doc_id").as("first_doc"), col("loc.start").cast(IntegerType).as("first_start"))
-  }
 }

@@ -391,5 +391,14 @@ class DedupSpec extends SparkSpec {
     val xyz = rep.find(_.getAs[Long]("n_occurrences") >= 3L)
     assert(xyz.isDefined && xyz.get.getAs[Long]("n_docs") === 1L)
     assert(Dedup.duplicatedSpans(selfRep, spanTokens = 3, minDocs = 2).isEmpty)
+    // incremental law: disjoint per-doc index rows merge losslessly, so
+    // the report over split-and-merged indexes equals the batch rebuild
+    val merged = Dedup.duplicatedSpansFromIndex(
+      Dedup.spanIndex(corpus.filter($"doc_id" <= 20L), spanTokens = 9)
+        .unionByName(Dedup.spanIndex(corpus.filter($"doc_id" > 20L), spanTokens = 9)),
+      minDocs = 2).orderBy("span_fp").collect()
+    val batch = Dedup.duplicatedSpans(corpus, spanTokens = 9, minDocs = 2)
+      .orderBy("span_fp").collect()
+    assert(merged.map(_.toSeq).toSeq === batch.map(_.toSeq).toSeq)
   }
 }
