@@ -113,6 +113,21 @@ object SparkEntry {
           rightPayload = Seq("document_id"), rightPrefix = "dim_")
         .orderBy("event_id")
     },
+    // offline retrieval eval: MRR + NDCG@10 of the click-popularity
+    // ranking against purchase relevance — binary gains, DECIMAL-cast log
+    // terms, full-relevance-set IDCG
+    "q150_ranking_metrics" -> { (s, d) =>
+      val clicks = TestData.clicks(s, d)
+      val ranking = clicks.filter(col("event_type") === "click")
+        .groupBy(col("document_id").as("doc")).agg(count(lit(1)).as("n"))
+        .select(col("doc"),
+          row_number().over(
+            org.apache.spark.sql.expressions.Window.orderBy(desc("n"), col("doc")))
+            .as("rank"))
+      val relevant = clicks.filter(col("event_type") === "purchase")
+        .select(col("document_id").as("doc"))
+      graft.analysis.SearchRank.rankingMetrics(ranking, relevant, k = 10)
+    },
     // incremental span dedup, law-gated: per-(span, doc) index rows merge
     // disjointly across ingests, so corpus-index UNION batch-index reports
     // identically to the batch rebuild — the oracle IS q136's whole-corpus
@@ -3291,6 +3306,32 @@ object SparkEntry {
         |ORDER BY f.event_id""".stripMargin,
     "q142_pq_adc" -> pqAdcOracle,
     "q148_ann_recall" -> annRecallOracle,
+    "q150_ranking_metrics" ->
+      """WITH clicks AS (
+        |  SELECT CAST(props->>'$.k' AS INTEGER) AS doc FROM events WHERE event_type = 'click'),
+        |rk AS (
+        |  SELECT doc, row_number() OVER (ORDER BY count(*) DESC, doc) AS rank
+        |  FROM clicks GROUP BY doc),
+        |rel AS (
+        |  SELECT DISTINCT CAST(props->>'$.k' AS INTEGER) AS doc
+        |  FROM events WHERE event_type = 'purchase'),
+        |j AS (SELECT rk.rank FROM rk JOIN rel USING (doc)),
+        |s1 AS (SELECT CAST(count(*) AS BIGINT) AS n_relevant FROM rel),
+        |s2 AS (
+        |  SELECT min(rank) AS first_rank,
+        |    CAST(COALESCE(sum(CASE WHEN rank <= 10
+        |      THEN CAST(ln(2.0::DOUBLE) / ln((rank + 1)::DOUBLE) AS DECIMAL(28,12)) END), 0) AS DOUBLE) AS dcg
+        |  FROM j),
+        |ideal AS (
+        |  SELECT n_relevant, CAST(unnest(range(1, least(10, n_relevant) + 1)) AS INT) AS i FROM s1),
+        |f AS (
+        |  SELECT n_relevant,
+        |    CAST(sum(CAST(ln(2.0::DOUBLE) / ln((i + 1)::DOUBLE) AS DECIMAL(28,12))) AS DOUBLE) AS idcg
+        |  FROM ideal GROUP BY 1)
+        |SELECT f.n_relevant, s2.first_rank,
+        |  round(CASE WHEN s2.first_rank IS NULL THEN 0.0::DOUBLE ELSE 1.0::DOUBLE / s2.first_rank END, 6) AS mrr,
+        |  round(s2.dcg / f.idcg, 6) AS ndcg
+        |FROM f CROSS JOIN s2""".stripMargin,
     "q146_gini" ->
       """WITH c AS (
         |  SELECT CAST(props->>'$.k' AS INTEGER) AS doc FROM events

@@ -159,4 +159,47 @@ object SearchRank {
     try result.localCheckpoint(true)
     finally { w.unpersist(); () }
   }
+
+  /** Offline ranking evaluation — MRR and NDCG@k of a ranked list against
+    * a binary relevance set, the report every retrieval change ships with
+    * (q128 fuses rankings; this says whether the fusion helped).
+    *
+    *  - MRR = 1/rank of the first relevant item (0 if none ranked);
+    *  - NDCG@k = DCG@k / IDCG@k with binary gains: DCG = Σ_{rel, rank≤k}
+    *    ln2/ln(rank+1), IDCG = the same sum over ideal positions
+    *    1..min(k, |relevant|). |relevant| counts the FULL relevance set —
+    *    relevant items missing from the ranking lower NDCG, as they must.
+    *
+    * Engine parity: each log term is DECIMAL-cast before its sum (the q134
+    * recipe) and written ln(2)/ln(rank+1) — one division, same shape both
+    * engines. Scale shape: one join + three scalar aggregates; the ideal-
+    * position generator is ≤ k rows. Output (1 row): n_relevant,
+    * first_rank, mrr, ndcg (round 6). */
+  def rankingMetrics(
+      ranking: DataFrame,
+      relevant: DataFrame,
+      k: Int = 10,
+      idCol: String = "doc",
+      rankCol: String = "rank"): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(28, 12)
+    val rel = relevant.select(col(idCol)).distinct()
+    val term = (log(lit(2.0)) / log(col(rankCol) + 1)).cast(dec)
+    val j = ranking.join(rel, idCol)
+    val s1 = rel.agg(count(lit(1)).as("n_relevant"))
+    val s2 = j.agg(
+      min(rankCol).as("first_rank"),
+      coalesce(sum(when(col(rankCol) <= k, term)).cast(DoubleType), lit(0.0)).as("dcg"))
+    val idcg = s1
+      .select(col("n_relevant"),
+        explode(sequence(lit(1), least(lit(k), col("n_relevant")))).as("i"))
+      .groupBy("n_relevant")
+      .agg(sum((log(lit(2.0)) / log(col("i") + 1)).cast(dec)).cast(DoubleType).as("idcg"))
+    idcg.crossJoin(s2)
+      .select(col("n_relevant"), col("first_rank"),
+        round(
+          when(col("first_rank").isNull, lit(0.0))
+            .otherwise(lit(1.0) / col("first_rank")),
+          6).as("mrr"),
+        round(col("dcg") / col("idcg"), 6).as("ndcg"))
+  }
 }

@@ -77,4 +77,20 @@ class SearchRankSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(out === Set((1L, 2L), (1L, 3L), (2L, 3L)))
   }
+
+  test("ranking metrics: hand-computed MRR/NDCG, unranked relevant item lowers NDCG, perfect gets 1") {
+    val ranking = Seq((1L, 1), (2L, 2), (3L, 3), (4L, 4)).toDF("doc", "rank")
+    // relevant {2, 4, 99}; 99 never ranked -> in IDCG's R but not DCG
+    val rel = Seq(2L, 4L, 99L).toDF("doc")
+    val o = SearchRank.rankingMetrics(ranking, rel, k = 10).collect().head
+    assert(o.getLong(0) === 3L && o.getInt(1) === 2)
+    assert(o.getDouble(2) === 0.5) // first relevant at rank 2
+    val ln2 = math.log(2)
+    val dcg = ln2 / math.log(3) + ln2 / math.log(5)
+    val idcg = 1.0 + ln2 / math.log(3) + ln2 / math.log(4)
+    assert(math.abs(o.getDouble(3) - dcg / idcg) < 1e-6)
+    // perfect single-relevant ranking
+    val p = SearchRank.rankingMetrics(ranking, Seq(1L).toDF("doc"), k = 10).collect().head
+    assert(p.getDouble(2) === 1.0 && p.getDouble(3) === 1.0)
+  }
 }
