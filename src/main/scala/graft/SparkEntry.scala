@@ -113,6 +113,24 @@ object SparkEntry {
           rightPayload = Seq("document_id"), rightPrefix = "dim_")
         .orderBy("event_id")
     },
+    // FastText-style quality-filter training: full-batch logistic GD over
+    // cheap text features (bias, capped length, stopword ratio, token
+    // width) vs the lang=='en' label; driver-held weights, one aggregate
+    // per epoch, double-rounded sigmoid for engine parity
+    "q151_logreg" -> { (s, d) =>
+      val docs = TestData.documents(s, d)
+      val data = TextAnalysis.textStats(docs)
+        .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+        .select(
+          lit(1.0).as("x0"),
+          least(col("n_tokens").cast("double") / 100.0, lit(2.0)).as("x1"),
+          col("stopword_ratio").as("x2"),
+          (col("avg_token_len") / 10.0).as("x3"),
+          when(col("lang") === "en", 1.0).otherwise(0.0).as("y"))
+      graft.analysis.Features.logisticRegressionGD(
+          data, Seq("x0", "x1", "x2", "x3"), "y", iterations = 3, lr = 0.5)
+        .orderBy("dim")
+    },
     // offline retrieval eval: MRR + NDCG@10 of the click-popularity
     // ranking against purchase relevance — binary gains, DECIMAL-cast log
     // terms, full-relevance-set IDCG
@@ -1265,6 +1283,47 @@ object SparkEntry {
       |FROM keep k JOIN documents d USING (doc_id)
       |WHERE k.doc_id NOT IN (SELECT doc_b FROM losers)
       |ORDER BY d.doc_id""".stripMargin
+
+  /** q151's oracle, generated: q20's feature expressions, then `iters`
+    * unrolled GD epochs — weights as a 1-row CTE, gradient sums DECIMAL-
+    * cast, sigmoid double-rounded exactly like the Scala side. */
+  private def logregOracle(iters: Int): String = {
+    val feats = Seq("x0", "x1", "x2", "x3")
+    def zExpr = feats.map(f => s"w_$f * $f").mkString(" + ")
+    val epochs = (1 to iters).map { r =>
+      val gs = feats.map(f =>
+        s"CAST(sum(CAST($f * (y - p) AS DECIMAL(28,12))) AS DOUBLE) AS g_$f").mkString(", ")
+      val ws = feats.map(f => s"w_$f + 0.5::DOUBLE * g_$f / n AS w_$f").mkString(", ")
+      s"""pp$r AS (
+         |  SELECT ft.*, round(1.0::DOUBLE / (1.0::DOUBLE + exp(-round($zExpr, 6))), 6) AS p
+         |  FROM ft CROSS JOIN w${r - 1}),
+         |gg$r AS (SELECT $gs, CAST(count(*) AS BIGINT) AS n FROM pp$r),
+         |w$r AS (SELECT $ws FROM gg$r CROSS JOIN w${r - 1})"""
+    }.mkString(",\n")
+    val out = feats.zipWithIndex.map { case (f, d) =>
+      s"SELECT $d AS dim, '$f' AS feature, round(w_$f, 6) AS weight FROM w$iters"
+    }.mkString("\nUNION ALL ")
+    s"""WITH t AS (
+       |  SELECT doc_id, text,
+       |    string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g')), ' ') AS toks
+       |  FROM documents),
+       |s AS (
+       |  SELECT doc_id, len(toks) AS n_tokens,
+       |    round(CAST(length(array_to_string(toks, '')) AS DOUBLE) / len(toks), 4) AS avg_token_len,
+       |    round(CAST(len(list_filter(toks, x -> x IN ('the','a','an','of','and','to','in','is','it','for'))) AS DOUBLE) / len(toks), 4) AS stopword_ratio
+       |  FROM t),
+       |ft AS (
+       |  SELECT 1.0::DOUBLE AS x0,
+       |    least(n_tokens::DOUBLE / 100.0::DOUBLE, 2.0::DOUBLE) AS x1,
+       |    stopword_ratio AS x2,
+       |    avg_token_len / 10.0::DOUBLE AS x3,
+       |    CASE WHEN lang = 'en' THEN 1.0::DOUBLE ELSE 0.0::DOUBLE END AS y
+       |  FROM s JOIN documents USING (doc_id)),
+       |w0 AS (SELECT ${feats.map(f => s"0.0::DOUBLE AS w_$f").mkString(", ")}),
+       |$epochs
+       |$out
+       |ORDER BY dim""".stripMargin
+  }
 
   /** q136's whole-corpus span-dedup SQL — also q149's oracle verbatim
     * (the incremental-index law: merged per-doc-grain indexes report
@@ -3306,6 +3365,7 @@ object SparkEntry {
         |ORDER BY f.event_id""".stripMargin,
     "q142_pq_adc" -> pqAdcOracle,
     "q148_ann_recall" -> annRecallOracle,
+    "q151_logreg" -> logregOracle(3),
     "q150_ranking_metrics" ->
       """WITH clicks AS (
         |  SELECT CAST(props->>'$.k' AS INTEGER) AS doc FROM events WHERE event_type = 'click'),

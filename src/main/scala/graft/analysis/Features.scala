@@ -82,4 +82,59 @@ object Features {
           .otherwise(round((col("clipped") - col("lo")) / (col("hi") - col("lo")), 6)))
       .select(col(idCol), col("value"), round(col("clipped"), 6).as("clipped"), col("scaled"))
   }
+
+  /** Full-batch logistic regression by gradient descent — the
+    * quality-classifier training step of a filtering pipeline (FastText-
+    * style quality filters are exactly this: a linear model over cheap
+    * document features), built the [[Clustering.lloydCentroids]] way so a
+    * SQL engine replays training bit-for-bit:
+    *
+    *  - weights live on the DRIVER (dim-sized, broadcast as literals into
+    *    each epoch's projection — no parameter shuffle);
+    *  - each epoch is ONE distributed aggregate: gradient components
+    *    Σ xᵢ_d·(yᵢ − pᵢ) are DECIMAL-cast per row before summing;
+    *  - the sigmoid is double-rounded (z and p both to 6dp): engines may
+    *    disagree by 1 ulp on exp(), and the rounding quarantines that to a
+    *    ~1e-10 boundary probability instead of letting it compound.
+    *
+    * Scale shape: iterations × one scan; driver state = k doubles. This is
+    * the textbook distributed-GD layout (compute gradients where the data
+    * is, keep the model where the coordination is).
+    * Output: dim, feature, weight (round 6) — one row per feature. */
+  def logisticRegressionGD(
+      data: DataFrame,
+      featureCols: Seq[String],
+      labelCol: String,
+      iterations: Int = 3,
+      lr: Double = 0.5): DataFrame = {
+    require(featureCols.nonEmpty && iterations >= 1 && lr > 0,
+      s"need features/iterations/lr, got ${featureCols.size}/$iterations/$lr")
+    val dec = org.apache.spark.sql.types.DecimalType(28, 12)
+    val k = featureCols.size
+    val pts = data
+      .select(featureCols.map(col) :+ col(labelCol).as("__y"): _*)
+      .persist()
+    try {
+      val w = Array.fill(k)(0.0)
+      for (_ <- 1 to iterations) {
+        val z = featureCols.zipWithIndex
+          .map { case (f, d) => lit(w(d)) * col(f) }
+          .reduce(_ + _)
+        val p = round(lit(1.0) / (lit(1.0) + exp(-round(z, 6))), 6)
+        val aggs = featureCols.map(f =>
+          sum((col(f) * (col("__y") - p)).cast(dec)).cast("double").as(s"g_$f")) :+
+          count(lit(1)).as("__n")
+        val row = pts.agg(aggs.head, aggs.tail: _*).collect().head
+        val n = row.getAs[Long]("__n")
+        featureCols.zipWithIndex.foreach { case (f, d) =>
+          w(d) = w(d) + lr * row.getAs[Double](s"g_$f") / n
+        }
+      }
+      val spark = data.sparkSession
+      import spark.implicits._
+      featureCols.zipWithIndex.map { case (f, d) => (d, f, w(d)) }
+        .toDF("dim", "feature", "weight")
+        .select(col("dim"), col("feature"), round(col("weight"), 6).as("weight"))
+    } finally { pts.unpersist(); () }
+  }
 }

@@ -60,4 +60,26 @@ class FeaturesSpec extends SparkSpec {
     Features.winsorizedScale(flat, "id", "v").collect()
       .foreach(r => assert(r.getDouble(3) === 0.5))
   }
+
+  test("logistic GD: separable feature learns the right sign, first epoch hand-checked, deterministic") {
+    // y = 1 iff x1 = 1; x0 is the bias. After epoch 1 (all p = 0.5):
+    // g_x1 = sum(x1*(y-0.5)) = 2*0.5 = 1 -> w_x1 = 0.5*1/4 = 0.125
+    // g_x0 = sum(1*(y-0.5)) = 0 -> w_x0 stays 0
+    val data = Seq(
+      (1.0, 1.0, 1.0), (1.0, 1.0, 1.0), (1.0, 0.0, 0.0), (1.0, 0.0, 0.0)
+    ).toDF("x0", "x1", "y")
+    val one = Features.logisticRegressionGD(data, Seq("x0", "x1"), "y", iterations = 1)
+      .collect().map(r => r.getString(1) -> r.getDouble(2)).toMap
+    assert(one("x0") === 0.0 && one("x1") === 0.125)
+    // more epochs push the separating weight further up; the bias drifts
+    // slightly NEGATIVE once p(x1=1) rises above 0.5 (its gradient is
+    // 1 - 2*p(x1=1) after epoch 1); output is deterministic across runs
+    val three = Features.logisticRegressionGD(data, Seq("x0", "x1"), "y", iterations = 3)
+      .collect().map(r => r.getString(1) -> r.getDouble(2)).toMap
+    assert(three("x1") > one("x1"))
+    assert(three("x0") < 0.0 && three("x0") > -0.05)
+    val again = Features.logisticRegressionGD(data, Seq("x0", "x1"), "y", iterations = 3)
+      .collect().map(r => r.getString(1) -> r.getDouble(2)).toMap
+    assert(again === three)
+  }
 }
