@@ -115,21 +115,53 @@ object SparkEntry {
     },
     // FastText-style quality-filter training: full-batch logistic GD over
     // cheap text features (bias, capped length, stopword ratio, token
-    // width) vs the lang=='en' label; driver-held weights, one aggregate
-    // per epoch, double-rounded sigmoid for engine parity
+    // width) vs the binary quality band; driver-held weights, one
+    // aggregate per epoch, double-rounded sigmoid for engine parity
     "q151_logreg" -> { (s, d) =>
-      val docs = TestData.documents(s, d)
-      val data = TextAnalysis.textStats(docs)
-        .join(docs.select(col("doc_id"), col("lang")), "doc_id")
-        .select(
-          lit(1.0).as("x0"),
-          least(col("n_tokens").cast("double") / 100.0, lit(2.0)).as("x1"),
-          col("stopword_ratio").as("x2"),
-          (col("avg_token_len") / 10.0).as("x3"),
-          when(col("lang") === "en", 1.0).otherwise(0.0).as("y"))
       graft.analysis.Features.logisticRegressionGD(
-          data, Seq("x0", "x1", "x2", "x3"), "y", iterations = 3, lr = 0.5)
+          logregData(s, d), logregFeats, "y", iterations = 3, lr = 5.0)
         .orderBy("dim")
+    },
+    // reliability diagram of the trained scorer: decile bins of the
+    // rounded sigmoid, DECIMAL-mean score vs observed positive rate — the
+    // calibration check a filtering threshold depends on
+    "q152_calibration" -> { (s, d) =>
+      val data = logregData(s, d)
+      val w = graft.analysis.Features.logisticWeights(data, logregFeats, "y", 3, 5.0)
+      data
+        .select(graft.analysis.Features.sigmoidScore(logregFeats, w).as("score"), col("y"))
+        .withColumn("bin", least(floor(col("score") * 10), lit(9)).cast("int"))
+        .groupBy("bin")
+        .agg(count(lit(1)).as("n"),
+          sum(col("score").cast(org.apache.spark.sql.types.DecimalType(28, 12)))
+            .cast("double").as("ssum"),
+          sum(col("y").cast("long")).as("pos"))
+        .select(col("bin"), col("n"),
+          round(col("ssum") / col("n"), 6).as("avg_score"),
+          round(col("pos").cast("double") / col("n"), 6).as("pos_rate"))
+        .orderBy("bin")
+    },
+    // tie-aware ROC-AUC of the trained scorer via rank statistics: 2U
+    // stays INTEGER (2*cumN + nN per score group), one floating ratio
+    "q153_auc" -> { (s, d) =>
+      val data = logregData(s, d)
+      val w = graft.analysis.Features.logisticWeights(data, logregFeats, "y", 3, 5.0)
+      val g = data
+        .select(graft.analysis.Features.sigmoidScore(logregFeats, w).as("score"), col("y"))
+        .groupBy("score")
+        .agg(sum(col("y").cast("long")).as("np"),
+          (count(lit(1)) - sum(col("y").cast("long"))).as("nn"))
+      val c = g.withColumn("cumn",
+        coalesce(
+          sum("nn").over(org.apache.spark.sql.expressions.Window.orderBy("score")
+            .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)),
+          lit(0L)))
+      c.agg(sum(col("np") * (lit(2) * col("cumn") + col("nn"))).as("u2"),
+          sum("np").as("n_pos"), sum("nn").as("n_neg"))
+        .select(col("n_pos"), col("n_neg"),
+          round(col("u2").cast("double") /
+            (lit(2.0) * col("n_pos").cast("double") * col("n_neg").cast("double")),
+            6).as("auc"))
     },
     // offline retrieval eval: MRR + NDCG@10 of the click-popularity
     // ranking against purchase relevance — binary gains, DECIMAL-cast log
@@ -1287,43 +1319,110 @@ object SparkEntry {
   /** q151's oracle, generated: q20's feature expressions, then `iters`
     * unrolled GD epochs — weights as a 1-row CTE, gradient sums DECIMAL-
     * cast, sigmoid double-rounded exactly like the Scala side. */
-  private def logregOracle(iters: Int): String = {
-    val feats = Seq("x0", "x1", "x2", "x3")
-    def zExpr = feats.map(f => s"w_$f * $f").mkString(" + ")
+  private val logregFeats = Seq("x0", "x1", "x2", "x3")
+  private def logregZ = logregFeats.map(f => s"w_$f * $f").mkString(" + ")
+
+  /** q151–q153's shared training frame: cheap text features + the binary
+    * quality-band label (q20's expressions, engine-parity safe). The label
+    * is learnable-by-construction — the synthetic corpus carries no real
+    * language signal (per-lang stopword ratios are ~identical, measured),
+    * so a lang label would gate training against an unlearnable task; the
+    * quality band exercises the same machinery with a separable target
+    * (AUC ≈ 0.93 at 3 epochs). */
+  private def logregData(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.textStats(TestData.documents(s, d))
+      .select(
+        lit(1.0).as("x0"),
+        least(col("n_tokens").cast("double") / 100.0, lit(2.0)).as("x1"),
+        col("stopword_ratio").as("x2"),
+        (col("avg_token_len") / 10.0).as("x3"),
+        when(col("quality_score") >= 60, 1.0).otherwise(0.0).as("y"))
+
+  /** The q151 training chain as reusable CTE text (features, w0, `iters`
+    * unrolled epochs ending at w$iters) — q151 selects the weights,
+    * q152/q153 append a scoring CTE for calibration/AUC. */
+  private def logregCtes(iters: Int): String = {
     val epochs = (1 to iters).map { r =>
-      val gs = feats.map(f =>
+      val gs = logregFeats.map(f =>
         s"CAST(sum(CAST($f * (y - p) AS DECIMAL(28,12))) AS DOUBLE) AS g_$f").mkString(", ")
-      val ws = feats.map(f => s"w_$f + 0.5::DOUBLE * g_$f / n AS w_$f").mkString(", ")
+      val ws = logregFeats.map(f => s"w_$f + 5.0::DOUBLE * g_$f / n AS w_$f").mkString(", ")
       s"""pp$r AS (
-         |  SELECT ft.*, round(1.0::DOUBLE / (1.0::DOUBLE + exp(-round($zExpr, 6))), 6) AS p
+         |  SELECT ft.*, round(1.0::DOUBLE / (1.0::DOUBLE + exp(-round($logregZ, 6))), 6) AS p
          |  FROM ft CROSS JOIN w${r - 1}),
          |gg$r AS (SELECT $gs, CAST(count(*) AS BIGINT) AS n FROM pp$r),
          |w$r AS (SELECT $ws FROM gg$r CROSS JOIN w${r - 1})"""
     }.mkString(",\n")
-    val out = feats.zipWithIndex.map { case (f, d) =>
-      s"SELECT $d AS dim, '$f' AS feature, round(w_$f, 6) AS weight FROM w$iters"
-    }.mkString("\nUNION ALL ")
-    s"""WITH t AS (
+    s"""t AS (
        |  SELECT doc_id, text,
        |    string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g')), ' ') AS toks
        |  FROM documents),
        |s AS (
-       |  SELECT doc_id, len(toks) AS n_tokens,
+       |  SELECT doc_id, len(toks) AS n_tokens, len(list_distinct(toks)) AS n_unique,
        |    round(CAST(length(array_to_string(toks, '')) AS DOUBLE) / len(toks), 4) AS avg_token_len,
        |    round(CAST(len(list_filter(toks, x -> x IN ('the','a','an','of','and','to','in','is','it','for'))) AS DOUBLE) / len(toks), 4) AS stopword_ratio
        |  FROM t),
+       |sq AS (
+       |  SELECT *, round(least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 40.0
+       |      + (CAST(n_unique AS DOUBLE) / n_tokens) * 40.0
+       |      + CASE WHEN stopword_ratio BETWEEN 0.01 AND 0.6 THEN 20.0 ELSE 0.0 END, 2) AS quality_score
+       |  FROM s),
        |ft AS (
        |  SELECT 1.0::DOUBLE AS x0,
        |    least(n_tokens::DOUBLE / 100.0::DOUBLE, 2.0::DOUBLE) AS x1,
        |    stopword_ratio AS x2,
        |    avg_token_len / 10.0::DOUBLE AS x3,
-       |    CASE WHEN lang = 'en' THEN 1.0::DOUBLE ELSE 0.0::DOUBLE END AS y
-       |  FROM s JOIN documents USING (doc_id)),
-       |w0 AS (SELECT ${feats.map(f => s"0.0::DOUBLE AS w_$f").mkString(", ")}),
-       |$epochs
+       |    CASE WHEN quality_score >= 60 THEN 1.0::DOUBLE ELSE 0.0::DOUBLE END AS y
+       |  FROM sq),
+       |w0 AS (SELECT ${logregFeats.map(f => s"0.0::DOUBLE AS w_$f").mkString(", ")}),
+       |$epochs,
+       |sc AS (
+       |  SELECT ft.y, round(1.0::DOUBLE / (1.0::DOUBLE + exp(-round($logregZ, 6))), 6) AS score
+       |  FROM ft CROSS JOIN w$iters)"""
+  }
+
+  private def logregOracle(iters: Int): String = {
+    val out = logregFeats.zipWithIndex.map { case (f, d) =>
+      s"SELECT $d AS dim, '$f' AS feature, round(w_$f, 6) AS weight FROM w$iters"
+    }.mkString("\nUNION ALL ")
+    s"""WITH ${logregCtes(iters)}
        |$out
        |ORDER BY dim""".stripMargin
   }
+
+  /** q152: reliability bins of the trained scorer — decile bins of the
+    * rounded sigmoid score, per-bin DECIMAL-mean score vs observed
+    * positive rate. */
+  private def calibrationOracle(iters: Int): String =
+    s"""WITH ${logregCtes(iters)},
+       |b AS (
+       |  SELECT CAST(least(floor(score * 10), 9) AS INT) AS bin, score, y FROM sc),
+       |g AS (
+       |  SELECT bin, CAST(count(*) AS BIGINT) AS n,
+       |    CAST(sum(CAST(score AS DECIMAL(28,12))) AS DOUBLE) AS ssum,
+       |    CAST(sum(CAST(y AS BIGINT)) AS BIGINT) AS pos
+       |  FROM b GROUP BY 1)
+       |SELECT bin, n, round(ssum / n, 6) AS avg_score, round(pos::DOUBLE / n, 6) AS pos_rate
+       |FROM g ORDER BY bin""".stripMargin
+
+  /** q153: tie-aware ROC-AUC by rank statistics over the score groups —
+    * 2U = Σ_s nP_s·(2·cumN_below + nN_s) stays INTEGER, so the only
+    * floating division is the final ratio. */
+  private def aucOracle(iters: Int): String =
+    s"""WITH ${logregCtes(iters)},
+       |g AS (
+       |  SELECT score, CAST(sum(CAST(y AS BIGINT)) AS BIGINT) AS np,
+       |    CAST(count(*) - sum(CAST(y AS BIGINT)) AS BIGINT) AS nn
+       |  FROM sc GROUP BY 1),
+       |c AS (
+       |  SELECT score, np, nn,
+       |    CAST(COALESCE(sum(nn) OVER (ORDER BY score ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cumn
+       |  FROM g),
+       |u AS (
+       |  SELECT CAST(sum(np * (2 * cumn + nn)) AS BIGINT) AS u2,
+       |    CAST(sum(np) AS BIGINT) AS n_pos, CAST(sum(nn) AS BIGINT) AS n_neg
+       |  FROM c)
+       |SELECT n_pos, n_neg, round(u2::DOUBLE / (2.0::DOUBLE * n_pos::DOUBLE * n_neg::DOUBLE), 6) AS auc
+       |FROM u""".stripMargin
 
   /** q136's whole-corpus span-dedup SQL — also q149's oracle verbatim
     * (the incremental-index law: merged per-doc-grain indexes report
@@ -3366,6 +3465,8 @@ object SparkEntry {
     "q142_pq_adc" -> pqAdcOracle,
     "q148_ann_recall" -> annRecallOracle,
     "q151_logreg" -> logregOracle(3),
+    "q152_calibration" -> calibrationOracle(3),
+    "q153_auc" -> aucOracle(3),
     "q150_ranking_metrics" ->
       """WITH clicks AS (
         |  SELECT CAST(props->>'$.k' AS INTEGER) AS doc FROM events WHERE event_type = 'click'),

@@ -107,20 +107,33 @@ object Features {
       labelCol: String,
       iterations: Int = 3,
       lr: Double = 0.5): DataFrame = {
+    val w = logisticWeights(data, featureCols, labelCol, iterations, lr)
+    val spark = data.sparkSession
+    import spark.implicits._
+    featureCols.zipWithIndex.map { case (f, d) => (d, f, w(d)) }
+      .toDF("dim", "feature", "weight")
+      .select(col("dim"), col("feature"), round(col("weight"), 6).as("weight"))
+  }
+
+  /** The training loop behind [[logisticRegressionGD]], returning the raw
+    * weight vector so downstream scoring ([[sigmoidScore]]) can embed it
+    * as literals — q152/q153 compose it into calibration and AUC reports. */
+  def logisticWeights(
+      data: DataFrame,
+      featureCols: Seq[String],
+      labelCol: String,
+      iterations: Int = 3,
+      lr: Double = 0.5): Array[Double] = {
     require(featureCols.nonEmpty && iterations >= 1 && lr > 0,
       s"need features/iterations/lr, got ${featureCols.size}/$iterations/$lr")
     val dec = org.apache.spark.sql.types.DecimalType(28, 12)
-    val k = featureCols.size
     val pts = data
       .select(featureCols.map(col) :+ col(labelCol).as("__y"): _*)
       .persist()
     try {
-      val w = Array.fill(k)(0.0)
+      val w = Array.fill(featureCols.size)(0.0)
       for (_ <- 1 to iterations) {
-        val z = featureCols.zipWithIndex
-          .map { case (f, d) => lit(w(d)) * col(f) }
-          .reduce(_ + _)
-        val p = round(lit(1.0) / (lit(1.0) + exp(-round(z, 6))), 6)
+        val p = sigmoidScore(featureCols, w)
         val aggs = featureCols.map(f =>
           sum((col(f) * (col("__y") - p)).cast(dec)).cast("double").as(s"g_$f")) :+
           count(lit(1)).as("__n")
@@ -130,11 +143,16 @@ object Features {
           w(d) = w(d) + lr * row.getAs[Double](s"g_$f") / n
         }
       }
-      val spark = data.sparkSession
-      import spark.implicits._
-      featureCols.zipWithIndex.map { case (f, d) => (d, f, w(d)) }
-        .toDF("dim", "feature", "weight")
-        .select(col("dim"), col("feature"), round(col("weight"), 6).as("weight"))
+      w
     } finally { pts.unpersist(); () }
+  }
+
+  /** The engine-parity sigmoid: z and p both rounded to 6dp (quarantines
+    * cross-engine exp() ulps), weights inlined as literals in dim order. */
+  def sigmoidScore(featureCols: Seq[String], w: Array[Double]): org.apache.spark.sql.Column = {
+    val z = featureCols.zipWithIndex
+      .map { case (f, d) => lit(w(d)) * col(f) }
+      .reduce(_ + _)
+    round(lit(1.0) / (lit(1.0) + exp(-round(z, 6))), 6)
   }
 }
