@@ -141,6 +141,31 @@ object SparkEntry {
           round(col("pos").cast("double") / col("n"), 6).as("pos_rate"))
         .orderBy("bin")
     },
+    // operating-point selection: F1-argmax threshold sweep over the
+    // trained scorer's distinct scores — integer confusion counts, one
+    // cumulative window, TakeOrdered(1)
+    "q154_f1_threshold" -> { (s, d) =>
+      val data = logregData(s, d)
+      val w = graft.analysis.Features.logisticWeights(data, logregFeats, "y", 3, 5.0)
+      graft.analysis.Features.f1ThresholdSweep(
+        data.select(graft.analysis.Features.sigmoidScore(logregFeats, w).as("score"),
+          col("y")))
+    },
+    // replayable train/val/test split report: md5-bucket 80/10/10 with
+    // per-split label balance — the leakage-free split a training run pins
+    "q155_split_report" -> { (s, d) =>
+      TextAnalysis.textStats(TestData.documents(s, d))
+        .select(col("doc_id"),
+          when(col("quality_score") >= 60, 1L).otherwise(0L).as("y"))
+        .withColumn("b", graft.analysis.Sampling.hashBucket(
+          concat(col("doc_id").cast("string"), lit("|split")), 10))
+        .withColumn("split",
+          when(col("b") < 8, "train").when(col("b") === 8, "val").otherwise("test"))
+        .groupBy("split").agg(count(lit(1)).as("n"), sum("y").as("n_pos"))
+        .select(col("split"), col("n"), col("n_pos"),
+          round(col("n_pos").cast("double") / col("n"), 6).as("pos_rate"))
+        .orderBy("split")
+    },
     // tie-aware ROC-AUC of the trained scorer via rank statistics: 2U
     // stays INTEGER (2*cumN + nN per score group), one floating ratio
     "q153_auc" -> { (s, d) =>
@@ -1423,6 +1448,38 @@ object SparkEntry {
        |  FROM c)
        |SELECT n_pos, n_neg, round(u2::DOUBLE / (2.0::DOUBLE * n_pos::DOUBLE * n_neg::DOUBLE), 6) AS auc
        |FROM u""".stripMargin
+
+  /** q154: F1-argmax operating point — integer confusion counts from one
+    * cumulative window over the score groups, fixed-order double ratios,
+    * ties toward the smaller threshold. */
+  private def f1ThresholdOracle(iters: Int): String =
+    s"""WITH ${logregCtes(iters)},
+       |g AS (
+       |  SELECT score AS t, CAST(sum(CAST(y AS BIGINT)) AS BIGINT) AS np,
+       |    CAST(count(*) - sum(CAST(y AS BIGINT)) AS BIGINT) AS nn
+       |  FROM sc GROUP BY 1),
+       |c AS (
+       |  SELECT t, np, nn,
+       |    CAST(COALESCE(sum(np) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cump,
+       |    CAST(COALESCE(sum(nn) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cumn
+       |  FROM g),
+       |tot AS (SELECT CAST(sum(np) AS BIGINT) AS tp_all, CAST(sum(nn) AS BIGINT) AS nn_all FROM g),
+       |m AS (
+       |  SELECT t AS threshold, tp_all - cump AS tp, nn_all - cumn AS fp, cump AS fn, tp_all
+       |  FROM c CROSS JOIN tot),
+       |e AS (
+       |  SELECT *,
+       |    CASE WHEN tp + fp > 0 THEN tp::DOUBLE / (tp + fp)::DOUBLE ELSE 0.0::DOUBLE END AS "precision",
+       |    tp::DOUBLE / tp_all::DOUBLE AS recall
+       |  FROM m),
+       |f AS (
+       |  SELECT *, CASE WHEN "precision" + recall > 0
+       |    THEN 2.0::DOUBLE * "precision" * recall / ("precision" + recall)
+       |    ELSE 0.0::DOUBLE END AS f1
+       |  FROM e)
+       |SELECT threshold, tp, fp, fn, round("precision", 6) AS "precision",
+       |  round(recall, 6) AS recall, round(f1, 6) AS f1
+       |FROM f ORDER BY f1 DESC, threshold LIMIT 1""".stripMargin
 
   /** q136's whole-corpus span-dedup SQL — also q149's oracle verbatim
     * (the incremental-index law: merged per-doc-grain indexes report
@@ -3467,6 +3524,31 @@ object SparkEntry {
     "q151_logreg" -> logregOracle(3),
     "q152_calibration" -> calibrationOracle(3),
     "q153_auc" -> aucOracle(3),
+    "q154_f1_threshold" -> f1ThresholdOracle(3),
+    "q155_split_report" ->
+      """WITH t AS (
+        |  SELECT doc_id, text,
+        |    string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')), ' ') AS toks
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, len(toks) AS n_tokens, len(list_distinct(toks)) AS n_unique,
+        |    round(CAST(len(list_filter(toks, x -> x IN ('the','a','an','of','and','to','in','is','it','for'))) AS DOUBLE) / len(toks), 4) AS stopword_ratio
+        |  FROM t),
+        |sq AS (
+        |  SELECT doc_id, round(least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 40.0
+        |      + (CAST(n_unique AS DOUBLE) / n_tokens) * 40.0
+        |      + CASE WHEN stopword_ratio BETWEEN 0.01 AND 0.6 THEN 20.0 ELSE 0.0 END, 2) AS quality_score
+        |  FROM s),
+        |lab AS (
+        |  SELECT doc_id, CASE WHEN quality_score >= 60 THEN 1 ELSE 0 END AS y,
+        |    ('0x' || substr(md5(doc_id::VARCHAR || '|split'), 1, 8))::BIGINT % 10 AS b
+        |  FROM sq),
+        |sp AS (
+        |  SELECT CASE WHEN b < 8 THEN 'train' WHEN b = 8 THEN 'val' ELSE 'test' END AS split, y
+        |  FROM lab)
+        |SELECT split, CAST(count(*) AS BIGINT) AS n, CAST(sum(y) AS BIGINT) AS n_pos,
+        |  round(sum(y)::DOUBLE / count(*), 6) AS pos_rate
+        |FROM sp GROUP BY 1 ORDER BY 1""".stripMargin,
     "q150_ranking_metrics" ->
       """WITH clicks AS (
         |  SELECT CAST(props->>'$.k' AS INTEGER) AS doc FROM events WHERE event_type = 'click'),

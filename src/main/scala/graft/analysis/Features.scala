@@ -155,4 +155,53 @@ object Features {
       .reduce(_ + _)
     round(lit(1.0) / (lit(1.0) + exp(-round(z, 6))), 6)
   }
+
+  /** Operating-point selection: sweep every distinct score as the
+    * "predict positive when score ≥ t" threshold and return the F1-argmax
+    * row — the step that turns a trained scorer ([[logisticWeights]]) into
+    * a deployable FILTER. Candidate thresholds are the observed scores
+    * (between two observed scores the confusion matrix is constant, so
+    * nothing else needs sweeping).
+    *
+    * Scale shape: one grouped count per score, one cumulative window over
+    * the score-distinct-sized frame, and a TakeOrdered(1) — never a
+    * per-threshold rescan. TP/FP/FN stay INTEGER; precision/recall/F1 are
+    * three fixed-order double ratios, ties broken toward the smaller
+    * threshold. Output (1 row): threshold, tp, fp, fn, precision, recall,
+    * f1 (round 6). */
+  def f1ThresholdSweep(
+      scored: DataFrame,
+      scoreCol: String = "score",
+      labelCol: String = "y"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val g = scored
+      .groupBy(col(scoreCol).as("t"))
+      .agg(sum(col(labelCol).cast("long")).as("np"),
+        (count(lit(1)) - sum(col(labelCol).cast("long"))).as("nn"))
+    val w = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+    val c = g
+      .withColumn("cump", coalesce(sum("np").over(w), lit(0L)))
+      .withColumn("cumn", coalesce(sum("nn").over(w), lit(0L)))
+    val tot = g.agg(sum("np").as("tp_all"), sum("nn").as("nn_all"))
+    val m = c.crossJoin(broadcast(tot))
+      .select(col("t").as("threshold"),
+        (col("tp_all") - col("cump")).as("tp"),
+        (col("nn_all") - col("cumn")).as("fp"),
+        col("cump").as("fn"),
+        col("tp_all"))
+      .withColumn("precision",
+        when(col("tp") + col("fp") > 0,
+          col("tp").cast("double") / (col("tp") + col("fp")).cast("double"))
+          .otherwise(lit(0.0)))
+      .withColumn("recall", col("tp").cast("double") / col("tp_all").cast("double"))
+      .withColumn("f1",
+        when(col("precision") + col("recall") > 0,
+          lit(2.0) * col("precision") * col("recall") / (col("precision") + col("recall")))
+          .otherwise(lit(0.0)))
+    m.orderBy(desc("f1"), col("threshold")).limit(1)
+      .select(col("threshold"), col("tp"), col("fp"), col("fn"),
+        round(col("precision"), 6).as("precision"),
+        round(col("recall"), 6).as("recall"),
+        round(col("f1"), 6).as("f1"))
+  }
 }

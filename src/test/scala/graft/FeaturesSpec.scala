@@ -61,6 +61,18 @@ class FeaturesSpec extends SparkSpec {
       .foreach(r => assert(r.getDouble(3) === 0.5))
   }
 
+  test("f1 threshold sweep: hand-computed argmax operating point") {
+    val scored = Seq(
+      (0.9, 1.0), (0.8, 1.0), (0.7, 0.0), (0.6, 1.0), (0.5, 0.0), (0.4, 0.0)
+    ).toDF("score", "y")
+    val r = Features.f1ThresholdSweep(scored).collect().head
+    // t=0.6: TP 3, FP 1, FN 0 -> P .75, R 1, F1 6/7 — the unique max
+    assert(r.getDouble(0) === 0.6)
+    assert((r.getLong(1), r.getLong(2), r.getLong(3)) === ((3L, 1L, 0L)))
+    assert(r.getDouble(4) === 0.75 && r.getDouble(5) === 1.0)
+    assert(math.abs(r.getDouble(6) - 6.0 / 7.0) < 1e-6)
+  }
+
   test("logistic GD: separable feature learns the right sign, first epoch hand-checked, deterministic") {
     // y = 1 iff x1 = 1; x0 is the bias. After epoch 1 (all p = 0.5):
     // g_x1 = sum(x1*(y-0.5)) = 2*0.5 = 1 -> w_x1 = 0.5*1/4 = 0.125
