@@ -141,6 +141,22 @@ object SparkEntry {
           round(col("pos").cast("double") / col("n"), 6).as("pos_rate"))
         .orderBy("bin")
     },
+    // rolling trailing-7d distinct users per day via register-wise-max HLL
+    // merges (the mergeable-sketch payoff: 64 ints per day + a max window
+    // replaces per-window raw rescans), exact column alongside for honesty
+    "q156_rolling_distinct" -> { (s, d) =>
+      val clicks = TestData.clicks(s, d)
+      val est = graft.analysis.Sketches.rollingHllDistinct(
+        clicks, dayCol = "event_date", valueCol = "session_id", windowDays = 7)
+      val days = clicks.select(col("event_date")).distinct()
+        .withColumnRenamed("event_date", "d")
+      val exact = days
+        .join(clicks.select(col("event_date").as("ed"), col("session_id")),
+          datediff(col("d"), col("ed")).between(0, 6))
+        .groupBy(col("d").as("event_date"))
+        .agg(countDistinct("session_id").as("exact_distinct"))
+      est.join(exact, "event_date").orderBy("event_date")
+    },
     // operating-point selection: F1-argmax threshold sweep over the
     // trained scorer's distinct scores — integer confusion counts, one
     // cumulative window, TakeOrdered(1)
@@ -3525,6 +3541,63 @@ object SparkEntry {
     "q152_calibration" -> calibrationOracle(3),
     "q153_auc" -> aucOracle(3),
     "q154_f1_threshold" -> f1ThresholdOracle(3),
+    // q130's register build at (day, bucket) grain, dense day x 64 spine,
+    // RANGE window rolling max on epoch-day, the shared estimator tail,
+    // and the exact trailing-7d distinct beside it
+    "q156_rolling_distinct" ->
+      """WITH ev AS (
+        |  SELECT CAST(ts AS DATE) AS event_date, CAST(user_id AS VARCHAR) AS sid FROM events),
+        |h AS (SELECT event_date, md5(sid) AS hex FROM ev),
+        |t AS (
+        |  SELECT event_date,
+        |    CAST(('0x' || substring(hex, 1, 2))::BIGINT % 64 AS INT) AS bucket,
+        |    substring(hex, 3, 13) AS tail,
+        |    length(regexp_extract(substring(hex, 3, 13), '^(0*)', 1)) AS z
+        |  FROM h),
+        |rr AS (
+        |  SELECT event_date, bucket,
+        |    CASE WHEN z = 13 THEN 53
+        |         ELSE 4 * z + CASE WHEN ('0x' || substring(tail, CAST(z + 1 AS INT), 1))::BIGINT >= 8 THEN 1
+        |                           WHEN ('0x' || substring(tail, CAST(z + 1 AS INT), 1))::BIGINT >= 4 THEN 2
+        |                           WHEN ('0x' || substring(tail, CAST(z + 1 AS INT), 1))::BIGINT >= 2 THEN 3
+        |                           ELSE 4 END
+        |    END AS rho
+        |  FROM t),
+        |daily AS (SELECT event_date, bucket, max(rho) AS reg FROM rr GROUP BY 1, 2),
+        |spine AS (
+        |  SELECT d.event_date, CAST(unnest(range(64)) AS INT) AS bucket
+        |  FROM (SELECT DISTINCT event_date FROM ev) d),
+        |dense AS (
+        |  SELECT s.event_date, s.bucket, daily.reg,
+        |    (s.event_date - DATE '1970-01-01') AS di
+        |  FROM spine s LEFT JOIN daily ON s.event_date = daily.event_date AND s.bucket = daily.bucket),
+        |rolled AS (
+        |  SELECT event_date, bucket,
+        |    max(reg) OVER (PARTITION BY bucket ORDER BY di RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS reg
+        |  FROM dense),
+        |regs AS (SELECT event_date, bucket, reg FROM rolled WHERE reg IS NOT NULL),
+        |agg AS (
+        |  SELECT event_date, count(*) AS used,
+        |    sum(CAST(pow(2.0, -reg) AS DECIMAL(38,30))) AS s_present
+        |  FROM regs GROUP BY 1),
+        |fin AS (
+        |  SELECT event_date,
+        |    CAST(s_present AS DOUBLE) + (64 - used) AS s,
+        |    64 - used AS v
+        |  FROM agg),
+        |est AS (
+        |  SELECT event_date,
+        |    round(CASE WHEN (0.709::DOUBLE * 64 * 64) / s <= 160 AND v > 0
+        |               THEN 64.0::DOUBLE * ln(64.0::DOUBLE / v)
+        |               ELSE (0.709::DOUBLE * 64 * 64) / s END, 4) AS est_distinct
+        |  FROM fin),
+        |exact AS (
+        |  SELECT d.event_date, count(DISTINCT e.sid) AS exact_distinct
+        |  FROM (SELECT DISTINCT event_date FROM ev) d
+        |  JOIN ev e ON e.event_date BETWEEN d.event_date - 6 AND d.event_date
+        |  GROUP BY 1)
+        |SELECT est.event_date, est.est_distinct, exact.exact_distinct
+        |FROM est JOIN exact USING (event_date) ORDER BY est.event_date""".stripMargin,
     "q155_split_report" ->
       """WITH t AS (
         |  SELECT doc_id, text,

@@ -181,6 +181,41 @@ object Sketches {
       .orderBy(groupCol)
   }
 
+  /** Trailing-window distinct-count per day by ROLLING register-wise-max
+    * merges of daily HLL register files — the mergeable-sketch payoff made
+    * concrete: the exact rolling distinct needs every day's raw identity
+    * set rescanned per window position (|window| × corpus at scale), while
+    * the sketch needs 64 ints per day and a max() window — the union of
+    * any 7 days IS the register-wise max of their files, no raw data ever
+    * revisited. This is the DAU/WAU "stickiness" machinery at 100 TB.
+    *
+    * Scale shape: one register aggregate at (day, bucket) grain, a dense
+    * day×64 spine (windows must see buckets a day didn't touch), one
+    * RANGE window on epoch-day per bucket, and the shared
+    * [[hllEstimateFromRegisters]] tail. Everything after the first
+    * aggregate is (days × 64)-sized.
+    * Output: dayCol, est_distinct (round 4), one row per observed day. */
+  def rollingHllDistinct(
+      df: DataFrame,
+      dayCol: String,
+      valueCol: String,
+      windowDays: Int = 7): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(windowDays >= 1, s"need windowDays >= 1, got $windowDays")
+    val daily = hllRegisters(df, dayCol, valueCol)
+    val spine = df.select(col(dayCol)).distinct()
+      .select(col(dayCol), explode(sequence(lit(0), lit(63))).as("bucket"))
+    val dense = spine.join(daily, Seq(dayCol, "bucket"), "left")
+      .withColumn("__d", datediff(col(dayCol), lit(java.sql.Date.valueOf("1970-01-01"))))
+    val w = Window.partitionBy("bucket").orderBy("__d")
+      .rangeBetween(-(windowDays - 1), 0)
+    val rolled = dense
+      .withColumn("rreg", max("reg").over(w))
+      .filter(col("rreg").isNotNull)
+      .select(col(dayCol), col("bucket"), col("rreg").as("reg"))
+    hllEstimateFromRegisters(rolled, dayCol)
+  }
+
   def distinctEstimate(
       df: DataFrame, groupCol: String, valueCol: String, k: Int = 64): DataFrame = {
     val bottomK = udaf(new BottomK(k), Encoders.scalaLong)

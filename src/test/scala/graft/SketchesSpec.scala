@@ -65,4 +65,24 @@ class SketchesSpec extends SparkSpec {
     assert(out.getAs[Long]("h1") === out.getAs[Long]("h2"))
     assert(out.getAs[Long]("h1") !== out.getAs[Long]("h3"))
   }
+
+  test("rolling hll distinct: each day's window estimate equals the batch estimate of the window union") {
+    def d(s: String) = java.sql.Date.valueOf(s)
+    val rows = Seq(
+      (d("2026-01-01"), "u1"), (d("2026-01-01"), "u2"),
+      (d("2026-01-03"), "u2"), (d("2026-01-03"), "u3"),
+      (d("2026-01-10"), "u9") // outside day 3's window, its own window is just itself
+    ).toDF("day", "uid")
+    val est = Sketches.rollingHllDistinct(rows, "day", "uid", windowDays = 7)
+      .collect().map(r => r.getDate(0).toString -> r.getDouble(1)).toMap
+    def batchOf(days: Set[String]) = Sketches.hllEstimate(
+        rows.filter(col("day").cast("string").isin(days.toSeq: _*))
+          .withColumn("g", lit("w")),
+        "g", "uid")
+      .collect().head.getDouble(1)
+    // the law that justifies the operator: rolled registers ARE the union's
+    assert(est("2026-01-03") === batchOf(Set("2026-01-01", "2026-01-03")))
+    assert(est("2026-01-01") === batchOf(Set("2026-01-01")))
+    assert(est("2026-01-10") === batchOf(Set("2026-01-10")))
+  }
 }
