@@ -141,6 +141,18 @@ object SparkEntry {
           round(col("pos").cast("double") / col("n"), 6).as("pos_rate"))
         .orderBy("bin")
     },
+    // weighted shortest paths (bounded Bellman-Ford) over the co-click
+    // graph from its lowest-id document: edge length 1/weight, 4
+    // relaxation rounds — the "how close, not how many hops" centrality
+    "q157_weighted_paths" -> { (s, d) =>
+      val edges = Graphs.cooccurrenceEdges(
+          TestData.clicks(s, d), "session_id", "document_id", maxPerKey = 100)
+        .withColumn("dist", lit(1.0) / col("weight").cast("double"))
+      val src = edges.agg(least(min("src"), min("dst"))).collect().head.getInt(0)
+      Graphs.weightedShortestPaths(edges, src, rounds = 4)
+        .withColumnRenamed("id", "document_id")
+        .orderBy("document_id")
+    },
     // rolling trailing-7d distinct users per day via register-wise-max HLL
     // merges (the mergeable-sketch payoff: 64 ints per day + a max window
     // replaces per-window raw rescans), exact column alongside for honesty
@@ -3541,6 +3553,33 @@ object SparkEntry {
     "q152_calibration" -> calibrationOracle(3),
     "q153_auc" -> aucOracle(3),
     "q154_f1_threshold" -> f1ThresholdOracle(3),
+    // q73's edge CTE with dist = 1/weight, then 4 unrolled relaxations
+    // (each: carry UNION relax, min per node) from the lowest node id
+    "q157_weighted_paths" ->
+      """WITH clicks AS (
+        |  SELECT DISTINCT CAST(user_id AS VARCHAR) AS sid, CAST(props->>'$.k' AS INTEGER) AS doc
+        |  FROM events WHERE CAST(props->>'$.k' AS INTEGER) IS NOT NULL),
+        |ok AS (SELECT sid FROM clicks GROUP BY sid HAVING count(*) <= 100),
+        |ce AS (
+        |  SELECT a.doc AS src, b.doc AS dst, 1.0::DOUBLE / count(*) AS dd
+        |  FROM clicks a JOIN ok USING (sid) JOIN clicks b ON a.sid = b.sid AND a.doc < b.doc
+        |  GROUP BY 1, 2),
+        |sym AS (SELECT src AS u, dst AS v, dd FROM ce UNION ALL SELECT dst, src, dd FROM ce),
+        |lm AS (SELECT min(u) AS id FROM sym),
+        |d0 AS (SELECT id, 0.0::DOUBLE AS d FROM lm),
+        |d1 AS (SELECT id, min(d) AS d FROM (
+        |  SELECT id, d FROM d0 UNION ALL
+        |  SELECT s.v AS id, d0.d + s.dd AS d FROM d0 JOIN sym s ON s.u = d0.id) GROUP BY id),
+        |d2 AS (SELECT id, min(d) AS d FROM (
+        |  SELECT id, d FROM d1 UNION ALL
+        |  SELECT s.v AS id, d1.d + s.dd AS d FROM d1 JOIN sym s ON s.u = d1.id) GROUP BY id),
+        |d3 AS (SELECT id, min(d) AS d FROM (
+        |  SELECT id, d FROM d2 UNION ALL
+        |  SELECT s.v AS id, d2.d + s.dd AS d FROM d2 JOIN sym s ON s.u = d2.id) GROUP BY id),
+        |d4 AS (SELECT id, min(d) AS d FROM (
+        |  SELECT id, d FROM d3 UNION ALL
+        |  SELECT s.v AS id, d3.d + s.dd AS d FROM d3 JOIN sym s ON s.u = d3.id) GROUP BY id)
+        |SELECT id AS document_id, round(d, 6) AS dist FROM d4 ORDER BY document_id""".stripMargin,
     // q130's register build at (day, bucket) grain, dense day x 64 spine,
     // RANGE window rolling max on epoch-day, the shared estimator tail,
     // and the exact trailing-7d distinct beside it

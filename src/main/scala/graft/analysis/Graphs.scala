@@ -382,6 +382,48 @@ object Graphs {
       .filter(col("rank") <= k)
   }
 
+  /** Bounded-round Bellman–Ford from a landmark — weighted shortest paths,
+    * the weighted sibling of [[shortestPaths]]' BFS (hop counts ignore how
+    * STRONG a co-click tie is; here edge length is caller-supplied, e.g.
+    * 1/weight, so well-trodden paths are short). `rounds` bounds the
+    * relaxation: the result is exact for shortest paths of ≤ `rounds`
+    * edges — the Bellman–Ford invariant — and a fixpoint when the graph's
+    * weighted diameter is smaller.
+    *
+    * Scale shape: each round is one equi-join on the frontier node +
+    * one min-aggregate — shuffles carry 〈node, double〉 only. The dist
+    * frame is referenced twice per round (relax + carry), so each round
+    * localCheckpoints (the q86/q49 lineage rule). Engine parity: each
+    * candidate distance is a fixed chain of double adds replayed
+    * identically, and min() over identical sets is identical.
+    * Output: id, dist (round 6) — nodes reachable within `rounds` edges. */
+  def weightedShortestPaths(
+      edges: DataFrame,
+      landmark: Any,
+      rounds: Int = 4,
+      srcCol: String = "src",
+      dstCol: String = "dst",
+      distCol: String = "dist"): DataFrame = {
+    require(rounds >= 1, s"need rounds >= 1, got $rounds")
+    val sym = edges
+      .select(col(srcCol).as("u"), col(dstCol).as("v"), col(distCol).cast("double").as("dd"))
+      .union(edges
+        .select(col(dstCol).as("u"), col(srcCol).as("v"), col(distCol).cast("double").as("dd")))
+      .localCheckpoint(eager = true)
+    var dist = sym.select(col("u").as("id")).distinct()
+      .filter(col("id") === lit(landmark))
+      .withColumn("d", lit(0.0))
+    for (_ <- 1 to rounds) {
+      val relaxed = dist
+        .join(sym, col("id") === col("u"))
+        .select(col("v").as("id"), (col("d") + col("dd")).as("d"))
+      dist = dist.unionByName(relaxed)
+        .groupBy("id").agg(min("d").as("d"))
+        .localCheckpoint(eager = true)
+    }
+    dist.select(col("id"), round(col("d"), 6).as("dist"))
+  }
+
   /** k-core decomposition by simultaneous peeling (Seidman's cores; the
     * distributed analogue of Batagelj–Zaveršnik): each round deletes EVERY
     * node whose current degree is below k, then recomputes degrees on the

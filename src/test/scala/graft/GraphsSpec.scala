@@ -154,6 +154,18 @@ class GraphsSpec extends SparkSpec {
     assert(again === out)
   }
 
+  test("weighted paths: strong 2-hop route beats the weak direct edge, rounds bound the horizon") {
+    // dist = 1/weight: 1-2 and 2-3 are strong (0.1 each), 1-3 weak (1.0)
+    val edges = Seq((1, 2, 0.1), (2, 3, 0.1), (1, 3, 1.0)).toDF("src", "dst", "dist")
+    val r4 = Graphs.weightedShortestPaths(edges, landmark = 1, rounds = 4)
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    assert(r4 === Map(1 -> 0.0, 2 -> 0.1, 3 -> 0.2))
+    // one round only reaches direct edges: 3 still carries the weak path
+    val r1 = Graphs.weightedShortestPaths(edges, landmark = 1, rounds = 1)
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    assert(r1 === Map(1 -> 0.0, 2 -> 0.1, 3 -> 1.0))
+  }
+
   test("k-core: pendant chain peels away, clique survives, bounded rounds hit the fixpoint") {
     // 4-clique {1,2,3,4} + chain 4-5-6: peeling at k=3 removes 6 (deg 1),
     // then 5, then 4 keeps degree 3 inside the clique
