@@ -141,6 +141,25 @@ object SparkEntry {
           round(col("pos").cast("double") / col("n"), 6).as("pos_rate"))
         .orderBy("bin")
     },
+    // fuzzy decontamination: MinHash near-dup screen of the corpus AGAINST
+    // the eval set (q50's exact n-gram check misses paraphrased leakage;
+    // this is the fuzzy sibling big pretraining runs pair with it) — the
+    // eval side is the sketched artifact, the corpus only bands+probes
+    "q158_fuzzy_decontam" -> { (s, d) =>
+      val docs = TestData.documents(s, d)
+      val pairs = Dedup.incrementalNearDupPairs(
+        docs.filter(col("doc_id") % 17 =!= 0), // corpus probes...
+        docs.filter(col("doc_id") % 17 === 0), // ...the sketched eval set
+        minJaccard = 0.5)
+      pairs
+        .groupBy(col("new_id").as("doc_id"))
+        .agg(count(lit(1)).as("n_eval_matches"),
+          max(struct(col("jaccard"), (-col("existing_id")).as("nid"))).as("best"))
+        .select(col("doc_id"), col("n_eval_matches"),
+          col("best.jaccard").as("best_jaccard"),
+          (-col("best.nid")).as("matched_eval_doc"))
+        .orderBy("doc_id")
+    },
     // weighted shortest paths (bounded Bellman-Ford) over the co-click
     // graph from its lowest-id document: edge length 1/weight, 4
     // relaxation rounds — the "how close, not how many hops" centrality
@@ -3553,6 +3572,42 @@ object SparkEntry {
     "q152_calibration" -> calibrationOracle(3),
     "q153_auc" -> aucOracle(3),
     "q154_f1_threshold" -> f1ThresholdOracle(3),
+    // q78's band/verify SQL with corpus-vs-eval roles and a per-corpus-doc
+    // argmax report (max jaccard, ties to the lower eval id)
+    "q158_fuzzy_decontam" ->
+      """WITH toks AS (
+        |  SELECT doc_id AS id,
+        |    string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')), ' ') AS t
+        |  FROM documents),
+        |sets AS (
+        |  SELECT id, list_distinct(list_transform(range(len(t) - 2), i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])) AS sh
+        |  FROM toks WHERE len(t) >= 3),
+        |sigs AS (
+        |  SELECT id, sh,
+        |    list_transform(range(16), i -> list_min(list_transform(sh, s -> md5(i::VARCHAR || '|' || s)))) AS sig
+        |  FROM sets),
+        |bands AS (
+        |  SELECT id, b AS band_id, md5(array_to_string(sig[b*4+1:b*4+4], ',')) AS band_hash
+        |  FROM sigs CROSS JOIN (VALUES (0), (1), (2), (3)) AS bl(b)),
+        |cand AS (
+        |  SELECT DISTINCT x.id AS new_id, y.id AS existing_id
+        |  FROM bands x JOIN bands y
+        |    ON x.band_id = y.band_id AND x.band_hash = y.band_hash
+        |  WHERE x.id % 17 <> 0 AND y.id % 17 = 0),
+        |verified AS (
+        |  SELECT new_id, existing_id,
+        |    CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) / len(list_distinct(list_concat(sa.sh, sb.sh))) AS j
+        |  FROM cand JOIN sets sa ON new_id = sa.id JOIN sets sb ON existing_id = sb.id),
+        |flagged AS (
+        |  SELECT new_id, existing_id, round(j, 4) AS jaccard FROM verified WHERE j >= 0.5),
+        |best AS (
+        |  SELECT new_id AS doc_id, jaccard, existing_id,
+        |    row_number() OVER (PARTITION BY new_id ORDER BY jaccard DESC, existing_id) AS rn,
+        |    count(*) OVER (PARTITION BY new_id) AS n_eval_matches
+        |  FROM flagged)
+        |SELECT doc_id, CAST(n_eval_matches AS BIGINT) AS n_eval_matches,
+        |  jaccard AS best_jaccard, existing_id AS matched_eval_doc
+        |FROM best WHERE rn = 1 ORDER BY doc_id""".stripMargin,
     // q73's edge CTE with dist = 1/weight, then 4 unrolled relaxations
     // (each: carry UNION relax, min per node) from the lowest node id
     "q157_weighted_paths" ->
