@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.analysis.Sketches
+import graft.analysis.{Dedup, Sketches}
 import graft.streaming.{StreamingHll, StreamingSketch}
 import graft.streaming.StreamingSketch.{Estimate, KeyedValue}
 
@@ -82,6 +82,42 @@ class StreamingSketchSpec extends SparkSpec {
       val batchEst = Sketches.hllEstimate(union, "group", "value")
         .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
       assert(streamedEst === batchEst)
+    } finally q.stop()
+  }
+
+  test("streaming span index across micro-batches equals the batch index of the union") {
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)](spark)
+    val idx = scala.collection.concurrent.TrieMap.empty[(Long, Long), (Long, Int)]
+    val q = graft.streaming.StreamingSpanIndex
+      .buildStream(input.toDS().toDF("doc_id", "text"), spanTokens = 3)
+      .writeStream
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        df.collect().foreach(r =>
+          idx((r.getLong(0), r.getLong(1))) = (r.getLong(2), r.getInt(3)))
+      }
+      .outputMode("update").start()
+    try {
+      val boiler = "subscribe to our newsletter"
+      input.addData((10L, s"alpha beta $boiler"), (30L, "unrelated words only here"))
+      q.processAllAvailable()
+      input.addData((20L, s"$boiler gamma delta"),
+        (10L, "")) // doc 10 re-emitted empty adds no windows; prior state persists
+      q.processAllAvailable()
+      val union = Seq((10L, s"alpha beta $boiler"), (30L, "unrelated words only here"),
+        (20L, s"$boiler gamma delta"), (10L, "")).toDF("doc_id", "text")
+      val batch = Dedup.spanIndex(union, spanTokens = 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getInt(3)))).toMap
+      assert(idx.toMap === batch)
+      // and the report over the streamed snapshot = the batch report
+      val snap = idx.toSeq.map { case ((fp, d), (n, st)) => (fp, d, n, st) }
+        .toDF("span_fp", "doc_id", "n_occ", "min_start")
+      val streamedReport = Dedup.duplicatedSpansFromIndex(snap, minDocs = 2)
+        .orderBy("span_fp").collect().map(_.toSeq)
+      val batchReport = Dedup.duplicatedSpans(union, spanTokens = 3, minDocs = 2)
+        .orderBy("span_fp").collect().map(_.toSeq)
+      assert(streamedReport.toSeq === batchReport.toSeq)
+      assert(streamedReport.nonEmpty) // the shared boilerplate spans are found
     } finally q.stop()
   }
 }
