@@ -141,6 +141,33 @@ object SparkEntry {
           round(col("pos").cast("double") / col("n"), 6).as("pos_rate"))
         .orderBy("bin")
     },
+    // hybrid-retrieval capstone: RRF-fuse popularity and recency rankings
+    // (q128's combiner), then score the fused list with MRR/NDCG@10
+    // against purchase relevance (q150's evaluator) — the end-to-end
+    // "did the hybrid help" loop a search team runs per change
+    "q159_hybrid_eval" -> { (s, d) =>
+      val clicks = TestData.clicks(s, d).filter(col("document_id").isNotNull)
+      val fused = graft.analysis.SearchRank.reciprocalRankFusion(
+        clicks.filter(col("event_type") === "click")
+          .groupBy("document_id").agg(count(lit(1)).as("n_clicks")),
+        clicks.groupBy("document_id").agg(max("event_ts").as("last_seen")),
+        idCol = "document_id",
+        orderA = Seq(desc("n_clicks")), orderB = Seq(desc("last_seen")))
+      val ranking = fused.select(col("document_id").as("doc"),
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(desc("rrf"), col("document_id"))).as("rank"))
+      // relevance = HEAVILY-purchased docs (>= 1.2x the average purchase
+      // count — scale-free, so the gate is non-degenerate at every sf;
+      // with relevance := "any purchase", every doc here qualifies and any
+      // ranking scores a meaningless 1.0)
+      val pc = clicks.filter(col("event_type") === "purchase")
+        .groupBy(col("document_id").as("doc")).agg(count(lit(1)).as("np"))
+      val avg = pc.agg((sum("np").cast("double") / count(lit(1))).as("avg_np"))
+      val relevant = pc.crossJoin(broadcast(avg))
+        .filter(col("np").cast("double") >= lit(1.2) * col("avg_np"))
+        .select("doc")
+      graft.analysis.SearchRank.rankingMetrics(ranking, relevant, k = 10)
+    },
     // fuzzy decontamination: MinHash near-dup screen of the corpus AGAINST
     // the eval set (q50's exact n-gram check misses paraphrased leakage;
     // this is the fuzzy sibling big pretraining runs pair with it) — the
@@ -3572,6 +3599,47 @@ object SparkEntry {
     "q152_calibration" -> calibrationOracle(3),
     "q153_auc" -> aucOracle(3),
     "q154_f1_threshold" -> f1ThresholdOracle(3),
+    // q128's fusion SQL (popularity x recency lists) -> fused rank -> the
+    // q150 metric tail
+    "q159_hybrid_eval" ->
+      """WITH c AS (
+        |  SELECT CAST(props->>'$.k' AS INTEGER) AS doc, CAST(ts AS TIMESTAMP) AS ts, event_type
+        |  FROM events WHERE CAST(props->>'$.k' AS INTEGER) IS NOT NULL),
+        |a AS (
+        |  SELECT doc, rank_a FROM (
+        |    SELECT doc, row_number() OVER (ORDER BY count(*) DESC, doc) AS rank_a
+        |    FROM c WHERE event_type = 'click' GROUP BY doc)
+        |  WHERE rank_a <= 100),
+        |b AS (
+        |  SELECT doc, rank_b FROM (
+        |    SELECT doc, row_number() OVER (ORDER BY max(ts) DESC, doc) AS rank_b
+        |    FROM c GROUP BY doc)
+        |  WHERE rank_b <= 100),
+        |f AS (
+        |  SELECT COALESCE(a.doc, b.doc) AS doc,
+        |    round(COALESCE(1.0::DOUBLE / (60 + rank_a), 0) + COALESCE(1.0::DOUBLE / (60 + rank_b), 0), 6) AS rrf
+        |  FROM a FULL OUTER JOIN b ON a.doc = b.doc),
+        |rk AS (SELECT doc, row_number() OVER (ORDER BY rrf DESC, doc) AS rank FROM f),
+        |pc AS (SELECT doc, CAST(count(*) AS BIGINT) AS np FROM c WHERE event_type = 'purchase' GROUP BY 1),
+        |av AS (SELECT CAST(sum(np) AS DOUBLE) / count(*) AS avg_np FROM pc),
+        |rel AS (SELECT doc FROM pc CROSS JOIN av WHERE np::DOUBLE >= 1.2::DOUBLE * avg_np),
+        |j AS (SELECT rk.rank FROM rk JOIN rel USING (doc)),
+        |s1 AS (SELECT CAST(count(*) AS BIGINT) AS n_relevant FROM rel),
+        |s2 AS (
+        |  SELECT min(rank) AS first_rank,
+        |    CAST(COALESCE(sum(CASE WHEN rank <= 10
+        |      THEN CAST(ln(2.0::DOUBLE) / ln((rank + 1)::DOUBLE) AS DECIMAL(28,12)) END), 0) AS DOUBLE) AS dcg
+        |  FROM j),
+        |ideal AS (
+        |  SELECT n_relevant, CAST(unnest(range(1, least(10, n_relevant) + 1)) AS INT) AS i FROM s1),
+        |ff AS (
+        |  SELECT n_relevant,
+        |    CAST(sum(CAST(ln(2.0::DOUBLE) / ln((i + 1)::DOUBLE) AS DECIMAL(28,12))) AS DOUBLE) AS idcg
+        |  FROM ideal GROUP BY 1)
+        |SELECT ff.n_relevant, s2.first_rank,
+        |  round(CASE WHEN s2.first_rank IS NULL THEN 0.0::DOUBLE ELSE 1.0::DOUBLE / s2.first_rank END, 6) AS mrr,
+        |  round(s2.dcg / ff.idcg, 6) AS ndcg
+        |FROM ff CROSS JOIN s2""".stripMargin,
     // q78's band/verify SQL with corpus-vs-eval roles and a per-corpus-doc
     // argmax report (max jaccard, ties to the lower eval id)
     "q158_fuzzy_decontam" ->
