@@ -141,6 +141,41 @@ object SparkEntry {
           round(col("pos").cast("double") / col("n"), 6).as("pos_rate"))
         .orderBy("bin")
     },
+    // compliance takedown end-to-end: copy documents into a source-
+    // partitioned layer, delete an md5-gated ~5% of doc_ids through the
+    // partition-pruned dynamic-overwrite rewrite, and return the survivors
+    // READ BACK FROM THE LAYER plus the audit count — the oracle is the
+    // anti-join over the original parquet, so green proves the destructive
+    // rewrite dropped exactly the keyed rows and nothing else
+    "q160_takedown" -> { (s, d) =>
+      graft.sinks.Takedown.takedownGate(s, TestData.documents(s, d))
+    },
+    // PQ recall curve: the SAME quantize/encode/ADC machinery at two
+    // operating points — q148's 12-bit pure-ADC floor next to the
+    // production configuration (32-bit codes, ADC shortlist of 100, exact
+    // re-rank of only those candidates). Pure ADC recall is pinned by
+    // quantization noise vs this corpus's near-uniform distance spectrum
+    // (measured: recall@10 plateaus ≤0.6 even at 80-bit codes); the
+    // re-rank knob decouples recall from bit rate and hits 1.0 here
+    "q161_pq_recall_curve" -> { (s, d) =>
+      val emb = TestData.embeddings(s, d)
+      val q = emb.filter(col("vec_id") === 0)
+      val ex = Similarity.knnExactL2(emb, q, topK = 10)
+        .select("neighbor_id").localCheckpoint(true)
+      def recallRow(label: String, bits: Int, top: org.apache.spark.sql.DataFrame) =
+        top.select("neighbor_id")
+          .join(ex, "neighbor_id")
+          .agg(count(lit(1)).as("n_common"))
+          .select(lit(label).as("config"), lit(bits).as("bits"),
+            lit(10).as("k"), col("n_common"),
+            round(col("n_common").cast("double") / 10, 4).as("recall"))
+      recallRow("m4x8codes", 12,
+          Similarity.knnPqAdc(emb, q, m = 4, codes = 8, iterations = 2, topK = 10))
+        .unionAll(recallRow("m8x16c_rerank100", 32,
+          Similarity.knnPqAdcRerank(emb, q, m = 8, codes = 16,
+            iterations = 2, shortlist = 100, topK = 10)))
+        .orderBy("config")
+    },
     // hybrid-retrieval capstone: RRF-fuse popularity and recency rankings
     // (q128's combiner), then score the fused list with MRR/NDCG@10
     // against purchase relevance (q150's evaluator) — the end-to-end
@@ -1662,64 +1697,71 @@ object SparkEntry {
     * distance-table lookups summed in subspace order. Generated rather
     * than hand-written because the four blocks differ only in slice
     * offsets — the same reason the Scala side loops over subspaces. */
-  private def pqLloydRound(j: Int, r: Int): String =
-    s"""dd${j}_$r AS (
+  private def pqLloydRound(p: String, j: Int, r: Int, sub: Int): String =
+    s"""dd$p${j}_$r AS (
        |  SELECT v.vec_id, cc.cluster,
-       |    list_sum(list_transform(range(16), i -> (v.u[i+1] - cc.c[i+1]) * (v.u[i+1] - cc.c[i+1]))) AS d2
-       |  FROM e$j v CROSS JOIN c${j}_${r - 1} cc),
-       |aa${j}_$r AS (
+       |    list_sum(list_transform(range($sub), i -> (v.u[i+1] - cc.c[i+1]) * (v.u[i+1] - cc.c[i+1]))) AS d2
+       |  FROM e$p$j v CROSS JOIN c$p${j}_${r - 1} cc),
+       |aa$p${j}_$r AS (
        |  SELECT vec_id, cluster FROM (
-       |    SELECT vec_id, cluster, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cluster) AS rn FROM dd${j}_$r)
+       |    SELECT vec_id, cluster, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cluster) AS rn FROM dd$p${j}_$r)
        |  WHERE rn = 1),
-       |uu${j}_$r AS (
-       |  SELECT aa${j}_$r.cluster, i AS dim, sum(CAST(e$j.u[i+1] AS DECIMAL(38,12))) AS s, count(*) AS n
-       |  FROM aa${j}_$r JOIN e$j USING (vec_id) CROSS JOIN range(16) t(i)
+       |uu$p${j}_$r AS (
+       |  SELECT aa$p${j}_$r.cluster, i AS dim, sum(CAST(e$p$j.u[i+1] AS DECIMAL(38,12))) AS s, count(*) AS n
+       |  FROM aa$p${j}_$r JOIN e$p$j USING (vec_id) CROSS JOIN range($sub) t(i)
        |  GROUP BY 1, 2),
-       |c${j}_$r AS (
-       |  SELECT cluster, list(s::DOUBLE / n ORDER BY dim) AS c FROM uu${j}_$r GROUP BY cluster
+       |c$p${j}_$r AS (
+       |  SELECT cluster, list(s::DOUBLE / n ORDER BY dim) AS c FROM uu$p${j}_$r GROUP BY cluster
        |  UNION ALL
-       |  SELECT cluster, c FROM c${j}_${r - 1} WHERE cluster NOT IN (SELECT cluster FROM uu${j}_$r))"""
+       |  SELECT cluster, c FROM c$p${j}_${r - 1} WHERE cluster NOT IN (SELECT cluster FROM uu$p${j}_$r))"""
 
-  private def pqSubspaceCtes(j: Int): String = {
-    val off = j * 16
-    s"""e$j AS (SELECT vec_id, list_transform(embedding[${off + 1}:${off + 16}], x -> CAST(x AS DOUBLE)) AS u FROM embeddings),
-       |c${j}_0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cluster, u AS c FROM (SELECT vec_id, u FROM e$j ORDER BY vec_id LIMIT 8)),
-       |${pqLloydRound(j, 1)},
-       |${pqLloydRound(j, 2)},
-       |ff$j AS (
+  private def pqSubspaceCtes(p: String, j: Int, sub: Int, codes: Int): String = {
+    val off = j * sub
+    s"""e$p$j AS (SELECT vec_id, list_transform(embedding[${off + 1}:${off + sub}], x -> CAST(x AS DOUBLE)) AS u FROM embeddings),
+       |c$p${j}_0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cluster, u AS c FROM (SELECT vec_id, u FROM e$p$j ORDER BY vec_id LIMIT $codes)),
+       |${pqLloydRound(p, j, 1, sub)},
+       |${pqLloydRound(p, j, 2, sub)},
+       |ff$p$j AS (
        |  SELECT v.vec_id, cc.cluster,
-       |    list_sum(list_transform(range(16), i -> (v.u[i+1] - cc.c[i+1]) * (v.u[i+1] - cc.c[i+1]))) AS d2
-       |  FROM e$j v CROSS JOIN c${j}_2 cc),
-       |codes$j AS (
-       |  SELECT vec_id, cluster AS code$j FROM (
-       |    SELECT vec_id, cluster, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cluster) AS rn FROM ff$j)
+       |    list_sum(list_transform(range($sub), i -> (v.u[i+1] - cc.c[i+1]) * (v.u[i+1] - cc.c[i+1]))) AS d2
+       |  FROM e$p$j v CROSS JOIN c$p${j}_2 cc),
+       |codes$p$j AS (
+       |  SELECT vec_id, cluster AS code$p$j FROM (
+       |    SELECT vec_id, cluster, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cluster) AS rn FROM ff$p$j)
        |  WHERE rn = 1),
-       |tab$j AS (
+       |tab$p$j AS (
        |  SELECT cc.cluster,
-       |    list_sum(list_transform(range(16), i -> (q.u[i+1] - cc.c[i+1]) * (q.u[i+1] - cc.c[i+1]))) AS d2
-       |  FROM c${j}_2 cc CROSS JOIN (SELECT u FROM e$j WHERE vec_id = 0) q)"""
+       |    list_sum(list_transform(range($sub), i -> (q.u[i+1] - cc.c[i+1]) * (q.u[i+1] - cc.c[i+1]))) AS d2
+       |  FROM c$p${j}_2 cc CROSS JOIN (SELECT u FROM e$p$j WHERE vec_id = 0) q)"""
+  }
+
+  /** Parameterized PQ CTE chain ending in `r$p(neighbor_id, adc_d2,
+    * "rank")` — the full quantize+encode+ADC rebuild for an m×sub
+    * split with `codes` centroids per subspace. `p` prefixes every CTE
+    * name so two operating points can coexist in one statement (q161). */
+  private def pqRankedCtesFor(p: String, m: Int, sub: Int, codes: Int): String = {
+    val joins = (0 until m).map(j =>
+      s"  JOIN codes$p$j ON e${p}0.vec_id = codes$p$j.vec_id").mkString("\n")
+    val tabs = (0 until m).map(j =>
+      s"  JOIN tab$p$j t$p$j ON codes$p$j.code$p$j = t$p$j.cluster").mkString("\n")
+    val adcSum = (0 until m).map(j => s"t$p$j.d2").mkString(" + ")
+    s"""${(0 until m).map(pqSubspaceCtes(p, _, sub, codes)).mkString(",\n")},
+       |joined$p AS (
+       |  SELECT e${p}0.vec_id AS neighbor_id, $adcSum AS adc_d2
+       |  FROM e${p}0
+       |$joins
+       |$tabs
+       |  WHERE e${p}0.vec_id <> 0),
+       |r$p AS (
+       |  SELECT neighbor_id, adc_d2, row_number() OVER (ORDER BY adc_d2, neighbor_id) AS "rank"
+       |  FROM joined$p)"""
   }
 
   /** Shared PQ CTE block ending in `r(neighbor_id, adc_d2, "rank")` — the
-    * full quantize+encode+ADC chain. q142 selects the ranked head; q148
-    * joins it against the exact-L2 head for recall. */
-  private lazy val pqRankedCtes: String =
-    s"""${(0 until 4).map(pqSubspaceCtes).mkString(",\n")},
-       |joined AS (
-       |  SELECT e0.vec_id AS neighbor_id, t0.d2 + t1.d2 + t2.d2 + t3.d2 AS adc_d2
-       |  FROM e0
-       |  JOIN codes0 ON e0.vec_id = codes0.vec_id
-       |  JOIN codes1 ON e0.vec_id = codes1.vec_id
-       |  JOIN codes2 ON e0.vec_id = codes2.vec_id
-       |  JOIN codes3 ON e0.vec_id = codes3.vec_id
-       |  JOIN tab0 t0 ON codes0.code0 = t0.cluster
-       |  JOIN tab1 t1 ON codes1.code1 = t1.cluster
-       |  JOIN tab2 t2 ON codes2.code2 = t2.cluster
-       |  JOIN tab3 t3 ON codes3.code3 = t3.cluster
-       |  WHERE e0.vec_id <> 0),
-       |r AS (
-       |  SELECT neighbor_id, adc_d2, row_number() OVER (ORDER BY adc_d2, neighbor_id) AS "rank"
-       |  FROM joined)"""
+    * full quantize+encode+ADC chain at the q142 operating point (4 × 16
+    * dims, 8 codes). q142 selects the ranked head; q148 joins it against
+    * the exact-L2 head for recall. */
+  private lazy val pqRankedCtes: String = pqRankedCtesFor("", 4, 16, 8)
 
   private lazy val pqAdcOracle: String =
     s"""WITH $pqRankedCtes
@@ -1743,6 +1785,39 @@ object SparkEntry {
        |ex10 AS (SELECT vec_id FROM exact WHERE rk <= 10),
        |hit AS (SELECT CAST(count(*) AS BIGINT) AS n_common FROM pq10 JOIN ex10 USING (vec_id))
        |SELECT 10 AS k, n_common, round(n_common::DOUBLE / 10, 4) AS recall FROM hit""".stripMargin
+
+  /** q161's oracle: the q142/q148 PQ rebuild at both operating points —
+    * the `h`-prefixed chain is the 8×8d/16-code configuration, whose
+    * ADC-ranked head (top 100) is then re-ranked by the TRUE distance;
+    * both scored against the shared exact-L2 top-10. */
+  private lazy val pqRecallCurveOracle: String =
+    s"""WITH $pqRankedCtes,
+       |${pqRankedCtesFor("h", 8, 8, 16)},
+       |ef AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS u FROM embeddings),
+       |exact AS (
+       |  SELECT v.vec_id,
+       |    row_number() OVER (ORDER BY
+       |      list_sum(list_transform(range(64), i -> (v.u[i+1] - q.u[i+1]) * (v.u[i+1] - q.u[i+1]))),
+       |      v.vec_id) AS rk
+       |  FROM ef v CROSS JOIN (SELECT u FROM ef WHERE vec_id = 0) q
+       |  WHERE v.vec_id <> 0),
+       |ex10 AS (SELECT vec_id FROM exact WHERE rk <= 10),
+       |lo10 AS (SELECT neighbor_id AS vec_id FROM r WHERE "rank" <= 10),
+       |rr AS (
+       |  SELECT v.vec_id,
+       |    row_number() OVER (ORDER BY
+       |      list_sum(list_transform(range(64), i -> (v.u[i+1] - q.u[i+1]) * (v.u[i+1] - q.u[i+1]))),
+       |      v.vec_id) AS rk
+       |  FROM ef v
+       |  JOIN (SELECT neighbor_id FROM rh WHERE "rank" <= 100) c ON v.vec_id = c.neighbor_id
+       |  CROSS JOIN (SELECT u FROM ef WHERE vec_id = 0) q),
+       |hi10 AS (SELECT vec_id FROM rr WHERE rk <= 10),
+       |lo AS (SELECT CAST(count(*) AS BIGINT) AS n_common FROM lo10 JOIN ex10 USING (vec_id)),
+       |hi AS (SELECT CAST(count(*) AS BIGINT) AS n_common FROM hi10 JOIN ex10 USING (vec_id))
+       |SELECT 'm4x8codes' AS config, 12 AS bits, 10 AS k, n_common, round(n_common::DOUBLE / 10, 4) AS recall FROM lo
+       |UNION ALL
+       |SELECT 'm8x16c_rerank100' AS config, 32 AS bits, 10 AS k, n_common, round(n_common::DOUBLE / 10, 4) AS recall FROM hi
+       |ORDER BY config""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "q01_session_analysis" ->
@@ -3595,10 +3670,20 @@ object SparkEntry {
         |ORDER BY f.event_id""".stripMargin,
     "q142_pq_adc" -> pqAdcOracle,
     "q148_ann_recall" -> annRecallOracle,
+    "q161_pq_recall_curve" -> pqRecallCurveOracle,
     "q151_logreg" -> logregOracle(3),
     "q152_calibration" -> calibrationOracle(3),
     "q153_auc" -> aucOracle(3),
     "q154_f1_threshold" -> f1ThresholdOracle(3),
+    // the anti-join law: survivors on disk == original MINUS the keyed
+    // rows; the deleted count rides along as a scalar subquery
+    "q160_takedown" ->
+      """SELECT d.doc_id, d.lang, d.source, d.n_chars,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM documents
+        |   WHERE ('0x'||substr(md5(doc_id::VARCHAR),1,15))::BIGINT % 19 = 0) AS rows_deleted
+        |FROM documents d
+        |WHERE ('0x'||substr(md5(d.doc_id::VARCHAR),1,15))::BIGINT % 19 <> 0
+        |ORDER BY d.doc_id""".stripMargin,
     // q128's fusion SQL (popularity x recency lists) -> fused rank -> the
     // q150 metric tail
     "q159_hybrid_eval" ->

@@ -189,9 +189,14 @@ object SearchRank {
     val s2 = j.agg(
       min(rankCol).as("first_rank"),
       coalesce(sum(when(col(rankCol) <= k, term)).cast(DoubleType), lit(0.0)).as("dcg"))
+    // guard the ideal-position generator: with an empty relevance set,
+    // sequence(1, 0) is DESCENDING [1, 0] and the i=0 term is ln2/ln(1)=∞,
+    // while the SQL twin's range(1, 1) is empty — the null guard makes both
+    // engines agree on the degenerate case (zero output rows)
     val idcg = s1
       .select(col("n_relevant"),
-        explode(sequence(lit(1), least(lit(k), col("n_relevant")))).as("i"))
+        explode(when(col("n_relevant") > 0,
+          sequence(lit(1), least(lit(k), col("n_relevant"))))).as("i"))
       .groupBy("n_relevant")
       .agg(sum((log(lit(2.0)) / log(col("i") + 1)).cast(dec)).cast(DoubleType).as("idcg"))
     idcg.crossJoin(s2)

@@ -592,4 +592,47 @@ object Similarity {
         row_number().over(Window.orderBy(col("adc_d2"), col("neighbor_id"))))
       .select(col("rank"), col("neighbor_id"), round(col("adc_d2"), 6).as("adc_d2"))
   }
+
+  /** PQ/ADC with exact re-ranking — the high-recall operating point of the
+    * same machinery (Jégou, Douze & Schmid 2011 §VII pair compressed-domain
+    * search with a verification pass): the ADC scan keeps a `shortlist`-
+    * sized candidate head, then the TRUE distance is computed for only
+    * those candidates and the final top-k is ordered by it. Pure ADC recall
+    * is bounded by quantization noise vs the inter-rank distance gaps
+    * (q148 measures that floor honestly); the re-rank decouples recall from
+    * the bit rate — the shortlist only has to CONTAIN the true neighbors,
+    * not ORDER them.
+    *
+    * Scale shape: the corpus-sized work is still the compressed ADC scan +
+    * TakeOrderedAndProject; the re-rank touches `shortlist` rows (a
+    * broadcast-joined candidate list, constant-sized as the corpus grows)
+    * at full dimension. Output: rank, neighbor_id, d2 (exact, round 6). */
+  def knnPqAdcRerank(
+      corpus: DataFrame,
+      query: DataFrame,
+      m: Int = 8,
+      codes: Int = 16,
+      iterations: Int = 2,
+      shortlist: Int = 100,
+      topK: Int = 10,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val cands = knnPqAdc(corpus, query, m, codes, iterations, shortlist,
+      idCol, vecCol).select(col("neighbor_id"))
+    val qLit = array(query
+      .select(transform(col(vecCol), x => x.cast(DoubleType)).as("qv"))
+      .head.getSeq[Double](0).map(lit): _*)
+    corpus
+      .select(col(idCol).cast("long").as("neighbor_id"),
+        aggregate(
+          zip_with(transform(col(vecCol), x => x.cast(DoubleType)), qLit,
+            (x, y) => (x - y) * (x - y)),
+          lit(0.0), (acc, d) => acc + d).as("d2"))
+      .join(broadcast(cands), "neighbor_id")
+      .orderBy(col("d2"), col("neighbor_id"))
+      .limit(topK)
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("d2"), col("neighbor_id"))))
+      .select(col("rank"), col("neighbor_id"), round(col("d2"), 6).as("d2"))
+  }
 }

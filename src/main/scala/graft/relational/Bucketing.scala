@@ -29,8 +29,13 @@ object Bucketing {
     // in this session's in-memory catalog; saveAsTable then refuses the
     // occupied location — clear the orphan so re-creation is idempotent
     // across sessions, not just within one
+    // resolve the managed location through the catalog (a database-
+    // qualified name lives at <warehouse>/<db>.db/<tbl>, not at a literal
+    // "<db>.<tbl>" directory — string-concatenating the raw name would
+    // delete the wrong path and leave the real orphan in place)
+    val ident = spark.sessionState.sqlParser.parseTableIdentifier(table)
     val loc = new org.apache.hadoop.fs.Path(
-      spark.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
+      spark.sessionState.catalog.defaultTablePath(ident))
     val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(loc)) { fs.delete(loc, true); () }
     val w = df.write.mode(SaveMode.Overwrite).bucketBy(nBuckets, bucketCol)

@@ -45,4 +45,35 @@ class TakedownSpec extends SparkSpec {
       Seq(2L, 4L, 5L, 99L).toDF("user_id"), "user_id", "event_date")
     assert(again.rowsDeleted === 0L && again.partitionsAffected.isEmpty)
   }
+
+  test("takedown handles escaped and null partition directory names") {
+    val root = tmpDir("takedown_escaped")
+    Seq(
+      (1L, Some("a b:c"), "keep"), (2L, Some("a b:c"), "del"),
+      (3L, None, "del-null"), (4L, None, "keep-null"),
+      (5L, Some("plain"), "del-all")
+    ).toDF("user_id", "cat", "payload")
+      .write.mode("overwrite").partitionBy("cat").parquet(root)
+    // Spark writes these as cat=a b%3Ac and cat=__HIVE_DEFAULT_PARTITION__
+    assert(new File(root, "cat=a b%3Ac").exists())
+
+    val report = Takedown.deleteKeys(spark, root,
+      Seq(2L, 3L, 5L).toDF("user_id"), "user_id", "cat")
+    assert(report.rowsDeleted === 3L)
+    // null partition sorts under its on-disk sentinel name, not an NPE
+    assert(report.partitionsAffected
+      === Seq("__HIVE_DEFAULT_PARTITION__", "a b:c", "plain"))
+    // the emptied directory is found THROUGH the escaping (a raw-string
+    // path would silently miss it and keep serving the deleted rows)
+    assert(report.partitionsRemoved === Seq("plain"))
+    assert(!new File(root, "cat=plain").exists())
+    assert(new File(root, "cat=a b%3Ac").exists())
+
+    val after = spark.read.parquet(root)
+    assert(after.select("user_id").collect().map(_.getLong(0)).sorted.toSeq
+      === Seq(1L, 4L))
+    // the surviving null-partition row still reads back as null
+    assert(after.filter(col("cat").isNull).select("user_id")
+      .collect().map(_.getLong(0)).toSeq === Seq(4L))
+  }
 }
