@@ -65,6 +65,41 @@ object CuratedStreamJob {
       .dropDuplicatesWithinWatermark(Seq("dedup_key"))
   }
 
+  /** Dead-letter twin of [[curate]]: the REJECT side of the same permissive
+    * parse — corrupt JSON, null payloads, rows missing their dedup key —
+    * quarantined with a reason and arrival timestamp instead of being
+    * silently dropped by the clean path's null filters
+    * ([[Normalizer.fromJsonLinesWithDeadLetter]] proves the two sides
+    * partition the input exhaustively, NormalizerSpec). Runs as its OWN
+    * query and checkpoint over the same source — the standard split-sink
+    * layout: the clean path keeps its stateful watermarked dedup untouched,
+    * the quarantine is a stateless append, and each side recovers
+    * independently. At-least-once ingress makes corrupt events an
+    * operational certainty; the reference's parse drops them on the floor
+    * (S2C:126-139). */
+  def rejects(raw: DataFrame): DataFrame =
+    Normalizer.fromJsonLinesWithDeadLetter(raw)._2
+
+  /** Start the quarantine stream: per-batch parquet append partitioned by
+    * reject date, same empty-batch guard as [[start]]. */
+  def startRejects(
+      rejected: DataFrame,
+      quarantinePath: String,
+      checkpointPath: String,
+      trigger: Trigger = Trigger.ProcessingTime("1 minute")): StreamingQuery =
+    rejected.writeStream
+      .outputMode("append")
+      .trigger(trigger)
+      .option("checkpointLocation", checkpointPath)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          batch.withColumn("reject_date", to_date(col("rejected_at")))
+            .write.mode("append").partitionBy("reject_date")
+            .parquet(quarantinePath)
+        }
+      }
+      .start()
+
   /** Start the stream: foreachBatch partitioned append with an empty-batch
     * guard (reference: S2C:157-176). The reference's per-batch `coalesce(1)`
     * is dropped — ParquetLayerSink bounds file sizes instead and the

@@ -30,6 +30,43 @@ class StreamingSpec extends SparkSpec {
     assert(out.columns.contains("event_date"))
   }
 
+  test("dead-letter channel: corrupt record mid-stream is quarantined, clean rows still curate") {
+    val inDir = tmpDir("dlq_in")
+    val outDir = tmpDir("dlq_out") + "/curated"
+    val qDir = tmpDir("dlq_out") + "/quarantine"
+    val ck1 = tmpDir("dlq_ck1")
+    val ck2 = tmpDir("dlq_ck2")
+    val good1 = Fixtures.rawEventJson("s1", 1, "2026-01-01T15:00:00+00:00", "2026-01-01", dedupKey = "d1")
+    val good2 = Fixtures.rawEventJson("s2", 2, "2026-01-01T15:01:00+00:00", "2026-01-01", dedupKey = "d2")
+    val corrupt = """{"SessionId":"s3","DocumentId": garbage not json"""
+    Fixtures.writeJsonl(inDir, "part-000.json", Seq(good1))
+    // the corrupt record arrives MID-stream, between two clean ones
+    Fixtures.writeJsonl(inDir, "part-001.json", Seq(corrupt, good2))
+
+    val clean = CuratedStreamJob.curate(
+      CuratedStreamJob.jsonlSource(spark, inDir, maxFilesPerTrigger = 1),
+      rawIsKafka = false)
+    val rejected = CuratedStreamJob.rejects(
+      CuratedStreamJob.jsonlSource(spark, inDir, maxFilesPerTrigger = 1))
+    val q1 = CuratedStreamJob.start(clean, outDir, ck1, Trigger.AvailableNow())
+    val q2 = CuratedStreamJob.startRejects(rejected, qDir, ck2, Trigger.AvailableNow())
+    q1.awaitTermination(120000)
+    q2.awaitTermination(120000)
+
+    // the clean path is not derailed by the corrupt record
+    val out = spark.read.parquet(outDir)
+    assert(out.select("dedup_key").collect().map(_.getString(0)).sorted.toSeq
+      === Seq("d1", "d2"))
+    // the corrupt payload is preserved verbatim with its reason, not dropped
+    val quarantined = spark.read.parquet(qDir).collect()
+    assert(quarantined.length === 1)
+    val row = quarantined.head
+    assert(row.getAs[String]("raw") === corrupt)
+    assert(row.getAs[String]("reject_reason") === "unparseable_json")
+    // partitioned by reject date for retention sweeps
+    assert(spark.read.parquet(qDir).columns.contains("reject_date"))
+  }
+
   test("curated stream late-arrival contract (D1): late NEW keys pass; watermark only bounds state") {
     // Reference parity: dropDuplicates(["dedup_key"]) after withWatermark
     // (S2C:147-151) bounds the dedup STATE by the watermark — it does not
