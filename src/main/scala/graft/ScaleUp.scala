@@ -1,0 +1,102 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-up dataset generator (measurement tool, not library surface):
+  * derives an N×-sf0.1 corpus by unioning N re-keyed copies of every table
+  * with structure-PRESERVING perturbations, so the scaling-slope benches
+  * (PLANS.md §scaling) measure "corpus grows, local structure constant" —
+  * the null model under which a bucketed/blocked operator should scale
+  * near-linearly and an all-pairs baseline quadratically.
+  *
+  * Perturbations, per copy c > 0 (copy 0 is the original, bit-for-bit):
+  *  - every id/key column shifts by c·(max+1) — keys stay unique, joins
+  *    stay consistent within a copy and never cross copies;
+  *  - text/name tokens get a copy suffix (`token` → `tokenxc`) — per-copy
+  *    shingle/token/blocking structure is isomorphic to the original while
+  *    cross-copy similarity collapses to zero; without this, every document
+  *    would gain N−1 exact clones and near-dup clusters would grow N× in
+  *    SIZE (quadratic pair blow-up inside clusters) instead of N× in COUNT;
+  *  - embeddings rotate circularly by c dims — within-copy distances are
+  *    exactly the original's (rotation is an isometry), cross-copy
+  *    neighborhoods decorrelate;
+  *  - event timestamps/props stay as-is: N× sessions over the same day
+  *    range and document vocabulary, i.e. "more traffic on the same site".
+  *
+  * Usage: runMain graft.ScaleUp <srcDir> <outDir> <factor>
+  */
+object ScaleUp {
+
+  def main(args: Array[String]): Unit = {
+    val src = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val out = if (args.length > 1) args(1) else "/tmp/graft_sfx"
+    val factor = if (args.length > 2) args(2).toInt else 10
+    val spark = graft.core.GraftSession.tune(
+      SparkSession.builder().master("local[16]"), 16).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    writeAll(spark, src, out, factor)
+    spark.stop()
+  }
+
+  def writeAll(spark: SparkSession, src: String, out: String, factor: Int): Unit = {
+    def read(t: String) = spark.read.parquet(s"$src/$t.parquet")
+    def write(df: DataFrame, t: String): Unit =
+      df.write.mode(SaveMode.Overwrite).parquet(s"$out/$t.parquet")
+
+    // fixed dims replicate as-is (a bigger fact side joins the same dims)
+    Seq("region", "nation").foreach(t => write(read(t), t))
+
+    write(scaled(read("documents"), factor, ids = Seq("doc_id"),
+        salted = Seq("text"))
+      .withColumn("n_chars", length(col("text")).cast("long")), "documents")
+
+    val emb = read("embeddings")
+    write(scaled(emb, factor, ids = Seq("vec_id"))
+      .withColumn("embedding", rotate(col("embedding"), col("copy_"), 64))
+      .drop("copy_"), "embeddings")
+
+    write(scaled(read("events"), factor, ids = Seq("event_id", "user_id")), "events")
+    write(scaled(read("part"), factor, ids = Seq("p_partkey"),
+      salted = Seq("p_name")), "part")
+    write(scaled(read("supplier"), factor, ids = Seq("s_suppkey"),
+      salted = Seq("s_name")), "supplier")
+    write(scaled(read("customer"), factor, ids = Seq("c_custkey"),
+      salted = Seq("c_name")), "customer")
+    write(scaled(read("orders"), factor, ids = Seq("o_orderkey", "o_custkey")), "orders")
+    write(scaled(read("lineitem"), factor,
+      ids = Seq("l_orderkey", "l_partkey", "l_suppkey")), "lineitem")
+  }
+
+  /** Union `factor` copies: id columns shift by copy·(max+1); salted string
+    * columns get a per-token copy suffix. Keeps a `copy_` column only if a
+    * caller still needs it (dropped otherwise). */
+  private def scaled(
+      base: DataFrame,
+      factor: Int,
+      ids: Seq[String],
+      salted: Seq[String] = Nil): DataFrame = {
+    val spark = base.sparkSession
+    val spans = ids.map { c =>
+      c -> (base.agg(max(col(c).cast("long"))).head.getLong(0) + 1L)
+    }.toMap
+    val copies = base.crossJoin(
+      spark.range(factor.toLong).toDF("copy_"))
+    val withIds = spans.foldLeft(copies) { case (df, (c, span)) =>
+      df.withColumn(c, col(c) + col("copy_") * span)
+    }
+    val withSalt = salted.foldLeft(withIds) { (df, c) =>
+      df.withColumn(c,
+        when(col("copy_") === 0, col(c)).otherwise(
+          regexp_replace(col(c), lit("(\\w+)"), concat(lit("$1x"), col("copy_")))))
+    }
+    if (ids.contains("vec_id")) withSalt // embeddings still need copy_ for rotate
+    else withSalt.drop("copy_")
+  }
+
+  /** Circular left-rotation of a fixed-dim array by `by` positions —
+    * an isometry, so within-copy distance structure is exactly preserved. */
+  private def rotate(v: Column, by: Column, dim: Int): Column =
+    when(by === 0, v).otherwise(
+      concat(slice(v, by + 1, lit(dim) - by), slice(v, lit(1), by)))
+}
