@@ -157,6 +157,18 @@ object SparkEntry {
     // quantization noise vs this corpus's near-uniform distance spectrum
     // (measured: recall@10 plateaus ≤0.6 even at 80-bit codes); the
     // re-rank knob decouples recall from bit rate and hits 1.0 here
+    // the full production ANN stack, composed from three gated stages:
+    // IVF coarse routing (q117) -> compressed-domain ADC scoring (q142)
+    // -> exact re-rank of a constant shortlist (q161); the oracle rebuilds
+    // the whole composition — quantizer, cell choice, codes, ADC order,
+    // re-rank — in one statement
+    "q162_ivfadc" -> { (s, d) =>
+      val emb = TestData.embeddings(s, d)
+      Similarity.knnIvfAdc(emb, emb.filter(col("vec_id") === 0),
+          nCells = 8, nProbe = 2, quantizerIters = 2,
+          m = 8, codes = 16, pqIterations = 2, shortlist = 50, topK = 10)
+        .orderBy("rank")
+    },
     "q161_pq_recall_curve" -> { (s, d) =>
       val emb = TestData.embeddings(s, d)
       val q = emb.filter(col("vec_id") === 0)
@@ -1785,6 +1797,87 @@ object SparkEntry {
        |ex10 AS (SELECT vec_id FROM exact WHERE rk <= 10),
        |hit AS (SELECT CAST(count(*) AS BIGINT) AS n_common FROM pq10 JOIN ex10 USING (vec_id))
        |SELECT 10 AS k, n_common, round(n_common::DOUBLE / 10, 4) AS recall FROM hit""".stripMargin
+
+  /** q162's coarse-quantizer chain: q117's deterministic-Lloyd rebuild
+    * (8 cells, 2 unrolled rounds on normalized vectors) ending in
+    * `corpus(neighbor_id, cell)` + `probes(cell)` — the 2-of-8 cell choice
+    * for query vec_id = 0. */
+  private lazy val ivfCellCtes: String =
+    """e AS (
+      |  SELECT vec_id, embedding,
+      |    list_transform(embedding, x -> CAST(x AS DOUBLE) /
+      |      sqrt(list_sum(list_transform(embedding, y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))))) AS u
+      |  FROM embeddings),
+      |c0 AS (
+      |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cluster, u AS c
+      |  FROM e ORDER BY vec_id LIMIT 8),
+      |dd1 AS (
+      |  SELECT e.vec_id, c0.cluster,
+      |    list_sum(list_transform(range(64), i -> (e.u[i+1] - c0.c[i+1]) * (e.u[i+1] - c0.c[i+1]))) AS d2
+      |  FROM e CROSS JOIN c0),
+      |aa1 AS (
+      |  SELECT vec_id, cluster FROM (
+      |    SELECT vec_id, cluster,
+      |      row_number() OVER (PARTITION BY vec_id ORDER BY d2, cluster) AS rn
+      |    FROM dd1) WHERE rn = 1),
+      |u1 AS (
+      |  SELECT aa1.cluster, i AS dim,
+      |    sum(CAST(e.u[i+1] AS DECIMAL(38,12))) AS s, count(*) AS n
+      |  FROM aa1 JOIN e USING (vec_id) CROSS JOIN range(64) t(i)
+      |  GROUP BY 1, 2),
+      |c1 AS (
+      |  SELECT cluster, list(s::DOUBLE / n ORDER BY dim) AS c FROM u1 GROUP BY cluster
+      |  UNION ALL
+      |  SELECT cluster, c FROM c0 WHERE cluster NOT IN (SELECT cluster FROM u1)),
+      |dd2 AS (
+      |  SELECT e.vec_id, c1.cluster,
+      |    list_sum(list_transform(range(64), i -> (e.u[i+1] - c1.c[i+1]) * (e.u[i+1] - c1.c[i+1]))) AS d2
+      |  FROM e CROSS JOIN c1),
+      |aa2 AS (
+      |  SELECT vec_id, cluster FROM (
+      |    SELECT vec_id, cluster,
+      |      row_number() OVER (PARTITION BY vec_id ORDER BY d2, cluster) AS rn
+      |    FROM dd2) WHERE rn = 1),
+      |u2 AS (
+      |  SELECT aa2.cluster, i AS dim,
+      |    sum(CAST(e.u[i+1] AS DECIMAL(38,12))) AS s, count(*) AS n
+      |  FROM aa2 JOIN e USING (vec_id) CROSS JOIN range(64) t(i)
+      |  GROUP BY 1, 2),
+      |c2 AS (
+      |  SELECT cluster, list(s::DOUBLE / n ORDER BY dim) AS c FROM u2 GROUP BY cluster
+      |  UNION ALL
+      |  SELECT cluster, c FROM c1 WHERE cluster NOT IN (SELECT cluster FROM u2)),
+      |ddf AS (
+      |  SELECT e.vec_id, c2.cluster,
+      |    list_sum(list_transform(range(64), i -> (e.u[i+1] - c2.c[i+1]) * (e.u[i+1] - c2.c[i+1]))) AS d2
+      |  FROM e CROSS JOIN c2),
+      |cellr AS (
+      |  SELECT vec_id, cluster,
+      |    row_number() OVER (PARTITION BY vec_id ORDER BY d2, cluster) AS rn
+      |  FROM ddf),
+      |corpus AS (SELECT vec_id AS neighbor_id, cluster AS cell FROM cellr WHERE rn = 1),
+      |probes AS (SELECT cluster AS cell FROM cellr WHERE rn <= 2 AND vec_id = 0)""".stripMargin
+
+  /** q162's oracle: the IVFADC+R composition in one statement — the coarse
+    * chain picks the candidate cells, the h-prefixed PQ chain supplies ADC
+    * distances, the shortlist re-ranks by true L2. */
+  private lazy val ivfAdcOracle: String =
+    s"""WITH $ivfCellCtes,
+       |${pqRankedCtesFor("h", 8, 8, 16)},
+       |cand AS (
+       |  SELECT corpus.neighbor_id FROM corpus JOIN probes USING (cell)
+       |  WHERE corpus.neighbor_id <> 0),
+       |short AS (
+       |  SELECT j.neighbor_id, j.adc_d2 FROM joinedh j JOIN cand USING (neighbor_id)
+       |  ORDER BY j.adc_d2, j.neighbor_id LIMIT 50),
+       |ef AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS u FROM embeddings),
+       |rr AS (
+       |  SELECT neighbor_id, d2, row_number() OVER (ORDER BY d2, neighbor_id) AS rk FROM (
+       |    SELECT v.vec_id AS neighbor_id,
+       |      list_sum(list_transform(range(64), i -> (v.u[i+1] - q.u[i+1]) * (v.u[i+1] - q.u[i+1]))) AS d2
+       |    FROM ef v JOIN short s ON v.vec_id = s.neighbor_id
+       |    CROSS JOIN (SELECT u FROM ef WHERE vec_id = 0) q))
+       |SELECT rk AS "rank", neighbor_id, round(d2, 6) AS d2 FROM rr WHERE rk <= 10 ORDER BY rk""".stripMargin
 
   /** q161's oracle: the q142/q148 PQ rebuild at both operating points —
     * the `h`-prefixed chain is the 8×8d/16-code configuration, whose
@@ -3671,6 +3764,7 @@ object SparkEntry {
     "q142_pq_adc" -> pqAdcOracle,
     "q148_ann_recall" -> annRecallOracle,
     "q161_pq_recall_curve" -> pqRecallCurveOracle,
+    "q162_ivfadc" -> ivfAdcOracle,
     "q151_logreg" -> logregOracle(3),
     "q152_calibration" -> calibrationOracle(3),
     "q153_auc" -> aucOracle(3),

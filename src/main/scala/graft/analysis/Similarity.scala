@@ -554,8 +554,33 @@ object Similarity {
       .head
     val qv = qRow.getSeq[Double](0).toArray
     val qid = qRow.getLong(1)
-    // per-subspace ADC table: d²(query subvector, centroid) — ascending-dim
-    // sequential adds, the same order the oracle's list_sum evaluates in
+    val scored = adcScored(
+      corpus
+        .select(col(idCol).cast("long").as("neighbor_id"),
+          transform(col(vecCol), x => x.cast(DoubleType)).as("v"))
+        .filter(col("neighbor_id") =!= qid),
+      books, qv)
+      .select("neighbor_id", "adc_d2")
+      .orderBy(col("adc_d2"), col("neighbor_id"))
+      .limit(topK)
+    scored
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("adc_d2"), col("neighbor_id"))))
+      .select(col("rank"), col("neighbor_id"), round(col("adc_d2"), 6).as("adc_d2"))
+  }
+
+  /** Shared ADC scorer: given candidate rows `(neighbor_id, v)` (v already
+    * double-cast), encode each row per subspace (codegen'd argmin against
+    * centroid literals, ties to the lower code) and sum the per-subspace
+    * query-distance table lookups. The table is driver-computed with
+    * ascending-dim sequential adds — the same order the oracle's list_sum
+    * evaluates in. Keeps `v` so a re-rank stage can reuse it. */
+  private def adcScored(
+      cands: DataFrame,
+      books: Array[Array[Array[Double]]],
+      qv: Array[Double]): DataFrame = {
+    val m = books.length
+    val sub = books(0)(0).length
     val table: Array[Array[Double]] = books.zipWithIndex.map { case (cents, j) =>
       cents.map { c =>
         var acc = 0.0
@@ -578,19 +603,11 @@ object Similarity {
     val adc = (0 until m)
       .map(j => element_at(array(table(j).map(lit): _*), col(s"code_$j") + 1))
       .reduce(_ + _)
-    val scored = corpus
-      .select(col(idCol).cast("long").as("neighbor_id"),
-        transform(col(vecCol), x => x.cast(DoubleType)).as("v"))
-      .filter(col("neighbor_id") =!= qid)
-      .select(col("neighbor_id") +: (0 until m).map(j => codeCol(j).as(s"code_$j")): _*)
+    cands
+      .select(col("neighbor_id") +: col("v") +:
+        (0 until m).map(j => codeCol(j).as(s"code_$j")): _*)
       .withColumn("adc_d2", adc)
-      .select("neighbor_id", "adc_d2")
-      .orderBy(col("adc_d2"), col("neighbor_id"))
-      .limit(topK)
-    scored
-      .withColumn("rank",
-        row_number().over(Window.orderBy(col("adc_d2"), col("neighbor_id"))))
-      .select(col("rank"), col("neighbor_id"), round(col("adc_d2"), 6).as("adc_d2"))
+      .select("neighbor_id", "v", "adc_d2")
   }
 
   /** PQ/ADC with exact re-ranking — the high-recall operating point of the
@@ -629,6 +646,71 @@ object Similarity {
             (x, y) => (x - y) * (x - y)),
           lit(0.0), (acc, d) => acc + d).as("d2"))
       .join(broadcast(cands), "neighbor_id")
+      .orderBy(col("d2"), col("neighbor_id"))
+      .limit(topK)
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("d2"), col("neighbor_id"))))
+      .select(col("rank"), col("neighbor_id"), round(col("d2"), 6).as("d2"))
+  }
+
+  /** IVF + PQ/ADC + exact re-rank — the full production ANN stack
+    * (IVFADC with re-ranking, Jégou, Douze & Schmid 2011 §V/§VII), composed
+    * from the three independently-gated stages: the deterministic coarse
+    * quantizer routes the query to `nProbe` of `nCells` cells (q117's
+    * sub-linear candidate generation), the candidates are scored in the
+    * COMPRESSED domain (q142's ADC — m table lookups per vector, the codes
+    * dim·32/(m·log₂ codes)× smaller than the floats), and the true distance
+    * re-ranks only a constant-size shortlist (q161's recall knob).
+    *
+    * At 100 TB this is the architecture that works: the inverted lists
+    * bound how much of the corpus is touched (nProbe/nCells of it), the PQ
+    * codes bound the bytes per touched vector, and the re-rank bounds the
+    * full-precision reads to `shortlist` rows — three knobs, each gated.
+    * Scale shape: quantizer + codebooks are bounded driver state; cell
+    * assignment and encoding are map-side codegen'd argmins; the only
+    * shuffle is TakeOrderedAndProject heads. Output: rank, neighbor_id,
+    * d2 (exact, round 6). */
+  def knnIvfAdc(
+      corpus: DataFrame,
+      query: DataFrame,
+      nCells: Int = 8,
+      nProbe: Int = 2,
+      quantizerIters: Int = 2,
+      m: Int = 8,
+      codes: Int = 16,
+      pqIterations: Int = 2,
+      shortlist: Int = 50,
+      topK: Int = 10,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    // coarse routing in the normalized space (exactly q117's quantizer)
+    val unitized = corpus.select(col(idCol), unit(col(vecCol)).as("__u"))
+    val cents =
+      Clustering.lloydCentroids(unitized, nCells, quantizerIters, idCol, "__u")
+    val qRow = query
+      .select(transform(col(vecCol), x => x.cast(DoubleType)).as("qv"),
+        col(idCol).cast("long").as("qid"))
+      .head
+    val qv = qRow.getSeq[Double](0).toArray
+    val qid = qRow.getLong(1)
+    val probed = query
+      .select(explode(nearestCells(cents, col(vecCol), nProbe)).as("cell"))
+      .collect().map(_.getInt(0)).toSeq
+    val books = pqCodebooks(corpus, m, codes, pqIterations, idCol, vecCol)
+    val cands = corpus
+      .select(col(idCol).cast("long").as("neighbor_id"),
+        transform(col(vecCol), x => x.cast(DoubleType)).as("v"),
+        element_at(nearestCells(cents, col(vecCol), 1), 1).as("cell"))
+      .filter(col("cell").isin(probed: _*) && col("neighbor_id") =!= qid)
+      .select("neighbor_id", "v")
+    val short = adcScored(cands, books, qv)
+      .orderBy(col("adc_d2"), col("neighbor_id"))
+      .limit(shortlist)
+    val qLit = array(qv.map(lit): _*)
+    short
+      .withColumn("d2",
+        aggregate(zip_with(col("v"), qLit, (x, y) => (x - y) * (x - y)),
+          lit(0.0), (acc, d) => acc + d))
       .orderBy(col("d2"), col("neighbor_id"))
       .limit(topK)
       .withColumn("rank",
