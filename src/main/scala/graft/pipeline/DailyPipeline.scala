@@ -19,17 +19,31 @@ object DailyPipeline {
   final case class Layout(root: String) {
     val archiveRaw = s"$root/archive_raw"
     val curated = s"$root/curated"
+    val quarantine = s"$root/quarantine"
     def mart(name: String) = s"$root/analytics_mart/$name"
   }
 
   /** Stage 1 (reference: batch_to_archive_raw.py): raw JSONL → archive-raw
-    * layer, append-partitioned by event_date, duplicates retained. */
+    * layer, append-partitioned by event_date, duplicates retained. Corrupt
+    * or keyless payloads land in the quarantine layer with reason +
+    * timestamp (same layout as the streaming dead-letter channel,
+    * [[graft.streaming.CuratedStreamJob.startRejects]]) instead of being
+    * silently filtered — the batch and streaming ingress share one
+    * quarantine contract. */
   def archiveRaw(spark: SparkSession, jsonlDir: String, layout: Layout): Long = {
     val raw = spark.read.text(jsonlDir).withColumnRenamed("value", "json")
-    val parsed = Normalizer.fromJsonLines(raw)
+    val (good, bad) = Normalizer.fromJsonLinesWithDeadLetter(raw)
+    val parsed = good
       .withColumn("ingested_at", current_timestamp())
       .withColumn("ingestion_type", lit("batch"))
+    // good first, bad second: both sides share the parse plan lazily and
+    // the source re-read is cheaper than caching it for the rare rejects
     ParquetLayerSink.appendPartitioned(parsed, layout.archiveRaw)
+    val rejects = bad.withColumn("reject_date", to_date(col("rejected_at")))
+    if (!rejects.isEmpty) {
+      rejects.write.mode(org.apache.spark.sql.SaveMode.Append)
+        .partitionBy("reject_date").parquet(layout.quarantine)
+    }
     spark.read.parquet(layout.archiveRaw).count()
   }
 

@@ -24,6 +24,24 @@ class PipelineSpec extends SparkSpec {
     assert(counts("mart_clinical_areas") > 0)
   }
 
+  test("batch quarantine: corrupt lines divert to the dead-letter layer, marts unaffected") {
+    val inDir = tmpDir("dlq_batch_in")
+    val root = tmpDir("dlq_batch_root")
+    val corrupt = """{"SessionId":"sX","DocumentId": not valid json at all"""
+    Fixtures.writeJsonl(inDir, "events.json", Seq(
+      Fixtures.rawEventJson("s1", 1, "2026-01-01T15:00:00+00:00", "2026-01-01", dedupKey = "b1"),
+      corrupt,
+      Fixtures.rawEventJson("s2", 2, "2026-01-01T15:05:00+00:00", "2026-01-01", dedupKey = "b2")))
+
+    val counts = DailyPipeline.run(spark, inDir, root)
+    assert(counts("archive_raw") === 2)   // clean rows only
+    assert(counts("curated") === 2)
+    val q = spark.read.parquet(root + "/quarantine").collect()
+    assert(q.length === 1)
+    assert(q.head.getAs[String]("raw") === corrupt)
+    assert(q.head.getAs[String]("reject_reason") === "unparseable_json")
+  }
+
   test("serving load: cold marts land in the JDBC store (K5, L2P stage)") {
     val inDir = tmpDir("serve_in")
     val root = tmpDir("serve_root")
