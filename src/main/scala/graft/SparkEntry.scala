@@ -157,6 +157,16 @@ object SparkEntry {
     // quantization noise vs this corpus's near-uniform distance spectrum
     // (measured: recall@10 plateaus ≤0.6 even at 80-bit codes); the
     // re-rank knob decouples recall from bit rate and hits 1.0 here
+    // exact-k weighted sampling without replacement (Efraimidis-Spirakis
+    // reservoir keys from the portable md5 hash): the fixed-size sibling
+    // of q64's Bernoulli weighted gate — "exactly k docs, length-weighted"
+    // with no RNG state, one TakeOrdered pass
+    "q163_weighted_reservoir" -> { (s, d) =>
+      graft.analysis.Sampling.weightedReservoir(
+          TestData.documents(s, d), k = 100, idCol = "doc_id",
+          weight = col("n_chars"))
+        .orderBy("sample_rank")
+    },
     // the full production ANN stack, composed from three gated stages:
     // IVF coarse routing (q117) -> compressed-domain ADC scoring (q142)
     // -> exact re-rank of a constant shortlist (q161); the oracle rebuilds
@@ -3765,6 +3775,20 @@ object SparkEntry {
     "q148_ann_recall" -> annRecallOracle,
     "q161_pq_recall_curve" -> pqRecallCurveOracle,
     "q162_ivfadc" -> ivfAdcOracle,
+    // the ES key ln(u)/w with u from the shared 60-bit hash; ordering on
+    // the raw double, display rounded at 9
+    "q163_weighted_reservoir" ->
+      """WITH s AS (
+        |  SELECT doc_id, CAST(n_chars AS DOUBLE) AS w,
+        |    ln((('0x'||substr(md5(doc_id::VARCHAR),1,15))::BIGINT::DOUBLE + 1.0::DOUBLE) / 1152921504606846976.0::DOUBLE)
+        |      / CAST(n_chars AS DOUBLE) AS es_key
+        |  FROM documents WHERE CAST(n_chars AS DOUBLE) > 0),
+        |r AS (
+        |  SELECT row_number() OVER (ORDER BY es_key DESC, doc_id) AS sample_rank,
+        |    doc_id, w, es_key
+        |  FROM s)
+        |SELECT sample_rank, doc_id, w, round(es_key, 9) AS es_key
+        |FROM r WHERE sample_rank <= 100 ORDER BY sample_rank""".stripMargin,
     "q151_logreg" -> logregOracle(3),
     "q152_calibration" -> calibrationOracle(3),
     "q153_auc" -> aucOracle(3),

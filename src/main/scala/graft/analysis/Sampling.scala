@@ -130,6 +130,46 @@ object Sampling {
       lit(fraction) * lit(buckets.toDouble) * col(weightCol) / lit(meanW))
   }
 
+  /** Exact-k weighted sampling WITHOUT replacement in one pass
+    * (Efraimidis & Spirakis 2006, "Weighted random sampling with a
+    * reservoir"): each row draws u ∈ (0,1] from the portable md5 hash of
+    * its key and is ranked by ln(u)/w — the k LARGEST keys (closest to 0)
+    * are distributed exactly as sequential weighted draws without
+    * replacement. [[weightedHashSample]] is the Bernoulli sibling
+    * (inclusion ∝ weight, variable sample size); this is the fixed-size
+    * variant a "pick exactly k docs, quality-weighted" curation step needs.
+    *
+    * Determinism: u is the hash, not an RNG — the sample replays across
+    * runs, engines, retries, and partitionings, and every arithmetic step
+    * (double-cast, +1, one division, ln, one division) is written in the
+    * same order the SQL oracle evaluates it. Scale shape: one codegen'd
+    * projection feeding TakeOrderedAndProject (per-partition heaps) — no
+    * shuffle of the corpus, no global sort, no reservoir state. Rows with
+    * non-positive or null weight are excluded (both engines).
+    * Output: sample_rank, id, w, es_key (round 9). */
+  def weightedReservoir(
+      df: DataFrame,
+      k: Int,
+      idCol: String,
+      weight: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // (hash + 1) / 2^60 ∈ (0, 1] — the +1 keeps ln away from -∞
+    val u = (graft.analysis.Sketches.hash60(col(idCol)).cast("double") + lit(1.0)) /
+      lit(graft.analysis.Sketches.HashSpace)
+    // ANSI guard: the division must be conditional on w > 0 — a plain
+    // filter does not stop the projection from evaluating ln(u)/0 first
+    val w = weight.cast("double")
+    val key = when(w > 0, log(u) / w)
+    df.select(col(idCol), w.as("w"), key.as("es_key"))
+      .filter(col("w") > 0)
+      .orderBy(desc("es_key"), col(idCol))
+      .limit(k)
+      .withColumn("sample_rank",
+        row_number().over(Window.orderBy(desc("es_key"), col(idCol))))
+      .select(col("sample_rank"), col(idCol), col("w"),
+        round(col("es_key"), 9).as("es_key"))
+  }
+
   /** Deterministic negative sampling for contrastive training data: each
     * anchor draws `k` pseudo-random negatives from the candidate pool,
     * ranked by md5(anchor|candidate) — no RNG state, so the drawn set is

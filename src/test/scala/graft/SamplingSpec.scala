@@ -70,6 +70,30 @@ class SamplingSpec extends SparkSpec {
     assert(again === picked)
   }
 
+  test("weighted reservoir: exactly k, heavy rows dominate, non-positive weights excluded, deterministic") {
+    import spark.implicits._
+    val df = (1L to 4000L)
+      .map(i => (i, if (i % 2 == 0) 9.0 else 1.0)).toDF("id", "w")
+    val picked = Sampling.weightedReservoir(df, k = 200, "id", col("w"))
+    val ids = picked.select("id").as[Long].collect()
+    assert(ids.length === 200)
+    assert(ids.distinct.length === 200) // without replacement
+    // E[heavy share] = 9/10 of draws; allow slack for hash variance
+    val heavy = ids.count(_ % 2 == 0).toDouble
+    assert(heavy / 200 > 0.75, s"heavy share ${heavy / 200}")
+    // rank 1..k dense, ordered by the ES key
+    assert(picked.select("sample_rank").as[Int].collect().toSeq === (1 to 200))
+    // zero/negative weights can never enter the sample
+    val withZero = df.withColumn("w", when(col("id") <= 3900, 0.0).otherwise(col("w")))
+    val z = Sampling.weightedReservoir(withZero, k = 200, "id", col("w"))
+      .select("id").as[Long].collect()
+    assert(z.length === 100 && z.forall(_ > 3900))
+    // replay-deterministic (hash keys, no RNG)
+    val again = Sampling.weightedReservoir(df, k = 200, "id", col("w"))
+      .select("id").as[Long].collect()
+    assert(again.toSeq === ids.toSeq)
+  }
+
   test("sample plan is a pure filter: no exchange") {
     val plan = Sampling.hashSample(rows, "id", 0.5)
       .queryExecution.executedPlan.toString
