@@ -18,13 +18,23 @@ import graft.core.{GraftSession, Tables}
   */
 object TestData {
 
-  /** `events` with the parquet NANOS timestamp materialized as a proper
-    * microsecond TimestampType. Read as long (nanosAsLong) then integer-divide
-    * by 1000 — float division would lose precision on 1.7e18-scale nanos. */
+  /** `events` with `ts` materialized as a proper microsecond timestamp,
+    * whatever physical type the generator chose for it. Two generations of
+    * the synthetic data exist: parquet TIMESTAMP(NANOS) — surfaced as a
+    * nanosecond LONG under `nanosAsLong`, integer-divided by 1000 (float
+    * division would lose precision on 1.7e18-scale nanos) — and parquet
+    * TIMESTAMP(MICROS), which Spark reads as a timestamp directly. Branch
+    * on the observed type so the engine runs unchanged over both. */
   def eventsRaw(spark: SparkSession, sfDir: String): DataFrame = {
     GraftSession.prepare(spark)
-    Tables.events(spark, sfDir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val ev = Tables.events(spark, sfDir)
+    ev.schema("ts").dataType match {
+      case LongType => ev.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _: TimestampType | _: TimestampNTZType => ev
+      case other =>
+        throw new IllegalStateException(
+          s"events.ts has unsupported type $other (expected nanos-long or timestamp)")
+    }
   }
 
   /** Canonical click-frame: session_id, document_id, event_ts, event_date (+
