@@ -157,6 +157,16 @@ object SparkEntry {
     // quantization noise vs this corpus's near-uniform distance spectrum
     // (measured: recall@10 plateaus ≤0.6 even at 80-bit codes); the
     // re-rank knob decouples recall from bit rate and hits 1.0 here
+    // SemDeDup: semantic dedup with the O(n^2) cosine search bounded by
+    // k-means cells — pairs score only within a cell (data-adaptive
+    // buckets, vs q39's data-oblivious LSH), min-id survivor per pair;
+    // the oracle rebuilds the deterministic-Lloyd cells (q108's CTEs) and
+    // the in-cell cosine join in one statement
+    "q164_semdedup" -> { (s, d) =>
+      Similarity.semDedup(TestData.embeddings(s, d),
+          k = 4, iterations = 2, minCosine = 0.4)
+        .orderBy("vec_id")
+    },
     // exact-k weighted sampling without replacement (Efraimidis-Spirakis
     // reservoir keys from the portable md5 hash): the fixed-size sibling
     // of q64's Bernoulli weighted gate — "exactly k docs, length-weighted"
@@ -3775,6 +3785,22 @@ object SparkEntry {
     "q148_ann_recall" -> annRecallOracle,
     "q161_pq_recall_curve" -> pqRecallCurveOracle,
     "q162_ivfadc" -> ivfAdcOracle,
+    // SemDeDup: q108's deterministic-Lloyd cells + the q38 cosine formula
+    // restricted to in-cell pairs + the min-id survivor rule
+    "q164_semdedup" ->
+      s"""WITH $kmeansAsgCtes,
+        |pr AS (
+        |  SELECT x.vec_id AS a, y.vec_id AS b
+        |  FROM (SELECT asg.vec_id, asg.cluster, e.v FROM asg JOIN e USING (vec_id)) x
+        |  JOIN (SELECT asg.vec_id, asg.cluster, e.v FROM asg JOIN e USING (vec_id)) y
+        |    ON x.cluster = y.cluster AND x.vec_id < y.vec_id
+        |  WHERE list_sum(list_transform(range(64), i -> x.v[i+1] * y.v[i+1]))
+        |      / (sqrt(list_sum(list_transform(range(64), i -> x.v[i+1] * x.v[i+1])))
+        |       * sqrt(list_sum(list_transform(range(64), i -> y.v[i+1] * y.v[i+1])))) >= 0.4),
+        |dup AS (SELECT b AS vec_id, min(a) AS dup_of FROM pr GROUP BY b)
+        |SELECT asg.vec_id, asg.cluster, dup.dup_of, dup.dup_of IS NULL AS keep
+        |FROM asg LEFT JOIN dup USING (vec_id)
+        |ORDER BY vec_id""".stripMargin,
     // the ES key ln(u)/w with u from the shared 60-bit hash; ordering on
     // the raw double, display rounded at 9
     "q163_weighted_reservoir" ->

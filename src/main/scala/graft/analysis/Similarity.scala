@@ -315,6 +315,53 @@ object Similarity {
       minCosine)
   }
 
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic deduplication
+    * that bounds the quadratic cosine search by clustering first — pairs are
+    * scored ONLY inside a k-means cell, never across the whole corpus. This
+    * is the third member of the near-dup family: [[embeddingNearDupPairsExact]]
+    * is the all-pairs oracle baseline, [[embeddingNearDupPairs]] buckets by a
+    * data-oblivious LSH signature, and this one buckets by a data-ADAPTIVE
+    * quantizer (the same deterministic-Lloyd rebuild the IVF/PQ paths use, so
+    * the cells are engine-reproducible and the whole operator oracle-gated).
+    *
+    * Survivor policy: a document is dropped iff some SMALLER-id member of its
+    * own cell is within `minCosine` — the pairwise min-id rule, same
+    * convention as exact dedup's min-id survivor, applied to the similarity
+    * graph directly (not its transitive closure; chains of dups that span
+    * cells or hop through dropped docs keep their local winner, which is the
+    * paper's per-cluster greedy keep-one behavior).
+    *
+    * Scale shape: the corpus shuffles ONCE on the cell id; per-cell pair
+    * volume is Σ c·(c−1)/2 bounded by the quantizer granularity (at
+    * production scale k ≈ n/⟨cell⟩ keeps cells O(10³) regardless of corpus
+    * size — the paper runs k = 50k over 5B embeddings), and AQE's skew
+    * splitting handles lopsided cells. Text never moves: only
+    * 〈id, vec, cell〉 tuples shuffle.
+    *
+    * Output (one row per input vector): idCol, cluster, dup_of (smallest
+    * qualifying in-cell neighbor id, null for survivors), keep. */
+  def semDedup(
+      corpus: DataFrame,
+      k: Int = 4,
+      iterations: Int = 2,
+      minCosine: Double = 0.4,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val asg = Clustering.lloydKMeans(corpus, k, iterations, idCol, vecCol)
+      .select(col(idCol).as("id"), col("cluster"))
+    val c = corpus.select(col(idCol).as("id"), col(vecCol).as("vec"))
+      .join(asg, "id")
+    val dupOf = c.as("x").join(c.as("y"),
+        col("x.cluster") === col("y.cluster") && col("x.id") < col("y.id"))
+      .filter(graft.functions.VectorOps.cosineSim(col("x.vec"), col("y.vec"))
+        >= minCosine)
+      .groupBy(col("y.id").as("id"))
+      .agg(min(col("x.id")).as("dup_of"))
+    asg.join(dupOf, Seq("id"), "left")
+      .select(col("id").as(idCol), col("cluster"), col("dup_of"),
+        col("dup_of").isNull.as("keep"))
+  }
+
   /** Density-based clustering over embeddings — the DBSCAN shape, composed
     * from the gated neighbor-pair generator and connected components:
     * CORE points have ≥ `minPts` neighbors within the cosine ball

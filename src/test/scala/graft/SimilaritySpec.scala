@@ -135,6 +135,47 @@ class SimilaritySpec extends SparkSpec {
     assert(bucketed.nonEmpty)
   }
 
+  test("semDedup with k=1 degenerates to the exact pairwise min-id rule") {
+    val out = Similarity.semDedup(vecs, k = 1, iterations = 1, minCosine = 0.4)
+      .orderBy("vec_id").collect()
+    val exact = Similarity.embeddingNearDupPairsExact(vecs, minCosine = 0.4)
+      .groupBy(col("doc_b").as("vec_id")).agg(min("doc_a").as("dup_of"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.length === 5)
+    out.foreach { r =>
+      val id = r.getAs[Long]("vec_id")
+      exact.get(id) match {
+        case Some(a) =>
+          assert(r.getAs[Long]("dup_of") === a && !r.getAs[Boolean]("keep"))
+        case None =>
+          assert(r.isNullAt(r.fieldIndex("dup_of")) && r.getAs[Boolean]("keep"))
+      }
+    }
+    assert(exact.nonEmpty && exact.size < 5) // both branches exercised
+  }
+
+  test("semDedup scores pairs only inside a cell; one survivor per dup set") {
+    // two natural clusters with the two lowest ids in DIFFERENT clusters, so
+    // the deterministic seeds separate them on round 1: cell{0,2,4}, cell{1,3}
+    val pts = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (1L, Array(0.0f, 1.0f, 0.0f)),
+      (2L, Array(0.9f, 0.1f, 0.0f)),
+      (3L, Array(0.1f, 0.95f, 0.0f)),
+      (4L, Array(0.95f, 0.05f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.semDedup(pts, k = 2, iterations = 1, minCosine = 0.95)
+      .orderBy("vec_id").collect()
+    val keep = out.filter(_.getAs[Boolean]("keep")).map(_.getAs[Long]("vec_id")).toSet
+    assert(keep === Set(0L, 1L))
+    val dupOf = out.filterNot(_.getAs[Boolean]("keep"))
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("dup_of")).toMap
+    assert(dupOf === Map(2L -> 0L, 4L -> 0L, 3L -> 1L))
+    // in-cell bounding: dup_of always lands in the same cell
+    val cellOf = out.map(r => r.getAs[Long]("vec_id") -> r.getAs[Int]("cluster")).toMap
+    dupOf.foreach { case (b, a) => assert(cellOf(b) === cellOf(a)) }
+  }
+
   test("pq adc: separated clusters rank own-cluster first; output deterministic") {
     // 4-dim, m=2 subspaces: cluster A near (1,0,1,0), B near (-1,0,-1,0);
     // seeds (first 2 by id) are 0∈A and 1∈B, so Lloyd separates immediately
