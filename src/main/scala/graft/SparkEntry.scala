@@ -157,6 +157,15 @@ object SparkEntry {
     // quantization noise vs this corpus's near-uniform distance spectrum
     // (measured: recall@10 plateaus ≤0.6 even at 80-bit codes); the
     // re-rank knob decouples recall from bit rate and hits 1.0 here
+    // DSIR: importance-resampled data selection — smoothed hashed-unigram
+    // distributions for target (lang=en) vs raw, per-doc DECIMAL-summed
+    // log ratio, Gumbel-top-k draw from the stateless md5 uniform; the
+    // content-based sibling of q140's volume-based source rebalance
+    "q165_dsir_select" -> { (s, d) =>
+      graft.analysis.CorpusPrep.dsirSelect(TestData.documents(s, d),
+          isTarget = col("lang") === "en", nSelect = 100)
+        .orderBy("doc_id")
+    },
     // SemDeDup: semantic dedup with the O(n^2) cosine search bounded by
     // k-means cells — pairs score only within a cell (data-adaptive
     // buckets, vs q39's data-oblivious LSH), min-id survivor per pair;
@@ -3785,6 +3794,45 @@ object SparkEntry {
     "q148_ann_recall" -> annRecallOracle,
     "q161_pq_recall_curve" -> pqRecallCurveOracle,
     "q162_ivfadc" -> ivfAdcOracle,
+    // DSIR: q106's token/bucket recipe, add-0.5 smoothed bucket
+    // distributions, DECIMAL-summed per-doc log ratios, q163's md5
+    // uniform driving the Gumbel keys
+    "q165_dsir_select" ->
+      """WITH toks AS (
+        |  SELECT doc_id, lang = 'en' AS is_target,
+        |    unnest(string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')), ' ')) AS tok
+        |  FROM documents),
+        |tb AS (
+        |  SELECT doc_id, is_target,
+        |    ('0x' || substr(md5('i|' || tok), 1, 15))::BIGINT % 256 AS bucket,
+        |    count(*) AS n_b
+        |  FROM toks WHERE tok <> '' GROUP BY 1, 2, 3),
+        |tot AS (SELECT sum(CASE WHEN is_target THEN n_b ELSE 0 END) AS nt, sum(n_b) AS nr FROM tb),
+        |tc AS (SELECT bucket, sum(n_b) AS ct FROM tb WHERE is_target GROUP BY 1),
+        |rc AS (SELECT bucket, sum(n_b) AS cr FROM tb GROUP BY 1),
+        |ratio AS (
+        |  SELECT r.i AS bucket,
+        |    ln((COALESCE(ct, 0) + 0.5::DOUBLE) / (nt + 128.0::DOUBLE))
+        |      - ln((COALESCE(cr, 0) + 0.5::DOUBLE) / (nr + 128.0::DOUBLE)) AS logratio
+        |  FROM range(256) r(i)
+        |  LEFT JOIN tc ON tc.bucket = r.i
+        |  LEFT JOIN rc ON rc.bucket = r.i
+        |  CROSS JOIN tot),
+        |w AS (
+        |  SELECT tb.doc_id, sum(tb.n_b) AS n_tokens,
+        |    CAST(sum(CAST(tb.n_b * ratio.logratio AS DECIMAL(38,12))) AS DOUBLE) AS log_w
+        |  FROM tb JOIN ratio USING (bucket) GROUP BY 1),
+        |k AS (
+        |  SELECT d.doc_id, COALESCE(n_tokens, 0) AS n_tokens,
+        |    COALESCE(log_w, 0.0::DOUBLE) AS log_w,
+        |    COALESCE(log_w, 0.0::DOUBLE)
+        |      + -ln(-ln((('0x'||substr(md5(d.doc_id::VARCHAR),1,15))::BIGINT::DOUBLE + 1.0::DOUBLE) / 1152921504606846976.0::DOUBLE)) AS gumbel_key
+        |  FROM documents d LEFT JOIN w USING (doc_id)),
+        |sel AS (SELECT doc_id FROM k ORDER BY gumbel_key DESC, doc_id LIMIT 100)
+        |SELECT k.doc_id, k.n_tokens, round(k.log_w, 6) AS log_w,
+        |  round(k.gumbel_key, 6) AS gumbel_key, sel.doc_id IS NOT NULL AS selected
+        |FROM k LEFT JOIN sel USING (doc_id)
+        |ORDER BY k.doc_id""".stripMargin,
     // SemDeDup: q108's deterministic-Lloyd cells + the q38 cosine formula
     // restricted to in-cell pairs + the min-id survivor rule
     "q164_semdedup" ->

@@ -292,6 +292,90 @@ object CorpusPrep {
         col("rate_bp"), coalesce(col("n_kept"), lit(0L)).as("n_kept"))
   }
 
+  /** DSIR — Data Selection with Importance Resampling (Xie et al. 2023,
+    * arXiv:2302.03169): pick raw documents that LOOK LIKE a small target
+    * domain, by importance weighting in a hashed n-gram feature space. The
+    * companion of [[temperatureResample]]: that one rebalances sources by
+    * volume; this one selects by CONTENT against a target distribution.
+    *
+    *  1. Hash every token into `buckets` ids (q106's portable `i|` md5
+    *     recipe — no vocabulary table, so the feature space is fixed-size
+    *     regardless of corpus size).
+    *  2. Fit two smoothed bucket distributions: p̂_target over the docs
+    *     matching `isTarget`, p̂_raw over everything (add-λ smoothing keeps
+    *     unseen buckets finite).
+    *  3. Per-doc log importance weight Σ_b n_b·(ln p̂_t(b) − ln p̂_r(b)),
+    *     accumulated in DECIMAL so partitioning can't reorder-drift it.
+    *  4. Gumbel-top-k: key = log_w + g where g = −ln(−ln u) and u is the
+    *     q163 md5-uniform — the paper's importance RESAMPLING (not plain
+    *     top-k) with no RNG state: the drawn set is a pure function of the
+    *     data, stable across runs, engines, and partitionings.
+    *
+    * Scale shape: the corpus is read once for features; both distributions
+    * are `buckets`-row aggregates joined back by broadcast; the Gumbel rank
+    * is one TakeOrdered-k head. Nothing data-sized reaches the driver.
+    * Output (one row per doc): idCol, n_tokens, log_w (round 6),
+    * gumbel_key (round 6), selected. */
+  def dsirSelect(
+      docs: DataFrame,
+      isTarget: org.apache.spark.sql.Column,
+      nSelect: Int,
+      buckets: Int = 256,
+      smoothing: Double = 0.5,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    require(nSelect > 0 && buckets > 0 && smoothing > 0)
+    val dec = DecimalType(38, 12)
+    val toks = docs
+      .select(col(idCol), isTarget.as("is_target"),
+        explode(TextAnalysis.tokens(col(textCol))).as("tok"))
+      .filter(col("tok") =!= "")
+      .withColumn("bucket",
+        pmod(Sketches.hash60(concat(lit("i|"), col("tok"))), lit(buckets)))
+      .groupBy(col(idCol), col("is_target"), col("bucket"))
+      .agg(count(lit(1)).as("n_b"))
+      .persist()
+    try {
+      val tCnt = toks.filter(col("is_target"))
+        .groupBy("bucket").agg(sum("n_b").as("ct"))
+      val rCnt = toks.groupBy("bucket").agg(sum("n_b").as("cr"))
+      val totals = toks.agg(
+        sum(when(col("is_target"), col("n_b")).otherwise(0L)).as("nt"),
+        sum(col("n_b")).as("nr"))
+      val lam = lit(smoothing)
+      val lamB = lit(smoothing * buckets)
+      val ratio = docs.sparkSession.range(buckets).select(col("id").as("bucket"))
+        .join(tCnt, Seq("bucket"), "left")
+        .join(rCnt, Seq("bucket"), "left")
+        .crossJoin(totals)
+        .select(col("bucket"),
+          (log((coalesce(col("ct"), lit(0L)) + lam) / (col("nt") + lamB))
+            - log((coalesce(col("cr"), lit(0L)) + lam) / (col("nr") + lamB)))
+            .as("logratio"))
+      val weights = toks
+        .join(broadcast(ratio), "bucket")
+        .groupBy(col(idCol))
+        .agg(sum(col("n_b")).as("n_tokens"),
+          sum((col("n_b") * col("logratio")).cast(dec)).cast(DoubleType)
+            .as("log_w"))
+      val u = (Sketches.hash60(col(idCol)).cast(DoubleType) + lit(1.0)) /
+        lit(Sketches.HashSpace)
+      val keyed = docs.select(col(idCol))
+        .join(weights, Seq(idCol), "left")
+        .select(col(idCol),
+          coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+          coalesce(col("log_w"), lit(0.0)).as("log_w"))
+        .withColumn("gumbel_key", col("log_w") + -log(-log(u)))
+      val top = keyed.orderBy(desc("gumbel_key"), col(idCol)).limit(nSelect)
+        .select(col(idCol), lit(true).as("selected"))
+      keyed
+        .join(broadcast(top), Seq(idCol), "left")
+        .select(col(idCol), col("n_tokens"), round(col("log_w"), 6).as("log_w"),
+          round(col("gumbel_key"), 6).as("gumbel_key"),
+          coalesce(col("selected"), lit(false)).as("selected"))
+    } finally { toks.unpersist(); () }
+  }
+
   /** Per-stage survivor counts — the pipeline's observability surface. */
   def stageCounts(docs: DataFrame, t: Thresholds = Thresholds()): Map[String, Long] = {
     val qualityPass = docs.join(

@@ -222,6 +222,32 @@ class TextAnalysisSpec extends SparkSpec {
     assert(id === Map("crawl" -> 90L, "books" -> 10L))
   }
 
+  test("dsir: target-vocabulary docs win the draw, exactly nSelect selected, rerun-stable") {
+    // target docs speak vocabulary A, the rest vocabulary B; 30 tokens per
+    // doc push |log_w| far beyond the O(1) Gumbel noise, so the draw is
+    // decided by content despite the resampling jitter
+    val a = "alpha beta gamma " * 10
+    val b = "zulu yankee xray " * 10
+    val docs = ((1L to 10L).map(i => (i, a, "en")) ++
+      (11L to 20L).map(i => (i, b, "de"))).toDF("doc_id", "text", "lang")
+    val out = graft.analysis.CorpusPrep.dsirSelect(docs,
+        isTarget = col("lang") === "en", nSelect = 10)
+      .orderBy("doc_id").collect()
+    assert(out.length === 20)
+    assert(out.forall(_.getAs[Long]("n_tokens") === 30L))
+    val selected = out.filter(_.getAs[Boolean]("selected")).map(_.getAs[Long]("doc_id")).toSet
+    assert(selected === (1L to 10L).toSet) // content dominates the draw
+    // target docs carry positive evidence, off-target strongly negative
+    out.foreach { r =>
+      val w = r.getAs[Double]("log_w")
+      if (r.getAs[Long]("doc_id") <= 10L) assert(w > 0.0) else assert(w < -10.0)
+    }
+    val again = graft.analysis.CorpusPrep.dsirSelect(docs,
+        isTarget = col("lang") === "en", nSelect = 10)
+      .orderBy("doc_id").collect()
+    assert(out.map(_.toSeq).toSeq === again.map(_.toSeq).toSeq) // stateless draw
+  }
+
   test("batch packing: length-sorted batches, padding math, empty-doc tail") {
     // 5 docs of lengths 4,4,3,1,0 with batchSize 2:
     // batch0 = (4,4) pad 0; batch1 = (3,1) pad 1-4/6; batch2 = (0) pad 0
