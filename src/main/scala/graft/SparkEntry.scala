@@ -157,6 +157,13 @@ object SparkEntry {
     // quantization noise vs this corpus's near-uniform distance spectrum
     // (measured: recall@10 plateaus ≤0.6 even at 80-bit codes); the
     // re-rank knob decouples recall from bit rate and hits 1.0 here
+    // bigram-LM cross-entropy: the context-aware upgrade of q119's unigram
+    // score — add-0.5 smoothed p(w2|w1) fit on the corpus itself, per-doc
+    // mean NLL with DECIMAL-summed log terms (CCNet/KenLM filter shape)
+    "q166_bigram_lm" -> { (s, d) =>
+      graft.analysis.TextAnalysis.bigramLogProb(TestData.documents(s, d))
+        .orderBy("doc_id")
+    },
     // DSIR: importance-resampled data selection — smoothed hashed-unigram
     // distributions for target (lang=en) vs raw, per-doc DECIMAL-summed
     // log ratio, Gumbel-top-k draw from the stateless md5 uniform; the
@@ -3794,6 +3801,30 @@ object SparkEntry {
     "q148_ann_recall" -> annRecallOracle,
     "q161_pq_recall_curve" -> pqRecallCurveOracle,
     "q162_ivfadc" -> ivfAdcOracle,
+    // the bigram twin of q119: pair/history counts from the same token
+    // stream, add-0.5 conditional smoothing over the unigram vocab
+    "q166_bigram_lm" ->
+      """WITH ta AS (
+        |  SELECT doc_id, list_filter(string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')), ' '), x -> x <> '') AS t
+        |  FROM documents),
+        |bgf AS (
+        |  SELECT doc_id, b.w1 AS w1, b.w2 AS w2 FROM (
+        |    SELECT doc_id,
+        |      unnest(list_transform(range(len(t) - 1), i -> {'w1': t[i+1], 'w2': t[i+2]})) AS b
+        |    FROM ta WHERE len(t) >= 2)),
+        |c12 AS (SELECT w1, w2, count(*) AS c12 FROM bgf GROUP BY 1, 2),
+        |c1 AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM c12 GROUP BY 1),
+        |vv AS (SELECT count(DISTINCT tok) AS v FROM (SELECT unnest(t) AS tok FROM ta)),
+        |sc AS (
+        |  SELECT doc_id, count(*) AS n_bigrams,
+        |    sum(CAST(ln((c12 + 0.5::DOUBLE) / (c1 + 0.5::DOUBLE * v)) AS DECIMAL(28,12))) AS s
+        |  FROM bgf JOIN c12 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN vv
+        |  GROUP BY 1)
+        |SELECT d.doc_id, COALESCE(sc.n_bigrams, 0) AS n_bigrams,
+        |  CASE WHEN sc.n_bigrams > 0
+        |    THEN round(-(sc.s::DOUBLE) / sc.n_bigrams::DOUBLE, 6) END AS avg_nll
+        |FROM documents d LEFT JOIN sc USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
     // DSIR: q106's token/bucket recipe, add-0.5 smoothed bucket
     // distributions, DECIMAL-summed per-doc log ratios, q163's md5
     // uniform driving the Gumbel keys

@@ -206,6 +206,56 @@ object TextAnalysis {
           .as("avg_logprob"))
   }
 
+  /** Bigram-LM cross-entropy — the context-aware upgrade of
+    * [[unigramLogProb]] and the closest SQL-expressible relative of the
+    * CCNet/KenLM perplexity filter: score each document by its mean
+    * negative log-likelihood under the corpus's own add-α smoothed bigram
+    * model, p(w₂|w₁) = (c₁₂ + α)/(c₁ + αV). Unigram scoring can't see word
+    * ORDER (a shuffled document scores identically); this can — scrambled,
+    * templated, or machine-garbled text lands in the high-NLL tail.
+    * Perplexity is e^avg_nll for anyone who wants the KenLM unit.
+    *
+    * Scale shape: the bigram model is one grouped count over 〈w₁,w₂〉
+    * (corpus-bigram-bounded, stays distributed — never a driver-side
+    * vocabulary), history counts reduce from it, and scoring re-joins the
+    * doc bigrams on the pair key; only narrow token tuples shuffle, never
+    * text. V rides a broadcast 1-row frame. Log terms DECIMAL-cast before
+    * summing (q16 lesson). Docs with < 2 tokens have no bigrams → null
+    * score, n_bigrams 0.
+    * Output: doc_id, n_bigrams, avg_nll (round 6; null for short docs). */
+  def bigramLogProb(
+      docs: DataFrame, alpha: Double = 0.5,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(alpha > 0, s"need alpha > 0, got $alpha")
+    val dec = org.apache.spark.sql.types.DecimalType(28, 12)
+    val arr = docs
+      .select(col(idCol), array_remove(tokens(col(textCol)), "").as("t"))
+    val bg = arr.filter(size(col("t")) >= 2)
+      .select(col(idCol),
+        explode(transform(sequence(lit(0), size(col("t")) - 2),
+          i => struct(element_at(col("t"), i + 1).as("w1"),
+            element_at(col("t"), i + 2).as("w2")))).as("b"))
+      .select(col(idCol), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val c12 = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val c1 = c12.groupBy("w1").agg(sum("c12").as("c1"))
+    val vocab = arr.select(explode(col("t")).as("tok"))
+      .agg(countDistinct("tok").as("v"))
+    val scored = bg
+      .join(c12, Seq("w1", "w2"))
+      .join(c1, Seq("w1"))
+      .crossJoin(broadcast(vocab))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(log((col("c12") + lit(alpha)) / (col("c1") + lit(alpha) * col("v")))
+          .cast(dec)).as("s"))
+    docs.select(col(idCol))
+      .join(scored, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        when(col("n_bigrams") > 0,
+          round(-col("s").cast(DoubleType) / col("n_bigrams").cast(DoubleType), 6))
+          .as("avg_nll"))
+  }
+
   /** The first BPE merge step: corpus-wide adjacent character-pair
     * frequencies, weighted by word frequency — exactly the statistic a BPE
     * tokenizer trainer maximizes per merge round (Sennrich et al.; a full

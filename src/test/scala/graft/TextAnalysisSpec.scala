@@ -222,6 +222,25 @@ class TextAnalysisSpec extends SparkSpec {
     assert(id === Map("crawl" -> 90L, "books" -> 10L))
   }
 
+  test("bigram lm: hand-computed smoothed NLL; word order matters; short docs null") {
+    // corpus bigrams: (a,b)x3, (b,a)x2 -> c1(a)=3, c1(b)=2; V={a,b,x}=3
+    val docs = Seq(
+      (1L, "a b a b"), (2L, "a b"), (3L, "b a"), (4L, "x"), (5L, "")
+    ).toDF("doc_id", "text")
+    val out = graft.analysis.TextAnalysis.bigramLogProb(docs)
+      .orderBy("doc_id").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2))))).toMap
+    val pAB = -math.log(3.5 / 4.5)            // p(b|a) = (3+.5)/(3+1.5)
+    val pBA = -math.log(2.5 / 3.5)            // p(a|b) = (2+.5)/(2+1.5)
+    assert(out(1L)._1 === 3L)
+    assert(math.abs(out(1L)._2.get - (2 * pAB + pBA) / 3) < 1e-6)
+    assert(math.abs(out(2L)._2.get - pAB) < 1e-6)
+    assert(math.abs(out(3L)._2.get - pBA) < 1e-6)
+    assert(out(3L)._2.get > out(2L)._2.get) // rare ordering scores worse
+    assert(out(4L) === ((0L, None)) && out(5L) === ((0L, None)))
+  }
+
   test("dsir: target-vocabulary docs win the draw, exactly nSelect selected, rerun-stable") {
     // target docs speak vocabulary A, the rest vocabulary B; 30 tokens per
     // doc push |log_w| far beyond the O(1) Gumbel noise, so the draw is
