@@ -157,6 +157,15 @@ object SparkEntry {
     // quantization noise vs this corpus's near-uniform distance spectrum
     // (measured: recall@10 plateaus ≤0.6 even at 80-bit codes); the
     // re-rank knob decouples recall from bit rate and hits 1.0 here
+    // hard-negative mining: per anchor, the top-3 most-similar DIFFERENT-
+    // label vectors — the confusable end of the negative spectrum (q120 is
+    // the uniform end); brute-force scorer, IVF shortlist at scale
+    "q167_hard_negatives" -> { (s, d) =>
+      val emb = TestData.embeddings(s, d)
+      graft.analysis.Sampling.hardNegatives(emb,
+          emb.filter(col("vec_id") % 50 === 0), k = 3)
+        .orderBy("anchor_id", "rank")
+    },
     // bigram-LM cross-entropy: the context-aware upgrade of q119's unigram
     // score — add-0.5 smoothed p(w2|w1) fit on the corpus itself, per-doc
     // mean NLL with DECIMAL-summed log terms (CCNet/KenLM filter shape)
@@ -3801,6 +3810,22 @@ object SparkEntry {
     "q148_ann_recall" -> annRecallOracle,
     "q161_pq_recall_curve" -> pqRecallCurveOracle,
     "q162_ivfadc" -> ivfAdcOracle,
+    // q38's cosine over cross-label pairs, per-anchor top-3 window
+    "q167_hard_negatives" ->
+      """WITH e AS (SELECT vec_id, label, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+        |p AS (
+        |  SELECT a.vec_id AS anchor_id, c.vec_id AS neg_id, c.label AS neg_label,
+        |    list_sum(list_transform(range(64), i -> a.v[i+1] * c.v[i+1]))
+        |      / (sqrt(list_sum(list_transform(range(64), i -> a.v[i+1] * a.v[i+1])))
+        |       * sqrt(list_sum(list_transform(range(64), i -> c.v[i+1] * c.v[i+1])))) AS cosine
+        |  FROM e a JOIN e c ON a.label <> c.label
+        |  WHERE a.vec_id % 50 = 0),
+        |r AS (
+        |  SELECT anchor_id, neg_id, neg_label, cosine,
+        |    row_number() OVER (PARTITION BY anchor_id ORDER BY cosine DESC, neg_id) AS "rank"
+        |  FROM p)
+        |SELECT anchor_id, neg_id, neg_label, "rank", round(cosine, 4) AS cosine
+        |FROM r WHERE "rank" <= 3 ORDER BY anchor_id, "rank"""".stripMargin,
     // the bigram twin of q119: pair/history counts from the same token
     // stream, add-0.5 conditional smoothing over the unigram vocab
     "q166_bigram_lm" ->

@@ -198,4 +198,41 @@ object Sampling {
       .filter(col("rank") <= k)
       .select("anchor_id", "neg_id", "rank")
   }
+
+  /** Hard-negative mining for contrastive training (the DPR/SimCSE recipe):
+    * for each anchor, the top-k most-SIMILAR candidates with a DIFFERENT
+    * label — maximally confusable non-matches, which train retrieval models
+    * far better than [[negativeSample]]'s uniform draws (the two operators
+    * are the ends of the negative-difficulty spectrum and are typically
+    * mixed). Same-label candidates are excluded by the join predicate, which
+    * also excludes self (an anchor shares its own label).
+    *
+    * This is the exact (brute-force) scorer — anchors broadcast against the
+    * corpus, one fused cosine projection, per-anchor top-k window; the
+    * contract is |anchors| small, exactly [[Similarity.knnBruteForce]]'s.
+    * At corpus×corpus scale, route candidate generation through the IVF/LSH
+    * shortlist first (q117/q35) and re-score the shortlist here — the
+    * composition q162 demonstrates.
+    * Output: anchor_id, neg_id, neg_label, rank, cosine (round 4). */
+  def hardNegatives(
+      vectors: DataFrame,
+      anchors: DataFrame,
+      k: Int = 3,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      labelCol: String = "label"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val a = anchors.select(col(idCol).as("anchor_id"), col(vecCol).as("a_vec"),
+      col(labelCol).as("a_label"))
+    val c = vectors.select(col(idCol).as("neg_id"), col(vecCol).as("n_vec"),
+      col(labelCol).as("neg_label"))
+    val w = Window.partitionBy("anchor_id").orderBy(desc("cosine"), col("neg_id"))
+    c.join(broadcast(a), col("a_label") =!= col("neg_label"))
+      .withColumn("cosine",
+        graft.functions.VectorOps.cosineSim(col("a_vec"), col("n_vec")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("anchor_id"), col("neg_id"), col("neg_label"), col("rank"),
+        round(col("cosine"), 4).as("cosine"))
+  }
 }

@@ -143,4 +143,20 @@ class SamplingSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
     assert(more.filter(_._1 != 3L).sorted.toSeq === out.sorted.toSeq)
   }
+
+  test("hard negatives: same-label (incl. self) excluded, ranked by cosine desc") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f), 0),   // anchor
+      (1L, Array(0.99f, 0.1f, 0.0f), 0),  // same label: excluded though closest
+      (2L, Array(0.9f, 0.1f, 0.0f), 1),   // hardest negative
+      (3L, Array(0.0f, 1.0f, 0.0f), 1),   // orthogonal
+      (4L, Array(-1.0f, 0.0f, 0.0f), 2)   // anti-parallel
+    ).toDF("vec_id", "embedding", "label")
+    val out = Sampling.hardNegatives(vecs, vecs.filter(col("vec_id") === 0), k = 2)
+      .orderBy("rank").collect()
+    assert(out.map(r => (r.getLong(1), r.getInt(3))).toSeq === Seq((2L, 1), (3L, 2)))
+    assert(out.map(_.getAs[Int]("neg_label")).toSeq === Seq(1, 1))
+    val cos = out.map(_.getAs[Double]("cosine"))
+    assert(cos(0) > 0.99 && math.abs(cos(1)) < 1e-9) // ranked by similarity
+  }
 }
