@@ -157,6 +157,13 @@ object SparkEntry {
     // quantization noise vs this corpus's near-uniform distance spectrum
     // (measured: recall@10 plateaus ≤0.6 even at 80-bit codes); the
     // re-rank knob decouples recall from bit rate and hits 1.0 here
+    // cross-source shingle-overlap matrix: how much of each source already
+    // lives inside the others — the governance input to mixture weighting
+    // (q121/q140/q145); Szymkiewicz-Simpson overlap per source pair
+    "q168_source_overlap" -> { (s, d) =>
+      graft.analysis.Dedup.sourceOverlap(TestData.documents(s, d), n = 5)
+        .orderBy("source_a", "source_b")
+    },
     // hard-negative mining: per anchor, the top-3 most-similar DIFFERENT-
     // label vectors — the confusable end of the negative spectrum (q120 is
     // the uniform end); brute-force scorer, IVF shortlist at scale
@@ -3810,6 +3817,26 @@ object SparkEntry {
     "q148_ann_recall" -> annRecallOracle,
     "q161_pq_recall_curve" -> pqRecallCurveOracle,
     "q162_ivfadc" -> ivfAdcOracle,
+    // distinct (shingle-md5, source) tuples -> pair join on the hash ->
+    // overlap coefficient vs the smaller side
+    "q168_source_overlap" ->
+      """WITH t AS (
+        |  SELECT source, string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')), ' ') AS tk
+        |  FROM documents),
+        |f AS (
+        |  SELECT DISTINCT source AS src, md5(g) AS fp FROM (
+        |    SELECT source, unnest(list_transform(range(len(tk) - 4),
+        |      i -> tk[i+1]||' '||tk[i+2]||' '||tk[i+3]||' '||tk[i+4]||' '||tk[i+5])) AS g
+        |    FROM t WHERE len(tk) >= 5)),
+        |per AS (SELECT src, count(*) AS n FROM f GROUP BY 1),
+        |sh AS (
+        |  SELECT a.src AS source_a, b.src AS source_b, count(*) AS n_shared
+        |  FROM f a JOIN f b ON a.fp = b.fp AND a.src < b.src
+        |  GROUP BY 1, 2)
+        |SELECT source_a, source_b, n_shared, pa.n AS n_a, pb.n AS n_b,
+        |  round(n_shared::DOUBLE / least(pa.n, pb.n)::DOUBLE, 6) AS overlap
+        |FROM sh JOIN per pa ON pa.src = source_a JOIN per pb ON pb.src = source_b
+        |ORDER BY source_a, source_b""".stripMargin,
     // q38's cosine over cross-label pairs, per-anchor top-3 window
     "q167_hard_negatives" ->
       """WITH e AS (SELECT vec_id, label, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),

@@ -828,4 +828,52 @@ object Dedup {
       .filter(col("n_docs") >= minDocs)
       .select(col("span_fp"), col("n_docs"), col("n_occurrences"),
         col("loc.doc_id").as("first_doc"), col("loc.start").cast(IntegerType).as("first_start"))
+
+  /** Cross-source overlap matrix over n-gram shingles — the corpus-
+    * governance statistic behind mixture decisions: before weighting
+    * sources (q121/q140/q145), measure how much of each source is ALREADY
+    * inside the others. For every source pair, the number of distinct
+    * shingles they share and the overlap coefficient
+    * n_shared / min(n_a, n_b) (Szymkiewicz–Simpson — 1.0 means the smaller
+    * source's shingle vocabulary is fully contained in the larger's).
+    * Shingle granularity (vs whole-doc fingerprints) is what makes the
+    * matrix non-trivial on real corpora: near-misses and partial copies
+    * count, not just byte-identical documents.
+    *
+    * Scale shape: text reduces to distinct 〈shingle, source〉 tuples
+    * immediately (one shuffle on the shingle hash — the md5 keeps wide
+    * shingle text out of the exchange); the pair fan-out per shingle is
+    * bounded by the SOURCE count (handfuls, by definition), never the
+    * corpus; per-source sizes broadcast back onto the matrix. Output:
+    * source_a, source_b, n_shared, n_a, n_b, overlap (round 6) — only
+    * pairs that actually share (the matrix is sparse by construction). */
+  def sourceOverlap(
+      docs: DataFrame,
+      n: Int = 5,
+      textCol: String = "text",
+      sourceCol: String = "source"): DataFrame = {
+    val fps = docs
+      .select(col(sourceCol).as("src"),
+        explode(shingleSet(col(textCol), n)).as("g"))
+      .select(col("src"), md5(col("g")).as("fp"))
+      .distinct()
+      .persist()
+    try {
+      val per = fps.groupBy("src").agg(count(lit(1)).as("n"))
+      val shared = fps.as("a")
+        .join(fps.as("b"),
+          col("a.fp") === col("b.fp") && col("a.src") < col("b.src"))
+        .groupBy(col("a.src").as("source_a"), col("b.src").as("source_b"))
+        .agg(count(lit(1)).as("n_shared"))
+      shared
+        .join(broadcast(per.select(col("src").as("source_a"), col("n").as("n_a"))),
+          "source_a")
+        .join(broadcast(per.select(col("src").as("source_b"), col("n").as("n_b"))),
+          "source_b")
+        .select(col("source_a"), col("source_b"), col("n_shared"),
+          col("n_a"), col("n_b"),
+          round(col("n_shared").cast(DoubleType) /
+            least(col("n_a"), col("n_b")).cast(DoubleType), 6).as("overlap"))
+    } finally { fps.unpersist(); () }
+  }
 }

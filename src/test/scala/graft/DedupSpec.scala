@@ -401,4 +401,26 @@ class DedupSpec extends SparkSpec {
       .orderBy("span_fp").collect()
     assert(merged.map(_.toSeq).toSeq === batch.map(_.toSeq).toSeq)
   }
+
+  test("source overlap: shared shingles per source pair, overlap vs smaller side, sparse") {
+    // s1 and s2 share the shingle "a b c d e"; s3 is disjoint and absent
+    val docs = Seq(
+      (1L, "a b c d e f", "s1"),   // shingles: "a b c d e", "b c d e f"
+      (2L, "a b c d e x", "s2"),   // shingles: "a b c d e", "b c d e x"
+      (3L, "p q r s t", "s3")
+    ).toDF("doc_id", "text", "source")
+    val out = Dedup.sourceOverlap(docs, n = 5).collect()
+    assert(out.length === 1)
+    val r = out.head
+    assert(r.getAs[String]("source_a") === "s1" && r.getAs[String]("source_b") === "s2")
+    assert(r.getAs[Long]("n_shared") === 1L)
+    assert(r.getAs[Long]("n_a") === 2L && r.getAs[Long]("n_b") === 2L)
+    assert(r.getAs[Double]("overlap") === 0.5)
+    // containment: a source fully inside another scores 1.0
+    val contained = Seq(
+      (1L, "a b c d e f", "big"), (2L, "a b c d e", "small")
+    ).toDF("doc_id", "text", "source")
+    val c = Dedup.sourceOverlap(contained, n = 5).collect().head
+    assert(c.getAs[Double]("overlap") === 1.0)
+  }
 }
