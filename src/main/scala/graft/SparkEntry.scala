@@ -157,6 +157,14 @@ object SparkEntry {
     // quantization noise vs this corpus's near-uniform distance spectrum
     // (measured: recall@10 plateaus ≤0.6 even at 80-bit codes); the
     // re-rank knob decouples recall from bit rate and hits 1.0 here
+    // prototypicality pruning: within each k-means cell keep the FAR 70%
+    // (hard examples) — data-rich-regime pruning per Sorscher et al.; the
+    // integer-exact (r-1)*100 < c*pct cut avoids decimal-vs-IEEE ceil drift
+    "q169_prototype_prune" -> { (s, d) =>
+      graft.analysis.Clustering.prototypePrune(TestData.embeddings(s, d),
+          k = 4, iterations = 2, keepPct = 70)
+        .orderBy("vec_id")
+    },
     // cross-source shingle-overlap matrix: how much of each source already
     // lives inside the others — the governance input to mixture weighting
     // (q121/q140/q145); Szymkiewicz-Simpson overlap per source pair
@@ -3817,6 +3825,17 @@ object SparkEntry {
     "q148_ann_recall" -> annRecallOracle,
     "q161_pq_recall_curve" -> pqRecallCurveOracle,
     "q162_ivfadc" -> ivfAdcOracle,
+    // q108's cells; rank on the ROUNDED dist2 (what both engines emit),
+    // integer keep rule
+    "q169_prototype_prune" ->
+      s"""WITH $kmeansAsgCtes,
+        |rk AS (
+        |  SELECT vec_id, cluster, round(d2, 6) AS dist2,
+        |    row_number() OVER (PARTITION BY cluster ORDER BY round(d2, 6) DESC, vec_id) AS rn,
+        |    count(*) OVER (PARTITION BY cluster) AS c
+        |  FROM asg)
+        |SELECT vec_id, cluster, dist2, (rn - 1) * 100 < c * 70 AS keep
+        |FROM rk ORDER BY vec_id""".stripMargin,
     // distinct (shingle-md5, source) tuples -> pair join on the hash ->
     // overlap coefficient vs the smaller side
     "q168_source_overlap" ->

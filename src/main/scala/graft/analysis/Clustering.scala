@@ -169,4 +169,40 @@ object Clustering {
       result.localCheckpoint(true)
     } finally { grid.unpersist(); () }
   }
+
+  /** Prototypicality-based data pruning (Sorscher et al. 2022,
+    * arXiv:2206.14486): within each k-means cell, rank points by distance
+    * to their centroid and KEEP the far ("hard") ones — in the data-rich
+    * regime, easy prototypical examples are the redundant mass and pruning
+    * them beats random subsetting; the complement of [[Similarity.semDedup]],
+    * which removes pairwise-redundant points regardless of difficulty.
+    *
+    * The keep rule is integer-exact: row r of a c-point cell (ranked by
+    * dist2 desc, id-tie-broken) survives iff (r−1)·100 < c·keepPct — the
+    * ceil(keepPct·c) cut computed WITHOUT floating-point, because
+    * engine-side decimal-vs-IEEE evaluation of `c * 0.7` genuinely
+    * diverges at exact multiples (c=20: 14.0 vs 14.000000000000002).
+    *
+    * Scale shape: the assignment is [[lloydKMeans]]'s (model-sized driver
+    * state, one scan per round); the rank is one window per cell —
+    * exactly the partitioned-top-k shape, no global sort.
+    * Output: idCol, cluster, dist2, keep. */
+  def prototypePrune(
+      points: DataFrame,
+      k: Int = 4,
+      iterations: Int = 2,
+      keepPct: Int = 70,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    require(keepPct >= 0 && keepPct <= 100, s"need keepPct in [0,100], got $keepPct")
+    import org.apache.spark.sql.expressions.Window
+    val asg = lloydKMeans(points, k, iterations, idCol, vecCol)
+    val cell = Window.partitionBy("cluster")
+    val rank = Window.partitionBy("cluster").orderBy(desc("dist2"), col(idCol))
+    asg
+      .withColumn("__rn", row_number().over(rank))
+      .withColumn("__c", count(lit(1)).over(cell))
+      .select(col(idCol), col("cluster"), col("dist2"),
+        ((col("__rn") - 1) * 100 < col("__c") * keepPct).as("keep"))
+  }
 }

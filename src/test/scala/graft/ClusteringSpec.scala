@@ -53,4 +53,24 @@ class ClusteringSpec extends SparkSpec {
     val o4 = Clustering.clusterQuality(single, oneLab).collect().head
     assert((o4.getDouble(1), o4.getDouble(2), o4.getDouble(3)) === ((1.0, 1.0, 0.0)))
   }
+
+  test("prototype prune: far-from-centroid points survive, per-cell integer cut, tiny cells keep") {
+    // seeds 0,1 split the plane; cell0={0,2,3,4} (4 at the fringe), cell1={1}
+    val pts = Seq(
+      (0L, Array(1.0f, 0.0f)),
+      (1L, Array(0.0f, 1.0f)),
+      (2L, Array(0.9f, 0.0f)),
+      (3L, Array(0.8f, 0.0f)),
+      (4L, Array(0.5f, 0.5f))
+    ).toDF("vec_id", "embedding")
+    val out = Clustering.prototypePrune(pts, k = 2, iterations = 1, keepPct = 50)
+      .orderBy("vec_id").collect()
+    val keep = out.filter(_.getAs[Boolean]("keep")).map(_.getAs[Long]("vec_id")).toSet
+    // cell0 centroid [0.8, 0.125]: dist2 desc = 4, 0, 2, 3 -> 50% keeps {4, 0};
+    // the singleton cell keeps its only point at any positive pct
+    assert(keep === Set(4L, 0L, 1L))
+    val all = Clustering.prototypePrune(pts, k = 2, iterations = 1, keepPct = 100)
+      .collect()
+    assert(all.forall(_.getAs[Boolean]("keep")))
+  }
 }
