@@ -157,6 +157,14 @@ object SparkEntry {
     // quantization noise vs this corpus's near-uniform distance spectrum
     // (measured: recall@10 plateaus ≤0.6 even at 80-bit codes); the
     // re-rank knob decouples recall from bit rate and hits 1.0 here
+    // UniMax: capped water-filling of the token budget across sources —
+    // small sources saturate a 1.05-epoch cap, the freed budget
+    // redistributes; closed-form level over the cap-ascending order
+    "q170_unimax_budget" -> { (s, d) =>
+      graft.analysis.CorpusPrep.unimaxAllocation(TestData.documents(s, d),
+          maxEpochsBp = 10500)
+        .orderBy("source")
+    },
     // prototypicality pruning: within each k-means cell keep the FAR 70%
     // (hard examples) — data-rich-regime pruning per Sorscher et al.; the
     // integer-exact (r-1)*100 < c*pct cut avoids decimal-vs-IEEE ceil drift
@@ -3825,6 +3833,35 @@ object SparkEntry {
     "q148_ann_recall" -> annRecallOracle,
     "q161_pq_recall_curve" -> pqRecallCurveOracle,
     "q162_ivfadc" -> ivfAdcOracle,
+    // integer caps via //, exact-integer level division, scalar-subquery
+    // water level; q121's token counting
+    "q170_unimax_budget" ->
+      """WITH d AS (
+        |  SELECT source,
+        |    COALESCE(len(list_filter(string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')), ' '), x -> x <> '')), 0) AS n_tok
+        |  FROM documents),
+        |ps AS (SELECT source, CAST(sum(n_tok) AS BIGINT) AS n_tokens FROM d GROUP BY 1),
+        |t AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS b, count(*) AS s FROM ps),
+        |rk AS (
+        |  SELECT source, n_tokens, (n_tokens * 10500) // 10000 AS cap,
+        |    row_number() OVER (ORDER BY (n_tokens * 10500) // 10000, source) AS rn,
+        |    COALESCE(sum((n_tokens * 10500) // 10000) OVER (
+        |      ORDER BY (n_tokens * 10500) // 10000, source
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prefix
+        |  FROM ps),
+        |lv AS (
+        |  SELECT rk.*, (b - prefix)::DOUBLE / (s - rn + 1)::DOUBLE AS lvl
+        |  FROM rk CROSS JOIN t),
+        |sel AS (SELECT min(rn) AS istar FROM lv WHERE lvl <= cap::DOUBLE),
+        |al AS (
+        |  SELECT source, n_tokens, cap,
+        |    CASE WHEN (SELECT istar FROM sel) IS NULL
+        |           OR rn < (SELECT istar FROM sel) THEN cap::DOUBLE
+        |         ELSE (SELECT lvl FROM lv WHERE rn = (SELECT istar FROM sel)) END AS alloc_raw
+        |  FROM lv)
+        |SELECT source, n_tokens, cap, round(alloc_raw, 4) AS alloc,
+        |  CASE WHEN n_tokens > 0 THEN round(alloc_raw / n_tokens::DOUBLE, 6) END AS epochs
+        |FROM al ORDER BY source""".stripMargin,
     // q108's cells; rank on the ROUNDED dist2 (what both engines emit),
     // integer keep rule
     "q169_prototype_prune" ->

@@ -292,6 +292,61 @@ object CorpusPrep {
         col("rate_bp"), coalesce(col("n_kept"), lit(0L)).as("n_kept"))
   }
 
+  /** UniMax-style token-budget allocation (Chung et al. 2023,
+    * arXiv:2304.09151): split a training-token budget across sources as
+    * EVENLY as possible, subject to a per-source repetition cap of
+    * `maxEpochsBp` basis points of its corpus (10500 = at most 1.05
+    * epochs). Small sources saturate their cap; the freed budget
+    * redistributes to the rest — classic capped water-filling, solved in
+    * closed form over the cap-ascending order: with caps c₁ ≤ … ≤ c_S and
+    * prefix sums P_i, the level candidate L_i = (B − P_{i−1})/(S − i + 1)
+    * first becomes feasible (L_i ≤ c_i) exactly at the true water level;
+    * sources before that rank take their cap, the rest take the level.
+    * The budget here is the corpus's own total token count (each source
+    * would train ~1 epoch if unconstrained). Caps are computed with
+    * integer `div` (no decimal-vs-IEEE drift); the level division runs on
+    * exact integer operands, so both engines compute bit-identical
+    * doubles.
+    *
+    * Scale shape: the corpus reduces to one source-granularity aggregate
+    * and never moves again; the water-fill runs over the source-count-
+    * sized frame (windows over handfuls of rows).
+    * Output: source, n_tokens, cap, alloc (round 4), epochs (round 6). */
+  def unimaxAllocation(
+      docs: DataFrame,
+      maxEpochsBp: Int = 10500,
+      sourceCol: String = "source",
+      textCol: String = "text"): DataFrame = {
+    require(maxEpochsBp > 0, s"need a positive epoch cap, got $maxEpochsBp")
+    import org.apache.spark.sql.expressions.Window
+    val per = docs
+      .select(col(sourceCol).as("source"),
+        coalesce(size(array_remove(TextAnalysis.tokens(col(textCol)), "")), lit(0))
+          .as("n_tok"))
+      .groupBy("source")
+      .agg(sum("n_tok").as("n_tokens"))
+      .withColumn("cap", expr(s"(n_tokens * $maxEpochsBp) div 10000"))
+    val totals = per.agg(sum("n_tokens").as("b"), count(lit(1)).as("s"))
+    val ord = Window.orderBy(col("cap"), col("source"))
+    val ranked = per.crossJoin(broadcast(totals))
+      .withColumn("rn", row_number().over(ord))
+      .withColumn("prefix",
+        coalesce(sum("cap").over(ord.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("lvl",
+        (col("b") - col("prefix")).cast(DoubleType) /
+          (col("s") - col("rn") + 1).cast(DoubleType))
+    val sel = ranked.filter(col("lvl") <= col("cap").cast(DoubleType))
+      .agg(min(struct(col("rn"), col("lvl"))).as("w"))
+    ranked.crossJoin(broadcast(sel))
+      .withColumn("alloc_raw",
+        when(col("w").isNull || col("rn") < col("w.rn"), col("cap").cast(DoubleType))
+          .otherwise(col("w.lvl")))
+      .select(col("source"), col("n_tokens"), col("cap"),
+        round(col("alloc_raw"), 4).as("alloc"),
+        when(col("n_tokens") > 0,
+          round(col("alloc_raw") / col("n_tokens").cast(DoubleType), 6)).as("epochs"))
+  }
+
   /** DSIR — Data Selection with Importance Resampling (Xie et al. 2023,
     * arXiv:2302.03169): pick raw documents that LOOK LIKE a small target
     * domain, by importance weighting in a hashed n-gram feature space. The

@@ -241,6 +241,25 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(4L) === ((0L, None)) && out(5L) === ((0L, None)))
   }
 
+  test("unimax: small sources cap, level redistributes, all-capped degenerate") {
+    // token masses 2 / 4 / 10, budget = 16 (the total)
+    val docs = Seq(
+      (1L, "x y", "a"), (2L, "x y z w", "b"),
+      (3L, "t1 t2 t3 t4 t5 t6 t7 t8 t9 t10", "c")
+    ).toDF("doc_id", "text", "source")
+    // 2-epoch caps 4/8/20: a saturates, level (16-4)/2 = 6 serves b and c
+    val out = graft.analysis.CorpusPrep.unimaxAllocation(docs, maxEpochsBp = 20000)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+    assert(out("a") === ((2L, 4L, 4.0, 2.0)))
+    assert(out("b") === ((4L, 8L, 6.0, 1.5)))
+    assert(out("c") === ((10L, 20L, 6.0, 0.6)))
+    // 0.5-epoch caps 1/2/5 can't absorb the budget: everyone at cap
+    val tight = graft.analysis.CorpusPrep.unimaxAllocation(docs, maxEpochsBp = 5000)
+      .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+    assert(tight === Map("a" -> 1.0, "b" -> 2.0, "c" -> 5.0))
+  }
+
   test("dsir: target-vocabulary docs win the draw, exactly nSelect selected, rerun-stable") {
     // target docs speak vocabulary A, the rest vocabulary B; 30 tokens per
     // doc push |log_w| far beyond the O(1) Gumbel noise, so the draw is
