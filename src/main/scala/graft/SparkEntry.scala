@@ -157,6 +157,18 @@ object SparkEntry {
     // quantization noise vs this corpus's near-uniform distance spectrum
     // (measured: recall@10 plateaus ≤0.6 even at 80-bit codes); the
     // re-rank knob decouples recall from bit rate and hits 1.0 here
+    // incremental SemDeDup under a FROZEN quantizer (q118's top-decile
+    // split): cells fit on the corpus only, batch assigns without a refit,
+    // corpus verdicts provably stable; oracle = whole-union rebuild under
+    // the same frozen centroids in one statement
+    "q171_semdedup_increment" -> { (s, d) =>
+      val emb = TestData.embeddings(s, d)
+      val cut = emb.agg(max("vec_id")).collect().head.getLong(0) * 9 / 10
+      Similarity.semDedupIncrement(
+          emb.filter(col("vec_id") <= cut), emb.filter(col("vec_id") > cut),
+          k = 4, iterations = 2, minCosine = 0.4)
+        .orderBy("vec_id")
+    },
     // UniMax: capped water-filling of the token budget across sources —
     // small sources saturate a 1.05-epoch cap, the freed budget
     // redistributes; closed-form level over the cap-ascending order
@@ -1736,6 +1748,65 @@ object SparkEntry {
       |  SELECT aa2.cluster, i AS dim,
       |    sum(CAST(e.v[i+1] AS DECIMAL(38,12))) AS s, count(*) AS n
       |  FROM aa2 JOIN e USING (vec_id) CROSS JOIN range(64) t(i)
+      |  GROUP BY 1, 2),
+      |c2 AS (
+      |  SELECT cluster, list(s::DOUBLE / n ORDER BY dim) AS c FROM u2 GROUP BY cluster
+      |  UNION ALL
+      |  SELECT cluster, c FROM c1 WHERE cluster NOT IN (SELECT cluster FROM u2)),
+      |ddf AS (
+      |  SELECT e.vec_id, c2.cluster,
+      |    list_sum(list_transform(range(64), i -> (e.v[i+1] - c2.c[i+1]) * (e.v[i+1] - c2.c[i+1]))) AS d2
+      |  FROM e CROSS JOIN c2),
+      |asg AS (
+      |  SELECT vec_id, cluster, d2 FROM (
+      |    SELECT vec_id, cluster, d2,
+      |      row_number() OVER (PARTITION BY vec_id ORDER BY d2, cluster) AS rn
+      |    FROM ddf) WHERE rn = 1)"""
+
+  /** q171's frozen-quantizer variant of [[kmeansAsgCtes]]: the two Lloyd
+    * rounds fit ONLY on the reference corpus (`eq`, ids ≤ the q118-style
+    * top-decile cut), but the FINAL assignment (`ddf`/`asg`) runs over
+    * every vector — mirroring `lloydCentroids(corpus)` + `assignedOf(all)`.
+    * Same init, tie-break, and DECIMAL means as the unfrozen text. */
+  private val kmeansFrozenAsgCtes: String =
+    """e AS (
+      |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+      |cut AS (SELECT (max(vec_id) * 9) // 10 AS c FROM embeddings),
+      |eq AS (SELECT * FROM e WHERE vec_id <= (SELECT c FROM cut)),
+      |c0 AS (
+      |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cluster, v AS c
+      |  FROM eq ORDER BY vec_id LIMIT 4),
+      |dd1 AS (
+      |  SELECT eq.vec_id, c0.cluster,
+      |    list_sum(list_transform(range(64), i -> (eq.v[i+1] - c0.c[i+1]) * (eq.v[i+1] - c0.c[i+1]))) AS d2
+      |  FROM eq CROSS JOIN c0),
+      |aa1 AS (
+      |  SELECT vec_id, cluster FROM (
+      |    SELECT vec_id, cluster,
+      |      row_number() OVER (PARTITION BY vec_id ORDER BY d2, cluster) AS rn
+      |    FROM dd1) WHERE rn = 1),
+      |u1 AS (
+      |  SELECT aa1.cluster, i AS dim,
+      |    sum(CAST(eq.v[i+1] AS DECIMAL(38,12))) AS s, count(*) AS n
+      |  FROM aa1 JOIN eq USING (vec_id) CROSS JOIN range(64) t(i)
+      |  GROUP BY 1, 2),
+      |c1 AS (
+      |  SELECT cluster, list(s::DOUBLE / n ORDER BY dim) AS c FROM u1 GROUP BY cluster
+      |  UNION ALL
+      |  SELECT cluster, c FROM c0 WHERE cluster NOT IN (SELECT cluster FROM u1)),
+      |dd2 AS (
+      |  SELECT eq.vec_id, c1.cluster,
+      |    list_sum(list_transform(range(64), i -> (eq.v[i+1] - c1.c[i+1]) * (eq.v[i+1] - c1.c[i+1]))) AS d2
+      |  FROM eq CROSS JOIN c1),
+      |aa2 AS (
+      |  SELECT vec_id, cluster FROM (
+      |    SELECT vec_id, cluster,
+      |      row_number() OVER (PARTITION BY vec_id ORDER BY d2, cluster) AS rn
+      |    FROM dd2) WHERE rn = 1),
+      |u2 AS (
+      |  SELECT aa2.cluster, i AS dim,
+      |    sum(CAST(eq.v[i+1] AS DECIMAL(38,12))) AS s, count(*) AS n
+      |  FROM aa2 JOIN eq USING (vec_id) CROSS JOIN range(64) t(i)
       |  GROUP BY 1, 2),
       |c2 AS (
       |  SELECT cluster, list(s::DOUBLE / n ORDER BY dim) AS c FROM u2 GROUP BY cluster
@@ -3833,6 +3904,22 @@ object SparkEntry {
     "q148_ann_recall" -> annRecallOracle,
     "q161_pq_recall_curve" -> pqRecallCurveOracle,
     "q162_ivfadc" -> ivfAdcOracle,
+    // the q164 pair/survivor tail over the FROZEN cells — the law gate:
+    // the increment must equal this whole-union rebuild
+    "q171_semdedup_increment" ->
+      s"""WITH $kmeansFrozenAsgCtes,
+        |pr AS (
+        |  SELECT x.vec_id AS a, y.vec_id AS b
+        |  FROM (SELECT asg.vec_id, asg.cluster, e.v FROM asg JOIN e USING (vec_id)) x
+        |  JOIN (SELECT asg.vec_id, asg.cluster, e.v FROM asg JOIN e USING (vec_id)) y
+        |    ON x.cluster = y.cluster AND x.vec_id < y.vec_id
+        |  WHERE list_sum(list_transform(range(64), i -> x.v[i+1] * y.v[i+1]))
+        |      / (sqrt(list_sum(list_transform(range(64), i -> x.v[i+1] * x.v[i+1])))
+        |       * sqrt(list_sum(list_transform(range(64), i -> y.v[i+1] * y.v[i+1])))) >= 0.4),
+        |dup AS (SELECT b AS vec_id, min(a) AS dup_of FROM pr GROUP BY b)
+        |SELECT asg.vec_id, asg.cluster, dup.dup_of, dup.dup_of IS NULL AS keep
+        |FROM asg LEFT JOIN dup USING (vec_id)
+        |ORDER BY vec_id""".stripMargin,
     // integer caps via //, exact-integer level division, scalar-subquery
     // water level; q121's token counting
     "q170_unimax_budget" ->

@@ -349,17 +349,66 @@ object Similarity {
       vecCol: String = "embedding"): DataFrame = {
     val asg = Clustering.lloydKMeans(corpus, k, iterations, idCol, vecCol)
       .select(col(idCol).as("id"), col("cluster"))
-    val c = corpus.select(col(idCol).as("id"), col(vecCol).as("vec"))
-      .join(asg, "id")
-    val dupOf = c.as("x").join(c.as("y"),
+    semDedupAssigned(corpus, asg, corpus, asg, minCosine, idCol, vecCol)
+  }
+
+  /** Shared SemDeDup tail: verdicts for `target` docs against candidate
+    * pairs drawn from `pool` (both pre-assigned to cells) — dropped iff a
+    * smaller-id pool member of the same cell is within `minCosine`.
+    * [[semDedup]] passes pool = target = the whole corpus;
+    * [[semDedupIncrement]] narrows the target to the new batch. */
+  private def semDedupAssigned(
+      pool: DataFrame, poolAsg: DataFrame,
+      target: DataFrame, targetAsg: DataFrame,
+      minCosine: Double, idCol: String, vecCol: String): DataFrame = {
+    def withVec(df: DataFrame, asg: DataFrame) =
+      df.select(col(idCol).as("id"), col(vecCol).as("vec")).join(asg, "id")
+    val x = withVec(pool, poolAsg)
+    val y = withVec(target, targetAsg)
+    val dupOf = x.as("x").join(y.as("y"),
         col("x.cluster") === col("y.cluster") && col("x.id") < col("y.id"))
       .filter(graft.functions.VectorOps.cosineSim(col("x.vec"), col("y.vec"))
         >= minCosine)
       .groupBy(col("y.id").as("id"))
       .agg(min(col("x.id")).as("dup_of"))
-    asg.join(dupOf, Seq("id"), "left")
+    targetAsg.join(dupOf, Seq("id"), "left")
       .select(col("id").as(idCol), col("cluster"), col("dup_of"),
         col("dup_of").isNull.as("keep"))
+  }
+
+  /** Incremental SemDeDup under a FROZEN quantizer — the daily-ingest shape
+    * of [[semDedup]]: the k-means cells are fit ONCE on the reference
+    * corpus and new batches assign to them without refitting. Freezing is
+    * what makes the operator incremental AT ALL: corpus verdicts are
+    * provably stable under ingestion (a batch id is larger than every
+    * corpus id, so it can never become anyone's min-id `dup_of`), so a
+    * production pipeline stores them and pays only for the batch — pair
+    * candidates are 〈pool ∪ batch〉 × batch within a cell, cost ∝ the cells
+    * the batch actually touches. Refitting per batch would instead reshuffle
+    * every cell boundary and invalidate all stored verdicts.
+    *
+    * The law this must satisfy (spec + q171 oracle): increment(corpus,
+    * batch) ≡ the whole-union rebuild under the same frozen centroids. */
+  def semDedupIncrement(
+      corpus: DataFrame,
+      batch: DataFrame,
+      k: Int = 4,
+      iterations: Int = 2,
+      minCosine: Double = 0.4,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val centroids = Clustering.lloydCentroids(corpus, k, iterations, idCol, vecCol)
+    def assign(df: DataFrame) =
+      Clustering.assignedOf(Clustering.ptsOf(df, idCol, vecCol), centroids)
+        .select(col("id"), col("cluster"))
+    val asgC = assign(corpus).localCheckpoint(true)
+    val asgB = assign(batch).localCheckpoint(true)
+    // the stored artifact: corpus verdicts, computed once, never touched
+    val prior = semDedupAssigned(corpus, asgC, corpus, asgC, minCosine, idCol, vecCol)
+    val pool = corpus.unionByName(batch)
+    val poolAsg = asgC.unionByName(asgB)
+    val fresh = semDedupAssigned(pool, poolAsg, batch, asgB, minCosine, idCol, vecCol)
+    prior.unionByName(fresh)
   }
 
   /** Density-based clustering over embeddings — the DBSCAN shape, composed

@@ -176,6 +176,32 @@ class SimilaritySpec extends SparkSpec {
     dupOf.foreach { case (b, a) => assert(cellOf(b) === cellOf(a)) }
   }
 
+  test("semDedup increment: frozen cells, corpus verdicts stable, batch judged vs pool") {
+    val corpus = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(0.0f, 1.0f)),
+      (2L, Array(0.95f, 0.05f)), (3L, Array(0.05f, 0.95f))
+    ).toDF("vec_id", "embedding")
+    val batch = Seq(
+      (10L, Array(0.98f, 0.02f)),   // lands in cell of 0/2: dup of 0
+      (11L, Array(-1.0f, 0.0f))     // anti-parallel to everything: survives
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.semDedupIncrement(corpus, batch,
+        k = 2, iterations = 1, minCosine = 0.4)
+      .orderBy("vec_id").collect()
+    assert(out.length === 6)
+    val m = out.map(r => r.getAs[Long]("vec_id") ->
+      ((r.getAs[Boolean]("keep"), if (r.isNullAt(2)) -1L else r.getLong(2)))).toMap
+    assert(m(10L) === ((false, 0L)))  // min-id pool neighbor, not 2
+    assert(m(11L) === ((true, -1L)))
+    // stability: ingesting the batch never rewrites a corpus verdict —
+    // batch ids are larger, so they cannot become anyone's min-id dup_of
+    val prior = Similarity.semDedupIncrement(corpus, batch.limit(0),
+        k = 2, iterations = 1, minCosine = 0.4)
+      .orderBy("vec_id").collect()
+    assert(out.filter(_.getAs[Long]("vec_id") <= 3L).map(_.toSeq).toSeq
+      === prior.map(_.toSeq).toSeq)
+  }
+
   test("pq adc: separated clusters rank own-cluster first; output deterministic") {
     // 4-dim, m=2 subspaces: cluster A near (1,0,1,0), B near (-1,0,-1,0);
     // seeds (first 2 by id) are 0∈A and 1∈B, so Lloyd separates immediately
