@@ -157,6 +157,16 @@ object SparkEntry {
     // quantization noise vs this corpus's near-uniform distance spectrum
     // (measured: recall@10 plateaus ≤0.6 even at 80-bit codes); the
     // re-rank knob decouples recall from bit rate and hits 1.0 here
+    // ensemble dedup: MinHash text pairs full-outer embedding cosine pairs
+    // — surface and semantic detectors fail differently, so the agreement/
+    // disagreement matrix is the deliverable ('both' = high-precision drop)
+    "q172_ensemble_dedup" -> { (s, d) =>
+      Dedup.ensembleSignals(
+          Dedup.minhashNearDupPairs(TestData.documents(s, d)),
+          Similarity.embeddingNearDupPairsExact(TestData.embeddings(s, d),
+            minCosine = 0.4))
+        .orderBy("doc_a", "doc_b")
+    },
     // incremental SemDeDup under a FROZEN quantizer (q118's top-decile
     // split): cells fit on the corpus only, batch assigns without a refit,
     // corpus verdicts provably stable; oracle = whole-union rebuild under
@@ -3904,6 +3914,51 @@ object SparkEntry {
     "q148_ann_recall" -> annRecallOracle,
     "q161_pq_recall_curve" -> pqRecallCurveOracle,
     "q162_ivfadc" -> ivfAdcOracle,
+    // q31's minhash chain ⋈ q38's cosine chain, full outer on the pair key
+    "q172_ensemble_dedup" ->
+      """WITH toks AS (
+        |  SELECT doc_id AS id,
+        |    string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')), ' ') AS t
+        |  FROM documents),
+        |sets AS (
+        |  SELECT id, list_distinct(list_transform(range(len(t) - 2), i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])) AS sh
+        |  FROM toks WHERE len(t) >= 3),
+        |sigs AS (
+        |  SELECT id, sh,
+        |    list_transform(range(16), i -> list_min(list_transform(sh, s -> md5(i::VARCHAR || '|' || s)))) AS sig
+        |  FROM sets),
+        |bands AS (
+        |  SELECT id, b AS band_id, md5(array_to_string(sig[b*4+1:b*4+4], ',')) AS band_hash
+        |  FROM sigs CROSS JOIN (VALUES (0), (1), (2), (3)) AS bl(b)),
+        |cand AS (
+        |  SELECT DISTINCT x.id AS doc_a, y.id AS doc_b
+        |  FROM bands x JOIN bands y
+        |    ON x.band_id = y.band_id AND x.band_hash = y.band_hash AND x.id < y.id),
+        |verified AS (
+        |  SELECT doc_a, doc_b,
+        |    CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) / len(list_distinct(list_concat(sa.sh, sb.sh))) AS j
+        |  FROM cand JOIN sets sa ON doc_a = sa.id JOIN sets sb ON doc_b = sb.id),
+        |tp AS (SELECT doc_a, doc_b, round(j, 4) AS jaccard FROM verified WHERE j >= 0.8),
+        |ev AS (SELECT vec_id, embedding FROM embeddings),
+        |ep AS (
+        |  SELECT doc_a, doc_b, round(cosine, 4) AS cosine FROM (
+        |    SELECT x.vec_id AS doc_a, y.vec_id AS doc_b,
+        |      list_sum(list_transform(range(1, len(x.embedding) + 1),
+        |          i -> CAST(x.embedding[i] AS DOUBLE) * CAST(y.embedding[i] AS DOUBLE)))
+        |        / (sqrt(list_sum(list_transform(range(1, len(x.embedding) + 1),
+        |              i -> CAST(x.embedding[i] AS DOUBLE) * CAST(x.embedding[i] AS DOUBLE))))
+        |           * sqrt(list_sum(list_transform(range(1, len(y.embedding) + 1),
+        |              i -> CAST(y.embedding[i] AS DOUBLE) * CAST(y.embedding[i] AS DOUBLE))))) AS cosine
+        |    FROM ev x JOIN ev y ON x.vec_id < y.vec_id)
+        |  WHERE cosine >= 0.4)
+        |SELECT COALESCE(tp.doc_a, ep.doc_a) AS doc_a,
+        |  COALESCE(tp.doc_b, ep.doc_b) AS doc_b, tp.jaccard, ep.cosine,
+        |  CASE WHEN tp.doc_a IS NOT NULL AND ep.doc_a IS NOT NULL THEN 'both'
+        |       WHEN tp.doc_a IS NOT NULL THEN 'text_only'
+        |       ELSE 'embedding_only' END AS signal
+        |FROM tp FULL OUTER JOIN ep
+        |  ON tp.doc_a = ep.doc_a AND tp.doc_b = ep.doc_b
+        |ORDER BY doc_a, doc_b""".stripMargin,
     // the q164 pair/survivor tail over the FROZEN cells — the law gate:
     // the increment must equal this whole-union rebuild
     "q171_semdedup_increment" ->

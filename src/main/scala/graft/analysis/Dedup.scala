@@ -829,6 +829,29 @@ object Dedup {
       .select(col("span_fp"), col("n_docs"), col("n_occurrences"),
         col("loc.doc_id").as("first_doc"), col("loc.start").cast(IntegerType).as("first_start"))
 
+  /** Ensemble dedup signals: the text view (MinHash-verified Jaccard
+    * pairs) FULL-OUTER-joined with the embedding view (cosine pairs) —
+    * the precision/recall dial every production dedup ends up needing.
+    * Surface dup detectors and semantic ones fail differently (templated
+    * boilerplate is a text dup but not a semantic one; a paraphrase is
+    * the reverse), so the disagreement matrix is the deliverable: `both`
+    * is the high-precision drop set, either-only feeds review/thresholds.
+    *
+    * Scale shape: both inputs are already-bounded pair frames (banded LSH
+    * / cell-bounded generators upstream — never all-pairs here); the
+    * full-outer join shuffles on the pair key. Output: doc_a, doc_b,
+    * jaccard (null if embedding-only), cosine (null if text-only),
+    * signal ∈ both | text_only | embedding_only. */
+  def ensembleSignals(textPairs: DataFrame, vecPairs: DataFrame): DataFrame = {
+    val tp = textPairs.select(col("doc_a"), col("doc_b"), col("jaccard"))
+    val ep = vecPairs.select(col("doc_a"), col("doc_b"), col("cosine"))
+    tp.join(ep, Seq("doc_a", "doc_b"), "full_outer")
+      .select(col("doc_a"), col("doc_b"), col("jaccard"), col("cosine"),
+        when(col("jaccard").isNotNull && col("cosine").isNotNull, "both")
+          .when(col("jaccard").isNotNull, "text_only")
+          .otherwise("embedding_only").as("signal"))
+  }
+
   /** Cross-source overlap matrix over n-gram shingles — the corpus-
     * governance statistic behind mixture decisions: before weighting
     * sources (q121/q140/q145), measure how much of each source is ALREADY

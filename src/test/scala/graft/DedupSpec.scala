@@ -402,6 +402,19 @@ class DedupSpec extends SparkSpec {
     assert(merged.map(_.toSeq).toSeq === batch.map(_.toSeq).toSeq)
   }
 
+  test("ensemble signals: both/text_only/embedding_only classification, full-outer key space") {
+    val tp = Seq((1L, 2L, 0.9), (3L, 4L, 0.85)).toDF("doc_a", "doc_b", "jaccard")
+    val ep = Seq((1L, 2L, 0.97), (5L, 6L, 0.92)).toDF("doc_a", "doc_b", "cosine")
+    val out = Dedup.ensembleSignals(tp, ep).orderBy("doc_a", "doc_b").collect()
+    assert(out.length === 3)
+    val m = out.map(r => (r.getLong(0), r.getLong(1)) -> r.getString(4)).toMap
+    assert(m === Map((1L, 2L) -> "both", (3L, 4L) -> "text_only", (5L, 6L) -> "embedding_only"))
+    val both = out.find(r => r.getLong(0) === 1L).get
+    assert(both.getDouble(2) === 0.9 && both.getDouble(3) === 0.97)
+    val textOnly = out.find(r => r.getLong(0) === 3L).get
+    assert(textOnly.isNullAt(3)) // no cosine on the text-only row
+  }
+
   test("source overlap: shared shingles per source pair, overlap vs smaller side, sparse") {
     // s1 and s2 share the shingle "a b c d e"; s3 is disjoint and absent
     val docs = Seq(
