@@ -2,8 +2,8 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.analysis.{Dedup, Sketches}
-import graft.streaming.{StreamingHll, StreamingSketch}
+import graft.analysis.{Dedup, Sketches, TimeSeries}
+import graft.streaming.{StreamingDecay, StreamingHll, StreamingSketch}
 import graft.streaming.StreamingSketch.{Estimate, KeyedValue}
 
 class StreamingSketchSpec extends SparkSpec {
@@ -118,6 +118,49 @@ class StreamingSketchSpec extends SparkSpec {
         .orderBy("span_fp").collect().map(_.toSeq)
       assert(streamedReport.toSeq === batchReport.toSeq)
       assert(streamedReport.nonEmpty) // the shared boilerplate spans are found
+    } finally q.stop()
+  }
+
+  test("streaming decayed popularity: anchored DECIMAL state equals the batch build; rescale matches direct") {
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)](spark)
+    val events = input.toDS().toDF("document_id", "ts_s")
+      .withColumn("event_ts", to_timestamp(col("ts_s")))
+    val ref = to_timestamp(lit("2024-02-01 00:00:00"))
+    val state = scala.collection.concurrent.TrieMap
+      .empty[Long, (java.math.BigDecimal, Long)]
+    val q = StreamingDecay.buildStream(events, "document_id", "event_ts", ref)
+      .writeStream
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        df.collect().foreach(r => state(r.getLong(0)) = ((r.getDecimal(1), r.getLong(2))))
+      }
+      .outputMode("update").start()
+    try {
+      input.addData((1L, "2024-01-01 00:00:00"), (1L, "2024-01-15 00:00:00"),
+        (2L, "2024-01-20 12:00:00"))
+      q.processAllAvailable()
+      // batch 2: item 1 accumulates (state adds, never resets); item 3 is new
+      input.addData((1L, "2024-01-28 00:00:00"), (3L, "2024-01-02 06:30:00"))
+      q.processAllAvailable()
+      val union = Seq((1L, "2024-01-01 00:00:00"), (1L, "2024-01-15 00:00:00"),
+        (2L, "2024-01-20 12:00:00"), (1L, "2024-01-28 00:00:00"),
+        (3L, "2024-01-02 06:30:00")).toDF("document_id", "ts_s")
+        .withColumn("event_ts", to_timestamp(col("ts_s")))
+      val batch = TimeSeries.decayedWeights(union, "document_id", "event_ts", ref)
+        .collect().map(r => r.getLong(0) -> ((r.getDecimal(1), r.getLong(2)))).toMap
+      assert(state.toMap === batch) // bit-identical DECIMAL state, not just close
+      assert(state(1L)._2 === 3L)
+      // read-time rescale over the streamed snapshot matches the direct
+      // operator at its displayed precision (the increment-law tolerance)
+      val asOf = to_timestamp(lit("2024-02-15 00:00:00"))
+      val snap = state.toSeq.map { case (id, (s, n)) => (id, s, n) }
+        .toDF("document_id", "s_ref", "n_events")
+      val rescaled = TimeSeries.popularityFromRef(snap, "document_id", ref, asOf)
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      val direct = TimeSeries.decayedPopularity(union, "document_id", "event_ts", asOf)
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      assert(rescaled.keySet === direct.keySet)
+      rescaled.foreach { case (id, s) => assert(math.abs(s - direct(id)) <= 1e-4) }
     } finally q.stop()
   }
 }
