@@ -179,6 +179,14 @@ object SparkEntry {
           k = 4, iterations = 2, minCosine = 0.4)
         .orderBy("vec_id")
     },
+    // the UniMax manifest: floor(e) full copies per doc + a replayable
+    // md5 basis-point gate for the fractional epoch — the step that turns
+    // an allocation into actual training copy counts
+    "q173_epoch_manifest" -> { (s, d) =>
+      graft.analysis.CorpusPrep.epochMaterialize(TestData.documents(s, d),
+          maxEpochsBp = 10500)
+        .orderBy("doc_id")
+    },
     // UniMax: capped water-filling of the token budget across sources —
     // small sources saturate a 1.05-epoch cap, the freed budget
     // redistributes; closed-form level over the cap-ascending order
@@ -3975,6 +3983,44 @@ object SparkEntry {
         |SELECT asg.vec_id, asg.cluster, dup.dup_of, dup.dup_of IS NULL AS keep
         |FROM asg LEFT JOIN dup USING (vec_id)
         |ORDER BY vec_id""".stripMargin,
+    // q170's water-fill chain + the '|epoch' md5 basis-point gate
+    "q173_epoch_manifest" ->
+      """WITH d AS (
+        |  SELECT source,
+        |    COALESCE(len(list_filter(string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')), ' '), x -> x <> '')), 0) AS n_tok
+        |  FROM documents),
+        |ps AS (SELECT source, CAST(sum(n_tok) AS BIGINT) AS n_tokens FROM d GROUP BY 1),
+        |t AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS b, count(*) AS s FROM ps),
+        |rk AS (
+        |  SELECT source, n_tokens, (n_tokens * 10500) // 10000 AS cap,
+        |    row_number() OVER (ORDER BY (n_tokens * 10500) // 10000, source) AS rn,
+        |    COALESCE(sum((n_tokens * 10500) // 10000) OVER (
+        |      ORDER BY (n_tokens * 10500) // 10000, source
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prefix
+        |  FROM ps),
+        |lv AS (
+        |  SELECT rk.*, (b - prefix)::DOUBLE / (s - rn + 1)::DOUBLE AS lvl
+        |  FROM rk CROSS JOIN t),
+        |sel AS (SELECT min(rn) AS istar FROM lv WHERE lvl <= cap::DOUBLE),
+        |al AS (
+        |  SELECT source, n_tokens,
+        |    CASE WHEN (SELECT istar FROM sel) IS NULL
+        |           OR rn < (SELECT istar FROM sel) THEN cap::DOUBLE
+        |         ELSE (SELECT lvl FROM lv WHERE rn = (SELECT istar FROM sel)) END AS alloc_raw
+        |  FROM lv),
+        |g AS (
+        |  SELECT source,
+        |    CAST(floor(epochs) AS INT) AS full_copies,
+        |    CAST(floor(epochs * 10000) - floor(epochs) * 10000 AS INT) AS frac_bp
+        |  FROM (SELECT source,
+        |          CASE WHEN n_tokens > 0
+        |            THEN round(alloc_raw / n_tokens::DOUBLE, 6) END AS epochs
+        |        FROM al))
+        |SELECT doc.doc_id, doc.source,
+        |  full_copies + CASE WHEN ('0x' || substr(md5(doc.doc_id::VARCHAR || '|epoch'), 1, 8))::BIGINT % 10000 < frac_bp
+        |    THEN 1 ELSE 0 END AS n_copies
+        |FROM documents doc JOIN g USING (source)
+        |ORDER BY doc.doc_id""".stripMargin,
     // integer caps via //, exact-integer level division, scalar-subquery
     // water level; q121's token counting
     "q170_unimax_budget" ->

@@ -347,6 +347,40 @@ object CorpusPrep {
           round(col("alloc_raw") / col("n_tokens").cast(DoubleType), 6)).as("epochs"))
   }
 
+  /** Materialize a [[unimaxAllocation]] as per-document COPY COUNTS — the
+    * step that turns "source s trains for 1.37 epochs" into an actual
+    * training manifest: every doc takes ⌊e⌋ full copies, and the
+    * fractional epoch is a replayable md5 gate (basis-point bucket of the
+    * doc id vs frac(e)·10⁴) so exactly ~frac of each source takes one
+    * extra copy — deterministic across runs, engines, and cluster sizes,
+    * the same gate contract as [[temperatureResample]]. Downstream, a
+    * trainer expands n_copies (posexplode) or uses it as a sampling
+    * weight; expected token mass per source = alloc by construction.
+    *
+    * Scale shape: the allocation is source-granularity; docs join it by
+    * broadcast and gate in one codegen'd projection — the corpus never
+    * shuffles. Output: idCol, source, n_copies. */
+  def epochMaterialize(
+      docs: DataFrame,
+      maxEpochsBp: Int = 10500,
+      sourceCol: String = "source",
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val g = unimaxAllocation(docs, maxEpochsBp, sourceCol, textCol)
+      .select(col("source"), col("epochs"))
+      .withColumn("full_copies", floor(col("epochs")).cast(IntegerType))
+      .withColumn("frac_bp",
+        (floor(col("epochs") * 10000) - floor(col("epochs")) * 10000)
+          .cast(IntegerType))
+    docs.select(col(idCol), col(sourceCol).as("source"))
+      .join(broadcast(g), "source")
+      .select(col(idCol), col("source"),
+        (col("full_copies") +
+          when(Sampling.hashBucket(
+            concat(col(idCol).cast(StringType), lit("|epoch"))) < col("frac_bp"), 1)
+            .otherwise(0)).as("n_copies"))
+  }
+
   /** DSIR — Data Selection with Importance Resampling (Xie et al. 2023,
     * arXiv:2302.03169): pick raw documents that LOOK LIKE a small target
     * domain, by importance weighting in a hashed n-gram feature space. The

@@ -260,6 +260,25 @@ class TextAnalysisSpec extends SparkSpec {
     assert(tight === Map("a" -> 1.0, "b" -> 2.0, "c" -> 5.0))
   }
 
+  test("epoch manifest: floor copies exact, fractional epoch gated at ~frac of the source") {
+    // 50 docs x 2 tokens vs 150 docs x 2 tokens, no cap binding: level 200
+    // -> small source 2.0 epochs exactly, large 0.666667 -> frac_bp 6666
+    val docs = ((1L to 50L).map(i => (i, "w x", "small")) ++
+      (51L to 200L).map(i => (i, "w x", "large"))).toDF("doc_id", "text", "source")
+    val out = graft.analysis.CorpusPrep.epochMaterialize(docs, maxEpochsBp = 50000)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
+    assert(out.length === 200)
+    assert(out.filter(_._2 == "small").forall(_._3 === 2)) // integer epochs: no gate
+    val largeCopies = out.filter(_._2 == "large").map(_._3)
+    assert(largeCopies.forall(c => c === 0 || c === 1))
+    val extra = largeCopies.count(_ === 1)
+    assert(extra > 80 && extra < 120) // md5 gate at 6666 bp of 150 docs
+    // replayable: the manifest is a pure function of the data
+    val again = graft.analysis.CorpusPrep.epochMaterialize(docs, maxEpochsBp = 50000)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
+    assert(out.sorted.toSeq === again.sorted.toSeq)
+  }
+
   test("dsir: target-vocabulary docs win the draw, exactly nSelect selected, rerun-stable") {
     // target docs speak vocabulary A, the rest vocabulary B; 30 tokens per
     // doc push |log_w| far beyond the O(1) Gumbel noise, so the draw is
