@@ -157,6 +157,16 @@ object SparkEntry {
     // quantization noise vs this corpus's near-uniform distance spectrum
     // (measured: recall@10 plateaus ≤0.6 even at 80-bit codes); the
     // re-rank knob decouples recall from bit rate and hits 1.0 here
+    // two-sample KS drift: exact ECDF max-gap over the distinct-value
+    // spine + alpha=.05 rejection — the unbinned complement of q112's PSI,
+    // localizing WHERE the distributions diverge (at_value)
+    "q174_ks_drift" -> { (s, d) =>
+      val ev = TestData.eventsRaw(s, d)
+      graft.analysis.Profiling.ksDrift(
+        ev.filter(to_date(col("ts")) <= lit("2024-01-15")),
+        ev.filter(to_date(col("ts")) > lit("2024-01-15")),
+        valCol = "value")
+    },
     // ensemble dedup: MinHash text pairs full-outer embedding cosine pairs
     // — surface and semantic detectors fail differently, so the agreement/
     // disagreement matrix is the deliverable ('both' = high-precision drop)
@@ -3922,6 +3932,26 @@ object SparkEntry {
     "q148_ann_recall" -> annRecallOracle,
     "q161_pq_recall_curve" -> pqRecallCurveOracle,
     "q162_ivfadc" -> ivfAdcOracle,
+    // distinct-value spine, cumulative counts, one double division per row
+    "q174_ks_drift" ->
+      """WITH ev AS (
+        |  SELECT CAST(ts AS TIMESTAMP) AS ts, value FROM events WHERE value IS NOT NULL),
+        |per AS (
+        |  SELECT value AS v,
+        |    sum(CASE WHEN CAST(ts AS DATE) <= DATE '2024-01-15' THEN 1 ELSE 0 END) AS na,
+        |    sum(CASE WHEN CAST(ts AS DATE) > DATE '2024-01-15' THEN 1 ELSE 0 END) AS nb
+        |  FROM ev GROUP BY 1),
+        |t AS (SELECT CAST(sum(na) AS BIGINT) AS n_ref, CAST(sum(nb) AS BIGINT) AS n_cur FROM per),
+        |c AS (
+        |  SELECT v,
+        |    abs(sum(na) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::DOUBLE / n_ref::DOUBLE
+        |      - sum(nb) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::DOUBLE / n_cur::DOUBLE) AS d,
+        |    n_ref, n_cur
+        |  FROM per CROSS JOIN t)
+        |SELECT n_ref, n_cur, round(d, 6) AS ks_stat, v AS at_value,
+        |  round(1.358::DOUBLE * sqrt((n_ref + n_cur)::DOUBLE / (n_ref * n_cur)::DOUBLE), 6) AS crit_05,
+        |  d > 1.358::DOUBLE * sqrt((n_ref + n_cur)::DOUBLE / (n_ref * n_cur)::DOUBLE) AS reject
+        |FROM c ORDER BY d DESC, v LIMIT 1""".stripMargin,
     // q31's minhash chain ⋈ q38's cosine chain, full outer on the pair key
     "q172_ensemble_dedup" ->
       """WITH toks AS (

@@ -2,7 +2,7 @@ package graft.analysis
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.StringType
+import org.apache.spark.sql.types.{DoubleType, StringType}
 
 /** Data-quality profiling: the audit pass a pipeline runs on every new
   * batch before trusting it (null explosions, cardinality collapses, and
@@ -10,18 +10,46 @@ import org.apache.spark.sql.types.StringType
   */
 object Profiling {
 
-  /** One-pass column profile: per column — null count, distinct count, min,
-    * max. ALL columns profile in a single aggregate job (4 × #cols partial
-    * aggregates, map-side combined; the exact distinct counts make it one
-    * shuffle per column internally — swap `approx_count_distinct` in at
-    * 100 TB, same switch as the marts). The single result row is collected
-    * and melted driver-side: #cols × 4 scalars, not data.
+  /** Two-sample Kolmogorov–Smirnov drift test — the UNBINNED complement of
+    * [[psiDrift]]: D = max over pooled distinct values of
+    * |F_ref(v) − F_cur(v)| (ECDF gap), with the large-sample α=0.05
+    * rejection threshold c(α)·√((n+m)/(n·m)), c = 1.358. PSI answers "how
+    * much mass moved between reference-defined bins"; KS answers "are
+    * these even the same distribution", is cutpoint-free, and localizes
+    * WHERE the distributions diverge most (`at_value` — the argmax,
+    * smallest value on ties).
     *
-    * min/max are surfaced as strings for a uniform schema; pre-cast columns
-    * whose native string rendering is engine-ambiguous (raw doubles) to
-    * DECIMAL/DATE in the caller.
-    *
-    * Output: column_name, n_nulls, n_distinct, min_value, max_value. */
+    * Scale shape: both slices reduce to 〈distinct value, count_ref,
+    * count_cur〉 first (one shuffle), the cumulative window runs over the
+    * DISTINCT-value spine (metric-sized for any real monitored column,
+    * never raw rows), and the argmax is a TakeOrdered(1) head. ECDF
+    * ratios stay exact-integer until one double division per spine row.
+    * Output (1 row): n_ref, n_cur, ks_stat (round 6), at_value,
+    * crit_05 (round 6), reject. */
+  def ksDrift(
+      reference: DataFrame, current: DataFrame, valCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def side(df: DataFrame, a: Long, b: Long) = df
+      .select(col(valCol).cast(DoubleType).as("v"))
+      .filter(col("v").isNotNull)
+      .select(col("v"), lit(a).as("a"), lit(b).as("b"))
+    val per = side(reference, 1L, 0L).unionByName(side(current, 0L, 1L))
+      .groupBy("v").agg(sum("a").as("na"), sum("b").as("nb"))
+    val tot = per.agg(sum("na").as("n_ref"), sum("nb").as("n_cur"))
+    val w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val crit = lit(1.358) * sqrt(
+      (col("n_ref") + col("n_cur")).cast(DoubleType) /
+        (col("n_ref") * col("n_cur")).cast(DoubleType))
+    per.crossJoin(broadcast(tot))
+      .withColumn("d",
+        abs(sum("na").over(w).cast(DoubleType) / col("n_ref").cast(DoubleType)
+          - sum("nb").over(w).cast(DoubleType) / col("n_cur").cast(DoubleType)))
+      .orderBy(desc("d"), col("v")).limit(1)
+      .select(col("n_ref"), col("n_cur"), round(col("d"), 6).as("ks_stat"),
+        col("v").as("at_value"), round(crit, 6).as("crit_05"),
+        (col("d") > crit).as("reject"))
+  }
+
   /** Population Stability Index between a reference and a current slice of
     * the same column — the standard ML-ops drift monitor:
     * PSI = Σ_bins (p_i − q_i)·ln(p_i/q_i), over equi-depth bins whose
@@ -77,6 +105,18 @@ object Profiling {
       lit(psi.doubleValue() > 0.2).as("drifted"))
   }
 
+  /** One-pass column profile: per column — null count, distinct count, min,
+    * max. ALL columns profile in a single aggregate job (4 × #cols partial
+    * aggregates, map-side combined; the exact distinct counts make it one
+    * shuffle per column internally — swap `approx_count_distinct` in at
+    * 100 TB, same switch as the marts). The single result row is collected
+    * and melted driver-side: #cols × 4 scalars, not data.
+    *
+    * min/max are surfaced as strings for a uniform schema; pre-cast columns
+    * whose native string rendering is engine-ambiguous (raw doubles) to
+    * DECIMAL/DATE in the caller.
+    *
+    * Output: column_name, n_nulls, n_distinct, min_value, max_value. */
   def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty)
     // spread first: the multi-distinct aggregate plans an Expand ×(k+1)

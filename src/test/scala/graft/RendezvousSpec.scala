@@ -52,4 +52,23 @@ class RendezvousSpec extends SparkSpec {
     assert(undef.isNullAt(0) && undef.getLong(1) === 0L && undef.getLong(2) === 5000L)
     assert(undef.isNullAt(3))
   }
+
+  test("ks drift: hand-computed max ECDF gap with argmax location; identical samples accept") {
+    // ref = {1,2,3,4}, cur = {3,4,5,6}: ECDF gap peaks at v=2 (2/4 - 0 = 0.5)
+    val ref = Seq(1.0, 2.0, 3.0, 4.0).map(Tuple1(_)).toDF("v")
+    val cur = Seq(3.0, 4.0, 5.0, 6.0).map(Tuple1(_)).toDF("v")
+    val r = Profiling.ksDrift(ref, cur, "v").collect().head
+    assert(r.getLong(0) === 4L && r.getLong(1) === 4L)
+    assert(r.getDouble(2) === 0.5)
+    assert(r.getDouble(3) === 2.0) // smallest value achieving the max gap
+    assert(!r.getBoolean(5))       // n too small: crit = 1.358*sqrt(8/16) = 0.96
+    // same distribution, large n: stat 0, accept
+    val big = (1 to 2000).map(i => Tuple1((i % 50).toDouble)).toDF("v")
+    val same = Profiling.ksDrift(big, big, "v").collect().head
+    assert(same.getDouble(2) === 0.0 && !same.getBoolean(5))
+    // disjoint supports, large n: stat 1, reject
+    val hi = (1 to 2000).map(i => Tuple1((i % 50).toDouble + 100)).toDF("v")
+    val rej = Profiling.ksDrift(big, hi, "v").collect().head
+    assert(rej.getDouble(2) === 1.0 && rej.getBoolean(5))
+  }
 }
