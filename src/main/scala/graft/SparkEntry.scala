@@ -157,6 +157,23 @@ object SparkEntry {
     // quantization noise vs this corpus's near-uniform distance spectrum
     // (measured: recall@10 plateaus ≤0.6 even at 80-bit codes); the
     // re-rank knob decouples recall from bit rate and hits 1.0 here
+    // split-conformal over the trained scorer: train on md5 buckets <8000,
+    // q-hat = exact order statistic of |y-score| on the calib slice
+    // [8000,9000), coverage audited on the disjoint test slice - the
+    // distribution-free uncertainty tail of the q151-q155 model loop
+    "q175_conformal" -> { (s, d) =>
+      val data = logregData(s, d).withColumn("bucket",
+        graft.analysis.Sampling.hashBucket(
+          concat(col("doc_id").cast("string"), lit("|conf"))))
+      val w = graft.analysis.Features.logisticWeights(
+        data.filter(col("bucket") < 8000), logregFeats, "y", 3, 5.0)
+      val scored = data.select(col("bucket"), col("y"),
+        graft.analysis.Features.sigmoidScore(logregFeats, w).as("score"))
+      graft.analysis.Features.conformalReport(
+        scored.filter(col("bucket") >= 8000 && col("bucket") < 9000),
+        scored.filter(col("bucket") >= 9000),
+        alphaBp = 1000)
+    },
     // two-sample KS drift: exact ECDF max-gap over the distinct-value
     // spine + alpha=.05 rejection — the unbinned complement of q112's PSI,
     // localizing WHERE the distributions diverge (at_value)
@@ -1586,6 +1603,7 @@ object SparkEntry {
   private def logregData(s: SparkSession, d: String): DataFrame =
     TextAnalysis.textStats(TestData.documents(s, d))
       .select(
+        col("doc_id"),
         lit(1.0).as("x0"),
         least(col("n_tokens").cast("double") / 100.0, lit(2.0)).as("x1"),
         col("stopword_ratio").as("x2"),
@@ -1595,14 +1613,14 @@ object SparkEntry {
   /** The q151 training chain as reusable CTE text (features, w0, `iters`
     * unrolled epochs ending at w$iters) — q151 selects the weights,
     * q152/q153 append a scoring CTE for calibration/AUC. */
-  private def logregCtes(iters: Int): String = {
+  private def logregCtes(iters: Int, trainWhere: String = ""): String = {
     val epochs = (1 to iters).map { r =>
       val gs = logregFeats.map(f =>
         s"CAST(sum(CAST($f * (y - p) AS DECIMAL(28,12))) AS DOUBLE) AS g_$f").mkString(", ")
       val ws = logregFeats.map(f => s"w_$f + 5.0::DOUBLE * g_$f / n AS w_$f").mkString(", ")
       s"""pp$r AS (
-         |  SELECT ft.*, round(1.0::DOUBLE / (1.0::DOUBLE + exp(-round($logregZ, 6))), 6) AS p
-         |  FROM ft CROSS JOIN w${r - 1}),
+         |  SELECT ftr.*, round(1.0::DOUBLE / (1.0::DOUBLE + exp(-round($logregZ, 6))), 6) AS p
+         |  FROM ftr CROSS JOIN w${r - 1}),
          |gg$r AS (SELECT $gs, CAST(count(*) AS BIGINT) AS n FROM pp$r),
          |w$r AS (SELECT $ws FROM gg$r CROSS JOIN w${r - 1})"""
     }.mkString(",\n")
@@ -1621,16 +1639,17 @@ object SparkEntry {
        |      + CASE WHEN stopword_ratio BETWEEN 0.01 AND 0.6 THEN 20.0 ELSE 0.0 END, 2) AS quality_score
        |  FROM s),
        |ft AS (
-       |  SELECT 1.0::DOUBLE AS x0,
+       |  SELECT doc_id, 1.0::DOUBLE AS x0,
        |    least(n_tokens::DOUBLE / 100.0::DOUBLE, 2.0::DOUBLE) AS x1,
        |    stopword_ratio AS x2,
        |    avg_token_len / 10.0::DOUBLE AS x3,
        |    CASE WHEN quality_score >= 60 THEN 1.0::DOUBLE ELSE 0.0::DOUBLE END AS y
        |  FROM sq),
+       |ftr AS (SELECT * FROM ft$trainWhere),
        |w0 AS (SELECT ${logregFeats.map(f => s"0.0::DOUBLE AS w_$f").mkString(", ")}),
        |$epochs,
        |sc AS (
-       |  SELECT ft.y, round(1.0::DOUBLE / (1.0::DOUBLE + exp(-round($logregZ, 6))), 6) AS score
+       |  SELECT ft.doc_id, ft.y, round(1.0::DOUBLE / (1.0::DOUBLE + exp(-round($logregZ, 6))), 6) AS score
        |  FROM ft CROSS JOIN w$iters)"""
   }
 
@@ -1677,6 +1696,31 @@ object SparkEntry {
        |  FROM c)
        |SELECT n_pos, n_neg, round(u2::DOUBLE / (2.0::DOUBLE * n_pos::DOUBLE * n_neg::DOUBLE), 6) AS auc
        |FROM u""".stripMargin
+
+  /** q175: split-conformal over the scorer — the q151 chain trained on
+    * md5 buckets < 8000 only (`trainWhere`), scored over everyone, q̂ the
+    * exact ⌈(n+1)·0.9⌉-th smallest |y − score| on the calibration slice,
+    * coverage audited on the disjoint test slice. */
+  private def conformalOracle(iters: Int): String =
+    s"""WITH ${logregCtes(iters,
+        " WHERE ('0x' || substr(md5(doc_id::VARCHAR || '|conf'), 1, 8))::BIGINT % 10000 < 8000")},
+       |bk AS (
+       |  SELECT y, score,
+       |    ('0x' || substr(md5(doc_id::VARCHAR || '|conf'), 1, 8))::BIGINT % 10000 AS bucket
+       |  FROM sc),
+       |cal AS (SELECT abs(y - score) AS s FROM bk WHERE bucket >= 8000 AND bucket < 9000),
+       |nc AS (SELECT CAST(count(*) AS BIGINT) AS n_calib FROM cal),
+       |qh AS (
+       |  SELECT n_calib, s AS q_hat FROM (
+       |    SELECT s, row_number() OVER (ORDER BY s) AS rn FROM cal) CROSS JOIN nc
+       |  WHERE rn = least(((n_calib + 1) * 9000 + 9999) // 10000, n_calib)),
+       |tst AS (SELECT abs(y - score) AS s FROM bk WHERE bucket >= 9000)
+       |SELECT n_calib, CAST(count(*) AS BIGINT) AS n_test, q_hat,
+       |  0.9::DOUBLE AS target,
+       |  round(sum(CASE WHEN s <= q_hat THEN 1 ELSE 0 END)::DOUBLE / count(*)::DOUBLE, 6) AS coverage,
+       |  sum(CASE WHEN s <= q_hat THEN 1 ELSE 0 END)::DOUBLE / count(*)::DOUBLE >= 0.9::DOUBLE AS holds
+       |FROM tst CROSS JOIN qh
+       |GROUP BY n_calib, q_hat""".stripMargin
 
   /** q154: F1-argmax operating point — integer confusion counts from one
     * cumulative window over the score groups, fixed-order double ratios,
@@ -4223,6 +4267,10 @@ object SparkEntry {
     "q151_logreg" -> logregOracle(3),
     "q152_calibration" -> calibrationOracle(3),
     "q153_auc" -> aucOracle(3),
+    // the q151 chain trained on md5 buckets <8000 (trainWhere), scored
+    // over everyone; q-hat by integer-rank order statistic, coverage on
+    // the disjoint test slice
+    "q175_conformal" -> conformalOracle(3),
     "q154_f1_threshold" -> f1ThresholdOracle(3),
     // the anti-join law: survivors on disk == original MINUS the keyed
     // rows; the deleted count rides along as a scalar subquery

@@ -204,4 +204,52 @@ object Features {
         round(col("recall"), 6).as("recall"),
         round(col("f1"), 6).as("f1"))
   }
+
+  /** Split-conformal calibration (Vovk et al.; Angelopoulos & Bates 2021
+    * tutorial form) — the distribution-free uncertainty layer over a
+    * trained scorer: nonconformity s = |y − score| on a held-out
+    * CALIBRATION slice, q̂ = the ⌈(n+1)(1−α)⌉-th smallest calibration s
+    * (an exact order statistic — integer rank arithmetic, no interpolated
+    * quantiles, so it is engine-reproducible to the bit), and the
+    * guarantee P(|y − score| ≤ q̂) ≥ 1−α holds on exchangeable test data
+    * REGARDLESS of how bad the scorer is. The report checks that promise
+    * empirically on a disjoint test slice.
+    *
+    * Scale shape: both inputs reduce to a residual column; the order
+    * statistic is one window over the calibration slice (calibration sets
+    * are small by design — that is the method's point) and coverage is one
+    * aggregate over test joined to the broadcast 1-row q̂.
+    * Output (1 row): n_calib, n_test, q_hat, target (1−α), coverage
+    * (round 6), holds. */
+  def conformalReport(
+      calib: DataFrame,
+      test: DataFrame,
+      scoreCol: String = "score",
+      labelCol: String = "y",
+      alphaBp: Int = 1000): DataFrame = {
+    require(alphaBp > 0 && alphaBp < 10000, s"need alpha in (0,1), got $alphaBp bp")
+    import org.apache.spark.sql.expressions.Window
+    def resid(df: DataFrame) =
+      df.select(abs(col(labelCol) - col(scoreCol)).as("s"))
+    val cal = resid(calib)
+    val n = cal.agg(count(lit(1)).as("n_calib"))
+    // k = ceil((n+1)(1-alpha)) in pure integer arithmetic; clamped to n
+    val k = least(
+      expr(s"((n_calib + 1) * ${10000 - alphaBp} + 9999) div 10000"),
+      col("n_calib"))
+    val qhat = cal.crossJoin(broadcast(n))
+      .withColumn("rn", row_number().over(Window.orderBy("s")))
+      .filter(col("rn") === k)
+      .select(col("n_calib"), col("s").as("q_hat"))
+    resid(test).crossJoin(broadcast(qhat))
+      .agg(first("n_calib").as("n_calib"), count(lit(1)).as("n_test"),
+        first("q_hat").as("q_hat"),
+        sum(when(col("s") <= col("q_hat"), 1L).otherwise(0L)).as("covered"))
+      .select(col("n_calib"), col("n_test"), col("q_hat"),
+        lit((10000 - alphaBp) / 10000.0).as("target"),
+        round(col("covered").cast("double") / col("n_test").cast("double"), 6)
+          .as("coverage"),
+        (col("covered").cast("double") / col("n_test").cast("double")
+          >= lit((10000 - alphaBp) / 10000.0)).as("holds"))
+  }
 }

@@ -94,4 +94,20 @@ class FeaturesSpec extends SparkSpec {
       .collect().map(r => r.getString(1) -> r.getDouble(2)).toMap
     assert(again === three)
   }
+
+  test("conformal: exact order-statistic q-hat, empirical coverage, rank clamp") {
+    // y=0 throughout so the residual IS the score column
+    val calib = (1 to 10).map(i => (0.0, i / 10.0)).toDF("y", "score")
+    val test = Seq(0.05, 0.95, 0.85, 1.0).map((0.0, _)).toDF("y", "score")
+    // alpha=0.2: k = ceil(11*0.8) = 9 -> q_hat = 0.9; 2 of 4 test residuals covered
+    val r = Features.conformalReport(calib, test, alphaBp = 2000).collect().head
+    assert(r.getLong(0) === 10L && r.getLong(1) === 4L)
+    assert(r.getDouble(2) === 0.9)
+    assert(r.getDouble(3) === 0.8)
+    assert(r.getDouble(4) === 0.5 && !r.getBoolean(5)) // coverage under target
+    // alpha=0.1: k = ceil(11*0.9) = 10, clamped at n -> q_hat = max residual
+    val c = Features.conformalReport(calib, test, alphaBp = 1000).collect().head
+    assert(c.getDouble(2) === 1.0)
+    assert(c.getDouble(4) === 1.0 && c.getBoolean(5))
+  }
 }
