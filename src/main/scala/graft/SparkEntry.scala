@@ -157,6 +157,17 @@ object SparkEntry {
     // quantization noise vs this corpus's near-uniform distance spectrum
     // (measured: recall@10 plateaus ≤0.6 even at 80-bit codes); the
     // re-rank knob decouples recall from bit rate and hits 1.0 here
+    // Wald SPRT: sequential purchase-rate test H0 p=.10 vs H1 p=.15 over
+    // the ts-ordered stream — LLR is a pure function of integer prefix
+    // counts, decision at the first boundary crossing (q96's sequential
+    // sibling: WHEN did the evidence first suffice)
+    "q176_sprt" -> { (s, d) =>
+      graft.analysis.Stats.sprtBernoulli(
+        TestData.eventsRaw(s, d),
+        success = col("event_type") === "purchase",
+        tsCol = "ts", tieCol = "event_id",
+        p0Bp = 1000, p1Bp = 1500)
+    },
     // split-conformal over the trained scorer: train on md5 buckets <8000,
     // q-hat = exact order statistic of |y-score| on the calib slice
     // [8000,9000), coverage audited on the disjoint test slice - the
@@ -3976,6 +3987,36 @@ object SparkEntry {
     "q148_ann_recall" -> annRecallOracle,
     "q161_pq_recall_curve" -> pqRecallCurveOracle,
     "q162_ivfadc" -> ivfAdcOracle,
+    // integer prefix counts -> two constant log increments; min-struct
+    // first crossing, end-of-data fallback
+    "q176_sprt" ->
+      """WITH ev AS (
+        |  SELECT CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS x,
+        |    CAST(ts AS TIMESTAMP) AS ts, event_id
+        |  FROM events),
+        |c AS (
+        |  SELECT row_number() OVER (ORDER BY ts, event_id) AS t,
+        |    sum(x) OVER (ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS k
+        |  FROM ev),
+        |l AS (
+        |  SELECT t, CAST(k AS BIGINT) AS k,
+        |    k * ln(1500.0::DOUBLE / 1000.0::DOUBLE)
+        |      + (t - k) * ln(8500.0::DOUBLE / 9000.0::DOUBLE) AS llr
+        |  FROM c),
+        |cr AS (
+        |  SELECT t, k, llr FROM l
+        |  WHERE llr >= ln(9500.0::DOUBLE / 500.0::DOUBLE)
+        |     OR llr <= ln(500.0::DOUBLE / 9500.0::DOUBLE)
+        |  ORDER BY t LIMIT 1),
+        |e AS (SELECT t, k, llr FROM l ORDER BY t DESC LIMIT 1)
+        |SELECT COALESCE(cr.t, e.t) AS n_obs, COALESCE(cr.k, e.k) AS n_success,
+        |  round(COALESCE(cr.llr, e.llr), 6) AS llr,
+        |  CASE WHEN cr.t IS NULL THEN 'continue'
+        |       WHEN cr.llr >= ln(9500.0::DOUBLE / 500.0::DOUBLE) THEN 'accept_h1'
+        |       ELSE 'accept_h0' END AS decision,
+        |  round(ln(9500.0::DOUBLE / 500.0::DOUBLE), 6) AS upper,
+        |  round(ln(500.0::DOUBLE / 9500.0::DOUBLE), 6) AS lower
+        |FROM e LEFT JOIN cr ON TRUE""".stripMargin,
     // distinct-value spine, cumulative counts, one double division per row
     "q174_ks_drift" ->
       """WITH ev AS (

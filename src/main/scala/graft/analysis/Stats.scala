@@ -170,6 +170,64 @@ object Stats {
     * single aggregate over the key-count-sized frame (catalog-sized, not
     * event-sized). The global rank window is over that aggregated frame
     * only. Output (1 row): n_keys, total, gini (round 6). */
+  /** Wald's SPRT on a Bernoulli stream (Wald 1945) — the SEQUENTIAL member
+    * of the experiment family: [[twoProportionZ]] answers a fixed-horizon
+    * question after the fact; this one monitors the stream as it arrives
+    * and says WHEN the evidence first sufficed. H₀: p = p0 vs H₁: p = p1;
+    * each observation adds one of two constant log-likelihood increments,
+    * so LLR_t = k·ln(p1/p0) + (t−k)·ln((1−p1)/(1−p0)) is a pure function
+    * of the INTEGER prefix counts (t, k) — no running float state, which
+    * is what makes the whole trajectory engine-reproducible. Stop at the
+    * first t where LLR ≥ ln((1−β)/α) (accept H₁) or ≤ ln(β/(1−α))
+    * (accept H₀); otherwise `continue` with the end-of-data state.
+    * Rates and risks arrive in basis points so every logarithm's operand
+    * is a ratio of exact integer-valued doubles.
+    *
+    * Scale shape: one ordered window over the observation stream builds
+    * (t, k); the crossing is a filter + min-struct aggregate. The global
+    * order is per EXPERIMENT — at fleet scale, partition the window by
+    * experiment id; a single experiment's stream is the unit of analysis
+    * by definition. Output (1 row): n_obs, n_success, llr (round 6),
+    * decision, upper (round 6), lower (round 6). */
+  def sprtBernoulli(
+      df: DataFrame,
+      success: Column,
+      tsCol: String,
+      tieCol: String,
+      p0Bp: Int,
+      p1Bp: Int,
+      alphaBp: Int = 500,
+      betaBp: Int = 500): DataFrame = {
+    require(p0Bp > 0 && p0Bp < 10000 && p1Bp > 0 && p1Bp < 10000 && p0Bp != p1Bp,
+      s"need distinct rates in (0,1), got $p0Bp/$p1Bp bp")
+    import org.apache.spark.sql.expressions.Window
+    val lnS = log(lit(p1Bp.toDouble) / lit(p0Bp.toDouble))
+    val lnF = log(lit((10000 - p1Bp).toDouble) / lit((10000 - p0Bp).toDouble))
+    val upper = log(lit((10000 - betaBp).toDouble) / lit(alphaBp.toDouble))
+    val lower = log(lit(betaBp.toDouble) / lit((10000 - alphaBp).toDouble))
+    val ord = Window.orderBy(col(tsCol), col(tieCol))
+    val cum = df
+      .select(success.cast("long").as("x"), col(tsCol), col(tieCol))
+      .withColumn("t", row_number().over(ord))
+      .withColumn("k", sum("x").over(ord.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("llr", col("k") * lnS + (col("t") - col("k")) * lnF)
+      .persist()
+    try {
+      val crossed = cum.filter(col("llr") >= upper || col("llr") <= lower)
+        .agg(min(struct(col("t"), col("k"), col("llr"))).as("c"))
+      val last = cum.agg(max(struct(col("t"), col("k"), col("llr"))).as("e"))
+      last.crossJoin(broadcast(crossed))
+        .select(
+          coalesce(col("c.t"), col("e.t")).as("n_obs"),
+          coalesce(col("c.k"), col("e.k")).as("n_success"),
+          round(coalesce(col("c.llr"), col("e.llr")), 6).as("llr"),
+          when(col("c").isNull, "continue")
+            .when(col("c.llr") >= upper, "accept_h1")
+            .otherwise("accept_h0").as("decision"),
+          round(upper, 6).as("upper"), round(lower, 6).as("lower"))
+    } finally { cum.unpersist(); () }
+  }
+
   def giniConcentration(df: DataFrame, keyCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val counts = df.filter(col(keyCol).isNotNull)

@@ -72,4 +72,21 @@ class StatsSpec extends SparkSpec {
     val withNull = Seq(Some("a"), Some("a"), None, Some("b"), Some("b")).toDF("k")
     assert(Stats.giniConcentration(withNull, "k").collect().head.getLong(1) === 4L)
   }
+
+  test("sprt: symmetric hypotheses decide at |2k-t| >= 3; undecided stream continues") {
+    // p0=.25 vs p1=.75: llr = (2k-t)*ln3, boundary ln19 -> first |2k-t| = 3
+    def stream(xs: Seq[Int]) = xs.zipWithIndex
+      .map { case (x, i) => (i.toLong, x === 1) }.toDF("ts", "hit")
+    def run(xs: Seq[Int]) = Stats.sprtBernoulli(stream(xs), col("hit"),
+      tsCol = "ts", tieCol = "ts", p0Bp = 2500, p1Bp = 7500).collect().head
+    val h1 = run(Seq(1, 1, 1, 0, 0, 0, 0, 0))
+    assert(h1.getString(3) === "accept_h1")
+    assert(h1.getInt(0) === 3 && h1.getLong(1) === 3L) // stopped at t=3, not horizon
+    assert(math.abs(h1.getDouble(2) - 3 * math.log(3.0)) < 1e-6)
+    val h0 = run(Seq(0, 0, 0, 1, 1, 1, 1, 1))
+    assert(h0.getString(3) === "accept_h0" && h0.getInt(0) === 3)
+    val undecided = run(Seq(1, 0, 1, 0, 1, 0))
+    assert(undecided.getString(3) === "continue")
+    assert(undecided.getInt(0) === 6 && undecided.getLong(1) === 3L) // end-of-data state
+  }
 }
