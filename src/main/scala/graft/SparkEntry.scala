@@ -157,6 +157,13 @@ object SparkEntry {
     // quantization noise vs this corpus's near-uniform distance spectrum
     // (measured: recall@10 plateaus ≤0.6 even at 80-bit codes); the
     // re-rank knob decouples recall from bit rate and hits 1.0 here
+    // Okapi BM25: saturated TF + doc-length normalization over the q27
+    // query — corpus stats (N, df, avgdl) ride as plan literals, scoring
+    // is one codegen'd projection, TakeOrdered(k)
+    "q177_bm25" -> { (s, d) =>
+      graft.analysis.SearchRank.bm25(TestData.documents(s, d),
+        terms = Seq("spark", "query", "hash"), k = 20)
+    },
     // Wald SPRT: sequential purchase-rate test H0 p=.10 vs H1 p=.15 over
     // the ts-ordered stream — LLR is a pure function of integer prefix
     // counts, decision at the first boundary crossing (q96's sequential
@@ -3987,6 +3994,38 @@ object SparkEntry {
     "q148_ann_recall" -> annRecallOracle,
     "q161_pq_recall_curve" -> pqRecallCurveOracle,
     "q162_ivfadc" -> ivfAdcOracle,
+    // q27's stats subqueries + avgdl; per-term Lucene-idf BM25 terms
+    // summed in fixed order
+    "q177_bm25" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')), ' ') AS t
+        |  FROM documents),
+        |stats AS (SELECT
+        |  (SELECT count(*) FROM documents) AS n,
+        |  (SELECT sum(CAST(len(list_filter(t, x -> x <> '')) AS DOUBLE)) FROM toks)
+        |    / (SELECT count(*) FROM toks) AS avgdl,
+        |  (SELECT count(*) FROM toks WHERE list_contains(list_distinct(t), 'spark')) AS df_spark,
+        |  (SELECT count(*) FROM toks WHERE list_contains(list_distinct(t), 'query')) AS df_query,
+        |  (SELECT count(*) FROM toks WHERE list_contains(list_distinct(t), 'hash')) AS df_hash),
+        |scored AS (
+        |  SELECT doc_id,
+        |    round(
+        |      ln((n - df_spark + 0.5) / (df_spark + 0.5) + 1.0::DOUBLE)
+        |        * (CAST(len(list_filter(t, x -> x = 'spark')) AS DOUBLE) * 2.2::DOUBLE)
+        |        / (CAST(len(list_filter(t, x -> x = 'spark')) AS DOUBLE)
+        |           + 1.2::DOUBLE * ((1.0::DOUBLE - 0.75::DOUBLE) + 0.75::DOUBLE * CAST(len(list_filter(t, x -> x <> '')) AS DOUBLE) / avgdl))
+        |      + ln((n - df_query + 0.5) / (df_query + 0.5) + 1.0::DOUBLE)
+        |        * (CAST(len(list_filter(t, x -> x = 'query')) AS DOUBLE) * 2.2::DOUBLE)
+        |        / (CAST(len(list_filter(t, x -> x = 'query')) AS DOUBLE)
+        |           + 1.2::DOUBLE * ((1.0::DOUBLE - 0.75::DOUBLE) + 0.75::DOUBLE * CAST(len(list_filter(t, x -> x <> '')) AS DOUBLE) / avgdl))
+        |      + ln((n - df_hash + 0.5) / (df_hash + 0.5) + 1.0::DOUBLE)
+        |        * (CAST(len(list_filter(t, x -> x = 'hash')) AS DOUBLE) * 2.2::DOUBLE)
+        |        / (CAST(len(list_filter(t, x -> x = 'hash')) AS DOUBLE)
+        |           + 1.2::DOUBLE * ((1.0::DOUBLE - 0.75::DOUBLE) + 0.75::DOUBLE * CAST(len(list_filter(t, x -> x <> '')) AS DOUBLE) / avgdl)), 4) AS score
+        |  FROM toks CROSS JOIN stats)
+        |SELECT doc_id, score FROM scored WHERE score > 0
+        |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
     // integer prefix counts -> two constant log increments; min-struct
     // first crossing, end-of-data fallback
     "q176_sprt" ->

@@ -62,6 +62,54 @@ object SearchRank {
     (row.getAs[Long]("n"), terms.map(t => t -> row.getAs[Long](s"df_$t")).toMap)
   }
 
+  /** Okapi BM25 top-k (Robertson & Zaragoza 2009) — the length-normalized
+    * upgrade of [[search]]'s raw TF×IDF: term frequency saturates
+    * (tf·(k1+1)/(tf+k1·norm)) so a keyword-stuffed doc can't win on
+    * repetition alone, and the norm term (1−b+b·dl/avgdl) discounts long
+    * documents, which raw TF×IDF systematically over-ranks. The Lucene
+    * `+1` idf form keeps every term contribution positive.
+    *
+    * Scale shape: corpus statistics (N, per-term df, avgdl) come from ONE
+    * aggregate (model-sized — the query's terms are a literal list) and
+    * return to the driver as plan literals; scoring is a single codegen'd
+    * projection with the tokenizer let-bound once (the q27 lesson), then
+    * TakeOrdered(k). The corpus never shuffles.
+    * Output: doc_id, score (round 4), top-k by (score desc, id). */
+  def bm25(
+      docs: DataFrame,
+      terms: Seq[String],
+      k: Int = 20,
+      k1: Double = 1.2,
+      b: Double = 0.75,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    require(terms.nonEmpty)
+    val (n, dfs) = corpusStats(docs, terms, textCol)
+    val dlCol = coalesce(size(array_remove(TextAnalysis.tokens(col(textCol)), "")), lit(0))
+    val avgdl = docs.agg(
+        sum(dlCol.cast(DoubleType)).as("tt"), count(lit(1)).as("nd"))
+      .select((col("tt") / col("nd")).as("avgdl"))
+      .collect().head.getDouble(0)
+    val toks = TextAnalysis.tokens(col(textCol))
+    val score: Column = element_at(
+      transform(array(toks), tks => {
+        val dl = size(filter(tks, x => x =!= "")).cast(DoubleType)
+        val norm = lit(1.0 - b) + lit(b) * dl / lit(avgdl)
+        terms.map { t =>
+          val d = dfs(t).toDouble
+          val idf = log((lit(n - d + 0.5) / lit(d + 0.5)) + lit(1.0))
+          val tf = size(filter(tks, x => x === t)).cast(DoubleType)
+          idf * (tf * lit(k1 + 1.0)) / (tf + lit(k1) * norm)
+        }.reduce(_ + _)
+      }),
+      1)
+    docs
+      .select(col(idCol), round(score, 4).as("score"))
+      .filter(col("score") > 0)
+      .orderBy(desc("score"), col(idCol))
+      .limit(k)
+  }
+
   /** Top-k documents for a bag-of-terms query. Output: doc_id, score
     * (rounded), per-term hit count columns omitted by design — callers
     * wanting explanations can recompute tf cheaply. */

@@ -93,4 +93,18 @@ class SearchRankSpec extends SparkSpec {
     val p = SearchRank.rankingMetrics(ranking, Seq(1L).toDF("doc"), k = 10).collect().head
     assert(p.getDouble(2) === 1.0 && p.getDouble(3) === 1.0)
   }
+
+  test("bm25: tf saturation + rare-term idf outrank keyword stuffing; hand-computed score") {
+    val docs = Seq(
+      (1L, "spark spark spark"),   // stuffed: one common term repeated
+      (2L, "spark query"),         // covers the rare term too
+      (3L, "other words here")     // no query terms: excluded
+    ).toDF("doc_id", "text")
+    val out = SearchRank.bm25(docs, terms = Seq("spark", "query"), k = 10)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1))
+    assert(out.map(_._1).toSeq === Seq(2L, 1L)) // saturation beats repetition
+    // d1 by hand: idf=ln(1.6), tf=3, dl=3, avgdl=8/3 -> norm=1.09375
+    val d1 = math.log(1.6) * (3.0 * 2.2) / (3.0 + 1.2 * (0.25 + 0.75 * 3.0 / (8.0 / 3.0)))
+    assert(out.toMap.apply(1L) === math.rint(d1 * 10000) / 10000)
+  }
 }
