@@ -415,6 +415,19 @@ class DedupSpec extends SparkSpec {
     assert(textOnly.isNullAt(3)) // no cosine on the text-only row
   }
 
+  test("ensemble clusters: a chain spanning modalities merges into one dup group") {
+    // text sees 1~2, embeddings see 2~3: neither signal alone connects 1 to
+    // 3, the union's transitive closure does
+    val tp = Seq((1L, 2L)).toDF("doc_a", "doc_b")
+    val ep = Seq((2L, 3L)).toDF("doc_a", "doc_b")
+    val docs = (1L to 4L).map(Tuple1(_)).toDF("doc_id")
+    val out = Dedup.dedupClusters(tp.unionByName(ep).distinct(), docs)
+      .orderBy("doc_id").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    assert(out(1L) === ((1L, true)) && out(2L) === ((1L, false)) && out(3L) === ((1L, false)))
+    assert(out(4L) === ((4L, true))) // untouched singleton keeps itself
+  }
+
   test("source overlap: shared shingles per source pair, overlap vs smaller side, sparse") {
     // s1 and s2 share the shingle "a b c d e"; s3 is disjoint and absent
     val docs = Seq(
