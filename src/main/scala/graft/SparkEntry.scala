@@ -157,6 +157,17 @@ object SparkEntry {
     // quantization noise vs this corpus's near-uniform distance spectrum
     // (measured: recall@10 plateaus ≤0.6 even at 80-bit codes); the
     // re-rank knob decouples recall from bit rate and hits 1.0 here
+    // incremental source-overlap (q118's top-decile split): the batch
+    // tokenizes only itself, artifacts merge by distinct-union, and the
+    // LAW gate is q168's whole-corpus SQL verbatim — increment ≡ rebuild
+    "q179_source_overlap_increment" -> { (s, d) =>
+      val docs = TestData.documents(s, d)
+      val cut = docs.agg(max("doc_id")).collect().head.getLong(0) * 9 / 10
+      val stored = Dedup.sourceOverlapArtifact(docs.filter(col("doc_id") <= cut))
+      val fresh = Dedup.sourceOverlapArtifact(docs.filter(col("doc_id") > cut))
+      Dedup.sourceOverlapFromArtifact(stored.unionByName(fresh).distinct())
+        .orderBy("source_a", "source_b")
+    },
     // ensemble dedup clusters: connected components over the UNION of the
     // text (MinHash) and embedding (cosine) pair feeds — the transitive
     // closure of q172's agreement matrix; one dup group per real entity
@@ -4007,6 +4018,26 @@ object SparkEntry {
     "q148_ann_recall" -> annRecallOracle,
     "q161_pq_recall_curve" -> pqRecallCurveOracle,
     "q162_ivfadc" -> ivfAdcOracle,
+    // THE LAW: the increment must equal the whole-corpus rebuild — q168's
+    // SQL verbatim
+    "q179_source_overlap_increment" ->
+      """WITH t AS (
+        |  SELECT source, string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')), ' ') AS tk
+        |  FROM documents),
+        |f AS (
+        |  SELECT DISTINCT source AS src, md5(g) AS fp FROM (
+        |    SELECT source, unnest(list_transform(range(len(tk) - 4),
+        |      i -> tk[i+1]||' '||tk[i+2]||' '||tk[i+3]||' '||tk[i+4]||' '||tk[i+5])) AS g
+        |    FROM t WHERE len(tk) >= 5)),
+        |per AS (SELECT src, count(*) AS n FROM f GROUP BY 1),
+        |sh AS (
+        |  SELECT a.src AS source_a, b.src AS source_b, count(*) AS n_shared
+        |  FROM f a JOIN f b ON a.fp = b.fp AND a.src < b.src
+        |  GROUP BY 1, 2)
+        |SELECT source_a, source_b, n_shared, pa.n AS n_a, pb.n AS n_b,
+        |  round(n_shared::DOUBLE / least(pa.n, pb.n)::DOUBLE, 6) AS overlap
+        |FROM sh JOIN per pa ON pa.src = source_a JOIN per pb ON pb.src = source_b
+        |ORDER BY source_a, source_b""".stripMargin,
     // q31's minhash pairs UNION q38's cosine pairs -> q49's recursive
     // transitive closure over document ids
     "q178_ensemble_clusters" ->

@@ -874,13 +874,31 @@ object Dedup {
       docs: DataFrame,
       n: Int = 5,
       textCol: String = "text",
-      sourceCol: String = "source"): DataFrame = {
-    val fps = docs
+      sourceCol: String = "source"): DataFrame =
+    sourceOverlapFromArtifact(sourceOverlapArtifact(docs, n, textCol, sourceCol))
+
+  /** The matrix's mergeable artifact: distinct 〈shingle-md5, source〉
+    * tuples. Distinct-union is the merge — artifact(c ∪ b) =
+    * distinct(artifact(c) ∪ artifact(b)) by construction, which is what
+    * makes the overlap matrix INCREMENTAL: a daily batch tokenizes only
+    * itself, and the stored artifact never rescans
+    * ([[DedupSpec]] pins the law; q179 gates the increment against the
+    * whole-corpus rebuild). */
+  def sourceOverlapArtifact(
+      docs: DataFrame,
+      n: Int = 5,
+      textCol: String = "text",
+      sourceCol: String = "source"): DataFrame =
+    docs
       .select(col(sourceCol).as("src"),
         explode(shingleSet(col(textCol), n)).as("g"))
       .select(col("src"), md5(col("g")).as("fp"))
       .distinct()
-      .persist()
+
+  /** The pair-join/coefficient tail of [[sourceOverlap]] over a
+    * pre-built (possibly merged) artifact. */
+  def sourceOverlapFromArtifact(artifact: DataFrame): DataFrame = {
+    val fps = artifact.persist()
     try {
       val per = fps.groupBy("src").agg(count(lit(1)).as("n"))
       val shared = fps.as("a")

@@ -448,5 +448,14 @@ class DedupSpec extends SparkSpec {
     ).toDF("doc_id", "text", "source")
     val c = Dedup.sourceOverlap(contained, n = 5).collect().head
     assert(c.getAs[Double]("overlap") === 1.0)
+    // incremental law: distinct-union of split artifacts = whole rebuild
+    val merged = Dedup.sourceOverlapFromArtifact(
+      Dedup.sourceOverlapArtifact(docs.filter($"doc_id" <= 1L))
+        .unionByName(Dedup.sourceOverlapArtifact(docs.filter($"doc_id" > 1L)))
+        .distinct())
+      .orderBy("source_a", "source_b").collect()
+    val whole = Dedup.sourceOverlap(docs, n = 5)
+      .orderBy("source_a", "source_b").collect()
+    assert(merged.map(_.toSeq).toSeq === whole.map(_.toSeq).toSeq)
   }
 }
