@@ -157,6 +157,14 @@ object SparkEntry {
     // quantization noise vs this corpus's near-uniform distance spectrum
     // (measured: recall@10 plateaus ≤0.6 even at 80-bit codes); the
     // re-rank knob decouples recall from bit rate and hits 1.0 here
+    // LSH S-curve validation on a 20% doc sample: empirical candidate
+    // rate per jaccard decile next to the theoretical 1-(1-j^4)^4 —
+    // the b/r recall-cost dial as a measured operating point
+    "q180_lsh_tuning" -> { (s, d) =>
+      Dedup.lshTuningCurve(
+          TestData.documents(s, d).filter(col("doc_id") % 3 === 0))
+        .orderBy("decile")
+    },
     // incremental source-overlap (q118's top-decile split): the batch
     // tokenizes only itself, artifacts merge by distinct-union, and the
     // LAW gate is q168's whole-corpus SQL verbatim — increment ≡ rebuild
@@ -4018,6 +4026,40 @@ object SparkEntry {
     "q148_ann_recall" -> annRecallOracle,
     "q161_pq_recall_curve" -> pqRecallCurveOracle,
     "q162_ivfadc" -> ivfAdcOracle,
+    // q31's sig/band CTEs on the sample + all-pairs exact jaccard ->
+    // decile aggregate beside the closed-form s-curve
+    "q180_lsh_tuning" ->
+      """WITH toks AS (
+        |  SELECT doc_id AS id,
+        |    string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')), ' ') AS t
+        |  FROM documents WHERE doc_id % 3 = 0),
+        |sets AS (
+        |  SELECT id, list_distinct(list_transform(range(len(t) - 2), i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])) AS sh
+        |  FROM toks WHERE len(t) >= 3),
+        |sigs AS (
+        |  SELECT id, sh,
+        |    list_transform(range(16), i -> list_min(list_transform(sh, s -> md5(i::VARCHAR || '|' || s)))) AS sig
+        |  FROM sets),
+        |bands AS (
+        |  SELECT id, b AS band_id, md5(array_to_string(sig[b*4+1:b*4+4], ',')) AS band_hash
+        |  FROM sigs CROSS JOIN (VALUES (0), (1), (2), (3)) AS bl(b)),
+        |cand AS (
+        |  SELECT DISTINCT x.id AS a, y.id AS b
+        |  FROM bands x JOIN bands y
+        |    ON x.band_id = y.band_id AND x.band_hash = y.band_hash AND x.id < y.id),
+        |pairs AS (
+        |  SELECT x.id AS a, y.id AS b,
+        |    CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+        |      / CAST(len(list_distinct(list_concat(x.sh, y.sh))) AS DOUBLE) AS j
+        |  FROM sets x JOIN sets y ON x.id < y.id),
+        |dd AS (
+        |  SELECT CAST(least(floor(j * 10), 9) AS INT) AS decile,
+        |    CASE WHEN cand.a IS NOT NULL THEN 1 ELSE 0 END AS c
+        |  FROM pairs LEFT JOIN cand USING (a, b))
+        |SELECT decile, count(*) AS n_pairs, CAST(sum(c) AS BIGINT) AS n_candidates,
+        |  round(sum(c)::DOUBLE / count(*)::DOUBLE, 6) AS emp_rate,
+        |  round(1.0::DOUBLE - power(1.0::DOUBLE - power(decile::DOUBLE / 10.0::DOUBLE + 0.05::DOUBLE, 4), 4), 6) AS theo_rate
+        |FROM dd GROUP BY decile ORDER BY decile""".stripMargin,
     // THE LAW: the increment must equal the whole-corpus rebuild — q168's
     // SQL verbatim
     "q179_source_overlap_increment" ->

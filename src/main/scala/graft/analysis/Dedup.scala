@@ -829,6 +829,64 @@ object Dedup {
       .select(col("span_fp"), col("n_docs"), col("n_occurrences"),
         col("loc.doc_id").as("first_doc"), col("loc.start").cast(IntegerType).as("first_start"))
 
+  /** LSH S-curve validation — the tuning report behind every banded-LSH
+    * threshold choice: for each Jaccard decile, the EMPIRICAL fraction of
+    * pairs that became band candidates next to the THEORETICAL collision
+    * probability 1−(1−j^r)^b at the decile midpoint. The (bands, rows)
+    * config is a recall/cost dial set by staring at exactly this curve;
+    * shipping the curve as an operator turns "we picked b=4, r=4" from
+    * folklore into a measured operating point (the q148/q161 honesty
+    * pattern applied to dedup).
+    *
+    * Pairs are exact all-pairs over a CALLER-SAMPLED doc subset — this is
+    * the quarantined oracle-baseline side (same status as q38/q49's exact
+    * feeds); the curve needs low-similarity pairs, which the banded
+    * generator by design never yields, so sampling, not banding, is the
+    * scale path here (a few thousand sampled docs pin the curve at any
+    * corpus size). Output per non-empty decile: decile, n_pairs,
+    * n_candidates, emp_rate (round 6), theo_rate (round 6). */
+  def lshTuningCurve(
+      docs: DataFrame,
+      n: Int = 3,
+      bands: Int = 4,
+      rowsPerBand: Int = 4,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val k = bands * rowsPerBand
+    val base = docs
+      .select(col(idCol).as("id"), shingleSet(col(textCol), n).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .withColumn("sig", minhashSignature(col("sh"), k))
+      .persist()
+    try {
+      val cand = base.select(col("id"),
+          explode(lshBandHashes(col("sig"), bands, rowsPerBand)).as("b"))
+        .select(col("id"), col("b.band_id"), col("b.band_hash"))
+      val candPairs = cand.as("x").join(cand.as("y"),
+          col("x.band_id") === col("y.band_id") &&
+            col("x.band_hash") === col("y.band_hash") &&
+            col("x.id") < col("y.id"))
+        .select(col("x.id").as("a"), col("y.id").as("b")).distinct()
+        .withColumn("is_cand", lit(1L))
+      val pairs = base.as("x").join(base.as("y"), col("x.id") < col("y.id"))
+        .select(col("x.id").as("a"), col("y.id").as("b"),
+          (size(array_intersect(col("x.sh"), col("y.sh"))).cast(DoubleType) /
+            size(array_union(col("x.sh"), col("y.sh"))).cast(DoubleType)).as("j"))
+      val mid = (col("decile").cast(DoubleType) / 10.0) + lit(0.05)
+      pairs
+        .join(candPairs, Seq("a", "b"), "left")
+        .select(least(floor(col("j") * 10), lit(9)).cast("int").as("decile"),
+          coalesce(col("is_cand"), lit(0L)).as("c"))
+        .groupBy("decile")
+        .agg(count(lit(1)).as("n_pairs"), sum("c").as("n_candidates"))
+        .select(col("decile"), col("n_pairs"), col("n_candidates"),
+          round(col("n_candidates").cast(DoubleType) / col("n_pairs").cast(DoubleType), 6)
+            .as("emp_rate"),
+          round(lit(1.0) - pow(lit(1.0) - pow(mid, rowsPerBand), bands), 6)
+            .as("theo_rate"))
+    } finally { base.unpersist(); () }
+  }
+
   /** Ensemble dedup signals: the text view (MinHash-verified Jaccard
     * pairs) FULL-OUTER-joined with the embedding view (cosine pairs) —
     * the precision/recall dial every production dedup ends up needing.

@@ -415,6 +415,23 @@ class DedupSpec extends SparkSpec {
     assert(textOnly.isNullAt(3)) // no cosine on the text-only row
   }
 
+  test("lsh tuning curve: identical pair always collides, disjoint never, theo matches closed form") {
+    val docs = Seq(
+      (1L, "a b c d e f g h i j k l"),
+      (2L, "a b c d e f g h i j k l"),   // identical: j=1, decile 9
+      (3L, "z y x w v u t s r q p o")    // disjoint from both: j=0, decile 0
+    ).toDF("doc_id", "text")
+    val out = Dedup.lshTuningCurve(docs).orderBy("decile").collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))))
+      .toMap
+    // decile 0: the two disjoint pairs; banding never collides them
+    assert(out(0)._1 === 2L && out(0)._2 === 0L && out(0)._3 === 0.0)
+    // decile 9: the identical pair; identical signatures always collide
+    assert(out(9) === ((1L, 1L, 1.0, 0.998816)))
+    // theoretical curve at the decile-0 midpoint: 1-(1-0.05^4)^4
+    assert(out(0)._4 === math.rint((1.0 - math.pow(1.0 - math.pow(0.05, 4), 4)) * 1e6) / 1e6)
+  }
+
   test("ensemble clusters: a chain spanning modalities merges into one dup group") {
     // text sees 1~2, embeddings see 2~3: neither signal alone connects 1 to
     // 3, the union's transitive closure does
