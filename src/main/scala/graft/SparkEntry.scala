@@ -176,6 +176,20 @@ object SparkEntry {
       Dedup.sourceOverlapFromArtifact(stored.unionByName(fresh).distinct())
         .orderBy("source_a", "source_b")
     },
+    // soft dedup: every member of an ensemble dup cluster keeps weight
+    // 1/|cluster| — one document's worth of gradient per cluster without
+    // deleting anything; composes q178's closure with one grouped count
+    "q181_dedup_weights" -> { (s, d) =>
+      val docs = TestData.documents(s, d)
+      val tp = Dedup.minhashNearDupPairs(docs).select("doc_a", "doc_b")
+      val ep = Similarity.embeddingNearDupPairsExact(
+          TestData.embeddings(s, d), minCosine = 0.4)
+        .select("doc_a", "doc_b")
+      Dedup.dedupWeights(
+          Dedup.dedupClusters(tp.unionByName(ep).distinct(),
+            docs.select(col("doc_id"))))
+        .orderBy("doc_id")
+    },
     // ensemble dedup clusters: connected components over the UNION of the
     // text (MinHash) and embedding (cosine) pair feeds — the transitive
     // closure of q172's agreement matrix; one dup group per real entity
@@ -4080,6 +4094,55 @@ object SparkEntry {
         |  round(n_shared::DOUBLE / least(pa.n, pb.n)::DOUBLE, 6) AS overlap
         |FROM sh JOIN per pa ON pa.src = source_a JOIN per pb ON pb.src = source_b
         |ORDER BY source_a, source_b""".stripMargin,
+    // q178's recursive closure + the 1/|cluster| weight tail
+    "q181_dedup_weights" ->
+      """WITH RECURSIVE toks AS (
+        |  SELECT doc_id AS id,
+        |    string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')), ' ') AS t
+        |  FROM documents),
+        |sets AS (
+        |  SELECT id, list_distinct(list_transform(range(len(t) - 2), i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])) AS sh
+        |  FROM toks WHERE len(t) >= 3),
+        |sigs AS (
+        |  SELECT id, sh,
+        |    list_transform(range(16), i -> list_min(list_transform(sh, s -> md5(i::VARCHAR || '|' || s)))) AS sig
+        |  FROM sets),
+        |bands AS (
+        |  SELECT id, b AS band_id, md5(array_to_string(sig[b*4+1:b*4+4], ',')) AS band_hash
+        |  FROM sigs CROSS JOIN (VALUES (0), (1), (2), (3)) AS bl(b)),
+        |cand AS (
+        |  SELECT DISTINCT x.id AS doc_a, y.id AS doc_b
+        |  FROM bands x JOIN bands y
+        |    ON x.band_id = y.band_id AND x.band_hash = y.band_hash AND x.id < y.id),
+        |tp AS (
+        |  SELECT doc_a, doc_b FROM (
+        |    SELECT doc_a, doc_b,
+        |      CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) / len(list_distinct(list_concat(sa.sh, sb.sh))) AS j
+        |    FROM cand JOIN sets sa ON doc_a = sa.id JOIN sets sb ON doc_b = sb.id)
+        |  WHERE j >= 0.8),
+        |ep AS (
+        |  SELECT x.vec_id AS doc_a, y.vec_id AS doc_b
+        |  FROM embeddings x JOIN embeddings y ON x.vec_id < y.vec_id
+        |  WHERE list_sum(list_transform(range(1, len(x.embedding) + 1),
+        |        i -> CAST(x.embedding[i] AS DOUBLE) * CAST(y.embedding[i] AS DOUBLE)))
+        |      / (sqrt(list_sum(list_transform(range(1, len(x.embedding) + 1),
+        |            i -> CAST(x.embedding[i] AS DOUBLE) * CAST(x.embedding[i] AS DOUBLE))))
+        |         * sqrt(list_sum(list_transform(range(1, len(y.embedding) + 1),
+        |            i -> CAST(y.embedding[i] AS DOUBLE) * CAST(y.embedding[i] AS DOUBLE)))))
+        |        >= 0.4),
+        |pairs AS (SELECT doc_a, doc_b FROM tp UNION SELECT doc_a, doc_b FROM ep),
+        |sym AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+        |        UNION SELECT doc_b AS a, doc_a AS b FROM pairs),
+        |reach(id, r) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT reach.id, sym.b FROM reach JOIN sym ON sym.a = reach.r),
+        |cl AS (
+        |  SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id),
+        |sz AS (SELECT cluster_id, count(*) AS n_members FROM cl GROUP BY 1)
+        |SELECT doc_id, cluster_id, n_members,
+        |  round(1.0::DOUBLE / n_members::DOUBLE, 6) AS weight
+        |FROM cl JOIN sz USING (cluster_id) ORDER BY doc_id""".stripMargin,
     // q31's minhash pairs UNION q38's cosine pairs -> q49's recursive
     // transitive closure over document ids
     "q178_ensemble_clusters" ->

@@ -829,6 +829,26 @@ object Dedup {
       .select(col("span_fp"), col("n_docs"), col("n_occurrences"),
         col("loc.doc_id").as("first_doc"), col("loc.start").cast(IntegerType).as("first_start"))
 
+  /** Duplicate-aware loss weights — SOFT dedup: instead of deleting the
+    * losers of a dup cluster, every member keeps weight 1/|cluster| so the
+    * cluster contributes one document's worth of gradient in total. The
+    * standard alternative when hard removal is too aggressive (legitimate
+    * templates, quotations) or when reproducibility demands keeping the
+    * corpus intact; downstream trainers consume the weight column
+    * directly. Composes over any cluster assignment —
+    * [[dedupClusters]] over any pair feed (exact, banded, ensemble).
+    *
+    * Scale shape: one grouped count over the assignment joined back by the
+    * cluster key — both frames 〈id, cluster〉-narrow.
+    * Output: idCol, cluster_id, n_members, weight (round 6). */
+  def dedupWeights(clusters: DataFrame, idCol: String = "doc_id"): DataFrame = {
+    val sizes = clusters.groupBy("cluster_id").agg(count(lit(1)).as("n_members"))
+    clusters.select(col(idCol), col("cluster_id"))
+      .join(sizes, "cluster_id")
+      .select(col(idCol), col("cluster_id"), col("n_members"),
+        round(lit(1.0) / col("n_members").cast(DoubleType), 6).as("weight"))
+  }
+
   /** LSH S-curve validation — the tuning report behind every banded-LSH
     * threshold choice: for each Jaccard decile, the EMPIRICAL fraction of
     * pairs that became band candidates next to the THEORETICAL collision

@@ -432,6 +432,19 @@ class DedupSpec extends SparkSpec {
     assert(out(0)._4 === math.rint((1.0 - math.pow(1.0 - math.pow(0.05, 4), 4)) * 1e6) / 1e6)
   }
 
+  test("dedup weights: 1/|cluster| per member, total gradient mass = one doc per cluster") {
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("doc_a", "doc_b")
+    val docs = (1L to 5L).map(Tuple1(_)).toDF("doc_id")
+    val out = Dedup.dedupWeights(Dedup.dedupClusters(pairs, docs))
+      .orderBy("doc_id").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getDouble(3)))).toMap
+    Seq(1L, 2L, 3L).foreach(id => assert(out(id) === ((3L, 0.333333))))
+    Seq(4L, 5L).foreach(id => assert(out(id) === ((1L, 1.0))))
+    // mass check: clusters contribute one doc each
+    val mass = out.values.map(_._2).sum
+    assert(math.abs(mass - 3.0) < 1e-4) // 1 big cluster + 2 singletons
+  }
+
   test("ensemble clusters: a chain spanning modalities merges into one dup group") {
     // text sees 1~2, embeddings see 2~3: neither signal alone connects 1 to
     // 3, the union's transitive closure does
