@@ -4040,8 +4040,8 @@ object SparkEntry {
     "q148_ann_recall" -> annRecallOracle,
     "q161_pq_recall_curve" -> pqRecallCurveOracle,
     "q162_ivfadc" -> ivfAdcOracle,
-    // q31's sig/band CTEs on the sample + all-pairs exact jaccard ->
-    // decile aggregate beside the closed-form s-curve
+    // q31's sig/band CTEs on the sample + inverted-index exact jaccard;
+    // zero-overlap mass lands in decile 0 arithmetically
     "q180_lsh_tuning" ->
       """WITH toks AS (
         |  SELECT doc_id AS id,
@@ -4061,19 +4061,38 @@ object SparkEntry {
         |  SELECT DISTINCT x.id AS a, y.id AS b
         |  FROM bands x JOIN bands y
         |    ON x.band_id = y.band_id AND x.band_hash = y.band_hash AND x.id < y.id),
-        |pairs AS (
-        |  SELECT x.id AS a, y.id AS b,
-        |    CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
-        |      / CAST(len(list_distinct(list_concat(x.sh, y.sh))) AS DOUBLE) AS j
-        |  FROM sets x JOIN sets y ON x.id < y.id),
-        |dd AS (
-        |  SELECT CAST(least(floor(j * 10), 9) AS INT) AS decile,
+        |sz AS (SELECT id, len(sh) AS sz FROM sets),
+        |inv AS (SELECT id, unnest(sh) AS g FROM sets),
+        |cm AS (
+        |  SELECT x.id AS a, y.id AS b, count(*) AS common
+        |  FROM inv x JOIN inv y ON x.g = y.g AND x.id < y.id
+        |  GROUP BY 1, 2),
+        |sc AS (
+        |  SELECT a, b,
+        |    CAST(common AS DOUBLE) / CAST(sa.sz + sb.sz - common AS DOUBLE) AS j
+        |  FROM cm JOIN sz sa ON a = sa.id JOIN sz sb ON b = sb.id),
+        |po AS (
+        |  SELECT CASE WHEN sc.j IS NULL THEN 0
+        |              ELSE CAST(least(floor(sc.j * 10), 9) AS INT) END AS decile,
         |    CASE WHEN cand.a IS NOT NULL THEN 1 ELSE 0 END AS c
-        |  FROM pairs LEFT JOIN cand USING (a, b))
-        |SELECT decile, count(*) AS n_pairs, CAST(sum(c) AS BIGINT) AS n_candidates,
-        |  round(sum(c)::DOUBLE / count(*)::DOUBLE, 6) AS emp_rate,
+        |  FROM sc FULL OUTER JOIN cand USING (a, b)),
+        |g AS (
+        |  SELECT decile, count(*) AS n_seen, CAST(sum(c) AS BIGINT) AS n_candidates
+        |  FROM po GROUP BY 1),
+        |tots AS (
+        |  SELECT (SELECT count(*) FROM sets) * ((SELECT count(*) FROM sets) - 1) // 2
+        |    - COALESCE((SELECT sum(n_seen) FROM g), 0) AS unseen),
+        |spine AS (SELECT 0 AS decile UNION SELECT decile FROM g),
+        |adj AS (
+        |  SELECT spine.decile,
+        |    COALESCE(g.n_seen, 0)
+        |      + CASE WHEN spine.decile = 0 THEN unseen ELSE 0 END AS n_pairs,
+        |    COALESCE(g.n_candidates, 0) AS n_candidates
+        |  FROM spine LEFT JOIN g USING (decile) CROSS JOIN tots)
+        |SELECT decile, n_pairs, n_candidates,
+        |  round(n_candidates::DOUBLE / n_pairs::DOUBLE, 6) AS emp_rate,
         |  round(1.0::DOUBLE - power(1.0::DOUBLE - power(decile::DOUBLE / 10.0::DOUBLE + 0.05::DOUBLE, 4), 4), 6) AS theo_rate
-        |FROM dd GROUP BY decile ORDER BY decile""".stripMargin,
+        |FROM adj WHERE n_pairs > 0 ORDER BY decile""".stripMargin,
     // THE LAW: the increment must equal the whole-corpus rebuild — q168's
     // SQL verbatim
     "q179_source_overlap_increment" ->
