@@ -157,6 +157,14 @@ object SparkEntry {
     // quantization noise vs this corpus's near-uniform distance spectrum
     // (measured: recall@10 plateaus ≤0.6 even at 80-bit codes); the
     // re-rank knob decouples recall from bit rate and hits 1.0 here
+    // the final training manifest: epoch copies expanded to rows, each at
+    // a deterministic md5(id|copy|seed) shuffle position — reproducible
+    // global order with no RNG state; distributed rank via the q95 recipe
+    "q182_training_order" -> { (s, d) =>
+      graft.analysis.CorpusPrep.trainingOrder(TestData.documents(s, d),
+          maxEpochsBp = 10500, seed = "ep1")
+        .orderBy("global_rank")
+    },
     // LSH S-curve validation on a 20% doc sample: empirical candidate
     // rate per jaccard decile next to the theoretical 1-(1-j^4)^4 —
     // the b/r recall-cost dial as a measured operating point
@@ -4040,6 +4048,54 @@ object SparkEntry {
     "q148_ann_recall" -> annRecallOracle,
     "q161_pq_recall_curve" -> pqRecallCurveOracle,
     "q162_ivfadc" -> ivfAdcOracle,
+    // q173's chain + copy expansion + md5-keyed global order
+    "q182_training_order" ->
+      """WITH d AS (
+        |  SELECT source,
+        |    COALESCE(len(list_filter(string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')), ' '), x -> x <> '')), 0) AS n_tok
+        |  FROM documents),
+        |ps AS (SELECT source, CAST(sum(n_tok) AS BIGINT) AS n_tokens FROM d GROUP BY 1),
+        |t AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS b, count(*) AS s FROM ps),
+        |rk AS (
+        |  SELECT source, n_tokens, (n_tokens * 10500) // 10000 AS cap,
+        |    row_number() OVER (ORDER BY (n_tokens * 10500) // 10000, source) AS rn,
+        |    COALESCE(sum((n_tokens * 10500) // 10000) OVER (
+        |      ORDER BY (n_tokens * 10500) // 10000, source
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prefix
+        |  FROM ps),
+        |lv AS (
+        |  SELECT rk.*, (b - prefix)::DOUBLE / (s - rn + 1)::DOUBLE AS lvl
+        |  FROM rk CROSS JOIN t),
+        |sel AS (SELECT min(rn) AS istar FROM lv WHERE lvl <= cap::DOUBLE),
+        |al AS (
+        |  SELECT source, n_tokens,
+        |    CASE WHEN (SELECT istar FROM sel) IS NULL
+        |           OR rn < (SELECT istar FROM sel) THEN cap::DOUBLE
+        |         ELSE (SELECT lvl FROM lv WHERE rn = (SELECT istar FROM sel)) END AS alloc_raw
+        |  FROM lv),
+        |g AS (
+        |  SELECT source,
+        |    CAST(floor(epochs) AS INT) AS full_copies,
+        |    CAST(floor(epochs * 10000) - floor(epochs) * 10000 AS INT) AS frac_bp
+        |  FROM (SELECT source,
+        |          CASE WHEN n_tokens > 0
+        |            THEN round(alloc_raw / n_tokens::DOUBLE, 6) END AS epochs
+        |        FROM al)),
+        |mf AS (
+        |  SELECT doc.doc_id, doc.source,
+        |    full_copies + CASE WHEN ('0x' || substr(md5(doc.doc_id::VARCHAR || '|epoch'), 1, 8))::BIGINT % 10000 < frac_bp
+        |      THEN 1 ELSE 0 END AS n_copies
+        |  FROM documents doc JOIN g USING (source)),
+        |ex AS (
+        |  SELECT doc_id, source, CAST(unnest(range(1, n_copies + 1)) AS INT) AS copy
+        |  FROM mf WHERE n_copies > 0),
+        |kk AS (
+        |  SELECT doc_id, source, copy,
+        |    md5(doc_id::VARCHAR || '|' || copy::VARCHAR || '|ep1') AS skey
+        |  FROM ex)
+        |SELECT row_number() OVER (ORDER BY skey, doc_id, copy) AS global_rank,
+        |  doc_id, source, copy
+        |FROM kk ORDER BY global_rank""".stripMargin,
     // q31's sig/band CTEs on the sample + inverted-index exact jaccard;
     // zero-overlap mass lands in decile 0 arithmetically
     "q180_lsh_tuning" ->

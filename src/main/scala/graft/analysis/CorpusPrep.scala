@@ -381,6 +381,55 @@ object CorpusPrep {
             .otherwise(0)).as("n_copies"))
   }
 
+  /** The final training-order manifest — the last step before the trainer:
+    * expand [[epochMaterialize]]'s per-doc copy counts into actual rows
+    * (one per copy) and assign a DETERMINISTIC global shuffle order via
+    * md5(id|copy|seed) — reproducible across runs, engines, retries, and
+    * cluster sizes (the property `rand()`-shuffling loses on the first
+    * task retry), with each copy of a repeated doc landing at an
+    * independent position and each seed giving an independent epoch-level
+    * permutation.
+    *
+    * Scale shape: the expansion is an explode bounded by Σn_copies; the
+    * global rank uses the q95 recipe — range-partition on the shuffle key,
+    * per-partition offsets (a #partitions-row driver step), local
+    * row_number — NOT a single-partition window.
+    * Output: global_rank, idCol, source, copy. */
+  def trainingOrder(
+      docs: DataFrame,
+      maxEpochsBp: Int = 10500,
+      seed: String = "ep1",
+      sourceCol: String = "source",
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = docs.sparkSession
+    val expanded = epochMaterialize(docs, maxEpochsBp, sourceCol, textCol, idCol)
+      .filter(col("n_copies") > 0)
+      .select(col(idCol), col("source"),
+        explode(sequence(lit(1), col("n_copies"))).as("copy"))
+      .withColumn("skey",
+        md5(concat(col(idCol).cast(StringType), lit("|"),
+          col("copy").cast(StringType), lit("|" + seed))))
+    val parts = spark.sparkContext.defaultParallelism
+    val ranged = expanded
+      .repartitionByRange(parts, col("skey"), col(idCol), col("copy"))
+      .withColumn("pid", spark_partition_id())
+      .localCheckpoint(true)
+    val offsets = ranged.groupBy("pid").agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getAs[Int]("pid"), r.getAs[Long]("n")))
+      .sortBy(_._1)
+      .scanLeft((0, 0L)) { case ((_, cum), (pid, n)) => (pid, cum + n) }
+      .sliding(2).collect { case Array((_, cum), (pid, _)) => (pid, cum) }.toSeq
+    val offsetDf = spark.createDataFrame(offsets).toDF("pid", "offset")
+    val local = Window.partitionBy("pid")
+      .orderBy(col("skey"), col(idCol), col("copy"))
+    ranged
+      .join(broadcast(offsetDf), "pid")
+      .withColumn("global_rank", col("offset") + row_number().over(local))
+      .select(col("global_rank"), col(idCol), col("source"), col("copy"))
+  }
+
   /** DSIR — Data Selection with Importance Resampling (Xie et al. 2023,
     * arXiv:2302.03169): pick raw documents that LOOK LIKE a small target
     * domain, by importance weighting in a hashed n-gram feature space. The

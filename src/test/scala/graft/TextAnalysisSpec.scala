@@ -279,6 +279,29 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out.sorted.toSeq === again.sorted.toSeq)
   }
 
+  test("training order: dense replayable ranks, copies at independent positions, seed repermutes") {
+    val docs = Seq(
+      (1L, "x y", "a"), (2L, "x y z w", "b"),
+      (3L, "t1 t2 t3 t4 t5 t6 t7 t8 t9 t10", "c")
+    ).toDF("doc_id", "text", "source")
+    // 2-epoch caps: a gets 2 copies exactly; b/c fractional-gated
+    val out = graft.analysis.CorpusPrep.trainingOrder(docs, maxEpochsBp = 20000)
+      .orderBy("global_rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(3)))
+    assert(out.map(_._1).toSeq === (1L to out.length.toLong)) // dense 1..N
+    assert(out.count(_._2 == 1L) === 2)                       // both copies of doc 1
+    val again = graft.analysis.CorpusPrep.trainingOrder(docs, maxEpochsBp = 20000)
+      .orderBy("global_rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(3)))
+    assert(out.toSeq === again.toSeq)                         // replayable
+    val ep2 = graft.analysis.CorpusPrep.trainingOrder(docs, maxEpochsBp = 20000,
+        seed = "ep2")
+      .orderBy("global_rank").collect()
+      .map(r => (r.getLong(1), r.getInt(3)))
+    assert(ep2.sorted.toSeq === out.map(t => (t._2, t._3)).sorted.toSeq) // same multiset
+    assert(ep2.toSeq !== out.map(t => (t._2, t._3)).toSeq)    // different permutation
+  }
+
   test("dsir: target-vocabulary docs win the draw, exactly nSelect selected, rerun-stable") {
     // target docs speak vocabulary A, the rest vocabulary B; 30 tokens per
     // doc push |log_w| far beyond the O(1) Gumbel noise, so the draw is
