@@ -150,13 +150,6 @@ object SparkEntry {
     "q160_takedown" -> { (s, d) =>
       graft.sinks.Takedown.takedownGate(s, TestData.documents(s, d))
     },
-    // PQ recall curve: the SAME quantize/encode/ADC machinery at two
-    // operating points — q148's 12-bit pure-ADC floor next to the
-    // production configuration (32-bit codes, ADC shortlist of 100, exact
-    // re-rank of only those candidates). Pure ADC recall is pinned by
-    // quantization noise vs this corpus's near-uniform distance spectrum
-    // (measured: recall@10 plateaus ≤0.6 even at 80-bit codes); the
-    // re-rank knob decouples recall from bit rate and hits 1.0 here
     // the final training manifest: epoch copies expanded to rows, each at
     // a deterministic md5(id|copy|seed) shuffle position — reproducible
     // global order with no RNG state; distributed rank via the q95 recipe
@@ -165,7 +158,8 @@ object SparkEntry {
           maxEpochsBp = 10500, seed = "ep1")
         .orderBy("global_rank")
     },
-    // LSH S-curve validation on a 20% doc sample: empirical candidate
+    // LSH S-curve validation on a ~33% doc sample (doc_id % 3 = 0):
+    // empirical candidate
     // rate per jaccard decile next to the theoretical 1-(1-j^4)^4 —
     // the b/r recall-cost dial as a measured operating point
     "q180_lsh_tuning" -> { (s, d) =>
@@ -366,6 +360,13 @@ object SparkEntry {
           m = 8, codes = 16, pqIterations = 2, shortlist = 50, topK = 10)
         .orderBy("rank")
     },
+    // PQ recall curve: the SAME quantize/encode/ADC machinery at two
+    // operating points — q148's 12-bit pure-ADC floor next to the
+    // production configuration (32-bit codes, ADC shortlist of 100, exact
+    // re-rank of only those candidates). Pure ADC recall is pinned by
+    // quantization noise vs this corpus's near-uniform distance spectrum
+    // (measured: recall@10 plateaus ≤0.6 even at 80-bit codes); the
+    // re-rank knob decouples recall from bit rate and hits 1.0 here
     "q161_pq_recall_curve" -> { (s, d) =>
       val emb = TestData.embeddings(s, d)
       val q = emb.filter(col("vec_id") === 0)
@@ -4144,11 +4145,17 @@ object SparkEntry {
         |    COALESCE(g.n_seen, 0)
         |      + CASE WHEN spine.decile = 0 THEN unseen ELSE 0 END AS n_pairs,
         |    COALESCE(g.n_candidates, 0) AS n_candidates
-        |  FROM spine LEFT JOIN g USING (decile) CROSS JOIN tots)
+        |  FROM spine LEFT JOIN g USING (decile) CROSS JOIN tots),
+        |mids AS (
+        |  SELECT decile, n_pairs, n_candidates,
+        |    decile::DOUBLE / 10.0::DOUBLE + 0.05::DOUBLE AS m
+        |  FROM adj WHERE n_pairs > 0),
+        |tt AS (SELECT decile, n_pairs, n_candidates,
+        |         1.0::DOUBLE - (m * m * m * m) AS t FROM mids)
         |SELECT decile, n_pairs, n_candidates,
         |  round(n_candidates::DOUBLE / n_pairs::DOUBLE, 6) AS emp_rate,
-        |  round(1.0::DOUBLE - power(1.0::DOUBLE - power(decile::DOUBLE / 10.0::DOUBLE + 0.05::DOUBLE, 4), 4), 6) AS theo_rate
-        |FROM adj WHERE n_pairs > 0 ORDER BY decile""".stripMargin,
+        |  round(1.0::DOUBLE - (t * t * t * t), 6) AS theo_rate
+        |FROM tt ORDER BY decile""".stripMargin,
     // THE LAW: the increment must equal the whole-corpus rebuild — q168's
     // SQL verbatim
     "q179_source_overlap_increment" ->
@@ -4563,8 +4570,8 @@ object SparkEntry {
         |rc AS (SELECT bucket, sum(n_b) AS cr FROM tb GROUP BY 1),
         |ratio AS (
         |  SELECT r.i AS bucket,
-        |    ln((COALESCE(ct, 0) + 0.5::DOUBLE) / (nt + 128.0::DOUBLE))
-        |      - ln((COALESCE(cr, 0) + 0.5::DOUBLE) / (nr + 128.0::DOUBLE)) AS logratio
+        |    round(ln((COALESCE(ct, 0) + 0.5::DOUBLE) / (nt + 128.0::DOUBLE))
+        |      - ln((COALESCE(cr, 0) + 0.5::DOUBLE) / (nr + 128.0::DOUBLE)), 6) AS logratio
         |  FROM range(256) r(i)
         |  LEFT JOIN tc ON tc.bucket = r.i
         |  LEFT JOIN rc ON rc.bucket = r.i
@@ -4577,7 +4584,7 @@ object SparkEntry {
         |  SELECT d.doc_id, COALESCE(n_tokens, 0) AS n_tokens,
         |    COALESCE(log_w, 0.0::DOUBLE) AS log_w,
         |    COALESCE(log_w, 0.0::DOUBLE)
-        |      + -ln(-ln((('0x'||substr(md5(d.doc_id::VARCHAR),1,15))::BIGINT::DOUBLE + 1.0::DOUBLE) / 1152921504606846976.0::DOUBLE)) AS gumbel_key
+        |      + round(-ln(-ln((('0x'||substr(md5(d.doc_id::VARCHAR),1,15))::BIGINT::DOUBLE + 1.0::DOUBLE) / 1152921504606846976.0::DOUBLE)), 6) AS gumbel_key
         |  FROM documents d LEFT JOIN w USING (doc_id)),
         |sel AS (SELECT doc_id FROM k ORDER BY gumbel_key DESC, doc_id LIMIT 100)
         |SELECT k.doc_id, k.n_tokens, round(k.log_w, 6) AS log_w,

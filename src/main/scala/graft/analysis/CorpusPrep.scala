@@ -487,8 +487,13 @@ object CorpusPrep {
         .join(rCnt, Seq("bucket"), "left")
         .crossJoin(totals)
         .select(col("bucket"),
-          (log((coalesce(col("ct"), lit(0L)) + lam) / (col("nt") + lamB))
-            - log((coalesce(col("cr"), lit(0L)) + lam) / (col("nr") + lamB)))
+          // 6dp-quantized BEFORE the per-doc sum (the q138 recipe): libm
+          // ln() drifts by ulps across engines, and an unrounded logratio
+          // propagates that drift into log_w and then into the
+          // order-sensitive Gumbel top-k below, where it can flip the
+          // selected SET itself, not just displayed digits
+          round(log((coalesce(col("ct"), lit(0L)) + lam) / (col("nt") + lamB))
+            - log((coalesce(col("cr"), lit(0L)) + lam) / (col("nr") + lamB)), 6)
             .as("logratio"))
       val weights = toks
         .join(broadcast(ratio), "bucket")
@@ -503,7 +508,10 @@ object CorpusPrep {
         .select(col(idCol),
           coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
           coalesce(col("log_w"), lit(0.0)).as("log_w"))
-        .withColumn("gumbel_key", col("log_w") + -log(-log(u)))
+        // Gumbel term 6dp-quantized before the add: log_w is exact (DECIMAL
+        // sum of quantized logratios) and IEEE add is deterministic, so the
+        // key — and therefore the top-nSelect draw — is engine-portable
+        .withColumn("gumbel_key", col("log_w") + round(-log(-log(u)), 6))
       val top = keyed.orderBy(desc("gumbel_key"), col(idCol)).limit(nSelect)
         .select(col(idCol), lit(true).as("selected"))
       keyed

@@ -26,6 +26,15 @@ import org.apache.spark.sql.types._
   */
 object Dedup {
 
+  /** x^n as a left-associated multiplication chain — engine-portable where
+    * libm `pow()` is not: IEEE-754 multiply is bit-deterministic, so a
+    * DuckDB oracle writing the same `x*x*...*x` chain lands on the
+    * identical double. Only for small positive integer exponents. */
+  private[analysis] def intPow(x: Column, n: Int): Column = {
+    require(n >= 1, s"intPow exponent must be >= 1, got $n")
+    Seq.fill(n)(x).reduceLeft(_ * _)
+  }
+
   /** Contiguous token n-grams ("shingles") as strings: size-n+1 of them for
     * size tokens, empty for documents shorter than n tokens.
     *
@@ -883,6 +892,7 @@ object Dedup {
       .filter(size(col("sh")) > 0)
       .withColumn("sig", minhashSignature(col("sh"), k))
       .persist()
+    var grouped: DataFrame = null
     try {
       val cand = base.select(col("id"),
           explode(lshBandHashes(col("sig"), bands, rowsPerBand)).as("b"))
@@ -904,7 +914,7 @@ object Dedup {
         .select(col("a"), col("b"),
           (col("common").cast(DoubleType) /
             (col("sza") + col("szb") - col("common")).cast(DoubleType)).as("j"))
-      val grouped = scored
+      grouped = scored
         .join(candPairs, Seq("a", "b"), "full_outer")
         .select(
           when(col("j").isNull, 0)
@@ -912,6 +922,8 @@ object Dedup {
           coalesce(col("is_cand"), lit(0L)).as("c"))
         .groupBy("decile")
         .agg(count(lit(1)).as("n_seen"), sum("c").as("n_candidates"))
+        .persist() // consumed twice: totals + the final join — the shingle
+                   // fan-out join above is the dominant cost, run it once
       val totals = base.agg(count(lit(1)).as("nd")).crossJoin(
           grouped.agg(coalesce(sum("n_seen"), lit(0L)).as("seen")))
         .select(expr("nd * (nd - 1) div 2 - seen").as("unseen"))
@@ -928,9 +940,17 @@ object Dedup {
         .select(col("decile"), col("n_pairs"), col("n_candidates"),
           round(col("n_candidates").cast(DoubleType) / col("n_pairs").cast(DoubleType), 6)
             .as("emp_rate"),
-          round(lit(1.0) - pow(lit(1.0) - pow(mid, rowsPerBand), bands), 6)
+          // 1-(1-j^r)^b via explicit left-assoc multiplication, NOT pow():
+          // libm pow() differs by ulps across engines (the r6 hash miss);
+          // IEEE multiply is bit-deterministic, so the oracle's m*m*m*m
+          // chain lands on the identical double before the 6dp round
+          round(lit(1.0) - intPow(lit(1.0) - intPow(mid, rowsPerBand), bands), 6)
             .as("theo_rate"))
-    } finally { base.unpersist(); () }
+    } finally {
+      base.unpersist()
+      if (grouped != null) grouped.unpersist()
+      ()
+    }
   }
 
   /** Ensemble dedup signals: the text view (MinHash-verified Jaccard

@@ -397,6 +397,18 @@ object Similarity {
       minCosine: Double = 0.4,
       idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
+    // Enforce the stability precondition the whole operator rests on:
+    // every batch id strictly larger than every corpus id. A batch doc
+    // with a smaller id would become some corpus doc's min-id `dup_of`,
+    // silently invalidating the stored verdicts — fail loudly instead.
+    val idsOk = corpus.agg(max(col(idCol)).as("mx"))
+      .crossJoin(batch.agg(min(col(idCol)).as("mn")))
+      .select(coalesce(col("mn") > col("mx"), lit(true)).as("ok"))
+      .collect().head.getBoolean(0)
+    require(idsOk,
+      s"semDedupIncrement precondition violated: min(batch.$idCol) must be " +
+        s"> max(corpus.$idCol) — the min-id survivor rule only keeps stored " +
+        "corpus verdicts stable when batch ids are strictly larger")
     val centroids = Clustering.lloydCentroids(corpus, k, iterations, idCol, vecCol)
     def assign(df: DataFrame) =
       Clustering.assignedOf(Clustering.ptsOf(df, idCol, vecCol), centroids)

@@ -24,6 +24,14 @@ object GraftSession {
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     .config("spark.sql.parquet.aggregatePushdown", "true")
     .config("spark.ui.enabled", "false")
+    // ANSI pinned ON explicitly (it is also the Spark 4 default, so every
+    // gate/bench/test run to date has executed under strict ANSI semantics:
+    // overflow/bad-cast/div-by-zero THROW instead of returning null — see
+    // ANSICHECK.md). Pinning guards against a host session or future
+    // default flip silently weakening the arithmetic contract;
+    // SPARK_GRAFT_ANSI=0 is the explicit escape hatch for legacy hosts.
+    .config("spark.sql.ansi.enabled",
+      if (sys.env.get("SPARK_GRAFT_ANSI").contains("0")) "false" else "true")
 
   /** Local session for tests/CLI runs. Warehouse goes to a temp dir so
     * bucketed-table tests never write into the working directory; the dir is

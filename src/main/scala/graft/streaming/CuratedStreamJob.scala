@@ -103,12 +103,21 @@ object CuratedStreamJob {
   /** Start the stream: foreachBatch partitioned append with an empty-batch
     * guard (reference: S2C:157-176). The reference's per-batch `coalesce(1)`
     * is dropped — ParquetLayerSink bounds file sizes instead and the
-    * [[graft.sinks.Compactor]] owns small-file cleanup off the hot path. */
+    * [[graft.sinks.Compactor]] owns small-file cleanup off the hot path.
+    *
+    * `crashAfterSinkOnBatch` is the crash-injection surface for the
+    * recovery gate (StreamingSpec; same pattern as Compactor's injected
+    * crashes): throwing AFTER the sink write but BEFORE foreachBatch
+    * returns models a worker dying between the parquet append and the
+    * checkpoint commit — the worst-case window, which on restart replays
+    * that micro-batch (at-least-once into the curated layer; the keyed
+    * JDBC upsert downstream absorbs the replay into exactly-once). */
   def start(
       curated: DataFrame,
       outputPath: String,
       checkpointPath: String,
-      trigger: Trigger = Trigger.ProcessingTime("1 minute")): StreamingQuery =
+      trigger: Trigger = Trigger.ProcessingTime("1 minute"),
+      crashAfterSinkOnBatch: Option[Long] = None): StreamingQuery =
     curated.writeStream
       .outputMode("append")
       .trigger(trigger)
@@ -117,6 +126,8 @@ object CuratedStreamJob {
         if (!batch.isEmpty) {
           ParquetLayerSink.appendPartitioned(batch, outputPath)
         }
+        if (crashAfterSinkOnBatch.contains(batchId))
+          throw new RuntimeException(s"injected crash after sink, batch $batchId")
       }
       .start()
 }

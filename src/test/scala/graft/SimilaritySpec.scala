@@ -200,6 +200,14 @@ class SimilaritySpec extends SparkSpec {
       .orderBy("vec_id").collect()
     assert(out.filter(_.getAs[Long]("vec_id") <= 3L).map(_.toSeq).toSeq
       === prior.map(_.toSeq).toSeq)
+    // the stability precondition is ENFORCED, not just documented: a batch
+    // id at or below the corpus max would invalidate stored verdicts
+    val badBatch = Seq((2L, Array(0.98f, 0.02f))).toDF("vec_id", "embedding")
+    val ex = intercept[IllegalArgumentException] {
+      Similarity.semDedupIncrement(corpus, badBatch,
+        k = 2, iterations = 1, minCosine = 0.4)
+    }
+    assert(ex.getMessage.contains("precondition"))
   }
 
   test("pq adc: separated clusters rank own-cluster first; output deterministic") {
