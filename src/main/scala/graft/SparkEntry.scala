@@ -29,6 +29,45 @@ object SparkEntry {
     martQueries ++ relationalQueries ++ analysisQueries
 
   private def analysisQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // leakage-safe train/val/test split: assignment at exact-dup-CLUSTER
+    // granularity (md5 bucket gate on the min-id representative), so a doc
+    // and its duplicates can never straddle train and eval
+    "q183_leakage_safe_split" -> { (s, d) =>
+      graft.analysis.CorpusPrep.leakageSafeSplit(TestData.documents(s, d))
+        .orderBy("doc_id")
+    },
+    // n-gram novelty: fraction of each doc's distinct 3-gram shingles
+    // whose corpus-wide first occurrence (min doc id) is this doc — the
+    // crawl-collapse early warning between exact and near-dup removal
+    "q184_ngram_novelty" -> { (s, d) =>
+      TextAnalysis.ngramNovelty(TestData.documents(s, d)).orderBy("doc_id")
+    },
+    // Gopher-style quality rule bundle: per-rule boolean flags + keep
+    // conjunction — the auditable form of q20's scalar score
+    "q185_gopher_rules" -> { (s, d) =>
+      TextAnalysis.gopherRules(TestData.documents(s, d)).orderBy("doc_id")
+    },
+    // portable Bloom filter as its set-of-set-bits frame: historical keys
+    // (oldest 90% of doc ids) inserted, every distinct fingerprint probed;
+    // no false negatives by construction, false positives surfaced next to
+    // exact membership
+    "q186_bloom_membership" -> { (s, d) =>
+      val docs = TestData.documents(s, d)
+      val keys = docs.select(
+        TextAnalysis.fingerprint(col("text")).as("key"), col("doc_id"))
+      val cut = docs.agg(max("doc_id")).collect().head.getLong(0) * 9 / 10
+      graft.analysis.Sketches.bloomMembership(
+          keys.filter(col("doc_id") <= cut).select("key"),
+          keys.select("key"))
+        .orderBy("key")
+    },
+    // cross-source quality calibration: percent_rank of the quality score
+    // within source (and globally), computed as a window over the tiny
+    // (source, 2dp-score) aggregate, not over raw rows
+    "q187_quality_by_source" -> { (s, d) =>
+      graft.analysis.CorpusPrep.qualityBySource(TestData.documents(s, d))
+        .orderBy("doc_id")
+    },
     // text quality scoring (token stats, stopword ratio, quality bands)
     "q20_text_stats" -> { (s, d) =>
       TextAnalysis.textStats(TestData.documents(s, d)).orderBy("doc_id")
@@ -2197,6 +2236,121 @@ object SparkEntry {
        |ORDER BY config""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
+    // exact-dup clusters by normalized-text md5, min-id rep, q44's md5
+    // bucket gate on the rep — split inherited cluster-wide
+    "q183_leakage_safe_split" ->
+      """WITH fp AS (
+        |  SELECT doc_id,
+        |    md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g'))) AS fp
+        |  FROM documents),
+        |reps AS (SELECT fp, min(doc_id) AS cluster_rep FROM fp GROUP BY fp),
+        |b AS (
+        |  SELECT f.doc_id, r.cluster_rep,
+        |    ('0x' || substr(md5('split|v1|' || r.cluster_rep::VARCHAR), 1, 15))::BIGINT % 10000 AS bucket
+        |  FROM fp f JOIN reps r USING (fp))
+        |SELECT doc_id, cluster_rep,
+        |  CASE WHEN bucket < 8000 THEN 'train'
+        |       WHEN bucket < 9000 THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM b ORDER BY doc_id""".stripMargin,
+    // q180's shingle CTEs corpus-wide; first occurrence = min doc id per
+    // shingle; short docs surface with zero shingles
+    "q184_ngram_novelty" ->
+      """WITH toks AS (
+        |  SELECT doc_id AS id,
+        |    string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')), ' ') AS t
+        |  FROM documents),
+        |sets AS (
+        |  SELECT id, list_distinct(list_transform(range(len(t) - 2), i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])) AS sh
+        |  FROM toks WHERE len(t) >= 3),
+        |inv AS (SELECT id, unnest(sh) AS g FROM sets),
+        |fo AS (SELECT g, min(id) AS first_doc FROM inv GROUP BY g),
+        |pd AS (
+        |  SELECT inv.id, count(*) AS n_shingles,
+        |    CAST(sum(CASE WHEN fo.first_doc = inv.id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel
+        |  FROM inv JOIN fo USING (g) GROUP BY inv.id)
+        |SELECT d.doc_id, COALESCE(n_shingles, 0) AS n_shingles,
+        |  COALESCE(n_novel, 0) AS n_novel,
+        |  CASE WHEN COALESCE(n_shingles, 0) > 0
+        |       THEN round(n_novel::DOUBLE / n_shingles::DOUBLE, 6)
+        |       ELSE 0.0 END AS novelty
+        |FROM documents d LEFT JOIN pd ON pd.id = d.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
+    // q20's stats CTEs + the rule flags; all thresholds on already-rounded
+    // integer-derived values, so the booleans are engine-stable
+    "q185_gopher_rules" ->
+      """WITH t AS (
+        |  SELECT doc_id, text,
+        |    string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')), ' ') AS toks
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id,
+        |    len(toks) AS n_tokens,
+        |    len(list_distinct(toks)) AS n_unique_tokens,
+        |    round(CAST(length(array_to_string(toks, '')) AS DOUBLE) / len(toks), 4) AS avg_token_len,
+        |    round(CAST(len(list_filter(toks, x -> x IN ('the','a','an','of','and','to','in','is','it','for'))) AS DOUBLE) / len(toks), 4) AS stopword_ratio
+        |  FROM t),
+        |r AS (
+        |  SELECT doc_id, n_tokens, avg_token_len, stopword_ratio,
+        |    round(CAST(n_unique_tokens AS DOUBLE) / n_tokens, 4) AS uniq_ratio
+        |  FROM s)
+        |SELECT doc_id, n_tokens, avg_token_len, stopword_ratio, uniq_ratio,
+        |  n_tokens BETWEEN 50 AND 100000 AS r_word_count,
+        |  avg_token_len BETWEEN 3.0 AND 10.0 AS r_mean_word_len,
+        |  stopword_ratio >= 0.01 AS r_stopword,
+        |  uniq_ratio >= 0.2 AS r_diversity,
+        |  (n_tokens BETWEEN 50 AND 100000) AND (avg_token_len BETWEEN 3.0 AND 10.0)
+        |    AND stopword_ratio >= 0.01 AND uniq_ratio >= 0.2 AS keep
+        |FROM r ORDER BY doc_id""".stripMargin,
+    // bloom bitmap rebuilt as its distinct set-bit positions (3 md5 hash
+    // families mod 4096); probe = all 3 positions present
+    "q186_bloom_membership" ->
+      """WITH fps AS (
+        |  SELECT doc_id,
+        |    md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g'))) AS key
+        |  FROM documents),
+        |cut AS (SELECT max(doc_id) * 9 // 10 AS c FROM documents),
+        |corpus AS (SELECT DISTINCT key FROM fps, cut WHERE doc_id <= c),
+        |cpos AS (
+        |  SELECT DISTINCT ('0x' || substr(md5('bf' || r.i::VARCHAR || '|' || key), 1, 15))::BIGINT % 4096 AS p
+        |  FROM corpus CROSS JOIN range(3) r(i)),
+        |probe AS (SELECT DISTINCT key FROM fps),
+        |ppos AS (
+        |  SELECT key, ('0x' || substr(md5('bf' || r.i::VARCHAR || '|' || key), 1, 15))::BIGINT % 4096 AS p
+        |  FROM probe CROSS JOIN range(3) r(i)),
+        |hit AS (
+        |  SELECT ppos.key,
+        |    CAST(sum(CASE WHEN cpos.p IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) = 3 AS might_contain
+        |  FROM ppos LEFT JOIN cpos ON ppos.p = cpos.p
+        |  GROUP BY ppos.key)
+        |SELECT h.key, h.might_contain, c.key IS NOT NULL AS actually_in
+        |FROM hit h LEFT JOIN corpus c ON h.key = c.key
+        |ORDER BY h.key""".stripMargin,
+    // q20's quality score + native percent_rank windows — the oracle form
+    // of the window-over-the-aggregate plan
+    "q187_quality_by_source" ->
+      """WITH t AS (
+        |  SELECT doc_id, text,
+        |    string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')), ' ') AS toks
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id,
+        |    len(toks) AS n_tokens,
+        |    len(list_distinct(toks)) AS n_unique_tokens,
+        |    round(CAST(len(list_filter(toks, x -> x IN ('the','a','an','of','and','to','in','is','it','for'))) AS DOUBLE) / len(toks), 4) AS stopword_ratio
+        |  FROM t),
+        |sc AS (
+        |  SELECT doc_id, round(least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 40.0
+        |      + (CAST(n_unique_tokens AS DOUBLE) / n_tokens) * 40.0
+        |      + CASE WHEN stopword_ratio BETWEEN 0.01 AND 0.6 THEN 20.0 ELSE 0.0 END, 2) AS quality_score
+        |  FROM s),
+        |j AS (
+        |  SELECT sc.doc_id, d.source, sc.quality_score
+        |  FROM sc JOIN documents d USING (doc_id))
+        |SELECT doc_id, source, quality_score,
+        |  round(percent_rank() OVER (PARTITION BY source ORDER BY quality_score), 6) AS pct_in_source,
+        |  round(percent_rank() OVER (ORDER BY quality_score), 6) AS pct_global
+        |FROM j ORDER BY doc_id""".stripMargin,
     "q01_session_analysis" ->
       """SELECT CAST(user_id AS VARCHAR) AS session_id, CAST(ts AS DATE) AS event_date,
         | count(*) AS click_count,

@@ -535,4 +535,93 @@ object CorpusPrep {
       "exact_deduped" -> exact.count(),
       "near_dedup_survivors" -> prepared.count())
   }
+
+  /** Leakage-safe train/val/test split: assignment happens at the
+    * DUPLICATE-CLUSTER granularity, not per document — every member of an
+    * exact-dup cluster (same normalized-text fingerprint) inherits the
+    * split of the cluster's min-id representative, so a document and its
+    * duplicates can never straddle train and eval (the classic contamination
+    * path stratified-by-doc splits leave open). The split itself is the
+    * engine-portable md5 bucket gate (q44's recipe) on the REPRESENTATIVE
+    * id: train gets `trainBp`/10000 of clusters, val the next `valBp`,
+    * test the rest — deterministic, seedable, replay-stable.
+    *
+    * Scale shape: one hash-partition shuffle on the fingerprint (min-id per
+    * cluster is map-side combinable), one projection for the bucket gate;
+    * no window over raw rows. Near-dup-safe splits feed the pair frame
+    * into [[Dedup.dedupClusters]] first and join its cluster ids here —
+    * same inheritance rule, CC cost paid once.
+    *
+    * Output: doc_id, cluster_rep, split ∈ train|val|test. */
+  def leakageSafeSplit(
+      docs: DataFrame,
+      trainBp: Int = 8000,
+      valBp: Int = 1000,
+      seed: String = "v1",
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    require(trainBp >= 0 && valBp >= 0 && trainBp + valBp <= 10000,
+      s"train/val basis points must fit in 10000, got $trainBp+$valBp")
+    val reps = docs
+      .select(col(idCol).as("id"), TextAnalysis.fingerprint(col(textCol)).as("fp"))
+      .groupBy("fp").agg(min(col("id")).as("cluster_rep"))
+    val bucket = pmod(
+      Sketches.hash60(concat(lit(s"split|$seed|"), col("cluster_rep"))), lit(10000))
+    docs
+      .select(col(idCol).as("id"), TextAnalysis.fingerprint(col(textCol)).as("fp"))
+      .join(reps, "fp")
+      .select(col("id").as(idCol), col("cluster_rep"),
+        when(bucket < trainBp, "train")
+          .when(bucket < trainBp + valBp, "val")
+          .otherwise("test").as("split"))
+  }
+
+  /** Cross-source quality calibration: each document's quality score as a
+    * PERCENTILE within its source (and globally) — the form mixture
+    * balancing actually consumes, because raw quality scores are not
+    * comparable across sources (a median academic page outscores a good
+    * forum post; percentile-within-source removes the source-level shift).
+    * Semantics are exactly SQL `percent_rank() OVER (PARTITION BY source
+    * ORDER BY quality_score)` = (count strictly below) / (n − 1), ties
+    * sharing a value; 0.0 for a single-document source.
+    *
+    * Scale shape: NOT a window over raw rows (a hot source would pin one
+    * partition at corpus scale). Scores are 2dp-quantized, so the
+    * distinct (source, score) frame is tiny: aggregate counts per (source,
+    * score), run the cumulative window over THAT aggregate (q06's
+    * window-over-the-aggregate recipe), and broadcast-join the per-score
+    * percentile back to documents.
+    *
+    * Output: doc_id, source, quality_score, pct_in_source, pct_global. */
+  def qualityBySource(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      srcCol: String = "source"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = TextAnalysis.textStats(docs, idCol = idCol)
+      .select(col(idCol), col("quality_score"))
+      .join(docs.select(col(idCol), col(srcCol)), idCol)
+    def pct(partition: Seq[String]): DataFrame = {
+      val grouped = base.groupBy((partition :+ "quality_score").map(col): _*)
+        .agg(count(lit(1)).as("n"))
+      val w = (if (partition.isEmpty) Window.partitionBy()
+               else Window.partitionBy(partition.map(col): _*))
+        .orderBy(col("quality_score"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wAll = if (partition.isEmpty) Window.partitionBy()
+                 else Window.partitionBy(partition.map(col): _*)
+      grouped
+        .withColumn("below", sum(col("n")).over(w) - col("n"))
+        .withColumn("total", sum(col("n")).over(wAll))
+        .select((partition.map(col) :+ col("quality_score") :+
+          when(col("total") > 1,
+            round(col("below").cast(DoubleType) / (col("total") - 1L), 6))
+            .otherwise(0.0).as(if (partition.isEmpty) "pct_global" else "pct_in_source")): _*)
+    }
+    base
+      .join(broadcast(pct(Seq(srcCol))), Seq(srcCol, "quality_score"))
+      .join(broadcast(pct(Nil)), Seq("quality_score"))
+      .select(col(idCol), col(srcCol), col("quality_score"),
+        col("pct_in_source"), col("pct_global"))
+  }
 }

@@ -100,6 +100,25 @@ object Similarity {
       .map(j => when(element_at(vec, j + 1) >= 0, lit(1L << j)).otherwise(lit(0L)))
       .reduce(_ + _)
 
+  /** Occupancy-constant signature width: the bit count that keeps expected
+    * vectors-per-bucket at `targetOccupancy` for a corpus of `n` — the
+    * scale dial for every fixed-signature LSH bucketing here. A FIXED bit
+    * count is quadratic in disguise: per-bucket occupancy grows ∝ n, so
+    * in-bucket candidate pairs grow ∝ n² (measured: q72 at 30× sf0.1 runs
+    * 27.5 s at the gate's pinned 6 bits vs 4.9 s at the 11 bits this
+    * returns — PLANS.md §30×). Production callers pass
+    * `axisSignSignature(v, axisSignBitsFor(corpusSize))`; more bits
+    * tighten candidate recall, the same dial q180's S-curve measures for
+    * MinHash bands. Capped at `dim` (an axis signature cannot use more
+    * planes than dimensions) and at 62 (long-typed bucket). */
+  def axisSignBitsFor(n: Long, targetOccupancy: Int = 32, dim: Int = 64): Int = {
+    require(n > 0 && targetOccupancy > 0,
+      s"need positive corpus size and occupancy, got $n/$targetOccupancy")
+    val needed = math.ceil(
+      math.log(n.toDouble / targetOccupancy) / math.log(2.0)).toInt
+    math.min(math.min(dim, 62), math.max(1, needed))
+  }
+
   /** ANN top-k: bucket corpus and queries by LSH signature, search only
     * within the bucket. Recall < 1 by construction; raise nPlanes for purer
     * buckets (less work, lower recall) or lower it for the opposite. The

@@ -248,4 +248,49 @@ object Sketches {
     perPart.agg(bottomK(col("h")).as("sketch"))
       .select(estimate(col("sketch"), k).as("est_distinct"))
   }
+
+  /** Engine-portable BLOOM-FILTER membership: the incremental exact-dedup
+    * primitive at corpus scale — a new batch probes the historical key set
+    * without joining against it. The filter is represented as its SET OF
+    * SET BITS (`distinct` over the k md5-derived positions of every corpus
+    * key), which is exactly the bitmap's information content and keeps the
+    * whole construction reproducible in any engine — no opaque binary
+    * sketch. Probing ANDs the k positions: a key is `might_contain` iff
+    * all k of its positions are set. Bloom's contract holds by
+    * construction: NO false negatives (every inserted key finds its own
+    * bits), false positives at the classic (1−e^{−kn/m})^k rate —
+    * both surfaced by emitting exact membership (`actually_in`) alongside.
+    *
+    * Scale shape: the bit-set frame is at most `bits` rows REGARDLESS of
+    * corpus size (the whole point — membership state that does not grow
+    * with the data), so the probe side broadcast-joins it; the corpus is
+    * touched once, map-side, to hash positions. At 100 TB the corpus pass
+    * is a projection + a bounded distinct; the probe never shuffles.
+    *
+    * Output per distinct probe key: key, might_contain, actually_in. */
+  def bloomMembership(
+      corpusKeys: DataFrame,
+      probeKeys: DataFrame,
+      bits: Int = 4096,
+      k: Int = 3,
+      keyCol: String = "key"): DataFrame = {
+    require(k >= 1 && bits >= 2, s"need k>=1 hashes and bits>=2, got k=$k bits=$bits")
+    def positions(df: DataFrame): DataFrame = {
+      val pos = (0 until k).map(i =>
+        pmod(hash60(concat(lit(s"bf$i|"), col(keyCol))), lit(bits)))
+      df.select(col(keyCol), explode(array(pos: _*)).as("p"))
+    }
+    val setBits = positions(corpusKeys.select(keyCol).distinct())
+      .select("p").distinct()
+    val probe = probeKeys.select(keyCol).distinct()
+    val hits = positions(probe)
+      .join(broadcast(setBits.withColumn("set", lit(1L))), Seq("p"), "left")
+      .groupBy(keyCol)
+      .agg((sum(coalesce(col("set"), lit(0L))) === k).as("might_contain"))
+    hits.join(
+        corpusKeys.select(col(keyCol)).distinct().withColumn("actually_in", lit(true)),
+        Seq(keyCol), "left")
+      .select(col(keyCol), col("might_contain"),
+        coalesce(col("actually_in"), lit(false)).as("actually_in"))
+  }
 }

@@ -455,4 +455,80 @@ object TextAnalysis {
   val markersDe: Seq[String] = Seq("der", "die", "das", "und", "ist", "nicht")
   val markersEs: Seq[String] = Seq("el", "la", "de", "y", "es", "que")
   val markersFr: Seq[String] = Seq("le", "les", "et", "est", "une", "pas")
+
+  /** Per-document n-gram NOVELTY: the fraction of a document's distinct
+    * n-gram shingles whose corpus-wide FIRST occurrence (min doc id over
+    * all documents containing the shingle) is this document. The standard
+    * diagnostic between exact dedup and near-dup removal: boilerplate-heavy
+    * documents score near 0 (every shingle already seen in an earlier doc),
+    * genuinely fresh content scores near 1 — and a corpus-level novelty
+    * histogram is the cheapest early-warning for crawl collapse
+    * (re-crawled content arriving under new ids).
+    *
+    * Scale shape: ONE shuffle on the shingle key; `min(doc_id)` is
+    * map-side combinable so the reducer sees one partial per shingle per
+    * map partition, never the raw postings. The join back to documents is
+    * on the same shingle key (no second shuffle of the corpus bodies —
+    * only (doc_id, shingle) pairs move). Documents too short for a single
+    * shingle surface with n_shingles = 0 and novelty 0.0 (guarded — no
+    * divide-by-zero under ANSI).
+    *
+    * Output: doc_id, n_shingles, n_novel, novelty (6dp). */
+  def ngramNovelty(
+      docs: DataFrame,
+      n: Int = 3,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val inv = docs
+      .select(col(idCol).as("id"), explode(Dedup.shingleSet(col(textCol), n)).as("g"))
+    val first = inv.groupBy("g").agg(min(col("id")).as("first_doc"))
+    val perDoc = inv.join(first, "g")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("first_doc") === col("id"), 1L).otherwise(0L)).as("n_novel"))
+    docs.select(col(idCol).as("id"))
+      .join(perDoc, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        coalesce(col("n_shingles"), lit(0L)).as("n_shingles"),
+        coalesce(col("n_novel"), lit(0L)).as("n_novel"),
+        when(coalesce(col("n_shingles"), lit(0L)) > 0,
+          round(col("n_novel").cast(DoubleType) / col("n_shingles").cast(DoubleType), 6))
+          .otherwise(0.0).as("novelty"))
+  }
+
+  /** Gopher-style quality RULE BUNDLE (Rae et al. 2021 §A1.1, thresholds
+    * adapted to the synthetic corpus): instead of one opaque score, each
+    * document carries a boolean flag per rule plus the conjunction — the
+    * auditable form every production filter ends up needing, because
+    * per-rule pass rates are how thresholds get tuned and regressions get
+    * localized. Rules over [[textStats]] columns:
+    *   r_word_count     n_tokens in [wordMin, wordMax]
+    *   r_mean_word_len  avg_token_len in [3.0, 10.0]
+    *   r_stopword       stopword_ratio >= 0.01 (natural-language evidence)
+    *   r_diversity      n_unique_tokens / n_tokens >= 0.2 (repetition gate)
+    *   keep             all of the above
+    *
+    * Scale shape: a single codegen'd projection over textStats (itself one
+    * pass, no shuffle) — embarrassingly parallel at any corpus size.
+    * Output: doc_id, n_tokens, avg_token_len, stopword_ratio, uniq_ratio,
+    * r_word_count, r_mean_word_len, r_stopword, r_diversity, keep. */
+  def gopherRules(
+      docs: DataFrame,
+      wordMin: Int = 50,
+      wordMax: Int = 100000,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame =
+    textStats(docs, textCol, idCol)
+      .withColumn("uniq_ratio",
+        round(col("n_unique_tokens").cast(DoubleType) / col("n_tokens"), 4))
+      .withColumn("r_word_count", col("n_tokens").between(wordMin, wordMax))
+      .withColumn("r_mean_word_len", col("avg_token_len").between(3.0, 10.0))
+      .withColumn("r_stopword", col("stopword_ratio") >= 0.01)
+      .withColumn("r_diversity", col("uniq_ratio") >= 0.2)
+      .withColumn("keep",
+        col("r_word_count") && col("r_mean_word_len") &&
+          col("r_stopword") && col("r_diversity"))
+      .select(idCol, "n_tokens", "avg_token_len", "stopword_ratio",
+        "uniq_ratio", "r_word_count", "r_mean_word_len", "r_stopword",
+        "r_diversity", "keep")
 }

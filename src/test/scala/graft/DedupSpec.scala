@@ -488,4 +488,27 @@ class DedupSpec extends SparkSpec {
       .orderBy("source_a", "source_b").collect()
     assert(merged.map(_.toSeq).toSeq === whole.map(_.toSeq).toSeq)
   }
+
+  test("leakage-safe split: duplicates never straddle splits; proportions honored") {
+    import spark.implicits._
+    val docs = (0L until 200L).map { i =>
+      // ids 100+ duplicate the text of id-100 (normalization-equal)
+      val base = i % 100
+      (i, s"document number $base with some shared body text $base")
+    }.toDF("doc_id", "text")
+    val out = graft.analysis.CorpusPrep.leakageSafeSplit(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(out.length === 200)
+    // the invariant the operator exists for: same cluster ⇒ same split
+    out.groupBy(_._2).foreach { case (_, members) =>
+      assert(members.map(_._3).distinct.length === 1,
+        "duplicate cluster straddles splits")
+    }
+    // dup of doc i is i+100 → representative is always the lower id
+    out.filter(_._1 >= 100L).foreach { case (id, rep, _) =>
+      assert(rep === id - 100L)
+    }
+    // all three splits materialize at the default 80/10/10 gate
+    assert(out.map(_._3).distinct.sorted.toSeq === Seq("test", "train", "val"))
+  }
 }

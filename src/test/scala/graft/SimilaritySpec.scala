@@ -210,6 +210,17 @@ class SimilaritySpec extends SparkSpec {
     assert(ex.getMessage.contains("precondition"))
   }
 
+  test("axisSignBitsFor: occupancy-constant widths, capped at dim and 62") {
+    assert(Similarity.axisSignBitsFor(2000) === 6)   // sf0.1: 62.5/bucket target
+    assert(Similarity.axisSignBitsFor(20000) === 10) // 10×
+    assert(Similarity.axisSignBitsFor(60000) === 11) // 30× (PLANS.md §30×)
+    assert(Similarity.axisSignBitsFor(10) === 1)     // floor at 1 bit
+    assert(Similarity.axisSignBitsFor(Long.MaxValue / 2, dim = 8) === 8)
+    assert(Similarity.axisSignBitsFor(Long.MaxValue / 2) === 57)
+    assert(Similarity.axisSignBitsFor(Long.MaxValue / 2,
+      targetOccupancy = 1, dim = 128) === 62) // long-bucket cap
+  }
+
   test("pq adc: separated clusters rank own-cluster first; output deterministic") {
     // 4-dim, m=2 subspaces: cluster A near (1,0,1,0), B near (-1,0,-1,0);
     // seeds (first 2 by id) are 0∈A and 1∈B, so Lloyd separates immediately

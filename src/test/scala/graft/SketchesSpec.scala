@@ -85,4 +85,24 @@ class SketchesSpec extends SparkSpec {
     assert(est("2026-01-01") === batchOf(Set("2026-01-01")))
     assert(est("2026-01-10") === batchOf(Set("2026-01-10")))
   }
+
+  test("bloom membership: zero false negatives (the Bloom contract), FPs possible") {
+    import spark.implicits._
+    val corpus = (0 until 300).map(i => s"key$i").toDF("key")
+    val probe = (0 until 600).map(i => s"key$i").toDF("key")
+    // small bitmap on purpose: dense enough that false positives occur
+    val out = Sketches.bloomMembership(corpus, probe, bits = 512, k = 3)
+      .collect()
+      .map(r => r.getString(0) -> ((r.getBoolean(1), r.getBoolean(2)))).toMap
+    assert(out.size === 600)
+    // every inserted key MUST probe positive — no false negatives, ever
+    out.filter(_._2._2).foreach { case (k, (might, _)) =>
+      assert(might, s"false negative on inserted key $k")
+    }
+    // non-inserted keys: never a false negative to check, and with 900
+    // set-bit candidates in 512 bits some false positives are expected —
+    // assert the mechanism reports SOME true negatives too (not all-true)
+    val nonMembers = out.filter(!_._2._2)
+    assert(nonMembers.exists(!_._2._1), "bitmap saturated: test lost its power")
+  }
 }

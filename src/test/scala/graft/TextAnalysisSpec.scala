@@ -342,4 +342,34 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(1) === ((2L, 3, 4L, 0.3333)))
     assert(out(2) === ((1L, 0, 0L, 0.0)))
   }
+
+  test("ngram novelty: first doc owns every shingle; verbatim copy scores zero") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon"),   // first: novelty 1
+      (2L, "alpha beta gamma delta epsilon"),   // exact copy: novelty 0
+      (3L, "alpha beta gamma zeta eta theta"),  // shares 1 of 4 shingles
+      (4L, "xy")                                // too short: 0 shingles
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.ngramNovelty(docs).orderBy("doc_id").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out(1L) === ((3L, 3L, 1.0)))
+    assert(out(2L) === ((3L, 0L, 0.0)))
+    assert(out(3L) === ((4L, 3L, 0.75)))
+    assert(out(4L) === ((0L, 0L, 0.0)))
+  }
+
+  test("gopher rules: each rule trips independently; keep is the conjunction") {
+    import spark.implicits._
+    val good = ("w" + (1 to 60).map(i => s" the word$i").mkString)  // 121 tokens, stopwords, diverse
+    val tooShort = "the quick brown fox"
+    val repetitive = (1 to 80).map(_ => "spam").mkString("the ", " ", "") // diversity fails
+    val docs = Seq((1L, good), (2L, tooShort), (3L, repetitive)).toDF("doc_id", "text")
+    val out = TextAnalysis.gopherRules(docs).orderBy("doc_id").collect()
+    val byId = out.map(r => r.getLong(0) ->
+      ((r.getBoolean(5), r.getBoolean(6), r.getBoolean(7), r.getBoolean(8), r.getBoolean(9)))).toMap
+    assert(byId(1L)._5, "good doc must pass all rules")
+    assert(!byId(2L)._1 && !byId(2L)._5, "short doc fails word count and keep")
+    assert(!byId(3L)._4 && !byId(3L)._5, "repetitive doc fails diversity and keep")
+  }
 }
