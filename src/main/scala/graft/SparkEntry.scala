@@ -29,6 +29,35 @@ object SparkEntry {
     martQueries ++ relationalQueries ++ analysisQueries
 
   private def analysisQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // the removal side of q136: per-doc duplicated-token masks — spans in
+    // ≥2 docs merged into maximal islands (fixed span length ⇒ islands
+    // split exactly where start-lag(start) > L), dup-token budget per doc
+    "q188_span_masks" -> { (s, d) =>
+      Dedup.spanMasks(TestData.documents(s, d)).orderBy("doc_id")
+    },
+    // tokenizer fertility per source: subwords-per-word from the BPE-ish
+    // segmentation — the tokenizer-fit metric mixture tuning consumes
+    "q189_token_fertility" -> { (s, d) =>
+      TextAnalysis.tokenFertility(TestData.documents(s, d)).orderBy("source")
+    },
+    // bloom OR-mergeability as a LAW gate: stored bits (oldest 90%) ∪
+    // fresh batch bits ≡ the whole-corpus rebuild (the oracle); probed
+    // over real fingerprints plus synthetic non-member keys so true
+    // negatives and false positives stay visible in the gate
+    "q190_bloom_increment" -> { (s, d) =>
+      val docs = TestData.documents(s, d)
+      val keys = docs.select(
+        TextAnalysis.fingerprint(col("text")).as("key"), col("doc_id"))
+      val cut = docs.agg(max("doc_id")).collect().head.getLong(0) * 9 / 10
+      val stored = graft.analysis.Sketches.bloomBits(
+        keys.filter(col("doc_id") <= cut).select("key"))
+      val fresh = graft.analysis.Sketches.bloomBits(
+        keys.filter(col("doc_id") > cut).select("key"))
+      val merged = stored.unionByName(fresh).distinct()
+      val probes = keys.select("key").unionByName(
+        docs.select(concat(lit("probe|"), col("doc_id")).as("key")))
+      graft.analysis.Sketches.bloomProbe(merged, probes).orderBy("key")
+    },
     // leakage-safe train/val/test split: assignment at exact-dup-CLUSTER
     // granularity (md5 bucket gate on the min-id representative), so a doc
     // and its duplicates can never straddle train and eval
@@ -2236,6 +2265,88 @@ object SparkEntry {
        |ORDER BY config""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
+    // q136's span-fp CTEs + gaps-and-islands merge (break where the gap
+    // between consecutive dup-span starts exceeds the span length)
+    "q188_span_masks" ->
+      """WITH t AS (
+        |  SELECT doc_id, list_filter(string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')), ' '), x -> x <> '') AS toks
+        |  FROM documents),
+        |w AS (
+        |  SELECT doc_id, CAST(unnest(range(0, len(toks) - 8 + 1)) AS INT) AS start, toks
+        |  FROM t WHERE len(toks) >= 8),
+        |f AS (
+        |  SELECT doc_id, start,
+        |    ('0x' || substr(md5(array_to_string(toks[start+1:start+8], ' ')), 1, 15))::BIGINT AS span_fp
+        |  FROM w),
+        |d AS (SELECT span_fp FROM f GROUP BY span_fp HAVING count(DISTINCT doc_id) >= 2),
+        |o AS (SELECT f.doc_id, f.start FROM f JOIN d USING (span_fp)),
+        |br AS (
+        |  SELECT doc_id, start,
+        |    CASE WHEN lag(start) OVER w2 IS NULL
+        |           OR start - lag(start) OVER w2 > 8 THEN 1 ELSE 0 END AS brk
+        |  FROM o WINDOW w2 AS (PARTITION BY doc_id ORDER BY start)),
+        |isl AS (
+        |  SELECT doc_id, start,
+        |    sum(brk) OVER (PARTITION BY doc_id ORDER BY start ROWS UNBOUNDED PRECEDING) AS island
+        |  FROM br),
+        |gi AS (
+        |  SELECT doc_id, island, count(*) AS n_spans,
+        |    max(start) + 8 - min(start) AS island_tokens
+        |  FROM isl GROUP BY 1, 2),
+        |pd AS (
+        |  SELECT doc_id, CAST(sum(n_spans) AS BIGINT) AS n_dup_spans,
+        |    count(*) AS n_islands, CAST(sum(island_tokens) AS BIGINT) AS n_dup_tokens
+        |  FROM gi GROUP BY 1),
+        |nt AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens FROM t)
+        |SELECT nt.doc_id, nt.n_tokens,
+        |  COALESCE(n_dup_spans, 0) AS n_dup_spans,
+        |  COALESCE(n_islands, 0) AS n_islands,
+        |  COALESCE(n_dup_tokens, 0) AS n_dup_tokens,
+        |  CASE WHEN nt.n_tokens > 0
+        |       THEN round(COALESCE(n_dup_tokens, 0)::DOUBLE / nt.n_tokens::DOUBLE, 6)
+        |       ELSE 0.0 END AS dup_ratio
+        |FROM nt LEFT JOIN pd USING (doc_id)
+        |ORDER BY nt.doc_id""".stripMargin,
+    // whitespace words (empty-filtered) vs BPE-ish subword segmentation,
+    // summed per source before the ratio
+    "q189_token_fertility" ->
+      """WITH t AS (
+        |  SELECT source, text,
+        |    list_filter(string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')), ' '), x -> x <> '') AS toks
+        |  FROM documents),
+        |p AS (
+        |  SELECT source, CAST(len(toks) AS BIGINT) AS w,
+        |    CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS BIGINT) AS b,
+        |    CAST(length(array_to_string(toks, '')) AS BIGINT) AS c
+        |  FROM t)
+        |SELECT source, count(*) AS n_docs,
+        |  CAST(sum(w) AS BIGINT) AS n_words, CAST(sum(b) AS BIGINT) AS n_subwords,
+        |  CASE WHEN sum(w) > 0 THEN round(sum(b)::DOUBLE / sum(w)::DOUBLE, 6) ELSE 0.0 END AS fertility,
+        |  CASE WHEN sum(w) > 0 THEN round(sum(c)::DOUBLE / sum(w)::DOUBLE, 6) ELSE 0.0 END AS chars_per_word
+        |FROM p GROUP BY source ORDER BY source""".stripMargin,
+    // THE LAW: the incremental artifact must probe identically to the
+    // whole-corpus rebuild — this oracle IS the rebuild
+    "q190_bloom_increment" ->
+      """WITH fps AS (
+        |  SELECT doc_id,
+        |    md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g'))) AS key
+        |  FROM documents),
+        |corpus AS (SELECT DISTINCT key FROM fps),
+        |cpos AS (
+        |  SELECT DISTINCT ('0x' || substr(md5('bf' || r.i::VARCHAR || '|' || key), 1, 15))::BIGINT % 4096 AS p
+        |  FROM corpus CROSS JOIN range(3) r(i)),
+        |probe AS (
+        |  SELECT DISTINCT key FROM (
+        |    SELECT key FROM fps
+        |    UNION ALL
+        |    SELECT 'probe|' || doc_id::VARCHAR FROM documents)),
+        |ppos AS (
+        |  SELECT key, ('0x' || substr(md5('bf' || r.i::VARCHAR || '|' || key), 1, 15))::BIGINT % 4096 AS p
+        |  FROM probe CROSS JOIN range(3) r(i))
+        |SELECT ppos.key,
+        |  CAST(sum(CASE WHEN cpos.p IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) = 3 AS might_contain
+        |FROM ppos LEFT JOIN cpos ON ppos.p = cpos.p
+        |GROUP BY ppos.key ORDER BY ppos.key""".stripMargin,
     // exact-dup clusters by normalized-text md5, min-id rep, q44's md5
     // bucket gate on the rep — split inherited cluster-wide
     "q183_leakage_safe_split" ->

@@ -838,6 +838,67 @@ object Dedup {
       .select(col("span_fp"), col("n_docs"), col("n_occurrences"),
         col("loc.doc_id").as("first_doc"), col("loc.start").cast(IntegerType).as("first_start"))
 
+  /** Duplicated-span MASKS — the REMOVAL side of [[duplicatedSpans]] (Lee
+    * et al., ACL 2022: exact substring dedup cuts the repeated bytes, not
+    * the document): per document, the token intervals covered by spans
+    * occurring in ≥ `minDocs` distinct documents, merged into maximal
+    * islands, plus the duplicated-token budget. Emitting MASKS instead of
+    * rewritten text keeps the operator relational and auditable — the mask
+    * IS the dedup decision; the cut is a trivial downstream slice.
+    *
+    * Scale shape: the span fingerprints shuffle, the text never does
+    * (q136's index); duplicated-fp selection is one grouped count; the
+    * island merge is a window PER DOCUMENT over that document's duplicated
+    * span starts only — bounded by tokens/doc, independent of corpus size.
+    * With fixed span length L, islands split exactly where
+    * `start − lag(start) > L`, so the merge is one lag + one running sum.
+    * Output: doc_id, n_tokens, n_dup_spans, n_islands, n_dup_tokens,
+    * dup_ratio (6dp; 0 for undersized/clean docs). */
+  def spanMasks(
+      docs: DataFrame,
+      spanTokens: Int = 8,
+      minDocs: Int = 2,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(spanTokens > 0 && minDocs > 0,
+      s"need positive spanTokens/minDocs, got $spanTokens/$minDocs")
+    val toks = array_remove(TextAnalysis.tokens(col(textCol)), "")
+    val occ = docs
+      .select(col(idCol).as("doc_id"), shingles(toks, spanTokens).as("spans"))
+      .select(col("doc_id"), posexplode(col("spans")).as(Seq("start", "span")))
+      .select(col("doc_id"), col("start"),
+        conv(substring(md5(col("span")), 1, 15), 16, 10).cast(LongType).as("span_fp"))
+    val dupFps = occ.groupBy("span_fp")
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= minDocs)
+      .select("span_fp")
+    val w = Window.partitionBy("doc_id").orderBy("start")
+    val islands = occ.join(dupFps, "span_fp")
+      .withColumn("brk",
+        when(col("start") - lag(col("start"), 1).over(w) > spanTokens, 1)
+          .otherwise(when(lag(col("start"), 1).over(w).isNull, 1).otherwise(0)))
+      .withColumn("island", sum(col("brk")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("doc_id", "island")
+      .agg(count(lit(1)).as("n_spans"),
+        (max(col("start")) + spanTokens - min(col("start"))).as("island_tokens"))
+      .groupBy("doc_id")
+      .agg(sum(col("n_spans")).as("n_dup_spans"),
+        count(lit(1)).as("n_islands"),
+        sum(col("island_tokens")).as("n_dup_tokens"))
+    docs.select(col(idCol).as("doc_id"), size(toks).cast(LongType).as("n_tokens"))
+      .join(islands, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_dup_spans"), lit(0L)).as("n_dup_spans"),
+        coalesce(col("n_islands"), lit(0L)).as("n_islands"),
+        coalesce(col("n_dup_tokens"), lit(0L)).as("n_dup_tokens"),
+        when(col("n_tokens") > 0,
+          round(coalesce(col("n_dup_tokens"), lit(0L)).cast(DoubleType) /
+            col("n_tokens").cast(DoubleType), 6))
+          .otherwise(0.0).as("dup_ratio"))
+  }
+
   /** Duplicate-aware loss weights — SOFT dedup: instead of deleting the
     * losers of a dup cluster, every member keeps weight 1/|cluster| so the
     * cluster contributes one document's worth of gradient in total. The

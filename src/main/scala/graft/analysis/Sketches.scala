@@ -274,23 +274,48 @@ object Sketches {
       bits: Int = 4096,
       k: Int = 3,
       keyCol: String = "key"): DataFrame = {
-    require(k >= 1 && bits >= 2, s"need k>=1 hashes and bits>=2, got k=$k bits=$bits")
-    def positions(df: DataFrame): DataFrame = {
-      val pos = (0 until k).map(i =>
-        pmod(hash60(concat(lit(s"bf$i|"), col(keyCol))), lit(bits)))
-      df.select(col(keyCol), explode(array(pos: _*)).as("p"))
-    }
-    val setBits = positions(corpusKeys.select(keyCol).distinct())
-      .select("p").distinct()
-    val probe = probeKeys.select(keyCol).distinct()
-    val hits = positions(probe)
-      .join(broadcast(setBits.withColumn("set", lit(1L))), Seq("p"), "left")
-      .groupBy(keyCol)
-      .agg((sum(coalesce(col("set"), lit(0L))) === k).as("might_contain"))
+    val hits = bloomProbe(bloomBits(corpusKeys, bits, k, keyCol),
+      probeKeys, bits, k, keyCol)
     hits.join(
         corpusKeys.select(col(keyCol)).distinct().withColumn("actually_in", lit(true)),
         Seq(keyCol), "left")
       .select(col(keyCol), col("might_contain"),
         coalesce(col("actually_in"), lit(false)).as("actually_in"))
+  }
+
+  /** The bloom ARTIFACT: the distinct set-bit positions of `keys` — the
+    * form a pipeline stores. Incremental by construction: the bitmap OR is
+    * a distinct-union of these frames, so
+    * `bloomBits(A ∪ B) ≡ (bloomBits(A) ∪ bloomBits(B)).distinct` — the law
+    * the q190 gate checks against a whole-corpus rebuild. Bounded by
+    * `bits` rows regardless of corpus size. Output: p. */
+  def bloomBits(
+      keys: DataFrame, bits: Int = 4096, k: Int = 3,
+      keyCol: String = "key"): DataFrame = {
+    require(k >= 1 && bits >= 2, s"need k>=1 hashes and bits>=2, got k=$k bits=$bits")
+    bloomPositions(keys.select(keyCol).distinct(), bits, k, keyCol)
+      .select("p").distinct()
+  }
+
+  /** Probe `probeKeys` against a stored [[bloomBits]] artifact: a key is
+    * `might_contain` iff all `k` of its positions are set. The artifact
+    * broadcast-joins (≤ `bits` rows); the probe side never shuffles more
+    * than 〈key, position〉 pairs. Output: keyCol, might_contain. */
+  def bloomProbe(
+      setBits: DataFrame, probeKeys: DataFrame,
+      bits: Int = 4096, k: Int = 3, keyCol: String = "key"): DataFrame = {
+    require(k >= 1 && bits >= 2, s"need k>=1 hashes and bits>=2, got k=$k bits=$bits")
+    bloomPositions(probeKeys.select(keyCol).distinct(), bits, k, keyCol)
+      .join(broadcast(setBits.select(col("p")).withColumn("set", lit(1L))),
+        Seq("p"), "left")
+      .groupBy(keyCol)
+      .agg((sum(coalesce(col("set"), lit(0L))) === k).as("might_contain"))
+  }
+
+  private def bloomPositions(
+      df: DataFrame, bits: Int, k: Int, keyCol: String): DataFrame = {
+    val pos = (0 until k).map(i =>
+      pmod(hash60(concat(lit(s"bf$i|"), col(keyCol))), lit(bits)))
+    df.select(col(keyCol), explode(array(pos: _*)).as("p"))
   }
 }

@@ -456,6 +456,38 @@ object TextAnalysis {
   val markersEs: Seq[String] = Seq("el", "la", "de", "y", "es", "que")
   val markersFr: Seq[String] = Seq("le", "les", "et", "est", "une", "pas")
 
+  /** Tokenizer FERTILITY per source: subword-tokens-per-word — the
+    * standard fit metric between a tokenizer and a corpus slice (fertility
+    * near 1 means the vocabulary covers the text; high fertility flags
+    * sources the tokenizer fragments, which inflate training cost and
+    * degrade per-token learning). Uses the BPE-ish segmentation
+    * ([[bpeTokenPattern]]) over whitespace words, plus chars-per-word as
+    * the length control. One grouped aggregate over per-doc projections —
+    * map-side combinable, no shuffle of document bodies.
+    * Output per source: source, n_docs, n_words, n_subwords, fertility
+    * (6dp), chars_per_word (6dp). */
+  def tokenFertility(
+      docs: DataFrame,
+      textCol: String = "text",
+      srcCol: String = "source"): DataFrame = {
+    val words = array_remove(tokens(col(textCol)), "")
+    docs
+      .select(col(srcCol),
+        size(words).cast("long").as("w"),
+        bpeTokenCount(col(textCol)).cast("long").as("b"),
+        length(concat_ws("", words)).cast("long").as("c"))
+      .groupBy(srcCol)
+      .agg(count(lit(1)).as("n_docs"),
+        sum("w").as("n_words"),
+        sum("b").as("n_subwords"),
+        when(sum("w") > 0,
+          round(sum("b").cast(DoubleType) / sum("w").cast(DoubleType), 6))
+          .otherwise(0.0).as("fertility"),
+        when(sum("w") > 0,
+          round(sum("c").cast(DoubleType) / sum("w").cast(DoubleType), 6))
+          .otherwise(0.0).as("chars_per_word"))
+  }
+
   /** Per-document n-gram NOVELTY: the fraction of a document's distinct
     * n-gram shingles whose corpus-wide FIRST occurrence (min doc id over
     * all documents containing the shingle) is this document. The standard

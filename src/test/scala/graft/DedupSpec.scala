@@ -511,4 +511,24 @@ class DedupSpec extends SparkSpec {
     // all three splits materialize at the default 80/10/10 gate
     assert(out.map(_._3).distinct.sorted.toSeq === Seq("test", "train", "val"))
   }
+
+  test("span masks: adjacent dup spans merge into one island, budget exact") {
+    import spark.implicits._
+    // 12-token docs sharing tokens 0-9 (10 tokens → 3 dup 8-spans at
+    // starts 0,1,2 — one island of 10 tokens); doc 3 is all-fresh
+    val shared = (1 to 10).map(i => s"tok$i").mkString(" ")
+    val docs = Seq(
+      (1L, shared + " alpha beta"),
+      (2L, shared + " gamma delta"),
+      (3L, (1 to 12).map(i => s"zzz$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    val out = Dedup.spanMasks(docs, spanTokens = 8).orderBy("doc_id").collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))).toMap
+    // starts 0..2 are the spans fully inside the shared prefix; spans at
+    // starts 3-4 include doc-unique suffix tokens so they never duplicate
+    assert(out(1L) === ((12L, 3L, 1L, 10L, 0.833333)))
+    assert(out(2L) === ((12L, 3L, 1L, 10L, 0.833333)))
+    assert(out(3L) === ((12L, 0L, 0L, 0L, 0.0)))
+  }
 }

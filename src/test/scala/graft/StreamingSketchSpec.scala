@@ -163,4 +163,34 @@ class StreamingSketchSpec extends SparkSpec {
       rescaled.foreach { case (id, s) => assert(math.abs(s - direct(id)) <= 1e-4) }
     } finally q.stop()
   }
+
+  test("bloom bits accumulated across micro-batches equal the batch bits of the union") {
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[String](spark)
+    // the streaming artifact: set-bit positions OR-merged per micro-batch —
+    // a distinct-union of per-batch bloomBits frames (the mergeability law
+    // q190 gates against the oracle, exercised here across a stream)
+    val acc = scala.collection.mutable.Set.empty[Long]
+    val q = input.toDS().toDF("key")
+      .writeStream
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        Sketches.bloomBits(df, bits = 512, k = 3)
+          .collect().foreach(r => acc += r.getLong(0))
+      }
+      .outputMode("append").start()
+    try {
+      input.addData((1 to 40).map(i => s"k$i"): _*)
+      q.processAllAvailable()
+      input.addData((30 to 80).map(i => s"k$i"): _*) // overlap on purpose
+      q.processAllAvailable()
+      val union = (1 to 80).map(i => s"k$i").toDF("key")
+      val batch = Sketches.bloomBits(union, bits = 512, k = 3)
+        .collect().map(_.getLong(0)).toSet
+      assert(acc.toSet === batch) // bit-identical artifact
+      // and the merged artifact answers probes with no false negatives
+      val probe = Sketches.bloomProbe(acc.toSeq.toDF("p"), union, bits = 512, k = 3)
+        .collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
+      assert(probe.size === 80 && probe.values.forall(identity))
+    } finally q.stop()
+  }
 }
