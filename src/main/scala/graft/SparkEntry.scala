@@ -29,6 +29,13 @@ object SparkEntry {
     martQueries ++ relationalQueries ++ analysisQueries
 
   private def analysisQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // IVF operating-point curve: recall@10 + candidate volume at nProbe ∈
+    // {1,2,4,8} vs the exact top-10 — the probe-budget dial measured,
+    // completing the tuning-curve family (q180 bands, q161 bit rate)
+    "q191_ivf_nprobe_curve" -> { (s, d) =>
+      Similarity.ivfNprobeCurve(TestData.embeddings(s, d))
+        .orderBy("n_probe")
+    },
     // the removal side of q136: per-doc duplicated-token masks — spans in
     // ≥2 docs merged into maximal islands (fixed span length ⇒ islands
     // split exactly where start-lag(start) > L), dup-token budget per doc
@@ -2213,6 +2220,53 @@ object SparkEntry {
   /** q162's oracle: the IVFADC+R composition in one statement — the coarse
     * chain picks the candidate cells, the h-prefixed PQ chain supplies ADC
     * distances, the shortlist re-ranks by true L2. */
+  /** q191's oracle: the q117 coarse-quantizer chain, then for each nProbe
+    * operating point the probed candidates, cosine top-10, and recall vs
+    * the exact top-10 — one statement, cells computed once. */
+  private lazy val ivfNprobeCurveOracle: String = {
+    def cos(a: String, b: String): String =
+      s"""list_sum(list_transform(range(1, len($a.embedding) + 1),
+         |        i -> CAST($a.embedding[i] AS DOUBLE) * CAST($b.embedding[i] AS DOUBLE)))
+         |      / (sqrt(list_sum(list_transform(range(1, len($a.embedding) + 1),
+         |            i -> CAST($a.embedding[i] AS DOUBLE) * CAST($a.embedding[i] AS DOUBLE))))
+         |         * sqrt(list_sum(list_transform(range(1, len($b.embedding) + 1),
+         |            i -> CAST($b.embedding[i] AS DOUBLE) * CAST($b.embedding[i] AS DOUBLE)))))""".stripMargin
+    s"""WITH $ivfCellCtes,
+       |np AS (SELECT unnest([1, 2, 4, 8]) AS n_probe),
+       |cand AS (
+       |  SELECT np.n_probe, corpus.neighbor_id
+       |  FROM np
+       |  JOIN cellr ON cellr.vec_id = 0 AND cellr.rn <= np.n_probe
+       |  JOIN corpus ON corpus.cell = cellr.cluster
+       |  WHERE corpus.neighbor_id <> 0),
+       |co AS (
+       |  SELECT cand.n_probe, cand.neighbor_id,
+       |    ${cos("cn", "cq")} AS cosine
+       |  FROM cand
+       |  JOIN e cq ON cq.vec_id = 0
+       |  JOIN e cn ON cand.neighbor_id = cn.vec_id),
+       |ar AS (
+       |  SELECT n_probe, neighbor_id,
+       |    row_number() OVER (PARTITION BY n_probe ORDER BY cosine DESC, neighbor_id) AS rk
+       |  FROM co),
+       |a10 AS (SELECT n_probe, neighbor_id FROM ar WHERE rk <= 10),
+       |exact AS (
+       |  SELECT cn.vec_id AS neighbor_id,
+       |    row_number() OVER (ORDER BY ${cos("cn", "cq")} DESC, cn.vec_id) AS rk
+       |  FROM e cn CROSS JOIN (SELECT embedding FROM e WHERE vec_id = 0) cq
+       |  WHERE cn.vec_id <> 0),
+       |ex10 AS (SELECT neighbor_id FROM exact WHERE rk <= 10),
+       |ncand AS (SELECT n_probe, CAST(count(*) AS BIGINT) AS n_candidates FROM cand GROUP BY 1),
+       |ncom AS (
+       |  SELECT n_probe, CAST(count(*) AS BIGINT) AS n_common
+       |  FROM a10 JOIN ex10 USING (neighbor_id) GROUP BY 1)
+       |SELECT np.n_probe, ncand.n_candidates,
+       |  COALESCE(ncom.n_common, 0) AS n_common,
+       |  round(COALESCE(ncom.n_common, 0)::DOUBLE / 10, 6) AS recall
+       |FROM np JOIN ncand USING (n_probe) LEFT JOIN ncom USING (n_probe)
+       |ORDER BY np.n_probe""".stripMargin
+  }
+
   private lazy val ivfAdcOracle: String =
     s"""WITH $ivfCellCtes,
        |${pqRankedCtesFor("h", 8, 8, 16)},
@@ -4314,6 +4368,7 @@ object SparkEntry {
     "q148_ann_recall" -> annRecallOracle,
     "q161_pq_recall_curve" -> pqRecallCurveOracle,
     "q162_ivfadc" -> ivfAdcOracle,
+    "q191_ivf_nprobe_curve" -> ivfNprobeCurveOracle,
     // q173's chain + copy expansion + md5-keyed global order
     "q182_training_order" ->
       """WITH d AS (

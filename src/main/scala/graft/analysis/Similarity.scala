@@ -282,6 +282,56 @@ object Similarity {
     ivfProbe(corpus, queries, centroids, k, nProbe, idCol, vecCol)
   }
 
+  /** IVF OPERATING-POINT CURVE: recall@k and candidate volume per nProbe —
+    * the probe-budget dial measured, completing the tuning-curve family
+    * (q180 = MinHash bands, q161 = PQ bit rate, this = IVF probes). Each
+    * operating point is scored against the exact top-k: `n_candidates` is
+    * the cost (vectors actually scored), `recall` the quality. In
+    * production the exact arm runs over a SAMPLED query set exactly like
+    * this single-query gate form.
+    *
+    * Scale shape: the quantizer is the bounded deterministic Lloyd fit;
+    * the corpus is cell-assigned ONCE and persisted across all operating
+    * points; each point adds only a probe-cell broadcast join and a k-row
+    * intersection. The exact arm is one broadcast-query scan.
+    * Output: n_probe, n_candidates, n_common, recall (6dp). */
+  def ivfNprobeCurve(
+      corpus: DataFrame,
+      queryId: Long = 0L,
+      nProbes: Seq[Int] = Seq(1, 2, 4, 8),
+      k: Int = 10,
+      nCells: Int = 8,
+      quantizerIters: Int = 2,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    require(nProbes.nonEmpty && nProbes.forall(p => p >= 1 && p <= nCells),
+      s"nProbes must be within [1, $nCells], got $nProbes")
+    val unitized = corpus.select(col(idCol), unit(col(vecCol)).as("__u"))
+    val centroids =
+      Clustering.lloydCentroids(unitized, nCells, quantizerIters, idCol, "__u")
+    val query = corpus.filter(col(idCol) === queryId)
+    val exact = knnBruteForce(corpus, query, k, idCol, vecCol)
+      .select(col("neighbor_id")).persist()
+    val corpusCells = corpus.select(
+        col(idCol).as("neighbor_id"),
+        element_at(nearestCells(centroids, col(vecCol), 1), 1).as("cell"))
+      .filter(col("neighbor_id") =!= queryId).persist()
+    try {
+      nProbes.map { np =>
+        val probeCells = query.select(
+          explode(nearestCells(centroids, col(vecCol), np)).as("cell"))
+        val cand = corpusCells.join(broadcast(probeCells), "cell")
+        val approx = ivfProbe(corpus, query, centroids, k, np, idCol, vecCol)
+          .select(col("neighbor_id"))
+        cand.agg(count(lit(1)).as("n_candidates"))
+          .crossJoin(approx.join(exact, "neighbor_id")
+            .agg(count(lit(1)).as("n_common")))
+          .select(lit(np).as("n_probe"), col("n_candidates"), col("n_common"),
+            round(col("n_common").cast(DoubleType) / k, 6).as("recall"))
+      }.reduce(_ unionByName _)
+    } finally { exact.unpersist(); corpusCells.unpersist(); () }
+  }
+
   /** Exact embedding-cosine near-duplicate pairs by full self-comparison —
     * the correctness baseline for [[embeddingNearDupPairs]]. O(n²/2) scored
     * pairs through one fused cosine per pair; fine to ~10⁵ vectors, after
