@@ -29,6 +29,24 @@ object SparkEntry {
     martQueries ++ relationalQueries ++ analysisQueries
 
   private def analysisQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // mergeable HDR quantile sketch: log-bucketed counts (octave via
+    // length(bin(v)) — INTEGER arithmetic, no libm log), quantile = lower
+    // bound of the first bucket reaching ceil(q·n); state O(64·s)/group,
+    // merges by addition
+    "q192_hdr_quantiles" -> { (s, d) =>
+      graft.analysis.Sketches.hdrQuantiles(
+          TestData.documents(s, d), "source", "n_chars")
+        .orderBy("source", "quantile")
+    },
+    // exactly-k-per-group deterministic sample: k smallest md5 hashes per
+    // source, hot-group-safe via the per-group hash-cutoff prefilter with
+    // exact fallback
+    "q193_group_sample" -> { (s, d) =>
+      graft.analysis.Sampling.samplePerGroup(TestData.documents(s, d),
+          groupCol = "source", keyCol = "doc_id", k = 10)
+        .select("doc_id", "source", "sample_rank")
+        .orderBy("source", "sample_rank")
+    },
     // IVF operating-point curve: recall@10 + candidate volume at nProbe ∈
     // {1,2,4,8} vs the exact top-10 — the probe-budget dial measured,
     // completing the tuning-curve family (q180 bands, q161 bit rate)
@@ -2319,6 +2337,43 @@ object SparkEntry {
        |ORDER BY config""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
+    // integer log-bucketing (length(bin) octave, // sub-bucket), cumulative
+    // window over the aggregated histogram, first bucket ≥ ceil(q·n)
+    "q192_hdr_quantiles" ->
+      """WITH v AS (
+        |  SELECT source, greatest(CAST(n_chars AS BIGINT), 1) AS v FROM documents),
+        |b AS (
+        |  SELECT source, CAST(length(bin(v)) - 1 AS INT) AS e,
+        |    CAST((v * 4) // (1::BIGINT << (length(bin(v)) - 1)) - 4 AS INT) AS sub
+        |  FROM v),
+        |h AS (SELECT source, e, sub, count(*) AS n FROM b GROUP BY 1, 2, 3),
+        |c AS (
+        |  SELECT source, e, sub, e * 4 + sub AS bid, n,
+        |    sum(n) OVER (PARTITION BY source ORDER BY e * 4 + sub ROWS UNBOUNDED PRECEDING) AS cum,
+        |    sum(n) OVER (PARTITION BY source) AS total,
+        |    (1::BIGINT << e)::DOUBLE * (1.0::DOUBLE + sub::DOUBLE / 4) AS est
+        |  FROM h),
+        |q AS (SELECT unnest([0.5, 0.9, 0.99]) AS quantile),
+        |sel AS (
+        |  SELECT c.source, q.quantile, CAST(c.total AS BIGINT) AS n, c.est,
+        |    row_number() OVER (PARTITION BY c.source, q.quantile ORDER BY c.bid) AS rn
+        |  FROM c CROSS JOIN q
+        |  WHERE c.cum >= CAST(ceil(q.quantile * c.total) AS BIGINT))
+        |SELECT source, quantile, n, round(est, 6) AS est
+        |FROM sel WHERE rn = 1 ORDER BY source, quantile""".stripMargin,
+    // the k smallest md5(doc_id) hashes per source — the oracle ranks
+    // directly; the Spark side proves the cutoff prefilter is exact
+    "q193_group_sample" ->
+      """WITH h AS (
+        |  SELECT doc_id, source,
+        |    ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT AS hh
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, source,
+        |    row_number() OVER (PARTITION BY source ORDER BY hh, doc_id) AS sample_rank
+        |  FROM h)
+        |SELECT doc_id, source, sample_rank FROM r WHERE sample_rank <= 10
+        |ORDER BY source, sample_rank""".stripMargin,
     // q136's span-fp CTEs + gaps-and-islands merge (break where the gap
     // between consecutive dup-span starts exceeds the span length)
     "q188_span_masks" ->

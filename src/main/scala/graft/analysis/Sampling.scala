@@ -235,4 +235,51 @@ object Sampling {
       .select(col("anchor_id"), col("neg_id"), col("neg_label"), col("rank"),
         round(col("cosine"), 4).as("cosine"))
   }
+
+  /** EXACTLY-k-per-group deterministic sample: the k rows with the
+    * smallest md5 hash per group (all rows for groups smaller than k) —
+    * the "take 1000 docs per source for the eval set" staple, with the
+    * same engine-portable determinism as [[hashSample]] (retry-stable,
+    * partitioning-independent, reproducible in any engine).
+    *
+    * Scale shape: NOT a bare window over raw rows (a hot group would pin
+    * one partition). Phase 1 computes per-group counts (map-combinable)
+    * and a conservative per-group hash CUTOFF at `margin·k/n` of the hash
+    * space; only survivors — expected margin·k per group — reach the
+    * ranking window. The cutoff preserves exactness whenever ≥ k rows
+    * survive (the k smallest hashes are all ≤ any cutoff that admits ≥ k
+    * rows); groups where the tail bound misses (expected none at
+    * margin 4) fall back to ranking unfiltered, so the result is EXACT
+    * for every group, not probably-exact. Ties cannot occur on distinct
+    * keys (md5 over the key), and identical keys tie-break by the key.
+    * Output: original columns + sample_rank (1..k). */
+  def samplePerGroup(
+      df: DataFrame,
+      groupCol: String,
+      keyCol: String,
+      k: Int,
+      margin: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 1 && margin >= 1, s"need k>=1 and margin>=1, got $k/$margin")
+    val h = Sketches.hash60(col(keyCol))
+    val counts = df.groupBy(groupCol).agg(count(lit(1)).as("__n"))
+    val hashed = df.withColumn("__h", h)
+      .join(broadcast(counts), groupCol)
+    // cutoff = HashSpace·margin·k/n (whole space when n ≤ margin·k)
+    val cutoff = when(col("__n") <= margin.toLong * k, lit(Long.MaxValue))
+      .otherwise((lit(Sketches.HashSpace) * margin * k /
+        col("__n").cast("double")).cast("long"))
+    val survivors = hashed.filter(col("__h") <= cutoff)
+    val okGroups = survivors.groupBy(groupCol)
+      .agg(count(lit(1)).as("__m"), max(col("__n")).as("__ng"))
+      .filter(col("__m") >= least(lit(k.toLong), col("__ng")))
+    val w = Window.partitionBy(groupCol).orderBy(col("__h"), col(keyCol))
+    def rank(part: DataFrame): DataFrame =
+      part.withColumn("sample_rank", row_number().over(w))
+        .filter(col("sample_rank") <= k)
+    val survOk = survivors.join(okGroups.select(groupCol), Seq(groupCol), "left_semi")
+    val fallback = hashed.join(okGroups.select(groupCol), Seq(groupCol), "left_anti")
+    rank(survOk).unionByName(rank(fallback))
+      .drop("__h", "__n")
+  }
 }

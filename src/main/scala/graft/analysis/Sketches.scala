@@ -318,4 +318,72 @@ object Sketches {
       pmod(hash60(concat(lit(s"bf$i|"), col(keyCol))), lit(bits)))
     df.select(col(keyCol), explode(array(pos: _*)).as("p"))
   }
+
+  /** Mergeable HDR-style QUANTILE histogram — the missing member of the
+    * sketch family (KMV for distinct, HLL for registers, CountMin for
+    * frequency, this for order statistics): positive integer values land
+    * in log-spaced buckets — octave `e = floor(log2 v)` × `subBuckets`
+    * linear sub-divisions — giving ≤ 1/subBuckets relative error with
+    * O(64·subBuckets) state per group, and counts that merge by ADDITION
+    * (the property exact quantiles lack; cross-day/cross-shard quantiles
+    * come from summing histograms, never rescanning).
+    *
+    * Engine-portable on purpose: the octave is `length(bin(v)) − 1` —
+    * INTEGER arithmetic, not `floor(log(v)/log(2))`, whose libm ulps flip
+    * bucket assignment at exact powers of two (the q165 drift class,
+    * designed out instead of rounded away). The sub-bucket and the bucket
+    * lower bound (`(1<<e)·(1 + sub/s)`) are integer-derived too.
+    *
+    * Values < 1 are clamped into bucket 0 (octave 0, sub 0) rather than
+    * dropped, so counts reconcile. Output: groupCol, bid, e, sub, n. */
+  def hdrHistogram(
+      df: DataFrame, groupCol: String, valueCol: String,
+      subBuckets: Int = 4): DataFrame = {
+    require(subBuckets >= 1, s"need subBuckets >= 1, got $subBuckets")
+    val v = greatest(col(valueCol).cast("long"), lit(1L))
+    // sub = floor(v·s / 2^e) − s: the divisor is an exact power of two, so
+    // the double division is a pure exponent shift — floor is exact for
+    // any v ≤ 2^52 (and DuckDB's integer `//` matches trivially)
+    df.select(col(groupCol), v.as("__v"))
+      .withColumn("e", (length(bin(col("__v"))) - 1).cast("int"))
+      .withColumn("sub",
+        (floor(col("__v") * subBuckets /
+          expr("shiftleft(CAST(1 AS BIGINT), e)")) - subBuckets).cast("int"))
+      .groupBy(groupCol, "e", "sub")
+      .agg(count(lit(1)).as("n"))
+      .select(col(groupCol), (col("e") * subBuckets + col("sub")).as("bid"),
+        col("e"), col("sub"), col("n"))
+  }
+
+  /** Quantile estimates from [[hdrHistogram]]: per group and probe q, the
+    * lower bound of the first bucket whose cumulative count reaches
+    * `ceil(q·n)` — a deterministic under-estimate within 1/subBuckets
+    * relative. The cumulative window runs over the AGGREGATED histogram
+    * (≤ 64·subBuckets rows per group), never raw rows.
+    * Output: groupCol, quantile, n, est. */
+  def hdrQuantiles(
+      df: DataFrame, groupCol: String, valueCol: String,
+      qs: Seq[Double] = Seq(0.5, 0.9, 0.99),
+      subBuckets: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(qs.nonEmpty && qs.forall(q => q > 0 && q <= 1), s"bad quantiles $qs")
+    val hist = hdrHistogram(df, groupCol, valueCol, subBuckets)
+    val w = Window.partitionBy(groupCol).orderBy("bid")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = hist
+      .withColumn("cum", sum(col("n")).over(w))
+      .withColumn("total", sum(col("n")).over(Window.partitionBy(groupCol)))
+      .withColumn("est",
+        expr("shiftleft(CAST(1 AS BIGINT), e)").cast("double") *
+          (lit(1.0) + col("sub").cast("double") / subBuckets))
+    val probes = qs.map(q => lit(q).as("quantile"))
+    val spine = df.sparkSession.range(1)
+      .select(explode(array(probes: _*)).as("quantile"))
+    cum.crossJoin(broadcast(spine))
+      .filter(col("cum") >= ceil(col("quantile") * col("total")).cast("long"))
+      .groupBy(col(groupCol), col("quantile"))
+      .agg(min(struct(col("bid"), col("total").as("n"), col("est"))).as("hit"))
+      .select(col(groupCol), col("quantile"), col("hit.n").as("n"),
+        round(col("hit.est"), 6).as("est"))
+  }
 }

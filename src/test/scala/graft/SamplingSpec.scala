@@ -159,4 +159,28 @@ class SamplingSpec extends SparkSpec {
     val cos = out.map(_.getAs[Double]("cosine"))
     assert(cos(0) > 0.99 && math.abs(cos(1)) < 1e-9) // ranked by similarity
   }
+
+  test("samplePerGroup: cutoff prefilter is exact under heavy skew, small groups whole") {
+    import spark.implicits._
+    // hot group: 5000 rows; cold group: 3 rows (< k)
+    val rows = (0L until 5000L).map(i => (i, "hot")) ++
+      (9000L until 9003L).map(i => (i, "cold"))
+    val df = rows.toDF("doc_id", "grp")
+    val out = Sampling.samplePerGroup(df, "grp", "doc_id", k = 10)
+      .collect().map(r => (r.getAs[String]("grp"), r.getAs[Long]("doc_id"),
+        r.getAs[Int]("sample_rank")))
+    // exact contract: identical to the naive full rank (computed here on
+    // the driver from the same md5-derived hashes)
+    def h(id: Long) = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(15)
+      java.lang.Long.parseLong(hex, 16)
+    }
+    val expectHot = (0L until 5000L).sortBy(i => (h(i), i)).take(10).toSet
+    assert(out.filter(_._1 == "hot").map(_._2).toSet === expectHot)
+    assert(out.count(_._1 == "hot") === 10)
+    // group smaller than k: every row sampled, ranks 1..3
+    assert(out.filter(_._1 == "cold").map(_._3).sorted.toSeq === Seq(1, 2, 3))
+  }
 }

@@ -105,4 +105,30 @@ class SketchesSpec extends SparkSpec {
     val nonMembers = out.filter(!_._2._2)
     assert(nonMembers.exists(!_._2._1), "bitmap saturated: test lost its power")
   }
+
+  test("hdr quantiles: estimates bracket the exact order statistic; histograms merge by addition") {
+    import spark.implicits._
+    val vals = (1 to 1000).map(i => ("g", (i * 7 % 997) + 1L)) // 1..997 shuffled
+    val df = vals.toDF("g", "v")
+    val est = Sketches.hdrQuantiles(df, "g", "v", qs = Seq(0.5, 0.9, 0.99))
+      .collect().map(r => r.getDouble(1) -> r.getDouble(3)).toMap
+    val sorted = vals.map(_._2).sorted
+    Seq(0.5, 0.9, 0.99).foreach { q =>
+      val exact = sorted(math.ceil(q * sorted.size).toInt - 1).toDouble
+      val e = est(q)
+      // lower bound of the bucket holding the order statistic: within one
+      // sub-bucket width (1/4 relative) below, never above
+      assert(e <= exact, s"q=$q: est $e above exact $exact")
+      assert(exact < e * 1.25 + 1e-9, s"q=$q: est $e more than 25% below $exact")
+    }
+    // mergeability law: counts of the union are the SUM of per-part counts
+    val (a, b) = (df.filter($"v" % 2 === 0), df.filter($"v" % 2 =!= 0))
+    val merged = Sketches.hdrHistogram(a, "g", "v")
+      .unionByName(Sketches.hdrHistogram(b, "g", "v"))
+      .groupBy("g", "bid", "e", "sub").agg(sum("n").as("n"))
+      .orderBy("bid").collect().map(r => (r.getInt(2), r.getInt(3), r.getLong(4)))
+    val whole = Sketches.hdrHistogram(df, "g", "v")
+      .orderBy("bid").collect().map(r => (r.getInt(2), r.getInt(3), r.getLong(4)))
+    assert(merged.toSeq === whole.toSeq)
+  }
 }
