@@ -29,6 +29,12 @@ object SparkEntry {
     martQueries ++ relationalQueries ++ analysisQueries
 
   private def analysisQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Heaps-law vocabulary growth over deterministic hash-decile prefixes:
+    // types vs corpus size — the corpus-composition trend monitor (bends
+    // up = templated inflow; flattens hard = heavy duplication)
+    "q194_vocab_growth" -> { (s, d) =>
+      TextAnalysis.vocabGrowth(TestData.documents(s, d)).orderBy("decile")
+    },
     // mergeable HDR quantile sketch: log-bucketed counts (octave via
     // length(bin(v)) — INTEGER arithmetic, no libm log), quantile = lower
     // bound of the first bucket reaching ceil(q·n); state O(64·s)/group,
@@ -2337,6 +2343,34 @@ object SparkEntry {
        |ORDER BY config""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
+    // md5-decile assignment, token-first-decile for new types, cumulative
+    // sums over the 10-row spine
+    "q194_vocab_growth" ->
+      """WITH d AS (
+        |  SELECT doc_id, text,
+        |    CAST(('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 10 + 1 AS INT) AS decile
+        |  FROM documents),
+        |tok AS (
+        |  SELECT decile,
+        |    unnest(list_filter(string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')), ' '), x -> x <> '')) AS tok
+        |  FROM d),
+        |pd AS (SELECT decile, count(*) AS nt FROM tok GROUP BY 1),
+        |ft AS (SELECT tok, min(decile) AS decile FROM tok GROUP BY 1),
+        |nv AS (SELECT decile, count(*) AS n_new_types FROM ft GROUP BY 1),
+        |dc AS (SELECT decile, count(*) AS nd FROM d GROUP BY 1),
+        |sp AS (SELECT CAST(unnest(range(1, 11)) AS INT) AS decile),
+        |j AS (
+        |  SELECT sp.decile, COALESCE(nd, 0) AS nd, COALESCE(nt, 0) AS nt,
+        |    COALESCE(n_new_types, 0) AS n_new_types
+        |  FROM sp LEFT JOIN dc USING (decile) LEFT JOIN pd USING (decile)
+        |  LEFT JOIN nv USING (decile))
+        |SELECT decile,
+        |  CAST(sum(nd) OVER w AS BIGINT) AS n_docs_cum,
+        |  CAST(sum(nt) OVER w AS BIGINT) AS n_tokens_cum,
+        |  CAST(n_new_types AS BIGINT) AS n_new_types,
+        |  CAST(sum(n_new_types) OVER w AS BIGINT) AS vocab_cum
+        |FROM j WINDOW w AS (ORDER BY decile ROWS UNBOUNDED PRECEDING)
+        |ORDER BY decile""".stripMargin,
     // integer log-bucketing (length(bin) octave, // sub-bucket), cumulative
     // window over the aggregated histogram, first bucket ≥ ceil(q·n)
     "q192_hdr_quantiles" ->

@@ -456,6 +456,56 @@ object TextAnalysis {
   val markersEs: Seq[String] = Seq("el", "la", "de", "y", "es", "que")
   val markersFr: Seq[String] = Seq("le", "les", "et", "est", "une", "pas")
 
+  /** VOCABULARY GROWTH (Heaps-law) curve: distinct token types vs corpus
+    * size, measured over deterministic hash-decile prefixes — documents
+    * land in one of `buckets` md5 deciles, and checkpoint d reports the
+    * cumulative docs/tokens/types of deciles 1..d. Sub-linear growth
+    * (V ∝ N^β, β ≈ 0.4–0.6 for natural text) is the expected shape; a
+    * curve bending UP flags synthetic/templated inflow, one flattening
+    * hard flags heavy duplication — the cheapest corpus-composition
+    * trend monitor next to [[ngramNovelty]]'s per-doc view.
+    *
+    * Scale shape: one shuffle on the token key for `min(decile)`
+    * (map-side combinable — a token's postings never co-locate), grouped
+    * counts for the rest; the cumulative window runs over ≤ `buckets`
+    * aggregated rows. No global rank anywhere: the hash decile replaces
+    * ingestion order, which Heaps measurement does not need (random
+    * subsets of growing size trace the same curve).
+    * Output: decile, n_docs_cum, n_tokens_cum, n_new_types, vocab_cum. */
+  def vocabGrowth(
+      docs: DataFrame,
+      buckets: Int = 10,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(buckets >= 2, s"need buckets >= 2, got $buckets")
+    val dec = (pmod(Sketches.hash60(col(idCol)), lit(buckets)) + 1).cast("int")
+    val tok = docs.select(dec.as("decile"),
+      explode(array_remove(tokens(col(textCol)), "")).as("tok"))
+    val perDec = tok.groupBy("decile").agg(count(lit(1)).as("n_tokens"))
+    val newTypes = tok.groupBy("tok").agg(min("decile").as("decile"))
+      .groupBy("decile").agg(count(lit(1)).as("n_new_types"))
+    val docsPer = docs.select(dec.as("decile"))
+      .groupBy("decile").agg(count(lit(1)).as("n_docs"))
+    val spine = docs.sparkSession.range(1, buckets + 1)
+      .select(col("id").cast("int").as("decile"))
+    val w = Window.orderBy("decile")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine
+      .join(docsPer, Seq("decile"), "left")
+      .join(perDec, Seq("decile"), "left")
+      .join(newTypes, Seq("decile"), "left")
+      .select(col("decile"),
+        coalesce(col("n_docs"), lit(0L)).as("nd"),
+        coalesce(col("n_tokens"), lit(0L)).as("nt"),
+        coalesce(col("n_new_types"), lit(0L)).as("n_new_types"))
+      .select(col("decile"),
+        sum(col("nd")).over(w).as("n_docs_cum"),
+        sum(col("nt")).over(w).as("n_tokens_cum"),
+        col("n_new_types"),
+        sum(col("n_new_types")).over(w).as("vocab_cum"))
+  }
+
   /** Tokenizer FERTILITY per source: subword-tokens-per-word — the
     * standard fit metric between a tokenizer and a corpus slice (fertility
     * near 1 means the vocabulary covers the text; high fertility flags

@@ -193,4 +193,31 @@ class StreamingSketchSpec extends SparkSpec {
       assert(probe.size === 80 && probe.values.forall(identity))
     } finally q.stop()
   }
+
+  test("hdr histograms accumulated across micro-batches equal the batch histogram of the union") {
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(String, Long)](spark)
+    // counts merge by ADDITION — the streaming artifact is a running sum
+    // per (group, bucket), exactly what hdrQuantiles consumes downstream
+    val acc = scala.collection.mutable.Map.empty[(String, Int, Int), Long]
+    val q = input.toDS().toDF("g", "v")
+      .writeStream
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        Sketches.hdrHistogram(df, "g", "v").collect().foreach { r =>
+          val k = (r.getString(0), r.getInt(2), r.getInt(3))
+          acc(k) = acc.getOrElse(k, 0L) + r.getLong(4)
+        }
+      }
+      .outputMode("append").start()
+    try {
+      input.addData((1 to 300).map(i => ("g", i.toLong)): _*)
+      q.processAllAvailable()
+      input.addData((200 to 900).map(i => ("g", i.toLong)): _*)
+      q.processAllAvailable()
+      val union = ((1 to 300) ++ (200 to 900)).map(i => ("g", i.toLong)).toDF("g", "v")
+      val batch = Sketches.hdrHistogram(union, "g", "v").collect()
+        .map(r => (r.getString(0), r.getInt(2), r.getInt(3)) -> r.getLong(4)).toMap
+      assert(acc.toMap === batch) // additive merge is exact, not approximate
+    } finally q.stop()
+  }
 }

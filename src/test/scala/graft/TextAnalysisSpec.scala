@@ -359,6 +359,33 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(4L) === ((0L, 0L, 0.0)))
   }
 
+  test("vocab growth: cumulative counts exact, new types attributed to min decile") {
+    import spark.implicits._
+    // each doc carries one shared token and one unique token — vocab must
+    // grow by exactly (docs in decile) new types per decile, plus 'shared'
+    // once in the first non-empty decile
+    val docs = (0L until 200L).map(i => (i, s"shared unique$i")).toDF("doc_id", "text")
+    val out = TextAnalysis.vocabGrowth(docs).orderBy("decile").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(out.length === 10)
+    // totals reconcile exactly
+    assert(out.last._2 === 200L)
+    assert(out.last._3 === 400L)         // 2 tokens per doc
+    assert(out.last._5 === 201L)         // 200 unique + 1 shared
+    // cumulative columns are monotone and consistent with per-decile news
+    out.sliding(2).foreach { case Array(a, b) =>
+      assert(b._2 >= a._2 && b._3 >= a._3 && b._5 === a._5 + b._4)
+    }
+    // every decile's new types = its docs' unique tokens (+1 shared in the
+    // first nonempty decile)
+    val firstNonEmpty = out.find(_._2 > 0).get._1
+    out.foreach { case (d, _, _, news, _) =>
+      val docsIn = if (d == 1) out.head._2 else out(d - 1)._2 - out(d - 2)._2
+      val expect = docsIn + (if (d == firstNonEmpty) 1 else 0)
+      assert(news === expect, s"decile $d: $news != $expect")
+    }
+  }
+
   test("gopher rules: each rule trips independently; keep is the conjunction") {
     import spark.implicits._
     val good = ("w" + (1 to 60).map(i => s" the word$i").mkString)  // 121 tokens, stopwords, diverse
