@@ -29,6 +29,13 @@ object SparkEntry {
     martQueries ++ relationalQueries ++ analysisQueries
 
   private def analysisQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Johnson–Lindenstrauss projection 64→16 dims with a deterministic
+    // ±1 md5-parity matrix — no weight artifact, any engine regenerates
+    // the identical projection; one codegen'd pass, no shuffle
+    "q195_random_projection" -> { (s, d) =>
+      Similarity.randomProjection(TestData.embeddings(s, d))
+        .orderBy("vec_id", "p")
+    },
     // Heaps-law vocabulary growth over deterministic hash-decile prefixes:
     // types vs corpus size — the corpus-composition trend monitor (bends
     // up = templated inflow; flattens hard = heavy duplication)
@@ -2343,6 +2350,21 @@ object SparkEntry {
        |ORDER BY config""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
+    // the ±1 matrix regenerated from md5('rp|p|j') parity; 1/sqrt(16)
+    // is exact, so the only float work is the fused sum itself
+    "q195_random_projection" ->
+      """WITH e AS (SELECT vec_id, embedding FROM embeddings),
+        |ps AS (SELECT CAST(unnest(range(16)) AS INT) AS p),
+        |pr AS (
+        |  SELECT vec_id, p,
+        |    list_sum(list_transform(range(64), j ->
+        |      CAST(embedding[CAST(j + 1 AS INT)] AS DOUBLE) *
+        |      (CASE WHEN ('0x' || substr(md5('rp|' || p::VARCHAR || '|' || j::VARCHAR), 1, 15))::BIGINT % 2 = 0
+        |            THEN 1.0::DOUBLE ELSE -1.0::DOUBLE END)))
+        |      * (1.0::DOUBLE / sqrt(16.0::DOUBLE)) AS value
+        |  FROM e CROSS JOIN ps)
+        |SELECT vec_id, p, round(value, 6) AS value
+        |FROM pr ORDER BY vec_id, p""".stripMargin,
     // md5-decile assignment, token-first-decile for new types, cumulative
     // sums over the 10-row spine
     "q194_vocab_growth" ->

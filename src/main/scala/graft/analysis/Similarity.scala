@@ -332,6 +332,47 @@ object Similarity {
     } finally { exact.unpersist(); corpusCells.unpersist(); () }
   }
 
+  /** Deterministic ±1 sign for projection plane `p`, dimension `j` —
+    * md5-derived so ANY engine regenerates the identical matrix from the
+    * (p, j) coordinates alone; no stored weights, no RNG state. */
+  private[analysis] def rpSign(p: Int, j: Int): Double = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"rp|$p|$j".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(15)
+    if (java.lang.Long.parseLong(hex, 16) % 2 == 0) 1.0 else -1.0
+  }
+
+  /** Johnson–Lindenstrauss RANDOM PROJECTION with a deterministic ±1
+    * (Achlioptas) matrix: embeddings drop from `dim` to `outDim`
+    * dimensions with pairwise distances preserved within the JL bound —
+    * the standard pre-step that makes every downstream ANN / dedup /
+    * clustering pass `dim/outDim`× cheaper in compute, shuffle bytes, and
+    * sketch width. The matrix entry is a pure function of its (plane,
+    * dimension) coordinates (md5 parity), so the projection is
+    * reproducible in any engine with no weight artifact to version.
+    *
+    * Scale shape: a single codegen'd projection — outDim fused
+    * sum-of-±terms per row, no shuffle, pipelines into the parquet scan.
+    * Output (exploded for oracle comparability): idCol, p, value (6dp). */
+  def randomProjection(
+      corpus: DataFrame,
+      outDim: Int = 16,
+      dim: Int = 64,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    require(outDim >= 1 && dim >= 1, s"bad dims $outDim/$dim")
+    val inv = 1.0 / math.sqrt(outDim.toDouble)
+    val comps = (0 until outDim).map { p =>
+      val terms = (0 until dim).map(j =>
+        element_at(col(vecCol), j + 1).cast("double") * lit(rpSign(p, j)))
+      struct(lit(p).as("p"), (terms.reduceLeft(_ + _) * inv).as("value"))
+    }
+    corpus
+      .select(col(idCol), explode(array(comps: _*)).as("c"))
+      .select(col(idCol), col("c.p").as("p"),
+        round(col("c.value"), 6).as("value"))
+  }
+
   /** Exact embedding-cosine near-duplicate pairs by full self-comparison —
     * the correctness baseline for [[embeddingNearDupPairs]]. O(n²/2) scored
     * pairs through one fused cosine per pair; fine to ~10⁵ vectors, after

@@ -210,6 +210,36 @@ class SimilaritySpec extends SparkSpec {
     assert(ex.getMessage.contains("precondition"))
   }
 
+  test("random projection: basis columns have exact unit norm and the map is linear") {
+    import spark.implicits._
+    def basis(j: Int) = Array.tabulate(64)(i => if (i == j) 1.0f else 0.0f)
+    val vecs = Seq(
+      (0L, basis(0)), (1L, basis(17)), (2L, basis(63)),
+      (3L, Array.tabulate(64)(i => (math.sin(i + 1) / 4).toFloat)),
+      (4L, Array.tabulate(64)(i => (math.cos(2 * i + 1) / 4).toFloat))
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.randomProjection(vecs)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    def proj(id: Long) = (0 until 16).map(p => out((id, p)))
+    // ±1/√16 entries: a standard-basis input projects to 16 components of
+    // exactly ±0.25 — squared norm 16·(1/16) = 1, EXACTLY
+    Seq(0L, 1L, 2L).foreach { id =>
+      val v = proj(id)
+      assert(v.forall(x => math.abs(math.abs(x) - 0.25) < 1e-9))
+      assert(math.abs(v.map(x => x * x).sum - 1.0) < 1e-9)
+    }
+    // linearity: P(a + b) = P(a) + P(b) — verify on the two dense vectors
+    val a = proj(3L); val b = proj(4L)
+    val ab = Similarity.randomProjection(
+        Seq((9L, Array.tabulate(64)(i =>
+          (math.sin(i + 1) / 4 + math.cos(2 * i + 1) / 4).toFloat)))
+          .toDF("vec_id", "embedding"))
+      .collect().map(r => r.getInt(1) -> r.getDouble(2)).toMap
+    (0 until 16).foreach { p =>
+      assert(math.abs(ab(p) - (a(p) + b(p))) < 2e-6) // float input + 6dp round
+    }
+  }
+
   test("axisSignBitsFor: occupancy-constant widths, capped at dim and 62") {
     assert(Similarity.axisSignBitsFor(2000) === 6)   // sf0.1: 62.5/bucket target
     assert(Similarity.axisSignBitsFor(20000) === 10) // 10×
