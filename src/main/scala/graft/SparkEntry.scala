@@ -29,6 +29,29 @@ object SparkEntry {
     martQueries ++ relationalQueries ++ analysisQueries
 
   private def analysisQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // the minJaccard dial as a measured curve: per threshold, surviving
+    // verified pairs + affected docs (max partner score), both from one
+    // pass over q32's exact scored pairs
+    "q196_dedup_threshold_sweep" -> { (s, d) =>
+      Dedup.thresholdSweep(
+          Dedup.ngramJaccardPairs(TestData.documents(s, d), minJaccard = 0.1))
+        .orderBy("threshold")
+    },
+    // THE LAW: hdr histograms merge by addition — stored counts (oldest
+    // 90%) summed with the fresh batch's must quantile identically to the
+    // whole-corpus rebuild (q192's oracle recomputes the rebuild)
+    "q197_hdr_increment" -> { (s, d) =>
+      val docs = TestData.documents(s, d)
+      val cut = docs.agg(max("doc_id")).collect().head.getLong(0) * 9 / 10
+      val stored = graft.analysis.Sketches.hdrHistogram(
+        docs.filter(col("doc_id") <= cut), "source", "n_chars")
+      val fresh = graft.analysis.Sketches.hdrHistogram(
+        docs.filter(col("doc_id") > cut), "source", "n_chars")
+      val merged = stored.unionByName(fresh)
+        .groupBy("source", "bid", "e", "sub").agg(sum("n").as("n"))
+      graft.analysis.Sketches.hdrQuantilesFromHistogram(merged, "source")
+        .orderBy("source", "quantile")
+    },
     // Johnson–Lindenstrauss projection 64→16 dims with a deterministic
     // ±1 md5-parity matrix — no weight artifact, any engine regenerates
     // the identical projection; one codegen'd pass, no shuffle
@@ -2251,6 +2274,34 @@ object SparkEntry {
   /** q162's oracle: the IVFADC+R composition in one statement — the coarse
     * chain picks the candidate cells, the h-prefixed PQ chain supplies ADC
     * distances, the shortlist re-ranks by true L2. */
+  /** q192/q197's oracle: the whole-corpus HDR quantile rebuild — integer
+    * log-bucketing (length(bin) octave, `//` sub-bucket), cumulative
+    * window over the aggregated histogram, first bucket ≥ ceil(q·n).
+    * q197 runs the SAME SQL: the law is that the Spark-side merged
+    * incremental artifact quantiles identically to this rebuild. */
+  private lazy val hdrQuantilesOracle: String =
+    """WITH v AS (
+      |  SELECT source, greatest(CAST(n_chars AS BIGINT), 1) AS v FROM documents),
+      |b AS (
+      |  SELECT source, CAST(length(bin(v)) - 1 AS INT) AS e,
+      |    CAST((v * 4) // (1::BIGINT << (length(bin(v)) - 1)) - 4 AS INT) AS sub
+      |  FROM v),
+      |h AS (SELECT source, e, sub, count(*) AS n FROM b GROUP BY 1, 2, 3),
+      |c AS (
+      |  SELECT source, e, sub, e * 4 + sub AS bid, n,
+      |    sum(n) OVER (PARTITION BY source ORDER BY e * 4 + sub ROWS UNBOUNDED PRECEDING) AS cum,
+      |    sum(n) OVER (PARTITION BY source) AS total,
+      |    (1::BIGINT << e)::DOUBLE * (1.0::DOUBLE + sub::DOUBLE / 4) AS est
+      |  FROM h),
+      |q AS (SELECT unnest([0.5, 0.9, 0.99]) AS quantile),
+      |sel AS (
+      |  SELECT c.source, q.quantile, CAST(c.total AS BIGINT) AS n, c.est,
+      |    row_number() OVER (PARTITION BY c.source, q.quantile ORDER BY c.bid) AS rn
+      |  FROM c CROSS JOIN q
+      |  WHERE c.cum >= CAST(ceil(q.quantile * c.total) AS BIGINT))
+      |SELECT source, quantile, n, round(est, 6) AS est
+      |FROM sel WHERE rn = 1 ORDER BY source, quantile""".stripMargin
+
   /** q191's oracle: the q117 coarse-quantizer chain, then for each nProbe
     * operating point the probed candidates, cosine top-10, and recall vs
     * the exact top-10 — one statement, cells computed once. */
@@ -2395,28 +2446,40 @@ object SparkEntry {
         |ORDER BY decile""".stripMargin,
     // integer log-bucketing (length(bin) octave, // sub-bucket), cumulative
     // window over the aggregated histogram, first bucket ≥ ceil(q·n)
-    "q192_hdr_quantiles" ->
-      """WITH v AS (
-        |  SELECT source, greatest(CAST(n_chars AS BIGINT), 1) AS v FROM documents),
-        |b AS (
-        |  SELECT source, CAST(length(bin(v)) - 1 AS INT) AS e,
-        |    CAST((v * 4) // (1::BIGINT << (length(bin(v)) - 1)) - 4 AS INT) AS sub
-        |  FROM v),
-        |h AS (SELECT source, e, sub, count(*) AS n FROM b GROUP BY 1, 2, 3),
-        |c AS (
-        |  SELECT source, e, sub, e * 4 + sub AS bid, n,
-        |    sum(n) OVER (PARTITION BY source ORDER BY e * 4 + sub ROWS UNBOUNDED PRECEDING) AS cum,
-        |    sum(n) OVER (PARTITION BY source) AS total,
-        |    (1::BIGINT << e)::DOUBLE * (1.0::DOUBLE + sub::DOUBLE / 4) AS est
-        |  FROM h),
-        |q AS (SELECT unnest([0.5, 0.9, 0.99]) AS quantile),
-        |sel AS (
-        |  SELECT c.source, q.quantile, CAST(c.total AS BIGINT) AS n, c.est,
-        |    row_number() OVER (PARTITION BY c.source, q.quantile ORDER BY c.bid) AS rn
-        |  FROM c CROSS JOIN q
-        |  WHERE c.cum >= CAST(ceil(q.quantile * c.total) AS BIGINT))
-        |SELECT source, quantile, n, round(est, 6) AS est
-        |FROM sel WHERE rn = 1 ORDER BY source, quantile""".stripMargin,
+    "q192_hdr_quantiles" -> hdrQuantilesOracle,
+    // THE LAW: the merged incremental artifact must quantile identically
+    // to the whole-corpus rebuild — this oracle IS the rebuild, verbatim
+    "q197_hdr_increment" -> hdrQuantilesOracle,
+    // the minJaccard operating-point curve over q32's exact scored pairs
+    "q196_dedup_threshold_sweep" ->
+      """WITH toks AS (
+        |  SELECT doc_id AS id,
+        |    string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')), ' ') AS t
+        |  FROM documents),
+        |sets AS (
+        |  SELECT id, list_distinct(list_transform(range(len(t) - 2), i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])) AS sh
+        |  FROM toks WHERE len(t) >= 3),
+        |inv AS (SELECT id, len(sh) AS n_sh, unnest(sh) AS shingle FROM sets),
+        |common AS (
+        |  SELECT x.id AS doc_a, y.id AS doc_b, x.n_sh AS na, y.n_sh AS nb, count(*) AS c
+        |  FROM inv x JOIN inv y ON x.shingle = y.shingle AND x.id < y.id
+        |  GROUP BY 1, 2, 3, 4),
+        |sc AS (
+        |  SELECT doc_a, doc_b, round(CAST(c AS DOUBLE) / (na + nb - c), 4) AS j
+        |  FROM common WHERE CAST(c AS DOUBLE) / (na + nb - c) >= 0.1),
+        |pb AS (
+        |  SELECT CAST(least(floor(j * 10), 9) AS INT) AS d, count(*) AS np
+        |  FROM sc GROUP BY 1),
+        |dm AS (
+        |  SELECT id, CAST(least(floor(max(j) * 10), 9) AS INT) AS d FROM (
+        |    SELECT doc_a AS id, j FROM sc UNION ALL SELECT doc_b AS id, j FROM sc)
+        |  GROUP BY id),
+        |nd AS (SELECT d, count(*) AS ndocs FROM dm GROUP BY 1),
+        |sp AS (SELECT CAST(unnest(range(1, 10)) AS INT) AS d)
+        |SELECT sp.d::DOUBLE / 10 AS threshold,
+        |  CAST(COALESCE((SELECT sum(np) FROM pb WHERE pb.d >= sp.d), 0) AS BIGINT) AS n_pairs,
+        |  CAST(COALESCE((SELECT sum(ndocs) FROM nd WHERE nd.d >= sp.d), 0) AS BIGINT) AS n_docs_affected
+        |FROM sp ORDER BY threshold""".stripMargin,
     // the k smallest md5(doc_id) hashes per source — the oracle ranks
     // directly; the Spark side proves the cutoff prefilter is exact
     "q193_group_sample" ->

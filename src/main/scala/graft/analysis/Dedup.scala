@@ -838,6 +838,45 @@ object Dedup {
       .select(col("span_fp"), col("n_docs"), col("n_occurrences"),
         col("loc.doc_id").as("first_doc"), col("loc.start").cast(IntegerType).as("first_start"))
 
+  /** Dedup THRESHOLD SWEEP: the `minJaccard` dial as a measured curve —
+    * for each candidate threshold t = d/10 (d = 1..9), how many verified
+    * pairs survive and how many documents are AFFECTED (have at least one
+    * partner at ≥ t, i.e. would join a dup cluster). The operating-point
+    * report every dedup rollout needs before committing a threshold:
+    * n_pairs is the work downstream clustering pays, n_docs_affected the
+    * blast radius on the corpus.
+    *
+    * Scale shape: scores come in from any pair generator (banded/
+    * inverted-index — text is never rescanned here); BOTH curves fall out
+    * of one pass — pairs histogrammed by score decile, docs by their MAX
+    * partner score (affected at t iff max ≥ t) — and the reverse
+    * cumulative sums run over ≤ 10 aggregated rows.
+    * Output: threshold, n_pairs, n_docs_affected. */
+  def thresholdSweep(pairs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val decOf = (c: Column) => least(floor(c * 10), lit(9)).cast("int")
+    val pb = pairs.select(decOf(col("jaccard")).as("d"))
+      .groupBy("d").agg(count(lit(1)).as("np"))
+    val nd = pairs.select(col("doc_a").as("id"), col("jaccard"))
+      .unionByName(pairs.select(col("doc_b").as("id"), col("jaccard")))
+      .groupBy("id").agg(max("jaccard").as("mx"))
+      .select(decOf(col("mx")).as("d"))
+      .groupBy("d").agg(count(lit(1)).as("ndocs"))
+    val spine = pairs.sparkSession.range(1, 10)
+      .select(col("id").cast("int").as("d"))
+    val w = Window.orderBy(desc("d"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine
+      .join(pb, Seq("d"), "left")
+      .join(nd, Seq("d"), "left")
+      .select(col("d"),
+        coalesce(col("np"), lit(0L)).as("np"),
+        coalesce(col("ndocs"), lit(0L)).as("ndocs"))
+      .select((col("d").cast("double") / 10).as("threshold"),
+        sum(col("np")).over(w).as("n_pairs"),
+        sum(col("ndocs")).over(w).as("n_docs_affected"))
+  }
+
   /** Duplicated-span MASKS — the REMOVAL side of [[duplicatedSpans]] (Lee
     * et al., ACL 2022: exact substring dedup cuts the repeated bytes, not
     * the document): per document, the token intervals covered by spans

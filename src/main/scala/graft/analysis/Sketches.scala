@@ -364,10 +364,21 @@ object Sketches {
   def hdrQuantiles(
       df: DataFrame, groupCol: String, valueCol: String,
       qs: Seq[Double] = Seq(0.5, 0.9, 0.99),
+      subBuckets: Int = 4): DataFrame =
+    hdrQuantilesFromHistogram(
+      hdrHistogram(df, groupCol, valueCol, subBuckets), groupCol, qs, subBuckets)
+
+  /** [[hdrQuantiles]]' tail over a (possibly MERGED) histogram artifact —
+    * the incremental entry point: sum stored and fresh counts per
+    * (group, bucket), feed the merged artifact here, and the quantiles
+    * equal the whole-corpus rebuild exactly (additivity — the q197 law
+    * gate). Expects [[hdrHistogram]]'s schema. */
+  def hdrQuantilesFromHistogram(
+      hist: DataFrame, groupCol: String,
+      qs: Seq[Double] = Seq(0.5, 0.9, 0.99),
       subBuckets: Int = 4): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(qs.nonEmpty && qs.forall(q => q > 0 && q <= 1), s"bad quantiles $qs")
-    val hist = hdrHistogram(df, groupCol, valueCol, subBuckets)
     val w = Window.partitionBy(groupCol).orderBy("bid")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val cum = hist
@@ -377,7 +388,7 @@ object Sketches {
         expr("shiftleft(CAST(1 AS BIGINT), e)").cast("double") *
           (lit(1.0) + col("sub").cast("double") / subBuckets))
     val probes = qs.map(q => lit(q).as("quantile"))
-    val spine = df.sparkSession.range(1)
+    val spine = hist.sparkSession.range(1)
       .select(explode(array(probes: _*)).as("quantile"))
     cum.crossJoin(broadcast(spine))
       .filter(col("cum") >= ceil(col("quantile") * col("total")).cast("long"))

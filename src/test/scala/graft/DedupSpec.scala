@@ -512,6 +512,22 @@ class DedupSpec extends SparkSpec {
     assert(out.map(_._3).distinct.sorted.toSeq === Seq("test", "train", "val"))
   }
 
+  test("threshold sweep: reverse-cumulative pair and doc curves exact") {
+    import spark.implicits._
+    // pairs at 0.15, 0.55, 0.55, 0.95; doc 1 peaks at 0.95, doc 5 at 0.55
+    val pairs = Seq(
+      (1L, 2L, 0.95), (1L, 3L, 0.55), (4L, 5L, 0.55), (6L, 7L, 0.15)
+    ).toDF("doc_a", "doc_b", "jaccard")
+    val out = Dedup.thresholdSweep(pairs).orderBy("threshold").collect()
+      .map(r => math.round(r.getDouble(0) * 10).toInt ->
+        ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out(1) === ((4L, 7L))) // every pair, every doc
+    assert(out(2) === ((3L, 5L))) // 0.15 pair out, docs 6/7 out
+    assert(out(5) === ((3L, 5L)))
+    assert(out(6) === ((1L, 2L))) // only the 0.95 pair and docs 1/2
+    assert(out(9) === ((1L, 2L)))
+  }
+
   test("span masks: adjacent dup spans merge into one island, budget exact") {
     import spark.implicits._
     // 12-token docs sharing tokens 0-9 (10 tokens → 3 dup 8-spans at
