@@ -29,6 +29,17 @@ object SparkEntry {
     martQueries ++ relationalQueries ++ analysisQueries
 
   private def analysisQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // q188's island machinery pointed at the benchmark: token intervals
+    // colliding with ANY eval span (doc_id%10=0 stands in for the
+    // held-out set, q50's convention) — the removal form of the
+    // contamination score
+    "q198_decontam_masks" -> { (s, d) =>
+      val docs = TestData.documents(s, d)
+      Dedup.contaminationMasks(
+          docs.filter(col("doc_id") % 10 =!= 0),
+          docs.filter(col("doc_id") % 10 === 0))
+        .orderBy("doc_id")
+    },
     // the minJaccard dial as a measured curve: per threshold, surviving
     // verified pairs + affected docs (max partner score), both from one
     // pass over q32's exact scored pairs
@@ -2450,6 +2461,51 @@ object SparkEntry {
     // THE LAW: the merged incremental artifact must quantile identically
     // to the whole-corpus rebuild — this oracle IS the rebuild, verbatim
     "q197_hdr_increment" -> hdrQuantilesOracle,
+    // q188's gaps-and-islands over eval-colliding spans only
+    "q198_decontam_masks" ->
+      """WITH t AS (
+        |  SELECT doc_id, list_filter(string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')), ' '), x -> x <> '') AS toks
+        |  FROM documents),
+        |w AS (
+        |  SELECT doc_id, CAST(unnest(range(0, len(toks) - 8 + 1)) AS INT) AS start, toks
+        |  FROM t WHERE len(toks) >= 8),
+        |f AS (
+        |  SELECT doc_id, start,
+        |    ('0x' || substr(md5(array_to_string(toks[start+1:start+8], ' ')), 1, 15))::BIGINT AS span_fp
+        |  FROM w),
+        |ev AS (SELECT DISTINCT span_fp FROM f WHERE doc_id % 10 = 0),
+        |o AS (
+        |  SELECT f.doc_id, f.start FROM f JOIN ev USING (span_fp)
+        |  WHERE f.doc_id % 10 <> 0),
+        |br AS (
+        |  SELECT doc_id, start,
+        |    CASE WHEN lag(start) OVER w2 IS NULL
+        |           OR start - lag(start) OVER w2 > 8 THEN 1 ELSE 0 END AS brk
+        |  FROM o WINDOW w2 AS (PARTITION BY doc_id ORDER BY start)),
+        |isl AS (
+        |  SELECT doc_id, start,
+        |    sum(brk) OVER (PARTITION BY doc_id ORDER BY start ROWS UNBOUNDED PRECEDING) AS island
+        |  FROM br),
+        |gi AS (
+        |  SELECT doc_id, island, count(*) AS n_spans,
+        |    max(start) + 8 - min(start) AS island_tokens
+        |  FROM isl GROUP BY 1, 2),
+        |pd AS (
+        |  SELECT doc_id, CAST(sum(n_spans) AS BIGINT) AS n_hits,
+        |    count(*) AS n_islands, CAST(sum(island_tokens) AS BIGINT) AS n_masked_tokens
+        |  FROM gi GROUP BY 1),
+        |nt AS (
+        |  SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens FROM t
+        |  WHERE doc_id % 10 <> 0)
+        |SELECT nt.doc_id, nt.n_tokens,
+        |  COALESCE(n_hits, 0) AS n_hits,
+        |  COALESCE(n_islands, 0) AS n_islands,
+        |  COALESCE(n_masked_tokens, 0) AS n_masked_tokens,
+        |  CASE WHEN nt.n_tokens > 0
+        |       THEN round(COALESCE(n_masked_tokens, 0)::DOUBLE / nt.n_tokens::DOUBLE, 6)
+        |       ELSE 0.0 END AS masked_ratio
+        |FROM nt LEFT JOIN pd USING (doc_id)
+        |ORDER BY nt.doc_id""".stripMargin,
     // the minJaccard operating-point curve over q32's exact scored pairs
     "q196_dedup_threshold_sweep" ->
       """WITH toks AS (

@@ -938,6 +938,66 @@ object Dedup {
           .otherwise(0.0).as("dup_ratio"))
   }
 
+  /** DECONTAMINATION MASKS — [[spanMasks]] pointed at a benchmark: the
+    * token intervals of each corpus document that collide with ANY span
+    * of the eval set, merged into maximal islands. This is the removal
+    * form of q50's contamination SCORE (the industry practice: drop or
+    * cut n-gram collisions with held-out benchmarks rather than the whole
+    * document — q188 masks within-corpus duplication, this masks eval
+    * leakage). A document with masked_ratio 1.0 is a verbatim benchmark
+    * copy; small ratios are quotation-level contamination a cut handles.
+    *
+    * Scale shape: eval span fingerprints are a SMALL frame (benchmarks
+    * are tiny next to the corpus) — the fp membership join broadcasts;
+    * corpus text never shuffles (only 〈doc, start〉 hits do), and the
+    * island merge windows per document over its hits only.
+    * Output: doc_id, n_tokens, n_hits, n_islands, n_masked_tokens,
+    * masked_ratio (6dp). */
+  def contaminationMasks(
+      docs: DataFrame,
+      evalDocs: DataFrame,
+      spanTokens: Int = 8,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(spanTokens > 0, s"need positive spanTokens, got $spanTokens")
+    def occOf(d: DataFrame): DataFrame = {
+      val toks = array_remove(TextAnalysis.tokens(col(textCol)), "")
+      d.select(col(idCol).as("doc_id"), shingles(toks, spanTokens).as("spans"))
+        .select(col("doc_id"), posexplode(col("spans")).as(Seq("start", "span")))
+        .select(col("doc_id"), col("start"),
+          conv(substring(md5(col("span")), 1, 15), 16, 10).cast(LongType).as("span_fp"))
+    }
+    val evalFps = occOf(evalDocs).select("span_fp").distinct()
+    val hits = occOf(docs).join(broadcast(evalFps), "span_fp")
+      .select("doc_id", "start")
+    val w = Window.partitionBy("doc_id").orderBy("start")
+    val islands = hits
+      .withColumn("brk",
+        when(col("start") - lag(col("start"), 1).over(w) > spanTokens, 1)
+          .otherwise(when(lag(col("start"), 1).over(w).isNull, 1).otherwise(0)))
+      .withColumn("island", sum(col("brk")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("doc_id", "island")
+      .agg(count(lit(1)).as("n_spans"),
+        (max(col("start")) + spanTokens - min(col("start"))).as("island_tokens"))
+      .groupBy("doc_id")
+      .agg(sum(col("n_spans")).as("n_hits"),
+        count(lit(1)).as("n_islands"),
+        sum(col("island_tokens")).as("n_masked_tokens"))
+    val toks = array_remove(TextAnalysis.tokens(col(textCol)), "")
+    docs.select(col(idCol).as("doc_id"), size(toks).cast(LongType).as("n_tokens"))
+      .join(islands, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        coalesce(col("n_islands"), lit(0L)).as("n_islands"),
+        coalesce(col("n_masked_tokens"), lit(0L)).as("n_masked_tokens"),
+        when(col("n_tokens") > 0,
+          round(coalesce(col("n_masked_tokens"), lit(0L)).cast(DoubleType) /
+            col("n_tokens").cast(DoubleType), 6))
+          .otherwise(0.0).as("masked_ratio"))
+  }
+
   /** Duplicate-aware loss weights — SOFT dedup: instead of deleting the
     * losers of a dup cluster, every member keeps weight 1/|cluster| so the
     * cluster contributes one document's worth of gradient in total. The

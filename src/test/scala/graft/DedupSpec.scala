@@ -528,6 +528,26 @@ class DedupSpec extends SparkSpec {
     assert(out(9) === ((1L, 2L)))
   }
 
+  test("decontam masks: mid-document benchmark quote masked, clean doc untouched") {
+    import spark.implicits._
+    val bench = (1 to 10).map(i => s"bench$i").mkString(" ") // one 10-token eval doc
+    val quote = (1 to 10).map(i => s"bench$i").mkString(" ")
+    val corpus = Seq(
+      // 5 fresh tokens + the 10-token quote + 5 fresh: spans fully inside
+      // the quote start at 5,6,7 → one island of 10 tokens
+      (1L, (1 to 5).map(i => s"pre$i").mkString(" ") + " " + quote + " " +
+        (1 to 5).map(i => s"post$i").mkString(" ")),
+      (2L, (1 to 20).map(i => s"clean$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    val eval_ = Seq((100L, bench)).toDF("doc_id", "text")
+    val out = Dedup.contaminationMasks(corpus, eval_, spanTokens = 8)
+      .orderBy("doc_id").collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))).toMap
+    assert(out(1L) === ((20L, 3L, 1L, 10L, 0.5)))
+    assert(out(2L) === ((20L, 0L, 0L, 0L, 0.0)))
+  }
+
   test("span masks: adjacent dup spans merge into one island, budget exact") {
     import spark.implicits._
     // 12-token docs sharing tokens 0-9 (10 tokens → 3 dup 8-spans at
