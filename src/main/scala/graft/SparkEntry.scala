@@ -29,6 +29,63 @@ object SparkEntry {
     martQueries ++ relationalQueries ++ analysisQueries
 
   private def analysisQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // simplified (centroid-based) silhouette over q108's deterministic
+    // Lloyd cells: per point the two smallest centroid distances from one
+    // codegen'd projection, s=(b-a)/max(a,b), per-cluster DECIMAL mean —
+    // the unsupervised quality dial next to q143's labeled metrics
+    "q204_silhouette" -> { (s, d) =>
+      graft.analysis.Clustering.silhouette(
+          TestData.embeddings(s, d), k = 4, iterations = 2)
+        .orderBy("cluster")
+    },
+    // embedding centroid drift per label slice vs the global centroid:
+    // dim-wise DECIMAL means, cosine + L2 shift over the dim-sized joined
+    // frame — the embedding-space drift monitor beside q112/q174
+    "q205_centroid_drift" -> { (s, d) =>
+      graft.analysis.Profiling.centroidDrift(TestData.embeddings(s, d))
+        .orderBy("label")
+    },
+    // Kaplan-Meier survival over session dwell times with end-of-log
+    // right-censoring (last hour may still be live): at-risk counts from
+    // one cumulative window over the distinct-duration frame, survival =
+    // exp of DECIMAL-summed ln factors (integer-ratio inputs)
+    "q202_km_survival" -> { (s, d) =>
+      TimeSeries.kmSurvival(TestData.clicks(s, d)).orderBy("t_sec")
+    },
+    // stupid backoff (Brants et al.): held-out docs (doc_id%10=0, q50's
+    // convention) scored under the 90% training slice's counts — seen
+    // bigram c12/c1, else 0.4*c(w2)/N, else the 0.4^2/N unknown floor;
+    // pure integer-ratio arithmetic, no libm
+    "q203_stupid_backoff" -> { (s, d) =>
+      val docs = TestData.documents(s, d)
+      TextAnalysis.stupidBackoff(
+          docs.filter(col("doc_id") % 10 =!= 0),
+          docs.filter(col("doc_id") % 10 === 0))
+        .orderBy("doc_id")
+    },
+    // frequency-of-frequencies + simple Good-Turing re-estimates over
+    // TRIGRAMS (the estimator's classic n-gram application; this corpus's
+    // unigram vocab is dense, trigram counts have the real low-k tail):
+    // f_k, per-class corpus mass (k=1's mass IS the unseen-probability
+    // p0), c* = (k+1)f_{k+1}/f_k — all integer-ratio arithmetic, no libm
+    "q200_count_of_counts" -> { (s, d) =>
+      TextAnalysis.countOfCounts(TestData.documents(s, d), ngramN = 3)
+        .orderBy("k")
+    },
+    // Zipf-law slope per source: OLS of ln(freq) on ln(rank) over the
+    // top-200 types; rank window over the vocabulary aggregate, DECIMAL
+    // OLS sums, closed form in the double domain (the q103 recipe)
+    "q201_zipf_slope" -> { (s, d) =>
+      TextAnalysis.zipfSlopes(TestData.documents(s, d)).orderBy("source")
+    },
+    // first-order Markov chain over each session's event-type sequence with
+    // explicit <START>/<END> states: one partition-by-key window, then a
+    // map-side-combinable count whose result is |types+2|^2 rows; p is an
+    // integer-count ratio (no libm)
+    "q199_markov_transitions" -> { (s, d) =>
+      graft.analysis.Funnel.markovTransitions(TestData.clicks(s, d))
+        .orderBy("from_state", "to_state")
+    },
     // q188's island machinery pointed at the benchmark: token intervals
     // colliding with ANY eval span (doc_id%10=0 stands in for the
     // held-out set, q50's convention) — the removal form of the
@@ -2412,6 +2469,195 @@ object SparkEntry {
        |ORDER BY config""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
+    // the shared Lloyd CTEs + rank-2 distances: rn=1 is a2, rn=2 is b2
+    "q204_silhouette" ->
+      s"""WITH $kmeansAsgCtes,
+        |rk AS (
+        |  SELECT vec_id, cluster, d2,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY d2, cluster) AS rn
+        |  FROM ddf),
+        |ab AS (
+        |  SELECT a.vec_id, a.cluster, sqrt(a.d2) AS a, sqrt(b.d2) AS b
+        |  FROM rk a JOIN rk b ON a.vec_id = b.vec_id AND a.rn = 1 AND b.rn = 2),
+        |sil AS (
+        |  SELECT cluster,
+        |    CASE WHEN greatest(a, b) > 0 THEN (b - a) / greatest(a, b)
+        |         ELSE 0.0::DOUBLE END AS s
+        |  FROM ab)
+        |SELECT cluster, count(*) AS n,
+        |  round(CAST(sum(CAST(s AS DECIMAL(28,12))) AS DOUBLE) / count(*), 6) AS mean_silhouette
+        |FROM sil GROUP BY cluster ORDER BY cluster""".stripMargin,
+    // dim-wise DECIMAL(38,12) means, DECIMAL(38,18) product terms
+    "q205_centroid_drift" ->
+      """WITH e AS (
+        |  SELECT label, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+        |ld AS (
+        |  SELECT label, i AS dim,
+        |    CAST(sum(CAST(v[i+1] AS DECIMAL(38,12))) AS DOUBLE) / count(*) AS m,
+        |    count(*) AS n
+        |  FROM e CROSS JOIN range(64) t(i) GROUP BY 1, 2),
+        |gd AS (
+        |  SELECT i AS dim,
+        |    CAST(sum(CAST(v[i+1] AS DECIMAL(38,12))) AS DOUBLE) / count(*) AS g
+        |  FROM e CROSS JOIN range(64) t(i) GROUP BY 1),
+        |j AS (SELECT ld.label, ld.n, ld.m, gd.g FROM ld JOIN gd USING (dim)),
+        |s AS (
+        |  SELECT label, max(n) AS n_vecs,
+        |    CAST(sum(CAST(m * g AS DECIMAL(38,18))) AS DOUBLE) AS mg,
+        |    CAST(sum(CAST(m * m AS DECIMAL(38,18))) AS DOUBLE) AS mm,
+        |    CAST(sum(CAST(g * g AS DECIMAL(38,18))) AS DOUBLE) AS gg,
+        |    CAST(sum(CAST((m - g) * (m - g) AS DECIMAL(38,18))) AS DOUBLE) AS d2
+        |  FROM j GROUP BY 1)
+        |SELECT label, n_vecs,
+        |  round(mg / (sqrt(mm) * sqrt(gg)), 6) AS cos_to_global,
+        |  round(sqrt(d2), 6) AS l2_shift
+        |FROM s ORDER BY label""".stripMargin,
+    // floor(epoch()) parity (the q102 rule) for both the duration and the
+    // censor flag; same DECIMAL ln-factor cumsum, exp at the end
+    "q202_km_survival" ->
+      """WITH pk AS (
+        |  SELECT CAST(user_id AS VARCHAR) AS sid,
+        |    CAST(floor(epoch(max(CAST(ts AS TIMESTAMP)))) AS BIGINT)
+        |      - CAST(floor(epoch(min(CAST(ts AS TIMESTAMP)))) AS BIGINT) AS t_sec,
+        |    CAST(floor(epoch(max(CAST(ts AS TIMESTAMP)))) AS BIGINT) AS last_s
+        |  FROM events GROUP BY 1),
+        |le AS (SELECT max(last_s) AS log_end FROM pk),
+        |fl AS (
+        |  SELECT t_sec,
+        |    CASE WHEN last_s > log_end - 3600 THEN 1 ELSE 0 END AS c,
+        |    CASE WHEN last_s > log_end - 3600 THEN 0 ELSE 1 END AS d
+        |  FROM pk CROSS JOIN le),
+        |bt AS (SELECT t_sec, CAST(sum(d) AS BIGINT) AS d_events,
+        |         CAST(sum(c) AS BIGINT) AS c_censored FROM fl GROUP BY 1),
+        |cm AS (
+        |  SELECT t_sec, d_events, c_censored,
+        |    CAST(sum(d_events + c_censored) OVER () AS BIGINT) AS n_total,
+        |    CAST(sum(d_events + c_censored)
+        |      OVER (ORDER BY t_sec ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+        |  FROM bt),
+        |lf AS (
+        |  SELECT t_sec, d_events, c_censored,
+        |    n_total - cum + d_events + c_censored AS n_at_risk,
+        |    CASE WHEN d_events > 0
+        |           AND d_events < n_total - cum + d_events + c_censored
+        |      THEN ln((n_total - cum + c_censored)::DOUBLE
+        |             / (n_total - cum + d_events + c_censored)::DOUBLE)
+        |      ELSE 0.0::DOUBLE END AS ln_f,
+        |    CASE WHEN d_events > 0
+        |           AND d_events = n_total - cum + d_events + c_censored
+        |      THEN 1 ELSE 0 END AS zf
+        |  FROM cm)
+        |SELECT t_sec, n_at_risk, d_events, c_censored,
+        |  CASE WHEN max(zf) OVER (ORDER BY t_sec ROWS UNBOUNDED PRECEDING) = 1
+        |    THEN 0.0::DOUBLE
+        |    ELSE round(exp(CAST(sum(CAST(ln_f AS DECIMAL(28,12)))
+        |      OVER (ORDER BY t_sec ROWS UNBOUNDED PRECEDING) AS DOUBLE)), 6) END AS survival
+        |FROM lf ORDER BY t_sec""".stripMargin,
+    // same splits, same three-way CASE; DECIMAL-summed scores
+    "q203_stupid_backoff" ->
+      """WITH tr AS (
+        |  SELECT doc_id, list_filter(string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')), ' '), x -> x <> '') AS t
+        |  FROM documents WHERE doc_id % 10 <> 0),
+        |ev AS (
+        |  SELECT doc_id, list_filter(string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')), ' '), x -> x <> '') AS t
+        |  FROM documents WHERE doc_id % 10 = 0),
+        |trb AS (
+        |  SELECT b.w1 AS w1, b.w2 AS w2 FROM (
+        |    SELECT unnest(list_transform(range(len(t) - 1), i -> {'w1': t[i+1], 'w2': t[i+2]})) AS b
+        |    FROM tr WHERE len(t) >= 2)),
+        |evb AS (
+        |  SELECT doc_id, b.w1 AS w1, b.w2 AS w2 FROM (
+        |    SELECT doc_id, unnest(list_transform(range(len(t) - 1), i -> {'w1': t[i+1], 'w2': t[i+2]})) AS b
+        |    FROM ev WHERE len(t) >= 2)),
+        |uni AS (SELECT tok AS w, count(*) AS cu FROM (SELECT unnest(t) AS tok FROM tr) GROUP BY 1),
+        |tot AS (SELECT CAST(sum(cu) AS BIGINT) AS n_total FROM uni),
+        |cb AS (SELECT w1, w2, count(*) AS c12 FROM trb GROUP BY 1, 2),
+        |sc AS (
+        |  SELECT e.doc_id, count(*) AS n_bigrams,
+        |    CAST(sum(CASE WHEN cb.c12 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+        |    sum(CAST(
+        |      CASE WHEN cb.c12 IS NOT NULL THEN cb.c12::DOUBLE / u1.cu::DOUBLE
+        |           WHEN u2.cu IS NOT NULL THEN 0.4::DOUBLE * u2.cu::DOUBLE / t.n_total::DOUBLE
+        |           ELSE 0.4::DOUBLE * 0.4::DOUBLE / t.n_total::DOUBLE END
+        |      AS DECIMAL(28,12))) AS s
+        |  FROM evb e
+        |  LEFT JOIN cb ON cb.w1 = e.w1 AND cb.w2 = e.w2
+        |  LEFT JOIN uni u1 ON u1.w = e.w1
+        |  LEFT JOIN uni u2 ON u2.w = e.w2
+        |  CROSS JOIN tot t
+        |  GROUP BY 1)
+        |SELECT d.doc_id, COALESCE(sc.n_bigrams, 0) AS n_bigrams,
+        |  CASE WHEN sc.n_bigrams > 0
+        |    THEN round(sc.n_hits::DOUBLE / sc.n_bigrams::DOUBLE, 6) END AS hit_rate,
+        |  CASE WHEN sc.n_bigrams > 0
+        |    THEN round(sc.s::DOUBLE / sc.n_bigrams::DOUBLE, 6) END AS mean_score
+        |FROM (SELECT doc_id FROM documents WHERE doc_id % 10 = 0) d
+        |LEFT JOIN sc USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+    // count-of-counts + Good-Turing over non-distinct trigrams: gaps in
+    // the k table leave c* null
+    "q200_count_of_counts" ->
+      """WITH toks AS (
+        |  SELECT list_filter(string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')), ' '), x -> x <> '') AS t
+        |  FROM documents),
+        |tk AS (
+        |  SELECT unnest(list_transform(range(len(t) - 2), i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])) AS token
+        |  FROM toks WHERE len(t) >= 3),
+        |cnt AS (
+        |  SELECT ('0x' || substr(md5(token), 1, 15))::BIGINT AS fp, count(*) AS k
+        |  FROM tk GROUP BY 1),
+        |fk AS (SELECT k, count(*) AS n_types FROM cnt GROUP BY 1),
+        |t AS (
+        |  SELECT k, n_types,
+        |    sum(k * n_types) OVER () AS n_total,
+        |    lead(n_types) OVER (ORDER BY k) AS f_next,
+        |    lead(k) OVER (ORDER BY k) AS k_next
+        |  FROM fk)
+        |SELECT k, n_types,
+        |  round(k::DOUBLE * n_types::DOUBLE / n_total::DOUBLE, 6) AS mass,
+        |  CASE WHEN k_next = k + 1
+        |    THEN round((k + 1)::DOUBLE * f_next::DOUBLE / n_types::DOUBLE, 6) END AS c_star
+        |FROM t WHERE k <= 10 ORDER BY k""".stripMargin,
+    // same rank tie-break (cnt desc, token asc), same DECIMAL(28,12) OLS
+    // sums, same double-domain closed form
+    "q201_zipf_slope" ->
+      """WITH tk AS (
+        |  SELECT source, unnest(list_filter(string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')), ' '), x -> x <> '')) AS token
+        |  FROM documents),
+        |cnt AS (SELECT source, token, count(*) AS cnt FROM tk GROUP BY 1, 2),
+        |r AS (
+        |  SELECT source, cnt,
+        |    row_number() OVER (PARTITION BY source ORDER BY cnt DESC, token) AS r
+        |  FROM cnt),
+        |xy AS (SELECT source, ln(r::DOUBLE) AS x, ln(cnt::DOUBLE) AS y FROM r WHERE r <= 200),
+        |s AS (
+        |  SELECT source, count(*) AS n_types,
+        |    CAST(sum(CAST(x AS DECIMAL(28,12))) AS DOUBLE) AS sx,
+        |    CAST(sum(CAST(y AS DECIMAL(28,12))) AS DOUBLE) AS sy,
+        |    CAST(sum(CAST(x * y AS DECIMAL(28,12))) AS DOUBLE) AS sxy,
+        |    CAST(sum(CAST(x * x AS DECIMAL(28,12))) AS DOUBLE) AS sxx
+        |  FROM xy GROUP BY 1)
+        |SELECT source, n_types,
+        |  round((n_types::DOUBLE * sxy - sx * sy) / (n_types::DOUBLE * sxx - sx * sx), 6) AS slope,
+        |  round((sy - ((n_types::DOUBLE * sxy - sx * sy) / (n_types::DOUBLE * sxx - sx * sx)) * sx) / n_types::DOUBLE, 6) AS intercept
+        |FROM s ORDER BY source""".stripMargin,
+    // same window (tie-break on event_id), same <START>/<END> convention
+    "q199_markov_transitions" ->
+      """WITH s AS (
+        |  SELECT event_type AS cur,
+        |    lead(event_type) OVER w AS nxt,
+        |    row_number() OVER w AS rn
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY CAST(user_id AS VARCHAR)
+        |               ORDER BY CAST(ts AS TIMESTAMP), event_id)),
+        |p AS (
+        |  SELECT cur AS from_state, COALESCE(nxt, '<END>') AS to_state FROM s
+        |  UNION ALL
+        |  SELECT '<START>', cur FROM s WHERE rn = 1),
+        |c AS (SELECT from_state, to_state, count(*) AS n FROM p GROUP BY 1, 2)
+        |SELECT from_state, to_state, n,
+        |  round(n::DOUBLE / sum(n) OVER (PARTITION BY from_state), 6) AS p
+        |FROM c ORDER BY from_state, to_state""".stripMargin,
     // the ±1 matrix regenerated from md5('rp|p|j') parity; 1/sqrt(16)
     // is exact, so the only float work is the fused sum itself
     "q195_random_projection" ->

@@ -205,4 +205,52 @@ object Clustering {
       .select(col(idCol), col("cluster"), col("dist2"),
         ((col("__rn") - 1) * 100 < col("__c") * keepPct).as("keep"))
   }
+
+  /** SIMPLIFIED SILHOUETTE (centroid-based, Hruschka et al.): per point,
+    * a = distance to its own centroid, b = distance to the nearest OTHER
+    * centroid, s = (b − a)/max(a, b); reported as the per-cluster mean.
+    * The internal quality metric that needs no reference labeling —
+    * [[clusterQuality]]'s unsupervised sibling, and the k-selection dial
+    * (mean s collapsing toward 0 flags over/under-clustering).
+    *
+    * The full silhouette is an all-pairs O(n²) construction; the
+    * centroid form is THE standard scalable variant — one pass against k
+    * broadcast centroid literals (same codegen'd projection as
+    * [[assignedOf]], keeping the two smallest distances instead of one),
+    * then a cluster-sized aggregate. sqrt is IEEE-exact, the ratio is
+    * identical-IEEE-ops, and per-point terms are DECIMAL-summed, so the
+    * report is bit-stable cross-engine.
+    *
+    * Output per cluster: cluster, n, mean_silhouette (round 6). */
+  def silhouette(
+      points: DataFrame,
+      k: Int = 4,
+      iterations: Int = 2,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    require(k >= 2, s"silhouette needs k >= 2, got $k")
+    val dec = DecimalType(28, 12)
+    val centroids = lloydCentroids(points, k, iterations, idCol, vecCol)
+    val dists = centroids.zipWithIndex.map { case (c, i) =>
+      val cLit = array(c.map(lit): _*)
+      struct(
+        aggregate(zip_with(col("v"), cLit, (x, y) => (x - y) * (x - y)),
+          lit(0.0), (acc, d) => acc + d).as("d2"),
+        lit(i).as("cluster"))
+    }
+    val sorted = array_sort(array(dists: _*))
+    ptsOf(points, idCol, vecCol)
+      .withColumn("best", element_at(sorted, 1))
+      .withColumn("second", element_at(sorted, 2))
+      .select(col("best.cluster").as("cluster"),
+        sqrt(col("best.d2")).as("a"), sqrt(col("second.d2")).as("b"))
+      .withColumn("s",
+        when(greatest(col("a"), col("b")) > 0,
+          (col("b") - col("a")) / greatest(col("a"), col("b")))
+          .otherwise(lit(0.0)))
+      .groupBy("cluster")
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("s").cast(dec)).cast(DoubleType) / count(lit(1)), 6)
+          .as("mean_silhouette"))
+  }
 }

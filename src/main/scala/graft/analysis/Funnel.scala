@@ -108,6 +108,46 @@ object Funnel {
           .cast(DoubleType).as("attributed_value"))
   }
 
+  /** First-order Markov transition matrix over each key's event-type
+    * sequence, with explicit `<START>`/`<END>` states so rows are proper
+    * conditional distributions (every from-state's probabilities sum to 1
+    * and session boundaries are modeled, not dropped).
+    *
+    * Shape: ONE shuffle — the partition-by-key window that orders each
+    * key's timeline by (ts, id) (deterministic tie-break, the repo-wide
+    * rule); the transition-count aggregate that follows is map-side
+    * combinable and its result is |types+2|² rows regardless of data size,
+    * so at 100 TB the cost is the same per-key sort every sequence
+    * operator here already pays ([[touchAttribution]], Sessionize) and
+    * nothing downstream grows. `p` is a ratio of exact integer counts
+    * (IEEE divide of integers is deterministic across engines — no libm).
+    *
+    * Output: from_state, to_state, n, p (round 6). */
+  def markovTransitions(
+      events: DataFrame,
+      keyCol: String = "session_id",
+      typeCol: String = "event_type",
+      tsCol: String = "event_ts",
+      idCol: String = "event_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(keyCol).orderBy(col(tsCol), col(idCol))
+    val seq = events.select(
+      col(typeCol).as("__cur"),
+      lead(col(typeCol), 1).over(w).as("__nxt"),
+      row_number().over(w).as("__rn"))
+    // every event contributes cur→next (terminal events → <END>); each
+    // key's first event additionally contributes <START>→first
+    val pairs = seq
+      .select(col("__cur").as("from_state"),
+        coalesce(col("__nxt"), lit("<END>")).as("to_state"))
+      .unionByName(seq.filter(col("__rn") === 1)
+        .select(lit("<START>").as("from_state"), col("__cur").as("to_state")))
+    val counts = pairs.groupBy("from_state", "to_state").agg(count(lit(1)).as("n"))
+    val wf = Window.partitionBy("from_state")
+    counts.withColumn("p",
+      round(col("n").cast("double") / sum("n").over(wf).cast("double"), 6))
+  }
+
   /** Funnel summary: one row per step with how many keys reached it and
     * the conversion rate vs step 1. */
   def summary(

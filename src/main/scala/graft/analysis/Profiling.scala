@@ -173,4 +173,48 @@ object Profiling {
       .withColumn("k_risky", col("class_size") < k)
       .withColumn("l_risky", col("n_sensitive_distinct") < l)
   }
+
+  /** EMBEDDING CENTROID DRIFT: per-slice centroid of the embedding column
+    * vs the global centroid — cosine similarity (orientation drift) and
+    * L2 shift (magnitude drift). The embedding-space complement of
+    * [[psiDrift]]/[[ksDrift]]'s scalar monitors: a slice (source, label,
+    * ingest day) whose centroid swings away from the corpus flags encoder
+    * version skew or content drift BEFORE scalar stats move.
+    *
+    * Scale shape: both centroids are dim-wise DECIMAL means via
+    * posexplode + grouped aggregate (map-side combinable; the shuffle
+    * carries |slices|·dim partial rows, never vectors); the cosine/L2
+    * reductions run over the dim-sized joined frame with DECIMAL-cast
+    * product terms (order-independent). sqrt is IEEE-exact.
+    *
+    * Output per slice: label, n_vecs, cos_to_global (round 6), l2_shift
+    * (round 6). */
+  def centroidDrift(
+      emb: DataFrame,
+      labelCol: String = "label",
+      vecCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val dec = DecimalType(38, 12)
+    val dec2 = DecimalType(38, 18)
+    val e = emb.select(col(labelCol).as("label"),
+      transform(col(vecCol), x => x.cast(DoubleType)).as("v"))
+    val ld = e.select(col("label"), posexplode(col("v")).as(Seq("dim", "x")))
+      .groupBy("label", "dim")
+      .agg((sum(col("x").cast(dec)).cast(DoubleType) / count(lit(1))).as("m"),
+        count(lit(1)).as("n"))
+    val gd = e.select(posexplode(col("v")).as(Seq("dim", "x")))
+      .groupBy("dim")
+      .agg((sum(col("x").cast(dec)).cast(DoubleType) / count(lit(1))).as("g"))
+    ld.join(gd, "dim")
+      .groupBy("label")
+      .agg(max("n").as("n_vecs"),
+        sum((col("m") * col("g")).cast(dec2)).cast(DoubleType).as("mg"),
+        sum((col("m") * col("m")).cast(dec2)).cast(DoubleType).as("mm"),
+        sum((col("g") * col("g")).cast(dec2)).cast(DoubleType).as("gg"),
+        sum(((col("m") - col("g")) * (col("m") - col("g"))).cast(dec2))
+          .cast(DoubleType).as("d2"))
+      .select(col("label"), col("n_vecs"),
+        round(col("mg") / (sqrt(col("mm")) * sqrt(col("gg"))), 6).as("cos_to_global"),
+        round(sqrt(col("d2")), 6).as("l2_shift"))
+  }
 }

@@ -256,6 +256,68 @@ object TextAnalysis {
           .as("avg_nll"))
   }
 
+  /** STUPID-BACKOFF bigram scoring (Brants et al. 2007, "Large Language
+    * Models in Machine Translation"): score a held-out slice under counts
+    * from a training slice — S(w₂|w₁) = c(w₁w₂)/c(w₁) when the bigram was
+    * seen, else λ·c(w₂)/N when the unigram was, else the λ²/N floor for
+    * unknown words. The web-scale LM scorer that deliberately skips
+    * normalization: every score is a ratio of exact integer counts times
+    * the λ constant — NO libm anywhere, bit-identical across engines
+    * (unlike [[bigramLogProb]]'s smoothed log-probs, and the reason this
+    * variant won at Google scale: counts shard trivially).
+    *
+    * Scale shape: model counts are two map-side-combinable aggregates
+    * (vocabulary / bigram-vocabulary sized); scoring joins the eval
+    * bigrams against them on their natural keys (the bigram join is the
+    * big one — both sides hash-partition on (w1,w2)); N rides a 1-row
+    * broadcast. Per-doc means are DECIMAL-summed.
+    *
+    * Output per eval doc: doc_id, n_bigrams, hit_rate (round 6; fraction
+    * of bigrams found in the model), mean_score (round 6). */
+  def stupidBackoff(
+      train: DataFrame, evalDocs: DataFrame, lambda: Double = 0.4,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(lambda > 0 && lambda < 1, s"need lambda in (0,1), got $lambda")
+    val dec = org.apache.spark.sql.types.DecimalType(28, 12)
+    def arr(df: DataFrame) =
+      df.select(col(idCol), array_remove(tokens(col(textCol)), "").as("t"))
+    def bigrams(df: DataFrame) = arr(df).filter(size(col("t")) >= 2)
+      .select(col(idCol),
+        explode(transform(sequence(lit(0), size(col("t")) - 2),
+          i => struct(element_at(col("t"), i + 1).as("w1"),
+            element_at(col("t"), i + 2).as("w2")))).as("b"))
+      .select(col(idCol), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val uni = arr(train).select(explode(col("t")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("cu"))
+    val tot = uni.agg(sum("cu").as("n_total"))
+    val c12 = bigrams(train).groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val scored = bigrams(evalDocs)
+      .join(c12, Seq("w1", "w2"), "left")
+      .join(uni.select(col("w").as("w1"), col("cu").as("c1")), Seq("w1"), "left")
+      .join(uni.select(col("w").as("w2"), col("cu").as("c2")), Seq("w2"), "left")
+      .crossJoin(broadcast(tot))
+      .withColumn("hit", when(col("c12").isNotNull, 1L).otherwise(0L))
+      .withColumn("s",
+        when(col("c12").isNotNull,
+          col("c12").cast(DoubleType) / col("c1").cast(DoubleType))
+          .when(col("c2").isNotNull,
+            lit(lambda) * col("c2").cast(DoubleType) / col("n_total").cast(DoubleType))
+          .otherwise(lit(lambda) * lit(lambda) / col("n_total").cast(DoubleType)))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("hit")).as("n_hits"),
+        sum(col("s").cast(dec)).as("s"))
+    evalDocs.select(col(idCol))
+      .join(scored, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        when(col("n_bigrams") > 0,
+          round(col("n_hits").cast(DoubleType) / col("n_bigrams").cast(DoubleType), 6))
+          .as("hit_rate"),
+        when(col("n_bigrams") > 0,
+          round(col("s").cast(DoubleType) / col("n_bigrams").cast(DoubleType), 6))
+          .as("mean_score"))
+  }
+
   /** The first BPE merge step: corpus-wide adjacent character-pair
     * frequencies, weighted by word frequency — exactly the statistic a BPE
     * tokenizer trainer maximizes per merge round (Sennrich et al.; a full
@@ -504,6 +566,108 @@ object TextAnalysis {
         sum(col("nt")).over(w).as("n_tokens_cum"),
         col("n_new_types"),
         sum(col("n_new_types")).over(w).as("vocab_cum"))
+  }
+
+  /** FREQUENCY-OF-FREQUENCIES table with simple Good–Turing adjusted
+    * counts: f_k = number of token types seen exactly k times, the
+    * Good–Turing re-estimate c* = (k+1)·f_{k+1}/f_k, and the share of
+    * corpus mass each count class holds. The k=1 row's mass IS the
+    * classic unseen-probability estimate p₀ = f₁/N — the number an
+    * open-vocabulary LM smoother needs from corpus scale.
+    *
+    * Scale shape: token counts are one map-side-combinable shuffle; the
+    * count-of-counts re-aggregation runs over the VOCABULARY-sized frame
+    * (≪ corpus), and the lead() window for f_{k+1} runs over ≤ maxK
+    * report rows. All ratios are integer-over-integer IEEE divides — no
+    * libm anywhere, bit-identical on any engine.
+    *
+    * Output per k ≤ maxK: k, n_types, mass (k·f_k/N, round 6),
+    * c_star (round 6; null at the table edge where f_{k+1} is absent). */
+  def countOfCounts(
+      docs: DataFrame,
+      maxK: Int = 10,
+      ngramN: Int = 1,
+      textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(maxK >= 1, s"need maxK >= 1, got $maxK")
+    require(ngramN >= 1, s"need ngramN >= 1, got $ngramN")
+    // Good-Turing's natural unit is the n-gram (its classic application is
+    // n-gram count re-estimation); occurrences keep MULTIPLICITY here, so
+    // [[Dedup.shingles]] (which also let-binds the tokenizer — the 150x
+    // re-evaluation trap its scaladoc documents) rather than the distinct
+    // shingleSet. Units are fingerprinted to 60-bit md5 BEFORE the count
+    // shuffle (the q136 rule: n-gram text never moves).
+    val t = array_remove(tokens(col(textCol)), "")
+    val units = if (ngramN == 1) t else Dedup.shingles(t, ngramN)
+    val tok = docs.select(explode(units).as("u"))
+      .select(Sketches.hash60(col("u")).as("tok"))
+    val counts = tok.groupBy("tok").agg(count(lit(1)).as("k"))
+    val fk = counts.groupBy("k").agg(count(lit(1)).as("n_types"))
+    // total mass N = Σ k·f_k recovered from the count-of-counts frame itself
+    // (≤ distinct-count-values rows) — no second corpus scan
+    val w = Window.orderBy("k")
+    val wtot = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    fk.withColumn("n_total", sum(col("k") * col("n_types")).over(wtot))
+      .withColumn("f_next", lead(col("n_types"), 1).over(w))
+      .withColumn("k_next", lead(col("k"), 1).over(w))
+      .filter(col("k") <= maxK)
+      .select(
+        col("k"),
+        col("n_types"),
+        round(col("k").cast(DoubleType) * col("n_types").cast(DoubleType)
+          / col("n_total").cast(DoubleType), 6).as("mass"),
+        // Good–Turing needs the NEXT count class to be exactly k+1 (gaps in
+        // the table leave c* undefined, per Gale & Sampson's treatment)
+        when(col("k_next") === col("k") + 1,
+          round((col("k") + 1).cast(DoubleType) * col("f_next").cast(DoubleType)
+            / col("n_types").cast(DoubleType), 6)).as("c_star"))
+  }
+
+  /** ZIPF-LAW slope per source: OLS fit of ln(frequency) against ln(rank)
+    * over the top-`topV` token types — natural text sits near slope −1;
+    * a much flatter slope flags templated/synthetic inflow, a steeper one
+    * flags boilerplate domination. The frequency-side complement of
+    * [[vocabGrowth]]'s Heaps curve.
+    *
+    * Scale shape: token counts are one map-side-combinable shuffle; the
+    * rank window partitions by source over the VOCABULARY-sized aggregate
+    * (never raw tokens), and the OLS sums run over ≤ topV rows per source
+    * with DECIMAL accumulators (order-independent, the q103 recipe).
+    * Ranks break ties deterministically on (count desc, token asc).
+    *
+    * Output per source: source, n_types, slope (round 6), intercept
+    * (round 6). */
+  def zipfSlopes(
+      docs: DataFrame,
+      topV: Int = 200,
+      textCol: String = "text",
+      srcCol: String = "source"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(topV >= 2, s"need topV >= 2, got $topV")
+    val dec = DecimalType(28, 12)
+    val tok = docs.select(col(srcCol).as("source"),
+      explode(array_remove(tokens(col(textCol)), "")).as("tok"))
+    val counts = tok.groupBy("source", "tok").agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy("source").orderBy(col("cnt").desc, col("tok"))
+    val ranked = counts.withColumn("r", row_number().over(w)).filter(col("r") <= topV)
+      .select(col("source"),
+        log(col("r").cast(DoubleType)).as("x"),
+        log(col("cnt").cast(DoubleType)).as("y"))
+    val sums = ranked
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_types"),
+        sum(col("x").cast(dec)).cast(DoubleType).as("sx"),
+        sum(col("y").cast(dec)).cast(DoubleType).as("sy"),
+        sum((col("x") * col("y")).cast(dec)).cast(DoubleType).as("sxy"),
+        sum((col("x") * col("x")).cast(dec)).cast(DoubleType).as("sxx"))
+    // closed-form OLS in the DOUBLE domain over the decimal-exact sums —
+    // identical IEEE operations on identical inputs on any engine
+    val n = col("n_types").cast(DoubleType)
+    val slope = (n * col("sxy") - col("sx") * col("sy")) /
+      (n * col("sxx") - col("sx") * col("sx"))
+    sums.select(col("source"), col("n_types"),
+      round(slope, 6).as("slope"),
+      round((col("sy") - slope * col("sx")) / n, 6).as("intercept"))
   }
 
   /** Tokenizer FERTILITY per source: subword-tokens-per-word — the

@@ -3,7 +3,7 @@ package graft.analysis
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DoubleType
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
 
 /** Per-key time-series analytics: streaks, smoothing, level shifts.
   *
@@ -262,5 +262,66 @@ object TimeSeries {
             (col("sx").cast(DoubleType) / col("n_buckets")),
           6).as("vmr"))
       .orderBy(keyCol)
+  }
+
+  /** KAPLAN–MEIER survival curve over per-key dwell durations, with
+    * end-of-log right-censoring: a key whose last activity falls within
+    * `censorHorizonSec` of the log's end may still be live, so it
+    * contributes at-risk time but no death event — the estimator the
+    * naive "1 − ECDF" silently gets wrong on every open-ended log.
+    * S(t) = Π_{tᵢ ≤ t, dᵢ > 0} (nᵢ − dᵢ)/nᵢ over event times tᵢ with
+    * dᵢ deaths among nᵢ at risk.
+    *
+    * Scale shape: one grouped min/max per key (map-side combinable), the
+    * log-end scalar rides a 1-row broadcast cross join, and everything
+    * after runs over the DISTINCT-DURATION frame (report-sized). The
+    * product is exp(Σ ln fᵢ) with DECIMAL-summed terms: each factor is an
+    * integer-over-integer IEEE divide (identical on any engine), and the
+    * 6dp round happens after the exp, the q151 recipe.
+    *
+    * Output per distinct duration: t_sec, n_at_risk, d_events, c_censored,
+    * survival (round 6). */
+  def kmSurvival(
+      events: DataFrame,
+      keyCol: String = "session_id",
+      tsCol: String = "event_ts",
+      censorHorizonSec: Long = 3600L): DataFrame = {
+    require(censorHorizonSec >= 0, s"need censorHorizonSec >= 0, got $censorHorizonSec")
+    val dec = DecimalType(28, 12)
+    val perKey = events.groupBy(col(keyCol))
+      .agg((unix_timestamp(max(col(tsCol))) - unix_timestamp(min(col(tsCol))))
+          .as("t_sec"),
+        unix_timestamp(max(col(tsCol))).as("last_s"))
+    val logEnd = perKey.agg(max("last_s").as("log_end"))
+    val flagged = perKey.crossJoin(logEnd)
+      .select(col("t_sec"),
+        when(col("last_s") > col("log_end") - censorHorizonSec, 1L).otherwise(0L).as("c"),
+        when(col("last_s") > col("log_end") - censorHorizonSec, 0L).otherwise(1L).as("d"))
+    val byT = flagged.groupBy("t_sec")
+      .agg(sum("d").as("d_events"), sum("c").as("c_censored"))
+    val wOrd = Window.orderBy("t_sec")
+    val wCum = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    byT
+      .withColumn("n_total", sum(col("d_events") + col("c_censored")).over(wAll))
+      .withColumn("cum", sum(col("d_events") + col("c_censored")).over(wCum))
+      // at risk at t = everyone not yet dead or censored strictly before t
+      .withColumn("n_at_risk",
+        col("n_total") - col("cum") + col("d_events") + col("c_censored"))
+      // a time where EVERYONE at risk dies zeroes the curve permanently —
+      // handled as an explicit absorbing flag so no ln(0) ever enters the
+      // DECIMAL sum (the cast would null it out and silently skip the step)
+      .withColumn("ln_f",
+        when(col("d_events") > 0 && col("d_events") < col("n_at_risk"),
+          log((col("n_at_risk") - col("d_events")).cast(DoubleType)
+            / col("n_at_risk").cast(DoubleType)))
+          .otherwise(lit(0.0)))
+      .withColumn("dead",
+        max(when(col("d_events") === col("n_at_risk") && col("d_events") > 0, 1)
+          .otherwise(0)).over(wCum))
+      .withColumn("survival",
+        when(col("dead") === 1, lit(0.0))
+          .otherwise(round(exp(sum(col("ln_f").cast(dec)).over(wCum).cast(DoubleType)), 6)))
+      .select("t_sec", "n_at_risk", "d_events", "c_censored", "survival")
   }
 }

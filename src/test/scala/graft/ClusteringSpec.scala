@@ -73,4 +73,35 @@ class ClusteringSpec extends SparkSpec {
       .collect()
     assert(all.forall(_.getAs[Boolean]("keep")))
   }
+
+  test("silhouette: well-separated blobs score near 1, hand-checked cluster means") {
+    // ids 1,2 seed the two cells; one Lloyd round pulls centroids to
+    // [0, 0.5] and [10, 10.5]
+    val pts = Seq(
+      (1L, Array(0.0f, 0.0f)),
+      (2L, Array(10.0f, 10.0f)),
+      (3L, Array(0.0f, 1.0f)),
+      (4L, Array(10.0f, 11.0f))
+    ).toDF("vec_id", "embedding")
+    val out = Clustering.silhouette(pts, k = 2, iterations = 1)
+      .orderBy("cluster").collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(out.keySet === Set(0, 1))
+    assert(out(0)._1 === 2L && out(1)._1 === 2L)
+    assert(out.values.forall(_._2 > 0.9), s"separated blobs must score high: $out")
+  }
+
+  test("silhouette: coincident points with coincident centroids score 0, k>=2 enforced") {
+    val pts = Seq(
+      (1L, Array(0.0f, 0.0f)),
+      (2L, Array(0.0f, 0.0f)),
+      (3L, Array(0.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    // both centroids sit at the origin -> a = b = 0 -> s defined as 0
+    val out = Clustering.silhouette(pts, k = 2, iterations = 1).collect()
+    assert(out.map(_.getDouble(2)).forall(_ === 0.0))
+    assertThrows[IllegalArgumentException] {
+      Clustering.silhouette(pts, k = 1, iterations = 1)
+    }
+  }
 }

@@ -78,6 +78,37 @@ class FunnelSpec extends SparkSpec {
       ("2026-01-02", 0) -> 1L, ("2026-01-02", 1) -> 1L))
   }
 
+  test("markov transitions: START/END states, per-row distribution sums to 1") {
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val clicks = Seq(
+      (1L, "s1", t("2026-01-01 10:00:00"), "view"),
+      (2L, "s1", t("2026-01-01 10:01:00"), "click"),
+      (3L, "s1", t("2026-01-01 10:02:00"), "view"),
+      (4L, "s2", t("2026-01-01 11:00:00"), "view")
+    ).toDF("event_id", "session_id", "event_ts", "event_type")
+    val out = Funnel.markovTransitions(clicks)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> ((r.getLong(2), r.getDouble(3)))).toMap
+    assert(out === Map(
+      ("<START>", "view") -> ((2L, 1.0)),
+      ("view", "click") -> ((1L, 0.333333)),
+      ("view", "<END>") -> ((2L, 0.666667)),
+      ("click", "view") -> ((1L, 1.0))))
+    // every from-state's outgoing mass is a distribution (END has no row)
+    val sums = out.toSeq.groupBy(_._1._1).view.mapValues(_.map(_._2._2).sum)
+    sums.foreach { case (_, s) => assert(math.abs(s - 1.0) < 1e-5) }
+  }
+
+  test("markov transitions: ties on ts break by event_id deterministically") {
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val clicks = Seq(
+      (2L, "s1", t("2026-01-01 10:00:00"), "b"),
+      (1L, "s1", t("2026-01-01 10:00:00"), "a")
+    ).toDF("event_id", "session_id", "event_ts", "event_type")
+    val out = Funnel.markovTransitions(clicks)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(out === Set(("<START>", "a"), ("a", "b"), ("b", "<END>")))
+  }
+
   test("gap fill: spine densifies, forward fill carries last value, flags set") {
     val daily = Seq(
       ("a", java.sql.Date.valueOf("2024-01-01"), 5L),

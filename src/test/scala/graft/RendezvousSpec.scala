@@ -71,4 +71,26 @@ class RendezvousSpec extends SparkSpec {
     val rej = Profiling.ksDrift(big, hi, "v").collect().head
     assert(rej.getDouble(2) === 1.0 && rej.getBoolean(5))
   }
+
+  test("centroid drift: orthogonal slices hand-computed; aligned slice sits at cos 1") {
+    import spark.implicits._
+    // label 0 centroid [1,0], label 1 centroid [0,1], global [0.5,0.5]
+    val emb = Seq(
+      (1L, Array(1.0f, 0.0f), 0),
+      (2L, Array(1.0f, 0.0f), 0),
+      (3L, Array(0.0f, 1.0f), 1),
+      (4L, Array(0.0f, 1.0f), 1)
+    ).toDF("vec_id", "embedding", "label")
+    val out = Profiling.centroidDrift(emb)
+      .orderBy("label").collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    // cos([1,0],[0.5,0.5]) = 0.5/(1*sqrt(0.5)); l2 = sqrt(0.25+0.25)
+    assert(out(0) === ((2L, 0.707107, 0.707107)))
+    assert(out(1) === ((2L, 0.707107, 0.707107)))
+    // a slice that IS the corpus distribution has no drift
+    val uni = Seq((1L, Array(3.0f, 4.0f), 7), (2L, Array(3.0f, 4.0f), 7))
+      .toDF("vec_id", "embedding", "label")
+    val one = Profiling.centroidDrift(uni).collect().head
+    assert(one.getDouble(2) === 1.0 && one.getDouble(3) === 0.0)
+  }
 }

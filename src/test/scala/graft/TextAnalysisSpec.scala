@@ -386,6 +386,89 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("stupid backoff: seen bigram, unigram backoff, unknown floor — hand-computed") {
+    import spark.implicits._
+    // train: unigrams a2 b2 c1 (N=5); bigrams (a,b)x2 (b,a)x1 (b,c)x1
+    val train = Seq((1L, "a b a b c")).toDF("doc_id", "text")
+    // eval: (a,b) seen -> 2/2 = 1.0; (b,z) unknown w2 -> 0.16/5 = 0.032;
+    // (z,c) unigram backoff -> 0.4*1/5 = 0.08
+    val eval0 = Seq((10L, "a b z c"), (20L, "x")).toDF("doc_id", "text")
+    val out = TextAnalysis.stupidBackoff(train, eval0)
+      .orderBy("doc_id").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), Option(r.get(2)), Option(r.get(3))))).toMap
+    assert(out(10L)._1 === 3L)
+    assert(out(10L)._2 === Some(0.333333))            // 1 of 3 bigrams seen
+    assert(out(10L)._3 === Some(0.370667))            // (1.0+0.032+0.08)/3
+    assert(out(20L) === ((0L, None, None)))           // too short to score
+  }
+
+  test("stupid backoff: scoring the training slice itself hits every bigram") {
+    import spark.implicits._
+    val train = Seq((1L, "a b c a b")).toDF("doc_id", "text")
+    val out = TextAnalysis.stupidBackoff(train, train).collect().head
+    assert(out.getDouble(2) === 1.0)  // hit_rate: every bigram is in the model
+  }
+
+  test("count of counts: f_k table, unseen mass, Good-Turing only across contiguous k") {
+    import spark.implicits._
+    // corpus counts: a=3, b=1, c=1, d=2 -> f1=2, f2=1, f3=1, N=7
+    val docs = Seq((1L, "a a a b"), (2L, "c d d")).toDF("doc_id", "text")
+    val out = TextAnalysis.countOfCounts(docs).orderBy("k").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), Option(r.get(3))))).toMap
+    assert(out.keySet === Set(1L, 2L, 3L))
+    assert(out(1L)._1 === 2L && out(2L)._1 === 1L && out(3L)._1 === 1L)
+    // mass: k*f_k/N; the k=1 row's mass is the unseen-probability estimate
+    assert(out(1L)._2 === 0.285714 && out(2L)._2 === 0.285714 && out(3L)._2 === 0.428571)
+    // c*: (k+1)f_{k+1}/f_k where the next class is exactly k+1; null at edge
+    assert(out(1L)._3 === Some(1.0))   // 2*1/2
+    assert(out(2L)._3 === Some(3.0))   // 3*f3/f2 = 3*1/1
+    assert(out(3L)._3 === None)
+  }
+
+  test("count of counts: trigram units keep multiplicity") {
+    import spark.implicits._
+    // trigrams of "a b c a b c": [a b c, b c a, c a b, a b c] ->
+    // f1=2, f2=1, N=4
+    val docs = Seq((1L, "a b c a b c")).toDF("doc_id", "text")
+    val out = TextAnalysis.countOfCounts(docs, ngramN = 3).orderBy("k").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), Option(r.get(3))))).toMap
+    assert(out === Map(
+      1L -> ((2L, 0.5, Some(1.0))),   // c* = 2*f2/f1 = 2*1/2
+      2L -> ((1L, 0.5, None))))
+  }
+
+  test("count of counts: gap in the k table leaves c* undefined") {
+    import spark.implicits._
+    // counts: a=3, b=1, c=1 -> f1=2, f3=1; k=1 has no k=2 neighbor
+    val docs = Seq((1L, "a a a b c")).toDF("doc_id", "text")
+    val out = TextAnalysis.countOfCounts(docs).orderBy("k").collect()
+      .map(r => r.getLong(0) -> Option(r.get(3))).toMap
+    assert(out === Map(1L -> None, 3L -> None))
+  }
+
+  test("zipf slope: two-point fits are exact; ties rank by token asc") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a a a a b b", "s1"),   // counts 4,2 -> slope ln(2/4)/ln2 = -1
+      (2L, "x x y y", "s2")        // tied counts -> flat slope 0
+    ).toDF("doc_id", "text", "source")
+    val out = TextAnalysis.zipfSlopes(docs).orderBy("source").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    assert(out("s1")._1 === 2L)
+    assert(out("s1")._2 === -1.0)
+    assert(out("s1")._3 === 1.386294)  // ln 4
+    assert(out("s2")._2 === 0.0)
+    assert(out("s2")._3 === 0.693147)  // ln 2
+  }
+
+  test("zipf slope: topV caps the fit window") {
+    import spark.implicits._
+    // 5 distinct types; topV=3 keeps ranks 1..3 only
+    val docs = Seq((1L, "a a a a b b b c c d e", "s")).toDF("doc_id", "text", "source")
+    val out = TextAnalysis.zipfSlopes(docs, topV = 3).collect()
+    assert(out.head.getLong(1) === 3L)
+  }
+
   test("gopher rules: each rule trips independently; keep is the conjunction") {
     import spark.implicits._
     val good = ("w" + (1 to 60).map(i => s" the word$i").mkString)  // 121 tokens, stopwords, diverse

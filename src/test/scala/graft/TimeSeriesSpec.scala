@@ -127,6 +127,40 @@ class TimeSeriesSpec extends SparkSpec {
     assert(out.values.count(_._2) === 1)
   }
 
+  test("km survival: censored tails hold at-risk counts, step product hand-computed") {
+    def t(off: Int) = java.sql.Timestamp.valueOf(s"2026-01-01 00:00:00").toInstant
+      .plusSeconds(off.toLong)
+    def ts(off: Int) = java.sql.Timestamp.from(t(off))
+    val clicks = Seq(
+      ("s1", ts(0)), ("s1", ts(100)),   // dur 100 — holds the log's LAST event, so censored by definition
+      ("s2", ts(0)), ("s2", ts(50)),    // dur 50, dies
+      ("s3", ts(95)),                   // dur 0, last within 10s of log end -> censored
+      ("s4", ts(0)), ("s4", ts(30))     // dur 30, dies
+    ).toDF("session_id", "event_ts")
+    val out = TimeSeries.kmSurvival(clicks, censorHorizonSec = 10L)
+      .orderBy("t_sec").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))))
+    assert(out.toSeq === Seq(
+      0L -> ((4L, 0L, 1L, 1.0)),        // censoring only: S stays 1
+      30L -> ((3L, 1L, 0L, 0.666667)),  // 2/3
+      50L -> ((2L, 1L, 0L, 0.333333)),  // 2/3 * 1/2
+      100L -> ((1L, 0L, 1L, 0.333333))))// censored tail: curve holds, never drops to 0
+  }
+
+  test("km survival: zero horizon censors nobody — curve equals 1 - ECDF") {
+    def ts(off: Int) = java.sql.Timestamp.valueOf("2026-01-01 00:00:00").toInstant
+      .plusSeconds(off.toLong)
+    def mk(off: Int) = java.sql.Timestamp.from(ts(off))
+    val clicks = Seq(
+      ("a", mk(0)), ("a", mk(10)),
+      ("b", mk(0)), ("b", mk(20))
+    ).toDF("session_id", "event_ts")
+    val out = TimeSeries.kmSurvival(clicks, censorHorizonSec = 0L)
+      .orderBy("t_sec").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(4)))
+    assert(out.toSeq === Seq((10L, 2L, 1L, 0.5), (20L, 1L, 1L, 0.0)))
+  }
+
   test("burstiness: metronomic stream VMR 0, bursty stream hand-computed") {
     def rows(typ: String, counts: Seq[Int]): Seq[(String, java.sql.Timestamp, Date)] =
       counts.zipWithIndex.flatMap { case (c, h) =>
