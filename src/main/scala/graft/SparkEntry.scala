@@ -29,6 +29,30 @@ object SparkEntry {
     martQueries ++ relationalQueries ++ analysisQueries
 
   private def analysisQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // replayable Laplace release: per-(type, day) counts + inverse-CDF
+    // Laplace noise at scale 1/eps from the portable md5 uniform, clamped
+    // post-processing — the DP release MECHANISM with reproducible draws
+    // (real DP swaps in secret randomness; see the scaladoc honesty note)
+    "q206_dp_noisy_counts" -> { (s, d) =>
+      graft.analysis.Profiling.dpNoisyCounts(
+          TestData.clicks(s, d), Seq("event_type", "event_date"))
+        .orderBy("event_type", "event_date")
+    },
+    // Cohen's kappa of the q21 stopword-marker classifier against the lang
+    // labels: chance-corrected agreement from one grid aggregate, integer
+    // margins, the only float is the final ratio
+    "q207_cohens_kappa" -> { (s, d) =>
+      graft.analysis.Stats.cohensKappa(
+        TextAnalysis.langId(TestData.documents(s, d)),
+        "lang_label", "guessed_lang")
+    },
+    // dictionary tagging: broadcast-literal lexicon, filter BEFORE explode
+    // so only hits shuffle; per-doc term occurrence counts
+    "q208_dictionary_tags" -> { (s, d) =>
+      TextAnalysis.dictionaryTags(TestData.documents(s, d),
+          dict = Seq("join", "hash", "scan", "merge", "sort"))
+        .orderBy("doc_id", "term")
+    },
     // simplified (centroid-based) silhouette over q108's deterministic
     // Lloyd cells: per point the two smallest centroid distances from one
     // codegen'd projection, s=(b-a)/max(a,b), per-cluster DECIMAL mean —
@@ -2469,6 +2493,66 @@ object SparkEntry {
        |ORDER BY config""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
+    // same md5 uniform (h+0.5)/2^60, same Laplace inverse CDF, same clamp
+    "q206_dp_noisy_counts" ->
+      """WITH c AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS event_date, count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |u AS (
+        |  SELECT event_type, event_date, n,
+        |    ((('0x' || substr(md5(event_type || '|' || event_date::VARCHAR || '|' || 'dp'), 1, 15))::BIGINT::DOUBLE + 0.5::DOUBLE) / 1152921504606846976.0::DOUBLE) AS uu
+        |  FROM c),
+        |nz AS (
+        |  SELECT event_type, event_date, n,
+        |    round(-(1.0::DOUBLE / 1.0::DOUBLE) * sign(uu - 0.5::DOUBLE) * ln(1.0::DOUBLE - 2.0::DOUBLE * abs(uu - 0.5::DOUBLE)), 6) AS noise
+        |  FROM u)
+        |SELECT event_type, event_date, n, noise,
+        |  greatest(0, CAST(round(n + noise, 0) AS BIGINT)) AS noisy_n
+        |FROM nz ORDER BY event_type, event_date""".stripMargin,
+    // q21's langid CTEs + the kappa tail: integer margins, inner join on
+    // the class label for the chance term
+    "q207_cohens_kappa" ->
+      """WITH t AS (
+        |  SELECT lang AS lang_label,
+        |    string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')), ' ') AS toks
+        |  FROM documents),
+        |s AS (
+        |  SELECT lang_label,
+        |    len(list_filter(toks, x -> x IN ('the','a','of','and','to','is'))) AS s_en,
+        |    len(list_filter(toks, x -> x IN ('der','die','das','und','ist','nicht'))) AS s_de,
+        |    len(list_filter(toks, x -> x IN ('el','la','de','y','es','que'))) AS s_es,
+        |    len(list_filter(toks, x -> x IN ('le','les','et','est','une','pas'))) AS s_fr
+        |  FROM t),
+        |g AS (
+        |  SELECT lang_label,
+        |    CASE WHEN s_en = 0 AND s_de = 0 AND s_es = 0 AND s_fr = 0 THEN 'unknown'
+        |         WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr THEN 'en'
+        |         WHEN s_de >= s_es AND s_de >= s_fr THEN 'de'
+        |         WHEN s_es >= s_fr THEN 'es'
+        |         ELSE 'fr' END AS guessed_lang
+        |  FROM s),
+        |grid AS (SELECT lang_label AS a, guessed_lang AS b, count(*) AS c FROM g GROUP BY 1, 2),
+        |ma AS (SELECT a, CAST(sum(c) AS BIGINT) AS ra FROM grid GROUP BY 1),
+        |mb AS (SELECT b, CAST(sum(c) AS BIGINT) AS cb FROM grid GROUP BY 1),
+        |pe AS (SELECT COALESCE(CAST(sum(ra * cb) AS BIGINT), 0) AS pe_num
+        |       FROM ma JOIN mb ON ma.a = mb.b),
+        |tt AS (SELECT CAST(sum(c) AS BIGINT) AS n,
+        |         CAST(sum(CASE WHEN a = b THEN c ELSE 0 END) AS BIGINT) AS diag
+        |       FROM grid)
+        |SELECT n,
+        |  round(diag::DOUBLE / n::DOUBLE, 6) AS po,
+        |  round(pe_num::DOUBLE / (n::DOUBLE * n::DOUBLE), 6) AS pe,
+        |  CASE WHEN 1.0::DOUBLE - pe_num::DOUBLE / (n::DOUBLE * n::DOUBLE) > 0
+        |    THEN round((diag::DOUBLE / n::DOUBLE - pe_num::DOUBLE / (n::DOUBLE * n::DOUBLE))
+        |           / (1.0::DOUBLE - pe_num::DOUBLE / (n::DOUBLE * n::DOUBLE)), 6) END AS kappa
+        |FROM tt CROSS JOIN pe""".stripMargin,
+    // same lexicon, same filter-then-unnest order
+    "q208_dictionary_tags" ->
+      """SELECT doc_id, term, count(*) AS n_occ FROM (
+        |  SELECT doc_id,
+        |    unnest(list_filter(list_filter(string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')), ' '), x -> x <> ''), x -> x IN ('join','hash','scan','merge','sort'))) AS term
+        |  FROM documents)
+        |GROUP BY 1, 2 ORDER BY doc_id, term""".stripMargin,
     // the shared Lloyd CTEs + rank-2 distances: rn=1 is a2, rn=2 is b2
     "q204_silhouette" ->
       s"""WITH $kmeansAsgCtes,

@@ -174,6 +174,45 @@ object Profiling {
       .withColumn("l_risky", col("n_sensitive_distinct") < l)
   }
 
+  /** REPLAYABLE Laplace noise injection for released group counts — the
+    * ε-differential-privacy MECHANISM (inverse-CDF Laplace at scale 1/ε on
+    * unit-count sensitivity) with the repo's portable md5 uniform driving
+    * the draw, so any engine, run, or retry regenerates the identical
+    * release — what a reproducible pipeline needs for noisy-stats
+    * artifacts that must diff cleanly across reruns.
+    *
+    * HONESTY NOTE: deterministic noise keyed on the group value is NOT
+    * differential privacy — DP requires the noise to be secret and fresh.
+    * This operator is the release-side plumbing (sensitivity-1 counts,
+    * Laplace scale, post-processing clamp); a real deployment swaps
+    * [[Sketches.hash60]] for a secret RNG and drops `n` from the output.
+    *
+    * Scale shape: one map-side-combinable count aggregate; noise is a
+    * projection over the group-sized result. u = (h+0.5)/2⁶⁰ ∈ (0,1)
+    * keeps ln away from both endpoints.
+    *
+    * Output: keyCols…, n, noise (round 6), noisy_n (clamped ≥ 0). */
+  def dpNoisyCounts(
+      df: DataFrame,
+      keyCols: Seq[String],
+      epsilon: Double = 1.0,
+      seed: String = "dp"): DataFrame = {
+    require(keyCols.nonEmpty, "need at least one key column")
+    require(epsilon > 0, s"need epsilon > 0, got $epsilon")
+    val counts = df.groupBy(keyCols.map(col): _*).agg(count(lit(1)).as("n"))
+    val keyStr = concat_ws("|",
+      keyCols.map(c => col(c).cast(StringType)) :+ lit(seed): _*)
+    val u = (Sketches.hash60(keyStr).cast(DoubleType) + lit(0.5)) /
+      lit(Sketches.HashSpace)
+    val v = u - lit(0.5)
+    val noise = -(lit(1.0) / lit(epsilon)) * signum(v) *
+      log(lit(1.0) - lit(2.0) * abs(v))
+    counts
+      .withColumn("noise", round(noise, 6))
+      .withColumn("noisy_n",
+        greatest(lit(0L), round(col("n") + col("noise"), 0).cast("long")))
+  }
+
   /** EMBEDDING CENTROID DRIFT: per-slice centroid of the embedding column
     * vs the global centroid — cosine similarity (orientation drift) and
     * L2 shift (magnitude drift). The embedding-space complement of

@@ -2,7 +2,7 @@ package graft.analysis
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DoubleType
+import org.apache.spark.sql.types.{DoubleType, StringType}
 
 /** Experiment / distribution statistics over event frames.
   *
@@ -226,6 +226,48 @@ object Stats {
             .otherwise("accept_h0").as("decision"),
           round(upper, 6).as("upper"), round(lower, 6).as("lower"))
     } finally { cum.unpersist(); () }
+  }
+
+  /** COHEN'S KAPPA: chance-corrected agreement between two categorical
+    * labelings of the same rows — κ = (p_o − p_e)/(1 − p_e), where p_o is
+    * observed agreement and p_e the agreement two independent raters with
+    * these marginals would reach by luck. The standard way to certify one
+    * classifier against another (or against gold labels) beyond raw
+    * accuracy, which inflates under skewed class balance.
+    *
+    * Scale shape: ONE grid aggregate (|A|×|B| rows — metric-sized);
+    * marginals, p_o, and p_e are integer sums over the grid, so the only
+    * floating step is the final ratio — no libm, bit-identical anywhere.
+    * Degenerate guard: p_e = 1 (both raters constant) leaves κ undefined
+    * → null.
+    *
+    * Output (1 row): n, po (round 6), pe (round 6), kappa (round 6). */
+  def cohensKappa(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val grid = df
+      .select(col(aCol).cast(StringType).as("a"), col(bCol).cast(StringType).as("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("c"))
+    // margins joined on the class label — classes one rater never uses
+    // contribute zero to p_e via the inner join, which is exact (0·x = 0)
+    val ma = grid.groupBy("a").agg(sum("c").as("ra"))
+    val mb = grid.groupBy("b").agg(sum("c").as("cb"))
+    val peNum = ma.join(mb, ma("a") === mb("b"))
+      .agg(coalesce(sum(col("ra") * col("cb")), lit(0L)).as("pe_num"))
+    val totals = grid.agg(
+      sum("c").as("n"),
+      sum(when(col("a") === col("b"), col("c")).otherwise(lit(0L))).as("diag"))
+    totals.crossJoin(peNum)
+      .select(col("n"),
+        round(col("diag").cast(DoubleType) / col("n").cast(DoubleType), 6).as("po"),
+        round(col("pe_num").cast(DoubleType)
+          / (col("n").cast(DoubleType) * col("n").cast(DoubleType)), 6).as("pe"),
+        col("diag"), col("pe_num"))
+      .withColumn("po_raw", col("diag").cast(DoubleType) / col("n").cast(DoubleType))
+      .withColumn("pe_raw", col("pe_num").cast(DoubleType)
+        / (col("n").cast(DoubleType) * col("n").cast(DoubleType)))
+      .select(col("n"), col("po"), col("pe"),
+        when(lit(1.0) - col("pe_raw") > 0,
+          round((col("po_raw") - col("pe_raw")) / (lit(1.0) - col("pe_raw")), 6))
+          .as("kappa"))
   }
 
   def giniConcentration(df: DataFrame, keyCol: String): DataFrame = {

@@ -256,6 +256,29 @@ object TextAnalysis {
           .as("avg_nll"))
   }
 
+  /** DICTIONARY TAGGING (the FlashText/keyword-processor shape at token
+    * granularity): count occurrences of a controlled vocabulary per
+    * document — entity lists, topic lexicons, policy terms. The dictionary
+    * rides the plan as a broadcast literal set inside one codegen'd
+    * projection; the filter runs BEFORE the explode, so the shuffle
+    * carries dictionary hits only, never full token streams — at 100 TB
+    * the cost is the scan plus a hits-sized aggregate.
+    *
+    * Docs with zero hits are absent (report-shaped output; left-join the
+    * doc spine in the caller if a dense frame is needed).
+    * Output: idCol, term, n_occ. */
+  def dictionaryTags(
+      docs: DataFrame,
+      dict: Seq[String],
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    require(dict.nonEmpty, "need a non-empty dictionary")
+    val hits = filter(array_remove(tokens(col(textCol)), ""),
+      x => x.isin(dict: _*))
+    docs.select(col(idCol), explode(hits).as("term"))
+      .groupBy(idCol, "term").agg(count(lit(1)).as("n_occ"))
+  }
+
   /** STUPID-BACKOFF bigram scoring (Brants et al. 2007, "Large Language
     * Models in Machine Translation"): score a held-out slice under counts
     * from a training slice — S(w₂|w₁) = c(w₁w₂)/c(w₁) when the bigram was

@@ -72,6 +72,27 @@ class RendezvousSpec extends SparkSpec {
     assert(rej.getDouble(2) === 1.0 && rej.getBoolean(5))
   }
 
+  test("dp noisy counts: replayable draws, epsilon scales noise, clamp holds") {
+    import spark.implicits._
+    val df = (Seq.fill(5)("a") ++ Seq.fill(2)("b") ++ Seq("c"))
+      .map(Tuple1(_)).toDF("k")
+    def run(eps: Double, seed: String) =
+      Profiling.dpNoisyCounts(df, Seq("k"), epsilon = eps, seed = seed)
+        .orderBy("k").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    val a = run(1.0, "dp")
+    assert(a.toSeq === run(1.0, "dp").toSeq, "identical runs must release identically")
+    assert(a.map(_._1).toSeq === Seq("a", "b", "c"))
+    assert(a.forall(r => r._4 >= 0L), "released counts are clamped at 0")
+    // doubling epsilon halves the Laplace scale on the SAME uniform draw
+    val tight = run(2.0, "dp")
+    a.zip(tight).foreach { case ((_, _, n1, _), (_, _, n2, _)) =>
+      assert(math.abs(n2 - n1 / 2) < 2e-6, s"eps=2 noise $n2 vs half of $n1")
+    }
+    // a different seed is a different draw
+    assert(a.map(_._3).toSeq !== run(1.0, "other").map(_._3).toSeq)
+  }
+
   test("centroid drift: orthogonal slices hand-computed; aligned slice sits at cos 1") {
     import spark.implicits._
     // label 0 centroid [1,0], label 1 centroid [0,1], global [0.5,0.5]

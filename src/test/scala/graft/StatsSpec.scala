@@ -89,4 +89,23 @@ class StatsSpec extends SparkSpec {
     assert(undecided.getString(3) === "continue")
     assert(undecided.getInt(0) === 6 && undecided.getLong(1) === 3L) // end-of-data state
   }
+
+  test("cohen's kappa: perfect 1, marginal-independence 0, skew exposes accuracy") {
+    import spark.implicits._
+    def kappa(pairs: Seq[(String, String)]) =
+      Stats.cohensKappa(pairs.toDF("a", "b"), "a", "b").collect().head
+    val perfect = kappa(Seq(("y", "y"), ("n", "n"), ("y", "y")))
+    assert(perfect.getDouble(1) === 1.0 && perfect.getDouble(3) === 1.0)
+    // balanced 2x2 with po = pe = 0.5 -> kappa exactly 0
+    val indep = kappa(Seq(("y", "y"), ("y", "n"), ("n", "y"), ("n", "n")))
+    assert(indep.getDouble(1) === 0.5 && indep.getDouble(2) === 0.5)
+    assert(indep.getDouble(3) === 0.0)
+    // 90% raw agreement on a skewed label still scores kappa 0 — the
+    // accuracy-inflation case the statistic exists for
+    val skew = kappa(Seq.fill(9)(("x", "x")) :+ (("x", "y")))
+    assert(skew.getDouble(1) === 0.9 && skew.getDouble(3) === 0.0)
+    // both raters constant: pe = 1 leaves kappa undefined -> null
+    val const = kappa(Seq(("x", "x"), ("x", "x")))
+    assert(const.isNullAt(3))
+  }
 }

@@ -386,6 +386,18 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("dictionary tags: multiplicity counted, non-dictionary tokens ignored, no-hit docs absent") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "join the hash join table"),
+      (2L, "nothing relevant here")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.dictionaryTags(docs, Seq("join", "hash", "scan"))
+      .orderBy("doc_id", "term").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(out.toSeq === Seq((1L, "hash", 1L), (1L, "join", 2L)))
+  }
+
   test("stupid backoff: seen bigram, unigram backoff, unknown floor — hand-computed") {
     import spark.implicits._
     // train: unigrams a2 b2 c1 (N=5); bigrams (a,b)x2 (b,a)x1 (b,c)x1
