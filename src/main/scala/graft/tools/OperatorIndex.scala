@@ -92,7 +92,7 @@ object OperatorIndex {
       """"(q\w+)":([0-9.]+)""".r.findAllMatchIn(body)
         .map(m => m.group(1) -> m.group(2).toDouble).toMap
     }
-    val fams = Seq("BENCHSCALE", "BENCHSCALE2", "BENCHSCALE3", "BENCHSCALE4")
+    val fams = Seq("BENCHSCALE", "BENCHSCALE2", "BENCHSCALE3", "BENCHSCALE4", "BENCHSCALE5")
     fams.foldLeft(Map.empty[String, Double]) { (acc, fam) =>
       val t1 = queriesOf(s"${fam}_1x.json")
       val t10 = queriesOf(s"${fam}_10x.json")
@@ -115,7 +115,7 @@ object OperatorIndex {
         .findAllMatchIn(s.substring(start + "\"queries\":{".length, end))
         .map(m => m.group(1) -> m.group(2).toDouble).toMap
     }
-    val fams = Seq("BENCHSCALE", "BENCHSCALE2", "BENCHSCALE3", "BENCHSCALE4")
+    val fams = Seq("BENCHSCALE", "BENCHSCALE2", "BENCHSCALE3", "BENCHSCALE4", "BENCHSCALE5")
     fams.foldLeft(Map.empty[String, Double]) { (acc, fam) =>
       val t10 = queriesOf(s"${fam}_10x.json")
       val t30 = queriesOf(s"${fam}_30x.json")
