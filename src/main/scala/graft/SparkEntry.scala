@@ -29,6 +29,30 @@ object SparkEntry {
     martQueries ++ relationalQueries ++ analysisQueries
 
   private def analysisQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // top-20 contiguous event-type trigram patterns: same one-sort window
+    // as q199 (two leads ride it), |types|^3-bounded count, TakeOrdered
+    "q209_sequence_patterns" -> { (s, d) =>
+      graft.analysis.Funnel.sequencePatterns(TestData.clicks(s, d))
+    },
+    // Hill tail-index of the session-activity distribution: TakeOrdered
+    // k+1 is the only data-sized step, DECIMAL-summed log terms on k rows
+    "q210_hill_tail_index" -> { (s, d) =>
+      graft.analysis.Stats.hillTailIndex(
+        TestData.clicks(s, d).groupBy("session_id")
+          .agg(count(lit(1)).as("n_clicks")),
+        "n_clicks", k = 100)
+    },
+    // autocorrelation of hourly traffic at lags 1 and 24 over a DENSE
+    // hour spine (missing hours are zeros); r(24) is the diurnal-rhythm
+    // certificate
+    "q211_autocorrelation" -> { (s, d) =>
+      TimeSeries.autocorrelation(TestData.clicks(s, d)).orderBy("lag")
+    },
+    // entropy rate of the q199 chain: visit-share-weighted conditional
+    // entropies, DECIMAL-cast terms over the |types+2|^2 frame
+    "q212_markov_entropy" -> { (s, d) =>
+      graft.analysis.Funnel.markovEntropyRate(TestData.clicks(s, d))
+    },
     // replayable Laplace release: per-(type, day) counts + inverse-CDF
     // Laplace noise at scale 1/eps from the portable md5 uniform, clamped
     // post-processing — the DP release MECHANISM with reproducible draws
@@ -2493,6 +2517,90 @@ object SparkEntry {
        |ORDER BY config""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
+    // same window, leads instead of a self-join; '>' separator pinned
+    "q209_sequence_patterns" ->
+      """WITH s AS (
+        |  SELECT CAST(user_id AS VARCHAR) AS k, event_type AS t1,
+        |    lead(event_type, 1) OVER w AS t2,
+        |    lead(event_type, 2) OVER w AS t3
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY CAST(user_id AS VARCHAR)
+        |               ORDER BY CAST(ts AS TIMESTAMP), event_id))
+        |SELECT t1 || '>' || t2 || '>' || t3 AS pattern,
+        |  count(*) AS n_occurrences, count(DISTINCT k) AS n_sessions
+        |FROM s WHERE t2 IS NOT NULL AND t3 IS NOT NULL
+        |GROUP BY 1 ORDER BY n_occurrences DESC, pattern LIMIT 20""".stripMargin,
+    // ties at the threshold share a value, so the selected multiset is
+    // deterministic; alpha derives from the ROUNDED gamma on both sides
+    "q210_hill_tail_index" ->
+      """WITH c AS (
+        |  SELECT CAST(user_id AS VARCHAR) AS sid, count(*)::DOUBLE AS x
+        |  FROM events GROUP BY 1),
+        |r AS (SELECT x, row_number() OVER (ORDER BY x DESC) AS rn FROM c WHERE x > 0),
+        |thr AS (SELECT x AS x_thr FROM r WHERE rn = 101),
+        |g AS (
+        |  SELECT count(*) AS k, max(x_thr) AS x_threshold,
+        |    round(CAST(sum(CAST(ln(x / x_thr) AS DECIMAL(28,12))) AS DOUBLE) / count(*), 6) AS gamma_hat
+        |  FROM r CROSS JOIN thr WHERE rn <= 100)
+        |SELECT k, x_threshold, gamma_hat,
+        |  CASE WHEN gamma_hat > 0 THEN round(1.0::DOUBLE / gamma_hat, 6) END AS alpha_hat
+        |FROM g""".stripMargin,
+    // integer-div hour buckets (floor(epoch) // 3600 — the q102 parity
+    // rule), dense spine via range, DECIMAL product terms
+    "q211_autocorrelation" ->
+      """WITH hh AS (
+        |  SELECT CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) // 3600 AS h,
+        |    count(*) AS x
+        |  FROM events GROUP BY 1),
+        |b AS (SELECT min(h) AS h0, max(h) AS h1 FROM hh),
+        |sp AS (SELECT unnest(range(h0, h1 + 1)) AS h FROM b),
+        |se AS (SELECT sp.h, COALESCE(hh.x, 0) AS x FROM sp LEFT JOIN hh USING (h)),
+        |mm AS (SELECT CAST(sum(CAST(x AS DECIMAL(28,12))) AS DOUBLE) / count(*) AS m,
+        |         count(*) AS n_hours FROM se),
+        |ld AS (
+        |  SELECT se.h, se.x, m, n_hours,
+        |    lead(x, 1) OVER (ORDER BY h) AS x_1,
+        |    lead(x, 24) OVER (ORDER BY h) AS x_24
+        |  FROM se CROSS JOIN mm),
+        |ag AS (
+        |  SELECT max(n_hours) AS n_hours,
+        |    CAST(sum(CAST((x::DOUBLE - m) * (x::DOUBLE - m) AS DECIMAL(28,12))) AS DOUBLE) AS den,
+        |    CAST(sum(CASE WHEN x_1 IS NOT NULL THEN CAST((x::DOUBLE - m) * (x_1::DOUBLE - m) AS DECIMAL(28,12)) END) AS DOUBLE) AS num_1,
+        |    CAST(sum(CASE WHEN x_24 IS NOT NULL THEN CAST((x::DOUBLE - m) * (x_24::DOUBLE - m) AS DECIMAL(28,12)) END) AS DOUBLE) AS num_24
+        |  FROM ld)
+        |SELECT * FROM (
+        |  SELECT 1 AS lag, n_hours, CASE WHEN den > 0 THEN round(num_1 / den, 6) END AS r FROM ag
+        |  UNION ALL
+        |  SELECT 24 AS lag, n_hours, CASE WHEN den > 0 THEN round(num_24 / den, 6) END AS r FROM ag)
+        |ORDER BY lag""".stripMargin,
+    // q199's chain CTEs + the entropy tail: unrounded p from exact counts
+    "q212_markov_entropy" ->
+      """WITH s AS (
+        |  SELECT event_type AS cur,
+        |    lead(event_type) OVER w AS nxt,
+        |    row_number() OVER w AS rn
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY CAST(user_id AS VARCHAR)
+        |               ORDER BY CAST(ts AS TIMESTAMP), event_id)),
+        |p AS (
+        |  SELECT cur AS from_state, COALESCE(nxt, '<END>') AS to_state FROM s
+        |  UNION ALL
+        |  SELECT '<START>', cur FROM s WHERE rn = 1),
+        |c AS (SELECT from_state, to_state, count(*) AS n FROM p GROUP BY 1, 2),
+        |e AS (
+        |  SELECT from_state, n,
+        |    CAST(sum(n) OVER (PARTITION BY from_state) AS BIGINT) AS n_from,
+        |    CAST(sum(n) OVER () AS BIGINT) AS n_total
+        |  FROM c),
+        |t AS (
+        |  SELECT from_state, n,
+        |    CAST((n_from::DOUBLE / n_total::DOUBLE) * (n::DOUBLE / n_from::DOUBLE)
+        |      * ln(n::DOUBLE / n_from::DOUBLE) AS DECIMAL(28,12)) AS term
+        |  FROM e)
+        |SELECT count(DISTINCT from_state) AS n_states,
+        |  CAST(sum(n) AS BIGINT) AS n_transitions,
+        |  round(-CAST(sum(term) AS DOUBLE), 6) AS entropy_rate
+        |FROM t""".stripMargin,
     // same md5 uniform (h+0.5)/2^60, same Laplace inverse CDF, same clamp
     "q206_dp_noisy_counts" ->
       """WITH c AS (

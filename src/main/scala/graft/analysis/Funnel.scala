@@ -148,6 +148,77 @@ object Funnel {
       round(col("n").cast("double") / sum("n").over(wf).cast("double"), 6))
   }
 
+  /** FREQUENT SEQUENCE PATTERNS: top-k contiguous event-type trigrams
+    * across session timelines, with occurrence and distinct-session
+    * support — the order-3 sibling of [[markovTransitions]]' order-1 view,
+    * and the shape behavioral pattern mining (SPAM/PrefixSpan restricted
+    * to contiguous windows) reduces to on a click log.
+    *
+    * Shape: the same single partition-by-key window (two leads ride the
+    * one sort), then a map-side-combinable count to a |types|³-bounded
+    * frame and a TakeOrdered top-k — nothing downstream grows with data.
+    * Ties break lexicographically on the pattern.
+    * Output: pattern ("a>b>c"), n_occurrences, n_sessions. */
+  def sequencePatterns(
+      events: DataFrame,
+      k: Int = 20,
+      keyCol: String = "session_id",
+      typeCol: String = "event_type",
+      tsCol: String = "event_ts",
+      idCol: String = "event_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 1, s"need k >= 1, got $k")
+    val w = Window.partitionBy(keyCol).orderBy(col(tsCol), col(idCol))
+    events
+      .select(col(keyCol).as("__k"), col(typeCol).as("__t1"),
+        lead(col(typeCol), 1).over(w).as("__t2"),
+        lead(col(typeCol), 2).over(w).as("__t3"))
+      .filter(col("__t2").isNotNull && col("__t3").isNotNull)
+      .select(col("__k"),
+        concat_ws(">", col("__t1"), col("__t2"), col("__t3")).as("pattern"))
+      .groupBy("pattern")
+      .agg(count(lit(1)).as("n_occurrences"),
+        countDistinct(col("__k")).as("n_sessions"))
+      .orderBy(desc("n_occurrences"), col("pattern"))
+      .limit(k)
+  }
+
+  /** ENTROPY RATE of the empirical first-order chain: H = −Σᵢ fᵢ Σⱼ pᵢⱼ ln
+    * pᵢⱼ, weighting each from-state's conditional entropy by its empirical
+    * visit share. One number for "how predictable is the next event" — the
+    * sequence-level complement of token entropy (q94); a collapsing H
+    * flags bot traffic or templated journeys.
+    *
+    * Runs entirely over [[markovTransitions]]' |types+2|²-bounded output:
+    * terms are DECIMAL-cast before the sum (the q134 recipe), visit shares
+    * are integer-count ratios. Output (1 row): n_states, n_transitions,
+    * entropy_rate (round 6). */
+  def markovEntropyRate(
+      events: DataFrame,
+      keyCol: String = "session_id",
+      typeCol: String = "event_type",
+      tsCol: String = "event_ts",
+      idCol: String = "event_id"): DataFrame = {
+    import org.apache.spark.sql.types.{DecimalType, DoubleType}
+    val dec = DecimalType(28, 12)
+    val tr = markovTransitions(events, keyCol, typeCol, tsCol, idCol)
+    // p recomputed unrounded from the exact counts (the rounded display
+    // column would leak 6dp quantization into the entropy)
+    import org.apache.spark.sql.expressions.Window
+    val wf = Window.partitionBy("from_state")
+    val wAll = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    tr
+      .withColumn("n_from", sum("n").over(wf))
+      .withColumn("n_total", sum("n").over(wAll))
+      .withColumn("term",
+        ((col("n_from").cast(DoubleType) / col("n_total").cast(DoubleType)) *
+          (col("n").cast(DoubleType) / col("n_from").cast(DoubleType)) *
+          log(col("n").cast(DoubleType) / col("n_from").cast(DoubleType))).cast(dec))
+      .agg(countDistinct("from_state").as("n_states"),
+        sum("n").as("n_transitions"),
+        round(-sum(col("term")).cast(DoubleType), 6).as("entropy_rate"))
+  }
+
   /** Funnel summary: one row per step with how many keys reached it and
     * the conversion rate vs step 1. */
   def summary(

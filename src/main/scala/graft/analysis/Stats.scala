@@ -270,6 +270,41 @@ object Stats {
           .as("kappa"))
   }
 
+  /** HILL TAIL-INDEX estimator over the top-k order statistics:
+    * γ̂ = (1/k)·Σᵢ₌₁..ₖ ln(x₍ᵢ₎/x₍ₖ₊₁₎), α̂ = 1/γ̂ — the standard
+    * heavy-tail exponent measurement (α ≈ 1–2 = very heavy; α large =
+    * light tail). The capacity-planning number behind "how bad can one
+    * session/key get", complementing [[giniConcentration]]'s one-number
+    * skew with an actual tail law.
+    *
+    * Scale shape: the ONLY data-sized step is a TakeOrdered(k+1); the
+    * estimator runs on k rows with DECIMAL-summed log terms. Ties at the
+    * threshold are harmless (equal values → identical selected multiset,
+    * and their terms are ln 1 = 0). Needs > k positive values — with
+    * fewer, the threshold frame is empty and the single output row reads
+    * k=0 with null estimates rather than a fabricated tail.
+    *
+    * Output (1 row): k, x_threshold, gamma_hat (round 6), alpha_hat
+    * (round 6; null when γ̂ = 0, i.e. the whole tail is flat). */
+  def hillTailIndex(df: DataFrame, valCol: String, k: Int = 100): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 1, s"need k >= 1, got $k")
+    val dec = org.apache.spark.sql.types.DecimalType(28, 12)
+    val top = df.select(col(valCol).cast(DoubleType).as("x"))
+      .filter(col("x") > 0)
+      .orderBy(desc("x")).limit(k + 1)
+    val ranked = top.withColumn("rn", row_number().over(Window.orderBy(desc("x"))))
+    val thr = ranked.filter(col("rn") === k + 1).select(col("x").as("x_thr"))
+    ranked.filter(col("rn") <= k)
+      .crossJoin(broadcast(thr))
+      .agg(count(lit(1)).as("k"),
+        max("x_thr").as("x_threshold"),
+        round(sum(log(col("x") / col("x_thr")).cast(dec)).cast(DoubleType)
+          / count(lit(1)), 6).as("gamma_hat"))
+      .withColumn("alpha_hat",
+        when(col("gamma_hat") > 0, round(lit(1.0) / col("gamma_hat"), 6)))
+  }
+
   def giniConcentration(df: DataFrame, keyCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val counts = df.filter(col(keyCol).isNotNull)

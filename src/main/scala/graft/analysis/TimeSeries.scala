@@ -264,6 +264,53 @@ object TimeSeries {
       .orderBy(keyCol)
   }
 
+  /** AUTOCORRELATION of the hourly event-count series at caller-chosen
+    * lags — r(L) = Σ(xₜ−m)(xₜ₊L−m) / Σ(xₜ−m)² over a DENSE hourly spine
+    * (absent hours are true zeros, not missing rows — skipping them
+    * silently shifts every lag). r(24) ≈ 1 certifies the diurnal cycle;
+    * r(24) collapsing while volume holds flags traffic whose rhythm broke
+    * (bots, replays) before any volume monitor fires.
+    *
+    * Scale shape: the hourly aggregate is the only data-sized step
+    * (map-side combinable); the spine, lead windows, and DECIMAL-cast
+    * product sums all run over the HOURS-sized series. Hour buckets use
+    * integer `div` on floor(epoch) — exact, the q102 parity rule.
+    *
+    * Output per lag: lag, n_hours, r (round 6; null when the series is
+    * constant — zero variance). */
+  def autocorrelation(
+      events: DataFrame,
+      tsCol: String = "event_ts",
+      lags: Seq[Int] = Seq(1, 24)): DataFrame = {
+    require(lags.nonEmpty && lags.forall(_ >= 1), s"need positive lags, got $lags")
+    val dec = DecimalType(28, 12)
+    val hourly = events
+      .select(expr(s"unix_timestamp(`$tsCol`) div 3600").as("h"))
+      .groupBy("h").agg(count(lit(1)).as("x"))
+    val spine = hourly.agg(min("h").as("h0"), max("h").as("h1"))
+      .select(explode(sequence(col("h0"), col("h1"))).as("h"))
+    val series = spine.join(hourly, Seq("h"), "left")
+      .select(col("h"), coalesce(col("x"), lit(0L)).as("x"))
+    val m = series.agg(
+      (sum(col("x").cast(dec)).cast(DoubleType) / count(lit(1))).as("m"))
+    val w = Window.orderBy("h")
+    var cur = series.crossJoin(broadcast(m))
+    lags.foreach(l => cur = cur.withColumn(s"x_$l", lead(col("x"), l).over(w)))
+    val d = col("x").cast(DoubleType) - col("m")
+    val aggs =
+      sum((d * d).cast(dec)).cast(DoubleType).as("den") +:
+        lags.map(l => sum(when(col(s"x_$l").isNotNull,
+          (d * (col(s"x_$l").cast(DoubleType) - col("m"))).cast(dec)))
+          .cast(DoubleType).as(s"num_$l"))
+    // eager 1-row checkpoint: each union branch below would otherwise
+    // re-run the data-sized hourly aggregate
+    val row = cur.agg(count(lit(1)).as("n_hours"), aggs: _*).localCheckpoint(true)
+    lags.map { l =>
+      row.select(lit(l).as("lag"), col("n_hours"),
+        when(col("den") > 0, round(col(s"num_$l") / col("den"), 6)).as("r"))
+    }.reduce(_ unionByName _)
+  }
+
   /** KAPLAN–MEIER survival curve over per-key dwell durations, with
     * end-of-log right-censoring: a key whose last activity falls within
     * `censorHorizonSec` of the log's end may still be live, so it

@@ -109,6 +109,47 @@ class FunnelSpec extends SparkSpec {
     assert(out === Set(("<START>", "a"), ("a", "b"), ("b", "<END>")))
   }
 
+  test("sequence patterns: contiguous trigrams with session support, top-k capped") {
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val clicks = Seq(
+      (1L, "s1", t("2026-01-01 10:00:00"), "a"),
+      (2L, "s1", t("2026-01-01 10:01:00"), "b"),
+      (3L, "s1", t("2026-01-01 10:02:00"), "c"),
+      (4L, "s1", t("2026-01-01 10:03:00"), "d"),
+      (5L, "s2", t("2026-01-01 11:00:00"), "a"),
+      (6L, "s2", t("2026-01-01 11:01:00"), "b"),
+      (7L, "s2", t("2026-01-01 11:02:00"), "c")
+    ).toDF("event_id", "session_id", "event_ts", "event_type")
+    val out = Funnel.sequencePatterns(clicks)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq === Seq(("a>b>c", 2L, 2L), ("b>c>d", 1L, 1L)))
+    val top1 = Funnel.sequencePatterns(clicks, k = 1).collect()
+    assert(top1.map(_.getString(0)).toSeq === Seq("a>b>c"))
+  }
+
+  test("markov entropy rate: deterministic chain 0, mixed chain hand-computed") {
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val det = Seq(
+      (1L, "s1", t("2026-01-01 10:00:00"), "a"),
+      (2L, "s1", t("2026-01-01 10:01:00"), "b"),
+      (3L, "s2", t("2026-01-01 11:00:00"), "a"),
+      (4L, "s2", t("2026-01-01 11:01:00"), "b")
+    ).toDF("event_id", "session_id", "event_ts", "event_type")
+    assert(Funnel.markovEntropyRate(det).collect().head.getDouble(2) === 0.0)
+    // s1: a,a ; s2: a,b -> from-state a has p = 1/3 over {a, b, <END>};
+    // its visit share is 3/6 -> H = 0.5 * ln 3
+    val mixed = Seq(
+      (1L, "s1", t("2026-01-01 10:00:00"), "a"),
+      (2L, "s1", t("2026-01-01 10:01:00"), "a"),
+      (3L, "s2", t("2026-01-01 11:00:00"), "a"),
+      (4L, "s2", t("2026-01-01 11:01:00"), "b")
+    ).toDF("event_id", "session_id", "event_ts", "event_type")
+    val h = Funnel.markovEntropyRate(mixed).collect().head
+    assert(h.getLong(0) === 3L)       // from-states: <START>, a, b
+    assert(h.getLong(1) === 6L)       // 4 events + 2 session starts
+    assert(h.getDouble(2) === 0.549306)
+  }
+
   test("gap fill: spine densifies, forward fill carries last value, flags set") {
     val daily = Seq(
       ("a", java.sql.Date.valueOf("2024-01-01"), 5L),

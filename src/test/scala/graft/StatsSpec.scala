@@ -90,6 +90,25 @@ class StatsSpec extends SparkSpec {
     assert(undecided.getInt(0) === 6 && undecided.getLong(1) === 3L) // end-of-data state
   }
 
+  test("hill tail index: hand-computed on an exact dyadic tail; short input degrades to k=0") {
+    import spark.implicits._
+    // top-2 over threshold 2: gamma = (ln(8/2) + ln(4/2))/2 = 1.5 ln 2
+    val vals = Seq(8.0, 4.0, 2.0, 1.0).map(Tuple1(_)).toDF("v")
+    val out = Stats.hillTailIndex(vals, "v", k = 2).collect().head
+    assert(out.getLong(0) === 2L)
+    assert(out.getDouble(1) === 2.0)
+    assert(out.getDouble(2) === 1.039721)  // round(1.5 ln 2, 6)
+    assert(math.abs(out.getDouble(3) - 1.0 / 1.039721) < 1e-6)
+    // flat tail: all selected equal the threshold -> gamma 0, alpha null
+    val flat = Seq(3.0, 3.0, 3.0, 3.0).map(Tuple1(_)).toDF("v")
+    val f = Stats.hillTailIndex(flat, "v", k = 2).collect().head
+    assert(f.getDouble(2) === 0.0 && f.isNullAt(3))
+    // fewer than k+1 positive values: k=0 row with null estimates
+    val short = Seq(5.0, 2.0).map(Tuple1(_)).toDF("v")
+    val s0 = Stats.hillTailIndex(short, "v", k = 5).collect().head
+    assert(s0.getLong(0) === 0L && s0.isNullAt(2))
+  }
+
   test("cohen's kappa: perfect 1, marginal-independence 0, skew exposes accuracy") {
     import spark.implicits._
     def kappa(pairs: Seq[(String, String)]) =

@@ -127,6 +127,25 @@ class TimeSeriesSpec extends SparkSpec {
     assert(out.values.count(_._2) === 1)
   }
 
+  test("autocorrelation: alternating series anti-correlates at lag 1, aligns at lag 2") {
+    def ts(h: Int, m: Int) = java.sql.Timestamp.valueOf(f"2026-01-01 $h%02d:$m%02d:00")
+    // hourly counts [2,0,2,0,2] over a dense spine (hours 1 and 3 absent)
+    val ev = Seq(ts(0, 0), ts(0, 30), ts(2, 0), ts(2, 30), ts(4, 0), ts(4, 30))
+      .map(Tuple1(_)).toDF("event_ts")
+    val out = TimeSeries.autocorrelation(ev, lags = Seq(1, 2, 24))
+      .orderBy("lag").collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), Option(r.get(2))))).toMap
+    assert(out(1)._1 === 5L)
+    // m=1.2, den=4.8; lag1 num = 4*(-0.96) = -3.84; lag2 num = 2.72
+    assert(out(1)._2 === Some(-0.8))
+    assert(out(2)._2 === Some(0.566667))
+    assert(out(24)._2 === None)  // lag exceeds the series: no pairs
+    // constant series: zero variance -> r undefined
+    val const = Seq(ts(0, 0), ts(1, 0), ts(2, 0)).map(Tuple1(_)).toDF("event_ts")
+    val c = TimeSeries.autocorrelation(const, lags = Seq(1)).collect().head
+    assert(c.isNullAt(2))
+  }
+
   test("km survival: censored tails hold at-risk counts, step product hand-computed") {
     def t(off: Int) = java.sql.Timestamp.valueOf(s"2026-01-01 00:00:00").toInstant
       .plusSeconds(off.toLong)
