@@ -9,6 +9,47 @@ import graft.streaming.StreamingSketch.{Estimate, KeyedValue}
 class StreamingSketchSpec extends SparkSpec {
   import spark.implicits._
 
+  test("streaming markov transitions equal the batch chain once sessions time out") {
+    import graft.streaming.StreamingMarkov
+    import graft.streaming.StreamingMarkov.{Evt, Transition}
+    def ts(off: Long) = new java.sql.Timestamp(1700000000000L + off * 1000)
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[Evt](spark)
+    val emitted = scala.collection.concurrent.TrieMap.empty[(Long, Int), Transition]
+    val q = StreamingMarkov.transitions(input.toDS(),
+        watermark = "2 seconds", gapSeconds = 10)
+      .writeStream
+      .foreachBatch { (ds: org.apache.spark.sql.Dataset[Transition], id: Long) =>
+        ds.collect().zipWithIndex.foreach { case (t, i) => emitted((id, i)) = t }
+      }
+      .outputMode("append").start()
+    try {
+      // batch 1: s1 starts a->b, s2 starts (single event)
+      input.addData(Evt("s1", ts(0), 1L, "a"), Evt("s1", ts(1), 2L, "b"),
+        Evt("s2", ts(0), 3L, "a"))
+      q.processAllAvailable()
+      // batch 2: s1 continues across the batch boundary — state must carry
+      input.addData(Evt("s1", ts(3), 4L, "c"))
+      q.processAllAvailable()
+      // two watermark-advancing dummy events: the first moves the watermark
+      // past every session's gap, the second triggers the batch where the
+      // event-time timeouts actually fire the <END> transitions
+      input.addData(Evt("s3", ts(1000), 5L, "zz"))
+      q.processAllAvailable()
+      input.addData(Evt("s3", ts(1001), 6L, "zz"))
+      q.processAllAvailable()
+      val streamed = emitted.values
+        .filter(t => t.from_state != "zz" && t.to_state != "zz")
+        .groupBy(t => (t.from_state, t.to_state)).view.mapValues(_.size.toLong).toMap
+      val batch = graft.analysis.Funnel.markovTransitions(
+          Seq((1L, "s1", ts(0), "a"), (2L, "s1", ts(1), "b"),
+            (4L, "s1", ts(3), "c"), (3L, "s2", ts(0), "a"))
+            .toDF("event_id", "session_id", "event_ts", "event_type"))
+        .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+      assert(streamed === batch)
+    } finally q.stop()
+  }
+
   test("scala-side hash60 equals the Column-side hash60") {
     val values = Seq("a", "42", "hello world", "")
     val colSide = spark.createDataset(values).toDF("v")
