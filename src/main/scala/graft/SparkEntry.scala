@@ -29,6 +29,21 @@ object SparkEntry {
     martQueries ++ relationalQueries ++ analysisQueries
 
   private def analysisQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // THE LAW for the term-frequency artifact: per-fingerprint counts
+    // merge by addition (stored oldest-90% + fresh batch), and the merged
+    // spectrum must equal q200's whole-corpus rebuild (the oracle IS the
+    // rebuild) — a daily ingest tokenizes only its own batch
+    "q213_count_of_counts_increment" -> { (s, d) =>
+      val docs = TestData.documents(s, d)
+      val cut = docs.agg(max("doc_id")).collect().head.getLong(0) * 9 / 10
+      val stored = TextAnalysis.ngramCounts(
+        docs.filter(col("doc_id") <= cut), ngramN = 3)
+      val fresh = TextAnalysis.ngramCounts(
+        docs.filter(col("doc_id") > cut), ngramN = 3)
+      val merged = stored.unionByName(fresh)
+        .groupBy("tok").agg(sum("k").as("k"))
+      TextAnalysis.countOfCountsFromCounts(merged).orderBy("k")
+    },
     // top-20 contiguous event-type trigram patterns: same one-sort window
     // as q199 (two leads ride it), |types|^3-bounded count, TakeOrdered
     "q209_sequence_patterns" -> { (s, d) =>
@@ -2101,6 +2116,31 @@ object SparkEntry {
     * by q108 (assignment output) and q143 (cluster-quality metrics over
     * the assignment). Margins intentionally unstripped: the embedding
     * string applies stripMargin over the whole composed oracle. */
+  /** q200's whole-corpus trigram frequency-spectrum rebuild — also q213's
+    * LAW oracle (the incremental merge must reproduce it exactly). */
+  private val countOfCountsSql: String =
+    """WITH toks AS (
+      |  SELECT list_filter(string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')), ' '), x -> x <> '') AS t
+      |  FROM documents),
+      |tk AS (
+      |  SELECT unnest(list_transform(range(len(t) - 2), i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])) AS token
+      |  FROM toks WHERE len(t) >= 3),
+      |cnt AS (
+      |  SELECT ('0x' || substr(md5(token), 1, 15))::BIGINT AS fp, count(*) AS k
+      |  FROM tk GROUP BY 1),
+      |fk AS (SELECT k, count(*) AS n_types FROM cnt GROUP BY 1),
+      |t AS (
+      |  SELECT k, n_types,
+      |    sum(k * n_types) OVER () AS n_total,
+      |    lead(n_types) OVER (ORDER BY k) AS f_next,
+      |    lead(k) OVER (ORDER BY k) AS k_next
+      |  FROM fk)
+      |SELECT k, n_types,
+      |  round(k::DOUBLE * n_types::DOUBLE / n_total::DOUBLE, 6) AS mass,
+      |  CASE WHEN k_next = k + 1
+      |    THEN round((k + 1)::DOUBLE * f_next::DOUBLE / n_types::DOUBLE, 6) END AS c_star
+      |FROM t WHERE k <= 10 ORDER BY k""".stripMargin
+
   private val kmeansAsgCtes: String =
     """e AS (
       |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
@@ -2788,28 +2828,10 @@ object SparkEntry {
         |ORDER BY doc_id""".stripMargin,
     // count-of-counts + Good-Turing over non-distinct trigrams: gaps in
     // the k table leave c* null
-    "q200_count_of_counts" ->
-      """WITH toks AS (
-        |  SELECT list_filter(string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')), ' '), x -> x <> '') AS t
-        |  FROM documents),
-        |tk AS (
-        |  SELECT unnest(list_transform(range(len(t) - 2), i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])) AS token
-        |  FROM toks WHERE len(t) >= 3),
-        |cnt AS (
-        |  SELECT ('0x' || substr(md5(token), 1, 15))::BIGINT AS fp, count(*) AS k
-        |  FROM tk GROUP BY 1),
-        |fk AS (SELECT k, count(*) AS n_types FROM cnt GROUP BY 1),
-        |t AS (
-        |  SELECT k, n_types,
-        |    sum(k * n_types) OVER () AS n_total,
-        |    lead(n_types) OVER (ORDER BY k) AS f_next,
-        |    lead(k) OVER (ORDER BY k) AS k_next
-        |  FROM fk)
-        |SELECT k, n_types,
-        |  round(k::DOUBLE * n_types::DOUBLE / n_total::DOUBLE, 6) AS mass,
-        |  CASE WHEN k_next = k + 1
-        |    THEN round((k + 1)::DOUBLE * f_next::DOUBLE / n_types::DOUBLE, 6) END AS c_star
-        |FROM t WHERE k <= 10 ORDER BY k""".stripMargin,
+    "q200_count_of_counts" -> countOfCountsSql,
+    // law gate: the incremental merge must reproduce the whole-corpus
+    // spectrum, so its oracle IS q200's rebuild
+    "q213_count_of_counts_increment" -> countOfCountsSql,
     // same rank tie-break (cnt desc, token asc), same DECIMAL(28,12) OLS
     // sums, same double-domain closed form
     "q201_zipf_slope" ->

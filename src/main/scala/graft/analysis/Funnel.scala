@@ -1,6 +1,6 @@
 package graft.analysis
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Ordered funnel analysis: how many keys (sessions, users) reach step k of
@@ -136,12 +136,17 @@ object Funnel {
       lead(col(typeCol), 1).over(w).as("__nxt"),
       row_number().over(w).as("__rn"))
     // every event contributes cur→next (terminal events → <END>); each
-    // key's first event additionally contributes <START>→first
+    // key's first event additionally contributes <START>→first. Both come
+    // out of ONE window pass via a conditional explode — a union of two
+    // selects over `seq` would re-run the per-key sort per branch
+    // (verified in the plan: two Window+Exchange chains).
+    def pair(f: Column, t: Column) = struct(f.as("from_state"), t.as("to_state"))
+    val step = pair(col("__cur"), coalesce(col("__nxt"), lit("<END>")))
     val pairs = seq
-      .select(col("__cur").as("from_state"),
-        coalesce(col("__nxt"), lit("<END>")).as("to_state"))
-      .unionByName(seq.filter(col("__rn") === 1)
-        .select(lit("<START>").as("from_state"), col("__cur").as("to_state")))
+      .select(explode(
+        when(col("__rn") === 1, array(pair(lit("<START>"), col("__cur")), step))
+          .otherwise(array(step))).as("p"))
+      .select(col("p.from_state"), col("p.to_state"))
     val counts = pairs.groupBy("from_state", "to_state").agg(count(lit(1)).as("n"))
     val wf = Window.partitionBy("from_state")
     counts.withColumn("p",

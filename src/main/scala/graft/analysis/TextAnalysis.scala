@@ -606,13 +606,16 @@ object TextAnalysis {
     *
     * Output per k ≤ maxK: k, n_types, mass (k·f_k/N, round 6),
     * c_star (round 6; null at the table edge where f_{k+1} is absent). */
-  def countOfCounts(
+  /** The mergeable TERM-FREQUENCY ARTIFACT behind [[countOfCounts]]:
+    * per-n-gram occurrence counts keyed on the 60-bit md5 fingerprint.
+    * Artifacts from disjoint document slices merge by per-key ADDITION
+    * (union → grouped sum) — the law q213 gates — so a daily ingest
+    * counts only its own batch and the frequency spectrum still comes out
+    * identical to a whole-corpus rebuild. Output: tok (fingerprint), k. */
+  def ngramCounts(
       docs: DataFrame,
-      maxK: Int = 10,
       ngramN: Int = 1,
       textCol: String = "text"): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    require(maxK >= 1, s"need maxK >= 1, got $maxK")
     require(ngramN >= 1, s"need ngramN >= 1, got $ngramN")
     // Good-Turing's natural unit is the n-gram (its classic application is
     // n-gram count re-estimation); occurrences keep MULTIPLICITY here, so
@@ -622,9 +625,23 @@ object TextAnalysis {
     // shuffle (the q136 rule: n-gram text never moves).
     val t = array_remove(tokens(col(textCol)), "")
     val units = if (ngramN == 1) t else Dedup.shingles(t, ngramN)
-    val tok = docs.select(explode(units).as("u"))
+    docs.select(explode(units).as("u"))
       .select(Sketches.hash60(col("u")).as("tok"))
-    val counts = tok.groupBy("tok").agg(count(lit(1)).as("k"))
+      .groupBy("tok").agg(count(lit(1)).as("k"))
+  }
+
+  def countOfCounts(
+      docs: DataFrame,
+      maxK: Int = 10,
+      ngramN: Int = 1,
+      textCol: String = "text"): DataFrame =
+    countOfCountsFromCounts(ngramCounts(docs, ngramN, textCol), maxK)
+
+  /** [[countOfCounts]] from a pre-built (or merged) [[ngramCounts]]
+    * artifact — the read side of the incremental law. */
+  def countOfCountsFromCounts(counts: DataFrame, maxK: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(maxK >= 1, s"need maxK >= 1, got $maxK")
     val fk = counts.groupBy("k").agg(count(lit(1)).as("n_types"))
     // total mass N = Σ k·f_k recovered from the count-of-counts frame itself
     // (≤ distinct-count-values rows) — no second corpus scan

@@ -449,6 +449,29 @@ class TextAnalysisSpec extends SparkSpec {
       2L -> ((1L, 0.5, None))))
   }
 
+  test("count of counts: artifact merge law — split slices sum to the rebuild") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c a b c"),
+      (2L, "a b c d e f"),
+      (3L, "x y z x y z x")
+    ).toDF("doc_id", "text")
+    val whole = TextAnalysis.countOfCounts(docs, ngramN = 3)
+      .orderBy("k").collect().toSeq
+    val stored = TextAnalysis.ngramCounts(docs.filter(col("doc_id") === 1), ngramN = 3)
+    val fresh = TextAnalysis.ngramCounts(docs.filter(col("doc_id") >= 2), ngramN = 3)
+    val merged = stored.unionByName(fresh).groupBy("tok").agg(sum("k").as("k"))
+    val inc = TextAnalysis.countOfCountsFromCounts(merged)
+      .orderBy("k").collect().toSeq
+    assert(inc === whole)
+    // "a b c" spans the slice boundary (2x in doc 1, 1x in doc 2): its
+    // merged count must be the SUM, not a max/overwrite
+    val fp = spark.range(1)
+      .select(graft.analysis.Sketches.hash60(lit("a b c")).as("h"))
+      .collect().head.getLong(0)
+    assert(merged.filter(col("tok") === fp).collect().head.getLong(1) === 3L)
+  }
+
   test("count of counts: gap in the k table leaves c* undefined") {
     import spark.implicits._
     // counts: a=3, b=1, c=1 -> f1=2, f3=1; k=1 has no k=2 neighbor
