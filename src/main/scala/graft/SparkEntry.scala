@@ -29,6 +29,15 @@ object SparkEntry {
     martQueries ++ relationalQueries ++ analysisQueries
 
   private def analysisQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Mann-Whitney U with midrank ties over the md5-armed event values:
+    // the magnitude test beside q96's proportion z; one grid aggregate,
+    // exact half-integer rank sums, sqrt is the only irrational step
+    "q214_mann_whitney" -> { (s, d) =>
+      val c = TestData.clicks(s, d)
+      graft.analysis.Stats.mannWhitneyU(
+        c.withColumn("arm", graft.analysis.Stats.armOf(col("session_id"))),
+        "value", "arm")
+    },
     // THE LAW for the term-frequency artifact: per-fingerprint counts
     // merge by addition (stored oldest-90% + fresh batch), and the merged
     // spectrum must equal q200's whole-corpus rebuild (the oracle IS the
@@ -2557,6 +2566,43 @@ object SparkEntry {
        |ORDER BY config""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
+    // same md5-parity arms (q96's convention), same midrank grid, same
+    // operation order through u/sigma2/z
+    "q214_mann_whitney" ->
+      """WITH vals AS (
+        |  SELECT CASE WHEN ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 1))::BIGINT % 2 = 0
+        |              THEN 'A' ELSE 'B' END AS arm,
+        |    value AS v
+        |  FROM events WHERE value IS NOT NULL),
+        |grid AS (
+        |  SELECT v,
+        |    CAST(sum(CASE WHEN arm = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+        |    CAST(sum(CASE WHEN arm <> 'A' THEN 1 ELSE 0 END) AS BIGINT) AS cb
+        |  FROM vals GROUP BY 1),
+        |rk AS (
+        |  SELECT ca, cb, t,
+        |    (cum - t)::DOUBLE + (t + 1)::DOUBLE / 2.0::DOUBLE AS avg_rank
+        |  FROM (
+        |    SELECT ca, cb, ca + cb AS t,
+        |      CAST(sum(ca + cb) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+        |    FROM grid)),
+        |ag AS (
+        |  SELECT CAST(sum(ca) AS BIGINT) AS n_a, CAST(sum(cb) AS BIGINT) AS n_b,
+        |    CAST(sum(CAST(avg_rank * ca::DOUBLE AS DECIMAL(28,6))) AS DOUBLE) AS ra,
+        |    CAST(sum(t * t * t - t) AS BIGINT) AS ties
+        |  FROM rk),
+        |fin AS (
+        |  SELECT n_a, n_b,
+        |    ra - n_a::DOUBLE * (n_a::DOUBLE + 1.0::DOUBLE) / 2.0::DOUBLE AS u_a,
+        |    (n_a::DOUBLE * n_b::DOUBLE / 12.0::DOUBLE) *
+        |      (((n_a::DOUBLE + n_b::DOUBLE) + 1.0::DOUBLE)
+        |        - ties::DOUBLE / ((n_a::DOUBLE + n_b::DOUBLE) * ((n_a::DOUBLE + n_b::DOUBLE) - 1.0::DOUBLE))) AS sigma2,
+        |    n_a::DOUBLE * n_b::DOUBLE / 2.0::DOUBLE AS mu
+        |  FROM ag)
+        |SELECT n_a, n_b, round(u_a, 6) AS u_a,
+        |  CASE WHEN sigma2 > 0 THEN round((u_a - mu) / sqrt(sigma2), 6) END AS z,
+        |  CASE WHEN sigma2 > 0 THEN abs(round((u_a - mu) / sqrt(sigma2), 6)) > 1.96 END AS significant
+        |FROM fin""".stripMargin,
     // same window, leads instead of a self-join; '>' separator pinned
     "q209_sequence_patterns" ->
       """WITH s AS (

@@ -270,6 +270,60 @@ object Stats {
           .as("kappa"))
   }
 
+  /** MANN–WHITNEY U (Wilcoxon rank-sum) with tie correction: the
+    * nonparametric two-sample test on MAGNITUDES, completing the
+    * experiment toolkit next to [[twoProportionZ]] (rates) — robust to
+    * the heavy-tailed metrics ([[hillTailIndex]]) that invalidate a
+    * t-test. Ranks use the standard midrank treatment of ties; the
+    * normal approximation's variance carries the Σ(t³−t) tie term.
+    *
+    * Scale shape: ONE grouped aggregate to the distinct-value grid, a
+    * cumulative window over that grid for midranks, then scalar math.
+    * Midranks are exact half-integers, so every sum is exact in doubles
+    * (no rounding ambiguity to quarantine); the only irrational step is
+    * the final sqrt (IEEE-exact). No p-value on purpose — that would
+    * need erf; the z score and the |z| > 1.96 flag are the portable
+    * deliverables.
+    *
+    * Output (1 row): n_a, n_b, u_a (round 6), z (round 6; null when the
+    * variance degenerates — all values tied), significant. */
+  def mannWhitneyU(
+      df: DataFrame, valCol: String, armCol: String,
+      armA: String = "A"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dec = org.apache.spark.sql.types.DecimalType(28, 6)
+    val vals = df
+      .select(col(armCol).cast(StringType).as("arm"), col(valCol).cast(DoubleType).as("v"))
+      .filter(col("v").isNotNull)
+    val grid = vals.groupBy("v").agg(
+      sum(when(col("arm") === armA, 1L).otherwise(0L)).as("ca"),
+      sum(when(col("arm") =!= armA, 1L).otherwise(0L)).as("cb"))
+    val wCum = Window.orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ranked = grid
+      .withColumn("t", col("ca") + col("cb"))
+      .withColumn("cum", sum(col("t")).over(wCum))
+      // midrank of a tie group = ranks (cum-t+1 .. cum) averaged
+      .withColumn("avg_rank",
+        (col("cum") - col("t")).cast(DoubleType) + (col("t") + 1).cast(DoubleType) / lit(2.0))
+    val agg = ranked.agg(
+      sum("ca").as("n_a"), sum("cb").as("n_b"),
+      sum((col("avg_rank") * col("ca").cast(DoubleType)).cast(dec))
+        .cast(DoubleType).as("ra"),
+      sum(col("t") * col("t") * col("t") - col("t")).as("ties"))
+    val nA = col("n_a").cast(DoubleType)
+    val nB = col("n_b").cast(DoubleType)
+    val n = nA + nB
+    val uA = col("ra") - nA * (nA + lit(1.0)) / lit(2.0)
+    val sigma2 = (nA * nB / lit(12.0)) *
+      ((n + lit(1.0)) - col("ties").cast(DoubleType) / (n * (n - lit(1.0))))
+    val z = (uA - nA * nB / lit(2.0)) / sqrt(sigma2)
+    agg.select(col("n_a"), col("n_b"),
+        round(uA, 6).as("u_a"),
+        when(sigma2 > 0, round(z, 6)).as("z"))
+      .withColumn("significant", when(col("z").isNotNull, abs(col("z")) > 1.96))
+  }
+
   /** HILL TAIL-INDEX estimator over the top-k order statistics:
     * γ̂ = (1/k)·Σᵢ₌₁..ₖ ln(x₍ᵢ₎/x₍ₖ₊₁₎), α̂ = 1/γ̂ — the standard
     * heavy-tail exponent measurement (α ≈ 1–2 = very heavy; α large =

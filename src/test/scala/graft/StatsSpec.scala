@@ -90,6 +90,26 @@ class StatsSpec extends SparkSpec {
     assert(undecided.getInt(0) === 6 && undecided.getLong(1) === 3L) // end-of-data state
   }
 
+  test("mann-whitney u: hand-computed, midrank ties, degenerate variance null") {
+    import spark.implicits._
+    def run(pairs: Seq[(String, Double)]) =
+      Stats.mannWhitneyU(pairs.toDF("arm", "v"), "v", "arm").collect().head
+    // A={1,2}, B={3,4}: U_A=0, z = -2/sqrt(5/3)
+    val sep = run(Seq(("A", 1.0), ("A", 2.0), ("B", 3.0), ("B", 4.0)))
+    assert(sep.getLong(0) === 2L && sep.getLong(1) === 2L)
+    assert(sep.getDouble(2) === 0.0)
+    assert(sep.getDouble(3) === -1.549193)
+    assert(!sep.getBoolean(4))
+    // ties: A={1,1}, B={1,2} -> midrank 2 for the tie group, U_A=1,
+    // tie-corrected sigma^2 = 1 -> z = -1
+    val tied = run(Seq(("A", 1.0), ("A", 1.0), ("B", 1.0), ("B", 2.0)))
+    assert(tied.getDouble(2) === 1.0)
+    assert(tied.getDouble(3) === -1.0)
+    // all values identical: variance degenerates -> z and flag null
+    val flat = run(Seq(("A", 5.0), ("A", 5.0), ("B", 5.0)))
+    assert(flat.isNullAt(3) && flat.isNullAt(4))
+  }
+
   test("hill tail index: hand-computed on an exact dyadic tail; short input degrades to k=0") {
     import spark.implicits._
     // top-2 over threshold 2: gamma = (ln(8/2) + ln(4/2))/2 = 1.5 ln 2
