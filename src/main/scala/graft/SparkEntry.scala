@@ -29,6 +29,28 @@ object SparkEntry {
     martQueries ++ relationalQueries ++ analysisQueries
 
   private def analysisQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // funnel conversion latency: view->purchase completion share + exact
+    // p50/p90 of the strictly-after latency (quantile_cont parity)
+    "q215_funnel_latency" -> { (s, d) =>
+      val st = graft.analysis.Funnel.stepTimes(TestData.clicks(s, d),
+        Seq("view", "purchase"), "session_id", "event_type", "event_ts")
+      st.select(col("t1"), col("t2"),
+          when(col("t2").isNotNull,
+            unix_timestamp(col("t2")) - unix_timestamp(col("t1"))).as("lat"))
+        .agg(count(lit(1)).as("n_started"),
+          count(col("t2")).as("n_converted"),
+          round(count(col("t2")).cast("double") / count(lit(1)).cast("double"), 6)
+            .as("conversion"),
+          round(element_at(percentile(col("lat"), array(lit(0.5), lit(0.9))), 1), 6)
+            .as("p50_sec"),
+          round(element_at(percentile(col("lat"), array(lit(0.5), lit(0.9))), 2), 6)
+            .as("p90_sec"))
+    },
+    // what exact dedup reclaims per source: same fingerprint window as
+    // q30, report-sized aggregate, dup bytes charged to the copy's source
+    "q216_dedup_savings" -> { (s, d) =>
+      Dedup.dedupSavings(TestData.documents(s, d)).orderBy("source")
+    },
     // Mann-Whitney U with midrank ties over the md5-armed event values:
     // the magnitude test beside q96's proportion z; one grid aggregate,
     // exact half-integer rank sums, sqrt is the only irrational step
@@ -2566,6 +2588,47 @@ object SparkEntry {
        |ORDER BY config""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
+    // 2-step stepTimes shape: min view, then min strictly-later purchase;
+    // floor(epoch) parity for the latency, quantile_cont for percentiles
+    "q215_funnel_latency" ->
+      """WITH v AS (
+        |  SELECT CAST(user_id AS VARCHAR) AS sid, min(CAST(ts AS TIMESTAMP)) AS t1
+        |  FROM events WHERE event_type = 'view' GROUP BY 1),
+        |p AS (
+        |  SELECT v.sid, v.t1, min(CAST(e.ts AS TIMESTAMP)) AS t2
+        |  FROM v LEFT JOIN events e
+        |    ON CAST(e.user_id AS VARCHAR) = v.sid AND e.event_type = 'purchase'
+        |       AND CAST(e.ts AS TIMESTAMP) > v.t1
+        |  GROUP BY 1, 2),
+        |l AS (
+        |  SELECT t2,
+        |    CASE WHEN t2 IS NOT NULL
+        |      THEN CAST(floor(epoch(t2)) AS BIGINT) - CAST(floor(epoch(t1)) AS BIGINT)
+        |    END AS lat
+        |  FROM p)
+        |SELECT count(*) AS n_started, count(t2) AS n_converted,
+        |  round(count(t2)::DOUBLE / count(*)::DOUBLE, 6) AS conversion,
+        |  round(quantile_cont(lat, 0.5), 6) AS p50_sec,
+        |  round(quantile_cont(lat, 0.9), 6) AS p90_sec
+        |FROM l""".stripMargin,
+    // q22's md5(normalized) fingerprint, q30's min-id survivor rule
+    "q216_dedup_savings" ->
+      """WITH f AS (
+        |  SELECT doc_id, source, length(text) AS nc,
+        |    md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g'))) AS fp
+        |  FROM documents),
+        |r AS (
+        |  SELECT source, nc,
+        |    row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+        |  FROM f)
+        |SELECT source, count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_docs,
+        |  CAST(sum(nc) AS BIGINT) AS n_chars,
+        |  CAST(sum(CASE WHEN rn > 1 THEN nc ELSE 0 END) AS BIGINT) AS dup_chars,
+        |  CASE WHEN sum(nc) > 0
+        |    THEN round(sum(CASE WHEN rn > 1 THEN nc ELSE 0 END)::DOUBLE / sum(nc)::DOUBLE, 6)
+        |    ELSE 0.0::DOUBLE END AS savings
+        |FROM r GROUP BY source ORDER BY source""".stripMargin,
     // same md5-parity arms (q96's convention), same midrank grid, same
     // operation order through u/sigma2/z
     "q214_mann_whitney" ->

@@ -100,6 +100,40 @@ object Dedup {
       .drop("__fp", "__rn")
   }
 
+  /** DEDUP SAVINGS report: what exact dedup would reclaim, per source —
+    * the capacity-planning view of [[dedupExact]] (same fingerprint
+    * groups, same min-id survivor rule) without materializing the
+    * deduplicated corpus. A duplicate is charged to the source holding
+    * the dropped COPY, so cross-source duplication shows up where the
+    * redundant bytes actually live.
+    *
+    * Scale shape: one fingerprint window (the dedupExact shuffle) and one
+    * grouped aggregate to a |sources|-sized report; savings is an
+    * integer-ratio (no libm).
+    * Output per source: source, n_docs, n_dup_docs, n_chars, dup_chars,
+    * savings (round 6). */
+  def dedupSavings(
+      docs: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      srcCol: String = "source"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("__fp").orderBy(col(idCol))
+    docs
+      .withColumn("__fp", TextAnalysis.fingerprint(col(textCol)))
+      .withColumn("__rn", row_number().over(w))
+      .groupBy(col(srcCol).as("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("__rn") > 1, 1L).otherwise(0L)).as("n_dup_docs"),
+        sum(length(col(textCol)).cast("long")).as("n_chars"),
+        sum(when(col("__rn") > 1, length(col(textCol)).cast("long"))
+          .otherwise(0L)).as("dup_chars"))
+      .withColumn("savings",
+        when(col("n_chars") > 0,
+          round(col("dup_chars").cast("double") / col("n_chars").cast("double"), 6))
+          .otherwise(0.0))
+  }
+
   /** Near-duplicate pairs via MinHash+LSH candidates, verified with exact
     * Jaccard on the shingle sets. Output: doc_a, doc_b, jaccard (≥ minJaccard),
     * one row per unordered pair.

@@ -567,4 +567,19 @@ class DedupSpec extends SparkSpec {
     assert(out(2L) === ((12L, 3L, 1L, 10L, 0.833333)))
     assert(out(3L) === ((12L, 0L, 0L, 0L, 0.0)))
   }
+
+  test("dedup savings: dup bytes charged to the copy's source, min-id survives") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "same text", "web"),    // survivor (min id in the fp group)
+      (2L, "same text", "crawl"),  // dropped copy -> charged to crawl
+      (3L, "unique here", "crawl")
+    ).toDF("doc_id", "text", "source")
+    val out = Dedup.dedupSavings(docs).orderBy("source").collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))).toMap
+    assert(out("web") === ((1L, 0L, 9L, 0L, 0.0)))
+    // crawl: 2 docs, 1 dup of 9 chars out of 9+11=20
+    assert(out("crawl") === ((2L, 1L, 20L, 9L, 0.45)))
+  }
 }
