@@ -29,6 +29,36 @@ object SparkEntry {
     martQueries ++ relationalQueries ++ analysisQueries
 
   private def analysisQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Benford first-digit monitor over positive event values: digit via
+    // floor(v/10^floor(log10 v)), expected = Scala-computed constants
+    // shared verbatim with the oracle
+    "q217_benford" -> { (s, d) =>
+      graft.analysis.Profiling.benfordDigits(TestData.clicks(s, d), "value")
+        .orderBy("digit")
+    },
+    // distribution-shape profile per source: mean/std/skewness/kurtosis
+    // from four DECIMAL-exact power sums, sqrt-only closed forms
+    "q218_moments_profile" -> { (s, d) =>
+      graft.analysis.Profiling.momentsProfile(
+          TestData.documents(s, d), "source", "n_chars")
+        .orderBy("group")
+    },
+    // pairwise Pearson over per-doc length/token/vocabulary measures:
+    // DECIMAL-exact sums + cross-products, closed form, sqrt only. The
+    // repartition is the materialization BARRIER under the aggregate —
+    // without it CollapseProject inlines the tokenizer into every one of
+    // the 18 aggregate update expressions (measured 4.7 s vs 0.4 s)
+    "q219_correlation" -> { (s, d) =>
+      val t = array_remove(TextAnalysis.tokens(col("text")), "")
+      val df = TestData.documents(s, d).select(
+          col("n_chars"),
+          size(t).as("n_tokens"),
+          size(array_distinct(t)).as("n_types"))
+        .repartition(s.sparkContext.defaultParallelism)
+      graft.analysis.Profiling.correlationPairs(
+          df, Seq("n_chars", "n_tokens", "n_types"))
+        .orderBy("col_a", "col_b")
+    },
     // funnel conversion latency: view->purchase completion share + exact
     // p50/p90 of the strictly-after latency (quantile_cont parity)
     "q215_funnel_latency" -> { (s, d) =>
@@ -2588,6 +2618,85 @@ object SparkEntry {
        |ORDER BY config""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
+    // identical digit extraction; expected values are THE SAME doubles
+    // (Double.toString round-trips exactly through DuckDB's parser)
+    "q217_benford" -> {
+      val cases = (1 to 9)
+        .map(d => s"WHEN digit = $d THEN ${graft.analysis.Profiling.benfordExpected(d)}::DOUBLE")
+        .mkString(" ")
+      s"""WITH v AS (SELECT value AS v FROM events WHERE value > 0),
+        |d AS (SELECT CAST(floor(v / pow(10.0::DOUBLE, floor(log10(v)))) AS INT) AS digit FROM v),
+        |g AS (SELECT digit, count(*) AS n FROM d GROUP BY 1),
+        |t AS (SELECT digit, n, CAST(sum(n) OVER () AS BIGINT) AS tot,
+        |        CASE $cases END AS e FROM g)
+        |SELECT digit, n, round(n::DOUBLE / tot::DOUBLE, 6) AS observed,
+        |  round(e, 6) AS expected,
+        |  round(abs(n::DOUBLE / tot::DOUBLE - e), 6) AS abs_dev
+        |FROM t ORDER BY digit""".stripMargin
+    },
+    // same power sums, same expansion order for the central moments
+    "q218_moments_profile" ->
+      """WITH s AS (
+        |  SELECT source AS grp, count(*) AS n,
+        |    CAST(sum(CAST(n_chars AS DECIMAL(38,0))) AS DOUBLE) AS s1,
+        |    CAST(sum(CAST(n_chars * n_chars AS DECIMAL(38,0))) AS DOUBLE) AS s2,
+        |    CAST(sum(CAST(n_chars * n_chars * n_chars AS DECIMAL(38,0))) AS DOUBLE) AS s3,
+        |    CAST(sum(CAST(n_chars * n_chars * n_chars * n_chars AS DECIMAL(38,0))) AS DOUBLE) AS s4
+        |  FROM documents WHERE n_chars IS NOT NULL GROUP BY 1),
+        |m AS (
+        |  SELECT grp, n, s1 / n::DOUBLE AS mu, s2, s3, s4, n::DOUBLE AS nd FROM s),
+        |c AS (
+        |  SELECT grp, n, mu,
+        |    s2 / nd - mu * mu AS m2,
+        |    s3 / nd - 3.0::DOUBLE * mu * s2 / nd + 2.0::DOUBLE * mu * mu * mu AS m3,
+        |    s4 / nd - 4.0::DOUBLE * mu * s3 / nd + 6.0::DOUBLE * mu * mu * s2 / nd
+        |      - 3.0::DOUBLE * mu * mu * mu * mu AS m4
+        |  FROM m)
+        |SELECT grp AS "group", n, round(mu, 6) AS mean,
+        |  CASE WHEN m2 > 0 THEN round(sqrt(m2), 6) END AS std,
+        |  CASE WHEN m2 > 0 THEN round(m3 / (m2 * sqrt(m2)), 6) END AS skewness,
+        |  CASE WHEN m2 > 0 THEN round(m4 / (m2 * m2) - 3.0::DOUBLE, 6) END AS kurtosis_excess
+        |FROM c ORDER BY grp""".stripMargin,
+    // same DECIMAL sums and closed form per pair; three UNION ALL blocks
+    "q219_correlation" ->
+      """WITH t AS (
+        |  SELECT n_chars,
+        |    list_filter(string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')), ' '), x -> x <> '') AS toks
+        |  FROM documents),
+        |f AS (
+        |  SELECT n_chars, CAST(len(toks) AS BIGINT) AS n_tokens,
+        |    CAST(len(list_distinct(toks)) AS BIGINT) AS n_types
+        |  FROM t),
+        |p AS (
+        |  SELECT 'n_chars' AS col_a, 'n_tokens' AS col_b, count(*) AS n,
+        |    CAST(sum(CAST(n_chars AS DECIMAL(38,0))) AS DOUBLE) AS sx,
+        |    CAST(sum(CAST(n_tokens AS DECIMAL(38,0))) AS DOUBLE) AS sy,
+        |    CAST(sum(CAST(n_chars * n_tokens AS DECIMAL(38,0))) AS DOUBLE) AS sxy,
+        |    CAST(sum(CAST(n_chars * n_chars AS DECIMAL(38,0))) AS DOUBLE) AS sxx,
+        |    CAST(sum(CAST(n_tokens * n_tokens AS DECIMAL(38,0))) AS DOUBLE) AS syy
+        |  FROM f
+        |  UNION ALL
+        |  SELECT 'n_chars', 'n_types', count(*),
+        |    CAST(sum(CAST(n_chars AS DECIMAL(38,0))) AS DOUBLE),
+        |    CAST(sum(CAST(n_types AS DECIMAL(38,0))) AS DOUBLE),
+        |    CAST(sum(CAST(n_chars * n_types AS DECIMAL(38,0))) AS DOUBLE),
+        |    CAST(sum(CAST(n_chars * n_chars AS DECIMAL(38,0))) AS DOUBLE),
+        |    CAST(sum(CAST(n_types * n_types AS DECIMAL(38,0))) AS DOUBLE)
+        |  FROM f
+        |  UNION ALL
+        |  SELECT 'n_tokens', 'n_types', count(*),
+        |    CAST(sum(CAST(n_tokens AS DECIMAL(38,0))) AS DOUBLE),
+        |    CAST(sum(CAST(n_types AS DECIMAL(38,0))) AS DOUBLE),
+        |    CAST(sum(CAST(n_tokens * n_types AS DECIMAL(38,0))) AS DOUBLE),
+        |    CAST(sum(CAST(n_tokens * n_tokens AS DECIMAL(38,0))) AS DOUBLE),
+        |    CAST(sum(CAST(n_types * n_types AS DECIMAL(38,0))) AS DOUBLE)
+        |  FROM f)
+        |SELECT col_a, col_b, n,
+        |  CASE WHEN (n::DOUBLE * sxx - sx * sx) > 0 AND (n::DOUBLE * syy - sy * sy) > 0
+        |    THEN round((n::DOUBLE * sxy - sx * sy)
+        |           / (sqrt(n::DOUBLE * sxx - sx * sx) * sqrt(n::DOUBLE * syy - sy * sy)), 6)
+        |  END AS corr
+        |FROM p ORDER BY col_a, col_b""".stripMargin,
     // 2-step stepTimes shape: min view, then min strictly-later purchase;
     // floor(epoch) parity for the latency, quantile_cont for percentiles
     "q215_funnel_latency" ->

@@ -174,6 +174,128 @@ object Profiling {
       .withColumn("l_risky", col("n_sensitive_distinct") < l)
   }
 
+  /** Benford's-law expected first-digit frequencies, log10(1 + 1/d).
+    * Computed ONCE in Scala and embedded as the same double literal in
+    * both the Spark plan and the generated oracle SQL (Double.toString
+    * round-trips exactly), so no engine ever re-derives them. */
+  val benfordExpected: Map[Int, Double] =
+    (1 to 9).map(d => d -> math.log10(1.0 + 1.0 / d)).toMap
+
+  /** BENFORD FIRST-DIGIT monitor: observed first-significant-digit
+    * distribution of a positive measure vs Benford's law — the classic
+    * fabricated-/synthetic-data smell test for financial-style value
+    * columns (organic multiplicative data follows it; generated or
+    * capped data visibly doesn't).
+    *
+    * Scale shape: one projection (digit = ⌊v/10^⌊log10 v⌋⌋) + one
+    * 9-row aggregate, map-side combinable.
+    * Output per digit 1-9 present: digit, n, observed (round 6),
+    * expected (round 6), abs_dev (round 6). */
+  def benfordDigits(df: DataFrame, valCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val v = col(valCol).cast(DoubleType)
+    val digit = floor(v / pow(lit(10.0), floor(log10(v)))).cast("int")
+    val expected = benfordExpected.foldLeft(lit(null).cast(DoubleType)) {
+      case (acc, (d, e)) => when(col("digit") === d, lit(e)).otherwise(acc)
+    }
+    val wAll = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    df.filter(v > 0)
+      .select(digit.as("digit"))
+      .groupBy("digit").agg(count(lit(1)).as("n"))
+      .withColumn("observed",
+        round(col("n").cast(DoubleType) / sum("n").over(wAll).cast(DoubleType), 6))
+      .withColumn("expected", round(expected, 6))
+      .withColumn("abs_dev", round(abs(
+        col("n").cast(DoubleType) / sum("n").over(wAll).cast(DoubleType) - expected), 6))
+  }
+
+  /** HIGHER-MOMENT distribution profile per group: mean, standard
+    * deviation, skewness, and excess kurtosis from the first four power
+    * sums — the distribution-SHAPE complement of [[profile]]'s
+    * null/distinct/min/max. A source whose length skewness flips sign or
+    * whose kurtosis explodes changed its generator, even when mean and
+    * count look stable.
+    *
+    * Scale shape: ONE map-side-combinable aggregate carrying four
+    * DECIMAL(38,0)-exact power sums (integer measures never overflow);
+    * every downstream step is deterministic IEEE arithmetic on those
+    * exact sums — sqrt only, NO libm powers (skew = m₃/(m₂·√m₂)).
+    * Output per group: group, n, mean, std, skewness, kurtosis_excess
+    * (round 6; shape stats null when variance degenerates). */
+  def momentsProfile(
+      df: DataFrame, groupCol: String, valCol: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val dec = DecimalType(38, 0)
+    val x = col(valCol).cast("long")
+    val sums = df.filter(x.isNotNull)
+      .groupBy(col(groupCol).as("group"))
+      .agg(count(lit(1)).as("n"),
+        sum(x.cast(dec)).cast(DoubleType).as("s1"),
+        sum((x * x).cast(dec)).cast(DoubleType).as("s2"),
+        sum((x * x * x).cast(dec)).cast(DoubleType).as("s3"),
+        sum((x * x * x * x).cast(dec)).cast(DoubleType).as("s4"))
+    val n = col("n").cast(DoubleType)
+    val mu = col("s1") / n
+    val m2 = col("s2") / n - mu * mu
+    val m3 = col("s3") / n - lit(3.0) * mu * col("s2") / n + lit(2.0) * mu * mu * mu
+    val m4 = col("s4") / n - lit(4.0) * mu * col("s3") / n +
+      lit(6.0) * mu * mu * col("s2") / n - lit(3.0) * mu * mu * mu * mu
+    sums.select(col("group"), col("n"),
+      round(mu, 6).as("mean"),
+      when(m2 > 0, round(sqrt(m2), 6)).as("std"),
+      when(m2 > 0, round(m3 / (m2 * sqrt(m2)), 6)).as("skewness"),
+      when(m2 > 0, round(m4 / (m2 * m2) - lit(3.0), 6)).as("kurtosis_excess"))
+  }
+
+  /** PAIRWISE PEARSON CORRELATION over caller-named integer measures —
+    * the cross-measure dependence panel (length vs token count vs
+    * vocabulary, clicks vs spend, …). Same portability contract as
+    * [[momentsProfile]]: one aggregate of DECIMAL-exact sums and
+    * cross-products per pair, closed form in doubles, sqrt only.
+    *
+    * CALLER CONTRACT for expensive inputs: if the named columns are
+    * derived by costly expressions (tokenizers, regex), materialize them
+    * below a plan barrier first (a `repartition` of the narrow projection
+    * — the [[profile]] precedent — or a localCheckpoint). CollapseProject
+    * otherwise inlines the expression into EVERY aggregate update here
+    * (6 sums × pairs), re-evaluating it that many times per row.
+    * Output per pair: col_a, col_b, n, corr (round 6; null when either
+    * side is constant). */
+  def correlationPairs(
+      df: DataFrame, cols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    require(cols.size >= 2, "need at least two columns")
+    val dec = DecimalType(38, 0)
+    val pairs = cols.combinations(2).toSeq.map { case Seq(a, b) => (a, b) }
+    // ALL pair sums ride ONE scan as conditional aggregates (a per-pair
+    // agg would re-run the input projection — measured 3x the cost on
+    // expression-derived columns); per-pair null masks keep the n's exact
+    val aggs = pairs.zipWithIndex.flatMap { case ((a, b), i) =>
+      val ok = col(a).isNotNull && col(b).isNotNull
+      val x = when(ok, col(a).cast("long"))
+      val y = when(ok, col(b).cast("long"))
+      Seq(
+        sum(when(ok, 1L).otherwise(0L)).as(s"n_$i"),
+        sum(x.cast(dec)).cast(DoubleType).as(s"sx_$i"),
+        sum(y.cast(dec)).cast(DoubleType).as(s"sy_$i"),
+        sum((x * y).cast(dec)).cast(DoubleType).as(s"sxy_$i"),
+        sum((x * x).cast(dec)).cast(DoubleType).as(s"sxx_$i"),
+        sum((y * y).cast(dec)).cast(DoubleType).as(s"syy_$i"))
+    }
+    // eager 1-row checkpoint: each melt branch below would otherwise
+    // re-run the data-sized aggregate (the q211 lesson)
+    val row = df.agg(aggs.head, aggs.tail: _*).localCheckpoint(true)
+    pairs.zipWithIndex.map { case ((a, b), i) =>
+      val n = col(s"n_$i").cast(DoubleType)
+      val cov = n * col(s"sxy_$i") - col(s"sx_$i") * col(s"sy_$i")
+      val vx = n * col(s"sxx_$i") - col(s"sx_$i") * col(s"sx_$i")
+      val vy = n * col(s"syy_$i") - col(s"sy_$i") * col(s"sy_$i")
+      row.select(lit(a).as("col_a"), lit(b).as("col_b"),
+        col(s"n_$i").as("n"),
+        when(vx > 0 && vy > 0, round(cov / (sqrt(vx) * sqrt(vy)), 6)).as("corr"))
+    }.reduce(_ unionByName _)
+  }
+
   /** REPLAYABLE Laplace noise injection for released group counts — the
     * ε-differential-privacy MECHANISM (inverse-CDF Laplace at scale 1/ε on
     * unit-count sensitivity) with the repo's portable md5 uniform driving

@@ -72,6 +72,46 @@ class RendezvousSpec extends SparkSpec {
     assert(rej.getDouble(2) === 1.0 && rej.getBoolean(5))
   }
 
+  test("benford digits: sub-unit and multi-digit values extract correctly, expecteds pinned") {
+    import spark.implicits._
+    val vals = Seq(1.0, 123.45, 0.5, 0.0017, 9.99, -3.0, 0.0).map(Tuple1(_)).toDF("v")
+    val out = Profiling.benfordDigits(vals, "v")
+      .orderBy("digit").collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getDouble(3)))).toMap
+    // -3 and 0 are excluded; 1.0 and 123.45 -> 1; 0.5 -> 5; 0.0017 -> 1; 9.99 -> 9
+    assert(out.keySet === Set(1, 5, 9))
+    assert(out(1)._1 === 3L && out(5)._1 === 1L && out(9)._1 === 1L)
+    assert(out(1)._2 === 0.30103)   // round(log10(2), 6)
+    assert(out(9)._2 === 0.045757)  // round(log10(10/9), 6)
+  }
+
+  test("moments profile: symmetric triple hand-computed; constant group degenerates") {
+    import spark.implicits._
+    val df = (Seq(1L, 2L, 3L).map(("a", _)) ++ Seq(7L, 7L).map(("c", _))).toDF("g", "x")
+    val out = Profiling.momentsProfile(df, "g", "x").orderBy("group").collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), Option(r.get(3)), Option(r.get(4)), Option(r.get(5))))).toMap
+    // {1,2,3}: mean 2, m2 = 2/3, skew 0 (symmetric), kurt = 1.5 - 3 = -1.5 exact
+    assert(out("a")._1 === 3L && out("a")._2 === 2.0)
+    assert(out("a")._3 === Some(0.816497))
+    assert(out("a")._4 === Some(0.0))
+    assert(out("a")._5 === Some(-1.5))
+    // constant group: zero variance -> shape stats null
+    assert(out("c") === ((2L, 7.0, None, None, None)))
+  }
+
+  test("correlation pairs: identity 1, anti-correlation -1, constant column null") {
+    import spark.implicits._
+    val df = Seq((1L, 1L, 10L, 5L), (2L, 2L, 9L, 5L), (3L, 3L, 8L, 5L))
+      .toDF("a", "b", "neg", "k")
+    val out = Profiling.correlationPairs(df, Seq("a", "b", "neg", "k"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> Option(r.get(3))).toMap
+    assert(out(("a", "b")) === Some(1.0))
+    assert(out(("a", "neg")) === Some(-1.0))
+    assert(out(("a", "k")) === None)
+    assert(out.size === 6)
+  }
+
   test("dp noisy counts: replayable draws, epsilon scales noise, clamp holds") {
     import spark.implicits._
     val df = (Seq.fill(5)("a") ++ Seq.fill(2)("b") ++ Seq("c"))
