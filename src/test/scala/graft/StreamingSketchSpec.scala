@@ -9,6 +9,58 @@ import graft.streaming.StreamingSketch.{Estimate, KeyedValue}
 class StreamingSketchSpec extends SparkSpec {
   import spark.implicits._
 
+  test("transformWithState funnel equals batch stepTimes across micro-batches") {
+    import graft.streaming.StreamingFunnel
+    import graft.streaming.StreamingFunnel.{Evt, StepSnapshot}
+    val base = 1700000000000L
+    def ts(off: Long) = new java.sql.Timestamp(base + off * 1000)
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[Evt](spark)
+    val snaps = scala.collection.concurrent.TrieMap.empty[String, Seq[Long]]
+    val q = StreamingFunnel.stepTimes(input.toDS(), Seq("view", "click", "purchase"))
+      .writeStream
+      .foreachBatch { (ds: org.apache.spark.sql.Dataset[StepSnapshot], _: Long) =>
+        ds.collect().foreach(s => snaps(s.session_id) = s.times)
+      }
+      .outputMode("update").start()
+    try {
+      // s2's purchase arrives BEFORE its click — the strictly-after rule
+      // must hold it back even across the batch boundary
+      input.addData(Evt("s1", ts(0), 1L, "view"), Evt("s2", ts(0), 2L, "view"),
+        Evt("s2", ts(1), 3L, "purchase"))
+      q.processAllAvailable()
+      input.addData(Evt("s1", ts(1), 4L, "click"), Evt("s2", ts(2), 5L, "click"),
+        Evt("s1", ts(2), 6L, "purchase"), Evt("s4", ts(0), 7L, "click"))
+      q.processAllAvailable()
+      val streamed = snaps.toMap.view
+        .mapValues(_.map(t => if (t < 0) None else Some(t))).toMap
+      // batch twin over the union, same epoch-ms timeline
+      val union = Seq(
+        ("s1", "view", base), ("s2", "view", base), ("s2", "purchase", base + 1000),
+        ("s1", "click", base + 1000), ("s2", "click", base + 2000),
+        ("s1", "purchase", base + 2000), ("s4", "click", base)
+      ).toDF("sid", "etype", "tsms")
+      val batch = graft.analysis.Funnel
+        .stepTimes(union, Seq("view", "click", "purchase"), "sid", "etype", "tsms")
+        .collect()
+        .map(r => r.getString(0) ->
+          Seq(Option(r.get(1)), Option(r.get(2)), Option(r.get(3)))
+            .map(_.map(_.asInstanceOf[Long])))
+        .toMap
+      assert(streamed === batch)
+      assert(!streamed.contains("s4"))  // never entered the funnel
+    } finally {
+      q.stop()
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("streaming markov transitions equal the batch chain once sessions time out") {
     import graft.streaming.StreamingMarkov
     import graft.streaming.StreamingMarkov.{Evt, Transition}
