@@ -29,6 +29,19 @@ object SparkEntry {
     martQueries ++ relationalQueries ++ analysisQueries
 
   private def analysisQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // the per-source release datasheet: volume + mean quality + exact-dup
+    // rate + majority language, three report-sized aggregates joined on
+    // source; every number independently gated elsewhere (q20, q216)
+    "q220_dataset_card" -> { (s, d) =>
+      graft.analysis.CorpusPrep.datasetCard(TestData.documents(s, d))
+        .orderBy("source")
+    },
+    // key-skew advisor for the salted-join dial: rows-per-key max vs
+    // p50/p99 over the count frame + the salt factor that levels the
+    // hottest key to a p99 share
+    "q221_skew_report" -> { (s, d) =>
+      graft.relational.SkewJoin.skewReport(TestData.clicks(s, d), "document_id")
+    },
     // Benford first-digit monitor over positive event values: digit via
     // floor(v/10^floor(log10 v)), expected = Scala-computed constants
     // shared verbatim with the oracle
@@ -2618,6 +2631,70 @@ object SparkEntry {
        |ORDER BY config""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
+    // q20's quality CTEs (4dp stopword ratio included) + q216's dup
+    // groups + (count desc, lang desc) majority-language tie-break
+    "q220_dataset_card" ->
+      """WITH t AS (
+        |  SELECT doc_id, text,
+        |    string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')), ' ') AS toks
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, len(toks) AS n_tokens,
+        |    len(list_distinct(toks)) AS n_unique_tokens,
+        |    round(CAST(len(list_filter(toks, x -> x IN ('the','a','an','of','and','to','in','is','it','for'))) AS DOUBLE) / len(toks), 4) AS stopword_ratio
+        |  FROM t),
+        |sc AS (
+        |  SELECT doc_id, n_tokens,
+        |    round(least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 40.0
+        |      + (CAST(n_unique_tokens AS DOUBLE) / n_tokens) * 40.0
+        |      + CASE WHEN stopword_ratio BETWEEN 0.01 AND 0.6 THEN 20.0 ELSE 0.0 END, 2) AS quality_score
+        |  FROM s),
+        |vol AS (
+        |  SELECT d.source, count(*) AS n_docs,
+        |    CAST(sum(sc.n_tokens) AS BIGINT) AS n_tokens,
+        |    round(CAST(sum(CAST(sc.n_tokens AS DECIMAL(28,8))) AS DOUBLE) / count(*), 6) AS mean_tokens,
+        |    round(CAST(sum(CAST(sc.quality_score AS DECIMAL(28,8))) AS DOUBLE) / count(*), 6) AS mean_quality
+        |  FROM documents d JOIN sc USING (doc_id) GROUP BY 1),
+        |fp AS (
+        |  SELECT source,
+        |    row_number() OVER (
+        |      PARTITION BY md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')))
+        |      ORDER BY doc_id) AS rn
+        |  FROM documents),
+        |dup AS (
+        |  SELECT source,
+        |    CASE WHEN count(*) > 0
+        |      THEN round(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END)::DOUBLE / count(*)::DOUBLE, 6)
+        |      ELSE 0.0::DOUBLE END AS dup_rate
+        |  FROM fp GROUP BY 1),
+        |lc AS (SELECT source, lang, count(*) AS c FROM documents GROUP BY 1, 2),
+        |tl AS (
+        |  SELECT source, lang AS top_lang, c,
+        |    CAST(sum(c) OVER (PARTITION BY source) AS BIGINT) AS tot,
+        |    row_number() OVER (PARTITION BY source ORDER BY c DESC, lang DESC) AS rn2
+        |  FROM lc)
+        |SELECT v.source, v.n_docs, v.n_tokens, v.mean_tokens, v.mean_quality,
+        |  dup.dup_rate, tl.top_lang,
+        |  round(tl.c::DOUBLE / tl.tot::DOUBLE, 6) AS top_lang_share
+        |FROM vol v
+        |JOIN dup USING (source)
+        |JOIN tl ON tl.source = v.source AND tl.rn2 = 1
+        |ORDER BY v.source""".stripMargin,
+    // same count frame, quantile_cont parity, same clamp arithmetic
+    "q221_skew_report" ->
+      """WITH c AS (
+        |  SELECT CAST(props->>'$.k' AS INTEGER) AS k, count(*) AS c
+        |  FROM events GROUP BY 1),
+        |a AS (
+        |  SELECT CAST(sum(c) AS BIGINT) AS n_rows, count(*) AS n_keys,
+        |    max(c) AS max_per_key,
+        |    round(quantile_cont(c, 0.5), 6) AS p50,
+        |    round(quantile_cont(c, 0.99), 6) AS p99
+        |  FROM c)
+        |SELECT n_rows, n_keys, max_per_key, p50, p99,
+        |  CASE WHEN p50 > 0 THEN round(max_per_key::DOUBLE / p50, 6) END AS skew_ratio,
+        |  least(32, greatest(1, CAST(ceil(max_per_key::DOUBLE / greatest(p99, 1.0::DOUBLE)) AS INT))) AS suggested_salt
+        |FROM a""".stripMargin,
     // identical digit extraction; expected values are THE SAME doubles
     // (Double.toString round-trips exactly through DuckDB's parser)
     "q217_benford" -> {

@@ -624,4 +624,44 @@ object CorpusPrep {
       .select(col(idCol), col(srcCol), col("quality_score"),
         col("pct_in_source"), col("pct_global"))
   }
+
+  /** DATASET CARD: the per-source datasheet a corpus release ships with —
+    * volume (docs, token mass, mean length), quality (mean heuristic
+    * score), redundancy (exact-dup rate from [[Dedup.dedupSavings]]'
+    * fingerprint groups), and language composition (majority lang +
+    * share). One frame a consumer reads before training on the mix;
+    * every number is independently gated elsewhere (q20 quality, q216
+    * dup groups) — this is their joined release view.
+    *
+    * Scale shape: three per-source aggregates (token/quality projection,
+    * fingerprint window, lang counts) joined on the |sources|-sized key —
+    * each map-side combinable; DECIMAL means.
+    * Output per source: source, n_docs, n_tokens, mean_tokens,
+    * mean_quality, dup_rate, top_lang, top_lang_share (round 6). */
+  def datasetCard(docs: DataFrame): DataFrame = {
+    val dec = DecimalType(28, 8)
+    val stats = TextAnalysis.textStats(docs)
+      .select(col("doc_id"), col("n_tokens"), col("quality_score"))
+    val volume = docs.select(col("doc_id"), col("source"))
+      .join(stats, "doc_id")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens").cast("long")).as("n_tokens"),
+        round(sum(col("n_tokens").cast(dec)).cast(DoubleType) / count(lit(1)), 6)
+          .as("mean_tokens"),
+        round(sum(col("quality_score").cast(dec)).cast(DoubleType) / count(lit(1)), 6)
+          .as("mean_quality"))
+    val dup = Dedup.dedupSavings(docs)
+      .select(col("source"),
+        when(col("n_docs") > 0,
+          round(col("n_dup_docs").cast(DoubleType) / col("n_docs").cast(DoubleType), 6))
+          .otherwise(0.0).as("dup_rate"))
+    val top = docs.groupBy("source", "lang").agg(count(lit(1)).as("c"))
+      .groupBy("source")
+      .agg(max(struct(col("c"), col("lang"))).as("m"), sum("c").as("tot"))
+      .select(col("source"), col("m.lang").as("top_lang"),
+        round(col("m.c").cast(DoubleType) / col("tot").cast(DoubleType), 6)
+          .as("top_lang_share"))
+    volume.join(dup, "source").join(top, "source")
+  }
 }

@@ -60,4 +60,37 @@ object SkewJoin {
         count(lit(1)).as("line_count"))
       .orderBy("s_nationkey")
   }
+
+  /** KEY-SKEW ADVISOR: the measurement that decides whether
+    * [[saltedEquiJoin]] (or AQE skew handling) is worth engaging on a
+    * key — rows-per-key max vs p50/p99, and the salt factor that would
+    * level the hottest key down to a p99-sized partition share.
+    *
+    * Scale shape: one map-side-combinable count per key, then every
+    * statistic runs over the |keys|-sized count frame (exact
+    * percentiles — swap approx_percentile in at extreme key
+    * cardinality, same plumbing). ceil on an IEEE divide of exact
+    * counts; clamped to [1, 32].
+    *
+    * Output (1 row): n_rows, n_keys, max_per_key, p50, p99, skew_ratio
+    * (round 6), suggested_salt. */
+  def skewReport(df: DataFrame, keyCol: String): DataFrame = {
+    import org.apache.spark.sql.types.{DoubleType, IntegerType}
+    val counts = df.groupBy(col(keyCol)).agg(count(lit(1)).as("c"))
+    counts.agg(
+        sum("c").as("n_rows"),
+        count(lit(1)).as("n_keys"),
+        max("c").as("max_per_key"),
+        percentile(col("c"), array(lit(0.5), lit(0.99))).as("q"))
+      .select(col("n_rows"), col("n_keys"), col("max_per_key"),
+        round(element_at(col("q"), 1), 6).as("p50"),
+        round(element_at(col("q"), 2), 6).as("p99"))
+      .withColumn("skew_ratio",
+        when(col("p50") > 0,
+          round(col("max_per_key").cast(DoubleType) / col("p50"), 6)))
+      .withColumn("suggested_salt",
+        least(lit(32), greatest(lit(1),
+          ceil(col("max_per_key").cast(DoubleType) / greatest(col("p99"), lit(1.0)))
+            .cast(IntegerType))))
+  }
 }

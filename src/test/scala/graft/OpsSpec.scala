@@ -90,6 +90,23 @@ class OpsSpec extends SparkSpec {
     assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty)
   }
 
+  test("skew report: hand-computed percentiles, interpolated p99, clamped salt") {
+    import spark.implicits._
+    // counts per key: a=8, b..e=2 each -> sorted [2,2,2,2,8]
+    val df = (Seq.fill(8)("a") ++ Seq.fill(2)("b") ++ Seq.fill(2)("c") ++
+      Seq.fill(2)("d") ++ Seq.fill(2)("e")).map(Tuple1(_)).toDF("k")
+    val r = SkewJoin.skewReport(df, "k").collect().head
+    assert(r.getLong(0) === 16L && r.getLong(1) === 5L && r.getLong(2) === 8L)
+    assert(r.getDouble(3) === 2.0)
+    assert(r.getDouble(4) === 7.76)          // 2 + 0.96*(8-2)
+    assert(r.getDouble(5) === 4.0)           // max / p50
+    assert(r.getInt(6) === 2)                // ceil(8 / 7.76), clamped to [1,32]
+    // uniform keys: no skew, salt collapses to 1
+    val flat = Seq("x", "y", "z").map(Tuple1(_)).toDF("k")
+    val f = SkewJoin.skewReport(flat, "k").collect().head
+    assert(f.getDouble(5) === 1.0 && f.getInt(6) === 1)
+  }
+
   test("batched embed: full batches except the partition tail, rows preserved, model batch-called") {
     import spark.implicits._
     import graft.analysis.Multimodal

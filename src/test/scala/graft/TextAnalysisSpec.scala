@@ -386,6 +386,24 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("dataset card: volume, quality, dup rate, and majority language line up") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the the data data", "web", "en"),
+      (2L, "the the data data", "crawl", "en"),   // exact dup, charged to crawl
+      (3L, "unique words here now", "crawl", "de")
+    ).toDF("doc_id", "text", "source", "lang")
+    val out = graft.analysis.CorpusPrep.datasetCard(docs)
+      .orderBy("source").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5), r.getString(6), r.getDouble(7)))).toMap
+    // both fixture docs score 41.6 (1.6 length + diversity + stopword terms)
+    assert(out("web") === ((1L, 4L, 4.0, 41.6, 0.0, "en", 1.0)))
+    assert(out("crawl")._1 === 2L && out("crawl")._2 === 8L)
+    assert(out("crawl")._5 === 0.5)           // doc 2 is the dropped copy
+    assert(out("crawl")._6 === "en" && out("crawl")._7 === 0.5)  // tie -> lang desc
+  }
+
   test("dictionary tags: multiplicity counted, non-dictionary tokens ignored, no-hit docs absent") {
     import spark.implicits._
     val docs = Seq(
