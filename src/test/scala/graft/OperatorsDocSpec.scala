@@ -24,4 +24,12 @@ class OperatorsDocSpec extends AnyFunSuite {
     }
     assert(rendered.contains(s"Total gate queries: ${names.size}."))
   }
+
+  test("SURVEY.md mentions every gate query id (hand-written rows can't silently lag)") {
+    val survey = Files.readString(Paths.get("SURVEY.md"))
+    val missing = SparkEntry.queries.keySet
+      .map(n => n.split("_").head) // the qNNN prefix
+      .filterNot(survey.contains)
+    assert(missing.isEmpty, s"SURVEY.md lacks rows mentioning: ${missing.toSeq.sorted}")
+  }
 }
