@@ -18,6 +18,9 @@ import org.apache.spark.sql.SparkSession
   */
 object GraftSession {
   def tune(b: SparkSession.Builder, cores: Int): SparkSession.Builder = b
+    // engine extension: fuse declarative dot-product folds into the
+    // codegen'd kernel (bit-identical semantics; see FuseVectorKernels)
+    .withExtensions(e => e.injectOptimizerRule(_ => graft.functions.FuseVectorKernels))
     .config("spark.sql.shuffle.partitions", cores.toString)
     .config("spark.sql.adaptive.enabled", "true")
     .config("spark.sql.session.timeZone", "UTC")
