@@ -29,6 +29,21 @@ object SparkEntry {
     martQueries ++ relationalQueries ++ analysisQueries
 
   private def analysisQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // THE LAW for the power-sum artifact: per-group n/Σx..Σx⁴ merge by
+    // addition (stored oldest-90% + fresh batch) and the merged shape
+    // profile must equal q218's whole-corpus rebuild (the oracle IS it)
+    "q222_moments_increment" -> { (s, d) =>
+      val docs = TestData.documents(s, d)
+      val cut = docs.agg(max("doc_id")).collect().head.getLong(0) * 9 / 10
+      val stored = graft.analysis.Profiling.momentSums(
+        docs.filter(col("doc_id") <= cut), "source", "n_chars")
+      val fresh = graft.analysis.Profiling.momentSums(
+        docs.filter(col("doc_id") > cut), "source", "n_chars")
+      val merged = stored.unionByName(fresh).groupBy("group")
+        .agg(sum("n").as("n"), sum("s1d").as("s1d"), sum("s2d").as("s2d"),
+          sum("s3d").as("s3d"), sum("s4d").as("s4d"))
+      graft.analysis.Profiling.momentsFromSums(merged).orderBy("group")
+    },
     // the per-source release datasheet: volume + mean quality + exact-dup
     // rate + majority language, three report-sized aggregates joined on
     // source; every number independently gated elsewhere (q20, q216)
@@ -2192,6 +2207,31 @@ object SparkEntry {
     * string applies stripMargin over the whole composed oracle. */
   /** q200's whole-corpus trigram frequency-spectrum rebuild — also q213's
     * LAW oracle (the incremental merge must reproduce it exactly). */
+  /** q218's whole-corpus shape-profile rebuild — also q222's LAW
+    * oracle (the merged power-sum artifact must reproduce it). */
+  private val momentsProfileSql: String =
+      """WITH s AS (
+        |  SELECT source AS grp, count(*) AS n,
+        |    CAST(sum(CAST(n_chars AS DECIMAL(38,0))) AS DOUBLE) AS s1,
+        |    CAST(sum(CAST(n_chars * n_chars AS DECIMAL(38,0))) AS DOUBLE) AS s2,
+        |    CAST(sum(CAST(n_chars * n_chars * n_chars AS DECIMAL(38,0))) AS DOUBLE) AS s3,
+        |    CAST(sum(CAST(n_chars * n_chars * n_chars * n_chars AS DECIMAL(38,0))) AS DOUBLE) AS s4
+        |  FROM documents WHERE n_chars IS NOT NULL GROUP BY 1),
+        |m AS (
+        |  SELECT grp, n, s1 / n::DOUBLE AS mu, s2, s3, s4, n::DOUBLE AS nd FROM s),
+        |c AS (
+        |  SELECT grp, n, mu,
+        |    s2 / nd - mu * mu AS m2,
+        |    s3 / nd - 3.0::DOUBLE * mu * s2 / nd + 2.0::DOUBLE * mu * mu * mu AS m3,
+        |    s4 / nd - 4.0::DOUBLE * mu * s3 / nd + 6.0::DOUBLE * mu * mu * s2 / nd
+        |      - 3.0::DOUBLE * mu * mu * mu * mu AS m4
+        |  FROM m)
+        |SELECT grp AS "group", n, round(mu, 6) AS mean,
+        |  CASE WHEN m2 > 0 THEN round(sqrt(m2), 6) END AS std,
+        |  CASE WHEN m2 > 0 THEN round(m3 / (m2 * sqrt(m2)), 6) END AS skewness,
+        |  CASE WHEN m2 > 0 THEN round(m4 / (m2 * m2) - 3.0::DOUBLE, 6) END AS kurtosis_excess
+        |FROM c ORDER BY grp""".stripMargin
+
   private val countOfCountsSql: String =
     """WITH toks AS (
       |  SELECT list_filter(string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')), ' '), x -> x <> '') AS t
@@ -2712,28 +2752,10 @@ object SparkEntry {
         |FROM t ORDER BY digit""".stripMargin
     },
     // same power sums, same expansion order for the central moments
-    "q218_moments_profile" ->
-      """WITH s AS (
-        |  SELECT source AS grp, count(*) AS n,
-        |    CAST(sum(CAST(n_chars AS DECIMAL(38,0))) AS DOUBLE) AS s1,
-        |    CAST(sum(CAST(n_chars * n_chars AS DECIMAL(38,0))) AS DOUBLE) AS s2,
-        |    CAST(sum(CAST(n_chars * n_chars * n_chars AS DECIMAL(38,0))) AS DOUBLE) AS s3,
-        |    CAST(sum(CAST(n_chars * n_chars * n_chars * n_chars AS DECIMAL(38,0))) AS DOUBLE) AS s4
-        |  FROM documents WHERE n_chars IS NOT NULL GROUP BY 1),
-        |m AS (
-        |  SELECT grp, n, s1 / n::DOUBLE AS mu, s2, s3, s4, n::DOUBLE AS nd FROM s),
-        |c AS (
-        |  SELECT grp, n, mu,
-        |    s2 / nd - mu * mu AS m2,
-        |    s3 / nd - 3.0::DOUBLE * mu * s2 / nd + 2.0::DOUBLE * mu * mu * mu AS m3,
-        |    s4 / nd - 4.0::DOUBLE * mu * s3 / nd + 6.0::DOUBLE * mu * mu * s2 / nd
-        |      - 3.0::DOUBLE * mu * mu * mu * mu AS m4
-        |  FROM m)
-        |SELECT grp AS "group", n, round(mu, 6) AS mean,
-        |  CASE WHEN m2 > 0 THEN round(sqrt(m2), 6) END AS std,
-        |  CASE WHEN m2 > 0 THEN round(m3 / (m2 * sqrt(m2)), 6) END AS skewness,
-        |  CASE WHEN m2 > 0 THEN round(m4 / (m2 * m2) - 3.0::DOUBLE, 6) END AS kurtosis_excess
-        |FROM c ORDER BY grp""".stripMargin,
+    "q218_moments_profile" -> momentsProfileSql,
+    // law gate: the merged power-sum artifact must reproduce the
+    // whole-corpus shape profile, so its oracle IS q218's rebuild
+    "q222_moments_increment" -> momentsProfileSql,
     // same DECIMAL sums and closed form per pair; three UNION ALL blocks
     "q219_correlation" ->
       """WITH t AS (

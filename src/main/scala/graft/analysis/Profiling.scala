@@ -222,18 +222,37 @@ object Profiling {
     * exact sums — sqrt only, NO libm powers (skew = m₃/(m₂·√m₂)).
     * Output per group: group, n, mean, std, skewness, kurtosis_excess
     * (round 6; shape stats null when variance degenerates). */
-  def momentsProfile(
-      df: DataFrame, groupCol: String, valCol: String): DataFrame = {
+  /** The mergeable POWER-SUM artifact behind [[momentsProfile]]: per
+    * group, n and the DECIMAL(38,0)-exact Σx..Σx⁴. Artifacts from
+    * disjoint slices merge by per-group ADDITION of all five columns —
+    * the law q222 gates — so a daily ingest scans only its batch and the
+    * shape profile still equals a whole-corpus rebuild.
+    * Output: group, n, s1d..s4d (DECIMAL). */
+  def momentSums(df: DataFrame, groupCol: String, valCol: String): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
     val dec = DecimalType(38, 0)
     val x = col(valCol).cast("long")
-    val sums = df.filter(x.isNotNull)
+    df.filter(x.isNotNull)
       .groupBy(col(groupCol).as("group"))
       .agg(count(lit(1)).as("n"),
-        sum(x.cast(dec)).cast(DoubleType).as("s1"),
-        sum((x * x).cast(dec)).cast(DoubleType).as("s2"),
-        sum((x * x * x).cast(dec)).cast(DoubleType).as("s3"),
-        sum((x * x * x * x).cast(dec)).cast(DoubleType).as("s4"))
+        sum(x.cast(dec)).as("s1d"),
+        sum((x * x).cast(dec)).as("s2d"),
+        sum((x * x * x).cast(dec)).as("s3d"),
+        sum((x * x * x * x).cast(dec)).as("s4d"))
+  }
+
+  def momentsProfile(
+      df: DataFrame, groupCol: String, valCol: String): DataFrame =
+    momentsFromSums(momentSums(df, groupCol, valCol))
+
+  /** [[momentsProfile]] from a pre-built (or merged) [[momentSums]]
+    * artifact — the read side of the incremental law. */
+  def momentsFromSums(sumsIn: DataFrame): DataFrame = {
+    val sums = sumsIn.select(col("group"), col("n"),
+      col("s1d").cast(DoubleType).as("s1"),
+      col("s2d").cast(DoubleType).as("s2"),
+      col("s3d").cast(DoubleType).as("s3"),
+      col("s4d").cast(DoubleType).as("s4"))
     val n = col("n").cast(DoubleType)
     val mu = col("s1") / n
     val m2 = col("s2") / n - mu * mu

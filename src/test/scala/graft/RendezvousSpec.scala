@@ -100,6 +100,21 @@ class RendezvousSpec extends SparkSpec {
     assert(out("c") === ((2L, 7.0, None, None, None)))
   }
 
+  test("moments: power-sum artifacts merge by addition — split slices equal the rebuild") {
+    import spark.implicits._
+    val df = (Seq(1L, 2L, 3L, 9L).map(("a", _)) ++ Seq(4L, 5L).map(("b", _)))
+      .zipWithIndex.map { case ((g, x), i) => (i.toLong, g, x) }
+      .toDF("id", "g", "x")
+    val whole = Profiling.momentsProfile(df, "g", "x").orderBy("group").collect().toSeq
+    val stored = Profiling.momentSums(df.filter(col("id") < 3), "g", "x")
+    val fresh = Profiling.momentSums(df.filter(col("id") >= 3), "g", "x")
+    val merged = stored.unionByName(fresh).groupBy("group")
+      .agg(sum("n").as("n"), sum("s1d").as("s1d"), sum("s2d").as("s2d"),
+        sum("s3d").as("s3d"), sum("s4d").as("s4d"))
+    val inc = Profiling.momentsFromSums(merged).orderBy("group").collect().toSeq
+    assert(inc === whole)
+  }
+
   test("correlation pairs: identity 1, anti-correlation -1, constant column null") {
     import spark.implicits._
     val df = Seq((1L, 1L, 10L, 5L), (2L, 2L, 9L, 5L), (3L, 3L, 8L, 5L))
