@@ -108,10 +108,14 @@ object Bench {
     println(json)
     // durable copy: the driver's bench artifact keeps only a 2000-char stdout
     // tail, which truncates away every per-query minimum once the suite is
-    // large — the committed file is the authoritative per-query record
+    // large — the committed file is the authoritative per-query record.
+    // SUBSET runs (SPARK_GRAFT_BENCH_ONLY) must NOT touch it: a 2-query
+    // iteration run would silently replace the full-suite record (this
+    // happened — a 1-query artifact reached a commit before the guard).
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCHFULL.json")
-    java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
-      (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    if (only.isEmpty || sys.env.contains("SPARK_GRAFT_BENCH_OUT"))
+      java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
+        (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     spark.stop()
   }
 }
