@@ -29,6 +29,12 @@ object SparkEntry {
     martQueries ++ relationalQueries ++ analysisQueries
 
   private def analysisQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // exact sequential CUSUM (Page) via the cumsum - running-min closed
+    // form over the dense hourly spine; q66's level-shift windows are the
+    // approximation, this is the statistic itself
+    "q223_cusum" -> { (s, d) =>
+      TimeSeries.cusum(TestData.clicks(s, d)).orderBy("h")
+    },
     // THE LAW for the power-sum artifact: per-group n/Σx..Σx⁴ merge by
     // addition (stored oldest-90% + fresh batch) and the merged shape
     // profile must equal q218's whole-corpus rebuild (the oracle IS it)
@@ -2671,6 +2677,34 @@ object SparkEntry {
        |ORDER BY config""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
+    // same dense spine, same DECIMAL term cumsum and running min, same
+    // k=0.5/h=4 defaults
+    "q223_cusum" ->
+      """WITH hh AS (
+        |  SELECT CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) // 3600 AS h,
+        |    count(*) AS x
+        |  FROM events GROUP BY 1),
+        |b AS (SELECT min(h) AS h0, max(h) AS h1 FROM hh),
+        |sp AS (SELECT unnest(range(h0, h1 + 1)) AS h FROM b),
+        |se AS (SELECT sp.h, COALESCE(hh.x, 0) AS x FROM sp LEFT JOIN hh USING (h)),
+        |st AS (SELECT count(*) AS n,
+        |         CAST(sum(CAST(x AS DECIMAL(28,12))) AS DOUBLE) AS s1,
+        |         CAST(sum(CAST(x * x AS DECIMAL(28,12))) AS DOUBLE) AS s2 FROM se),
+        |ms AS (SELECT s1 / n::DOUBLE AS m,
+        |         sqrt(s2 / n::DOUBLE - (s1 / n::DOUBLE) * (s1 / n::DOUBLE)) AS sd FROM st),
+        |rr AS (
+        |  SELECT h, x, sd,
+        |    sum(CAST(x::DOUBLE - m - 0.5::DOUBLE * sd AS DECIMAL(28,12)))
+        |      OVER (ORDER BY h ROWS UNBOUNDED PRECEDING) AS r
+        |  FROM se CROSS JOIN ms),
+        |cc AS (
+        |  SELECT h, x, sd,
+        |    CAST(r - least(CAST(0.0 AS DECIMAL(28,12)),
+        |      min(r) OVER (ORDER BY h ROWS UNBOUNDED PRECEDING)) AS DOUBLE) AS cus_raw
+        |  FROM rr)
+        |SELECT h, x, round(cus_raw, 6) AS cusum,
+        |  cus_raw > 4.0::DOUBLE * sd AS alarm
+        |FROM cc ORDER BY h""".stripMargin,
     // q20's quality CTEs (4dp stopword ratio included) + q216's dup
     // groups + (count desc, lang desc) majority-language tie-break
     "q220_dataset_card" ->

@@ -264,6 +264,56 @@ object TimeSeries {
       .orderBy(keyCol)
   }
 
+  /** One-sided upper CUSUM over the hourly event-count series — the EXACT
+    * sequential changepoint statistic (Page 1954): Sₜ = max(0, Sₜ₋₁ + xₜ −
+    * μ − kσ), alarmed when Sₜ > hσ. [[levelShifts]] is the two-window
+    * APPROXIMATION of this; the recursion itself looks
+    * window-inexpressible, but the closed form Sₜ = Rₜ − min(0, min_{j≤t}
+    * Rⱼ) with Rₜ the running sum of the slack-adjusted deviations turns it
+    * into one cumulative sum plus one running min — pure window algebra,
+    * no driver loop, no UDAF.
+    *
+    * Scale shape: the hourly aggregate is the only data-sized step; μ/σ
+    * come from DECIMAL-exact power sums (one 1-row broadcast), and the R
+    * cumsum runs over DECIMAL-cast terms on the HOURS-sized dense spine
+    * (absent hours are true zeros — a gap IS a negative drift).
+    * Output per hour: h, x, cusum (round 6), alarm. */
+  def cusum(
+      events: DataFrame,
+      tsCol: String = "event_ts",
+      k: Double = 0.5,
+      h: Double = 4.0): DataFrame = {
+    require(k >= 0 && h > 0, s"need k >= 0 and h > 0, got k=$k h=$h")
+    val dec = DecimalType(28, 12)
+    val hourly = events
+      .select(expr(s"unix_timestamp(`$tsCol`) div 3600").as("h"))
+      .groupBy("h").agg(count(lit(1)).as("x"))
+    val spine = hourly.agg(min("h").as("h0"), max("h").as("h1"))
+      .select(explode(sequence(col("h0"), col("h1"))).as("h"))
+    val series = spine.join(hourly, Seq("h"), "left")
+      .select(col("h"), coalesce(col("x"), lit(0L)).as("x"))
+    val stats = series.agg(
+        count(lit(1)).as("n"),
+        sum(col("x").cast(dec)).cast(DoubleType).as("s1"),
+        sum((col("x") * col("x")).cast(dec)).cast(DoubleType).as("s2"))
+      .select(
+        (col("s1") / col("n").cast(DoubleType)).as("m"),
+        sqrt(col("s2") / col("n").cast(DoubleType)
+          - (col("s1") / col("n").cast(DoubleType))
+            * (col("s1") / col("n").cast(DoubleType))).as("sd"))
+    val wCum = Window.orderBy("h")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    series.crossJoin(broadcast(stats))
+      .withColumn("d",
+        (col("x").cast(DoubleType) - col("m") - lit(k) * col("sd")).cast(dec))
+      .withColumn("r", sum(col("d")).over(wCum))
+      .withColumn("rmin", least(lit(0.0).cast(dec), min(col("r")).over(wCum)))
+      .withColumn("cus_raw", (col("r") - col("rmin")).cast(DoubleType))
+      .select(col("h"), col("x"),
+        round(col("cus_raw"), 6).as("cusum"),
+        (col("cus_raw") > lit(h) * col("sd")).as("alarm"))
+  }
+
   /** AUTOCORRELATION of the hourly event-count series at caller-chosen
     * lags — r(L) = Σ(xₜ−m)(xₜ₊L−m) / Σ(xₜ−m)² over a DENSE hourly spine
     * (absent hours are true zeros, not missing rows — skipping them

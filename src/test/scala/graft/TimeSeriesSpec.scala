@@ -127,6 +127,20 @@ class TimeSeriesSpec extends SparkSpec {
     assert(out.values.count(_._2) === 1)
   }
 
+  test("cusum: hand-computed spike, clamp at zero, alarm at the jump") {
+    def ts(h: Int, i: Int) = java.sql.Timestamp.valueOf(f"2026-01-01 $h%02d:0$i:00")
+    // hourly counts [2,2,2,2,10]: m=3.6, sd=3.2, slack k*sd=1.6
+    // d = x-5.2 -> R = [-3.2,-6.4,-9.6,-12.8,-8.0] -> S = [0,0,0,0,4.8]
+    val ev = ((0 to 3).flatMap(h => Seq(ts(h, 0), ts(h, 1))) ++
+      (0 until 10).map(i => ts(4, i))).map(Tuple1(_)).toDF("event_ts")
+    val out = TimeSeries.cusum(ev, k = 0.5, h = 1.0)
+      .orderBy("h").collect()
+      .map(r => (r.getLong(1), r.getDouble(2), r.getBoolean(3)))
+    assert(out.map(_._2).toSeq === Seq(0.0, 0.0, 0.0, 0.0, 4.8))
+    // h=1.0: threshold sd=3.2, only the spike hour alarms
+    assert(out.map(_._3).toSeq === Seq(false, false, false, false, true))
+  }
+
   test("autocorrelation: alternating series anti-correlates at lag 1, aligns at lag 2") {
     def ts(h: Int, m: Int) = java.sql.Timestamp.valueOf(f"2026-01-01 $h%02d:$m%02d:00")
     // hourly counts [2,0,2,0,2] over a dense spine (hours 1 and 3 absent)
