@@ -514,9 +514,11 @@ object SparkEntry {
         .orderBy("global_rank")
     },
     // LSH S-curve validation on a ~33% doc sample (doc_id % 3 = 0):
-    // empirical candidate
-    // rate per jaccard decile next to the theoretical 1-(1-j^4)^4 —
-    // the b/r recall-cost dial as a measured operating point
+    // empirical candidate rate per jaccard decile next to the theoretical
+    // 1-(1-j^4)^4 — the b/r recall-cost dial as a measured operating
+    // point. Gate columns are integer ppm (BIGINT division + driver-
+    // computed literals): no engine-evaluated float math anywhere, so the
+    // hash is invariant across DuckDB BUILDS (the r6/r7 driver-hash fix)
     "q180_lsh_tuning" -> { (s, d) =>
       Dedup.lshTuningCurve(
           TestData.documents(s, d).filter(col("doc_id") % 3 === 0))
@@ -675,9 +677,13 @@ object SparkEntry {
         .orderBy("doc_id")
     },
     // DSIR: importance-resampled data selection — smoothed hashed-unigram
-    // distributions for target (lang=en) vs raw, per-doc DECIMAL-summed
-    // log ratio, Gumbel-top-k draw from the stateless md5 uniform; the
-    // content-based sibling of q140's volume-based source rebalance
+    // distributions for target (lang=en) vs raw, per-doc Long-summed
+    // MICRO-quantized log ratio, Gumbel-top-k on integer keys from the
+    // stateless md5 uniform; the content-based sibling of q140's
+    // volume-based source rebalance. Gate columns are all BIGINT —
+    // ⌊x·10⁶+0.5⌋ quantization happens once per scalar on both engines,
+    // and DsirMarginSpec pins every value off its floor boundary, so a
+    // cross-BUILD libm ulp cannot flip any output bit (the r6/r7 fix)
     "q165_dsir_select" -> { (s, d) =>
       graft.analysis.CorpusPrep.dsirSelect(TestData.documents(s, d),
           isTarget = col("lang") === "en", nSelect = 100)
@@ -2216,12 +2222,15 @@ object SparkEntry {
   /** q218's whole-corpus shape-profile rebuild — also q222's LAW
     * oracle (the merged power-sum artifact must reproduce it). */
   private val momentsProfileSql: String =
+      // HUGEINT products (int128, exact to x^4 < 1.7e38): the native-width
+      // multiply would overflow per-row for x >= ~55k, mirroring the Spark
+      // side's decimal-domain products (ADVICE r7)
       """WITH s AS (
         |  SELECT source AS grp, count(*) AS n,
-        |    CAST(sum(CAST(n_chars AS DECIMAL(38,0))) AS DOUBLE) AS s1,
-        |    CAST(sum(CAST(n_chars * n_chars AS DECIMAL(38,0))) AS DOUBLE) AS s2,
-        |    CAST(sum(CAST(n_chars * n_chars * n_chars AS DECIMAL(38,0))) AS DOUBLE) AS s3,
-        |    CAST(sum(CAST(n_chars * n_chars * n_chars * n_chars AS DECIMAL(38,0))) AS DOUBLE) AS s4
+        |    CAST(sum(CAST(n_chars AS HUGEINT)) AS DOUBLE) AS s1,
+        |    CAST(sum(CAST(n_chars AS HUGEINT) * n_chars) AS DOUBLE) AS s2,
+        |    CAST(sum(CAST(n_chars AS HUGEINT) * n_chars * n_chars) AS DOUBLE) AS s3,
+        |    CAST(sum(CAST(n_chars AS HUGEINT) * n_chars * n_chars * n_chars) AS DOUBLE) AS s4
         |  FROM documents WHERE n_chars IS NOT NULL GROUP BY 1),
         |m AS (
         |  SELECT grp, n, s1 / n::DOUBLE AS mu, s2, s3, s4, n::DOUBLE AS nd FROM s),
@@ -2775,8 +2784,11 @@ object SparkEntry {
       val cases = (1 to 9)
         .map(d => s"WHEN digit = $d THEN ${graft.analysis.Profiling.benfordExpected(d)}::DOUBLE")
         .mkString(" ")
-      s"""WITH v AS (SELECT value AS v FROM events WHERE value > 0),
-        |d AS (SELECT CAST(floor(v / pow(10.0::DOUBLE, floor(log10(v)))) AS INT) AS digit FROM v),
+      s"""WITH v AS (SELECT value AS v FROM events
+        |           WHERE value >= 1e-18::DOUBLE AND value < 9.0e18::DOUBLE),
+        |d AS (SELECT CAST(substr(CAST(CAST(floor(
+        |        CASE WHEN v >= 1 THEN v ELSE v * 1e18::DOUBLE END) AS BIGINT)
+        |        AS VARCHAR), 1, 1) AS INT) AS digit FROM v),
         |g AS (SELECT digit, count(*) AS n FROM d GROUP BY 1),
         |t AS (SELECT digit, n, CAST(sum(n) OVER () AS BIGINT) AS tot,
         |        CASE $cases END AS e FROM g)
@@ -2804,25 +2816,25 @@ object SparkEntry {
         |  SELECT 'n_chars' AS col_a, 'n_tokens' AS col_b, count(*) AS n,
         |    CAST(sum(CAST(n_chars AS DECIMAL(38,0))) AS DOUBLE) AS sx,
         |    CAST(sum(CAST(n_tokens AS DECIMAL(38,0))) AS DOUBLE) AS sy,
-        |    CAST(sum(CAST(n_chars * n_tokens AS DECIMAL(38,0))) AS DOUBLE) AS sxy,
-        |    CAST(sum(CAST(n_chars * n_chars AS DECIMAL(38,0))) AS DOUBLE) AS sxx,
-        |    CAST(sum(CAST(n_tokens * n_tokens AS DECIMAL(38,0))) AS DOUBLE) AS syy
+        |    CAST(sum(CAST(n_chars AS HUGEINT) * n_tokens) AS DOUBLE) AS sxy,
+        |    CAST(sum(CAST(n_chars AS HUGEINT) * n_chars) AS DOUBLE) AS sxx,
+        |    CAST(sum(CAST(n_tokens AS HUGEINT) * n_tokens) AS DOUBLE) AS syy
         |  FROM f
         |  UNION ALL
         |  SELECT 'n_chars', 'n_types', count(*),
         |    CAST(sum(CAST(n_chars AS DECIMAL(38,0))) AS DOUBLE),
         |    CAST(sum(CAST(n_types AS DECIMAL(38,0))) AS DOUBLE),
-        |    CAST(sum(CAST(n_chars * n_types AS DECIMAL(38,0))) AS DOUBLE),
-        |    CAST(sum(CAST(n_chars * n_chars AS DECIMAL(38,0))) AS DOUBLE),
-        |    CAST(sum(CAST(n_types * n_types AS DECIMAL(38,0))) AS DOUBLE)
+        |    CAST(sum(CAST(n_chars AS HUGEINT) * n_types) AS DOUBLE),
+        |    CAST(sum(CAST(n_chars AS HUGEINT) * n_chars) AS DOUBLE),
+        |    CAST(sum(CAST(n_types AS HUGEINT) * n_types) AS DOUBLE)
         |  FROM f
         |  UNION ALL
         |  SELECT 'n_tokens', 'n_types', count(*),
         |    CAST(sum(CAST(n_tokens AS DECIMAL(38,0))) AS DOUBLE),
         |    CAST(sum(CAST(n_types AS DECIMAL(38,0))) AS DOUBLE),
-        |    CAST(sum(CAST(n_tokens * n_types AS DECIMAL(38,0))) AS DOUBLE),
-        |    CAST(sum(CAST(n_tokens * n_tokens AS DECIMAL(38,0))) AS DOUBLE),
-        |    CAST(sum(CAST(n_types * n_types AS DECIMAL(38,0))) AS DOUBLE)
+        |    CAST(sum(CAST(n_tokens AS HUGEINT) * n_types) AS DOUBLE),
+        |    CAST(sum(CAST(n_tokens AS HUGEINT) * n_tokens) AS DOUBLE),
+        |    CAST(sum(CAST(n_types AS HUGEINT) * n_types) AS DOUBLE)
         |  FROM f)
         |SELECT col_a, col_b, n,
         |  CASE WHEN (n::DOUBLE * sxx - sx * sx) > 0 AND (n::DOUBLE * syy - sy * sy) > 0
@@ -5461,7 +5473,7 @@ object SparkEntry {
     // q31's sig/band CTEs on the sample + inverted-index exact jaccard;
     // zero-overlap mass lands in decile 0 arithmetically
     "q180_lsh_tuning" ->
-      """WITH toks AS (
+      ("""WITH toks AS (
         |  SELECT doc_id AS id,
         |    string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')), ' ') AS t
         |  FROM documents WHERE doc_id % 3 = 0),
@@ -5506,17 +5518,16 @@ object SparkEntry {
         |    COALESCE(g.n_seen, 0)
         |      + CASE WHEN spine.decile = 0 THEN unseen ELSE 0 END AS n_pairs,
         |    COALESCE(g.n_candidates, 0) AS n_candidates
-        |  FROM spine LEFT JOIN g USING (decile) CROSS JOIN tots),
-        |mids AS (
-        |  SELECT decile, n_pairs, n_candidates,
-        |    decile::DOUBLE / 10.0::DOUBLE + 0.05::DOUBLE AS m
-        |  FROM adj WHERE n_pairs > 0),
-        |tt AS (SELECT decile, n_pairs, n_candidates,
-        |         1.0::DOUBLE - (m * m * m * m) AS t FROM mids)
+        |  FROM spine LEFT JOIN g USING (decile) CROSS JOIN tots)
         |SELECT decile, n_pairs, n_candidates,
-        |  round(n_candidates::DOUBLE / n_pairs::DOUBLE, 6) AS emp_rate,
-        |  round(1.0::DOUBLE - (t * t * t * t), 6) AS theo_rate
-        |FROM tt ORDER BY decile""".stripMargin,
+        |  (n_candidates * 2000000 + n_pairs) // (2 * n_pairs) AS emp_rate_ppm,
+        |""".stripMargin +
+      // theoretical S-curve as driver-computed BIGINT literals (the same
+      // lshTheoPpm values the plan embeds): no engine evaluates pow/round
+      Dedup.lshTheoPpm(4, 4).zipWithIndex
+        .map { case (p, d) => s"WHEN $d THEN ${p}::BIGINT" }
+        .mkString("  CASE decile ", " ", " END AS theo_rate_ppm\n") +
+      """FROM adj WHERE n_pairs > 0 ORDER BY decile"""),
     // THE LAW: the increment must equal the whole-corpus rebuild — q168's
     // SQL verbatim
     "q179_source_overlap_increment" ->
@@ -5931,25 +5942,26 @@ object SparkEntry {
         |rc AS (SELECT bucket, sum(n_b) AS cr FROM tb GROUP BY 1),
         |ratio AS (
         |  SELECT r.i AS bucket,
-        |    round(ln((COALESCE(ct, 0) + 0.5::DOUBLE) / (nt + 128.0::DOUBLE))
-        |      - ln((COALESCE(cr, 0) + 0.5::DOUBLE) / (nr + 128.0::DOUBLE)), 6) AS logratio
+        |    CAST(floor((ln((COALESCE(ct, 0) + 0.5::DOUBLE) / (nt + 128.0::DOUBLE))
+        |      - ln((COALESCE(cr, 0) + 0.5::DOUBLE) / (nr + 128.0::DOUBLE)))
+        |      * 1000000.0::DOUBLE + 0.5::DOUBLE) AS BIGINT) AS lr_micro
         |  FROM range(256) r(i)
         |  LEFT JOIN tc ON tc.bucket = r.i
         |  LEFT JOIN rc ON rc.bucket = r.i
         |  CROSS JOIN tot),
         |w AS (
-        |  SELECT tb.doc_id, sum(tb.n_b) AS n_tokens,
-        |    CAST(sum(CAST(tb.n_b * ratio.logratio AS DECIMAL(38,12))) AS DOUBLE) AS log_w
+        |  SELECT tb.doc_id, CAST(sum(tb.n_b) AS BIGINT) AS n_tokens,
+        |    CAST(sum(tb.n_b * ratio.lr_micro) AS BIGINT) AS log_w_micro
         |  FROM tb JOIN ratio USING (bucket) GROUP BY 1),
         |k AS (
         |  SELECT d.doc_id, COALESCE(n_tokens, 0) AS n_tokens,
-        |    COALESCE(log_w, 0.0::DOUBLE) AS log_w,
-        |    COALESCE(log_w, 0.0::DOUBLE)
-        |      + round(-ln(-ln((('0x'||substr(md5(d.doc_id::VARCHAR),1,15))::BIGINT::DOUBLE + 1.0::DOUBLE) / 1152921504606846976.0::DOUBLE)), 6) AS gumbel_key
+        |    COALESCE(log_w_micro, 0) AS log_w_micro,
+        |    COALESCE(log_w_micro, 0)
+        |      + CAST(floor(-ln(-ln((('0x'||substr(md5(d.doc_id::VARCHAR),1,15))::BIGINT::DOUBLE + 1.0::DOUBLE) / 1152921504606846976.0::DOUBLE)) * 1000000.0::DOUBLE + 0.5::DOUBLE) AS BIGINT) AS gumbel_key_micro
         |  FROM documents d LEFT JOIN w USING (doc_id)),
-        |sel AS (SELECT doc_id FROM k ORDER BY gumbel_key DESC, doc_id LIMIT 100)
-        |SELECT k.doc_id, k.n_tokens, round(k.log_w, 6) AS log_w,
-        |  round(k.gumbel_key, 6) AS gumbel_key, sel.doc_id IS NOT NULL AS selected
+        |sel AS (SELECT doc_id FROM k ORDER BY gumbel_key_micro DESC, doc_id LIMIT 100)
+        |SELECT k.doc_id, k.n_tokens, k.log_w_micro, k.gumbel_key_micro,
+        |  sel.doc_id IS NOT NULL AS selected
         |FROM k LEFT JOIN sel USING (doc_id)
         |ORDER BY k.doc_id""".stripMargin,
     // SemDeDup: q108's deterministic-Lloyd cells + the q38 cosine formula

@@ -231,6 +231,12 @@ object Clustering {
     require(k >= 2, s"silhouette needs k >= 2, got $k")
     val dec = DecimalType(28, 12)
     val centroids = lloydCentroids(points, k, iterations, idCol, vecCol)
+    // with fewer input points than k, Lloyd seeds fewer centroids; a
+    // single centroid would make element_at(sorted, 2) an ANSI
+    // INVALID_ARRAY_INDEX at runtime — fail here with the real reason
+    require(centroids.length >= 2,
+      s"silhouette needs >= 2 seeded centroids (k=$k) but the input yielded " +
+        s"${centroids.length} — fewer points than clusters?")
     val dists = centroids.zipWithIndex.map { case (c, i) =>
       val cLit = array(c.map(lit): _*)
       struct(

@@ -442,18 +442,27 @@ object CorpusPrep {
     *  2. Fit two smoothed bucket distributions: p̂_target over the docs
     *     matching `isTarget`, p̂_raw over everything (add-λ smoothing keeps
     *     unseen buckets finite).
-    *  3. Per-doc log importance weight Σ_b n_b·(ln p̂_t(b) − ln p̂_r(b)),
-    *     accumulated in DECIMAL so partitioning can't reorder-drift it.
-    *  4. Gumbel-top-k: key = log_w + g where g = −ln(−ln u) and u is the
-    *     q163 md5-uniform — the paper's importance RESAMPLING (not plain
+    *  3. Per-bucket log ratio ln p̂_t(b) − ln p̂_r(b) quantized ONCE into
+    *     integer MICRO-units (⌊x·10⁶ + 0.5⌋ as BIGINT — pure IEEE
+    *     floor, no engine `round()`); the per-doc weight Σ_b n_b·lr_micro
+    *     is then exact Long arithmetic, immune to partitioning AND to
+    *     cross-engine-build libm drift (the round-6/7 driver-hash lesson:
+    *     `round(double, 6)` itself differs across DuckDB builds).
+    *  4. Gumbel-top-k: key_micro = log_w_micro + g_micro where
+    *     g = −ln(−ln u) micro-quantized the same way and u is the q163
+    *     md5-uniform — the paper's importance RESAMPLING (not plain
     *     top-k) with no RNG state: the drawn set is a pure function of the
-    *     data, stable across runs, engines, and partitionings.
+    *     data, stable across runs, engines, and partitionings. Integer
+    *     keys make ties and ordering exactly decidable; an ulp of ln
+    *     drift can only matter if a pre-quantization value sits within
+    *     ~1e-9 of a ⌊·+0.5⌋ boundary, which DsirMarginSpec pins away on
+    *     the gate dataset.
     *
     * Scale shape: the corpus is read once for features; both distributions
     * are `buckets`-row aggregates joined back by broadcast; the Gumbel rank
     * is one TakeOrdered-k head. Nothing data-sized reaches the driver.
-    * Output (one row per doc): idCol, n_tokens, log_w (round 6),
-    * gumbel_key (round 6), selected. */
+    * Output (one row per doc): idCol, n_tokens, log_w_micro (BIGINT),
+    * gumbel_key_micro (BIGINT), selected. */
   def dsirSelect(
       docs: DataFrame,
       isTarget: org.apache.spark.sql.Column,
@@ -462,8 +471,30 @@ object CorpusPrep {
       smoothing: Double = 0.5,
       textCol: String = "text",
       idCol: String = "doc_id"): DataFrame = {
-    require(nSelect > 0 && buckets > 0 && smoothing > 0)
-    val dec = DecimalType(38, 12)
+    require(nSelect > 0)
+    val (_, keyed) = dsirFrames(docs, isTarget, buckets, smoothing, textCol, idCol)
+    val top = keyed.orderBy(desc("gumbel_key_micro"), col(idCol)).limit(nSelect)
+      .select(col(idCol), lit(true).as("selected"))
+    keyed
+      .join(broadcast(top), Seq(idCol), "left")
+      .select(col(idCol), col("n_tokens"), col("log_w_micro"),
+        col("gumbel_key_micro"),
+        coalesce(col("selected"), lit(false)).as("selected"))
+  }
+
+  /** The [[dsirSelect]] internals exposed for DsirMarginSpec: (per-bucket
+    * logratio frame with `logratio_raw`/`lr_micro`, per-doc keyed frame
+    * with `gumbel_raw`/`gumbel_key_micro`). The spec asserts every
+    * pre-quantization double sits ≳1e-6 micro-units away from its
+    * ⌊·+0.5⌋ boundary — three orders beyond any libm ulp drift. */
+  private[graft] def dsirFrames(
+      docs: DataFrame,
+      isTarget: org.apache.spark.sql.Column,
+      buckets: Int = 256,
+      smoothing: Double = 0.5,
+      textCol: String = "text",
+      idCol: String = "doc_id"): (DataFrame, DataFrame) = {
+    require(buckets > 0 && smoothing > 0)
     val toks = docs
       .select(col(idCol), isTarget.as("is_target"),
         explode(TextAnalysis.tokens(col(textCol))).as("tok"))
@@ -487,38 +518,32 @@ object CorpusPrep {
         .join(rCnt, Seq("bucket"), "left")
         .crossJoin(totals)
         .select(col("bucket"),
-          // 6dp-quantized BEFORE the per-doc sum (the q138 recipe): libm
-          // ln() drifts by ulps across engines, and an unrounded logratio
-          // propagates that drift into log_w and then into the
-          // order-sensitive Gumbel top-k below, where it can flip the
-          // selected SET itself, not just displayed digits
-          round(log((coalesce(col("ct"), lit(0L)) + lam) / (col("nt") + lamB))
-            - log((coalesce(col("cr"), lit(0L)) + lam) / (col("nr") + lamB)), 6)
-            .as("logratio"))
+          // raw double kept ONLY for DsirMarginSpec's boundary check —
+          // never summed, never emitted
+          (log((coalesce(col("ct"), lit(0L)) + lam) / (col("nt") + lamB))
+            - log((coalesce(col("cr"), lit(0L)) + lam) / (col("nr") + lamB)))
+            .as("logratio_raw"))
+        // micro-quantize ONCE per bucket: ⌊x·10⁶+0.5⌋ is pure IEEE
+        // multiply/add/floor (deterministic given x on any engine), so the
+        // only cross-build surface is ln's own ulp — absorbed unless a
+        // value sits on a boundary, which DsirMarginSpec excludes
+        .withColumn("lr_micro", floor(col("logratio_raw") * lit(1e6) + lit(0.5)))
       val weights = toks
-        .join(broadcast(ratio), "bucket")
+        .join(broadcast(ratio.select(col("bucket"), col("lr_micro"))), "bucket")
         .groupBy(col(idCol))
         .agg(sum(col("n_b")).as("n_tokens"),
-          sum((col("n_b") * col("logratio")).cast(dec)).cast(DoubleType)
-            .as("log_w"))
+          sum(col("n_b") * col("lr_micro")).as("log_w_micro"))
       val u = (Sketches.hash60(col(idCol)).cast(DoubleType) + lit(1.0)) /
         lit(Sketches.HashSpace)
       val keyed = docs.select(col(idCol))
         .join(weights, Seq(idCol), "left")
         .select(col(idCol),
           coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
-          coalesce(col("log_w"), lit(0.0)).as("log_w"))
-        // Gumbel term 6dp-quantized before the add: log_w is exact (DECIMAL
-        // sum of quantized logratios) and IEEE add is deterministic, so the
-        // key — and therefore the top-nSelect draw — is engine-portable
-        .withColumn("gumbel_key", col("log_w") + round(-log(-log(u)), 6))
-      val top = keyed.orderBy(desc("gumbel_key"), col(idCol)).limit(nSelect)
-        .select(col(idCol), lit(true).as("selected"))
-      keyed
-        .join(broadcast(top), Seq(idCol), "left")
-        .select(col(idCol), col("n_tokens"), round(col("log_w"), 6).as("log_w"),
-          round(col("gumbel_key"), 6).as("gumbel_key"),
-          coalesce(col("selected"), lit(false)).as("selected"))
+          coalesce(col("log_w_micro"), lit(0L)).as("log_w_micro"))
+        .withColumn("gumbel_raw", -log(-log(u)))
+        .withColumn("gumbel_key_micro",
+          col("log_w_micro") + floor(col("gumbel_raw") * lit(1e6) + lit(0.5)))
+      (ratio, keyed)
     } finally { toks.unpersist(); () }
   }
 

@@ -1071,7 +1071,30 @@ object Dedup {
     * knob for corpus-scale runs (the banded generator can't feed this
     * curve: it never yields the low-j pairs the curve exists to count).
     * Output per non-empty decile: decile, n_pairs, n_candidates,
-    * emp_rate (round 6), theo_rate (round 6). */
+    * emp_rate_ppm, theo_rate_ppm — ALL integer columns. The gate carries
+    * no engine-evaluated float at all (the round-6/7 driver-hash lesson:
+    * `round(double, 6)` and libm drift across DuckDB builds, so the
+    * empirical rate is a round-half-up BIGINT parts-per-million division
+    * and the theoretical S-curve is [[lshTheoPpm]]'s driver-computed
+    * literals). The ppm division `(2c·10⁶ + p) div 2p` stays in Long up
+    * to p ≈ 4.6e12 pairs (≈ C(3M, 2) docs per curve run) — beyond the
+    * sampled-diagnostic envelope this operator is for. */
+  /** Theoretical LSH S-curve 1−(1−m^r)^b at each Jaccard-decile midpoint
+    * m = d/10 + 0.05, as integer parts-per-million — computed ONCE,
+    * driver-side, in plain JVM arithmetic, and embedded as literals in
+    * both the Spark plan and the DuckDB oracle SQL. No query engine ever
+    * evaluates pow()/round() on these values, so the tuning-curve gate
+    * column is invariant across engine BUILDS, not just engines (the
+    * round-6/7 lesson: bit-exact vs one DuckDB build still hash-missed
+    * the driver's different build on libm/double-round drift). */
+  def lshTheoPpm(bands: Int, rowsPerBand: Int): IndexedSeq[Long] = {
+    def ipow(x: Double, p: Int): Double = (1 until p).foldLeft(x)((a, _) => a * x)
+    (0 until 10).map { d =>
+      val mid = d / 10.0 + 0.05
+      math.round((1.0 - ipow(1.0 - ipow(mid, rowsPerBand), bands)) * 1e6)
+    }
+  }
+
   def lshTuningCurve(
       docs: DataFrame,
       n: Int = 3,
@@ -1122,7 +1145,7 @@ object Dedup {
           grouped.agg(coalesce(sum("n_seen"), lit(0L)).as("seen")))
         .select(expr("nd * (nd - 1) div 2 - seen").as("unseen"))
       val spine = spark.range(1).select(lit(0).cast("int").as("decile"))
-      val mid = (col("decile").cast(DoubleType) / 10.0) + lit(0.05)
+      val theo = array(lshTheoPpm(bands, rowsPerBand).map(lit(_)): _*)
       grouped
         .join(spine, Seq("decile"), "full_outer")
         .crossJoin(broadcast(totals))
@@ -1132,14 +1155,11 @@ object Dedup {
           coalesce(col("n_candidates"), lit(0L)).as("n_candidates"))
         .filter(col("n_pairs") > 0)
         .select(col("decile"), col("n_pairs"), col("n_candidates"),
-          round(col("n_candidates").cast(DoubleType) / col("n_pairs").cast(DoubleType), 6)
-            .as("emp_rate"),
-          // 1-(1-j^r)^b via explicit left-assoc multiplication, NOT pow():
-          // libm pow() differs by ulps across engines (the r6 hash miss);
-          // IEEE multiply is bit-deterministic, so the oracle's m*m*m*m
-          // chain lands on the identical double before the 6dp round
-          round(lit(1.0) - intPow(lit(1.0) - intPow(mid, rowsPerBand), bands), 6)
-            .as("theo_rate"))
+          // round-half-up integer ppm: (2c·10⁶ + p) div 2p — pure BIGINT
+          // arithmetic, identical on every engine/build by construction
+          expr("(n_candidates * 2000000 + n_pairs) div (2 * n_pairs)")
+            .as("emp_rate_ppm"),
+          element_at(theo, col("decile") + 1).as("theo_rate_ppm"))
     } finally {
       base.unpersist()
       if (grouped != null) grouped.unpersist()

@@ -216,9 +216,13 @@ object Features {
     * empirically on a disjoint test slice.
     *
     * Scale shape: both inputs reduce to a residual column; the order
-    * statistic is one window over the calibration slice (calibration sets
-    * are small by design — that is the method's point) and coverage is one
-    * aggregate over test joined to the broadcast 1-row q̂.
+    * statistic comes from the SHUFFLE-FREE iterative bin-refinement probe
+    * ([[graft.relational.Relational.exactRankProbe]] — the q109 exact-
+    * quantile engine generalized to an arbitrary rank), never a global
+    * row_number window: calibration sets are small by design, but at
+    * 100 TB "small" is relative, and a bare Window.orderBy sorts the
+    * whole slice in one task. Coverage is one aggregate over test with
+    * q̂ folded in as a plan literal.
     * Output (1 row): n_calib, n_test, q_hat, target (1−α), coverage
     * (round 6), holds. */
   def conformalReport(
@@ -228,28 +232,32 @@ object Features {
       labelCol: String = "y",
       alphaBp: Int = 1000): DataFrame = {
     require(alphaBp > 0 && alphaBp < 10000, s"need alpha in (0,1), got $alphaBp bp")
-    import org.apache.spark.sql.expressions.Window
+    val spark = calib.sparkSession
     def resid(df: DataFrame) =
-      df.select(abs(col(labelCol) - col(scoreCol)).as("s"))
-    val cal = resid(calib)
-    val n = cal.agg(count(lit(1)).as("n_calib"))
+      df.select(abs(col(labelCol) - col(scoreCol)).cast("double").as("s"))
+    val target = (10000 - alphaBp) / 10000.0
     // k = ceil((n+1)(1-alpha)) in pure integer arithmetic; clamped to n
-    val k = least(
-      expr(s"((n_calib + 1) * ${10000 - alphaBp} + 9999) div 10000"),
-      col("n_calib"))
-    val qhat = cal.crossJoin(broadcast(n))
-      .withColumn("rn", row_number().over(Window.orderBy("s")))
-      .filter(col("rn") === k)
-      .select(col("n_calib"), col("s").as("q_hat"))
-    resid(test).crossJoin(broadcast(qhat))
-      .agg(first("n_calib").as("n_calib"), count(lit(1)).as("n_test"),
-        first("q_hat").as("q_hat"),
-        sum(when(col("s") <= col("q_hat"), 1L).otherwise(0L)).as("covered"))
-      .select(col("n_calib"), col("n_test"), col("q_hat"),
-        lit((10000 - alphaBp) / 10000.0).as("target"),
-        round(col("covered").cast("double") / col("n_test").cast("double"), 6)
-          .as("coverage"),
-        (col("covered").cast("double") / col("n_test").cast("double")
-          >= lit((10000 - alphaBp) / 10000.0)).as("holds"))
+    graft.relational.Relational.exactRankProbe(resid(calib), "s",
+        n => math.min(((n + 1) * (10000L - alphaBp) + 9999L) / 10000L, n),
+        bins = 1024) match {
+      case None =>
+        // empty calibration slice: no q̂ exists — mirror the pre-r8
+        // degenerate shape (null report, zero counts), not a crash
+        spark.range(1).select(
+          lit(null).cast("bigint").as("n_calib"), lit(0L).as("n_test"),
+          lit(null).cast("double").as("q_hat"), lit(target).as("target"),
+          lit(null).cast("double").as("coverage"),
+          lit(null).cast("boolean").as("holds"))
+      case Some((qHat, nCalib, _, _)) =>
+        resid(test)
+          .agg(count(lit(1)).as("n_test"),
+            sum(when(col("s") <= qHat, 1L).otherwise(0L)).as("covered"))
+          .select(lit(nCalib).as("n_calib"), col("n_test"),
+            lit(qHat).as("q_hat"), lit(target).as("target"),
+            round(col("covered").cast("double") / col("n_test").cast("double"), 6)
+              .as("coverage"),
+            (col("covered").cast("double") / col("n_test").cast("double")
+              >= lit(target)).as("holds"))
+    }
   }
 }

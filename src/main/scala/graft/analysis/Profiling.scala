@@ -20,15 +20,16 @@ object Profiling {
     * smallest value on ties).
     *
     * Scale shape: both slices reduce to 〈distinct value, count_ref,
-    * count_cur〉 first (one shuffle), the cumulative window runs over the
-    * DISTINCT-value spine (metric-sized for any real monitored column,
-    * never raw rows), and the argmax is a TakeOrdered(1) head. ECDF
+    * count_cur〉 first (one shuffle), the exact-ECDF cumulative counts run
+    * over the distinct-value spine via the DISTRIBUTED prefix-sum recipe
+    * ([[graft.relational.Relational.distributedCumSum]] — a continuous
+    * metric makes that spine O(n), where a bare Window.orderBy would
+    * single-task it), and the argmax is a TakeOrdered(1) head. ECDF
     * ratios stay exact-integer until one double division per spine row.
     * Output (1 row): n_ref, n_cur, ks_stat (round 6), at_value,
     * crit_05 (round 6), reject. */
   def ksDrift(
       reference: DataFrame, current: DataFrame, valCol: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     def side(df: DataFrame, a: Long, b: Long) = df
       .select(col(valCol).cast(DoubleType).as("v"))
       .filter(col("v").isNotNull)
@@ -36,14 +37,14 @@ object Profiling {
     val per = side(reference, 1L, 0L).unionByName(side(current, 0L, 1L))
       .groupBy("v").agg(sum("a").as("na"), sum("b").as("nb"))
     val tot = per.agg(sum("na").as("n_ref"), sum("nb").as("n_cur"))
-    val w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val crit = lit(1.358) * sqrt(
       (col("n_ref") + col("n_cur")).cast(DoubleType) /
         (col("n_ref") * col("n_cur")).cast(DoubleType))
-    per.crossJoin(broadcast(tot))
+    graft.relational.Relational.distributedCumSum(per, Seq("v"), Seq("na", "nb"))
+      .crossJoin(broadcast(tot))
       .withColumn("d",
-        abs(sum("na").over(w).cast(DoubleType) / col("n_ref").cast(DoubleType)
-          - sum("nb").over(w).cast(DoubleType) / col("n_cur").cast(DoubleType)))
+        abs(col("cum_na").cast(DoubleType) / col("n_ref").cast(DoubleType)
+          - col("cum_nb").cast(DoubleType) / col("n_cur").cast(DoubleType)))
       .orderBy(desc("d"), col("v")).limit(1)
       .select(col("n_ref"), col("n_cur"), round(col("d"), 6).as("ks_stat"),
         col("v").as("at_value"), round(crit, 6).as("crit_05"),
@@ -187,19 +188,28 @@ object Profiling {
     * columns (organic multiplicative data follows it; generated or
     * capped data visibly doesn't).
     *
-    * Scale shape: one projection (digit = ⌊v/10^⌊log10 v⌋⌋) + one
-    * 9-row aggregate, map-side combinable.
+    * Scale shape: one projection + one 9-row aggregate, map-side
+    * combinable. Digit extraction is LIBM-FREE (round-7 ADVICE): the
+    * first significant digit comes from the decimal string of
+    * ⌊v⌋ (or ⌊v·10¹⁸⌋ for v < 1) as a BIGINT — integer→string is exact
+    * on every engine, and the sub-1 branch's single ·1e18 is one
+    * deterministic IEEE multiply (identical bits on both engines), so no
+    * log10 whose cross-build ulp could misdigit a value at a power-of-10
+    * boundary. Domain: v ∈ [1e-18, 9e18) — values outside (none in any
+    * monitored measure this feeds) are excluded from the histogram
+    * rather than mis-binned.
     * Output per digit 1-9 present: digit, n, observed (round 6),
     * expected (round 6), abs_dev (round 6). */
   def benfordDigits(df: DataFrame, valCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val v = col(valCol).cast(DoubleType)
-    val digit = floor(v / pow(lit(10.0), floor(log10(v)))).cast("int")
+    val scaled = when(v >= 1, v).otherwise(v * lit(1e18))
+    val digit = substring(floor(scaled).cast("long").cast("string"), 1, 1).cast("int")
     val expected = benfordExpected.foldLeft(lit(null).cast(DoubleType)) {
       case (acc, (d, e)) => when(col("digit") === d, lit(e)).otherwise(acc)
     }
     val wAll = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    df.filter(v > 0)
+    df.filter(v >= lit(1e-18) && v < lit(9.0e18))
       .select(digit.as("digit"))
       .groupBy("digit").agg(count(lit(1)).as("n"))
       .withColumn("observed",
@@ -217,7 +227,8 @@ object Profiling {
     * count look stable.
     *
     * Scale shape: ONE map-side-combinable aggregate carrying four
-    * DECIMAL(38,0)-exact power sums (integer measures never overflow);
+    * DECIMAL(38,0)-exact power sums (products taken IN the decimal
+    * domain, exact for |x| < ~3e9 — x⁴ < 1e38);
     * every downstream step is deterministic IEEE arithmetic on those
     * exact sums — sqrt only, NO libm powers (skew = m₃/(m₂·√m₂)).
     * Output per group: group, n, mean, std, skewness, kurtosis_excess
@@ -231,14 +242,18 @@ object Profiling {
   def momentSums(df: DataFrame, groupCol: String, valCol: String): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
     val dec = DecimalType(38, 0)
-    val x = col(valCol).cast("long")
-    df.filter(x.isNotNull)
+    // cast to DECIMAL BEFORE multiplying: x*x*x*x in Long overflows per-row
+    // for |x| >= 55109 (an ANSI ARITHMETIC_OVERFLOW on e.g. a long
+    // document's n_chars); DECIMAL(38,0) powers stay exact to |x| < ~3e9
+    // (x⁴ < 1e38). The oracle mirrors this with HUGEINT products.
+    val xd = col(valCol).cast("long").cast(dec)
+    df.filter(col(valCol).isNotNull)
       .groupBy(col(groupCol).as("group"))
       .agg(count(lit(1)).as("n"),
-        sum(x.cast(dec)).as("s1d"),
-        sum((x * x).cast(dec)).as("s2d"),
-        sum((x * x * x).cast(dec)).as("s3d"),
-        sum((x * x * x * x).cast(dec)).as("s4d"))
+        sum(xd).as("s1d"),
+        sum(xd * xd).as("s2d"),
+        sum(xd * xd * xd).as("s3d"),
+        sum(xd * xd * xd * xd).as("s4d"))
   }
 
   def momentsProfile(
@@ -291,15 +306,17 @@ object Profiling {
     // expression-derived columns); per-pair null masks keep the n's exact
     val aggs = pairs.zipWithIndex.flatMap { case ((a, b), i) =>
       val ok = col(a).isNotNull && col(b).isNotNull
-      val x = when(ok, col(a).cast("long"))
-      val y = when(ok, col(b).cast("long"))
+      // DECIMAL before the product (same overflow fix as momentSums):
+      // x*y in Long overflows per-row once |x|·|y| >= 2^63
+      val x = when(ok, col(a).cast("long")).cast(dec)
+      val y = when(ok, col(b).cast("long")).cast(dec)
       Seq(
         sum(when(ok, 1L).otherwise(0L)).as(s"n_$i"),
-        sum(x.cast(dec)).cast(DoubleType).as(s"sx_$i"),
-        sum(y.cast(dec)).cast(DoubleType).as(s"sy_$i"),
-        sum((x * y).cast(dec)).cast(DoubleType).as(s"sxy_$i"),
-        sum((x * x).cast(dec)).cast(DoubleType).as(s"sxx_$i"),
-        sum((y * y).cast(dec)).cast(DoubleType).as(s"syy_$i"))
+        sum(x).cast(DoubleType).as(s"sx_$i"),
+        sum(y).cast(DoubleType).as(s"sy_$i"),
+        sum(x * y).cast(DoubleType).as(s"sxy_$i"),
+        sum(x * x).cast(DoubleType).as(s"sxx_$i"),
+        sum(y * y).cast(DoubleType).as(s"syy_$i"))
     }
     // eager 1-row checkpoint: each melt branch below would otherwise
     // re-run the data-sized aggregate (the q211 lesson)

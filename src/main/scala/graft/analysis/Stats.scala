@@ -277,20 +277,22 @@ object Stats {
     * t-test. Ranks use the standard midrank treatment of ties; the
     * normal approximation's variance carries the Σ(t³−t) tie term.
     *
-    * Scale shape: ONE grouped aggregate to the distinct-value grid, a
-    * cumulative window over that grid for midranks, then scalar math.
-    * Midranks are exact half-integers, so every sum is exact in doubles
-    * (no rounding ambiguity to quarantine); the only irrational step is
-    * the final sqrt (IEEE-exact). No p-value on purpose — that would
-    * need erf; the z score and the |z| > 1.96 flag are the portable
-    * deliverables.
+    * Scale shape: ONE grouped aggregate to the distinct-value grid, then a
+    * DISTRIBUTED cumulative sum over that grid for midranks (the q95
+    * range-partition + per-partition-offsets recipe via
+    * [[graft.relational.Relational.distributedCumSum]] — a continuous
+    * metric makes the distinct grid O(n), and a bare Window.orderBy would
+    * drag it through one task), then scalar math. Midranks are exact
+    * half-integers, so every sum is exact in doubles (no rounding
+    * ambiguity to quarantine); the only irrational step is the final sqrt
+    * (IEEE-exact). No p-value on purpose — that would need erf; the z
+    * score and the |z| > 1.96 flag are the portable deliverables.
     *
     * Output (1 row): n_a, n_b, u_a (round 6), z (round 6; null when the
     * variance degenerates — all values tied), significant. */
   def mannWhitneyU(
       df: DataFrame, valCol: String, armCol: String,
       armA: String = "A"): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val dec = org.apache.spark.sql.types.DecimalType(28, 6)
     val vals = df
       .select(col(armCol).cast(StringType).as("arm"), col(valCol).cast(DoubleType).as("v"))
@@ -298,11 +300,9 @@ object Stats {
     val grid = vals.groupBy("v").agg(
       sum(when(col("arm") === armA, 1L).otherwise(0L)).as("ca"),
       sum(when(col("arm") =!= armA, 1L).otherwise(0L)).as("cb"))
-    val wCum = Window.orderBy("v")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val ranked = grid
-      .withColumn("t", col("ca") + col("cb"))
-      .withColumn("cum", sum(col("t")).over(wCum))
+    val ranked = graft.relational.Relational.distributedCumSum(
+        grid.withColumn("t", col("ca") + col("cb")), Seq("v"), Seq("t"))
+      .withColumn("cum", col("cum_t"))
       // midrank of a tie group = ranks (cum-t+1 .. cum) averaged
       .withColumn("avg_rank",
         (col("cum") - col("t")).cast(DoubleType) + (col("t") + 1).cast(DoubleType) / lit(2.0))
@@ -360,11 +360,13 @@ object Stats {
   }
 
   def giniConcentration(df: DataFrame, keyCol: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val counts = df.filter(col(keyCol).isNotNull)
       .groupBy(col(keyCol).as("k")).agg(count(lit(1)).as("x"))
-    val ranked = counts
-      .withColumn("i", row_number().over(Window.orderBy(col("x"), col("k"))))
+    // global rank over (x, k) — keys are sessions/users (billions at
+    // 100 TB), so the rank is the q95 distributed recipe, never a bare
+    // Window.orderBy through one task
+    val ranked = graft.relational.Relational.distributedCumSum(
+      counts, Seq("x", "k"), Nil, rankCol = Some("i"))
     ranked
       .agg(count(lit(1)).as("n_keys"), sum("x").as("total"),
         sum(col("i") * col("x")).as("sixi"))

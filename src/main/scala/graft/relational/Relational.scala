@@ -383,6 +383,61 @@ object Relational {
     } finally { grouped.unpersist(); () }
   }
 
+  /** GLOBAL prefix sums / global rank WITHOUT a single-partition window —
+    * the q95/q182 distributed-rank recipe, factored out. A plain
+    * `Window.orderBy(...)` with no partitioning moves EVERY row through one
+    * task (Spark even warns); fine on a grid of a few thousand distinct
+    * values, a scale-killer when the frame is data-sized (billions of
+    * distinct metric values / keys at 100 TB — the round-7 verdict's #4).
+    *
+    * Shape: range-partition on `orderCols` (must form a TOTAL order — a
+    * unique key — so ranks are well-defined), aggregate per-partition
+    * totals (#partitions rows, the ONLY driver-side state), scan them into
+    * exclusive prefix offsets, broadcast back, and finish with a
+    * per-partition cumulative window. Appends to every row:
+    *   - `cum_<c>`: inclusive global prefix sum of each Long column in
+    *     `sumCols` (in `orderCols` order)
+    *   - `rankCol` (when requested): global 1-based rank as Long.
+    * The localCheckpoint pins partition ids so the offset join and the
+    * window see the same physical partitioning. */
+  def distributedCumSum(
+      df: DataFrame, orderCols: Seq[String], sumCols: Seq[String],
+      rankCol: Option[String] = None): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val spark = df.sparkSession
+    val parts = math.max(1, spark.sparkContext.defaultParallelism)
+    val ranged = df
+      .repartitionByRange(parts, orderCols.map(col): _*)
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint(true)
+    val aggCols = count(lit(1)).as("__n") +:
+      sumCols.map(c => sum(col(c)).as("__s_" + c))
+    val perPart = ranged.groupBy("__pid").agg(aggCols.head, aggCols.tail: _*)
+      .collect().sortBy(_.getAs[Int]("__pid"))
+    var accN = 0L
+    val accS = scala.collection.mutable.LinkedHashMap(sumCols.map(_ -> 0L): _*)
+    val offRows = perPart.map { r =>
+      val row = Row.fromSeq(r.getAs[Int]("__pid") +: accN +: sumCols.map(accS))
+      accN += r.getAs[Long]("__n")
+      sumCols.foreach(c => accS(c) += r.getAs[Long]("__s_" + c))
+      row
+    }
+    val offSchema = StructType(
+      StructField("__pid", IntegerType) +: StructField("__off_n", LongType) +:
+        sumCols.map(c => StructField("__off_" + c, LongType)))
+    val offDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(offRows.toIndexedSeq, 1), offSchema)
+    val wBase = Window.partitionBy("__pid").orderBy(orderCols.map(col): _*)
+    val wCum = wBase.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val withCums = sumCols.foldLeft(ranged.join(broadcast(offDf), "__pid")) {
+      (d, c) => d.withColumn("cum_" + c, col("__off_" + c) + sum(col(c)).over(wCum))
+    }
+    val out = rankCol.fold(withCums)(rc => withCums.withColumn(rc,
+      col("__off_n") + row_number().over(wBase).cast(LongType)))
+    out.drop("__pid" +: "__off_n" +: sumCols.map("__off_" + _): _*)
+  }
+
   /** EXACT quantile without a global sort: iterative bin refinement.
     * Each pass histograms the surviving value range into `bins` equal-width
     * buckets (one aggregate; per-bucket count/min/max return to the driver —
@@ -418,6 +473,17 @@ object Relational {
   private[graft] def exactQuantileProbe(
       df: DataFrame, valCol: String, q: Double, bins: Int): Option[(Double, Long, Int, Long)] = {
     require(q > 0 && q <= 1, s"q must be in (0,1], got $q")
+    exactRankProbe(df, valCol, n => math.ceil(q * n).toLong, bins)
+  }
+
+  /** [[exactQuantileProbe]] generalized to an arbitrary ORDER STATISTIC:
+    * `kOf(n)` maps the column's non-null count to the 1-based rank of the
+    * wanted value (must land in [1, n]) — e.g. conformal prediction's
+    * ⌈(n+1)(1−α)⌉ rank, which is NOT a ⌈q·n⌉ quantile of any fixed q.
+    * Same shuffle-free iterative bin refinement, same exactness. */
+  private[graft] def exactRankProbe(
+      df: DataFrame, valCol: String, kOf: Long => Long,
+      bins: Int): Option[(Double, Long, Int, Long)] = {
     val vals = df.select(col(valCol).cast("double").as("v")).filter(col("v").isNotNull)
     val head = vals.agg(count(lit(1)).as("n"), min("v").as("mn"), max("v").as("mx"))
       .collect().head
@@ -427,7 +493,8 @@ object Relational {
     if (n == 0) return None
     var lo = head.getDouble(1)
     var hi = head.getDouble(2)
-    var k = math.ceil(q * n).toLong // rank of the answer within [lo, hi] rows
+    var k = kOf(n) // rank of the answer within [lo, hi] rows
+    require(k >= 1 && k <= n, s"order statistic $k outside [1, $n]")
     var cur = vals                  // rows still in the candidate range
     var cnt = n
     var answer: Option[Double] = if (lo == hi) Some(lo) else None

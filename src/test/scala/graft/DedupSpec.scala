@@ -422,14 +422,15 @@ class DedupSpec extends SparkSpec {
       (3L, "z y x w v u t s r q p o")    // disjoint from both: j=0, decile 0
     ).toDF("doc_id", "text")
     val out = Dedup.lshTuningCurve(docs).orderBy("decile").collect()
-      .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))))
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
       .toMap
     // decile 0: the two disjoint pairs; banding never collides them
-    assert(out(0)._1 === 2L && out(0)._2 === 0L && out(0)._3 === 0.0)
+    assert(out(0)._1 === 2L && out(0)._2 === 0L && out(0)._3 === 0L)
     // decile 9: the identical pair; identical signatures always collide
-    assert(out(9) === ((1L, 1L, 1.0, 0.998816)))
-    // theoretical curve at the decile-0 midpoint: 1-(1-0.05^4)^4
-    assert(out(0)._4 === math.rint((1.0 - math.pow(1.0 - math.pow(0.05, 4), 4)) * 1e6) / 1e6)
+    assert(out(9) === ((1L, 1L, 1000000L, 998816L)))
+    // theoretical ppm curve at the decile-0 midpoint: 1-(1-0.05^4)^4
+    assert(out(0)._4 === math.round((1.0 - math.pow(1.0 - math.pow(0.05, 4), 4)) * 1e6))
+    assert(Dedup.lshTheoPpm(4, 4)(9) === 998816L)
   }
 
   test("dedup weights: 1/|cluster| per member, total gradient mass = one doc per cluster") {

@@ -318,9 +318,10 @@ class TextAnalysisSpec extends SparkSpec {
     val selected = out.filter(_.getAs[Boolean]("selected")).map(_.getAs[Long]("doc_id")).toSet
     assert(selected === (1L to 10L).toSet) // content dominates the draw
     // target docs carry positive evidence, off-target strongly negative
+    // (micro-units: BIGINT millionths since the r8 integer-gate rewrite)
     out.foreach { r =>
-      val w = r.getAs[Double]("log_w")
-      if (r.getAs[Long]("doc_id") <= 10L) assert(w > 0.0) else assert(w < -10.0)
+      val w = r.getAs[Long]("log_w_micro")
+      if (r.getAs[Long]("doc_id") <= 10L) assert(w > 0L) else assert(w < -10000000L)
     }
     val again = graft.analysis.CorpusPrep.dsirSelect(docs,
         isTarget = col("lang") === "en", nSelect = 10)
