@@ -61,6 +61,99 @@ class StreamingSketchSpec extends SparkSpec {
     }
   }
 
+  test("transformWithState funnel: crash between sink write and checkpoint " +
+      "commit; restart rolls RocksDB state back and replays the batch " +
+      "identically (exactly-once on a keyed sink)") {
+    // the StreamingSpec:219 idiom applied to the Spark-4 state API: the
+    // worst failure window is AFTER foreachBatch delivered batch N's output
+    // but BEFORE the checkpoint commit. Correctness then requires the state
+    // store to reload batch N-1's version on restart — a state commit that
+    // outlived the crash would make this processor (idempotent by its
+    // cur(i) < 0 guard) emit NOTHING on replay, silently dropping the
+    // batch from any fresh downstream consumer.
+    import graft.streaming.StreamingFunnel
+    import graft.streaming.StreamingFunnel.{Evt, StepSnapshot}
+    import org.apache.spark.sql.streaming.Trigger
+    val base = 1700000000000L
+    def iso(off: Long) = java.time.Instant.ofEpochMilli(base + off * 1000).toString
+    val inDir = tmpDir("funnel_crash_in")
+    val ckDir = tmpDir("funnel_crash_ck")
+    def evtJson(sid: String, off: Long, id: Long, tpe: String) =
+      s"""{"session_id":"$sid","event_ts":"${iso(off)}","event_id":$id,"event_type":"$tpe"}"""
+    // batch 0: s1 enters and clicks, s2 enters
+    Fixtures.writeJsonl(inDir, "part-000.json", Seq(
+      evtJson("s1", 0, 1L, "view"), evtJson("s1", 1, 2L, "click"),
+      evtJson("s2", 0, 3L, "view")))
+    // batch 1 (the crashed-and-replayed one): an UPDATE to existing state
+    // (s1 completes, s2 advances) AND a state CREATION (s3) — both paths
+    // must survive the rollback
+    Fixtures.writeJsonl(inDir, "part-001.json", Seq(
+      evtJson("s1", 2, 4L, "purchase"), evtJson("s2", 3, 5L, "click"),
+      evtJson("s3", 0, 6L, "view")))
+    val f0 = new java.io.File(inDir, "part-000.json")
+    val f1 = new java.io.File(inDir, "part-001.json")
+    assert(f0.setLastModified(f1.lastModified() - 60000))
+
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val snaps = scala.collection.concurrent.TrieMap.empty[String, Seq[Long]]
+    val batch1Attempts =
+      scala.collection.concurrent.TrieMap.empty[Int, Set[(String, Seq[Long])]]
+    @volatile var crashArmed = true
+    def run() = {
+      val src = spark.readStream
+        .schema(org.apache.spark.sql.Encoders.product[Evt].schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(inDir).as[Evt](org.apache.spark.sql.Encoders.product[Evt])
+      StreamingFunnel.stepTimes(src, Seq("view", "click", "purchase"))
+        .writeStream
+        .foreachBatch { (ds: org.apache.spark.sql.Dataset[StepSnapshot], id: Long) =>
+          val rows = ds.collect()
+          rows.foreach(s => snaps(s.session_id) = s.times) // keyed: replay-safe
+          if (id == 1L) {
+            batch1Attempts(batch1Attempts.size) =
+              rows.map(s => s.session_id -> s.times).toSet
+            if (crashArmed) { crashArmed = false; sys.error("injected crash") }
+          }
+        }
+        .option("checkpointLocation", ckDir)
+        .outputMode("update").trigger(Trigger.AvailableNow()).start()
+    }
+    try {
+      val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        run().awaitTermination()
+      }
+      assert(ex.getMessage.contains("injected crash"))
+      run().awaitTermination(120000)
+
+      // the replay REALLY happened, and both attempts delivered the SAME
+      // rows — the state store served batch 0's version the second time
+      assert(batch1Attempts.size === 2)
+      assert(batch1Attempts(0) === batch1Attempts(1))
+      assert(batch1Attempts(0).nonEmpty)
+      // end state equals the batch twin over the union of both files —
+      // nothing lost, nothing double-applied
+      val all = Seq(
+        ("s1", "view", base), ("s1", "click", base + 1000),
+        ("s2", "view", base), ("s1", "purchase", base + 2000),
+        ("s2", "click", base + 3000), ("s3", "view", base)
+      ).toDF("sid", "etype", "tsms")
+      val want = graft.analysis.Funnel
+        .stepTimes(all, Seq("view", "click", "purchase"), "sid", "etype", "tsms")
+        .collect()
+        .map(r => r.getString(0) -> Seq(1, 2, 3).map(i =>
+          if (r.isNullAt(i)) -1L else r.getLong(i)))
+        .toMap
+      assert(snaps.toMap === want)
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("streaming markov transitions equal the batch chain once sessions time out") {
     import graft.streaming.StreamingMarkov
     import graft.streaming.StreamingMarkov.{Evt, Transition}
