@@ -96,7 +96,12 @@ object ScaleUp {
 
   /** Circular left-rotation of a fixed-dim array by `by` positions —
     * an isometry, so within-copy distance structure is exactly preserved. */
-  private def rotate(v: Column, by: Column, dim: Int): Column =
-    when(by === 0, v).otherwise(
-      concat(slice(v, by + 1, lit(dim) - by), slice(v, lit(1), by)))
+  private def rotate(v: Column, by: Column, dim: Int): Column = {
+    // modulo the dimension: factors > dim (the 100x run) would otherwise
+    // ask slice() for a negative length; a 0-rotation copy (c = k*dim)
+    // still decorrelates from the original via its id shift
+    val r = by % dim
+    when(r === 0, v).otherwise(
+      concat(slice(v, r + 1, lit(dim) - r), slice(v, lit(1), r)))
+  }
 }

@@ -29,6 +29,50 @@ object SparkEntry {
     martQueries ++ relationalQueries ++ analysisQueries
 
   private def analysisQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // pass@k (the Codex sampling-eval estimator) over per-user attempt
+    // sets (purchase = correct): unbiased 1 - C(n-c,k)/C(n,k) as one
+    // left-assoc IEEE factor chain, micro-quantized - all-BIGINT gate
+    "q227_pass_at_k" -> { (s, d) =>
+      val ev = TestData.eventsRaw(s, d)
+      graft.analysis.Features.passAtK(
+        ev.select(col("user_id"), (col("event_type") === "purchase").as("ok")),
+        "user_id", "ok", ks = Seq(1, 5, 10))
+    },
+    // Bradley-Terry preference ratings (arena/RLHF aggregation): one game
+    // per session - the last-clicked distinct doc beats the first-clicked -
+    // items capped to the 20 most-played, 5 MM iterations entirely in
+    // BIGINT micro-units (integer-input IEEE ops only, so the unrolled
+    // oracle CTEs land on identical bits on any engine build)
+    "q224_bradley_terry" -> { (s, d) =>
+      val c = TestData.clicks(s, d)
+        .filter(col("event_type") === "click" && col("document_id").isNotNull)
+      val g = c.groupBy("session_id").agg(
+        min(struct(col("event_ts"), col("event_id"), col("document_id"))).as("f"),
+        max(struct(col("event_ts"), col("event_id"), col("document_id"))).as("l"))
+        .select(col("l.document_id").as("winner"), col("f.document_id").as("loser"))
+        .filter(col("winner") =!= col("loser"))
+      graft.analysis.Stats.bradleyTerry(g, "winner", "loser", iters = 5, topK = 20)
+    },
+    // tokenizer vocab-budget curve: top-V types by corpus frequency (rank
+    // via the q95 distributed recipe, never a single-task window), per-
+    // source OOV rate at each budget; all gate columns BIGINT (ppm)
+    "q225_vocab_coverage" -> { (s, d) =>
+      TextAnalysis.vocabCoverage(TestData.documents(s, d),
+        budgets = Seq(4, 8, 16, 32))
+    },
+    // rank-biased overlap between the two q128 rankings (clicks-ranked vs
+    // session-reach-ranked top-10): geometric weights are driver literals,
+    // per-depth terms BIGINT-quantized by one fixed IEEE chain, running
+    // RBO an exact integer prefix sum - no engine float on the gate
+    "q226_rank_biased_overlap" -> { (s, d) =>
+      val clicks = TestData.clicks(s, d).filter(col("document_id").isNotNull)
+      graft.analysis.SearchRank.rankBiasedOverlap(
+        clicks.groupBy(col("document_id").as("doc")).agg(count(lit(1)).as("n_clicks")),
+        clicks.groupBy(col("document_id").as("doc"))
+          .agg(countDistinct("session_id").as("n_sessions")),
+        depth = 10, p = 0.9,
+        orderA = Seq(desc("n_clicks")), orderB = Seq(desc("n_sessions")))
+    },
     // exact sequential CUSUM (Page) via the cumsum - running-min closed
     // form over the dense hourly spine; q66's level-shift windows are the
     // approximation, this is the statistic itself
@@ -2087,6 +2131,126 @@ object SparkEntry {
        |  FROM ft CROSS JOIN w$iters)"""
   }
 
+  /** q224: the Bradley-Terry MM loop unrolled — each iteration is the
+    * same two integer-input IEEE floor chains the Scala driver loop runs
+    * (term floor(n·10¹²/(Wᵢ+Wⱼ)+0.5), update floor(Wins·10¹²/den+0.5)),
+    * so every wm is bit-identical on any engine build. */
+  private def btOracle(iters: Int, topK: Int): String = {
+    // every CTE MATERIALIZED: each iteration references the previous one
+    // three times, and inlining re-expands the whole subtree ~4× per round
+    // (measured: 5 unrolled rounds inline past 600 s; materialized 0.45 s)
+    val iterCtes = (1 to iters).map { k =>
+      val prev = s"w${k - 1}"
+      s"""d$k AS MATERIALIZED (
+         |  SELECT nb2.a AS item,
+         |    CAST(sum(CAST(floor(nb2.nij * 1000000000000.0 / (wa.wm + wb.wm) + 0.5) AS BIGINT)) AS BIGINT) AS den
+         |  FROM nb2 JOIN $prev wa ON nb2.a = wa.item JOIN $prev wb ON nb2.b = wb.item
+         |  GROUP BY 1),
+         |w$k AS MATERIALIZED (
+         |  SELECT p.item,
+         |    CAST(floor((COALESCE(wn.w, 0) + 1) * 1000000000000.0 /
+         |      (COALESCE(dd.den, 0) + CAST(floor(2000000000000.0 / (p.wm + 1000000) + 0.5) AS BIGINT))
+         |      + 0.5) AS BIGINT) AS wm
+         |  FROM $prev p LEFT JOIN wins wn ON p.item = wn.item
+         |  LEFT JOIN d$k dd ON p.item = dd.item)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH c AS MATERIALIZED (
+       |  SELECT user_id AS sid, ts, event_id, CAST(props->>'$$.k' AS INTEGER) AS doc
+       |  FROM events
+       |  WHERE event_type = 'click' AND CAST(props->>'$$.k' AS INTEGER) IS NOT NULL),
+       |r AS MATERIALIZED (
+       |  SELECT sid, doc,
+       |    row_number() OVER (PARTITION BY sid ORDER BY ts, event_id) AS rn,
+       |    count(*) OVER (PARTITION BY sid) AS cnt
+       |  FROM c),
+       |g AS MATERIALIZED (
+       |  SELECT l.doc AS winner, f.doc AS loser
+       |  FROM (SELECT sid, doc FROM r WHERE rn = 1) f
+       |  JOIN (SELECT sid, doc FROM r WHERE rn = cnt) l USING (sid)
+       |  WHERE f.doc <> l.doc),
+       |app AS MATERIALIZED (SELECT winner AS item FROM g UNION ALL SELECT loser AS item FROM g),
+       |top AS MATERIALIZED (SELECT item FROM (SELECT item, count(*) AS n FROM app GROUP BY 1)
+       |        ORDER BY n DESC, item LIMIT $topK),
+       |kept AS MATERIALIZED (
+       |  SELECT g.winner, g.loser FROM g
+       |  JOIN top t1 ON g.winner = t1.item JOIN top t2 ON g.loser = t2.item),
+       |grid AS MATERIALIZED (SELECT winner, loser, CAST(count(*) AS BIGINT) AS n FROM kept GROUP BY 1, 2),
+       |items AS MATERIALIZED (SELECT winner AS item FROM grid UNION SELECT loser AS item FROM grid),
+       |wins AS MATERIALIZED (SELECT winner AS item, CAST(sum(n) AS BIGINT) AS w FROM grid GROUP BY 1),
+       |losses AS MATERIALIZED (SELECT loser AS item, CAST(sum(n) AS BIGINT) AS l FROM grid GROUP BY 1),
+       |nb AS MATERIALIZED (
+       |  SELECT least(winner, loser) AS i, greatest(winner, loser) AS j,
+       |    CAST(sum(n) AS BIGINT) AS nij
+       |  FROM grid GROUP BY 1, 2),
+       |nb2 AS MATERIALIZED (SELECT i AS a, j AS b, nij FROM nb
+       |        UNION ALL SELECT j AS a, i AS b, nij FROM nb),
+       |w0 AS MATERIALIZED (SELECT item, CAST(1000000 AS BIGINT) AS wm FROM items),
+       |$iterCtes,
+       |tot AS MATERIALIZED (SELECT CAST(sum(wm) AS BIGINT) AS t FROM w$iters)
+       |SELECT CAST(it.item AS BIGINT) AS item,
+       |  CAST(COALESCE(wn.w, 0) AS BIGINT) AS n_wins,
+       |  CAST(COALESCE(ls.l, 0) AS BIGINT) AS n_losses,
+       |  wf.wm AS rating_micro,
+       |  (2 * wf.wm * 1000000 + tot.t) // (2 * tot.t) AS rating_ppm
+       |FROM items it JOIN w$iters wf ON it.item = wf.item
+       |LEFT JOIN wins wn ON it.item = wn.item
+       |LEFT JOIN losses ls ON it.item = ls.item
+       |CROSS JOIN tot
+       |ORDER BY rating_micro DESC, item""".stripMargin
+  }
+
+  /** q227: pass@k per k arm — the combinatorial ratio spelled out as the
+    * SAME left-assoc integer-input IEEE factor chain the plan builds, so
+    * the micro quantization lands on identical doubles on both engines. */
+  private def passAtKOracle(ks: Seq[Int]): String = {
+    val arms = ks.distinct.sorted.map { k =>
+      val prod = (0 until k)
+        .map(i => s"((n - c - $i)::DOUBLE / (n - $i))").mkString(" * ")
+      s"""SELECT $k AS k, CAST(count(*) AS BIGINT) AS n_tasks,
+         |  CAST(sum(pass_micro) AS BIGINT) AS sum_pass_micro,
+         |  CASE WHEN count(*) = 0 THEN NULL
+         |       ELSE (2 * CAST(sum(pass_micro) AS BIGINT) + count(*)) // (2 * count(*)) END AS mean_pass_micro
+         |FROM (
+         |  SELECT CASE WHEN n - c < $k THEN CAST(1000000 AS BIGINT)
+         |              ELSE 1000000 - CAST(floor($prod * 1000000.0 + 0.5) AS BIGINT) END AS pass_micro
+         |  FROM t WHERE n >= $k)""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH t AS MATERIALIZED (
+       |  SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+       |    CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS c
+       |  FROM events WHERE user_id IS NOT NULL GROUP BY 1)
+       |$arms
+       |ORDER BY k""".stripMargin
+  }
+
+  /** q226: truncated RBO with the SAME JVM-computed weight doubles as the
+    * plan, embedded via Double.toString (exact round-trip). */
+  private def rboOracle(depth: Int, p: Double): String = {
+    val weights = (1 to depth).scanLeft(1.0 - p)((w, _) => w * p).init
+    val wList = weights.map(_.toString).mkString("[", ", ", "]")
+    s"""WITH c AS (
+       |  SELECT user_id AS sid, CAST(props->>'$$.k' AS INTEGER) AS doc FROM events
+       |  WHERE CAST(props->>'$$.k' AS INTEGER) IS NOT NULL),
+       |ca AS (SELECT doc, count(*) AS n_clicks FROM c GROUP BY 1),
+       |cb AS (SELECT doc, count(DISTINCT sid) AS n_sessions FROM c GROUP BY 1),
+       |ra AS (SELECT doc, row_number() OVER (ORDER BY n_clicks DESC, doc) AS r
+       |       FROM (SELECT * FROM ca ORDER BY n_clicks DESC, doc LIMIT $depth)),
+       |rb AS (SELECT doc, row_number() OVER (ORDER BY n_sessions DESC, doc) AS rr
+       |       FROM (SELECT * FROM cb ORDER BY n_sessions DESC, doc LIMIT $depth)),
+       |pr AS (SELECT greatest(ra.r, rb.rr) AS m FROM ra JOIN rb USING (doc)),
+       |sp AS (SELECT CAST(unnest(range(1, ${depth + 1})) AS INT) AS depth),
+       |ov AS (
+       |  SELECT sp.depth, CAST(count(pr.m) AS BIGINT) AS n_overlap
+       |  FROM sp LEFT JOIN pr ON pr.m <= sp.depth GROUP BY 1),
+       |t AS (
+       |  SELECT depth, n_overlap,
+       |    CAST(floor(($wList)[depth] * n_overlap / depth * 1000000.0 + 0.5) AS BIGINT) AS term_micro
+       |  FROM ov)
+       |SELECT depth, n_overlap, term_micro,
+       |  CAST(sum(term_micro) OVER (ORDER BY depth ROWS UNBOUNDED PRECEDING) AS BIGINT) AS rbo_cum_micro
+       |FROM t ORDER BY depth""".stripMargin
+  }
+
   private def logregOracle(iters: Int): String = {
     val out = logregFeats.zipWithIndex.map { case (f, d) =>
       s"SELECT $d AS dim, '$f' AS feature, round(w_$f, 6) AS weight FROM w$iters"
@@ -2686,6 +2850,33 @@ object SparkEntry {
        |ORDER BY config""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
+    // same spelled-out left-assoc factor products per k
+    "q227_pass_at_k" -> passAtKOracle(Seq(1, 5, 10)),
+    // the MM loop unrolled; identical integer-IEEE floor chains per round
+    "q224_bradley_terry" -> btOracle(iters = 5, topK = 20),
+    // same tokenization, rank (count desc, tok), budgets grid, ppm div
+    "q225_vocab_coverage" ->
+      """WITH tok AS (
+        |  SELECT source,
+        |    unnest(list_filter(string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')), ' '), x -> x <> '')) AS tok
+        |  FROM documents),
+        |st AS (SELECT source, tok, CAST(count(*) AS BIGINT) AS n FROM tok GROUP BY 1, 2),
+        |tc AS (SELECT tok, CAST(sum(n) AS BIGINT) AS c FROM st GROUP BY 1),
+        |rk AS (SELECT tok, row_number() OVER (ORDER BY c DESC, tok) AS r FROM tc),
+        |bud AS (SELECT CAST(unnest([4, 8, 16, 32]) AS INT) AS budget),
+        |oov AS (
+        |  SELECT b.budget, st.source, CAST(sum(st.n) AS BIGINT) AS n_oov
+        |  FROM st JOIN rk USING (tok) CROSS JOIN bud b
+        |  WHERE rk.r > b.budget GROUP BY 1, 2),
+        |tot AS (SELECT source, CAST(sum(n) AS BIGINT) AS n_tokens FROM st GROUP BY 1)
+        |SELECT b.budget, t.source, t.n_tokens,
+        |  CAST(COALESCE(o.n_oov, 0) AS BIGINT) AS n_oov,
+        |  (CAST(COALESCE(o.n_oov, 0) AS BIGINT) * 2000000 + t.n_tokens) // (2 * t.n_tokens) AS oov_ppm
+        |FROM bud b CROSS JOIN tot t
+        |LEFT JOIN oov o ON o.budget = b.budget AND o.source = t.source
+        |ORDER BY 1, 2""".stripMargin,
+    // literal weights, one fixed IEEE chain per depth, integer prefix sum
+    "q226_rank_biased_overlap" -> rboOracle(depth = 10, p = 0.9),
     // same dense spine, same DECIMAL term cumsum and running min, same
     // k=0.5/h=4 defaults
     "q223_cusum" ->

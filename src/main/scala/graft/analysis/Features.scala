@@ -173,15 +173,16 @@ object Features {
       scored: DataFrame,
       scoreCol: String = "score",
       labelCol: String = "y"): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+    // exclusive prefix counts over the distinct-score grid via the
+    // distributed recipe (continuous scores make the grid O(n); inclusive
+    // cum minus the row's own count = the strict-predecessor sum)
     val g = scored
       .groupBy(col(scoreCol).as("t"))
       .agg(sum(col(labelCol).cast("long")).as("np"),
         (count(lit(1)) - sum(col(labelCol).cast("long"))).as("nn"))
-    val w = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
-    val c = g
-      .withColumn("cump", coalesce(sum("np").over(w), lit(0L)))
-      .withColumn("cumn", coalesce(sum("nn").over(w), lit(0L)))
+    val c = graft.relational.Relational.distributedCumSum(g, Seq("t"), Seq("np", "nn"))
+      .withColumn("cump", col("cum_np") - col("np"))
+      .withColumn("cumn", col("cum_nn") - col("nn"))
     val tot = g.agg(sum("np").as("tp_all"), sum("nn").as("nn_all"))
     val m = c.crossJoin(broadcast(tot))
       .select(col("t").as("threshold"),
@@ -236,10 +237,18 @@ object Features {
     def resid(df: DataFrame) =
       df.select(abs(col(labelCol) - col(scoreCol)).cast("double").as("s"))
     val target = (10000 - alphaBp) / 10000.0
+    // persist the residual column across the probe's refinement passes:
+    // calib often arrives with an expensive lineage (a trained scorer),
+    // and each pass would otherwise re-run it end-to-end (measured 2.5 s
+    // -> sub-second at sf0.1 on q175's logreg chain)
+    val calRes = resid(calib)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // k = ceil((n+1)(1-alpha)) in pure integer arithmetic; clamped to n
-    graft.relational.Relational.exactRankProbe(resid(calib), "s",
+    val probed = try graft.relational.Relational.exactRankProbe(calRes, "s",
         n => math.min(((n + 1) * (10000L - alphaBp) + 9999L) / 10000L, n),
-        bins = 1024) match {
+        bins = 1024)
+      finally { calRes.unpersist(); () }
+    probed match {
       case None =>
         // empty calibration slice: no q̂ exists — mirror the pre-r8
         // degenerate shape (null report, zero counts), not a crash
@@ -259,5 +268,62 @@ object Features {
             (col("covered").cast("double") / col("n_test").cast("double")
               >= lit(target)).as("holds"))
     }
+  }
+
+  /** pass@k (Chen et al., 2021 — the Codex estimator): per task with n
+    * sampled attempts of which c are correct, the unbiased probability
+    * that at least one of k drawn attempts is correct,
+    * pass@k = 1 − C(n−c, k)/C(n, k), aggregated to a per-k corpus mean.
+    * THE sampling-eval metric for generation tasks; here over any
+    * (task, correct-flag) attempt frame.
+    *
+    * Scale shape: attempts reduce to 〈task, n, c〉 in one map-side
+    * combinable aggregate; the k-grid cross join and the factor products
+    * run on that task-sized frame with a ≤|ks| fan-out; the final report
+    * is |ks| rows. Nothing data-sized after the first shuffle.
+    *
+    * Cross-build portability: the combinatorial ratio is evaluated as the
+    * left-assoc product Π_{i<k}(n−c−i)/(n−i) — integer-input IEEE
+    * divisions and multiplies, bit-identical on any engine (no factorials
+    * to overflow, no lgamma) — then quantized once to BIGINT micro-units;
+    * sums and the per-k mean are round-half-up integer division. Tasks
+    * with n < k are excluded (the estimator is undefined there);
+    * n−c < k ⇒ C(n−c,k)=0 ⇒ pass@k exactly 1.
+    * Output per k (asc): k, n_tasks, sum_pass_micro, mean_pass_micro. */
+  def passAtK(
+      attempts: DataFrame,
+      taskCol: String,
+      correctCol: String,
+      ks: Seq[Int] = Seq(1, 5, 10)): DataFrame = {
+    require(ks.nonEmpty && ks.forall(_ >= 1), "ks must be >= 1")
+    val spark = attempts.sparkSession
+    import spark.implicits._
+    val perTask = attempts
+      .filter(col(taskCol).isNotNull)
+      .groupBy(col(taskCol).as("task"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col(correctCol), 1L).otherwise(0L)).as("c"))
+      // one branch per k below — without the checkpoint each branch
+      // re-runs the data-sized attempt aggregate (the q211 melt lesson)
+      .localCheckpoint(true)
+    val kRows = ks.distinct.sorted.map { k =>
+      // Π_{i<k} (n−c−i)/(n−i), built as one fixed left-assoc chain so the
+      // oracle's spelled-out product lands on identical doubles
+      val prod = (0 until k)
+        .map(i => (col("n") - col("c") - lit(i)).cast("double") /
+          (col("n") - lit(i)).cast("double"))
+        .reduce(_ * _)
+      val failMicro = when(col("n") - col("c") < k, lit(0L))
+        .otherwise(floor(prod * lit(1e6) + lit(0.5)).cast("long"))
+      perTask.filter(col("n") >= k)
+        .select((lit(1000000L) - failMicro).as("pass_micro"))
+        .agg(count(lit(1)).as("n_tasks"), sum("pass_micro").as("sum_pass_micro"))
+        .select(lit(k).as("k"), col("n_tasks"), col("sum_pass_micro"),
+          // null, not a division-by-zero, when no task has n >= k
+          expr("CASE WHEN n_tasks = 0 THEN NULL " +
+            "ELSE (2 * sum_pass_micro + n_tasks) div (2 * n_tasks) END")
+            .as("mean_pass_micro"))
+    }
+    kRows.reduce(_.unionByName(_)).orderBy("k")
   }
 }

@@ -255,4 +255,69 @@ object SearchRank {
           6).as("mrr"),
         round(col("dcg") / col("idcg"), 6).as("ndcg"))
   }
+
+  /** Truncated rank-biased overlap (Webber et al., TOIS'10) between two
+    * top-`depth` rankings — the top-weighted similarity of two retrieval
+    * systems (lexical vs semantic, yesterday vs today): at each depth d,
+    * agreement A_d = |A₁..d ∩ B₁..d| / d, weighted (1−p)·p^(d−1) so rank-1
+    * disagreement dominates. Unlike Kendall/Spearman it handles
+    * non-conjoint lists (each side may rank docs the other never saw).
+    *
+    * Scale shape: both inputs reduce to their top-`depth` FIRST
+    * (TakeOrderedAndProject, the q06/q128 rule), so everything downstream
+    * — the position join, the depth spine, the cumulative overlap — runs
+    * on ≤ 2·depth rows regardless of corpus size.
+    *
+    * Cross-build portability: the geometric weights are driver-computed
+    * literal doubles (the md5-constant recipe — identical bits in plan and
+    * oracle via Double.toString); each depth's term is quantized to BIGINT
+    * micro-units by one fixed left-assoc IEEE chain
+    * floor(w_d·overlap/d·10⁶ + 0.5), and the running RBO is an exact
+    * integer prefix sum over the ≤ depth-row spine. No engine-evaluated
+    * transcendental anywhere.
+    * Output per depth 1..`depth`: depth, n_overlap, term_micro,
+    * rbo_cum_micro (BIGINT ×10⁻⁶ = truncated RBO at that depth). */
+  def rankBiasedOverlap(
+      a: DataFrame,
+      b: DataFrame,
+      depth: Int = 10,
+      p: Double = 0.9,
+      idCol: String = "doc",
+      orderA: Seq[Column] = Nil,
+      orderB: Seq[Column] = Nil): DataFrame = {
+    require(depth >= 1 && p > 0 && p < 1, s"need depth >= 1, p in (0,1)")
+    import org.apache.spark.sql.expressions.Window
+    val spark = a.sparkSession
+    def topRanked(df: DataFrame, order: Seq[Column]): DataFrame = {
+      val ord = (if (order.isEmpty) Nil else order) :+ col(idCol)
+      // TakeOrdered to `depth` rows FIRST; the rank window then runs over
+      // those rows only (the q06 W2 idiom)
+      df.orderBy(ord: _*).limit(depth)
+        .withColumn("r", row_number().over(Window.orderBy(ord: _*)))
+        .select(col(idCol), col("r"))
+    }
+    val ra = topRanked(a, orderA)
+    val rb = topRanked(b, orderB)
+    // a doc in both lists contributes to every depth >= max(rank_a, rank_b)
+    val pairs = ra.join(rb.withColumnRenamed("r", "rb"), idCol)
+      .select(greatest(col("r"), col("rb")).as("m"))
+    val spine = spark.range(1, depth + 1).select(col("id").cast("int").as("depth"))
+    // (1-p)p^(d-1) via plain JVM multiplication, embedded as literals
+    val weights = (1 to depth).scanLeft(1.0 - p)((w, _) => w * p).init
+    val wCol = element_at(array(weights.map(lit(_)): _*), col("depth"))
+    val overlaps = spine
+      .join(pairs, col("m") <= col("depth"), "left")
+      .groupBy("depth").agg(count(col("m")).as("n_overlap"))
+    val wCum = Window.orderBy("depth")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    overlaps
+      // one fixed left-assoc IEEE chain, mirrored verbatim in the oracle
+      .withColumn("term_micro",
+        floor(wCol * col("n_overlap") / col("depth") * lit(1e6) + lit(0.5))
+          .cast("long"))
+      .withColumn("rbo_cum_micro", sum("term_micro").over(wCum))
+      .select(col("depth"), col("n_overlap"), col("term_micro"),
+        col("rbo_cum_micro"))
+      .orderBy("depth")
+  }
 }

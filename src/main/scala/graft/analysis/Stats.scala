@@ -376,4 +376,88 @@ object Stats {
             (col("n_keys").cast(DoubleType) * col("total").cast(DoubleType)),
           6).as("gini"))
   }
+
+  /** Bradley–Terry strength ratings from pairwise preferences — the
+    * arena-leaderboard / RLHF-preference-aggregation estimator: items get
+    * latent strengths w with P(i beats j) = w_i/(w_i+w_j), fit by `iters`
+    * fixed MM iterations (Hunter 2004): w_i ← Wins_i / Σ_j n_ij/(w_i+w_j),
+    * with the standard ghost-opponent regularization (each item plays one
+    * extra win and one extra loss against a fixed strength-1 ghost) so the
+    * comparison graph is always connected and winless items decay rather
+    * than freeze at the start value.
+    *
+    * Scale shape: the data-sized stage is ONE aggregate of `games`
+    * (winnerCol, loserCol rows) to a directed win-count grid; items are
+    * capped to the `topK` most-played (TakeOrdered, ties on item asc), so
+    * the grid is ≤ topK² rows — MODEL-sized by construction (arena items
+    * are models/sources, not documents), and the MM loop runs driver-side
+    * on that grid the way the IVF codebooks do, never touching the data
+    * again. At 100 TB only the first aggregate grows.
+    *
+    * Cross-build portability (the q165/q180 lesson): ratings live in BIGINT
+    * micro-units the entire loop. Each MM term is quantized
+    * floor(n_ij·10¹²/(W_i+W_j)+0.5) — integer-input IEEE multiply/divide
+    * then floor, bit-identical on any engine — summed in exact Long, and
+    * the rating update floor(Wins_i·10¹²/denom+0.5) is the same shape, so
+    * the whole iteration is expressible verbatim in the DuckDB oracle
+    * (unrolled CTEs) with zero engine-build-sensitive arithmetic.
+    *
+    * Output per top-K item, (rating desc, item asc): item, n_wins,
+    * n_losses, rating_micro (BIGINT, unnormalized MM fixed point after
+    * `iters` rounds, start 10⁶), rating_ppm (BIGINT share of total). */
+  def bradleyTerry(
+      games: DataFrame,
+      winnerCol: String,
+      loserCol: String,
+      iters: Int = 5,
+      topK: Int = 20): DataFrame = {
+    require(iters >= 1 && topK >= 2, s"need iters >= 1, topK >= 2")
+    val spark = games.sparkSession
+    val g = games.select(col(winnerCol).cast("long").as("wi"),
+        col(loserCol).cast("long").as("li"))
+      .filter(col("wi").isNotNull && col("li").isNotNull && col("wi") =!= col("li"))
+    val appearances = g.select(col("wi").as("item"))
+      .unionByName(g.select(col("li").as("item")))
+      .groupBy("item").agg(count(lit(1)).as("n_games"))
+    val top = appearances.orderBy(desc("n_games"), col("item")).limit(topK)
+      .select(col("item"))
+    val kept = g
+      .join(broadcast(top.withColumnRenamed("item", "wi")), Seq("wi"))
+      .join(broadcast(top.withColumnRenamed("item", "li")), Seq("li"))
+    // ≤ topK² rows: the directed win grid IS the model
+    val grid = kept.groupBy("wi", "li").agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))) // (winner, loser, n)
+    val items = grid.flatMap { case (w, l, _) => Seq(w, l) }.distinct.sorted
+    val wins = grid.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    val losses = grid.groupBy(_._2).view.mapValues(_.map(_._3).sum).toMap
+    // symmetric games-between counts n_ij (i<j folded both ways)
+    val nBetween = grid.groupBy { case (w, l, _) => if (w < l) (w, l) else (l, w) }
+      .view.mapValues(_.map(_._3).sum).toMap
+    var rating = items.map(_ -> 1000000L).toMap // micro-units, start 1.0
+    for (_ <- 1 to iters) {
+      rating = items.map { i =>
+        // ghost-opponent regularization (the standard connectivity fix):
+        // every item also plays one win + one loss against a fixed
+        // 1.0-rated ghost, so zero-win items decay instead of freezing at
+        // the start value and the MM map is total with no zero guards
+        val denomMicro = items.iterator.filter(_ != i).map { j =>
+          val nij = nBetween.getOrElse(if (i < j) (i, j) else (j, i), 0L)
+          if (nij == 0) 0L
+          else math.floor(nij * 1e12 / (rating(i) + rating(j)) + 0.5).toLong
+        }.sum + // exact Long sum — order-free by construction
+          math.floor(2 * 1e12 / (rating(i) + 1000000L) + 0.5).toLong
+        val wi = wins.getOrElse(i, 0L) + 1L
+        i -> math.floor(wi * 1e12 / denomMicro + 0.5).toLong
+      }.toMap
+    }
+    val totalMicro = items.map(rating).sum
+    val rows = items.map { i =>
+      val r = rating(i)
+      (i, wins.getOrElse(i, 0L), losses.getOrElse(i, 0L), r,
+        (2 * r * 1000000L + totalMicro) / (2 * totalMicro)) // round-half-up ppm
+    }
+    import spark.implicits._
+    rows.toSeq.toDF("item", "n_wins", "n_losses", "rating_micro", "rating_ppm")
+      .orderBy(desc("rating_micro"), col("item"))
+  }
 }

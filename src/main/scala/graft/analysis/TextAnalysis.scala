@@ -817,4 +817,57 @@ object TextAnalysis {
       .select(idCol, "n_tokens", "avg_token_len", "stopword_ratio",
         "uniq_ratio", "r_word_count", "r_mean_word_len", "r_stopword",
         "r_diversity", "keep")
+
+  /** Tokenizer vocab-budget design curve: for each budget V in `budgets`,
+    * the vocabulary is the top-V token types by whole-corpus frequency
+    * (ties on token asc — a total order, so the cut is exactly
+    * reproducible), and each source is measured for its out-of-vocabulary
+    * token rate under that budget. The V-vs-OOV tradeoff is the first
+    * question of tokenizer design over a mixed corpus; a source whose OOV
+    * rate stays high as V grows is vocabulary-divergent from the mix
+    * (cf. [[tokenFertility]], which measures the subword side).
+    *
+    * Scale shape: tokens reduce to 〈source, type, count〉 in one map-side
+    * combinable shuffle; the global frequency rank runs over the
+    * VOCABULARY-sized type frame via the distributed-rank recipe
+    * ([[graft.relational.Relational.distributedCumSum]] — web-scale type
+    * counts are 100M+, no single-task window); the budget grid is a
+    * broadcast range join against ranks, grid-sized output.
+    *
+    * Cross-build portability: every gate column is BIGINT — oov_ppm is
+    * the round-half-up integer ppm division (the q180 recipe).
+    * Output per (budget, source), both asc: budget, source, n_tokens,
+    * n_oov, oov_ppm. */
+  def vocabCoverage(
+      docs: DataFrame,
+      budgets: Seq[Int] = Seq(1000, 2000, 4000, 8000),
+      textCol: String = "text",
+      srcCol: String = "source"): DataFrame = {
+    require(budgets.nonEmpty && budgets.forall(_ > 0), "budgets must be positive")
+    val spark = docs.sparkSession
+    val tok = docs.select(col(srcCol).as("source"),
+      explode(array_remove(tokens(col(textCol)), "")).as("tok"))
+    val bySourceType = tok.groupBy("source", "tok").agg(count(lit(1)).as("n"))
+    val typeCounts = bySourceType.groupBy("tok").agg(sum("n").as("c"))
+    // global rank by (count desc, token asc): negate the count so the
+    // recipe's ascending range partitioning yields the descending rank
+    val ranked = graft.relational.Relational.distributedCumSum(
+        typeCounts.withColumn("negc", -col("c")), Seq("negc", "tok"), Nil,
+        rankCol = Some("r"))
+      .select(col("tok"), col("r"))
+    import spark.implicits._
+    val grid = budgets.sorted.toDF("budget")
+    val perSource = bySourceType.join(ranked, "tok")
+    val totals = bySourceType.groupBy("source").agg(sum("n").as("n_tokens"))
+    perSource
+      .crossJoin(broadcast(grid))
+      .filter(col("r") > col("budget")) // OOV under this budget
+      .groupBy("budget", "source").agg(sum("n").as("n_oov"))
+      .join(broadcast(grid).crossJoin(totals), Seq("budget", "source"), "right")
+      .select(col("budget"), col("source"), col("n_tokens"),
+        coalesce(col("n_oov"), lit(0L)).as("n_oov"))
+      .withColumn("oov_ppm",
+        expr("(n_oov * 2000000 + n_tokens) div (2 * n_tokens)"))
+      .orderBy("budget", "source")
+  }
 }

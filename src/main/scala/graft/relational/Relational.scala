@@ -438,6 +438,50 @@ object Relational {
     out.drop("__pid" +: "__off_n" +: sumCols.map("__off_" + _): _*)
   }
 
+  /** [[distributedCumSum]]'s MIN twin: appends `cummin_<c>` — the global
+    * inclusive running minimum of each `minCols` column in `orderCols`
+    * order — without a single-partition window. Same range-partition
+    * shape; the cross-partition offsets are an EXCLUSIVE running min over
+    * the per-partition minima, computed with a window over the
+    * #partitions-row aggregate (bounded by cluster parallelism, never
+    * data size), type-preserving for any orderable column. `descending`
+    * flips the range partitioning AND the window order, for sweeps like
+    * the Pareto frontier that scan from the top. */
+  def distributedCumMin(
+      df: DataFrame, orderCols: Seq[String], minCols: Seq[String],
+      descending: Boolean = false,
+      inclusive: Boolean = true): DataFrame = {
+    val spark = df.sparkSession
+    val parts = math.max(1, spark.sparkContext.defaultParallelism)
+    val ord: Seq[Column] =
+      if (descending) orderCols.map(c => col(c).desc) else orderCols.map(col)
+    val ranged = df
+      .repartitionByRange(parts, ord: _*)
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint(true)
+    val aggCols = minCols.map(c => min(col(c)).as("__m_" + c))
+    val perPart = ranged.groupBy("__pid").agg(aggCols.head, aggCols.tail: _*)
+    // exclusive cross-partition prefix min: #partitions rows, so the
+    // single-partition window here is bounded by parallelism, not data
+    val wOff = Window.orderBy("__pid")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offDf = minCols.foldLeft(perPart) { (d, c) =>
+      d.withColumn("__off_" + c, min(col("__m_" + c)).over(wOff))
+    }.select(col("__pid") +: minCols.map(c => col("__off_" + c)): _*)
+    // `inclusive = false` gives the strict-predecessor min (sweep-line
+    // form): the very first row gets null, matching a bare
+    // rowsBetween(unboundedPreceding, -1) window
+    val wCum = Window.partitionBy("__pid").orderBy(ord: _*)
+      .rowsBetween(Window.unboundedPreceding, if (inclusive) 0 else -1)
+    val withMins = minCols.foldLeft(ranged.join(broadcast(offDf), "__pid")) {
+      // least() skips nulls, so the first partition (null offset) falls
+      // back to its in-partition running min
+      (d, c) => d.withColumn("cummin_" + c,
+        least(min(col(c)).over(wCum), col("__off_" + c)))
+    }
+    withMins.drop("__pid" +: minCols.map("__off_" + _): _*)
+  }
+
   /** EXACT quantile without a global sort: iterative bin refinement.
     * Each pass histograms the surviving value range into `bins` equal-width
     * buckets (one aggregate; per-bucket count/min/max return to the driver —
@@ -635,15 +679,15 @@ object Relational {
     * Output: the input row projection idCol, maxCol, minCol. */
   def paretoFrontier(
       df: DataFrame, idCol: String, maxCol: String, minCol: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val perAxis = df.groupBy(maxCol).agg(min(minCol).as("__best"))
     // strictly-larger maxCol frame: any earlier row with __best <= mine
     // dominates me (strict on maxCol); equal-best ties within one axis value
-    // were already collapsed by the aggregate
-    val sweep = Window.orderBy(col(maxCol).desc)
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val corners = perAxis
-      .withColumn("__lo", min(col("__best")).over(sweep))
+    // were already collapsed by the aggregate. The sweep runs on the
+    // DISTRIBUTED strict-predecessor min (continuous axes make the
+    // distinct-value grid O(n) — a bare desc Window would single-task it)
+    val corners = distributedCumMin(perAxis, Seq(maxCol), Seq("__best"),
+        descending = true, inclusive = false)
+      .withColumn("__lo", col("cummin___best"))
       .filter(col("__lo").isNull || col("__best") < col("__lo"))
       .select(col(maxCol), col("__best").as(minCol))
     df.select(col(idCol), col(maxCol), col(minCol))

@@ -92,7 +92,7 @@ object OperatorIndex {
       """"(q\w+)":([0-9.]+)""".r.findAllMatchIn(body)
         .map(m => m.group(1) -> m.group(2).toDouble).toMap
     }
-    val fams = Seq("BENCHSCALE", "BENCHSCALE2", "BENCHSCALE3", "BENCHSCALE4", "BENCHSCALE5")
+    val fams = Seq("BENCHSCALE", "BENCHSCALE2", "BENCHSCALE3", "BENCHSCALE4", "BENCHSCALE5", "BENCHSCALE6")
     fams.foldLeft(Map.empty[String, Double]) { (acc, fam) =>
       val t1 = queriesOf(s"${fam}_1x.json")
       val t10 = queriesOf(s"${fam}_10x.json")
@@ -115,12 +115,37 @@ object OperatorIndex {
         .findAllMatchIn(s.substring(start + "\"queries\":{".length, end))
         .map(m => m.group(1) -> m.group(2).toDouble).toMap
     }
-    val fams = Seq("BENCHSCALE", "BENCHSCALE2", "BENCHSCALE3", "BENCHSCALE4", "BENCHSCALE5")
+    val fams = Seq("BENCHSCALE", "BENCHSCALE2", "BENCHSCALE3", "BENCHSCALE4", "BENCHSCALE5", "BENCHSCALE6")
     fams.foldLeft(Map.empty[String, Double]) { (acc, fam) =>
       val t10 = queriesOf(s"${fam}_10x.json")
       val t30 = queriesOf(s"${fam}_30x.json")
       acc ++ t10.keySet.intersect(t30.keySet).map { q =>
         q -> (math.log10(t30(q) / t10(q)) / math.log10(3.0))
+      }.toMap
+    }
+  }
+
+  /** 100×-decade slopes where measured: log10(t_100x/t_30x)/log10(10/3) —
+    * the final local decade (100× sf0.1 = sf10-equivalent volume on one
+    * JVM); past it only a real cluster changes the picture. */
+  private[tools] def slopes100x(): Map[String, Double] = {
+    def queriesOf(path: String): Map[String, Double] = {
+      val p = repoFile(path)
+      if (!Files.exists(p)) return Map.empty
+      val s = Files.readString(p)
+      val start = s.indexOf("\"queries\":{")
+      if (start < 0) return Map.empty
+      val end = s.indexOf("}", start)
+      """"(q\w+)":([0-9.]+)""".r
+        .findAllMatchIn(s.substring(start + "\"queries\":{".length, end))
+        .map(m => m.group(1) -> m.group(2).toDouble).toMap
+    }
+    val fams = Seq("BENCHSCALE", "BENCHSCALE2", "BENCHSCALE3", "BENCHSCALE4", "BENCHSCALE5", "BENCHSCALE6")
+    fams.foldLeft(Map.empty[String, Double]) { (acc, fam) =>
+      val t30 = queriesOf(s"${fam}_30x.json")
+      val t100 = queriesOf(s"${fam}_100x.json")
+      acc ++ t30.keySet.intersect(t100.keySet).map { q =>
+        q -> (math.log10(t100(q) / t30(q)) / math.log10(10.0 / 3.0))
       }.toMap
     }
   }
@@ -134,6 +159,7 @@ object OperatorIndex {
     val (objFile, defLine) = sourceAnchors()
     val slopes = scaleSlopes()
     val s30 = slopes30x()
+    val s100 = slopes100x()
     val sb = new StringBuilder
     sb.append("# OPERATORS — generated index (do not edit by hand)\n\n")
     sb.append("Regenerate with `sbt \"runMain graft.tools.OperatorIndex\"`; ")
@@ -159,7 +185,9 @@ object OperatorIndex {
       }
       val anchorCell = if (anchors.isEmpty) "—" else anchors.mkString("; ")
       val slopeCell = (slopes.get(name), s30.get(name)) match {
-        case (Some(a), Some(b)) => f"$a%.2f (@30x $b%.2f)"
+        case (Some(a), Some(b)) =>
+          val c100 = s100.get(name).map(c => f" @100x $c%.2f").getOrElse("")
+          f"$a%.2f (@30x $b%.2f$c100)"
         case (Some(a), None) => f"$a%.2f"
         case _ => "—"
       }

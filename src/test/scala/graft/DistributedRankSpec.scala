@@ -66,4 +66,39 @@ class DistributedRankSpec extends SparkSpec {
       assert(v === sorted((k - 1).toInt), s"k=$k")
     }
   }
+
+  test("distributedCumMin: equals the single-window ground truth, desc + exclusive") {
+    val df = frame(4000).withColumn("v2", (col("t") * 7 + col("v") % 13).cast("long"))
+    val got = Relational.distributedCumMin(df, Seq("v"), Seq("v2"),
+        descending = true, inclusive = false)
+      .select("v", "cummin_v2").orderBy("v").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) null else r.getLong(1)))
+    val w = Window.orderBy(col("v").desc).rowsBetween(Window.unboundedPreceding, -1)
+    val want = df.withColumn("cummin_v2", min("v2").over(w))
+      .select("v", "cummin_v2").orderBy("v").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) null else r.getLong(1)))
+    assert(got.toSeq === want.toSeq)
+    // inclusive ascending variant too
+    val gi = Relational.distributedCumMin(df, Seq("v"), Seq("v2"))
+      .select("v", "cummin_v2").orderBy("v").collect().map(r => r.getLong(1))
+    val wi = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    val wanti = df.withColumn("m", min("v2").over(wi))
+      .select("v", "m").orderBy("v").collect().map(r => r.getLong(1))
+    assert(gi.toSeq === wanti.toSeq)
+  }
+
+  test("distributedCumMin: the only single-partition exchange is the #partitions-row offsets frame") {
+    val df = frame(3000).withColumn("v2", col("t"))
+    val out = Relational.distributedCumMin(df, Seq("v"), Seq("v2"))
+    out.count()
+    val plan = out.queryExecution.executedPlan.toString
+    // the data-side window must be partitioned by the checkpoint-pinned
+    // partition id (the range partitioning itself sits behind the
+    // localCheckpoint lineage cut, so it cannot appear in this plan); the
+    // one allowed SinglePartition exchange carries the per-partition
+    // minima (rows bounded by cluster parallelism, never data size)
+    assert(plan.toLowerCase.contains("hashpartitioning(__pid"), plan.take(1500))
+    assert(plan.split("Exchange SinglePartition").length - 1 <= 1, plan.take(2500))
+  }
+
 }

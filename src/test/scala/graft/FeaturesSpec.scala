@@ -110,4 +110,27 @@ class FeaturesSpec extends SparkSpec {
     assert(c.getDouble(2) === 1.0)
     assert(c.getDouble(4) === 1.0 && c.getBoolean(5))
   }
+
+  test("pass@k: hand-computed estimator, undefined arms excluded, all-correct saturates") {
+    import spark.implicits._
+    // task A: n=4, c=2 -> pass@1 = 1 - 2/4 = 0.5; pass@3: C(2,3)=0 -> 1
+    // task B: n=2, c=0 -> pass@1 = 0; n < 3 excludes it from the k=3 arm
+    val attempts = (Seq.fill(2)(("A", true)) ++ Seq.fill(2)(("A", false))
+      ++ Seq.fill(2)(("B", false))).toDF("task", "ok")
+    val out = graft.analysis.Features.passAtK(attempts, "task", "ok", ks = Seq(1, 3))
+      .collect().map(r => r.getInt(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out(1) === ((2L, 500000L, 250000L)))
+    assert(out(3) === ((1L, 1000000L, 1000000L)))
+    // every attempt correct: pass@k = 1 at every k
+    val all = Seq.fill(5)(("t", true)).toDF("task", "ok")
+    val sat = graft.analysis.Features.passAtK(all, "task", "ok", ks = Seq(1, 5))
+    assert(sat.collect().forall(_.getLong(3) === 1000000L))
+    // no task reaches k: empty arm reports 0 tasks and a null mean
+    val small = Seq(("t", true)).toDF("task", "ok")
+    val none = graft.analysis.Features.passAtK(small, "task", "ok", ks = Seq(5))
+      .collect().head
+    assert(none.getLong(1) === 0L && none.isNullAt(3))
+  }
+
 }

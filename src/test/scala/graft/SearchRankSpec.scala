@@ -1,5 +1,7 @@
 package graft
 
+import org.apache.spark.sql.functions.desc
+
 import graft.analysis.SearchRank
 
 class SearchRankSpec extends SparkSpec {
@@ -106,5 +108,35 @@ class SearchRankSpec extends SparkSpec {
     // d1 by hand: idf=ln(1.6), tf=3, dl=3, avgdl=8/3 -> norm=1.09375
     val d1 = math.log(1.6) * (3.0 * 2.2) / (3.0 + 1.2 * (0.25 + 0.75 * 3.0 / (8.0 / 3.0)))
     assert(out.toMap.apply(1L) === math.rint(d1 * 10000) / 10000)
+  }
+
+  test("rank-biased overlap: identical lists hit the truncated-weight ceiling, disjoint stay 0") {
+    val a = (1 to 20).map(i => (i.toLong, 100L - i)).toDF("doc", "score")
+    val same = SearchRank.rankBiasedOverlap(a, a, depth = 10, p = 0.9,
+      orderA = Seq(desc("score")), orderB = Seq(desc("score"))).collect()
+    // full agreement: overlap d at every depth, term = w_d * 1e6 rounded
+    assert(same.map(_.getAs[Long]("n_overlap")).toSeq === (1L to 10L).toSeq)
+    val w = (1 to 10).scanLeft(0.1)((x, _) => x * 0.9).init
+    val expect = w.map(x => math.floor(x * 1e6 + 0.5).toLong).sum
+    assert(same.last.getAs[Long]("rbo_cum_micro") === expect)
+    // 1 - 0.9^10 = 0.651322 truncated mass, within integer rounding
+    assert(math.abs(expect - 651322L) <= 10L)
+    val b = (21 to 40).map(i => (i.toLong, 100L - i)).toDF("doc", "score")
+    val disj = SearchRank.rankBiasedOverlap(a, b, depth = 10, p = 0.9,
+      orderA = Seq(desc("score")), orderB = Seq(desc("score"))).collect()
+    assert(disj.map(_.getAs[Long]("rbo_cum_micro")).forall(_ === 0L))
+  }
+
+  test("rank-biased overlap: top-weighted — a head swap costs more than a tail swap") {
+    val base = (1 to 10).map(i => (i.toLong, 100L - i)).toDF("doc", "score")
+    def swapped(i: Int, j: Int) = (1 to 10).map { d =>
+      val doc = if (d == i) j else if (d == j) i else d
+      (doc.toLong, 100L - d)
+    }.toDF("doc", "score")
+    def rbo(b: org.apache.spark.sql.DataFrame) =
+      SearchRank.rankBiasedOverlap(base, b, depth = 10, p = 0.9,
+        orderA = Seq(desc("score")), orderB = Seq(desc("score")))
+        .collect().last.getAs[Long]("rbo_cum_micro")
+    assert(rbo(swapped(1, 2)) < rbo(swapped(9, 10)))
   }
 }

@@ -147,4 +147,37 @@ class StatsSpec extends SparkSpec {
     val const = kappa(Seq(("x", "x"), ("x", "x")))
     assert(const.isNullAt(3))
   }
+
+  test("bradley-terry: transitive strengths order correctly, ghost decays winless items") {
+    import spark.implicits._
+    // 1 dominates 2, 2 dominates 3; 4 never wins; 5 plays nobody kept
+    val games = (Seq.fill(3)((1L, 2L)) ++ Seq.fill(2)((2L, 3L)) :+ ((1L, 3L))
+      :+ ((3L, 4L)) :+ ((2L, 4L))).toDF("winner", "loser")
+    val out = Stats.bradleyTerry(games, "winner", "loser", iters = 5, topK = 10)
+      .collect()
+    val byItem = out.map(r => r.getLong(0) ->
+      ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // raw counts survive the cap
+    assert(byItem(1L)._1 === 4L && byItem(1L)._2 === 0L)
+    assert(byItem(4L)._1 === 0L && byItem(4L)._2 === 2L)
+    // ratings respect the dominance chain, winless item sinks below start
+    val r = byItem.view.mapValues(_._3).toMap
+    assert(r(1L) > r(2L) && r(2L) > r(3L) && r(3L) > r(4L))
+    assert(r(4L) < 1000000L)
+    // output ordered by rating desc and ppm shares sum to ~1e6
+    assert(out.map(_.getLong(3)).toSeq === out.map(_.getLong(3)).sortBy(-_).toSeq)
+    val ppmSum = out.map(_.getLong(4)).sum
+    assert(math.abs(ppmSum - 1000000L) <= out.length)
+    // deterministic: a second run is bit-identical
+    val again = Stats.bradleyTerry(games, "winner", "loser", iters = 5, topK = 10)
+      .collect()
+    assert(out.map(_.toSeq).toSeq === again.map(_.toSeq).toSeq)
+  }
+
+  test("bradley-terry: topK cap keeps the most-played items only") {
+    import spark.implicits._
+    val games = (Seq.fill(5)((1L, 2L)) :+ ((3L, 1L))).toDF("w", "l")
+    val out = Stats.bradleyTerry(games, "w", "l", iters = 3, topK = 2)
+    assert(out.select("item").collect().map(_.getLong(0)).toSet === Set(1L, 2L))
+  }
 }

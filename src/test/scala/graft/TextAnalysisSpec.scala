@@ -536,4 +536,27 @@ class TextAnalysisSpec extends SparkSpec {
     assert(!byId(2L)._1 && !byId(2L)._5, "short doc fails word count and keep")
     assert(!byId(3L)._4 && !byId(3L)._5, "repetitive doc fails diversity and keep")
   }
+
+  test("vocab coverage: hand-counted OOV at each budget, integer ppm, covered edge") {
+    import spark.implicits._
+    // corpus frequency: aa 5, bb 3, cc 2, dd 1 -> rank aa<bb<cc<dd
+    val docs = Seq(
+      ("s1", "aa aa aa bb bb"),
+      ("s2", "aa aa bb cc cc dd")
+    ).toDF("source", "text")
+    val out = graft.analysis.TextAnalysis.vocabCoverage(
+        docs, budgets = Seq(1, 2, 4), textCol = "text", srcCol = "source")
+      .collect()
+      .map(r => (r.getInt(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // V=1 keeps {aa}: s1 oov = 2 of 5, s2 oov = 4 of 6
+    assert(out((1, "s1")) === ((5L, 2L, 400000L)))
+    assert(out((1, "s2")) === ((6L, 4L, 666667L))) // round-half-up ppm
+    // V=2 keeps {aa,bb}: s1 fully covered, s2 oov = 3
+    assert(out((2, "s1")) === ((5L, 0L, 0L)))
+    assert(out((2, "s2")) === ((6L, 3L, 500000L)))
+    // V >= vocab: everything covered, spine still emits both sources
+    assert(out((4, "s1"))._2 === 0L && out((4, "s2"))._2 === 0L)
+    assert(out.size === 6)
+  }
 }
