@@ -29,6 +29,28 @@ object SparkEntry {
     martQueries ++ relationalQueries ++ analysisQueries
 
   private def analysisQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // content-defined chunking dedup: boundaries where the trailing
+    // 16-char md5 window is 0 mod 32 (shift-robust, the backup-dedup
+    // argument), chunks content-hashed and deduped corpus-wide; only
+    // 60-bit hashes + lengths ever shuffle - all-BIGINT ppm gate
+    "q228_cdc_chunk_dedup" -> { (s, d) =>
+      Dedup.cdcChunkDedup(TestData.documents(s, d))
+    },
+    // THE LAW for the vocab artifact: per-(source, token) counts merge by
+    // addition (stored oldest-90% + fresh batch) and the merged budget
+    // curve must equal q225's whole-corpus rebuild (the oracle IS it)
+    "q229_vocab_coverage_increment" -> { (s, d) =>
+      val docs = TestData.documents(s, d)
+      val cut = docs.agg(max("doc_id")).collect().head.getLong(0) * 9 / 10
+      def counts(df: org.apache.spark.sql.DataFrame) = df
+        .select(col("source"),
+          explode(array_remove(TextAnalysis.tokens(col("text")), "")).as("tok"))
+        .groupBy("source", "tok").agg(count(lit(1)).as("n"))
+      val merged = counts(docs.filter(col("doc_id") <= cut))
+        .unionByName(counts(docs.filter(col("doc_id") > cut)))
+        .groupBy("source", "tok").agg(sum("n").as("n"))
+      TextAnalysis.vocabCoverageFromCounts(merged, budgets = Seq(4, 8, 16, 32))
+    },
     // pass@k (the Codex sampling-eval estimator) over per-user attempt
     // sets (purchase = correct): unbiased 1 - C(n-c,k)/C(n,k) as one
     // left-assoc IEEE factor chain, micro-quantized - all-BIGINT gate
@@ -2223,6 +2245,29 @@ object SparkEntry {
        |ORDER BY k""".stripMargin
   }
 
+  /** q225 AND q229 (the vocab-artifact law gate — the incremental merge
+    * must reproduce this whole-corpus rebuild verbatim). */
+  private val vocabCoverageOracle: String =
+    """WITH tok AS (
+      |  SELECT source,
+      |    unnest(list_filter(string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')), ' '), x -> x <> '')) AS tok
+      |  FROM documents),
+      |st AS (SELECT source, tok, CAST(count(*) AS BIGINT) AS n FROM tok GROUP BY 1, 2),
+      |tc AS (SELECT tok, CAST(sum(n) AS BIGINT) AS c FROM st GROUP BY 1),
+      |rk AS (SELECT tok, row_number() OVER (ORDER BY c DESC, tok) AS r FROM tc),
+      |bud AS (SELECT CAST(unnest([4, 8, 16, 32]) AS INT) AS budget),
+      |oov AS (
+      |  SELECT b.budget, st.source, CAST(sum(st.n) AS BIGINT) AS n_oov
+      |  FROM st JOIN rk USING (tok) CROSS JOIN bud b
+      |  WHERE rk.r > b.budget GROUP BY 1, 2),
+      |tot AS (SELECT source, CAST(sum(n) AS BIGINT) AS n_tokens FROM st GROUP BY 1)
+      |SELECT b.budget, t.source, t.n_tokens,
+      |  CAST(COALESCE(o.n_oov, 0) AS BIGINT) AS n_oov,
+      |  (CAST(COALESCE(o.n_oov, 0) AS BIGINT) * 2000000 + t.n_tokens) // (2 * t.n_tokens) AS oov_ppm
+      |FROM bud b CROSS JOIN tot t
+      |LEFT JOIN oov o ON o.budget = b.budget AND o.source = t.source
+      |ORDER BY 1, 2""".stripMargin
+
   /** q226: truncated RBO with the SAME JVM-computed weight doubles as the
     * plan, embedded via Double.toString (exact round-trip). */
   private def rboOracle(depth: Int, p: Double): String = {
@@ -2855,26 +2900,45 @@ object SparkEntry {
     // the MM loop unrolled; identical integer-IEEE floor chains per round
     "q224_bradley_terry" -> btOracle(iters = 5, topK = 20),
     // same tokenization, rank (count desc, tok), budgets grid, ppm div
-    "q225_vocab_coverage" ->
-      """WITH tok AS (
-        |  SELECT source,
-        |    unnest(list_filter(string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')), ' '), x -> x <> '')) AS tok
+    "q225_vocab_coverage" -> vocabCoverageOracle,
+    // THE LAW: the merged incremental vocab artifact must produce the
+    // identical budget curve — this oracle IS the whole-corpus rebuild
+    "q229_vocab_coverage_increment" -> vocabCoverageOracle,
+    // same normalization, boundary rule (trailing-16 md5 % 32 = 0, doc
+    // end excluded then appended), chunk hashing, and ppm divisions
+    "q228_cdc_chunk_dedup" ->
+      """WITH d AS (
+        |  SELECT doc_id, trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')) AS t
         |  FROM documents),
-        |st AS (SELECT source, tok, CAST(count(*) AS BIGINT) AS n FROM tok GROUP BY 1, 2),
-        |tc AS (SELECT tok, CAST(sum(n) AS BIGINT) AS c FROM st GROUP BY 1),
-        |rk AS (SELECT tok, row_number() OVER (ORDER BY c DESC, tok) AS r FROM tc),
-        |bud AS (SELECT CAST(unnest([4, 8, 16, 32]) AS INT) AS budget),
-        |oov AS (
-        |  SELECT b.budget, st.source, CAST(sum(st.n) AS BIGINT) AS n_oov
-        |  FROM st JOIN rk USING (tok) CROSS JOIN bud b
-        |  WHERE rk.r > b.budget GROUP BY 1, 2),
-        |tot AS (SELECT source, CAST(sum(n) AS BIGINT) AS n_tokens FROM st GROUP BY 1)
-        |SELECT b.budget, t.source, t.n_tokens,
-        |  CAST(COALESCE(o.n_oov, 0) AS BIGINT) AS n_oov,
-        |  (CAST(COALESCE(o.n_oov, 0) AS BIGINT) * 2000000 + t.n_tokens) // (2 * t.n_tokens) AS oov_ppm
-        |FROM bud b CROSS JOIN tot t
-        |LEFT JOIN oov o ON o.budget = b.budget AND o.source = t.source
-        |ORDER BY 1, 2""".stripMargin,
+        |b AS (SELECT doc_id, t, length(t) AS len FROM d WHERE length(t) > 0),
+        |be AS (
+        |  SELECT doc_id, t, len,
+        |    list_append(
+        |      CASE WHEN len >= 16 THEN
+        |        list_filter(range(16, len + 1), i -> i < len AND
+        |          ('0x' || substr(md5(substr(t, CAST(i AS INT) - 15, 16)), 1, 15))::BIGINT % 32 = 0)
+        |      ELSE []::BIGINT[] END,
+        |      CAST(len AS BIGINT)) AS ends
+        |  FROM b),
+        |ch AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(range(1, len(ends) + 1), i -> struct_pack(
+        |      h := ('0x' || substr(md5(substr(t,
+        |          CAST(CASE WHEN i = 1 THEN 1 ELSE ends[CAST(i AS INT) - 1] + 1 END AS INT),
+        |          CAST(ends[CAST(i AS INT)] - (CASE WHEN i = 1 THEN 1 ELSE ends[CAST(i AS INT) - 1] + 1 END) + 1 AS INT))), 1, 15))::BIGINT,
+        |      l := CAST(ends[CAST(i AS INT)] - (CASE WHEN i = 1 THEN 1 ELSE ends[CAST(i AS INT) - 1] + 1 END) + 1 AS BIGINT)))) AS c
+        |  FROM be),
+        |ph AS (SELECT c.h AS h, CAST(count(*) AS BIGINT) AS n, CAST(min(c.l) AS BIGINT) AS l FROM ch GROUP BY 1),
+        |nd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM b),
+        |agg AS (
+        |  SELECT CAST(sum(n) AS BIGINT) AS n_chunks, CAST(count(*) AS BIGINT) AS n_unique_chunks,
+        |    CAST(sum(n * l) AS BIGINT) AS chars_total, CAST(sum(l) AS BIGINT) AS chars_dedup
+        |  FROM ph)
+        |SELECT nd.n_docs, agg.n_chunks, agg.n_unique_chunks,
+        |  ((n_chunks - n_unique_chunks) * 2000000 + n_chunks) // (2 * n_chunks) AS dup_chunk_ppm,
+        |  chars_total, chars_dedup,
+        |  ((chars_total - chars_dedup) * 2000000 + chars_total) // (2 * chars_total) AS savings_ppm
+        |FROM agg CROSS JOIN nd""".stripMargin,
     // literal weights, one fixed IEEE chain per depth, integer prefix sum
     "q226_rank_biased_overlap" -> rboOracle(depth = 10, p = 0.9),
     // same dense spine, same DECIMAL term cumsum and running min, same

@@ -1255,4 +1255,73 @@ object Dedup {
             least(col("n_a"), col("n_b")).cast(DoubleType), 6).as("overlap"))
     } finally { fps.unpersist(); () }
   }
+
+  /** Content-defined chunking (CDC) dedup estimate — the fixed-window
+    * chunker's shift-robust sibling (and the dedup shape that scales past
+    * text to the binary/multimodal columns): position i ends a chunk iff
+    * the md5-derived 60-bit value of the trailing `window`-char slice is
+    * ≡ 0 (mod 2^maskBits), so boundaries ride WITH the content and an
+    * insertion near the head re-chunks only its neighbourhood, where
+    * fixed-size chunking would shift every downstream chunk (the
+    * rsync/LBFS/backup-dedup argument). Expected chunk ≈ 2^maskBits
+    * chars. Chunks are content-hashed and deduplicated corpus-wide.
+    *
+    * Scale shape: boundary detection is a per-doc codegen'd HOF pass
+    * (O(window) work per char, no shuffle); the only shuffle is the
+    * chunk-hash aggregate, map-side combinable, chunk-count-sized. The
+    * per-chunk frame never carries chunk text — 60-bit hashes and lengths
+    * only (the q136 fingerprint-before-shuffle rule).
+    *
+    * Cross-build portability: boundaries and hashes are md5-derived
+    * integers; every gate ratio is the round-half-up BIGINT ppm division.
+    * Output (1 row): n_docs, n_chunks, n_unique_chunks, dup_chunk_ppm,
+    * chars_total, chars_dedup, savings_ppm. */
+  def cdcChunkDedup(
+      docs: DataFrame,
+      window: Int = 16,
+      maskBits: Int = 5,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    require(window >= 2 && maskBits >= 1 && maskBits <= 20)
+    val mask = 1L << maskBits
+    val norm = TextAnalysis.normalized(col(textCol))
+    val base = docs
+      .select(col(idCol), norm.as("t"), length(norm).as("len"))
+      .filter(col("len") > 0)
+    // boundary positions: trailing-window hash ≡ 0 (mod 2^maskBits),
+    // doc end excluded (appended unconditionally below, so no dedup
+    // semantics in play on either engine); sequence() is DESCENDING when
+    // start > stop, so short docs guard to an empty array (one chunk)
+    val bs = when(col("len") >= window,
+      filter(
+        sequence(lit(window), col("len")),
+        i => i < col("len") &&
+          pmod(Sketches.hash60(col("t").substr(i - lit(window - 1), lit(window))),
+            lit(mask)) === 0)).otherwise(array().cast("array<int>"))
+    val withEnds = base.withColumn("ends",
+      concat(bs.cast("array<int>"), array(col("len").cast("int"))))
+    val chunks = withEnds.select(
+      col(idCol),
+      explode(transform(col("ends"), (e, i) => {
+        val start = when(i === 0, lit(1))
+          .otherwise(element_at(col("ends"), i) + 1)
+        struct(
+          Sketches.hash60(col("t").substr(start, e - start + 1)).as("h"),
+          (e - start + 1).cast("long").as("l"))
+      })).as("c"))
+    val perHash = chunks
+      .groupBy(col("c.h").as("h"))
+      .agg(count(lit(1)).as("n"), min(col("c.l")).as("l"))
+    val nDocs = base.agg(count(lit(1)).as("n_docs"))
+    perHash
+      .agg(sum("n").as("n_chunks"), count(lit(1)).as("n_unique_chunks"),
+        sum(col("n") * col("l")).as("chars_total"), sum("l").as("chars_dedup"))
+      .crossJoin(broadcast(nDocs))
+      .select(col("n_docs"), col("n_chunks"), col("n_unique_chunks"),
+        expr("((n_chunks - n_unique_chunks) * 2000000 + n_chunks) div (2 * n_chunks)")
+          .as("dup_chunk_ppm"),
+        col("chars_total"), col("chars_dedup"),
+        expr("((chars_total - chars_dedup) * 2000000 + chars_total) div (2 * chars_total)")
+          .as("savings_ppm"))
+  }
 }

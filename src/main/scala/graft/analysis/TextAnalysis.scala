@@ -843,11 +843,23 @@ object TextAnalysis {
       budgets: Seq[Int] = Seq(1000, 2000, 4000, 8000),
       textCol: String = "text",
       srcCol: String = "source"): DataFrame = {
-    require(budgets.nonEmpty && budgets.forall(_ > 0), "budgets must be positive")
-    val spark = docs.sparkSession
     val tok = docs.select(col(srcCol).as("source"),
       explode(array_remove(tokens(col(textCol)), "")).as("tok"))
-    val bySourceType = tok.groupBy("source", "tok").agg(count(lit(1)).as("n"))
+    vocabCoverageFromCounts(
+      tok.groupBy("source", "tok").agg(count(lit(1)).as("n")), budgets)
+  }
+
+  /** [[vocabCoverage]] from a pre-aggregated 〈source, tok, n〉 count frame
+    * — the MERGEABLE-ARTIFACT entry point: per-source type counts merge by
+    * per-(source, tok) addition, so an incremental ingest keeps the stored
+    * counts and folds each batch in at batch cost; the budget curve over
+    * the merged artifact is LAW-equal to a whole-corpus rebuild (q229's
+    * gate is exactly that identity). */
+  def vocabCoverageFromCounts(
+      bySourceType: DataFrame,
+      budgets: Seq[Int] = Seq(1000, 2000, 4000, 8000)): DataFrame = {
+    require(budgets.nonEmpty && budgets.forall(_ > 0), "budgets must be positive")
+    val spark = bySourceType.sparkSession
     val typeCounts = bySourceType.groupBy("tok").agg(sum("n").as("c"))
     // global rank by (count desc, token asc): negate the count so the
     // recipe's ascending range partitioning yields the descending rank

@@ -583,4 +583,34 @@ class DedupSpec extends SparkSpec {
     // crawl: 2 docs, 1 dup of 9 chars out of 9+11=20
     assert(out("crawl") === ((2L, 1L, 20L, 9L, 0.45)))
   }
+
+  test("cdc chunk dedup: exact duplicates halve the corpus; boundaries ride with content") {
+    import spark.implicits._
+    val body = (1 to 400).map(i => s"w$i").mkString(" ")
+    // identical pair: the duplicate doc adds chunks but ZERO new unique
+    // content (chunk contents may also repeat within one doc, so unique
+    // is compared against the single-doc run, not n_chunks/2)
+    val solo = graft.analysis.Dedup.cdcChunkDedup(
+      Seq((1L, body)).toDF("doc_id", "text")).collect().head
+    val twins = Seq((1L, body), (2L, body)).toDF("doc_id", "text")
+    val t = graft.analysis.Dedup.cdcChunkDedup(twins).collect().head
+    assert(t.getAs[Long]("n_docs") === 2L)
+    assert(t.getAs[Long]("n_chunks") === 2 * solo.getAs[Long]("n_chunks"))
+    assert(t.getAs[Long]("n_unique_chunks") === solo.getAs[Long]("n_unique_chunks"))
+    assert(t.getAs[Long]("chars_dedup") === solo.getAs[Long]("chars_dedup"))
+    assert(t.getAs[Long]("savings_ppm") >= 500000L)
+    assert(t.getAs[Long]("chars_total") === 2L * body.length)
+    // head insertion: content-defined boundaries re-sync, so the shifted
+    // copy still shares most chunks (fixed-size chunking would share none)
+    val shifted = Seq((1L, body), (2L, "zzz " + body)).toDF("doc_id", "text")
+    val s = graft.analysis.Dedup.cdcChunkDedup(shifted).collect().head
+    val total = s.getAs[Long]("n_chunks")
+    val unique = s.getAs[Long]("n_unique_chunks")
+    assert(total - unique > total / 3,
+      s"expected most chunks shared after re-sync, got $unique unique of $total")
+    // short doc: one whole-doc chunk, zero savings
+    val one = Seq((1L, "tiny")).toDF("doc_id", "text")
+    val o = graft.analysis.Dedup.cdcChunkDedup(one).collect().head
+    assert(o.getAs[Long]("n_chunks") === 1L && o.getAs[Long]("savings_ppm") === 0L)
+  }
 }

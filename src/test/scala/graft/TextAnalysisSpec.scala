@@ -559,4 +559,24 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out((4, "s1"))._2 === 0L && out((4, "s2"))._2 === 0L)
     assert(out.size === 6)
   }
+
+  test("vocab coverage increment: merged per-source counts reproduce the whole-corpus curve") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "s1", "aa aa bb"), (2L, "s2", "aa cc cc dd"),
+      (3L, "s1", "bb bb ee"), (4L, "s2", "aa ff"))
+      .toDF("doc_id", "source", "text")
+    def counts(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("source"),
+        explode(array_remove(graft.analysis.TextAnalysis.tokens(col("text")), "")).as("tok"))
+      .groupBy("source", "tok").agg(count(lit(1)).as("n"))
+    val merged = counts(docs.filter($"doc_id" <= 2))
+      .unionByName(counts(docs.filter($"doc_id" > 2)))
+      .groupBy("source", "tok").agg(sum("n").as("n"))
+    val inc = graft.analysis.TextAnalysis
+      .vocabCoverageFromCounts(merged, budgets = Seq(1, 3)).collect().map(_.toSeq)
+    val full = graft.analysis.TextAnalysis
+      .vocabCoverage(docs, budgets = Seq(1, 3), srcCol = "source").collect().map(_.toSeq)
+    assert(inc.toSeq === full.toSeq) // THE LAW: merge ≡ rebuild
+  }
 }
