@@ -29,6 +29,21 @@ object SparkEntry {
     martQueries ++ relationalQueries ++ analysisQueries
 
   private def analysisQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // THE LAW for the CDC chunk artifact: per-hash (sum n, min l) merge
+    // of stored oldest-90% + fresh batch counts must reproduce q228's
+    // whole-corpus report (the oracle IS it) - the backup-dedup property
+    "q230_cdc_dedup_increment" -> { (s, d) =>
+      val docs = TestData.documents(s, d)
+      val cut = docs.agg(max("doc_id")).collect().head.getLong(0) * 9 / 10
+      val stored = Dedup.cdcChunkCounts(docs.filter(col("doc_id") <= cut))
+      val fresh = Dedup.cdcChunkCounts(docs.filter(col("doc_id") > cut))
+      val merged = stored.unionByName(fresh).groupBy("h")
+        .agg(sum("n").as("n"), min("l").as("l"))
+      val nDocs = docs
+        .filter(length(TextAnalysis.normalized(col("text"))) > 0)
+        .agg(count(lit(1)).as("n_docs"))
+      Dedup.cdcReportFromCounts(merged, nDocs)
+    },
     // content-defined chunking dedup: boundaries where the trailing
     // 16-char md5 window is 0 mod 32 (shift-robust, the backup-dedup
     // argument), chunks content-hashed and deduped corpus-wide; only
@@ -2221,6 +2236,50 @@ object SparkEntry {
        |ORDER BY rating_micro DESC, item""".stripMargin
   }
 
+  /** q228: the SAME mod-prime Horner window hash, unrolled as one
+    * nested integer expression per position — multiply/add/mod on char
+    * codes is exact on any engine, no crypto hash in the per-char path. */
+  private def cdcOracle(window: Int, maskBits: Int): String = {
+    val mask = 1L << maskBits
+    val chain = (0 until window).foldLeft("CAST(0 AS BIGINT)") { (acc, j) =>
+      s"(($acc * 257 + cs[i - ${window - 1 - j}]) % 1000000007)"
+    }
+    s"""WITH d AS (
+       |  SELECT doc_id, trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g')) AS t
+       |  FROM documents),
+       |b AS (
+       |  SELECT doc_id, t, length(t) AS len,
+       |    list_transform(string_split(t, ''), c -> ascii(c)) AS cs
+       |  FROM d WHERE length(t) > 0),
+       |be AS (
+       |  SELECT doc_id, t, len,
+       |    list_append(
+       |      CASE WHEN len >= $window THEN
+       |        list_filter(range($window, len + 1), i -> i < len AND $chain % $mask = 0)
+       |      ELSE []::BIGINT[] END,
+       |      CAST(len AS BIGINT)) AS ends
+       |  FROM b),
+       |ch AS (
+       |  SELECT doc_id,
+       |    unnest(list_transform(range(1, len(ends) + 1), i -> struct_pack(
+       |      h := ('0x' || substr(md5(substr(t,
+       |          CAST(CASE WHEN i = 1 THEN 1 ELSE ends[CAST(i AS INT) - 1] + 1 END AS INT),
+       |          CAST(ends[CAST(i AS INT)] - (CASE WHEN i = 1 THEN 1 ELSE ends[CAST(i AS INT) - 1] + 1 END) + 1 AS INT))), 1, 15))::BIGINT,
+       |      l := CAST(ends[CAST(i AS INT)] - (CASE WHEN i = 1 THEN 1 ELSE ends[CAST(i AS INT) - 1] + 1 END) + 1 AS BIGINT)))) AS c
+       |  FROM be),
+       |ph AS (SELECT c.h AS h, CAST(count(*) AS BIGINT) AS n, CAST(min(c.l) AS BIGINT) AS l FROM ch GROUP BY 1),
+       |nd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM b),
+       |agg AS (
+       |  SELECT CAST(sum(n) AS BIGINT) AS n_chunks, CAST(count(*) AS BIGINT) AS n_unique_chunks,
+       |    CAST(sum(n * l) AS BIGINT) AS chars_total, CAST(sum(l) AS BIGINT) AS chars_dedup
+       |  FROM ph)
+       |SELECT nd.n_docs, agg.n_chunks, agg.n_unique_chunks,
+       |  ((n_chunks - n_unique_chunks) * 2000000 + n_chunks) // (2 * n_chunks) AS dup_chunk_ppm,
+       |  chars_total, chars_dedup,
+       |  ((chars_total - chars_dedup) * 2000000 + chars_total) // (2 * chars_total) AS savings_ppm
+       |FROM agg CROSS JOIN nd""".stripMargin
+  }
+
   /** q227: pass@k per k arm — the combinatorial ratio spelled out as the
     * SAME left-assoc integer-input IEEE factor chain the plan builds, so
     * the micro quantization lands on identical doubles on both engines. */
@@ -2904,41 +2963,12 @@ object SparkEntry {
     // THE LAW: the merged incremental vocab artifact must produce the
     // identical budget curve — this oracle IS the whole-corpus rebuild
     "q229_vocab_coverage_increment" -> vocabCoverageOracle,
-    // same normalization, boundary rule (trailing-16 md5 % 32 = 0, doc
-    // end excluded then appended), chunk hashing, and ppm divisions
-    "q228_cdc_chunk_dedup" ->
-      """WITH d AS (
-        |  SELECT doc_id, trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')) AS t
-        |  FROM documents),
-        |b AS (SELECT doc_id, t, length(t) AS len FROM d WHERE length(t) > 0),
-        |be AS (
-        |  SELECT doc_id, t, len,
-        |    list_append(
-        |      CASE WHEN len >= 16 THEN
-        |        list_filter(range(16, len + 1), i -> i < len AND
-        |          ('0x' || substr(md5(substr(t, CAST(i AS INT) - 15, 16)), 1, 15))::BIGINT % 32 = 0)
-        |      ELSE []::BIGINT[] END,
-        |      CAST(len AS BIGINT)) AS ends
-        |  FROM b),
-        |ch AS (
-        |  SELECT doc_id,
-        |    unnest(list_transform(range(1, len(ends) + 1), i -> struct_pack(
-        |      h := ('0x' || substr(md5(substr(t,
-        |          CAST(CASE WHEN i = 1 THEN 1 ELSE ends[CAST(i AS INT) - 1] + 1 END AS INT),
-        |          CAST(ends[CAST(i AS INT)] - (CASE WHEN i = 1 THEN 1 ELSE ends[CAST(i AS INT) - 1] + 1 END) + 1 AS INT))), 1, 15))::BIGINT,
-        |      l := CAST(ends[CAST(i AS INT)] - (CASE WHEN i = 1 THEN 1 ELSE ends[CAST(i AS INT) - 1] + 1 END) + 1 AS BIGINT)))) AS c
-        |  FROM be),
-        |ph AS (SELECT c.h AS h, CAST(count(*) AS BIGINT) AS n, CAST(min(c.l) AS BIGINT) AS l FROM ch GROUP BY 1),
-        |nd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM b),
-        |agg AS (
-        |  SELECT CAST(sum(n) AS BIGINT) AS n_chunks, CAST(count(*) AS BIGINT) AS n_unique_chunks,
-        |    CAST(sum(n * l) AS BIGINT) AS chars_total, CAST(sum(l) AS BIGINT) AS chars_dedup
-        |  FROM ph)
-        |SELECT nd.n_docs, agg.n_chunks, agg.n_unique_chunks,
-        |  ((n_chunks - n_unique_chunks) * 2000000 + n_chunks) // (2 * n_chunks) AS dup_chunk_ppm,
-        |  chars_total, chars_dedup,
-        |  ((chars_total - chars_dedup) * 2000000 + chars_total) // (2 * chars_total) AS savings_ppm
-        |FROM agg CROSS JOIN nd""".stripMargin,
+    // same normalization, Horner boundary rule (mod-prime window hash
+    // % 32 = 0, doc end excluded then appended), chunk hashing, ppm divs
+    "q228_cdc_chunk_dedup" -> cdcOracle(window = 16, maskBits = 5),
+    // THE LAW: the merged chunk artifact reports identically - this
+    // oracle IS q228's whole-corpus rebuild
+    "q230_cdc_dedup_increment" -> cdcOracle(window = 16, maskBits = 5),
     // literal weights, one fixed IEEE chain per depth, integer prefix sum
     "q226_rank_biased_overlap" -> rboOracle(depth = 10, p = 0.9),
     // same dense spine, same DECIMAL term cumsum and running min, same

@@ -1259,7 +1259,7 @@ object Dedup {
   /** Content-defined chunking (CDC) dedup estimate — the fixed-window
     * chunker's shift-robust sibling (and the dedup shape that scales past
     * text to the binary/multimodal columns): position i ends a chunk iff
-    * the md5-derived 60-bit value of the trailing `window`-char slice is
+    * the mod-prime Horner hash of the trailing `window` char codes is
     * ≡ 0 (mod 2^maskBits), so boundaries ride WITH the content and an
     * insertion near the head re-chunks only its neighbourhood, where
     * fixed-size chunking would shift every downstream chunk (the
@@ -1272,8 +1272,9 @@ object Dedup {
     * per-chunk frame never carries chunk text — 60-bit hashes and lengths
     * only (the q136 fingerprint-before-shuffle rule).
     *
-    * Cross-build portability: boundaries and hashes are md5-derived
-    * integers; every gate ratio is the round-half-up BIGINT ppm division.
+    * Cross-build portability: boundaries are exact mod-prime integer
+    * arithmetic, chunk ids the md5 house hash; every gate ratio is the
+    * round-half-up BIGINT ppm division.
     * Output (1 row): n_docs, n_chunks, n_unique_chunks, dup_chunk_ppm,
     * chars_total, chars_dedup, savings_ppm. */
   def cdcChunkDedup(
@@ -1282,22 +1283,58 @@ object Dedup {
       maskBits: Int = 5,
       textCol: String = "text",
       idCol: String = "doc_id"): DataFrame = {
+    val counts = cdcChunkCounts(docs, window, maskBits, textCol, idCol)
+    val nDocs = docs
+      .filter(length(TextAnalysis.normalized(col(textCol))) > 0)
+      .agg(count(lit(1)).as("n_docs"))
+    cdcReportFromCounts(counts, nDocs)
+  }
+
+  /** The CDC chunk-count ARTIFACT behind [[cdcChunkDedup]]: one row per
+    * distinct chunk hash 〈h, n, l〉. Counts merge by per-h (Σn, min l) —
+    * the mergeable-artifact property backup dedup systems are built on —
+    * so an incremental ingest folds each batch in at batch cost and the
+    * merged report is LAW-equal to a whole-corpus rebuild (q230). */
+  def cdcChunkCounts(
+      docs: DataFrame,
+      window: Int = 16,
+      maskBits: Int = 5,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
     require(window >= 2 && maskBits >= 1 && maskBits <= 20)
     val mask = 1L << maskBits
+    val M = 1000000007L // mod prime for the Horner window hash
     val norm = TextAnalysis.normalized(col(textCol))
     val base = docs
       .select(col(idCol), norm.as("t"), length(norm).as("len"))
       .filter(col("len") > 0)
-    // boundary positions: trailing-window hash ≡ 0 (mod 2^maskBits),
-    // doc end excluded (appended unconditionally below, so no dedup
-    // semantics in play on either engine); sequence() is DESCENDING when
-    // start > stop, so short docs guard to an empty array (one chunk)
+      // spread the per-char work across the cluster BEFORE deriving the
+      // code array: a small parquet layer arrives as few (often one)
+      // input splits, which would pin the whole O(window·chars) hot loop
+      // to one core; the exchange is also the CollapseProject barrier
+      // that keeps `cs` materialized once instead of inlined into every
+      // Horner term (the q219 lesson)
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
+      .withColumn("cs", transform(split(col("t"), ""), c => ascii(c)))
+    // boundary positions: mod-prime Horner hash of the trailing `window`
+    // char codes ≡ 0 (mod 2^maskBits) — pure integer multiply/add/mod,
+    // exact and identical on any engine build, and ~40× cheaper per
+    // position than a cryptographic hash (md5-per-position measured
+    // 3.4 s at sf0.1; chunk IDENTITY below still uses the 60-bit md5
+    // house hash, one per CHUNK, not one per char). Doc end excluded
+    // here and appended unconditionally below, so no list-dedup
+    // semantics are in play; sequence() is DESCENDING when start > stop,
+    // so short docs guard to an empty array (one whole-doc chunk).
+    def horner(i: Column): Column =
+      (0 until window).foldLeft(lit(0L)) { (acc, j) =>
+        pmod(acc * lit(257L) +
+          element_at(col("cs"), (i - lit(window - 1 - j)).cast("int")), lit(M))
+      }
     val bs = when(col("len") >= window,
       filter(
         sequence(lit(window), col("len")),
-        i => i < col("len") &&
-          pmod(Sketches.hash60(col("t").substr(i - lit(window - 1), lit(window))),
-            lit(mask)) === 0)).otherwise(array().cast("array<int>"))
+        i => i < col("len") && pmod(horner(i), lit(mask)) === 0))
+      .otherwise(array().cast("array<int>"))
     val withEnds = base.withColumn("ends",
       concat(bs.cast("array<int>"), array(col("len").cast("int"))))
     val chunks = withEnds.select(
@@ -1309,10 +1346,14 @@ object Dedup {
           Sketches.hash60(col("t").substr(start, e - start + 1)).as("h"),
           (e - start + 1).cast("long").as("l"))
       })).as("c"))
-    val perHash = chunks
+    chunks
       .groupBy(col("c.h").as("h"))
       .agg(count(lit(1)).as("n"), min(col("c.l")).as("l"))
-    val nDocs = base.agg(count(lit(1)).as("n_docs"))
+  }
+
+  /** [[cdcChunkDedup]]'s report from a (possibly merged) chunk-count
+    * artifact plus a 1-row n_docs frame. */
+  def cdcReportFromCounts(perHash: DataFrame, nDocs: DataFrame): DataFrame =
     perHash
       .agg(sum("n").as("n_chunks"), count(lit(1)).as("n_unique_chunks"),
         sum(col("n") * col("l")).as("chars_total"), sum("l").as("chars_dedup"))
@@ -1323,5 +1364,4 @@ object Dedup {
         col("chars_total"), col("chars_dedup"),
         expr("((chars_total - chars_dedup) * 2000000 + chars_total) div (2 * chars_total)")
           .as("savings_ppm"))
-  }
 }

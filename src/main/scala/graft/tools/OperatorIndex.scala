@@ -92,7 +92,7 @@ object OperatorIndex {
       """"(q\w+)":([0-9.]+)""".r.findAllMatchIn(body)
         .map(m => m.group(1) -> m.group(2).toDouble).toMap
     }
-    val fams = Seq("BENCHSCALE", "BENCHSCALE2", "BENCHSCALE3", "BENCHSCALE4", "BENCHSCALE5", "BENCHSCALE6")
+    val fams = Seq("BENCHSCALE", "BENCHSCALE2", "BENCHSCALE3", "BENCHSCALE4", "BENCHSCALE5", "BENCHSCALE6", "BENCHSCALE7")
     fams.foldLeft(Map.empty[String, Double]) { (acc, fam) =>
       val t1 = queriesOf(s"${fam}_1x.json")
       val t10 = queriesOf(s"${fam}_10x.json")
@@ -115,7 +115,7 @@ object OperatorIndex {
         .findAllMatchIn(s.substring(start + "\"queries\":{".length, end))
         .map(m => m.group(1) -> m.group(2).toDouble).toMap
     }
-    val fams = Seq("BENCHSCALE", "BENCHSCALE2", "BENCHSCALE3", "BENCHSCALE4", "BENCHSCALE5", "BENCHSCALE6")
+    val fams = Seq("BENCHSCALE", "BENCHSCALE2", "BENCHSCALE3", "BENCHSCALE4", "BENCHSCALE5", "BENCHSCALE6", "BENCHSCALE7")
     fams.foldLeft(Map.empty[String, Double]) { (acc, fam) =>
       val t10 = queriesOf(s"${fam}_10x.json")
       val t30 = queriesOf(s"${fam}_30x.json")
@@ -140,7 +140,7 @@ object OperatorIndex {
         .findAllMatchIn(s.substring(start + "\"queries\":{".length, end))
         .map(m => m.group(1) -> m.group(2).toDouble).toMap
     }
-    val fams = Seq("BENCHSCALE", "BENCHSCALE2", "BENCHSCALE3", "BENCHSCALE4", "BENCHSCALE5", "BENCHSCALE6")
+    val fams = Seq("BENCHSCALE", "BENCHSCALE2", "BENCHSCALE3", "BENCHSCALE4", "BENCHSCALE5", "BENCHSCALE6", "BENCHSCALE7")
     fams.foldLeft(Map.empty[String, Double]) { (acc, fam) =>
       val t30 = queriesOf(s"${fam}_30x.json")
       val t100 = queriesOf(s"${fam}_100x.json")

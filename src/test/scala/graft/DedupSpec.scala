@@ -613,4 +613,21 @@ class DedupSpec extends SparkSpec {
     val o = graft.analysis.Dedup.cdcChunkDedup(one).collect().head
     assert(o.getAs[Long]("n_chunks") === 1L && o.getAs[Long]("savings_ppm") === 0L)
   }
+
+  test("cdc chunk counts: merged batches report identically to the whole-corpus rebuild") {
+    import spark.implicits._
+    val docs = (1 to 30).map(i =>
+      (i.toLong, (1 to 60).map(j => s"t${(i * 7 + j) % 40}").mkString(" ")))
+      .toDF("doc_id", "text")
+    val stored = graft.analysis.Dedup.cdcChunkCounts(docs.filter($"doc_id" <= 20))
+    val fresh = graft.analysis.Dedup.cdcChunkCounts(docs.filter($"doc_id" > 20))
+    val merged = stored.unionByName(fresh).groupBy("h")
+      .agg(sum("n").as("n"), min("l").as("l"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val inc = graft.analysis.Dedup.cdcReportFromCounts(merged, nDocs)
+      .collect().head.toSeq
+    val full = graft.analysis.Dedup.cdcChunkDedup(docs).collect().head.toSeq
+    assert(inc === full) // THE LAW: merge == rebuild
+  }
+
 }
