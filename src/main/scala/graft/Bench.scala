@@ -109,16 +109,13 @@ object Bench {
     // "requeried" so the artifact is honest about which numbers came from
     // the second pass.
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCHFULL.json")
-    val priorMins: Map[String, Double] = try {
-      val txt = new String(java.nio.file.Files.readAllBytes(
-        java.nio.file.Paths.get(outFile)), java.nio.charset.StandardCharsets.UTF_8)
-      val qsec = txt.indexOf("\"queries\":{")
-      if (qsec < 0) Map.empty else {
-        val body = txt.substring(qsec + 11, txt.indexOf('}', qsec))
-        """"([^"]+)":([0-9.]+)""".r.findAllMatchIn(body)
-          .map(m => m.group(1) -> m.group(2).toDouble).toMap
-      }
-    } catch { case _: Throwable => Map.empty }
+    // prior minima are only comparable when they were measured against the
+    // SAME dataset: a committed sf0.1 artifact read by an sf1 run would
+    // flag every query >1.5x and trigger a pointless full re-measure pass
+    val priorSf = graft.tools.BenchArtifacts.sfOf(outFile)
+    val priorMins: Map[String, Double] =
+      if (priorSf.exists(_ != sfDir)) Map.empty
+      else graft.tools.BenchArtifacts.queriesOf(outFile)
     val requeried = scala.collection.mutable.ArrayBuffer.empty[String]
     val finalResults = results.map {
       case r @ (name, Some(t), _, None)
@@ -128,20 +125,32 @@ object Bench {
         val fn = SparkEntry.queries(name)
         val iso = Array.newBuilder[Double]
         var n = 0
-        var failed = false
+        var crashed = false
         // same min-confirmation rule as the suite pass, capped at maxReps
         def conf(ts: Array[Double]) =
           ts.length >= 2 && { val s = ts.sorted; s(1) - s(0) < s(0) }
-        while (!failed && n < maxReps && {
+        while (!crashed && n < maxReps && {
             val ts = iso.result(); ts.length < reps.max(2) || !conf(ts) }) {
           val t0 = System.nanoTime()
           try { fn(spark, sfDir).count(); iso += (System.nanoTime() - t0) / 1e9 }
-          catch { case _: Throwable => failed = true }
+          catch { case _: Throwable => crashed = true }
           spark.catalog.clearCache()
           n += 1
         }
         val ts = iso.result()
-        if (ts.isEmpty) r else {
+        if (crashed) {
+          // the suite rep succeeded but an isolated rep did not: the query
+          // is flaky under replay — surface it in the failures array (the
+          // documented honesty rule) instead of silently keeping either
+          // number, and do NOT adopt an unconfirmed isolated minimum
+          System.err.println(s"[bench] $name crashed during isolated re-measure")
+          (name, Some(t), r._3, Some(s"crashed on isolated re-measure rep ${ts.length + 1}"))
+        } else if (!conf(ts)) {
+          // ran out of reps without spread confirmation: keep the suite
+          // number — an unreplicated fluke minimum must not enter the record
+          System.err.println(s"[bench] $name isolated re-measure unconfirmed after $n reps; keeping suite min")
+          r
+        } else {
           requeried += name
           val best = math.min(t, ts.min)
           System.err.println(f"[bench] $name requeried: suite $t%.3f -> isolated ${ts.min}%.3f")

@@ -57,12 +57,8 @@ object SparkEntry {
     "q229_vocab_coverage_increment" -> { (s, d) =>
       val docs = TestData.documents(s, d)
       val cut = docs.agg(max("doc_id")).collect().head.getLong(0) * 9 / 10
-      def counts(df: org.apache.spark.sql.DataFrame) = df
-        .select(col("source"),
-          explode(array_remove(TextAnalysis.tokens(col("text")), "")).as("tok"))
-        .groupBy("source", "tok").agg(count(lit(1)).as("n"))
-      val merged = counts(docs.filter(col("doc_id") <= cut))
-        .unionByName(counts(docs.filter(col("doc_id") > cut)))
+      val merged = TextAnalysis.vocabCounts(docs.filter(col("doc_id") <= cut))
+        .unionByName(TextAnalysis.vocabCounts(docs.filter(col("doc_id") > cut)))
         .groupBy("source", "tok").agg(sum("n").as("n"))
       TextAnalysis.vocabCoverageFromCounts(merged, budgets = Seq(4, 8, 16, 32))
     },

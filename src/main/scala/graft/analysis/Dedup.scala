@@ -1302,41 +1302,29 @@ object Dedup {
       textCol: String = "text",
       idCol: String = "doc_id"): DataFrame = {
     require(window >= 2 && maskBits >= 1 && maskBits <= 20)
-    val mask = 1L << maskBits
-    val M = 1000000007L // mod prime for the Horner window hash
     val norm = TextAnalysis.normalized(col(textCol))
     val base = docs
       .select(col(idCol), norm.as("t"), length(norm).as("len"))
       .filter(col("len") > 0)
-      // spread the per-char work across the cluster BEFORE deriving the
-      // code array: a small parquet layer arrives as few (often one)
-      // input splits, which would pin the whole O(window·chars) hot loop
-      // to one core; the exchange is also the CollapseProject barrier
-      // that keeps `cs` materialized once instead of inlined into every
-      // Horner term (the q219 lesson)
+      // spread the per-char work across the cluster BEFORE the chunking
+      // projection: a small parquet layer arrives as few (often one)
+      // input splits, which would pin the whole per-char hot loop to one
+      // core of the cluster
       .repartition(docs.sparkSession.sparkContext.defaultParallelism)
-      .withColumn("cs", transform(split(col("t"), ""), c => ascii(c)))
     // boundary positions: mod-prime Horner hash of the trailing `window`
     // char codes ≡ 0 (mod 2^maskBits) — pure integer multiply/add/mod,
-    // exact and identical on any engine build, and ~40× cheaper per
-    // position than a cryptographic hash (md5-per-position measured
-    // 3.4 s at sf0.1; chunk IDENTITY below still uses the 60-bit md5
-    // house hash, one per CHUNK, not one per char). Doc end excluded
-    // here and appended unconditionally below, so no list-dedup
-    // semantics are in play; sequence() is DESCENDING when start > stop,
-    // so short docs guard to an empty array (one whole-doc chunk).
-    def horner(i: Column): Column =
-      (0 until window).foldLeft(lit(0L)) { (acc, j) =>
-        pmod(acc * lit(257L) +
-          element_at(col("cs"), (i - lit(window - 1 - j)).cast("int")), lit(M))
-      }
-    val bs = when(col("len") >= window,
-      filter(
-        sequence(lit(window), col("len")),
-        i => i < col("len") && pmod(horner(i), lit(mask)) === 0))
-      .otherwise(array().cast("array<int>"))
+    // exact and identical on any engine build. Evaluated by the native
+    // ROLLING expression (one mul/add/sub/mod per char; Spark has no scan
+    // HOF, so the O(chars) form needs an Expression) — bit-identical to
+    // the declarative per-position fold kept in
+    // [[cdcBoundariesDeclarative]] and spec-gated against it; the DuckDB
+    // oracle carries the declarative form. Chunk IDENTITY below stays the
+    // 60-bit md5 house hash, one per CHUNK, not one per char. Doc end is
+    // excluded by the expression and appended unconditionally, so no
+    // list-dedup semantics are in play.
+    val bs = graft.functions.CdcBoundaries.cdcBoundaries(col("t"), window, maskBits)
     val withEnds = base.withColumn("ends",
-      concat(bs.cast("array<int>"), array(col("len").cast("int"))))
+      concat(bs, array(col("len").cast("int"))))
     val chunks = withEnds.select(
       col(idCol),
       explode(transform(col("ends"), (e, i) => {
@@ -1349,6 +1337,29 @@ object Dedup {
     chunks
       .groupBy(col("c.h").as("h"))
       .agg(count(lit(1)).as("n"), min(col("c.l")).as("l"))
+  }
+
+  /** The declarative O(window·chars) twin of
+    * [[graft.functions.CdcBoundaries]] — per-position Horner fold over a
+    * code array, exactly the shape the DuckDB oracle evaluates. Kept as
+    * the cross-implementation gate: CdcSpec asserts the native rolling
+    * expression and this fold produce identical boundary sets. */
+  private[graft] def cdcBoundariesDeclarative(
+      text: Column, window: Int, maskBits: Int): Column = {
+    val mask = 1L << maskBits
+    val M = 1000000007L
+    val cs = transform(split(text, ""), c => ascii(c))
+    val len = size(cs)
+    def horner(i: Column): Column =
+      (0 until window).foldLeft(lit(0L)) { (acc, j) =>
+        pmod(acc * lit(257L) +
+          element_at(cs, (i - lit(window - 1 - j)).cast("int")), lit(M))
+      }
+    when(len >= window,
+      filter(
+        sequence(lit(window), len),
+        i => i < len && pmod(horner(i), lit(mask)) === 0))
+      .otherwise(array().cast("array<int>")).cast("array<int>")
   }
 
   /** [[cdcChunkDedup]]'s report from a (possibly merged) chunk-count

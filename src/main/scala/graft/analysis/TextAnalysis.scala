@@ -842,12 +842,20 @@ object TextAnalysis {
       docs: DataFrame,
       budgets: Seq[Int] = Seq(1000, 2000, 4000, 8000),
       textCol: String = "text",
-      srcCol: String = "source"): DataFrame = {
-    val tok = docs.select(col(srcCol).as("source"),
-      explode(array_remove(tokens(col(textCol)), "")).as("tok"))
-    vocabCoverageFromCounts(
-      tok.groupBy("source", "tok").agg(count(lit(1)).as("n")), budgets)
-  }
+      srcCol: String = "source"): DataFrame =
+    vocabCoverageFromCounts(vocabCounts(docs, textCol, srcCol), budgets)
+
+  /** The tokenize-and-count stage feeding [[vocabCoverageFromCounts]] —
+    * ONE definition shared by the whole-corpus path and the q229
+    * incremental merge, so the merge ≡ rebuild law holds by construction
+    * rather than by two copies staying character-identical. */
+  def vocabCounts(
+      docs: DataFrame,
+      textCol: String = "text",
+      srcCol: String = "source"): DataFrame =
+    docs.select(col(srcCol).as("source"),
+        explode(array_remove(tokens(col(textCol)), "")).as("tok"))
+      .groupBy("source", "tok").agg(count(lit(1)).as("n"))
 
   /** [[vocabCoverage]] from a pre-aggregated 〈source, tok, n〉 count frame
     * — the MERGEABLE-ARTIFACT entry point: per-source type counts merge by

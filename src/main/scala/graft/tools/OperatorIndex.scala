@@ -81,17 +81,8 @@ object OperatorIndex {
 
   /** BENCHSCALE family → per-query log10(t_10x / t_1x) slope. */
   private[tools] def scaleSlopes(): Map[String, Double] = {
-    def queriesOf(path: String): Map[String, Double] = {
-      val p = repoFile(path)
-      if (!Files.exists(p)) return Map.empty
-      val s = Files.readString(p)
-      val start = s.indexOf("\"queries\":{")
-      if (start < 0) return Map.empty
-      val end = s.indexOf("}", start)
-      val body = s.substring(start + "\"queries\":{".length, end)
-      """"(q\w+)":([0-9.]+)""".r.findAllMatchIn(body)
-        .map(m => m.group(1) -> m.group(2).toDouble).toMap
-    }
+    def queriesOf(path: String): Map[String, Double] =
+      BenchArtifacts.queriesOf(path)
     val fams = Seq("BENCHSCALE", "BENCHSCALE2", "BENCHSCALE3", "BENCHSCALE4", "BENCHSCALE5", "BENCHSCALE6", "BENCHSCALE7")
     fams.foldLeft(Map.empty[String, Double]) { (acc, fam) =>
       val t1 = queriesOf(s"${fam}_1x.json")
@@ -104,17 +95,8 @@ object OperatorIndex {
 
   /** 30×-confirmation slopes where measured: log10(t_30x/t_10x)/log10(3). */
   private[tools] def slopes30x(): Map[String, Double] = {
-    def queriesOf(path: String): Map[String, Double] = {
-      val p = repoFile(path)
-      if (!Files.exists(p)) return Map.empty
-      val s = Files.readString(p)
-      val start = s.indexOf("\"queries\":{")
-      if (start < 0) return Map.empty
-      val end = s.indexOf("}", start)
-      """"(q\w+)":([0-9.]+)""".r
-        .findAllMatchIn(s.substring(start + "\"queries\":{".length, end))
-        .map(m => m.group(1) -> m.group(2).toDouble).toMap
-    }
+    def queriesOf(path: String): Map[String, Double] =
+      BenchArtifacts.queriesOf(path)
     val fams = Seq("BENCHSCALE", "BENCHSCALE2", "BENCHSCALE3", "BENCHSCALE4", "BENCHSCALE5", "BENCHSCALE6", "BENCHSCALE7")
     fams.foldLeft(Map.empty[String, Double]) { (acc, fam) =>
       val t10 = queriesOf(s"${fam}_10x.json")
@@ -129,17 +111,8 @@ object OperatorIndex {
     * the final local decade (100× sf0.1 = sf10-equivalent volume on one
     * JVM); past it only a real cluster changes the picture. */
   private[tools] def slopes100x(): Map[String, Double] = {
-    def queriesOf(path: String): Map[String, Double] = {
-      val p = repoFile(path)
-      if (!Files.exists(p)) return Map.empty
-      val s = Files.readString(p)
-      val start = s.indexOf("\"queries\":{")
-      if (start < 0) return Map.empty
-      val end = s.indexOf("}", start)
-      """"(q\w+)":([0-9.]+)""".r
-        .findAllMatchIn(s.substring(start + "\"queries\":{".length, end))
-        .map(m => m.group(1) -> m.group(2).toDouble).toMap
-    }
+    def queriesOf(path: String): Map[String, Double] =
+      BenchArtifacts.queriesOf(path)
     val fams = Seq("BENCHSCALE", "BENCHSCALE2", "BENCHSCALE3", "BENCHSCALE4", "BENCHSCALE5", "BENCHSCALE6", "BENCHSCALE7")
     fams.foldLeft(Map.empty[String, Double]) { (acc, fam) =>
       val t30 = queriesOf(s"${fam}_30x.json")

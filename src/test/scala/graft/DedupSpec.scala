@@ -630,4 +630,28 @@ class DedupSpec extends SparkSpec {
     assert(inc === full) // THE LAW: merge == rebuild
   }
 
+
+  test("cdc boundaries: native rolling expression equals the declarative per-position fold") {
+    import spark.implicits._
+    val texts = Seq(
+      "",                                      // empty
+      "short",                                 // below window
+      "exactly sixteen!",                      // len == window: no interior position
+      (1 to 500).map(i => s"w${i % 37}").mkString(" "),   // long, repetitive
+      "a" * 200,                               // degenerate single-char run
+      "unicode äöü 世界 mixed in",  // non-ASCII code points
+      (1 to 100).map(i => s"t$i").mkString(" ")
+    ).zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "t")
+    for ((w, m) <- Seq((16, 5), (8, 4), (2, 1))) {
+      val got = texts.select($"id",
+        graft.functions.CdcBoundaries.cdcBoundaries($"t", w, m).as("b"),
+        graft.analysis.Dedup.cdcBoundariesDeclarative($"t", w, m).as("d"))
+        .collect()
+      got.foreach { r =>
+        assert(r.getSeq[Int](1) === r.getSeq[Int](2),
+          s"window=$w mask=$m id=${r.getLong(0)}")
+      }
+    }
+  }
+
 }

@@ -566,12 +566,8 @@ class TextAnalysisSpec extends SparkSpec {
       (1L, "s1", "aa aa bb"), (2L, "s2", "aa cc cc dd"),
       (3L, "s1", "bb bb ee"), (4L, "s2", "aa ff"))
       .toDF("doc_id", "source", "text")
-    def counts(df: org.apache.spark.sql.DataFrame) = df
-      .select(col("source"),
-        explode(array_remove(graft.analysis.TextAnalysis.tokens(col("text")), "")).as("tok"))
-      .groupBy("source", "tok").agg(count(lit(1)).as("n"))
-    val merged = counts(docs.filter($"doc_id" <= 2))
-      .unionByName(counts(docs.filter($"doc_id" > 2)))
+    val merged = graft.analysis.TextAnalysis.vocabCounts(docs.filter($"doc_id" <= 2))
+      .unionByName(graft.analysis.TextAnalysis.vocabCounts(docs.filter($"doc_id" > 2)))
       .groupBy("source", "tok").agg(sum("n").as("n"))
     val inc = graft.analysis.TextAnalysis
       .vocabCoverageFromCounts(merged, budgets = Seq(1, 3)).collect().map(_.toSeq)
