@@ -44,9 +44,10 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_docs"))
       Dedup.cdcReportFromCounts(merged, nDocs)
     },
-    // content-defined chunking dedup: boundaries where the trailing
-    // 16-char md5 window is 0 mod 32 (shift-robust, the backup-dedup
-    // argument), chunks content-hashed and deduped corpus-wide; only
+    // content-defined chunking dedup: boundaries where the mod-prime
+    // Horner hash of the trailing 16-char window is 0 mod 32
+    // (shift-robust, the backup-dedup argument; md5 is chunk IDENTITY
+    // only), chunks content-hashed and deduped corpus-wide; only
     // 60-bit hashes + lengths ever shuffle - all-BIGINT ppm gate
     "q228_cdc_chunk_dedup" -> { (s, d) =>
       Dedup.cdcChunkDedup(TestData.documents(s, d))
@@ -140,9 +141,12 @@ object SparkEntry {
     "q221_skew_report" -> { (s, d) =>
       graft.relational.SkewJoin.skewReport(TestData.clicks(s, d), "document_id")
     },
-    // Benford first-digit monitor over positive event values: digit via
-    // floor(v/10^floor(log10 v)), expected = Scala-computed constants
-    // shared verbatim with the oracle
+    // Benford first-digit monitor over positive event values: libm-free
+    // digit extraction (string head of the integer part, sub-1 values
+    // scaled by one exact 1e18 multiply); domain is v ∈ [1e-18, 9e18) —
+    // values outside are EXCLUDED from the histogram (not mis-binned),
+    // so observed ratios narrow on data with extreme magnitudes;
+    // expected = Scala-computed constants shared verbatim with the oracle
     "q217_benford" -> { (s, d) =>
       graft.analysis.Profiling.benfordDigits(TestData.clicks(s, d), "value")
         .orderBy("digit")
@@ -526,6 +530,13 @@ object SparkEntry {
         TestData.clicks(s, d), "session_id", "document_id", maxPerKey = 100)
       Graphs.pageRank(edges, damping = 0.85, iterations = 5)
         .withColumnRenamed("id", "document_id")
+        // BIGINT micro-units, not the raw double: the iterated sums are
+        // order-sensitive across engines, so the gate column is
+        // ⌊rank·10⁶+0.5⌋ (PagerankMarginSpec pins gate-corpus values off
+        // the floor boundary — the q165 cross-build recipe)
+        .select(col("document_id"),
+          floor(col("pagerank") * lit(1e6) + lit(0.5)).cast("long")
+            .as("pagerank_micro"))
         .orderBy("document_id")
     },
     // point-in-time SCD2 lookup - the feature-store "no leakage" join:
@@ -601,6 +612,14 @@ object SparkEntry {
           TestData.documents(s, d).filter(col("doc_id") % 3 === 0))
         .orderBy("decile")
     },
+    // q180's stage-checksum canary: per-stage (row count, 60-bit md5 XOR)
+    // over the same sample and derivation — if any engine build ever
+    // diverges from this plan, the first differing stage row localizes
+    // WHERE (shingles / signatures / bands / candidates / jaccard)
+    "q231_lsh_canary" -> { (s, d) =>
+      Dedup.lshStageChecksums(
+        TestData.documents(s, d).filter(col("doc_id") % 3 === 0))
+    },
     // incremental source-overlap (q118's top-decile split): the batch
     // tokenizes only itself, artifacts merge by distinct-union, and the
     // LAW gate is q168's whole-corpus SQL verbatim — increment ≡ rebuild
@@ -635,6 +654,22 @@ object SparkEntry {
       val tp = Dedup.minhashNearDupPairs(docs).select("doc_a", "doc_b")
       val ep = Similarity.embeddingNearDupPairsExact(
           TestData.embeddings(s, d), minCosine = 0.4)
+        .select("doc_a", "doc_b")
+      Dedup.dedupClusters(tp.unionByName(ep).distinct(), docs.select(col("doc_id")))
+        .orderBy("doc_id")
+    },
+    // q178's ensemble with the PRODUCTION embedding feed: the cosine pairs
+    // come through LSH sign-buckets (q39's sub-quadratic generator) instead
+    // of the exact all-pairs baseline — this is the composition a 100 TB
+    // dedup actually runs, oracle-gated end-to-end (the oracle replicates
+    // the bucket restriction); DedupSpec proves ≡ the exact feed on a
+    // fixture whose buckets are exhaustive
+    "q232_ensemble_clusters_lsh" -> { (s, d) =>
+      val docs = TestData.documents(s, d)
+      val tp = Dedup.minhashNearDupPairs(docs).select("doc_a", "doc_b")
+      val ep = Similarity.embeddingNearDupPairsWith(
+          TestData.embeddings(s, d),
+          Similarity.axisSignSignature(_, 6), minCosine = 0.4)
         .select("doc_a", "doc_b")
       Dedup.dedupClusters(tp.unionByName(ep).distinct(), docs.select(col("doc_id")))
         .orderBy("doc_id")
@@ -1218,6 +1253,10 @@ object SparkEntry {
         TestData.clicks(s, d), "session_id", "document_id", maxPerKey = 100)
       Graphs.pageRank(edges, damping = 0.85, iterations = 5, weightCol = Some("weight"))
         .withColumnRenamed("id", "document_id")
+        // same BIGINT micro-unit gate as q56 (PagerankMarginSpec)
+        .select(col("document_id"),
+          floor(col("pagerank") * lit(1e6) + lit(0.5)).cast("long")
+            .as("pagerank_micro"))
         .orderBy("document_id")
     },
     // language-ID confusion matrix (stopword-marker heuristic vs labels)
@@ -5671,7 +5710,8 @@ object SparkEntry {
         |  FROM nodes nd LEFT JOIN sym s ON s.v = nd.id
         |  LEFT JOIN p4 p ON s.u = p.id LEFT JOIN deg dg ON s.u = dg.u
         |  GROUP BY nd.id)
-        |SELECT id AS document_id, r * (SELECT n FROM nn) AS pagerank
+        |SELECT id AS document_id,
+        |  CAST(floor(r * (SELECT n FROM nn) * 1000000 + 0.5) AS BIGINT) AS pagerank_micro
         |FROM p5 ORDER BY document_id""".stripMargin,
     // q55's change-point SQL restricted to clicks + DuckDB's native ASOF
     // LEFT JOIN picking the version valid at each purchase
@@ -5766,7 +5806,8 @@ object SparkEntry {
         |    list_transform(range(16), i -> list_min(list_transform(sh, s -> md5(i::VARCHAR || '|' || s)))) AS sig
         |  FROM sets),
         |bands AS (
-        |  SELECT id, b AS band_id, md5(array_to_string(sig[b*4+1:b*4+4], ',')) AS band_hash
+        |  SELECT id, b AS band_id,
+        |    md5(sig[b*4+1] || ',' || sig[b*4+2] || ',' || sig[b*4+3] || ',' || sig[b*4+4]) AS band_hash
         |  FROM sigs CROSS JOIN (VALUES (0), (1), (2), (3)) AS bl(b)),
         |cand AS (
         |  SELECT DISTINCT x.id AS a, y.id AS b
@@ -5780,11 +5821,10 @@ object SparkEntry {
         |  GROUP BY 1, 2),
         |sc AS (
         |  SELECT a, b,
-        |    CAST(common AS DOUBLE) / CAST(sa.sz + sb.sz - common AS DOUBLE) AS j
+        |    CAST(least((10 * common) // (sa.sz + sb.sz - common), 9) AS INT) AS sdec
         |  FROM cm JOIN sz sa ON a = sa.id JOIN sz sb ON b = sb.id),
         |po AS (
-        |  SELECT CASE WHEN sc.j IS NULL THEN 0
-        |              ELSE CAST(least(floor(sc.j * 10), 9) AS INT) END AS decile,
+        |  SELECT COALESCE(sc.sdec, 0) AS decile,
         |    CASE WHEN cand.a IS NOT NULL THEN 1 ELSE 0 END AS c
         |  FROM sc FULL OUTER JOIN cand USING (a, b)),
         |g AS (
@@ -5809,6 +5849,70 @@ object SparkEntry {
         .map { case (p, d) => s"WHEN $d THEN ${p}::BIGINT" }
         .mkString("  CASE decile ", " ", " END AS theo_rate_ppm\n") +
       """FROM adj WHERE n_pairs > 0 ORDER BY decile"""),
+    // q180's stage checksums: the same CTE chain, reduced per stage to
+    // (count, bit_xor of 60-bit md5) — all string/integer derived. The
+    // sig join is written as explicit elements (no list slice, no
+    // array_to_string) to stay dialect-drift-proof.
+    "q231_lsh_canary" ->
+      ("""WITH toks AS (
+        |  SELECT doc_id AS id,
+        |    string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')), ' ') AS t
+        |  FROM documents WHERE doc_id % 3 = 0),
+        |sets AS (
+        |  SELECT id, list_distinct(list_transform(range(len(t) - 2), i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])) AS sh
+        |  FROM toks WHERE len(t) >= 3),
+        |sigs AS (
+        |  SELECT id, sh,
+        |    list_transform(range(16), i -> list_min(list_transform(sh, s -> md5(i::VARCHAR || '|' || s)))) AS sig
+        |  FROM sets),
+        |bands AS (
+        |  SELECT id, b AS band_id,
+        |    md5(sig[b*4+1] || ',' || sig[b*4+2] || ',' || sig[b*4+3] || ',' || sig[b*4+4]) AS band_hash
+        |  FROM sigs CROSS JOIN (VALUES (0), (1), (2), (3)) AS bl(b)),
+        |cand AS (
+        |  SELECT DISTINCT x.id AS a, y.id AS b
+        |  FROM bands x JOIN bands y
+        |    ON x.band_id = y.band_id AND x.band_hash = y.band_hash AND x.id < y.id),
+        |sz AS (SELECT id, len(sh) AS sz FROM sets),
+        |inv AS (SELECT id, unnest(sh) AS g FROM sets),
+        |cm AS (
+        |  SELECT x.id AS a, y.id AS b, count(*) AS common
+        |  FROM inv x JOIN inv y ON x.g = y.g AND x.id < y.id
+        |  GROUP BY 1, 2),
+        |sc AS (
+        |  SELECT a, b, common,
+        |    CAST(least((10 * common) // (sa.sz + sb.sz - common), 9) AS INT) AS sdec
+        |  FROM cm JOIN sz sa ON a = sa.id JOIN sz sb ON b = sb.id),
+        |h_sets AS (
+        |  SELECT 'sets' AS stage, count(*) AS n_rows,
+        |    COALESCE(bit_xor(('0x' || substr(md5(id::VARCHAR || '|' || sz::VARCHAR), 1, 15))::BIGINT), 0) AS xor60
+        |  FROM sz),
+        |h_shingles AS (
+        |  SELECT 'shingles' AS stage, count(*) AS n_rows,
+        |    COALESCE(bit_xor(('0x' || substr(md5(id::VARCHAR || '|' || g), 1, 15))::BIGINT), 0) AS xor60
+        |  FROM inv),
+        |h_sigs AS (
+        |  SELECT 'sigs' AS stage, count(*) AS n_rows,
+        |    COALESCE(bit_xor(('0x' || substr(md5(id::VARCHAR || '|' || """.stripMargin +
+      (1 to 16).map(i => s"sig[$i]").mkString(" || ',' || ") +
+      """), 1, 15))::BIGINT), 0) AS xor60
+        |  FROM sigs),
+        |h_bands AS (
+        |  SELECT 'bands' AS stage, count(*) AS n_rows,
+        |    COALESCE(bit_xor(('0x' || substr(md5(id::VARCHAR || '|' || band_id::VARCHAR || '|' || band_hash), 1, 15))::BIGINT), 0) AS xor60
+        |  FROM bands),
+        |h_cand AS (
+        |  SELECT 'cand' AS stage, count(*) AS n_rows,
+        |    COALESCE(bit_xor(('0x' || substr(md5(a::VARCHAR || '|' || b::VARCHAR), 1, 15))::BIGINT), 0) AS xor60
+        |  FROM cand),
+        |h_scored AS (
+        |  SELECT 'scored' AS stage, count(*) AS n_rows,
+        |    COALESCE(bit_xor(('0x' || substr(md5(a::VARCHAR || '|' || b::VARCHAR || '|' || common::VARCHAR || '|' || sdec::VARCHAR), 1, 15))::BIGINT), 0) AS xor60
+        |  FROM sc)
+        |SELECT * FROM h_sets UNION ALL SELECT * FROM h_shingles
+        |UNION ALL SELECT * FROM h_sigs UNION ALL SELECT * FROM h_bands
+        |UNION ALL SELECT * FROM h_cand UNION ALL SELECT * FROM h_scored
+        |ORDER BY stage""".stripMargin),
     // THE LAW: the increment must equal the whole-corpus rebuild — q168's
     // SQL verbatim
     "q179_source_overlap_increment" ->
@@ -5908,6 +6012,58 @@ object SparkEntry {
         |ep AS (
         |  SELECT x.vec_id AS doc_a, y.vec_id AS doc_b
         |  FROM embeddings x JOIN embeddings y ON x.vec_id < y.vec_id
+        |  WHERE list_sum(list_transform(range(1, len(x.embedding) + 1),
+        |        i -> CAST(x.embedding[i] AS DOUBLE) * CAST(y.embedding[i] AS DOUBLE)))
+        |      / (sqrt(list_sum(list_transform(range(1, len(x.embedding) + 1),
+        |            i -> CAST(x.embedding[i] AS DOUBLE) * CAST(x.embedding[i] AS DOUBLE))))
+        |         * sqrt(list_sum(list_transform(range(1, len(y.embedding) + 1),
+        |            i -> CAST(y.embedding[i] AS DOUBLE) * CAST(y.embedding[i] AS DOUBLE)))))
+        |        >= 0.4),
+        |pairs AS (SELECT doc_a, doc_b FROM tp UNION SELECT doc_a, doc_b FROM ep),
+        |sym AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+        |        UNION SELECT doc_b AS a, doc_a AS b FROM pairs),
+        |reach(id, r) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT reach.id, sym.b FROM reach JOIN sym ON sym.a = reach.r)
+        |SELECT id AS doc_id, min(r) AS cluster_id, (id = min(r)) AS is_keeper
+        |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
+    // q178's closure with ep routed through q72's 6-axis sign buckets —
+    // the production (sub-quadratic) ensemble, bucket restriction in SQL
+    "q232_ensemble_clusters_lsh" ->
+      """WITH RECURSIVE toks AS (
+        |  SELECT doc_id AS id,
+        |    string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')), ' ') AS t
+        |  FROM documents),
+        |sets AS (
+        |  SELECT id, list_distinct(list_transform(range(len(t) - 2), i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])) AS sh
+        |  FROM toks WHERE len(t) >= 3),
+        |sigs AS (
+        |  SELECT id, sh,
+        |    list_transform(range(16), i -> list_min(list_transform(sh, s -> md5(i::VARCHAR || '|' || s)))) AS sig
+        |  FROM sets),
+        |bands AS (
+        |  SELECT id, b AS band_id,
+        |    md5(sig[b*4+1] || ',' || sig[b*4+2] || ',' || sig[b*4+3] || ',' || sig[b*4+4]) AS band_hash
+        |  FROM sigs CROSS JOIN (VALUES (0), (1), (2), (3)) AS bl(b)),
+        |cand AS (
+        |  SELECT DISTINCT x.id AS doc_a, y.id AS doc_b
+        |  FROM bands x JOIN bands y
+        |    ON x.band_id = y.band_id AND x.band_hash = y.band_hash AND x.id < y.id),
+        |tp AS (
+        |  SELECT doc_a, doc_b FROM (
+        |    SELECT doc_a, doc_b,
+        |      CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) / len(list_distinct(list_concat(sa.sh, sb.sh))) AS j
+        |    FROM cand JOIN sets sa ON doc_a = sa.id JOIN sets sb ON doc_b = sb.id)
+        |  WHERE j >= 0.8),
+        |e AS (
+        |  SELECT vec_id, embedding,
+        |    CAST(list_sum(list_transform(range(6), j ->
+        |      CASE WHEN embedding[CAST(j + 1 AS INT)] >= 0 THEN (1 << j) ELSE 0 END)) AS BIGINT) AS bucket
+        |  FROM embeddings),
+        |ep AS (
+        |  SELECT x.vec_id AS doc_a, y.vec_id AS doc_b
+        |  FROM e x JOIN e y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
         |  WHERE list_sum(list_transform(range(1, len(x.embedding) + 1),
         |        i -> CAST(x.embedding[i] AS DOUBLE) * CAST(y.embedding[i] AS DOUBLE)))
         |      / (sqrt(list_sum(list_transform(range(1, len(x.embedding) + 1),
@@ -6923,7 +7079,8 @@ object SparkEntry {
         |  FROM nodes nd LEFT JOIN sym s ON s.v = nd.id
         |  LEFT JOIN p4 p ON s.u = p.id LEFT JOIN deg dg ON s.u = dg.u
         |  GROUP BY nd.id)
-        |SELECT id AS document_id, r * (SELECT n FROM nn) AS pagerank
+        |SELECT id AS document_id,
+        |  CAST(floor(r * (SELECT n FROM nn) * 1000000 + 0.5) AS BIGINT) AS pagerank_micro
         |FROM p5 ORDER BY document_id""".stripMargin,
     "q49_dedup_clusters" ->
       """WITH RECURSIVE p AS (

@@ -1122,6 +1122,11 @@ object Dedup {
         .withColumn("is_cand", lit(1L))
       val sizes = base.select(col("id"), size(col("sh")).as("sz"))
       val inv = base.select(col("id"), explode(col("sh")).as("g"))
+      // decile of the Jaccard ratio in PURE INTEGER arithmetic:
+      // floor(10·common/union) == (10·common) div union for positive
+      // integers, so no engine ever materializes the DOUBLE ratio — the
+      // group key is cross-build invariant by construction (the round-8
+      // float key `floor(j*10)` was the last build-sensitive construct)
       val scored = inv.as("x").join(inv.as("y"),
           col("x.g") === col("y.g") && col("x.id") < col("y.id"))
         .groupBy(col("x.id").as("a"), col("y.id").as("b"))
@@ -1129,13 +1134,12 @@ object Dedup {
         .join(sizes.select(col("id").as("a"), col("sz").as("sza")), "a")
         .join(sizes.select(col("id").as("b"), col("sz").as("szb")), "b")
         .select(col("a"), col("b"),
-          (col("common").cast(DoubleType) /
-            (col("sza") + col("szb") - col("common")).cast(DoubleType)).as("j"))
+          least(expr("(10 * common) div (sza + szb - common)"), lit(9))
+            .cast("int").as("sdec"))
       grouped = scored
         .join(candPairs, Seq("a", "b"), "full_outer")
         .select(
-          when(col("j").isNull, 0)
-            .otherwise(least(floor(col("j") * 10), lit(9))).cast("int").as("decile"),
+          coalesce(col("sdec"), lit(0)).cast("int").as("decile"),
           coalesce(col("is_cand"), lit(0L)).as("c"))
         .groupBy("decile")
         .agg(count(lit(1)).as("n_seen"), sum("c").as("n_candidates"))
@@ -1163,6 +1167,71 @@ object Dedup {
     } finally {
       base.unpersist()
       if (grouped != null) grouped.unpersist()
+      ()
+    }
+  }
+
+  /** Stage-checksum canary for the q180 gate: one row per LSH pipeline
+    * stage — sets → shingles → sigs → bands → cand → scored — carrying the
+    * stage's row count and a 60-bit md5 XOR over a stage-identifying
+    * string. Every checksum input is integer/string-derived (no float math
+    * anywhere), so if a different DuckDB build ever diverges from this
+    * plan, the FIRST stage whose (n_rows, xor60) differs localizes the
+    * drift instead of an end-of-pipe hash miss on the tuning curve.
+    * Mirrors [[lshTuningCurve]]'s derivation exactly (same shingle set,
+    * signature, banding, candidate join, and integer decile). */
+  def lshStageChecksums(
+      docs: DataFrame,
+      n: Int = 3,
+      bands: Int = 4,
+      rowsPerBand: Int = 4,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val k = bands * rowsPerBand
+    val base = docs
+      .select(col(idCol).as("id"), shingleSet(col(textCol), n).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .withColumn("sig", minhashSignature(col("sh"), k))
+      .persist()
+    def stageAgg(name: String, df: DataFrame, key: Column): DataFrame =
+      df.select(Sketches.hash60(key).as("hh"))
+        .agg(count(lit(1)).as("n_rows"),
+          expr("coalesce(bit_xor(hh), 0)").as("xor60"))
+        .select(lit(name).as("stage"), col("n_rows"), col("xor60"))
+    try {
+      val sets = base.select(col("id"), size(col("sh")).as("sz"))
+      val inv = base.select(col("id"), explode(col("sh")).as("g"))
+      val sigsJ = base.select(col("id"), concat_ws(",", col("sig")).as("sj"))
+      val bandRows = base.select(col("id"),
+          explode(lshBandHashes(col("sig"), bands, rowsPerBand)).as("b"))
+        .select(col("id"), col("b.band_id"), col("b.band_hash"))
+      val cand = bandRows.as("x").join(bandRows.as("y"),
+          col("x.band_id") === col("y.band_id") &&
+            col("x.band_hash") === col("y.band_hash") &&
+            col("x.id") < col("y.id"))
+        .select(col("x.id").as("a"), col("y.id").as("b")).distinct()
+      val scored = inv.as("x").join(inv.as("y"),
+          col("x.g") === col("y.g") && col("x.id") < col("y.id"))
+        .groupBy(col("x.id").as("a"), col("y.id").as("b"))
+        .agg(count(lit(1)).as("common"))
+        .join(sets.select(col("id").as("a"), col("sz").as("sza")), "a")
+        .join(sets.select(col("id").as("b"), col("sz").as("szb")), "b")
+        .select(col("a"), col("b"), col("common"),
+          least(expr("(10 * common) div (sza + szb - common)"), lit(9))
+            .cast("int").as("sdec"))
+      stageAgg("sets", sets, concat_ws("|", col("id"), col("sz")))
+        .unionByName(stageAgg("shingles", inv, concat_ws("|", col("id"), col("g"))))
+        .unionByName(stageAgg("sigs", sigsJ, concat_ws("|", col("id"), col("sj"))))
+        .unionByName(stageAgg("bands", bandRows,
+          concat_ws("|", col("id"), col("band_id"), col("band_hash"))))
+        .unionByName(stageAgg("cand", cand, concat_ws("|", col("a"), col("b"))))
+        .unionByName(stageAgg("scored", scored,
+          concat_ws("|", col("a"), col("b"), col("common"), col("sdec"))))
+        .orderBy("stage")
+        .localCheckpoint(true) // six 1-row aggregates over the cached base:
+                               // materialize before unpersisting it
+    } finally {
+      base.unpersist()
       ()
     }
   }
@@ -1300,6 +1369,21 @@ object Dedup {
       window: Int = 16,
       maskBits: Int = 5,
       textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame =
+    cdcChunkRows(docs, window, maskBits, textCol, idCol)
+      .groupBy(col("h"))
+      .agg(count(lit(1)).as("n"), min(col("l")).as("l"))
+
+  /** The per-chunk rows 〈id, h, l〉 behind [[cdcChunkCounts]] — the
+    * stateless per-document half of the CDC pipeline, shared verbatim by
+    * the batch build and [[graft.streaming.StreamingCdc]] (chunking is
+    * per-doc, so the streaming twin applies THIS projection per
+    * micro-batch and keeps only the 〈Σn, min l〉 state per hash). */
+  def cdcChunkRows(
+      docs: DataFrame,
+      window: Int = 16,
+      maskBits: Int = 5,
+      textCol: String = "text",
       idCol: String = "doc_id"): DataFrame = {
     require(window >= 2 && maskBits >= 1 && maskBits <= 20)
     val norm = TextAnalysis.normalized(col(textCol))
@@ -1334,9 +1418,7 @@ object Dedup {
           Sketches.hash60(col("t").substr(start, e - start + 1)).as("h"),
           (e - start + 1).cast("long").as("l"))
       })).as("c"))
-    chunks
-      .groupBy(col("c.h").as("h"))
-      .agg(count(lit(1)).as("n"), min(col("c.l")).as("l"))
+    chunks.select(col(idCol), col("c.h").as("h"), col("c.l").as("l"))
   }
 
   /** The declarative O(window·chars) twin of

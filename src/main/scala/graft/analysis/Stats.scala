@@ -440,14 +440,18 @@ object Stats {
         // every item also plays one win + one loss against a fixed
         // 1.0-rated ghost, so zero-win items decay instead of freezing at
         // the start value and the MM map is total with no zero guards
-        val denomMicro = items.iterator.filter(_ != i).map { j =>
+        // max(1, ·): with ratings clamped below 4e12 the ghost term alone
+        // is ≥ 1, but the guard makes the MM map total even off-domain
+        val denomMicro = math.max(1L, items.iterator.filter(_ != i).map { j =>
           val nij = nBetween.getOrElse(if (i < j) (i, j) else (j, i), 0L)
           if (nij == 0) 0L
           else math.floor(nij * 1e12 / (rating(i) + rating(j)) + 0.5).toLong
         }.sum + // exact Long sum — order-free by construction
-          math.floor(2 * 1e12 / (rating(i) + 1000000L) + 0.5).toLong
+          math.floor(2 * 1e12 / (rating(i) + 1000000L) + 0.5).toLong)
         val wi = wins.getOrElse(i, 0L) + 1L
-        i -> math.floor(wi * 1e12 / denomMicro + 0.5).toLong
+        // clamp to 4e12 micro (rating 4e6): keeps 2·r·10⁶ + totalMicro far
+        // inside Long on the ppm line; unreachable under the ghost decay
+        i -> math.min(4000000000000L, math.floor(wi * 1e12 / denomMicro + 0.5).toLong)
       }.toMap
     }
     val totalMicro = items.map(rating).sum

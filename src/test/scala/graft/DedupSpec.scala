@@ -433,6 +433,26 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.lshTheoPpm(4, 4)(9) === 998816L)
   }
 
+  test("lsh stage checksums: per-stage counts match the tuning-curve derivation") {
+    val docs = Seq(
+      (1L, "a b c d e f g h i j k l"),
+      (2L, "a b c d e f g h i j k l"),   // identical pair: 1 candidate, 1 scored
+      (3L, "z y x w v u t s r q p o")
+    ).toDF("doc_id", "text")
+    val out = Dedup.lshStageChecksums(docs).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out.keySet === Set("sets", "shingles", "sigs", "bands", "cand", "scored"))
+    assert(out("sets")._1 === 3L)        // 3 docs with non-empty shingle sets
+    assert(out("shingles")._1 === 30L)   // 10 distinct 3-grams per doc
+    assert(out("sigs")._1 === 3L)
+    assert(out("bands")._1 === 12L)      // 3 docs x 4 bands
+    assert(out("cand")._1 === 1L)        // only the identical pair collides
+    assert(out("scored")._1 === 1L)      // only the identical pair overlaps
+    // identical docs, same stage inputs -> xor of a repeated hash cancels
+    // only if BOTH ids were equal; here ids differ so every xor is nonzero
+    assert(out.values.forall(_._2 !== 0L))
+  }
+
   test("dedup weights: 1/|cluster| per member, total gradient mass = one doc per cluster") {
     val pairs = Seq((1L, 2L), (2L, 3L)).toDF("doc_a", "doc_b")
     val docs = (1L to 5L).map(Tuple1(_)).toDF("doc_id")
@@ -457,6 +477,42 @@ class DedupSpec extends SparkSpec {
       .map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
     assert(out(1L) === ((1L, true)) && out(2L) === ((1L, false)) && out(3L) === ((1L, false)))
     assert(out(4L) === ((4L, true))) // untouched singleton keeps itself
+  }
+
+  test("lsh-fed ensemble ≡ exact-fed ensemble when buckets are exhaustive (q232 law)") {
+    // every embedding's first 6 dims are >= 0, so the 6-axis sign
+    // signature maps the whole corpus into ONE bucket — the LSH pair
+    // generator then sees exactly the all-pairs space, and the two
+    // ensemble compositions must produce identical clusterings
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon zeta"),  // exact text dup of 1
+      (3L, "totally different words here entirely now"),
+      (4L, "unrelated content again for the singleton")
+    ).toDF("doc_id", "text")
+    val emb = Seq(
+      (2L, Array(0.9f, 0.1f, 0.2f, 0.1f, 0.1f, 0.1f)),
+      (3L, Array(0.89f, 0.11f, 0.2f, 0.1f, 0.1f, 0.1f)), // near-dup of 2
+      (1L, Array(0.0f, 1.0f, 0.0f, 0.3f, 0.2f, 0.1f)),
+      (4L, Array(0.1f, 0.0f, 0.9f, 0.0f, 0.4f, 0.2f))
+    ).toDF("vec_id", "embedding")
+    def clusters(ep: org.apache.spark.sql.DataFrame) = {
+      val tp = Dedup.minhashNearDupPairs(docs).select("doc_a", "doc_b")
+      Dedup.dedupClusters(
+          tp.unionByName(ep.select("doc_a", "doc_b")).distinct(),
+          docs.select(col("doc_id")))
+        .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    }
+    val exactFed = clusters(
+      graft.analysis.Similarity.embeddingNearDupPairsExact(emb, minCosine = 0.4))
+    val lshFed = clusters(
+      graft.analysis.Similarity.embeddingNearDupPairsWith(emb,
+        graft.analysis.Similarity.axisSignSignature(_, 6), minCosine = 0.4))
+    assert(lshFed === exactFed)
+    // and the closure actually spans modalities: text joins 1~2, embedding
+    // joins 2~3 -> {1,2,3} one cluster, 4 a singleton
+    val m = lshFed.map(r => r.head -> r(1)).toMap
+    assert(m === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L))
   }
 
   test("source overlap: shared shingles per source pair, overlap vs smaller side, sparse") {

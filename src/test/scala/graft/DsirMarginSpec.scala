@@ -19,8 +19,6 @@ import org.apache.spark.sql.functions._
   */
 class DsirMarginSpec extends SparkSpec {
 
-  private val gateSf = "/root/testdata/sf0.01"
-
   private def boundaryDistance(raw: org.apache.spark.sql.Column) = {
     val v = raw * lit(1e6) + lit(0.5)
     val f = v - floor(v).cast("double")
@@ -28,8 +26,9 @@ class DsirMarginSpec extends SparkSpec {
   }
 
   test("q165 gate corpus: every micro-quantized scalar is off its floor boundary") {
-    assume(new java.io.File(gateSf).isDirectory, s"gate data missing: $gateSf")
-    val docs = graft.adapters.TestData.documents(spark, gateSf)
+    // GateData FAILS (not skips) when the gate corpus is absent: this spec
+    // IS the cross-build invariance claim, so it must never silently pass
+    val docs = graft.adapters.TestData.documents(spark, GateData.dir)
     val (ratio, keyed) = graft.analysis.CorpusPrep.dsirFrames(
       docs, isTarget = col("lang") === "en")
 

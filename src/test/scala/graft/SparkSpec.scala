@@ -17,6 +17,22 @@ abstract class SparkSpec extends AnyFunSuite {
     java.nio.file.Files.createTempDirectory(prefix).toString
 }
 
+/** The oracle GATE dataset the margin specs (DsirMarginSpec,
+  * PagerankMarginSpec) pin their cross-build boundary guarantees on.
+  * Parameterized via GRAFT_GATE_SF and FAILS LOUDLY when absent — an
+  * assume-skip here would silently void the boundary-margin claim the
+  * README makes (round-8 advice). */
+object GateData {
+  lazy val dir: String = {
+    val d = sys.env.getOrElse("GRAFT_GATE_SF", "/root/testdata/sf0.01")
+    require(new java.io.File(d).isDirectory,
+      s"gate dataset missing: $d — the margin specs are part of the " +
+        "cross-build invariance guarantee and must not silently skip; " +
+        "point GRAFT_GATE_SF at the sf0.01 parquet tables")
+    d
+  }
+}
+
 /** Builders for TripClick-shaped raw JSON events (the reference's input
   * format, SURVEY.md §1.2) without copying any reference data. */
 object Fixtures {

@@ -236,6 +236,51 @@ class StreamingSketchSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming cdc chunk counts across micro-batches equal the batch artifact of the union") {
+    import graft.streaming.StreamingCdc
+    import graft.streaming.StreamingCdc.ChunkCount
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)](spark)
+    // latest (n, l) per chunk hash: update-mode emissions overwrite in
+    // batch order, so after the last batch this IS the streaming state
+    val state = scala.collection.concurrent.TrieMap.empty[Long, (Long, Long)]
+    val q = StreamingCdc.chunkCounts(
+        input.toDS().toDF("doc_id", "text"), window = 4, maskBits = 2)
+      .writeStream
+      .foreachBatch { (ds: org.apache.spark.sql.Dataset[ChunkCount], _: Long) =>
+        ds.collect().foreach(c => state(c.h) = (c.n, c.l))
+      }
+      .outputMode("update").start()
+    val b1 = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again"), // exact dup: every chunk repeats
+      (3L, "entirely different content with other words to chunk apart"))
+    val b2 = Seq(
+      (4L, "the quick brown fox jumps over the lazy dog again and again"), // dup arriving LATER: state must merge
+      (5L, "fresh batch text that shares nothing with the first one here"))
+    try {
+      input.addData(b1: _*)
+      q.processAllAvailable()
+      input.addData(b2: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val union = (b1 ++ b2).toDF("doc_id", "text")
+    val batch = graft.analysis.Dedup.cdcChunkCounts(union, window = 4, maskBits = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(state.toMap === batch) // bit-identical artifact, not just close
+    // and the report over the streamed state reproduces the batch report
+    val streamedCounts = state.toSeq.map { case (h, (n, l)) => (h, n, l) }
+      .toDF("h", "n", "l")
+    val nDocs = union
+      .filter(length(graft.analysis.TextAnalysis.normalized(col("text"))) > 0)
+      .agg(count(lit(1)).as("n_docs"))
+    val streamedReport = graft.analysis.Dedup
+      .cdcReportFromCounts(streamedCounts, nDocs).collect().map(_.toSeq)
+    val batchReport = graft.analysis.Dedup
+      .cdcChunkDedup(union, window = 4, maskBits = 2).collect().map(_.toSeq)
+    assert(streamedReport === batchReport)
+  }
+
   test("streaming hll registers across micro-batches equal the batch registers of the union") {
     val input = org.apache.spark.sql.execution.streaming.runtime
       .MemoryStream[KeyedValue](spark)

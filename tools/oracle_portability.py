@@ -1,25 +1,51 @@
 #!/usr/bin/env python3
 """Cross-DuckDB-build portability audit of the oracle gate (round-8
-verdict item 7).
+verdict item 7; key-tracing extension round 9).
 
 Mechanism of the only cross-build failure mode ever observed (q165/q180,
-rounds 6-7): a libm function (ln/exp/pow/sqrt) computes an ulp differently
+rounds 6-7): a libm function (ln/exp/pow) computes an ulp differently
 on the driver's DuckDB build than locally, and when the value sits close
 enough to a 6dp rounding HALF boundary (x.5e-6), the driver's
 round-before-hash flips a digit on one side only. Integer/DECIMAL gate
 columns cannot drift; floats far from every half boundary cannot flip.
 
-So the audit is empirical, not just a construct grep: for EVERY float gate
-column of EVERY query's committed Verify dump, measure the minimum
-distance of x*1e6 to the nearest half boundary across all finite values.
-Verdict per query:
-  INTEGER    — no float columns at all: cross-build-invariant, full stop.
-  MARGIN-OK  — floats present, but every value sits > `margin` (default
-               1e-3 micro-units = 1e-9 absolute) from a half boundary:
-               a cross-build ulp (~1e-10 relative) cannot flip the
-               rounded hash ON THIS DATASET.
-  AT-RISK    — some value within the margin; if the query's oracle also
-               uses a libm construct, a different build can flip it.
+Round-9 lesson (the q180 blind spot): inspecting OUTPUT column dtypes is
+not enough — a query can emit pure BIGINT columns whose values were
+DERIVED through engine-evaluated float arithmetic (a `floor(double)`
+group key, a float expression in a JOIN condition). Such a query
+classified "INTEGER" here while its hash missed the driver's build for
+three rounds. So the audit now ALSO statically traces the SQL:
+
+  * int-from-float — `floor(`/`ceil(` anywhere in the oracle (flooring is
+    only meaningful on floats; integer division is spelled `//`), or an
+    explicit integer CAST wrapping float arithmetic. An all-integer
+    output that uses these depends on engine floats.
+  * float-key — an alias DEFINED by float arithmetic (`::DOUBLE`,
+    `AS DOUBLE`, a libm call, non-`//` division) that is later referenced
+    in a GROUP BY list, a USING(...) join, or an ON equality.
+  * list-slice / multi-ref CTE without MATERIALIZED — dialect constructs
+    with known cross-version semantics/perf drift, listed per query.
+
+Verdict model:
+  INTEGER         — all-integer outputs AND no float-derived constructs:
+                    cross-build-invariant, full stop.
+  MARGIN-PINNED   — all-integer outputs, float-derived (micro-unit
+                    quantization), and a committed margin SPEC pins every
+                    gate-corpus value off its floor boundary
+                    (DsirMarginSpec / PagerankMarginSpec).
+  INT-FROM-FLOAT  — all-integer outputs that depend on engine floats
+                    with NO margin spec: the q180 failure shape. FAILS
+                    the audit (exit 1) until quantized+pinned or made
+                    pure-integer.
+  MARGIN-OK       — float outputs, every value > margin (default 1e-3
+                    micro-units) from a half boundary on this dataset.
+  NEAR-BOUNDARY / AT-RISK — float outputs within margin (AT-RISK when a
+                    libm construct is also present).
+
+Static-trace limits (documented, deliberate): GROUP BY ordinals are
+resolved only through the alias list of the same SELECT; nested
+expression keys without an alias are caught by the int-from-float branch
+instead. The tracer over-approximates (prefers false flags over silence).
 
 Usage: python3 tools/oracle_portability.py <verifyOutDir> [> ORACLE_PORTABILITY.md]
 """
@@ -39,9 +65,68 @@ CONSTRUCTS = {
     "round": r"\bround\s*\(",
     "quantile_cont": r"quantile_cont",
     "list-slice": r"\[\s*\w+[^]]*:",
+    "int-from-float": r"\b(floor|ceil)\s*\(",
 }
 LIBM = {"ln", "exp", "pow", "log10/log2"}  # sqrt is IEEE-exact (correctly
 # rounded by the standard), round() on values far from .5 is stable
+
+# All-integer gate queries that DO derive through floats, with the
+# ScalaTest margin spec that pins every gate-corpus value off its
+# quantization boundary (the q165 recipe). Adding a query here without
+# committing its spec case would be lying to the audit — keep in sync.
+MARGIN_SPEC_PINNED = {
+    "q165_dsir_selection": "DsirMarginSpec",
+    "q56_doc_pagerank": "PagerankMarginSpec",
+    "q81_pagerank_weighted": "PagerankMarginSpec",
+}
+
+FLOAT_DEF = re.compile(
+    r"(?:::\s*double|as\s+double\s*\)|\b(?:ln|exp|pow|sqrt|log10|log2)\s*\("
+    r"|(?<!/)/(?!/))",
+    re.IGNORECASE)
+ALIAS_DEF = re.compile(r"\bas\s+([a-z_][a-z0-9_]*)\s*(?:,|\n|from\b|$)",
+                       re.IGNORECASE)
+
+
+def float_key_aliases(sql: str):
+    """Aliases defined by float arithmetic that later key a GROUP BY,
+    USING(...) or ON equality. Line-scoped definition scan (oracle SQL is
+    one select item per line by construction here)."""
+    float_aliases = set()
+    for line in sql.splitlines():
+        low = line.lower()
+        m = ALIAS_DEF.search(low)
+        if not m:
+            continue
+        body = low[: m.start()]
+        if FLOAT_DEF.search(body):
+            float_aliases.add(m.group(1))
+    if not float_aliases:
+        return []
+    low = sql.lower()
+    hits = []
+    for a in sorted(float_aliases):
+        in_group = re.search(rf"group\s+by\b[^)\n]*\b{a}\b", low)
+        in_using = re.search(rf"using\s*\([^)]*\b{a}\b", low)
+        in_on = re.search(rf"\bon\b[^\n]*\b{a}\b\s*=|\bon\b[^\n]*=\s*[\w.]*\b{a}\b", low)
+        if in_group or in_using or in_on:
+            hits.append(a)
+    return hits
+
+
+def multi_ref_unmaterialized_ctes(sql: str):
+    """CTE names referenced >= 3 times without AS MATERIALIZED — the
+    exponential-inlining perf trap (q224 lesson), advisory only."""
+    low = sql.lower()
+    out = []
+    for m in re.finditer(r"\b([a-z_][a-z0-9_]*)\s+as\s+(materialized\s+)?\(", low):
+        name, materialized = m.group(1), bool(m.group(2))
+        if materialized or name in ("select",):
+            continue
+        refs = len(re.findall(rf"\b{name}\b", low)) - 1  # minus the definition
+        if refs >= 3:
+            out.append(name)
+    return out
 
 
 def half_boundary_margin(df: pd.DataFrame):
@@ -67,6 +152,12 @@ def main(out_dir: str, margin: float = 1e-3) -> int:
     for name, sql in sorted(oracles.items()):
         s = sql.lower()
         used = [k for k, p in CONSTRUCTS.items() if re.search(p, s)]
+        fkeys = float_key_aliases(sql)
+        if fkeys:
+            used.append("float-key(" + ",".join(fkeys) + ")")
+        mctes = multi_ref_unmaterialized_ctes(sql)
+        if mctes:
+            used.append("multi-ref-cte(" + ",".join(mctes) + ")")
         try:
             got = pd.read_parquet(f"{out_dir}/{name}")
         except Exception as e:  # noqa: BLE001
@@ -74,7 +165,20 @@ def main(out_dir: str, margin: float = 1e-3) -> int:
             continue
         w = half_boundary_margin(got)
         if w is None:
-            rows.append((name, used, "INTEGER", "no float gate columns"))
+            float_derived = ("int-from-float" in used) or fkeys \
+                or bool(set(used) & LIBM)
+            if not float_derived:
+                rows.append((name, used, "INTEGER",
+                             "no float gate columns, no float-derived keys"))
+            elif name in MARGIN_SPEC_PINNED:
+                rows.append((name, used, "MARGIN-PINNED",
+                             f"integer outputs derive through floats; "
+                             f"{MARGIN_SPEC_PINNED[name]} pins gate-corpus "
+                             f"values off the quantization boundary"))
+            else:
+                rows.append((name, used, "INT-FROM-FLOAT",
+                             "integer outputs DEPEND on engine-evaluated "
+                             "floats with no margin spec — the q180 shape"))
         elif w[1] > margin:
             rows.append((name, used, "MARGIN-OK",
                          f"min half-boundary distance {w[1]:.3g} micro "
@@ -89,12 +193,16 @@ def main(out_dir: str, margin: float = 1e-3) -> int:
     print()
     print("Generated by tools/oracle_portability.py over the committed Verify")
     print("dump at the gate SF. See the module docstring for the failure-mode")
-    print("model. `list-slice` notes: DuckDB 1-based inclusive slicing is used")
-    print("only on deterministic md5-derived lists — no float semantics.")
-    print("`sqrt` is IEEE-correctly-rounded (never build-dependent);")
-    print("`quantile_cont` interpolation runs on integer/exact inputs in")
-    print("every query that uses it, and its outputs route through the same")
-    print("float-margin measurement as everything else.")
+    print("model and the round-9 key-tracing extension (float-derived GROUP")
+    print("BY/JOIN keys and dialect constructs are flagged per query, not")
+    print("just gate-column dtypes — the q180 blind-spot fix).")
+    print("`list-slice` notes: DuckDB 1-based inclusive slicing survives only")
+    print("in green all-integer-candidate queries; new oracles spell bands as")
+    print("explicit elements. `sqrt` is IEEE-correctly-rounded (never")
+    print("build-dependent); `quantile_cont` interpolation runs on")
+    print("integer/exact inputs in every query that uses it, and its outputs")
+    print("route through the same float-margin measurement as everything")
+    print("else.")
     print()
     counts = {}
     for _, _, v, _ in rows:
@@ -105,7 +213,7 @@ def main(out_dir: str, margin: float = 1e-3) -> int:
     print("|---|---|---|---|")
     for name, used, verdict, why in rows:
         print(f"| {name} | {', '.join(used) or '—'} | {verdict} | {why} |")
-    bad = [r for r in rows if r[2] in ("AT-RISK", "NO-DUMP")]
+    bad = [r for r in rows if r[2] in ("AT-RISK", "NO-DUMP", "INT-FROM-FLOAT")]
     return 1 if bad else 0
 
 
