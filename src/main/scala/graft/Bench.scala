@@ -28,10 +28,13 @@ import org.apache.spark.sql.SparkSession
   * Isolated re-measure (round-7 verdict #5): an in-suite min can carry
   * contention from neighbouring queries' GC/page-cache churn (q33 read
   * 3.65 s in-suite, 0.47 s isolated). After the suite pass, any query whose
-  * min exceeds its previously committed min by >1.5x (and >0.3 s absolute)
-  * is re-measured in a quiesced JVM (clearCache + System.gc) under the same
-  * spread-confirmation protocol; the artifact reports min(suite, isolated)
-  * and lists the re-measured names under "requeried".
+  * min exceeds its previously committed min by >1.5x (and >0.3 s absolute),
+  * OR that has no committed prior and left the suite with an unconfirmed
+  * min (spread >= min, >0.3 s — the new-query case the prior-based rule
+  * can't see; round-8 ADVICE), is re-measured in a quiesced JVM
+  * (clearCache + System.gc) under the same spread-confirmation protocol;
+  * the artifact reports min(suite, isolated), a spread computed from the
+  * isolated reps alone, and lists the re-measured names under "requeried".
   */
 object Bench {
   /** 1-minute system load average, -1.0 where the platform can't report it.
@@ -117,9 +120,19 @@ object Bench {
       if (priorSf.exists(_ != sfDir)) Map.empty
       else graft.tools.BenchArtifacts.queriesOf(outFile)
     val requeried = scala.collection.mutable.ArrayBuffer.empty[String]
+    // two triggers (round-8 ADVICE): (a) suite min regressed >1.5x vs the
+    // committed prior; (b) no committed prior exists (new query / first run
+    // on this machine) AND the suite loop exhausted its reps without spread
+    // confirmation — exactly the case the prior-based rule can never catch.
+    // Tiny queries (<0.3 s) are exempt from (b): their "unconfirmed" spread
+    // is scheduler noise, not contention worth a GC'd re-measure pass.
+    def regressedVsPrior(name: String, t: Double) =
+      priorMins.get(name).exists(p => t > 1.5 * p && t - p > 0.3)
+    def newAndUnconfirmed(name: String, t: Double, sp: Double) =
+      !priorMins.contains(name) && sp >= t && t > 0.3
     val finalResults = results.map {
-      case r @ (name, Some(t), _, None)
-          if priorMins.get(name).exists(p => t > 1.5 * p && t - p > 0.3) =>
+      case r @ (name, Some(t), sp, None)
+          if regressedVsPrior(name, t) || newAndUnconfirmed(name, t, sp) =>
         spark.catalog.clearCache()
         System.gc()
         val fn = SparkEntry.queries(name)
@@ -154,7 +167,10 @@ object Bench {
           requeried += name
           val best = math.min(t, ts.min)
           System.err.println(f"[bench] $name requeried: suite $t%.3f -> isolated ${ts.min}%.3f")
-          (name, Some(best), { val s = (ts :+ t).sorted; s(1) - s(0) }, None)
+          // spread from the isolated reps ALONE (round-8 ADVICE): mixing the
+          // contended suite min in conflated the contention being corrected
+          // with the isolated measurement's own repeatability
+          (name, Some(best), { val s = ts.sorted; s(1) - s(0) }, None)
         }
       case r => r
     }

@@ -144,8 +144,9 @@ object SparkEntry {
     // Benford first-digit monitor over positive event values: libm-free
     // digit extraction (string head of the integer part, sub-1 values
     // scaled by one exact 1e18 multiply); domain is v ∈ [1e-18, 9e18) —
-    // values outside are EXCLUDED from the histogram (not mis-binned),
-    // so observed ratios narrow on data with extreme magnitudes;
+    // positive values outside are EXCLUDED from the histogram (not
+    // mis-binned) and their count is emitted as n_excluded on every row,
+    // so the domain narrowing is visible in the output itself;
     // expected = Scala-computed constants shared verbatim with the oracle
     "q217_benford" -> { (s, d) =>
       graft.analysis.Profiling.benfordDigits(TestData.clicks(s, d), "value")
@@ -673,6 +674,56 @@ object SparkEntry {
         .select("doc_a", "doc_b")
       Dedup.dedupClusters(tp.unionByName(ep).distinct(), docs.select(col("doc_id")))
         .orderBy("doc_id")
+    },
+    // HITS hubs & authorities (Kleinberg) on the DIRECTED session→document
+    // click bipartite graph — q56's mutually-recursive complement: hub =
+    // "session clicks documents that matter", authority = "document is
+    // clicked by sessions that matter". 5 L1-normalized power iterations
+    // (sqrt-free: scores are scale-invariant under L1, and the normalizer
+    // is one broadcast scalar), scores mean-1-scaled per side, gate in
+    // BIGINT micro-units (PagerankMarginSpec pins gate-corpus boundary
+    // margins); oracle unrolls the 10 half-steps as MATERIALIZED CTEs
+    "q233_hits" -> { (s, d) =>
+      val clicks = TestData.clicks(s, d).filter(col("document_id").isNotNull)
+      Graphs.hits(
+          clicks.select(col("session_id").as("src"), col("document_id").as("dst")),
+          iterations = 5)
+        .select(col("side"), col("id"),
+          floor(col("score") * lit(1e6) + lit(0.5)).cast("long").as("score_micro"))
+        .orderBy("side", "id")
+    },
+    // CUPED variance-reduced A/B (Deng et al. 2013): per-user value sums
+    // pre/post a mid-month cutoff, θ = pooled cov/var, adjusted arm means
+    // + the achieved ρ² reduction — q96's sensitivity upgrade. Every event
+    // value quantizes to BIGINT micros FIRST, moments are DECIMAL-exact,
+    // the rest is deterministic IEEE on exact sums (q218's recipe: no
+    // margin spec needed)
+    "q234_cuped" -> { (s, d) =>
+      graft.analysis.Stats.cuped(TestData.eventsRaw(s, d),
+        "user_id", "value", "ts", lit("2024-01-16 00:00:00").cast("timestamp"))
+    },
+    // Flesch reading ease per document: words from the canonical
+    // normalizer, sentences = [.!?]+ runs on the RAW text, syllables =
+    // vowel-group runs per word floored at 1 (dictionary-free heuristic);
+    // all-integer inputs, deterministic IEEE score, micro-quantized
+    "q235_readability" -> { (s, d) =>
+      TextAnalysis.readability(TestData.documents(s, d)).orderBy("doc_id")
+    },
+    // Matryoshka truncation-recall curve: top-10 by cosine over the first
+    // {8,16,32} dims vs the full 64-dim ranking, 20 query vectors; overlap
+    // counts + ppm recall via integer division — the all-integer gate over
+    // the q33 cosine fold both engines already agree on
+    "q236_matryoshka_recall" -> { (s, d) =>
+      Similarity.matryoshkaRecall(TestData.embeddings(s, d),
+        col("vec_id") < 20, dims = Seq(8, 16, 32), k = 10)
+    },
+    // CLIP-score multimodal alignment filter (LAION-style): md5-stub
+    // image/caption embeddings (content bytes vs first-64-char caption),
+    // one left-assoc IEEE cosine chain, BIGINT ppm + integer threshold —
+    // the per-item keep/drop decision is what's gated; a real model slots
+    // in via q67's batched-inference plumbing without touching the filter
+    "q237_clip_filter" -> { (s, d) =>
+      Multimodal.clipScoreFilter(TestData.documents(s, d)).orderBy("doc_id")
     },
     // Okapi BM25: saturated TF + doc-length normalization over the q27
     // query — corpus stats (N, df, avgdl) ride as plan literals, scoring
@@ -3104,15 +3155,24 @@ object SparkEntry {
       val cases = (1 to 9)
         .map(d => s"WHEN digit = $d THEN ${graft.analysis.Profiling.benfordExpected(d)}::DOUBLE")
         .mkString(" ")
-      s"""WITH v AS (SELECT value AS v FROM events
-        |           WHERE value >= 1e-18::DOUBLE AND value < 9.0e18::DOUBLE),
-        |d AS (SELECT CAST(substr(CAST(CAST(floor(
-        |        CASE WHEN v >= 1 THEN v ELSE v * 1e18::DOUBLE END) AS BIGINT)
-        |        AS VARCHAR), 1, 1) AS INT) AS digit FROM v),
-        |g AS (SELECT digit, count(*) AS n FROM d GROUP BY 1),
-        |t AS (SELECT digit, n, CAST(sum(n) OVER () AS BIGINT) AS tot,
-        |        CASE $cases END AS e FROM g)
-        |SELECT digit, n, round(n::DOUBLE / tot::DOUBLE, 6) AS observed,
+      // excluded positives ride a NULL-digit group into the n_excluded
+      // window sum, then drop before the observed-ratio window (same
+      // single-scan shape as the Scala)
+      s"""WITH v AS (SELECT value AS v FROM events),
+        |d AS (SELECT CASE WHEN v >= 1e-18::DOUBLE AND v < 9.0e18::DOUBLE
+        |        THEN CAST(substr(CAST(CAST(floor(
+        |          CASE WHEN v >= 1 THEN v ELSE v * 1e18::DOUBLE END) AS BIGINT)
+        |          AS VARCHAR), 1, 1) AS INT) END AS digit,
+        |      CASE WHEN v > 0 AND NOT (v >= 1e-18::DOUBLE AND v < 9.0e18::DOUBLE)
+        |        THEN 1 ELSE 0 END AS excl FROM v),
+        |g AS (SELECT digit, count(*) AS n, sum(excl) AS excl FROM d GROUP BY 1),
+        |x AS (SELECT digit, n, CAST(sum(excl) OVER () AS BIGINT) AS n_excluded
+        |      FROM g),
+        |f AS (SELECT * FROM x WHERE digit IS NOT NULL),
+        |t AS (SELECT digit, n, n_excluded, CAST(sum(n) OVER () AS BIGINT) AS tot,
+        |        CASE $cases END AS e FROM f)
+        |SELECT digit, n, n_excluded,
+        |  round(n::DOUBLE / tot::DOUBLE, 6) AS observed,
         |  round(e, 6) AS expected,
         |  round(abs(n::DOUBLE / tot::DOUBLE - e), 6) AS abs_dev
         |FROM t ORDER BY digit""".stripMargin
@@ -6080,6 +6140,175 @@ object SparkEntry {
         |  SELECT reach.id, sym.b FROM reach JOIN sym ON sym.a = reach.r)
         |SELECT id AS doc_id, min(r) AS cluster_id, (id = min(r)) AS is_keeper
         |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
+    // the 10 half-steps unrolled; every CTE MATERIALIZED (each normalizer
+    // references its raw CTE twice — default inlining would re-expand the
+    // whole iteration tree ~2^k-fold, the q224 lesson); same L1
+    // normalization and mean-1 scaling, micro-quantized
+    "q233_hits" -> {
+      val steps = (1 to 5).map { k =>
+        s"""a${k}r AS MATERIALIZED (
+           |  SELECT au.id, COALESCE(sum(h${k - 1}.s), CAST(0 AS DOUBLE)) AS r
+           |  FROM auths au LEFT JOIN e ON e.v = au.id
+           |  LEFT JOIN h${k - 1} ON e.u = h${k - 1}.id
+           |  GROUP BY au.id),
+           |a$k AS MATERIALIZED (
+           |  SELECT id, r / (SELECT sum(r) FROM a${k}r) AS s FROM a${k}r),
+           |h${k}r AS MATERIALIZED (
+           |  SELECT hu.id, COALESCE(sum(a$k.s), CAST(0 AS DOUBLE)) AS r
+           |  FROM hubs hu LEFT JOIN e ON e.u = hu.id
+           |  LEFT JOIN a$k ON e.v = a$k.id
+           |  GROUP BY hu.id),
+           |h$k AS MATERIALIZED (
+           |  SELECT id, r / (SELECT sum(r) FROM h${k}r) AS s FROM h${k}r)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH e AS MATERIALIZED (
+        |  SELECT DISTINCT CAST(user_id AS VARCHAR) AS u,
+        |    CAST(CAST(props->>'$$.k' AS INTEGER) AS VARCHAR) AS v
+        |  FROM events WHERE CAST(props->>'$$.k' AS INTEGER) IS NOT NULL),
+        |hubs AS MATERIALIZED (SELECT DISTINCT u AS id FROM e),
+        |auths AS MATERIALIZED (SELECT DISTINCT v AS id FROM e),
+        |h0 AS MATERIALIZED (
+        |  SELECT id, CAST(1 AS DOUBLE) / (SELECT count(*) FROM hubs) AS s
+        |  FROM hubs),
+        |$steps
+        |SELECT side, id, score_micro FROM (
+        |  SELECT 'hub' AS side, id,
+        |    CAST(floor(s * (SELECT count(*) FROM hubs) * 1000000 + 0.5) AS BIGINT)
+        |      AS score_micro
+        |  FROM h5
+        |  UNION ALL
+        |  SELECT 'authority' AS side, id,
+        |    CAST(floor(s * (SELECT count(*) FROM auths) * 1000000 + 0.5) AS BIGINT)
+        |      AS score_micro
+        |  FROM a5)
+        |ORDER BY side, id""".stripMargin
+    },
+    // same micro-quantized values, HUGEINT moments (the q218 mirror),
+    // identical IEEE expression shapes on the exact sums
+    "q234_cuped" ->
+      """WITH ev AS (
+        |  SELECT CAST(user_id AS VARCHAR) AS unit, ts,
+        |    CAST(floor(value * 1000000.0::DOUBLE + 0.5::DOUBLE) AS BIGINT) AS vm
+        |  FROM events),
+        |u AS (
+        |  SELECT unit,
+        |    sum(CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00' THEN vm ELSE 0 END) AS x,
+        |    sum(CASE WHEN ts >= TIMESTAMP '2024-01-16 00:00:00' THEN vm ELSE 0 END) AS y
+        |  FROM ev GROUP BY unit),
+        |armed AS (
+        |  SELECT CASE WHEN ('0x' || substr(md5(unit), 1, 1))::BIGINT % 2 = 0
+        |              THEN 'A' ELSE 'B' END AS arm, x, y
+        |  FROM u),
+        |g AS (
+        |  SELECT count(*) AS n,
+        |    sum(CAST(x AS HUGEINT)) AS sx, sum(CAST(y AS HUGEINT)) AS sy,
+        |    sum(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS sxx,
+        |    sum(CAST(x AS HUGEINT) * CAST(y AS HUGEINT)) AS sxy,
+        |    sum(CAST(y AS HUGEINT) * CAST(y AS HUGEINT)) AS syy
+        |  FROM armed),
+        |a AS (
+        |  SELECT arm, count(*) AS na,
+        |    sum(CAST(x AS HUGEINT)) AS sxa, sum(CAST(y AS HUGEINT)) AS sya
+        |  FROM armed GROUP BY arm)
+        |SELECT arm, na AS n_units,
+        |  CAST(floor(CAST(sya AS DOUBLE) / na + 0.5::DOUBLE) AS BIGINT)
+        |    AS mean_post_micro,
+        |  CASE WHEN CAST(n * sxx - sx * sx AS DOUBLE) = 0 THEN NULL ELSE
+        |    CAST(floor(CAST(sya AS DOUBLE) / na
+        |      - (CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE))
+        |        * (CAST(sxa AS DOUBLE) / na - CAST(sx AS DOUBLE) / n)
+        |      + 0.5::DOUBLE) AS BIGINT) END AS mean_adj_micro,
+        |  CASE WHEN CAST(n * sxx - sx * sx AS DOUBLE) = 0 THEN NULL ELSE
+        |    CAST(floor(CAST(n * sxy - sx * sy AS DOUBLE)
+        |        / CAST(n * sxx - sx * sx AS DOUBLE) * 1000000.0::DOUBLE
+        |      + 0.5::DOUBLE) AS BIGINT) END AS theta_ppm,
+        |  CASE WHEN CAST(n * sxx - sx * sx AS DOUBLE) = 0
+        |         OR CAST(n * syy - sy * sy AS DOUBLE) = 0 THEN NULL ELSE
+        |    CAST(floor(
+        |      (CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE))
+        |        * (CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * syy - sy * sy AS DOUBLE))
+        |        * 1000000.0::DOUBLE
+        |      + 0.5::DOUBLE) AS BIGINT) END AS var_reduction_ppm
+        |FROM a CROSS JOIN g ORDER BY arm""".stripMargin,
+    // same vowel-group/terminator-run counts; the score expression is
+    // spelled in the identical IEEE order on both engines
+    "q235_readability" ->
+      """WITH toks AS (
+        |  SELECT doc_id, text,
+        |    list_filter(string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')), ' '), x -> x <> '') AS t
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id,
+        |    len(t) AS n_words,
+        |    greatest(1, len(regexp_extract_all(text, '[.!?]+'))) AS n_sents,
+        |    CAST(list_sum(list_transform(t, w ->
+        |      greatest(1, len(regexp_extract_all(w, '[aeiouy]+'))))) AS BIGINT)
+        |      AS n_syllables
+        |  FROM toks)
+        |SELECT doc_id, n_words, CAST(n_sents AS BIGINT) AS n_sents, n_syllables,
+        |  CAST(floor((206.835::DOUBLE
+        |      - 1.015::DOUBLE * (CAST(n_words AS DOUBLE) / n_sents)
+        |      - 84.6::DOUBLE * (CAST(n_syllables AS DOUBLE) / n_words))
+        |    * 1000000.0::DOUBLE + 0.5::DOUBLE) AS BIGINT) AS flesch_micro
+        |FROM c WHERE n_words > 0 ORDER BY doc_id""".stripMargin,
+    // per-d knn replicated with the q33 cosine fold, the d-prefix expressed
+    // as a bounded element range (NOT a list slice — the q180 lesson);
+    // integer overlap counts, ppm via // integer division
+    "q236_matryoshka_recall" -> {
+      def knn(tag: String, d: Int) =
+        s"""p$tag AS (
+           |  SELECT query_id, neighbor_id,
+           |    list_sum(list_transform(range(1, ${d + 1}), i -> CAST(ce[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE)))
+           |      / (sqrt(list_sum(list_transform(range(1, ${d + 1}), i -> CAST(ce[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE))))
+           |         * sqrt(list_sum(list_transform(range(1, ${d + 1}), i -> CAST(qe[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE))))) AS cosine
+           |  FROM c CROSS JOIN q WHERE query_id <> neighbor_id),
+           |r$tag AS MATERIALIZED (
+           |  SELECT query_id, neighbor_id FROM (
+           |    SELECT query_id, neighbor_id,
+           |      row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rk
+           |    FROM p$tag) WHERE rk <= 10)""".stripMargin
+      val dims = Seq(8, 16, 32)
+      val arms = dims.map { d =>
+        s"""SELECT $d AS dim, 10 AS k,
+           |  (SELECT count(*) FROM q) AS n_queries,
+           |  (SELECT count(*) FROM rd$d JOIN rf USING (query_id, neighbor_id))
+           |    AS n_common""".stripMargin
+      }.mkString("\n  UNION ALL\n")
+      s"""WITH q AS MATERIALIZED (
+         |  SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 20),
+         |c AS MATERIALIZED (
+         |  SELECT vec_id AS neighbor_id, embedding AS ce FROM embeddings),
+         |${knn("f", 64)},
+         |${dims.map(d => knn(s"d$d", d)).mkString(",\n")}
+         |SELECT dim, k, n_queries, n_common,
+         |  n_common * 1000000 // (k * n_queries) AS recall_ppm
+         |FROM ($arms)
+         |ORDER BY dim""".stripMargin
+    },
+    // the md5-stub embeddings re-derived from the same hex pairs; cosine
+    // spelled as the identical left-assoc chain, integer threshold compare
+    "q237_clip_filter" -> {
+      def hexd(src: String, j: Int) =
+        s"CAST(('0x' || substr(md5($src), ${2 * j + 1}, 2))::BIGINT AS DOUBLE) / 256.0::DOUBLE"
+      val img = (0 until 8).map(j => s"${hexd("text", j)} AS i$j").mkString(",\n    ")
+      val cap = (0 until 8).map(j => s"${hexd("substr(text, 1, 64)", j)} AS c$j")
+        .mkString(",\n    ")
+      val dot = (0 until 8).map(j => s"i$j * c$j").mkString(" + ")
+      val na = (0 until 8).map(j => s"i$j * i$j").mkString(" + ")
+      val nb = (0 until 8).map(j => s"c$j * c$j").mkString(" + ")
+      s"""WITH e AS (
+         |  SELECT doc_id, source,
+         |    $img,
+         |    $cap
+         |  FROM documents),
+         |s AS (
+         |  SELECT doc_id, source,
+         |    CAST(floor(($dot) / (sqrt($na) * sqrt($nb)) * 1000000.0::DOUBLE
+         |      + 0.5::DOUBLE) AS BIGINT) AS clip_ppm
+         |  FROM e)
+         |SELECT doc_id, source, clip_ppm, clip_ppm >= 750000 AS kept
+         |FROM s ORDER BY doc_id""".stripMargin
+    },
     // q27's stats subqueries + avgdl; per-term Lucene-idf BM25 terms
     // summed in fixed order
     "q177_bm25" ->

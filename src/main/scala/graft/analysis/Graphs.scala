@@ -117,6 +117,74 @@ object Graphs {
     ranks.select(col("id"), (col("r") * n).as("pagerank"))
   }
 
+  /** HITS hubs & authorities by power iteration over a DIRECTED edge list —
+    * on the bipartite session→document click graph, hub score measures "this
+    * session clicks documents that matter" and authority "this document is
+    * clicked by sessions that matter", the mutually-recursive complement of
+    * [[pageRank]]'s single-score random walk (Kleinberg 1999).
+    *
+    * Each iteration: a ← L1-normalize(Eᵀh), h ← L1-normalize(Ea). L1 (not
+    * the textbook L2) keeps the chain sqrt-free — scores are scale-invariant
+    * under either norm, and a sum normalizer is ONE extra aggregate whose
+    * 1-row result rides as a broadcast-nested-loop crossJoin (the codebook
+    * pattern).
+    *
+    * UNLIKE [[pageRank]], each half-step is eagerly localCheckpoint'ed: the
+    * normalizer references its input TWICE (values + total), and Catalyst
+    * plans are trees, not DAGs — left lazy, every iteration would QUADRUPLE
+    * the logical plan (4^k copies of the base scan by iteration k; measured
+    * as an analyzer hang at k=5). Checkpointing the raw inflow makes the
+    * double reference land on a leaf, so each iteration's plan is constant-
+    * size. The checkpointed frames are node-sized and distributed — at
+    * cluster scale each iteration is a couple of shuffle jobs regardless.
+    *
+    * Scale shape: per iteration two equi-joins edges⋈scores + two sum
+    * aggregates + two scalar normalizers, all shuffling on node id only; no
+    * O(n²) anywhere. Hub sessions should be capped upstream (maxPerKey) —
+    * same contract as [[cooccurrenceEdges]].
+    *
+    * Outputs are scaled so each side's MEAN is 1.0 (the [[pageRank]]
+    * convention): side ('hub'|'authority'), id, score. */
+  def hits(
+      edges: DataFrame,
+      iterations: Int = 5,
+      srcCol: String = "src",
+      dstCol: String = "dst"): DataFrame = {
+    val e = edges.select(col(srcCol).cast("string").as("u"),
+      col(dstCol).cast("string").as("v")).distinct().persist()
+    val hubs = e.select(col("u").as("id")).distinct().persist()
+    val auths = e.select(col("v").as("id")).distinct().persist()
+    val nHub = hubs.count()
+    val nAuth = auths.count()
+    def normalized(scores: DataFrame): DataFrame =
+      scores.crossJoin(scores.agg(sum("s").as("tot_")))
+        .select(col("id"), (col("s") / col("tot_")).as("s"))
+    // renamed join keys, never DataFrame-qualified refs: iteration k's
+    // frame carries iteration k-1's whole lineage, and qualified refs
+    // into that lineage would trip AMBIGUOUS_SELF_JOIN
+    def step(scores: DataFrame, fromKey: String, toKey: String,
+        nodeSet: DataFrame): DataFrame = {
+      val inflow = e
+        .join(scores.withColumnRenamed("id", "nid_"), col(fromKey) === col("nid_"))
+        .groupBy(toKey).agg(sum("s").as("inflow"))
+        .withColumnRenamed(toKey, "gid_")
+      // eager checkpoint BEFORE the double-referencing normalizer (scaladoc)
+      val raw = nodeSet.join(inflow, col("id") === col("gid_"), "left")
+        .select(col("id"), coalesce(col("inflow"), lit(0.0)).as("s"))
+        .localCheckpoint(true)
+      normalized(raw)
+    }
+    var h = hubs.withColumn("s", lit(1.0 / nHub))
+    var a = auths.withColumn("s", lit(1.0 / nAuth))
+    for (_ <- 1 to iterations) {
+      a = step(h, "u", "v", auths)
+      h = step(a, "v", "u", hubs)
+    }
+    h.select(lit("hub").as("side"), col("id"), (col("s") * nHub).as("score"))
+      .unionByName(a.select(lit("authority").as("side"), col("id"),
+        (col("s") * nAuth).as("score")))
+  }
+
   /** Per-node triangle counts over an undirected edge list — the local
     * clustering signal (a doc whose neighbors also co-click each other is a
     * topical hub, not a drive-by).

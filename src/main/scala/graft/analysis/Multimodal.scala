@@ -1,6 +1,6 @@
 package graft.analysis
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -192,6 +192,47 @@ object Multimodal {
       val h = md.digest(Option(text).getOrElse("").getBytes("UTF-8"))
       Array.tabulate(8)(j => (h(j) & 0xff) / 256.0)
     }
+  }
+
+  /** CLIP-SCORE alignment filter (LAION-style multimodal curation): score
+    * each 〈media, caption〉 pair by embedding cosine and keep pairs above a
+    * threshold — THE gate web-scale image-text corpora are built through
+    * (LAION kept cos ≥ 0.28 of ~50B candidates). Here both encoders are the
+    * md5 stub ([[md5StubModel]]'s arithmetic as pure column expressions):
+    * the "image" embedding hashes the full content bytes, the "caption"
+    * embedding hashes the first `captionChars` characters — so even the
+    * threshold semantics and the per-item keep/drop decision are
+    * oracle-gated; a real deployment swaps the two `emb` definitions for
+    * [[batchedEmbed]] calls with a real model (q67's gated plumbing) and
+    * nothing else changes.
+    *
+    * Exactness: embeddings are exact integers/256 (hex-pair parse), the
+    * cosine is one fixed left-assoc IEEE chain + two sqrts (correctly
+    * rounded), identical bits on any engine; the gate is BIGINT ppm and an
+    * integer threshold compare.
+    *
+    * Scale shape: ONE projection — no shuffle, no UDF, whole-stage codegen
+    * end to end; at 100 TB this is a pure map over the corpus.
+    * Output: doc_id, source, clip_ppm, kept. */
+  def clipScoreFilter(
+      docs: DataFrame,
+      captionChars: Int = 64,
+      thresholdPpm: Long = 750000L,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      sourceCol: String = "source"): DataFrame = {
+    def emb(c: Column): Seq[Column] =
+      (0 until 8).map(j =>
+        conv(substring(md5(c), 2 * j + 1, 2), 16, 10).cast("double") / lit(256.0))
+    val img = emb(col(textCol))
+    val cap = emb(substring(col(textCol), 1, captionChars))
+    val dot = img.zip(cap).map { case (a, b) => a * b }.reduce(_ + _)
+    val na = img.map(a => a * a).reduce(_ + _)
+    val nb = cap.map(b => b * b).reduce(_ + _)
+    val cos = dot / (sqrt(na) * sqrt(nb))
+    docs.select(col(idCol), col(sourceCol),
+        floor(cos * lit(1e6) + lit(0.5)).cast("long").as("clip_ppm"))
+      .withColumn("kept", col("clip_ppm") >= lit(thresholdPpm))
   }
 
   /** Chunk-overlap media near-dup pairs: sample frames ([[sampleFrames]]),

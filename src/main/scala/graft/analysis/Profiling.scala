@@ -195,28 +195,42 @@ object Profiling {
     * on every engine, and the sub-1 branch's single ·1e18 is one
     * deterministic IEEE multiply (identical bits on both engines), so no
     * log10 whose cross-build ulp could misdigit a value at a power-of-10
-    * boundary. Domain: v ∈ [1e-18, 9e18) — values outside (none in any
-    * monitored measure this feeds) are excluded from the histogram
-    * rather than mis-binned.
+    * boundary. Domain: v ∈ [1e-18, 9e18) — positive values outside it are
+    * excluded from the histogram rather than mis-binned, and the exclusion
+    * is VISIBLE (round-8 ADVICE): every row carries `n_excluded`, the count
+    * of positive values the domain narrowing dropped, so a corpus whose
+    * extreme-magnitude tail silently shifts the observed/expected ratios
+    * announces itself in the output instead of in a Scaladoc footnote.
     * Output per digit 1-9 present: digit, n, observed (round 6),
-    * expected (round 6), abs_dev (round 6). */
+    * expected (round 6), abs_dev (round 6), n_excluded. */
   def benfordDigits(df: DataFrame, valCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val v = col(valCol).cast(DoubleType)
+    val inDomain = v >= lit(1e-18) && v < lit(9.0e18)
     val scaled = when(v >= 1, v).otherwise(v * lit(1e18))
-    val digit = substring(floor(scaled).cast("long").cast("string"), 1, 1).cast("int")
+    // `when` guards the BIGINT cast: out-of-domain rows never evaluate the
+    // floor/cast branch, so v >= 9e18 can't trip an ANSI overflow
+    val digit = when(inDomain,
+      substring(floor(scaled).cast("long").cast("string"), 1, 1).cast("int"))
     val expected = benfordExpected.foldLeft(lit(null).cast(DoubleType)) {
       case (acc, (d, e)) => when(col("digit") === d, lit(e)).otherwise(acc)
     }
     val wAll = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    df.filter(v >= lit(1e-18) && v < lit(9.0e18))
-      .select(digit.as("digit"))
-      .groupBy("digit").agg(count(lit(1)).as("n"))
+    // single scan: excluded rows ride the null-digit group long enough to be
+    // window-summed into n_excluded, then the null group row is dropped —
+    // the observed-ratio window runs AFTER that filter so `tot` still sums
+    // in-domain rows only
+    df.select(digit.as("digit"),
+        when(v > 0 && !inDomain, lit(1L)).otherwise(lit(0L)).as("excl"))
+      .groupBy("digit").agg(count(lit(1)).as("n"), sum("excl").as("excl"))
+      .withColumn("n_excluded", sum("excl").over(wAll))
+      .filter(col("digit").isNotNull)
       .withColumn("observed",
         round(col("n").cast(DoubleType) / sum("n").over(wAll).cast(DoubleType), 6))
       .withColumn("expected", round(expected, 6))
       .withColumn("abs_dev", round(abs(
         col("n").cast(DoubleType) / sum("n").over(wAll).cast(DoubleType) - expected), 6))
+      .drop("excl")
   }
 
   /** HIGHER-MOMENT distribution profile per group: mean, standard

@@ -332,6 +332,54 @@ object Similarity {
     } finally { exact.unpersist(); corpusCells.unpersist(); () }
   }
 
+  /** MATRYOSHKA truncation-recall curve (Kusupati et al. 2022): rank by
+    * cosine over only the FIRST d dimensions and measure top-k agreement
+    * with the full-dimension ranking, per d. MRL-trained embeddings keep
+    * recall high at small d, so this curve is the measurement that licenses
+    * storing/searching a d-dim prefix (d/64ths of the index bytes and
+    * FLOPs) — the dimension-axis sibling of [[ivfNprobeCurve]]'s cell axis
+    * and [[knnPqAdc]]'s code axis.
+    *
+    * The gate is ALL-INTEGER: per-d overlap counts and a ppm recall via
+    * integer division — the ranking itself is the only float stage, and it
+    * reuses the exact q33 cosine fold both engines already agree on.
+    *
+    * Scale shape: one broadcast-queries brute-force scan per d (+1 full) —
+    * the exact arm is the MEASUREMENT here, as in [[ivfNprobeCurve]]; at
+    * corpus scale the same curve runs over a sampled query set, and
+    * truncation itself is a projection (slice), never a shuffle.
+    * Output per d: dim, k, n_queries, n_common, recall_ppm. */
+  def matryoshkaRecall(
+      corpus: DataFrame,
+      queryPred: Column,
+      dims: Seq[Int] = Seq(8, 16, 32),
+      k: Int = 10,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    require(dims.nonEmpty && dims.forall(_ >= 1), s"bad dims $dims")
+    val queries = corpus.filter(queryPred)
+    val full = knnBruteForce(corpus, queries, k, idCol, vecCol)
+      .select("query_id", "neighbor_id").persist()
+    val nq = queries.agg(count(lit(1)).as("n_queries"))
+    try {
+      dims.map { d =>
+        val t = corpus.withColumn(vecCol, slice(col(vecCol), 1, d))
+        val qt = queries.withColumn(vecCol, slice(col(vecCol), 1, d))
+        knnBruteForce(t, qt, k, idCol, vecCol)
+          .select("query_id", "neighbor_id")
+          .join(full, Seq("query_id", "neighbor_id"))
+          .agg(count(lit(1)).as("n_common"))
+          .select(lit(d).as("dim"), lit(k).as("k"), col("n_common"))
+      }.reduce(_ unionByName _)
+        .crossJoin(nq)
+        .select(col("dim"), col("k"), col("n_queries"), col("n_common"),
+          expr("n_common * 1000000 div (k * n_queries)").as("recall_ppm"))
+        .orderBy("dim")
+        // materialize before the finally-unpersist below would drop `full`
+        .localCheckpoint(true)
+    } finally { full.unpersist(); () }
+  }
+
   /** Deterministic ±1 sign for projection plane `p`, dimension `j` —
     * md5-derived so ANY engine regenerates the identical matrix from the
     * (p, j) coordinates alone; no stored weights, no RNG state. */

@@ -22,6 +22,68 @@ object Stats {
     when(conv(substring(md5(unit.cast("string")), 1, 1), 16, 10) % 2 === 0, "A")
       .otherwise("B")
 
+  /** CUPED variance reduction (Deng et al. 2013) — the industry-standard
+    * A/B sensitivity boost: adjust each unit's experiment-period metric by
+    * its PRE-period metric, Y' = Y − θ(X − X̄), with θ = cov(X,Y)/var(X)
+    * pooled across arms. Pre-period behaviour is unaffected by treatment,
+    * so the adjustment removes between-user variance without biasing the
+    * arm contrast; the achievable reduction is exactly ρ²(X,Y).
+    *
+    * Exactness recipe (the [[graft.analysis.Profiling.momentSums]] /
+    * q103 pattern): each event value quantizes to BIGINT micro-units
+    * FIRST (⌊v·10⁶+0.5⌋ — deterministic per event, so per-unit sums are
+    * exact integers, order-insensitive); all second-moment sums are
+    * DECIMAL(38,0) products of those integers; every downstream step is
+    * deterministic IEEE arithmetic on the exact sums, identical bits on
+    * any engine — no margin spec needed.
+    *
+    * Scale shape: ONE scan with conditional pre/post sums per unit, one
+    * global + one per-arm aggregate over the unit frame (both map-side
+    * combinable), crossJoined 1-row stats — never a window, never a
+    * collect of data-sized state.
+    *
+    * Output per arm: arm, n_units, mean_post_micro, mean_adj_micro,
+    * theta_ppm, var_reduction_ppm (= pooled ρ² in ppm; null when a
+    * moment degenerates). */
+  def cuped(
+      df: DataFrame, unitCol: String, valCol: String, tsCol: String,
+      cutoff: Column): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val vm = floor(col(valCol).cast("double") * lit(1e6) + lit(0.5)).cast("long")
+    val units = df.select(col(unitCol).as("unit"),
+        when(col(tsCol) < cutoff, vm).otherwise(lit(0L)).as("pre_e"),
+        when(col(tsCol) >= cutoff, vm).otherwise(lit(0L)).as("post_e"))
+      .groupBy("unit")
+      .agg(sum("pre_e").as("x"), sum("post_e").as("y"))
+      .select(col("unit"), armOf(col("unit")).as("arm"), col("x"), col("y"))
+    val xd = col("x").cast(dec)
+    val yd = col("y").cast(dec)
+    val g = units.agg(
+      count(lit(1)).as("n"),
+      sum(xd).as("sx"), sum(yd).as("sy"),
+      sum(xd * xd).as("sxx"), sum(xd * yd).as("sxy"), sum(yd * yd).as("syy"))
+    val perArm = units.groupBy("arm").agg(
+      count(lit(1)).as("na"), sum(xd).as("sxa"), sum(yd).as("sya"))
+    val numd = (col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+    val dend = (col("n") * col("sxx") - col("sx") * col("sx")).cast("double")
+    val vpd = (col("n") * col("syy") - col("sy") * col("sy")).cast("double")
+    val theta = numd / dend
+    val meanPost = col("sya").cast("double") / col("na")
+    val adj = meanPost -
+      theta * (col("sxa").cast("double") / col("na") - col("sx").cast("double") / col("n"))
+    perArm.crossJoin(g).select(
+        col("arm"), col("na").as("n_units"),
+        floor(meanPost + lit(0.5)).cast("long").as("mean_post_micro"),
+        when(dend === 0, lit(null).cast("long"))
+          .otherwise(floor(adj + lit(0.5)).cast("long")).as("mean_adj_micro"),
+        when(dend === 0, lit(null).cast("long"))
+          .otherwise(floor(theta * lit(1e6) + lit(0.5)).cast("long")).as("theta_ppm"),
+        when(dend === 0 || vpd === 0, lit(null).cast("long"))
+          .otherwise(floor((numd / dend) * (numd / vpd) * lit(1e6) + lit(0.5))
+            .cast("long")).as("var_reduction_ppm"))
+      .orderBy("arm")
+  }
+
   /** Deterministic subsample confidence interval for a mean — hash-based
     * m-out-of-n bootstrap: `replicates` half-samples, each selected by the
     * replayable md5 gate (replicate id salted into the hash, so replicates

@@ -29,6 +29,41 @@ object TextAnalysis {
   def bpeTokenCount(text: Column): Column =
     size(regexp_extract_all(text, lit(bpeTokenPattern), lit(0)))
 
+  /** FLESCH READING EASE per document — the classic curation-side
+    * readability score (206.835 − 1.015·words/sentences −
+    * 84.6·syllables/words): too-low scores flag legalese/boilerplate,
+    * implausibly high ones flag token salad; alongside [[qualitySignals]]
+    * it is the standard cheap quality dimension quality classifiers are
+    * distilled from.
+    *
+    * Syllables use the vowel-group heuristic: maximal [aeiouy]+ runs per
+    * word, floored at 1 — integer-exact, engine-portable (no dictionary).
+    * Sentences: maximal [.!?]+ runs on the RAW text (normalization strips
+    * punctuation), floored at 1. All three inputs are exact integers, so
+    * the score is deterministic IEEE on exact counts (the q218 recipe) and
+    * the micro-quantized gate needs no margin spec.
+    *
+    * Scale shape: one projection (regex counts + one HOF sum over the
+    * token array), no shuffle at all until a caller aggregates.
+    * Output: doc_id, n_words, n_sents, n_syllables, flesch_micro. */
+  def readability(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val toks = filter(tokens(col(textCol)), t => length(t) > 0)
+    val words = size(toks)
+    val sents = greatest(lit(1), size(regexp_extract_all(col(textCol),
+      lit("[.!?]+"), lit(0))))
+    val syll = aggregate(toks, lit(0L), (acc, t) =>
+      acc + greatest(lit(1), size(regexp_extract_all(t, lit("[aeiouy]+"), lit(0)))))
+    val f = lit(206.835) -
+      lit(1.015) * (col("n_words").cast("double") / col("n_sents")) -
+      lit(84.6) * (col("n_syllables").cast("double") / col("n_words"))
+    docs.select(col(idCol).as("doc_id"), words.as("n_words"),
+        sents.cast("long").as("n_sents"), syll.as("n_syllables"))
+      .filter(col("n_words") > 0)
+      .withColumn("flesch_micro",
+        floor(f * lit(1e6) + lit(0.5)).cast("long"))
+  }
+
   /** Per-document token statistics + heuristic quality score.
     * Output: doc_id, n_tokens, n_unique_tokens, n_bpe_tokens, avg_token_len,
     * stopword_ratio, quality_score, quality_band. */

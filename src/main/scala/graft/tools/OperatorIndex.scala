@@ -79,49 +79,33 @@ object OperatorIndex {
     (objFile.result(), defLine.result())
   }
 
-  /** BENCHSCALE family → per-query log10(t_10x / t_1x) slope. */
-  private[tools] def scaleSlopes(): Map[String, Double] = {
-    def queriesOf(path: String): Map[String, Double] =
-      BenchArtifacts.queriesOf(path)
-    val fams = Seq("BENCHSCALE", "BENCHSCALE2", "BENCHSCALE3", "BENCHSCALE4", "BENCHSCALE5", "BENCHSCALE6", "BENCHSCALE7")
-    fams.foldLeft(Map.empty[String, Double]) { (acc, fam) =>
-      val t1 = queriesOf(s"${fam}_1x.json")
-      val t10 = queriesOf(s"${fam}_10x.json")
-      acc ++ t1.keySet.intersect(t10.keySet).map { q =>
-        q -> math.log10(t10(q) / t1(q))
+  /** All BENCHSCALE families, oldest first — later families' measurements
+    * override earlier ones for the same query (a fresh re-measure wins). */
+  private val scaleFamilies = Seq("BENCHSCALE", "BENCHSCALE2", "BENCHSCALE3",
+    "BENCHSCALE4", "BENCHSCALE5", "BENCHSCALE6", "BENCHSCALE7", "BENCHSCALE8")
+
+  private def slopesBetween(lo: String, hi: String, ratio: Double): Map[String, Double] =
+    scaleFamilies.foldLeft(Map.empty[String, Double]) { (acc, fam) =>
+      val a = BenchArtifacts.queriesOf(s"${fam}_$lo.json")
+      val b = BenchArtifacts.queriesOf(s"${fam}_$hi.json")
+      acc ++ a.keySet.intersect(b.keySet).map { q =>
+        q -> (math.log10(b(q) / a(q)) / math.log10(ratio))
       }.toMap
     }
-  }
+
+  /** BENCHSCALE family → per-query log10(t_10x / t_1x) slope. */
+  private[tools] def scaleSlopes(): Map[String, Double] =
+    slopesBetween("1x", "10x", 10.0)
 
   /** 30×-confirmation slopes where measured: log10(t_30x/t_10x)/log10(3). */
-  private[tools] def slopes30x(): Map[String, Double] = {
-    def queriesOf(path: String): Map[String, Double] =
-      BenchArtifacts.queriesOf(path)
-    val fams = Seq("BENCHSCALE", "BENCHSCALE2", "BENCHSCALE3", "BENCHSCALE4", "BENCHSCALE5", "BENCHSCALE6", "BENCHSCALE7")
-    fams.foldLeft(Map.empty[String, Double]) { (acc, fam) =>
-      val t10 = queriesOf(s"${fam}_10x.json")
-      val t30 = queriesOf(s"${fam}_30x.json")
-      acc ++ t10.keySet.intersect(t30.keySet).map { q =>
-        q -> (math.log10(t30(q) / t10(q)) / math.log10(3.0))
-      }.toMap
-    }
-  }
+  private[tools] def slopes30x(): Map[String, Double] =
+    slopesBetween("10x", "30x", 3.0)
 
   /** 100×-decade slopes where measured: log10(t_100x/t_30x)/log10(10/3) —
     * the final local decade (100× sf0.1 = sf10-equivalent volume on one
     * JVM); past it only a real cluster changes the picture. */
-  private[tools] def slopes100x(): Map[String, Double] = {
-    def queriesOf(path: String): Map[String, Double] =
-      BenchArtifacts.queriesOf(path)
-    val fams = Seq("BENCHSCALE", "BENCHSCALE2", "BENCHSCALE3", "BENCHSCALE4", "BENCHSCALE5", "BENCHSCALE6", "BENCHSCALE7")
-    fams.foldLeft(Map.empty[String, Double]) { (acc, fam) =>
-      val t30 = queriesOf(s"${fam}_30x.json")
-      val t100 = queriesOf(s"${fam}_100x.json")
-      acc ++ t30.keySet.intersect(t100.keySet).map { q =>
-        q -> (math.log10(t100(q) / t30(q)) / math.log10(10.0 / 3.0))
-      }.toMap
-    }
-  }
+  private[tools] def slopes100x(): Map[String, Double] =
+    slopesBetween("30x", "100x", 10.0 / 3.0)
 
   private def numericId(name: String): (Int, String) =
     ("""\d+""".r.findFirstIn(name).map(_.toInt).getOrElse(Int.MaxValue), name)

@@ -29,6 +29,37 @@ class GraphsSpec extends SparkSpec {
     assert(math.abs(out(1) - out(3)) < 1e-15) // symmetry
   }
 
+  test("hits: 5 iterations on the 2x2 bipartite fixture hit the Fibonacci closed form") {
+    // edges s1->{d1,d2}, s2->{d1}. L1-normalized HITS on this graph walks
+    // the Fibonacci ladder: after k full iterations
+    //   a_k = (F(2k+1)/F(2k+2), F(2k-1)... ) — concretely at k=5:
+    //   a5 = (89/144, 55/144), h5 = (144/233, 89/233)
+    // (derive by hand: each raw update gives d1 = 1 (both hubs sum to 1),
+    // d2 = top hub's score; normalize; mirror for hubs.)
+    val edges = Seq(("s1", "d1"), ("s1", "d2"), ("s2", "d1")).toDF("src", "dst")
+    val out = Graphs.hits(edges, iterations = 5)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    assert(math.abs(out(("hub", "s1")) - 2.0 * 144 / 233) < 1e-12)
+    assert(math.abs(out(("hub", "s2")) - 2.0 * 89 / 233) < 1e-12)
+    assert(math.abs(out(("authority", "d1")) - 2.0 * 89 / 144) < 1e-12)
+    assert(math.abs(out(("authority", "d2")) - 2.0 * 55 / 144) < 1e-12)
+    // mean-1 scaling: each side's scores sum to its node count
+    assert(math.abs(out(("hub", "s1")) + out(("hub", "s2")) - 2.0) < 1e-12)
+    assert(math.abs(out(("authority", "d1")) + out(("authority", "d2")) - 2.0) < 1e-12)
+  }
+
+  test("hits: duplicate edges collapse; disconnected components both carry mass") {
+    // duplicate (s1,d1) must not double d1's inflow; (s9,d9) is detached
+    val edges = Seq(("s1", "d1"), ("s1", "d1"), ("s1", "d2"), ("s9", "d9"))
+      .toDF("src", "dst")
+    val out = Graphs.hits(edges, iterations = 3)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    // s1 and s9 are both pure hubs; d9's authority mass comes only from s9
+    assert(out(("authority", "d9")) > 0.0)
+    // within s1's star, d1 and d2 are symmetric once the dup collapses
+    assert(math.abs(out(("authority", "d1")) - out(("authority", "d2"))) < 1e-15)
+  }
+
   test("pagerank: mass conserves (mean stays 1) and hubs outrank leaves") {
     // star: center 0 linked to 1..4, plus a detached pair 5-6
     val edges = ((1 to 4).map(i => (0, i)) :+ ((5, 6))).toDF("src", "dst")

@@ -137,6 +137,27 @@ class OpsSpec extends SparkSpec {
     assert(vec === (0 until 8).map(j => (md(j) & 0xff) / 256.0))
   }
 
+  test("clip filter: self-captioned docs score exactly 1.0; keep bit follows the ppm threshold") {
+    import spark.implicits._
+    import graft.analysis.Multimodal
+    // doc 1 is <= 64 chars: caption == content, cosine exactly 1
+    // doc 2 is longer: caption is a strict prefix, cosine < 1 (md5 avalanche)
+    val docs = Seq(
+      (1L, "short aligned doc", "web"),
+      (2L, ("x" * 60) + " tail content far beyond the caption window " + ("y" * 40), "web")
+    ).toDF("doc_id", "text", "source")
+    val out = Multimodal.clipScoreFilter(docs).orderBy("doc_id").collect()
+    assert(out(0).getAs[Long]("clip_ppm") === 1000000L)
+    assert(out(0).getAs[Boolean]("kept"))
+    val p2 = out(1).getAs[Long]("clip_ppm")
+    assert(p2 > 0L && p2 < 1000000L)
+    assert(out(1).getAs[Boolean]("kept") === (p2 >= 750000L))
+    // threshold is honored exactly (integer compare, no float epsilon)
+    val strict = Multimodal.clipScoreFilter(docs, thresholdPpm = 1000000L)
+      .orderBy("doc_id").collect()
+    assert(strict(0).getAs[Boolean]("kept") && !strict(1).getAs[Boolean]("kept"))
+  }
+
   test("multimodal resize: fixed output size, deterministic sampling, null-safe") {
     import graft.analysis.Multimodal
     val docs = Seq((1L, "abcdefghij" * 20), (2L, "xy")).toDF("doc_id", "text")

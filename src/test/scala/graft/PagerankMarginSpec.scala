@@ -46,4 +46,17 @@ class PagerankMarginSpec extends SparkSpec {
     assert(d > 1e-6,
       s"a weighted pagerank sits $d micro-units from its floor boundary")
   }
+
+  test("q233 gate corpus: every HITS micro value is off its floor boundary") {
+    val clicks = graft.adapters.TestData.clicks(spark, GateData.dir)
+      .filter(col("document_id").isNotNull)
+    val scores = graft.analysis.Graphs.hits(
+      clicks.select(col("session_id").as("src"), col("document_id").as("dst")),
+      iterations = 5)
+    val d = scores.agg(min(boundaryDistance(col("score"))).as("d"))
+      .collect().head.getDouble(0)
+    assert(d > 1e-6,
+      s"a HITS score sits $d micro-units from its floor boundary — " +
+        "ulp-level cross-build sum-order drift could flip score_micro")
+  }
 }

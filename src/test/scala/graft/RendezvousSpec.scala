@@ -74,15 +74,22 @@ class RendezvousSpec extends SparkSpec {
 
   test("benford digits: sub-unit and multi-digit values extract correctly, expecteds pinned") {
     import spark.implicits._
-    val vals = Seq(1.0, 123.45, 0.5, 0.0017, 9.99, -3.0, 0.0).map(Tuple1(_)).toDF("v")
-    val out = Profiling.benfordDigits(vals, "v")
-      .orderBy("digit").collect()
-      .map(r => r.getInt(0) -> ((r.getLong(1), r.getDouble(3)))).toMap
-    // -3 and 0 are excluded; 1.0 and 123.45 -> 1; 0.5 -> 5; 0.0017 -> 1; 9.99 -> 9
+    // 1e19 (>= 9e18) and 1e-20 (< 1e-18) are positive-but-out-of-domain:
+    // dropped from the histogram AND counted in n_excluded; -3 and 0 are
+    // non-positive — dropped in both the old and new domain, NOT counted
+    val vals = Seq(1.0, 123.45, 0.5, 0.0017, 9.99, -3.0, 0.0, 1e19, 1e-20)
+      .map(Tuple1(_)).toDF("v")
+    val rows = Profiling.benfordDigits(vals, "v").orderBy("digit").collect()
+    val out = rows
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getAs[Double]("expected")))).toMap
+    // 1.0 and 123.45 -> 1; 0.5 -> 5; 0.0017 -> 1; 9.99 -> 9
     assert(out.keySet === Set(1, 5, 9))
     assert(out(1)._1 === 3L && out(5)._1 === 1L && out(9)._1 === 1L)
     assert(out(1)._2 === 0.30103)   // round(log10(2), 6)
     assert(out(9)._2 === 0.045757)  // round(log10(10/9), 6)
+    assert(rows.map(_.getAs[Long]("n_excluded")).toSet === Set(2L))
+    // observed ratios are over in-domain rows only (5 of them)
+    assert(rows.map(_.getAs[Double]("observed")).sum === 1.0)
   }
 
   test("moments profile: symmetric triple hand-computed; constant group degenerates") {

@@ -278,6 +278,25 @@ class SimilaritySpec extends SparkSpec {
     assert(d(0) === d(1))
   }
 
+  test("matryoshka recall: full-width prefix is recall 1, a 1-dim prefix that ties loses the neighbor") {
+    import spark.implicits._
+    // query v0 = (1, 0). Full-cosine top-1 is v2 (exactly collinear).
+    // At d=1 every candidate has cosine 1 (all x > 0), so the
+    // deterministic id tie-break picks v1 -> overlap 0 at d=1, 1 at d=2.
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f)),
+      (1L, Array(0.1f, 0.99f)),
+      (2L, Array(0.9f, 0.0f)),
+      (3L, Array(0.5f, 0.5f))
+    ).toDF("vec_id", "embedding")
+    val out = graft.analysis.Similarity.matryoshkaRecall(
+        emb, col("vec_id") === 0, dims = Seq(1, 2), k = 1)
+      .collect().map(r => r.getAs[Int]("dim") ->
+        ((r.getAs[Long]("n_common"), r.getAs[Long]("recall_ppm")))).toMap
+    assert(out(1) === ((0L, 0L)))
+    assert(out(2) === ((1L, 1000000L)))
+  }
+
   test("exact L2 knn: literal-query projection ranks by true distance") {
     val vecs = Seq(
       (0L, Array(0.0f, 0.0f)),

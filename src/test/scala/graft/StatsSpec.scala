@@ -19,6 +19,46 @@ class StatsSpec extends SparkSpec {
     assert(again === arms)
   }
 
+  test("cuped: perfectly correlated pre/post gives theta=2 and full variance reduction") {
+    // each unit has one pre event (value v) and one post event (value 2v):
+    // y = 2x exactly, so theta = cov/var = 2 and rho^2 = 1 regardless of
+    // how md5 splits the arms
+    val rows = (1 to 8).flatMap { i =>
+      Seq((i.toLong, i.toDouble, "2024-01-10 00:00:00"),
+        (i.toLong, 2.0 * i, "2024-01-20 00:00:00"))
+    }.toDF("u", "value", "ts_s")
+      .select(col("u"), col("value"), to_timestamp(col("ts_s")).as("ts"))
+    val out = Stats.cuped(rows, "u", "value", "ts",
+      lit("2024-01-16 00:00:00").cast("timestamp")).collect()
+    assert(out.length === 2)
+    out.foreach { r =>
+      assert(r.getAs[Long]("theta_ppm") === 2000000L)
+      assert(r.getAs[Long]("var_reduction_ppm") === 1000000L)
+      // adjusted means equal the GLOBAL post mean when y = theta*x exactly:
+      // adj_a = mean_post_a - theta*(mean_pre_a - mean_pre) and
+      // mean_post_a = theta*mean_pre_a, so adj_a = theta*mean_pre = 9e6 micros
+      assert(r.getAs[Long]("mean_adj_micro") === 9000000L)
+    }
+    // n_units split covers all 8
+    assert(out.map(_.getAs[Long]("n_units")).sum === 8L)
+  }
+
+  test("cuped: degenerate pre-period (all zero) nulls the adjusted columns") {
+    // cutoff before every event: x = 0 for all units -> var(x) = 0
+    val rows = (1 to 4).map(i => (i.toLong, i.toDouble, "2024-01-20 00:00:00"))
+      .toDF("u", "value", "ts_s")
+      .select(col("u"), col("value"), to_timestamp(col("ts_s")).as("ts"))
+    val out = Stats.cuped(rows, "u", "value", "ts",
+      lit("2024-01-01 00:00:00").cast("timestamp")).collect()
+    out.foreach { r =>
+      assert(r.isNullAt(r.fieldIndex("mean_adj_micro")))
+      assert(r.isNullAt(r.fieldIndex("theta_ppm")))
+      assert(r.isNullAt(r.fieldIndex("var_reduction_ppm")))
+      // the unadjusted post mean still reports
+      assert(r.getAs[Long]("mean_post_micro") > 0L)
+    }
+  }
+
   test("two-proportion z: hand-checked statistic and significance") {
     // construct unit outcomes directly, then verify against manual math:
     // find which arm each unit lands in, induce rates 0.5 vs 0.1

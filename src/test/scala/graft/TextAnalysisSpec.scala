@@ -36,6 +36,28 @@ class TextAnalysisSpec extends SparkSpec {
     assert(poor.getAs[Double]("quality_score") < rich.getAs[Double]("quality_score"))
   }
 
+  test("readability: hand-counted words/sentences/syllables and the exact Flesch quantization") {
+    val docs = Seq(
+      (1L, "The cat sat. It ran fast!"), // 6 words, 2 sentence runs, 6 one-syllable words
+      (2L, "Beautiful rhythm"),          // eau|i|u = 3; rhythm has only the y run = 1; no terminator -> 1 sentence
+      (3L, "")                           // empty: excluded
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.readability(docs).orderBy("doc_id").collect()
+    assert(out.length === 2)
+    val r1 = out(0)
+    assert(r1.getAs[Int]("n_words") === 6 && r1.getAs[Long]("n_sents") === 2L
+      && r1.getAs[Long]("n_syllables") === 6L)
+    // the gate value is the same IEEE expression the operator computes —
+    // assert against it rather than a hand-rounded constant
+    val f1 = 206.835 - 1.015 * (6.0 / 2) - 84.6 * (6.0 / 6)
+    assert(r1.getAs[Long]("flesch_micro") === math.floor(f1 * 1e6 + 0.5).toLong)
+    val r2 = out(1)
+    assert(r2.getAs[Int]("n_words") === 2 && r2.getAs[Long]("n_sents") === 1L
+      && r2.getAs[Long]("n_syllables") === 4L)
+    val f2 = 206.835 - 1.015 * (2.0 / 1) - 84.6 * (4.0 / 2)
+    assert(r2.getAs[Long]("flesch_micro") === math.floor(f2 * 1e6 + 0.5).toLong)
+  }
+
   test("lang id picks the language with most marker hits; unknown when none") {
     val docs = Seq(
       (1L, "the cat and the dog is fast", "en"),

@@ -75,9 +75,41 @@ LIBM = {"ln", "exp", "pow", "log10/log2"}  # sqrt is IEEE-exact (correctly
 # quantization boundary (the q165 recipe). Adding a query here without
 # committing its spec case would be lying to the audit — keep in sync.
 MARGIN_SPEC_PINNED = {
-    "q165_dsir_selection": "DsirMarginSpec",
+    "q165_dsir_select": "DsirMarginSpec",
     "q56_doc_pagerank": "PagerankMarginSpec",
     "q81_pagerank_weighted": "PagerankMarginSpec",
+    "q233_hits": "PagerankMarginSpec",
+}
+
+# All-integer gate queries whose float stage is DETERMINISTIC IEEE on
+# EXACT inputs (integer counts, DECIMAL/HUGEINT sums, md5 hex pairs,
+# double literals) spelled in one fixed association order on both
+# engines — build-invariant by construction (IEEE ops are exactly
+# rounded; only SUM-ORDER over floats or iterated normalizations can
+# drift). A margin spec would be redundant: both engines compute the
+# same bits, not nearby bits. Keep each justification specific; a new
+# floor()-carrying query must land here (with its exactness argument)
+# or in MARGIN_SPEC_PINNED (with its spec) to pass the audit.
+EXACT_IEEE = {
+    "q76_frame_sample": "floor on integer byte offsets only",
+    "q110_neyman_sample": "allocation = floor on sqrt of exact integer "
+        "counts (sqrt correctly rounded), fixed expression shape",
+    "q141_k_anonymity": "floor on ratios of exact integer group counts",
+    "q173_epoch_manifest": "md5 basis-point gate + floor on exact "
+        "integer-count ratios",
+    "q182_training_order": "same manifest arithmetic as q173",
+    "q224_bradley_terry": "MM loop entirely in BIGINT micro-units; floor "
+        "inputs are exact integer products",
+    "q226_rank_biased_overlap": "integer prefix sums x double-literal "
+        "geometric weights, one fixed chain",
+    "q227_pass_at_k": "left-assoc IEEE factor chain on integer prefix "
+        "counts",
+    "q234_cuped": "DECIMAL(38,0)-exact moments of micro-quantized sums; "
+        "theta/means are fixed chains on exact sums (q218 recipe)",
+    "q235_readability": "all-integer word/sentence/syllable counts; one "
+        "fixed Flesch chain",
+    "q237_clip_filter": "md5 hex-pair embeddings (exact integers/256); "
+        "one left-assoc cosine chain + correctly-rounded sqrt",
 }
 
 FLOAT_DEF = re.compile(
@@ -175,6 +207,10 @@ def main(out_dir: str, margin: float = 1e-3) -> int:
                              f"integer outputs derive through floats; "
                              f"{MARGIN_SPEC_PINNED[name]} pins gate-corpus "
                              f"values off the quantization boundary"))
+            elif name in EXACT_IEEE:
+                rows.append((name, used, "EXACT-IEEE",
+                             f"deterministic IEEE on exact inputs: "
+                             f"{EXACT_IEEE[name]}"))
             else:
                 rows.append((name, used, "INT-FROM-FLOAT",
                              "integer outputs DEPEND on engine-evaluated "
@@ -196,6 +232,14 @@ def main(out_dir: str, margin: float = 1e-3) -> int:
     print("model and the round-9 key-tracing extension (float-derived GROUP")
     print("BY/JOIN keys and dialect constructs are flagged per query, not")
     print("just gate-column dtypes — the q180 blind-spot fix).")
+    print()
+    print("Verdict classes for all-integer outputs that touch floats:")
+    print("MARGIN-PINNED = order-sensitive float sums, a committed margin")
+    print("spec pins gate-corpus values off the quantization boundary;")
+    print("EXACT-IEEE = the float stage is deterministic IEEE on EXACT")
+    print("inputs in one fixed association order (both engines compute the")
+    print("same bits, not nearby bits — a margin spec would be redundant);")
+    print("INT-FROM-FLOAT = neither argument on file: FAILS the audit.")
     print("`list-slice` notes: DuckDB 1-based inclusive slicing survives only")
     print("in green all-integer-candidate queries; new oracles spell bands as")
     print("explicit elements. `sqrt` is IEEE-correctly-rounded (never")
