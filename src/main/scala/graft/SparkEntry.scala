@@ -725,6 +725,74 @@ object SparkEntry {
     "q237_clip_filter" -> { (s, d) =>
       Multimodal.clipScoreFilter(TestData.documents(s, d)).orderBy("doc_id")
     },
+    // Local Outlier Factor (Breunig et al.) over embeddings — density-
+    // contrast junk pruning. FIXED-POINT lattice: distances quantize to
+    // micro BIGINTs once, then kNN ranks, reach-dists, lrd and LOF are all
+    // integer arithmetic (div) — no float ever aggregates, no margin spec.
+    // The all-pairs arm is the quarantined diagnostic (q38's argument);
+    // production feeds IVF-cell-bounded pairs into the same lattice
+    "q238_lof_outliers" -> { (s, d) =>
+      Similarity.lofOutliers(TestData.embeddings(s, d), k = 5)
+    },
+    // Fleiss' kappa over a 3-heuristic annotation panel (length band,
+    // lexical-diversity band, stopword band — each a pure INTEGER
+    // cross-multiplied comparison, so no rater decision can flip across
+    // builds): the certification number for heuristic label panels before
+    // their votes become training signal; q207's multi-rater sibling
+    "q239_fleiss_kappa" -> { (s, d) =>
+      val raw = TextAnalysis.tokens(col("text"))
+      val toks = filter(raw, t => length(t) > 0)
+      val rated = TestData.documents(s, d)
+        .select(col("doc_id"), size(toks).as("nt"),
+          size(array_distinct(toks)).as("nu"),
+          size(filter(raw, t => t.isin(TextAnalysis.stopwordsEn: _*))).as("ns"))
+        .filter(col("nt") > 0)
+        .select(col("doc_id"),
+          when(col("nt") < 50, "low").when(col("nt") <= 200, "medium")
+            .otherwise("high").as("r_len"),
+          when(col("nu") * 10 >= col("nt") * 7, "high")
+            .when(col("nu") * 10 >= col("nt") * 4, "medium")
+            .otherwise("low").as("r_div"),
+          when(col("ns") * 4 >= col("nt"), "high")
+            .when(col("ns") * 20 >= col("nt"), "medium")
+            .otherwise("low").as("r_stop"))
+      graft.analysis.Stats.fleissKappa(rated, "doc_id",
+        Seq("r_len", "r_div", "r_stop"))
+    },
+    // LAW gate: per-unit CUPED artifacts from two half-month event slices,
+    // merged by per-unit ADDITION of the exact integer sums, must
+    // reproduce q234's whole-corpus readout — a daily experiment ingest
+    // scans only its batch (q222/q229/q230's increment-law pattern)
+    "q241_cuped_increment" -> { (s, d) =>
+      val cutoff = lit("2024-01-16 00:00:00").cast("timestamp")
+      val ev = TestData.eventsRaw(s, d)
+      // slice by an md5 gate (NOT by the cutoff — each slice must carry
+      // both pre and post events for the merge law to be non-trivial)
+      val gate = conv(substring(md5(col("event_id").cast("string")), 1, 2), 16, 10) % 2
+      val s1 = graft.analysis.Stats.cupedUnits(
+        ev.filter(gate === 0), "user_id", "value", "ts", cutoff)
+      val s2 = graft.analysis.Stats.cupedUnits(
+        ev.filter(gate === 1), "user_id", "value", "ts", cutoff)
+      graft.analysis.Stats.cupedFromUnits(
+        graft.analysis.Stats.cupedMergeUnits(s1, s2))
+    },
+    // CCNet-shaped per-language tertile bucketing (head/middle/tail over
+    // an LM rarity score, keep head+middle): the score is the add-one
+    // unigram model's mean INVERSE probability in fixed point — integer
+    // end-to-end, so no score, rank, or tertile boundary can flip across
+    // builds; within-language ranks ride the distributed-rank recipe
+    "q242_ccnet_buckets" -> { (s, d) =>
+      TextAnalysis.rarityBuckets(TestData.documents(s, d)).orderBy("doc_id")
+    },
+    // theta-sketch intersection: |clickers ∩ purchasers| and Jaccard from
+    // two k=64 bottom-k sketches via the union threshold (count common
+    // hashes below T, scale by HashSpace/T); exact_intersection rides
+    // along as the honesty column — q84/q85's set-OPERATION completion
+    "q240_kmv_intersection" -> { (s, d) =>
+      graft.analysis.Sketches.intersectionEstimate(
+        Tables.events(s, d), groupCol = "event_type", valueCol = "user_id",
+        groupA = "click", groupB = "purchase", k = 64)
+    },
     // Okapi BM25: saturated TF + doc-length normalization over the q27
     // query — corpus stats (N, df, avgdl) ride as plan literals, scoring
     // is one codegen'd projection, TakeOrdered(k)
@@ -1467,6 +1535,21 @@ object SparkEntry {
       val emb = TestData.embeddings(s, d)
       val pairs = Similarity.embeddingNearDupPairsWith(emb,
         Similarity.axisSignSignature(_, 6), minCosine = 0.4)
+      Dedup.dedupClusters(pairs, emb.select(col("vec_id").as("doc_id")))
+        .orderBy("doc_id")
+    },
+    // q72's OCCUPANCY-CONSTANT production variant: signature width grows
+    // with corpus size (axisSignBitsFor: ceil(log2(n/32)) bits), so
+    // per-bucket fan-out stays ~32 at ANY scale — the knee BENCHSCALE8
+    // measures for fixed 6-bit buckets at 100x (slope 1.9) is the missing
+    // width, and BENCHSCALE9 shows this variant staying near-linear. The
+    // oracle derives the same width with integer bit-length arithmetic
+    // (len(bin(ceil(n/32)-1))); SimilaritySpec pins formula agreement
+    "q243_dedup_clusters_lsh_adaptive" -> { (s, d) =>
+      val emb = TestData.embeddings(s, d)
+      val bits = Similarity.axisSignBitsFor(emb.count())
+      val pairs = Similarity.embeddingNearDupPairsWith(emb,
+        Similarity.axisSignSignature(_, bits), minCosine = 0.4)
       Dedup.dedupClusters(pairs, emb.select(col("vec_id").as("doc_id")))
         .orderBy("doc_id")
     },
@@ -2835,6 +2918,54 @@ object SparkEntry {
   /** q148's oracle: PQ/ADC top-10 vs exact squared-L2 top-10 (the exact
     * side reuses the subspace frames — Σ of per-subspace distances to the
     * RAW query subvectors is the full 64-dim distance), recall = overlap/k. */
+  /** q234's full rebuild — also the LAW oracle for q241 (the merged
+    * per-unit artifact must reproduce the whole-corpus readout). */
+  private lazy val cupedOracle: String =
+    """WITH ev AS (
+      |  SELECT CAST(user_id AS VARCHAR) AS unit, ts,
+      |    CAST(floor(value * 1000000.0::DOUBLE + 0.5::DOUBLE) AS BIGINT) AS vm
+      |  FROM events),
+      |u AS (
+      |  SELECT unit,
+      |    sum(CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00' THEN vm ELSE 0 END) AS x,
+      |    sum(CASE WHEN ts >= TIMESTAMP '2024-01-16 00:00:00' THEN vm ELSE 0 END) AS y
+      |  FROM ev GROUP BY unit),
+      |armed AS (
+      |  SELECT CASE WHEN ('0x' || substr(md5(unit), 1, 1))::BIGINT % 2 = 0
+      |              THEN 'A' ELSE 'B' END AS arm, x, y
+      |  FROM u),
+      |g AS (
+      |  SELECT count(*) AS n,
+      |    sum(CAST(x AS HUGEINT)) AS sx, sum(CAST(y AS HUGEINT)) AS sy,
+      |    sum(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS sxx,
+      |    sum(CAST(x AS HUGEINT) * CAST(y AS HUGEINT)) AS sxy,
+      |    sum(CAST(y AS HUGEINT) * CAST(y AS HUGEINT)) AS syy
+      |  FROM armed),
+      |a AS (
+      |  SELECT arm, count(*) AS na,
+      |    sum(CAST(x AS HUGEINT)) AS sxa, sum(CAST(y AS HUGEINT)) AS sya
+      |  FROM armed GROUP BY arm)
+      |SELECT arm, na AS n_units,
+      |  CAST(floor(CAST(sya AS DOUBLE) / na + 0.5::DOUBLE) AS BIGINT)
+      |    AS mean_post_micro,
+      |  CASE WHEN CAST(n * sxx - sx * sx AS DOUBLE) = 0 THEN NULL ELSE
+      |    CAST(floor(CAST(sya AS DOUBLE) / na
+      |      - (CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE))
+      |        * (CAST(sxa AS DOUBLE) / na - CAST(sx AS DOUBLE) / n)
+      |      + 0.5::DOUBLE) AS BIGINT) END AS mean_adj_micro,
+      |  CASE WHEN CAST(n * sxx - sx * sx AS DOUBLE) = 0 THEN NULL ELSE
+      |    CAST(floor(CAST(n * sxy - sx * sy AS DOUBLE)
+      |        / CAST(n * sxx - sx * sx AS DOUBLE) * 1000000.0::DOUBLE
+      |      + 0.5::DOUBLE) AS BIGINT) END AS theta_ppm,
+      |  CASE WHEN CAST(n * sxx - sx * sx AS DOUBLE) = 0
+      |         OR CAST(n * syy - sy * sy AS DOUBLE) = 0 THEN NULL ELSE
+      |    CAST(floor(
+      |      (CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE))
+      |        * (CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * syy - sy * sy AS DOUBLE))
+      |        * 1000000.0::DOUBLE
+      |      + 0.5::DOUBLE) AS BIGINT) END AS var_reduction_ppm
+      |FROM a CROSS JOIN g ORDER BY arm""".stripMargin
+
   private lazy val annRecallOracle: String =
     s"""WITH $pqRankedCtes,
        |ef AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS u FROM embeddings),
@@ -6185,53 +6316,42 @@ object SparkEntry {
     },
     // same micro-quantized values, HUGEINT moments (the q218 mirror),
     // identical IEEE expression shapes on the exact sums
-    "q234_cuped" ->
-      """WITH ev AS (
-        |  SELECT CAST(user_id AS VARCHAR) AS unit, ts,
-        |    CAST(floor(value * 1000000.0::DOUBLE + 0.5::DOUBLE) AS BIGINT) AS vm
-        |  FROM events),
-        |u AS (
-        |  SELECT unit,
-        |    sum(CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00' THEN vm ELSE 0 END) AS x,
-        |    sum(CASE WHEN ts >= TIMESTAMP '2024-01-16 00:00:00' THEN vm ELSE 0 END) AS y
-        |  FROM ev GROUP BY unit),
-        |armed AS (
-        |  SELECT CASE WHEN ('0x' || substr(md5(unit), 1, 1))::BIGINT % 2 = 0
-        |              THEN 'A' ELSE 'B' END AS arm, x, y
-        |  FROM u),
-        |g AS (
-        |  SELECT count(*) AS n,
-        |    sum(CAST(x AS HUGEINT)) AS sx, sum(CAST(y AS HUGEINT)) AS sy,
-        |    sum(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS sxx,
-        |    sum(CAST(x AS HUGEINT) * CAST(y AS HUGEINT)) AS sxy,
-        |    sum(CAST(y AS HUGEINT) * CAST(y AS HUGEINT)) AS syy
-        |  FROM armed),
-        |a AS (
-        |  SELECT arm, count(*) AS na,
-        |    sum(CAST(x AS HUGEINT)) AS sxa, sum(CAST(y AS HUGEINT)) AS sya
-        |  FROM armed GROUP BY arm)
-        |SELECT arm, na AS n_units,
-        |  CAST(floor(CAST(sya AS DOUBLE) / na + 0.5::DOUBLE) AS BIGINT)
-        |    AS mean_post_micro,
-        |  CASE WHEN CAST(n * sxx - sx * sx AS DOUBLE) = 0 THEN NULL ELSE
-        |    CAST(floor(CAST(sya AS DOUBLE) / na
-        |      - (CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE))
-        |        * (CAST(sxa AS DOUBLE) / na - CAST(sx AS DOUBLE) / n)
-        |      + 0.5::DOUBLE) AS BIGINT) END AS mean_adj_micro,
-        |  CASE WHEN CAST(n * sxx - sx * sx AS DOUBLE) = 0 THEN NULL ELSE
-        |    CAST(floor(CAST(n * sxy - sx * sy AS DOUBLE)
-        |        / CAST(n * sxx - sx * sx AS DOUBLE) * 1000000.0::DOUBLE
-        |      + 0.5::DOUBLE) AS BIGINT) END AS theta_ppm,
-        |  CASE WHEN CAST(n * sxx - sx * sx AS DOUBLE) = 0
-        |         OR CAST(n * syy - sy * sy AS DOUBLE) = 0 THEN NULL ELSE
-        |    CAST(floor(
-        |      (CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE))
-        |        * (CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * syy - sy * sy AS DOUBLE))
-        |        * 1000000.0::DOUBLE
-        |      + 0.5::DOUBLE) AS BIGINT) END AS var_reduction_ppm
-        |FROM a CROSS JOIN g ORDER BY arm""".stripMargin,
-    // same vowel-group/terminator-run counts; the score expression is
-    // spelled in the identical IEEE order on both engines
+    "q234_cuped" -> cupedOracle,
+    // LAW gate: the merged per-unit artifact must reproduce the
+    // whole-corpus readout, so its oracle IS q234's rebuild
+    "q241_cuped_increment" -> cupedOracle,
+    // same integer rarity score and tertile arithmetic; the per-language
+    // rank is a plain window here (gate-sized), the Spark side uses the
+    // distributed-rank recipe and both land on the same integer ranks
+    "q242_ccnet_buckets" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |    unnest(list_filter(string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')), ' '), x -> x <> '')) AS tok
+        |  FROM documents),
+        |freq AS (SELECT tok, count(*) AS c FROM tok GROUP BY tok),
+        |tot AS (SELECT CAST(sum(c) AS BIGINT) AS n, count(*) AS v FROM freq),
+        |perdoc AS (
+        |  SELECT doc_id, count(*) AS n_tokens,
+        |    CAST(sum((SELECT n + v FROM tot) // (c + 1)) AS BIGINT) AS sr
+        |  FROM tok JOIN freq USING (tok) GROUP BY doc_id),
+        |scored AS (
+        |  SELECT d.doc_id, d.lang,
+        |    CAST(sr * 1000000 // n_tokens AS BIGINT) AS rarity_micro
+        |  FROM documents d JOIN perdoc USING (doc_id)),
+        |ranked AS (
+        |  SELECT doc_id, lang, rarity_micro,
+        |    row_number() OVER (PARTITION BY lang ORDER BY rarity_micro, doc_id)
+        |      AS lang_rank,
+        |    count(*) OVER (PARTITION BY lang) AS n_lang
+        |  FROM scored)
+        |SELECT doc_id, lang, rarity_micro,
+        |  CAST(lang_rank AS BIGINT) AS lang_rank,
+        |  CAST(n_lang AS BIGINT) AS n_lang,
+        |  CASE WHEN lang_rank * 3 <= n_lang THEN 'head'
+        |       WHEN lang_rank * 3 <= n_lang * 2 THEN 'middle'
+        |       ELSE 'tail' END AS bucket,
+        |  lang_rank * 3 <= n_lang * 2 AS kept
+        |FROM ranked ORDER BY doc_id""".stripMargin,
     "q235_readability" ->
       """WITH toks AS (
         |  SELECT doc_id, text,
@@ -6309,6 +6429,134 @@ object SparkEntry {
          |SELECT doc_id, source, clip_ppm, clip_ppm >= 750000 AS kept
          |FROM s ORDER BY doc_id""".stripMargin
     },
+    // the same fixed-point LOF lattice: one sqrt+quantize, then pure
+    // integer ranks/max/sums/divisions — HUGEINT sums cast back to BIGINT
+    "q238_lof_outliers" ->
+      """WITH ef AS MATERIALIZED (
+        |  SELECT vec_id, embedding AS u,
+        |    list_sum(list_transform(range(1, len(embedding) + 1),
+        |      i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))
+        |      AS n2
+        |  FROM embeddings),
+        |d AS (
+        |  SELECT a.vec_id AS p, b.vec_id AS o,
+        |    CAST(floor(sqrt(greatest(
+        |        a.n2 + b.n2 - 2.0::DOUBLE * list_sum(list_transform(
+        |          range(1, len(a.u) + 1),
+        |          i -> CAST(a.u[i] AS DOUBLE) * CAST(b.u[i] AS DOUBLE))),
+        |        0.0::DOUBLE))
+        |      * 1000000.0::DOUBLE + 0.5::DOUBLE) AS BIGINT) AS dm
+        |  FROM ef a JOIN ef b ON a.vec_id <> b.vec_id),
+        |knn AS MATERIALIZED (
+        |  SELECT p, o, dm FROM (
+        |    SELECT p, o, dm,
+        |      row_number() OVER (PARTITION BY p ORDER BY dm, o) AS rk
+        |    FROM d)
+        |  WHERE rk <= 5),
+        |kd AS MATERIALIZED (SELECT p, max(dm) AS kdist FROM knn GROUP BY p),
+        |lrd AS MATERIALIZED (
+        |  SELECT p, CASE WHEN sp = 0 THEN NULL
+        |    ELSE CAST(5000000000000 // sp AS BIGINT) END AS l
+        |  FROM (
+        |    SELECT knn.p AS p,
+        |      CAST(sum(greatest(kd.kdist, knn.dm)) AS BIGINT) AS sp
+        |    FROM knn JOIN kd ON knn.o = kd.p GROUP BY knn.p)),
+        |lofn AS (
+        |  SELECT knn.p AS p, CAST(sum(lo.l) AS BIGINT) AS sl
+        |  FROM knn JOIN lrd lo ON knn.o = lo.p GROUP BY knn.p)
+        |SELECT lofn.p AS vec_id,
+        |  CASE WHEN lp.l IS NULL OR lp.l = 0 THEN NULL
+        |    ELSE CAST(sl * 1000000 // (5 * lp.l) AS BIGINT) END AS lof_ppm
+        |FROM lofn JOIN lrd lp ON lofn.p = lp.p ORDER BY vec_id""".stripMargin,
+    // the same three integer raters and integer-sum kappa; ratios are the
+    // only float steps (cohensKappa exactness argument)
+    "q239_fleiss_kappa" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')), ' '), x -> x <> '') AS t
+        |  FROM documents),
+        |f AS (
+        |  SELECT doc_id, len(t) AS nt, len(list_distinct(t)) AS nu,
+        |    len(list_filter(t, x -> x IN ('the','a','an','of','and','to','in','is','it','for'))) AS ns
+        |  FROM toks WHERE len(t) > 0),
+        |rated AS (
+        |  SELECT doc_id,
+        |    CASE WHEN nt < 50 THEN 'low' WHEN nt <= 200 THEN 'medium'
+        |         ELSE 'high' END AS r_len,
+        |    CASE WHEN nu * 10 >= nt * 7 THEN 'high'
+        |         WHEN nu * 10 >= nt * 4 THEN 'medium' ELSE 'low' END AS r_div,
+        |    CASE WHEN ns * 4 >= nt THEN 'high'
+        |         WHEN ns * 20 >= nt THEN 'medium' ELSE 'low' END AS r_stop
+        |  FROM f),
+        |lng AS (
+        |  SELECT doc_id AS u, r_len AS lab FROM rated
+        |  UNION ALL SELECT doc_id, r_div FROM rated
+        |  UNION ALL SELECT doc_id, r_stop FROM rated),
+        |cells AS (SELECT u, lab, count(*) AS nuc FROM lng GROUP BY 1, 2),
+        |s2 AS (
+        |  SELECT CAST(sum(CAST(nuc AS HUGEINT) * CAST(nuc AS HUGEINT)) AS BIGINT) AS s2,
+        |    count(DISTINCT u) AS n_units
+        |  FROM cells),
+        |marg AS (
+        |  SELECT CAST(sum(CAST(tc AS HUGEINT) * CAST(tc AS HUGEINT)) AS BIGINT) AS te2
+        |  FROM (SELECT lab, sum(nuc) AS tc FROM cells GROUP BY lab)),
+        |raw AS (
+        |  SELECT n_units, 3 AS n_raters,
+        |    (CAST(s2 AS DOUBLE) - n_units * 3.0::DOUBLE)
+        |      / (CAST(n_units AS DOUBLE) * 6.0::DOUBLE) AS p_bar_raw,
+        |    CAST(te2 AS DOUBLE)
+        |      / (CAST(n_units AS DOUBLE) * 3.0::DOUBLE
+        |         * (CAST(n_units AS DOUBLE) * 3.0::DOUBLE)) AS p_e_raw
+        |  FROM s2 CROSS JOIN marg)
+        |SELECT n_units, n_raters, round(p_bar_raw, 6) AS p_bar,
+        |  round(p_e_raw, 6) AS p_e,
+        |  CASE WHEN 1.0::DOUBLE - p_e_raw > 0
+        |    THEN round((p_bar_raw - p_e_raw) / (1.0::DOUBLE - p_e_raw), 6)
+        |  END AS fleiss_kappa
+        |FROM raw""".stripMargin,
+    // same bottom-64 rebuild as q84, union threshold = 64th smallest of
+    // the merged sample; both estimator branches mirrored
+    "q240_kmv_intersection" ->
+      """WITH h AS (
+        |  SELECT DISTINCT event_type AS g,
+        |    ('0x' || substr(md5(user_id::VARCHAR), 1, 15))::BIGINT AS hv
+        |  FROM events WHERE event_type IN ('click', 'purchase')),
+        |r AS (
+        |  SELECT g, hv, row_number() OVER (PARTITION BY g ORDER BY hv) AS rn
+        |  FROM h),
+        |sk AS (SELECT g, hv FROM r WHERE rn <= 64),
+        |u AS (SELECT DISTINCT hv FROM sk),
+        |un AS (SELECT count(*) AS nu FROM u),
+        |t AS (
+        |  SELECT hv AS kth FROM (
+        |    SELECT hv, row_number() OVER (ORDER BY hv) AS rn FROM u)
+        |  WHERE rn = 64),
+        |com AS (
+        |  SELECT a.hv FROM (SELECT hv FROM sk WHERE g = 'click') a
+        |  JOIN (SELECT hv FROM sk WHERE g = 'purchase') b USING (hv)),
+        |calc AS (
+        |  SELECT (SELECT nu FROM un) AS nu,
+        |    CASE WHEN (SELECT nu FROM un) < 64
+        |      THEN (SELECT count(*) FROM com)
+        |      ELSE (SELECT count(*) FROM com WHERE hv < (SELECT kth FROM t))
+        |    END AS n_common),
+        |ex AS (
+        |  SELECT count(*) AS exact_intersection FROM
+        |    (SELECT DISTINCT user_id FROM events WHERE event_type = 'click') x
+        |    JOIN (SELECT DISTINCT user_id FROM events
+        |          WHERE event_type = 'purchase') y USING (user_id))
+        |SELECT 'click' AS group_a, 'purchase' AS group_b,
+        |  CAST(n_common AS BIGINT) AS n_common_sample,
+        |  CASE WHEN nu < 64 THEN round(n_common::DOUBLE, 4)
+        |    ELSE round(n_common * 1152921504606846976.0 / (SELECT kth FROM t), 4)
+        |  END AS est_intersection,
+        |  CASE WHEN nu < 64 THEN
+        |      round(CASE WHEN nu = 0 THEN 0.0::DOUBLE
+        |            ELSE n_common::DOUBLE / nu END, 4)
+        |    ELSE round(n_common::DOUBLE / 63.0::DOUBLE, 4)
+        |  END AS est_jaccard,
+        |  (SELECT exact_intersection FROM ex) AS exact_intersection
+        |FROM calc""".stripMargin,
     // q27's stats subqueries + avgdl; per-term Lucene-idf BM25 terms
     // summed in fixed order
     "q177_bm25" ->
@@ -7337,6 +7585,37 @@ object SparkEntry {
         |  SELECT vec_id, embedding,
         |    CAST(list_sum(list_transform(range(6), j ->
         |      CASE WHEN embedding[CAST(j + 1 AS INT)] >= 0 THEN (1 << j) ELSE 0 END)) AS BIGINT) AS bucket
+        |  FROM embeddings),
+        |p AS (
+        |  SELECT x.vec_id AS doc_a, y.vec_id AS doc_b
+        |  FROM e x JOIN e y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+        |  WHERE list_sum(list_transform(range(1, len(x.embedding) + 1),
+        |        i -> CAST(x.embedding[i] AS DOUBLE) * CAST(y.embedding[i] AS DOUBLE)))
+        |      / (sqrt(list_sum(list_transform(range(1, len(x.embedding) + 1),
+        |            i -> CAST(x.embedding[i] AS DOUBLE) * CAST(x.embedding[i] AS DOUBLE))))
+        |         * sqrt(list_sum(list_transform(range(1, len(y.embedding) + 1),
+        |            i -> CAST(y.embedding[i] AS DOUBLE) * CAST(y.embedding[i] AS DOUBLE)))))
+        |        >= 0.4),
+        |sym AS (SELECT doc_a AS a, doc_b AS b FROM p
+        |        UNION SELECT doc_b AS a, doc_a AS b FROM p),
+        |reach(id, r) AS (
+        |  SELECT vec_id, vec_id FROM embeddings
+        |  UNION
+        |  SELECT reach.id, sym.b FROM reach JOIN sym ON sym.a = reach.r)
+        |SELECT id AS doc_id, min(r) AS cluster_id, (id = min(r)) AS is_keeper
+        |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
+    // q72's closure with the signature width derived from the corpus size
+    // by integer bit-length arithmetic (no log anywhere): b =
+    // min(len(bin(ceil(n/32)-1)), 62), ≡ ceil(log2(n/32)) clamped
+    "q243_dedup_clusters_lsh_adaptive" ->
+      """WITH RECURSIVE bits AS (
+        |  SELECT least(length(bin(((count(*) + 31) // 32) - 1)), 62) AS b
+        |  FROM embeddings),
+        |e AS (
+        |  SELECT vec_id, embedding,
+        |    CAST(list_sum(list_transform(range((SELECT b FROM bits)), j ->
+        |      CASE WHEN embedding[CAST(j + 1 AS INT)] >= 0
+        |           THEN (1::BIGINT << j) ELSE 0 END)) AS BIGINT) AS bucket
         |  FROM embeddings),
         |p AS (
         |  SELECT x.vec_id AS doc_a, y.vec_id AS doc_b

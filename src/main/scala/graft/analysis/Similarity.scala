@@ -114,8 +114,14 @@ object Similarity {
   def axisSignBitsFor(n: Long, targetOccupancy: Int = 32, dim: Int = 64): Int = {
     require(n > 0 && targetOccupancy > 0,
       s"need positive corpus size and occupancy, got $n/$targetOccupancy")
-    val needed = math.ceil(
-      math.log(n.toDouble / targetOccupancy) / math.log(2.0)).toInt
+    // INTEGER bit-length, not ceil(log/log): math.log(2^k)/math.log(2)
+    // lands at k + 4e-15 for several k (measured k=29), so the ceil
+    // overshoots by one exactly at power-of-two boundaries — the ulp class
+    // of bug this repo quarantines in oracles, living in the JVM instead.
+    // needed = ceil(log2(ceil(n/occ))) via numberOfLeadingZeros, exact.
+    val cdivM1 = (n + targetOccupancy - 1) / targetOccupancy - 1
+    val needed =
+      if (cdivM1 <= 0) 1 else 64 - java.lang.Long.numberOfLeadingZeros(cdivM1)
     math.min(math.min(dim, 62), math.max(1, needed))
   }
 
@@ -378,6 +384,77 @@ object Similarity {
         // materialize before the finally-unpersist below would drop `full`
         .localCheckpoint(true)
     } finally { full.unpersist(); () }
+  }
+
+  /** LOCAL OUTLIER FACTOR (Breunig et al. 2000) over an embedding column —
+    * the density-contrast outlier score curation pipelines use to prune
+    * embedding-space junk (mislabeled scrapes, encoder failures) that a
+    * global distance threshold misses: LOF ≈ 1 inside any uniform cluster
+    * regardless of its density; LOF >> 1 only where a point is sparser
+    * than ITS OWN neighbors.
+    *
+    * FIXED-POINT construction — the whole statistic is integer after one
+    * deterministic distance quantization, so the gate needs no margin
+    * spec and no float sums ever shuffle:
+    *   dm(p,o)   = ⌊√(Σ(xᵢ−yᵢ)²)·10⁶ + 0.5⌋        (exact fold + one sqrt)
+    *   kNN       = row_number over (dm, o)            (integer ordering —
+    *               cross-engine ties impossible)
+    *   reach     = max(kdist(o), dm(p,o))             (integer)
+    *   lrd       = k·10¹² div Σreach                  (integer division)
+    *   LOF_ppm   = Σ lrd(o) · 10⁶ div (k · lrd(p))    (integer division)
+    *
+    * Scale shape: the pairwise stage here is the exact all-pairs arm —
+    * a DIAGNOSTIC, quarantined exactly like [[embeddingNearDupPairsExact]];
+    * at corpus scale the same lattice runs over IVF-cell-bounded candidate
+    * pairs (the q37 recipe) and everything downstream of `dm` is unchanged
+    * (two grouped integer aggregates + two joins on point id).
+    * Output: vec_id, lof_ppm (null when a point's reach sum degenerates —
+    * exact-duplicate neighborhoods). */
+  def lofOutliers(
+      corpus: DataFrame,
+      k: Int = 5,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    require(k >= 1, s"need k >= 1, got $k")
+    // |x-y|² = |x|² + |y|² - 2x·y with the dots on the NATIVE codegen'd
+    // DotProduct kernel — a declarative (x-y)² HOF fold evaluated
+    // interpreted per pair measured 30.9 s on the sf0.1 gate (the suite's
+    // slowest query); this form runs the same 36M pairs in a few seconds.
+    // Norms are projected ONCE per vector before the join. greatest(·, 0)
+    // guards the -1e-16 epsilon of identical vectors (sqrt(NaN) would
+    // ANSI-throw at the cast); the oracle mirrors the guard verbatim.
+    val v = corpus.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
+      .withColumn("n2",
+        graft.functions.VectorOps.dotProduct(col("v"), col("v")))
+    val pairs = v
+      .select(col("id").as("p"), col("v").as("a_v"), col("n2").as("a_n2"))
+      .join(v.select(col("id").as("o"), col("v").as("b_v"), col("n2").as("b_n2")),
+        col("p") =!= col("o"))
+      .select(col("p"), col("o"),
+        floor(sqrt(greatest(
+            col("a_n2") + col("b_n2") - lit(2.0) *
+              graft.functions.VectorOps.dotProduct(col("a_v"), col("b_v")),
+            lit(0.0)))
+          * lit(1e6) + lit(0.5)).cast("long").as("dm"))
+    val w = Window.partitionBy("p").orderBy(col("dm"), col("o"))
+    val knn = pairs.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k).select("p", "o", "dm").persist()
+    val kdist = knn.groupBy("p").agg(max("dm").as("kdist"))
+    val reach = knn
+      .join(kdist.withColumnRenamed("p", "o_"), col("o") === col("o_"))
+      .select(col("p"), col("o"), greatest(col("kdist"), col("dm")).as("r"))
+    val lrd = reach.groupBy("p").agg(sum("r").as("sp"))
+      .select(col("p"),
+        when(col("sp") === 0, lit(null).cast("long"))
+          .otherwise(expr(s"${k.toLong * 1000000000000L}L div sp")).as("l"))
+    knn
+      .join(lrd.select(col("p").as("o_"), col("l").as("lo")), col("o") === col("o_"))
+      .groupBy("p").agg(sum("lo").as("sl"))
+      .join(lrd, "p")
+      .select(col("p").as("vec_id"),
+        when(col("l").isNull || col("l") === 0, lit(null).cast("long"))
+          .otherwise(expr(s"sl * 1000000L div ($k * l)")).as("lof_ppm"))
+      .orderBy("vec_id")
   }
 
   /** Deterministic ±1 sign for projection plane `p`, dimension `j` —

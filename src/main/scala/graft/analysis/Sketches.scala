@@ -249,6 +249,62 @@ object Sketches {
       .select(estimate(col("sketch"), k).as("est_distinct"))
   }
 
+  /** THETA-SKETCH-STYLE intersection + Jaccard from two bottom-k sketches —
+    * the set-OPERATION answer sketches exist for: |A ∩ B| (audience
+    * overlap, cross-source contamination, co-click reach) cannot be derived
+    * from |A| and |B|, but the bottom-k samples support it directly
+    * (Dasgupta et al., the DataSketches theta construction): T = k-th
+    * smallest hash of A ∪ B, the union's bottom sample is a fixed-rate
+    * uniform sample of the union at rate θ = T/HashSpace, so
+    * |A ∩ B| ≈ |{h ∈ A ∩ B : h < T}| / θ. Below k everything is exact.
+    *
+    * Scale shape: one grouped bottom-k aggregate (O(k) state per group,
+    * map-side combinable) + a 2×k-value driver computation (the codebook
+    * pattern — the sketches ARE the artifact). The `exact_intersection`
+    * column is the honesty companion ([[bloomMembership]]'s `actually_in`
+    * convention): a distinct-join the gate can afford that production
+    * wouldn't run.
+    * Output (1 row): group_a, group_b, n_common_sample, est_intersection
+    * (round 4), est_jaccard (round 4), exact_intersection. */
+  def intersectionEstimate(
+      df: DataFrame, groupCol: String, valueCol: String,
+      groupA: String, groupB: String, k: Int = 64): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val bottomK = udaf(new BottomK(k), Encoders.scalaLong)
+    val sk = df.filter(col(groupCol).isin(groupA, groupB))
+      .select(col(groupCol).cast("string").as("g"), hash60(col(valueCol)).as("h"))
+      .groupBy("g").agg(bottomK(col("h")).as("sketch"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1).toArray).toMap
+    val a = sk.getOrElse(groupA, Array.emptyLongArray)
+    val b = sk.getOrElse(groupB, Array.emptyLongArray)
+    val union = (a ++ b).distinct.sorted
+    val aSet = a.toSet
+    val common = b.filter(aSet.contains)
+    val exact = df.filter(col(groupCol) === groupA)
+      .select(col(valueCol).cast("string")).distinct()
+      .intersect(df.filter(col(groupCol) === groupB)
+        .select(col(valueCol).cast("string")).distinct())
+      .count()
+    val (nSample, estInter, estJac) =
+      if (union.length < k) {
+        val n = common.length.toLong
+        (n, n.toDouble,
+          if (union.isEmpty) 0.0 else n.toDouble / union.length)
+      } else {
+        val t = union(k - 1) // the union threshold (1-indexed k-th smallest)
+        val n = common.count(_ < t).toLong
+        (n, n.toDouble * HashSpace / t, n.toDouble / (k - 1).toDouble)
+      }
+    Seq((groupA, groupB, nSample, estInter, estJac, exact))
+      .toDF("group_a", "group_b", "n_common_sample", "est_raw", "jac_raw",
+        "exact_intersection")
+      .select(col("group_a"), col("group_b"), col("n_common_sample"),
+        round(col("est_raw"), 4).as("est_intersection"),
+        round(col("jac_raw"), 4).as("est_jaccard"),
+        col("exact_intersection"))
+  }
+
   /** Engine-portable BLOOM-FILTER membership: the incremental exact-dedup
     * primitive at corpus scale — a new batch probes the historical key set
     * without joining against it. The filter is represented as its SET OF

@@ -47,15 +47,42 @@ object Stats {
     * moment degenerates). */
   def cuped(
       df: DataFrame, unitCol: String, valCol: String, tsCol: String,
+      cutoff: Column): DataFrame =
+    cupedFromUnits(cupedUnits(df, unitCol, valCol, tsCol, cutoff))
+
+  /** The mergeable PER-UNIT artifact behind [[cuped]]: unit, arm, and the
+    * exact BIGINT-micro pre/post sums. Artifacts from disjoint event
+    * slices merge by per-unit ADDITION of x and y (a unit seen in two
+    * slices contributes the sum of its slice sums — exactly what one scan
+    * of the union computes), so a daily ingest scans only its batch and
+    * the adjusted experiment readout still equals a whole-corpus rebuild —
+    * the law q241 gates. */
+  def cupedUnits(
+      df: DataFrame, unitCol: String, valCol: String, tsCol: String,
       cutoff: Column): DataFrame = {
-    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
     val vm = floor(col(valCol).cast("double") * lit(1e6) + lit(0.5)).cast("long")
-    val units = df.select(col(unitCol).as("unit"),
+    df.select(col(unitCol).as("unit"),
         when(col(tsCol) < cutoff, vm).otherwise(lit(0L)).as("pre_e"),
         when(col(tsCol) >= cutoff, vm).otherwise(lit(0L)).as("post_e"))
       .groupBy("unit")
       .agg(sum("pre_e").as("x"), sum("post_e").as("y"))
       .select(col("unit"), armOf(col("unit")).as("arm"), col("x"), col("y"))
+  }
+
+  /** Merge per-unit CUPED artifacts from disjoint slices: per-unit
+    * addition of the exact integer sums (arm is a pure function of the
+    * unit key, so it re-derives rather than merges). */
+  def cupedMergeUnits(slices: DataFrame*): DataFrame = {
+    require(slices.nonEmpty)
+    slices.reduce(_ unionByName _)
+      .groupBy("unit").agg(sum("x").as("x"), sum("y").as("y"))
+      .select(col("unit"), armOf(col("unit")).as("arm"), col("x"), col("y"))
+  }
+
+  /** The readout stage of [[cuped]], runnable on a fresh scan's unit frame
+    * or on a merged artifact ([[cupedMergeUnits]]) interchangeably. */
+  def cupedFromUnits(units: DataFrame): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
     val xd = col("x").cast(dec)
     val yd = col("y").cast(dec)
     val g = units.agg(
@@ -330,6 +357,54 @@ object Stats {
         when(lit(1.0) - col("pe_raw") > 0,
           round((col("po_raw") - col("pe_raw")) / (lit(1.0) - col("pe_raw")), 6))
           .as("kappa"))
+  }
+
+  /** FLEISS' KAPPA: chance-corrected agreement among R ≥ 2 raters over the
+    * same units — [[cohensKappa]]'s multi-rater generalization, the
+    * standard certification number for annotation panels (human or
+    * heuristic) before their labels are trusted as training signal. Each
+    * unit must carry exactly R non-null ratings (complete panel; missing-
+    * data designs are Krippendorff territory).
+    *
+    * κ = (P̄ − P̄e)/(1 − P̄e) with P̄ from Σ_u Σ_c n_uc² and P̄e from the
+    * squared category marginals — BOTH integer sums, so the only float
+    * steps are three final ratios on exact integers (bit-identical on any
+    * engine; the [[cohensKappa]] exactness argument verbatim).
+    *
+    * Scale shape: one melt (R rows/unit), one (unit, label) count, one
+    * Σn² aggregate + one marginal aggregate — all map-side combinable;
+    * no window, no collect.
+    * Output (1 row): n_units, n_raters, p_bar (round 6), p_e (round 6),
+    * fleiss_kappa (round 6; null when P̄e = 1 — every rater constant). */
+  def fleissKappa(
+      ratings: DataFrame, unitCol: String, raterCols: Seq[String]): DataFrame = {
+    require(raterCols.size >= 2, s"need >= 2 raters, got $raterCols")
+    val r = raterCols.size
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val long = ratings.select(col(unitCol).as("u"),
+        explode(array(raterCols.map(c => col(c).cast(StringType)): _*)).as("lab"))
+      .filter(col("lab").isNotNull)
+    val cells = long.groupBy("u", "lab").agg(count(lit(1)).as("nuc")).persist()
+    val s2 = cells.agg(
+      sum((col("nuc").cast(dec) * col("nuc").cast(dec))).as("s2"),
+      count_distinct(col("u")).as("n_units"))
+    val marg = cells.groupBy("lab").agg(sum("nuc").as("tc"))
+      .agg(sum(col("tc").cast(dec) * col("tc").cast(dec)).as("te2"))
+    s2.crossJoin(marg)
+      .select(col("n_units"), lit(r).as("n_raters"),
+        ((col("s2").cast(DoubleType) - col("n_units") * lit(r.toDouble))
+          / (col("n_units").cast(DoubleType) * lit((r * (r - 1)).toDouble)))
+          .as("p_bar_raw"),
+        (col("te2").cast(DoubleType)
+          / (col("n_units").cast(DoubleType) * lit(r.toDouble)
+            * (col("n_units").cast(DoubleType) * lit(r.toDouble))))
+          .as("p_e_raw"))
+      .select(col("n_units"), col("n_raters"),
+        round(col("p_bar_raw"), 6).as("p_bar"),
+        round(col("p_e_raw"), 6).as("p_e"),
+        when(lit(1.0) - col("p_e_raw") > 0,
+          round((col("p_bar_raw") - col("p_e_raw")) / (lit(1.0) - col("p_e_raw")), 6))
+          .as("fleiss_kappa"))
   }
 
   /** MANN–WHITNEY U (Wilcoxon rank-sum) with tie correction: the

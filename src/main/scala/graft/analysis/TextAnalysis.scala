@@ -241,6 +241,60 @@ object TextAnalysis {
           .as("avg_logprob"))
   }
 
+  /** CCNET-SHAPED per-language corpus bucketing (Wenzek et al. 2020): rank
+    * every document within its language by an LM-derived rarity score, cut
+    * the ranking into head/middle/tail TERTILES, and keep head+middle —
+    * the filter shape CommonCrawl-scale corpora (CCNet → CC-100 → many LLM
+    * mixes) are built through. The score here is the add-one unigram
+    * model's mean INVERSE probability in fixed point,
+    * r = (Σ_t (N+V) div (c_t+1)) · 10⁶ div n_tokens — same model and same
+    * monotone intent as [[unigramLogProb]]'s mean log-prob, but integer
+    * end-to-end, so neither the score, the within-language rank, nor any
+    * tertile boundary can flip across engine builds (no ln anywhere).
+    *
+    * Scale shape: the model join is [[unigramLogProb]]'s (narrow token
+    * rows, vocab-sized model, broadcast scalars); the within-language rank
+    * is a GLOBAL rank on (lang, score, id) via
+    * [[graft.relational.Relational.distributedCumSum]] (range partition +
+    * per-partition offsets — never a data-sized single-partition window)
+    * minus per-language offsets from a language-cardinality-sized
+    * cumulative count. Everything shuffles on token or id keys only.
+    * Output: doc_id, lang, rarity_micro, lang_rank, n_lang, bucket, kept. */
+  def rarityBuckets(
+      docs: DataFrame, textCol: String = "text", idCol: String = "doc_id",
+      langCol: String = "lang"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tok = docs
+      .select(col(idCol), explode(tokens(col(textCol))).as("tok"))
+      .filter(col("tok") =!= "")
+    val freq = tok.groupBy("tok").agg(count(lit(1)).as("c"))
+    val totals = freq.agg(sum("c").as("n"), count(lit(1)).as("v"))
+    val perDoc = tok.join(freq, "tok").crossJoin(broadcast(totals))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(expr("(n + v) div (c + 1)")).as("sr"))
+      .select(col(idCol), expr("sr * 1000000 div n_tokens").as("rarity_micro"))
+    val scored = docs.select(col(idCol), col(langCol).as("lang"))
+      .join(perDoc, idCol)
+    val ranked = graft.relational.Relational.distributedCumSum(
+      scored, Seq("lang", "rarity_micro", idCol), Nil, rankCol = Some("grk"))
+    // per-language offsets: cumulative counts over the LANGUAGE list — a
+    // language-cardinality-sized window, not a data-sized one
+    val offsets = scored.groupBy("lang").agg(count(lit(1)).as("n_lang"))
+      .withColumn("off",
+        coalesce(sum("n_lang").over(
+          Window.orderBy("lang").rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+    ranked.join(broadcast(offsets), "lang")
+      .select(col(idCol), col("lang"), col("rarity_micro"),
+        (col("grk") - col("off")).as("lang_rank"), col("n_lang"))
+      .withColumn("bucket",
+        when(col("lang_rank") * 3 <= col("n_lang"), "head")
+          .when(col("lang_rank") * 3 <= col("n_lang") * 2, "middle")
+          .otherwise("tail"))
+      .withColumn("kept", col("bucket") =!= "tail")
+  }
+
   /** Bigram-LM cross-entropy — the context-aware upgrade of
     * [[unigramLogProb]] and the closest SQL-expressible relative of the
     * CCNet/KenLM perplexity filter: score each document by its mean

@@ -23,6 +23,12 @@ object GraftSession {
     .withExtensions(e => e.injectOptimizerRule(_ => graft.functions.FuseVectorKernels))
     .config("spark.sql.shuffle.partitions", cores.toString)
     .config("spark.sql.adaptive.enabled", "true")
+    // NOT raised: adaptive.coalescePartitions.initialPartitionNum = 8x
+    // cores was tried against q101's 30->100x slope knee (1.68) on the
+    // spill hypothesis and measured NO improvement (356 -> 374 s at 100x,
+    // PLANS.md round-9 scale audit) — the knee is not shuffle-bucket
+    // spill, so the single-JVM config stays at the assignment's cores-
+    // sized setting; a real cluster sizes this to executor count anyway
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     .config("spark.sql.parquet.aggregatePushdown", "true")

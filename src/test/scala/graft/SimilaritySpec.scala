@@ -297,6 +297,55 @@ class SimilaritySpec extends SparkSpec {
     assert(out(2) === ((1L, 1000000L)))
   }
 
+  test("axisSignBitsFor agrees with the oracle's integer bit-length derivation across six decades") {
+    // the q243 oracle derives the adaptive width as
+    // min(len(bin(ceil(n/32)-1)), 62) — pure integer arithmetic; the Scala
+    // side uses ceil(log2(n/32)). This pins their agreement, including at
+    // every power-of-two boundary where a log could ulp-flip.
+    def oracleBits(n: Long): Int = {
+      val cdivM1 = (n + 31) / 32 - 1
+      val binLen =
+        if (cdivM1 == 0) 1 else 64 - java.lang.Long.numberOfLeadingZeros(cdivM1)
+      math.min(binLen, 62)
+    }
+    val ns = (0 to 40).map(k => 1L << k).flatMap(v => Seq(v - 1, v, v + 1))
+      .filter(_ > 0) ++ Seq(500L, 6000L, 60000L, 600000L, 1000000000L)
+    ns.foreach { n =>
+      assert(graft.analysis.Similarity.axisSignBitsFor(n) === oracleBits(n), s"n=$n")
+    }
+  }
+
+  test("lof: tight-cluster points score ~1, the far point scores >> 1, symmetry exact") {
+    import spark.implicits._
+    // unit square cluster + one point far away; k=2
+    val emb = Seq(
+      (0L, Array(0.0f, 0.0f)), (1L, Array(0.0f, 1.0f)),
+      (2L, Array(1.0f, 0.0f)), (3L, Array(1.0f, 1.0f)),
+      (9L, Array(10.0f, 10.0f))
+    ).toDF("vec_id", "embedding")
+    val out = graft.analysis.Similarity.lofOutliers(emb, k = 2)
+      .collect().map(r => r.getLong(0) -> r.getAs[Long]("lof_ppm")).toMap
+    assert(out(9L) > 2000000L, s"outlier lof ${out(9L)} should exceed 2.0")
+    Seq(0L, 1L, 2L, 3L).foreach { id =>
+      assert(out(id) >= 800000L && out(id) <= 1400000L,
+        s"cluster point $id lof ${out(id)} should be near 1.0")
+    }
+    // the square's symmetries are exact in the integer lattice
+    assert(out(0L) === out(3L) && out(1L) === out(2L))
+  }
+
+  test("lof: exact-duplicate neighborhoods degenerate to null, never divide by zero") {
+    import spark.implicits._
+    val emb = Seq(
+      (0L, Array(0.0f, 0.0f)), (1L, Array(0.0f, 0.0f)), (2L, Array(5.0f, 5.0f))
+    ).toDF("vec_id", "embedding")
+    val out = graft.analysis.Similarity.lofOutliers(emb, k = 1)
+      .collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    // the twin points have zero reach sums -> null lrd -> null lof;
+    // point 2's only neighbor is a degenerate point -> null propagates
+    assert(out(0L).isEmpty && out(1L).isEmpty && out(2L).isEmpty)
+  }
+
   test("exact L2 knn: literal-query projection ranks by true distance") {
     val vecs = Seq(
       (0L, Array(0.0f, 0.0f)),

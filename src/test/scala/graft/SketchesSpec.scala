@@ -32,6 +32,32 @@ class SketchesSpec extends SparkSpec {
     assert(math.abs(est - n) / n < 0.51, s"estimate $est too far from $n")
   }
 
+  test("intersection estimate: exact below k, hand-checked overlap and jaccard") {
+    // A = {1..5}, B = {3..8}: union 8 < k=64, so everything is exact
+    val rows = ((1 to 5).map(i => ("a", i.toLong)) ++ (3 to 8).map(i => ("b", i.toLong)))
+      .toDF("g", "v")
+    val r = Sketches.intersectionEstimate(rows, "g", "v", "a", "b").collect().head
+    assert(r.getAs[Long]("n_common_sample") === 3L)
+    assert(r.getAs[Double]("est_intersection") === 3.0)
+    assert(r.getAs[Double]("est_jaccard") === 0.375) // 3 / 8
+    assert(r.getAs[Long]("exact_intersection") === 3L)
+  }
+
+  test("intersection estimate: threshold branch lands near truth and is deterministic") {
+    // A = 1..100, B = 51..150: exact intersection 50, jaccard 1/3; k=16
+    val rows = ((1 to 100).map(i => ("a", i.toLong)) ++ (51 to 150).map(i => ("b", i.toLong)))
+      .toDF("g", "v")
+    val r = Sketches.intersectionEstimate(rows, "g", "v", "a", "b", k = 16)
+      .collect().head
+    val est = r.getAs[Double]("est_intersection")
+    assert(r.getAs[Long]("exact_intersection") === 50L)
+    assert(est > 10.0 && est < 200.0, s"estimate $est too far from 50")
+    assert(r.getAs[Double]("est_jaccard") >= 0.0 && r.getAs[Double]("est_jaccard") <= 1.0)
+    val again = Sketches.intersectionEstimate(rows, "g", "v", "a", "b", k = 16)
+      .collect().head
+    assert(again === r) // md5-fixed: no RNG anywhere
+  }
+
   test("merged per-partition sketches equal the single-pass union sketch") {
     val df = (1 to 3000).map(i => (s"day${i % 5}", i % 900)).toDF("day", "v")
     val merged = Sketches.unionEstimate(df, "v", k = 64, partitionCol = Some("day"))

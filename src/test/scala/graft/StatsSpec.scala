@@ -43,6 +43,21 @@ class StatsSpec extends SparkSpec {
     assert(out.map(_.getAs[Long]("n_units")).sum === 8L)
   }
 
+  test("cuped: merged per-unit artifacts from disjoint slices equal the whole rebuild") {
+    val rows = (1 to 40).map { i =>
+      (i.toLong % 7, (i % 11).toDouble + 0.25,
+        if (i % 3 == 0) "2024-01-10 00:00:00" else "2024-01-20 00:00:00")
+    }.toDF("u", "value", "ts_s")
+      .select(col("u"), col("value"), to_timestamp(col("ts_s")).as("ts"))
+    val cutoff = lit("2024-01-16 00:00:00").cast("timestamp")
+    val whole = Stats.cuped(rows, "u", "value", "ts", cutoff).collect()
+    // arbitrary row split (by value parity) — units appear in BOTH slices
+    val s1 = Stats.cupedUnits(rows.filter(col("value") < 5), "u", "value", "ts", cutoff)
+    val s2 = Stats.cupedUnits(rows.filter(col("value") >= 5), "u", "value", "ts", cutoff)
+    val merged = Stats.cupedFromUnits(Stats.cupedMergeUnits(s1, s2)).collect()
+    assert(merged.toSeq === whole.toSeq)
+  }
+
   test("cuped: degenerate pre-period (all zero) nulls the adjusted columns") {
     // cutoff before every event: x = 0 for all units -> var(x) = 0
     val rows = (1 to 4).map(i => (i.toLong, i.toDouble, "2024-01-20 00:00:00"))
@@ -57,6 +72,25 @@ class StatsSpec extends SparkSpec {
       // the unadjusted post mean still reports
       assert(r.getAs[Long]("mean_post_micro") > 0L)
     }
+  }
+
+  test("fleiss kappa: perfect agreement = 1, perfect 3-way disagreement with balanced margins = -0.5, constant panel = null") {
+    // perfect: all raters agree per unit
+    val perfect = Seq((1L, "a", "a", "a"), (2L, "b", "b", "b"), (3L, "c", "c", "c"))
+      .toDF("u", "r1", "r2", "r3")
+    val kp = Stats.fleissKappa(perfect, "u", Seq("r1", "r2", "r3")).collect().head
+    assert(kp.getAs[Double]("p_bar") === 1.0 && kp.getAs[Double]("fleiss_kappa") === 1.0)
+    // perfect disagreement, balanced marginals: P_bar = 0, P_e = 1/3, kappa = -0.5
+    val disjoint = Seq((1L, "a", "b", "c"), (2L, "b", "c", "a"), (3L, "c", "a", "b"))
+      .toDF("u", "r1", "r2", "r3")
+    val kd = Stats.fleissKappa(disjoint, "u", Seq("r1", "r2", "r3")).collect().head
+    assert(kd.getAs[Double]("p_bar") === 0.0)
+    assert(kd.getAs[Double]("p_e") === 0.333333)
+    assert(kd.getAs[Double]("fleiss_kappa") === -0.5)
+    // every rater constant: P_e = 1 -> kappa undefined -> null
+    val const = Seq((1L, "x", "x", "x"), (2L, "x", "x", "x")).toDF("u", "r1", "r2", "r3")
+    val kc = Stats.fleissKappa(const, "u", Seq("r1", "r2", "r3")).collect().head
+    assert(kc.isNullAt(kc.fieldIndex("fleiss_kappa")))
   }
 
   test("two-proportion z: hand-checked statistic and significance") {

@@ -281,6 +281,53 @@ class StreamingSketchSpec extends SparkSpec {
     assert(streamedReport === batchReport)
   }
 
+  test("streaming cuped unit sums across micro-batches equal the batch artifact; readout reconciles") {
+    import graft.streaming.StreamingCuped
+    import graft.streaming.StreamingCuped.UnitSums
+    import graft.analysis.Stats
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Double, String)](spark)
+    val cutoff = lit("2024-01-16 00:00:00").cast("timestamp")
+    // latest (x, y) per unit: update-mode emissions overwrite in batch order
+    val state = scala.collection.concurrent.TrieMap.empty[String, (Long, Long)]
+    val q = StreamingCuped.unitSums(
+        input.toDS().toDF("user_id", "value", "ts_s")
+          .withColumn("ts", to_timestamp(col("ts_s"))),
+        cutoff)
+      .writeStream
+      .foreachBatch { (ds: org.apache.spark.sql.Dataset[UnitSums], _: Long) =>
+        ds.collect().foreach(u => state(u.unit) = (u.x, u.y))
+      }
+      .outputMode("update").start()
+    val b1 = Seq(
+      (1L, 2.5, "2024-01-10 00:00:00"), (1L, 4.0, "2024-01-20 00:00:00"),
+      (2L, 1.0, "2024-01-12 00:00:00"))
+    val b2 = Seq(
+      (1L, 3.0, "2024-01-11 00:00:00"), // same unit, LATER batch: state must add
+      (2L, 6.0, "2024-01-25 00:00:00"),
+      (3L, 9.0, "2024-01-26 00:00:00"))
+    try {
+      input.addData(b1: _*)
+      q.processAllAvailable()
+      input.addData(b2: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val union = (b1 ++ b2).toDF("user_id", "value", "ts_s")
+      .withColumn("ts", to_timestamp(col("ts_s")))
+    // the streaming state key is the stringified unit (one state-key type);
+    // the batch frame keeps the source type — compare on the string form
+    val batch = Stats.cupedUnits(union, "user_id", "value", "ts", cutoff)
+      .collect().map(r => r.get(r.fieldIndex("unit")).toString ->
+        ((r.getAs[Long]("x"), r.getAs[Long]("y")))).toMap
+    assert(state.toMap === batch) // bit-identical artifact
+    // the readout over streamed state reproduces the batch readout
+    val streamed = state.toSeq.map { case (u, (x, y)) => (u, x, y) }
+      .toDF("unit", "x", "y")
+      .select(col("unit"), Stats.armOf(col("unit")).as("arm"), col("x"), col("y"))
+    assert(Stats.cupedFromUnits(streamed).collect().toSeq ===
+      Stats.cuped(union, "user_id", "value", "ts", cutoff).collect().toSeq)
+  }
+
   test("streaming hll registers across micro-batches equal the batch registers of the union") {
     val input = org.apache.spark.sql.execution.streaming.runtime
       .MemoryStream[KeyedValue](spark)

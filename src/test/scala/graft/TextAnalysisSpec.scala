@@ -58,6 +58,27 @@ class TextAnalysisSpec extends SparkSpec {
     assert(r2.getAs[Long]("flesch_micro") === math.floor(f2 * 1e6 + 0.5).toLong)
   }
 
+  test("rarity buckets: within-language tertiles follow the integer rarity ranking") {
+    // en: d1 all-common tokens, d2 mixed, d3 all-rare -> head/middle/tail;
+    // fr (n=2): tertile arithmetic gives no head (3*1 > 2), so middle/tail
+    val docs = Seq(
+      (1L, "the the the the", "en"),
+      (2L, "the cat", "en"),
+      (3L, "zzyzx qwfp", "en"),
+      (4L, "le le le", "fr"),
+      (5L, "le chat rare", "fr")
+    ).toDF("doc_id", "text", "lang")
+    val out = TextAnalysis.rarityBuckets(docs)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[String]("bucket"), r.getAs[Boolean]("kept"),
+          r.getAs[Long]("lang_rank")))).toMap
+    assert(out(1L) === (("head", true, 1L)))
+    assert(out(2L) === (("middle", true, 2L)))
+    assert(out(3L) === (("tail", false, 3L)))
+    assert(out(4L) === (("middle", true, 1L)))
+    assert(out(5L) === (("tail", false, 2L)))
+  }
+
   test("lang id picks the language with most marker hits; unknown when none") {
     val docs = Seq(
       (1L, "the cat and the dog is fast", "en"),

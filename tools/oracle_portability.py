@@ -106,6 +106,11 @@ EXACT_IEEE = {
         "counts",
     "q234_cuped": "DECIMAL(38,0)-exact moments of micro-quantized sums; "
         "theta/means are fixed chains on exact sums (q218 recipe)",
+    "q241_cuped_increment": "q234's readout over the merged artifact — "
+        "same exact sums, same fixed chains",
+    "q238_lof_outliers": "distances quantize once via floor(sqrt(exact "
+        "fixed-order fold)); every downstream step (ranks, max, sums, "
+        "lrd, LOF) is pure integer arithmetic",
     "q235_readability": "all-integer word/sentence/syllable counts; one "
         "fixed Flesch chain",
     "q237_clip_filter": "md5 hex-pair embeddings (exact integers/256); "
