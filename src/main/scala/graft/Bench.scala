@@ -30,8 +30,9 @@ import org.apache.spark.sql.SparkSession
   * 3.65 s in-suite, 0.47 s isolated). After the suite pass, any query whose
   * min exceeds its previously committed min by >1.5x (and >0.3 s absolute),
   * OR that has no committed prior and left the suite with an unconfirmed
-  * min (spread >= min, >0.3 s — the new-query case the prior-based rule
-  * can't see; round-8 ADVICE), is re-measured in a quiesced JVM
+  * min (spread >= min, or fewer than 2 recorded reps, and >0.3 s — the
+  * new-query cases the prior-based rule can't see; round-8/9 ADVICE),
+  * is re-measured in a quiesced JVM
   * (clearCache + System.gc) under the same spread-confirmation protocol;
   * the artifact reports min(suite, isolated), a spread computed from the
   * isolated reps alone, and lists the re-measured names under "requeried".
@@ -99,8 +100,11 @@ object Bench {
         r += 1
       }
       val ts = times.result()
+      // the rep count rides along: a 0.0 spread from a SINGLE rep is "no
+      // evidence", not "confirmed" — trigger (b) below must distinguish
+      // them (round-9 ADVICE)
       (name, if (ts.isEmpty) None else Some(ts.min),
-        if (ts.length < 2) 0.0 else spreadOf(ts), failure)
+        if (ts.length < 2) 0.0 else spreadOf(ts), failure, ts.length)
     }
     // ---- post-suite isolated re-measure (round-7 verdict #5) ----
     // A min taken INSIDE the loaded 223-query suite run can carry
@@ -122,17 +126,20 @@ object Bench {
     val requeried = scala.collection.mutable.ArrayBuffer.empty[String]
     // two triggers (round-8 ADVICE): (a) suite min regressed >1.5x vs the
     // committed prior; (b) no committed prior exists (new query / first run
-    // on this machine) AND the suite loop exhausted its reps without spread
-    // confirmation — exactly the case the prior-based rule can never catch.
-    // Tiny queries (<0.3 s) are exempt from (b): their "unconfirmed" spread
-    // is scheduler noise, not contention worth a GC'd re-measure pass.
+    // on this machine) AND the suite loop either exhausted its reps without
+    // spread confirmation OR recorded fewer than 2 reps at all (a single
+    // rep's 0.0 spread is absence of evidence, not confirmation — the
+    // round-9 ADVICE hole where a reps=1 run made every new slow query
+    // look confirmed). Tiny queries (<0.3 s) are exempt from (b): their
+    // "unconfirmed" spread is scheduler noise, not contention worth a
+    // GC'd re-measure pass.
     def regressedVsPrior(name: String, t: Double) =
       priorMins.get(name).exists(p => t > 1.5 * p && t - p > 0.3)
-    def newAndUnconfirmed(name: String, t: Double, sp: Double) =
-      !priorMins.contains(name) && sp >= t && t > 0.3
+    def newAndUnconfirmed(name: String, t: Double, sp: Double, nreps: Int) =
+      !priorMins.contains(name) && (sp >= t || nreps < 2) && t > 0.3
     val finalResults = results.map {
-      case r @ (name, Some(t), sp, None)
-          if regressedVsPrior(name, t) || newAndUnconfirmed(name, t, sp) =>
+      case r @ (name, Some(t), sp, None, nreps)
+          if regressedVsPrior(name, t) || newAndUnconfirmed(name, t, sp, nreps) =>
         spark.catalog.clearCache()
         System.gc()
         val fn = SparkEntry.queries(name)
@@ -157,7 +164,8 @@ object Bench {
           // documented honesty rule) instead of silently keeping either
           // number, and do NOT adopt an unconfirmed isolated minimum
           System.err.println(s"[bench] $name crashed during isolated re-measure")
-          (name, Some(t), r._3, Some(s"crashed on isolated re-measure rep ${ts.length + 1}"))
+          (name, Some(t), r._3,
+            Some(s"crashed on isolated re-measure rep ${ts.length + 1}"), nreps)
         } else if (!conf(ts)) {
           // ran out of reps without spread confirmation: keep the suite
           // number — an unreplicated fluke minimum must not enter the record
@@ -170,19 +178,20 @@ object Bench {
           // spread from the isolated reps ALONE (round-8 ADVICE): mixing the
           // contended suite min in conflated the contention being corrected
           // with the isolated measurement's own repeatability
-          (name, Some(best), { val s = ts.sorted; s(1) - s(0) }, None)
+          (name, Some(best), { val s = ts.sorted; s(1) - s(0) }, None,
+            nreps + ts.length)
         }
       case r => r
     }
     def fmt(d: Double) = f"$d%.4f"
-    val ok = finalResults.collect { case (n, Some(t), _, _) => n -> t }
+    val ok = finalResults.collect { case (n, Some(t), _, _, _) => n -> t }
     val qs = ok.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
-    val spread = finalResults.collect { case (n, Some(_), s, _) => "\"" + n + "\":" + fmt(s) }
+    val spread = finalResults.collect { case (n, Some(_), s, _, _) => "\"" + n + "\":" + fmt(s) }
       .mkString("{", ",", "}")
     // keyed on the failure itself, not on "no successful rep": a query that
     // succeeds once and then crashes on a later rep is flaky, and hiding it
     // from the failures array would report it as healthy
-    val failures = finalResults.collect { case (n, _, _, Some(_)) => "\"" + n + "\"" }
+    val failures = finalResults.collect { case (n, _, _, Some(_), _) => "\"" + n + "\"" }
       .mkString("[", ",", "]")
     val requeriedJson = requeried.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = ok.map(_._2).sum

@@ -664,13 +664,17 @@ object SparkEntry {
     // of the exact all-pairs baseline — this is the composition a 100 TB
     // dedup actually runs, oracle-gated end-to-end (the oracle replicates
     // the bucket restriction); DedupSpec proves ≡ the exact feed on a
-    // fixture whose buckets are exhaustive
+    // fixture whose buckets are exhaustive. Round 10: the signature width
+    // is the OCCUPANCY-CONSTANT axisSignBitsFor(n) — BENCHSCALE8 measured
+    // the fixed 6-bit feed kneeing quadratic at 100× (332 s); the adaptive
+    // width is the same fix q243 proved sub-linear for the clusters gate
     "q232_ensemble_clusters_lsh" -> { (s, d) =>
       val docs = TestData.documents(s, d)
+      val emb = TestData.embeddings(s, d)
       val tp = Dedup.minhashNearDupPairs(docs).select("doc_a", "doc_b")
+      val bits = Similarity.axisSignBitsFor(emb.count())
       val ep = Similarity.embeddingNearDupPairsWith(
-          TestData.embeddings(s, d),
-          Similarity.axisSignSignature(_, 6), minCosine = 0.4)
+          emb, Similarity.axisSignSignature(_, bits), minCosine = 0.4)
         .select("doc_a", "doc_b")
       Dedup.dedupClusters(tp.unionByName(ep).distinct(), docs.select(col("doc_id")))
         .orderBy("doc_id")
@@ -730,9 +734,18 @@ object SparkEntry {
     // micro BIGINTs once, then kNN ranks, reach-dists, lrd and LOF are all
     // integer arithmetic (div) — no float ever aggregates, no margin spec.
     // The all-pairs arm is the quarantined diagnostic (q38's argument);
-    // production feeds IVF-cell-bounded pairs into the same lattice
+    // q244 gates the IVF-cell production feed into the same lattice
     "q238_lof_outliers" -> { (s, d) =>
       Similarity.lofOutliers(TestData.embeddings(s, d), k = 5)
+    },
+    // q238's PRODUCTION twin: the identical LOF lattice over IVF-cell-
+    // bounded candidate pairs (deterministic Lloyd quantizer, 8 cells, 2
+    // rounds — q117's oracle-replayable recipe), so the pair stage is
+    // Σ|cell|² not n² and shuffles on the cell id; SimilaritySpec pins the
+    // nCells=1 law (cell-bounded ≡ all-pairs when the cell is exhaustive)
+    "q244_lof_outliers_ivf" -> { (s, d) =>
+      Similarity.lofOutliersIvf(TestData.embeddings(s, d),
+        k = 5, nCells = 8, quantizerIters = 2)
     },
     // Fleiss' kappa over a 3-heuristic annotation panel (length band,
     // lexical-diversity band, stopword band — each a pure INTEGER
@@ -1280,10 +1293,13 @@ object SparkEntry {
         idCol = "o_orderkey", valCol = "o_totalprice")
     },
     // DBSCAN-shape density clustering: core/border/noise roles over the
-    // LSH-bucketed cosine pair graph, CC on the core subgraph only
+    // LSH-bucketed cosine pair graph, CC on the core subgraph only; the
+    // bucket width is the occupancy-constant axisSignBitsFor(n)
     "q129_density_clusters" -> { (s, d) =>
-      Similarity.densityClusters(TestData.embeddings(s, d),
-          Similarity.axisSignSignature(_, 6), minCosine = 0.2, minPts = 2)
+      val emb = TestData.embeddings(s, d)
+      val bits = Similarity.axisSignBitsFor(emb.count())
+      Similarity.densityClusters(emb,
+          Similarity.axisSignSignature(_, bits), minCosine = 0.2, minPts = 2)
         .orderBy("vec_id")
     },
     // hybrid-search rank fusion: RRF of the by-clicks and by-sessions
@@ -1475,11 +1491,14 @@ object SparkEntry {
     // LSH-bucketed ANN (scale path). Gated with the axis-sign signature —
     // the same bucketed physical shape as the random-plane variant (which
     // stays spec-verified), but engine-portable, so the oracle reproduces
-    // buckets, candidates, and ranks exactly.
+    // buckets, candidates, and ranks exactly. Width is the occupancy-
+    // constant axisSignBitsFor(n) (round 10: no gated production path left
+    // on a fixed-width signature — the q72-vs-q243 knee lesson)
     "q35_knn_lsh" -> { (s, d) =>
       val emb = TestData.embeddings(s, d)
+      val bits = Similarity.axisSignBitsFor(emb.count())
       Similarity.knnLshWith(emb, emb.filter(col("vec_id") < 64),
-          Similarity.axisSignSignature(_, 6), k = 5)
+          Similarity.axisSignSignature(_, bits), k = 5)
         .orderBy("query_id", "rank")
     },
     // embedding-cosine near-dup pairs, exact baseline (oracle-checked);
@@ -1510,10 +1529,13 @@ object SparkEntry {
     },
     // embedding near-dup pairs through LSH buckets — the 100 TB path of q38
     // (both sides shuffle on the bucket key, never all-pairs), gated with the
-    // portable axis-sign signature so the oracle rebuilds the same buckets
+    // portable axis-sign signature so the oracle rebuilds the same buckets;
+    // width is axisSignBitsFor(n) so bucket occupancy stays ~32 at any scale
     "q39_embedding_neardups_lsh" -> { (s, d) =>
-      Similarity.embeddingNearDupPairsWith(TestData.embeddings(s, d),
-          Similarity.axisSignSignature(_, 6), minCosine = 0.4)
+      val emb = TestData.embeddings(s, d)
+      val bits = Similarity.axisSignBitsFor(emb.count())
+      Similarity.embeddingNearDupPairsWith(emb,
+          Similarity.axisSignSignature(_, bits), minCosine = 0.4)
         .orderBy("doc_a", "doc_b")
     },
     // pairs → dedup decisions: near-dup pairs are not transitive, so the
@@ -5551,10 +5573,14 @@ object SparkEntry {
     // axis-sign LSH buckets (bit j = sign of component j) — engine-portable,
     // so buckets, candidates, and per-query ranks replicate exactly
     "q35_knn_lsh" ->
-      """WITH e AS (
+      """WITH bits AS (
+        |  SELECT least(length(bin(((count(*) + 31) // 32) - 1)), 62) AS b
+        |  FROM embeddings),
+        |e AS (
         |  SELECT vec_id, embedding,
-        |    CAST(list_sum(list_transform(range(6), j ->
-        |      CASE WHEN embedding[CAST(j + 1 AS INT)] >= 0 THEN (1 << j) ELSE 0 END)) AS BIGINT) AS bucket
+        |    CAST(list_sum(list_transform(range((SELECT b FROM bits)), j ->
+        |      CASE WHEN embedding[CAST(j + 1 AS INT)] >= 0
+        |           THEN (1::BIGINT << j) ELSE 0 END)) AS BIGINT) AS bucket
         |  FROM embeddings),
         |q AS (SELECT vec_id AS query_id, embedding AS qe, bucket FROM e WHERE vec_id < 64),
         |c AS (SELECT vec_id AS neighbor_id, embedding AS ce, bucket FROM e),
@@ -5663,10 +5689,14 @@ object SparkEntry {
         |SELECT query_id, neighbor_id, "rank", round(cosine, 4) AS cosine
         |FROM r WHERE "rank" <= 5 ORDER BY query_id, "rank"""".stripMargin,
     "q39_embedding_neardups_lsh" ->
-      """WITH e AS (
+      """WITH bits AS (
+        |  SELECT least(length(bin(((count(*) + 31) // 32) - 1)), 62) AS b
+        |  FROM embeddings),
+        |e AS (
         |  SELECT vec_id, embedding,
-        |    CAST(list_sum(list_transform(range(6), j ->
-        |      CASE WHEN embedding[CAST(j + 1 AS INT)] >= 0 THEN (1 << j) ELSE 0 END)) AS BIGINT) AS bucket
+        |    CAST(list_sum(list_transform(range((SELECT b FROM bits)), j ->
+        |      CASE WHEN embedding[CAST(j + 1 AS INT)] >= 0
+        |           THEN (1::BIGINT << j) ELSE 0 END)) AS BIGINT) AS bucket
         |  FROM embeddings),
         |p AS (
         |  SELECT x.vec_id AS doc_a, y.vec_id AS doc_b,
@@ -5983,13 +6013,19 @@ object SparkEntry {
         |  doc_id, source, copy
         |FROM kk ORDER BY global_rank""".stripMargin,
     // q31's sig/band CTEs on the sample + inverted-index exact jaccard;
-    // zero-overlap mass lands in decile 0 arithmetically
+    // zero-overlap mass lands in decile 0 arithmetically. Dialect hygiene
+    // (round 10): the candidate marker is a CARRIED column (1 AS is_cand)
+    // tested via COALESCE — never a table-qualified reference to a USING
+    // column after the FULL OUTER JOIN, which is a known cross-build
+    // semantics-drift area (a build that resolves `cand.a` to the
+    // coalesced join column makes every pair a candidate) — and every
+    // multi-referenced CTE is MATERIALIZED (the q224 inlining lesson).
     "q180_lsh_tuning" ->
       ("""WITH toks AS (
         |  SELECT doc_id AS id,
         |    string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')), ' ') AS t
         |  FROM documents WHERE doc_id % 3 = 0),
-        |sets AS (
+        |sets AS MATERIALIZED (
         |  SELECT id, list_distinct(list_transform(range(len(t) - 2), i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])) AS sh
         |  FROM toks WHERE len(t) >= 3),
         |sigs AS (
@@ -6000,25 +6036,25 @@ object SparkEntry {
         |  SELECT id, b AS band_id,
         |    md5(sig[b*4+1] || ',' || sig[b*4+2] || ',' || sig[b*4+3] || ',' || sig[b*4+4]) AS band_hash
         |  FROM sigs CROSS JOIN (VALUES (0), (1), (2), (3)) AS bl(b)),
-        |cand AS (
-        |  SELECT DISTINCT x.id AS a, y.id AS b
+        |cand AS MATERIALIZED (
+        |  SELECT DISTINCT x.id AS a, y.id AS b, 1 AS is_cand
         |  FROM bands x JOIN bands y
         |    ON x.band_id = y.band_id AND x.band_hash = y.band_hash AND x.id < y.id),
-        |sz AS (SELECT id, len(sh) AS sz FROM sets),
-        |inv AS (SELECT id, unnest(sh) AS g FROM sets),
+        |sz AS MATERIALIZED (SELECT id, len(sh) AS sz FROM sets),
+        |inv AS MATERIALIZED (SELECT id, unnest(sh) AS g FROM sets),
         |cm AS (
         |  SELECT x.id AS a, y.id AS b, count(*) AS common
         |  FROM inv x JOIN inv y ON x.g = y.g AND x.id < y.id
         |  GROUP BY 1, 2),
-        |sc AS (
+        |sc AS MATERIALIZED (
         |  SELECT a, b,
         |    CAST(least((10 * common) // (sa.sz + sb.sz - common), 9) AS INT) AS sdec
         |  FROM cm JOIN sz sa ON a = sa.id JOIN sz sb ON b = sb.id),
         |po AS (
-        |  SELECT COALESCE(sc.sdec, 0) AS decile,
-        |    CASE WHEN cand.a IS NOT NULL THEN 1 ELSE 0 END AS c
+        |  SELECT COALESCE(sdec, 0) AS decile,
+        |    COALESCE(is_cand, 0) AS c
         |  FROM sc FULL OUTER JOIN cand USING (a, b)),
-        |g AS (
+        |g AS MATERIALIZED (
         |  SELECT decile, count(*) AS n_seen, CAST(sum(c) AS BIGINT) AS n_candidates
         |  FROM po GROUP BY 1),
         |tots AS (
@@ -6043,37 +6079,60 @@ object SparkEntry {
     // q180's stage checksums: the same CTE chain, reduced per stage to
     // (count, bit_xor of 60-bit md5) — all string/integer derived. The
     // sig join is written as explicit elements (no list slice, no
-    // array_to_string) to stay dialect-drift-proof.
+    // array_to_string) to stay dialect-drift-proof. Round 10 extends the
+    // canary PAST `scored`, over q180's residual-suspect tail: h_po hashes
+    // every post-FULL-OUTER-JOIN (a, b, decile, c) row and h_adj the final
+    // pre-projection (decile, n_pairs, n_candidates) frame, so any future
+    // q180 miss is localized to a named stage, not "somewhere after
+    // scored". Same dialect hygiene as q180: carried is_cand marker,
+    // COALESCE tests, MATERIALIZED multi-ref CTEs.
     "q231_lsh_canary" ->
       ("""WITH toks AS (
         |  SELECT doc_id AS id,
         |    string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')), ' ') AS t
         |  FROM documents WHERE doc_id % 3 = 0),
-        |sets AS (
+        |sets AS MATERIALIZED (
         |  SELECT id, list_distinct(list_transform(range(len(t) - 2), i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])) AS sh
         |  FROM toks WHERE len(t) >= 3),
-        |sigs AS (
+        |sigs AS MATERIALIZED (
         |  SELECT id, sh,
         |    list_transform(range(16), i -> list_min(list_transform(sh, s -> md5(i::VARCHAR || '|' || s)))) AS sig
         |  FROM sets),
-        |bands AS (
+        |bands AS MATERIALIZED (
         |  SELECT id, b AS band_id,
         |    md5(sig[b*4+1] || ',' || sig[b*4+2] || ',' || sig[b*4+3] || ',' || sig[b*4+4]) AS band_hash
         |  FROM sigs CROSS JOIN (VALUES (0), (1), (2), (3)) AS bl(b)),
-        |cand AS (
-        |  SELECT DISTINCT x.id AS a, y.id AS b
+        |cand AS MATERIALIZED (
+        |  SELECT DISTINCT x.id AS a, y.id AS b, 1 AS is_cand
         |  FROM bands x JOIN bands y
         |    ON x.band_id = y.band_id AND x.band_hash = y.band_hash AND x.id < y.id),
-        |sz AS (SELECT id, len(sh) AS sz FROM sets),
-        |inv AS (SELECT id, unnest(sh) AS g FROM sets),
+        |sz AS MATERIALIZED (SELECT id, len(sh) AS sz FROM sets),
+        |inv AS MATERIALIZED (SELECT id, unnest(sh) AS g FROM sets),
         |cm AS (
         |  SELECT x.id AS a, y.id AS b, count(*) AS common
         |  FROM inv x JOIN inv y ON x.g = y.g AND x.id < y.id
         |  GROUP BY 1, 2),
-        |sc AS (
+        |sc AS MATERIALIZED (
         |  SELECT a, b, common,
         |    CAST(least((10 * common) // (sa.sz + sb.sz - common), 9) AS INT) AS sdec
         |  FROM cm JOIN sz sa ON a = sa.id JOIN sz sb ON b = sb.id),
+        |po AS MATERIALIZED (
+        |  SELECT a, b, COALESCE(sdec, 0) AS decile,
+        |    COALESCE(is_cand, 0) AS c
+        |  FROM sc FULL OUTER JOIN cand USING (a, b)),
+        |gg AS MATERIALIZED (
+        |  SELECT decile, count(*) AS n_seen, CAST(sum(c) AS BIGINT) AS n_candidates
+        |  FROM po GROUP BY 1),
+        |tots AS (
+        |  SELECT (SELECT count(*) FROM sets) * ((SELECT count(*) FROM sets) - 1) // 2
+        |    - COALESCE((SELECT sum(n_seen) FROM gg), 0) AS unseen),
+        |spine AS (SELECT 0 AS decile UNION SELECT decile FROM gg),
+        |adj AS (
+        |  SELECT spine.decile,
+        |    COALESCE(gg.n_seen, 0)
+        |      + CASE WHEN spine.decile = 0 THEN unseen ELSE 0 END AS n_pairs,
+        |    COALESCE(gg.n_candidates, 0) AS n_candidates
+        |  FROM spine LEFT JOIN gg USING (decile) CROSS JOIN tots),
         |h_sets AS (
         |  SELECT 'sets' AS stage, count(*) AS n_rows,
         |    COALESCE(bit_xor(('0x' || substr(md5(id::VARCHAR || '|' || sz::VARCHAR), 1, 15))::BIGINT), 0) AS xor60
@@ -6099,10 +6158,19 @@ object SparkEntry {
         |h_scored AS (
         |  SELECT 'scored' AS stage, count(*) AS n_rows,
         |    COALESCE(bit_xor(('0x' || substr(md5(a::VARCHAR || '|' || b::VARCHAR || '|' || common::VARCHAR || '|' || sdec::VARCHAR), 1, 15))::BIGINT), 0) AS xor60
-        |  FROM sc)
+        |  FROM sc),
+        |h_po AS (
+        |  SELECT 'tail_po' AS stage, count(*) AS n_rows,
+        |    COALESCE(bit_xor(('0x' || substr(md5(a::VARCHAR || '|' || b::VARCHAR || '|' || decile::VARCHAR || '|' || c::VARCHAR), 1, 15))::BIGINT), 0) AS xor60
+        |  FROM po),
+        |h_adj AS (
+        |  SELECT 'tail_zadj' AS stage, count(*) AS n_rows,
+        |    COALESCE(bit_xor(('0x' || substr(md5(decile::VARCHAR || '|' || n_pairs::VARCHAR || '|' || n_candidates::VARCHAR), 1, 15))::BIGINT), 0) AS xor60
+        |  FROM adj WHERE n_pairs > 0)
         |SELECT * FROM h_sets UNION ALL SELECT * FROM h_shingles
         |UNION ALL SELECT * FROM h_sigs UNION ALL SELECT * FROM h_bands
         |UNION ALL SELECT * FROM h_cand UNION ALL SELECT * FROM h_scored
+        |UNION ALL SELECT * FROM h_po UNION ALL SELECT * FROM h_adj
         |ORDER BY stage""".stripMargin),
     // THE LAW: the increment must equal the whole-corpus rebuild — q168's
     // SQL verbatim
@@ -6219,8 +6287,10 @@ object SparkEntry {
         |  SELECT reach.id, sym.b FROM reach JOIN sym ON sym.a = reach.r)
         |SELECT id AS doc_id, min(r) AS cluster_id, (id = min(r)) AS is_keeper
         |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
-    // q178's closure with ep routed through q72's 6-axis sign buckets —
-    // the production (sub-quadratic) ensemble, bucket restriction in SQL
+    // q178's closure with ep routed through the ADAPTIVE-width sign
+    // buckets (q243's occupancy-constant formula, same integer bit-length
+    // derivation) — the production (sub-quadratic) ensemble at any scale,
+    // bucket restriction and width formula both replicated in SQL
     "q232_ensemble_clusters_lsh" ->
       """WITH RECURSIVE toks AS (
         |  SELECT doc_id AS id,
@@ -6247,10 +6317,14 @@ object SparkEntry {
         |      CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) / len(list_distinct(list_concat(sa.sh, sb.sh))) AS j
         |    FROM cand JOIN sets sa ON doc_a = sa.id JOIN sets sb ON doc_b = sb.id)
         |  WHERE j >= 0.8),
+        |bits AS (
+        |  SELECT least(length(bin(((count(*) + 31) // 32) - 1)), 62) AS b
+        |  FROM embeddings),
         |e AS (
         |  SELECT vec_id, embedding,
-        |    CAST(list_sum(list_transform(range(6), j ->
-        |      CASE WHEN embedding[CAST(j + 1 AS INT)] >= 0 THEN (1 << j) ELSE 0 END)) AS BIGINT) AS bucket
+        |    CAST(list_sum(list_transform(range((SELECT b FROM bits)), j ->
+        |      CASE WHEN embedding[CAST(j + 1 AS INT)] >= 0
+        |           THEN (1::BIGINT << j) ELSE 0 END)) AS BIGINT) AS bucket
         |  FROM embeddings),
         |ep AS (
         |  SELECT x.vec_id AS doc_a, y.vec_id AS doc_b
@@ -6466,7 +6540,101 @@ object SparkEntry {
         |  FROM knn JOIN lrd lo ON knn.o = lo.p GROUP BY knn.p)
         |SELECT lofn.p AS vec_id,
         |  CASE WHEN lp.l IS NULL OR lp.l = 0 THEN NULL
-        |    ELSE CAST(sl * 1000000 // (5 * lp.l) AS BIGINT) END AS lof_ppm
+        |    ELSE CAST(CAST(sl AS HUGEINT) * 1000000 // (5 * lp.l) AS BIGINT) END AS lof_ppm
+        |FROM lofn JOIN lrd lp ON lofn.p = lp.p ORDER BY vec_id""".stripMargin,
+    // q117's deterministic-Lloyd quantizer (2 unrolled rounds on normalized
+    // vectors, 8 cells) assigns each point its one nearest cell; the q238
+    // lattice then runs with the pair join RESTRICTED to same-cell pairs
+    "q244_lof_outliers_ivf" ->
+      """WITH e AS (
+        |  SELECT vec_id, embedding,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE) /
+        |      sqrt(list_sum(list_transform(embedding, y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))))) AS u
+        |  FROM embeddings),
+        |c0 AS (
+        |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cluster, u AS c
+        |  FROM e ORDER BY vec_id LIMIT 8),
+        |dd1 AS (
+        |  SELECT e.vec_id, c0.cluster,
+        |    list_sum(list_transform(range(64), i -> (e.u[i+1] - c0.c[i+1]) * (e.u[i+1] - c0.c[i+1]))) AS d2
+        |  FROM e CROSS JOIN c0),
+        |aa1 AS (
+        |  SELECT vec_id, cluster FROM (
+        |    SELECT vec_id, cluster,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY d2, cluster) AS rn
+        |    FROM dd1) WHERE rn = 1),
+        |u1 AS (
+        |  SELECT aa1.cluster, i AS dim,
+        |    sum(CAST(e.u[i+1] AS DECIMAL(38,12))) AS s, count(*) AS n
+        |  FROM aa1 JOIN e USING (vec_id) CROSS JOIN range(64) t(i)
+        |  GROUP BY 1, 2),
+        |c1 AS (
+        |  SELECT cluster, list(s::DOUBLE / n ORDER BY dim) AS c FROM u1 GROUP BY cluster
+        |  UNION ALL
+        |  SELECT cluster, c FROM c0 WHERE cluster NOT IN (SELECT cluster FROM u1)),
+        |dd2 AS (
+        |  SELECT e.vec_id, c1.cluster,
+        |    list_sum(list_transform(range(64), i -> (e.u[i+1] - c1.c[i+1]) * (e.u[i+1] - c1.c[i+1]))) AS d2
+        |  FROM e CROSS JOIN c1),
+        |aa2 AS (
+        |  SELECT vec_id, cluster FROM (
+        |    SELECT vec_id, cluster,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY d2, cluster) AS rn
+        |    FROM dd2) WHERE rn = 1),
+        |u2 AS (
+        |  SELECT aa2.cluster, i AS dim,
+        |    sum(CAST(e.u[i+1] AS DECIMAL(38,12))) AS s, count(*) AS n
+        |  FROM aa2 JOIN e USING (vec_id) CROSS JOIN range(64) t(i)
+        |  GROUP BY 1, 2),
+        |c2 AS (
+        |  SELECT cluster, list(s::DOUBLE / n ORDER BY dim) AS c FROM u2 GROUP BY cluster
+        |  UNION ALL
+        |  SELECT cluster, c FROM c1 WHERE cluster NOT IN (SELECT cluster FROM u2)),
+        |ddf AS (
+        |  SELECT e.vec_id, c2.cluster,
+        |    list_sum(list_transform(range(64), i -> (e.u[i+1] - c2.c[i+1]) * (e.u[i+1] - c2.c[i+1]))) AS d2
+        |  FROM e CROSS JOIN c2),
+        |cellr AS (
+        |  SELECT vec_id, cluster,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY d2, cluster) AS rn
+        |  FROM ddf),
+        |cells AS MATERIALIZED (SELECT vec_id, cluster AS cell FROM cellr WHERE rn = 1),
+        |ef AS MATERIALIZED (
+        |  SELECT em.vec_id, em.embedding AS u,
+        |    list_sum(list_transform(range(1, len(em.embedding) + 1),
+        |      i -> CAST(em.embedding[i] AS DOUBLE) * CAST(em.embedding[i] AS DOUBLE)))
+        |      AS n2,
+        |    cells.cell
+        |  FROM embeddings em JOIN cells ON em.vec_id = cells.vec_id),
+        |d AS (
+        |  SELECT a.vec_id AS p, b.vec_id AS o,
+        |    CAST(floor(sqrt(greatest(
+        |        a.n2 + b.n2 - 2.0::DOUBLE * list_sum(list_transform(
+        |          range(1, len(a.u) + 1),
+        |          i -> CAST(a.u[i] AS DOUBLE) * CAST(b.u[i] AS DOUBLE))),
+        |        0.0::DOUBLE))
+        |      * 1000000.0::DOUBLE + 0.5::DOUBLE) AS BIGINT) AS dm
+        |  FROM ef a JOIN ef b ON a.cell = b.cell AND a.vec_id <> b.vec_id),
+        |knn AS MATERIALIZED (
+        |  SELECT p, o, dm FROM (
+        |    SELECT p, o, dm,
+        |      row_number() OVER (PARTITION BY p ORDER BY dm, o) AS rk
+        |    FROM d)
+        |  WHERE rk <= 5),
+        |kd AS MATERIALIZED (SELECT p, max(dm) AS kdist FROM knn GROUP BY p),
+        |lrd AS MATERIALIZED (
+        |  SELECT p, CASE WHEN sp = 0 THEN NULL
+        |    ELSE CAST(5000000000000 // sp AS BIGINT) END AS l
+        |  FROM (
+        |    SELECT knn.p AS p,
+        |      CAST(sum(greatest(kd.kdist, knn.dm)) AS BIGINT) AS sp
+        |    FROM knn JOIN kd ON knn.o = kd.p GROUP BY knn.p)),
+        |lofn AS (
+        |  SELECT knn.p AS p, CAST(sum(lo.l) AS BIGINT) AS sl
+        |  FROM knn JOIN lrd lo ON knn.o = lo.p GROUP BY knn.p)
+        |SELECT lofn.p AS vec_id,
+        |  CASE WHEN lp.l IS NULL OR lp.l = 0 THEN NULL
+        |    ELSE CAST(CAST(sl AS HUGEINT) * 1000000 // (5 * lp.l) AS BIGINT) END AS lof_ppm
         |FROM lofn JOIN lrd lp ON lofn.p = lp.p ORDER BY vec_id""".stripMargin,
     // the same three integer raters and integer-sum kappa; ratios are the
     // only float steps (cohensKappa exactness argument)
@@ -7420,10 +7588,14 @@ object SparkEntry {
     // q39's bucketed pair SQL at 0.2 + degree roles + recursive closure
     // over the core-core subgraph + min-cluster border attachment
     "q129_density_clusters" ->
-      """WITH RECURSIVE e AS (
+      """WITH RECURSIVE bits AS (
+        |  SELECT least(length(bin(((count(*) + 31) // 32) - 1)), 62) AS b
+        |  FROM embeddings),
+        |e AS (
         |  SELECT vec_id, embedding,
-        |    CAST(list_sum(list_transform(range(6), j ->
-        |      CASE WHEN embedding[CAST(j + 1 AS INT)] >= 0 THEN (1 << j) ELSE 0 END)) AS BIGINT) AS bucket
+        |    CAST(list_sum(list_transform(range((SELECT b FROM bits)), j ->
+        |      CASE WHEN embedding[CAST(j + 1 AS INT)] >= 0
+        |           THEN (1::BIGINT << j) ELSE 0 END)) AS BIGINT) AS bucket
         |  FROM embeddings),
         |p AS (
         |  SELECT x.vec_id AS doc_a, y.vec_id AS doc_b

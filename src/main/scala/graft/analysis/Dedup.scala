@@ -1179,7 +1179,12 @@ object Dedup {
     * plan, the FIRST stage whose (n_rows, xor60) differs localizes the
     * drift instead of an end-of-pipe hash miss on the tuning curve.
     * Mirrors [[lshTuningCurve]]'s derivation exactly (same shingle set,
-    * signature, banding, candidate join, and integer decile). */
+    * signature, banding, candidate join, and integer decile). Round 10
+    * extends the canary over the TAIL the round-9 driver run localized the
+    * q180 drift into: `tail_po` checksums every post-full-outer-join
+    * (a, b, decile, is_cand) row and `tail_zadj` the final pre-projection
+    * (decile, n_pairs, n_candidates) frame — so a residual q180 miss now
+    * names its exact stage instead of "after scored". */
   def lshStageChecksums(
       docs: DataFrame,
       n: Int = 3,
@@ -1219,6 +1224,31 @@ object Dedup {
         .select(col("a"), col("b"), col("common"),
           least(expr("(10 * common) div (sza + szb - common)"), lit(9))
             .cast("int").as("sdec"))
+      // q180's tail, replicated stage-for-stage: full-outer fold of scored
+      // deciles against the candidate set (carried is_cand marker — same
+      // COALESCE test as the de-dialected oracle), then the decile
+      // grouping + unseen-mass adjustment
+      val po = scored.select(col("a"), col("b"), col("sdec"))
+        .join(cand.withColumn("is_cand", lit(1L)), Seq("a", "b"), "full_outer")
+        .select(col("a"), col("b"),
+          coalesce(col("sdec"), lit(0)).cast("int").as("decile"),
+          coalesce(col("is_cand"), lit(0L)).as("c"))
+      val grouped = po.groupBy("decile")
+        .agg(count(lit(1)).as("n_seen"), sum("c").as("n_candidates"))
+        .localCheckpoint(true) // referenced three times below
+      val totals = base.agg(count(lit(1)).as("nd")).crossJoin(
+          grouped.agg(coalesce(sum("n_seen"), lit(0L)).as("seen")))
+        .select(expr("nd * (nd - 1) div 2 - seen").as("unseen"))
+      val spine = base.sparkSession.range(1)
+        .select(lit(0).cast("int").as("decile"))
+      val adj = grouped
+        .join(spine, Seq("decile"), "full_outer")
+        .crossJoin(broadcast(totals))
+        .select(col("decile"),
+          (coalesce(col("n_seen"), lit(0L)) +
+            when(col("decile") === 0, col("unseen")).otherwise(0L)).as("n_pairs"),
+          coalesce(col("n_candidates"), lit(0L)).as("n_candidates"))
+        .filter(col("n_pairs") > 0)
       stageAgg("sets", sets, concat_ws("|", col("id"), col("sz")))
         .unionByName(stageAgg("shingles", inv, concat_ws("|", col("id"), col("g"))))
         .unionByName(stageAgg("sigs", sigsJ, concat_ws("|", col("id"), col("sj"))))
@@ -1227,9 +1257,13 @@ object Dedup {
         .unionByName(stageAgg("cand", cand, concat_ws("|", col("a"), col("b"))))
         .unionByName(stageAgg("scored", scored,
           concat_ws("|", col("a"), col("b"), col("common"), col("sdec"))))
+        .unionByName(stageAgg("tail_po", po,
+          concat_ws("|", col("a"), col("b"), col("decile"), col("c"))))
+        .unionByName(stageAgg("tail_zadj", adj,
+          concat_ws("|", col("decile"), col("n_pairs"), col("n_candidates"))))
         .orderBy("stage")
-        .localCheckpoint(true) // six 1-row aggregates over the cached base:
-                               // materialize before unpersisting it
+        .localCheckpoint(true) // eight 1-row aggregates over the cached
+                               // base: materialize before unpersisting it
     } finally {
       base.unpersist()
       ()

@@ -135,8 +135,13 @@ object Graphs {
     * the logical plan (4^k copies of the base scan by iteration k; measured
     * as an analyzer hang at k=5). Checkpointing the raw inflow makes the
     * double reference land on a leaf, so each iteration's plan is constant-
-    * size. The checkpointed frames are node-sized and distributed — at
-    * cluster scale each iteration is a couple of shuffle jobs regardless.
+    * size. Checkpointing only ONCE per full iteration was measured and
+    * REJECTED (round 10, matched idle A/B at sf0.1, 5 reps): 8.61 s vs
+    * 7.26 s — the un-checkpointed authority half re-executes its join+agg
+    * for the normalizer's second reference, which costs more than the 5
+    * saved node-sized materializations (PLANS.md round-10 adjudication).
+    * The checkpointed frames are node-sized and distributed — at cluster
+    * scale each iteration is a couple of shuffle jobs regardless.
     *
     * Scale shape: per iteration two equi-joins edges⋈scores + two sum
     * aggregates + two scalar normalizers, all shuffling on node id only; no

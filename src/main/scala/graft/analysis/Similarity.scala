@@ -406,36 +406,93 @@ object Similarity {
     * Scale shape: the pairwise stage here is the exact all-pairs arm —
     * a DIAGNOSTIC, quarantined exactly like [[embeddingNearDupPairsExact]];
     * at corpus scale the same lattice runs over IVF-cell-bounded candidate
-    * pairs (the q37 recipe) and everything downstream of `dm` is unchanged
-    * (two grouped integer aggregates + two joins on point id).
-    * Output: vec_id, lof_ppm (null when a point's reach sum degenerates —
-    * exact-duplicate neighborhoods). */
+    * pairs ([[lofOutliersIvf]], the q37 recipe) and everything downstream
+    * of `dm` is unchanged (two grouped integer aggregates + two joins on
+    * point id). Output: vec_id, lof_ppm (null when a point's reach sum
+    * degenerates — exact-duplicate neighborhoods). */
   def lofOutliers(
       corpus: DataFrame,
       k: Int = 5,
       idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
     require(k >= 1, s"need k >= 1, got $k")
-    // |x-y|² = |x|² + |y|² - 2x·y with the dots on the NATIVE codegen'd
-    // DotProduct kernel — a declarative (x-y)² HOF fold evaluated
-    // interpreted per pair measured 30.9 s on the sf0.1 gate (the suite's
-    // slowest query); this form runs the same 36M pairs in a few seconds.
-    // Norms are projected ONCE per vector before the join. greatest(·, 0)
-    // guards the -1e-16 epsilon of identical vectors (sqrt(NaN) would
-    // ANSI-throw at the cast); the oracle mirrors the guard verbatim.
-    val v = corpus.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
+    val v = lofVectors(corpus, idCol, vecCol)
+    lofLattice(
+      lofPairDistances(
+        v.select(col("id").as("p"), col("v").as("a_v"), col("n2").as("a_n2")),
+        v.select(col("id").as("o"), col("v").as("b_v"), col("n2").as("b_n2")),
+        col("p") =!= col("o")),
+      k)
+  }
+
+  /** PRODUCTION LOF: the identical fixed-point lattice over IVF-CELL-
+    * BOUNDED candidate pairs — each point's kNN is searched only inside
+    * its own deterministic-Lloyd cell (the q37/q117/q164 recipe), so the
+    * pair stage is Σ|cell|² instead of n², and the shuffle key is the cell
+    * id. With nCells=1 the cell is exhaustive and this is bit-identical to
+    * [[lofOutliers]] (SimilaritySpec pins the law); at corpus scale cells
+    * stay ~n/nCells wide, the same sub-quadratic shape that closed the
+    * q72→q243 knee. Neighborhood truncation at cell borders is the usual
+    * IVF recall trade — LOF reads density CONTRAST, which borders distort
+    * far less than absolute density (a border point's neighbors still come
+    * from its own side). Everything downstream of `dm` — ranks, reach,
+    * lrd, LOF — is [[lofLattice]], shared verbatim with the exact arm. */
+  def lofOutliersIvf(
+      corpus: DataFrame,
+      k: Int = 5,
+      nCells: Int = 8,
+      quantizerIters: Int = 2,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    require(k >= 1 && nCells >= 1, s"need k/nCells >= 1, got $k/$nCells")
+    val unitized = corpus.select(col(idCol), unit(col(vecCol)).as("__u"))
+    val centroids =
+      Clustering.lloydCentroids(unitized, nCells, quantizerIters, idCol, "__u")
+    val v = lofVectors(corpus, idCol, vecCol)
+      .withColumn("cell", element_at(nearestCells(centroids, col("v"), 1), 1))
+    lofLattice(
+      lofPairDistances(
+        v.select(col("id").as("p"), col("v").as("a_v"), col("n2").as("a_n2"),
+          col("cell")),
+        v.select(col("id").as("o"), col("v").as("b_v"), col("n2").as("b_n2"),
+          col("cell").as("cell_o")),
+        col("cell") === col("cell_o") && col("p") =!= col("o")),
+      k)
+  }
+
+  /** Shared LOF head: ids + vectors + squared norms projected once. */
+  private def lofVectors(
+      corpus: DataFrame, idCol: String, vecCol: String): DataFrame =
+    corpus.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
       .withColumn("n2",
         graft.functions.VectorOps.dotProduct(col("v"), col("v")))
-    val pairs = v
-      .select(col("id").as("p"), col("v").as("a_v"), col("n2").as("a_n2"))
-      .join(v.select(col("id").as("o"), col("v").as("b_v"), col("n2").as("b_n2")),
-        col("p") =!= col("o"))
+
+  /** Candidate-pair micro-distances for the LOF lattice.
+    * |x-y|² = |x|² + |y|² - 2x·y with the dots on the NATIVE codegen'd
+    * DotProduct kernel — a declarative (x-y)² HOF fold evaluated
+    * interpreted per pair measured 30.9 s on the sf0.1 gate (the suite's
+    * slowest query); this form runs the same 36M pairs in a few seconds.
+    * Norms are projected ONCE per vector before the join. greatest(·, 0)
+    * guards the -1e-16 epsilon of identical vectors (sqrt(NaN) would
+    * ANSI-throw at the cast); the oracle mirrors the guard verbatim. */
+  private def lofPairDistances(
+      left: DataFrame, right: DataFrame, cond: Column): DataFrame =
+    left.join(right, cond)
       .select(col("p"), col("o"),
         floor(sqrt(greatest(
             col("a_n2") + col("b_n2") - lit(2.0) *
               graft.functions.VectorOps.dotProduct(col("a_v"), col("b_v")),
             lit(0.0)))
           * lit(1e6) + lit(0.5)).cast("long").as("dm"))
+
+  /** The feed-agnostic LOF tail over (p, o, dm) candidate pairs: kNN ranks,
+    * reach-distances, lrd, and the LOF ratio — all integer arithmetic.
+    * The `sl·10⁶` product runs in DECIMAL(38,0) (HUGEINT in the oracle):
+    * lrd reaches k·10¹² in exact-dup-adjacent neighborhoods, so the BIGINT
+    * product could exceed Long.MaxValue and ANSI-throw; the FINAL ratio is
+    * bounded by max(lrd)·10⁶ = k·10¹⁸ < Long.MaxValue, so only the
+    * intermediate needs widening (round-10 advice fix). */
+  private def lofLattice(pairs: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy("p").orderBy(col("dm"), col("o"))
     val knn = pairs.withColumn("rk", row_number().over(w))
       .filter(col("rk") <= k).select("p", "o", "dm").persist()
@@ -453,7 +510,9 @@ object Similarity {
       .join(lrd, "p")
       .select(col("p").as("vec_id"),
         when(col("l").isNull || col("l") === 0, lit(null).cast("long"))
-          .otherwise(expr(s"sl * 1000000L div ($k * l)")).as("lof_ppm"))
+          .otherwise(expr(
+            s"CAST((CAST(sl AS DECIMAL(38,0)) * 1000000) div ($k * l) AS BIGINT)"))
+          .as("lof_ppm"))
       .orderBy("vec_id")
   }
 

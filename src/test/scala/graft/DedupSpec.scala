@@ -441,13 +441,19 @@ class DedupSpec extends SparkSpec {
     ).toDF("doc_id", "text")
     val out = Dedup.lshStageChecksums(docs).collect()
       .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
-    assert(out.keySet === Set("sets", "shingles", "sigs", "bands", "cand", "scored"))
+    assert(out.keySet === Set("sets", "shingles", "sigs", "bands", "cand",
+      "scored", "tail_po", "tail_zadj"))
     assert(out("sets")._1 === 3L)        // 3 docs with non-empty shingle sets
     assert(out("shingles")._1 === 30L)   // 10 distinct 3-grams per doc
     assert(out("sigs")._1 === 3L)
     assert(out("bands")._1 === 12L)      // 3 docs x 4 bands
     assert(out("cand")._1 === 1L)        // only the identical pair collides
     assert(out("scored")._1 === 1L)      // only the identical pair overlaps
+    // round-10 tail stages: the full-outer fold still holds one pair row;
+    // the adjusted histogram has decile 9 (the identical pair, jaccard 1)
+    // plus decile 0 carrying the C(3,2)-1 = 2 unseen zero-overlap pairs
+    assert(out("tail_po")._1 === 1L)
+    assert(out("tail_zadj")._1 === 2L)
     // identical docs, same stage inputs -> xor of a repeated hash cancels
     // only if BOTH ids were equal; here ids differ so every xor is nonzero
     assert(out.values.forall(_._2 !== 0L))

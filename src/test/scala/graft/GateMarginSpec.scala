@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, FloatType}
+
+/** Data-refresh insurance for the NARROWEST MARGIN-OK oracle gates
+  * (round-9 verdict #8, extending the DsirMarginSpec recipe from
+  * quantized-integer gates to float-emitting ones).
+  *
+  * These queries emit float gate columns that the driver rounds to 6dp
+  * before hashing. ORACLE_PORTABILITY.md measures every value's distance
+  * to its rounding HALF boundary (x.5e-6 — where one ulp of cross-build
+  * drift flips the 6th decimal on one engine only) and today's gate
+  * corpus clears it everywhere — but the audit is a snapshot, and a data
+  * refresh could silently land a new value ON the boundary, turning a
+  * libm ulp into a phantom hash miss months later. This spec re-measures
+  * the margin on the GATE corpus inside `sbt test`, for the ten queries
+  * the audit ranks narrowest, so the regression is caught at commit time
+  * with a named query and column instead of a red driver row.
+  *
+  * Threshold: 1e-6 micro-units, the DsirMarginSpec bound — three orders
+  * of magnitude above observed libm drift (~1e-9 micro at |ln| ≤ 20).
+  * q163's es_key (Efraimidis–Spirakis ln-derived keys, the one genuinely
+  * narrow query at 0.003 micro today) is the main customer; the other
+  * nine sit near the 0.5-micro maximum because their values are exact
+  * 2-decimal currency sums, and the spec pins that property against
+  * refreshed data too.
+  */
+class GateMarginSpec extends SparkSpec {
+
+  // the ten narrowest MARGIN-OK rows of ORACLE_PORTABILITY.md (round 10);
+  // measured distances at adoption time ranged 0.003 (q163) to 0.5 micro
+  private val narrowest = Seq(
+    "q163_weighted_reservoir",
+    "q16_running_monthly_revenue",
+    "q12_top_customers",
+    "q53_rolling_revenue",
+    "q107_loo_target_encode",
+    "q126_winsorized_scale",
+    "q19_orders_without_lines",
+    "q65_rank_analytics",
+    "q90_bloom_semijoin",
+    "q75_attribution")
+
+  test("narrowest float gates: every value stays off its 6dp rounding half boundary") {
+    val misses = narrowest.flatMap { name =>
+      val df = SparkEntry.queries(name)(spark, GateData.dir)
+      val floatCols = df.schema.fields.collect {
+        case f if f.dataType == DoubleType || f.dataType == FloatType => f.name
+      }
+      assert(floatCols.nonEmpty,
+        s"$name has no float gate columns — it left MARGIN-OK; " +
+          "retire it from this spec and promote the next-narrowest")
+      floatCols.flatMap { c =>
+        // distance from v·10⁶'s fractional part to the rounding half
+        // point — the exact statistic tools/oracle_portability.py ranks
+        val v = col(c).cast("double") * lit(1e6)
+        val frac = v - floor(v)
+        val d = df.filter(col(c).isNotNull && !isnan(col(c)))
+          .agg(min(abs(frac - lit(0.5))).as("d"))
+          .collect().head
+        if (d.isNullAt(0)) None
+        else if (d.getDouble(0) > 1e-6) None
+        else Some(s"$name.$c at ${d.getDouble(0)} micro")
+      }
+    }
+    assert(misses.isEmpty,
+      "gate values within 1e-6 micro of a 6dp rounding half boundary " +
+        "(cross-build ulp drift could flip the hashed digit): " +
+        misses.mkString("; "))
+  }
+}

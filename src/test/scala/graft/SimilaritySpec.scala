@@ -346,6 +346,48 @@ class SimilaritySpec extends SparkSpec {
     assert(out(0L).isEmpty && out(1L).isEmpty && out(2L).isEmpty)
   }
 
+  test("lof ivf: nCells=1 cell is exhaustive, so cell-bounded ≡ all-pairs bit-for-bit") {
+    import spark.implicits._
+    val emb = Seq(
+      (0L, Array(0.0f, 0.0f)), (1L, Array(0.0f, 1.0f)),
+      (2L, Array(1.0f, 0.0f)), (3L, Array(1.0f, 1.0f)),
+      (9L, Array(10.0f, 10.0f))
+    ).toDF("vec_id", "embedding")
+    val exact = graft.analysis.Similarity.lofOutliers(emb, k = 2)
+      .collect().map(r => r.getLong(0) -> r.getAs[Long]("lof_ppm")).toSeq
+    val ivf = graft.analysis.Similarity
+      .lofOutliersIvf(emb, k = 2, nCells = 1, quantizerIters = 2)
+      .collect().map(r => r.getLong(0) -> r.getAs[Long]("lof_ppm")).toSeq
+    assert(ivf === exact)
+  }
+
+  test("lof ivf: split cells still surface the density outlier of its own cell") {
+    import spark.implicits._
+    // cells are assigned on NORMALIZED vectors (direction): one tight
+    // direction bundle near 0° with a same-direction far-magnitude
+    // outlier, one bundle near 90°. Whatever way Lloyd splits the
+    // directions, point 9 shares a cell with (a subset of) the 0° bundle
+    // — its own neighborhood — and must still score as the least dense
+    // point of that cell
+    val emb = Seq(
+      (0L, Array(10.0f, 0.0f)), (1L, Array(10.0f, 0.5f)),
+      (2L, Array(10.0f, 1.0f)), (3L, Array(10.5f, 0.5f)),
+      (9L, Array(100.0f, 4.0f)), // same direction, 10x the magnitude
+      (10L, Array(0.0f, 10.0f)), (11L, Array(0.5f, 10.0f)),
+      (12L, Array(1.0f, 10.0f)), (13L, Array(0.5f, 10.5f))
+    ).toDF("vec_id", "embedding")
+    val out = graft.analysis.Similarity
+      .lofOutliersIvf(emb, k = 2, nCells = 2, quantizerIters = 2)
+      .collect().map(r => r.getLong(0) -> r.getAs[Long]("lof_ppm")).toMap
+    assert(out.contains(9L), "outlier must not be dropped by the cell split")
+    val peers = Seq(0L, 1L, 2L, 3L).filter(out.contains)
+    assert(peers.nonEmpty)
+    peers.foreach { id =>
+      assert(out(9L) > out(id),
+        s"outlier lof ${out(9L)} should exceed bundle point $id's ${out(id)}")
+    }
+  }
+
   test("exact L2 knn: literal-query projection ranks by true distance") {
     val vecs = Seq(
       (0L, Array(0.0f, 0.0f)),

@@ -111,10 +111,33 @@ EXACT_IEEE = {
     "q238_lof_outliers": "distances quantize once via floor(sqrt(exact "
         "fixed-order fold)); every downstream step (ranks, max, sums, "
         "lrd, LOF) is pure integer arithmetic",
+    "q244_lof_outliers_ivf": "q238's lattice (same exactness argument) "
+        "over cell-bounded pairs; the quantizer's cell argmin compares "
+        "fixed-order list_sum folds of DECIMAL-exact centroid means "
+        "(deterministic IEEE bits on both engines, integer tie-break) — "
+        "the q117/q108 acceptance argument",
     "q235_readability": "all-integer word/sentence/syllable counts; one "
         "fixed Flesch chain",
     "q237_clip_filter": "md5 hex-pair embeddings (exact integers/256); "
         "one left-assoc cosine chain + correctly-rounded sqrt",
+}
+
+# Float-emitting MARGIN-OK queries whose half-boundary margin is ALSO
+# re-measured on the gate corpus inside `sbt test` (GateMarginSpec, the
+# round-10 extension of the DsirMarginSpec recipe): the audit below is a
+# snapshot of today's data, the spec makes the margin survive a data
+# refresh. Keep in sync with GateMarginSpec.narrowest.
+GATE_MARGIN_SPECCED = {
+    "q163_weighted_reservoir",
+    "q16_running_monthly_revenue",
+    "q12_top_customers",
+    "q53_rolling_revenue",
+    "q107_loo_target_encode",
+    "q126_winsorized_scale",
+    "q19_orders_without_lines",
+    "q65_rank_analytics",
+    "q90_bloom_semijoin",
+    "q75_attribution",
 }
 
 FLOAT_DEF = re.compile(
@@ -221,9 +244,11 @@ def main(out_dir: str, margin: float = 1e-3) -> int:
                              "integer outputs DEPEND on engine-evaluated "
                              "floats with no margin spec — the q180 shape"))
         elif w[1] > margin:
+            pinned = ("; GateMarginSpec re-measures on refresh"
+                      if name in GATE_MARGIN_SPECCED else "")
             rows.append((name, used, "MARGIN-OK",
                          f"min half-boundary distance {w[1]:.3g} micro "
-                         f"(col {w[0]})"))
+                         f"(col {w[0]}){pinned}"))
         else:
             libm = sorted(set(used) & LIBM)
             sev = "AT-RISK" if libm else "NEAR-BOUNDARY(no-libm)"
