@@ -734,18 +734,55 @@ object SparkEntry {
     // micro BIGINTs once, then kNN ranks, reach-dists, lrd and LOF are all
     // integer arithmetic (div) — no float ever aggregates, no margin spec.
     // The all-pairs arm is the quarantined diagnostic (q38's argument);
-    // q244 gates the IVF-cell production feed into the same lattice
+    // q247 gates the adaptive-LSH production feed into the same lattice
     "q238_lof_outliers" -> { (s, d) =>
       Similarity.lofOutliers(TestData.embeddings(s, d), k = 5)
     },
-    // q238's PRODUCTION twin: the identical LOF lattice over IVF-cell-
-    // bounded candidate pairs (deterministic Lloyd quantizer, 8 cells, 2
-    // rounds — q117's oracle-replayable recipe), so the pair stage is
-    // Σ|cell|² not n² and shuffles on the cell id; SimilaritySpec pins the
-    // nCells=1 law (cell-bounded ≡ all-pairs when the cell is exhaustive)
+    // q238's IVF-cell twin: the identical LOF lattice over cell-bounded
+    // candidate pairs (deterministic Lloyd quantizer, 8 cells, 2 rounds —
+    // q117's oracle-replayable recipe); SimilaritySpec pins the nCells=1
+    // law. BENCHSCALE10 measured FIXED cells quadratic (slope 2.4 at
+    // 10→30x) — kept as the quantizer-replay diagnostic; q247 is the
+    // production path
     "q244_lof_outliers_ivf" -> { (s, d) =>
       Similarity.lofOutliersIvf(TestData.embeddings(s, d),
         k = 5, nCells = 8, quantizerIters = 2)
+    },
+    // the 100-TB LOF: the same lattice over ADAPTIVE-WIDTH axis-sign
+    // buckets (axisSignBitsFor keeps occupancy ~32 at any corpus size, the
+    // q243 recipe) — q244's fixed cell count measured quadratic at 30x
+    // (BENCHSCALE10 slope 2.4); bucket count growing with n is what a flat
+    // quantizer cannot do, and sign buckets assign in one projection
+    "q247_lof_outliers_lsh" -> { (s, d) =>
+      Similarity.lofOutliersLsh(TestData.embeddings(s, d), k = 5)
+    },
+    // winnowing near-dup screen (Schleimer et al., the MOSS fingerprinter):
+    // every pair sharing a ≥ k+w−1 token run is GUARANTEED a shared
+    // fingerprint (coverage-exact, unlike banded MinHash) at ~2/(w+1)
+    // fingerprint density; md5 60-bit gram hashes + an ANSI ROWS-frame
+    // window min keep every stage engine-replicable, gate all-BIGINT
+    "q245_winnowing_neardups" -> { (s, d) =>
+      Dedup.winnowingNearDupPairs(TestData.documents(s, d))
+        .orderBy("doc_a", "doc_b")
+    },
+    // reliability diagram + ECE for the stopword-ratio English-confidence
+    // heuristic against the lang label — the calibration certificate any
+    // score needs before its confidences gate corpus decisions; integer
+    // ppm end-to-end (born-integer ratio score, integer bins, round-half-
+    // up accuracies, exact BIGINT weighted gap)
+    "q246_calibration_ece" -> { (s, d) =>
+      val raw = TextAnalysis.tokens(col("text"))
+      val toks = filter(raw, t => length(t) > 0)
+      val scored = TestData.documents(s, d)
+        .select(col("doc_id"), size(toks).as("nt"),
+          size(filter(raw, t => t.isin(TextAnalysis.stopwordsEn: _*))).as("ns"),
+          (col("lang") === "en").cast("long").as("y"))
+        .filter(col("nt") > 0)
+        .select(
+          least(expr("(CAST(ns AS BIGINT) * 4000000) div nt"), lit(1000000L))
+            .as("score_ppm"),
+          col("y"))
+      graft.analysis.Stats.calibrationReport(scored, "score_ppm", "y")
     },
     // Fleiss' kappa over a 3-heuristic annotation panel (length band,
     // lexical-diversity band, stopword band — each a pure INTEGER
@@ -6636,6 +6673,109 @@ object SparkEntry {
         |  CASE WHEN lp.l IS NULL OR lp.l = 0 THEN NULL
         |    ELSE CAST(CAST(sl AS HUGEINT) * 1000000 // (5 * lp.l) AS BIGINT) END AS lof_ppm
         |FROM lofn JOIN lrd lp ON lofn.p = lp.p ORDER BY vec_id""".stripMargin,
+    // q39's adaptive-width bucket SQL + q238's lattice, pair join
+    // restricted to same-bucket pairs
+    "q247_lof_outliers_lsh" ->
+      """WITH bits AS (
+        |  SELECT least(length(bin(((count(*) + 31) // 32) - 1)), 62) AS b
+        |  FROM embeddings),
+        |ef AS MATERIALIZED (
+        |  SELECT vec_id, embedding AS u,
+        |    list_sum(list_transform(range(1, len(embedding) + 1),
+        |      i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))
+        |      AS n2,
+        |    CAST(list_sum(list_transform(range((SELECT b FROM bits)), j ->
+        |      CASE WHEN embedding[CAST(j + 1 AS INT)] >= 0
+        |           THEN (1::BIGINT << j) ELSE 0 END)) AS BIGINT) AS bucket
+        |  FROM embeddings),
+        |d AS (
+        |  SELECT a.vec_id AS p, b.vec_id AS o,
+        |    CAST(floor(sqrt(greatest(
+        |        a.n2 + b.n2 - 2.0::DOUBLE * list_sum(list_transform(
+        |          range(1, len(a.u) + 1),
+        |          i -> CAST(a.u[i] AS DOUBLE) * CAST(b.u[i] AS DOUBLE))),
+        |        0.0::DOUBLE))
+        |      * 1000000.0::DOUBLE + 0.5::DOUBLE) AS BIGINT) AS dm
+        |  FROM ef a JOIN ef b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id),
+        |knn AS MATERIALIZED (
+        |  SELECT p, o, dm FROM (
+        |    SELECT p, o, dm,
+        |      row_number() OVER (PARTITION BY p ORDER BY dm, o) AS rk
+        |    FROM d)
+        |  WHERE rk <= 5),
+        |kd AS MATERIALIZED (SELECT p, max(dm) AS kdist FROM knn GROUP BY p),
+        |lrd AS MATERIALIZED (
+        |  SELECT p, CASE WHEN sp = 0 THEN NULL
+        |    ELSE CAST(5000000000000 // sp AS BIGINT) END AS l
+        |  FROM (
+        |    SELECT knn.p AS p,
+        |      CAST(sum(greatest(kd.kdist, knn.dm)) AS BIGINT) AS sp
+        |    FROM knn JOIN kd ON knn.o = kd.p GROUP BY knn.p)),
+        |lofn AS (
+        |  SELECT knn.p AS p, CAST(sum(lo.l) AS BIGINT) AS sl
+        |  FROM knn JOIN lrd lo ON knn.o = lo.p GROUP BY knn.p)
+        |SELECT lofn.p AS vec_id,
+        |  CASE WHEN lp.l IS NULL OR lp.l = 0 THEN NULL
+        |    ELSE CAST(CAST(sl AS HUGEINT) * 1000000 // (5 * lp.l) AS BIGINT) END AS lof_ppm
+        |FROM lofn JOIN lrd lp ON lofn.p = lp.p ORDER BY vec_id""".stripMargin,
+    // positional 5-gram md5 hashes, ANSI ROWS-frame window min over full
+    // 4-windows only, distinct fingerprints, df-bounded pair join — the
+    // winnowing chain replayed stage-for-stage
+    "q245_winnowing_neardups" ->
+      """WITH toks AS (
+        |  SELECT doc_id AS id,
+        |    string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')), ' ') AS t
+        |  FROM documents),
+        |gr AS (
+        |  SELECT id, CAST(pos AS BIGINT) AS pos,
+        |    ('0x' || substr(md5(t[pos+1] || ' ' || t[pos+2] || ' ' || t[pos+3] || ' ' || t[pos+4] || ' ' || t[pos+5]), 1, 15))::BIGINT AS h,
+        |    CAST(len(t) - 4 AS BIGINT) AS ng
+        |  FROM (SELECT id, t, unnest(range(len(t) - 4)) AS pos FROM toks WHERE len(t) >= 5)),
+        |wi AS (
+        |  SELECT id, pos, ng,
+        |    min(h) OVER (PARTITION BY id ORDER BY pos ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+        |  FROM gr),
+        |fps AS MATERIALIZED (SELECT DISTINCT id, fp FROM wi WHERE pos <= ng - 4),
+        |per AS MATERIALIZED (SELECT id, count(*) AS n FROM fps GROUP BY 1),
+        |bounded AS (SELECT fp FROM fps GROUP BY fp HAVING count(*) <= 1000),
+        |keep AS MATERIALIZED (SELECT id, fp FROM fps JOIN bounded USING (fp)),
+        |pr AS (
+        |  SELECT x.id AS a, y.id AS b, count(*) AS n_shared
+        |  FROM keep x JOIN keep y ON x.fp = y.fp AND x.id < y.id
+        |  GROUP BY 1, 2)
+        |SELECT a AS doc_a, b AS doc_b, n_shared, pa.n AS n_a, pb.n AS n_b,
+        |  (n_shared * 2000000 + least(pa.n, pb.n)) // (2 * least(pa.n, pb.n)) AS overlap_ppm
+        |FROM pr JOIN per pa ON a = pa.id JOIN per pb ON b = pb.id
+        |WHERE n_shared >= 2
+        |ORDER BY doc_a, doc_b""".stripMargin,
+    // q239's integer token counts feed a born-integer ppm confidence; bins,
+    // accuracies and the weighted ECE gap are pure BIGINT arithmetic
+    "q246_calibration_ece" ->
+      """WITH toks AS (
+        |  SELECT doc_id, lang,
+        |    list_filter(string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')), ' '), x -> x <> '') AS t
+        |  FROM documents),
+        |f AS (
+        |  SELECT doc_id, len(t) AS nt,
+        |    len(list_filter(t, x -> x IN ('the','a','an','of','and','to','in','is','it','for'))) AS ns,
+        |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+        |  FROM toks WHERE len(t) > 0),
+        |sc AS (SELECT least((ns * 4000000) // nt, 1000000) AS s, y FROM f),
+        |b AS (
+        |  SELECT least((s * 10) // 1000000, 9) AS bin, count(*) AS n,
+        |    CAST(sum(y) AS BIGINT) AS n_pos, CAST(sum(s) AS BIGINT) AS ssum
+        |  FROM sc GROUP BY 1),
+        |pb AS MATERIALIZED (
+        |  SELECT bin, n, n_pos,
+        |    (n_pos * 2000000 + n) // (2 * n) AS acc_ppm,
+        |    (ssum * 2 + n) // (2 * n) AS conf_ppm
+        |  FROM b),
+        |e AS (
+        |  SELECT CAST((CAST(sum(abs(acc_ppm - conf_ppm) * n) AS HUGEINT) * 2 + sum(n))
+        |    // (2 * sum(n)) AS BIGINT) AS ece_ppm
+        |  FROM pb)
+        |SELECT bin, n, n_pos, acc_ppm, conf_ppm, ece_ppm
+        |FROM pb CROSS JOIN e ORDER BY bin""".stripMargin,
     // the same three integer raters and integer-sum kappa; ratios are the
     // only float steps (cohensKappa exactness argument)
     "q239_fleiss_kappa" ->

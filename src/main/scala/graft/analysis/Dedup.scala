@@ -1,6 +1,7 @@
 package graft.analysis
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -1491,4 +1492,91 @@ object Dedup {
         col("chars_total"), col("chars_dedup"),
         expr("((chars_total - chars_dedup) * 2000000 + chars_total) div (2 * chars_total)")
           .as("savings_ppm"))
+
+  /** WINNOWING fingerprints (Schleimer–Wilkerson–Aiken 2003 — the MOSS
+    * algorithm): per document, the distinct set of k-gram hashes that are
+    * the MINIMUM of at least one sliding window of `window` consecutive
+    * k-gram hashes. The winnowing theorem gives the two properties no
+    * other fingerprinter here has at once: every shared substring of
+    * length ≥ k + window − 1 is GUARANTEED to contribute at least one
+    * shared fingerprint (no false negatives above the noise threshold —
+    * unlike MinHash's probabilistic recall), while expected density is
+    * only 2/(window+1) of all k-grams (unlike q32's full inverted index).
+    * Completes the local-fingerprint family: CDC (q228) selects content-
+    * defined CHUNK boundaries, this selects content-defined WITNESSES.
+    *
+    * Determinism: hashes are [[Sketches.hash60]] md5 values (engine-
+    * replicable), the window minimum is an integer `min` over an ANSI
+    * ROWS frame, and only FULL windows select (positions ≤ n_grams −
+    * window, so frame shrinkage at the tail never fabricates a
+    * fingerprint) — every stage replays identically in any SQL engine.
+    *
+    * Scale shape: one window pass per document (shuffle on doc id; the
+    * per-doc sort is the streaming-friendly kind AQE handles), then the
+    * distinct fingerprint projection — output rows ≈ corpus k-grams ×
+    * 2/(window+1). Output: idCol, fp (60-bit BIGINT). */
+  def winnowingFingerprints(
+      docs: DataFrame,
+      k: Int = 5,
+      window: Int = 4,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    require(k >= 1 && window >= 1, s"need k/window >= 1, got $k/$window")
+    val grams = docs
+      .select(col(idCol), posexplode(
+          shingles(TextAnalysis.tokens(col(textCol)), k)).as(Seq("pos", "g")))
+      .select(col(idCol), col("pos"), Sketches.hash60(col("g")).as("h"))
+    val w = Window.partitionBy(idCol).orderBy("pos")
+    grams
+      .select(col(idCol), col("pos"),
+        min("h").over(w.rowsBetween(Window.currentRow, window - 1)).as("fp"),
+        count(lit(1)).over(w.rowsBetween(Window.unboundedPreceding,
+          Window.unboundedFollowing)).as("ng"))
+      .filter(col("pos") <= col("ng") - window)
+      .select(col(idCol), col("fp")).distinct()
+  }
+
+  /** Near-duplicate report over [[winnowingFingerprints]]: document pairs
+    * sharing ≥ `minShared` fingerprints, with the Szymkiewicz–Simpson
+    * overlap coefficient in integer ppm. The guarantee inherited from
+    * winnowing makes this the COVERAGE-exact screen: any pair sharing a
+    * run of k+window−1 tokens WILL appear (contrast q31, where banding
+    * can miss it), so an empty report is evidence of absence.
+    *
+    * Scale shape: the pair generator is an inverted-index join on the
+    * fingerprint value — fan-out per fingerprint is its document
+    * frequency, so `maxDf` drops boilerplate fingerprints shared by more
+    * than `maxDf` docs (the q32 df-cutoff argument: a fingerprint in
+    * thousands of documents identifies a template, not a copy; it would
+    * contribute df² pairs and no signal). Output: doc_a, doc_b, n_shared,
+    * n_a, n_b, overlap_ppm — all BIGINT. */
+  def winnowingNearDupPairs(
+      docs: DataFrame,
+      k: Int = 5,
+      window: Int = 4,
+      minShared: Int = 2,
+      maxDf: Int = 1000,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val fps = winnowingFingerprints(docs, k, window, textCol, idCol)
+      .withColumnRenamed(idCol, "id").persist()
+    try {
+      val bounded = fps.groupBy("fp").agg(count(lit(1)).as("df"))
+        .filter(col("df") <= maxDf).select("fp")
+      val keep = fps.join(bounded, "fp")
+      val per = fps.groupBy("id").agg(count(lit(1)).as("n"))
+      keep.select(col("id").as("a"), col("fp"))
+        .join(keep.select(col("id").as("b"), col("fp")), "fp")
+        .filter(col("a") < col("b"))
+        .groupBy("a", "b").agg(count(lit(1)).as("n_shared"))
+        .filter(col("n_shared") >= minShared)
+        .join(per.select(col("id").as("a"), col("n").as("n_a")), "a")
+        .join(per.select(col("id").as("b"), col("n").as("n_b")), "b")
+        .select(col("a").as("doc_a"), col("b").as("doc_b"),
+          col("n_shared"), col("n_a"), col("n_b"),
+          expr("(n_shared * 2000000 + least(n_a, n_b)) div (2 * least(n_a, n_b))")
+            .as("overlap_ppm"))
+        .localCheckpoint(true) // consumed after the finally-unpersist
+    } finally { fps.unpersist(); () }
+  }
 }

@@ -425,18 +425,24 @@ object Similarity {
       k)
   }
 
-  /** PRODUCTION LOF: the identical fixed-point lattice over IVF-CELL-
-    * BOUNDED candidate pairs — each point's kNN is searched only inside
-    * its own deterministic-Lloyd cell (the q37/q117/q164 recipe), so the
-    * pair stage is Σ|cell|² instead of n², and the shuffle key is the cell
-    * id. With nCells=1 the cell is exhaustive and this is bit-identical to
-    * [[lofOutliers]] (SimilaritySpec pins the law); at corpus scale cells
-    * stay ~n/nCells wide, the same sub-quadratic shape that closed the
-    * q72→q243 knee. Neighborhood truncation at cell borders is the usual
-    * IVF recall trade — LOF reads density CONTRAST, which borders distort
-    * far less than absolute density (a border point's neighbors still come
-    * from its own side). Everything downstream of `dm` — ranks, reach,
-    * lrd, LOF — is [[lofLattice]], shared verbatim with the exact arm. */
+  /** IVF-cell LOF: the identical fixed-point lattice over candidate pairs
+    * bounded to each point's deterministic-Lloyd cell (the q37/q117/q164
+    * recipe) — the pair stage is Σ|cell|² and shuffles on the cell id.
+    * With nCells=1 the cell is exhaustive and this is bit-identical to
+    * [[lofOutliers]] (SimilaritySpec pins the law).
+    *
+    * SCALE HONESTY (BENCHSCALE10): a FIXED cell count is quadratic with a
+    * 1/nCells constant — occupancy grows ∝ n, in-cell pairs ∝ n²/nCells —
+    * measured slope 2.43 at 10→30× (641.7 s at 30× vs the exact arm's
+    * projected hours). Growing nCells with the corpus does not save the
+    * flat quantizer: assignment against ~n/occ centroid literals is
+    * itself quadratic work and unbounded plan size. This stays gated as
+    * the DIAGNOSTIC twin whose oracle replays the Lloyd quantizer; the
+    * production path is [[lofOutliersLsh]] (adaptive-width sign buckets,
+    * measured slope ≈0.25 through 30×). Neighborhood truncation at cell
+    * borders is the usual IVF recall trade — LOF reads density CONTRAST,
+    * which borders distort far less than absolute density. Everything
+    * downstream of `dm` is [[lofLattice]], shared verbatim. */
   def lofOutliersIvf(
       corpus: DataFrame,
       k: Int = 5,
@@ -457,6 +463,42 @@ object Similarity {
         v.select(col("id").as("o"), col("v").as("b_v"), col("n2").as("b_n2"),
           col("cell").as("cell_o")),
         col("cell") === col("cell_o") && col("p") =!= col("o")),
+      k)
+  }
+
+  /** LOF over ADAPTIVE-WIDTH LSH buckets — the 100-TB shape. The IVF twin
+    * above keeps a FIXED cell count, so per-cell occupancy grows ∝ n and
+    * its pair stage is quadratic-with-a-constant (BENCHSCALE10: slope 2.4
+    * at 10→30×, 642 s at 30× — the same fixed-capacity knee class as the
+    * 6-bit signature q243 closed). Here each point's kNN is searched
+    * inside its [[axisSignSignature]] bucket with
+    * [[axisSignBitsFor]]-derived width, so bucket count GROWS with the
+    * corpus and occupancy stays ~`targetOccupancy` at any scale — pair
+    * volume stays ~n·occupancy, the measured-sub-linear q243 recipe. A
+    * flat quantizer cannot do this (occupancy-constant cells would need
+    * nCells ∝ n, and flat assignment against that many centroids is
+    * itself quadratic); sign buckets assign in one codegen'd projection.
+    * Neighborhood truncation at bucket borders is the IVF trade again,
+    * softened by the same density-contrast argument. Occupancy doubles as
+    * the kNN floor: targetOccupancy ≥ ~6k keeps E[|bucket|] ≫ k.
+    * Everything downstream of `dm` is [[lofLattice]], shared verbatim. */
+  def lofOutliersLsh(
+      corpus: DataFrame,
+      k: Int = 5,
+      targetOccupancy: Int = 32,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    require(k >= 1, s"need k >= 1, got $k")
+    val bits = axisSignBitsFor(corpus.count(), targetOccupancy)
+    val v = lofVectors(corpus, idCol, vecCol)
+      .withColumn("bucket", axisSignSignature(col("v"), bits))
+    lofLattice(
+      lofPairDistances(
+        v.select(col("id").as("p"), col("v").as("a_v"), col("n2").as("a_n2"),
+          col("bucket")),
+        v.select(col("id").as("o"), col("v").as("b_v"), col("n2").as("b_n2"),
+          col("bucket").as("bucket_o")),
+        col("bucket") === col("bucket_o") && col("p") =!= col("o")),
       k)
   }
 

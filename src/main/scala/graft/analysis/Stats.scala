@@ -601,4 +601,45 @@ object Stats {
     rows.toSeq.toDF("item", "n_wins", "n_losses", "rating_micro", "rating_ppm")
       .orderBy(desc("rating_micro"), col("item"))
   }
+  /** CALIBRATION report + Expected Calibration Error over an integer ppm
+    * confidence column — the reliability diagram every heuristic/model
+    * score needs before its confidences gate data decisions (a 900000-ppm
+    * "sure" that is right 60% of the time is a miscalibrated filter, not
+    * a strict one). Scores land in `bins` equal-width bins; each bin
+    * reports observed accuracy vs mean claimed confidence, and ECE is the
+    * n-weighted mean absolute gap (Naeini et al. 2015; Guo et al. 2017).
+    *
+    * ALL-INTEGER lattice: the score is already BIGINT ppm (the caller
+    * quantizes — heuristic ratios are born integer here, model scores go
+    * through the q165 micro-quantization recipe), the bin key is integer
+    * division, accuracies/confidences are round-half-up integer ppm, and
+    * ECE's weighted sum is exact BIGINT arithmetic — nothing can drift
+    * across engines or builds. Each row also carries the corpus-level
+    * ece_ppm (constant column) so the single gate emits diagram + scalar.
+    *
+    * Scale shape: one groupBy on the bin key (`bins` rows), a 1-row total,
+    * broadcast back — a counting pass, no wide state.
+    * Output per non-empty bin: bin, n, n_pos, acc_ppm, conf_ppm, ece_ppm. */
+  def calibrationReport(
+      df: DataFrame,
+      scorePpmCol: String,
+      labelCol: String,
+      bins: Int = 10): DataFrame = {
+    require(bins >= 2, s"need bins >= 2, got $bins")
+    val binned = df.select(
+      least(expr(s"($scorePpmCol * $bins) div 1000000"), lit(bins - 1L))
+        .cast("long").as("bin"),
+      col(labelCol).cast("long").as("y"), col(scorePpmCol).as("s"))
+    val perBin = binned.groupBy("bin")
+      .agg(count(lit(1)).as("n"), sum("y").as("n_pos"), sum("s").as("ssum"))
+      .select(col("bin"), col("n"), col("n_pos"),
+        expr("(n_pos * 2000000 + n) div (2 * n)").as("acc_ppm"),
+        expr("(ssum * 2 + n) div (2 * n)").as("conf_ppm"))
+      .localCheckpoint(true) // referenced twice: rows + the ECE total
+    val ece = perBin
+      .agg(sum(abs(col("acc_ppm") - col("conf_ppm")) * col("n")).as("gap"),
+        sum("n").as("nt"))
+      .select(expr("(gap * 2 + nt) div (2 * nt)").as("ece_ppm"))
+    perBin.crossJoin(broadcast(ece)).orderBy("bin")
+  }
 }

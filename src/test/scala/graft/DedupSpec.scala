@@ -459,6 +459,37 @@ class DedupSpec extends SparkSpec {
     assert(out.values.forall(_._2 !== 0L))
   }
 
+  test("winnowing: identical docs share every fingerprint, disjoint docs share none") {
+    val docs = Seq(
+      (1L, "a b c d e f g h i j k l"),
+      (2L, "a b c d e f g h i j k l"),
+      (3L, "z y x w v u t s r q p o")
+    ).toDF("doc_id", "text")
+    val out = Dedup.winnowingNearDupPairs(docs).collect()
+    assert(out.length === 1)
+    val r = out.head
+    assert(r.getAs[Long]("doc_a") === 1L && r.getAs[Long]("doc_b") === 2L)
+    assert(r.getAs[Long]("n_shared") === r.getAs[Long]("n_a"))
+    assert(r.getAs[Long]("n_a") === r.getAs[Long]("n_b"))
+    assert(r.getAs[Long]("overlap_ppm") === 1000000L)
+    // density: 12 tokens -> 8 5-grams -> 5 full 4-windows -> <= 5 distinct
+    // minima, and at least one
+    assert(r.getAs[Long]("n_a") >= 1L && r.getAs[Long]("n_a") <= 5L)
+  }
+
+  test("winnowing guarantee: a shared k+w-1 token run ALWAYS yields a shared fingerprint") {
+    // doc 4 shares exactly the 8-token prefix (k=5 + w=4 - 1) with doc 1:
+    // the winnowing theorem promises at least one common fingerprint —
+    // this is the coverage property banded MinHash cannot give
+    val docs = Seq(
+      (1L, "a b c d e f g h i j k l"),
+      (4L, "a b c d e f g h zz yy xx ww")
+    ).toDF("doc_id", "text")
+    val out = Dedup.winnowingNearDupPairs(docs, minShared = 1).collect()
+    assert(out.length === 1)
+    assert(out.head.getAs[Long]("n_shared") >= 1L)
+  }
+
   test("dedup weights: 1/|cluster| per member, total gradient mass = one doc per cluster") {
     val pairs = Seq((1L, 2L), (2L, 3L)).toDF("doc_a", "doc_b")
     val docs = (1L to 5L).map(Tuple1(_)).toDF("doc_id")

@@ -388,6 +388,22 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("lof lsh: one shared bucket is exhaustive, so bucket-bounded ≡ all-pairs bit-for-bit") {
+    import spark.implicits._
+    // n=5 -> axisSignBitsFor gives 1 bit -> the bucket is the sign of
+    // dim 1, positive for every point: one bucket holds the whole corpus
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(1.0f, 1.0f)),
+      (2L, Array(2.0f, 0.0f)), (3L, Array(2.0f, 1.0f)),
+      (9L, Array(20.0f, 20.0f))
+    ).toDF("vec_id", "embedding")
+    val exact = graft.analysis.Similarity.lofOutliers(emb, k = 2)
+      .collect().map(r => r.getLong(0) -> r.getAs[Long]("lof_ppm")).toSeq
+    val lsh = graft.analysis.Similarity.lofOutliersLsh(emb, k = 2)
+      .collect().map(r => r.getLong(0) -> r.getAs[Long]("lof_ppm")).toSeq
+    assert(lsh === exact)
+  }
+
   test("exact L2 knn: literal-query projection ranks by true distance") {
     val vecs = Seq(
       (0L, Array(0.0f, 0.0f)),

@@ -254,4 +254,29 @@ class StatsSpec extends SparkSpec {
     val out = Stats.bradleyTerry(games, "w", "l", iters = 3, topK = 2)
     assert(out.select("item").collect().map(_.getLong(0)).toSet === Set(1L, 2L))
   }
+
+  test("calibration report: hand-computed bins, round-half-up ppm, exact weighted ECE") {
+    import spark.implicits._
+    // bin 0: five rows at 5% confidence, one positive -> acc 0.2, conf 0.05
+    // bin 9: four rows at 95% confidence, three positive -> acc 0.75, conf 0.95
+    val rows = (Seq.fill(4)((50000L, 0L)) :+ ((50000L, 1L))) ++
+      (Seq.fill(3)((950000L, 1L)) :+ ((950000L, 0L)))
+    val out = Stats.calibrationReport(rows.toDF("s", "y"), "s", "y")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))))
+      .toMap
+    assert(out.keySet === Set(0L, 9L))
+    assert(out(0L) === ((5L, 1L, 200000L, 50000L, 172222L)))
+    assert(out(9L) === ((4L, 3L, 750000L, 950000L, 172222L)))
+  }
+
+  test("calibration report: a score of exactly 1.0 lands in the top bin, not bin 10") {
+    import spark.implicits._
+    val out = Stats.calibrationReport(
+      Seq((1000000L, 1L), (1000000L, 1L)).toDF("s", "y"), "s", "y").collect()
+    assert(out.length === 1)
+    assert(out.head.getLong(0) === 9L)
+    assert(out.head.getLong(3) === 1000000L) // perfectly calibrated
+    assert(out.head.getLong(5) === 0L)       // zero ECE
+  }
 }

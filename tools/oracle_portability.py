@@ -116,6 +116,9 @@ EXACT_IEEE = {
         "fixed-order list_sum folds of DECIMAL-exact centroid means "
         "(deterministic IEEE bits on both engines, integer tie-break) — "
         "the q117/q108 acceptance argument",
+    "q247_lof_outliers_lsh": "q238's lattice over axis-sign bucket pairs; "
+        "the bucket is a sum of sign comparisons (exact) with the width "
+        "from integer bit-length arithmetic — no libm anywhere",
     "q235_readability": "all-integer word/sentence/syllable counts; one "
         "fixed Flesch chain",
     "q237_clip_filter": "md5 hex-pair embeddings (exact integers/256); "
