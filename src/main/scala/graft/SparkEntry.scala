@@ -771,18 +771,34 @@ object SparkEntry {
     // ppm end-to-end (born-integer ratio score, integer bins, round-half-
     // up accuracies, exact BIGINT weighted gap)
     "q246_calibration_ece" -> { (s, d) =>
-      val raw = TextAnalysis.tokens(col("text"))
-      val toks = filter(raw, t => length(t) > 0)
-      val scored = TestData.documents(s, d)
-        .select(col("doc_id"), size(toks).as("nt"),
-          size(filter(raw, t => t.isin(TextAnalysis.stopwordsEn: _*))).as("ns"),
-          (col("lang") === "en").cast("long").as("y"))
-        .filter(col("nt") > 0)
-        .select(
-          least(expr("(CAST(ns AS BIGINT) * 4000000) div nt"), lit(1000000L))
-            .as("score_ppm"),
-          col("y"))
-      graft.analysis.Stats.calibrationReport(scored, "score_ppm", "y")
+      graft.analysis.Stats.calibrationReport(
+        langConfidenceScored(TestData.documents(s, d)), "score_ppm", "y")
+    },
+    // LAW gate: per-bin calibration artifacts from two disjoint doc_id
+    // slices merge by per-bin ADDITION of the exact integer sums and must
+    // reproduce q246's whole-corpus readout (oracle IS q246's SQL) — daily
+    // eval batches never rescan history
+    "q248_calibration_increment" -> { (s, d) =>
+      val docs = TestData.documents(s, d)
+      val stored = graft.analysis.Stats.calibrationBins(
+        langConfidenceScored(docs.filter(col("doc_id") % 2 === 0)),
+        "score_ppm", "y")
+      val fresh = graft.analysis.Stats.calibrationBins(
+        langConfidenceScored(docs.filter(col("doc_id") % 2 =!= 0)),
+        "score_ppm", "y")
+      graft.analysis.Stats.calibrationFromBins(
+        graft.analysis.Stats.calibrationMergeBins(stored, fresh))
+    },
+    // LAW gate: winnowing fingerprints are per-document independent, so a
+    // new batch fingerprints only itself and artifacts merge by plain
+    // union; the merged pairs report must equal q245's whole-corpus
+    // rebuild (oracle IS q245's SQL)
+    "q249_winnowing_increment" -> { (s, d) =>
+      val docs = TestData.documents(s, d)
+      val stored = Dedup.winnowingFingerprints(docs.filter(col("doc_id") % 2 === 0))
+      val fresh = Dedup.winnowingFingerprints(docs.filter(col("doc_id") % 2 =!= 0))
+      Dedup.winnowingPairsFromFingerprints(stored.unionByName(fresh))
+        .orderBy("doc_a", "doc_b")
     },
     // Fleiss' kappa over a 3-heuristic annotation panel (length band,
     // lexical-diversity band, stopword band — each a pure INTEGER
@@ -3228,6 +3244,77 @@ object SparkEntry {
        |UNION ALL
        |SELECT 'm8x16c_rerank100' AS config, 32 AS bits, 10 AS k, n_common, round(n_common::DOUBLE / 10, 4) AS recall FROM hi
        |ORDER BY config""".stripMargin
+
+  /** q246/q248's shared scorer: stopword-ratio English confidence as a
+    * born-integer ppm (min(1, 4·ns/nt)) next to the lang='en' label. */
+  private def langConfidenceScored(docs: DataFrame): DataFrame = {
+    val raw = TextAnalysis.tokens(col("text"))
+    val toks = filter(raw, t => length(t) > 0)
+    docs
+      .select(col("doc_id"), size(toks).as("nt"),
+        size(filter(raw, t => t.isin(TextAnalysis.stopwordsEn: _*))).as("ns"),
+        (col("lang") === "en").cast("long").as("y"))
+      .filter(col("nt") > 0)
+      .select(
+        least(expr("(CAST(ns AS BIGINT) * 4000000) div nt"), lit(1000000L))
+          .as("score_ppm"),
+        col("y"))
+  }
+
+  private val winnowingPairsSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id AS id,
+      |    string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')), ' ') AS t
+      |  FROM documents),
+      |gr AS (
+      |  SELECT id, CAST(pos AS BIGINT) AS pos,
+      |    ('0x' || substr(md5(t[pos+1] || ' ' || t[pos+2] || ' ' || t[pos+3] || ' ' || t[pos+4] || ' ' || t[pos+5]), 1, 15))::BIGINT AS h,
+      |    CAST(len(t) - 4 AS BIGINT) AS ng
+      |  FROM (SELECT id, t, unnest(range(len(t) - 4)) AS pos FROM toks WHERE len(t) >= 5)),
+      |wi AS (
+      |  SELECT id, pos, ng,
+      |    min(h) OVER (PARTITION BY id ORDER BY pos ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+      |  FROM gr),
+      |fps AS MATERIALIZED (SELECT DISTINCT id, fp FROM wi WHERE pos <= ng - 4),
+      |per AS MATERIALIZED (SELECT id, count(*) AS n FROM fps GROUP BY 1),
+      |bounded AS (SELECT fp FROM fps GROUP BY fp HAVING count(*) <= 1000),
+      |keep AS MATERIALIZED (SELECT id, fp FROM fps JOIN bounded USING (fp)),
+      |pr AS (
+      |  SELECT x.id AS a, y.id AS b, count(*) AS n_shared
+      |  FROM keep x JOIN keep y ON x.fp = y.fp AND x.id < y.id
+      |  GROUP BY 1, 2)
+      |SELECT a AS doc_a, b AS doc_b, n_shared, pa.n AS n_a, pb.n AS n_b,
+      |  (n_shared * 2000000 + least(pa.n, pb.n)) // (2 * least(pa.n, pb.n)) AS overlap_ppm
+      |FROM pr JOIN per pa ON a = pa.id JOIN per pb ON b = pb.id
+      |WHERE n_shared >= 2
+      |ORDER BY doc_a, doc_b""".stripMargin
+
+  private val calibrationEceSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, lang,
+      |    list_filter(string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')), ' '), x -> x <> '') AS t
+      |  FROM documents),
+      |f AS (
+      |  SELECT doc_id, len(t) AS nt,
+      |    len(list_filter(t, x -> x IN ('the','a','an','of','and','to','in','is','it','for'))) AS ns,
+      |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+      |  FROM toks WHERE len(t) > 0),
+      |sc AS (SELECT least((ns * 4000000) // nt, 1000000) AS s, y FROM f),
+      |b AS (
+      |  SELECT least((s * 10) // 1000000, 9) AS bin, count(*) AS n,
+      |    CAST(sum(y) AS BIGINT) AS n_pos, CAST(sum(s) AS BIGINT) AS ssum
+      |  FROM sc GROUP BY 1),
+      |pb AS MATERIALIZED (
+      |  SELECT bin, n, n_pos,
+      |    (n_pos * 2000000 + n) // (2 * n) AS acc_ppm,
+      |    (ssum * 2 + n) // (2 * n) AS conf_ppm
+      |  FROM b),
+      |e AS (
+      |  SELECT CAST((CAST(sum(abs(acc_ppm - conf_ppm) * n) AS HUGEINT) * 2 + sum(n))
+      |    // (2 * sum(n)) AS BIGINT) AS ece_ppm
+      |  FROM pb)
+      |SELECT bin, n, n_pos, acc_ppm, conf_ppm, ece_ppm
+      |FROM pb CROSS JOIN e ORDER BY bin""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     // same spelled-out left-assoc factor products per k
@@ -6721,61 +6808,15 @@ object SparkEntry {
     // positional 5-gram md5 hashes, ANSI ROWS-frame window min over full
     // 4-windows only, distinct fingerprints, df-bounded pair join — the
     // winnowing chain replayed stage-for-stage
-    "q245_winnowing_neardups" ->
-      """WITH toks AS (
-        |  SELECT doc_id AS id,
-        |    string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')), ' ') AS t
-        |  FROM documents),
-        |gr AS (
-        |  SELECT id, CAST(pos AS BIGINT) AS pos,
-        |    ('0x' || substr(md5(t[pos+1] || ' ' || t[pos+2] || ' ' || t[pos+3] || ' ' || t[pos+4] || ' ' || t[pos+5]), 1, 15))::BIGINT AS h,
-        |    CAST(len(t) - 4 AS BIGINT) AS ng
-        |  FROM (SELECT id, t, unnest(range(len(t) - 4)) AS pos FROM toks WHERE len(t) >= 5)),
-        |wi AS (
-        |  SELECT id, pos, ng,
-        |    min(h) OVER (PARTITION BY id ORDER BY pos ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
-        |  FROM gr),
-        |fps AS MATERIALIZED (SELECT DISTINCT id, fp FROM wi WHERE pos <= ng - 4),
-        |per AS MATERIALIZED (SELECT id, count(*) AS n FROM fps GROUP BY 1),
-        |bounded AS (SELECT fp FROM fps GROUP BY fp HAVING count(*) <= 1000),
-        |keep AS MATERIALIZED (SELECT id, fp FROM fps JOIN bounded USING (fp)),
-        |pr AS (
-        |  SELECT x.id AS a, y.id AS b, count(*) AS n_shared
-        |  FROM keep x JOIN keep y ON x.fp = y.fp AND x.id < y.id
-        |  GROUP BY 1, 2)
-        |SELECT a AS doc_a, b AS doc_b, n_shared, pa.n AS n_a, pb.n AS n_b,
-        |  (n_shared * 2000000 + least(pa.n, pb.n)) // (2 * least(pa.n, pb.n)) AS overlap_ppm
-        |FROM pr JOIN per pa ON a = pa.id JOIN per pb ON b = pb.id
-        |WHERE n_shared >= 2
-        |ORDER BY doc_a, doc_b""".stripMargin,
+    "q245_winnowing_neardups" -> winnowingPairsSql,
     // q239's integer token counts feed a born-integer ppm confidence; bins,
     // accuracies and the weighted ECE gap are pure BIGINT arithmetic
-    "q246_calibration_ece" ->
-      """WITH toks AS (
-        |  SELECT doc_id, lang,
-        |    list_filter(string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')), ' '), x -> x <> '') AS t
-        |  FROM documents),
-        |f AS (
-        |  SELECT doc_id, len(t) AS nt,
-        |    len(list_filter(t, x -> x IN ('the','a','an','of','and','to','in','is','it','for'))) AS ns,
-        |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
-        |  FROM toks WHERE len(t) > 0),
-        |sc AS (SELECT least((ns * 4000000) // nt, 1000000) AS s, y FROM f),
-        |b AS (
-        |  SELECT least((s * 10) // 1000000, 9) AS bin, count(*) AS n,
-        |    CAST(sum(y) AS BIGINT) AS n_pos, CAST(sum(s) AS BIGINT) AS ssum
-        |  FROM sc GROUP BY 1),
-        |pb AS MATERIALIZED (
-        |  SELECT bin, n, n_pos,
-        |    (n_pos * 2000000 + n) // (2 * n) AS acc_ppm,
-        |    (ssum * 2 + n) // (2 * n) AS conf_ppm
-        |  FROM b),
-        |e AS (
-        |  SELECT CAST((CAST(sum(abs(acc_ppm - conf_ppm) * n) AS HUGEINT) * 2 + sum(n))
-        |    // (2 * sum(n)) AS BIGINT) AS ece_ppm
-        |  FROM pb)
-        |SELECT bin, n, n_pos, acc_ppm, conf_ppm, ece_ppm
-        |FROM pb CROSS JOIN e ORDER BY bin""".stripMargin,
+    "q246_calibration_ece" -> calibrationEceSql,
+    // LAW gates: the per-bin / per-doc artifacts from disjoint slices,
+    // merged, must reproduce the whole-corpus rebuild — the oracles ARE
+    // q246's and q245's SQL verbatim
+    "q248_calibration_increment" -> calibrationEceSql,
+    "q249_winnowing_increment" -> winnowingPairsSql,
     // the same three integer raters and integer-sum kappa; ratios are the
     // only float steps (cohensKappa exactness argument)
     "q239_fleiss_kappa" ->

@@ -1557,9 +1557,24 @@ object Dedup {
       minShared: Int = 2,
       maxDf: Int = 1000,
       textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame =
+    winnowingPairsFromFingerprints(
+      winnowingFingerprints(docs, k, window, textCol, idCol),
+      minShared, maxDf, idCol)
+
+  /** [[winnowingNearDupPairs]]'s report from a (possibly merged)
+    * fingerprint artifact. [[winnowingFingerprints]] is per-document
+    * independent, so the artifact is INCREMENTAL by construction: a new
+    * batch fingerprints only itself, artifacts merge by plain union
+    * (distinct per doc already), and the merged report reproduces the
+    * whole-corpus rebuild bit-for-bit — q249's LAW gate, the q179/q230
+    * pattern applied to winnowing. */
+  def winnowingPairsFromFingerprints(
+      fingerprints: DataFrame,
+      minShared: Int = 2,
+      maxDf: Int = 1000,
       idCol: String = "doc_id"): DataFrame = {
-    val fps = winnowingFingerprints(docs, k, window, textCol, idCol)
-      .withColumnRenamed(idCol, "id").persist()
+    val fps = fingerprints.withColumnRenamed(idCol, "id").persist()
     try {
       val bounded = fps.groupBy("fp").agg(count(lit(1)).as("df"))
         .filter(col("df") <= maxDf).select("fp")

@@ -624,14 +624,40 @@ object Stats {
       df: DataFrame,
       scorePpmCol: String,
       labelCol: String,
+      bins: Int = 10): DataFrame =
+    calibrationFromBins(calibrationBins(df, scorePpmCol, labelCol, bins))
+
+  /** [[calibrationReport]]'s MERGEABLE artifact: per-bin exact integer
+    * sums 〈bin, n, n_pos, ssum〉. Additive by construction — artifacts
+    * from disjoint slices (daily eval batches, per-source shards) merge
+    * with [[calibrationMergeBins]] and the merged readout reproduces the
+    * whole-corpus report bit-for-bit (q248's LAW gate), so calibration
+    * monitoring never rescans old slices. ≤ `bins` rows per slice. */
+  def calibrationBins(
+      df: DataFrame,
+      scorePpmCol: String,
+      labelCol: String,
       bins: Int = 10): DataFrame = {
     require(bins >= 2, s"need bins >= 2, got $bins")
-    val binned = df.select(
-      least(expr(s"($scorePpmCol * $bins) div 1000000"), lit(bins - 1L))
-        .cast("long").as("bin"),
-      col(labelCol).cast("long").as("y"), col(scorePpmCol).as("s"))
-    val perBin = binned.groupBy("bin")
+    df.select(
+        least(expr(s"($scorePpmCol * $bins) div 1000000"), lit(bins - 1L))
+          .cast("long").as("bin"),
+        col(labelCol).cast("long").as("y"), col(scorePpmCol).as("s"))
+      .groupBy("bin")
       .agg(count(lit(1)).as("n"), sum("y").as("n_pos"), sum("s").as("ssum"))
+  }
+
+  /** Merge per-slice calibration artifacts by per-bin ADDITION of the
+    * exact integer sums. */
+  def calibrationMergeBins(artifacts: DataFrame*): DataFrame =
+    artifacts.reduce(_ unionByName _)
+      .groupBy("bin")
+      .agg(sum("n").as("n"), sum("n_pos").as("n_pos"), sum("ssum").as("ssum"))
+
+  /** Readout half of [[calibrationReport]]: accuracies, confidences, and
+    * the n-weighted ECE from a (possibly merged) bins artifact. */
+  def calibrationFromBins(binsArtifact: DataFrame): DataFrame = {
+    val perBin = binsArtifact
       .select(col("bin"), col("n"), col("n_pos"),
         expr("(n_pos * 2000000 + n) div (2 * n)").as("acc_ppm"),
         expr("(ssum * 2 + n) div (2 * n)").as("conf_ppm"))

@@ -490,6 +490,23 @@ class DedupSpec extends SparkSpec {
     assert(out.head.getAs[Long]("n_shared") >= 1L)
   }
 
+  test("winnowing increment law: unioned per-batch fingerprints ≡ whole-corpus pairs") {
+    val docs = Seq(
+      (1L, "a b c d e f g h i j k l"),
+      (2L, "a b c d e f g h i j k l"),
+      (3L, "a b c d e f g h zz yy xx ww"),
+      (4L, "z y x w v u t s r q p o")
+    ).toDF("doc_id", "text")
+    val whole = Dedup.winnowingNearDupPairs(docs, minShared = 1)
+      .orderBy("doc_a", "doc_b").collect().map(_.toSeq).toSeq
+    val merged = Dedup.winnowingPairsFromFingerprints(
+        Dedup.winnowingFingerprints(docs.filter($"doc_id" <= 2))
+          .unionByName(Dedup.winnowingFingerprints(docs.filter($"doc_id" > 2))),
+        minShared = 1)
+      .orderBy("doc_a", "doc_b").collect().map(_.toSeq).toSeq
+    assert(merged === whole && whole.nonEmpty)
+  }
+
   test("dedup weights: 1/|cluster| per member, total gradient mass = one doc per cluster") {
     val pairs = Seq((1L, 2L), (2L, 3L)).toDF("doc_a", "doc_b")
     val docs = (1L to 5L).map(Tuple1(_)).toDF("doc_id")

@@ -270,6 +270,19 @@ class StatsSpec extends SparkSpec {
     assert(out(9L) === ((4L, 3L, 750000L, 950000L, 172222L)))
   }
 
+  test("calibration increment law: merged slice artifacts ≡ whole-corpus report") {
+    import spark.implicits._
+    val rows = Seq((50000L, 0L, 0L), (50000L, 1L, 1L), (450000L, 1L, 2L),
+      (450000L, 0L, 3L), (950000L, 1L, 4L), (950000L, 1L, 5L), (250000L, 0L, 6L))
+    val df = rows.toDF("s", "y", "id")
+    val whole = Stats.calibrationReport(df, "s", "y").collect().map(_.toSeq).toSeq
+    val merged = Stats.calibrationFromBins(Stats.calibrationMergeBins(
+        Stats.calibrationBins(df.filter($"id" % 2 === 0), "s", "y"),
+        Stats.calibrationBins(df.filter($"id" % 2 =!= 0), "s", "y")))
+      .collect().map(_.toSeq).toSeq
+    assert(merged === whole)
+  }
+
   test("calibration report: a score of exactly 1.0 lands in the top bin, not bin 10") {
     import spark.implicits._
     val out = Stats.calibrationReport(
