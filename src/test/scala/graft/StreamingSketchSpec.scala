@@ -328,6 +328,39 @@ class StreamingSketchSpec extends SparkSpec {
       Stats.cuped(union, "user_id", "value", "ts", cutoff).collect().toSeq)
   }
 
+  test("streaming calibration bins across micro-batches equal the batch artifact; ECE readout reconciles") {
+    import graft.streaming.StreamingCalibration
+    import graft.streaming.StreamingCalibration.BinSums
+    import graft.analysis.Stats
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Long)](spark)
+    val state = scala.collection.concurrent.TrieMap.empty[Long, (Long, Long, Long)]
+    val q = StreamingCalibration.binSums(input.toDS().toDF("score_ppm", "y"))
+      .writeStream
+      .foreachBatch { (ds: org.apache.spark.sql.Dataset[BinSums], _: Long) =>
+        ds.collect().foreach(b => state(b.bin) = (b.n, b.nPos, b.ssum))
+      }
+      .outputMode("update").start()
+    val b1 = Seq((50000L, 0L), (50000L, 1L), (950000L, 1L), (1000000L, 1L))
+    val b2 = Seq((450000L, 1L), (50000L, 0L), (950000L, 0L)) // bins 0/9 must ADD
+    try {
+      input.addData(b1: _*)
+      q.processAllAvailable()
+      input.addData(b2: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val union = (b1 ++ b2).toDF("score_ppm", "y")
+    val batch = Stats.calibrationBins(union, "score_ppm", "y")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(state.toMap === batch) // bit-identical artifact
+    // the readout over streamed state reproduces the whole-corpus report
+    val streamed = state.toSeq.map { case (b, (n, np, ss)) => (b, n, np, ss) }
+      .toDF("bin", "n", "n_pos", "ssum")
+    assert(Stats.calibrationFromBins(streamed).collect().map(_.toSeq).toSeq ===
+      Stats.calibrationReport(union, "score_ppm", "y").collect().map(_.toSeq).toSeq)
+  }
+
   test("streaming hll registers across micro-batches equal the batch registers of the union") {
     val input = org.apache.spark.sql.execution.streaming.runtime
       .MemoryStream[KeyedValue](spark)
