@@ -800,6 +800,18 @@ object SparkEntry {
       Dedup.winnowingPairsFromFingerprints(stored.unionByName(fresh))
         .orderBy("doc_a", "doc_b")
     },
+    // GUARANTEED-detection decontamination: winnowing fingerprints shared
+    // between the corpus and the eval slice (doc_id % 17 = 0, q158's
+    // split) — the winnowing theorem certifies that any ≥ k+w−1 token
+    // overlap is flagged, upgrading q158's probabilistic MinHash screen
+    // to a no-leakage certificate; eval artifact broadcasts
+    "q250_winnowing_decontam" -> { (s, d) =>
+      val docs = TestData.documents(s, d)
+      Dedup.winnowingDecontam(
+          docs.filter(col("doc_id") % 17 =!= 0),
+          docs.filter(col("doc_id") % 17 === 0))
+        .orderBy("doc_id")
+    },
     // Fleiss' kappa over a 3-heuristic annotation panel (length band,
     // lexical-diversity band, stopword band — each a pure INTEGER
     // cross-multiplied comparison, so no rater decision can flip across
@@ -6817,6 +6829,43 @@ object SparkEntry {
     // q246's and q245's SQL verbatim
     "q248_calibration_increment" -> calibrationEceSql,
     "q249_winnowing_increment" -> winnowingPairsSql,
+    // q245's fingerprint CTEs split on the q158 eval slice; per-pair
+    // shared counts, then the per-corpus-doc rollup with the (shared
+    // desc, eid asc) argmax as a row_number — all integer
+    "q250_winnowing_decontam" ->
+      """WITH toks AS (
+        |  SELECT doc_id AS id,
+        |    string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')), ' ') AS t
+        |  FROM documents),
+        |gr AS (
+        |  SELECT id, CAST(pos AS BIGINT) AS pos,
+        |    ('0x' || substr(md5(t[pos+1] || ' ' || t[pos+2] || ' ' || t[pos+3] || ' ' || t[pos+4] || ' ' || t[pos+5]), 1, 15))::BIGINT AS h,
+        |    CAST(len(t) - 4 AS BIGINT) AS ng
+        |  FROM (SELECT id, t, unnest(range(len(t) - 4)) AS pos FROM toks WHERE len(t) >= 5)),
+        |wi AS (
+        |  SELECT id, pos, ng,
+        |    min(h) OVER (PARTITION BY id ORDER BY pos ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+        |  FROM gr),
+        |fps AS MATERIALIZED (SELECT DISTINCT id, fp FROM wi WHERE pos <= ng - 4),
+        |cf AS MATERIALIZED (SELECT id AS cid, fp FROM fps WHERE id % 17 <> 0),
+        |ef AS MATERIALIZED (SELECT id AS eid, fp FROM fps WHERE id % 17 = 0),
+        |bounded AS (SELECT fp FROM cf GROUP BY fp HAVING count(*) <= 1000),
+        |pp AS MATERIALIZED (
+        |  SELECT cid, eid, count(*) AS shared
+        |  FROM cf JOIN bounded USING (fp) JOIN ef USING (fp)
+        |  GROUP BY 1, 2),
+        |r AS (
+        |  SELECT cid, eid, shared,
+        |    row_number() OVER (PARTITION BY cid ORDER BY shared DESC, eid) AS rk
+        |  FROM pp),
+        |ag AS (
+        |  SELECT cid, count(*) AS n_eval_matches,
+        |    CAST(sum(shared) AS BIGINT) AS n_shared_fps
+        |  FROM pp GROUP BY 1)
+        |SELECT ag.cid AS doc_id, n_eval_matches, n_shared_fps,
+        |  r.eid AS matched_eval_doc, r.shared AS best_shared
+        |FROM ag JOIN r ON ag.cid = r.cid AND r.rk = 1
+        |ORDER BY doc_id""".stripMargin,
     // the same three integer raters and integer-sum kappa; ratios are the
     // only float steps (cohensKappa exactness argument)
     "q239_fleiss_kappa" ->

@@ -1562,6 +1562,54 @@ object Dedup {
       winnowingFingerprints(docs, k, window, textCol, idCol),
       minShared, maxDf, idCol)
 
+  /** GUARANTEED-DETECTION decontamination: corpus documents screened
+    * against an eval set through shared winnowing fingerprints. The
+    * winnowing theorem upgrades [[incrementalNearDupPairs]]'s fuzzy screen
+    * (q158) from probabilistic to CERTIFIED: any corpus document sharing a
+    * run of ≥ k + window − 1 tokens with any eval document is guaranteed
+    * at least one shared fingerprint — so an empty report is a
+    * no-leakage certificate at that granularity, the statement an eval
+    * card actually needs (banded MinHash can only say "probably none").
+    *
+    * Scale shape: the eval side is the small side by definition — its
+    * fingerprint artifact broadcasts; the corpus side streams through one
+    * fingerprint pass and a broadcast-hash probe (no shuffle of corpus
+    * fingerprints). Corpus fingerprints in more than `maxDf` corpus
+    * documents are template noise, not leakage, and are dropped on both
+    * engines (the q245 cutoff argument). Output per flagged corpus doc:
+    * doc_id, n_eval_matches (eval docs hit), n_shared_fps (total shared
+    * 〈fp, eval doc〉 pairs), matched_eval_doc + best_shared (the argmax
+    * eval partner, ties to the lower id) — all BIGINT. */
+  def winnowingDecontam(
+      corpus: DataFrame,
+      eval: DataFrame,
+      k: Int = 5,
+      window: Int = 4,
+      maxDf: Int = 1000,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val cf = winnowingFingerprints(corpus, k, window, textCol, idCol)
+      .withColumnRenamed(idCol, "cid").persist()
+    try {
+      val bounded = cf.groupBy("fp").agg(count(lit(1)).as("df"))
+        .filter(col("df") <= maxDf).select("fp")
+      val ef = winnowingFingerprints(eval, k, window, textCol, idCol)
+        .withColumnRenamed(idCol, "eid")
+      val perPair = cf.join(bounded, "fp")
+        .join(broadcast(ef), "fp")
+        .groupBy("cid", "eid").agg(count(lit(1)).as("shared"))
+      perPair
+        .groupBy("cid")
+        .agg(count(lit(1)).as("n_eval_matches"),
+          sum("shared").as("n_shared_fps"),
+          max(struct(col("shared"), (-col("eid")).as("nid"))).as("best"))
+        .select(col("cid").as(idCol), col("n_eval_matches"),
+          col("n_shared_fps"), (-col("best.nid")).as("matched_eval_doc"),
+          col("best.shared").as("best_shared"))
+        .localCheckpoint(true) // consumed after the finally-unpersist
+    } finally { cf.unpersist(); () }
+  }
+
   /** [[winnowingNearDupPairs]]'s report from a (possibly merged)
     * fingerprint artifact. [[winnowingFingerprints]] is per-document
     * independent, so the artifact is INCREMENTAL by construction: a new

@@ -490,6 +490,23 @@ class DedupSpec extends SparkSpec {
     assert(out.head.getAs[Long]("n_shared") >= 1L)
   }
 
+  test("winnowing decontam: a shared k+w-1 run is certified-flagged, clean docs stay silent") {
+    val corpus = Seq(
+      (1L, "a b c d e f g h i j k l"),       // contains eval doc 100's prefix run
+      (2L, "z y x w v u t s r q p o")        // clean
+    ).toDF("doc_id", "text")
+    val eval = Seq(
+      (100L, "a b c d e f g h mm nn oo pp")  // shares exactly the 8-token prefix
+    ).toDF("doc_id", "text")
+    val out = Dedup.winnowingDecontam(corpus, eval).collect()
+    assert(out.length === 1) // doc 2 must NOT be flagged
+    val r = out.head
+    assert(r.getAs[Long]("doc_id") === 1L)
+    assert(r.getAs[Long]("matched_eval_doc") === 100L)
+    assert(r.getAs[Long]("best_shared") >= 1L) // the winnowing guarantee
+    assert(r.getAs[Long]("n_eval_matches") === 1L)
+  }
+
   test("winnowing increment law: unioned per-batch fingerprints ≡ whole-corpus pairs") {
     val docs = Seq(
       (1L, "a b c d e f g h i j k l"),
