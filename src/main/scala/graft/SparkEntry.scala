@@ -6156,6 +6156,11 @@ object SparkEntry {
     // semantics-drift area (a build that resolves `cand.a` to the
     // coalesced join column makes every pair a candidate) — and every
     // multi-referenced CTE is MATERIALIZED (the q224 inlining lesson).
+    // Round 11: `po` is MATERIALIZED and carries (a, b), mirroring the
+    // q231 canary's tail exactly — the round-10 driver run proved the
+    // driver's DuckDB evaluates this same chain correctly when po is
+    // materialized (q231 h_po/h_adj green) and drifts only when po is
+    // inlined under projection pushdown.
     "q180_lsh_tuning" ->
       ("""WITH toks AS (
         |  SELECT doc_id AS id,
@@ -6186,8 +6191,8 @@ object SparkEntry {
         |  SELECT a, b,
         |    CAST(least((10 * common) // (sa.sz + sb.sz - common), 9) AS INT) AS sdec
         |  FROM cm JOIN sz sa ON a = sa.id JOIN sz sb ON b = sb.id),
-        |po AS (
-        |  SELECT COALESCE(sdec, 0) AS decile,
+        |po AS MATERIALIZED (
+        |  SELECT a, b, COALESCE(sdec, 0) AS decile,
         |    COALESCE(is_cand, 0) AS c
         |  FROM sc FULL OUTER JOIN cand USING (a, b)),
         |g AS MATERIALIZED (

@@ -655,15 +655,25 @@ object Stats {
       .agg(sum("n").as("n"), sum("n_pos").as("n_pos"), sum("ssum").as("ssum"))
 
   /** Readout half of [[calibrationReport]]: accuracies, confidences, and
-    * the n-weighted ECE from a (possibly merged) bins artifact. */
+    * the n-weighted ECE from a (possibly merged) bins artifact.
+    *
+    * Intermediates widen to DECIMAL(38,0) before the multiplies (the q246
+    * oracle's HUGEINT): `n_pos * 2e6` and `ssum * 2` overflow BIGINT past
+    * ~4.6e12 rows per bin and the gap*n sum past ~9e12 weighted rows —
+    * the same class of ANSI overflow-throw the round-10 lofLattice fix
+    * closed. `div` (IntegralDivide) takes decimal inputs and still emits
+    * BIGINT, so the output schema is unchanged. */
   def calibrationFromBins(binsArtifact: DataFrame): DataFrame = {
     val perBin = binsArtifact
       .select(col("bin"), col("n"), col("n_pos"),
-        expr("(n_pos * 2000000 + n) div (2 * n)").as("acc_ppm"),
-        expr("(ssum * 2 + n) div (2 * n)").as("conf_ppm"))
+        expr("(CAST(n_pos AS DECIMAL(38,0)) * 2000000 + n) div (2 * n)")
+          .as("acc_ppm"),
+        expr("(CAST(ssum AS DECIMAL(38,0)) * 2 + n) div (2 * n)")
+          .as("conf_ppm"))
       .localCheckpoint(true) // referenced twice: rows + the ECE total
     val ece = perBin
-      .agg(sum(abs(col("acc_ppm") - col("conf_ppm")) * col("n")).as("gap"),
+      .agg(sum(abs(col("acc_ppm") - col("conf_ppm"))
+          .cast("decimal(38,0)") * col("n")).as("gap"),
         sum("n").as("nt"))
       .select(expr("(gap * 2 + nt) div (2 * nt)").as("ece_ppm"))
     perBin.crossJoin(broadcast(ece)).orderBy("bin")

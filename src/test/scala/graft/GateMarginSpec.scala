@@ -29,18 +29,17 @@ import org.apache.spark.sql.types.{DoubleType, FloatType}
 class GateMarginSpec extends SparkSpec {
 
   // the ten narrowest MARGIN-OK rows of ORACLE_PORTABILITY.md (round 10);
-  // measured distances at adoption time ranged 0.003 (q163) to 0.5 micro
-  private val narrowest = Seq(
-    "q163_weighted_reservoir",
-    "q16_running_monthly_revenue",
-    "q12_top_customers",
-    "q53_rolling_revenue",
-    "q107_loo_target_encode",
-    "q126_winsorized_scale",
-    "q19_orders_without_lines",
-    "q65_rank_analytics",
-    "q90_bloom_semijoin",
-    "q75_attribution")
+  // measured distances at adoption time ranged 0.003 (q163) to 0.5 micro.
+  // SINGLE SOURCE (round-10 ADVICE): the list lives in
+  // tools/gate_margin_narrowest.txt and is read by BOTH this spec and
+  // tools/oracle_portability.py, so a re-rank can't update one and not
+  // the other.
+  private val narrowest: Seq[String] = {
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files
+      .readAllLines(java.nio.file.Paths.get("tools/gate_margin_narrowest.txt"))
+      .asScala.toSeq.map(_.trim).filter(_.nonEmpty)
+  }
 
   test("narrowest float gates: every value stays off its 6dp rounding half boundary") {
     val misses = narrowest.flatMap { name =>

@@ -50,6 +50,7 @@ instead. The tracer over-approximates (prefers false flags over silence).
 Usage: python3 tools/oracle_portability.py <verifyOutDir> [> ORACLE_PORTABILITY.md]
 """
 import json
+import os
 import re
 import sys
 
@@ -129,19 +130,12 @@ EXACT_IEEE = {
 # re-measured on the gate corpus inside `sbt test` (GateMarginSpec, the
 # round-10 extension of the DsirMarginSpec recipe): the audit below is a
 # snapshot of today's data, the spec makes the margin survive a data
-# refresh. Keep in sync with GateMarginSpec.narrowest.
-GATE_MARGIN_SPECCED = {
-    "q163_weighted_reservoir",
-    "q16_running_monthly_revenue",
-    "q12_top_customers",
-    "q53_rolling_revenue",
-    "q107_loo_target_encode",
-    "q126_winsorized_scale",
-    "q19_orders_without_lines",
-    "q65_rank_analytics",
-    "q90_bloom_semijoin",
-    "q75_attribution",
-}
+# refresh. SINGLE SOURCE (round-10 ADVICE): the list lives in
+# tools/gate_margin_narrowest.txt and is read by both this script and
+# GateMarginSpec — a re-rank updates one file, both consumers follow.
+with open(os.path.join(os.path.dirname(__file__),
+                       "gate_margin_narrowest.txt")) as _f:
+    GATE_MARGIN_SPECCED = {ln.strip() for ln in _f if ln.strip()}
 
 FLOAT_DEF = re.compile(
     r"(?:::\s*double|as\s+double\s*\)|\b(?:ln|exp|pow|sqrt|log10|log2)\s*\("
