@@ -71,7 +71,8 @@ object Bench {
     // accident. Excluded by default there; naming one in
     // SPARK_GRAFT_BENCH_ONLY still runs it (the deliberate-measure path
     // that produced BENCHSCALE10's q244 rows).
-    val diagNotBeyond10x = Set("q238_lof_outliers", "q244_lof_outliers_ivf")
+    val diagNotBeyond10x =
+      Set("q238_lof_outliers", "q244_lof_outliers_ivf", "q251_lof_quality")
     val scaleOfDir = """_(\d+)x""".r.findFirstMatchIn(sfDir).map(_.group(1).toInt)
     def excludedDiag(name: String): Boolean =
       scaleOfDir.exists(_ > 10) && diagNotBeyond10x(name) &&

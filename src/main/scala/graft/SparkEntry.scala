@@ -812,6 +812,16 @@ object SparkEntry {
           docs.filter(col("doc_id") % 17 === 0))
         .orderBy("doc_id")
     },
+    // the LOF truncation QUALITY curve (q191's nProbe recipe applied to
+    // outlier verdicts): top-K outlier-verdict overlap between the exact
+    // all-pairs LOF (q238's diagnostic arm) and the production
+    // LSH-bucketed LOF (q247), SWEPT over the occupancy dial
+    // {32, 128, 512} × K ∈ {10, 50} — what bucket truncation costs in
+    // verdicts, as a measured monotone ppm curve instead of the
+    // density-contrast claim; all integer (ranks, counts, div)
+    "q251_lof_quality" -> { (s, d) =>
+      Similarity.lofTruncationAgreement(TestData.embeddings(s, d), k = 5)
+    },
     // Fleiss' kappa over a 3-heuristic annotation panel (length band,
     // lexical-diversity band, stopword band — each a pure INTEGER
     // cross-multiplied comparison, so no rater decision can flip across
@@ -3327,6 +3337,103 @@ object SparkEntry {
       |  FROM pb)
       |SELECT bin, n, n_pos, acc_ppm, conf_ppm, ece_ppm
       |FROM pb CROSS JOIN e ORDER BY bin""".stripMargin
+
+  /** q251's oracle: q238's and q247's lattices as ONE armed chain — arm 0
+    * is the exact all-pairs pair feed, arms 1..N are same-bucket pair
+    * feeds at each swept occupancy (per-occ adaptive width replayed with
+    * q247's integer bit-length SQL) — every window/group keyed by
+    * (arm, p); then both rankings' top-K intersections per (occupancy, K).
+    * Built programmatically so the occupancy/K grids live in ONE place. */
+  private def lofQualitySql(
+      k: Int, topKs: Seq[Int], occupancies: Seq[Int]): String = {
+    val occs = occupancies.sorted
+    val dm =
+      """CAST(floor(sqrt(greatest(
+        |        a.n2 + b.n2 - 2.0::DOUBLE * list_sum(list_transform(
+        |          range(1, len(a.u) + 1),
+        |          i -> CAST(a.u[i] AS DOUBLE) * CAST(b.u[i] AS DOUBLE))),
+        |        0.0::DOUBLE))
+        |      * 1000000.0::DOUBLE + 0.5::DOUBLE) AS BIGINT) AS dm""".stripMargin
+    val bucketCols = occs.zipWithIndex.map { case (occ, i) =>
+      s"""    CAST(list_sum(list_transform(range((SELECT b${i + 1} FROM bits)), j ->
+         |      CASE WHEN embedding[CAST(j + 1 AS INT)] >= 0
+         |           THEN (1::BIGINT << j) ELSE 0 END)) AS BIGINT) AS bk${i + 1}""".stripMargin
+    }.mkString(",\n")
+    val bitCols = "  SELECT\n" + occs.zipWithIndex.map { case (occ, i) =>
+      s"    least(length(bin(((count(*) + ${occ - 1}) // $occ) - 1)), 62) AS b${i + 1}"
+    }.mkString(",\n")
+    val arms = occs.indices.map { i =>
+      s"""  SELECT ${i + 1} AS arm, a.vec_id AS p, b.vec_id AS o,
+         |    $dm
+         |  FROM ef a JOIN ef b ON a.bk${i + 1} = b.bk${i + 1} AND a.vec_id <> b.vec_id""".stripMargin
+    }.mkString("\n  UNION ALL\n")
+    val armOcc = occs.zipWithIndex
+      .map { case (occ, i) => s"(${i + 1}, CAST($occ AS BIGINT))" }
+      .mkString(", ")
+    val ksRows = topKs.sorted
+      .map(kk => s"SELECT CAST($kk AS BIGINT) AS top_k")
+      .mkString("\n       UNION ALL ")
+    s"""WITH bits AS (
+       |$bitCols
+       |  FROM embeddings),
+       |ef AS MATERIALIZED (
+       |  SELECT vec_id, embedding AS u,
+       |    list_sum(list_transform(range(1, len(embedding) + 1),
+       |      i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))
+       |      AS n2,
+       |$bucketCols
+       |  FROM embeddings),
+       |d AS (
+       |  SELECT 0 AS arm, a.vec_id AS p, b.vec_id AS o,
+       |    $dm
+       |  FROM ef a JOIN ef b ON a.vec_id <> b.vec_id
+       |  UNION ALL
+       |$arms),
+       |knn AS MATERIALIZED (
+       |  SELECT arm, p, o, dm FROM (
+       |    SELECT arm, p, o, dm,
+       |      row_number() OVER (PARTITION BY arm, p ORDER BY dm, o) AS rk
+       |    FROM d)
+       |  WHERE rk <= $k),
+       |kd AS MATERIALIZED (
+       |  SELECT arm, p, max(dm) AS kdist FROM knn GROUP BY arm, p),
+       |lrd AS MATERIALIZED (
+       |  SELECT arm, p, CASE WHEN sp = 0 THEN NULL
+       |    ELSE CAST(${k.toLong * 1000000000000L} // sp AS BIGINT) END AS l
+       |  FROM (
+       |    SELECT knn.arm AS arm, knn.p AS p,
+       |      CAST(sum(greatest(kd.kdist, knn.dm)) AS BIGINT) AS sp
+       |    FROM knn JOIN kd ON knn.arm = kd.arm AND knn.o = kd.p
+       |    GROUP BY 1, 2)),
+       |lofn AS (
+       |  SELECT knn.arm AS arm, knn.p AS p, CAST(sum(lo.l) AS BIGINT) AS sl
+       |  FROM knn JOIN lrd lo ON knn.arm = lo.arm AND knn.o = lo.p
+       |  GROUP BY 1, 2),
+       |lof AS (
+       |  SELECT lofn.arm AS arm, lofn.p AS vec_id,
+       |    CASE WHEN lp.l IS NULL OR lp.l = 0 THEN NULL
+       |      ELSE CAST(CAST(sl AS HUGEINT) * 1000000 // ($k * lp.l) AS BIGINT) END AS lof_ppm
+       |  FROM lofn JOIN lrd lp ON lofn.arm = lp.arm AND lofn.p = lp.p),
+       |rr AS MATERIALIZED (
+       |  SELECT arm, vec_id,
+       |    row_number() OVER (PARTITION BY arm ORDER BY lof_ppm DESC, vec_id) AS rk
+       |  FROM lof WHERE lof_ppm IS NOT NULL),
+       |arms(arm, occupancy) AS (VALUES $armOcc),
+       |ks AS ($ksRows),
+       |ov AS (
+       |  SELECT arms.arm, ks.top_k, count(*) AS n_overlap
+       |  FROM arms CROSS JOIN ks
+       |  JOIN rr re ON re.arm = 0 AND re.rk <= ks.top_k
+       |  JOIN rr rb ON rb.arm = arms.arm AND rb.vec_id = re.vec_id
+       |    AND rb.rk <= ks.top_k
+       |  GROUP BY 1, 2)
+       |SELECT arms.occupancy, ks.top_k, COALESCE(ov.n_overlap, 0) AS n_overlap,
+       |  (COALESCE(ov.n_overlap, 0) * 2000000 + ks.top_k) // (2 * ks.top_k)
+       |    AS overlap_ppm
+       |FROM arms CROSS JOIN ks
+       |LEFT JOIN ov ON ov.arm = arms.arm AND ov.top_k = ks.top_k
+       |ORDER BY arms.occupancy, ks.top_k""".stripMargin
+  }
 
   def oracleSql: Map[String, String] = Map(
     // same spelled-out left-assoc factor products per k
@@ -6822,6 +6929,11 @@ object SparkEntry {
         |  CASE WHEN lp.l IS NULL OR lp.l = 0 THEN NULL
         |    ELSE CAST(CAST(sl AS HUGEINT) * 1000000 // (5 * lp.l) AS BIGINT) END AS lof_ppm
         |FROM lofn JOIN lrd lp ON lofn.p = lp.p ORDER BY vec_id""".stripMargin,
+    // the LOF truncation quality curve: the armed lattice + per-
+    // (occupancy, K) top-K intersections, built by lofQualitySql so the
+    // grids live in one place (occupancy sweep = the q191 nProbe recipe)
+    "q251_lof_quality" ->
+      lofQualitySql(k = 5, topKs = Seq(10, 50), occupancies = Seq(32, 128, 512)),
     // positional 5-gram md5 hashes, ANSI ROWS-frame window min over full
     // 4-windows only, distinct fingerprints, df-bounded pair join — the
     // winnowing chain replayed stage-for-stage

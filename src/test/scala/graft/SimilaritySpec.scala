@@ -404,6 +404,45 @@ class SimilaritySpec extends SparkSpec {
     assert(lsh === exact)
   }
 
+  test("lof truncation agreement: single shared bucket -> total top-K overlap; schema/bounds hold") {
+    import spark.implicits._
+    // same single-bucket construction as the bit-equality law above: with
+    // the arms identical, every (occupancy, K) row must report FULL
+    // overlap (n_overlap = min(top_k, non-null points), overlap_ppm from
+    // the round-half-up div) — pinning the agreement plumbing itself
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(1.0f, 1.0f)),
+      (2L, Array(2.0f, 0.0f)), (3L, Array(2.0f, 1.0f)),
+      (9L, Array(20.0f, 20.0f))
+    ).toDF("vec_id", "embedding")
+    val out = graft.analysis.Similarity
+      .lofTruncationAgreement(emb, k = 2, topKs = Seq(2, 5), occupancies = Seq(64))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq === Seq(
+      (64L, 2L, 2L, 1000000L),
+      (64L, 5L, 5L, 1000000L)))
+  }
+
+  test("lof truncation agreement: split buckets lose the cross-bucket outlier verdicts") {
+    import spark.implicits._
+    // two sign-separated bundles plus one far point per side; occupancy 1
+    // forces maximal width (capped at dim=2 -> 4 buckets) so each arm's
+    // neighborhoods truncate at bucket borders and the top-K lists drift —
+    // the agreement must be measurably BELOW total, and never above top_k
+    val emb = (0L to 7L).map { i =>
+      val s = if (i % 2 == 0) 1.0f else -1.0f
+      (i, Array(s * (1.0f + i / 4.0f), s * (2.0f - i / 4.0f)))
+    } :+ ((9L, Array(30.0f, 30.0f))) :+ ((10L, Array(-30.0f, -30.0f)))
+    val out = graft.analysis.Similarity
+      .lofTruncationAgreement(emb.toDF("vec_id", "embedding"),
+        k = 2, topKs = Seq(3), occupancies = Seq(1, 64), dim = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .map { case (occ, kk, n) => (occ, kk) -> n }.toMap
+    assert(out((1L, 3L)) <= 3L)
+    assert(out((64L, 3L)) >= out((1L, 3L)),
+      "wider buckets must not reduce agreement on this fixture")
+  }
+
   test("exact L2 knn: literal-query projection ranks by true distance") {
     val vecs = Seq(
       (0L, Array(0.0f, 0.0f)),
