@@ -24,7 +24,22 @@ import org.apache.spark.sql.functions._
   *  - event timestamps/props stay as-is: N× sessions over the same day
   *    range and document vocabulary, i.e. "more traffic on the same site".
   *
-  * Usage: runMain graft.ScaleUp <srcDir> <outDir> <factor>
+  * HEAPS MODE (`runMain graft.ScaleUp <src> <out> <factor> heaps`):
+  * the standard mode suffixes every token occurrence with its copy id, so
+  * the corpus VOCABULARY grows ∝ factor — real corpora grow ∝ n^β,
+  * β ≈ 0.5–0.7 (Heaps' law), and a vocabulary-keyed stage (unigram model
+  * build, tok⋈freq shuffle) that is Heaps-sub-linear in production looks
+  * super-linear under the standard mode's linear-vocab null (the q242
+  * 100×-slope adjudication, round-10 verdict #4). Heaps mode draws the
+  * copy suffix from a FIXED POOL of ⌈factor^0.6⌉ values (`copy_ % K`), so
+  * vocab grows ∝ factor^0.6 while documents, token occurrences, and ids
+  * still grow ∝ factor. TRADE: copies c and c+K carry textually IDENTICAL
+  * documents (ids still disjoint), so heaps corpora are for LM-model /
+  * vocabulary-keyed measurements ONLY — dedup/pair benches would see
+  * cross-copy exact-dup clusters that the standard mode deliberately
+  * prevents. Use the standard mode for everything else.
+  *
+  * Usage: runMain graft.ScaleUp <srcDir> <outDir> <factor> [heaps]
   */
 object ScaleUp {
 
@@ -32,14 +47,21 @@ object ScaleUp {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")
     val out = if (args.length > 1) args(1) else "/tmp/graft_sfx"
     val factor = if (args.length > 2) args(2).toInt else 10
+    val heaps = args.length > 3 && args(3) == "heaps"
     val spark = graft.core.GraftSession.tune(
       SparkSession.builder().master("local[16]"), 16).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    writeAll(spark, src, out, factor)
+    writeAll(spark, src, out, factor, heaps)
     spark.stop()
   }
 
-  def writeAll(spark: SparkSession, src: String, out: String, factor: Int): Unit = {
+  /** Suffix-pool size for heaps mode: ⌈factor^0.6⌉, the middle of the
+    * measured Heaps exponent band for web/news corpora. */
+  def heapsPool(factor: Int): Int =
+    math.max(1, math.ceil(math.pow(factor.toDouble, 0.6)).toInt)
+
+  def writeAll(spark: SparkSession, src: String, out: String, factor: Int,
+      heaps: Boolean = false): Unit = {
     def read(t: String) = spark.read.parquet(s"$src/$t.parquet")
     def write(df: DataFrame, t: String): Unit =
       df.write.mode(SaveMode.Overwrite).parquet(s"$out/$t.parquet")
@@ -47,8 +69,9 @@ object ScaleUp {
     // fixed dims replicate as-is (a bigger fact side joins the same dims)
     Seq("region", "nation").foreach(t => write(read(t), t))
 
+    val pool = if (heaps) Some(heapsPool(factor)) else None
     write(scaled(read("documents"), factor, ids = Seq("doc_id"),
-        salted = Seq("text"))
+        salted = Seq("text"), suffixPool = pool)
       .withColumn("n_chars", length(col("text")).cast("long")), "documents")
 
     val emb = read("embeddings")
@@ -69,13 +92,16 @@ object ScaleUp {
   }
 
   /** Union `factor` copies: id columns shift by copy·(max+1); salted string
-    * columns get a per-token copy suffix. Keeps a `copy_` column only if a
-    * caller still needs it (dropped otherwise). */
+    * columns get a per-token copy suffix — the copy id itself, or
+    * `copy_ % suffixPool` in heaps mode (vocab ∝ pool instead of ∝ factor).
+    * Keeps a `copy_` column only if a caller still needs it (dropped
+    * otherwise). */
   private def scaled(
       base: DataFrame,
       factor: Int,
       ids: Seq[String],
-      salted: Seq[String] = Nil): DataFrame = {
+      salted: Seq[String] = Nil,
+      suffixPool: Option[Int] = None): DataFrame = {
     val spark = base.sparkSession
     val spans = ids.map { c =>
       c -> (base.agg(max(col(c).cast("long"))).head.getLong(0) + 1L)
@@ -85,10 +111,14 @@ object ScaleUp {
     val withIds = spans.foldLeft(copies) { case (df, (c, span)) =>
       df.withColumn(c, col(c) + col("copy_") * span)
     }
+    val suffix = suffixPool match {
+      case Some(k) => col("copy_") % lit(k.toLong)
+      case None => col("copy_")
+    }
     val withSalt = salted.foldLeft(withIds) { (df, c) =>
       df.withColumn(c,
         when(col("copy_") === 0, col(c)).otherwise(
-          regexp_replace(col(c), lit("(\\w+)"), concat(lit("$1x"), col("copy_")))))
+          regexp_replace(col(c), lit("(\\w+)"), concat(lit("$1x"), suffix))))
     }
     if (ids.contains("vec_id")) withSalt // embeddings still need copy_ for rotate
     else withSalt.drop("copy_")

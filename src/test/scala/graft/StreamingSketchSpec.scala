@@ -361,6 +361,57 @@ class StreamingSketchSpec extends SparkSpec {
       Stats.calibrationReport(union, "score_ppm", "y").collect().map(_.toSeq).toSeq)
   }
 
+  test("streaming winnowing fingerprints across micro-batches equal the batch artifact; decontam readout reconciles") {
+    import graft.streaming.StreamingWinnowing
+    import graft.analysis.Dedup
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)](spark)
+    val rows = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    val q = StreamingWinnowing.fingerprintStream(
+        input.toDS().toDF("doc_id", "text"), k = 2, window = 2)
+      .writeStream
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        rows.synchronized {
+          rows ++= df.collect().map(r => (r.getLong(0), r.getLong(1))); ()
+        }
+      }
+      .outputMode("append").start()
+    val b1 = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "entirely different words compose this second document here"))
+    val b2 = Seq(
+      (3L, "the quick brown fox jumps somewhere else entirely today"),
+      (4L, "too short")) // < k+window-1 tokens -> zero fingerprints
+    try {
+      input.addData(b1: _*)
+      q.processAllAvailable()
+      input.addData(b2: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val union = (b1 ++ b2).toDF("doc_id", "text")
+    val batch = Dedup.winnowingFingerprints(union, k = 2, window = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(rows.toSet === batch) // bit-identical artifact
+    assert(rows.size === rows.toSet.size,
+      "append-mode stream must emit each (doc, fp) exactly once")
+    // the decontamination certificate over the STREAMED artifact equals
+    // the batch rebuild: eval = doc 3 (shares 'the quick brown fox jumps'
+    // with doc 1), corpus = docs 1/2/4
+    val corpusIds = Set(1L, 2L, 4L)
+    val streamedCorpus = rows.toSeq.filter(r => corpusIds(r._1))
+      .toDF("doc_id", "fp")
+    val evalFps = rows.toSeq.filter(_._1 == 3L).toDF("doc_id", "fp")
+    val live = Dedup.winnowingDecontamFromFingerprints(streamedCorpus, evalFps)
+      .collect().map(_.toSeq).toSeq
+    val rebuilt = Dedup.winnowingDecontam(
+        union.filter(col("doc_id") =!= 3L), union.filter(col("doc_id") === 3L),
+        k = 2, window = 2)
+      .collect().map(_.toSeq).toSeq
+    assert(live === rebuilt)
+    assert(live.nonEmpty, "doc 1 shares a 5-token run with eval doc 3 " +
+      "(>= k+window-1 = 3) so the certificate must flag it")
+  }
+
   test("streaming hll registers across micro-batches equal the batch registers of the union") {
     val input = org.apache.spark.sql.execution.streaming.runtime
       .MemoryStream[KeyedValue](spark)
