@@ -822,6 +822,17 @@ object SparkEntry {
     "q251_lof_quality" -> { (s, d) =>
       Similarity.lofTruncationAgreement(TestData.embeddings(s, d), k = 5)
     },
+    // the ITERATED Sennrich BPE trainer (q124 is one round of it): 3
+    // unrolled merge rounds — count pairs over the freq-weighted vocab,
+    // adopt the (count desc, pair asc) argmax, re-segment the VOCABULARY
+    // only (corpus touched once, at the initial word count), repeat;
+    // greedy left-to-right merges as pure list expressions mirrored
+    // verbatim in the oracle. Completes the tokenizer family (q124
+    // candidates, q189 fertility, q225 OOV budget) into a trainer whose
+    // output IS the merge table a BPE tokenizer ships
+    "q252_bpe_train" -> { (s, d) =>
+      TextAnalysis.bpeTrain(TestData.documents(s, d), merges = 3)
+    },
     // Fleiss' kappa over a 3-heuristic annotation panel (length band,
     // lexical-diversity band, stopword band — each a pure INTEGER
     // cross-multiplied comparison, so no rater decision can flip across
@@ -3337,6 +3348,74 @@ object SparkEntry {
       |  FROM pb)
       |SELECT bin, n, n_pos, acc_ppm, conf_ppm, ece_ppm
       |FROM pb CROSS JOIN e ORDER BY bin""".stripMargin
+
+  /** q252's oracle: the Sennrich trainer loop UNROLLED (the q108/q151/q224
+    * recipe) — per round r: pair counts over the current vocab symbol
+    * lists (p_r), the deterministic argmax merge (b_r, MATERIALIZED — it
+    * feeds both the re-segmentation and the output), and the greedy
+    * left-to-right re-segmentation (s_r) written as the SAME list
+    * expressions the Spark side uses (match list → even-run merge
+    * positions → emit/drop): overlap is only possible for a doubled
+    * symbol, where occurrence i merges iff the run of consecutive matches
+    * before it has even length. range(n) in DuckDB excludes the end and
+    * yields [] for n ≤ 0, so the i=0 edge needs no special case (Spark's
+    * inclusive `sequence` does — guarded there). */
+  private def bpeTrainSql(merges: Int): String = {
+    val rounds = (1 to merges).map { r =>
+      s"""p$r AS (
+         |  SELECT pair, count(*) AS n_words, CAST(sum(freq) AS BIGINT) AS total_count
+         |  FROM (
+         |    SELECT freq, syms[CAST(i + 1 AS INT)] || ' ' || syms[CAST(i + 2 AS INT)] AS pair
+         |    FROM (SELECT freq, syms, unnest(range(len(syms) - 1)) AS i
+         |          FROM s${r - 1} WHERE len(syms) >= 2))
+         |  GROUP BY 1),
+         |b$r AS MATERIALIZED (
+         |  SELECT pair, n_words, total_count,
+         |    string_split(pair, ' ')[1] AS pa, string_split(pair, ' ')[2] AS pb
+         |  FROM p$r ORDER BY total_count DESC, pair LIMIT 1),
+         |m$r AS (
+         |  SELECT w, freq, syms, pa, pb,
+         |    list_transform(range(len(syms) - 1), i ->
+         |      syms[CAST(i + 1 AS INT)] = pa AND syms[CAST(i + 2 AS INT)] = pb) AS mt
+         |  FROM s${r - 1} CROSS JOIN b$r),
+         |g$r AS (
+         |  SELECT w, freq, syms, pa, pb, mt,
+         |    list_transform(range(len(syms) - 1), i ->
+         |      mt[CAST(i + 1 AS INT)] AND
+         |      (i - 1 - COALESCE(list_max(list_filter(range(i), j ->
+         |        NOT mt[CAST(j + 1 AS INT)])), -1)) % 2 = 0) AS mg
+         |  FROM m$r),
+         |s$r AS MATERIALIZED (
+         |  SELECT w, freq,
+         |    CASE WHEN len(syms) >= 2 THEN
+         |      list_filter(
+         |        list_transform(range(len(syms)), i ->
+         |          CASE
+         |            WHEN i < len(syms) - 1 AND mg[CAST(i + 1 AS INT)]
+         |              THEN syms[CAST(i + 1 AS INT)] || syms[CAST(i + 2 AS INT)]
+         |            WHEN i > 0 AND COALESCE(mg[CAST(i AS INT)], false) THEN NULL
+         |            ELSE syms[CAST(i + 1 AS INT)]
+         |          END),
+         |        x -> x IS NOT NULL)
+         |    ELSE syms END AS syms
+         |  FROM g$r)""".stripMargin
+    }.mkString(",\n")
+    val out = (1 to merges)
+      .map(r =>
+        s"SELECT CAST($r AS BIGINT) AS round, pair, n_words, total_count FROM b$r")
+      .mkString("\nUNION ALL ")
+    s"""WITH toks AS (
+       |  SELECT list_filter(string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g')), ' '), x -> x <> '') AS t
+       |  FROM documents),
+       |s0 AS MATERIALIZED (
+       |  SELECT w, count(*) AS freq,
+       |    list_transform(range(length(w)), i -> substr(w, CAST(i + 1 AS INT), 1)) AS syms
+       |  FROM (SELECT unnest(t) AS w FROM toks)
+       |  GROUP BY 1),
+       |$rounds
+       |$out
+       |ORDER BY round""".stripMargin
+  }
 
   /** q251's oracle: q238's and q247's lattices as ONE armed chain — arm 0
     * is the exact all-pairs pair feed, arms 1..N are same-bucket pair
@@ -6934,6 +7013,10 @@ object SparkEntry {
     // grids live in one place (occupancy sweep = the q191 nProbe recipe)
     "q251_lof_quality" ->
       lofQualitySql(k = 5, topKs = Seq(10, 50), occupancies = Seq(32, 128, 512)),
+    // the Sennrich trainer unrolled (3 merge rounds): per round the pair
+    // count, the MATERIALIZED argmax, and the list-expression greedy
+    // re-segmentation — structurally identical to the Spark side
+    "q252_bpe_train" -> bpeTrainSql(merges = 3),
     // positional 5-gram md5 hashes, ANSI ROWS-frame window min over full
     // 4-windows only, distinct fingerprints, df-bounded pair join — the
     // winnowing chain replayed stage-for-stage

@@ -212,12 +212,22 @@ object TextAnalysis {
     * documents score deceptively high, which is why this pairs with
     * [[tokenEntropy]] rather than replacing it). p(t) = (c_t + 1)/(N + V).
     *
-    * Scale shape: one token-count aggregate builds the model (vocab-sized,
-    * stays distributed), the scoring join shuffles on the token key (both
-    * sides narrow 〈token, count〉 / 〈(doc,token), count〉 rows — never text),
-    * and the per-doc mean reduces 〈doc, decimal〉 pairs. The two model
-    * scalars (N, V) ride a broadcast 1-row frame, so the whole thing is one
-    * lazy plan. Log terms are DECIMAL-cast before summing (q16 lesson).
+    * Scale shape: one token-count aggregate builds the model (vocab-sized),
+    * the scoring join BROADCASTS the model to the token stream, and the
+    * per-doc mean reduces 〈doc, decimal〉 pairs. The broadcast is the
+    * round-11 adjudication result (ProfileRarity, BENCHSCALE11): at the
+    * 100× decade the token-side shuffle+sort of the default SMJ spills and
+    * goes superlinear (slope 1.16-1.25 measured on BOTH linear-vocab and
+    * Heaps-vocab corpora — the round-10 vocabulary-growth hypothesis is
+    * REFUTED); broadcast is the only measured slope-1.0 plan (75.0 vs
+    * 99.9 s SMJ, 89.4 s shuffled-hash at 100×). That matches the
+    * production shape: a CCNet/KenLM-style scoring model is BOUNDED
+    * (fixed LM or df-cut vocab), so it fits a broadcast at any corpus
+    * size; if a corpus-grown unbounded vocab ever outgrows it, drop the
+    * hint and the same plan degrades to the measured-1.16 shuffle join
+    * rather than breaking. The two model scalars (N, V) ride a broadcast
+    * 1-row frame, so the whole thing is one lazy plan. Log terms are
+    * DECIMAL-cast before summing (q16 lesson).
     * Output: doc_id, n_tokens, avg_logprob (round 6; null for empty docs). */
   def unigramLogProb(
       docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
@@ -228,7 +238,7 @@ object TextAnalysis {
     val freq = tok.groupBy("tok").agg(count(lit(1)).as("c"))
     val totals = freq.agg(sum("c").as("n"), count(lit(1)).as("v"))
     val scored = tok
-      .join(freq, "tok")
+      .join(broadcast(freq), "tok")
       .crossJoin(broadcast(totals))
       .groupBy(idCol)
       .agg(count(lit(1)).as("n_tokens"),
@@ -253,7 +263,10 @@ object TextAnalysis {
     * tertile boundary can flip across engine builds (no ln anywhere).
     *
     * Scale shape: the model join is [[unigramLogProb]]'s (narrow token
-    * rows, vocab-sized model, broadcast scalars); the within-language rank
+    * rows, vocab-sized model BROADCAST to the token stream — see the
+    * round-11 measurement there: broadcast is the only slope-1.0 plan at
+    * the 100× decade, the SMJ/shuffle alternatives spill superlinearly,
+    * and the production CCNet model is bounded); the within-language rank
     * is a GLOBAL rank on (lang, score, id) via
     * [[graft.relational.Relational.distributedCumSum]] (range partition +
     * per-partition offsets — never a data-sized single-partition window)
@@ -269,7 +282,7 @@ object TextAnalysis {
       .filter(col("tok") =!= "")
     val freq = tok.groupBy("tok").agg(count(lit(1)).as("c"))
     val totals = freq.agg(sum("c").as("n"), count(lit(1)).as("v"))
-    val perDoc = tok.join(freq, "tok").crossJoin(broadcast(totals))
+    val perDoc = tok.join(broadcast(freq), "tok").crossJoin(broadcast(totals))
       .groupBy(idCol)
       .agg(count(lit(1)).as("n_tokens"),
         sum(expr("(n + v) div (c + 1)")).as("sr"))
@@ -458,6 +471,103 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_words"), sum("freq").as("total_count"))
       .orderBy(desc("total_count"), col("pair"))
       .limit(k)
+  }
+
+  /** ITERATED BPE trainer (Sennrich et al. 2016) — the loop
+    * [[bpeMergeCandidates]] is one round of: count adjacent symbol pairs
+    * over the frequency-weighted vocabulary, adopt the best pair
+    * (count desc, pair asc — the deterministic argmax), re-segment the
+    * VOCABULARY (never the corpus — this is what makes BPE training
+    * tractable at any corpus size: after the initial word count, every
+    * round touches only vocab-sized state), repeat. Returns the merge
+    * TABLE — the artifact a BPE tokenizer ships: (round, pair, n_words,
+    * total_count) per adopted merge.
+    *
+    * Merging is the classic greedy left-to-right non-overlapping scan.
+    * Overlap is only possible when the pair is a doubled symbol (a, a) —
+    * for (a, b) with a ≠ b two matches can never share a position — so
+    * occurrence i of the match list merges iff the run of consecutive
+    * matches immediately before it has EVEN length ("aaaa" → aa+aa,
+    * "aaa" → aa+a). That closed form lets the re-segmentation be pure
+    * LIST expressions (transform/filter/max), written STRUCTURALLY
+    * IDENTICALLY in the DuckDB oracle — no fold, no window, nothing an
+    * engine can reorder.
+    *
+    * The adopted pair is driver-collected each round (1 row — the
+    * codebook/centroid plan-literal pattern) and the vocab is eagerly
+    * checkpointed per round (the Graphs.hits plan-blowup lesson).
+    * Output: round, pair ("a b"), n_words, total_count — all
+    * BIGINT/STRING. Stops early if no pair remains. */
+  def bpeTrain(
+      docs: DataFrame, merges: Int = 3,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(merges >= 1, s"need merges >= 1, got $merges")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    var vocab = docs
+      .select(explode(tokens(col(textCol))).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+      .select(col("w"), col("freq"), split(col("w"), "").as("syms"))
+      .localCheckpoint(true)
+    val adopted = scala.collection.mutable.ArrayBuffer.empty[(Long, String, Long, Long)]
+    var r = 1
+    var exhausted = false
+    while (r <= merges && !exhausted) {
+      val best = vocab
+        .filter(size(col("syms")) >= 2)
+        .select(col("freq"), explode(transform(
+            sequence(lit(0), size(col("syms")) - 2),
+            i => concat_ws(" ",
+              element_at(col("syms"), (i + 1).cast("int")),
+              element_at(col("syms"), (i + 2).cast("int"))))).as("pair"))
+        .groupBy("pair")
+        .agg(count(lit(1)).as("n_words"), sum("freq").as("total_count"))
+        .orderBy(desc("total_count"), col("pair"))
+        .limit(1).collect()
+      if (best.isEmpty) exhausted = true
+      else {
+        val row = best.head
+        adopted += ((r.toLong, row.getString(0), row.getLong(1), row.getLong(2)))
+        val Array(a, b) = row.getString(0).split(" ", 2)
+        vocab = vocab
+          .withColumn("syms", bpeMergeOnce(col("syms"), a, b))
+          .localCheckpoint(true)
+      }
+      r += 1
+    }
+    adopted.toSeq.toDF("round", "pair", "n_words", "total_count")
+      .orderBy("round")
+  }
+
+  /** One greedy left-to-right merge of (a, b) over a symbol array, as
+    * pure list expressions (see [[bpeTrain]]): match list → even-run
+    * merge positions → emit merged/survivor symbols, drop consumed ones.
+    * The backward run-length scan is O(len²) per word — vocabulary-sized
+    * work on ≤ word-length lists, irrelevant next to the corpus pass. */
+  private def bpeMergeOnce(syms: Column, a: String, b: String): Column = {
+    val n = size(syms)
+    def at(arr: Column, i: Column): Column = element_at(arr, (i + 1).cast("int"))
+    val m = transform(sequence(lit(0), n - 2),
+      i => at(syms, i) === lit(a) && at(syms, i + 1) === lit(b))
+    val merged = transform(sequence(lit(0), n - 2), i => {
+      val prevFalse = when(i === 0, lit(-1)).otherwise(
+        coalesce(array_max(filter(sequence(lit(0), i - 1), j => !at(m, j))),
+          lit(-1)))
+      at(m, i) && (i - lit(1) - prevFalse) % 2 === 0
+    })
+    val out = filter(
+      transform(sequence(lit(0), n - 1), i => {
+        val mergedHere =
+          when(i < n - 1, coalesce(at(merged, i), lit(false))).otherwise(lit(false))
+        val mergedPrev =
+          when(i > 0, coalesce(at(merged, i - 1), lit(false))).otherwise(lit(false))
+        when(mergedHere, concat(at(syms, i), at(syms, i + 1)))
+          .when(mergedPrev, lit(null).cast("string"))
+          .otherwise(at(syms, i))
+      }),
+      x => x.isNotNull)
+    when(n >= 2, out).otherwise(syms)
   }
 
   /** Corpus-wide top-k n-grams by document frequency (distinct docs

@@ -618,4 +618,34 @@ class TextAnalysisSpec extends SparkSpec {
       .vocabCoverage(docs, budgets = Seq(1, 3), srcCol = "source").collect().map(_.toSeq)
     assert(inc.toSeq === full.toSeq) // THE LAW: merge ≡ rebuild
   }
+
+  test("bpe trainer: the hand-computed Sennrich fixture adopts l+o, lo+w, e+r") {
+    import spark.implicits._
+    // vocab {low:3, lower:2, newest:1}. Round 1: "l o" and "o w" tie at
+    // total 5 -> pair-asc tie-break adopts "l o". Round 2: "lo w" at 5.
+    // Round 3: "e r" and "low e" tie at 2 -> "e r" wins.
+    val docs = Seq((1L, "low low low lower lower newest"))
+      .toDF("doc_id", "text")
+    val out = graft.analysis.TextAnalysis.bpeTrain(docs, merges = 3)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq === Seq(
+      (1L, "l o", 2L, 5L),
+      (2L, "lo w", 2L, 5L),
+      (3L, "e r", 1L, 2L)))
+  }
+
+  test("bpe trainer: doubled-symbol merges are greedy non-overlapping; trainer stops when no pair remains") {
+    import spark.implicits._
+    // "aaaa" x2: round 1 adopts "a a" (3 occurrences x freq 2 = 6) and
+    // must merge non-overlapping left-to-right -> ["aa","aa"], NOT
+    // ["aa","a","a"]; round 2 adopts "aa aa" (1 x 2 = 2) -> ["aaaa"];
+    // round 3 has no pairs left -> 2 rows despite merges = 3
+    val docs = Seq((1L, "aaaa aaaa")).toDF("doc_id", "text")
+    val out = graft.analysis.TextAnalysis.bpeTrain(docs, merges = 3)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq === Seq(
+      (1L, "a a", 3L, 6L),
+      (2L, "aa aa", 1L, 2L)))
+  }
+
 }
