@@ -46,6 +46,29 @@ object Bench {
     java.lang.management.ManagementFactory.getOperatingSystemMXBean
       .getSystemLoadAverage
 
+  /** Quarantined QUADRATIC diagnostics (round-10 verdict #2): q238
+    * (all-pairs exact LOF, 559 s at 10x), q244 (fixed-cell IVF LOF, 642 s
+    * at 30x), and q251 (the quality curve CONTAINING the exact arm) are
+    * deliberate accuracy/replay diagnostics whose production twins are
+    * q247/q232 — on a ScaleUp corpus beyond 10x they'd dominate a
+    * BENCHSCALE total by accident. */
+  private[graft] val diagNotBeyond10x: Set[String] =
+    Set("q238_lof_outliers", "q244_lof_outliers_ivf", "q251_lof_quality")
+
+  /** ScaleUp factor encoded in a corpus dir name (`*_30x`, `*_100x`,
+    * heaps-mode `*_h100x`). */
+  private[graft] def scaleOf(sfDir: String): Option[Int] =
+    """_[a-z]*(\d+)x""".r.findFirstMatchIn(sfDir).map(_.group(1).toInt)
+
+  /** True when `name` is a quarantined diagnostic that must not run on a
+    * >10x corpus by default; naming it in SPARK_GRAFT_BENCH_ONLY (the
+    * `only` subset) still runs it — the deliberate-measure path that
+    * produced BENCHSCALE10's q244 rows. */
+  private[graft] def excludedDiagnostic(
+      name: String, sfDir: String, only: Option[Seq[String]]): Boolean =
+    scaleOf(sfDir).exists(_ > 10) && diagNotBeyond10x(name) &&
+      !only.exists(_.exists(name.contains))
+
   def main(args: Array[String]): Unit = {
     val loadStart = loadAvg()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -63,20 +86,9 @@ object Bench {
     // local iteration only: SPARK_GRAFT_BENCH_ONLY=q57,q49 benches a subset
     // (the driver never sets it, so per-round numbers stay complete)
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSeq)
-    // Quarantined QUADRATIC diagnostics (round-10 verdict #2): q238
-    // (all-pairs exact LOF, 559 s at 10x) and q244 (fixed-cell IVF LOF,
-    // 642 s at 30x) are deliberate accuracy/replay diagnostics whose
-    // production twins are q247/q232 — on a ScaleUp corpus beyond 10x
-    // (dir named *_30x/_100x) they'd dominate a BENCHSCALE total by
-    // accident. Excluded by default there; naming one in
-    // SPARK_GRAFT_BENCH_ONLY still runs it (the deliberate-measure path
-    // that produced BENCHSCALE10's q244 rows).
-    val diagNotBeyond10x =
-      Set("q238_lof_outliers", "q244_lof_outliers_ivf", "q251_lof_quality")
-    val scaleOfDir = """_(\d+)x""".r.findFirstMatchIn(sfDir).map(_.group(1).toInt)
     def excludedDiag(name: String): Boolean =
-      scaleOfDir.exists(_ > 10) && diagNotBeyond10x(name) &&
-        !only.exists(_.exists(name.contains))
+      Bench.excludedDiagnostic(name, sfDir, only)
+    val scaleOfDir = Bench.scaleOf(sfDir)
     // numeric id sort: extract the integer from "qNN_..." so q100+ append at
     // the tail instead of inserting between q10 and q11 (see scaladoc)
     def numericId(name: String): (Int, String) =

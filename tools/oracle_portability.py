@@ -120,6 +120,10 @@ EXACT_IEEE = {
     "q247_lof_outliers_lsh": "q238's lattice over axis-sign bucket pairs; "
         "the bucket is a sum of sign comparisons (exact) with the width "
         "from integer bit-length arithmetic — no libm anywhere",
+    "q251_lof_quality": "the q238 and q247 lattices verbatim as two arms "
+        "(identical distance chain, same exactness argument), then pure "
+        "integer ranks/intersections/div — the only floats are the arms' "
+        "already-accepted floor(sqrt(exact fold)) quantizations",
     "q235_readability": "all-integer word/sentence/syllable counts; one "
         "fixed Flesch chain",
     "q237_clip_filter": "md5 hex-pair embeddings (exact integers/256); "
