@@ -53,7 +53,8 @@ object Bench {
     * q247/q232 — on a ScaleUp corpus beyond 10x they'd dominate a
     * BENCHSCALE total by accident. */
   private[graft] val diagNotBeyond10x: Set[String] =
-    Set("q238_lof_outliers", "q244_lof_outliers_ivf", "q251_lof_quality")
+    Set("q238_lof_outliers", "q244_lof_outliers_ivf", "q251_lof_quality",
+      "q253_lof_multi_quality")
 
   /** ScaleUp factor encoded in a corpus dir name (`*_30x`, `*_100x`,
     * heaps-mode `*_h100x`). */

@@ -833,6 +833,19 @@ object SparkEntry {
     "q252_bpe_train" -> { (s, d) =>
       TextAnalysis.bpeTrain(TestData.documents(s, d), merges = 3)
     },
+    // the multi-table repair measured against the q251 gap: top-K
+    // verdict overlap vs exact LOF as the TABLE COUNT sweeps {1, 2, 4}
+    // at the default occupancy — does L buy back the truncated verdicts
+    // (recall rises geometrically in L, pair volume only linearly)
+    "q253_lof_multi_quality" -> { (s, d) =>
+      Similarity.lofMultiTableAgreement(TestData.embeddings(s, d), k = 5)
+    },
+    // the multi-table production artifact at full per-point grain:
+    // q247's lattice over the DISTINCT union of 4 rotated-window
+    // adaptive-width bucket joins (offsets 0/16/32/48)
+    "q254_lof_outliers_lsh_multi" -> { (s, d) =>
+      Similarity.lofOutliersLshMulti(TestData.embeddings(s, d), k = 5, nTables = 4)
+    },
     // Fleiss' kappa over a 3-heuristic annotation panel (length band,
     // lexical-diversity band, stopword band — each a pure INTEGER
     // cross-multiplied comparison, so no rater decision can flip across
@@ -3415,6 +3428,166 @@ object SparkEntry {
        |$rounds
        |$out
        |ORDER BY round""".stripMargin
+  }
+
+  /** Shared SQL fragments for the multi-table LSH LOF oracles (q253/q254):
+    * per-offset rotated sign buckets and the distinct-union pair feed. */
+  private def lofMultiBucketCol(offset: Int, dim: Int): String =
+    s"""CAST(list_sum(list_transform(range((SELECT b FROM bits)), j ->
+       |      CASE WHEN embedding[CAST((j + $offset) % $dim + 1 AS INT)] >= 0
+       |           THEN (1::BIGINT << j) ELSE 0 END)) AS BIGINT) AS bk$offset""".stripMargin
+
+  private def lofMultiPairUnion(offsets: Seq[Int]): String =
+    offsets.map { off =>
+      s"""    SELECT a.vec_id AS p, b.vec_id AS o
+         |    FROM ef a JOIN ef b ON a.bk$off = b.bk$off AND a.vec_id <> b.vec_id""".stripMargin
+    }.mkString("\n    UNION ALL\n")
+
+  /** q253's oracle: exact arm 0 + one arm per table count T (pair feed =
+    * DISTINCT union over T rotated-window buckets, each table's offset
+    * stride = dim/T exactly as the Scala side derives it), the (arm, p)
+    * lattice, and per-(n_tables, K) top-K intersections. */
+  private def lofMultiQualitySql(
+      k: Int, topKs: Seq[Int], tableCounts: Seq[Int],
+      occupancy: Int, dim: Int): String = {
+    val counts = tableCounts.sorted
+    def offsetsOf(t: Int): Seq[Int] = {
+      val stride = math.max(1, dim / t)
+      (0 until t).map(_ * stride)
+    }
+    val allOffsets = counts.flatMap(offsetsOf).distinct.sorted
+    val dm =
+      """CAST(floor(sqrt(greatest(
+        |        a.n2 + b.n2 - 2.0::DOUBLE * list_sum(list_transform(
+        |          range(1, len(a.u) + 1),
+        |          i -> CAST(a.u[i] AS DOUBLE) * CAST(b.u[i] AS DOUBLE))),
+        |        0.0::DOUBLE))
+        |      * 1000000.0::DOUBLE + 0.5::DOUBLE) AS BIGINT) AS dm""".stripMargin
+    val arms = counts.map { t =>
+      s"""u$t AS (
+         |  SELECT DISTINCT p, o FROM (
+         |${lofMultiPairUnion(offsetsOf(t))})),
+         |d$t AS (
+         |  SELECT $t AS arm, u.p, u.o,
+         |    $dm
+         |  FROM u$t u JOIN ef a ON a.vec_id = u.p JOIN ef b ON b.vec_id = u.o)""".stripMargin
+    }.mkString(",\n")
+    val dUnion = counts.map(t => s"SELECT * FROM d$t").mkString("\n  UNION ALL ")
+    val armMap = counts.map(t => s"($t, CAST($t AS BIGINT))").mkString(", ")
+    val ksRows = topKs.sorted
+      .map(kk => s"SELECT CAST($kk AS BIGINT) AS top_k")
+      .mkString("\n       UNION ALL ")
+    s"""WITH bits AS (
+       |  SELECT least(length(bin(((count(*) + ${occupancy - 1}) // $occupancy) - 1)), 62) AS b
+       |  FROM embeddings),
+       |ef AS MATERIALIZED (
+       |  SELECT vec_id, embedding AS u,
+       |    list_sum(list_transform(range(1, len(embedding) + 1),
+       |      i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))
+       |      AS n2,
+       |${allOffsets.map(off => "    " + lofMultiBucketCol(off, dim)).mkString(",\n")}
+       |  FROM embeddings),
+       |$arms,
+       |d AS (
+       |  SELECT 0 AS arm, a.vec_id AS p, b.vec_id AS o,
+       |    $dm
+       |  FROM ef a JOIN ef b ON a.vec_id <> b.vec_id
+       |  UNION ALL $dUnion),
+       |knn AS MATERIALIZED (
+       |  SELECT arm, p, o, dm FROM (
+       |    SELECT arm, p, o, dm,
+       |      row_number() OVER (PARTITION BY arm, p ORDER BY dm, o) AS rk
+       |    FROM d)
+       |  WHERE rk <= $k),
+       |kd AS MATERIALIZED (
+       |  SELECT arm, p, max(dm) AS kdist FROM knn GROUP BY arm, p),
+       |lrd AS MATERIALIZED (
+       |  SELECT arm, p, CASE WHEN sp = 0 THEN NULL
+       |    ELSE CAST(${k.toLong * 1000000000000L} // sp AS BIGINT) END AS l
+       |  FROM (
+       |    SELECT knn.arm AS arm, knn.p AS p,
+       |      CAST(sum(greatest(kd.kdist, knn.dm)) AS BIGINT) AS sp
+       |    FROM knn JOIN kd ON knn.arm = kd.arm AND knn.o = kd.p
+       |    GROUP BY 1, 2)),
+       |lofn AS (
+       |  SELECT knn.arm AS arm, knn.p AS p, CAST(sum(lo.l) AS BIGINT) AS sl
+       |  FROM knn JOIN lrd lo ON knn.arm = lo.arm AND knn.o = lo.p
+       |  GROUP BY 1, 2),
+       |lof AS (
+       |  SELECT lofn.arm AS arm, lofn.p AS vec_id,
+       |    CASE WHEN lp.l IS NULL OR lp.l = 0 THEN NULL
+       |      ELSE CAST(CAST(sl AS HUGEINT) * 1000000 // ($k * lp.l) AS BIGINT) END AS lof_ppm
+       |  FROM lofn JOIN lrd lp ON lofn.arm = lp.arm AND lofn.p = lp.p),
+       |rr AS MATERIALIZED (
+       |  SELECT arm, vec_id,
+       |    row_number() OVER (PARTITION BY arm ORDER BY lof_ppm DESC, vec_id) AS rk
+       |  FROM lof WHERE lof_ppm IS NOT NULL),
+       |arms(arm, n_tables) AS (VALUES $armMap),
+       |ks AS ($ksRows),
+       |ov AS (
+       |  SELECT arms.arm, ks.top_k, count(*) AS n_overlap
+       |  FROM arms CROSS JOIN ks
+       |  JOIN rr re ON re.arm = 0 AND re.rk <= ks.top_k
+       |  JOIN rr rb ON rb.arm = arms.arm AND rb.vec_id = re.vec_id
+       |    AND rb.rk <= ks.top_k
+       |  GROUP BY 1, 2)
+       |SELECT arms.n_tables, ks.top_k, COALESCE(ov.n_overlap, 0) AS n_overlap,
+       |  (COALESCE(ov.n_overlap, 0) * 2000000 + ks.top_k) // (2 * ks.top_k)
+       |    AS overlap_ppm
+       |FROM arms CROSS JOIN ks
+       |LEFT JOIN ov ON ov.arm = arms.arm AND ov.top_k = ks.top_k
+       |ORDER BY arms.n_tables, ks.top_k""".stripMargin
+  }
+
+  /** q254's oracle: q247's lattice verbatim with the pair feed replaced by
+    * the T-table distinct union (the production multi-table artifact at
+    * full per-point grain). */
+  private def lofMultiSql(k: Int, occupancy: Int, nTables: Int, dim: Int): String = {
+    val stride = math.max(1, dim / nTables)
+    val offsets = (0 until nTables).map(_ * stride)
+    s"""WITH bits AS (
+       |  SELECT least(length(bin(((count(*) + ${occupancy - 1}) // $occupancy) - 1)), 62) AS b
+       |  FROM embeddings),
+       |ef AS MATERIALIZED (
+       |  SELECT vec_id, embedding AS u,
+       |    list_sum(list_transform(range(1, len(embedding) + 1),
+       |      i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))
+       |      AS n2,
+       |${offsets.map(off => "    " + lofMultiBucketCol(off, dim)).mkString(",\n")}
+       |  FROM embeddings),
+       |up AS (
+       |  SELECT DISTINCT p, o FROM (
+       |${lofMultiPairUnion(offsets)})),
+       |d AS (
+       |  SELECT u.p, u.o,
+       |    CAST(floor(sqrt(greatest(
+       |        a.n2 + b.n2 - 2.0::DOUBLE * list_sum(list_transform(
+       |          range(1, len(a.u) + 1),
+       |          i -> CAST(a.u[i] AS DOUBLE) * CAST(b.u[i] AS DOUBLE))),
+       |        0.0::DOUBLE))
+       |      * 1000000.0::DOUBLE + 0.5::DOUBLE) AS BIGINT) AS dm
+       |  FROM up u JOIN ef a ON a.vec_id = u.p JOIN ef b ON b.vec_id = u.o),
+       |knn AS MATERIALIZED (
+       |  SELECT p, o, dm FROM (
+       |    SELECT p, o, dm,
+       |      row_number() OVER (PARTITION BY p ORDER BY dm, o) AS rk
+       |    FROM d)
+       |  WHERE rk <= $k),
+       |kd AS MATERIALIZED (SELECT p, max(dm) AS kdist FROM knn GROUP BY p),
+       |lrd AS MATERIALIZED (
+       |  SELECT p, CASE WHEN sp = 0 THEN NULL
+       |    ELSE CAST(${k.toLong * 1000000000000L} // sp AS BIGINT) END AS l
+       |  FROM (
+       |    SELECT knn.p AS p,
+       |      CAST(sum(greatest(kd.kdist, knn.dm)) AS BIGINT) AS sp
+       |    FROM knn JOIN kd ON knn.o = kd.p GROUP BY knn.p)),
+       |lofn AS (
+       |  SELECT knn.p AS p, CAST(sum(lo.l) AS BIGINT) AS sl
+       |  FROM knn JOIN lrd lo ON knn.o = lo.p GROUP BY knn.p)
+       |SELECT lofn.p AS vec_id,
+       |  CASE WHEN lp.l IS NULL OR lp.l = 0 THEN NULL
+       |    ELSE CAST(CAST(sl AS HUGEINT) * 1000000 // ($k * lp.l) AS BIGINT) END AS lof_ppm
+       |FROM lofn JOIN lrd lp ON lofn.p = lp.p ORDER BY vec_id""".stripMargin
   }
 
   /** q251's oracle: q238's and q247's lattices as ONE armed chain — arm 0
@@ -7017,6 +7190,14 @@ object SparkEntry {
     // count, the MATERIALIZED argmax, and the list-expression greedy
     // re-segmentation — structurally identical to the Spark side
     "q252_bpe_train" -> bpeTrainSql(merges = 3),
+    // exact arm + one arm per table count; per-(n_tables, K) top-K
+    // intersections
+    "q253_lof_multi_quality" ->
+      lofMultiQualitySql(k = 5, topKs = Seq(10, 50),
+        tableCounts = Seq(1, 2, 4), occupancy = 32, dim = 64),
+    // q247's lattice over the 4-table distinct-union pair feed
+    "q254_lof_outliers_lsh_multi" ->
+      lofMultiSql(k = 5, occupancy = 32, nTables = 4, dim = 64),
     // positional 5-gram md5 hashes, ANSI ROWS-frame window min over full
     // 4-windows only, distinct fingerprints, df-bounded pair join — the
     // winnowing chain replayed stage-for-stage

@@ -503,6 +503,63 @@ object Similarity {
       k)
   }
 
+  /** [[axisSignSignature]] with the planes taken from a ROTATED dimension
+    * window: bit j reads the sign of dimension (j + offset) mod dim. With
+    * offset 0 this IS [[axisSignSignature]]; distinct offsets give
+    * independent hash tables over the same vectors — pure index
+    * arithmetic, so any engine rebuilds the identical signature. */
+  def axisSignSignatureAt(
+      vec: Column, nBits: Int, offset: Int, dim: Int): Column =
+    (0 until nBits).map { j =>
+      val d = (j + offset) % dim
+      when(element_at(vec, d + 1) >= 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** MULTI-TABLE LSH LOF — the recall repair for [[lofOutliersLsh]]'s
+    * verdict gap, measured by q251: single-table bucket truncation agrees
+    * with exact LOF on only ~12% of top-50 verdicts at the default
+    * occupancy (and the occupancy dial buys agreement sub-linearly:
+    * 34% at occupancy 512). The standard LSH answer is L independent
+    * tables: here table t hashes the SAME adaptive width over a rotated
+    * dimension window ([[axisSignSignatureAt]], offset t·(dim/nTables)),
+    * candidate pairs are the DISTINCT union across tables, and the
+    * lattice is unchanged. A point's neighborhood is truncated only if
+    * EVERY table separates it from its true neighbors, so recall rises
+    * geometrically in L while pair volume rises only linearly
+    * (~n·occupancy·L — still the sub-linear q243 scale shape, a
+    * constant-factor L over q247). nTables = 1 is bit-identical to
+    * [[lofOutliersLsh]] (SimilaritySpec pins the law); q253 measures the
+    * verdict-agreement curve over L exactly as q251 measures it over
+    * occupancy. */
+  def lofOutliersLshMulti(
+      corpus: DataFrame,
+      k: Int = 5,
+      targetOccupancy: Int = 32,
+      nTables: Int = 4,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      dim: Int = 64): DataFrame = {
+    require(k >= 1 && nTables >= 1, s"need k/nTables >= 1, got $k/$nTables")
+    val bits = axisSignBitsFor(corpus.count(), targetOccupancy, dim)
+    val stride = math.max(1, dim / nTables)
+    val v = (0 until nTables).foldLeft(lofVectors(corpus, idCol, vecCol)) {
+      (df, t) =>
+        df.withColumn(s"bk$t", axisSignSignatureAt(col("v"), bits, t * stride, dim))
+    }
+    val pairs = (0 until nTables).map { t =>
+      lofPairDistances(
+        v.select(col("id").as("p"), col("v").as("a_v"), col("n2").as("a_n2"),
+          col(s"bk$t")),
+        v.select(col("id").as("o"), col("v").as("b_v"), col("n2").as("b_n2"),
+          col(s"bk$t").as(s"bk${t}_o")),
+        col(s"bk$t") === col(s"bk${t}_o") && col("p") =!= col("o"))
+    }.reduce(_ unionByName _)
+      // a pair found by several tables carries the identical dm — the
+      // distinct is exact, not a tie-break
+      .dropDuplicates("p", "o")
+    lofLattice(pairs, k)
+  }
+
   /** QUALITY curve for the LOF truncation trade (the q191 recipe applied
     * to outlier detection): top-K outlier-verdict overlap between the
     * EXACT all-pairs LOF ([[lofOutliers]], the quarantined diagnostic)
@@ -563,6 +620,45 @@ object Similarity {
             expr(s"(n_overlap * 2000000 + $kk) div (2 * $kk)").as("overlap_ppm"))
       }
     }.reduce(_ unionByName _).orderBy("occupancy", "top_k")
+  }
+
+  /** [[lofTruncationAgreement]]'s sibling over the OTHER dial: top-K
+    * outlier-verdict overlap between exact LOF and
+    * [[lofOutliersLshMulti]] as the table count L sweeps — does adding
+    * hash tables buy back the verdicts single-table truncation loses,
+    * and at what L does it saturate? Same integer plumbing (ranks,
+    * counts, div), same diagnostic status (contains the exact arm; Bench
+    * quarantines it beyond 10× with q238/q244/q251). */
+  def lofMultiTableAgreement(
+      corpus: DataFrame,
+      k: Int = 5,
+      topKs: Seq[Int] = Seq(10, 50),
+      tableCounts: Seq[Int] = Seq(1, 2, 4),
+      targetOccupancy: Int = 32,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      dim: Int = 64): DataFrame = {
+    require(topKs.nonEmpty && topKs.forall(_ >= 1), s"need topKs >= 1, got $topKs")
+    require(tableCounts.nonEmpty && tableCounts.forall(_ >= 1),
+      s"need tableCounts >= 1, got $tableCounts")
+    val exact = lofOutliers(corpus, k, idCol, vecCol)
+      .filter(col("lof_ppm").isNotNull).localCheckpoint(true)
+    def topIds(arm: DataFrame, kk: Int) =
+      arm.orderBy(col("lof_ppm").desc, col("vec_id")).limit(kk)
+    tableCounts.sorted.flatMap { t =>
+      val approx =
+        lofOutliersLshMulti(corpus, k, targetOccupancy, t, idCol, vecCol, dim)
+          .filter(col("lof_ppm").isNotNull).localCheckpoint(true)
+      topKs.sorted.map { kk =>
+        topIds(exact, kk).select("vec_id")
+          .join(topIds(approx, kk).select(col("vec_id").as("vb")),
+            col("vec_id") === col("vb"))
+          .agg(count(lit(1)).as("n_overlap"))
+          .select(lit(t.toLong).as("n_tables"),
+            lit(kk.toLong).as("top_k"), col("n_overlap"),
+            expr(s"(n_overlap * 2000000 + $kk) div (2 * $kk)").as("overlap_ppm"))
+      }
+    }.reduce(_ unionByName _).orderBy("n_tables", "top_k")
   }
 
   /** Shared LOF head: ids + vectors + squared norms projected once. */

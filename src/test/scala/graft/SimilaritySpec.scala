@@ -404,6 +404,45 @@ class SimilaritySpec extends SparkSpec {
     assert(lsh === exact)
   }
 
+  test("lof multi-table: nTables=1 is bit-identical to the single-table path; table 0 signature matches") {
+    import spark.implicits._
+    val emb = (0L to 9L).map { i =>
+      (i, Array.tabulate(4)(j => ((i * 7 + j * 3) % 5 - 2).toFloat))
+    }.toDF("vec_id", "embedding")
+    val single = graft.analysis.Similarity
+      .lofOutliersLsh(emb, k = 2, dim = 4)
+      .collect().map(_.toSeq).toSeq
+    val multi1 = graft.analysis.Similarity
+      .lofOutliersLshMulti(emb, k = 2, nTables = 1, dim = 4)
+      .collect().map(_.toSeq).toSeq
+    assert(multi1 === single)
+    // offset-0 rotated signature IS axisSignSignature
+    val a = emb.select(graft.analysis.Similarity
+      .axisSignSignature(col("embedding"), 3).as("s")).collect().map(_.getLong(0))
+    val b = emb.select(graft.analysis.Similarity
+      .axisSignSignatureAt(col("embedding"), 3, 0, 4).as("s")).collect().map(_.getLong(0))
+    assert(a.toSeq === b.toSeq)
+  }
+
+  test("lof multi-table: more tables can only grow each point's candidate set (pair superset law)") {
+    import spark.implicits._
+    // sign-separated bundles (the split-bucket fixture): with dim=2 and
+    // nTables=2 the second table reads the OTHER dimension, so pairs
+    // separated by table 0's bits can reunite via table 1
+    val emb = (0L to 7L).map { i =>
+      val s = if (i % 2 == 0) 1.0f else -1.0f
+      (i, Array(s * (1.0f + i / 4.0f), 2.0f - i / 4.0f))
+    }.toDF("vec_id", "embedding")
+    def nonNull(df: org.apache.spark.sql.DataFrame) =
+      df.filter(col("lof_ppm").isNotNull).count()
+    val n1 = nonNull(graft.analysis.Similarity
+      .lofOutliersLshMulti(emb, k = 2, targetOccupancy = 1, nTables = 1, dim = 2))
+    val n2 = nonNull(graft.analysis.Similarity
+      .lofOutliersLshMulti(emb, k = 2, targetOccupancy = 1, nTables = 2, dim = 2))
+    assert(n2 >= n1,
+      "a second table must never shrink the scored-point set")
+  }
+
   test("lof truncation agreement: single shared bucket -> total top-K overlap; schema/bounds hold") {
     import spark.implicits._
     // same single-bucket construction as the bit-equality law above: with
