@@ -846,6 +846,17 @@ object SparkEntry {
     "q254_lof_outliers_lsh_multi" -> { (s, d) =>
       Similarity.lofOutliersLshMulti(TestData.embeddings(s, d), k = 5, nTables = 4)
     },
+    // train → ENCODE: apply q252's learned merge table back to the corpus
+    // (driver-held merges, the plan-literal pattern) — per-doc trained
+    // fertility, the q189-heuristic upgrade; encoding-by-merge-list ≡
+    // the trained vocab's own segmentation for in-vocab words (ascending-
+    // rank sequential merges are exact), which is what the oracle reads
+    "q255_bpe_encode" -> { (s, d) =>
+      val docs = TestData.documents(s, d)
+      val merges = TextAnalysis.bpeTrain(docs, merges = 3)
+        .collect().map(_.getString(1)).toSeq
+      TextAnalysis.bpeEncode(docs, merges).orderBy("doc_id")
+    },
     // Fleiss' kappa over a 3-heuristic annotation panel (length band,
     // lexical-diversity band, stopword band — each a pure INTEGER
     // cross-multiplied comparison, so no rater decision can flip across
@@ -3417,17 +3428,55 @@ object SparkEntry {
       .map(r =>
         s"SELECT CAST($r AS BIGINT) AS round, pair, n_words, total_count FROM b$r")
       .mkString("\nUNION ALL ")
-    s"""WITH toks AS (
-       |  SELECT list_filter(string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g')), ' '), x -> x <> '') AS t
+    s"""WITH ${bpeChainSql(rounds)}
+       |$out
+       |ORDER BY round""".stripMargin
+  }
+
+  /** The shared training-chain CTEs for q252/q255: doc-keyed tokens, the
+    * initial char vocab, and the unrolled merge rounds. */
+  private def bpeChainSql(rounds: String): String =
+    s"""toks AS (
+       |  SELECT doc_id,
+       |    list_filter(string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g')), ' '), x -> x <> '') AS t
        |  FROM documents),
        |s0 AS MATERIALIZED (
        |  SELECT w, count(*) AS freq,
        |    list_transform(range(length(w)), i -> substr(w, CAST(i + 1 AS INT), 1)) AS syms
        |  FROM (SELECT unnest(t) AS w FROM toks)
        |  GROUP BY 1),
-       |$rounds
-       |$out
-       |ORDER BY round""".stripMargin
+       |$rounds""".stripMargin
+
+  /** q255's oracle: the q252 training chain, then the ENCODE readout.
+    * The encoder applies the learned merges to each word — and for a word
+    * of the training corpus that is EXACTLY the trained vocabulary's own
+    * segmentation (both run the same ascending-rank greedy merges on the
+    * same symbols), so the oracle reads `len(syms)` off the final vocab
+    * state s_R instead of re-running the merge loop per document. */
+  private def bpeEncodeSql(merges: Int): String = {
+    // reuse bpeTrainSql's rounds by rebuilding them (same code path)
+    val trainSql = bpeTrainSql(merges)
+    val prefixEnd = trainSql.lastIndexOf("\nSELECT CAST(1 AS BIGINT)")
+    val prefix = trainSql.substring(0, prefixEnd)
+    s"""$prefix,
+       |wd AS (
+       |  SELECT doc_id, w, count(*) AS c
+       |  FROM (SELECT doc_id, unnest(t) AS w FROM toks)
+       |  WHERE w <> '' GROUP BY 1, 2),
+       |enc AS (
+       |  SELECT wd.doc_id, CAST(sum(wd.c) AS BIGINT) AS n_words,
+       |    CAST(sum(wd.c * len(s$merges.syms)) AS BIGINT) AS n_bpe_tokens
+       |  FROM wd JOIN s$merges ON wd.w = s$merges.w
+       |  GROUP BY 1)
+       |SELECT d.doc_id,
+       |  COALESCE(enc.n_words, 0) AS n_words,
+       |  COALESCE(enc.n_bpe_tokens, 0) AS n_bpe_tokens,
+       |  CASE WHEN COALESCE(enc.n_words, 0) > 0
+       |    THEN (enc.n_bpe_tokens * 2000000 + enc.n_words) // (2 * enc.n_words)
+       |  END AS fertility_ppm
+       |FROM (SELECT doc_id FROM documents) d
+       |LEFT JOIN enc USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
   }
 
   /** Shared SQL fragments for the multi-table LSH LOF oracles (q253/q254):
@@ -7198,6 +7247,9 @@ object SparkEntry {
     // q247's lattice over the 4-table distinct-union pair feed
     "q254_lof_outliers_lsh_multi" ->
       lofMultiSql(k = 5, occupancy = 32, nTables = 4, dim = 64),
+    // q252's training chain + the per-doc encode readout off the final
+    // vocab state (in-vocab encode ≡ trained segmentation)
+    "q255_bpe_encode" -> bpeEncodeSql(merges = 3),
     // positional 5-gram md5 hashes, ANSI ROWS-frame window min over full
     // 4-windows only, distinct fingerprints, df-bounded pair join — the
     // winnowing chain replayed stage-for-stage

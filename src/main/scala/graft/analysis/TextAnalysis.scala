@@ -540,6 +540,52 @@ object TextAnalysis {
       .orderBy("round")
   }
 
+  /** BPE ENCODER: apply a trained merge table ([[bpeTrain]]'s `pair`
+    * column, training order) to text — the inference half that completes
+    * train → encode. Applying each merge exhaustively IN TRAINING ORDER
+    * equals the classic lowest-rank-first loop: a merge can only create
+    * pairs involving its new symbol, and any pair containing a symbol
+    * born at rank r was necessarily learned AFTER r — so ascending-rank
+    * sequential application never misses a lower-rank opportunity.
+    * Works on out-of-vocabulary words (they simply stop merging early).
+    *
+    * Scale shape: segmentation runs once per DISTINCT word (the same
+    * vocabulary-sized trick as training — the corpus pass is one word
+    * count + one vocab join), merges fold as the [[bpeMergeOnce]] list
+    * expressions. Output per doc: idCol, n_words, n_bpe_tokens,
+    * fertility_ppm (round-half-up BPE tokens per word; null for empty
+    * docs) — the trained-tokenizer upgrade of q189's heuristic
+    * fertility. */
+  def bpeEncode(
+      docs: DataFrame, merges: Seq[String],
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val pairs = merges.map { m =>
+      val Array(a, b) = m.split(" ", 2)
+      (a, b)
+    }
+    val tok = docs
+      .select(col(idCol), explode(tokens(col(textCol))).as("w"))
+      .filter(col("w") =!= "")
+    val perDocWord = tok.groupBy(idCol, "w").agg(count(lit(1)).as("c"))
+    val seg = pairs.foldLeft(
+        tok.select("w").distinct()
+          .withColumn("syms", split(col("w"), ""))) {
+        case (df, (a, b)) => df.withColumn("syms", bpeMergeOnce(col("syms"), a, b))
+      }
+      .select(col("w"), size(col("syms")).cast("long").as("n_syms"))
+    val perDoc = perDocWord.join(broadcast(seg), "w")
+      .groupBy(idCol)
+      .agg(sum("c").as("n_words"),
+        sum(col("c") * col("n_syms")).as("n_bpe_tokens"))
+    docs.select(col(idCol)).join(perDoc, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_words"), lit(0L)).as("n_words"),
+        coalesce(col("n_bpe_tokens"), lit(0L)).as("n_bpe_tokens"),
+        when(col("n_words") > 0,
+          expr("(n_bpe_tokens * 2000000 + n_words) div (2 * n_words)"))
+          .as("fertility_ppm"))
+  }
+
   /** One greedy left-to-right merge of (a, b) over a symbol array, as
     * pure list expressions (see [[bpeTrain]]): match list → even-run
     * merge positions → emit merged/survivor symbols, drop consumed ones.

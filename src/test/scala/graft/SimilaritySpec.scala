@@ -443,6 +443,31 @@ class SimilaritySpec extends SparkSpec {
       "a second table must never shrink the scored-point set")
   }
 
+  test("lof truncation agreement: sign-coherent clusters make bucketing LOSSLESS (total overlap at full width)") {
+    import spark.implicits._
+    // The q251/q253 gate corpus measures the WORST case (verified
+    // near-uniform: 90% variance needs 53/64 PCA dims, cosines ~ 0).
+    // This fixture pins the other end of the claim: when cluster
+    // structure aligns with the hash — four clusters on distinct 3-dim
+    // sign patterns, one far outlier per cluster SHARING its pattern —
+    // every point's true kNN lives in its own bucket, so the bucketed
+    // lattice reproduces exact LOF verdicts completely at K=4 (the four
+    // outliers) and K=20.
+    val signs = Seq((1, 1, 1), (1, -1, -1), (-1, 1, -1), (-1, -1, 1))
+    val emb = signs.zipWithIndex.flatMap { case ((s0, s1, s2), c) =>
+      val pts = (0 until 10).map { i =>
+        (c * 11L + i, Array(
+          s0 * (1.0f + 0.10f * i), s1 * (1.0f + 0.07f * i), s2 * (1.0f + 0.05f * i)))
+      }
+      pts :+ ((c * 11L + 10L, Array(s0 * 8.0f, s1 * 9.0f, s2 * 10.0f)))
+    }.toDF("vec_id", "embedding")
+    val out = graft.analysis.Similarity
+      .lofTruncationAgreement(emb, k = 3, topKs = Seq(4, 20),
+        occupancies = Seq(1), dim = 3)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq === Seq((4L, 4L, 1000000L), (20L, 20L, 1000000L)))
+  }
+
   test("lof truncation agreement: single shared bucket -> total top-K overlap; schema/bounds hold") {
     import spark.implicits._
     // same single-bucket construction as the bit-equality law above: with

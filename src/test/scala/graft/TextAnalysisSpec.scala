@@ -634,6 +634,23 @@ class TextAnalysisSpec extends SparkSpec {
       (3L, "e r", 1L, 2L)))
   }
 
+  test("bpe encode: applies merges in training order, including to OUT-OF-VOCAB words") {
+    import spark.implicits._
+    // merges learned from the Sennrich fixture corpus. "lowest" never
+    // appeared there: l+o -> lo, lo+w -> low, then (e,r) is absent, so
+    // it encodes as [low, e, s, t] (4 symbols); "lower" (in-vocab
+    // shape) encodes as [low, er]... wait — (e,r) IS merge 3, so
+    // "lower" -> [low, e, r] -> [low, er] = 2 symbols. 2+4 = 6 BPE
+    // tokens over 2 words -> fertility 3.0 (3000000 ppm).
+    val docs = Seq((7L, "lower lowest"), (8L, "")).toDF("doc_id", "text")
+    val out = graft.analysis.TextAnalysis
+      .bpeEncode(docs, Seq("l o", "lo w", "e r"))
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3)))
+    assert(out.toSeq === Seq((7L, 2L, 6L, 3000000L), (8L, 0L, 0L, -1L)))
+  }
+
   test("bpe trainer: doubled-symbol merges are greedy non-overlapping; trainer stops when no pair remains") {
     import spark.implicits._
     // "aaaa" x2: round 1 adopts "a a" (3 occurrences x freq 2 = 6) and
