@@ -857,6 +857,65 @@ object SparkEntry {
         .collect().map(_.getString(1)).toSeq
       TextAnalysis.bpeEncode(docs, merges).orderBy("doc_id")
     },
+    // GPT-style concat-and-chunk SEQUENCE PACKING: global token offsets
+    // via the distributed cumsum (never a single-partition window), each
+    // doc's context-window span exploded (factor 1 + crossings), the
+    // window-occupancy histogram as the fragmentation artifact — the
+    // no-padding complement of q95's padded batching
+    "q256_sequence_pack" -> { (s, d) =>
+      CorpusPrep.sequencePack(TestData.documents(s, d), ctxTokens = 256)
+    },
+    // LAW gate: pack the first doc-id half at offset 0, the second half
+    // at the first's total token offset, merge the per-window slot
+    // artifacts by addition (the seam window is counted by both sides,
+    // each for its own docs) — must equal q256's whole-corpus rebuild
+    // (oracle IS q256's SQL)
+    "q257_sequence_pack_increment" -> { (s, d) =>
+      val docs = TestData.documents(s, d)
+      val half = docs.agg(max("doc_id")).head.getLong(0) / 2
+      val old = docs.filter(col("doc_id") <= half)
+      val fresh = docs.filter(col("doc_id") > half)
+      val nTok = coalesce(
+        size(array_remove(TextAnalysis.tokens(col("text")), "")), lit(0))
+        .cast("long")
+      val off = old.agg(coalesce(sum(nTok), lit(0L)).as("tok_offset"))
+      CorpusPrep.packReportFromSlots(CorpusPrep.packMergeSlots(
+        CorpusPrep.packSlots(old, ctxTokens = 256),
+        CorpusPrep.packSlots(fresh, ctxTokens = 256, tokenOffset = Some(off))))
+    },
+    // interpolated KNESER-NEY bigram scoring (D = 3/4) on the q158 eval
+    // slice under train-slice counts: every probability is a ratio of
+    // exact integer counts (continuation counts model context diversity),
+    // ppb-quantized per bigram in DECIMAL(38,0) — the production LM
+    // smoothing (KenLM/CCNet) joining q166 add-alpha, q203 stupid
+    // backoff, q200 Good-Turing
+    "q258_kneser_ney" -> { (s, d) =>
+      val docs = TestData.documents(s, d)
+      TextAnalysis.kneserNeyBigram(
+          docs.filter(col("doc_id") % 17 =!= 0),
+          docs.filter(col("doc_id") % 17 === 0))
+        .orderBy("doc_id")
+    },
+    // ROUGE-2 over candidate/reference pairs (even doc vs its odd
+    // successor — the deterministic pairing): clipped bigram-multiset
+    // overlap, P/R/F1 as exact integer ratios ppm-quantized — the
+    // summarization/distillation eval at corpus scale
+    "q259_rouge2" -> { (s, d) =>
+      val docs = TestData.documents(s, d)
+      val cand = docs.filter(col("doc_id") % 2 === 0)
+        .select(col("doc_id").as("pair_id"), col("text").as("cand"))
+      val ref = docs.filter(col("doc_id") % 2 =!= 0)
+        .select((col("doc_id") - 1).as("pair_id"), col("text").as("ref"))
+      TextAnalysis.rougeN(cand.join(ref, "pair_id"), n = 2)
+        .orderBy("pair_id")
+    },
+    // TOKENIZER COMPRESSION CURVE: corpus fertility vs merge-table size
+    // m = 0..3 — each point one vocabulary-sized aggregate off the q252
+    // trainer's checkpointed state s_m (corpus touched once); m = 0 is
+    // the character baseline
+    "q260_bpe_compression" -> { (s, d) =>
+      TextAnalysis.bpeCompressionCurve(TestData.documents(s, d), merges = 3)
+    },
     // Fleiss' kappa over a 3-heuristic annotation panel (length band,
     // lexical-diversity band, stopword band — each a pure INTEGER
     // cross-multiplied comparison, so no rater decision can flip across
@@ -3477,6 +3536,54 @@ object SparkEntry {
        |FROM (SELECT doc_id FROM documents) d
        |LEFT JOIN enc USING (doc_id)
        |ORDER BY doc_id""".stripMargin
+  }
+
+  /** q256's oracle (and q257's verbatim — the packing increment is a LAW
+    * gate): token counts per doc, the doc-id-order prefix sum, window
+    * spans by integer division, the per-window slot counts, and the
+    * occupancy histogram. DuckDB's windowed SUM returns HUGEINT — cast
+    * back to BIGINT before the division so range() sees integral args. */
+  private def sequencePackSql(ctx: Int): String =
+    s"""WITH toks AS (
+       |  SELECT doc_id,
+       |    CAST(len(list_filter(string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g')), ' '), x -> x <> '')) AS BIGINT) AS n_tok
+       |  FROM documents),
+       |cum AS (
+       |  SELECT doc_id, n_tok,
+       |    CAST(SUM(n_tok) OVER (ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS c
+       |  FROM toks WHERE n_tok > 0),
+       |spans AS (
+       |  SELECT (c - n_tok) // $ctx AS fw, (c - 1) // $ctx AS lw FROM cum),
+       |slots AS (
+       |  SELECT unnest(range(fw, lw + 1)) AS window_id, fw, lw > fw AS sp
+       |  FROM spans),
+       |win AS (
+       |  SELECT window_id, count(*) AS n_docs,
+       |    CAST(sum(CASE WHEN window_id = fw THEN 1 ELSE 0 END) AS BIGINT) AS n_starts,
+       |    CAST(sum(CASE WHEN sp THEN 1 ELSE 0 END) AS BIGINT) AS n_split
+       |  FROM slots GROUP BY 1)
+       |SELECT n_docs AS docs_in_window, count(*) AS n_windows,
+       |  CAST(sum(n_starts) AS BIGINT) AS n_starts,
+       |  CAST(sum(n_split) AS BIGINT) AS n_split_slots
+       |FROM win GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** q260's oracle: the q252 training chain (s₀..s_R MATERIALIZED), then
+    * one frequency-weighted fertility readout per vocabulary state. */
+  private def bpeCompressionSql(merges: Int): String = {
+    val trainSql = bpeTrainSql(merges)
+    val prefixEnd = trainSql.lastIndexOf("\nSELECT CAST(1 AS BIGINT)")
+    val prefix = trainSql.substring(0, prefixEnd)
+    val rows = (0 to merges).map { m =>
+      s"""SELECT CAST($m AS BIGINT) AS m, n_words, n_bpe_tokens,
+         |  CASE WHEN n_words > 0
+         |    THEN (n_bpe_tokens * 2000000 + n_words) // (2 * n_words)
+         |  END AS fertility_ppm
+         |FROM (SELECT CAST(COALESCE(sum(freq), 0) AS BIGINT) AS n_words,
+         |        CAST(COALESCE(sum(freq * len(syms)), 0) AS BIGINT) AS n_bpe_tokens
+         |      FROM s$m)""".stripMargin
+    }.mkString("\nUNION ALL ")
+    s"$prefix\n$rows\nORDER BY m"
   }
 
   /** Shared SQL fragments for the multi-table LSH LOF oracles (q253/q254):
@@ -7250,6 +7357,103 @@ object SparkEntry {
     // q252's training chain + the per-doc encode readout off the final
     // vocab state (in-vocab encode ≡ trained segmentation)
     "q255_bpe_encode" -> bpeEncodeSql(merges = 3),
+    // concat-and-chunk packing: doc-order token prefix sums, window spans
+    // by integer division, the occupancy histogram
+    "q256_sequence_pack" -> sequencePackSql(ctx = 256),
+    // LAW gate: the split + per-window-addition merge must reproduce the
+    // whole-corpus rebuild — the oracle IS q256's SQL
+    "q257_sequence_pack_increment" -> sequencePackSql(ctx = 256),
+    // interpolated KN with D = 3/4: continuation counts off the train
+    // slice, the exact-rational score ppb-quantized in HUGEINT
+    "q258_kneser_ney" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')), ' '), x -> x <> '') AS t
+        |  FROM documents),
+        |tb AS (
+        |  SELECT doc_id, t[CAST(i + 1 AS INT)] AS w1, t[CAST(i + 2 AS INT)] AS w2
+        |  FROM (SELECT doc_id, t, unnest(range(len(t) - 1)) AS i
+        |        FROM toks WHERE len(t) >= 2)),
+        |c12 AS MATERIALIZED (
+        |  SELECT w1, w2, count(*) AS c12 FROM tb WHERE doc_id % 17 <> 0
+        |  GROUP BY 1, 2),
+        |c1 AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1, count(*) AS n1p
+        |       FROM c12 GROUP BY 1),
+        |ncw AS (SELECT w2, count(*) AS nc FROM c12 GROUP BY 1),
+        |npp AS (SELECT count(*) AS npp FROM c12),
+        |sc AS (
+        |  SELECT tb.doc_id,
+        |    CASE WHEN c12.c12 IS NOT NULL THEN 1 ELSE 0 END AS hit,
+        |    CASE WHEN c1.c1 IS NOT NULL
+        |      THEN CAST(greatest(4 * COALESCE(c12.c12, 0) - 3, 0) AS HUGEINT) * npp.npp
+        |           + 3 * CAST(COALESCE(c1.n1p, 0) AS HUGEINT) * COALESCE(ncw.nc, 0)
+        |      ELSE CAST(COALESCE(ncw.nc, 0) AS HUGEINT) END AS num,
+        |    CASE WHEN c1.c1 IS NOT NULL THEN 4 * CAST(c1.c1 AS HUGEINT) * npp.npp
+        |      ELSE CAST(npp.npp AS HUGEINT) END AS den,
+        |    npp.npp AS npp
+        |  FROM tb
+        |  LEFT JOIN c12 USING (w1, w2) LEFT JOIN c1 USING (w1)
+        |  LEFT JOIN ncw USING (w2) CROSS JOIN npp
+        |  WHERE tb.doc_id % 17 = 0),
+        |agg AS (
+        |  SELECT doc_id, count(*) AS n_bigrams, CAST(sum(hit) AS BIGINT) AS n_hits,
+        |    CAST(sum(CASE WHEN npp > 0
+        |      THEN (num * 2000000000 + den) // (2 * den) ELSE 0 END) AS BIGINT) AS s
+        |  FROM sc GROUP BY 1)
+        |SELECT d.doc_id,
+        |  COALESCE(agg.n_bigrams, 0) AS n_bigrams,
+        |  COALESCE(agg.n_hits, 0) AS n_hits,
+        |  CASE WHEN COALESCE(agg.n_bigrams, 0) > 0
+        |    THEN CAST((CAST(s AS HUGEINT) * 2 + n_bigrams) // (2 * n_bigrams) AS BIGINT)
+        |  END AS mean_score_ppb
+        |FROM (SELECT doc_id FROM documents WHERE doc_id % 17 = 0) d
+        |LEFT JOIN agg USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+    // per-pair clipped bigram counts: side totals + inner-join overlap,
+    // everything anchored on the pair spine (no FULL OUTER — the q180
+    // lesson)
+    "q259_rouge2" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')), ' ') AS t
+        |  FROM documents),
+        |pr AS MATERIALIZED (
+        |  SELECT c.doc_id AS pair_id, c.t AS ct, r.t AS rt
+        |  FROM toks c JOIN toks r ON r.doc_id = c.doc_id + 1
+        |  WHERE c.doc_id % 2 = 0),
+        |cg AS MATERIALIZED (
+        |  SELECT pair_id, g, count(*) AS ca FROM (
+        |    SELECT pair_id, ct[CAST(i + 1 AS INT)] || ' ' || ct[CAST(i + 2 AS INT)] AS g
+        |    FROM (SELECT pair_id, ct, unnest(range(len(ct) - 1)) AS i
+        |          FROM pr WHERE len(ct) >= 2))
+        |  GROUP BY 1, 2),
+        |rg AS MATERIALIZED (
+        |  SELECT pair_id, g, count(*) AS cr FROM (
+        |    SELECT pair_id, rt[CAST(i + 1 AS INT)] || ' ' || rt[CAST(i + 2 AS INT)] AS g
+        |    FROM (SELECT pair_id, rt, unnest(range(len(rt) - 1)) AS i
+        |          FROM pr WHERE len(rt) >= 2))
+        |  GROUP BY 1, 2),
+        |ct AS (SELECT pair_id, CAST(sum(ca) AS BIGINT) AS c FROM cg GROUP BY 1),
+        |rt2 AS (SELECT pair_id, CAST(sum(cr) AS BIGINT) AS r FROM rg GROUP BY 1),
+        |ov AS (SELECT pair_id, CAST(sum(least(ca, cr)) AS BIGINT) AS o
+        |       FROM cg JOIN rg USING (pair_id, g) GROUP BY 1)
+        |SELECT pr.pair_id,
+        |  COALESCE(ct.c, 0) AS n_cand_grams,
+        |  COALESCE(rt2.r, 0) AS n_ref_grams,
+        |  COALESCE(ov.o, 0) AS n_overlap,
+        |  CASE WHEN COALESCE(ct.c, 0) > 0
+        |    THEN (COALESCE(ov.o, 0) * 2000000 + ct.c) // (2 * ct.c) END AS p_ppm,
+        |  CASE WHEN COALESCE(rt2.r, 0) > 0
+        |    THEN (COALESCE(ov.o, 0) * 2000000 + rt2.r) // (2 * rt2.r) END AS r_ppm,
+        |  CASE WHEN COALESCE(ct.c, 0) + COALESCE(rt2.r, 0) > 0
+        |    THEN (COALESCE(ov.o, 0) * 4000000 + (COALESCE(ct.c, 0) + COALESCE(rt2.r, 0)))
+        |         // (2 * (COALESCE(ct.c, 0) + COALESCE(rt2.r, 0))) END AS f1_ppm
+        |FROM pr
+        |LEFT JOIN ct USING (pair_id) LEFT JOIN rt2 USING (pair_id)
+        |LEFT JOIN ov USING (pair_id)
+        |ORDER BY pair_id""".stripMargin,
+    // q252's training chain, one fertility readout per vocab state s_m
+    "q260_bpe_compression" -> bpeCompressionSql(merges = 3),
     // positional 5-gram md5 hashes, ANSI ROWS-frame window min over full
     // 4-windows only, distinct fingerprints, df-bounded pair join — the
     // winnowing chain replayed stage-for-stage

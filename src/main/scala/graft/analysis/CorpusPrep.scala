@@ -689,4 +689,102 @@ object CorpusPrep {
           .as("top_lang_share"))
     volume.join(dup, "source").join(top, "source")
   }
+
+  /** SEQUENCE PACKING (concat-and-chunk, the GPT/Llama pretraining
+    * batcher): concatenate the token streams of all documents in
+    * deterministic `idCol` order and cut the stream into fixed
+    * `ctxTokens`-sized context windows — no padding anywhere except the
+    * final partial window, at the cost of documents straddling window
+    * boundaries (the fragmentation this report measures). Complements
+    * [[lengthBucketedBatches]] (q95), which is the padding-based
+    * alternative that never splits a document.
+    *
+    * Output is the window-occupancy HISTOGRAM: for each distinct count of
+    * documents overlapping a window — `docs_in_window` — the number of
+    * such windows, the document STARTS they contain, and how many of
+    * their document slots belong to boundary-split documents. All exact
+    * integers (counts of counts), so the frame is bit-stable across
+    * engines and the curve is the training-efficiency artifact people
+    * actually read (many docs per window ⇒ heavy attention-mask
+    * fragmentation; splits ⇒ truncated contexts).
+    *
+    * Scale shape: one token-count projection (codegen'd), one
+    * [[graft.relational.Relational.distributedCumSum]] for the global
+    * token offsets (range partition + #partitions-row driver scan — never
+    * a single-partition window), then a per-doc window-span explode whose
+    * factor is 1 + crossings (total slots = n_docs + total_tokens/ctx,
+    * linear), and two map-side-combinable aggregates. Empty docs (0
+    * tokens) occupy no window and drop out, mirroring the oracle. */
+  def sequencePack(
+      docs: DataFrame,
+      ctxTokens: Int = 256,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame =
+    packReportFromSlots(packSlots(docs, ctxTokens, textCol, idCol))
+
+  /** [[sequencePack]]'s MERGEABLE artifact: one row per context window —
+    * 〈window_id, n_docs, n_starts, n_split〉. Window positions are GLOBAL
+    * (the `tokenOffset` frame carries the token count of everything packed
+    * before this slice, 0 for the first), so artifacts from consecutive
+    * document ranges are disjoint BY DOCUMENT and merge with
+    * [[packMergeSlots]] by per-window addition — the seam window (where
+    * the old stream's tail and the new batch's head share a context) is
+    * the one window both artifacts touch, and addition is exactly right
+    * there because each side counted only its own documents. q257 gates
+    * the law: split + merge ≡ whole-corpus rebuild, bit-for-bit. */
+  def packSlots(
+      docs: DataFrame,
+      ctxTokens: Int = 256,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      tokenOffset: Option[DataFrame] = None): DataFrame = {
+    require(ctxTokens >= 1, s"need ctxTokens >= 1, got $ctxTokens")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val toks = docs
+      .select(col(idCol),
+        coalesce(size(array_remove(TextAnalysis.tokens(col(textCol)), "")), lit(0))
+          .cast("long").as("n_tok"))
+      .filter(col("n_tok") > 0)
+    val cum = graft.relational.Relational
+      .distributedCumSum(toks, Seq(idCol), Seq("n_tok"))
+    val off = tokenOffset.getOrElse(Seq(0L).toDF("tok_offset"))
+    packSlotsFromSpans(
+      cum.crossJoin(broadcast(off))
+        .select(col(idCol), col("n_tok"),
+          (col("tok_offset") + col("cum_n_tok") - col("n_tok")).as("start")),
+      ctxTokens)
+  }
+
+  /** Slot aggregation off an already-positioned span frame 〈idCol, n_tok,
+    * start〉 — the stateless half [[packSlots]] and the streaming twin
+    * ([[graft.streaming.StreamingPacking]]) share: start/end positions →
+    * window-span explode → per-window counts. */
+  def packSlotsFromSpans(spans: DataFrame, ctxTokens: Int): DataFrame =
+    spans
+      .select(expr(s"start div $ctxTokens").as("fw"),
+        expr(s"(start + n_tok - 1) div $ctxTokens").as("lw"))
+      .select(explode(sequence(col("fw"), col("lw"))).as("window_id"),
+        col("fw"), (col("lw") > col("fw")).as("split"))
+      .groupBy("window_id")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("window_id") === col("fw"), 1L).otherwise(0L)).as("n_starts"),
+        sum(when(col("split"), 1L).otherwise(0L)).as("n_split"))
+
+  /** Merge per-slice packing artifacts by per-window ADDITION (see
+    * [[packSlots]] — document-disjoint slices make this exact). */
+  def packMergeSlots(artifacts: DataFrame*): DataFrame =
+    artifacts.reduce(_ unionByName _)
+      .groupBy("window_id")
+      .agg(sum("n_docs").as("n_docs"), sum("n_starts").as("n_starts"),
+        sum("n_split").as("n_split"))
+
+  /** Readout half of [[sequencePack]]: the occupancy histogram from a
+    * (possibly merged) slots artifact. */
+  def packReportFromSlots(slots: DataFrame): DataFrame =
+    slots
+      .groupBy(col("n_docs").as("docs_in_window"))
+      .agg(count(lit(1)).as("n_windows"), sum("n_starts").as("n_starts"),
+        sum("n_split").as("n_split_slots"))
+      .orderBy("docs_in_window")
 }

@@ -428,4 +428,5 @@ object Profiling {
         round(col("mg") / (sqrt(col("mm")) * sqrt(col("gg"))), 6).as("cos_to_global"),
         round(sqrt(col("d2")), 6).as("l2_shift"))
   }
+
 }

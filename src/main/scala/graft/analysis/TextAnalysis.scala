@@ -443,6 +443,141 @@ object TextAnalysis {
           .as("mean_score"))
   }
 
+  /** INTERPOLATED KNESER–NEY bigram scoring (Kneser & Ney 1995; Chen &
+    * Goodman 1998's interpolated form) — the smoothing that completes the
+    * LM family here: [[bigramLogProb]] is add-α, [[stupidBackoff]] skips
+    * normalization, Good–Turing (q200/q213) reweights counts; KN is the
+    * one that models CONTINUATION diversity (how many contexts a word
+    * follows) and is what production n-gram LMs (KenLM, the CCNet
+    * perplexity filter's scorer) actually ship.
+    *
+    *   P(w₂|w₁) = max(c(w₁w₂) − D, 0)/c(w₁)
+    *            + D·N₁₊(w₁,·)/c(w₁) · N₁₊(·,w₂)/N₁₊(·,·)
+    *
+    * With the textbook discount D = 3/4 every probability is a ratio of
+    * exact integer counts: P = [max(4c₁₂−3,0)·N₊₊ + 3·N₁₊(w₁,·)·N₁₊(·,w₂)]
+    * / [4·c(w₁)·N₊₊]. The score is quantized to parts-per-billion by
+    * round-half-up integer division — numerators widen to DECIMAL(38,0)
+    * (the oracle's HUGEINT) because 4·c₁₂·N₊₊·2e9 overflows BIGINT at
+    * corpus scale, the q246/lofLattice posture. Unseen history (c(w₁)=0)
+    * backs off to the continuation distribution N₁₊(·,w₂)/N₁₊(·,·) with
+    * weight 1 — the standard unigram-KN fallback; a w₂ never seen as a
+    * continuation scores 0.
+    *
+    * Scale shape: model counts are three vocabulary/bigram-vocabulary
+    * sized map-side-combinable aggregates off the train slice; N₊₊ rides
+    * a 1-row broadcast; scoring hash-joins the eval bigrams on their
+    * natural keys (the (w₁,w₂) join is the big one). Per-doc sums are
+    * exact BIGINT (each ppb score ≤ 1e9).
+    * Output per eval doc: idCol, n_bigrams, n_hits (bigrams found in the
+    * model), mean_score_ppb (round-half-up mean; null for docs with no
+    * bigrams). */
+  def kneserNeyBigram(
+      train: DataFrame, evalDocs: DataFrame,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    def arr(df: DataFrame) =
+      df.select(col(idCol), array_remove(tokens(col(textCol)), "").as("t"))
+    def bigrams(df: DataFrame) = arr(df).filter(size(col("t")) >= 2)
+      .select(col(idCol),
+        explode(transform(sequence(lit(0), size(col("t")) - 2),
+          i => struct(element_at(col("t"), i + 1).as("w1"),
+            element_at(col("t"), i + 2).as("w2")))).as("b"))
+      .select(col(idCol), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val c12 = bigrams(train).groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+      .localCheckpoint(true) // feeds c1, n1pW1, ncW2, npp AND the score join
+    val c1 = c12.groupBy("w1")
+      .agg(sum("c12").as("c1"), count(lit(1)).as("n1p"))
+    val ncW2 = c12.groupBy("w2").agg(count(lit(1)).as("nc"))
+    val npp = c12.agg(count(lit(1)).as("npp"))
+    val scored = bigrams(evalDocs)
+      .join(c12, Seq("w1", "w2"), "left")
+      .join(c1, Seq("w1"), "left")
+      .join(ncW2, Seq("w2"), "left")
+      .crossJoin(broadcast(npp))
+      .withColumn("hit", when(col("c12").isNotNull, 1L).otherwise(0L))
+      // seen history: the interpolated-KN rational; unseen history: the
+      // continuation distribution itself (weight-1 backoff)
+      .withColumn("num",
+        when(col("c1").isNotNull,
+          greatest(lit(4) * coalesce(col("c12"), lit(0L)) - 3, lit(0L))
+            .cast("decimal(38,0)") * col("npp") +
+            lit(3) * coalesce(col("n1p"), lit(0L)).cast("decimal(38,0)") *
+              coalesce(col("nc"), lit(0L)))
+          .otherwise(coalesce(col("nc"), lit(0L)).cast("decimal(38,0)")))
+      .withColumn("den",
+        when(col("c1").isNotNull,
+          lit(4) * col("c1").cast("decimal(38,0)") * col("npp"))
+          .otherwise(col("npp").cast("decimal(38,0)")))
+      // npp = 0 (an empty train slice) zeroes every denominator — score 0
+      // instead of an ANSI divide-by-zero
+      .withColumn("score_ppb",
+        when(col("npp") > 0,
+          expr("(num * 2000000000 + den) div (2 * den)")).otherwise(lit(0L)))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_bigrams"), sum("hit").as("n_hits"),
+        sum("score_ppb").as("s"))
+    evalDocs.select(col(idCol))
+      .join(scored, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        when(col("n_bigrams") > 0,
+          expr("(s * 2 + n_bigrams) div (2 * n_bigrams)"))
+          .as("mean_score_ppb"))
+  }
+
+  /** ROUGE-N (Lin 2004) over candidate/reference document pairs — the
+    * clipped n-gram precision/recall/F the summarization, distillation,
+    * and synthetic-data-vs-source eval loops score at corpus scale. Per
+    * pair: candidate and reference n-gram MULTISET counts, overlap
+    * clipped per gram to min(count_cand, count_ref) — so repeating a
+    * reference gram in the candidate is only rewarded as often as the
+    * reference contains it (the property that separates ROUGE from raw
+    * overlap and defeats degenerate repetition). P = o/c, R = o/r,
+    * F1 = 2o/(c+r) — ratios of exact integers, ppm round-half-up, no
+    * libm anywhere.
+    *
+    * Scale shape: two per-pair gram-count aggregates (map-side combinable
+    * — a pair's grams co-locate with its row), one full-outer hash join
+    * keyed (pair, gram) carrying gram counts only (never text), one
+    * per-pair rollup. Pairs with an empty side report null for the
+    * undefined ratio.
+    * Output per pair: idCol, n_cand_grams, n_ref_grams, n_overlap,
+    * p_ppm, r_ppm, f1_ppm. */
+  def rougeN(
+      pairs: DataFrame, n: Int = 2,
+      candCol: String = "cand", refCol: String = "ref",
+      idCol: String = "pair_id"): DataFrame = {
+    require(n >= 1, s"need n >= 1, got $n")
+    def grams(c: Column) = Dedup.shingles(array_remove(tokens(c), ""), n)
+    def counts(c: Column, out: String) = pairs
+      .select(col(idCol), explode(grams(c)).as("g"))
+      .groupBy(idCol, "g").agg(count(lit(1)).as(out))
+    val cand = counts(col(candCol), "ca").localCheckpoint(true)
+    val ref = counts(col(refCol), "cr").localCheckpoint(true)
+    // per-side totals and the INNER-join clipped overlap (min with an
+    // absent side is 0, so outer rows contribute nothing), all anchored
+    // on the pair spine with left joins — deliberately no FULL OUTER
+    // JOIN, the construct the q180 oracle saga showed engines disagree
+    // on under pushdown
+    pairs.select(col(idCol))
+      .join(cand.groupBy(idCol).agg(sum("ca").as("c")), Seq(idCol), "left")
+      .join(ref.groupBy(idCol).agg(sum("cr").as("r")), Seq(idCol), "left")
+      .join(cand.join(ref, Seq(idCol, "g"))
+          .groupBy(idCol).agg(sum(least(col("ca"), col("cr"))).as("o")),
+        Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("c"), lit(0L)).as("c"),
+        coalesce(col("r"), lit(0L)).as("r"), coalesce(col("o"), lit(0L)).as("o"))
+      .select(col(idCol),
+        col("c").as("n_cand_grams"),
+        col("r").as("n_ref_grams"),
+        col("o").as("n_overlap"),
+        when(col("c") > 0, expr("(o * 2000000 + c) div (2 * c)")).as("p_ppm"),
+        when(col("r") > 0, expr("(o * 2000000 + r) div (2 * r)")).as("r_ppm"),
+        when(col("c") + col("r") > 0,
+          expr("(o * 4000000 + (c + r)) div (2 * (c + r))")).as("f1_ppm"))
+  }
+
   /** The first BPE merge step: corpus-wide adjacent character-pair
     * frequencies, weighted by word frequency — exactly the statistic a BPE
     * tokenizer trainer maximizes per merge round (Sennrich et al.; a full
@@ -501,15 +636,29 @@ object TextAnalysis {
   def bpeTrain(
       docs: DataFrame, merges: Int = 3,
       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
-    require(merges >= 1, s"need merges >= 1, got $merges")
     val spark = docs.sparkSession
     import spark.implicits._
+    bpeTrainLoop(docs, merges, textCol)._1
+      .toDF("round", "pair", "n_words", "total_count")
+      .orderBy("round")
+  }
+
+  /** The shared Sennrich trainer loop behind [[bpeTrain]] and
+    * [[bpeCompressionCurve]]: returns the adopted merge rows AND every
+    * intermediate vocabulary state s₀..s_R (each localCheckpointed —
+    * vocab-sized, referenced again by the curve's per-round readout). */
+  private def bpeTrainLoop(
+      docs: DataFrame, merges: Int, textCol: String)
+      : (Seq[(Long, String, Long, Long)], Vector[DataFrame]) = {
+    require(merges >= 1, s"need merges >= 1, got $merges")
     var vocab = docs
       .select(explode(tokens(col(textCol))).as("w"))
       .filter(col("w") =!= "")
       .groupBy("w").agg(count(lit(1)).as("freq"))
       .select(col("w"), col("freq"), split(col("w"), "").as("syms"))
       .localCheckpoint(true)
+    val states = Vector.newBuilder[DataFrame]
+    states += vocab
     val adopted = scala.collection.mutable.ArrayBuffer.empty[(Long, String, Long, Long)]
     var r = 1
     var exhausted = false
@@ -533,11 +682,43 @@ object TextAnalysis {
         vocab = vocab
           .withColumn("syms", bpeMergeOnce(col("syms"), a, b))
           .localCheckpoint(true)
+        states += vocab
       }
       r += 1
     }
-    adopted.toSeq.toDF("round", "pair", "n_words", "total_count")
-      .orderBy("round")
+    (adopted.toSeq, states.result())
+  }
+
+  /** TOKENIZER COMPRESSION CURVE — corpus-level fertility as a function
+    * of merge-table size m = 0..`merges` (the tokens-per-word vs vocab
+    * size plot every tokenizer paper reports, and the artifact that
+    * answers "how many merges does this corpus need"): re-reads each
+    * trainer state s_m ([[bpeTrainLoop]] — segmenting with the first m
+    * merges of a trained table IS state s_m for in-vocabulary words, the
+    * q255 ascending-rank argument) and aggregates frequency-weighted
+    * symbol counts. m = 0 is the character baseline, so the curve starts
+    * at mean word length and decreases toward 1.0 as merges are added.
+    *
+    * Scale shape: the corpus is touched ONCE (the initial word count);
+    * each curve point is one vocabulary-sized aggregate off a
+    * checkpointed state. Output per m: m, n_words (corpus word
+    * occurrences — constant down the curve by construction), n_bpe_tokens
+    * (frequency-weighted symbols under s_m), fertility_ppm (round-half-up
+    * BPE tokens per word). */
+  def bpeCompressionCurve(
+      docs: DataFrame, merges: Int = 3,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val (_, states) = bpeTrainLoop(docs, merges, textCol)
+    states.zipWithIndex.map { case (v, m) =>
+      v.agg(sum("freq").as("n_words"),
+          sum(col("freq") * size(col("syms"))).as("n_bpe_tokens"))
+        .select(lit(m.toLong).as("m"),
+          coalesce(col("n_words"), lit(0L)).as("n_words"),
+          coalesce(col("n_bpe_tokens"), lit(0L)).as("n_bpe_tokens"),
+          when(col("n_words") > 0,
+            expr("(n_bpe_tokens * 2000000 + n_words) div (2 * n_words)"))
+            .as("fertility_ppm"))
+    }.reduce(_ unionByName _).orderBy("m")
   }
 
   /** BPE ENCODER: apply a trained merge table ([[bpeTrain]]'s `pair`

@@ -1,0 +1,68 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+
+import graft.analysis.TextAnalysis
+
+/** Streaming twin of the sequence-packing artifact
+  * ([[graft.analysis.CorpusPrep.packSlots]], the q256/q257 family):
+  * concat-and-chunk packing assigns each document a global token START
+  * offset in ingest order, and the only cross-batch state that assignment
+  * needs is ONE running total — the tokens packed so far. Each micro-batch
+  * counts its documents' tokens as a stateless codegen'd projection
+  * (distributed), then a single-key `mapGroupsWithState` orders the
+  * batch's (doc_id, n_tok) pairs, assigns starts off the running offset,
+  * and advances it. State is one long forever.
+  *
+  * The sequential seam is INHERENT to concat-order packing (window w's
+  * contents depend on every token before it), so the single-key stage is
+  * honest — but it only ever sees id/count PAIRS (batch-sized metadata,
+  * never text), exactly how a production packer assigns offsets. Emitted
+  * spans feed [[graft.analysis.CorpusPrep.packSlotsFromSpans]] /
+  * [[graft.analysis.CorpusPrep.packReportFromSlots]] unchanged, and the
+  * accumulated spans equal the batch rebuild's positions bit-for-bit
+  * (StreamingSketchSpec asserts the report equality across a multi-batch
+  * replay) — the same law q257 gates for the incremental batch path,
+  * because batches are doc-ranges packed at their recorded offsets.
+  *
+  * Replay caveat: unlike the per-doc-independent twins (winnowing), a
+  * duplicated delivery would double-advance the offset — the job this
+  * feeds must sit behind the exactly-once foreachBatch/checkpoint
+  * machinery ([[CuratedStreamJob]]'s), not at-least-once.
+  */
+object StreamingPacking {
+
+  final case class DocSpan(doc_id: Long, n_tok: Long, start: Long)
+
+  /** Global (doc_id, n_tok, start) span rows off an append-mode document
+    * stream, batch rows ordered by doc_id before assignment so replays of
+    * the same batch sequence are deterministic. */
+  def spanStream(
+      docs: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id"): Dataset[DocSpan] = {
+    import docs.sparkSession.implicits._
+    docs
+      .select(col(idCol).cast("long").as("doc_id"),
+        coalesce(size(array_remove(TextAnalysis.tokens(col(textCol)), "")), lit(0))
+          .cast("long").as("n_tok"))
+      .filter(col("n_tok") > 0)
+      .as[(Long, Long)]
+      .groupByKey(_ => 0)
+      .flatMapGroupsWithState[Long, DocSpan](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.NoTimeout())(
+        (_, rows, state: GroupState[Long]) => {
+          var off = state.getOption.getOrElse(0L)
+          val out = rows.toArray.sortBy(_._1).map { case (id, n) =>
+            val s = off
+            off += n
+            DocSpan(id, n, s)
+          }
+          state.update(off)
+          out.iterator
+        })
+  }
+}

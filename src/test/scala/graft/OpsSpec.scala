@@ -509,4 +509,35 @@ class OpsSpec extends SparkSpec {
     assert(out("b") === ((6L, 1L, false, true)))
     assert(out("c") === ((5L, 3L, false, false)))
   }
+
+  test("sequence packing: hand-computed occupancy histogram; empty docs occupy no window") {
+    // ctx=4, token stream a b c | d e | f g h i j (starts 0, 3, 5):
+    //  w0 = [a b c d]  docs {1 start, 2 start}  -> n_docs 2, starts 2, split 1 (doc 2)
+    //  w1 = [e f g h]  docs {2 cont, 3 start}   -> n_docs 2, starts 1, split 2
+    //  w2 = [i j]      docs {3 cont}            -> n_docs 1, starts 0, split 1
+    val docs = Seq((1L, "a b c"), (2L, "d e"), (3L, "f g h i j"), (4L, ""))
+      .toDF("doc_id", "text")
+    val out = graft.analysis.CorpusPrep.sequencePack(docs, ctxTokens = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq === Seq((1L, 1L, 0L, 1L), (2L, 2L, 3L, 3L)))
+  }
+
+  test("sequence packing increment law: doc-range artifacts merged by window addition equal the rebuild") {
+    val docs = Seq((1L, "a b c"), (2L, "d e"), (3L, "f g h i j"))
+      .toDF("doc_id", "text")
+    val old = docs.filter(col("doc_id") <= 2)
+    val fresh = docs.filter(col("doc_id") > 2)
+    val off = Seq(5L).toDF("tok_offset") // old batch's token total
+    val merged = graft.analysis.CorpusPrep.packReportFromSlots(
+        graft.analysis.CorpusPrep.packMergeSlots(
+          graft.analysis.CorpusPrep.packSlots(old, ctxTokens = 4),
+          graft.analysis.CorpusPrep.packSlots(fresh, ctxTokens = 4,
+            tokenOffset = Some(off))))
+      .collect().map(_.toSeq)
+    val rebuilt = graft.analysis.CorpusPrep.sequencePack(docs, ctxTokens = 4)
+      .collect().map(_.toSeq)
+    // the seam window w1 carries doc 2's tail from the old artifact AND
+    // doc 3's start from the fresh one — addition is exact there
+    assert(merged.toSeq === rebuilt.toSeq)
+  }
 }

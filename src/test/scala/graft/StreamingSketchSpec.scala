@@ -582,4 +582,41 @@ class StreamingSketchSpec extends SparkSpec {
       assert(acc.toMap === batch) // additive merge is exact, not approximate
     } finally q.stop()
   }
+
+  test("streaming packing spans across micro-batches equal the batch offsets; report reconciles") {
+    import graft.streaming.StreamingPacking
+    import graft.streaming.StreamingPacking.DocSpan
+    import graft.analysis.CorpusPrep
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)](spark)
+    val spans = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+    val q = StreamingPacking.spanStream(input.toDS().toDF("doc_id", "text"))
+      .writeStream
+      .foreachBatch { (ds: org.apache.spark.sql.Dataset[DocSpan], _: Long) =>
+        spans.synchronized {
+          spans ++= ds.collect().map(s => (s.doc_id, s.n_tok, s.start)); ()
+        }
+      }
+      .outputMode("append").start()
+    val b1 = Seq((1L, "a b c"), (2L, "d e"))
+    val b2 = Seq((3L, "f g h i j"), (4L, "")) // empty doc emits no span
+    try {
+      input.addData(b1: _*)
+      q.processAllAvailable()
+      input.addData(b2: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    // one long of state carried the offset across batches: doc 3 starts
+    // at 5, exactly where the batch cumsum over the union puts it
+    assert(spans.toSet === Set((1L, 3L, 0L), (2L, 2L, 3L), (3L, 5L, 5L)))
+    // the report off the streamed spans equals the batch rebuild
+    val streamed = CorpusPrep.packReportFromSlots(
+        CorpusPrep.packSlotsFromSpans(
+          spans.toSeq.toDF("doc_id", "n_tok", "start"), ctxTokens = 4))
+      .collect().map(_.toSeq)
+    val rebuilt = CorpusPrep.sequencePack(
+        (b1 ++ b2).toDF("doc_id", "text"), ctxTokens = 4)
+      .collect().map(_.toSeq)
+    assert(streamed.toSeq === rebuilt.toSeq)
+  }
 }

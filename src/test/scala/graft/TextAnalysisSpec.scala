@@ -665,4 +665,56 @@ class TextAnalysisSpec extends SparkSpec {
       (2L, "aa aa", 1L, 2L)))
   }
 
+  test("kneser-ney bigram: hand-computed interpolated scores, backoff tiers, doc spine") {
+    // train "a b a b a c": c12 = {ab:2, ba:2, ac:1}; c1(a)=3 n1p(a)=2,
+    // c1(b)=2 n1p(b)=1; nc(a)=nc(b)=nc(c)=1; npp=3. Eval "a b c a d":
+    //  (a,b) -> [max(8-3,0)*3 + 3*2*1] / (4*3*3) = 21/36 -> 583333333 ppb
+    //  (b,c) -> [0 + 3*1*1] / (4*2*3)            =  3/24 -> 125000000
+    //  (c,a) -> unseen history: nc(a)/npp          =  1/3  -> 333333333
+    //  (a,d) -> nc(d)=0                           =  0
+    // sum 1041666666, mean over 4 = 260416666.5 -> half-up 260416667
+    val train = Seq((1L, "a b a b a c")).toDF("doc_id", "text")
+    val ev = Seq((10L, "a b c a d"), (11L, "z")).toDF("doc_id", "text")
+    val out = graft.analysis.TextAnalysis.kneserNeyBigram(train, ev)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3)))
+    assert(out.toSeq === Seq((10L, 4L, 1L, 260416667L), (11L, 0L, 0L, -1L)))
+  }
+
+  test("rouge-2: clipped overlap rewards repetition only up to the reference count") {
+    // cand "the cat sat on the cat": bigrams {the cat:2, cat sat, sat on,
+    // on the} (c=5); ref "the cat sat on the mat" (r=5); clipped overlap
+    // min-counts: the cat->1, cat sat->1, sat on->1, on the->1 (o=4):
+    // P=R=4/5, F1=2*4/10 -> all 800000 ppm. Empty cand -> p null, r/f1 0.
+    val pairs = Seq(
+      (0L, "the cat sat on the cat", "the cat sat on the mat"),
+      (2L, "", "x y")).toDF("pair_id", "cand", "ref")
+    val out = graft.analysis.TextAnalysis.rougeN(pairs, n = 2)
+      .orderBy("pair_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        if (r.isNullAt(4)) -1L else r.getLong(4),
+        if (r.isNullAt(5)) -1L else r.getLong(5),
+        if (r.isNullAt(6)) -1L else r.getLong(6)))
+    assert(out.toSeq === Seq(
+      (0L, 5L, 5L, 4L, 800000L, 800000L, 800000L),
+      (2L, 0L, 1L, 0L, -1L, 0L, 0L)))
+  }
+
+  test("bpe compression curve: fertility descends the trained merge table") {
+    // corpus "aaa aaa ab" (aaa freq 2, ab freq 1), n_words = 3:
+    //  m=0: chars            -> n_bpe = 2*3+2 = 8 -> 8/3  = 2666667 ppm
+    //  m=1: adopt "a a"      -> aaa=[aa,a]: 2*2+2 = 6 -> 2000000
+    //  m=2: adopt "aa a"     -> aaa=[aaa]:  2*1+2 = 4 -> 1333333
+    //  m=3: adopt "a b"      -> ab=[ab]:    2*1+1 = 3 -> 1000000
+    val docs = Seq((1L, "aaa aaa ab")).toDF("doc_id", "text")
+    val out = graft.analysis.TextAnalysis.bpeCompressionCurve(docs, merges = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq === Seq(
+      (0L, 3L, 8L, 2666667L),
+      (1L, 3L, 6L, 2000000L),
+      (2L, 3L, 4L, 1333333L),
+      (3L, 3L, 3L, 1000000L)))
+  }
+
 }
