@@ -916,6 +916,43 @@ object SparkEntry {
     "q260_bpe_compression" -> { (s, d) =>
       TextAnalysis.bpeCompressionCurve(TestData.documents(s, d), merges = 3)
     },
+    // LAW gate: the KN bigram-count model is the ONLY state the scorer
+    // needs, and it merges across doc-id-split train shards by per-bigram
+    // addition — the merged model's readout must equal q258's
+    // whole-corpus rebuild (oracle IS q258's SQL); the Brants/KenLM
+    // sharded-counting shape
+    "q261_kn_model_increment" -> { (s, d) =>
+      val docs = TestData.documents(s, d)
+      val train = docs.filter(col("doc_id") % 17 =!= 0)
+      TextAnalysis.kneserNeyFromModel(
+          TextAnalysis.kneserNeyMergeModels(
+            TextAnalysis.kneserNeyModel(train.filter(col("doc_id") % 2 === 0)),
+            TextAnalysis.kneserNeyModel(train.filter(col("doc_id") % 2 =!= 0))),
+          docs.filter(col("doc_id") % 17 === 0))
+        .orderBy("doc_id")
+    },
+    // LAW gate: BM25's corpus stats 〈n, Σdl, per-term df〉 are one exact
+    // integer row per shard, merged columnwise by addition — the merged
+    // artifact's scoring must equal q177's whole-corpus rebuild (oracle
+    // IS q177's SQL); how a sharded search index refreshes its globals
+    "q262_bm25_increment" -> { (s, d) =>
+      val docs = TestData.documents(s, d)
+      val terms = Seq("spark", "query", "hash")
+      graft.analysis.SearchRank.bm25FromStats(docs,
+        graft.analysis.SearchRank.bm25MergeStats(
+          graft.analysis.SearchRank.bm25StatsArtifact(
+            docs.filter(col("doc_id") % 2 === 0), terms),
+          graft.analysis.SearchRank.bm25StatsArtifact(
+            docs.filter(col("doc_id") % 2 =!= 0), terms)),
+        terms, k = 20)
+    },
+    // per-source concat-and-chunk packing: q256's chain with the prefix
+    // sum PARTITIONED by source (domain shards never share a window — the
+    // multi-domain pretraining layout); hash-sharded window, no
+    // single-partition risk
+    "q263_sequence_pack_by_source" -> { (s, d) =>
+      CorpusPrep.sequencePackByGroup(TestData.documents(s, d), ctxTokens = 256)
+    },
     // Fleiss' kappa over a 3-heuristic annotation panel (length band,
     // lexical-diversity band, stopword band — each a pure INTEGER
     // cross-multiplied comparison, so no rater decision can flip across
@@ -3567,6 +3604,90 @@ object SparkEntry {
        |  CAST(sum(n_starts) AS BIGINT) AS n_starts,
        |  CAST(sum(n_split) AS BIGINT) AS n_split_slots
        |FROM win GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** q258's oracle (and q261's verbatim — the KN model increment is a LAW
+    * gate: shard-counted c12 merged by addition ≡ rebuild): interpolated
+    * Kneser–Ney with D = 3/4 — every score a ratio of exact integer
+    * counts, ppb-quantized in HUGEINT; unseen history backs off to the
+    * continuation distribution. */
+  private def kneserNeySql: String =
+    """WITH toks AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')), ' '), x -> x <> '') AS t
+      |  FROM documents),
+      |tb AS (
+      |  SELECT doc_id, t[CAST(i + 1 AS INT)] AS w1, t[CAST(i + 2 AS INT)] AS w2
+      |  FROM (SELECT doc_id, t, unnest(range(len(t) - 1)) AS i
+      |        FROM toks WHERE len(t) >= 2)),
+      |c12 AS MATERIALIZED (
+      |  SELECT w1, w2, count(*) AS c12 FROM tb WHERE doc_id % 17 <> 0
+      |  GROUP BY 1, 2),
+      |c1 AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1, count(*) AS n1p
+      |       FROM c12 GROUP BY 1),
+      |ncw AS (SELECT w2, count(*) AS nc FROM c12 GROUP BY 1),
+      |npp AS (SELECT count(*) AS npp FROM c12),
+      |sc AS (
+      |  SELECT tb.doc_id,
+      |    CASE WHEN c12.c12 IS NOT NULL THEN 1 ELSE 0 END AS hit,
+      |    CASE WHEN c1.c1 IS NOT NULL
+      |      THEN CAST(greatest(4 * COALESCE(c12.c12, 0) - 3, 0) AS HUGEINT) * npp.npp
+      |           + 3 * CAST(COALESCE(c1.n1p, 0) AS HUGEINT) * COALESCE(ncw.nc, 0)
+      |      ELSE CAST(COALESCE(ncw.nc, 0) AS HUGEINT) END AS num,
+      |    CASE WHEN c1.c1 IS NOT NULL THEN 4 * CAST(c1.c1 AS HUGEINT) * npp.npp
+      |      ELSE CAST(npp.npp AS HUGEINT) END AS den,
+      |    npp.npp AS npp
+      |  FROM tb
+      |  LEFT JOIN c12 USING (w1, w2) LEFT JOIN c1 USING (w1)
+      |  LEFT JOIN ncw USING (w2) CROSS JOIN npp
+      |  WHERE tb.doc_id % 17 = 0),
+      |agg AS (
+      |  SELECT doc_id, count(*) AS n_bigrams, CAST(sum(hit) AS BIGINT) AS n_hits,
+      |    CAST(sum(CASE WHEN npp > 0
+      |      THEN (num * 2000000000 + den) // (2 * den) ELSE 0 END) AS BIGINT) AS s
+      |  FROM sc GROUP BY 1)
+      |SELECT d.doc_id,
+      |  COALESCE(agg.n_bigrams, 0) AS n_bigrams,
+      |  COALESCE(agg.n_hits, 0) AS n_hits,
+      |  CASE WHEN COALESCE(agg.n_bigrams, 0) > 0
+      |    THEN CAST((CAST(s AS HUGEINT) * 2 + n_bigrams) // (2 * n_bigrams) AS BIGINT)
+      |  END AS mean_score_ppb
+      |FROM (SELECT doc_id FROM documents WHERE doc_id % 17 = 0) d
+      |LEFT JOIN agg USING (doc_id)
+      |ORDER BY doc_id""".stripMargin
+
+  /** q177's oracle (and q262's verbatim — the BM25 stats increment is a
+    * LAW gate: shard-counted 〈n, Σdl, df〉 merged by addition ≡ rebuild):
+    * Okapi BM25 with the Lucene +1 idf, k1 = 1.2, b = 0.75. */
+  private def bm25Sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id,
+      |    string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')), ' ') AS t
+      |  FROM documents),
+      |stats AS (SELECT
+      |  (SELECT count(*) FROM documents) AS n,
+      |  (SELECT sum(CAST(len(list_filter(t, x -> x <> '')) AS DOUBLE)) FROM toks)
+      |    / (SELECT count(*) FROM toks) AS avgdl,
+      |  (SELECT count(*) FROM toks WHERE list_contains(list_distinct(t), 'spark')) AS df_spark,
+      |  (SELECT count(*) FROM toks WHERE list_contains(list_distinct(t), 'query')) AS df_query,
+      |  (SELECT count(*) FROM toks WHERE list_contains(list_distinct(t), 'hash')) AS df_hash),
+      |scored AS (
+      |  SELECT doc_id,
+      |    round(
+      |      ln((n - df_spark + 0.5) / (df_spark + 0.5) + 1.0::DOUBLE)
+      |        * (CAST(len(list_filter(t, x -> x = 'spark')) AS DOUBLE) * 2.2::DOUBLE)
+      |        / (CAST(len(list_filter(t, x -> x = 'spark')) AS DOUBLE)
+      |           + 1.2::DOUBLE * ((1.0::DOUBLE - 0.75::DOUBLE) + 0.75::DOUBLE * CAST(len(list_filter(t, x -> x <> '')) AS DOUBLE) / avgdl))
+      |      + ln((n - df_query + 0.5) / (df_query + 0.5) + 1.0::DOUBLE)
+      |        * (CAST(len(list_filter(t, x -> x = 'query')) AS DOUBLE) * 2.2::DOUBLE)
+      |        / (CAST(len(list_filter(t, x -> x = 'query')) AS DOUBLE)
+      |           + 1.2::DOUBLE * ((1.0::DOUBLE - 0.75::DOUBLE) + 0.75::DOUBLE * CAST(len(list_filter(t, x -> x <> '')) AS DOUBLE) / avgdl))
+      |      + ln((n - df_hash + 0.5) / (df_hash + 0.5) + 1.0::DOUBLE)
+      |        * (CAST(len(list_filter(t, x -> x = 'hash')) AS DOUBLE) * 2.2::DOUBLE)
+      |        / (CAST(len(list_filter(t, x -> x = 'hash')) AS DOUBLE)
+      |           + 1.2::DOUBLE * ((1.0::DOUBLE - 0.75::DOUBLE) + 0.75::DOUBLE * CAST(len(list_filter(t, x -> x <> '')) AS DOUBLE) / avgdl)), 4) AS score
+      |  FROM toks CROSS JOIN stats)
+      |SELECT doc_id, score FROM scored WHERE score > 0
+      |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
 
   /** q260's oracle: the q252 training chain (s₀..s_R MATERIALIZED), then
     * one frequency-weighted fertility readout per vocabulary state. */
@@ -7365,50 +7486,39 @@ object SparkEntry {
     "q257_sequence_pack_increment" -> sequencePackSql(ctx = 256),
     // interpolated KN with D = 3/4: continuation counts off the train
     // slice, the exact-rational score ppb-quantized in HUGEINT
-    "q258_kneser_ney" ->
+    "q258_kneser_ney" -> kneserNeySql,
+    // LAW gates: the KN bigram-count model from doc-id-split train shards
+    // merged by addition, and the BM25 corpus-stats row from the same
+    // split merged columnwise, must reproduce the whole-corpus readouts —
+    // the oracles ARE q258's and q177's SQL verbatim
+    "q261_kn_model_increment" -> kneserNeySql,
+    "q262_bm25_increment" -> bm25Sql,
+    // per-source concat-and-chunk packing: the q256 chain with the prefix
+    // sum partitioned by source (domain shards never share a window)
+    "q263_sequence_pack_by_source" ->
       """WITH toks AS (
-        |  SELECT doc_id,
-        |    list_filter(string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')), ' '), x -> x <> '') AS t
+        |  SELECT source, doc_id,
+        |    CAST(len(list_filter(string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')), ' '), x -> x <> '')) AS BIGINT) AS n_tok
         |  FROM documents),
-        |tb AS (
-        |  SELECT doc_id, t[CAST(i + 1 AS INT)] AS w1, t[CAST(i + 2 AS INT)] AS w2
-        |  FROM (SELECT doc_id, t, unnest(range(len(t) - 1)) AS i
-        |        FROM toks WHERE len(t) >= 2)),
-        |c12 AS MATERIALIZED (
-        |  SELECT w1, w2, count(*) AS c12 FROM tb WHERE doc_id % 17 <> 0
-        |  GROUP BY 1, 2),
-        |c1 AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1, count(*) AS n1p
-        |       FROM c12 GROUP BY 1),
-        |ncw AS (SELECT w2, count(*) AS nc FROM c12 GROUP BY 1),
-        |npp AS (SELECT count(*) AS npp FROM c12),
-        |sc AS (
-        |  SELECT tb.doc_id,
-        |    CASE WHEN c12.c12 IS NOT NULL THEN 1 ELSE 0 END AS hit,
-        |    CASE WHEN c1.c1 IS NOT NULL
-        |      THEN CAST(greatest(4 * COALESCE(c12.c12, 0) - 3, 0) AS HUGEINT) * npp.npp
-        |           + 3 * CAST(COALESCE(c1.n1p, 0) AS HUGEINT) * COALESCE(ncw.nc, 0)
-        |      ELSE CAST(COALESCE(ncw.nc, 0) AS HUGEINT) END AS num,
-        |    CASE WHEN c1.c1 IS NOT NULL THEN 4 * CAST(c1.c1 AS HUGEINT) * npp.npp
-        |      ELSE CAST(npp.npp AS HUGEINT) END AS den,
-        |    npp.npp AS npp
-        |  FROM tb
-        |  LEFT JOIN c12 USING (w1, w2) LEFT JOIN c1 USING (w1)
-        |  LEFT JOIN ncw USING (w2) CROSS JOIN npp
-        |  WHERE tb.doc_id % 17 = 0),
-        |agg AS (
-        |  SELECT doc_id, count(*) AS n_bigrams, CAST(sum(hit) AS BIGINT) AS n_hits,
-        |    CAST(sum(CASE WHEN npp > 0
-        |      THEN (num * 2000000000 + den) // (2 * den) ELSE 0 END) AS BIGINT) AS s
-        |  FROM sc GROUP BY 1)
-        |SELECT d.doc_id,
-        |  COALESCE(agg.n_bigrams, 0) AS n_bigrams,
-        |  COALESCE(agg.n_hits, 0) AS n_hits,
-        |  CASE WHEN COALESCE(agg.n_bigrams, 0) > 0
-        |    THEN CAST((CAST(s AS HUGEINT) * 2 + n_bigrams) // (2 * n_bigrams) AS BIGINT)
-        |  END AS mean_score_ppb
-        |FROM (SELECT doc_id FROM documents WHERE doc_id % 17 = 0) d
-        |LEFT JOIN agg USING (doc_id)
-        |ORDER BY doc_id""".stripMargin,
+        |cum AS (
+        |  SELECT source, n_tok,
+        |    CAST(SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS c
+        |  FROM toks WHERE n_tok > 0),
+        |spans AS (
+        |  SELECT source, (c - n_tok) // 256 AS fw, (c - 1) // 256 AS lw FROM cum),
+        |slots AS (
+        |  SELECT source, unnest(range(fw, lw + 1)) AS window_id, fw, lw > fw AS sp
+        |  FROM spans),
+        |win AS (
+        |  SELECT source, window_id, count(*) AS n_docs,
+        |    CAST(sum(CASE WHEN window_id = fw THEN 1 ELSE 0 END) AS BIGINT) AS n_starts,
+        |    CAST(sum(CASE WHEN sp THEN 1 ELSE 0 END) AS BIGINT) AS n_split
+        |  FROM slots GROUP BY 1, 2)
+        |SELECT source, n_docs AS docs_in_window, count(*) AS n_windows,
+        |  CAST(sum(n_starts) AS BIGINT) AS n_starts,
+        |  CAST(sum(n_split) AS BIGINT) AS n_split_slots
+        |FROM win GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // per-pair clipped bigram counts: side totals + inner-join overlap,
     // everything anchored on the pair spine (no FULL OUTER — the q180
     // lesson)
@@ -7594,36 +7704,7 @@ object SparkEntry {
         |FROM calc""".stripMargin,
     // q27's stats subqueries + avgdl; per-term Lucene-idf BM25 terms
     // summed in fixed order
-    "q177_bm25" ->
-      """WITH toks AS (
-        |  SELECT doc_id,
-        |    string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')), ' ') AS t
-        |  FROM documents),
-        |stats AS (SELECT
-        |  (SELECT count(*) FROM documents) AS n,
-        |  (SELECT sum(CAST(len(list_filter(t, x -> x <> '')) AS DOUBLE)) FROM toks)
-        |    / (SELECT count(*) FROM toks) AS avgdl,
-        |  (SELECT count(*) FROM toks WHERE list_contains(list_distinct(t), 'spark')) AS df_spark,
-        |  (SELECT count(*) FROM toks WHERE list_contains(list_distinct(t), 'query')) AS df_query,
-        |  (SELECT count(*) FROM toks WHERE list_contains(list_distinct(t), 'hash')) AS df_hash),
-        |scored AS (
-        |  SELECT doc_id,
-        |    round(
-        |      ln((n - df_spark + 0.5) / (df_spark + 0.5) + 1.0::DOUBLE)
-        |        * (CAST(len(list_filter(t, x -> x = 'spark')) AS DOUBLE) * 2.2::DOUBLE)
-        |        / (CAST(len(list_filter(t, x -> x = 'spark')) AS DOUBLE)
-        |           + 1.2::DOUBLE * ((1.0::DOUBLE - 0.75::DOUBLE) + 0.75::DOUBLE * CAST(len(list_filter(t, x -> x <> '')) AS DOUBLE) / avgdl))
-        |      + ln((n - df_query + 0.5) / (df_query + 0.5) + 1.0::DOUBLE)
-        |        * (CAST(len(list_filter(t, x -> x = 'query')) AS DOUBLE) * 2.2::DOUBLE)
-        |        / (CAST(len(list_filter(t, x -> x = 'query')) AS DOUBLE)
-        |           + 1.2::DOUBLE * ((1.0::DOUBLE - 0.75::DOUBLE) + 0.75::DOUBLE * CAST(len(list_filter(t, x -> x <> '')) AS DOUBLE) / avgdl))
-        |      + ln((n - df_hash + 0.5) / (df_hash + 0.5) + 1.0::DOUBLE)
-        |        * (CAST(len(list_filter(t, x -> x = 'hash')) AS DOUBLE) * 2.2::DOUBLE)
-        |        / (CAST(len(list_filter(t, x -> x = 'hash')) AS DOUBLE)
-        |           + 1.2::DOUBLE * ((1.0::DOUBLE - 0.75::DOUBLE) + 0.75::DOUBLE * CAST(len(list_filter(t, x -> x <> '')) AS DOUBLE) / avgdl)), 4) AS score
-        |  FROM toks CROSS JOIN stats)
-        |SELECT doc_id, score FROM scored WHERE score > 0
-        |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+    "q177_bm25" -> bm25Sql,
     // integer prefix counts -> two constant log increments; min-struct
     // first crossing, end-of-data fallback
     "q176_sprt" ->

@@ -779,6 +779,53 @@ object CorpusPrep {
       .agg(sum("n_docs").as("n_docs"), sum("n_starts").as("n_starts"),
         sum("n_split").as("n_split"))
 
+  /** Per-GROUP sequence packing — [[sequencePack]] sharded by a grouping
+    * column (source/domain/language): each group concatenates its own
+    * token stream into its own context windows, the way multi-domain
+    * pretraining actually packs (domain shards never share a window, so
+    * no attention mask ever spans domains). Output is the occupancy
+    * histogram PER GROUP.
+    *
+    * Scale shape: the prefix sum here is a window PARTITIONED BY the
+    * group (hash-sharded — no single-partition risk, unlike a global
+    * orderBy window), so the operator costs one shuffle on the group key
+    * plus the same span explode/aggregates as [[sequencePack]]. Caveat: a
+    * pathological mega-group serializes its own window into one task — at
+    * that grain, pack the group alone via [[packSlots]]'s
+    * distributedCumSum path instead. */
+  def sequencePackByGroup(
+      docs: DataFrame,
+      ctxTokens: Int = 256,
+      groupCol: String = "source",
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(ctxTokens >= 1, s"need ctxTokens >= 1, got $ctxTokens")
+    val w = Window.partitionBy(groupCol).orderBy(idCol)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val spans = docs
+      .select(col(groupCol), col(idCol),
+        coalesce(size(array_remove(TextAnalysis.tokens(col(textCol)), "")), lit(0))
+          .cast("long").as("n_tok"))
+      .filter(col("n_tok") > 0)
+      .withColumn("cum", sum("n_tok").over(w))
+      .select(col(groupCol),
+        expr(s"(cum - n_tok) div $ctxTokens").as("fw"),
+        expr(s"(cum - 1) div $ctxTokens").as("lw"))
+    spans
+      .select(col(groupCol),
+        explode(sequence(col("fw"), col("lw"))).as("window_id"),
+        col("fw"), (col("lw") > col("fw")).as("split"))
+      .groupBy(groupCol, "window_id")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("window_id") === col("fw"), 1L).otherwise(0L)).as("n_starts"),
+        sum(when(col("split"), 1L).otherwise(0L)).as("n_split"))
+      .groupBy(col(groupCol), col("n_docs").as("docs_in_window"))
+      .agg(count(lit(1)).as("n_windows"), sum("n_starts").as("n_starts"),
+        sum(col("n_split")).as("n_split_slots"))
+      .orderBy(groupCol, "docs_in_window")
+  }
+
   /** Readout half of [[sequencePack]]: the occupancy histogram from a
     * (possibly merged) slots artifact. */
   def packReportFromSlots(slots: DataFrame): DataFrame =

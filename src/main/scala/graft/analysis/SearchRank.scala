@@ -82,14 +82,55 @@ object SearchRank {
       k1: Double = 1.2,
       b: Double = 0.75,
       textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame =
+    bm25FromStats(docs, bm25StatsArtifact(docs, terms, textCol),
+      terms, k, k1, b, textCol, idCol)
+
+  /** [[bm25]]'s MERGEABLE corpus-stats artifact: ONE row of exact
+    * integers 〈n, tdl, df_<term>…〉 — doc count, total token length, and
+    * per-term document frequencies, i.e. everything the scorer derives
+    * its idf and avgdl from. Additive across disjoint document slices
+    * ([[bm25MergeStats]]), so a sharded index refresh counts only its new
+    * shard and merges — the law q262 gates against the whole-corpus
+    * rebuild. One aggregate pass (tokenize once, emit all counts). */
+  def bm25StatsArtifact(
+      docs: DataFrame, terms: Seq[String], textCol: String = "text"): DataFrame = {
+    require(terms.nonEmpty)
+    val toks = TextAnalysis.tokens(col(textCol))
+    val toksD = array_distinct(toks)
+    val dl = coalesce(size(array_remove(toks, "")), lit(0)).cast("long")
+    val aggs = count(lit(1)).as("n") +: sum(dl).as("tdl") +:
+      terms.map(t => sum(when(array_contains(toksD, t), 1L).otherwise(0L))
+        .as(s"df_$t"))
+    docs.agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Merge per-slice BM25 stats artifacts by columnwise addition. */
+  def bm25MergeStats(artifacts: DataFrame*): DataFrame = {
+    val u = artifacts.reduce(_ unionByName _)
+    val sums = u.columns.map(c => sum(col(c)).as(c))
+    u.agg(sums.head, sums.tail: _*)
+  }
+
+  /** Scoring half of [[bm25]] off a (possibly merged) stats artifact —
+    * the 1-row artifact collects to plan literals (the codebook pattern)
+    * and scoring stays one codegen'd projection + TakeOrdered. */
+  def bm25FromStats(
+      docs: DataFrame,
+      stats: DataFrame,
+      terms: Seq[String],
+      k: Int = 20,
+      k1: Double = 1.2,
+      b: Double = 0.75,
+      textCol: String = "text",
       idCol: String = "doc_id"): DataFrame = {
     require(terms.nonEmpty)
-    val (n, dfs) = corpusStats(docs, terms, textCol)
-    val dlCol = coalesce(size(array_remove(TextAnalysis.tokens(col(textCol)), "")), lit(0))
-    val avgdl = docs.agg(
-        sum(dlCol.cast(DoubleType)).as("tt"), count(lit(1)).as("nd"))
-      .select((col("tt") / col("nd")).as("avgdl"))
-      .collect().head.getDouble(0)
+    val row = stats.collect().head
+    val n = row.getAs[Long]("n")
+    val dfs = terms.map(t => t -> row.getAs[Long](s"df_$t")).toMap
+    // exact-integer Σdl to double, then one IEEE division — identical to
+    // the previous double-summed aggregate for any Σdl < 2^53
+    val avgdl = row.getAs[Long]("tdl").toDouble / n
     val toks = TextAnalysis.tokens(col(textCol))
     val score: Column = element_at(
       transform(array(toks), tks => {

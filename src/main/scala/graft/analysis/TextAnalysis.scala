@@ -474,16 +474,48 @@ object TextAnalysis {
     * bigrams). */
   def kneserNeyBigram(
       train: DataFrame, evalDocs: DataFrame,
-      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
-    def arr(df: DataFrame) =
-      df.select(col(idCol), array_remove(tokens(col(textCol)), "").as("t"))
-    def bigrams(df: DataFrame) = arr(df).filter(size(col("t")) >= 2)
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    kneserNeyFromModel(kneserNeyModel(train, textCol, idCol), evalDocs,
+      textCol, idCol)
+
+  /** [[kneserNeyBigram]]'s MERGEABLE model artifact: the exact bigram
+    * count table 〈w1, w2, c12〉 — the ONLY state KN needs (history counts,
+    * continuation counts, and the normalizer all derive from it), and it
+    * merges across disjoint training slices by per-bigram ADDITION
+    * ([[kneserNeyMergeModels]]). q261 gates the law: shard-counted models
+    * merged then read out ≡ the whole-corpus rebuild — how n-gram LM
+    * counting actually shards at scale (the Brants et al. / KenLM
+    * map-reduce shape). */
+  def kneserNeyModel(
+      train: DataFrame,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    docBigrams(train, textCol, idCol)
+      .groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+
+  /** Merge per-slice KN models by per-bigram addition. */
+  def kneserNeyMergeModels(models: DataFrame*): DataFrame =
+    models.reduce(_ unionByName _)
+      .groupBy("w1", "w2").agg(sum("c12").as("c12"))
+
+  /** Per-doc bigram stream 〈idCol, w1, w2〉 (shared by the KN model and
+    * its scorer). */
+  private def docBigrams(
+      df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.select(col(idCol), array_remove(tokens(col(textCol)), "").as("t"))
+      .filter(size(col("t")) >= 2)
       .select(col(idCol),
         explode(transform(sequence(lit(0), size(col("t")) - 2),
           i => struct(element_at(col("t"), i + 1).as("w1"),
             element_at(col("t"), i + 2).as("w2")))).as("b"))
       .select(col(idCol), col("b.w1").as("w1"), col("b.w2").as("w2"))
-    val c12 = bigrams(train).groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+
+  /** Readout half of [[kneserNeyBigram]]: scoring off a (possibly merged)
+    * model artifact. */
+  def kneserNeyFromModel(
+      model: DataFrame, evalDocs: DataFrame,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    def bigrams(df: DataFrame) = docBigrams(df, textCol, idCol)
+    val c12 = model
       .localCheckpoint(true) // feeds c1, n1pW1, ncW2, npp AND the score join
     val c1 = c12.groupBy("w1")
       .agg(sum("c12").as("c1"), count(lit(1)).as("n1p"))

@@ -540,4 +540,19 @@ class OpsSpec extends SparkSpec {
     // doc 3's start from the fresh one — addition is exact there
     assert(merged.toSeq === rebuilt.toSeq)
   }
+
+  test("per-source sequence packing: each group packs its own windows from token zero") {
+    // source A streams a b c | f g h i j (starts 0, 3; ctx 4):
+    //   w0 {1 start, 3 start} -> (2 docs, 2 starts, 1 split)
+    //   w1 {3 cont}           -> (1 doc, 0 starts, 1 split)
+    // source B streams d e alone -> w0 (1 doc, 1 start, 0 split)
+    val docs = Seq(
+      (1L, "A", "a b c"), (2L, "B", "d e"), (3L, "A", "f g h i j"))
+      .toDF("doc_id", "source", "text")
+    val out = graft.analysis.CorpusPrep.sequencePackByGroup(docs, ctxTokens = 4)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(out.toSeq === Seq(
+      ("A", 1L, 1L, 0L, 1L), ("A", 2L, 1L, 2L, 1L), ("B", 1L, 1L, 1L, 0L)))
+  }
 }

@@ -139,4 +139,29 @@ class SearchRankSpec extends SparkSpec {
         .collect().last.getAs[Long]("rbo_cum_micro")
     assert(rbo(swapped(1, 2)) < rbo(swapped(9, 10)))
   }
+
+  test("bm25 stats increment: shard artifacts merged by addition score like the rebuild") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "spark spark query engine"),
+      (2L, "hash join plan"),
+      (3L, "query planner hash"),
+      (4L, "totally unrelated words here")).toDF("doc_id", "text")
+    val terms = Seq("spark", "query", "hash")
+    val merged = SearchRank.bm25FromStats(docs,
+        SearchRank.bm25MergeStats(
+          SearchRank.bm25StatsArtifact(docs.filter("doc_id <= 2"), terms),
+          SearchRank.bm25StatsArtifact(docs.filter("doc_id > 2"), terms)),
+        terms, k = 10)
+      .collect().map(_.toSeq)
+    val rebuilt = SearchRank.bm25(docs, terms, k = 10).collect().map(_.toSeq)
+    assert(merged.toSeq === rebuilt.toSeq)
+    // the artifact really is one exact-integer row
+    val art = SearchRank.bm25StatsArtifact(docs, terms).collect()
+    assert(art.length === 1)
+    val r = art.head
+    assert(r.getAs[Long]("n") === 4L && r.getAs[Long]("tdl") === 14L &&
+      r.getAs[Long]("df_spark") === 1L && r.getAs[Long]("df_query") === 2L &&
+      r.getAs[Long]("df_hash") === 2L)
+  }
 }

@@ -619,4 +619,33 @@ class StreamingSketchSpec extends SparkSpec {
       .collect().map(_.toSeq)
     assert(streamed.toSeq === rebuilt.toSeq)
   }
+
+  test("kn bigram model accumulated across micro-batches equals the batch model of the union") {
+    import graft.analysis.TextAnalysis
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)](spark)
+    // c12 counts merge by ADDITION — the streaming artifact is a running
+    // per-(w1, w2) sum, exactly what kneserNeyFromModel consumes
+    val acc = scala.collection.mutable.Map.empty[(String, String), Long]
+    val q = input.toDS().toDF("doc_id", "text")
+      .writeStream
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        TextAnalysis.kneserNeyModel(df).collect().foreach { r =>
+          val k = (r.getString(0), r.getString(1))
+          acc(k) = acc.getOrElse(k, 0L) + r.getLong(2)
+        }
+      }
+      .outputMode("append").start()
+    val b1 = Seq((1L, "a b a b a c"))
+    val b2 = Seq((2L, "b a c a"), (3L, "a b"))
+    try {
+      input.addData(b1: _*)
+      q.processAllAvailable()
+      input.addData(b2: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val batch = TextAnalysis.kneserNeyModel((b1 ++ b2).toDF("doc_id", "text"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(acc.toMap === batch)
+  }
 }

@@ -682,6 +682,20 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out.toSeq === Seq((10L, 4L, 1L, 260416667L), (11L, 0L, 0L, -1L)))
   }
 
+  test("kneser-ney model increment: shard-counted c12 merged by addition reads out like the rebuild") {
+    val train = Seq((1L, "a b a b a c"), (2L, "b a c a")).toDF("doc_id", "text")
+    val ev = Seq((10L, "a b c a d")).toDF("doc_id", "text")
+    val merged = graft.analysis.TextAnalysis.kneserNeyFromModel(
+        graft.analysis.TextAnalysis.kneserNeyMergeModels(
+          graft.analysis.TextAnalysis.kneserNeyModel(train.filter(col("doc_id") === 1L)),
+          graft.analysis.TextAnalysis.kneserNeyModel(train.filter(col("doc_id") === 2L))),
+        ev)
+      .collect().map(_.toSeq)
+    val rebuilt = graft.analysis.TextAnalysis.kneserNeyBigram(train, ev)
+      .collect().map(_.toSeq)
+    assert(merged.toSeq === rebuilt.toSeq)
+  }
+
   test("rouge-2: clipped overlap rewards repetition only up to the reference count") {
     // cand "the cat sat on the cat": bigrams {the cat:2, cat sat, sat on,
     // on the} (c=5); ref "the cat sat on the mat" (r=5); clipped overlap
