@@ -953,6 +953,43 @@ object SparkEntry {
     "q263_sequence_pack_by_source" -> { (s, d) =>
       CorpusPrep.sequencePackByGroup(TestData.documents(s, d), ctxTokens = 256)
     },
+    // SELF-BLEU-2 diversity monitor (Zhu et al. 2018): clipped bigram
+    // precision of each doc against the REST of the corpus, the clip
+    // derived from the per-gram top-2 (count, doc) so no doc-pair work
+    // ever happens — the mode-collapse gauge for synthetic corpora; all
+    // exact integers, ppm round-half-up
+    "q264_self_bleu" -> { (s, d) =>
+      TextAnalysis.selfBleu(TestData.documents(s, d), n = 2).orderBy("doc_id")
+    },
+    // the packing fragmentation-vs-context curve: ONE prefix sum, each
+    // candidate ctx in {64, 256, 1024} re-buckets the same spans by
+    // integer division — what raising the context window costs in
+    // cross-doc attention (occupancy) and buys in fewer splits
+    "q265_sequence_pack_curve" -> { (s, d) =>
+      CorpusPrep.sequencePackCurve(TestData.documents(s, d),
+        ctxs = Seq(64, 256, 1024))
+    },
+    // POISSON BOOTSTRAP CI (Chamandy et al.): per-row Poisson(1)
+    // multiplicities from the md5 hash60 of (event_id, resample) — the
+    // map-reduce bootstrap, deterministic so the interval is oracle-exact;
+    // b = 0 is the identity resample carrying the point estimate; 20
+    // resamples, 2nd-smallest/2nd-largest band
+    "q266_poisson_bootstrap" -> { (s, d) =>
+      graft.analysis.Stats.poissonBootstrapCi(TestData.eventsRaw(s, d))
+    },
+    // LAW gate: bootstrap weights depend only on (row id, resample), so
+    // per-(group, b) sum artifacts from disjoint event slices merge by
+    // addition and the merged readout equals q266's rebuild (oracle IS
+    // q266's SQL) — a sharded eval fleet bootstraps without co-locating
+    // rows
+    "q267_bootstrap_increment" -> { (s, d) =>
+      val ev = TestData.eventsRaw(s, d)
+      graft.analysis.Stats.bootstrapCiFromSums(
+        graft.analysis.Stats.bootstrapMergeSums(
+          graft.analysis.Stats.bootstrapSums(ev.filter(col("event_id") % 2 === 0)),
+          graft.analysis.Stats.bootstrapSums(ev.filter(col("event_id") % 2 =!= 0))),
+        "event_type")
+    },
     // Fleiss' kappa over a 3-heuristic annotation panel (length band,
     // lexical-diversity band, stopword band — each a pure INTEGER
     // cross-multiplied comparison, so no rater decision can flip across
@@ -3688,6 +3725,89 @@ object SparkEntry {
       |  FROM toks CROSS JOIN stats)
       |SELECT doc_id, score FROM scored WHERE score > 0
       |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
+
+  /** q265's oracle: the q256 token-count/prefix-sum chain MATERIALIZED
+    * once, then one span/slot/histogram readout per candidate ctx. */
+  private def packCurveSql(ctxs: Seq[Int]): String = {
+    val perCtx = ctxs.map { c =>
+      s"""w$c AS (
+         |  SELECT window_id, count(*) AS n_docs,
+         |    CAST(sum(CASE WHEN window_id = fw THEN 1 ELSE 0 END) AS BIGINT) AS n_starts,
+         |    CAST(sum(CASE WHEN sp THEN 1 ELSE 0 END) AS BIGINT) AS n_split
+         |  FROM (
+         |    SELECT unnest(range(fw, lw + 1)) AS window_id, fw, lw > fw AS sp
+         |    FROM (SELECT (cc - n_tok) // $c AS fw, (cc - 1) // $c AS lw FROM cum))
+         |  GROUP BY 1)""".stripMargin
+    }.mkString(",\n")
+    val readouts = ctxs.map { c =>
+      s"""SELECT CAST($c AS BIGINT) AS ctx, n_docs AS docs_in_window,
+         |  count(*) AS n_windows, CAST(sum(n_starts) AS BIGINT) AS n_starts,
+         |  CAST(sum(n_split) AS BIGINT) AS n_split_slots
+         |FROM w$c GROUP BY 1, 2""".stripMargin
+    }.mkString("\nUNION ALL ")
+    s"""WITH toks AS (
+       |  SELECT doc_id,
+       |    CAST(len(list_filter(string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g')), ' '), x -> x <> '')) AS BIGINT) AS n_tok
+       |  FROM documents),
+       |cum AS MATERIALIZED (
+       |  SELECT doc_id, n_tok,
+       |    CAST(SUM(n_tok) OVER (ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cc
+       |  FROM toks WHERE n_tok > 0),
+       |$perCtx
+       |$readouts
+       |ORDER BY ctx, docs_in_window""".stripMargin
+  }
+
+  /** q266's oracle (and q267's verbatim — the bootstrap increment is a
+    * LAW gate: per-(group, resample) sums merged by addition ≡ rebuild):
+    * deterministic Poisson bootstrap — hash60(event_id ':' b) mod 1e6
+    * inverted through the Poisson(1) CDF (thresholds in millionths),
+    * b = 0 the identity resample, HUGEINT weighted sums, the
+    * 2nd-smallest/2nd-largest resample-mean band. */
+  private def poissonBootstrapSql: String =
+    """WITH sp AS (SELECT unnest(range(0, 21)) AS b),
+      |base AS (
+      |  SELECT event_type, event_id,
+      |    CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS vm
+      |  FROM events),
+      |bs AS MATERIALIZED (
+      |  SELECT event_type, b,
+      |    CAST(sum(w * vm) AS HUGEINT) AS s, CAST(sum(w) AS BIGINT) AS w
+      |  FROM (
+      |    SELECT event_type, b, vm,
+      |      CASE WHEN b = 0 THEN 1
+      |           WHEN u < 367879 THEN 0 WHEN u < 735759 THEN 1
+      |           WHEN u < 919699 THEN 2 WHEN u < 981012 THEN 3
+      |           WHEN u < 996340 THEN 4 WHEN u < 999406 THEN 5
+      |           ELSE 6 END AS w
+      |    FROM (
+      |      SELECT event_type, b, vm,
+      |        ('0x' || substr(md5(CAST(event_id AS VARCHAR) || ':' || CAST(b AS VARCHAR)), 1, 15))::BIGINT % 1000000 AS u
+      |      FROM base CROSS JOIN sp))
+      |  GROUP BY 1, 2),
+      |id0 AS (
+      |  SELECT event_type, w AS n,
+      |    CASE WHEN w > 0 THEN CAST((2 * s + w) // (2 * w) AS BIGINT) END AS est_micro
+      |  FROM bs WHERE b = 0),
+      |res AS (
+      |  SELECT event_type, b, CAST((2 * s + w) // (2 * w) AS BIGINT) AS m
+      |  FROM bs WHERE b > 0 AND w > 0),
+      |rk AS (
+      |  SELECT event_type, m,
+      |    row_number() OVER (PARTITION BY event_type ORDER BY m, b) AS rn,
+      |    count(*) OVER (PARTITION BY event_type) AS cnt
+      |  FROM res),
+      |ci AS (
+      |  SELECT event_type, CAST(max(cnt) AS BIGINT) AS n_resamples,
+      |    max(CASE WHEN rn = 2 AND cnt >= 4 THEN m END) AS ci_lo_micro,
+      |    max(CASE WHEN rn = cnt - 1 AND cnt >= 4 THEN m END) AS ci_hi_micro
+      |  FROM rk GROUP BY 1)
+      |SELECT id0.event_type, id0.n, id0.est_micro,
+      |  ci.ci_lo_micro, ci.ci_hi_micro,
+      |  COALESCE(ci.n_resamples, 0) AS n_resamples
+      |FROM id0 LEFT JOIN ci USING (event_type)
+      |ORDER BY event_type""".stripMargin
 
   /** q260's oracle: the q252 training chain (s₀..s_R MATERIALIZED), then
     * one frequency-weighted fertility readout per vocabulary state. */
@@ -7564,6 +7684,52 @@ object SparkEntry {
         |ORDER BY pair_id""".stripMargin,
     // q252's training chain, one fertility readout per vocab state s_m
     "q260_bpe_compression" -> bpeCompressionSql(merges = 3),
+    // per-gram top-2 (count, doc) via a rank-1 window + runner-up max;
+    // argmax doc clips at the runner-up, everyone else at the max
+    "q264_self_bleu" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')), ' ') AS t
+        |  FROM documents),
+        |gd AS MATERIALIZED (
+        |  SELECT doc_id, g, count(*) AS c FROM (
+        |    SELECT doc_id, t[CAST(i + 1 AS INT)] || ' ' || t[CAST(i + 2 AS INT)] AS g
+        |    FROM (SELECT doc_id, t, unnest(range(len(t) - 1)) AS i
+        |          FROM toks WHERE len(t) >= 2))
+        |  GROUP BY 1, 2),
+        |m1 AS MATERIALIZED (
+        |  SELECT g, c AS c1, doc_id AS d1 FROM (
+        |    SELECT g, c, doc_id,
+        |      row_number() OVER (PARTITION BY g ORDER BY c DESC, doc_id DESC) AS rn
+        |    FROM gd) WHERE rn = 1),
+        |m2 AS (
+        |  SELECT gd.g, max(gd.c) AS c2
+        |  FROM gd JOIN m1 USING (g)
+        |  WHERE NOT (gd.c = m1.c1 AND gd.doc_id = m1.d1)
+        |  GROUP BY 1),
+        |cl AS (
+        |  SELECT gd.doc_id, CAST(sum(gd.c) AS BIGINT) AS ng,
+        |    CAST(sum(least(gd.c,
+        |      CASE WHEN gd.doc_id = m1.d1 THEN COALESCE(m2.c2, 0)
+        |           ELSE m1.c1 END)) AS BIGINT) AS no
+        |  FROM gd JOIN m1 USING (g) LEFT JOIN m2 USING (g)
+        |  GROUP BY 1)
+        |SELECT d.doc_id,
+        |  COALESCE(cl.ng, 0) AS n_grams,
+        |  COALESCE(cl.no, 0) AS n_clipped,
+        |  CASE WHEN COALESCE(cl.ng, 0) > 0
+        |    THEN (cl.no * 2000000 + cl.ng) // (2 * cl.ng) END AS self_bleu_ppm
+        |FROM documents d LEFT JOIN cl USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+    // one MATERIALIZED prefix-sum chain, each ctx re-buckets the same
+    // spans
+    "q265_sequence_pack_curve" -> packCurveSql(Seq(64, 256, 1024)),
+    // deterministic Poisson(1) multiplicities off the md5 hash60 of
+    // (event_id, b); b = 0 identity; rank-2 / rank-(cnt-1) band
+    "q266_poisson_bootstrap" -> poissonBootstrapSql,
+    // LAW gate: the per-(group, b) sums merge by addition — oracle IS
+    // q266's SQL
+    "q267_bootstrap_increment" -> poissonBootstrapSql,
     // positional 5-gram md5 hashes, ANSI ROWS-frame window min over full
     // 4-windows only, distinct fingerprints, df-bounded pair join — the
     // winnowing chain replayed stage-for-stage

@@ -739,6 +739,18 @@ object CorpusPrep {
       idCol: String = "doc_id",
       tokenOffset: Option[DataFrame] = None): DataFrame = {
     require(ctxTokens >= 1, s"need ctxTokens >= 1, got $ctxTokens")
+    packSlotsFromSpans(packSpans(docs, textCol, idCol, tokenOffset), ctxTokens)
+  }
+
+  /** Positioned span frame 〈idCol, n_tok, start〉 — the ctx-independent
+    * half of [[packSlots]] (one token-count projection + one distributed
+    * prefix sum), shared by the context-size sweep [[sequencePackCurve]]
+    * so the cumsum runs once per corpus, not once per candidate ctx. */
+  def packSpans(
+      docs: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      tokenOffset: Option[DataFrame] = None): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     val toks = docs
@@ -749,11 +761,30 @@ object CorpusPrep {
     val cum = graft.relational.Relational
       .distributedCumSum(toks, Seq(idCol), Seq("n_tok"))
     val off = tokenOffset.getOrElse(Seq(0L).toDF("tok_offset"))
-    packSlotsFromSpans(
-      cum.crossJoin(broadcast(off))
-        .select(col(idCol), col("n_tok"),
-          (col("tok_offset") + col("cum_n_tok") - col("n_tok")).as("start")),
-      ctxTokens)
+    cum.crossJoin(broadcast(off))
+      .select(col(idCol), col("n_tok"),
+        (col("tok_offset") + col("cum_n_tok") - col("n_tok")).as("start"))
+  }
+
+  /** CONTEXT-SIZE sweep of [[sequencePack]] — the fragmentation-vs-ctx
+    * curve that answers "what does raising the context window cost in
+    * cross-document attention and buy in fewer splits": one prefix sum,
+    * then each candidate ctx re-buckets the SAME spans (window assignment
+    * is pure integer division off the shared start offsets). Output per
+    * (ctx, docs_in_window): ctx, docs_in_window, n_windows, n_starts,
+    * n_split_slots. */
+  def sequencePackCurve(
+      docs: DataFrame,
+      ctxs: Seq[Int] = Seq(64, 256, 1024),
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    require(ctxs.nonEmpty && ctxs.forall(_ >= 1), s"need ctxs >= 1, got $ctxs")
+    val spans = packSpans(docs, textCol, idCol).localCheckpoint(true)
+    ctxs.map { c =>
+      packReportFromSlots(packSlotsFromSpans(spans, c))
+        .select(lit(c.toLong).as("ctx"), col("docs_in_window"),
+          col("n_windows"), col("n_starts"), col("n_split_slots"))
+    }.reduce(_ unionByName _).orderBy("ctx", "docs_in_window")
   }
 
   /** Slot aggregation off an already-positioned span frame 〈idCol, n_tok,

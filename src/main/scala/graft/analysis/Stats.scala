@@ -663,6 +663,110 @@ object Stats {
     * the same class of ANSI overflow-throw the round-10 lofLattice fix
     * closed. `div` (IntegralDivide) takes decimal inputs and still emits
     * BIGINT, so the output schema is unchanged. */
+  /** POISSON BOOTSTRAP confidence interval (Chamandy et al. 2012, "
+    * Estimating Uncertainty for Massive Data Streams" — the map-reduce
+    * bootstrap): instead of drawing n-out-of-n resamples (impossible to
+    * coordinate across shards), each row independently receives a
+    * Poisson(1) multiplicity per resample, so a resample is ONE weighted
+    * aggregate and B resamples are one groupBy over a B-way literal
+    * spine. Multiplicities here are DETERMINISTIC — the md5-derived
+    * [[Sketches.hash60]] of (row id, resample id) inverted through the
+    * Poisson(1) CDF — so the interval is reproducible and oracle-exact
+    * across engines (the q250 hash recipe; no RNG anywhere).
+    *
+    * Resample b = 0 is the identity (every weight 1): its sums ARE the
+    * point-estimate numerator/denominator, so one artifact frame carries
+    * everything. The interval is the 2nd-smallest/2nd-largest resample
+    * mean (a ~90% band at B = 20), ranked with a deterministic (mean, b)
+    * tie-break.
+    *
+    * Scale shape: the B-way spine explodes rows BEFORE a
+    * map-side-combinable aggregate — partial combine collapses each
+    * partition to |groups|·(B+1) rows, so the shuffle never carries the
+    * blow-up; the readout windows over ≤ B rows per group. Values
+    * quantize to exact BIGINT micros (the q234 recipe).
+    * Output per group: groupCol, n, est_micro, ci_lo_micro, ci_hi_micro,
+    * n_resamples. */
+  def poissonBootstrapCi(
+      df: DataFrame,
+      groupCol: String = "event_type",
+      valCol: String = "value",
+      idCol: String = "event_id",
+      b: Int = 20): DataFrame =
+    bootstrapCiFromSums(bootstrapSums(df, groupCol, valCol, idCol, b), groupCol)
+
+  /** [[poissonBootstrapCi]]'s MERGEABLE artifact: per (group, resample)
+    * exact integer sums 〈groupCol, b, s, w〉 — Σ weight·value_micro and
+    * Σ weight, with b = 0 the identity resample (s = Σvalue_micro,
+    * w = n). Weights depend only on (row id, b), never on which shard
+    * counted the row, so artifacts from disjoint slices merge by
+    * per-(group, b) ADDITION ([[bootstrapMergeSums]]) — the law q267
+    * gates: a sharded eval fleet bootstraps without ever co-locating
+    * rows. */
+  def bootstrapSums(
+      df: DataFrame,
+      groupCol: String = "event_type",
+      valCol: String = "value",
+      idCol: String = "event_id",
+      b: Int = 20): DataFrame = {
+    require(b >= 4, s"need b >= 4 resamples, got $b")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val vm = floor(col(valCol).cast("double") * lit(1e6) + lit(0.5)).cast("long")
+    // Poisson(1) CDF in millionths: P(X<=k) for k = 0..5, else 6
+    val u = pmod(Sketches.hash60(
+      concat(col(idCol).cast("string"), lit(":"), col("b").cast("string"))),
+      lit(1000000L))
+    val w = when(col("b") === 0, lit(1L))
+      .when(u < 367879, 0L).when(u < 735759, 1L).when(u < 919699, 2L)
+      .when(u < 981012, 3L).when(u < 996340, 4L).when(u < 999406, 5L)
+      .otherwise(6L)
+    df.select(col(groupCol), col(idCol), vm.as("vm"))
+      .crossJoin(broadcast((0 to b).map(_.toLong).toDF("b")))
+      .withColumn("w", w)
+      .groupBy(groupCol, "b")
+      // DECIMAL(38,0) sums: Σ w·vm overflows BIGINT past ~1.5e10 rows at
+      // micro quantization (the q246/lofLattice widening posture); the
+      // oracle's HUGEINT
+      .agg(sum((col("w") * col("vm")).cast("decimal(38,0)")).as("s"),
+        sum("w").as("w"))
+  }
+
+  /** Merge per-slice bootstrap artifacts by per-(group, resample)
+    * addition. */
+  def bootstrapMergeSums(artifacts: DataFrame*): DataFrame =
+    artifacts.reduce(_ unionByName _)
+      .groupBy(artifacts.head.columns(0), "b")
+      .agg(sum("s").as("s"), sum("w").as("w"))
+
+  /** Readout half of [[poissonBootstrapCi]]: point estimate off the
+    * identity resample, interval off the 2nd-smallest/2nd-largest
+    * resample means (deterministic (mean, b) rank). Resamples whose total
+    * weight is 0 carry no information and drop out; groups with fewer
+    * than 4 surviving resamples report null bounds. */
+  def bootstrapCiFromSums(sums: DataFrame, groupCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val id0 = sums.filter(col("b") === 0)
+      .select(col(groupCol), col("w").as("n"),
+        when(col("w") > 0, expr("(2 * s + w) div (2 * w)")).as("est_micro"))
+    val res = sums.filter(col("b") > 0 && col("w") > 0)
+      .withColumn("m", expr("(2 * s + w) div (2 * w)"))
+    val win = Window.partitionBy(groupCol).orderBy(col("m"), col("b"))
+    val ranked = res
+      .withColumn("rn", row_number().over(win))
+      .withColumn("cnt", count(lit(1)).over(Window.partitionBy(groupCol)))
+    val ci = ranked.groupBy(groupCol)
+      .agg(max(col("cnt")).as("n_resamples"),
+        max(when(col("rn") === 2 && col("cnt") >= 4, col("m"))).as("ci_lo_micro"),
+        max(when(col("rn") === col("cnt") - 1 && col("cnt") >= 4, col("m")))
+          .as("ci_hi_micro"))
+    id0.join(ci, Seq(groupCol), "left")
+      .select(col(groupCol), col("n"), col("est_micro"),
+        col("ci_lo_micro"), col("ci_hi_micro"),
+        coalesce(col("n_resamples"), lit(0L)).as("n_resamples"))
+      .orderBy(groupCol)
+  }
+
   def calibrationFromBins(binsArtifact: DataFrame): DataFrame = {
     val perBin = binsArtifact
       .select(col("bin"), col("n"), col("n_pos"),

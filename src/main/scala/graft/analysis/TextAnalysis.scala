@@ -610,6 +610,53 @@ object TextAnalysis {
           expr("(o * 4000000 + (c + r)) div (2 * (c + r))")).as("f1_ppm"))
   }
 
+  /** SELF-BLEU-n diversity monitor (Zhu et al. 2018, Texygen) — each
+    * document scored as BLEU's clipped n-gram precision against the REST
+    * of the corpus as references: for every gram the clip is the highest
+    * count any OTHER document has for it, so a document only scores high
+    * when its n-grams are things other documents also say. The corpus
+    * health gauge for synthetic/generated data (rising self-BLEU = mode
+    * collapse) that complements [[ngramNovelty]] (which only asks who said
+    * it FIRST) and [[rougeN]] (which scores designated pairs).
+    *
+    * Exact integers end-to-end: the "max over other documents" is derived
+    * from the per-gram top-2 (count, doc) — for the argmax document the
+    * clip is the runner-up count, for everyone else it is the maximum —
+    * so no per-doc-pair work ever happens: two gram-keyed aggregates, one
+    * join back, one per-doc rollup. Ratio ppm round-half-up.
+    * Output per doc: idCol, n_grams, n_clipped, self_bleu_ppm (null for
+    * docs with no n-grams). */
+  def selfBleu(
+      docs: DataFrame, n: Int = 2,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(n >= 1, s"need n >= 1, got $n")
+    val gd = docs
+      .select(col(idCol),
+        explode(Dedup.shingles(array_remove(tokens(col(textCol)), ""), n)).as("g"))
+      .groupBy(idCol, "g").agg(count(lit(1)).as("c"))
+      .localCheckpoint(true) // feeds m1, m2, AND the clip join
+    val m1 = gd.groupBy("g")
+      .agg(max(struct(col("c"), col(idCol).as("d"))).as("m"))
+      .select(col("g"), col("m.c").as("c1"), col("m.d").as("d1"))
+      .localCheckpoint(true) // feeds m2 AND the clip join
+    val m2 = gd.join(m1, "g")
+      .filter(!(col("c") === col("c1") && col(idCol) === col("d1")))
+      .groupBy("g").agg(max("c").as("c2"))
+    val clipped = gd.join(m1, "g").join(m2, Seq("g"), "left")
+      .select(col(idCol), col("c"),
+        least(col("c"),
+          when(col(idCol) === col("d1"), coalesce(col("c2"), lit(0L)))
+            .otherwise(col("c1"))).as("clip"))
+      .groupBy(idCol)
+      .agg(sum("c").as("ng"), sum("clip").as("no"))
+    docs.select(col(idCol)).join(clipped, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("ng"), lit(0L)).as("n_grams"),
+        coalesce(col("no"), lit(0L)).as("n_clipped"),
+        when(col("ng") > 0, expr("(no * 2000000 + ng) div (2 * ng)"))
+          .as("self_bleu_ppm"))
+  }
+
   /** The first BPE merge step: corpus-wide adjacent character-pair
     * frequencies, weighted by word frequency — exactly the statistic a BPE
     * tokenizer trainer maximizes per merge round (Sennrich et al.; a full

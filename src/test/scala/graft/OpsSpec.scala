@@ -541,6 +541,17 @@ class OpsSpec extends SparkSpec {
     assert(merged.toSeq === rebuilt.toSeq)
   }
 
+  test("sequence pack curve: one cumsum, each ctx re-buckets the same spans") {
+    val docs = Seq((1L, "a b c"), (2L, "d e"), (3L, "f g h i j"))
+      .toDF("doc_id", "text")
+    val out = graft.analysis.CorpusPrep.sequencePackCurve(docs, ctxs = Seq(4, 16))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(out.toSeq === Seq(
+      (4L, 1L, 1L, 0L, 1L), (4L, 2L, 2L, 3L, 3L), // the q256 fixture
+      (16L, 3L, 1L, 3L, 0L))) // everything fits one window, no splits
+  }
+
   test("per-source sequence packing: each group packs its own windows from token zero") {
     // source A streams a b c | f g h i j (starts 0, 3; ctx 4):
     //   w0 {1 start, 3 start} -> (2 docs, 2 starts, 1 split)

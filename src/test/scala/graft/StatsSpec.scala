@@ -292,4 +292,31 @@ class StatsSpec extends SparkSpec {
     assert(out.head.getLong(3) === 1000000L) // perfectly calibrated
     assert(out.head.getLong(5) === 0L)       // zero ECE
   }
+
+  test("poisson bootstrap: identity resample is the exact mean; bounds ordered; shard merge equals rebuild") {
+    val ev = (1 to 400).map(i =>
+        (i.toLong, if (i % 2 == 0) "click" else "view", (i % 7).toDouble))
+      .toDF("event_id", "event_type", "value")
+    val full = Stats.poissonBootstrapCi(ev).collect()
+      .map(r => r.getString(0) -> r).toMap
+    // point estimate = exact round-half-up micro mean, from the b=0 sums
+    val clickVals = (1 to 400).filter(_ % 2 == 0).map(i => (i % 7).toLong)
+    val expect = (2L * clickVals.sum * 1000000L + clickVals.size) / (2L * clickVals.size)
+    assert(full("click").getLong(1) === clickVals.size.toLong)
+    assert(full("click").getLong(2) === expect)
+    // all 20 resamples survive on 200 rows/group; band is ordered
+    for (t <- Seq("click", "view")) {
+      assert(full(t).getLong(5) === 20L)
+      assert(full(t).getLong(3) <= full(t).getLong(4))
+    }
+    // the increment law: weights depend only on (id, b), so shard sums add
+    val merged = Stats.bootstrapCiFromSums(
+        Stats.bootstrapMergeSums(
+          Stats.bootstrapSums(ev.filter("event_id % 3 = 0")),
+          Stats.bootstrapSums(ev.filter("event_id % 3 <> 0"))),
+        "event_type")
+      .collect().map(_.toSeq)
+    val rebuilt = Stats.poissonBootstrapCi(ev).collect().map(_.toSeq)
+    assert(merged.toSeq === rebuilt.toSeq)
+  }
 }

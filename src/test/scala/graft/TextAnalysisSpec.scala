@@ -715,6 +715,22 @@ class TextAnalysisSpec extends SparkSpec {
       (2L, 0L, 1L, 0L, -1L, 0L, 0L)))
   }
 
+  test("self-bleu: argmax doc clips at the runner-up, unique grams score zero") {
+    // bigram counts: "a b" -> d1:2 (argmax), d2:1, d4:1 (runner-up 1);
+    // "b a"/"b c"/"x y" unique to one doc -> clip 0.
+    //  d1: ng 3, clipped 1 (its "a b" clips at the runner-up) -> 333333
+    //  d2: ng 2, clipped 1 -> 500000;  d3: ng 1, 0 -> 0;  d4: 1/1 -> 1000000
+    val docs = Seq((1L, "a b a b"), (2L, "a b c"), (3L, "x y"), (4L, "a b"))
+      .toDF("doc_id", "text")
+    val out = graft.analysis.TextAnalysis.selfBleu(docs, n = 2)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3)))
+    assert(out.toSeq === Seq(
+      (1L, 3L, 1L, 333333L), (2L, 2L, 1L, 500000L),
+      (3L, 1L, 0L, 0L), (4L, 1L, 1L, 1000000L)))
+  }
+
   test("bpe compression curve: fertility descends the trained merge table") {
     // corpus "aaa aaa ab" (aaa freq 2, ab freq 1), n_words = 3:
     //  m=0: chars            -> n_bpe = 2*3+2 = 8 -> 8/3  = 2666667 ppm
