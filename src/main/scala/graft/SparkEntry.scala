@@ -990,6 +990,13 @@ object SparkEntry {
           graft.analysis.Stats.bootstrapSums(ev.filter(col("event_id") % 2 =!= 0))),
         "event_type")
     },
+    // 10%-each-side TRIMMED mean by exact rank (deterministic (value, id)
+    // tie-break), reported next to the plain mean so the gap IS the
+    // outlier-mass signal — the robust-eval location estimate; integer
+    // micros end-to-end, per-group hash-sharded window
+    "q268_trimmed_mean" -> { (s, d) =>
+      graft.analysis.Stats.trimmedMean(TestData.eventsRaw(s, d))
+    },
     // Fleiss' kappa over a 3-heuristic annotation panel (length band,
     // lexical-diversity band, stopword band — each a pure INTEGER
     // cross-multiplied comparison, so no rater decision can flip across
@@ -7730,6 +7737,34 @@ object SparkEntry {
     // LAW gate: the per-(group, b) sums merge by addition — oracle IS
     // q266's SQL
     "q267_bootstrap_increment" -> poissonBootstrapSql,
+    // exact-rank trim: the same (vm, event_id) window rank both engines,
+    // k = (n * trim_ppm) // 1e6 dropped from each side
+    "q268_trimmed_mean" ->
+      """WITH base AS (
+        |  SELECT event_type, event_id,
+        |    CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS vm
+        |  FROM events),
+        |rk AS (
+        |  SELECT event_type, vm,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY vm, event_id) AS rn,
+        |    count(*) OVER (PARTITION BY event_type) AS n
+        |  FROM base),
+        |g AS (
+        |  SELECT event_type, CAST(max(n) AS BIGINT) AS n,
+        |    CAST(sum(CASE WHEN rn > (n * 100000) // 1000000
+        |                   AND rn <= n - (n * 100000) // 1000000
+        |             THEN 1 ELSE 0 END) AS BIGINT) AS n_trimmed,
+        |    CAST(sum(vm) AS HUGEINT) AS sv,
+        |    CAST(sum(CASE WHEN rn > (n * 100000) // 1000000
+        |                   AND rn <= n - (n * 100000) // 1000000
+        |             THEN vm ELSE 0 END) AS HUGEINT) AS st
+        |  FROM rk GROUP BY 1)
+        |SELECT event_type, n, n_trimmed,
+        |  CAST((2 * sv + n) // (2 * n) AS BIGINT) AS mean_micro,
+        |  CASE WHEN n_trimmed > 0
+        |    THEN CAST((2 * st + n_trimmed) // (2 * n_trimmed) AS BIGINT)
+        |  END AS trimmed_mean_micro
+        |FROM g ORDER BY event_type""".stripMargin,
     // positional 5-gram md5 hashes, ANSI ROWS-frame window min over full
     // 4-windows only, distinct fingerprints, df-bounded pair join — the
     // winnowing chain replayed stage-for-stage

@@ -739,6 +739,51 @@ object Stats {
       .groupBy(artifacts.head.columns(0), "b")
       .agg(sum("s").as("s"), sum("w").as("w"))
 
+  /** TRIMMED MEAN per group — the robust location estimate eval
+    * dashboards quote when a handful of outlier rows (latency spikes,
+    * runaway generations) would otherwise own the mean: drop the lowest
+    * and highest ⌊trim·n⌋ values by EXACT rank (deterministic (value, id)
+    * tie-break) and average the middle. Reported next to the plain mean
+    * so the gap itself is the outlier-mass signal. Exact integer micros
+    * end-to-end (the q234 quantization), trimmed mean round-half-up.
+    *
+    * Scale shape: one window rank PARTITIONED by the group (hash-sharded
+    * — never a global orderBy window) + one aggregate; groups shard
+    * independently. n < 1/trim rows → nothing trims, the trimmed mean
+    * equals the plain mean.
+    * Output per group: groupCol, n, n_trimmed, mean_micro,
+    * trimmed_mean_micro. */
+  def trimmedMean(
+      df: DataFrame,
+      groupCol: String = "event_type",
+      valCol: String = "value",
+      idCol: String = "event_id",
+      trimPpm: Int = 100000): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(trimPpm >= 0 && trimPpm < 500000,
+      s"need trim in [0, 0.5) as ppm, got $trimPpm")
+    val vm = floor(col(valCol).cast("double") * lit(1e6) + lit(0.5)).cast("long")
+    val w = Window.partitionBy(groupCol).orderBy(col("vm"), col(idCol))
+    val ranked = df
+      .select(col(groupCol), col(idCol), vm.as("vm"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(groupCol)))
+      .withColumn("k", expr(s"(n * $trimPpm) div 1000000"))
+    ranked.groupBy(groupCol)
+      .agg(max("n").as("n"),
+        sum(when(col("rn") > col("k") && col("rn") <= col("n") - col("k"), 1L)
+          .otherwise(0L)).as("n_trimmed"),
+        sum(col("vm").cast("decimal(38,0)")).as("sv"),
+        sum(when(col("rn") > col("k") && col("rn") <= col("n") - col("k"),
+          col("vm")).otherwise(0L).cast("decimal(38,0)")).as("st"))
+      .select(col(groupCol), col("n"), col("n_trimmed"),
+        expr("(2 * sv + n) div (2 * n)").as("mean_micro"),
+        when(col("n_trimmed") > 0,
+          expr("(2 * st + n_trimmed) div (2 * n_trimmed)"))
+          .as("trimmed_mean_micro"))
+      .orderBy(groupCol)
+  }
+
   /** Readout half of [[poissonBootstrapCi]]: point estimate off the
     * identity resample, interval off the 2nd-smallest/2nd-largest
     * resample means (deterministic (mean, b) rank). Resamples whose total

@@ -293,6 +293,18 @@ class StatsSpec extends SparkSpec {
     assert(out.head.getLong(5) === 0L)       // zero ECE
   }
 
+  test("trimmed mean: one outlier owns the plain mean, the 10% trim drops it") {
+    // values 1..9 plus a 100 outlier: plain mean 14.5; k = 1 trims rank 1
+    // (value 1) and rank 10 (value 100) -> mean of 2..9 = 5.5
+    val ev = ((1 to 9).map(i => (i.toLong, "a", i.toDouble)) :+ (10L, "a", 100.0))
+      .toDF("event_id", "event_type", "value")
+    val out = graft.analysis.Stats.trimmedMean(ev).collect()
+    assert(out.length === 1)
+    val r = out.head
+    assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)) ===
+      ((10L, 8L, 14500000L, 5500000L)))
+  }
+
   test("poisson bootstrap: identity resample is the exact mean; bounds ordered; shard merge equals rebuild") {
     val ev = (1 to 400).map(i =>
         (i.toLong, if (i % 2 == 0) "click" else "view", (i % 7).toDouble))

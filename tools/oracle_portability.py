@@ -128,6 +128,23 @@ EXACT_IEEE = {
         "fixed Flesch chain",
     "q237_clip_filter": "md5 hex-pair embeddings (exact integers/256); "
         "one left-assoc cosine chain + correctly-rounded sqrt",
+    "q254_lof_outliers_lsh_multi": "q247's lattice (same floor(sqrt(exact "
+        "fixed-order fold)) quantization, integer bit-length widths) over "
+        "the multi-table DISTINCT-union pair feed — the rotated-window "
+        "signatures are still sums of exact sign comparisons, so the "
+        "q247 acceptance argument transfers unchanged",
+    "q253_lof_multi_quality": "the q238 and q254 lattices verbatim as "
+        "arms (q251's acceptance argument over the table-count dial); "
+        "downstream ranks/intersections/div pure integer",
+    "q266_poisson_bootstrap": "per-row micro quantization is the single "
+        "fixed floor(value*1e6+0.5) IEEE chain (the q234 recipe); weights "
+        "are md5-derived integers through a CASE ladder; all sums "
+        "HUGEINT/DECIMAL(38,0), readout pure integer division/ranks",
+    "q267_bootstrap_increment": "q266's chain over shard-merged sums — "
+        "same per-row quantization, same integer readout",
+    "q268_trimmed_mean": "same floor(value*1e6+0.5) per-row quantization; "
+        "rank, trim bounds, and both means are pure integer arithmetic "
+        "on the quantized values",
 }
 
 # Float-emitting MARGIN-OK queries whose half-boundary margin is ALSO
