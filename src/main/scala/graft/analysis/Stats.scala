@@ -747,10 +747,15 @@ object Stats {
     * so the gap itself is the outlier-mass signal. Exact integer micros
     * end-to-end (the q234 quantization), trimmed mean round-half-up.
     *
-    * Scale shape: one window rank PARTITIONED by the group (hash-sharded
-    * — never a global orderBy window) + one aggregate; groups shard
-    * independently. n < 1/trim rows → nothing trims, the trimmed mean
-    * equals the plain mean.
+    * Scale shape: per-group rank via the DISTRIBUTED rank recipe — one
+    * [[graft.relational.Relational.distributedCumSum]] over the
+    * (group, value, id) total order (range partition, #partitions-row
+    * driver scan) minus a broadcast per-group offset — NOT a
+    * Window.partitionBy(group) rank, which sorts each group inside ONE
+    * task and serializes on a mega-group (one event type can be a double
+    *-digit-TB slice of a 100-TB stream). Groups-sized frames broadcast.
+    * n < 1/trim rows → nothing trims, the trimmed mean equals the plain
+    * mean.
     * Output per group: groupCol, n, n_trimmed, mean_micro,
     * trimmed_mean_micro. */
   def trimmedMean(
@@ -759,15 +764,18 @@ object Stats {
       valCol: String = "value",
       idCol: String = "event_id",
       trimPpm: Int = 100000): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     require(trimPpm >= 0 && trimPpm < 500000,
       s"need trim in [0, 0.5) as ppm, got $trimPpm")
     val vm = floor(col(valCol).cast("double") * lit(1e6) + lit(0.5)).cast("long")
-    val w = Window.partitionBy(groupCol).orderBy(col("vm"), col(idCol))
-    val ranked = df
-      .select(col(groupCol), col(idCol), vm.as("vm"))
-      .withColumn("rn", row_number().over(w).cast("long"))
-      .withColumn("n", count(lit(1)).over(Window.partitionBy(groupCol)))
+    val globalRanked = graft.relational.Relational.distributedCumSum(
+      df.select(col(groupCol), col(idCol), vm.as("vm")),
+      orderCols = Seq(groupCol, "vm", idCol), sumCols = Seq.empty,
+      rankCol = Some("grk"))
+    // per-group size and exclusive global offset: |groups| rows, broadcast
+    val offsets = globalRanked.groupBy(groupCol)
+      .agg(count(lit(1)).as("n"), min("grk").as("g0"))
+    val ranked = globalRanked.join(broadcast(offsets), Seq(groupCol))
+      .withColumn("rn", col("grk") - col("g0") + 1L)
       .withColumn("k", expr(s"(n * $trimPpm) div 1000000"))
     ranked.groupBy(groupCol)
       .agg(max("n").as("n"),

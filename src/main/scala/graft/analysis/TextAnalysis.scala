@@ -21,6 +21,16 @@ object TextAnalysis {
   /** Whitespace tokens of the normalized text. */
   def tokens(text: Column): Column = split(normalized(text), " ")
 
+  // NOTE (measured, round-11 second session): a "count tokens without the
+  // array" rewrite — length(norm) - length(translate(norm,' ','')) + 1
+  // behind a when() — was A/B-measured against size(array_remove(tokens))
+  // on the 30x packing bench and came out 2.5x SLOWER (q256 43.97 -> 110.9
+  // s, q263 14.11 -> 36.6 s, same corpus, same session): the when/length/
+  // translate shape re-evaluates the normalizer's two regexes per
+  // reference, and the regex dominates the scan — the array allocation it
+  // saved was never the cost. Kept as a comment so the next "obvious"
+  // optimization starts from the measurement.
+
   /** BPE-ish subword segmentation regex: words / digit runs / single symbols.
     * A real BPE vocab lookup is a dictionary join; the regex segmentation is
     * the standard cheap pre-tokenizer (same shape GPT-2's splitter uses). */

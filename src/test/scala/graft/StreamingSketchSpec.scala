@@ -620,6 +620,74 @@ class StreamingSketchSpec extends SparkSpec {
     assert(streamed.toSeq === rebuilt.toSeq)
   }
 
+  test("streaming packing: crash after sink write, before checkpoint commit — " +
+      "restart rolls the offset back and replays the batch at the SAME positions") {
+    // the q257 seam property under failure: the running token offset is the
+    // ONLY cross-batch state, so the worst crash window (output delivered,
+    // checkpoint uncommitted) must roll it back — a state commit that
+    // outlived the crash would re-pack the replayed batch at a DOUBLED
+    // offset, silently shifting every later window id.
+    import graft.streaming.StreamingPacking
+    import graft.streaming.StreamingPacking.DocSpan
+    import org.apache.spark.sql.streaming.Trigger
+    val inDir = tmpDir("pack_crash_in")
+    val ckDir = tmpDir("pack_crash_ck")
+    def docJson(id: Long, text: String) = s"""{"doc_id":$id,"text":"$text"}"""
+    Fixtures.writeJsonl(inDir, "part-000.json", Seq(
+      docJson(1L, "a b c"), docJson(2L, "d e")))
+    Fixtures.writeJsonl(inDir, "part-001.json", Seq(docJson(3L, "f g h i j")))
+    val f0 = new java.io.File(inDir, "part-000.json")
+    val f1 = new java.io.File(inDir, "part-001.json")
+    assert(f0.setLastModified(f1.lastModified() - 60000))
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val spans = scala.collection.concurrent.TrieMap.empty[Long, (Long, Long)]
+    val batch1Attempts =
+      scala.collection.concurrent.TrieMap.empty[Int, Set[(Long, Long, Long)]]
+    @volatile var crashArmed = true
+    def run() = {
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("text",
+          org.apache.spark.sql.types.StringType)))
+      val src = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).json(inDir)
+      StreamingPacking.spanStream(src)
+        .writeStream
+        .foreachBatch { (ds: org.apache.spark.sql.Dataset[DocSpan], id: Long) =>
+          val rows = ds.collect()
+          rows.foreach(s => spans(s.doc_id) = (s.n_tok, s.start)) // keyed sink
+          if (id == 1L) {
+            batch1Attempts(batch1Attempts.size) =
+              rows.map(s => (s.doc_id, s.n_tok, s.start)).toSet
+            if (crashArmed) { crashArmed = false; sys.error("injected crash") }
+          }
+        }
+        .option("checkpointLocation", ckDir)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    }
+    try {
+      val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        run().awaitTermination()
+      }
+      assert(ex.getMessage.contains("injected crash"))
+      run().awaitTermination(120000)
+      // both attempts assigned doc 3 the SAME start (5) — the offset state
+      // rolled back with the checkpoint instead of double-advancing to 10
+      assert(batch1Attempts.size === 2)
+      assert(batch1Attempts(0) === batch1Attempts(1))
+      assert(batch1Attempts(0) === Set((3L, 5L, 5L)))
+      assert(spans.toMap === Map(1L -> ((3L, 0L)), 2L -> ((2L, 3L)), 3L -> ((5L, 5L))))
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("kn bigram model accumulated across micro-batches equals the batch model of the union") {
     import graft.analysis.TextAnalysis
     val input = org.apache.spark.sql.execution.streaming.runtime
