@@ -993,9 +993,18 @@ object SparkEntry {
     // 10%-each-side TRIMMED mean by exact rank (deterministic (value, id)
     // tie-break), reported next to the plain mean so the gap IS the
     // outlier-mass signal — the robust-eval location estimate; integer
-    // micros end-to-end, per-group hash-sharded window
+    // micros end-to-end, distributed-rank recipe (no per-group window)
     "q268_trimmed_mean" -> { (s, d) =>
       graft.analysis.Stats.trimmedMean(TestData.eventsRaw(s, d))
+    },
+    // the COMPOSED pretraining data job: q41's prepare (quality filter →
+    // exact dedup → MinHash+LSH near-dup removal) feeding q256's packing
+    // — survivors concatenate into context windows; each stage shrinks
+    // what the next one pays for, and the gate pins the whole composition
+    // in one statement
+    "q269_prep_pack" -> { (s, d) =>
+      CorpusPrep.sequencePack(
+        CorpusPrep.prepareCorpus(TestData.documents(s, d)), ctxTokens = 256)
     },
     // Fleiss' kappa over a 3-heuristic annotation panel (length band,
     // lexical-diversity band, stopword band — each a pure INTEGER
@@ -2542,6 +2551,40 @@ object SparkEntry {
       |FROM keep k JOIN documents d USING (doc_id)
       |WHERE k.doc_id NOT IN (SELECT doc_b FROM losers)
       |ORDER BY d.doc_id""".stripMargin
+
+  /** q269's oracle: the q41 corpus-prep chain (quality filter → exact
+    * dedup → MinHash+LSH near-dup removal) re-terminated at the SURVIVOR
+    * token counts, then the q256 packing readout over the survivors —
+    * the composed "prepare then pack" pipeline a pretraining data job
+    * actually ships, end-to-end in one statement. */
+  private def corpusPrepPackSql(ctx: Int): String = {
+    val prefixEnd = corpusPrepBatchSql.lastIndexOf("\nSELECT d.doc_id")
+    val prefix = corpusPrepBatchSql.substring(0, prefixEnd)
+    s"""$prefix,
+       |surv AS (
+       |  SELECT k.doc_id,
+       |    CAST(len(list_filter(k.toks, x -> x <> '')) AS BIGINT) AS n_tok
+       |  FROM keep k WHERE k.doc_id NOT IN (SELECT doc_b FROM losers)),
+       |cum AS (
+       |  SELECT doc_id, n_tok,
+       |    CAST(SUM(n_tok) OVER (ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS c
+       |  FROM surv WHERE n_tok > 0),
+       |spans AS (
+       |  SELECT (c - n_tok) // $ctx AS fw, (c - 1) // $ctx AS lw FROM cum),
+       |slots AS (
+       |  SELECT unnest(range(fw, lw + 1)) AS window_id, fw, lw > fw AS sp
+       |  FROM spans),
+       |win AS (
+       |  SELECT window_id, count(*) AS n_docs,
+       |    CAST(sum(CASE WHEN window_id = fw THEN 1 ELSE 0 END) AS BIGINT) AS n_starts,
+       |    CAST(sum(CASE WHEN sp THEN 1 ELSE 0 END) AS BIGINT) AS n_split
+       |  FROM slots GROUP BY 1)
+       |SELECT n_docs AS docs_in_window, count(*) AS n_windows,
+       |  CAST(sum(n_starts) AS BIGINT) AS n_starts,
+       |  CAST(sum(n_split) AS BIGINT) AS n_split_slots
+       |FROM win GROUP BY 1 ORDER BY 1""".stripMargin
+  }
 
   /** q151's oracle, generated: q20's feature expressions, then `iters`
     * unrolled GD epochs — weights as a 1-row CTE, gradient sums DECIMAL-
@@ -8971,6 +9014,9 @@ object SparkEntry {
         |  count(*) AS n_events
         |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q41_corpus_prep" -> corpusPrepBatchSql,
+    // q41's chain re-terminated at survivor token counts + q256's packing
+    // readout — the composed prepare→pack pipeline in one statement
+    "q269_prep_pack" -> corpusPrepPackSql(ctx = 256),
     // SAME SQL as q41: the incremental path must reproduce the batch
     // rebuild over the union exactly (monotonic-id law)
     "q118_corpus_prep_increment" -> corpusPrepBatchSql,
