@@ -985,7 +985,7 @@ object SparkEntry {
     "q267_bootstrap_increment" -> { (s, d) =>
       val ev = TestData.eventsRaw(s, d)
       graft.analysis.Stats.bootstrapCiFromSums(
-        graft.analysis.Stats.bootstrapMergeSums(
+        graft.analysis.Stats.bootstrapMergeSums("event_type",
           graft.analysis.Stats.bootstrapSums(ev.filter(col("event_id") % 2 === 0)),
           graft.analysis.Stats.bootstrapSums(ev.filter(col("event_id") % 2 =!= 0))),
         "event_type")
@@ -3566,7 +3566,13 @@ object SparkEntry {
     * symbol, where occurrence i merges iff the run of consecutive matches
     * before it has even length. range(n) in DuckDB excludes the end and
     * yields [] for n ≤ 0, so the i=0 edge needs no special case (Spark's
-    * inclusive `sequence` does — guarded there). */
+    * inclusive `sequence` does — guarded there). Exhaustion (no pair left
+    * before round R): b_r is EMPTY, and the `LEFT JOIN b_r ON TRUE` +
+    * `pa IS NOT NULL` guard makes round r a NO-OP (s_r = s_{r-1}) instead
+    * of annihilating the vocabulary through a CROSS JOIN — so the
+    * s_m-reading oracles (q255 encode, q260 curve) keep matching the
+    * Spark side, whose curve pads exhausted rounds with the final state
+    * and whose encoder simply applies the shorter merge list. */
   private def bpeTrainSql(merges: Int): String = {
     val rounds = (1 to merges).map { r =>
       s"""p$r AS (
@@ -3583,8 +3589,9 @@ object SparkEntry {
          |m$r AS (
          |  SELECT w, freq, syms, pa, pb,
          |    list_transform(range(len(syms) - 1), i ->
+         |      pa IS NOT NULL AND
          |      syms[CAST(i + 1 AS INT)] = pa AND syms[CAST(i + 2 AS INT)] = pb) AS mt
-         |  FROM s${r - 1} CROSS JOIN b$r),
+         |  FROM s${r - 1} LEFT JOIN b$r ON TRUE),
          |g$r AS (
          |  SELECT w, freq, syms, pa, pb, mt,
          |    list_transform(range(len(syms) - 1), i ->
@@ -3925,7 +3932,7 @@ object SparkEntry {
       .map(kk => s"SELECT CAST($kk AS BIGINT) AS top_k")
       .mkString("\n       UNION ALL ")
     s"""WITH bits AS (
-       |  SELECT least(length(bin(((count(*) + ${occupancy - 1}) // $occupancy) - 1)), 62) AS b
+       |  SELECT least(length(bin(((count(*) + ${occupancy - 1}) // $occupancy) - 1)), ${math.min(dim, 62)}) AS b
        |  FROM embeddings),
        |ef AS MATERIALIZED (
        |  SELECT vec_id, embedding AS u,
@@ -3993,7 +4000,7 @@ object SparkEntry {
     val stride = math.max(1, dim / nTables)
     val offsets = (0 until nTables).map(_ * stride)
     s"""WITH bits AS (
-       |  SELECT least(length(bin(((count(*) + ${occupancy - 1}) // $occupancy) - 1)), 62) AS b
+       |  SELECT least(length(bin(((count(*) + ${occupancy - 1}) // $occupancy) - 1)), ${math.min(dim, 62)}) AS b
        |  FROM embeddings),
        |ef AS MATERIALIZED (
        |  SELECT vec_id, embedding AS u,

@@ -733,10 +733,12 @@ object Stats {
   }
 
   /** Merge per-slice bootstrap artifacts by per-(group, resample)
-    * addition. */
-  def bootstrapMergeSums(artifacts: DataFrame*): DataFrame =
+    * addition. The group key is named, not positional — a reordered
+    * artifact projection must not silently change the merge key. */
+  def bootstrapMergeSums(
+      groupCol: String, artifacts: DataFrame*): DataFrame =
     artifacts.reduce(_ unionByName _)
-      .groupBy(artifacts.head.columns(0), "b")
+      .groupBy(groupCol, "b")
       .agg(sum("s").as("s"), sum("w").as("w"))
 
   /** TRIMMED MEAN per group — the robust location estimate eval

@@ -564,7 +564,10 @@ object TextAnalysis {
         coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
         coalesce(col("n_hits"), lit(0L)).as("n_hits"),
         when(col("n_bigrams") > 0,
-          expr("(s * 2 + n_bigrams) div (2 * n_bigrams)"))
+          // DECIMAL(38,0) before the ×2 — the oracle's HUGEINT; ppb sums
+          // pass Long.MaxValue/2 at ~4.6e9 bigrams per doc (the q246
+          // widening posture)
+          expr("(CAST(s AS DECIMAL(38,0)) * 2 + n_bigrams) div (2 * n_bigrams)"))
           .as("mean_score_ppb"))
   }
 
@@ -798,7 +801,10 @@ object TextAnalysis {
       docs: DataFrame, merges: Int = 3,
       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     val (_, states) = bpeTrainLoop(docs, merges, textCol)
-    states.zipWithIndex.map { case (v, m) =>
+    // exhausted trainer (no pair left before round R): the curve plateaus
+    // at the final state rather than truncating — matching the oracle's
+    // no-op rounds (empty argmax ⇒ s_r = s_{r-1})
+    states.padTo(merges + 1, states.last).zipWithIndex.map { case (v, m) =>
       v.agg(sum("freq").as("n_words"),
           sum(col("freq") * size(col("syms"))).as("n_bpe_tokens"))
         .select(lit(m.toLong).as("m"),

@@ -38,7 +38,16 @@ object StreamingPacking {
 
   /** Global (doc_id, n_tok, start) span rows off an append-mode document
     * stream, batch rows ordered by doc_id before assignment so replays of
-    * the same batch sequence are deterministic. */
+    * the same batch sequence are deterministic.
+    *
+    * PRECONDITION (the q118 monotonic-ingest law, same as the batch
+    * increment's): batches must arrive in doc-id order — every id in
+    * batch N+1 exceeds every id in batch N. Concat-order packing is
+    * ORDER-DEFINED, so an out-of-order batch doesn't error, it simply
+    * packs in arrival order; equality with the doc-id-ordered batch
+    * rebuild (what StreamingSketchSpec asserts) holds only under the
+    * precondition. Ingest pipelines with assigned monotonic ids (the
+    * reference's, and any log-structured ingest) satisfy it for free. */
   def spanStream(
       docs: DataFrame,
       textCol: String = "text",

@@ -323,7 +323,7 @@ class StatsSpec extends SparkSpec {
     }
     // the increment law: weights depend only on (id, b), so shard sums add
     val merged = Stats.bootstrapCiFromSums(
-        Stats.bootstrapMergeSums(
+        Stats.bootstrapMergeSums("event_type",
           Stats.bootstrapSums(ev.filter("event_id % 3 = 0")),
           Stats.bootstrapSums(ev.filter("event_id % 3 <> 0"))),
         "event_type")

@@ -745,6 +745,15 @@ class TextAnalysisSpec extends SparkSpec {
       (1L, 3L, 6L, 2000000L),
       (2L, 3L, 4L, 1333333L),
       (3L, 3L, 3L, 1000000L)))
+    // exhaustion: "aaaa aaaa" runs out of pairs after 2 merges — the curve
+    // PLATEAUS at the final state (matching the oracle's no-op rounds)
+    // instead of truncating
+    val ex = graft.analysis.TextAnalysis.bpeCompressionCurve(
+        Seq((1L, "aaaa aaaa")).toDF("doc_id", "text"), merges = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
+    assert(ex.toSeq === Seq(
+      (0L, 8L, 4000000L), (1L, 4L, 2000000L),
+      (2L, 2L, 1000000L), (3L, 2L, 1000000L)))
   }
 
 }
