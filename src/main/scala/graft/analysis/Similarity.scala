@@ -600,26 +600,40 @@ object Similarity {
       idCol: String = "vec_id",
       vecCol: String = "embedding",
       dim: Int = 64): DataFrame = {
-    require(topKs.nonEmpty && topKs.forall(_ >= 1), s"need topKs >= 1, got $topKs")
     require(occupancies.nonEmpty && occupancies.forall(_ >= 1),
       s"need occupancies >= 1, got $occupancies")
+    lofAgreementSweep(corpus, k, topKs, "occupancy", occupancies,
+      idCol, vecCol)(occ => lofOutliersLsh(corpus, k, occ, idCol, vecCol, dim))
+  }
+
+  /** Shared verdict-overlap sweep body for the LOF quality curves
+    * (q251's occupancy dial, q253's table-count dial): exact arm computed
+    * ONCE, one approx arm per dial value via `arm`, per-(dial, topK)
+    * top-K verdict overlap with the deterministic (lof desc, id) rank and
+    * the round-half-up ppm — one source of truth for the tie-break, null
+    * filter, checkpoint discipline, and readout both curves must share
+    * for their numbers to be comparable. */
+  private def lofAgreementSweep(
+      corpus: DataFrame, k: Int, topKs: Seq[Int], dialCol: String,
+      dials: Seq[Int], idCol: String, vecCol: String)(
+      arm: Int => DataFrame): DataFrame = {
+    require(topKs.nonEmpty && topKs.forall(_ >= 1), s"need topKs >= 1, got $topKs")
     val exact = lofOutliers(corpus, k, idCol, vecCol)
       .filter(col("lof_ppm").isNotNull).localCheckpoint(true)
-    def topIds(arm: DataFrame, kk: Int) =
-      arm.orderBy(col("lof_ppm").desc, col("vec_id")).limit(kk)
-    occupancies.sorted.flatMap { occ =>
-      val approx = lofOutliersLsh(corpus, k, occ, idCol, vecCol, dim)
-        .filter(col("lof_ppm").isNotNull).localCheckpoint(true)
+    def topIds(a: DataFrame, kk: Int) =
+      a.orderBy(col("lof_ppm").desc, col("vec_id")).limit(kk)
+    dials.sorted.flatMap { d =>
+      val approx = arm(d).filter(col("lof_ppm").isNotNull).localCheckpoint(true)
       topKs.sorted.map { kk =>
         topIds(exact, kk).select("vec_id")
           .join(topIds(approx, kk).select(col("vec_id").as("vb")),
             col("vec_id") === col("vb"))
           .agg(count(lit(1)).as("n_overlap"))
-          .select(lit(occ.toLong).as("occupancy"),
+          .select(lit(d.toLong).as(dialCol),
             lit(kk.toLong).as("top_k"), col("n_overlap"),
             expr(s"(n_overlap * 2000000 + $kk) div (2 * $kk)").as("overlap_ppm"))
       }
-    }.reduce(_ unionByName _).orderBy("occupancy", "top_k")
+    }.reduce(_ unionByName _).orderBy(dialCol, "top_k")
   }
 
   /** [[lofTruncationAgreement]]'s sibling over the OTHER dial: top-K
@@ -638,27 +652,11 @@ object Similarity {
       idCol: String = "vec_id",
       vecCol: String = "embedding",
       dim: Int = 64): DataFrame = {
-    require(topKs.nonEmpty && topKs.forall(_ >= 1), s"need topKs >= 1, got $topKs")
     require(tableCounts.nonEmpty && tableCounts.forall(_ >= 1),
       s"need tableCounts >= 1, got $tableCounts")
-    val exact = lofOutliers(corpus, k, idCol, vecCol)
-      .filter(col("lof_ppm").isNotNull).localCheckpoint(true)
-    def topIds(arm: DataFrame, kk: Int) =
-      arm.orderBy(col("lof_ppm").desc, col("vec_id")).limit(kk)
-    tableCounts.sorted.flatMap { t =>
-      val approx =
-        lofOutliersLshMulti(corpus, k, targetOccupancy, t, idCol, vecCol, dim)
-          .filter(col("lof_ppm").isNotNull).localCheckpoint(true)
-      topKs.sorted.map { kk =>
-        topIds(exact, kk).select("vec_id")
-          .join(topIds(approx, kk).select(col("vec_id").as("vb")),
-            col("vec_id") === col("vb"))
-          .agg(count(lit(1)).as("n_overlap"))
-          .select(lit(t.toLong).as("n_tables"),
-            lit(kk.toLong).as("top_k"), col("n_overlap"),
-            expr(s"(n_overlap * 2000000 + $kk) div (2 * $kk)").as("overlap_ppm"))
-      }
-    }.reduce(_ unionByName _).orderBy("n_tables", "top_k")
+    lofAgreementSweep(corpus, k, topKs, "n_tables", tableCounts,
+      idCol, vecCol)(t =>
+      lofOutliersLshMulti(corpus, k, targetOccupancy, t, idCol, vecCol, dim))
   }
 
   /** Shared LOF head: ids + vectors + squared norms projected once. */
