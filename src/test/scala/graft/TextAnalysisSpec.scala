@@ -696,6 +696,37 @@ class TextAnalysisSpec extends SparkSpec {
     assert(merged.toSeq === rebuilt.toSeq)
   }
 
+  test("kneser-ney normalizes: P(.|w1) sums to exactly 1 over the vocabulary") {
+    // Interpolated KN is a PROPER distribution: sum over w2 of
+    // max(c12-D,0)/c1 = (c1 - D*n1p)/c1 and the continuation term
+    // contributes D*n1p/c1 * 1 — algebraically 1 for every seen history.
+    // The fixture's rationals even quantize without residue:
+    //   history a: 21/36 + 9/36 + 6/36 -> 583333333+250000000+166666667
+    //   history b: 18/24 + 3/24 + 3/24 -> 750000000+125000000+125000000
+    // both ppb sums EXACTLY 1e9.
+    val train = Seq((1L, "a b a b a c")).toDF("doc_id", "text")
+    for (h <- Seq("a", "b")) {
+      val ev = Seq("a", "b", "c").zipWithIndex
+        .map { case (w2, i) => (20L + i, s"$h $w2") }.toDF("doc_id", "text")
+      val ppbSum = graft.analysis.TextAnalysis.kneserNeyBigram(train, ev)
+        .collect().map(_.getLong(3)).sum
+      assert(math.abs(ppbSum - 1000000000L) <= 2L,
+        s"history $h: sum $ppbSum")
+    }
+  }
+
+  test("self-bleu boundary laws: exact clones saturate at 1e6, a singleton corpus scores 0") {
+    val clones = Seq((1L, "the same text here"), (2L, "the same text here"),
+      (3L, "the same text here")).toDF("doc_id", "text")
+    val sat = graft.analysis.TextAnalysis.selfBleu(clones, n = 2)
+      .collect().map(_.getLong(3))
+    assert(sat.toSeq === Seq(1000000L, 1000000L, 1000000L))
+    val solo = graft.analysis.TextAnalysis.selfBleu(
+        Seq((1L, "only one document")).toDF("doc_id", "text"), n = 2)
+      .collect().map(_.getLong(3))
+    assert(solo.toSeq === Seq(0L)) // no other doc ever says its grams
+  }
+
   test("rouge-2: clipped overlap rewards repetition only up to the reference count") {
     // cand "the cat sat on the cat": bigrams {the cat:2, cat sat, sat on,
     // on the} (c=5); ref "the cat sat on the mat" (r=5); clipped overlap
