@@ -1006,6 +1006,23 @@ object SparkEntry {
       CorpusPrep.sequencePack(
         CorpusPrep.prepareCorpus(TestData.documents(s, d)), ctxTokens = 256)
     },
+    // metric WITH uncertainty — the report shape eval pipelines actually
+    // ship: q259's per-pair ROUGE-2 F1 fed through q266's deterministic
+    // Poisson bootstrap (pair_id seeds the weights), corpus mean + a
+    // 2nd/19th-resample band in one gated statement
+    "q270_rouge_bootstrap" -> { (s, d) =>
+      val docs = TestData.documents(s, d)
+      val cand = docs.filter(col("doc_id") % 2 === 0)
+        .select(col("doc_id").as("pair_id"), col("text").as("cand"))
+      val ref = docs.filter(col("doc_id") % 2 =!= 0)
+        .select((col("doc_id") - 1).as("pair_id"), col("text").as("ref"))
+      val f1 = TextAnalysis.rougeN(cand.join(ref, "pair_id"), n = 2)
+        .filter(col("f1_ppm").isNotNull)
+        .select(lit("rouge2_f1").as("metric"), col("pair_id"),
+          (col("f1_ppm").cast("double") / lit(1e6)).as("value"))
+      graft.analysis.Stats.poissonBootstrapCi(f1, groupCol = "metric",
+        valCol = "value", idCol = "pair_id")
+    },
     // Fleiss' kappa over a 3-heuristic annotation panel (length band,
     // lexical-diversity band, stopword band — each a pure INTEGER
     // cross-multiplied comparison, so no rater decision can flip across
@@ -3815,6 +3832,100 @@ object SparkEntry {
        |$readouts
        |ORDER BY ctx, docs_in_window""".stripMargin
   }
+
+  /** The q259 ROUGE-2 chain as CTE text ending in `rg2` (one row per
+    * pair: counts + P/R/F1 ppm) — shared by q259's readout and q270's
+    * bootstrap composition. */
+  private def rouge2ChainCtes: String =
+    """toks AS (
+      |  SELECT doc_id,
+      |    string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')), ' ') AS t
+      |  FROM documents),
+      |pr AS MATERIALIZED (
+      |  SELECT c.doc_id AS pair_id, c.t AS ct, r.t AS rt
+      |  FROM toks c JOIN toks r ON r.doc_id = c.doc_id + 1
+      |  WHERE c.doc_id % 2 = 0),
+      |cg AS MATERIALIZED (
+      |  SELECT pair_id, g, count(*) AS ca FROM (
+      |    SELECT pair_id, ct[CAST(i + 1 AS INT)] || ' ' || ct[CAST(i + 2 AS INT)] AS g
+      |    FROM (SELECT pair_id, ct, unnest(range(len(ct) - 1)) AS i
+      |          FROM pr WHERE len(ct) >= 2))
+      |  GROUP BY 1, 2),
+      |rg AS MATERIALIZED (
+      |  SELECT pair_id, g, count(*) AS cr FROM (
+      |    SELECT pair_id, rt[CAST(i + 1 AS INT)] || ' ' || rt[CAST(i + 2 AS INT)] AS g
+      |    FROM (SELECT pair_id, rt, unnest(range(len(rt) - 1)) AS i
+      |          FROM pr WHERE len(rt) >= 2))
+      |  GROUP BY 1, 2),
+      |ct AS (SELECT pair_id, CAST(sum(ca) AS BIGINT) AS c FROM cg GROUP BY 1),
+      |rt2 AS (SELECT pair_id, CAST(sum(cr) AS BIGINT) AS r FROM rg GROUP BY 1),
+      |ov AS (SELECT pair_id, CAST(sum(least(ca, cr)) AS BIGINT) AS o
+      |       FROM cg JOIN rg USING (pair_id, g) GROUP BY 1),
+      |rg2 AS MATERIALIZED (
+      |  SELECT pr.pair_id,
+      |    COALESCE(ct.c, 0) AS n_cand_grams,
+      |    COALESCE(rt2.r, 0) AS n_ref_grams,
+      |    COALESCE(ov.o, 0) AS n_overlap,
+      |    CASE WHEN COALESCE(ct.c, 0) > 0
+      |      THEN (COALESCE(ov.o, 0) * 2000000 + ct.c) // (2 * ct.c) END AS p_ppm,
+      |    CASE WHEN COALESCE(rt2.r, 0) > 0
+      |      THEN (COALESCE(ov.o, 0) * 2000000 + rt2.r) // (2 * rt2.r) END AS r_ppm,
+      |    CASE WHEN COALESCE(ct.c, 0) + COALESCE(rt2.r, 0) > 0
+      |      THEN (COALESCE(ov.o, 0) * 4000000 + (COALESCE(ct.c, 0) + COALESCE(rt2.r, 0)))
+      |           // (2 * (COALESCE(ct.c, 0) + COALESCE(rt2.r, 0))) END AS f1_ppm
+      |  FROM pr
+      |  LEFT JOIN ct USING (pair_id) LEFT JOIN rt2 USING (pair_id)
+      |  LEFT JOIN ov USING (pair_id))""".stripMargin
+
+  /** q270's oracle: the ROUGE-2 chain feeding the q266 bootstrap chain —
+    * per-pair F1 (null-filtered, micro-requantized through the same
+    * floor(value·1e6+0.5) the Spark side applies to f1_ppm/1e6) as the
+    * bootstrapped metric; one metric group, same CDF ladder, same
+    * rank-2/rank-(cnt−1) band. */
+  private def rougeBootstrapSql: String =
+    s"""WITH $rouge2ChainCtes,
+       |sp AS (SELECT unnest(range(0, 21)) AS b),
+       |base AS (
+       |  SELECT 'rouge2_f1' AS g, pair_id AS rid,
+       |    CAST(floor((f1_ppm / 1000000.0) * 1000000 + 0.5) AS BIGINT) AS vm
+       |  FROM rg2 WHERE f1_ppm IS NOT NULL),
+       |bs AS MATERIALIZED (
+       |  SELECT g, b,
+       |    CAST(sum(w * vm) AS HUGEINT) AS s, CAST(sum(w) AS BIGINT) AS w
+       |  FROM (
+       |    SELECT g, b, vm,
+       |      CASE WHEN b = 0 THEN 1
+       |           WHEN u < 367879 THEN 0 WHEN u < 735759 THEN 1
+       |           WHEN u < 919699 THEN 2 WHEN u < 981012 THEN 3
+       |           WHEN u < 996340 THEN 4 WHEN u < 999406 THEN 5
+       |           ELSE 6 END AS w
+       |    FROM (
+       |      SELECT g, b, vm,
+       |        ('0x' || substr(md5(CAST(rid AS VARCHAR) || ':' || CAST(b AS VARCHAR)), 1, 15))::BIGINT % 1000000 AS u
+       |      FROM base CROSS JOIN sp))
+       |  GROUP BY 1, 2),
+       |id0 AS (
+       |  SELECT g, w AS n,
+       |    CASE WHEN w > 0 THEN CAST((2 * s + w) // (2 * w) AS BIGINT) END AS est_micro
+       |  FROM bs WHERE b = 0),
+       |res AS (
+       |  SELECT g, b, CAST((2 * s + w) // (2 * w) AS BIGINT) AS m
+       |  FROM bs WHERE b > 0 AND w > 0),
+       |rk AS (
+       |  SELECT g, m,
+       |    row_number() OVER (PARTITION BY g ORDER BY m, b) AS rn,
+       |    count(*) OVER (PARTITION BY g) AS cnt
+       |  FROM res),
+       |ci AS (
+       |  SELECT g, CAST(max(cnt) AS BIGINT) AS n_resamples,
+       |    max(CASE WHEN rn = 2 AND cnt >= 4 THEN m END) AS ci_lo_micro,
+       |    max(CASE WHEN rn = cnt - 1 AND cnt >= 4 THEN m END) AS ci_hi_micro
+       |  FROM rk GROUP BY 1)
+       |SELECT id0.g AS metric, id0.n, id0.est_micro,
+       |  ci.ci_lo_micro, ci.ci_hi_micro,
+       |  COALESCE(ci.n_resamples, 0) AS n_resamples
+       |FROM id0 LEFT JOIN ci USING (g)
+       |ORDER BY metric""".stripMargin
 
   /** q266's oracle (and q267's verbatim — the bootstrap increment is a
     * LAW gate: per-(group, resample) sums merged by addition ≡ rebuild):
@@ -7700,45 +7811,11 @@ object SparkEntry {
     // everything anchored on the pair spine (no FULL OUTER — the q180
     // lesson)
     "q259_rouge2" ->
-      """WITH toks AS (
-        |  SELECT doc_id,
-        |    string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')), ' ') AS t
-        |  FROM documents),
-        |pr AS MATERIALIZED (
-        |  SELECT c.doc_id AS pair_id, c.t AS ct, r.t AS rt
-        |  FROM toks c JOIN toks r ON r.doc_id = c.doc_id + 1
-        |  WHERE c.doc_id % 2 = 0),
-        |cg AS MATERIALIZED (
-        |  SELECT pair_id, g, count(*) AS ca FROM (
-        |    SELECT pair_id, ct[CAST(i + 1 AS INT)] || ' ' || ct[CAST(i + 2 AS INT)] AS g
-        |    FROM (SELECT pair_id, ct, unnest(range(len(ct) - 1)) AS i
-        |          FROM pr WHERE len(ct) >= 2))
-        |  GROUP BY 1, 2),
-        |rg AS MATERIALIZED (
-        |  SELECT pair_id, g, count(*) AS cr FROM (
-        |    SELECT pair_id, rt[CAST(i + 1 AS INT)] || ' ' || rt[CAST(i + 2 AS INT)] AS g
-        |    FROM (SELECT pair_id, rt, unnest(range(len(rt) - 1)) AS i
-        |          FROM pr WHERE len(rt) >= 2))
-        |  GROUP BY 1, 2),
-        |ct AS (SELECT pair_id, CAST(sum(ca) AS BIGINT) AS c FROM cg GROUP BY 1),
-        |rt2 AS (SELECT pair_id, CAST(sum(cr) AS BIGINT) AS r FROM rg GROUP BY 1),
-        |ov AS (SELECT pair_id, CAST(sum(least(ca, cr)) AS BIGINT) AS o
-        |       FROM cg JOIN rg USING (pair_id, g) GROUP BY 1)
-        |SELECT pr.pair_id,
-        |  COALESCE(ct.c, 0) AS n_cand_grams,
-        |  COALESCE(rt2.r, 0) AS n_ref_grams,
-        |  COALESCE(ov.o, 0) AS n_overlap,
-        |  CASE WHEN COALESCE(ct.c, 0) > 0
-        |    THEN (COALESCE(ov.o, 0) * 2000000 + ct.c) // (2 * ct.c) END AS p_ppm,
-        |  CASE WHEN COALESCE(rt2.r, 0) > 0
-        |    THEN (COALESCE(ov.o, 0) * 2000000 + rt2.r) // (2 * rt2.r) END AS r_ppm,
-        |  CASE WHEN COALESCE(ct.c, 0) + COALESCE(rt2.r, 0) > 0
-        |    THEN (COALESCE(ov.o, 0) * 4000000 + (COALESCE(ct.c, 0) + COALESCE(rt2.r, 0)))
-        |         // (2 * (COALESCE(ct.c, 0) + COALESCE(rt2.r, 0))) END AS f1_ppm
-        |FROM pr
-        |LEFT JOIN ct USING (pair_id) LEFT JOIN rt2 USING (pair_id)
-        |LEFT JOIN ov USING (pair_id)
-        |ORDER BY pair_id""".stripMargin,
+      s"""WITH $rouge2ChainCtes
+         |SELECT pair_id, n_cand_grams, n_ref_grams, n_overlap,
+         |  p_ppm, r_ppm, f1_ppm
+         |FROM rg2
+         |ORDER BY pair_id""".stripMargin,
     // q252's training chain, one fertility readout per vocab state s_m
     "q260_bpe_compression" -> bpeCompressionSql(merges = 3),
     // per-gram top-2 (count, doc) via a rank-1 window + runner-up max;
@@ -9024,6 +9101,8 @@ object SparkEntry {
     // q41's chain re-terminated at survivor token counts + q256's packing
     // readout — the composed prepare→pack pipeline in one statement
     "q269_prep_pack" -> corpusPrepPackSql(ctx = 256),
+    // q259's chain feeding q266's bootstrap chain — metric + uncertainty
+    "q270_rouge_bootstrap" -> rougeBootstrapSql,
     // SAME SQL as q41: the incremental path must reproduce the batch
     // rebuild over the union exactly (monotonic-id law)
     "q118_corpus_prep_increment" -> corpusPrepBatchSql,
