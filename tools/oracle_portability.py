@@ -145,6 +145,11 @@ EXACT_IEEE = {
     "q268_trimmed_mean": "same floor(value*1e6+0.5) per-row quantization; "
         "rank, trim bounds, and both means are pure integer arithmetic "
         "on the quantized values",
+    "q270_rouge_bootstrap": "the bootstrapped value is q259's integer "
+        "f1_ppm (<= 1e6) round-tripped through the fixed /1e6 then "
+        "*1e6+0.5 floor chain — three IEEE ops on an exact integer, "
+        "recovering it bit-for-bit on both engines; weights and sums are "
+        "the q266 md5/HUGEINT machinery",
 }
 
 # Float-emitting MARGIN-OK queries whose half-boundary margin is ALSO
