@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.adapters.TestData
-import graft.analysis.{CorpusPrep, Dedup, Graphs, Multimodal, Similarity, TextAnalysis, TimeSeries}
+import graft.analysis.{CorpusPrep, Dedup, Graphs, Multimodal, Similarity, TextAnalysis, TimeSeries, UnigramLM}
 import graft.core.{GraftSession, Tables}
 import graft.functions.SimHash
 import graft.ingest.Normalizer
@@ -1022,6 +1022,73 @@ object SparkEntry {
           (col("f1_ppm").cast("double") / lit(1e6)).as("value"))
       graft.analysis.Stats.poissonBootstrapCi(f1, groupCol = "metric",
         valCol = "value", idCol = "pair_id")
+    },
+    // UNIGRAM-LM (SentencePiece-style) tokenizer trainer — the Kudo 2018
+    // shape next to q252's BPE: substring seed vocab, 2 hard-EM rounds
+    // (Viterbi E-step over the DISTINCT-word table with a driver-held
+    // ppb-quantized score model, the bounded-model plan), count prune to
+    // budget, final E-step. Integer-only output schema; the DP doubles
+    // are exact ppb·1e-9 products in a fixed op order, mirrored verbatim
+    // in the unrolled oracle
+    "q271_unigram_train" -> { (s, d) =>
+      UnigramLM.unigramTrain(TestData.documents(s, d))
+    },
+    // train → ENCODE under the final probabilities (what a SentencePiece
+    // encoder ships with): per-distinct-word Viterbi piece counts joined
+    // back to per-doc word counts; over-length words char-fallback —
+    // q255's readout shape for the unigram family
+    "q272_unigram_encode" -> { (s, d) =>
+      UnigramLM.unigramEncode(TestData.documents(s, d))
+    },
+    // q251's occupancy sweep re-gated on a PLANTED-STRUCTURE fixture
+    // (verdict round-11 #3): the raw md5 embeddings are the sign-bucket
+    // worst case, so the 12-34% overlap measured there conflates fixture
+    // and method — this derives clusterable vectors deterministically
+    // from the SAME table (+8.0 block per vec_id%8 cluster, 0.125x noise)
+    // and reports the same curve side by side
+    "q273_lof_quality_planted" -> { (s, d) =>
+      Similarity.lofTruncationAgreement(
+        Similarity.plantedClusters(TestData.embeddings(s, d)), k = 5)
+    },
+    // q253's table-count sweep on the same planted fixture
+    "q274_lof_multi_quality_planted" -> { (s, d) =>
+      Similarity.lofMultiTableAgreement(
+        Similarity.plantedClusters(TestData.embeddings(s, d)), k = 5)
+    },
+    // CROSS-DOC MAXIMAL SHARED RUNS (Lee et al. generalized past the
+    // fixed-length grain): per dup pair, consecutive matching fingerprint
+    // positions collapse along diagonals (the q87 gaps-and-islands trick
+    // over (pair, diag) groups) into maximal verbatim runs; the
+    // longest-run readout is what substring-dedup rollouts actually cut
+    // on — q188 masks within a doc, this reports ACROSS the pair
+    "q275_shared_runs" -> { (s, d) =>
+      Dedup.sharedRuns(TestData.documents(s, d), spanTokens = 8)
+    },
+    // LAW gate: the freq-weighted distinct-word table is the unigram
+    // trainer's COMPLETE sufficient statistic, additive across doc-id
+    // shards — training from the merged shard artifacts must equal q271's
+    // whole-corpus rebuild bit-for-bit (oracle IS q271's SQL); the
+    // q257/q261/q262 sharded-counting shape for the tokenizer family
+    "q276_unigram_model_increment" -> { (s, d) =>
+      val docs = TestData.documents(s, d)
+      UnigramLM.unigramTrainFromWords(UnigramLM.mergeWordTables(
+        UnigramLM.wordTableArtifact(docs.filter(col("doc_id") % 2 === 0)),
+        UnigramLM.wordTableArtifact(docs.filter(col("doc_id") % 2 =!= 0))))
+    },
+    // HARD-NEGATIVE MINING — contrastive-training data prep: per anchor,
+    // the k nearest DIFFERENT-label vectors (close in embedding space,
+    // wrong by label). Exact all-pairs arm = the verdict source of truth,
+    // quarantined quadratic diagnostic like q238; q278 is the production
+    // feed
+    "q277_hard_negatives" -> { (s, d) =>
+      Similarity.hardNegatives(TestData.embeddings(s, d), k = 3)
+    },
+    // the production twin: candidates from 4 rotated-window adaptive
+    // sign-bucket tables (q254's machinery) + the label filter — anchors
+    // whose buckets hold no cross-label vector drop (the measured recall
+    // trade), per-anchor cost bounded by tables x occupancy
+    "q278_hard_negatives_lsh" -> { (s, d) =>
+      Similarity.hardNegativesLsh(TestData.embeddings(s, d), k = 3)
     },
     // Fleiss' kappa over a 3-heuristic annotation panel (length band,
     // lexical-diversity band, stopword band — each a pure INTEGER
@@ -2520,7 +2587,11 @@ object SparkEntry {
     * over all documents) and q118 (incremental over a split of the same
     * documents): the incremental path's whole contract is reproducing this
     * rebuild exactly. */
-  private val corpusPrepBatchSql: String =
+  /** q41's corpus-prep WITH-prefix (quality filter → exact dedup →
+    * MinHash+LSH near-dup removal), ending after `losers` — the ONE
+    * constant the q41 batch oracle and the q269 composed oracle
+    * concatenate from (no substring surgery against a marker literal). */
+  private val corpusPrepCtes: String =
     """WITH t AS (
       |  SELECT doc_id, text,
       |    trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')) AS norm
@@ -2563,11 +2634,14 @@ object SparkEntry {
       |  JOIN sets sa ON doc_a = sa.id JOIN sets sb ON doc_b = sb.id
       |  WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
       |        / len(list_distinct(list_concat(sa.sh, sb.sh))) >= 0.8),
-      |losers AS (SELECT DISTINCT doc_b FROM verified)
-      |SELECT d.doc_id, d.lang, d.source, d.n_chars
-      |FROM keep k JOIN documents d USING (doc_id)
-      |WHERE k.doc_id NOT IN (SELECT doc_b FROM losers)
-      |ORDER BY d.doc_id""".stripMargin
+      |losers AS (SELECT DISTINCT doc_b FROM verified)""".stripMargin
+
+  private val corpusPrepBatchSql: String =
+    s"""$corpusPrepCtes
+       |SELECT d.doc_id, d.lang, d.source, d.n_chars
+       |FROM keep k JOIN documents d USING (doc_id)
+       |WHERE k.doc_id NOT IN (SELECT doc_b FROM losers)
+       |ORDER BY d.doc_id""".stripMargin
 
   /** q269's oracle: the q41 corpus-prep chain (quality filter → exact
     * dedup → MinHash+LSH near-dup removal) re-terminated at the SURVIVOR
@@ -2575,9 +2649,7 @@ object SparkEntry {
     * the composed "prepare then pack" pipeline a pretraining data job
     * actually ships, end-to-end in one statement. */
   private def corpusPrepPackSql(ctx: Int): String = {
-    val prefixEnd = corpusPrepBatchSql.lastIndexOf("\nSELECT d.doc_id")
-    val prefix = corpusPrepBatchSql.substring(0, prefixEnd)
-    s"""$prefix,
+    s"""$corpusPrepCtes,
        |surv AS (
        |  SELECT k.doc_id,
        |    CAST(len(list_filter(k.toks, x -> x <> '')) AS BIGINT) AS n_tok
@@ -2960,6 +3032,45 @@ object SparkEntry {
   /** q136's whole-corpus span-dedup SQL — also q149's oracle verbatim
     * (the incremental-index law: merged per-doc-grain indexes report
     * identically to the batch rebuild). */
+  /** q275's oracle: the cross-doc maximal-shared-run report — span
+    * fingerprints (explicit-element concat, no list slice), the pair
+    * self-join, and the q87 gaps-and-islands collapse per (pair,
+    * diagonal). Every aggregate BIGINT-cast (the q180 lesson). */
+  private def sharedRunsSql(spanTokens: Int): String = {
+    val span = (1 to spanTokens).map(o => s"toks[start + $o]").mkString(" || ' ' || ")
+    s"""WITH t AS (
+       |  SELECT doc_id, list_filter(string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g')), ' '), x -> x <> '') AS toks
+       |  FROM documents),
+       |w AS (
+       |  SELECT doc_id, CAST(unnest(range(0, len(toks) - $spanTokens + 1)) AS BIGINT) AS start, toks
+       |  FROM t WHERE len(toks) >= $spanTokens),
+       |f AS MATERIALIZED (
+       |  SELECT doc_id, start,
+       |    ('0x' || substr(md5($span), 1, 15))::BIGINT AS span_fp
+       |  FROM w),
+       |pr AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.start AS sa,
+       |    a.start - b.start AS diag
+       |  FROM f a JOIN f b ON a.span_fp = b.span_fp AND a.doc_id < b.doc_id),
+       |rn AS (
+       |  SELECT doc_a, doc_b, diag, sa,
+       |    CASE WHEN lag(sa) OVER wd IS NULL OR sa - lag(sa) OVER wd > 1
+       |         THEN 1 ELSE 0 END AS brk
+       |  FROM pr WINDOW wd AS (PARTITION BY doc_a, doc_b, diag ORDER BY sa)),
+       |il AS (
+       |  SELECT doc_a, doc_b, diag, sa,
+       |    CAST(sum(brk) OVER (PARTITION BY doc_a, doc_b, diag ORDER BY sa ROWS UNBOUNDED PRECEDING) AS BIGINT) AS run
+       |  FROM rn),
+       |runs AS (
+       |  SELECT doc_a, doc_b, diag, run, CAST(count(*) AS BIGINT) AS n_spans,
+       |    max(sa) - min(sa) + $spanTokens AS run_tokens
+       |  FROM il GROUP BY 1, 2, 3, 4)
+       |SELECT doc_a, doc_b, CAST(count(*) AS BIGINT) AS n_runs,
+       |  CAST(sum(n_spans) AS BIGINT) AS n_shared_spans,
+       |  CAST(max(run_tokens) AS BIGINT) AS max_run_tokens
+       |FROM runs GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+  }
+
   private val spanDedupOracle: String =
     """WITH t AS (
       |  SELECT doc_id, list_filter(string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')), ' '), x -> x <> '') AS toks
@@ -3590,7 +3701,11 @@ object SparkEntry {
     * s_m-reading oracles (q255 encode, q260 curve) keep matching the
     * Spark side, whose curve pads exhausted rounds with the final state
     * and whose encoder simply applies the shorter merge list. */
-  private def bpeTrainSql(merges: Int): String = {
+  /** The full BPE training WITH-prefix (toks → s0 → merge rounds 1..R),
+    * ending after the last CTE — the ONE constant q252/q255/q260 compose
+    * from (no substring surgery: a reformat of any readout can no longer
+    * break a sibling oracle). */
+  private def bpeTrainCtes(merges: Int): String = {
     val rounds = (1 to merges).map { r =>
       s"""p$r AS (
          |  SELECT pair, count(*) AS n_words, CAST(sum(freq) AS BIGINT) AS total_count
@@ -3631,11 +3746,15 @@ object SparkEntry {
          |    ELSE syms END AS syms
          |  FROM g$r)""".stripMargin
     }.mkString(",\n")
+    s"WITH ${bpeChainSql(rounds)}"
+  }
+
+  private def bpeTrainSql(merges: Int): String = {
     val out = (1 to merges)
       .map(r =>
         s"SELECT CAST($r AS BIGINT) AS round, pair, n_words, total_count FROM b$r")
       .mkString("\nUNION ALL ")
-    s"""WITH ${bpeChainSql(rounds)}
+    s"""${bpeTrainCtes(merges)}
        |$out
        |ORDER BY round""".stripMargin
   }
@@ -3661,11 +3780,7 @@ object SparkEntry {
     * same symbols), so the oracle reads `len(syms)` off the final vocab
     * state s_R instead of re-running the merge loop per document. */
   private def bpeEncodeSql(merges: Int): String = {
-    // reuse bpeTrainSql's rounds by rebuilding them (same code path)
-    val trainSql = bpeTrainSql(merges)
-    val prefixEnd = trainSql.lastIndexOf("\nSELECT CAST(1 AS BIGINT)")
-    val prefix = trainSql.substring(0, prefixEnd)
-    s"""$prefix,
+    s"""${bpeTrainCtes(merges)},
        |wd AS (
        |  SELECT doc_id, w, count(*) AS c
        |  FROM (SELECT doc_id, unnest(t) AS w FROM toks)
@@ -3980,9 +4095,6 @@ object SparkEntry {
   /** q260's oracle: the q252 training chain (s₀..s_R MATERIALIZED), then
     * one frequency-weighted fertility readout per vocabulary state. */
   private def bpeCompressionSql(merges: Int): String = {
-    val trainSql = bpeTrainSql(merges)
-    val prefixEnd = trainSql.lastIndexOf("\nSELECT CAST(1 AS BIGINT)")
-    val prefix = trainSql.substring(0, prefixEnd)
     val rows = (0 to merges).map { m =>
       s"""SELECT CAST($m AS BIGINT) AS m, n_words, n_bpe_tokens,
          |  CASE WHEN n_words > 0
@@ -3992,7 +4104,172 @@ object SparkEntry {
          |        CAST(COALESCE(sum(freq * len(syms)), 0) AS BIGINT) AS n_bpe_tokens
          |      FROM s$m)""".stripMargin
     }.mkString("\nUNION ALL ")
-    s"$prefix\n$rows\nORDER BY m"
+    s"${bpeTrainCtes(merges)}\n$rows\nORDER BY m"
+  }
+
+  /** One unrolled hard-EM Viterbi round for the unigram-LM oracles
+    * (q271/q272): join the distinct-word table to the round's piece
+    * scores at every (start, len) grid cell, pivot to one row per word,
+    * chain `m` DP CTEs (bᵢ = max over j of bⱼ·sⱼᵢ, candidates j
+    * descending with strictly-greater replacement — the EXACT op order of
+    * [[graft.analysis.UnigramLM.viterbiPieces]]), chain `m` backpointer-
+    * walk CTEs, and reduce to freq-weighted piece usage counts over
+    * `vocabCte` (zero-usage pieces kept at 0). Ends with CTE `c$idx`
+    * 〈piece, cnt〉; also leaves `wk${idx}_$m` (per-word walk positions)
+    * for the encode readout. */
+  private def unigramEmRoundCtes(
+      idx: Int, scoreCte: String, vocabCte: String, m: Int, k: Int): String = {
+    val cells = for { j <- 0 until m; l <- 1 to k; if j + l <= m } yield (j, j + l)
+    val pivotCols = cells.map { case (j, i) =>
+      s"    max(CASE WHEN j = $j AND i = $i THEN CAST(ppb AS DOUBLE) * 1e-9 END) AS s_${j}_$i"
+    }.mkString(",\n")
+    // DP chain: one CTE per position so b/p are materialized COLUMNS the
+    // next step references by name (no exponential expression inlining)
+    val dp = (1 to m).map { i =>
+      def cand(j: Int): String =
+        if (j == 0) s"(1.0 * s_0_$i)" else s"(b_$j * s_${j}_$i)"
+      val lo = math.max(0, i - k)
+      var bexp = cand(i - 1)
+      var pexp = (i - 1).toString
+      ((i - 2) to lo by -1).foreach { j =>
+        val c = cand(j)
+        pexp = s"CASE WHEN $c > ($bexp) THEN $j ELSE ($pexp) END"
+        bexp = s"CASE WHEN $c > ($bexp) THEN $c ELSE ($bexp) END"
+      }
+      val src = if (i == 1) s"wp$idx" else s"d${idx}_${i - 1}"
+      s"""d${idx}_$i AS MATERIALIZED (
+         |  SELECT *, $bexp AS b_$i, CAST($pexp AS INT) AS p_$i FROM $src)""".stripMargin
+    }.mkString(",\n")
+    val bpList = (1 to m).map(i => s"p_$i").mkString("list_value(", ", ", ")")
+    val walk = (1 to m).map { t =>
+      val prev = if (t == 1) "len" else s"q_${t - 1}"
+      val src = if (t == 1) s"wk${idx}_0" else s"wk${idx}_${t - 1}"
+      s"""wk${idx}_$t AS (
+         |  SELECT *, CASE WHEN $prev > 0 THEN bps[$prev] END AS q_$t FROM $src)""".stripMargin
+    }.mkString(",\n")
+    val pieceExprs = (1 to m).map { t =>
+      val prev = if (t == 1) "len" else s"q_${t - 1}"
+      s"      CASE WHEN q_$t IS NOT NULL THEN substr(w, q_$t + 1, $prev - q_$t) END"
+    }.mkString(",\n")
+    s"""ws$idx AS (
+       |  SELECT wt.w, wt.freq, wt.len, g.j, g.j + g.l AS i, rr.ppb
+       |  FROM wt CROSS JOIN grid g JOIN $scoreCte rr ON rr.piece = substr(wt.w, g.j + 1, g.l)
+       |  WHERE g.j + g.l <= wt.len),
+       |wp$idx AS MATERIALIZED (
+       |  SELECT w, any_value(freq) AS freq, any_value(len) AS len,
+       |$pivotCols
+       |  FROM ws$idx GROUP BY w),
+       |$dp,
+       |wk${idx}_0 AS MATERIALIZED (
+       |  SELECT w, freq, len, $bpList AS bps FROM d${idx}_$m),
+       |$walk,
+       |pc$idx AS (
+       |  SELECT piece, CAST(sum(freq) AS BIGINT) AS cnt FROM (
+       |    SELECT freq, unnest(list_filter(list_value(
+       |$pieceExprs),
+       |      x -> x IS NOT NULL)) AS piece
+       |    FROM wk${idx}_$m)
+       |  GROUP BY 1),
+       |c$idx AS MATERIALIZED (
+       |  SELECT v.piece, CAST(COALESCE(pc.cnt, 0) AS BIGINT) AS cnt
+       |  FROM $vocabCte v LEFT JOIN pc$idx pc ON pc.piece = v.piece)""".stripMargin
+  }
+
+  /** Round-half-up ppb requantization CTE over a 〈piece, cnt〉 frame. */
+  private def unigramPpbCte(name: String, src: String): String =
+    s"""$name AS MATERIALIZED (
+       |  SELECT piece, CAST((2 * cnt * 1000000000 + t) // (2 * t) AS BIGINT) AS ppb
+       |  FROM $src CROSS JOIN (SELECT CAST(sum(cnt) AS BIGINT) AS t FROM $src) tv_$name)""".stripMargin
+
+  /** The shared unigram-LM WITH-prefix for q271/q272: tokens → distinct
+    * trainable words → seed substring counts → seed vocab (all chars +
+    * top-`seedMulti` multi by count) → 2 hard-EM rounds → count-based
+    * prune to `budgetMulti` multi pieces → final E-step counts `c3`.
+    * Every count CAST to BIGINT at the HUGEINT widening points (the q180
+    * lesson). Mirrors [[graft.analysis.UnigramLM.unigramTrain]] with
+    * Params(maxWordLen=m, maxPieceLen=k, seedMulti, budgetMulti,
+    * emRounds=2) — same quantization, same DP op order, same tie-breaks. */
+  private def unigramChainCtes(
+      m: Int, k: Int, seedMulti: Int, budgetMulti: Int): String = {
+    val js = (0 until m).map(j => s"($j)").mkString(", ")
+    val ls = (1 to k).map(l => s"($l)").mkString(", ")
+    s"""WITH toks AS (
+       |  SELECT doc_id,
+       |    list_filter(string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g')), ' '), x -> x <> '') AS t
+       |  FROM documents),
+       |wt AS MATERIALIZED (
+       |  SELECT w, CAST(count(*) AS BIGINT) AS freq, CAST(length(w) AS INT) AS len
+       |  FROM (SELECT unnest(t) AS w FROM toks)
+       |  WHERE length(w) <= $m GROUP BY 1),
+       |grid AS (
+       |  SELECT j, l FROM (VALUES $js) AS gj(j) CROSS JOIN (VALUES $ls) AS gl(l)
+       |  WHERE j + l <= $m),
+       |sub AS MATERIALIZED (
+       |  SELECT substr(w, j + 1, l) AS piece, CAST(sum(freq) AS BIGINT) AS cnt
+       |  FROM wt CROSS JOIN grid WHERE j + l <= len GROUP BY 1),
+       |v0 AS MATERIALIZED (
+       |  SELECT piece, cnt FROM sub WHERE length(piece) = 1
+       |  UNION ALL
+       |  SELECT piece, cnt FROM (
+       |    SELECT piece, cnt, row_number() OVER (ORDER BY cnt DESC, piece) AS rk
+       |    FROM sub WHERE length(piece) >= 2) WHERE rk <= $seedMulti),
+       |${unigramPpbCte("r0", "v0")},
+       |${unigramEmRoundCtes(1, "r0", "v0", m, k)},
+       |${unigramPpbCte("r1", "c1")},
+       |${unigramEmRoundCtes(2, "r1", "v0", m, k)},
+       |v3 AS MATERIALIZED (
+       |  SELECT piece, cnt FROM c2 WHERE length(piece) = 1
+       |  UNION ALL
+       |  SELECT piece, cnt FROM (
+       |    SELECT piece, cnt, row_number() OVER (ORDER BY cnt DESC, piece) AS rk
+       |    FROM c2 WHERE length(piece) >= 2) WHERE rk <= $budgetMulti),
+       |${unigramPpbCte("r3", "v3")},
+       |${unigramEmRoundCtes(3, "r3", "v3", m, k)}""".stripMargin
+  }
+
+  /** q271's oracle: final vocabulary 〈piece, cnt, prob_ppb〉. */
+  private def unigramTrainSql(
+      m: Int, k: Int, seedMulti: Int, budgetMulti: Int): String =
+    s"""${unigramChainCtes(m, k, seedMulti, budgetMulti)}
+       |SELECT piece, cnt,
+       |  CAST((2 * cnt * 1000000000 + tt) // (2 * tt) AS BIGINT) AS prob_ppb
+       |FROM c3 CROSS JOIN (SELECT CAST(sum(cnt) AS BIGINT) AS tt FROM c3) tf
+       |ORDER BY piece""".stripMargin
+
+  /** q272's oracle: a FOURTH Viterbi pass under the FINAL probabilities
+    * (what a SentencePiece encoder ships with), per-distinct-word piece
+    * counts joined back to per-doc word counts; words longer than the
+    * trainer cap char-fallback (n pieces = length). Mirror of
+    * [[graft.analysis.UnigramLM.unigramEncode]]. */
+  private def unigramEncodeSql(
+      m: Int, k: Int, seedMulti: Int, budgetMulti: Int): String = {
+    val npSum = (1 to m)
+      .map(t => s"(CASE WHEN q_$t IS NOT NULL THEN 1 ELSE 0 END)")
+      .mkString(" + ")
+    s"""${unigramChainCtes(m, k, seedMulti, budgetMulti)},
+       |r4 AS MATERIALIZED (
+       |  SELECT piece,
+       |    CAST((2 * cnt * 1000000000 + tt) // (2 * tt) AS BIGINT) AS ppb
+       |  FROM c3 CROSS JOIN (SELECT CAST(sum(cnt) AS BIGINT) AS tt FROM c3) tf),
+       |${unigramEmRoundCtes(4, "r4", "v3", m, k)},
+       |np AS MATERIALIZED (
+       |  SELECT w, CAST($npSum AS BIGINT) AS np FROM wk4_$m),
+       |wd AS (
+       |  SELECT doc_id, w, CAST(count(*) AS BIGINT) AS c
+       |  FROM (SELECT doc_id, unnest(t) AS w FROM toks) GROUP BY 1, 2),
+       |enc AS (
+       |  SELECT wd.doc_id, CAST(sum(wd.c) AS BIGINT) AS n_words,
+       |    CAST(sum(wd.c * COALESCE(np.np, length(wd.w))) AS BIGINT) AS n_sp_tokens
+       |  FROM wd LEFT JOIN np ON np.w = wd.w GROUP BY 1)
+       |SELECT d.doc_id,
+       |  COALESCE(enc.n_words, 0) AS n_words,
+       |  COALESCE(enc.n_sp_tokens, 0) AS n_sp_tokens,
+       |  CASE WHEN COALESCE(enc.n_words, 0) > 0
+       |    THEN CAST((enc.n_sp_tokens * 2000000 + enc.n_words) // (2 * enc.n_words) AS BIGINT)
+       |  END AS fertility_ppm
+       |FROM (SELECT doc_id FROM documents) d
+       |LEFT JOIN enc ON enc.doc_id = d.doc_id
+       |ORDER BY d.doc_id""".stripMargin
   }
 
   /** Shared SQL fragments for the multi-table LSH LOF oracles (q253/q254):
@@ -4012,9 +4289,32 @@ object SparkEntry {
     * DISTINCT union over T rotated-window buckets, each table's offset
     * stride = dim/T exactly as the Scala side derives it), the (arm, p)
     * lattice, and per-(n_tables, K) top-K intersections. */
+  /** Planted-cluster embedding CTE for the q273/q274 quality fixtures —
+    * [[graft.analysis.Similarity.plantedClusters]] verbatim: cluster
+    * c = vec_id % 8 imprints its 3-bit sign pattern on the leading
+    * blockDims dimensions (sign from bit (j mod 3) of c, magnitude
+    * 4.0 ± 0.125·noise), remaining dims ±0.125 noise. All float ops
+    * exact or singly-rounded, so both engines produce identical bits.
+    * DuckDB's list_transform index is 1-BASED (Scala transform's is
+    * 0-based); the (i - 1) aligns them. */
+  private def plantedEmbeddingsCte(blockDims: Int): String =
+    s"""pe AS MATERIALIZED (
+       |  SELECT vec_id,
+       |    list_transform(embedding, (x, i) ->
+       |      CAST(CASE WHEN (i - 1) < $blockDims
+       |        THEN (CASE WHEN (CASE WHEN (i - 1) % 3 = 0 THEN (vec_id % 8) & 1
+       |                              WHEN (i - 1) % 3 = 1 THEN (vec_id % 8) & 2
+       |                              ELSE (vec_id % 8) & 4 END) > 0
+       |              THEN 1.0::DOUBLE ELSE -1.0::DOUBLE END)
+       |          * (4.0::DOUBLE + 0.125::DOUBLE * CAST(x AS DOUBLE))
+       |        ELSE 0.125::DOUBLE * CAST(x AS DOUBLE) END AS FLOAT)) AS embedding
+       |  FROM embeddings),
+       |""".stripMargin
+
   private def lofMultiQualitySql(
       k: Int, topKs: Seq[Int], tableCounts: Seq[Int],
-      occupancy: Int, dim: Int): String = {
+      occupancy: Int, dim: Int,
+      src: String = "embeddings", pre: String = ""): String = {
     val counts = tableCounts.sorted
     def offsetsOf(t: Int): Seq[Int] = {
       val stride = math.max(1, dim / t)
@@ -4042,16 +4342,16 @@ object SparkEntry {
     val ksRows = topKs.sorted
       .map(kk => s"SELECT CAST($kk AS BIGINT) AS top_k")
       .mkString("\n       UNION ALL ")
-    s"""WITH bits AS (
+    s"""WITH ${pre}bits AS (
        |  SELECT least(length(bin(((count(*) + ${occupancy - 1}) // $occupancy) - 1)), ${math.min(dim, 62)}) AS b
-       |  FROM embeddings),
+       |  FROM $src),
        |ef AS MATERIALIZED (
        |  SELECT vec_id, embedding AS u,
        |    list_sum(list_transform(range(1, len(embedding) + 1),
        |      i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))
        |      AS n2,
        |${allOffsets.map(off => "    " + lofMultiBucketCol(off, dim)).mkString(",\n")}
-       |  FROM embeddings),
+       |  FROM $src),
        |$arms,
        |d AS (
        |  SELECT 0 AS arm, a.vec_id AS p, b.vec_id AS o,
@@ -4107,6 +4407,72 @@ object SparkEntry {
   /** q254's oracle: q247's lattice verbatim with the pair feed replaced by
     * the T-table distinct union (the production multi-table artifact at
     * full per-point grain). */
+  /** The hard-negative miners' shared integer micro-distance + rank
+    * readout. q277 feeds it all different-label pairs; q278 the
+    * multi-table sign-bucket candidates. */
+  private val hardNegDm: String =
+    """CAST(floor(sqrt(greatest(
+      |        a.n2 + b.n2 - 2.0::DOUBLE * list_sum(list_transform(
+      |          range(1, len(a.u) + 1),
+      |          i -> CAST(a.u[i] AS DOUBLE) * CAST(b.u[i] AS DOUBLE))),
+      |        0.0::DOUBLE))
+      |      * 1000000.0::DOUBLE + 0.5::DOUBLE) AS BIGINT) AS dm""".stripMargin
+
+  private def hardNegTailSql(k: Int): String =
+    s"""r AS (
+       |  SELECT p, o, dm,
+       |    row_number() OVER (PARTITION BY p ORDER BY dm, o) AS rk
+       |  FROM d)
+       |SELECT p AS vec_id, CAST(rk AS BIGINT) AS neg_rank, o AS neg_id, dm
+       |FROM r WHERE rk <= $k ORDER BY vec_id, neg_rank""".stripMargin
+
+  /** q277's oracle: exact all-pairs hard negatives. */
+  private def hardNegativesSql(k: Int): String =
+    s"""WITH ef AS MATERIALIZED (
+       |  SELECT vec_id, label, embedding AS u,
+       |    list_sum(list_transform(range(1, len(embedding) + 1),
+       |      i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))
+       |      AS n2
+       |  FROM embeddings),
+       |d AS (
+       |  SELECT a.vec_id AS p, b.vec_id AS o,
+       |    $hardNegDm
+       |  FROM ef a JOIN ef b
+       |    ON a.vec_id <> b.vec_id AND a.label <> b.label),
+       |${hardNegTailSql(k)}""".stripMargin
+
+  /** q278's oracle: the multi-table sign-bucket candidate feed (q254's
+    * machinery) with the different-label filter, DISTINCT pairs, one
+    * distance pass, same rank tail. */
+  private def hardNegativesLshSql(
+      k: Int, occupancy: Int, nTables: Int, dim: Int): String = {
+    val stride = math.max(1, dim / nTables)
+    val offsets = (0 until nTables).map(_ * stride)
+    val union = offsets.map { off =>
+      s"""    SELECT a.vec_id AS p, b.vec_id AS o
+         |    FROM ef a JOIN ef b ON a.bk$off = b.bk$off
+         |      AND a.vec_id <> b.vec_id AND a.label <> b.label""".stripMargin
+    }.mkString("\n    UNION ALL\n")
+    s"""WITH bits AS (
+       |  SELECT least(length(bin(((count(*) + ${occupancy - 1}) // $occupancy) - 1)), ${math.min(dim, 62)}) AS b
+       |  FROM embeddings),
+       |ef AS MATERIALIZED (
+       |  SELECT vec_id, label, embedding AS u,
+       |    list_sum(list_transform(range(1, len(embedding) + 1),
+       |      i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))
+       |      AS n2,
+       |${offsets.map(off => "    " + lofMultiBucketCol(off, dim)).mkString(",\n")}
+       |  FROM embeddings),
+       |up AS (
+       |  SELECT DISTINCT p, o FROM (
+       |$union)),
+       |d AS (
+       |  SELECT u.p, u.o,
+       |    $hardNegDm
+       |  FROM up u JOIN ef a ON a.vec_id = u.p JOIN ef b ON b.vec_id = u.o),
+       |${hardNegTailSql(k)}""".stripMargin
+  }
+
   private def lofMultiSql(k: Int, occupancy: Int, nTables: Int, dim: Int): String = {
     val stride = math.max(1, dim / nTables)
     val offsets = (0 until nTables).map(_ * stride)
@@ -4162,7 +4528,8 @@ object SparkEntry {
     * (arm, p); then both rankings' top-K intersections per (occupancy, K).
     * Built programmatically so the occupancy/K grids live in ONE place. */
   private def lofQualitySql(
-      k: Int, topKs: Seq[Int], occupancies: Seq[Int]): String = {
+      k: Int, topKs: Seq[Int], occupancies: Seq[Int],
+      src: String = "embeddings", pre: String = ""): String = {
     val occs = occupancies.sorted
     val dm =
       """CAST(floor(sqrt(greatest(
@@ -4190,16 +4557,16 @@ object SparkEntry {
     val ksRows = topKs.sorted
       .map(kk => s"SELECT CAST($kk AS BIGINT) AS top_k")
       .mkString("\n       UNION ALL ")
-    s"""WITH bits AS (
+    s"""WITH ${pre}bits AS (
        |$bitCols
-       |  FROM embeddings),
+       |  FROM $src),
        |ef AS MATERIALIZED (
        |  SELECT vec_id, embedding AS u,
        |    list_sum(list_transform(range(1, len(embedding) + 1),
        |      i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))
        |      AS n2,
        |$bucketCols
-       |  FROM embeddings),
+       |  FROM $src),
        |d AS (
        |  SELECT 0 AS arm, a.vec_id AS p, b.vec_id AS o,
        |    $dm
@@ -4251,6 +4618,76 @@ object SparkEntry {
        |LEFT JOIN ov ON ov.arm = arms.arm AND ov.top_k = ks.top_k
        |ORDER BY arms.occupancy, ks.top_k""".stripMargin
   }
+
+  /** The ONE LSH tuning-curve CTE chain shared verbatim by the q180 gate
+    * and its q231 stage-checksum canary — single-sourced (round-12 verdict
+    * mandate) so the two can never drift textually: the canary's green
+    * chain IS q180's chain up to the final SELECT. Two hardenings vs the
+    * round-11 text, both root-caused this round:
+    *  - NO `FULL OUTER JOIN ... USING` anywhere: `po` is `sc LEFT JOIN
+    *    cand` (scored pairs keep their decile, candidate flag coalesced)
+    *    UNION ALL the cand-only rows via NOT EXISTS (decile 0 — a
+    *    candidate pair with zero shared shingles has Jaccard 0). Same
+    *    relation, pure ANSI left/anti shape.
+    *  - every tail integer is CAST to BIGINT at the point DuckDB would
+    *    otherwise widen: `sum(n_seen)` returns HUGEINT (int128), which
+    *    pandas renders as float64 — so the round-6..11 q180 hash miss was
+    *    13858 (Spark int64) vs 13858.0 (oracle float64), invisible to the
+    *    canary (it VARCHAR-ifies before hashing) and to the local
+    *    selfcheck (`check_dtype=False`). Verified: with these casts the
+    *    DuckDB result frame is all-BIGINT. */
+  private val lshChainCtes: String =
+    """WITH toks AS (
+      |  SELECT doc_id AS id,
+      |    string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')), ' ') AS t
+      |  FROM documents WHERE doc_id % 3 = 0),
+      |sets AS MATERIALIZED (
+      |  SELECT id, list_distinct(list_transform(range(len(t) - 2), i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])) AS sh
+      |  FROM toks WHERE len(t) >= 3),
+      |sigs AS MATERIALIZED (
+      |  SELECT id, sh,
+      |    list_transform(range(16), i -> list_min(list_transform(sh, s -> md5(i::VARCHAR || '|' || s)))) AS sig
+      |  FROM sets),
+      |bands AS MATERIALIZED (
+      |  SELECT id, b AS band_id,
+      |    md5(sig[b*4+1] || ',' || sig[b*4+2] || ',' || sig[b*4+3] || ',' || sig[b*4+4]) AS band_hash
+      |  FROM sigs CROSS JOIN (VALUES (0), (1), (2), (3)) AS bl(b)),
+      |cand AS MATERIALIZED (
+      |  SELECT DISTINCT x.id AS a, y.id AS b, 1 AS is_cand
+      |  FROM bands x JOIN bands y
+      |    ON x.band_id = y.band_id AND x.band_hash = y.band_hash AND x.id < y.id),
+      |sz AS MATERIALIZED (SELECT id, len(sh) AS sz FROM sets),
+      |inv AS MATERIALIZED (SELECT id, unnest(sh) AS g FROM sets),
+      |cm AS (
+      |  SELECT x.id AS a, y.id AS b, count(*) AS common
+      |  FROM inv x JOIN inv y ON x.g = y.g AND x.id < y.id
+      |  GROUP BY 1, 2),
+      |sc AS MATERIALIZED (
+      |  SELECT a, b, common,
+      |    CAST(least((10 * common) // (sa.sz + sb.sz - common), 9) AS INT) AS sdec
+      |  FROM cm JOIN sz sa ON a = sa.id JOIN sz sb ON b = sb.id),
+      |po AS MATERIALIZED (
+      |  SELECT sc.a AS a, sc.b AS b, sc.sdec AS decile,
+      |    CAST(COALESCE(cd.is_cand, 0) AS BIGINT) AS c
+      |  FROM sc LEFT JOIN cand cd ON sc.a = cd.a AND sc.b = cd.b
+      |  UNION ALL
+      |  SELECT cd.a, cd.b, 0 AS decile, CAST(1 AS BIGINT) AS c
+      |  FROM cand cd
+      |  WHERE NOT EXISTS (SELECT 1 FROM sc WHERE sc.a = cd.a AND sc.b = cd.b)),
+      |gg AS MATERIALIZED (
+      |  SELECT decile, CAST(count(*) AS BIGINT) AS n_seen,
+      |    CAST(sum(c) AS BIGINT) AS n_candidates
+      |  FROM po GROUP BY 1),
+      |tots AS (
+      |  SELECT CAST((SELECT count(*) FROM sets) * ((SELECT count(*) FROM sets) - 1) // 2
+      |    - COALESCE((SELECT CAST(sum(n_seen) AS BIGINT) FROM gg), 0) AS BIGINT) AS unseen),
+      |spine AS (SELECT 0 AS decile UNION SELECT decile FROM gg),
+      |adj AS (
+      |  SELECT spine.decile,
+      |    CAST(COALESCE(gg.n_seen, 0)
+      |      + CASE WHEN spine.decile = 0 THEN unseen ELSE 0 END AS BIGINT) AS n_pairs,
+      |    CAST(COALESCE(gg.n_candidates, 0) AS BIGINT) AS n_candidates
+      |  FROM spine LEFT JOIN gg ON spine.decile = gg.decile CROSS JOIN tots)""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     // same spelled-out left-assoc factor products per k
@@ -7073,67 +7510,18 @@ object SparkEntry {
         |  doc_id, source, copy
         |FROM kk ORDER BY global_rank""".stripMargin,
     // q31's sig/band CTEs on the sample + inverted-index exact jaccard;
-    // zero-overlap mass lands in decile 0 arithmetically. Dialect hygiene
-    // (round 10): the candidate marker is a CARRIED column (1 AS is_cand)
-    // tested via COALESCE — never a table-qualified reference to a USING
-    // column after the FULL OUTER JOIN, which is a known cross-build
-    // semantics-drift area (a build that resolves `cand.a` to the
-    // coalesced join column makes every pair a candidate) — and every
-    // multi-referenced CTE is MATERIALIZED (the q224 inlining lesson).
-    // Round 11: `po` is MATERIALIZED and carries (a, b), mirroring the
-    // q231 canary's tail exactly — the round-10 driver run proved the
-    // driver's DuckDB evaluates this same chain correctly when po is
-    // materialized (q231 h_po/h_adj green) and drifts only when po is
-    // inlined under projection pushdown.
+    // zero-overlap mass lands in decile 0 arithmetically. Round 12: the
+    // whole CTE chain is the SHARED [[lshChainCtes]] constant (q231's
+    // canary chain is the same constant — zero textual drift possible),
+    // the FULL OUTER JOIN USING is gone (LEFT JOIN + NOT EXISTS), and
+    // every tail integer is BIGINT-cast at the HUGEINT widening points —
+    // the root cause of six rounds of hash misses (int64 vs float64 after
+    // DuckDB sum() widened n_pairs/emp_rate_ppm to int128).
     "q180_lsh_tuning" ->
-      ("""WITH toks AS (
-        |  SELECT doc_id AS id,
-        |    string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')), ' ') AS t
-        |  FROM documents WHERE doc_id % 3 = 0),
-        |sets AS MATERIALIZED (
-        |  SELECT id, list_distinct(list_transform(range(len(t) - 2), i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])) AS sh
-        |  FROM toks WHERE len(t) >= 3),
-        |sigs AS (
-        |  SELECT id, sh,
-        |    list_transform(range(16), i -> list_min(list_transform(sh, s -> md5(i::VARCHAR || '|' || s)))) AS sig
-        |  FROM sets),
-        |bands AS (
-        |  SELECT id, b AS band_id,
-        |    md5(sig[b*4+1] || ',' || sig[b*4+2] || ',' || sig[b*4+3] || ',' || sig[b*4+4]) AS band_hash
-        |  FROM sigs CROSS JOIN (VALUES (0), (1), (2), (3)) AS bl(b)),
-        |cand AS MATERIALIZED (
-        |  SELECT DISTINCT x.id AS a, y.id AS b, 1 AS is_cand
-        |  FROM bands x JOIN bands y
-        |    ON x.band_id = y.band_id AND x.band_hash = y.band_hash AND x.id < y.id),
-        |sz AS MATERIALIZED (SELECT id, len(sh) AS sz FROM sets),
-        |inv AS MATERIALIZED (SELECT id, unnest(sh) AS g FROM sets),
-        |cm AS (
-        |  SELECT x.id AS a, y.id AS b, count(*) AS common
-        |  FROM inv x JOIN inv y ON x.g = y.g AND x.id < y.id
-        |  GROUP BY 1, 2),
-        |sc AS MATERIALIZED (
-        |  SELECT a, b,
-        |    CAST(least((10 * common) // (sa.sz + sb.sz - common), 9) AS INT) AS sdec
-        |  FROM cm JOIN sz sa ON a = sa.id JOIN sz sb ON b = sb.id),
-        |po AS MATERIALIZED (
-        |  SELECT a, b, COALESCE(sdec, 0) AS decile,
-        |    COALESCE(is_cand, 0) AS c
-        |  FROM sc FULL OUTER JOIN cand USING (a, b)),
-        |g AS MATERIALIZED (
-        |  SELECT decile, count(*) AS n_seen, CAST(sum(c) AS BIGINT) AS n_candidates
-        |  FROM po GROUP BY 1),
-        |tots AS (
-        |  SELECT (SELECT count(*) FROM sets) * ((SELECT count(*) FROM sets) - 1) // 2
-        |    - COALESCE((SELECT sum(n_seen) FROM g), 0) AS unseen),
-        |spine AS (SELECT 0 AS decile UNION SELECT decile FROM g),
-        |adj AS (
-        |  SELECT spine.decile,
-        |    COALESCE(g.n_seen, 0)
-        |      + CASE WHEN spine.decile = 0 THEN unseen ELSE 0 END AS n_pairs,
-        |    COALESCE(g.n_candidates, 0) AS n_candidates
-        |  FROM spine LEFT JOIN g USING (decile) CROSS JOIN tots)
+      (lshChainCtes +
+      """
         |SELECT decile, n_pairs, n_candidates,
-        |  (n_candidates * 2000000 + n_pairs) // (2 * n_pairs) AS emp_rate_ppm,
+        |  CAST((n_candidates * 2000000 + n_pairs) // (2 * n_pairs) AS BIGINT) AS emp_rate_ppm,
         |""".stripMargin +
       // theoretical S-curve as driver-computed BIGINT literals (the same
       // lshTheoPpm values the plan embeds): no engine evaluates pow/round
@@ -7141,63 +7529,18 @@ object SparkEntry {
         .map { case (p, d) => s"WHEN $d THEN ${p}::BIGINT" }
         .mkString("  CASE decile ", " ", " END AS theo_rate_ppm\n") +
       """FROM adj WHERE n_pairs > 0 ORDER BY decile"""),
-    // q180's stage checksums: the same CTE chain, reduced per stage to
-    // (count, bit_xor of 60-bit md5) — all string/integer derived. The
-    // sig join is written as explicit elements (no list slice, no
-    // array_to_string) to stay dialect-drift-proof. Round 10 extends the
-    // canary PAST `scored`, over q180's residual-suspect tail: h_po hashes
-    // every post-FULL-OUTER-JOIN (a, b, decile, c) row and h_adj the final
-    // pre-projection (decile, n_pairs, n_candidates) frame, so any future
-    // q180 miss is localized to a named stage, not "somewhere after
-    // scored". Same dialect hygiene as q180: carried is_cand marker,
-    // COALESCE tests, MATERIALIZED multi-ref CTEs.
+    // q180's stage checksums: the SAME CTE chain — literally the shared
+    // [[lshChainCtes]] constant q180's gate is built from (round-12
+    // single-sourcing) — reduced per stage to (count, bit_xor of 60-bit
+    // md5), all string/integer derived. The sig join is written as
+    // explicit elements (no list slice, no array_to_string) to stay
+    // dialect-drift-proof. h_po hashes every post-join (a, b, decile, c)
+    // row and h_adj the final pre-projection (decile, n_pairs,
+    // n_candidates) frame, so any future q180 miss is localized to a
+    // named stage, not "somewhere after scored".
     "q231_lsh_canary" ->
-      ("""WITH toks AS (
-        |  SELECT doc_id AS id,
-        |    string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')), ' ') AS t
-        |  FROM documents WHERE doc_id % 3 = 0),
-        |sets AS MATERIALIZED (
-        |  SELECT id, list_distinct(list_transform(range(len(t) - 2), i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])) AS sh
-        |  FROM toks WHERE len(t) >= 3),
-        |sigs AS MATERIALIZED (
-        |  SELECT id, sh,
-        |    list_transform(range(16), i -> list_min(list_transform(sh, s -> md5(i::VARCHAR || '|' || s)))) AS sig
-        |  FROM sets),
-        |bands AS MATERIALIZED (
-        |  SELECT id, b AS band_id,
-        |    md5(sig[b*4+1] || ',' || sig[b*4+2] || ',' || sig[b*4+3] || ',' || sig[b*4+4]) AS band_hash
-        |  FROM sigs CROSS JOIN (VALUES (0), (1), (2), (3)) AS bl(b)),
-        |cand AS MATERIALIZED (
-        |  SELECT DISTINCT x.id AS a, y.id AS b, 1 AS is_cand
-        |  FROM bands x JOIN bands y
-        |    ON x.band_id = y.band_id AND x.band_hash = y.band_hash AND x.id < y.id),
-        |sz AS MATERIALIZED (SELECT id, len(sh) AS sz FROM sets),
-        |inv AS MATERIALIZED (SELECT id, unnest(sh) AS g FROM sets),
-        |cm AS (
-        |  SELECT x.id AS a, y.id AS b, count(*) AS common
-        |  FROM inv x JOIN inv y ON x.g = y.g AND x.id < y.id
-        |  GROUP BY 1, 2),
-        |sc AS MATERIALIZED (
-        |  SELECT a, b, common,
-        |    CAST(least((10 * common) // (sa.sz + sb.sz - common), 9) AS INT) AS sdec
-        |  FROM cm JOIN sz sa ON a = sa.id JOIN sz sb ON b = sb.id),
-        |po AS MATERIALIZED (
-        |  SELECT a, b, COALESCE(sdec, 0) AS decile,
-        |    COALESCE(is_cand, 0) AS c
-        |  FROM sc FULL OUTER JOIN cand USING (a, b)),
-        |gg AS MATERIALIZED (
-        |  SELECT decile, count(*) AS n_seen, CAST(sum(c) AS BIGINT) AS n_candidates
-        |  FROM po GROUP BY 1),
-        |tots AS (
-        |  SELECT (SELECT count(*) FROM sets) * ((SELECT count(*) FROM sets) - 1) // 2
-        |    - COALESCE((SELECT sum(n_seen) FROM gg), 0) AS unseen),
-        |spine AS (SELECT 0 AS decile UNION SELECT decile FROM gg),
-        |adj AS (
-        |  SELECT spine.decile,
-        |    COALESCE(gg.n_seen, 0)
-        |      + CASE WHEN spine.decile = 0 THEN unseen ELSE 0 END AS n_pairs,
-        |    COALESCE(gg.n_candidates, 0) AS n_candidates
-        |  FROM spine LEFT JOIN gg USING (decile) CROSS JOIN tots),
+      (lshChainCtes +
+      """,
         |h_sets AS (
         |  SELECT 'sets' AS stage, count(*) AS n_rows,
         |    COALESCE(bit_xor(('0x' || substr(md5(id::VARCHAR || '|' || sz::VARCHAR), 1, 15))::BIGINT), 0) AS xor60
@@ -7760,6 +8103,27 @@ object SparkEntry {
     "q253_lof_multi_quality" ->
       lofMultiQualitySql(k = 5, topKs = Seq(10, 50),
         tableCounts = Seq(1, 2, 4), occupancy = 32, dim = 64),
+    // the q251 sweep on the planted-cluster fixture: same chain, the ef
+    // source swapped to the pe transform CTE (exact float parity — x0.125
+    // exponent shift, one IEEE add, correctly-rounded FLOAT narrowing)
+    "q273_lof_quality_planted" ->
+      lofQualitySql(k = 5, topKs = Seq(10, 50), occupancies = Seq(32, 128, 512),
+        src = "pe", pre = plantedEmbeddingsCte(blockDims = 8)),
+    // the q253 sweep on the same planted fixture
+    "q274_lof_multi_quality_planted" ->
+      lofMultiQualitySql(k = 5, topKs = Seq(10, 50),
+        tableCounts = Seq(1, 2, 4), occupancy = 32, dim = 64,
+        src = "pe", pre = plantedEmbeddingsCte(blockDims = 8)),
+    // per dup pair: gaps-and-islands run collapse along (pair, diagonal)
+    "q275_shared_runs" -> sharedRunsSql(spanTokens = 8),
+    // the increment must equal the whole-corpus rebuild — q271's SQL
+    "q276_unigram_model_increment" ->
+      unigramTrainSql(m = 10, k = 4, seedMulti = 48, budgetMulti = 24),
+    // exact all-pairs hard negatives: micro-distance + (dm, id) rank
+    "q277_hard_negatives" -> hardNegativesSql(k = 3),
+    // multi-table sign-bucket candidates + label filter, same tail
+    "q278_hard_negatives_lsh" ->
+      hardNegativesLshSql(k = 3, occupancy = 32, nTables = 4, dim = 64),
     // q247's lattice over the 4-table distinct-union pair feed
     "q254_lof_outliers_lsh_multi" ->
       lofMultiSql(k = 5, occupancy = 32, nTables = 4, dim = 64),
@@ -9103,6 +9467,13 @@ object SparkEntry {
     "q269_prep_pack" -> corpusPrepPackSql(ctx = 256),
     // q259's chain feeding q266's bootstrap chain — metric + uncertainty
     "q270_rouge_bootstrap" -> rougeBootstrapSql,
+    // the unigram trainer unrolled: seed substring counts, 2 Viterbi-EM
+    // rounds (M chained DP CTEs + M walk CTEs per round, the exact op
+    // order of UnigramLM.viterbiPieces), count prune, final E-step
+    "q271_unigram_train" -> unigramTrainSql(m = 10, k = 4, seedMulti = 48, budgetMulti = 24),
+    // a 4th Viterbi pass under the final probabilities, per-word piece
+    // counts joined to per-doc word counts; over-length char-fallback
+    "q272_unigram_encode" -> unigramEncodeSql(m = 10, k = 4, seedMulti = 48, budgetMulti = 24),
     // SAME SQL as q41: the incremental path must reproduce the batch
     // rebuild over the union exactly (monotonic-id law)
     "q118_corpus_prep_increment" -> corpusPrepBatchSql,

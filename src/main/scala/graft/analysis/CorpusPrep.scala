@@ -760,7 +760,16 @@ object CorpusPrep {
       .filter(col("n_tok") > 0)
     val cum = graft.relational.Relational
       .distributedCumSum(toks, Seq(idCol), Seq("n_tok"))
-    val off = tokenOffset.getOrElse(Seq(0L).toDF("tok_offset"))
+    // the offset frame MUST be exactly one row — a multi-row frame would
+    // silently duplicate every span through the crossJoin and corrupt the
+    // packing artifact; collect it to a single literal instead (it is a
+    // scalar by contract: "token count of everything packed before")
+    val off = tokenOffset.map { f =>
+      val rows = f.select(col("tok_offset")).limit(2).collect()
+      require(rows.length == 1, "tokenOffset must be a single-row frame, " +
+        s"got ${if (rows.length > 1) "2 or more" else "0"} rows")
+      Seq(rows(0).getLong(0)).toDF("tok_offset")
+    }.getOrElse(Seq(0L).toDF("tok_offset"))
     cum.crossJoin(broadcast(off))
       .select(col(idCol), col("n_tok"),
         (col("tok_offset") + col("cum_n_tok") - col("n_tok")).as("start"))
@@ -779,12 +788,29 @@ object CorpusPrep {
       textCol: String = "text",
       idCol: String = "doc_id"): DataFrame = {
     require(ctxs.nonEmpty && ctxs.forall(_ >= 1), s"need ctxs >= 1, got $ctxs")
-    val spans = packSpans(docs, textCol, idCol).localCheckpoint(true)
-    ctxs.map { c =>
-      packReportFromSlots(packSlotsFromSpans(spans, c))
-        .select(lit(c.toLong).as("ctx"), col("docs_in_window"),
-          col("n_windows"), col("n_starts"), col("n_split_slots"))
-    }.reduce(_ unionByName _).orderBy("ctx", "docs_in_window")
+    // ONE pass (round-12 verdict #6): explode each span into (ctx, window)
+    // pairs off a literal ctx array instead of re-bucketing a checkpointed
+    // span frame once per ctx — same explode volume, but one scan, one
+    // (ctx, window) aggregation shuffle, and no eager checkpoint
+    // materialization. A/B-measured at ScaleUp 30x/100x — see the
+    // PLANS.md round-12 q265 adjudication and BENCHSCALE14 rows.
+    val ctxArr = array(ctxs.sorted.map(c => lit(c.toLong)): _*)
+    packSpans(docs, textCol, idCol)
+      .select(col("n_tok"), col("start"), explode(ctxArr).as("ctx"))
+      .select(col("ctx"),
+        expr("start div ctx").as("fw"),
+        expr("(start + n_tok - 1) div ctx").as("lw"))
+      .select(col("ctx"),
+        explode(sequence(col("fw"), col("lw"))).as("window_id"),
+        col("fw"), (col("lw") > col("fw")).as("split"))
+      .groupBy("ctx", "window_id")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("window_id") === col("fw"), 1L).otherwise(0L)).as("n_starts"),
+        sum(when(col("split"), 1L).otherwise(0L)).as("n_split"))
+      .groupBy(col("ctx"), col("n_docs").as("docs_in_window"))
+      .agg(count(lit(1)).as("n_windows"), sum("n_starts").as("n_starts"),
+        sum("n_split").as("n_split_slots"))
+      .orderBy("ctx", "docs_in_window")
   }
 
   /** Slot aggregation off an already-positioned span frame 〈idCol, n_tok,

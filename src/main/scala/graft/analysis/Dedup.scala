@@ -973,6 +973,73 @@ object Dedup {
           .otherwise(0.0).as("dup_ratio"))
   }
 
+  /** CROSS-DOC MAXIMAL SHARED RUNS — the report real exact-substring
+    * dedup pipelines ACT on (Lee et al., ACL 2022, generalized past
+    * q136/q188's fixed-length grain): for every document pair sharing at
+    * least one `spanTokens`-token span, the maximal shared token runs —
+    * each run a diagonal of consecutive matching fingerprint positions,
+    * its length `(max_start − min_start) + spanTokens` exact because with
+    * true substring equality a diagonal can't skip (if positions p and
+    * p+2 match on one diagonal, p+1 must: its first L−1 tokens sit inside
+    * p's match and its last inside p+2's). Per pair: run count, shared
+    * span count, and the LONGEST shared run in tokens — the "how much is
+    * verbatim-shared, contiguously" number a dedup rollout cuts on.
+    *
+    * Scale shape: the q87 gaps-and-islands trick over (pair, diagonal)
+    * groups — fingerprints shuffle, text never does; the self-join on
+    * span_fp is df-bounded by `maxDocsPerSpan` (boilerplate spans in more
+    * documents than the cap are excluded and REPORTED downstream-side by
+    * q188's mask path instead — the standard inverted-index df bound; 0
+    * disables for gate-SF runs). The islands window partitions by
+    * (doc_a, doc_b, diagonal) — bounded by per-doc span counts,
+    * independent of corpus size.
+    * Output: doc_a, doc_b, n_runs, n_shared_spans, max_run_tokens. */
+  def sharedRuns(
+      docs: DataFrame,
+      spanTokens: Int = 8,
+      maxDocsPerSpan: Int = 0,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(spanTokens > 0, s"need positive spanTokens, got $spanTokens")
+    val toks = array_remove(TextAnalysis.tokens(col(textCol)), "")
+    val occ = docs
+      .select(col(idCol).as("doc_id"), shingles(toks, spanTokens).as("spans"))
+      .select(col("doc_id"), posexplode(col("spans")).as(Seq("start", "span")))
+      .select(col("doc_id"), col("start").cast(LongType).as("start"),
+        conv(substring(md5(col("span")), 1, 15), 16, 10).cast(LongType).as("span_fp"))
+    val bounded =
+      if (maxDocsPerSpan <= 0) occ
+      else occ.join(
+        occ.groupBy("span_fp")
+          .agg(countDistinct(col("doc_id")).as("nd"))
+          .filter(col("nd") <= maxDocsPerSpan)
+          .select("span_fp"),
+        "span_fp")
+    val pairs = bounded.as("a")
+      .join(bounded.as("b"),
+        col("a.span_fp") === col("b.span_fp") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.start").as("sa"), (col("a.start") - col("b.start")).as("diag"))
+    val w = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("sa")
+    pairs
+      .withColumn("brk",
+        when(lag(col("sa"), 1).over(w).isNull, 1)
+          .otherwise(when(col("sa") - lag(col("sa"), 1).over(w) > 1, 1)
+            .otherwise(0)))
+      .withColumn("run", sum(col("brk")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("doc_a", "doc_b", "diag", "run")
+      .agg(count(lit(1)).as("n_spans"),
+        (max(col("sa")) - min(col("sa")) + spanTokens).as("run_tokens"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("n_runs"),
+        sum("n_spans").as("n_shared_spans"),
+        max("run_tokens").as("max_run_tokens"))
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** DECONTAMINATION MASKS — [[spanMasks]] pointed at a benchmark: the
     * token intervals of each corpus document that collide with ANY span
     * of the eval set, merged into maximal islands. This is the removal

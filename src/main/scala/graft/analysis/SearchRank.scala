@@ -99,8 +99,12 @@ object SearchRank {
     val toks = TextAnalysis.tokens(col(textCol))
     val toksD = array_distinct(toks)
     val dl = coalesce(size(array_remove(toks, "")), lit(0)).cast("long")
-    val aggs = count(lit(1)).as("n") +: sum(dl).as("tdl") +:
-      terms.map(t => sum(when(array_contains(toksD, t), 1L).otherwise(0L))
+    // coalesce: sum() over an empty slice is null — an all-empty shard
+    // must still produce the additive identity 〈0, 0, 0…〉, not nulls
+    // that NPE the scorer's Long unboxing downstream
+    val aggs = count(lit(1)).as("n") +: coalesce(sum(dl), lit(0L)).as("tdl") +:
+      terms.map(t => coalesce(
+          sum(when(array_contains(toksD, t), 1L).otherwise(0L)), lit(0L))
         .as(s"df_$t"))
     docs.agg(aggs.head, aggs.tail: _*)
   }
@@ -108,7 +112,7 @@ object SearchRank {
   /** Merge per-slice BM25 stats artifacts by columnwise addition. */
   def bm25MergeStats(artifacts: DataFrame*): DataFrame = {
     val u = artifacts.reduce(_ unionByName _)
-    val sums = u.columns.map(c => sum(col(c)).as(c))
+    val sums = u.columns.map(c => coalesce(sum(col(c)), lit(0L)).as(c))
     u.agg(sums.head, sums.tail: _*)
   }
 
@@ -127,6 +131,11 @@ object SearchRank {
     require(terms.nonEmpty)
     val row = stats.collect().head
     val n = row.getAs[Long]("n")
+    // a stats artifact built over zero documents has n = 0 (and, from
+    // pre-coalesce artifacts, possibly null sums): nothing can score —
+    // return the empty scored frame instead of dividing by avgdl = 0/0
+    if (n == 0L)
+      return docs.select(col(idCol), lit(0.0).as("score")).limit(0)
     val dfs = terms.map(t => t -> row.getAs[Long](s"df_$t")).toMap
     // exact-integer Σdl to double, then one IEEE division — identical to
     // the previous double-summed aggregate for any Σdl < 2^53

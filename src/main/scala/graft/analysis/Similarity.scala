@@ -659,6 +659,130 @@ object Similarity {
       lofOutliersLshMulti(corpus, k, targetOccupancy, t, idCol, vecCol, dim))
   }
 
+  /** PLANTED-STRUCTURE fixture transform for the LOF quality curves
+    * (q273/q274): the raw md5-synthetic embeddings are near-uniform on
+    * the hypercube — the documented sign-bucket WORST case for axis-sign
+    * LSH (every bucket bit is a coin flip), so q251/q253's 12–34% verdict
+    * overlap measures the fixture as much as the method. This transform
+    * derives a CLUSTERABLE corpus deterministically from the same table:
+    * cluster c = vec_id % 8 imprints its 3-bit SIGN PATTERN on the
+    * leading `blockDims` dimensions (dim j carries sign ±1 from bit
+    * (j mod 3) of c, magnitude 4.0 ± 0.125·noise — so axis-sign bits
+    * read REAL cluster structure, the regime sign-LSH is built for),
+    * and the remaining dimensions shrink to ±0.125 noise. Within-cluster
+    * distances stay ≲2 while cross-cluster sign flips contribute ≥8 per
+    * differing dimension — well-separated clusters of ~n/8 points with
+    * intrinsic dimension ≈ blockDims. Exact cross-engine float math:
+    * ×0.125 is an exponent shift (exact on any IEEE engine), 4.0+x one
+    * correctly-rounded add, ±1·y exact, and the FLOAT narrowing
+    * correctly rounded — the oracle's list_transform produces identical
+    * bits. */
+  def plantedClusters(
+      corpus: DataFrame,
+      blockDims: Int = 8,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    require(blockDims >= 1)
+    val c = col(idCol) % 8
+    corpus.select(col(idCol),
+      transform(col(vecCol), (x, i) => {
+        val m = i.cast("long") % 3
+        val bit = when(m === 0, c.bitwiseAND(lit(1L)))
+          .when(m === 1, c.bitwiseAND(lit(2L)))
+          .otherwise(c.bitwiseAND(lit(4L)))
+        val s = when(bit > 0, lit(1.0)).otherwise(lit(-1.0))
+        val noise = x.cast("double") * lit(0.125)
+        when(i < blockDims, s * (lit(4.0) + noise))
+          .otherwise(noise).cast("float")
+      }).as(vecCol))
+  }
+
+  /** CORPUS-SCALE HARD-NEGATIVE MINING — every anchor's `k` nearest
+    * DIFFERENT-label vectors. [[graft.analysis.Sampling.hardNegatives]]
+    * (q167) is the anchor-SET form (small anchor frame broadcast against
+    * the corpus, cosine-scored) whose own contract says "at corpus×corpus
+    * scale, route candidate generation through the LSH shortlist" — this
+    * pair is that deferred path: the exact all-pairs arm here is the
+    * verdict source of truth and the gate (quadratic by construction,
+    * quarantined beside q238), and [[hardNegativesLsh]] is the production
+    * feed. Distances are the LOF family's integer micro-distance lattice
+    * (⌊√(|a|²+|b|²−2a·b)·10⁶+0.5⌋, engine-exact), ranks the deterministic
+    * (dm, neg_id) row_number. Output: vec_id, neg_rank, neg_id, dm. */
+  def hardNegatives(
+      corpus: DataFrame,
+      k: Int = 3,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      labelCol: String = "label"): DataFrame = {
+    require(k >= 1, s"need k >= 1, got $k")
+    val v = labeledVectors(corpus, idCol, vecCol, labelCol)
+    val pairs = lofPairDistances(
+      v.select(col("id").as("p"), col("v").as("a_v"), col("n2").as("a_n2"),
+        col("lbl").as("la")),
+      v.select(col("id").as("o"), col("v").as("b_v"), col("n2").as("b_n2"),
+        col("lbl").as("lb")),
+      col("p") =!= col("o") && col("la") =!= col("lb"))
+    negRank(pairs, k)
+  }
+
+  /** [[hardNegatives]]' production twin: the candidate feed comes from
+    * `nTables` rotated-window adaptive-width sign-bucket joins (the
+    * q247/q254 machinery) instead of all pairs — per-anchor candidates
+    * bounded by table count × occupancy, sub-quadratic end to end. An
+    * anchor whose buckets contain no different-label vector emits no rows
+    * (the recall trade the table-count dial buys back, exactly as q254
+    * measures for LOF). */
+  def hardNegativesLsh(
+      corpus: DataFrame,
+      k: Int = 3,
+      targetOccupancy: Int = 32,
+      nTables: Int = 4,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      labelCol: String = "label",
+      dim: Int = 64): DataFrame = {
+    require(k >= 1 && nTables >= 1, s"need k/nTables >= 1, got $k/$nTables")
+    val bits = axisSignBitsFor(corpus.count(), targetOccupancy, dim)
+    val stride = math.max(1, dim / nTables)
+    val v = (0 until nTables).foldLeft(
+        labeledVectors(corpus, idCol, vecCol, labelCol)) { (df, t) =>
+      df.withColumn(s"bk$t", axisSignSignatureAt(col("v"), bits, t * stride, dim))
+    }
+    val pairs = (0 until nTables).map { t =>
+      lofPairDistances(
+        v.select(col("id").as("p"), col("v").as("a_v"), col("n2").as("a_n2"),
+          col("lbl").as("la"), col(s"bk$t")),
+        v.select(col("id").as("o"), col("v").as("b_v"), col("n2").as("b_n2"),
+          col("lbl").as("lb"), col(s"bk$t").as(s"bk${t}_o")),
+        col(s"bk$t") === col(s"bk${t}_o") && col("p") =!= col("o") &&
+          col("la") =!= col("lb"))
+    }.reduce(_ unionByName _)
+      // a pair found by several tables carries the identical dm
+      .dropDuplicates("p", "o")
+    negRank(pairs, k)
+  }
+
+  /** Shared tail of the hard-negative miners: deterministic per-anchor
+    * (dm, neg_id) rank, top k. */
+  private def negRank(pairs: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy("p").orderBy(col("dm"), col("o"))
+    pairs
+      .withColumn("neg_rank", row_number().over(w))
+      .filter(col("neg_rank") <= k)
+      .select(col("p").as("vec_id"), col("neg_rank").cast("long").as("neg_rank"),
+        col("o").as("neg_id"), col("dm"))
+      .orderBy("vec_id", "neg_rank")
+  }
+
+  /** [[lofVectors]] plus the label column the negative miners filter on. */
+  private def labeledVectors(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      labelCol: String): DataFrame =
+    corpus.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"),
+        col(labelCol).cast("long").as("lbl"))
+      .withColumn("n2",
+        graft.functions.VectorOps.dotProduct(col("v"), col("v")))
+
   /** Shared LOF head: ids + vectors + squared norms projected once. */
   private def lofVectors(
       corpus: DataFrame, idCol: String, vecCol: String): DataFrame =

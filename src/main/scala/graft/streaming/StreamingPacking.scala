@@ -47,11 +47,20 @@ object StreamingPacking {
     * packs in arrival order; equality with the doc-id-ordered batch
     * rebuild (what StreamingSketchSpec asserts) holds only under the
     * precondition. Ingest pipelines with assigned monotonic ids (the
-    * reference's, and any log-structured ingest) satisfy it for free. */
+    * reference's, and any log-structured ingest) satisfy it for free.
+    *
+    * Sizing: the state task materializes ONE batch's (id, count) pairs
+    * (16 B each) to sort them — metadata-sized under any throttled
+    * trigger (set `maxFilesPerTrigger`/`maxOffsetsPerTrigger` on the
+    * source; an unthrottled backfill batch is the one shape that could
+    * balloon it). `maxPairsPerBatch` fails FAST above the cap (default
+    * 64M pairs ≈ 1 GiB) so an oversized batch errors loudly with a
+    * throttling hint instead of silently OOMing the state task. */
   def spanStream(
       docs: DataFrame,
       textCol: String = "text",
-      idCol: String = "doc_id"): Dataset[DocSpan] = {
+      idCol: String = "doc_id",
+      maxPairsPerBatch: Long = 64L << 20): Dataset[DocSpan] = {
     import docs.sparkSession.implicits._
     docs
       .select(col(idCol).cast("long").as("doc_id"),
@@ -65,7 +74,16 @@ object StreamingPacking {
         GroupStateTimeout.NoTimeout())(
         (_, rows, state: GroupState[Long]) => {
           var off = state.getOption.getOrElse(0L)
-          val out = rows.toArray.sortBy(_._1).map { case (id, n) =>
+          val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+          rows.foreach { p =>
+            if (buf.length >= maxPairsPerBatch)
+              throw new IllegalStateException(
+                s"spanStream batch exceeds maxPairsPerBatch=$maxPairsPerBatch " +
+                  "(doc, token-count) pairs — throttle the source " +
+                  "(maxFilesPerTrigger/maxOffsetsPerTrigger) or raise the cap")
+            buf += p
+          }
+          val out = buf.sortBy(_._1).map { case (id, n) =>
             val s = off
             off += n
             DocSpan(id, n, s)

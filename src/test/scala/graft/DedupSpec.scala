@@ -696,6 +696,35 @@ class DedupSpec extends SparkSpec {
     assert(out(3L) === ((12L, 0L, 0L, 0L, 0.0)))
   }
 
+  test("shared runs: known longest run, two separated runs counted, df bound drops boilerplate") {
+    import spark.implicits._
+    // docs 1/2 share a 10-token run (at offset 0 in doc 1, offset 2 in
+    // doc 2 — diagonal -2) AND a separate 8-token run at their tails;
+    // doc 3 is fresh. spanTokens=8: run A has matching starts 0..2 (3
+    // spans, length 2+8=10), run B exactly one span each side.
+    val runA = (1 to 10).map(i => s"tok$i").mkString(" ")
+    val runB = (1 to 8).map(i => s"end$i").mkString(" ")
+    val docs = Seq(
+      (1L, runA + " alpha beta gamma " + runB),
+      (2L, "pre1 pre2 " + runA + " delta " + runB),
+      (3L, (1 to 21).map(i => s"zzz$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    val out = Dedup.sharedRuns(docs, spanTokens = 8).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(out.toSeq === Seq((1L, 2L, 2L, 4L, 10L)))
+    // the df bound excludes spans in more documents than the cap: with
+    // runA also pasted into doc 3, maxDocsPerSpan=2 drops its fingerprints
+    // entirely, leaving only the 2-doc runB pair rows
+    val docs3 = Seq(
+      (1L, runA + " alpha beta gamma " + runB),
+      (2L, "pre1 pre2 " + runA + " delta " + runB),
+      (3L, runA)
+    ).toDF("doc_id", "text")
+    val bounded = Dedup.sharedRuns(docs3, spanTokens = 8, maxDocsPerSpan = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(4)))
+    assert(bounded.toSeq === Seq((1L, 2L, 8L)))
+  }
+
   test("dedup savings: dup bytes charged to the copy's source, min-id survives") {
     import spark.implicits._
     val docs = Seq(

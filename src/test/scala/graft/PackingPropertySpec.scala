@@ -93,4 +93,18 @@ class PackingPropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("a multi-row tokenOffset frame is rejected, not silently span-duplicating") {
+    val docs = Seq((1L, "a b c")).toDF("doc_id", "text")
+    val bad = Seq(3L, 7L).toDF("tok_offset")
+    val e = intercept[IllegalArgumentException] {
+      CorpusPrep.packSlots(docs, ctxTokens = 4, tokenOffset = Some(bad)).collect()
+    }
+    assert(e.getMessage.contains("single-row"))
+    val empty = Seq.empty[Long].toDF("tok_offset")
+    val e2 = intercept[IllegalArgumentException] {
+      CorpusPrep.packSlots(docs, ctxTokens = 4, tokenOffset = Some(empty)).collect()
+    }
+    assert(e2.getMessage.contains("0 rows"))
+  }
 }

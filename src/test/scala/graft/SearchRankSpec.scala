@@ -163,5 +163,17 @@ class SearchRankSpec extends SparkSpec {
     assert(r.getAs[Long]("n") === 4L && r.getAs[Long]("tdl") === 14L &&
       r.getAs[Long]("df_spark") === 1L && r.getAs[Long]("df_query") === 2L &&
       r.getAs[Long]("df_hash") === 2L)
+    // zero-document shards: the artifact is the additive identity (no
+    // null sums), merging all-empty shards stays well-typed, and scoring
+    // from an n=0 artifact returns the empty frame instead of NPE/0-div
+    val empty = docs.filter("doc_id < 0")
+    val eArt = SearchRank.bm25StatsArtifact(empty, terms).collect().head
+    assert(eArt.getAs[Long]("n") === 0L && eArt.getAs[Long]("tdl") === 0L &&
+      eArt.getAs[Long]("df_spark") === 0L)
+    val eMerged = SearchRank.bm25MergeStats(
+      SearchRank.bm25StatsArtifact(empty, terms),
+      SearchRank.bm25StatsArtifact(empty, terms))
+    assert(SearchRank.bm25FromStats(docs, eMerged, terms, k = 10)
+      .collect().isEmpty)
   }
 }

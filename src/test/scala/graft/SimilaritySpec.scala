@@ -468,6 +468,67 @@ class SimilaritySpec extends SparkSpec {
     assert(out.toSeq === Seq((4L, 4L, 1000000L), (20L, 20L, 1000000L)))
   }
 
+  test("hard negatives: nearest cross-label picked, same-label excluded, LSH single bucket ≡ exact") {
+    import spark.implicits._
+    // anchor 0 (label 0) sits nearest to 1 (label 0, EXCLUDED), then
+    // 2 (label 1, rank-1 negative), then 3 (label 1, rank 2)
+    val emb = Seq(
+      (0L, Array(0.0f, 0.0f), 0L),
+      (1L, Array(0.1f, 0.0f), 0L),
+      (2L, Array(1.0f, 0.0f), 1L),
+      (3L, Array(0.0f, 2.0f), 1L),
+      (4L, Array(9.0f, 9.0f), 2L)).toDF("vec_id", "embedding", "label")
+    val out = graft.analysis.Similarity.hardNegatives(emb, k = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val anchor0 = out.filter(_._1 == 0L).map(t => (t._2, t._3)).toSeq
+    assert(anchor0 === Seq((1L, 2L), (2L, 3L)))
+    assert(!out.exists(t => t._1 == 0L && t._3 == 1L)) // same label never
+    // with one shared bucket (occupancy >= n) the LSH arm is the exact arm
+    val exact = graft.analysis.Similarity.hardNegatives(emb, k = 2)
+      .collect().map(_.toSeq)
+    val lsh = graft.analysis.Similarity.hardNegativesLsh(emb, k = 2,
+        targetOccupancy = 16, nTables = 1, dim = 2)
+      .collect().map(_.toSeq)
+    assert(lsh.toSeq === exact.toSeq)
+  }
+
+  test("planted clusters: sign patterns distinct per cluster, separation >> noise, LSH verdicts align") {
+    import spark.implicits._
+    // deterministic pseudo-noise in [-1, 1] stands in for the embeddings
+    // table; 48 points, 8 clusters of 6, 16 dims
+    val emb = (0L until 48L).map { id =>
+      (id, Array.tabulate(16)(j => (((id * 31 + j * 17) % 19).toFloat - 9f) / 9f))
+    }.toDF("vec_id", "embedding")
+    val planted = graft.analysis.Similarity.plantedClusters(emb, blockDims = 8)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    // leading dims carry the cluster's 3-bit sign pattern with |v| >= 3.875
+    (0L until 48L).foreach { id =>
+      val c = id % 8
+      val v = planted(id)
+      (0 until 8).foreach { j =>
+        val expected = if ((c & (1L << (j % 3))) > 0) 1 else -1
+        assert(math.signum(v(j)) === expected.toFloat, s"id=$id dim=$j")
+        assert(math.abs(v(j)) >= 3.875f && math.abs(v(j)) <= 4.125f)
+      }
+      (8 until 16).foreach(j => assert(math.abs(v(j)) <= 0.125f))
+    }
+    // within-cluster distance << cross-cluster (>= one sign flip ~ 8)
+    def d(a: Array[Float], b: Array[Float]) =
+      math.sqrt(a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum)
+    val same = d(planted(0L), planted(8L))   // both cluster 0
+    val cross = d(planted(0L), planted(1L))  // clusters 0 vs 1
+    assert(same < 2.0 && cross > 7.0, s"same=$same cross=$cross")
+    // and the quality sweep on the planted corpus reports substantial
+    // top-K agreement (the whole point of the fixture): at least half
+    // the exact top-10 verdicts survive bucketing at every occupancy
+    val sweep = graft.analysis.Similarity.lofTruncationAgreement(
+        graft.analysis.Similarity.plantedClusters(emb, blockDims = 8),
+        k = 3, topKs = Seq(10), occupancies = Seq(6), dim = 16)
+      .collect()
+    sweep.foreach(r => assert(r.getAs[Long]("overlap_ppm") >= 500000L,
+      s"planted overlap ${r.mkString(",")}"))
+  }
+
   test("lof truncation agreement: single shared bucket -> total top-K overlap; schema/bounds hold") {
     import spark.implicits._
     // same single-bucket construction as the bit-equality law above: with

@@ -136,6 +136,20 @@ EXACT_IEEE = {
     "q253_lof_multi_quality": "the q238 and q254 lattices verbatim as "
         "arms (q251's acceptance argument over the table-count dial); "
         "downstream ranks/intersections/div pure integer",
+    "q273_lof_quality_planted": "q251's acceptance argument over the "
+        "planted source: the pe transform is exact or singly-rounded "
+        "IEEE ops only (x0.125 exponent shift exact, +/-4.0 one "
+        "correctly-rounded add, FLOAT narrowing correctly rounded, sign "
+        "from integer bit tests) — identical bits on both engines feed "
+        "the already-accepted lattices",
+    "q274_lof_multi_quality_planted": "q253's acceptance argument over "
+        "the same exact planted transform",
+    "q277_hard_negatives": "q238's distance quantization verbatim "
+        "(floor(sqrt(exact fixed-order fold)) once per pair); downstream "
+        "is pure integer (dm, id) ranks — no float ever aggregates",
+    "q278_hard_negatives_lsh": "q254's bucket argument (sums of exact "
+        "sign comparisons, integer bit-length widths) feeding q277's "
+        "quantize-once distance + integer rank tail",
     "q266_poisson_bootstrap": "per-row micro quantization is the single "
         "fixed floor(value*1e6+0.5) IEEE chain (the q234 recipe); weights "
         "are md5-derived integers through a CASE ladder; all sums "

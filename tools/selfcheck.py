@@ -62,6 +62,22 @@ def main(sf_dir: str, out_dir: str) -> int:
             print(f"FAIL {name}: rows {len(g)} != {len(w)}")
             failures += 1
             continue
+        # dtype-KIND gate (the q180 round-6..11 lesson): DuckDB HUGEINT /
+        # DECIMAL(38,0) widening lands in pandas as float64 while Spark
+        # writes int64 — values compare equal under check_dtype=False but
+        # the driver hashes 13858 != 13858.0. An int-vs-float kind split
+        # is therefore a DRIVER failure even when values match locally.
+        kind_bad = [c for c in g.columns
+                    if pd.api.types.is_integer_dtype(g[c])
+                    != pd.api.types.is_integer_dtype(w[c])]
+        if kind_bad:
+            print(f"FAIL {name}: int-vs-float dtype kind mismatch in "
+                  f"{kind_bad} (got={[str(g[c].dtype) for c in kind_bad]} "
+                  f"want={[str(w[c].dtype) for c in kind_bad]}) — DuckDB "
+                  f"widening (HUGEINT/DECIMAL) hashes differently at the "
+                  f"driver; CAST the oracle column")
+            failures += 1
+            continue
         try:
             # check_exact=True: bit-for-bit on floats — the strongest
             # compare, and the only one that UNCONDITIONALLY predicts the
