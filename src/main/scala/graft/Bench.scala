@@ -55,7 +55,8 @@ object Bench {
   private[graft] val diagNotBeyond10x: Set[String] =
     Set("q238_lof_outliers", "q244_lof_outliers_ivf", "q251_lof_quality",
       "q253_lof_multi_quality", "q273_lof_quality_planted",
-      "q274_lof_multi_quality_planted", "q277_hard_negatives")
+      "q274_lof_multi_quality_planted", "q277_hard_negatives",
+      "q280_hard_negative_recall")
 
   /** ScaleUp factor encoded in a corpus dir name (`*_30x`, `*_100x`,
     * heaps-mode `*_h100x`). */

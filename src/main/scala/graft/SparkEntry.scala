@@ -1090,6 +1090,30 @@ object SparkEntry {
     "q278_hard_negatives_lsh" -> { (s, d) =>
       Similarity.hardNegativesLsh(TestData.embeddings(s, d), k = 3)
     },
+    // ITERATED WORDPIECE trainer (the BERT-tokenizer recipe): q252's
+    // Sennrich loop with the likelihood-ratio argmax — adopt the pair
+    // maximizing count(ab)/(count(a) x count(b)), the merge that most
+    // raises a unigram LM's corpus likelihood; one double ratio on exact
+    // integers decides, integers alone are emitted. Completes the
+    // trainer trio: BPE (q252), unigram-LM (q271), WordPiece
+    "q279_wordpiece_train" -> { (s, d) =>
+      TextAnalysis.wordpieceTrain(TestData.documents(s, d), merges = 3)
+    },
+    // QUALITY curve for the hard-negative production feed: per table
+    // count, recall of q278's (anchor, negative) picks against q277's
+    // exact arm — what bucket truncation costs in actually-mined pairs
+    // and what each added table buys back. Contains the exact arm:
+    // quarantined diagnostic beside q251/q253/q273/q274
+    "q280_hard_negative_recall" -> { (s, d) =>
+      Similarity.hardNegativeRecall(TestData.embeddings(s, d), k = 3)
+    },
+    // the unigram trainer's budget dial as a fertility curve (q260's
+    // tokens-per-word-vs-vocab plot for the unigram family): seed + EM
+    // run once, each budget point prunes the same round-2 counts and
+    // re-segments the word table — corpus touched once
+    "q281_unigram_budget_curve" -> { (s, d) =>
+      UnigramLM.unigramBudgetCurve(TestData.documents(s, d))
+    },
     // Fleiss' kappa over a 3-heuristic annotation panel (length band,
     // lexical-diversity band, stopword band — each a pure INTEGER
     // cross-multiplied comparison, so no rater decision can flip across
@@ -3705,7 +3729,18 @@ object SparkEntry {
     * ending after the last CTE — the ONE constant q252/q255/q260 compose
     * from (no substring surgery: a reformat of any readout can no longer
     * break a sibling oracle). */
-  private def bpeTrainCtes(merges: Int): String = {
+  private def bpeTrainCtes(merges: Int): String =
+    mergeTrainerCtes(merges, r =>
+      s"""b$r AS MATERIALIZED (
+         |  SELECT pair, n_words, total_count,
+         |    string_split(pair, ' ')[1] AS pa, string_split(pair, ' ')[2] AS pb
+         |  FROM p$r ORDER BY total_count DESC, pair LIMIT 1)""".stripMargin)
+
+  /** The shared merge-trainer round chain (pair counts → caller-supplied
+    * argmax CTE b$r → greedy non-overlapping re-segmentation), used by
+    * the BPE (raw-count argmax) and WordPiece (likelihood-ratio argmax)
+    * oracle generators — the two trainers differ ONLY in b$r. */
+  private def mergeTrainerCtes(merges: Int, argmax: Int => String): String = {
     val rounds = (1 to merges).map { r =>
       s"""p$r AS (
          |  SELECT pair, count(*) AS n_words, CAST(sum(freq) AS BIGINT) AS total_count
@@ -3714,10 +3749,7 @@ object SparkEntry {
          |    FROM (SELECT freq, syms, unnest(range(len(syms) - 1)) AS i
          |          FROM s${r - 1} WHERE len(syms) >= 2))
          |  GROUP BY 1),
-         |b$r AS MATERIALIZED (
-         |  SELECT pair, n_words, total_count,
-         |    string_split(pair, ' ')[1] AS pa, string_split(pair, ' ')[2] AS pb
-         |  FROM p$r ORDER BY total_count DESC, pair LIMIT 1),
+         |${argmax(r)},
          |m$r AS (
          |  SELECT w, freq, syms, pa, pb,
          |    list_transform(range(len(syms) - 1), i ->
@@ -3755,6 +3787,37 @@ object SparkEntry {
         s"SELECT CAST($r AS BIGINT) AS round, pair, n_words, total_count FROM b$r")
       .mkString("\nUNION ALL ")
     s"""${bpeTrainCtes(merges)}
+       |$out
+       |ORDER BY round""".stripMargin
+  }
+
+  /** q279's oracle: the BPE round chain with the WordPiece argmax — per
+    * round, symbol counts y$r over the previous state, then the pair
+    * maximizing count(ab)/(count(a)·count(b)) as ONE double expression on
+    * exact integer inputs (identical bits both engines; exact ties break
+    * on pair ASC). The emitted columns are integers only. */
+  private def wordpieceTrainSql(merges: Int): String = {
+    val ctes = mergeTrainerCtes(merges, r =>
+      s"""y$r AS MATERIALIZED (
+         |  SELECT sym, CAST(sum(freq) AS BIGINT) AS cnt
+         |  FROM (SELECT freq, unnest(syms) AS sym FROM s${r - 1})
+         |  GROUP BY 1),
+         |b$r AS MATERIALIZED (
+         |  SELECT pair, n_words, total_count, pa, pb,
+         |    ya.cnt AS ca, yb.cnt AS cb
+         |  FROM (
+         |    SELECT pair, n_words, total_count,
+         |      string_split(pair, ' ')[1] AS pa, string_split(pair, ' ')[2] AS pb
+         |    FROM p$r) pp
+         |  JOIN y$r ya ON ya.sym = pp.pa
+         |  JOIN y$r yb ON yb.sym = pp.pb
+         |  ORDER BY CAST(total_count AS DOUBLE) / (CAST(ya.cnt AS DOUBLE) * CAST(yb.cnt AS DOUBLE)) DESC, pair
+         |  LIMIT 1)""".stripMargin)
+    val out = (1 to merges)
+      .map(r => s"SELECT CAST($r AS BIGINT) AS round, pair, n_words, " +
+        s"total_count, ca AS cnt_a, cb AS cnt_b FROM b$r")
+      .mkString("\nUNION ALL ")
+    s"""$ctes
        |$out
        |ORDER BY round""".stripMargin
   }
@@ -4190,7 +4253,22 @@ object SparkEntry {
     * Params(maxWordLen=m, maxPieceLen=k, seedMulti, budgetMulti,
     * emRounds=2) — same quantization, same DP op order, same tie-breaks. */
   private def unigramChainCtes(
-      m: Int, k: Int, seedMulti: Int, budgetMulti: Int): String = {
+      m: Int, k: Int, seedMulti: Int, budgetMulti: Int): String =
+    s"""${unigramCoreCtes(m, k, seedMulti)},
+       |v3 AS MATERIALIZED (
+       |  SELECT piece, cnt FROM c2 WHERE length(piece) = 1
+       |  UNION ALL
+       |  SELECT piece, cnt FROM (
+       |    SELECT piece, cnt, row_number() OVER (ORDER BY cnt DESC, piece) AS rk
+       |    FROM c2 WHERE length(piece) >= 2) WHERE rk <= $budgetMulti),
+       |${unigramPpbCte("r3", "v3")},
+       |${unigramEmRoundCtes(3, "r3", "v3", m, k)}""".stripMargin
+
+  /** The budget-independent unigram prefix (tokens → words → seed → 2 EM
+    * rounds, ending at the round-2 counts `c2`) — shared by the q271/q272
+    * chain (which appends ONE prune) and the q281 budget curve (which
+    * appends one prune + E-step PER budget point). */
+  private def unigramCoreCtes(m: Int, k: Int, seedMulti: Int): String = {
     val js = (0 until m).map(j => s"($j)").mkString(", ")
     val ls = (1 to k).map(l => s"($l)").mkString(", ")
     s"""WITH toks AS (
@@ -4216,15 +4294,43 @@ object SparkEntry {
        |${unigramPpbCte("r0", "v0")},
        |${unigramEmRoundCtes(1, "r0", "v0", m, k)},
        |${unigramPpbCte("r1", "c1")},
-       |${unigramEmRoundCtes(2, "r1", "v0", m, k)},
-       |v3 AS MATERIALIZED (
-       |  SELECT piece, cnt FROM c2 WHERE length(piece) = 1
-       |  UNION ALL
-       |  SELECT piece, cnt FROM (
-       |    SELECT piece, cnt, row_number() OVER (ORDER BY cnt DESC, piece) AS rk
-       |    FROM c2 WHERE length(piece) >= 2) WHERE rk <= $budgetMulti),
-       |${unigramPpbCte("r3", "v3")},
-       |${unigramEmRoundCtes(3, "r3", "v3", m, k)}""".stripMargin
+       |${unigramEmRoundCtes(2, "r1", "v0", m, k)}""".stripMargin
+  }
+
+  /** q281's oracle: the shared core through c2, then per BUDGET point a
+    * prune + requantize + one more unrolled Viterbi round (distinct CTE
+    * index per budget), each reduced to the freq-weighted fertility
+    * readout. */
+  private def unigramBudgetCurveSql(
+      m: Int, k: Int, seedMulti: Int, budgets: Seq[Int]): String = {
+    val arms = budgets.sorted.zipWithIndex.map { case (b, i) =>
+      val idx = 11 + i
+      s"""v$idx AS MATERIALIZED (
+         |  SELECT piece, cnt FROM c2 WHERE length(piece) = 1
+         |  UNION ALL
+         |  SELECT piece, cnt FROM (
+         |    SELECT piece, cnt, row_number() OVER (ORDER BY cnt DESC, piece) AS rk
+         |    FROM c2 WHERE length(piece) >= 2) WHERE rk <= $b),
+         |${unigramPpbCte(s"r$idx", s"v$idx")},
+         |${unigramEmRoundCtes(idx, s"r$idx", s"v$idx", m, k)}""".stripMargin
+    }.mkString(",\n")
+    val npSum = (1 to m)
+      .map(t => s"(CASE WHEN q_$t IS NOT NULL THEN 1 ELSE 0 END)")
+      .mkString(" + ")
+    // sums CAST to BIGINT BEFORE the fertility arithmetic (the q180
+    // HUGEINT lesson)
+    val rows = budgets.sorted.zipWithIndex.map { case (b, i) =>
+      val idx = 11 + i
+      s"""SELECT CAST($b AS BIGINT) AS budget, n_words, n_pieces,
+         |  CAST((n_pieces * 2000000 + n_words) // (2 * n_words) AS BIGINT) AS fertility_ppm
+         |FROM (SELECT CAST(sum(freq) AS BIGINT) AS n_words,
+         |        CAST(sum(freq * ($npSum)) AS BIGINT) AS n_pieces
+         |      FROM wk${idx}_$m)""".stripMargin
+    }.mkString("\nUNION ALL ")
+    s"""${unigramCoreCtes(m, k, seedMulti)},
+       |$arms
+       |$rows
+       |ORDER BY budget""".stripMargin
   }
 
   /** q271's oracle: final vocabulary 〈piece, cnt, prob_ppb〉. */
@@ -4444,15 +4550,18 @@ object SparkEntry {
   /** q278's oracle: the multi-table sign-bucket candidate feed (q254's
     * machinery) with the different-label filter, DISTINCT pairs, one
     * distance pass, same rank tail. */
-  private def hardNegativesLshSql(
-      k: Int, occupancy: Int, nTables: Int, dim: Int): String = {
-    val stride = math.max(1, dim / nTables)
-    val offsets = (0 until nTables).map(_ * stride)
-    val union = offsets.map { off =>
+  private def hardNegPairUnion(offsets: Seq[Int]): String =
+    offsets.map { off =>
       s"""    SELECT a.vec_id AS p, b.vec_id AS o
          |    FROM ef a JOIN ef b ON a.bk$off = b.bk$off
          |      AND a.vec_id <> b.vec_id AND a.label <> b.label""".stripMargin
     }.mkString("\n    UNION ALL\n")
+
+  private def hardNegativesLshSql(
+      k: Int, occupancy: Int, nTables: Int, dim: Int): String = {
+    val stride = math.max(1, dim / nTables)
+    val offsets = (0 until nTables).map(_ * stride)
+    val union = hardNegPairUnion(offsets)
     s"""WITH bits AS (
        |  SELECT least(length(bin(((count(*) + ${occupancy - 1}) // $occupancy) - 1)), ${math.min(dim, 62)}) AS b
        |  FROM embeddings),
@@ -4471,6 +4580,65 @@ object SparkEntry {
        |    $hardNegDm
        |  FROM up u JOIN ef a ON a.vec_id = u.p JOIN ef b ON b.vec_id = u.o),
        |${hardNegTailSql(k)}""".stripMargin
+  }
+
+  /** q280's oracle: exact arm 0 + one arm per table count (the q253
+    * lattice shape applied to mining): per-(arm, anchor) top-k on the
+    * shared micro-distance, then per-arm (anchor, negative) pair
+    * intersection with arm 0 and a round-half-up recall ppm. */
+  private def hardNegRecallSql(
+      k: Int, occupancy: Int, tableCounts: Seq[Int], dim: Int): String = {
+    val counts = tableCounts.sorted
+    def offsetsOf(t: Int): Seq[Int] = {
+      val stride = math.max(1, dim / t)
+      (0 until t).map(_ * stride)
+    }
+    val allOffsets = counts.flatMap(offsetsOf).distinct.sorted
+    val arms = counts.map { t =>
+      s"""  SELECT $t AS arm, u.p, u.o,
+         |    $hardNegDm
+         |  FROM (SELECT DISTINCT p, o FROM (
+         |${hardNegPairUnion(offsetsOf(t))})) u
+         |  JOIN ef a ON a.vec_id = u.p JOIN ef b ON b.vec_id = u.o""".stripMargin
+    }.mkString("\n  UNION ALL\n")
+    val armMap = counts.map(t => s"($t, CAST($t AS BIGINT))").mkString(", ")
+    s"""WITH bits AS (
+       |  SELECT least(length(bin(((count(*) + ${occupancy - 1}) // $occupancy) - 1)), ${math.min(dim, 62)}) AS b
+       |  FROM embeddings),
+       |ef AS MATERIALIZED (
+       |  SELECT vec_id, label, embedding AS u,
+       |    list_sum(list_transform(range(1, len(embedding) + 1),
+       |      i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))
+       |      AS n2,
+       |${allOffsets.map(off => "    " + lofMultiBucketCol(off, dim)).mkString(",\n")}
+       |  FROM embeddings),
+       |d AS (
+       |  SELECT 0 AS arm, a.vec_id AS p, b.vec_id AS o,
+       |    $hardNegDm
+       |  FROM ef a JOIN ef b
+       |    ON a.vec_id <> b.vec_id AND a.label <> b.label
+       |  UNION ALL
+       |$arms),
+       |r AS MATERIALIZED (
+       |  SELECT arm, p, o FROM (
+       |    SELECT arm, p, o, dm,
+       |      row_number() OVER (PARTITION BY arm, p ORDER BY dm, o) AS rk
+       |    FROM d)
+       |  WHERE rk <= $k),
+       |ex AS (SELECT CAST(count(*) AS BIGINT) AS n_exact FROM r WHERE arm = 0),
+       |arms(arm, n_tables) AS (VALUES $armMap),
+       |ov AS (
+       |  SELECT arms.arm, CAST(count(*) AS BIGINT) AS n_overlap
+       |  FROM arms
+       |  JOIN r re ON re.arm = 0
+       |  JOIN r rb ON rb.arm = arms.arm AND rb.p = re.p AND rb.o = re.o
+       |  GROUP BY 1)
+       |SELECT arms.n_tables, ex.n_exact,
+       |  CAST(COALESCE(ov.n_overlap, 0) AS BIGINT) AS n_overlap,
+       |  CAST((COALESCE(ov.n_overlap, 0) * 2000000 + ex.n_exact) // (2 * ex.n_exact) AS BIGINT) AS recall_ppm
+       |FROM arms CROSS JOIN ex
+       |LEFT JOIN ov ON ov.arm = arms.arm
+       |ORDER BY arms.n_tables""".stripMargin
   }
 
   private def lofMultiSql(k: Int, occupancy: Int, nTables: Int, dim: Int): String = {
@@ -8124,6 +8292,14 @@ object SparkEntry {
     // multi-table sign-bucket candidates + label filter, same tail
     "q278_hard_negatives_lsh" ->
       hardNegativesLshSql(k = 3, occupancy = 32, nTables = 4, dim = 64),
+    // the BPE chain with the WordPiece likelihood-ratio argmax
+    "q279_wordpiece_train" -> wordpieceTrainSql(merges = 3),
+    // exact arm 0 + per-table arms, (anchor, negative) pair recall
+    "q280_hard_negative_recall" ->
+      hardNegRecallSql(k = 3, occupancy = 32, tableCounts = Seq(1, 2, 4), dim = 64),
+    // shared core to c2, per-budget prune + one more unrolled DP round
+    "q281_unigram_budget_curve" ->
+      unigramBudgetCurveSql(m = 10, k = 4, seedMulti = 48, budgets = Seq(4, 12, 24)),
     // q247's lattice over the 4-table distinct-union pair feed
     "q254_lof_outliers_lsh_multi" ->
       lofMultiSql(k = 5, occupancy = 32, nTables = 4, dim = 64),

@@ -762,6 +762,41 @@ object Similarity {
     negRank(pairs, k)
   }
 
+  /** QUALITY curve for the hard-negative production feed (q253's shape
+    * applied to mining): per table count, how many of the EXACT arm's
+    * (anchor, negative) picks does [[hardNegativesLsh]] recover — the
+    * recall number that tells a training-data job what the bucket
+    * truncation costs in actual mined pairs, swept over the table-count
+    * dial that buys it back. Contains the exact arm: quarantined
+    * diagnostic beside q251/q253/q273/q274.
+    * Output: n_tables, n_exact, n_overlap, recall_ppm. */
+  def hardNegativeRecall(
+      corpus: DataFrame,
+      k: Int = 3,
+      tableCounts: Seq[Int] = Seq(1, 2, 4),
+      targetOccupancy: Int = 32,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      labelCol: String = "label",
+      dim: Int = 64): DataFrame = {
+    require(tableCounts.nonEmpty && tableCounts.forall(_ >= 1),
+      s"need tableCounts >= 1, got $tableCounts")
+    val exact = hardNegatives(corpus, k, idCol, vecCol, labelCol)
+      .select(col("vec_id"), col("neg_id")).localCheckpoint(true)
+    val nExact = exact.count()
+    tableCounts.sorted.map { t =>
+      val lsh = hardNegativesLsh(corpus, k, targetOccupancy, t,
+          idCol, vecCol, labelCol, dim)
+        .select(col("vec_id").as("va"), col("neg_id").as("na"))
+      exact.join(lsh, col("vec_id") === col("va") && col("neg_id") === col("na"))
+        .agg(count(lit(1)).as("n_overlap"))
+        .select(lit(t.toLong).as("n_tables"), lit(nExact).as("n_exact"),
+          col("n_overlap"),
+          expr(s"(n_overlap * 2000000 + $nExact) div (2 * $nExact)")
+            .as("recall_ppm"))
+    }.reduce(_ unionByName _).orderBy("n_tables")
+  }
+
   /** Shared tail of the hard-negative miners: deterministic per-anchor
     * (dm, neg_id) rank, top k. */
   private def negRank(pairs: DataFrame, k: Int): DataFrame = {

@@ -862,6 +862,81 @@ object TextAnalysis {
           .as("fertility_ppm"))
   }
 
+  /** ITERATED WORDPIECE trainer (Schuster & Nakajima 2012, the
+    * BERT-tokenizer recipe) — [[bpeTrain]]'s loop with the other argmax:
+    * instead of adopting the most FREQUENT adjacent pair, adopt the pair
+    * maximizing the likelihood-ratio score count(ab)/(count(a)·count(b))
+    * — the merge that most increases a unigram LM's corpus likelihood,
+    * which prefers strongly-associated pairs over merely-common ones.
+    * Everything else (vocabulary-only re-segmentation, greedy
+    * non-overlapping merges as pure list expressions, per-round
+    * checkpoints, driver-collected 1-row argmax) is the shared BPE
+    * machinery, and the oracle shares the BPE round chain with only the
+    * b-CTE swapped (SparkEntry.mergeTrainerCtes).
+    *
+    * Determinism: the score is ONE double expression — CAST(total AS
+    * DOUBLE) / (CAST(cnt_a AS DOUBLE) * CAST(cnt_b AS DOUBLE)) — on exact
+    * integer inputs, identical bits on any IEEE engine (the ratio-
+    * quantization argument); exact score ties break on pair ASC. The
+    * double never reaches the output: emitted columns are the adopted
+    * pair and its exact integer counts.
+    * Output: round, pair, n_words, total_count, cnt_a, cnt_b. */
+  def wordpieceTrain(
+      docs: DataFrame, merges: Int = 3,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    require(merges >= 1, s"need merges >= 1, got $merges")
+    var vocab = docs
+      .select(explode(tokens(col(textCol))).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+      .select(col("w"), col("freq"), split(col("w"), "").as("syms"))
+      .localCheckpoint(true)
+    val adopted =
+      scala.collection.mutable.ArrayBuffer.empty[(Long, String, Long, Long, Long, Long)]
+    var r = 1
+    var exhausted = false
+    while (r <= merges && !exhausted) {
+      val symCnt = vocab
+        .select(col("freq"), explode(col("syms")).as("sym"))
+        .groupBy("sym").agg(sum("freq").as("cnt"))
+      val best = vocab
+        .filter(size(col("syms")) >= 2)
+        .select(col("freq"), explode(transform(
+            sequence(lit(0), size(col("syms")) - 2),
+            i => concat_ws(" ",
+              element_at(col("syms"), (i + 1).cast("int")),
+              element_at(col("syms"), (i + 2).cast("int"))))).as("pair"))
+        .groupBy("pair")
+        .agg(count(lit(1)).as("n_words"), sum("freq").as("total_count"))
+        .withColumn("pa", split(col("pair"), " ").getItem(0))
+        .withColumn("pb", split(col("pair"), " ").getItem(1))
+        .join(symCnt.select(col("sym").as("pa"), col("cnt").as("ca")), "pa")
+        .join(symCnt.select(col("sym").as("pb"), col("cnt").as("cb")), "pb")
+        .orderBy(
+          (col("total_count").cast("double") /
+            (col("ca").cast("double") * col("cb").cast("double"))).desc,
+          col("pair"))
+        .limit(1).collect()
+      if (best.isEmpty) exhausted = true
+      else {
+        val row = best.head
+        adopted += ((r.toLong, row.getAs[String]("pair"),
+          row.getAs[Long]("n_words"), row.getAs[Long]("total_count"),
+          row.getAs[Long]("ca"), row.getAs[Long]("cb")))
+        val Array(a, b) = row.getAs[String]("pair").split(" ", 2)
+        vocab = vocab
+          .withColumn("syms", bpeMergeOnce(col("syms"), a, b))
+          .localCheckpoint(true)
+      }
+      r += 1
+    }
+    adopted.toSeq
+      .toDF("round", "pair", "n_words", "total_count", "cnt_a", "cnt_b")
+      .orderBy("round")
+  }
+
   /** One greedy left-to-right merge of (a, b) over a symbol array, as
     * pure list expressions (see [[bpeTrain]]): match list → even-run
     * merge positions → emit merged/survivor symbols, drop consumed ones.

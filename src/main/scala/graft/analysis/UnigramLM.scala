@@ -246,6 +246,55 @@ object UnigramLM {
     } finally { wt.unpersist(); () }
   }
 
+  /** VOCAB-BUDGET curve — [[unigramTrain]]'s budget dial as a measured
+    * fertility curve (q260's tokens-per-word-vs-vocab plot for the
+    * unigram family): seed and the EM rounds run ONCE, then each
+    * candidate budget prunes the SAME round-2 counts, requantizes, and
+    * re-segments the word table — one extra distributed word-grain pass
+    * per budget point, corpus touched once at the word count. Output per
+    * budget: budget, n_words (freq-weighted trainable-word occurrences —
+    * constant down the curve), n_pieces (freq-weighted segmentation
+    * length under that budget's vocab), fertility_ppm (round-half-up
+    * pieces per word — decreasing in budget, floored at 1.0 when whole
+    * words enter the vocabulary). */
+  def unigramBudgetCurve(
+      docs: DataFrame,
+      budgets: Seq[Int] = Seq(4, 12, 24),
+      params: Params = Params(),
+      textCol: String = "text"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    require(budgets.nonEmpty && budgets.forall(b => b >= 0 && b <= params.seedMulti),
+      s"budgets must sit in [0, seedMulti], got $budgets")
+    val wt = wordTable(docs, params.maxWordLen, textCol).persist()
+    try {
+      val seed = seedFromWords(wt, params)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
+      var vocab: Seq[(String, Long)] = seed.sortBy(_._1)
+      var scores = quantize(vocab)
+      (1 to params.emRounds).foreach { _ =>
+        vocab = emCounts(wt, vocab.map(_._1), scores, params).toSeq
+        scores = quantize(vocab)
+      }
+      val (chars, multi) = vocab.partition(_._1.length == 1)
+      val k = params.maxPieceLen
+      budgets.sorted.map { b =>
+        val kept = (chars ++ multi.sortBy { case (p, c) => (-c, p) }.take(b))
+          .sortBy(_._1)
+        val sc = quantize(kept)
+        wt.select(col("w"), col("freq").cast("long"))
+          .as[(String, Long)]
+          .map { case (w, f) => (f, viterbiPieces(w, sc, k).length.toLong) }
+          .toDF("freq", "np")
+          .agg(sum("freq").as("n_words"),
+            sum(col("freq") * col("np")).as("n_pieces"))
+          .select(lit(b.toLong).as("budget"), col("n_words"), col("n_pieces"),
+            expr("(n_pieces * 2000000 + n_words) div (2 * n_words)")
+              .as("fertility_ppm"))
+      }.reduce(_ unionByName _).orderBy("budget")
+    } finally { wt.unpersist(); () }
+  }
+
   /** Encode the corpus with a trained vocabulary: per-document word and
     * subword-token counts plus round-half-up fertility ppm (the q255
     * readout shape). Words longer than `maxWordLen` char-fallback

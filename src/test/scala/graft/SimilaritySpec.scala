@@ -492,6 +492,26 @@ class SimilaritySpec extends SparkSpec {
     assert(lsh.toSeq === exact.toSeq)
   }
 
+  test("hard-negative recall: one shared bucket recovers the exact arm completely") {
+    import spark.implicits._
+    val emb = Seq(
+      (0L, Array(0.0f, 0.0f), 0L),
+      (1L, Array(0.1f, 0.0f), 0L),
+      (2L, Array(1.0f, 0.0f), 1L),
+      (3L, Array(0.0f, 2.0f), 1L),
+      (4L, Array(9.0f, 9.0f), 2L)).toDF("vec_id", "embedding", "label")
+    // occupancy >= n puts everything in one bucket per table, so every
+    // table count recovers 100% of the exact picks
+    val out = graft.analysis.Similarity.hardNegativeRecall(emb, k = 2,
+        tableCounts = Seq(1, 2), targetOccupancy = 16, dim = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.length === 2)
+    out.foreach { case (_, nExact, nOverlap, ppm) =>
+      assert(nExact === 10L) // 5 anchors x k=2 (each has >= 2 cross-label)
+      assert(nOverlap === nExact && ppm === 1000000L)
+    }
+  }
+
   test("planted clusters: sign patterns distinct per cluster, separation >> noise, LSH verdicts align") {
     import spark.implicits._
     // deterministic pseudo-noise in [-1, 1] stands in for the embeddings

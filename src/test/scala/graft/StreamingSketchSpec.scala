@@ -447,6 +447,42 @@ class StreamingSketchSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming word table trains the SAME unigram tokenizer as the batch rebuild") {
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)](spark)
+    val state = scala.collection.concurrent.TrieMap.empty[String, Long]
+    val q = graft.streaming.StreamingWordTable
+      .buildStream(input.toDS().toDF("doc_id", "text"))
+      .writeStream
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        df.collect().foreach(r => state(r.getString(0)) = r.getLong(1))
+      }
+      .outputMode("update").start()
+    val batches = Seq(
+      Seq((1L, "the cat sat on the mat"), (2L, "the cats sat")),
+      Seq((3L, "a cat and a dog"), (4L, "")),
+      Seq((5L, "dogs and cats and mats")))
+    try {
+      batches.foreach { b => input.addData(b: _*); q.processAllAvailable() }
+      val union = batches.flatten.toDF("doc_id", "text")
+      // snapshot == batch artifact of everything ingested
+      val batchArt = graft.analysis.UnigramLM.wordTableArtifact(union)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(state.toMap === batchArt)
+      // and training from the snapshot == the whole-corpus rebuild
+      val p = graft.analysis.UnigramLM.Params(
+        maxWordLen = 10, maxPieceLen = 4, seedMulti = 8, budgetMulti = 4,
+        emRounds = 2)
+      val snap = state.toSeq.map { case (w, f) => (w, f, w.length) }
+        .toDF("w", "freq", "len")
+      val streamed = graft.analysis.UnigramLM
+        .unigramTrainFromWords(snap, p).collect().map(_.toSeq)
+      val rebuilt = graft.analysis.UnigramLM
+        .unigramTrain(union, p).collect().map(_.toSeq)
+      assert(streamed.toSeq === rebuilt.toSeq)
+    } finally q.stop()
+  }
+
   test("streaming span index across micro-batches equals the batch index of the union") {
     val input = org.apache.spark.sql.execution.streaming.runtime
       .MemoryStream[(Long, String)](spark)

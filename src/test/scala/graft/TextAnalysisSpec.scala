@@ -634,6 +634,29 @@ class TextAnalysisSpec extends SparkSpec {
       (3L, "e r", 1L, 2L)))
   }
 
+  test("wordpiece trainer: likelihood-ratio argmax beats the raw-count pair") {
+    import spark.implicits._
+    // corpus: "qu" x2, "in" x3, "iz" x5. Pair counts: (q,u)=2, (i,n)=3,
+    // (i,z)=5; symbol counts q=2, u=2, i=8, n=3, z=5. Scores:
+    // (q,u) 2/(2*2)=0.5 >> (i,z) 5/(8*5)=0.125 = (i,n) 3/(8*3)=0.125.
+    // BPE adopts the most frequent (i,z); WordPiece adopts (q,u) — the
+    // strongly-associated pair (the canonical q-then-u example).
+    val docs = Seq((1L, "qu qu in in in iz iz iz iz iz")).toDF("doc_id", "text")
+    val wp = graft.analysis.TextAnalysis.wordpieceTrain(docs, merges = 1)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(wp.toSeq === Seq((1L, "q u", 1L, 2L, 2L, 2L)))
+    val bpe = graft.analysis.TextAnalysis.bpeTrain(docs, merges = 1)
+      .collect().map(r => r.getString(1))
+    assert(bpe.toSeq === Seq("i z"))
+    // exact score ties break on pair asc: "ab" x2 vs "cd" x2 — both
+    // score 2/(2*2); "a b" < "c d"
+    val tie = Seq((1L, "ab ab cd cd")).toDF("doc_id", "text")
+    val t = graft.analysis.TextAnalysis.wordpieceTrain(tie, merges = 1)
+      .collect().map(_.getString(1))
+    assert(t.toSeq === Seq("a b"))
+  }
+
   test("bpe encode: applies merges in training order, including to OUT-OF-VOCAB words") {
     import spark.implicits._
     // merges learned from the Sennrich fixture corpus. "lowest" never

@@ -101,6 +101,29 @@ class UnigramLMSpec extends SparkSpec {
     assert(merged.toSeq === rebuilt.toSeq)
   }
 
+  test("budget curve: fertility non-increasing in budget, bounded by chars-only and 1.0") {
+    val docs = Seq(
+      (1L, "the cat sat on the mat"),
+      (2L, "the cats sat on the mats"),
+      (3L, "a cat and a dog ran to the mat"),
+      (4L, "dogs and cats and mats")).toDF("doc_id", "text")
+    val p = Params(maxWordLen = 10, maxPieceLen = 4, seedMulti = 12,
+      budgetMulti = 12, emRounds = 2)
+    val curve = UnigramLM.unigramBudgetCurve(docs, budgets = Seq(0, 4, 12), p)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(curve.map(_._1).toSeq === Seq(0L, 4L, 12L))
+    // n_words constant down the curve; fertility never increases with
+    // budget and stays in [1.0, mean word length]
+    assert(curve.map(_._2).distinct.length === 1)
+    val ferts = curve.map(_._4)
+    assert(ferts.zip(ferts.tail).forall { case (a, b) => b <= a })
+    ferts.foreach(f => assert(f >= 1000000L && f <= 10000000L))
+    // each row's fertility is the exact round-half-up ratio of its counts
+    curve.foreach { case (_, w, t, f) =>
+      assert(f === (t * 2000000L + w) / (2L * w))
+    }
+  }
+
   test("seed: all singles kept, multi capped, counts freq-weighted") {
     val docs = Seq((1L, "ab ab b")).toDF("doc_id", "text")
     val seed = UnigramLM.unigramSeed(docs,

@@ -147,6 +147,14 @@ EXACT_IEEE = {
     "q277_hard_negatives": "q238's distance quantization verbatim "
         "(floor(sqrt(exact fixed-order fold)) once per pair); downstream "
         "is pure integer (dm, id) ranks — no float ever aggregates",
+    "q279_wordpiece_train": "the argmax score is ONE double expression — "
+        "CAST(c AS DOUBLE)/(CAST(a AS DOUBLE)*CAST(b AS DOUBLE)) on exact "
+        "integer counts — identical bits on any IEEE engine (the ratio-"
+        "quantization argument), pair-asc tie-break; only integers are "
+        "emitted",
+    "q280_hard_negative_recall": "q277/q278's quantize-once distances as "
+        "arms; downstream pair intersections and recall div are pure "
+        "integer",
     "q278_hard_negatives_lsh": "q254's bucket argument (sums of exact "
         "sign comparisons, integer bit-length widths) feeding q277's "
         "quantize-once distance + integer rank tail",
