@@ -1114,6 +1114,21 @@ object SparkEntry {
     "q281_unigram_budget_curve" -> { (s, d) =>
       UnigramLM.unigramBudgetCurve(TestData.documents(s, d))
     },
+    // QUALITY-KEEPER dedup policy (the FineWeb survivor rule): q31's
+    // verified near-dup pairs clustered by connected components, keeper =
+    // argmax (quality centi-units, then min id) per cluster — the policy
+    // real rollouts ship instead of q49/q72's min-id; quality is the q20
+    // score quantized to exact integer centi-units so the argmax is
+    // engine-invariant
+    "q282_dedup_keep_best" -> { (s, d) =>
+      val docs = TestData.documents(s, d)
+      val scored = TextAnalysis.textStats(docs)
+        .select(col("doc_id"),
+          floor(col("quality_score") * 100 + 0.5).cast("long")
+            .as("quality_centi"))
+      Dedup.dedupClustersKeepBest(
+        Dedup.minhashNearDupPairs(docs), scored)
+    },
     // Fleiss' kappa over a 3-heuristic annotation panel (length band,
     // lexical-diversity band, stopword band — each a pure INTEGER
     // cross-multiplied comparison, so no rater decision can flip across
@@ -8300,6 +8315,63 @@ object SparkEntry {
     // shared core to c2, per-budget prune + one more unrolled DP round
     "q281_unigram_budget_curve" ->
       unigramBudgetCurveSql(m = 10, k = 4, seedMulti = 48, budgets = Seq(4, 12, 24)),
+    // q31's pair chain + q20's quality (centi-quantized) + q72's
+    // recursive components, keeper by (quality desc, id asc)
+    "q282_dedup_keep_best" ->
+      """WITH RECURSIVE toks AS (
+        |  SELECT doc_id AS id,
+        |    string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')), ' ') AS t
+        |  FROM documents),
+        |sets AS (
+        |  SELECT id, list_distinct(list_transform(range(len(t) - 2), i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])) AS sh
+        |  FROM toks WHERE len(t) >= 3),
+        |sigs AS (
+        |  SELECT id, sh,
+        |    list_transform(range(16), i -> list_min(list_transform(sh, s -> md5(i::VARCHAR || '|' || s)))) AS sig
+        |  FROM sets),
+        |bands AS (
+        |  SELECT id, b AS band_id, md5(array_to_string(sig[b*4+1:b*4+4], ',')) AS band_hash
+        |  FROM sigs CROSS JOIN (VALUES (0), (1), (2), (3)) AS bl(b)),
+        |cand AS (
+        |  SELECT DISTINCT x.id AS doc_a, y.id AS doc_b
+        |  FROM bands x JOIN bands y
+        |    ON x.band_id = y.band_id AND x.band_hash = y.band_hash AND x.id < y.id),
+        |verified AS (
+        |  SELECT doc_a, doc_b
+        |  FROM cand JOIN sets sa ON doc_a = sa.id JOIN sets sb ON doc_b = sb.id
+        |  WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+        |        / len(list_distinct(list_concat(sa.sh, sb.sh))) >= 0.8),
+        |sym AS (SELECT doc_a AS a, doc_b AS b FROM verified
+        |        UNION SELECT doc_b AS a, doc_a AS b FROM verified),
+        |reach(id, r) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT reach.id, sym.b FROM reach JOIN sym ON sym.a = reach.r),
+        |cc AS (SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id),
+        |qt AS (
+        |  SELECT doc_id,
+        |    len(tk) AS n_tokens, len(list_distinct(tk)) AS n_unique_tokens,
+        |    round(CAST(len(list_filter(tk, x -> x IN ('the','a','an','of','and','to','in','is','it','for'))) AS DOUBLE) / len(tk), 4) AS stopword_ratio
+        |  FROM (SELECT doc_id, string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')), ' ') AS tk
+        |        FROM documents)),
+        |qc AS (
+        |  SELECT doc_id,
+        |    CAST(floor(round(least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 40.0
+        |      + (CAST(n_unique_tokens AS DOUBLE) / n_tokens) * 40.0
+        |      + CASE WHEN stopword_ratio BETWEEN 0.01 AND 0.6 THEN 20.0 ELSE 0.0 END, 2) * 100 + 0.5) AS BIGINT) AS quality_centi
+        |  FROM qt),
+        |j AS (
+        |  SELECT cc.doc_id, cc.cluster_id, qc.quality_centi
+        |  FROM cc JOIN qc ON qc.doc_id = cc.doc_id),
+        |best AS (
+        |  SELECT cluster_id, doc_id AS keeper_id FROM (
+        |    SELECT cluster_id, doc_id,
+        |      row_number() OVER (PARTITION BY cluster_id ORDER BY quality_centi DESC, doc_id) AS rk
+        |    FROM j) WHERE rk = 1)
+        |SELECT j.doc_id, j.cluster_id, j.quality_centi,
+        |  (j.doc_id = best.keeper_id) AS is_keeper
+        |FROM j JOIN best ON best.cluster_id = j.cluster_id
+        |ORDER BY j.doc_id""".stripMargin,
     // q247's lattice over the 4-table distinct-union pair feed
     "q254_lof_outliers_lsh_multi" ->
       lofMultiSql(k = 5, occupancy = 32, nTables = 4, dim = 64),

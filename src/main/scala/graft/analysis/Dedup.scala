@@ -805,6 +805,39 @@ object Dedup {
       .select(col("id").as(idCol), col("component").as("cluster_id"),
         (col("id") === col("component")).as("is_keeper"))
 
+  /** QUALITY-KEEPER dedup policy — the FineWeb/production survivor rule:
+    * near-dup clusters keep the HIGHEST-QUALITY member, not the minimum
+    * id ([[dedupClusters]]'s policy, which throws away a signal the
+    * pipeline already computed). Keeper per component = argmax
+    * (scoreCol desc, id asc) — one struct-min aggregation per cluster,
+    * deterministic by construction when the score is integer-quantized
+    * (pass quality CENTI-units, not the raw double).
+    *
+    * Scale shape: one components pass (the caller's pair feed decides
+    * banded-vs-exact cost), one cluster-keyed argmax aggregate, one
+    * broadcastable keeper join — nothing beyond [[dedupClusters]]'s
+    * plan but the tiny per-cluster reduction.
+    * Output: doc_id, cluster_id, quality_centi, is_keeper. */
+  def dedupClustersKeepBest(
+      pairs: DataFrame,
+      scored: DataFrame,
+      idCol: String = "doc_id",
+      pairA: String = "doc_a",
+      pairB: String = "doc_b",
+      scoreCol: String = "quality_centi"): DataFrame = {
+    val cc = connectedComponents(pairs, scored.select(col(idCol)),
+        srcCol = pairA, dstCol = pairB, idCol = idCol)
+      .select(col("id").as(idCol), col("component").as("cluster_id"))
+      .join(scored, idCol)
+    val best = cc.groupBy("cluster_id")
+      .agg(min(struct((-col(scoreCol)).as("ns"), col(idCol).as("bid"))).as("b"))
+      .select(col("cluster_id"), col("b.bid").as("keeper_id"))
+    cc.join(best, "cluster_id")
+      .select(col(idCol), col("cluster_id"), col(scoreCol),
+        (col(idCol) === col("keeper_id")).as("is_keeper"))
+      .orderBy(idCol)
+  }
+
   /** Duplicated-span detection — SUBSTRING-level dedup (the Lee et al.,
     * ACL 2022 "Deduplicating Training Data Makes Language Models Better"
     * shape): every contiguous `spanTokens`-token window of every document is

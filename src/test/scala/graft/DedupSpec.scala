@@ -725,6 +725,25 @@ class DedupSpec extends SparkSpec {
     assert(bounded.toSeq === Seq((1L, 2L, 8L)))
   }
 
+  test("keep-best policy: the higher-quality member survives, not the minimum id") {
+    import spark.implicits._
+    // cluster {1, 2}: doc 2 scores higher -> keeper despite the larger
+    // id; doc 3 is a singleton and keeps itself; quality ties in a
+    // cluster fall back to min id
+    val pairs = Seq((1L, 2L), (4L, 5L)).toDF("doc_a", "doc_b")
+    val scored = Seq(
+      (1L, 5000L), (2L, 7200L), (3L, 100L), (4L, 4200L), (5L, 4200L)
+    ).toDF("doc_id", "quality_centi")
+    val out = Dedup.dedupClustersKeepBest(pairs, scored).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    assert(out.toSeq === Seq(
+      (1L, 1L, 5000L, false),
+      (2L, 1L, 7200L, true),
+      (3L, 3L, 100L, true),
+      (4L, 4L, 4200L, true), // tie at 4200 -> min id keeps
+      (5L, 4L, 4200L, false)))
+  }
+
   test("dedup savings: dup bytes charged to the copy's source, min-id survives") {
     import spark.implicits._
     val docs = Seq(

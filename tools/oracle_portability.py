@@ -155,6 +155,12 @@ EXACT_IEEE = {
     "q280_hard_negative_recall": "q277/q278's quantize-once distances as "
         "arms; downstream pair intersections and recall div are pure "
         "integer",
+    "q282_dedup_keep_best": "the keeper decision reads quality CENTI "
+        "units: q20's already-2dp-rounded score survives the x100+0.5 "
+        "floor round-trip exactly (the q270 micro-requantization "
+        "argument — a value with <=2 decimal digits recovers its integer "
+        "representation bit-for-bit on any IEEE engine); clusters/ranks "
+        "downstream are pure integer, pair feed is q31's green chain",
     "q278_hard_negatives_lsh": "q254's bucket argument (sums of exact "
         "sign comparisons, integer bit-length widths) feeding q277's "
         "quantize-once distance + integer rank tail",
