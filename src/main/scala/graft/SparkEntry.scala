@@ -1129,6 +1129,42 @@ object SparkEntry {
       Dedup.dedupClustersKeepBest(
         Dedup.minhashNearDupPairs(docs), scored)
     },
+    // THE CAPSTONE — the full pretraining data job in ONE gated
+    // statement: quality gate → exact dedup → near-dup clusters with the
+    // q282 QUALITY-KEEPER policy → q250 winnowing decontamination against
+    // the held-out eval slice (doc_id % 17 = 0) → q140 temperature
+    // mixture → q256 sequence packing. The oracle is built from the SAME
+    // named CTE constants as the stage gates; PipelineSpec pins
+    // composition ≡ stage-by-stage dataflow
+    "q283_pretrain_pipeline" -> { (s, d) =>
+      CorpusPrep.pretrainPipeline(TestData.documents(s, d))
+    },
+    // LAW gate: the q282 keeper policy on a daily-ingest split — pairs
+    // from stored artifacts (old-batch pairs ∪ new-batch pairs ∪ the
+    // cross band join against the stored sketch, the q78/q118 machinery)
+    // plus stored per-doc quality must reproduce the whole-corpus
+    // verdicts (oracle IS q282's SQL). Precondition: monotonic ingest ids
+    // (old max < new min); quality ties break to min id, so a stored
+    // keeper can flip ONLY when the batch introduces a strictly-higher-
+    // quality member — recomputing the cluster argmax from the merged
+    // artifacts reproduces exactly that flip
+    "q285_keep_best_increment" -> { (s, d) =>
+      val docs = TestData.documents(s, d)
+      val half = docs.agg(max("doc_id")).head.getLong(0) / 2
+      val old = docs.filter(col("doc_id") <= half)
+      val fresh = docs.filter(col("doc_id") > half)
+      val scored = TextAnalysis.textStats(docs)
+        .select(col("doc_id"),
+          floor(col("quality_score") * 100 + 0.5).cast("long")
+            .as("quality_centi"))
+      val cross = Dedup.incrementalNearDupPairs(fresh, old)
+        .select(col("existing_id").as("doc_a"), col("new_id").as("doc_b"))
+      Dedup.dedupClustersKeepBest(
+        Dedup.minhashNearDupPairs(old).select("doc_a", "doc_b")
+          .unionByName(Dedup.minhashNearDupPairs(fresh).select("doc_a", "doc_b"))
+          .unionByName(cross),
+        scored)
+    },
     // Fleiss' kappa over a 3-heuristic annotation panel (length band,
     // lexical-diversity band, stopword band — each a pure INTEGER
     // cross-multiplied comparison, so no rater decision can flip across
@@ -2630,8 +2666,11 @@ object SparkEntry {
     * MinHash+LSH near-dup removal), ending after `losers` — the ONE
     * constant the q41 batch oracle and the q269 composed oracle
     * concatenate from (no substring surgery against a marker literal). */
-  private val corpusPrepCtes: String =
-    """WITH t AS (
+  /** The same chain WITHOUT the WITH prefix — so composed oracles that
+    * need a `WITH RECURSIVE` head (q283's keeper components) concatenate
+    * the IDENTICAL text instead of string-surgering the prefix. */
+  private val corpusPrepCtesBody: String =
+    """t AS (
       |  SELECT doc_id, text,
       |    trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')) AS norm
       |  FROM documents),
@@ -2675,6 +2714,8 @@ object SparkEntry {
       |        / len(list_distinct(list_concat(sa.sh, sb.sh))) >= 0.8),
       |losers AS (SELECT DISTINCT doc_b FROM verified)""".stripMargin
 
+  private val corpusPrepCtes: String = "WITH " + corpusPrepCtesBody
+
   private val corpusPrepBatchSql: String =
     s"""$corpusPrepCtes
        |SELECT d.doc_id, d.lang, d.source, d.n_chars
@@ -2687,17 +2728,17 @@ object SparkEntry {
     * token counts, then the q256 packing readout over the survivors —
     * the composed "prepare then pack" pipeline a pretraining data job
     * actually ships, end-to-end in one statement. */
-  private def corpusPrepPackSql(ctx: Int): String = {
-    s"""$corpusPrepCtes,
-       |surv AS (
-       |  SELECT k.doc_id,
-       |    CAST(len(list_filter(k.toks, x -> x <> '')) AS BIGINT) AS n_tok
-       |  FROM keep k WHERE k.doc_id NOT IN (SELECT doc_b FROM losers)),
-       |cum AS (
+  /** The q256 packing readout over a `$src(doc_id, n_tok)` CTE — prefix
+    * sum in doc-id order, window spans by integer division, the
+    * occupancy histogram. ONE constant terminates every packing oracle
+    * (q256/q257, q269, q283), so the histogram arithmetic cannot drift
+    * between the stage gate and the composed gates. */
+  private def packTailCtes(ctx: Int, src: String): String =
+    s"""cum AS (
        |  SELECT doc_id, n_tok,
        |    CAST(SUM(n_tok) OVER (ORDER BY doc_id
        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS c
-       |  FROM surv WHERE n_tok > 0),
+       |  FROM $src WHERE n_tok > 0),
        |spans AS (
        |  SELECT (c - n_tok) // $ctx AS fw, (c - 1) // $ctx AS lw FROM cum),
        |slots AS (
@@ -2712,7 +2753,163 @@ object SparkEntry {
        |  CAST(sum(n_starts) AS BIGINT) AS n_starts,
        |  CAST(sum(n_split) AS BIGINT) AS n_split_slots
        |FROM win GROUP BY 1 ORDER BY 1""".stripMargin
+
+  private def corpusPrepPackSql(ctx: Int): String = {
+    s"""$corpusPrepCtes,
+       |surv AS (
+       |  SELECT k.doc_id,
+       |    CAST(len(list_filter(k.toks, x -> x <> '')) AS BIGINT) AS n_tok
+       |  FROM keep k WHERE k.doc_id NOT IN (SELECT doc_b FROM losers)),
+       |${packTailCtes(ctx, "surv")}""".stripMargin
   }
+
+  /** q282's oracle — ALSO q285's verbatim (the keeper increment is a
+    * LAW gate: verdicts from stored pair artifacts over a corpus/batch
+    * split must reproduce this whole-corpus rebuild). q31's pair chain
+    * + q20's quality (centi-quantized) + q72's recursive components,
+    * keeper by (quality desc, id asc). */
+  private val dedupKeepBestSql: String =
+      """WITH RECURSIVE toks AS (
+        |  SELECT doc_id AS id,
+        |    string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')), ' ') AS t
+        |  FROM documents),
+        |sets AS (
+        |  SELECT id, list_distinct(list_transform(range(len(t) - 2), i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])) AS sh
+        |  FROM toks WHERE len(t) >= 3),
+        |sigs AS (
+        |  SELECT id, sh,
+        |    list_transform(range(16), i -> list_min(list_transform(sh, s -> md5(i::VARCHAR || '|' || s)))) AS sig
+        |  FROM sets),
+        |bands AS (
+        |  SELECT id, b AS band_id, md5(array_to_string(sig[b*4+1:b*4+4], ',')) AS band_hash
+        |  FROM sigs CROSS JOIN (VALUES (0), (1), (2), (3)) AS bl(b)),
+        |cand AS (
+        |  SELECT DISTINCT x.id AS doc_a, y.id AS doc_b
+        |  FROM bands x JOIN bands y
+        |    ON x.band_id = y.band_id AND x.band_hash = y.band_hash AND x.id < y.id),
+        |verified AS (
+        |  SELECT doc_a, doc_b
+        |  FROM cand JOIN sets sa ON doc_a = sa.id JOIN sets sb ON doc_b = sb.id
+        |  WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+        |        / len(list_distinct(list_concat(sa.sh, sb.sh))) >= 0.8),
+        |sym AS (SELECT doc_a AS a, doc_b AS b FROM verified
+        |        UNION SELECT doc_b AS a, doc_a AS b FROM verified),
+        |reach(id, r) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT reach.id, sym.b FROM reach JOIN sym ON sym.a = reach.r),
+        |cc AS (SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id),
+        |qt AS (
+        |  SELECT doc_id,
+        |    len(tk) AS n_tokens, len(list_distinct(tk)) AS n_unique_tokens,
+        |    round(CAST(len(list_filter(tk, x -> x IN ('the','a','an','of','and','to','in','is','it','for'))) AS DOUBLE) / len(tk), 4) AS stopword_ratio
+        |  FROM (SELECT doc_id, string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')), ' ') AS tk
+        |        FROM documents)),
+        |qc AS (
+        |  SELECT doc_id,
+        |    CAST(floor(round(least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 40.0
+        |      + (CAST(n_unique_tokens AS DOUBLE) / n_tokens) * 40.0
+        |      + CASE WHEN stopword_ratio BETWEEN 0.01 AND 0.6 THEN 20.0 ELSE 0.0 END, 2) * 100 + 0.5) AS BIGINT) AS quality_centi
+        |  FROM qt),
+        |j AS (
+        |  SELECT cc.doc_id, cc.cluster_id, qc.quality_centi
+        |  FROM cc JOIN qc ON qc.doc_id = cc.doc_id),
+        |best AS (
+        |  SELECT cluster_id, doc_id AS keeper_id FROM (
+        |    SELECT cluster_id, doc_id,
+        |      row_number() OVER (PARTITION BY cluster_id ORDER BY quality_centi DESC, doc_id) AS rk
+        |    FROM j) WHERE rk = 1)
+        |SELECT j.doc_id, j.cluster_id, j.quality_centi,
+        |  (j.doc_id = best.keeper_id) AS is_keeper
+        |FROM j JOIN best ON best.cluster_id = j.cluster_id
+        |ORDER BY j.doc_id""".stripMargin
+
+  /** q282's QUALITY-KEEPER verdict over the corpus-prep chain: connected
+    * components (recursive reach-min) across `verified` pairs seeded from
+    * the `keep` universe, keeper = argmax (quality_centi desc, id asc)
+    * with quality read from the chain's own `q` CTE. Ends at
+    * `keepers(doc_id)`. Needs a WITH RECURSIVE head. */
+  private val prepKeeperCtes: String =
+    """sym AS (SELECT doc_a AS a, doc_b AS b FROM verified
+      |        UNION SELECT doc_b AS a, doc_a AS b FROM verified),
+      |reach(id, r) AS (
+      |  SELECT doc_id, doc_id FROM keep
+      |  UNION
+      |  SELECT reach.id, sym.b FROM reach JOIN sym ON sym.a = reach.r),
+      |cc AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id),
+      |jq AS (
+      |  SELECT cc.id AS doc_id, cc.cluster_id,
+      |    CAST(floor(q.quality_score * 100 + 0.5) AS BIGINT) AS quality_centi
+      |  FROM cc JOIN q ON q.doc_id = cc.id),
+      |best AS (
+      |  SELECT cluster_id, doc_id AS keeper_id FROM (
+      |    SELECT cluster_id, doc_id,
+      |      row_number() OVER (PARTITION BY cluster_id ORDER BY quality_centi DESC, doc_id) AS rk
+      |    FROM jq) WHERE rk = 1),
+      |keepers AS (SELECT keeper_id AS doc_id FROM best)""".stripMargin
+
+  /** q250's winnowing fingerprint chain (k=5 token grams, window 4, full
+    * windows only) over an arbitrary tokenized CTE `$src(id, t)`, ending
+    * at `$out(id, fp)` — ONE constant fingerprints both q250's corpus
+    * split and q283's train/eval sides, so the theorem-bearing hash chain
+    * cannot drift between the stage gate and the composed gate. */
+  private def winnowFpCtes(src: String, out: String): String =
+    s"""gr_$out AS (
+       |  SELECT id, CAST(pos AS BIGINT) AS pos,
+       |    ('0x' || substr(md5(t[pos+1] || ' ' || t[pos+2] || ' ' || t[pos+3] || ' ' || t[pos+4] || ' ' || t[pos+5]), 1, 15))::BIGINT AS h,
+       |    CAST(len(t) - 4 AS BIGINT) AS ng
+       |  FROM (SELECT id, t, unnest(range(len(t) - 4)) AS pos FROM $src WHERE len(t) >= 5)),
+       |wi_$out AS (
+       |  SELECT id, pos, ng,
+       |    min(h) OVER (PARTITION BY id ORDER BY pos ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+       |  FROM gr_$out),
+       |$out AS MATERIALIZED (SELECT DISTINCT id, fp FROM wi_$out WHERE pos <= ng - 4)""".stripMargin
+
+  /** q140's temperature-mixture keep set (α = 0.5) over `$src(doc_id,
+    * source)`, ending at `$out(doc_id)` — the rate arithmetic is q140's
+    * oracle expression verbatim (DECIMAL-cast normalizer, floor to basis
+    * points, the |tsamp md5 gate). */
+  private def temperatureKeepCtes(src: String, out: String): String =
+    s"""mper_$out AS (SELECT source, count(*) AS n_docs FROM $src GROUP BY 1),
+       |mtot_$out AS (
+       |  SELECT CAST(sum(n_docs) AS BIGINT) AS n_total,
+       |    CAST(sum(CAST(pow(n_docs, 0.5::DOUBLE) AS DECIMAL(28,12))) AS DOUBLE) AS wsum
+       |  FROM mper_$out),
+       |mrb_$out AS (
+       |  SELECT source,
+       |    CAST(floor(least(1.0::DOUBLE, pow(n_docs, 0.5::DOUBLE) / wsum * n_total / n_docs) * 10000) AS INT) AS rate_bp
+       |  FROM mper_$out CROSS JOIN mtot_$out),
+       |$out AS (
+       |  SELECT c.doc_id FROM $src c JOIN mrb_$out USING (source)
+       |  WHERE ('0x' || substr(md5(c.doc_id::VARCHAR || '|tsamp'), 1, 8))::BIGINT % 10000 < rate_bp)""".stripMargin
+
+  /** q283's oracle — the FULL pretraining pipeline in ONE statement,
+    * every stage a shared named constant: the q41/q269 corpus-prep chain
+    * (quality gate → exact dedup → verified near-dup pairs), the q282
+    * keeper components, the q250 winnowing chain on both the survivor and
+    * eval sides, the q140 mixture gate, and the q256 packing tail. */
+  private def pretrainPipelineSql(ctx: Int): String =
+    s"""WITH RECURSIVE $corpusPrepCtesBody,
+       |$prepKeeperCtes,
+       |trainc AS (
+       |  SELECT k.doc_id AS id, k.toks AS t
+       |  FROM keep k JOIN keepers USING (doc_id) WHERE k.doc_id % 17 <> 0),
+       |evalc AS (SELECT doc_id AS id, toks AS t FROM tt WHERE doc_id % 17 = 0),
+       |${winnowFpCtes("trainc", "cfps")},
+       |${winnowFpCtes("evalc", "efps")},
+       |bounded AS (SELECT fp FROM cfps GROUP BY fp HAVING count(*) <= 1000),
+       |contam AS (
+       |  SELECT DISTINCT c.id FROM cfps c JOIN bounded USING (fp) JOIN efps USING (fp)),
+       |cleand AS (
+       |  SELECT d.doc_id, d.source
+       |  FROM documents d JOIN trainc ON d.doc_id = trainc.id
+       |  WHERE d.doc_id NOT IN (SELECT id FROM contam)),
+       |${temperatureKeepCtes("cleand", "mixed")},
+       |surv AS (
+       |  SELECT k.doc_id,
+       |    CAST(len(list_filter(k.toks, x -> x <> '')) AS BIGINT) AS n_tok
+       |  FROM keep k JOIN mixed USING (doc_id)),
+       |${packTailCtes(ctx, "surv")}""".stripMargin
 
   /** q151's oracle, generated: q20's feature expressions, then `iters`
     * unrolled GD epochs — weights as a 1-row CTE, gradient sums DECIMAL-
@@ -3669,20 +3866,11 @@ object SparkEntry {
   }
 
   private val winnowingPairsSql: String =
-    """WITH toks AS (
+    s"""WITH toks AS (
       |  SELECT doc_id AS id,
-      |    string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')), ' ') AS t
+      |    string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g')), ' ') AS t
       |  FROM documents),
-      |gr AS (
-      |  SELECT id, CAST(pos AS BIGINT) AS pos,
-      |    ('0x' || substr(md5(t[pos+1] || ' ' || t[pos+2] || ' ' || t[pos+3] || ' ' || t[pos+4] || ' ' || t[pos+5]), 1, 15))::BIGINT AS h,
-      |    CAST(len(t) - 4 AS BIGINT) AS ng
-      |  FROM (SELECT id, t, unnest(range(len(t) - 4)) AS pos FROM toks WHERE len(t) >= 5)),
-      |wi AS (
-      |  SELECT id, pos, ng,
-      |    min(h) OVER (PARTITION BY id ORDER BY pos ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
-      |  FROM gr),
-      |fps AS MATERIALIZED (SELECT DISTINCT id, fp FROM wi WHERE pos <= ng - 4),
+      |${winnowFpCtes("toks", "fps")},
       |per AS MATERIALIZED (SELECT id, count(*) AS n FROM fps GROUP BY 1),
       |bounded AS (SELECT fp FROM fps GROUP BY fp HAVING count(*) <= 1000),
       |keep AS MATERIALIZED (SELECT id, fp FROM fps JOIN bounded USING (fp)),
@@ -3889,25 +4077,7 @@ object SparkEntry {
        |  SELECT doc_id,
        |    CAST(len(list_filter(string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g')), ' '), x -> x <> '')) AS BIGINT) AS n_tok
        |  FROM documents),
-       |cum AS (
-       |  SELECT doc_id, n_tok,
-       |    CAST(SUM(n_tok) OVER (ORDER BY doc_id
-       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS c
-       |  FROM toks WHERE n_tok > 0),
-       |spans AS (
-       |  SELECT (c - n_tok) // $ctx AS fw, (c - 1) // $ctx AS lw FROM cum),
-       |slots AS (
-       |  SELECT unnest(range(fw, lw + 1)) AS window_id, fw, lw > fw AS sp
-       |  FROM spans),
-       |win AS (
-       |  SELECT window_id, count(*) AS n_docs,
-       |    CAST(sum(CASE WHEN window_id = fw THEN 1 ELSE 0 END) AS BIGINT) AS n_starts,
-       |    CAST(sum(CASE WHEN sp THEN 1 ELSE 0 END) AS BIGINT) AS n_split
-       |  FROM slots GROUP BY 1)
-       |SELECT n_docs AS docs_in_window, count(*) AS n_windows,
-       |  CAST(sum(n_starts) AS BIGINT) AS n_starts,
-       |  CAST(sum(n_split) AS BIGINT) AS n_split_slots
-       |FROM win GROUP BY 1 ORDER BY 1""".stripMargin
+       |${packTailCtes(ctx, "toks")}""".stripMargin
 
   /** q258's oracle (and q261's verbatim — the KN model increment is a LAW
     * gate: shard-counted c12 merged by addition ≡ rebuild): interpolated
@@ -8317,61 +8487,11 @@ object SparkEntry {
       unigramBudgetCurveSql(m = 10, k = 4, seedMulti = 48, budgets = Seq(4, 12, 24)),
     // q31's pair chain + q20's quality (centi-quantized) + q72's
     // recursive components, keeper by (quality desc, id asc)
-    "q282_dedup_keep_best" ->
-      """WITH RECURSIVE toks AS (
-        |  SELECT doc_id AS id,
-        |    string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')), ' ') AS t
-        |  FROM documents),
-        |sets AS (
-        |  SELECT id, list_distinct(list_transform(range(len(t) - 2), i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])) AS sh
-        |  FROM toks WHERE len(t) >= 3),
-        |sigs AS (
-        |  SELECT id, sh,
-        |    list_transform(range(16), i -> list_min(list_transform(sh, s -> md5(i::VARCHAR || '|' || s)))) AS sig
-        |  FROM sets),
-        |bands AS (
-        |  SELECT id, b AS band_id, md5(array_to_string(sig[b*4+1:b*4+4], ',')) AS band_hash
-        |  FROM sigs CROSS JOIN (VALUES (0), (1), (2), (3)) AS bl(b)),
-        |cand AS (
-        |  SELECT DISTINCT x.id AS doc_a, y.id AS doc_b
-        |  FROM bands x JOIN bands y
-        |    ON x.band_id = y.band_id AND x.band_hash = y.band_hash AND x.id < y.id),
-        |verified AS (
-        |  SELECT doc_a, doc_b
-        |  FROM cand JOIN sets sa ON doc_a = sa.id JOIN sets sb ON doc_b = sb.id
-        |  WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
-        |        / len(list_distinct(list_concat(sa.sh, sb.sh))) >= 0.8),
-        |sym AS (SELECT doc_a AS a, doc_b AS b FROM verified
-        |        UNION SELECT doc_b AS a, doc_a AS b FROM verified),
-        |reach(id, r) AS (
-        |  SELECT doc_id, doc_id FROM documents
-        |  UNION
-        |  SELECT reach.id, sym.b FROM reach JOIN sym ON sym.a = reach.r),
-        |cc AS (SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id),
-        |qt AS (
-        |  SELECT doc_id,
-        |    len(tk) AS n_tokens, len(list_distinct(tk)) AS n_unique_tokens,
-        |    round(CAST(len(list_filter(tk, x -> x IN ('the','a','an','of','and','to','in','is','it','for'))) AS DOUBLE) / len(tk), 4) AS stopword_ratio
-        |  FROM (SELECT doc_id, string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')), ' ') AS tk
-        |        FROM documents)),
-        |qc AS (
-        |  SELECT doc_id,
-        |    CAST(floor(round(least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 40.0
-        |      + (CAST(n_unique_tokens AS DOUBLE) / n_tokens) * 40.0
-        |      + CASE WHEN stopword_ratio BETWEEN 0.01 AND 0.6 THEN 20.0 ELSE 0.0 END, 2) * 100 + 0.5) AS BIGINT) AS quality_centi
-        |  FROM qt),
-        |j AS (
-        |  SELECT cc.doc_id, cc.cluster_id, qc.quality_centi
-        |  FROM cc JOIN qc ON qc.doc_id = cc.doc_id),
-        |best AS (
-        |  SELECT cluster_id, doc_id AS keeper_id FROM (
-        |    SELECT cluster_id, doc_id,
-        |      row_number() OVER (PARTITION BY cluster_id ORDER BY quality_centi DESC, doc_id) AS rk
-        |    FROM j) WHERE rk = 1)
-        |SELECT j.doc_id, j.cluster_id, j.quality_centi,
-        |  (j.doc_id = best.keeper_id) AS is_keeper
-        |FROM j JOIN best ON best.cluster_id = j.cluster_id
-        |ORDER BY j.doc_id""".stripMargin,
+    "q282_dedup_keep_best" -> dedupKeepBestSql,
+    // LAW gate: keeper verdicts over corpus ∪ batch from STORED pair
+    // artifacts (old pairs + batch pairs + the cross band join) must
+    // equal q282's whole-corpus rebuild — the oracle IS q282's SQL
+    "q285_keep_best_increment" -> dedupKeepBestSql,
     // q247's lattice over the 4-table distinct-union pair feed
     "q254_lof_outliers_lsh_multi" ->
       lofMultiSql(k = 5, occupancy = 32, nTables = 4, dim = 64),
@@ -8520,20 +8640,11 @@ object SparkEntry {
     // shared counts, then the per-corpus-doc rollup with the (shared
     // desc, eid asc) argmax as a row_number — all integer
     "q250_winnowing_decontam" ->
-      """WITH toks AS (
+      s"""WITH toks AS (
         |  SELECT doc_id AS id,
-        |    string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')), ' ') AS t
+        |    string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g')), ' ') AS t
         |  FROM documents),
-        |gr AS (
-        |  SELECT id, CAST(pos AS BIGINT) AS pos,
-        |    ('0x' || substr(md5(t[pos+1] || ' ' || t[pos+2] || ' ' || t[pos+3] || ' ' || t[pos+4] || ' ' || t[pos+5]), 1, 15))::BIGINT AS h,
-        |    CAST(len(t) - 4 AS BIGINT) AS ng
-        |  FROM (SELECT id, t, unnest(range(len(t) - 4)) AS pos FROM toks WHERE len(t) >= 5)),
-        |wi AS (
-        |  SELECT id, pos, ng,
-        |    min(h) OVER (PARTITION BY id ORDER BY pos ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
-        |  FROM gr),
-        |fps AS MATERIALIZED (SELECT DISTINCT id, fp FROM wi WHERE pos <= ng - 4),
+        |${winnowFpCtes("toks", "fps")},
         |cf AS MATERIALIZED (SELECT id AS cid, fp FROM fps WHERE id % 17 <> 0),
         |ef AS MATERIALIZED (SELECT id AS eid, fp FROM fps WHERE id % 17 = 0),
         |bounded AS (SELECT fp FROM cf GROUP BY fp HAVING count(*) <= 1000),
@@ -9713,6 +9824,10 @@ object SparkEntry {
     // q41's chain re-terminated at survivor token counts + q256's packing
     // readout — the composed prepare→pack pipeline in one statement
     "q269_prep_pack" -> corpusPrepPackSql(ctx = 256),
+    // the full pipeline: prep chain + keeper components + winnowing
+    // decontam + temperature mixture + packing tail, every stage a
+    // shared named constant
+    "q283_pretrain_pipeline" -> pretrainPipelineSql(ctx = 256),
     // q259's chain feeding q266's bootstrap chain — metric + uncertainty
     "q270_rouge_bootstrap" -> rougeBootstrapSql,
     // the unigram trainer unrolled: seed substring counts, 2 Viterbi-EM

@@ -128,6 +128,78 @@ object CorpusPrep {
     corpus.unionByName(newSurvivors)
   }
 
+  /** THE FULL PRETRAINING-PIPELINE CAPSTONE — the FineWeb/Dolma-shaped
+    * end-to-end job this library exists for, SIX stages composed into one
+    * dataflow:
+    *
+    *   1. quality gate        (q20's score, keep ≥ minQuality)
+    *   2. exact dedup         (min-id per normalized fingerprint, q30)
+    *   3. near-dup clusters with the QUALITY-KEEPER policy (q282's
+    *      FineWeb survivor rule — clusters keep the best member, not the
+    *      min id)
+    *   4. winnowing decontamination against the held-out eval slice
+    *      (q250's no-leakage certificate: any ≥ k+w−1-token overlap is
+    *      GUARANTEED flagged; eval docs themselves are held out too)
+    *   5. temperature mixture (q140's α-smoothing keep rates, the
+    *      replayable md5 gate)
+    *   6. sequence packing    (q256's concat-and-chunk windows)
+    *
+    * Composition seams are where real pipelines break, so the ORDER is
+    * load-bearing: quality runs first (it is one codegen'd projection and
+    * every later stage pays per surviving row); exact dedup precedes the
+    * near-dup sketch (why MinHash a byte-identical copy); the keeper
+    * argmax REUSES the stage-1 quality scores (computed once, centi-
+    * quantized for an engine-invariant argmax); decontamination screens
+    * only final survivors against the eval artifact (broadcast probe);
+    * the mixture rates are computed over the CLEAN corpus (rates over a
+    * corpus still carrying duplicates would overweight duplicated
+    * sources); packing consumes the kept stream in id order.
+    *
+    * Scale shape: each stage shrinks what the next one pays for; the
+    * three `localCheckpoint` materializations (exact set, train
+    * candidates, clean corpus) are exactly the parquet layer boundaries
+    * the daily job writes anyway. No stage introduces a shuffle beyond
+    * its standalone twin's; the eval fingerprint artifact and the
+    * source→rate map broadcast.
+    *
+    * Output: [[sequencePack]]'s window-occupancy histogram over the final
+    * training stream — all exact integers. The q283 gate pins the whole
+    * composition against one DuckDB statement built from the SAME shared
+    * CTE constants as the stage gates (q269/q282/q250/q140/q256), and
+    * PipelineSpec pins composition ≡ stage-by-stage dataflow. */
+  def pretrainPipeline(
+      docs: DataFrame,
+      t: Thresholds = Thresholds(),
+      evalMod: Int = 17,
+      alpha: Double = 0.5,
+      ctxTokens: Int = 256,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      sourceCol: String = "source"): DataFrame = {
+    require(evalMod >= 2, s"need evalMod >= 2, got $evalMod")
+    val stats = TextAnalysis.textStats(docs, textCol, idCol)
+    // quality computed ONCE, consumed twice: the gate and the keeper argmax
+    val scored = stats.select(col(idCol),
+      floor(col("quality_score") * 100 + 0.5).cast("long").as("quality_centi"))
+    val qualityPass = docs.join(
+      stats.filter(col("quality_score") >= t.minQuality).select(idCol), Seq(idCol))
+    val exact = Dedup.dedupExact(qualityPass, textCol, idCol).localCheckpoint(true)
+    val keepers = Dedup.dedupClustersKeepBest(
+        Dedup.minhashNearDupPairs(exact, textCol, idCol, minJaccard = t.minJaccard),
+        scored.join(exact.select(idCol), Seq(idCol)), idCol = idCol)
+      .filter(col("is_keeper")).select(idCol)
+    val trainCand = exact.join(keepers, Seq(idCol))
+      .filter(col(idCol) % evalMod =!= 0).localCheckpoint(true)
+    val contaminated = Dedup.winnowingDecontam(
+        trainCand, docs.filter(col(idCol) % evalMod === 0),
+        textCol = textCol, idCol = idCol)
+      .select(idCol)
+    val clean = trainCand.join(contaminated, Seq(idCol), "left_anti")
+      .localCheckpoint(true)
+    sequencePack(temperatureKeep(clean, alpha, sourceCol, idCol),
+      ctxTokens, textCol, idCol)
+  }
+
   /** Length-bucketed batch packing: assign documents to fixed-size training
     * batches in token-length order, so sequences in a batch have similar
     * lengths and padding-to-max waste stays low — the standard "sorted
@@ -268,29 +340,62 @@ object CorpusPrep {
       alpha: Double = 0.5,
       sourceCol: String = "source",
       idCol: String = "doc_id"): DataFrame = {
+    val rates = temperatureRates(docs, alpha, sourceCol)
+    val kept = keepWithRates(docs, rates, sourceCol, idCol)
+      .groupBy(col(sourceCol).as("source")).agg(count(lit(1)).as("n_kept"))
+    rates
+      .join(kept, Seq("source"), "left")
+      .select(col("source"), col("n_docs"), round(col("share"), 6).as("share"),
+        col("rate_bp"), coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+  }
+
+  /** [[temperatureResample]]'s DECISION artifact — the per-source keep
+    * rates alone (basis points, plus the unrounded target share): what a
+    * pipeline stores and what [[temperatureKeep]] gates on. One grouped
+    * count + one broadcast cross of the 1-row totals; the corpus never
+    * shuffles. Output: source, n_docs, share (raw double), rate_bp. */
+  def temperatureRates(
+      docs: DataFrame,
+      alpha: Double = 0.5,
+      sourceCol: String = "source"): DataFrame = {
     require(alpha >= 0.0 && alpha <= 1.0, s"need alpha in [0,1], got $alpha")
     val per = docs.groupBy(col(sourceCol).as("source")).agg(count(lit(1)).as("n_docs"))
     val tot = per.agg(
       sum(col("n_docs")).as("n_total"),
       sum(pow(col("n_docs"), lit(alpha)).cast(DecimalType(28, 12))).cast(DoubleType)
         .as("wsum"))
-    val rates = per.crossJoin(broadcast(tot))
+    per.crossJoin(broadcast(tot))
       .withColumn("share", pow(col("n_docs"), lit(alpha)) / col("wsum"))
       .withColumn("rate",
         least(lit(1.0), col("share") * col("n_total") / col("n_docs")))
       .select(col("source"), col("n_docs"), col("share"),
         floor(col("rate") * 10000).cast(IntegerType).as("rate_bp"))
-    val kept = docs
-      .select(col(sourceCol).as("source"),
-        Sampling.hashBucket(concat(col(idCol).cast(StringType), lit("|tsamp"))).as("bucket"))
-      .join(broadcast(rates.select("source", "rate_bp")), "source")
-      .filter(col("bucket") < col("rate_bp"))
-      .groupBy("source").agg(count(lit(1)).as("n_kept"))
-    rates
-      .join(kept, Seq("source"), "left")
-      .select(col("source"), col("n_docs"), round(col("share"), 6).as("share"),
-        col("rate_bp"), coalesce(col("n_kept"), lit(0L)).as("n_kept"))
   }
+
+  /** The KEPT ROWS under [[temperatureResample]]'s policy — the selection
+    * half as a composable stage (original columns, filtered). Selection is
+    * the same replayable md5 gate the report counts, so
+    * `temperatureKeep(docs).groupBy(source).count` IS the report's
+    * n_kept column. One broadcast rate join + one codegen'd filter. */
+  def temperatureKeep(
+      docs: DataFrame,
+      alpha: Double = 0.5,
+      sourceCol: String = "source",
+      idCol: String = "doc_id"): DataFrame =
+    keepWithRates(docs, temperatureRates(docs, alpha, sourceCol), sourceCol, idCol)
+
+  private def keepWithRates(
+      docs: DataFrame,
+      rates: DataFrame,
+      sourceCol: String,
+      idCol: String): DataFrame =
+    docs
+      .withColumn("__tsamp_bucket",
+        Sampling.hashBucket(concat(col(idCol).cast(StringType), lit("|tsamp"))))
+      .join(broadcast(rates.select(col("source").as(sourceCol), col("rate_bp"))),
+        Seq(sourceCol))
+      .filter(col("__tsamp_bucket") < col("rate_bp"))
+      .drop("__tsamp_bucket", "rate_bp")
 
   /** UniMax-style token-budget allocation (Chung et al. 2023,
     * arXiv:2304.09151): split a training-token budget across sources as
@@ -765,9 +870,13 @@ object CorpusPrep {
     // packing artifact; collect it to a single literal instead (it is a
     // scalar by contract: "token count of everything packed before")
     val off = tokenOffset.map { f =>
-      val rows = f.select(col("tok_offset")).limit(2).collect()
+      // cast first: an IntegerType offset frame must widen, not throw a
+      // ClassCastException at getLong
+      val rows = f.select(col("tok_offset").cast("long")).limit(2).collect()
       require(rows.length == 1, "tokenOffset must be a single-row frame, " +
         s"got ${if (rows.length > 1) "2 or more" else "0"} rows")
+      require(!rows(0).isNullAt(0),
+        "tokenOffset must be a single-row frame with a non-null tok_offset")
       Seq(rows(0).getLong(0)).toDF("tok_offset")
     }.getOrElse(Seq(0L).toDF("tok_offset"))
     cum.crossJoin(broadcast(off))

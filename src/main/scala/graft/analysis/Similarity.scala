@@ -784,6 +784,12 @@ object Similarity {
     val exact = hardNegatives(corpus, k, idCol, vecCol, labelCol)
       .select(col("vec_id"), col("neg_id")).localCheckpoint(true)
     val nExact = exact.count()
+    // an empty exact arm (single-label corpus, no cross-label pairs) would
+    // turn recall_ppm into integer division by zero — silent NULL rows in
+    // Spark's div; fail loudly instead, the curve is meaningless at n=0
+    require(nExact > 0, "hardNegativeRecall: exact arm mined no " +
+      "(anchor, negative) pairs — recall against an empty reference is " +
+      "undefined (does the corpus have at least two labels?)")
     tableCounts.sorted.map { t =>
       val lsh = hardNegativesLsh(corpus, k, targetOccupancy, t,
           idCol, vecCol, labelCol, dim)

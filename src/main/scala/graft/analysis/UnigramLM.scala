@@ -220,30 +220,37 @@ object UnigramLM {
   def unigramTrainFromWords(
       words: DataFrame,
       params: Params = Params()): DataFrame = {
-    val spark = words.sparkSession
-    import spark.implicits._
     val wt = words
       .persist() // consumed once per EM round + the final E-step
-    try {
-      val seed = seedFromWords(wt, params)
-        .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
-      var vocab: Seq[(String, Long)] = seed.sortBy(_._1)
-      var scores = quantize(vocab)
-      (1 to params.emRounds).foreach { _ =>
-        vocab = emCounts(wt, vocab.map(_._1), scores, params).toSeq
-        scores = quantize(vocab)
-      }
-      val (chars, multi) = vocab.partition(_._1.length == 1)
-      val kept = (chars ++ multi.sortBy { case (p, c) => (-c, p) }
-        .take(params.budgetMulti)).sortBy(_._1)
-      scores = quantize(kept)
-      val fin = emCounts(wt, kept.map(_._1), scores, params)
-      val t = fin.map(_._2).sum
-      fin.toSeq
-        .map { case (p, c) => (p, c, ppbOf(c, t)) }
-        .toDF("piece", "cnt", "prob_ppb")
-        .orderBy("piece")
-    } finally { wt.unpersist(); () }
+    try trainOnCachedWords(wt, params)
+    finally { wt.unpersist(); () }
+  }
+
+  /** Trainer core over an ALREADY-persisted word table — persistence is
+    * the caller's (so [[unigramEncode]] can train and then segment off
+    * the SAME cached table without the corpus rescans a nested
+    * persist/unpersist pair would force). */
+  private def trainOnCachedWords(wt: DataFrame, params: Params): DataFrame = {
+    val spark = wt.sparkSession
+    import spark.implicits._
+    val seed = seedFromWords(wt, params)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
+    var vocab: Seq[(String, Long)] = seed.sortBy(_._1)
+    var scores = quantize(vocab)
+    (1 to params.emRounds).foreach { _ =>
+      vocab = emCounts(wt, vocab.map(_._1), scores, params).toSeq
+      scores = quantize(vocab)
+    }
+    val (chars, multi) = vocab.partition(_._1.length == 1)
+    val kept = (chars ++ multi.sortBy { case (p, c) => (-c, p) }
+      .take(params.budgetMulti)).sortBy(_._1)
+    scores = quantize(kept)
+    val fin = emCounts(wt, kept.map(_._1), scores, params)
+    val t = fin.map(_._2).sum
+    fin.toSeq
+      .map { case (p, c) => (p, c, ppbOf(c, t)) }
+      .toDF("piece", "cnt", "prob_ppb")
+      .orderBy("piece")
   }
 
   /** VOCAB-BUDGET curve — [[unigramTrain]]'s budget dial as a measured
@@ -312,9 +319,10 @@ object UnigramLM {
     import spark.implicits._
     val wt = wordTable(docs, params.maxWordLen, textCol).persist()
     try {
-      // retrain (the trainer is cheap relative to the corpus scan; callers
-      // wanting to reuse a vocab can join unigramTrain's artifact instead)
-      val trained = unigramTrain(docs, params, textCol)
+      // retrain off the SAME cached word table the segmentation below
+      // reads — the corpus is scanned exactly once (callers wanting to
+      // reuse a vocab can join unigramTrain's artifact instead)
+      val trained = trainOnCachedWords(wt, params)
         .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
       val k = params.maxPieceLen
       val np = wt.select(col("w")).as[String]

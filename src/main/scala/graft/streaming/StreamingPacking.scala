@@ -36,6 +36,46 @@ object StreamingPacking {
 
   final case class DocSpan(doc_id: Long, n_tok: Long, start: Long)
 
+  /** In-place tandem quicksort of (ids, ns) by id — keeps the batch
+    * buffer primitive (no boxed comparator / tuple allocation). Middle
+    * pivot: ingest batches arrive near-sorted by id, the case a
+    * first-element pivot degrades on. Insertion sort below 32. */
+  private[graft] def sortPairsById(
+      ids: Array[Long], ns: Array[Long], n: Int): Unit = {
+    def swap(i: Int, j: Int): Unit = {
+      val a = ids(i); ids(i) = ids(j); ids(j) = a
+      val b = ns(i); ns(i) = ns(j); ns(j) = b
+    }
+    def insertion(lo: Int, hi: Int): Unit = {
+      var i = lo + 1
+      while (i <= hi) {
+        val ki = ids(i); val vi = ns(i)
+        var j = i - 1
+        while (j >= lo && ids(j) > ki) {
+          ids(j + 1) = ids(j); ns(j + 1) = ns(j); j -= 1
+        }
+        ids(j + 1) = ki; ns(j + 1) = vi
+        i += 1
+      }
+    }
+    def qs(lo0: Int, hi0: Int): Unit = {
+      var lo = lo0; var hi = hi0
+      while (hi - lo >= 32) {
+        val p = ids(lo + (hi - lo) / 2)
+        var i = lo; var j = hi
+        while (i <= j) {
+          while (ids(i) < p) i += 1
+          while (ids(j) > p) j -= 1
+          if (i <= j) { swap(i, j); i += 1; j -= 1 }
+        }
+        // recurse on the smaller half, loop on the larger: O(log n) stack
+        if (j - lo < hi - i) { qs(lo, j); lo = i } else { qs(i, hi); hi = j }
+      }
+      insertion(lo, hi)
+    }
+    if (n > 1) qs(0, n - 1)
+  }
+
   /** Global (doc_id, n_tok, start) span rows off an append-mode document
     * stream, batch rows ordered by doc_id before assignment so replays of
     * the same batch sequence are deterministic.
@@ -74,22 +114,45 @@ object StreamingPacking {
         GroupStateTimeout.NoTimeout())(
         (_, rows, state: GroupState[Long]) => {
           var off = state.getOption.getOrElse(0L)
-          val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+          // PRIMITIVE buffers: two long arrays hold exactly 16 B/pair, so
+          // the maxPairsPerBatch ≈ 1 GiB sizing is real — a boxed
+          // Tuple2[Long, Long] buffer costs ~4× that and can OOM before
+          // the fail-fast guard fires
+          var ids = new Array[Long](1024)
+          var ns = new Array[Long](1024)
+          var len = 0
           rows.foreach { p =>
-            if (buf.length >= maxPairsPerBatch)
+            if (len >= maxPairsPerBatch)
               throw new IllegalStateException(
                 s"spanStream batch exceeds maxPairsPerBatch=$maxPairsPerBatch " +
                   "(doc, token-count) pairs — throttle the source " +
                   "(maxFilesPerTrigger/maxOffsetsPerTrigger) or raise the cap")
-            buf += p
+            if (len == ids.length) {
+              ids = java.util.Arrays.copyOf(ids, ids.length * 2)
+              ns = java.util.Arrays.copyOf(ns, ns.length * 2)
+            }
+            ids(len) = p._1
+            ns(len) = p._2
+            len += 1
           }
-          val out = buf.sortBy(_._1).map { case (id, n) =>
-            val s = off
-            off += n
-            DocSpan(id, n, s)
+          sortPairsById(ids, ns, len)
+          val total = len
+          state.update(off + {
+            var s = 0L; var i = 0
+            while (i < total) { s += ns(i); i += 1 }
+            s
+          })
+          var i = 0
+          var cur = off
+          new Iterator[DocSpan] {
+            def hasNext: Boolean = i < total
+            def next(): DocSpan = {
+              val d = DocSpan(ids(i), ns(i), cur)
+              cur += ns(i)
+              i += 1
+              d
+            }
           }
-          state.update(off)
-          out.iterator
         })
   }
 }

@@ -744,6 +744,47 @@ class DedupSpec extends SparkSpec {
       (5L, 4L, 4200L, false)))
   }
 
+  test("keeper increment law: stored pair artifacts across a corpus/batch boundary ≡ rebuild, incl. the keeper flip") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    def mk(prefix: String, n: Int): String =
+      (1 to n).map(i => s"$prefix$i").mkString(" ")
+    // old corpus: 1 ↔ 2 near-dups (settled yesterday, keeper 2 by
+    // quality); batch: 10 is a near-dup of OLD doc 1 with strictly
+    // higher quality — the stored keeper must flip to 10 in both paths
+    val docs = Seq(
+      (1L, mk("aa", 40)),
+      (2L, mk("aa", 40) + " zz1"),
+      (3L, mk("ba", 40)),
+      (10L, mk("aa", 40) + " zz2 zz3"),
+      (11L, mk("ca", 40))).toDF("doc_id", "text")
+    val scored = Seq(
+      (1L, 5000L), (2L, 6000L), (3L, 4000L), (10L, 9000L), (11L, 4100L)
+    ).toDF("doc_id", "quality_centi")
+    val whole = Dedup.dedupClustersKeepBest(
+        Dedup.minhashNearDupPairs(docs), scored)
+      .collect().map(_.toSeq).toSeq
+    // increment: ids are monotonic across the boundary (max old < min new)
+    val old = docs.filter(col("doc_id") <= 3)
+    val fresh = docs.filter(col("doc_id") >= 10)
+    val cross = Dedup.incrementalNearDupPairs(fresh, old)
+      .select(col("existing_id").as("doc_a"), col("new_id").as("doc_b"))
+    val merged = Dedup.dedupClustersKeepBest(
+        Dedup.minhashNearDupPairs(old).select("doc_a", "doc_b")
+          .unionByName(Dedup.minhashNearDupPairs(fresh).select("doc_a", "doc_b"))
+          .unionByName(cross),
+        scored)
+      .collect().map(_.toSeq).toSeq
+    assert(merged === whole)
+    // the flip actually happened: {1, 2, 10} one cluster, keeper 10
+    val verdicts = whole.map(r => r.head.asInstanceOf[Long] ->
+      (r(1).asInstanceOf[Long], r(3).asInstanceOf[Boolean])).toMap
+    assert(verdicts(1L)._1 === verdicts(2L)._1 &&
+      verdicts(1L)._1 === verdicts(10L)._1)
+    assert(verdicts(10L)._2 && !verdicts(1L)._2 && !verdicts(2L)._2)
+    assert(verdicts(3L)._2 && verdicts(11L)._2) // singletons keep themselves
+  }
+
   test("dedup savings: dup bytes charged to the copy's source, min-id survives") {
     import spark.implicits._
     val docs = Seq(

@@ -174,4 +174,78 @@ class PipelineSpec extends SparkSpec {
     assert(back.count() === 3)
     assert(back.columns.contains("event_date"))
   }
+
+  test("pretrain pipeline capstone: every stage acts on its planted doc, composition ≡ stage-by-stage") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.analysis.{CorpusPrep, Dedup, TextAnalysis}
+    // 38 distinct content words + 2 stopwords → quality 76.00 (length 16
+    // + diversity 40 + stopword-band 20); disjoint prefixes keep the
+    // docs pairwise non-near-dup unless planted
+    def mk(prefix: String, n: Int): String =
+      (1 to n).map(i => s"$prefix$i").mkString(" ") + " the of"
+    val contamPhrase = (1 to 10).map(i => s"p$i").mkString(" ") // ≥ k+w−1=8
+    val docs = Seq(
+      (1L, mk("aa", 38), "web"),              // survivor (exact-dup keeper)
+      (2L, mk("aa", 38), "web"),              // exact dup of 1 → dropped (stage 2)
+      (3L, "x x x x x", "web"),               // quality 10 < 35 → dropped (stage 1)
+      (4L, mk("na", 38), "web"),              // near-dup LOSER: lower quality...
+      (5L, mk("na", 38) + " zz1", "web"),     // ...than 5 (76.40) → 5 keeps (stage 3, NOT min-id)
+      (6L, mk("ca", 28) + " " + contamPhrase, "web"), // shares a 10-token run with eval → dropped (stage 4)
+      (7L, mk("da", 38), "web"),
+      (8L, mk("fa", 38), "web"),
+      (9L, mk("ga", 38), "web"),
+      (10L, mk("ha", 38), "books"),
+      (11L, mk("ja", 38), "books"),
+      (17L, contamPhrase + " " + mk("ea", 20), "web") // the eval slice (17 % 17 = 0)
+    ).toDF("doc_id", "text", "source")
+
+    val out = CorpusPrep.pretrainPipeline(docs, ctxTokens = 8)
+      .collect().map(_.toSeq).toSeq
+
+    // hand-derived ground truth after stages 1–4 (quality gate, exact
+    // dedup, keeper policy, decontam + eval holdout)
+    val cleanIds = Set(1L, 5L, 7L, 8L, 9L, 10L, 11L)
+    val clean = docs.filter(col("doc_id").isin(cleanIds.toSeq: _*))
+
+    // stage-by-stage dataflow must agree with the one-call composition
+    val kept = CorpusPrep.temperatureKeep(clean)
+    val expected = CorpusPrep.sequencePack(kept, ctxTokens = 8)
+      .collect().map(_.toSeq).toSeq
+    assert(out === expected)
+
+    // the keeper-policy stage really flipped min-id: 5 survives, 4 doesn't
+    val stats = TextAnalysis.textStats(docs)
+    val scored = stats.select(col("doc_id"),
+      floor(col("quality_score") * 100 + 0.5).cast("long").as("quality_centi"))
+    val qualityPass = docs.join(
+      stats.filter(col("quality_score") >= 35.0).select("doc_id"), Seq("doc_id"))
+    val exact = Dedup.dedupExact(qualityPass)
+    assert(!exact.collect().map(_.getLong(0)).contains(2L)) // exact loser
+    val verdicts = Dedup.dedupClustersKeepBest(
+        Dedup.minhashNearDupPairs(exact),
+        scored.join(exact.select("doc_id"), Seq("doc_id")))
+      .collect().map(r => (r.getLong(0), r.getBoolean(3))).toMap
+    assert(verdicts(5L) && !verdicts(4L)) // higher QUALITY keeps, not lower id
+    // decontam: 6 flagged against eval doc 17, clean sibling 7 untouched
+    val contam = Dedup.winnowingDecontam(
+        exact.filter(col("doc_id") % 17 =!= 0),
+        docs.filter(col("doc_id") % 17 === 0))
+      .collect().map(_.getLong(0)).toSet
+    assert(contam.contains(6L) && !contam.contains(7L))
+    // mixture: books (small source) caps at 10000 bp — all kept; web
+    // downsamples (rate < 10000), kept count matches the q140 report
+    val report = CorpusPrep.temperatureResample(clean)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getInt(3), r.getLong(4))).toMap
+    assert(report("books")._2 === 10000 && report("books")._3 === 2L)
+    assert(report("web")._2 < 10000)
+    val keptBySource = kept.groupBy("source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(keptBySource.getOrElse("books", 0L) === 2L)
+    assert(keptBySource.getOrElse("web", 0L) === report("web")._3)
+    // histogram sanity: every kept doc starts in exactly one window
+    val nStarts = out.map(r => r(2).asInstanceOf[Long]).sum
+    assert(nStarts === kept.count())
+  }
 }

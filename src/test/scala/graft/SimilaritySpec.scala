@@ -512,6 +512,18 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("hard-negative recall on a single-label corpus fails loudly, not NULL-rows") {
+    import spark.implicits._
+    val emb = Seq(
+      (0L, Array(0.0f, 0.0f), 0L),
+      (1L, Array(0.1f, 0.0f), 0L)).toDF("vec_id", "embedding", "label")
+    val e = intercept[IllegalArgumentException] {
+      graft.analysis.Similarity.hardNegativeRecall(emb, k = 2,
+        tableCounts = Seq(1), targetOccupancy = 16, dim = 2).collect()
+    }
+    assert(e.getMessage.contains("exact arm mined no"))
+  }
+
   test("planted clusters: sign patterns distinct per cluster, separation >> noise, LSH verdicts align") {
     import spark.implicits._
     // deterministic pseudo-noise in [-1, 1] stands in for the embeddings
