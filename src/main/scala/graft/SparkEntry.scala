@@ -1064,6 +1064,17 @@ object SparkEntry {
     "q275_shared_runs" -> { (s, d) =>
       Dedup.sharedRuns(TestData.documents(s, d), spanTokens = 8)
     },
+    // q275's PRODUCTION arm: the per-fingerprint self-join df-bounded at
+    // maxDocsPerSpan (boilerplate spans in more docs than the cap are
+    // excluded — without it the join squares on template-heavy corpora,
+    // Dedup.scala df-bound note). Semantics under the cutoff are biased
+    // LOW by construction (a dropped span only removes run evidence,
+    // never fabricates it — the q32→q71 df-cutoff argument), and the
+    // oracle replicates exactly that: same chain, same HAVING bound
+    "q284_shared_runs_bounded" -> { (s, d) =>
+      Dedup.sharedRuns(TestData.documents(s, d), spanTokens = 8,
+        maxDocsPerSpan = 2)
+    },
     // LAW gate: the freq-weighted distinct-word table is the unigram
     // trainer's COMPLETE sufficient statistic, additive across doc-id
     // shards — training from the merged shard artifacts must equal q271's
@@ -1113,6 +1124,15 @@ object SparkEntry {
     // re-segments the word table — corpus touched once
     "q281_unigram_budget_curve" -> { (s, d) =>
       UnigramLM.unigramBudgetCurve(TestData.documents(s, d))
+    },
+    // TOKENIZER-FAMILY comparison capstone: the trio (BPE q252, WordPiece
+    // q279, unigram q271) trained on the SAME train slice at the SAME
+    // budget (3 multi-char units), evaluated on the SAME holdout —
+    // freq-weighted fertility + whole-word rate per family, the report
+    // tokenizer evaluations actually ship. Holdout word set identical
+    // across families (the unigram-alphabet eligibility contract)
+    "q286_tokenizer_families" -> { (s, d) =>
+      TextAnalysis.tokenizerFamilyComparison(TestData.documents(s, d))
     },
     // QUALITY-KEEPER dedup policy (the FineWeb survivor rule): q31's
     // verified near-dup pairs clustered by connected components, keeper =
@@ -3272,8 +3292,21 @@ object SparkEntry {
     * fingerprints (explicit-element concat, no list slice), the pair
     * self-join, and the q87 gaps-and-islands collapse per (pair,
     * diagonal). Every aggregate BIGINT-cast (the q180 lesson). */
-  private def sharedRunsSql(spanTokens: Int): String = {
+  /** q275's gaps-and-islands run-collapse chain; `maxDocsPerSpan > 0`
+    * inserts the inverted-index df bound between fingerprinting and
+    * pairing (q284's production arm — biased low by construction: a
+    * dropped boilerplate span can only REMOVE pair evidence, splitting or
+    * shortening runs, never fabricating one). ONE constant generates both
+    * gates, so the bounded arm cannot drift from the unbounded one. */
+  private def sharedRunsSql(spanTokens: Int, maxDocsPerSpan: Int = 0): String = {
     val span = (1 to spanTokens).map(o => s"toks[start + $o]").mkString(" || ' ' || ")
+    val pairSrc =
+      if (maxDocsPerSpan <= 0) "f"
+      else {
+        s"""(SELECT f.* FROM f JOIN (
+           |    SELECT span_fp FROM f GROUP BY span_fp
+           |    HAVING count(DISTINCT doc_id) <= $maxDocsPerSpan) d USING (span_fp))""".stripMargin
+      }
     s"""WITH t AS (
        |  SELECT doc_id, list_filter(string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g')), ' '), x -> x <> '') AS toks
        |  FROM documents),
@@ -3287,7 +3320,7 @@ object SparkEntry {
        |pr AS (
        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.start AS sa,
        |    a.start - b.start AS diag
-       |  FROM f a JOIN f b ON a.span_fp = b.span_fp AND a.doc_id < b.doc_id),
+       |  FROM $pairSrc a JOIN $pairSrc b ON a.span_fp = b.span_fp AND a.doc_id < b.doc_id),
        |rn AS (
        |  SELECT doc_a, doc_b, diag, sa,
        |    CASE WHEN lag(sa) OVER wd IS NULL OR sa - lag(sa) OVER wd > 1
@@ -3932,18 +3965,56 @@ object SparkEntry {
     * ending after the last CTE — the ONE constant q252/q255/q260 compose
     * from (no substring surgery: a reformat of any readout can no longer
     * break a sibling oracle). */
-  private def bpeTrainCtes(merges: Int): String =
-    mergeTrainerCtes(merges, r =>
-      s"""b$r AS MATERIALIZED (
-         |  SELECT pair, n_words, total_count,
-         |    string_split(pair, ' ')[1] AS pa, string_split(pair, ' ')[2] AS pb
-         |  FROM p$r ORDER BY total_count DESC, pair LIMIT 1)""".stripMargin)
+  private def bpeArgmax(r: Int): String =
+    s"""b$r AS MATERIALIZED (
+       |  SELECT pair, n_words, total_count,
+       |    string_split(pair, ' ')[1] AS pa, string_split(pair, ' ')[2] AS pb
+       |  FROM p$r ORDER BY total_count DESC, pair LIMIT 1)""".stripMargin
+
+  private def bpeTrainCtes(merges: Int, where: String = ""): String =
+    mergeTrainerCtes(merges, bpeArgmax, where)
+
+  /** One greedy non-overlapping merge APPLICATION round — mark pair
+    * positions against the 1-row argmax CTE `$b`, keep alternating marks
+    * within each mark run, rebuild syms. ONE constant drives both the
+    * trainer rounds (q252/q255/q279) and q286's holdout encode rounds, so
+    * train-side and encode-side merge semantics cannot drift. */
+  private def mergeApplyCtes(
+      b: String, src: String, m: String, g: String, out: String): String =
+    s"""$m AS (
+       |  SELECT w, freq, syms, pa, pb,
+       |    list_transform(range(len(syms) - 1), i ->
+       |      pa IS NOT NULL AND
+       |      syms[CAST(i + 1 AS INT)] = pa AND syms[CAST(i + 2 AS INT)] = pb) AS mt
+       |  FROM $src LEFT JOIN $b ON TRUE),
+       |$g AS (
+       |  SELECT w, freq, syms, pa, pb, mt,
+       |    list_transform(range(len(syms) - 1), i ->
+       |      mt[CAST(i + 1 AS INT)] AND
+       |      (i - 1 - COALESCE(list_max(list_filter(range(i), j ->
+       |        NOT mt[CAST(j + 1 AS INT)])), -1)) % 2 = 0) AS mg
+       |  FROM $m),
+       |$out AS MATERIALIZED (
+       |  SELECT w, freq,
+       |    CASE WHEN len(syms) >= 2 THEN
+       |      list_filter(
+       |        list_transform(range(len(syms)), i ->
+       |          CASE
+       |            WHEN i < len(syms) - 1 AND mg[CAST(i + 1 AS INT)]
+       |              THEN syms[CAST(i + 1 AS INT)] || syms[CAST(i + 2 AS INT)]
+       |            WHEN i > 0 AND COALESCE(mg[CAST(i AS INT)], false) THEN NULL
+       |            ELSE syms[CAST(i + 1 AS INT)]
+       |          END),
+       |        x -> x IS NOT NULL)
+       |    ELSE syms END AS syms
+       |  FROM $g)""".stripMargin
 
   /** The shared merge-trainer round chain (pair counts → caller-supplied
     * argmax CTE b$r → greedy non-overlapping re-segmentation), used by
     * the BPE (raw-count argmax) and WordPiece (likelihood-ratio argmax)
     * oracle generators — the two trainers differ ONLY in b$r. */
-  private def mergeTrainerCtes(merges: Int, argmax: Int => String): String = {
+  private def mergeTrainerCtes(
+      merges: Int, argmax: Int => String, where: String = ""): String = {
     val rounds = (1 to merges).map { r =>
       s"""p$r AS (
          |  SELECT pair, count(*) AS n_words, CAST(sum(freq) AS BIGINT) AS total_count
@@ -3953,35 +4024,9 @@ object SparkEntry {
          |          FROM s${r - 1} WHERE len(syms) >= 2))
          |  GROUP BY 1),
          |${argmax(r)},
-         |m$r AS (
-         |  SELECT w, freq, syms, pa, pb,
-         |    list_transform(range(len(syms) - 1), i ->
-         |      pa IS NOT NULL AND
-         |      syms[CAST(i + 1 AS INT)] = pa AND syms[CAST(i + 2 AS INT)] = pb) AS mt
-         |  FROM s${r - 1} LEFT JOIN b$r ON TRUE),
-         |g$r AS (
-         |  SELECT w, freq, syms, pa, pb, mt,
-         |    list_transform(range(len(syms) - 1), i ->
-         |      mt[CAST(i + 1 AS INT)] AND
-         |      (i - 1 - COALESCE(list_max(list_filter(range(i), j ->
-         |        NOT mt[CAST(j + 1 AS INT)])), -1)) % 2 = 0) AS mg
-         |  FROM m$r),
-         |s$r AS MATERIALIZED (
-         |  SELECT w, freq,
-         |    CASE WHEN len(syms) >= 2 THEN
-         |      list_filter(
-         |        list_transform(range(len(syms)), i ->
-         |          CASE
-         |            WHEN i < len(syms) - 1 AND mg[CAST(i + 1 AS INT)]
-         |              THEN syms[CAST(i + 1 AS INT)] || syms[CAST(i + 2 AS INT)]
-         |            WHEN i > 0 AND COALESCE(mg[CAST(i AS INT)], false) THEN NULL
-         |            ELSE syms[CAST(i + 1 AS INT)]
-         |          END),
-         |        x -> x IS NOT NULL)
-         |    ELSE syms END AS syms
-         |  FROM g$r)""".stripMargin
+         |${mergeApplyCtes(s"b$r", s"s${r - 1}", s"m$r", s"g$r", s"s$r")}""".stripMargin
     }.mkString(",\n")
-    s"WITH ${bpeChainSql(rounds)}"
+    s"WITH ${bpeChainSql(rounds, where)}"
   }
 
   private def bpeTrainSql(merges: Int): String = {
@@ -3999,23 +4044,28 @@ object SparkEntry {
     * maximizing count(ab)/(count(a)·count(b)) as ONE double expression on
     * exact integer inputs (identical bits both engines; exact ties break
     * on pair ASC). The emitted columns are integers only. */
+  private def wordpieceArgmax(r: Int): String =
+    s"""y$r AS MATERIALIZED (
+       |  SELECT sym, CAST(sum(freq) AS BIGINT) AS cnt
+       |  FROM (SELECT freq, unnest(syms) AS sym FROM s${r - 1})
+       |  GROUP BY 1),
+       |b$r AS MATERIALIZED (
+       |  SELECT pair, n_words, total_count, pa, pb,
+       |    ya.cnt AS ca, yb.cnt AS cb
+       |  FROM (
+       |    SELECT pair, n_words, total_count,
+       |      string_split(pair, ' ')[1] AS pa, string_split(pair, ' ')[2] AS pb
+       |    FROM p$r) pp
+       |  JOIN y$r ya ON ya.sym = pp.pa
+       |  JOIN y$r yb ON yb.sym = pp.pb
+       |  ORDER BY CAST(total_count AS DOUBLE) / (CAST(ya.cnt AS DOUBLE) * CAST(yb.cnt AS DOUBLE)) DESC, pair
+       |  LIMIT 1)""".stripMargin
+
+  private def wordpieceTrainCtes(merges: Int, where: String = ""): String =
+    mergeTrainerCtes(merges, wordpieceArgmax, where)
+
   private def wordpieceTrainSql(merges: Int): String = {
-    val ctes = mergeTrainerCtes(merges, r =>
-      s"""y$r AS MATERIALIZED (
-         |  SELECT sym, CAST(sum(freq) AS BIGINT) AS cnt
-         |  FROM (SELECT freq, unnest(syms) AS sym FROM s${r - 1})
-         |  GROUP BY 1),
-         |b$r AS MATERIALIZED (
-         |  SELECT pair, n_words, total_count, pa, pb,
-         |    ya.cnt AS ca, yb.cnt AS cb
-         |  FROM (
-         |    SELECT pair, n_words, total_count,
-         |      string_split(pair, ' ')[1] AS pa, string_split(pair, ' ')[2] AS pb
-         |    FROM p$r) pp
-         |  JOIN y$r ya ON ya.sym = pp.pa
-         |  JOIN y$r yb ON yb.sym = pp.pb
-         |  ORDER BY CAST(total_count AS DOUBLE) / (CAST(ya.cnt AS DOUBLE) * CAST(yb.cnt AS DOUBLE)) DESC, pair
-         |  LIMIT 1)""".stripMargin)
+    val ctes = wordpieceTrainCtes(merges)
     val out = (1 to merges)
       .map(r => s"SELECT CAST($r AS BIGINT) AS round, pair, n_words, " +
         s"total_count, ca AS cnt_a, cb AS cnt_b FROM b$r")
@@ -4027,11 +4077,11 @@ object SparkEntry {
 
   /** The shared training-chain CTEs for q252/q255: doc-keyed tokens, the
     * initial char vocab, and the unrolled merge rounds. */
-  private def bpeChainSql(rounds: String): String =
+  private def bpeChainSql(rounds: String, where: String = ""): String =
     s"""toks AS (
        |  SELECT doc_id,
        |    list_filter(string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g')), ' '), x -> x <> '') AS t
-       |  FROM documents),
+       |  FROM documents$where),
        |s0 AS MATERIALIZED (
        |  SELECT w, count(*) AS freq,
        |    list_transform(range(length(w)), i -> substr(w, CAST(i + 1 AS INT), 1)) AS syms
@@ -4366,7 +4416,8 @@ object SparkEntry {
     * 〈piece, cnt〉; also leaves `wk${idx}_$m` (per-word walk positions)
     * for the encode readout. */
   private def unigramEmRoundCtes(
-      idx: Int, scoreCte: String, vocabCte: String, m: Int, k: Int): String = {
+      idx: Int, scoreCte: String, vocabCte: String, m: Int, k: Int,
+      src: String = "wt"): String = {
     val cells = for { j <- 0 until m; l <- 1 to k; if j + l <= m } yield (j, j + l)
     val pivotCols = cells.map { case (j, i) =>
       s"    max(CASE WHEN j = $j AND i = $i THEN CAST(ppb AS DOUBLE) * 1e-9 END) AS s_${j}_$i"
@@ -4400,9 +4451,9 @@ object SparkEntry {
       s"      CASE WHEN q_$t IS NOT NULL THEN substr(w, q_$t + 1, $prev - q_$t) END"
     }.mkString(",\n")
     s"""ws$idx AS (
-       |  SELECT wt.w, wt.freq, wt.len, g.j, g.j + g.l AS i, rr.ppb
-       |  FROM wt CROSS JOIN grid g JOIN $scoreCte rr ON rr.piece = substr(wt.w, g.j + 1, g.l)
-       |  WHERE g.j + g.l <= wt.len),
+       |  SELECT $src.w, $src.freq, $src.len, g.j, g.j + g.l AS i, rr.ppb
+       |  FROM $src CROSS JOIN grid g JOIN $scoreCte rr ON rr.piece = substr($src.w, g.j + 1, g.l)
+       |  WHERE g.j + g.l <= $src.len),
        |wp$idx AS MATERIALIZED (
        |  SELECT w, any_value(freq) AS freq, any_value(len) AS len,
        |$pivotCols
@@ -4438,8 +4489,9 @@ object SparkEntry {
     * Params(maxWordLen=m, maxPieceLen=k, seedMulti, budgetMulti,
     * emRounds=2) — same quantization, same DP op order, same tie-breaks. */
   private def unigramChainCtes(
-      m: Int, k: Int, seedMulti: Int, budgetMulti: Int): String =
-    s"""${unigramCoreCtes(m, k, seedMulti)},
+      m: Int, k: Int, seedMulti: Int, budgetMulti: Int,
+      where: String = ""): String =
+    s"""${unigramCoreCtes(m, k, seedMulti, where)},
        |v3 AS MATERIALIZED (
        |  SELECT piece, cnt FROM c2 WHERE length(piece) = 1
        |  UNION ALL
@@ -4453,13 +4505,14 @@ object SparkEntry {
     * rounds, ending at the round-2 counts `c2`) — shared by the q271/q272
     * chain (which appends ONE prune) and the q281 budget curve (which
     * appends one prune + E-step PER budget point). */
-  private def unigramCoreCtes(m: Int, k: Int, seedMulti: Int): String = {
+  private def unigramCoreCtes(
+      m: Int, k: Int, seedMulti: Int, where: String = ""): String = {
     val js = (0 until m).map(j => s"($j)").mkString(", ")
     val ls = (1 to k).map(l => s"($l)").mkString(", ")
     s"""WITH toks AS (
        |  SELECT doc_id,
        |    list_filter(string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g')), ' '), x -> x <> '') AS t
-       |  FROM documents),
+       |  FROM documents$where),
        |wt AS MATERIALIZED (
        |  SELECT w, CAST(count(*) AS BIGINT) AS freq, CAST(length(w) AS INT) AS len
        |  FROM (SELECT unnest(t) AS w FROM toks)
@@ -4561,6 +4614,94 @@ object SparkEntry {
        |FROM (SELECT doc_id FROM documents) d
        |LEFT JOIN enc ON enc.doc_id = d.doc_id
        |ORDER BY d.doc_id""".stripMargin
+  }
+
+  /** q286's oracle — the tokenizer-family comparison: each family arm is
+    * its own SCOPED WITH (DuckDB CTEs in parenthesized union arms), built
+    * from the SAME trainer chains as the stage gates (bpeTrainCtes /
+    * wordpieceTrainCtes / unigramChainCtes, where-filtered to the train
+    * slice) plus a holdout encode: BPE/WordPiece re-apply the learned
+    * b1..bR argmax rows to the holdout word table through the SHARED
+    * mergeApplyCtes rounds; unigram runs one more unigramEmRoundCtes DP
+    * over the holdout word table against the trained r4 scores. The
+    * holdout word set is identical across arms: words of eval-slice docs
+    * whose every char appears in a TRAINABLE (≤ maxWordLen) train word —
+    * the unigram alphabet, the binding constraint. */
+  private def tokenizerFamiliesSql(
+      budget: Int, evalMod: Int, m: Int, k: Int, seedMulti: Int): String = {
+    val trainWhere = s" WHERE doc_id % $evalMod <> 0"
+    def holdoutCtes(alphaSrc: String): String =
+      s"""toksh AS (
+         |  SELECT doc_id,
+         |    list_filter(string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g')), ' '), x -> x <> '') AS t
+         |  FROM documents WHERE doc_id % $evalMod = 0),
+         |hw0 AS (
+         |  SELECT w, CAST(count(*) AS BIGINT) AS freq
+         |  FROM (SELECT unnest(t) AS w FROM toksh) GROUP BY 1),
+         |alph AS ($alphaSrc),
+         |hwbad AS (
+         |  SELECT DISTINCT w FROM (
+         |    SELECT w, substr(w, CAST(i + 1 AS INT), 1) AS ch
+         |    FROM (SELECT w, unnest(range(length(w))) AS i FROM hw0))
+         |  WHERE ch NOT IN (SELECT ch FROM alph)),
+         |hw AS MATERIALIZED (
+         |  SELECT w, freq FROM hw0 WHERE w NOT IN (SELECT w FROM hwbad))""".stripMargin
+    def readout(fam: String, segSrc: String): String =
+      s"""agg AS (
+         |  SELECT CAST(COALESCE(sum(freq), 0) AS BIGINT) AS n_words,
+         |    CAST(COALESCE(sum(freq * np), 0) AS BIGINT) AS n_pieces,
+         |    CAST(COALESCE(sum(CASE WHEN np = 1 THEN freq ELSE 0 END), 0) AS BIGINT) AS n_whole
+         |  FROM $segSrc)
+         |SELECT '$fam' AS family, n_words, n_pieces,
+         |  CASE WHEN n_words > 0
+         |    THEN (n_pieces * 2000000 + n_words) // (2 * n_words) END AS fertility_ppm,
+         |  CASE WHEN n_words > 0
+         |    THEN (n_whole * 2000000 + n_words) // (2 * n_words) END AS whole_word_ppm
+         |FROM agg""".stripMargin
+    // BPE / WordPiece arms: the trained b1..bR rows re-applied to the
+    // holdout char splits through the shared apply rounds
+    def mergeArm(fam: String, chain: String): String = {
+      val applies = (1 to budget)
+        .map(r => mergeApplyCtes(s"b$r", s"sa${r - 1}", s"ma$r", s"ga$r", s"sa$r"))
+        .mkString(",\n")
+      s"""($chain,
+         |${holdoutCtes(s"SELECT DISTINCT unnest(syms) AS ch FROM s0 WHERE length(w) <= $m")},
+         |sa0 AS (
+         |  SELECT w, freq,
+         |    list_transform(range(length(w)), i -> substr(w, CAST(i + 1 AS INT), 1)) AS syms
+         |  FROM hw),
+         |$applies,
+         |seg AS (SELECT w, freq, CAST(len(syms) AS BIGINT) AS np FROM sa$budget),
+         |${readout(fam, "seg")})""".stripMargin
+    }
+    val npSum = (1 to m)
+      .map(t => s"(CASE WHEN q_$t IS NOT NULL THEN 1 ELSE 0 END)")
+      .mkString(" + ")
+    val unigramArm =
+      s"""(${unigramChainCtes(m, k, seedMulti, budget, trainWhere)},
+         |r4 AS MATERIALIZED (
+         |  SELECT piece,
+         |    CAST((2 * cnt * 1000000000 + tt) // (2 * tt) AS BIGINT) AS ppb
+         |  FROM c3 CROSS JOIN (SELECT CAST(sum(cnt) AS BIGINT) AS tt FROM c3) tf),
+         |${holdoutCtes("SELECT piece AS ch FROM v0 WHERE length(piece) = 1")},
+         |hwt AS MATERIALIZED (
+         |  SELECT w, freq, CAST(length(w) AS INT) AS len FROM hw
+         |  WHERE length(w) <= $m),
+         |${unigramEmRoundCtes(5, "r4", "v3", m, k, src = "hwt")},
+         |np AS MATERIALIZED (
+         |  SELECT w, CAST($npSum AS BIGINT) AS np FROM wk5_$m),
+         |seg AS (
+         |  SELECT hw.w, hw.freq,
+         |    COALESCE(np.np, CAST(length(hw.w) AS BIGINT)) AS np
+         |  FROM hw LEFT JOIN np ON np.w = hw.w),
+         |${readout("unigram", "seg")})""".stripMargin
+    s"""SELECT * FROM (
+       |${mergeArm("bpe", bpeTrainCtes(budget, trainWhere))}
+       |UNION ALL
+       |$unigramArm
+       |UNION ALL
+       |${mergeArm("wordpiece", wordpieceTrainCtes(budget, trainWhere))}
+       |) ORDER BY family""".stripMargin
   }
 
   /** Shared SQL fragments for the multi-table LSH LOF oracles (q253/q254):
@@ -8469,6 +8610,9 @@ object SparkEntry {
         src = "pe", pre = plantedEmbeddingsCte(blockDims = 8)),
     // per dup pair: gaps-and-islands run collapse along (pair, diagonal)
     "q275_shared_runs" -> sharedRunsSql(spanTokens = 8),
+    // the same chain with the df bound ACTIVE (HAVING distinct-doc count
+    // <= cap before pairing) — biased-low semantics replicated verbatim
+    "q284_shared_runs_bounded" -> sharedRunsSql(spanTokens = 8, maxDocsPerSpan = 2),
     // the increment must equal the whole-corpus rebuild — q271's SQL
     "q276_unigram_model_increment" ->
       unigramTrainSql(m = 10, k = 4, seedMulti = 48, budgetMulti = 24),
@@ -8485,6 +8629,10 @@ object SparkEntry {
     // shared core to c2, per-budget prune + one more unrolled DP round
     "q281_unigram_budget_curve" ->
       unigramBudgetCurveSql(m = 10, k = 4, seedMulti = 48, budgets = Seq(4, 12, 24)),
+    // three scoped family arms sharing the stage-gate trainer chains
+    // (train-slice filtered) + holdout encodes off the shared constants
+    "q286_tokenizer_families" ->
+      tokenizerFamiliesSql(budget = 3, evalMod = 17, m = 10, k = 4, seedMulti = 48),
     // q31's pair chain + q20's quality (centi-quantized) + q72's
     // recursive components, keeper by (quality desc, id asc)
     "q282_dedup_keep_best" -> dedupKeepBestSql,

@@ -797,6 +797,72 @@ object TextAnalysis {
     * occurrences — constant down the curve by construction), n_bpe_tokens
     * (frequency-weighted symbols under s_m), fertility_ppm (round-half-up
     * BPE tokens per word). */
+  /** TOKENIZER-FAMILY comparison — the report real tokenizer evaluations
+    * ship: the trio (BPE q252, WordPiece q279, unigram-LM q271) trained
+    * on the SAME train slice at the SAME budget (`budget` multi-char
+    * units each: merges for the merge trainers, budgetMulti for unigram),
+    * then evaluated on the SAME held-out slice (doc_id % evalMod = 0):
+    * freq-weighted fertility (pieces per word, round-half-up ppm) and the
+    * whole-word rate (occurrences encoding to a single piece).
+    *
+    * Comparability contract: the holdout word set is identical across
+    * families — words whose every character appears in a TRAINABLE
+    * (≤ maxWordLen) train word, i.e. the unigram trainer's alphabet, the
+    * binding constraint (the merge trainers can char-split anything).
+    * Unigram over-length words char-fallback per its encoder contract —
+    * a REAL family asymmetry the report is meant to surface.
+    *
+    * Scale shape: three vocabulary-sized trainer runs over the train
+    * slice (each already decade-measured: q252/q279/q271), one holdout
+    * word count, and three vocabulary-sized segmentation joins — the
+    * holdout corpus is scanned once. Output per family: family, n_words,
+    * n_pieces, fertility_ppm, whole_word_ppm. */
+  def tokenizerFamilyComparison(
+      docs: DataFrame,
+      budget: Int = 3,
+      evalMod: Int = 17,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    require(budget >= 1 && evalMod >= 2,
+      s"need budget >= 1 and evalMod >= 2, got $budget/$evalMod")
+    val train = docs.filter(col(idCol) % evalMod =!= 0)
+    val hold = docs.filter(col(idCol) % evalMod === 0)
+    val uniParams = UnigramLM.Params(budgetMulti = budget)
+    val uniModel = UnigramLM.unigramTrain(train, uniParams, textCol)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    val alphabet = uniModel.keysIterator.filter(_.length == 1).toSeq.sorted
+    val hw = hold
+      .select(explode(array_remove(tokens(col(textCol)), "")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+      .filter(forall(split(col("w"), ""),
+        c => c === lit("") || c.isin(alphabet: _*)))
+      .persist()
+    try {
+      val bpeMerges = bpeTrain(train, budget, textCol)
+        .collect().map(_.getString(1)).toSeq
+      val wpMerges = wordpieceTrain(train, budget, textCol)
+        .collect().map(_.getString(1)).toSeq
+      def readout(name: String, seg: DataFrame): DataFrame =
+        hw.join(broadcast(seg), Seq("w"))
+          .agg(coalesce(sum("freq"), lit(0L)).as("n_words"),
+            coalesce(sum(col("freq") * col("np")), lit(0L)).as("n_pieces"),
+            coalesce(sum(when(col("np") === 1, col("freq")).otherwise(lit(0L))),
+              lit(0L)).as("n_whole"))
+          .select(lit(name).as("family"), col("n_words"), col("n_pieces"),
+            when(col("n_words") > 0,
+              expr("(n_pieces * 2000000 + n_words) div (2 * n_words)"))
+              .as("fertility_ppm"),
+            when(col("n_words") > 0,
+              expr("(n_whole * 2000000 + n_words) div (2 * n_words)"))
+              .as("whole_word_ppm"))
+      readout("bpe", bpeSegmentCounts(hw, bpeMerges))
+        .unionByName(readout("unigram",
+          UnigramLM.segmentWordCounts(hw, uniModel, uniParams)))
+        .unionByName(readout("wordpiece", bpeSegmentCounts(hw, wpMerges)))
+        .orderBy("family")
+    } finally { hw.unpersist(); () }
+  }
+
   def bpeCompressionCurve(
       docs: DataFrame, merges: Int = 3,
       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
@@ -832,23 +898,32 @@ object TextAnalysis {
     * fertility_ppm (round-half-up BPE tokens per word; null for empty
     * docs) — the trained-tokenizer upgrade of q189's heuristic
     * fertility. */
-  def bpeEncode(
-      docs: DataFrame, merges: Seq[String],
-      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+  /** Per-DISTINCT-word segmentation length under a trained merge list —
+    * [[bpeEncode]]'s vocabulary-sized core, exposed so readouts over a
+    * DIFFERENT corpus slice (q286's holdout) run the identical sequential
+    * merge fold. Input: any frame with a `w` column; output 〈w, np〉. */
+  def bpeSegmentCounts(words: DataFrame, merges: Seq[String]): DataFrame = {
     val pairs = merges.map { m =>
       val Array(a, b) = m.split(" ", 2)
       (a, b)
     }
+    pairs.foldLeft(
+        words.select("w").distinct()
+          .withColumn("syms", split(col("w"), ""))) {
+        case (df, (a, b)) => df.withColumn("syms", bpeMergeOnce(col("syms"), a, b))
+      }
+      .select(col("w"), size(col("syms")).cast("long").as("np"))
+  }
+
+  def bpeEncode(
+      docs: DataFrame, merges: Seq[String],
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     val tok = docs
       .select(col(idCol), explode(tokens(col(textCol))).as("w"))
       .filter(col("w") =!= "")
     val perDocWord = tok.groupBy(idCol, "w").agg(count(lit(1)).as("c"))
-    val seg = pairs.foldLeft(
-        tok.select("w").distinct()
-          .withColumn("syms", split(col("w"), ""))) {
-        case (df, (a, b)) => df.withColumn("syms", bpeMergeOnce(col("syms"), a, b))
-      }
-      .select(col("w"), size(col("syms")).cast("long").as("n_syms"))
+    val seg = bpeSegmentCounts(tok, merges)
+      .withColumnRenamed("np", "n_syms")
     val perDoc = perDocWord.join(broadcast(seg), "w")
       .groupBy(idCol)
       .agg(sum("c").as("n_words"),

@@ -302,6 +302,27 @@ object UnigramLM {
     } finally { wt.unpersist(); () }
   }
 
+  /** Per-DISTINCT-word piece counts under a TRAINED model over an
+    * arbitrary word frame (column `w`) — the encoder's vocabulary-sized
+    * core over a caller-chosen slice (q286's holdout). Over-length words
+    * char-fallback (np = length), the trainer-cap escape hatch; words
+    * containing characters OUTSIDE the model's alphabet are the caller's
+    * contract to exclude ([[viterbiPieces]] requires segmentability).
+    * Output: 〈w, np〉. */
+  def segmentWordCounts(
+      words: DataFrame,
+      model: collection.Map[String, Long],
+      params: Params = Params()): DataFrame = {
+    val spark = words.sparkSession
+    import spark.implicits._
+    val k = params.maxPieceLen
+    val m = params.maxWordLen
+    words.select(col("w")).distinct().as[String]
+      .map(w => (w, if (w.length > m) w.length.toLong
+        else viterbiPieces(w, model, k).length.toLong))
+      .toDF("w", "np")
+  }
+
   /** Encode the corpus with a trained vocabulary: per-document word and
     * subword-token counts plus round-half-up fertility ppm (the q255
     * readout shape). Words longer than `maxWordLen` char-fallback

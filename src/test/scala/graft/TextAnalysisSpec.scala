@@ -810,4 +810,45 @@ class TextAnalysisSpec extends SparkSpec {
       (2L, 2L, 1000000L), (3L, 2L, 1000000L)))
   }
 
+  test("tokenizer families provably differ: BPE's count argmax vs WordPiece's ratio argmax on one corpus") {
+    import spark.implicits._
+    // pair (a,b) is the most FREQUENT (6 > 5 > 3) but a and b are common
+    // symbols (ratio 6/256); (q,z) is rarer but EXCLUSIVE (ratio 3/9) —
+    // so at budget 1 BPE merges "a b" while WordPiece merges "q z"
+    val train = "ab ab ab ab ab ab ac ac ac ac ac ad ad ad ad ad " +
+      "bc bc bc bc bc bd bd bd bd bd qz qz qz"
+    // asymmetric holdout (id 17 -> the eval slice): 3x ab + 1x qz
+    val docs = Seq((1L, train), (17L, "ab ab ab qz")).toDF("doc_id", "text")
+    val bpe = graft.analysis.TextAnalysis.bpeTrain(
+      docs.filter($"doc_id" === 1L), merges = 1).collect()
+    assert(bpe.head.getString(1) === "a b")
+    val wp = graft.analysis.TextAnalysis.wordpieceTrain(
+      docs.filter($"doc_id" === 1L), merges = 1).collect()
+    assert(wp.head.getString(1) === "q z")
+    val out = graft.analysis.TextAnalysis
+      .tokenizerFamilyComparison(docs, budget = 1)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // BPE: ab->1 piece, qz->2 -> 5 pieces / 4 words; WP mirrored: 7 / 4
+    assert(out("bpe") === ((4L, 5L, 1250000L, 750000L)))
+    assert(out("wordpiece") === ((4L, 7L, 1750000L, 250000L)))
+    // unigram at budget 1 keeps the highest-usage multi piece ("ab",
+    // round-2 usage 6 beats 5 and 3) -> same segmentation as BPE here
+    assert(out("unigram") === ((4L, 5L, 1250000L, 750000L)))
+  }
+
+  test("tokenizer family report: holdout words with train-unseen chars are excluded from every arm") {
+    import spark.implicits._
+    // 'x' never appears in the train slice; the word "qx" must drop from
+    // the shared holdout set of ALL families (the eligibility contract),
+    // leaving only "ab"
+    val docs = Seq(
+      (1L, "ab ab ab ab ac ac bc bc"),
+      (17L, "ab qx")).toDF("doc_id", "text")
+    val out = graft.analysis.TextAnalysis
+      .tokenizerFamilyComparison(docs, budget = 1)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out === Map("bpe" -> 1L, "unigram" -> 1L, "wordpiece" -> 1L))
+  }
+
 }
