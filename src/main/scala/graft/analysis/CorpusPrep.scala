@@ -175,7 +175,23 @@ object CorpusPrep {
       ctxTokens: Int = 256,
       textCol: String = "text",
       idCol: String = "doc_id",
-      sourceCol: String = "source"): DataFrame = {
+      sourceCol: String = "source"): DataFrame =
+    sequencePack(
+      temperatureKeep(pretrainClean(docs, t, evalMod, textCol, idCol),
+        alpha, sourceCol, idCol),
+      ctxTokens, textCol, idCol)
+
+  /** Stages 1–4 of [[pretrainPipeline]] — the CLEAN training corpus
+    * (quality gate → exact dedup → keeper-policy near-dup clusters →
+    * winnowing decontamination + eval holdout), before mixture and
+    * packing. Exposed so the margin spec can measure the mixture stage's
+    * basis-point boundaries over exactly this frame. */
+  def pretrainClean(
+      docs: DataFrame,
+      t: Thresholds = Thresholds(),
+      evalMod: Int = 17,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
     require(evalMod >= 2, s"need evalMod >= 2, got $evalMod")
     val stats = TextAnalysis.textStats(docs, textCol, idCol)
     // quality computed ONCE, consumed twice: the gate and the keeper argmax
@@ -194,10 +210,8 @@ object CorpusPrep {
         trainCand, docs.filter(col(idCol) % evalMod === 0),
         textCol = textCol, idCol = idCol)
       .select(idCol)
-    val clean = trainCand.join(contaminated, Seq(idCol), "left_anti")
+    trainCand.join(contaminated, Seq(idCol), "left_anti")
       .localCheckpoint(true)
-    sequencePack(temperatureKeep(clean, alpha, sourceCol, idCol),
-      ctxTokens, textCol, idCol)
   }
 
   /** Length-bucketed batch packing: assign documents to fixed-size training
@@ -368,7 +382,9 @@ object CorpusPrep {
       .withColumn("share", pow(col("n_docs"), lit(alpha)) / col("wsum"))
       .withColumn("rate",
         least(lit(1.0), col("share") * col("n_total") / col("n_docs")))
-      .select(col("source"), col("n_docs"), col("share"),
+      // raw `rate` stays in the artifact so GateMarginSpec can measure
+      // its distance to the basis-point floor boundary on the gate corpus
+      .select(col("source"), col("n_docs"), col("share"), col("rate"),
         floor(col("rate") * 10000).cast(IntegerType).as("rate_bp"))
   }
 

@@ -68,4 +68,32 @@ class GateMarginSpec extends SparkSpec {
         "(cross-build ulp drift could flip the hashed digit): " +
         misses.mkString("; "))
   }
+
+  test("mixture keep rates (q140/q283): every unsaturated rate sits off its basis-point floor boundary") {
+    // q283 hides the temperature mixture's pow-derived rate inside an
+    // all-integer output (the q180 INT-FROM-FLOAT shape):
+    // floor(rate * 10000) is the one float→int decision a cross-build
+    // pow() ulp could flip. This spec pins the GATE corpus off that
+    // boundary, for both frames the mixture runs on: the raw corpus
+    // (q140) and q283's decontaminated clean corpus. Saturated sources
+    // (rate = the exact double literal 1.0 via least) need no margin —
+    // identical bits by construction.
+    import graft.analysis.CorpusPrep
+    val docs = graft.adapters.TestData.documents(spark, GateData.dir)
+    def minMargin(frame: org.apache.spark.sql.DataFrame): Option[Double] = {
+      val v = col("rate") * lit(10000.0)
+      val f = v - floor(v).cast("double")
+      val d = CorpusPrep.temperatureRates(frame)
+        .filter(col("rate") < 1.0)
+        .agg(min(least(f, lit(1.0) - f)).as("d"))
+        .collect().head
+      if (d.isNullAt(0)) None else Some(d.getDouble(0))
+    }
+    minMargin(docs).foreach(m => assert(m > 1e-6,
+      s"a q140 keep rate sits $m bp-units from its floor boundary — " +
+        "cross-build pow drift could flip rate_bp"))
+    minMargin(CorpusPrep.pretrainClean(docs)).foreach(m => assert(m > 1e-6,
+      s"a q283 clean-corpus keep rate sits $m bp-units from its floor " +
+        "boundary — cross-build pow drift could flip rate_bp"))
+  }
 }

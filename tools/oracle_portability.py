@@ -80,6 +80,14 @@ MARGIN_SPEC_PINNED = {
     "q56_doc_pagerank": "PagerankMarginSpec",
     "q81_pagerank_weighted": "PagerankMarginSpec",
     "q233_hits": "PagerankMarginSpec",
+    # the capstone's one genuinely build-sensitive float->int decision is
+    # the mixture stage's floor(rate*10000) (pow-derived rate); the spec
+    # measures it over BOTH mixture frames (raw corpus and q283's clean
+    # corpus). The other float stages inherit green arguments: quality
+    # centi (q282's 2dp round-trip), quality gate / jaccard compares on
+    # singly-computed IEEE ratios (q41/q31's chains), winnowing/packing
+    # pure integer.
+    "q283_pretrain_pipeline": "GateMarginSpec (mixture rate boundary)",
 }
 
 # All-integer gate queries whose float stage is DETERMINISTIC IEEE on
@@ -161,6 +169,10 @@ EXACT_IEEE = {
         "argument — a value with <=2 decimal digits recovers its integer "
         "representation bit-for-bit on any IEEE engine); clusters/ranks "
         "downstream are pure integer, pair feed is q31's green chain",
+    "q285_keep_best_increment": "q282's oracle and argument VERBATIM "
+        "(the increment law's whole contract is reproducing that "
+        "rebuild): quality centi round-trip exact, clusters/ranks pure "
+        "integer, pair feed q31's green chain",
     "q278_hard_negatives_lsh": "q254's bucket argument (sums of exact "
         "sign comparisons, integer bit-length widths) feeding q277's "
         "quantize-once distance + integer rank tail",
