@@ -1159,6 +1159,21 @@ object SparkEntry {
     "q283_pretrain_pipeline" -> { (s, d) =>
       CorpusPrep.pretrainPipeline(TestData.documents(s, d))
     },
+    // LAW gate: the INCREMENTAL capstone — the daily-ingest form of q283
+    // from stored artifacts (exact corpus + fingerprints + sketch + pairs
+    // + quality scores + per-doc winnowing fps), only the batch touched
+    // by any text stage; keeper/mixture/packing readouts recompute from
+    // artifacts (corpus-GLOBAL by construction — a batch member can flip
+    // a stored keeper, rates move with every ingest, concat order is
+    // global). Must equal q283's whole-corpus rebuild under monotonic
+    // ingest ids (oracle IS q283's SQL)
+    "q287_pretrain_pipeline_increment" -> { (s, d) =>
+      val docs = TestData.documents(s, d)
+      val half = docs.agg(max("doc_id")).head.getLong(0) / 2
+      CorpusPrep.pretrainPipelineIncrement(
+        CorpusPrep.pretrainArtifacts(docs.filter(col("doc_id") <= half)),
+        docs.filter(col("doc_id") > half))
+    },
     // LAW gate: the q282 keeper policy on a daily-ingest split — pairs
     // from stored artifacts (old-batch pairs ∪ new-batch pairs ∪ the
     // cross band join against the stored sketch, the q78/q118 machinery)
@@ -9976,6 +9991,9 @@ object SparkEntry {
     // decontam + temperature mixture + packing tail, every stage a
     // shared named constant
     "q283_pretrain_pipeline" -> pretrainPipelineSql(ctx = 256),
+    // LAW gate: the artifact-fed increment must reproduce the whole-
+    // corpus capstone rebuild — the oracle IS q283's SQL
+    "q287_pretrain_pipeline_increment" -> pretrainPipelineSql(ctx = 256),
     // q259's chain feeding q266's bootstrap chain — metric + uncertainty
     "q270_rouge_bootstrap" -> rougeBootstrapSql,
     // the unigram trainer unrolled: seed substring counts, 2 Viterbi-EM

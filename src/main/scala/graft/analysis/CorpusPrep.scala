@@ -214,6 +214,139 @@ object CorpusPrep {
       .localCheckpoint(true)
   }
 
+  /** One batch run's COMPLETE artifact set for [[pretrainPipelineIncrement]]
+    * — every frame a materialized layer the daily job writes anyway:
+    * the post-quality post-exact corpus, its text fingerprints (known-dup
+    * anti-join), its minhash sketch (cross band join), its verified
+    * near-dup pairs (settled once, never re-sketched), its quality
+    * centi-scores (the keeper argmax input), its per-doc winnowing
+    * fingerprints (union-mergeable, the q249 law), and the eval slice's
+    * winnowing fingerprints. */
+  final case class PretrainArtifacts(
+      exactDocs: DataFrame,
+      fingerprints: DataFrame,
+      sketch: DataFrame,
+      pairs: DataFrame,
+      scored: DataFrame,
+      winnowFps: DataFrame,
+      evalFps: DataFrame)
+
+  /** Build [[PretrainArtifacts]] from a corpus — what yesterday's batch
+    * run materializes. One quality pass, one exact-dedup window, one
+    * sketch (localCheckpoint: consumed by the pair join today AND stored
+    * for tomorrow's cross join), one pair join, one winnowing pass. */
+  def pretrainArtifacts(
+      docs: DataFrame,
+      t: Thresholds = Thresholds(),
+      evalMod: Int = 17,
+      textCol: String = "text",
+      idCol: String = "doc_id"): PretrainArtifacts = {
+    require(evalMod >= 2, s"need evalMod >= 2, got $evalMod")
+    val stats = TextAnalysis.textStats(docs, textCol, idCol)
+    val scored = stats.select(col(idCol),
+      floor(col("quality_score") * 100 + 0.5).cast("long").as("quality_centi"))
+    val qualityPass = docs.join(
+      stats.filter(col("quality_score") >= t.minQuality).select(idCol), Seq(idCol))
+    val exact = Dedup.dedupExact(qualityPass, textCol, idCol).localCheckpoint(true)
+    val sketch = Dedup.sketchDocs(exact, textCol, idCol).localCheckpoint(true)
+    PretrainArtifacts(
+      exactDocs = exact,
+      fingerprints = exact
+        .select(TextAnalysis.fingerprint(col(textCol)).as("fingerprint"))
+        .distinct(),
+      sketch = sketch,
+      pairs = Dedup.minhashNearDupPairs(exact, textCol, idCol,
+          minJaccard = t.minJaccard)
+        .select("doc_a", "doc_b"),
+      scored = scored.join(exact.select(idCol), Seq(idCol)),
+      winnowFps = Dedup.winnowingFingerprints(exact, textCol = textCol,
+        idCol = idCol),
+      evalFps = Dedup.winnowingFingerprints(
+        docs.filter(col(idCol) % evalMod === 0), textCol = textCol,
+        idCol = idCol))
+  }
+
+  /** INCREMENTAL [[pretrainPipeline]] — the shape the daily job actually
+    * runs. Only the NEW batch is scored, deduped, sketched, and
+    * fingerprinted (cost ∝ |batch| for every text-touching stage); the
+    * corpus-global readouts that CANNOT be incremental by construction —
+    * the keeper argmax (a batch member can flip a stored cluster's
+    * keeper), the mixture rates (per-source shares move with every
+    * ingest), and the packing offsets (concat order is global) — are
+    * recomputed from the merged ARTIFACTS, never from old text: the
+    * keeper pass reads pairs+scores, decontamination probes stored
+    * per-doc fingerprints, and mixture/packing scan id/source/token
+    * metadata of survivors.
+    *
+    * LAW (the q287 gate, oracle IS q283's SQL): under monotonic ingest
+    * ids (every batch id exceeds every stored id — the q118/q285
+    * precondition), this equals `pretrainPipeline(old ∪ new)` exactly.
+    * Stage by stage: quality is per-doc; exact dedup's union window ≡
+    * within-batch dedup + known-fingerprint anti-join (q118); the pair
+    * set splits old–old (stored) / old–new (cross band join, old id
+    * always doc_a) / new–new (q285); keeper verdicts are a pure function
+    * of (pairs, scores); winnowing fingerprints are per-doc (q249's
+    * union law) and the df bound recomputes over the CURRENT train-
+    * candidate set on both paths; the mixture gate is a pure function of
+    * (doc_id, per-source counts of the clean corpus); packing of the
+    * kept stream is order-defined by id. */
+  def pretrainPipelineIncrement(
+      a: PretrainArtifacts,
+      newDocs: DataFrame,
+      t: Thresholds = Thresholds(),
+      evalMod: Int = 17,
+      alpha: Double = 0.5,
+      ctxTokens: Int = 256,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      sourceCol: String = "source"): DataFrame = {
+    require(evalMod >= 2, s"need evalMod >= 2, got $evalMod")
+    val stats = TextAnalysis.textStats(newDocs, textCol, idCol)
+    val newScored = stats.select(col(idCol),
+      floor(col("quality_score") * 100 + 0.5).cast("long").as("quality_centi"))
+    val newQuality = newDocs.join(
+      stats.filter(col("quality_score") >= t.minQuality).select(idCol), Seq(idCol))
+    // within-batch exact dedup + the known-fingerprint anti-join (q118)
+    val newExact = Dedup.dedupExact(newQuality, textCol, idCol)
+      .withColumn("__fp", TextAnalysis.fingerprint(col(textCol)))
+      .join(a.fingerprints.withColumnRenamed("fingerprint", "__fp"),
+        Seq("__fp"), "left_anti")
+      .drop("__fp")
+      .localCheckpoint(true)
+    val crossPairs = Dedup
+      .incrementalNearDupPairsAgainstSketch(newExact, a.sketch,
+        textCol, idCol, minJaccard = t.minJaccard)
+      .select(col("existing_id").as("doc_a"), col("new_id").as("doc_b"))
+    val pairs = a.pairs
+      .unionByName(Dedup.minhashNearDupPairs(newExact, textCol, idCol,
+          minJaccard = t.minJaccard)
+        .select("doc_a", "doc_b"))
+      .unionByName(crossPairs)
+    val exactAll = a.exactDocs.unionByName(newExact)
+    val keepers = Dedup.dedupClustersKeepBest(pairs,
+        a.scored.unionByName(newScored.join(newExact.select(idCol), Seq(idCol))),
+        idCol = idCol)
+      .filter(col("is_keeper")).select(idCol)
+    val trainCand = exactAll.join(keepers, Seq(idCol))
+      .filter(col(idCol) % evalMod =!= 0).localCheckpoint(true)
+    // per-doc fingerprint artifacts merge by union (q249); the new batch
+    // fingerprints only itself
+    val trainFps = a.winnowFps
+      .unionByName(Dedup.winnowingFingerprints(newExact, textCol = textCol,
+        idCol = idCol))
+      .join(trainCand.select(idCol), Seq(idCol))
+    val evalFps = a.evalFps.unionByName(Dedup.winnowingFingerprints(
+      newDocs.filter(col(idCol) % evalMod === 0), textCol = textCol,
+      idCol = idCol))
+    val contaminated = Dedup
+      .winnowingDecontamFromFingerprints(trainFps, evalFps, idCol = idCol)
+      .select(idCol)
+    val clean = trainCand.join(contaminated, Seq(idCol), "left_anti")
+      .localCheckpoint(true)
+    sequencePack(temperatureKeep(clean, alpha, sourceCol, idCol),
+      ctxTokens, textCol, idCol)
+  }
+
   /** Length-bucketed batch packing: assign documents to fixed-size training
     * batches in token-length order, so sequences in a batch have similar
     * lengths and padding-to-max waste stays low — the standard "sorted

@@ -248,4 +248,45 @@ class PipelineSpec extends SparkSpec {
     val nStarts = out.map(r => r(2).asInstanceOf[Long]).sum
     assert(nStarts === kept.count())
   }
+
+  test("incremental capstone: artifact-fed increment ≡ whole rebuild, with every seam across the boundary") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.analysis.CorpusPrep
+    def mk(prefix: String, n: Int): String =
+      (1 to n).map(i => s"$prefix$i").mkString(" ") + " the of"
+    val contamPhrase = (1 to 10).map(i => s"p$i").mkString(" ")
+    // boundary at id 12: the exact-dup pair (1 old, 13 new), the
+    // keeper-flip near-dup pair (4 old, 14 new — the NEW member wins on
+    // quality), and the contamination pair (eval 17 NEW, its quote
+    // already in OLD doc 6) all STRADDLE the ingest boundary
+    val docs = Seq(
+      (1L, mk("aa", 38), "web"),
+      (3L, "x x x x x", "web"),
+      (4L, mk("na", 38), "web"),
+      (6L, mk("ca", 28) + " " + contamPhrase, "web"),
+      (7L, mk("da", 38), "web"),
+      (8L, mk("fa", 38), "web"),
+      (10L, mk("ha", 38), "books"),
+      (11L, mk("ja", 38), "books"),
+      (13L, mk("aa", 38), "web"),             // exact dup of OLD 1 → dropped
+      (14L, mk("na", 38) + " zz1", "web"),    // flips OLD 4's keeper
+      (15L, mk("ga", 38), "web"),
+      (17L, contamPhrase + " " + mk("ea", 20), "web") // NEW eval doc
+    ).toDF("doc_id", "text", "source")
+    val old = docs.filter($"doc_id" <= 12)
+    val fresh = docs.filter($"doc_id" > 12)
+    val whole = CorpusPrep.pretrainPipeline(docs, ctxTokens = 8)
+      .collect().map(_.toSeq).toSeq
+    val inc = CorpusPrep.pretrainPipelineIncrement(
+        CorpusPrep.pretrainArtifacts(old), fresh, ctxTokens = 8)
+      .collect().map(_.toSeq).toSeq
+    assert(inc === whole)
+    // the seams really exercised: clean set = survivors after all four
+    // text stages, hand-derived (13 exact-dropped, 4 keeper-flipped by
+    // 14, 6 contaminated by the NEW eval doc, 3 low-quality, 17 eval)
+    val clean = CorpusPrep.pretrainClean(docs)
+      .collect().map(_.getLong(0)).toSet
+    assert(clean === Set(1L, 7L, 8L, 10L, 11L, 14L, 15L))
+  }
 }

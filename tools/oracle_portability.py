@@ -88,6 +88,11 @@ MARGIN_SPEC_PINNED = {
     # singly-computed IEEE ratios (q41/q31's chains), winnowing/packing
     # pure integer.
     "q283_pretrain_pipeline": "GateMarginSpec (mixture rate boundary)",
+    # the increment's oracle IS q283's SQL and its Spark path converges on
+    # the same clean corpus (PipelineSpec law), so the same mixture-rate
+    # margin measurement covers it
+    "q287_pretrain_pipeline_increment": "GateMarginSpec (mixture rate "
+        "boundary; oracle is q283's SQL verbatim)",
 }
 
 # All-integer gate queries whose float stage is DETERMINISTIC IEEE on
