@@ -1159,6 +1159,13 @@ object SparkEntry {
     "q283_pretrain_pipeline" -> { (s, d) =>
       CorpusPrep.pretrainPipeline(TestData.documents(s, d))
     },
+    // the capstone's FUNNEL report: docs + whitespace tokens surviving
+    // each stage boundary (ingest → quality → exact → keeper → holdout →
+    // decontam → mixture) — the run report a data team reads after every
+    // ingest; the mixture row's n_tokens IS the packed stream's length
+    "q288_pretrain_funnel" -> { (s, d) =>
+      CorpusPrep.pretrainFunnel(TestData.documents(s, d))
+    },
     // LAW gate: the INCREMENTAL capstone — the daily-ingest form of q283
     // from stored artifacts (exact corpus + fingerprints + sketch + pairs
     // + quality scores + per-doc winnowing fps), only the batch touched
@@ -2923,7 +2930,10 @@ object SparkEntry {
     * (quality gate → exact dedup → verified near-dup pairs), the q282
     * keeper components, the q250 winnowing chain on both the survivor and
     * eval sides, the q140 mixture gate, and the q256 packing tail. */
-  private def pretrainPipelineSql(ctx: Int): String =
+  /** The capstone chain's WITH-prefix, ending at `mixed(doc_id)` — the
+    * ONE constant q283/q287 (packing readout) and q288 (funnel readout)
+    * terminate differently. */
+  private val pretrainChainCtes: String =
     s"""WITH RECURSIVE $corpusPrepCtesBody,
        |$prepKeeperCtes,
        |trainc AS (
@@ -2939,12 +2949,37 @@ object SparkEntry {
        |  SELECT d.doc_id, d.source
        |  FROM documents d JOIN trainc ON d.doc_id = trainc.id
        |  WHERE d.doc_id NOT IN (SELECT id FROM contam)),
-       |${temperatureKeepCtes("cleand", "mixed")},
+       |${temperatureKeepCtes("cleand", "mixed")}""".stripMargin
+
+  private def pretrainPipelineSql(ctx: Int): String =
+    s"""$pretrainChainCtes,
        |surv AS (
        |  SELECT k.doc_id,
        |    CAST(len(list_filter(k.toks, x -> x <> '')) AS BIGINT) AS n_tok
        |  FROM keep k JOIN mixed USING (doc_id)),
        |${packTailCtes(ctx, "surv")}""".stripMargin
+
+  /** q288's oracle: the capstone chain terminated at the per-stage
+    * FUNNEL — docs and whitespace tokens surviving each boundary, the
+    * run report a data team reads after every ingest. Token counts use
+    * the q256 count (empty-filtered whitespace tokens) at every stage. */
+  private val pretrainFunnelSql: String = {
+    val nt = "CAST(len(list_filter(%s, x -> x <> '')) AS BIGINT)"
+    def stage(idx: Int, name: String, from: String, toksExpr: String): String =
+      s"""SELECT CAST($idx AS BIGINT) AS stage_idx, '$name' AS stage,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(COALESCE(sum(${nt.format(toksExpr)}), 0) AS BIGINT) AS n_tokens
+         |FROM $from""".stripMargin
+    s"""$pretrainChainCtes
+       |${stage(0, "ingest", "tt", "toks")}
+       |UNION ALL ${stage(1, "quality", "pass", "toks")}
+       |UNION ALL ${stage(2, "exact", "keep", "toks")}
+       |UNION ALL ${stage(3, "keeper", "keep k JOIN keepers USING (doc_id)", "k.toks")}
+       |UNION ALL ${stage(4, "holdout", "keep k JOIN trainc ON k.doc_id = trainc.id", "k.toks")}
+       |UNION ALL ${stage(5, "decontam", "keep k JOIN cleand USING (doc_id)", "k.toks")}
+       |UNION ALL ${stage(6, "mixture", "keep k JOIN mixed USING (doc_id)", "k.toks")}
+       |ORDER BY stage_idx""".stripMargin
+  }
 
   /** q151's oracle, generated: q20's feature expressions, then `iters`
     * unrolled GD epochs — weights as a 1-row CTE, gradient sums DECIMAL-
@@ -9994,6 +10029,9 @@ object SparkEntry {
     // LAW gate: the artifact-fed increment must reproduce the whole-
     // corpus capstone rebuild — the oracle IS q283's SQL
     "q287_pretrain_pipeline_increment" -> pretrainPipelineSql(ctx = 256),
+    // the capstone chain terminated at the per-stage funnel instead of
+    // the packing tail — same shared WITH-prefix constant
+    "q288_pretrain_funnel" -> pretrainFunnelSql,
     // q259's chain feeding q266's bootstrap chain — metric + uncertainty
     "q270_rouge_bootstrap" -> rougeBootstrapSql,
     // the unigram trainer unrolled: seed substring counts, 2 Viterbi-EM

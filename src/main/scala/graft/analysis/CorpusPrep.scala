@@ -214,6 +214,68 @@ object CorpusPrep {
       .localCheckpoint(true)
   }
 
+  /** The capstone's FUNNEL report — documents and whitespace tokens
+    * surviving each stage boundary of [[pretrainPipeline]], the run
+    * report a data team reads after every ingest (what did quality cost,
+    * what did dedup reclaim, how much did decontamination cut, what does
+    * the mixture keep). Stages: ingest → quality → exact → keeper →
+    * holdout → decontam → mixture. Token counts use [[sequencePack]]'s
+    * count (empty-filtered whitespace tokens) at every stage so the
+    * mixture row's n_tokens IS the packed stream's length.
+    *
+    * Scale shape: the same chain as the pipeline (checkpointed at the
+    * same layer boundaries), plus seven count/sum aggregates — each one
+    * map-side-combinable scan of a frame the pipeline materializes
+    * anyway. All exact integers. Output: stage_idx, stage, n_docs,
+    * n_tokens. */
+  def pretrainFunnel(
+      docs: DataFrame,
+      t: Thresholds = Thresholds(),
+      evalMod: Int = 17,
+      alpha: Double = 0.5,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      sourceCol: String = "source"): DataFrame = {
+    require(evalMod >= 2, s"need evalMod >= 2, got $evalMod")
+    val stats = TextAnalysis.textStats(docs, textCol, idCol)
+    val scored = stats.select(col(idCol),
+      floor(col("quality_score") * 100 + 0.5).cast("long").as("quality_centi"))
+    val qualityPass = docs.join(
+      stats.filter(col("quality_score") >= t.minQuality).select(idCol), Seq(idCol))
+    val exact = Dedup.dedupExact(qualityPass, textCol, idCol).localCheckpoint(true)
+    val keepers = Dedup.dedupClustersKeepBest(
+        Dedup.minhashNearDupPairs(exact, textCol, idCol, minJaccard = t.minJaccard),
+        scored.join(exact.select(idCol), Seq(idCol)), idCol = idCol)
+      .filter(col("is_keeper")).select(idCol)
+    val survivors = exact.join(keepers, Seq(idCol)).localCheckpoint(true)
+    val trainCand = survivors.filter(col(idCol) % evalMod =!= 0)
+      .localCheckpoint(true)
+    val contaminated = Dedup.winnowingDecontam(
+        trainCand, docs.filter(col(idCol) % evalMod === 0),
+        textCol = textCol, idCol = idCol)
+      .select(idCol)
+    val clean = trainCand.join(contaminated, Seq(idCol), "left_anti")
+      .localCheckpoint(true)
+    val kept = temperatureKeep(clean, alpha, sourceCol, idCol)
+    val nTok = coalesce(
+      size(array_remove(TextAnalysis.tokens(col(textCol)), "")), lit(0))
+      .cast("long")
+    def stage(idx: Int, name: String, d: DataFrame): DataFrame =
+      d.select(nTok.as("n_tok"))
+        .agg(count(lit(1)).as("n_docs"),
+          coalesce(sum("n_tok"), lit(0L)).as("n_tokens"))
+        .select(lit(idx.toLong).as("stage_idx"), lit(name).as("stage"),
+          col("n_docs"), col("n_tokens"))
+    stage(0, "ingest", docs)
+      .unionByName(stage(1, "quality", qualityPass))
+      .unionByName(stage(2, "exact", exact))
+      .unionByName(stage(3, "keeper", survivors))
+      .unionByName(stage(4, "holdout", trainCand))
+      .unionByName(stage(5, "decontam", clean))
+      .unionByName(stage(6, "mixture", kept))
+      .orderBy("stage_idx")
+  }
+
   /** One batch run's COMPLETE artifact set for [[pretrainPipelineIncrement]]
     * — every frame a materialized layer the daily job writes anyway:
     * the post-quality post-exact corpus, its text fingerprints (known-dup

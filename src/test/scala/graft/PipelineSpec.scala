@@ -247,6 +247,17 @@ class PipelineSpec extends SparkSpec {
     // histogram sanity: every kept doc starts in exactly one window
     val nStarts = out.map(r => r(2).asInstanceOf[Long]).sum
     assert(nStarts === kept.count())
+
+    // the funnel report pins every stage boundary on the same fixture:
+    // 12 ingested, 3 fails quality, 2 exact-dups into 1, keeper policy
+    // drops 4, eval doc 17 held out, 6 decontaminated, mixture keeps all
+    // books + the md5-gated web subset
+    val funnel = CorpusPrep.pretrainFunnel(docs)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(funnel.map(t => (t._1, t._2)) === Seq(
+      (0L, "ingest"), (1L, "quality"), (2L, "exact"), (3L, "keeper"),
+      (4L, "holdout"), (5L, "decontam"), (6L, "mixture")))
+    assert(funnel.map(_._3) === Seq(12L, 11L, 10L, 9L, 8L, 7L, kept.count()))
   }
 
   test("incremental capstone: artifact-fed increment ≡ whole rebuild, with every seam across the boundary") {

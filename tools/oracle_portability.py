@@ -93,6 +93,12 @@ MARGIN_SPEC_PINNED = {
     # margin measurement covers it
     "q287_pretrain_pipeline_increment": "GateMarginSpec (mixture rate "
         "boundary; oracle is q283's SQL verbatim)",
+    # the funnel shares q283's chain verbatim (pretrainChainCtes); its
+    # only build-sensitive float->int decision is the same mixture-stage
+    # floor(rate*10000), and the mixture row is the only one the rate
+    # gate can move — the same spec measurement covers it
+    "q288_pretrain_funnel": "GateMarginSpec (mixture rate boundary; "
+        "shares q283's pretrainChainCtes prefix)",
 }
 
 # All-integer gate queries whose float stage is DETERMINISTIC IEEE on
