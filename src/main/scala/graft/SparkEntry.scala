@@ -2922,7 +2922,8 @@ object SparkEntry {
        |    CAST(floor(least(1.0::DOUBLE, pow(n_docs, 0.5::DOUBLE) / wsum * n_total / n_docs) * 10000) AS INT) AS rate_bp
        |  FROM mper_$out CROSS JOIN mtot_$out),
        |$out AS (
-       |  SELECT c.doc_id FROM $src c JOIN mrb_$out USING (source)
+       |  SELECT c.doc_id FROM $src c
+       |  JOIN mrb_$out r ON c.source IS NOT DISTINCT FROM r.source
        |  WHERE ('0x' || substr(md5(c.doc_id::VARCHAR || '|tsamp'), 1, 8))::BIGINT % 10000 < rate_bp)""".stripMargin
 
   /** q283's oracle — the FULL pretraining pipeline in ONE statement,
@@ -9630,12 +9631,13 @@ object SparkEntry {
         |rb AS (SELECT source, n_docs, share, CAST(floor(rate * 10000) AS INT) AS rate_bp FROM r),
         |k AS (
         |  SELECT d.source, CAST(count(*) AS BIGINT) AS n_kept
-        |  FROM documents d JOIN rb ON d.source = rb.source
+        |  FROM documents d JOIN rb ON d.source IS NOT DISTINCT FROM rb.source
         |  WHERE ('0x' || substr(md5(d.doc_id::VARCHAR || '|tsamp'), 1, 8))::BIGINT % 10000 < rate_bp
         |  GROUP BY 1)
         |SELECT rb.source, rb.n_docs, round(rb.share, 6) AS share, rb.rate_bp,
         |  COALESCE(k.n_kept, 0) AS n_kept
-        |FROM rb LEFT JOIN k USING (source) ORDER BY rb.source""".stripMargin,
+        |FROM rb LEFT JOIN k ON rb.source IS NOT DISTINCT FROM k.source
+        |ORDER BY rb.source""".stripMargin,
     // q32's inverted-index CTEs; both directions projected from the one
     // unordered pair aggregate, containment = c / n_src
     "q139_containment" ->

@@ -191,12 +191,48 @@ object CorpusPrep {
       t: Thresholds = Thresholds(),
       evalMod: Int = 17,
       textCol: String = "text",
-      idCol: String = "doc_id"): DataFrame = {
+      idCol: String = "doc_id"): DataFrame =
+    pretrainStages(docs, t, evalMod, textCol, idCol).clean
+
+  /** The capstone chain's stage frames — ONE definition of the quality →
+    * exact → keeper → holdout → decontam dataflow, consumed by
+    * [[pretrainClean]] (the pipeline) and [[pretrainFunnel]] (the report),
+    * so a threshold change can never de-synchronize the funnel from the
+    * pipeline it reports on. */
+  private[analysis] final case class PretrainStages(
+      scored: DataFrame,
+      qualityPass: DataFrame,
+      exact: DataFrame,
+      survivors: DataFrame,
+      trainCand: DataFrame,
+      clean: DataFrame)
+
+  /** Quality stats computed ONCE — physically: the per-doc (id, score,
+    * centi) frame is eagerly checkpointed, so the textStats projection
+    * scans the corpus a single time even though two stages (the quality
+    * gate and the keeper argmax) consume it. Aggregate-per-doc-sized:
+    * three columns, no text. */
+  private def pretrainScored(
+      docs: DataFrame, textCol: String, idCol: String): DataFrame =
+    TextAnalysis.textStats(docs, textCol, idCol)
+      .select(col(idCol), col("quality_score"),
+        floor(col("quality_score") * 100 + 0.5).cast("long").as("quality_centi"))
+      .localCheckpoint(true)
+
+  /** See [[PretrainStages]]. `materializeSurvivors` checkpoints the
+    * keeper-survivor frame — the funnel reads it twice (its own stage row
+    * + everything downstream); the pipeline reads it once and skips the
+    * materialization. */
+  private[analysis] def pretrainStages(
+      docs: DataFrame,
+      t: Thresholds = Thresholds(),
+      evalMod: Int = 17,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      materializeSurvivors: Boolean = false): PretrainStages = {
     require(evalMod >= 2, s"need evalMod >= 2, got $evalMod")
-    val stats = TextAnalysis.textStats(docs, textCol, idCol)
-    // quality computed ONCE, consumed twice: the gate and the keeper argmax
-    val scored = stats.select(col(idCol),
-      floor(col("quality_score") * 100 + 0.5).cast("long").as("quality_centi"))
+    val stats = pretrainScored(docs, textCol, idCol)
+    val scored = stats.select(col(idCol), col("quality_centi"))
     val qualityPass = docs.join(
       stats.filter(col("quality_score") >= t.minQuality).select(idCol), Seq(idCol))
     val exact = Dedup.dedupExact(qualityPass, textCol, idCol).localCheckpoint(true)
@@ -204,14 +240,18 @@ object CorpusPrep {
         Dedup.minhashNearDupPairs(exact, textCol, idCol, minJaccard = t.minJaccard),
         scored.join(exact.select(idCol), Seq(idCol)), idCol = idCol)
       .filter(col("is_keeper")).select(idCol)
-    val trainCand = exact.join(keepers, Seq(idCol))
-      .filter(col(idCol) % evalMod =!= 0).localCheckpoint(true)
+    val survivors0 = exact.join(keepers, Seq(idCol))
+    val survivors =
+      if (materializeSurvivors) survivors0.localCheckpoint(true) else survivors0
+    val trainCand = survivors.filter(col(idCol) % evalMod =!= 0)
+      .localCheckpoint(true)
     val contaminated = Dedup.winnowingDecontam(
         trainCand, docs.filter(col(idCol) % evalMod === 0),
         textCol = textCol, idCol = idCol)
       .select(idCol)
-    trainCand.join(contaminated, Seq(idCol), "left_anti")
+    val clean = trainCand.join(contaminated, Seq(idCol), "left_anti")
       .localCheckpoint(true)
+    PretrainStages(scored, qualityPass, exact, survivors, trainCand, clean)
   }
 
   /** The capstone's FUNNEL report — documents and whitespace tokens
@@ -236,27 +276,9 @@ object CorpusPrep {
       textCol: String = "text",
       idCol: String = "doc_id",
       sourceCol: String = "source"): DataFrame = {
-    require(evalMod >= 2, s"need evalMod >= 2, got $evalMod")
-    val stats = TextAnalysis.textStats(docs, textCol, idCol)
-    val scored = stats.select(col(idCol),
-      floor(col("quality_score") * 100 + 0.5).cast("long").as("quality_centi"))
-    val qualityPass = docs.join(
-      stats.filter(col("quality_score") >= t.minQuality).select(idCol), Seq(idCol))
-    val exact = Dedup.dedupExact(qualityPass, textCol, idCol).localCheckpoint(true)
-    val keepers = Dedup.dedupClustersKeepBest(
-        Dedup.minhashNearDupPairs(exact, textCol, idCol, minJaccard = t.minJaccard),
-        scored.join(exact.select(idCol), Seq(idCol)), idCol = idCol)
-      .filter(col("is_keeper")).select(idCol)
-    val survivors = exact.join(keepers, Seq(idCol)).localCheckpoint(true)
-    val trainCand = survivors.filter(col(idCol) % evalMod =!= 0)
-      .localCheckpoint(true)
-    val contaminated = Dedup.winnowingDecontam(
-        trainCand, docs.filter(col(idCol) % evalMod === 0),
-        textCol = textCol, idCol = idCol)
-      .select(idCol)
-    val clean = trainCand.join(contaminated, Seq(idCol), "left_anti")
-      .localCheckpoint(true)
-    val kept = temperatureKeep(clean, alpha, sourceCol, idCol)
+    val st = pretrainStages(docs, t, evalMod, textCol, idCol,
+      materializeSurvivors = true)
+    val kept = temperatureKeep(st.clean, alpha, sourceCol, idCol)
     val nTok = coalesce(
       size(array_remove(TextAnalysis.tokens(col(textCol)), "")), lit(0))
       .cast("long")
@@ -267,11 +289,11 @@ object CorpusPrep {
         .select(lit(idx.toLong).as("stage_idx"), lit(name).as("stage"),
           col("n_docs"), col("n_tokens"))
     stage(0, "ingest", docs)
-      .unionByName(stage(1, "quality", qualityPass))
-      .unionByName(stage(2, "exact", exact))
-      .unionByName(stage(3, "keeper", survivors))
-      .unionByName(stage(4, "holdout", trainCand))
-      .unionByName(stage(5, "decontam", clean))
+      .unionByName(stage(1, "quality", st.qualityPass))
+      .unionByName(stage(2, "exact", st.exact))
+      .unionByName(stage(3, "keeper", st.survivors))
+      .unionByName(stage(4, "holdout", st.trainCand))
+      .unionByName(stage(5, "decontam", st.clean))
       .unionByName(stage(6, "mixture", kept))
       .orderBy("stage_idx")
   }
@@ -304,9 +326,8 @@ object CorpusPrep {
       textCol: String = "text",
       idCol: String = "doc_id"): PretrainArtifacts = {
     require(evalMod >= 2, s"need evalMod >= 2, got $evalMod")
-    val stats = TextAnalysis.textStats(docs, textCol, idCol)
-    val scored = stats.select(col(idCol),
-      floor(col("quality_score") * 100 + 0.5).cast("long").as("quality_centi"))
+    val stats = pretrainScored(docs, textCol, idCol)
+    val scored = stats.select(col(idCol), col("quality_centi"))
     val qualityPass = docs.join(
       stats.filter(col("quality_score") >= t.minQuality).select(idCol), Seq(idCol))
     val exact = Dedup.dedupExact(qualityPass, textCol, idCol).localCheckpoint(true)
@@ -317,8 +338,10 @@ object CorpusPrep {
         .select(TextAnalysis.fingerprint(col(textCol)).as("fingerprint"))
         .distinct(),
       sketch = sketch,
-      pairs = Dedup.minhashNearDupPairs(exact, textCol, idCol,
-          minJaccard = t.minJaccard)
+      // the pair set derives from the STORED sketch (band self-join +
+      // verify) — the signature projection is paid once, not re-sketched
+      // inside minhashNearDupPairs a line after it was materialized
+      pairs = Dedup.nearDupPairsFromSketch(sketch, minJaccard = t.minJaccard)
         .select("doc_a", "doc_b"),
       scored = scored.join(exact.select(idCol), Seq(idCol)),
       winnowFps = Dedup.winnowingFingerprints(exact, textCol = textCol,
@@ -363,9 +386,20 @@ object CorpusPrep {
       idCol: String = "doc_id",
       sourceCol: String = "source"): DataFrame = {
     require(evalMod >= 2, s"need evalMod >= 2, got $evalMod")
-    val stats = TextAnalysis.textStats(newDocs, textCol, idCol)
-    val newScored = stats.select(col(idCol),
-      floor(col("quality_score") * 100 + 0.5).cast("long").as("quality_centi"))
+    // the increment LAW's precondition (monotonic ingest ids: every batch
+    // id exceeds every stored id) fails LOUDLY instead of silently
+    // diverging from the q283 rebuild (a violating batch would flip the
+    // exact-dedup survivor and invert cross-pair orientation). Cost: one
+    // aggregate over the stored id column + one over the batch — id-only
+    // scans, nothing text-sized.
+    val bound = a.scored.agg(max(col(idCol)).as("mx"))
+      .crossJoin(newDocs.agg(min(col(idCol)).as("mn")))
+      .filter(col("mx").isNotNull && col("mn").isNotNull && col("mx") >= col("mn"))
+    require(bound.isEmpty,
+      "pretrainPipelineIncrement requires monotonic ingest ids: " +
+        s"max stored $idCol must be < min batch $idCol")
+    val stats = pretrainScored(newDocs, textCol, idCol)
+    val newScored = stats.select(col(idCol), col("quality_centi"))
     val newQuality = newDocs.join(
       stats.filter(col("quality_score") >= t.minQuality).select(idCol), Seq(idCol))
     // within-batch exact dedup + the known-fingerprint anti-join (q118)
@@ -551,9 +585,11 @@ object CorpusPrep {
       idCol: String = "doc_id"): DataFrame = {
     val rates = temperatureRates(docs, alpha, sourceCol)
     val kept = keepWithRates(docs, rates, sourceCol, idCol)
-      .groupBy(col(sourceCol).as("source")).agg(count(lit(1)).as("n_kept"))
+      .groupBy(col(sourceCol).as("__ksrc")).agg(count(lit(1)).as("n_kept"))
+    // null-safe: the NULL-source group's kept count must land on its rate
+    // row, not be dropped by an equi-join
     rates
-      .join(kept, Seq("source"), "left")
+      .join(kept, col("source") <=> col("__ksrc"), "left")
       .select(col("source"), col("n_docs"), round(col("share"), 6).as("share"),
         col("rate_bp"), coalesce(col("n_kept"), lit(0L)).as("n_kept"))
   }
@@ -603,10 +639,14 @@ object CorpusPrep {
     docs
       .withColumn("__tsamp_bucket",
         Sampling.hashBucket(concat(col(idCol).cast(StringType), lit("|tsamp"))))
-      .join(broadcast(rates.select(col("source").as(sourceCol), col("rate_bp"))),
-        Seq(sourceCol))
+      // NULL-SAFE rate join: a NULL source is a real group —
+      // [[temperatureRates]] emits a rate row for it, and an equi-join here
+      // would silently DELETE those documents from the kept training stream
+      // instead of sampling them (the mixture stage must never lose data)
+      .join(broadcast(rates.select(col("source").as("__tsamp_src"), col("rate_bp"))),
+        col(sourceCol) <=> col("__tsamp_src"))
       .filter(col("__tsamp_bucket") < col("rate_bp"))
-      .drop("__tsamp_bucket", "rate_bp")
+      .drop("__tsamp_bucket", "__tsamp_src", "rate_bp")
 
   /** UniMax-style token-budget allocation (Chung et al. 2023,
     * arXiv:2304.09151): split a training-token budget across sources as

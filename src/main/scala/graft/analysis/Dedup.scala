@@ -285,6 +285,41 @@ object Dedup {
       .filter(size(col("sh")) > 0)
       .withColumn("sig", minhashSignature(col("sh"), k))
 
+  /** [[minhashNearDupPairs]]'s verify half over an ALREADY-MATERIALIZED
+    * (id, sh, sig) sketch ([[sketchDocs]]): band self-join for candidates,
+    * exact Jaccard verify, threshold. Identical pair set to
+    * [[minhashNearDupPairs]] on the sketched docs (same shingle/signature
+    * expressions) — the shape for callers that have ALREADY paid for the
+    * sketch artifact (e.g. [[graft.analysis.CorpusPrep.pretrainArtifacts]]
+    * stores the sketch for tomorrow's cross join AND needs today's pair
+    * set: sketch once, consume twice). The caller owns the sketch's
+    * materialization; this reads it three times (two band sides + verify).
+    * Output: doc_a, doc_b, jaccard (≥ minJaccard). */
+  def nearDupPairsFromSketch(
+      sketch: DataFrame,
+      k: Int = 16,
+      bands: Int = 4,
+      minJaccard: Double = 0.8): DataFrame = {
+    val bandRows = sketch
+      .select(col("id"), explode(lshBandHashes(col("sig"), bands, k / bands)).as("b"))
+      .select(col("id"), col("b.band_id"), col("b.band_hash"))
+    val candidates = bandRows.as("x")
+      .join(bandRows.as("y"),
+        col("x.band_id") === col("y.band_id") &&
+          col("x.band_hash") === col("y.band_hash") &&
+          col("x.id") < col("y.id"))
+      .select(col("x.id").as("doc_a"), col("y.id").as("doc_b"))
+      .distinct()
+    candidates
+      .join(sketch.select(col("id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+      .join(sketch.select(col("id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast(DoubleType) /
+          size(array_union(col("sh_a"), col("sh_b"))).cast(DoubleType))
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
+  }
+
   /** Incremental near-dup: NEW documents against an EXISTING corpus — the
     * shape a daily ingest actually runs. Only the new batch is sketched;
     * the existing side is the PRECOMPUTED (id, sh, sig) artifact from

@@ -822,7 +822,35 @@ object TextAnalysis {
       budget: Int = 3,
       evalMod: Int = 17,
       textCol: String = "text",
-      idCol: String = "doc_id"): DataFrame = {
+      idCol: String = "doc_id"): DataFrame =
+    familyComparison(docs, budget, evalMod, textCol, idCol, byteFallback = false)
+
+  /** [[tokenizerFamilyComparison]] on the UNRESTRICTED holdout — the
+    * production form: instead of excluding holdout words containing
+    * characters outside the unigram alphabet (the eligibility contract
+    * above), every family answers them with BYTE FALLBACK, the way real
+    * tokenizers ship (SentencePiece `byte_fallback`). The merge families
+    * need no special case — a learned merge can never contain an
+    * untrained character, so OOV characters simply survive the fold as
+    * single (byte) pieces; the unigram arm uses
+    * [[UnigramLM.segmentWordCountsFallback]] (whole-word byte fallback,
+    * the q272 encoder contract extended to OOV-char words). Fertility and
+    * whole-word rate are thus defined for EVERY holdout word. */
+  def tokenizerFamilyComparisonFallback(
+      docs: DataFrame,
+      budget: Int = 3,
+      evalMod: Int = 17,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame =
+    familyComparison(docs, budget, evalMod, textCol, idCol, byteFallback = true)
+
+  private def familyComparison(
+      docs: DataFrame,
+      budget: Int,
+      evalMod: Int,
+      textCol: String,
+      idCol: String,
+      byteFallback: Boolean): DataFrame = {
     require(budget >= 1 && evalMod >= 2,
       s"need budget >= 1 and evalMod >= 2, got $budget/$evalMod")
     val train = docs.filter(col(idCol) % evalMod =!= 0)
@@ -831,13 +859,18 @@ object TextAnalysis {
     val uniModel = UnigramLM.unigramTrain(train, uniParams, textCol)
       .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
     val alphabet = uniModel.keysIterator.filter(_.length == 1).toSeq.sorted
-    val hw = hold
+    // EAGER materialization (not a lazy persist): the three family
+    // readouts each collect through hw at result time, after any
+    // persist/unpersist pair here has gone out of scope — a plain
+    // persist() would recompute the holdout word count once per family
+    val hw0 = hold
       .select(explode(array_remove(tokens(col(textCol)), "")).as("w"))
       .groupBy("w").agg(count(lit(1)).as("freq"))
-      .filter(forall(split(col("w"), ""),
-        c => c === lit("") || c.isin(alphabet: _*)))
-      .persist()
-    try {
+    val hw = (if (byteFallback) hw0
+              else hw0.filter(forall(split(col("w"), ""),
+                c => c === lit("") || c.isin(alphabet: _*))))
+      .localCheckpoint(true)
+    locally {
       val bpeMerges = bpeTrain(train, budget, textCol)
         .collect().map(_.getString(1)).toSeq
       val wpMerges = wordpieceTrain(train, budget, textCol)
@@ -855,12 +888,14 @@ object TextAnalysis {
             when(col("n_words") > 0,
               expr("(n_whole * 2000000 + n_words) div (2 * n_words)"))
               .as("whole_word_ppm"))
+      val uniSeg =
+        if (byteFallback) UnigramLM.segmentWordCountsFallback(hw, uniModel, uniParams)
+        else UnigramLM.segmentWordCounts(hw, uniModel, uniParams)
       readout("bpe", bpeSegmentCounts(hw, bpeMerges))
-        .unionByName(readout("unigram",
-          UnigramLM.segmentWordCounts(hw, uniModel, uniParams)))
+        .unionByName(readout("unigram", uniSeg))
         .unionByName(readout("wordpiece", bpeSegmentCounts(hw, wpMerges)))
         .orderBy("family")
-    } finally { hw.unpersist(); () }
+    }
   }
 
   def bpeCompressionCurve(

@@ -323,6 +323,37 @@ object UnigramLM {
       .toDF("w", "np")
   }
 
+  /** [[segmentWordCounts]] with BYTE FALLBACK — the production-tokenizer
+    * answer to out-of-vocabulary input (SentencePiece `byte_fallback`):
+    * a word the DP cannot segment (over the trainer length cap, or
+    * containing a character outside the model's alphabet) encodes as its
+    * UTF-8 bytes, one piece per byte, instead of being the CALLER's
+    * problem to exclude. On this engine's normalized token alphabet
+    * ([a-z0-9] — [[TextAnalysis.tokens]] strips everything else) every
+    * character is exactly one UTF-8 byte, so the byte count IS the char
+    * count — computed as utf-8 length so the contract holds if the
+    * normalizer ever widens. Fallback is whole-word (the q272 encoder
+    * contract extended to OOV-char words): mixing DP pieces and byte
+    * pieces inside one word would need per-span vocab lattices for no
+    * gate-visible difference on a single-byte alphabet. */
+  def segmentWordCountsFallback(
+      words: DataFrame,
+      model: collection.Map[String, Long],
+      params: Params = Params()): DataFrame = {
+    val spark = words.sparkSession
+    import spark.implicits._
+    val k = params.maxPieceLen
+    val m = params.maxWordLen
+    words.select(col("w")).distinct().as[String]
+      .map { w =>
+        val segmentable = w.length <= m &&
+          w.forall(c => model.contains(c.toString))
+        (w, if (segmentable) viterbiPieces(w, model, k).length.toLong
+            else w.getBytes(java.nio.charset.StandardCharsets.UTF_8).length.toLong)
+      }
+      .toDF("w", "np")
+  }
+
   /** Encode the corpus with a trained vocabulary: per-document word and
     * subword-token counts plus round-half-up fertility ppm (the q255
     * readout shape). Words longer than `maxWordLen` char-fallback

@@ -257,6 +257,22 @@ class DedupSpec extends SparkSpec {
     assert(viaRaw.keySet === Set((10L, 1L), (10L, 2L)))
   }
 
+  test("self near-dups from a stored sketch equal the raw-docs path") {
+    val base = "the quick brown fox jumps over the lazy dog again and again"
+    val corpus = Seq(
+      (1L, base), (2L, base + " extra"),
+      (3L, "unrelated existing document content with many distinct words here"),
+      (4L, "hi") // sub-shingle doc: dropped by both paths
+    ).toDF("doc_id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val viaRaw = rows(Dedup.minhashNearDupPairs(corpus, minJaccard = 0.5))
+    val sketch = Dedup.sketchDocs(corpus).localCheckpoint(true)
+    val viaSketch = rows(Dedup.nearDupPairsFromSketch(sketch, minJaccard = 0.5))
+    assert(viaRaw === viaSketch)
+    assert(viaRaw.keySet === Set((1L, 2L)))
+  }
+
   test("fuzzy match: composite secondary blocking narrows to same-first-token pairs") {
     import org.apache.spark.sql.functions.substring_index
     val parts = Seq(

@@ -300,4 +300,44 @@ class PipelineSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSet
     assert(clean === Set(1L, 7L, 8L, 10L, 11L, 14L, 15L))
   }
+
+  test("increment law precondition fails loudly: non-monotonic batch ids throw") {
+    import spark.implicits._
+    import graft.analysis.CorpusPrep
+    def mk(prefix: String, n: Int): String =
+      (1 to n).map(i => s"$prefix$i").mkString(" ") + " the of"
+    val old = Seq((5L, mk("aa", 38), "web"), (8L, mk("da", 38), "web"))
+      .toDF("doc_id", "text", "source")
+    // batch id 7 <= stored max 8: the exact-dedup anti-join would keep the
+    // stored copy while a whole rebuild keeps the lower-id batch copy —
+    // the silent-divergence class the guard exists for
+    val bad = Seq((7L, mk("aa", 38), "web")).toDF("doc_id", "text", "source")
+    val e = intercept[IllegalArgumentException] {
+      CorpusPrep.pretrainPipelineIncrement(CorpusPrep.pretrainArtifacts(old), bad)
+    }
+    assert(e.getMessage.contains("monotonic"))
+    // a genuinely monotonic batch still passes the guard
+    val good = Seq((9L, mk("fa", 38), "web")).toDF("doc_id", "text", "source")
+    assert(CorpusPrep.pretrainPipelineIncrement(
+      CorpusPrep.pretrainArtifacts(old), good).count() > 0)
+  }
+
+  test("mixture stage cannot silently drop data: NULL source samples under its own rate row") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.analysis.CorpusPrep
+    // a singleton source's rate caps at 10000 bp under α=0.5 (share·N/n =
+    // N/Σ√nᵢ ≥ 1), so the NULL-source doc MUST be kept — an equi-join
+    // mixture would silently delete it
+    val docs = (
+      (1 to 6).map(i => (i.toLong, s"doc $i", "web")) :+
+        ((7L, "null source doc", null: String))
+      ).toDF("doc_id", "text", "source")
+    val kept = CorpusPrep.temperatureKeep(docs)
+    assert(kept.filter(col("source").isNull).count() === 1L)
+    val report = CorpusPrep.temperatureResample(docs)
+      .collect().map(r => Option(r.getString(0)) ->
+        (r.getInt(3), r.getLong(4))).toMap
+    assert(report(None) === ((10000, 1L)))
+  }
 }
