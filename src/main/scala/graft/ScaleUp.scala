@@ -39,7 +39,17 @@ import org.apache.spark.sql.functions._
   * cross-copy exact-dup clusters that the standard mode deliberately
   * prevents. Use the standard mode for everything else.
   *
-  * Usage: runMain graft.ScaleUp <srcDir> <outDir> <factor> [heaps]
+  * TEMPLATE MODE (`runMain graft.ScaleUp <src> <out> <factor> template`):
+  * the standard per-copy salting plus ONE fixed boilerplate footer (24
+  * tokens, unsalted) appended to EVERY document — the corpus class the
+  * q284 df bound exists for: every ≥8-token footer span has document
+  * frequency = |corpus|, so the unbounded q275 per-fingerprint self-join
+  * squares on the footer alone (the latent quadratic of template-heavy
+  * web corpora: nav bars, disclaimers, license blocks), while the
+  * df-bounded arm drops those spans before pairing. Documents table only
+  * (the A/B reads nothing else).
+  *
+  * Usage: runMain graft.ScaleUp <srcDir> <outDir> <factor> [heaps|template]
   */
 object ScaleUp {
 
@@ -48,11 +58,29 @@ object ScaleUp {
     val out = if (args.length > 1) args(1) else "/tmp/graft_sfx"
     val factor = if (args.length > 2) args(2).toInt else 10
     val heaps = args.length > 3 && args(3) == "heaps"
+    val template = args.length > 3 && args(3) == "template"
     val spark = graft.core.GraftSession.tune(
       SparkSession.builder().master("local[16]"), 16).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    writeAll(spark, src, out, factor, heaps)
+    if (template) writeTemplateDocs(spark, src, out, factor)
+    else writeAll(spark, src, out, factor, heaps)
     spark.stop()
+  }
+
+  /** The fixed footer every template-mode document carries — 24 tokens,
+    * ≥17 distinct 8-token spans each with df = |corpus|. */
+  val templateFooter: String =
+    "this document is provided as is without warranty of any kind express " +
+      "or implied including but not limited to merchantability fitness and " +
+      "noninfringement"
+
+  def writeTemplateDocs(spark: SparkSession, src: String, out: String,
+      factor: Int): Unit = {
+    val docs = spark.read.parquet(s"$src/documents.parquet")
+    scaled(docs, factor, ids = Seq("doc_id"), salted = Seq("text"))
+      .withColumn("text", concat(col("text"), lit(" " + templateFooter)))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode(SaveMode.Overwrite).parquet(s"$out/documents.parquet")
   }
 
   /** Suffix-pool size for heaps mode: ⌈factor^0.6⌉, the middle of the

@@ -1134,6 +1134,15 @@ object SparkEntry {
     "q286_tokenizer_families" -> { (s, d) =>
       TextAnalysis.tokenizerFamilyComparison(TestData.documents(s, d))
     },
+    // q286 on the UNRESTRICTED holdout — the production form: no word is
+    // excluded; OOV characters answer as UTF-8 byte pieces (SentencePiece
+    // byte_fallback), so fertility and whole-word rate are defined for
+    // EVERY holdout word. Merge families need no special case (a learned
+    // pair can never contain an untrained char); the unigram arm
+    // byte-falls-back words its DP cannot segment
+    "q289_tokenizer_families_fallback" -> { (s, d) =>
+      TextAnalysis.tokenizerFamilyComparisonFallback(TestData.documents(s, d))
+    },
     // QUALITY-KEEPER dedup policy (the FineWeb survivor rule): q31's
     // verified near-dup pairs clustered by connected components, keeper =
     // argmax (quality centi-units, then min id) per cluster — the policy
@@ -1180,6 +1189,35 @@ object SparkEntry {
       CorpusPrep.pretrainPipelineIncrement(
         CorpusPrep.pretrainArtifacts(docs.filter(col("doc_id") <= half)),
         docs.filter(col("doc_id") > half))
+    },
+    // LAW gate: q287 with the artifact set ROUND-TRIPPED THROUGH PARQUET
+    // (the daily job's real shape — yesterday's run wrote the layer,
+    // today's ingest reads it back). Schema/dtype drift through the
+    // parquet boundary (sketch array columns, fingerprint strings,
+    // centi-quantized quality longs) is exactly the failure class the
+    // in-session q287 gate cannot see; oracle IS q283's SQL
+    "q290_pretrain_artifact_roundtrip" -> { (s, d) =>
+      val docs = TestData.documents(s, d)
+      val half = docs.agg(max("doc_id")).head.getLong(0) / 2
+      val root = sys.props("java.io.tmpdir") + "/graft_q290_layer"
+      CorpusPrep.writeArtifacts(
+        CorpusPrep.pretrainArtifacts(docs.filter(col("doc_id") <= half)),
+        root, version = 0L)
+      CorpusPrep.pretrainPipelineIncrement(
+        CorpusPrep.readArtifacts(s, root, maxVersionExclusive = 1L),
+        docs.filter(col("doc_id") > half))
+    },
+    // the funnel-over-ingests TIME SERIES (q288 per ingest, one union):
+    // per batch id, the funnel of the corpus AS OF that ingest — stage
+    // deltas between consecutive ids isolate what each ingest added and
+    // what each stage took from it (the "did decontamination cost spike
+    // this week" readout)
+    "q291_pretrain_funnel_series" -> { (s, d) =>
+      val docs = TestData.documents(s, d)
+      val half = docs.agg(max("doc_id")).head.getLong(0) / 2
+      CorpusPrep.pretrainFunnelSeries(Seq(
+        0L -> docs.filter(col("doc_id") <= half),
+        1L -> docs.filter(col("doc_id") > half)))
     },
     // LAW gate: the q282 keeper policy on a daily-ingest split — pairs
     // from stored artifacts (old-batch pairs ∪ new-batch pairs ∪ the
@@ -2711,11 +2749,14 @@ object SparkEntry {
   /** The same chain WITHOUT the WITH prefix — so composed oracles that
     * need a `WITH RECURSIVE` head (q283's keeper components) concatenate
     * the IDENTICAL text instead of string-surgering the prefix. */
-  private val corpusPrepCtesBody: String =
-    """t AS (
+  /** The chain over an arbitrary document relation `$src` — `documents`
+    * for the stage gates (byte-identical text via the val below), a
+    * filtered CTE for the per-ingest arms of the q291 funnel series. */
+  private def corpusPrepCtesBodyFrom(src: String): String =
+    s"""t AS (
       |  SELECT doc_id, text,
-      |    trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')) AS norm
-      |  FROM documents),
+      |    trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g')) AS norm
+      |  FROM $src),
       |tt AS (SELECT doc_id, norm, string_split(norm, ' ') AS toks FROM t),
       |s AS (
       |  SELECT doc_id, norm, toks,
@@ -2755,6 +2796,8 @@ object SparkEntry {
       |  WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
       |        / len(list_distinct(list_concat(sa.sh, sb.sh))) >= 0.8),
       |losers AS (SELECT DISTINCT doc_b FROM verified)""".stripMargin
+
+  private val corpusPrepCtesBody: String = corpusPrepCtesBodyFrom("documents")
 
   private val corpusPrepCtes: String = "WITH " + corpusPrepCtesBody
 
@@ -2934,8 +2977,8 @@ object SparkEntry {
   /** The capstone chain's WITH-prefix, ending at `mixed(doc_id)` — the
     * ONE constant q283/q287 (packing readout) and q288 (funnel readout)
     * terminate differently. */
-  private val pretrainChainCtes: String =
-    s"""WITH RECURSIVE $corpusPrepCtesBody,
+  private def pretrainChainCtesFrom(src: String, head: String = ""): String =
+    s"""WITH RECURSIVE $head${corpusPrepCtesBodyFrom(src)},
        |$prepKeeperCtes,
        |trainc AS (
        |  SELECT k.doc_id AS id, k.toks AS t
@@ -2948,9 +2991,11 @@ object SparkEntry {
        |  SELECT DISTINCT c.id FROM cfps c JOIN bounded USING (fp) JOIN efps USING (fp)),
        |cleand AS (
        |  SELECT d.doc_id, d.source
-       |  FROM documents d JOIN trainc ON d.doc_id = trainc.id
+       |  FROM $src d JOIN trainc ON d.doc_id = trainc.id
        |  WHERE d.doc_id NOT IN (SELECT id FROM contam)),
        |${temperatureKeepCtes("cleand", "mixed")}""".stripMargin
+
+  private val pretrainChainCtes: String = pretrainChainCtesFrom("documents")
 
   private def pretrainPipelineSql(ctx: Int): String =
     s"""$pretrainChainCtes,
@@ -2964,22 +3009,47 @@ object SparkEntry {
     * FUNNEL — docs and whitespace tokens surviving each boundary, the
     * run report a data team reads after every ingest. Token counts use
     * the q256 count (empty-filtered whitespace tokens) at every stage. */
-  private val pretrainFunnelSql: String = {
+  /** The per-stage funnel rows (UNION ALL block, unterminated) over the
+    * chain's CTE names — shared by q288 (one run, ORDER BY appended) and
+    * q291's per-ingest arms (batch_id prepended per arm). */
+  private val pretrainFunnelStages: String = {
     val nt = "CAST(len(list_filter(%s, x -> x <> '')) AS BIGINT)"
     def stage(idx: Int, name: String, from: String, toksExpr: String): String =
       s"""SELECT CAST($idx AS BIGINT) AS stage_idx, '$name' AS stage,
          |  CAST(count(*) AS BIGINT) AS n_docs,
          |  CAST(COALESCE(sum(${nt.format(toksExpr)}), 0) AS BIGINT) AS n_tokens
          |FROM $from""".stripMargin
-    s"""$pretrainChainCtes
-       |${stage(0, "ingest", "tt", "toks")}
+    s"""${stage(0, "ingest", "tt", "toks")}
        |UNION ALL ${stage(1, "quality", "pass", "toks")}
        |UNION ALL ${stage(2, "exact", "keep", "toks")}
        |UNION ALL ${stage(3, "keeper", "keep k JOIN keepers USING (doc_id)", "k.toks")}
        |UNION ALL ${stage(4, "holdout", "keep k JOIN trainc ON k.doc_id = trainc.id", "k.toks")}
        |UNION ALL ${stage(5, "decontam", "keep k JOIN cleand USING (doc_id)", "k.toks")}
-       |UNION ALL ${stage(6, "mixture", "keep k JOIN mixed USING (doc_id)", "k.toks")}
+       |UNION ALL ${stage(6, "mixture", "keep k JOIN mixed USING (doc_id)", "k.toks")}""".stripMargin
+  }
+
+  private val pretrainFunnelSql: String =
+    s"""$pretrainChainCtes
+       |$pretrainFunnelStages
        |ORDER BY stage_idx""".stripMargin
+
+  /** q291's oracle: the funnel-over-ingests time series — one scoped arm
+    * per ingest, each running the SAME chain + funnel constants over the
+    * corpus AS OF that ingest (batch 0 = the stored half, batch 1 = the
+    * whole corpus), keyed by batch_id. The split is q287/q290's
+    * max-id-halving, spelled with integer division on both engines. */
+  private val pretrainFunnelSeriesSql: String = {
+    def arm(batchId: Int, where: String): String =
+      s"""(${pretrainChainCtesFrom("docsrc",
+             head = s"docsrc AS (SELECT * FROM documents$where),\n")}
+         |SELECT CAST($batchId AS BIGINT) AS batch_id, * FROM (
+         |$pretrainFunnelStages
+         |))""".stripMargin
+    s"""SELECT * FROM (
+       |${arm(0, " WHERE doc_id <= (SELECT max(doc_id) // 2 FROM documents)")}
+       |UNION ALL
+       |${arm(1, "")}
+       |) ORDER BY batch_id, stage_idx""".stripMargin
   }
 
   /** q151's oracle, generated: q20's feature expressions, then `iters`
@@ -4679,9 +4749,19 @@ object SparkEntry {
     * whose every char appears in a TRAINABLE (≤ maxWordLen) train word —
     * the unigram alphabet, the binding constraint. */
   private def tokenizerFamiliesSql(
-      budget: Int, evalMod: Int, m: Int, k: Int, seedMulti: Int): String = {
+      budget: Int, evalMod: Int, m: Int, k: Int, seedMulti: Int,
+      byteFallback: Boolean = false): String = {
     val trainWhere = s" WHERE doc_id % $evalMod <> 0"
-    def holdoutCtes(alphaSrc: String): String =
+    // byteFallback keeps the WHOLE holdout word table (hw = hw0): the
+    // merge arms answer OOV characters as single byte pieces through the
+    // shared apply rounds (no learned pair can contain an untrained
+    // char), and the unigram arm byte-falls-back any word its DP cannot
+    // segment (hwbad words + over-length words) via the COALESCE(length)
+    // branch — mirror of TextAnalysis.tokenizerFamilyComparisonFallback
+    def holdoutCtes(alphaSrc: String): String = {
+      val hwDef =
+        if (byteFallback) "SELECT w, freq FROM hw0"
+        else "SELECT w, freq FROM hw0 WHERE w NOT IN (SELECT w FROM hwbad)"
       s"""toksh AS (
          |  SELECT doc_id,
          |    list_filter(string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g')), ' '), x -> x <> '') AS t
@@ -4695,8 +4775,8 @@ object SparkEntry {
          |    SELECT w, substr(w, CAST(i + 1 AS INT), 1) AS ch
          |    FROM (SELECT w, unnest(range(length(w))) AS i FROM hw0))
          |  WHERE ch NOT IN (SELECT ch FROM alph)),
-         |hw AS MATERIALIZED (
-         |  SELECT w, freq FROM hw0 WHERE w NOT IN (SELECT w FROM hwbad))""".stripMargin
+         |hw AS MATERIALIZED ($hwDef)""".stripMargin
+    }
     def readout(fam: String, segSrc: String): String =
       s"""agg AS (
          |  SELECT CAST(COALESCE(sum(freq), 0) AS BIGINT) AS n_words,
@@ -4737,7 +4817,8 @@ object SparkEntry {
          |${holdoutCtes("SELECT piece AS ch FROM v0 WHERE length(piece) = 1")},
          |hwt AS MATERIALIZED (
          |  SELECT w, freq, CAST(length(w) AS INT) AS len FROM hw
-         |  WHERE length(w) <= $m),
+         |  WHERE length(w) <= $m${
+           if (byteFallback) " AND w NOT IN (SELECT w FROM hwbad)" else ""}),
          |${unigramEmRoundCtes(5, "r4", "v3", m, k, src = "hwt")},
          |np AS MATERIALIZED (
          |  SELECT w, CAST($npSum AS BIGINT) AS np FROM wk5_$m),
@@ -8684,6 +8765,12 @@ object SparkEntry {
     // (train-slice filtered) + holdout encodes off the shared constants
     "q286_tokenizer_families" ->
       tokenizerFamiliesSql(budget = 3, evalMod = 17, m = 10, k = 4, seedMulti = 48),
+    // the same three arms on the UNRESTRICTED holdout: hw = hw0, merge
+    // arms unchanged past that, unigram DP-eligibility excludes hwbad
+    // words which byte-fallback through COALESCE(length)
+    "q289_tokenizer_families_fallback" ->
+      tokenizerFamiliesSql(budget = 3, evalMod = 17, m = 10, k = 4, seedMulti = 48,
+        byteFallback = true),
     // q31's pair chain + q20's quality (centi-quantized) + q72's
     // recursive components, keeper by (quality desc, id asc)
     "q282_dedup_keep_best" -> dedupKeepBestSql,
@@ -10031,6 +10118,12 @@ object SparkEntry {
     // LAW gate: the artifact-fed increment must reproduce the whole-
     // corpus capstone rebuild — the oracle IS q283's SQL
     "q287_pretrain_pipeline_increment" -> pretrainPipelineSql(ctx = 256),
+    // the artifact set round-trips the parquet layer; increment from the
+    // read-back state must STILL equal the whole rebuild — q283's SQL
+    "q290_pretrain_artifact_roundtrip" -> pretrainPipelineSql(ctx = 256),
+    // one scoped chain+funnel arm per ingest over the as-of corpus,
+    // keyed by batch_id — the shared constants, twice
+    "q291_pretrain_funnel_series" -> pretrainFunnelSeriesSql,
     // the capstone chain terminated at the per-stage funnel instead of
     // the packing tail — same shared WITH-prefix constant
     "q288_pretrain_funnel" -> pretrainFunnelSql,

@@ -298,6 +298,33 @@ object CorpusPrep {
       .orderBy("stage_idx")
   }
 
+  /** FUNNEL-OVER-INGESTS time series — the operational artifact a data
+    * team actually watches ("did decontamination cost spike this week?"):
+    * for each ingest, the [[pretrainFunnel]] of the corpus AS OF that
+    * ingest, keyed by the ingest's batch id. Stage deltas between
+    * consecutive batch ids isolate what each ingest added and what each
+    * stage took from it. One funnel run per ingest, one union — exactly
+    * the rows a daily job appends to its funnel history table.
+    * Output: batch_id, stage_idx, stage, n_docs, n_tokens. */
+  def pretrainFunnelSeries(
+      batches: Seq[(Long, DataFrame)],
+      t: Thresholds = Thresholds(),
+      evalMod: Int = 17,
+      alpha: Double = 0.5,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      sourceCol: String = "source"): DataFrame = {
+    require(batches.nonEmpty, "need at least one ingest batch")
+    require(batches.map(_._1).sliding(2).forall(w => w.length < 2 || w(0) < w(1)),
+      s"ingest batch ids must be strictly increasing, got ${batches.map(_._1)}")
+    batches.zipWithIndex.map { case ((id, _), i) =>
+      val asOf = batches.take(i + 1).map(_._2).reduce(_ unionByName _)
+      pretrainFunnel(asOf, t, evalMod, alpha, textCol, idCol, sourceCol)
+        .select(lit(id).as("batch_id"), col("stage_idx"), col("stage"),
+          col("n_docs"), col("n_tokens"))
+    }.reduce(_ unionByName _).orderBy("batch_id", "stage_idx")
+  }
+
   /** One batch run's COMPLETE artifact set for [[pretrainPipelineIncrement]]
     * — every frame a materialized layer the daily job writes anyway:
     * the post-quality post-exact corpus, its text fingerprints (known-dup
@@ -384,7 +411,30 @@ object CorpusPrep {
       ctxTokens: Int = 256,
       textCol: String = "text",
       idCol: String = "doc_id",
-      sourceCol: String = "source"): DataFrame = {
+      sourceCol: String = "source"): DataFrame =
+    pretrainIncrementWithArtifacts(a, newDocs, t, evalMod, alpha, ctxTokens,
+      textCol, idCol, sourceCol)._1
+
+  /** [[pretrainPipelineIncrement]] PLUS the batch's artifact DELTAS — what
+    * the daily job stores: every field of the returned [[PretrainArtifacts]]
+    * holds ONLY the rows this batch added (batch-sized), and the artifact
+    * sets merge by plain union — stored ∪ deltas ≡ [[pretrainArtifacts]] of
+    * the cumulative corpus (exact-set membership by the q118 min-id law,
+    * pairs by the q285 three-way split, winnowing fingerprints by the q249
+    * per-doc union law, sketches/scores per-doc deterministic). The batch is
+    * sketched ONCE (the checkpointed `newSketch` feeds the within-batch
+    * pair join, the cross join against the stored sketch, and the stored
+    * delta). */
+  def pretrainIncrementWithArtifacts(
+      a: PretrainArtifacts,
+      newDocs: DataFrame,
+      t: Thresholds = Thresholds(),
+      evalMod: Int = 17,
+      alpha: Double = 0.5,
+      ctxTokens: Int = 256,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      sourceCol: String = "source"): (DataFrame, PretrainArtifacts) = {
     require(evalMod >= 2, s"need evalMod >= 2, got $evalMod")
     // the increment LAW's precondition (monotonic ingest ids: every batch
     // id exceeds every stored id) fails LOUDLY instead of silently
@@ -409,38 +459,88 @@ object CorpusPrep {
         Seq("__fp"), "left_anti")
       .drop("__fp")
       .localCheckpoint(true)
+    val newSketch = Dedup.sketchDocs(newExact, textCol, idCol)
+      .localCheckpoint(true)
     val crossPairs = Dedup
-      .incrementalNearDupPairsAgainstSketch(newExact, a.sketch,
-        textCol, idCol, minJaccard = t.minJaccard)
+      .crossNearDupPairsFromSketches(newSketch, a.sketch,
+        minJaccard = t.minJaccard)
       .select(col("existing_id").as("doc_a"), col("new_id").as("doc_b"))
-    val pairs = a.pairs
-      .unionByName(Dedup.minhashNearDupPairs(newExact, textCol, idCol,
-          minJaccard = t.minJaccard)
-        .select("doc_a", "doc_b"))
+    val newPairs = Dedup
+      .nearDupPairsFromSketch(newSketch, minJaccard = t.minJaccard)
+      .select("doc_a", "doc_b")
       .unionByName(crossPairs)
+    val pairs = a.pairs.unionByName(newPairs)
     val exactAll = a.exactDocs.unionByName(newExact)
+    val newScoredExact = newScored.join(newExact.select(idCol), Seq(idCol))
     val keepers = Dedup.dedupClustersKeepBest(pairs,
-        a.scored.unionByName(newScored.join(newExact.select(idCol), Seq(idCol))),
-        idCol = idCol)
+        a.scored.unionByName(newScoredExact), idCol = idCol)
       .filter(col("is_keeper")).select(idCol)
     val trainCand = exactAll.join(keepers, Seq(idCol))
       .filter(col(idCol) % evalMod =!= 0).localCheckpoint(true)
     // per-doc fingerprint artifacts merge by union (q249); the new batch
     // fingerprints only itself
+    val newWinnowFps = Dedup.winnowingFingerprints(newExact, textCol = textCol,
+      idCol = idCol)
     val trainFps = a.winnowFps
-      .unionByName(Dedup.winnowingFingerprints(newExact, textCol = textCol,
-        idCol = idCol))
+      .unionByName(newWinnowFps)
       .join(trainCand.select(idCol), Seq(idCol))
-    val evalFps = a.evalFps.unionByName(Dedup.winnowingFingerprints(
+    val newEvalFps = Dedup.winnowingFingerprints(
       newDocs.filter(col(idCol) % evalMod === 0), textCol = textCol,
-      idCol = idCol))
+      idCol = idCol)
+    val evalFps = a.evalFps.unionByName(newEvalFps)
     val contaminated = Dedup
       .winnowingDecontamFromFingerprints(trainFps, evalFps, idCol = idCol)
       .select(idCol)
     val clean = trainCand.join(contaminated, Seq(idCol), "left_anti")
       .localCheckpoint(true)
-    sequencePack(temperatureKeep(clean, alpha, sourceCol, idCol),
+    val packed = sequencePack(temperatureKeep(clean, alpha, sourceCol, idCol),
       ctxTokens, textCol, idCol)
+    val deltas = PretrainArtifacts(
+      exactDocs = newExact,
+      fingerprints = newExact
+        .select(TextAnalysis.fingerprint(col(textCol)).as("fingerprint"))
+        .distinct(),
+      sketch = newSketch,
+      pairs = newPairs,
+      scored = newScoredExact,
+      winnowFps = newWinnowFps,
+      evalFps = newEvalFps)
+    (packed, deltas)
+  }
+
+  /** On-disk layout of the artifact LAYER: `root/<kind>/v=<version>/`
+    * parquet DELTAS, one version directory per ingest (version = the
+    * batch/ingest id). Each write lands only batch-sized deltas; reads
+    * union every version STRICTLY BELOW a bound (partition-pruned on the
+    * `v` directory column), so a crashed-and-replayed ingest that already
+    * wrote its own version still reads exactly the pre-batch state, and
+    * re-overwriting `v=<id>` is idempotent — the replay contract
+    * [[graft.streaming.PretrainStreamJob]] builds on. */
+  private val artifactKinds: Seq[String] = Seq(
+    "exact", "fingerprints", "sketch", "pairs", "scored",
+    "winnow_fps", "eval_fps")
+
+  private def kindFrames(a: PretrainArtifacts): Seq[(String, DataFrame)] =
+    artifactKinds.zip(Seq(a.exactDocs, a.fingerprints, a.sketch, a.pairs,
+      a.scored, a.winnowFps, a.evalFps))
+
+  /** Write an artifact (delta) set as version `version` of the layer. */
+  def writeArtifacts(a: PretrainArtifacts, root: String, version: Long): Unit =
+    kindFrames(a).foreach { case (kind, df) =>
+      graft.sinks.ParquetLayerSink.overwriteMart(df, s"$root/$kind/v=$version")
+    }
+
+  /** Read the layer state as of (exclusive) `maxVersionExclusive` — the
+    * union of all delta versions below it. */
+  def readArtifacts(
+      spark: org.apache.spark.sql.SparkSession,
+      root: String,
+      maxVersionExclusive: Long): PretrainArtifacts = {
+    def rd(kind: String): DataFrame =
+      spark.read.parquet(s"$root/$kind")
+        .filter(col("v") < maxVersionExclusive).drop("v")
+    PretrainArtifacts(rd("exact"), rd("fingerprints"), rd("sketch"),
+      rd("pairs"), rd("scored"), rd("winnow_fps"), rd("eval_fps"))
   }
 
   /** Length-bucketed batch packing: assign documents to fixed-size training

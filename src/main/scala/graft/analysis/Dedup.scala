@@ -341,24 +341,39 @@ object Dedup {
       bands: Int = 4,
       minJaccard: Double = 0.8): DataFrame = {
     val newSide = sketchDocs(newDocs, textCol, idCol, shingleN, k).persist()
+    try crossNearDupPairsFromSketches(newSide, existingSketch, k, bands, minJaccard)
+    finally { newSide.unpersist(); () }
+  }
+
+  /** [[incrementalNearDupPairsAgainstSketch]] when BOTH sides are already
+    * materialized (id, sh, sig) sketches — the shape of a daily ingest
+    * that sketches its batch ONCE and consumes the sketch for the
+    * within-batch pair join ([[nearDupPairsFromSketch]]), the cross join
+    * here, AND tomorrow's stored artifact. The caller owns both sketches'
+    * materialization. Output: new_id, existing_id, jaccard (≥ minJaccard). */
+  def crossNearDupPairsFromSketches(
+      newSketch: DataFrame,
+      existingSketch: DataFrame,
+      k: Int = 16,
+      bands: Int = 4,
+      minJaccard: Double = 0.8): DataFrame = {
     def bandRows(side: DataFrame) = side
       .select(col("id"), explode(lshBandHashes(col("sig"), bands, k / bands)).as("b"))
       .select(col("id"), col("b.band_id"), col("b.band_hash"))
-    val candidates = bandRows(newSide).as("x")
+    val candidates = bandRows(newSketch).as("x")
       .join(bandRows(existingSketch).as("y"),
         col("x.band_id") === col("y.band_id") && col("x.band_hash") === col("y.band_hash"))
       .select(col("x.id").as("new_id"), col("y.id").as("existing_id"))
       .distinct()
     val result = candidates
-      .join(newSide.select(col("id").as("new_id"), col("sh").as("sh_a")), "new_id")
+      .join(newSketch.select(col("id").as("new_id"), col("sh").as("sh_a")), "new_id")
       .join(existingSketch.select(col("id").as("existing_id"), col("sh").as("sh_b")), "existing_id")
       .withColumn("jaccard",
         size(array_intersect(col("sh_a"), col("sh_b"))).cast(DoubleType) /
           size(array_union(col("sh_a"), col("sh_b"))).cast(DoubleType))
       .filter(col("jaccard") >= minJaccard)
       .select(col("new_id"), col("existing_id"), round(col("jaccard"), 4).as("jaccard"))
-    try result.localCheckpoint(true)
-    finally { newSide.unpersist(); () }
+    result.localCheckpoint(true)
   }
 
   /** Convenience overload sketching the existing side from raw docs — for

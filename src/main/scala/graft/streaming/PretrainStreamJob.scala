@@ -1,0 +1,100 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.analysis.CorpusPrep
+
+/** The CAPSTONE as a daily-ingest streaming job — the reference's lambda
+  * shape (streaming_to_analytics_mart_realtime.py:345-381's foreachBatch
+  * + checkpoint contract) applied to the engine's flagship pipeline:
+  * each micro-batch of new documents runs
+  * [[graft.analysis.CorpusPrep.pretrainIncrementWithArtifacts]] against
+  * the artifact LAYER (yesterday's state), hands the packed readout to
+  * the sink, and appends the batch's artifact DELTAS as a new layer
+  * version.
+  *
+  * Replay contract (crash between the artifact write and the sink/
+  * checkpoint commit): versions are keyed by the deterministic streaming
+  * `batchId`, reads take only versions STRICTLY BELOW the current batch,
+  * and the delta write is an overwrite of `v=<batchId>` alone — so a
+  * replayed batch reads exactly the pre-batch state, recomputes the same
+  * deltas, and overwrites its own partial leftovers. Nothing is
+  * double-counted; PipelineSpec pins two-batch ≡ whole-rebuild AND
+  * replay-idempotency.
+  *
+  * Monotonic ingest ids (every batch id above every stored doc id) are
+  * the increment law's precondition — the increment itself guards it
+  * loudly. The first batch (no prior layer version) bootstraps:
+  * whole-pipeline run + full artifact build, the same two calls a
+  * backfill makes. */
+object PretrainStreamJob {
+
+  /** True when the layer holds any version strictly below `batchId` —
+    * Hadoop-FS listing of the exact-docs kind (all kinds are written
+    * together, so one kind's versions are the layer's). */
+  def hasPriorVersion(spark: SparkSession, root: String, batchId: Long): Boolean = {
+    val path = new org.apache.hadoop.fs.Path(s"$root/exact")
+    val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.exists(path) && fs.listStatus(path).exists { st =>
+      val n = st.getPath.getName
+      st.isDirectory && n.startsWith("v=") &&
+        scala.util.Try(n.stripPrefix("v=").toLong).toOption.exists(_ < batchId)
+    }
+  }
+
+  /** One micro-batch: read the pre-batch layer state, increment (or
+    * bootstrap), write this batch's deltas as `v=<batchId>`, emit the
+    * packed readout. Exposed for direct spec-level replay injection. */
+  def processBatch(
+      spark: SparkSession,
+      batch: DataFrame,
+      batchId: Long,
+      artifactRoot: String,
+      sink: (Long, DataFrame) => Unit,
+      t: CorpusPrep.Thresholds = CorpusPrep.Thresholds(),
+      evalMod: Int = 17,
+      alpha: Double = 0.5,
+      ctxTokens: Int = 256): Unit = {
+    if (hasPriorVersion(spark, artifactRoot, batchId)) {
+      val (packed, deltas) = CorpusPrep.pretrainIncrementWithArtifacts(
+        CorpusPrep.readArtifacts(spark, artifactRoot, batchId), batch,
+        t, evalMod, alpha, ctxTokens)
+      CorpusPrep.writeArtifacts(deltas, artifactRoot, batchId)
+      sink(batchId, packed)
+    } else {
+      // bootstrap: the batch IS the corpus — same two calls as a backfill
+      CorpusPrep.writeArtifacts(
+        CorpusPrep.pretrainArtifacts(batch, t, evalMod), artifactRoot, batchId)
+      sink(batchId, CorpusPrep.pretrainPipeline(batch, t, evalMod, alpha, ctxTokens))
+    }
+  }
+
+  /** Start the stream; `sink` is called once per non-empty micro-batch
+    * with (batchId, packed occupancy histogram). Empty batches are
+    * skipped whole — no layer version is written, so they cannot shadow
+    * a later replay. */
+  def start(
+      source: DataFrame,
+      artifactRoot: String,
+      sink: (Long, DataFrame) => Unit,
+      checkpointPath: String,
+      trigger: Trigger = Trigger.ProcessingTime("1 day"),
+      t: CorpusPrep.Thresholds = CorpusPrep.Thresholds(),
+      evalMod: Int = 17,
+      alpha: Double = 0.5,
+      ctxTokens: Int = 256): StreamingQuery =
+    source.writeStream
+      .outputMode("append")
+      .trigger(trigger)
+      .option("checkpointLocation", checkpointPath)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          batch.persist()
+          try processBatch(batch.sparkSession, batch, batchId, artifactRoot,
+            sink, t, evalMod, alpha, ctxTokens)
+          finally { batch.unpersist(); () }
+        }
+      }
+      .start()
+}

@@ -95,5 +95,13 @@ class GateMarginSpec extends SparkSpec {
     minMargin(CorpusPrep.pretrainClean(docs)).foreach(m => assert(m > 1e-6,
       s"a q283 clean-corpus keep rate sits $m bp-units from its floor " +
         "boundary — cross-build pow drift could flip rate_bp"))
+    // q291's batch-0 arm runs the SAME mixture over the as-of HALF corpus
+    // (q287/q290's max-id split) — a different per-source count vector,
+    // so its rates need their own boundary measurement
+    val half = docs.agg(max("doc_id")).head.getLong(0) / 2
+    minMargin(CorpusPrep.pretrainClean(docs.filter(col("doc_id") <= half)))
+      .foreach(m => assert(m > 1e-6,
+        s"a q291 batch-0 clean-corpus keep rate sits $m bp-units from its " +
+          "floor boundary — cross-build pow drift could flip rate_bp"))
   }
 }

@@ -301,6 +301,115 @@ class PipelineSpec extends SparkSpec {
     assert(clean === Set(1L, 7L, 8L, 10L, 11L, 14L, 15L))
   }
 
+  test("funnel series: per-ingest rows are the as-of funnels, keyed and ordered by batch id") {
+    import spark.implicits._
+    import graft.analysis.CorpusPrep
+    def mk(prefix: String, n: Int): String =
+      (1 to n).map(i => s"$prefix$i").mkString(" ") + " the of"
+    val docs = Seq(
+      (1L, mk("aa", 38), "web"),
+      (4L, mk("na", 38), "web"),
+      (10L, mk("ha", 38), "books"),
+      (13L, mk("aa", 38), "web"),            // exact dup of ingest-0 doc 1
+      (14L, mk("na", 38) + " zz1", "web")    // flips ingest-0 doc 4's keeper
+    ).toDF("doc_id", "text", "source")
+    val b0 = docs.filter($"doc_id" <= 12)
+    val b1 = docs.filter($"doc_id" > 12)
+    val series = CorpusPrep.pretrainFunnelSeries(Seq(5L -> b0, 9L -> b1))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    def funnelOf(d: org.apache.spark.sql.DataFrame) =
+      CorpusPrep.pretrainFunnel(d)
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(series.filter(_._1 == 5L).map(t => (t._2, t._3, t._4)).toSeq
+      === funnelOf(b0).toSeq)
+    assert(series.filter(_._1 == 9L).map(t => (t._2, t._3, t._4)).toSeq
+      === funnelOf(docs).toSeq)
+    // non-monotonic ingest ids are a caller bug, loudly
+    intercept[IllegalArgumentException] {
+      CorpusPrep.pretrainFunnelSeries(Seq(9L -> b0, 5L -> b1))
+    }
+  }
+
+  test("artifact layer round-trip: increment from read-back parquet state ≡ rebuild; empty deltas keep their schema") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.analysis.CorpusPrep
+    def mk(prefix: String, n: Int): String =
+      (1 to n).map(i => s"$prefix$i").mkString(" ") + " the of"
+    val contamPhrase = (1 to 10).map(i => s"p$i").mkString(" ")
+    val docs = Seq(
+      (1L, mk("aa", 38), "web"),
+      (4L, mk("na", 38), "web"),
+      (6L, mk("ca", 28) + " " + contamPhrase, "web"),
+      (10L, mk("ha", 38), "books"),
+      (13L, mk("aa", 38), "web"),
+      (14L, mk("na", 38) + " zz1", "web"),
+      (17L, contamPhrase + " " + mk("ea", 20), "web")
+    ).toDF("doc_id", "text", "source")
+    val old = docs.filter($"doc_id" <= 12)
+    val fresh = docs.filter($"doc_id" > 12)
+    val root = tmpDir("artifact_layer")
+    // the OLD half has NO verified near-dup pairs: the pairs delta is an
+    // EMPTY frame, pinning that an empty parquet write preserves schema
+    // through the read-back (the silent-drift class this law exists for)
+    val a = CorpusPrep.pretrainArtifacts(old)
+    assert(a.pairs.isEmpty)
+    CorpusPrep.writeArtifacts(a, root, version = 0L)
+    val back = CorpusPrep.readArtifacts(spark, root, maxVersionExclusive = 1L)
+    // dtypes survive the boundary exactly (parquet relaxes nullability —
+    // names and types are the drift surface)
+    assert(back.sketch.schema.simpleString === a.sketch.schema.simpleString)
+    assert(back.pairs.schema.simpleString === a.pairs.schema.simpleString)
+    assert(back.scored.schema.simpleString === a.scored.schema.simpleString)
+    val whole = CorpusPrep.pretrainPipeline(docs, ctxTokens = 8)
+      .collect().map(_.toSeq).toSeq
+    val inc = CorpusPrep.pretrainPipelineIncrement(back, fresh, ctxTokens = 8)
+      .collect().map(_.toSeq).toSeq
+    assert(inc === whole)
+  }
+
+  test("pretrain stream job: two micro-batches ≡ whole rebuild, and a crash-replayed batch is idempotent") {
+    import spark.implicits._
+    import graft.analysis.CorpusPrep
+    import graft.streaming.PretrainStreamJob
+    def mk(prefix: String, n: Int): String =
+      (1 to n).map(i => s"$prefix$i").mkString(" ") + " the of"
+    val contamPhrase = (1 to 10).map(i => s"p$i").mkString(" ")
+    val docs = Seq(
+      (1L, mk("aa", 38), "web"),
+      (4L, mk("na", 38), "web"),
+      (6L, mk("ca", 28) + " " + contamPhrase, "web"),
+      (7L, mk("da", 38), "web"),
+      (10L, mk("ha", 38), "books"),
+      (13L, mk("aa", 38), "web"),             // exact dup of batch-0 doc 1
+      (14L, mk("na", 38) + " zz1", "web"),    // flips batch-0 doc 4's keeper
+      (17L, contamPhrase + " " + mk("ea", 20), "web") // eval doc contaminating batch-0 doc 6
+    ).toDF("doc_id", "text", "source")
+    val b0 = docs.filter($"doc_id" <= 12)
+    val b1 = docs.filter($"doc_id" > 12)
+    val root = tmpDir("pretrain_stream_layer")
+    val emitted = scala.collection.mutable.ArrayBuffer.empty[(Long, Seq[Seq[Any]])]
+    def sink(id: Long, df: org.apache.spark.sql.DataFrame): Unit =
+      emitted += ((id, df.collect().map(_.toSeq).toSeq))
+    // drive the exact foreachBatch body the streaming query runs
+    PretrainStreamJob.processBatch(spark, b0, 0L, root, sink, ctxTokens = 8)
+    PretrainStreamJob.processBatch(spark, b1, 1L, root, sink, ctxTokens = 8)
+    val whole = CorpusPrep.pretrainPipeline(docs, ctxTokens = 8)
+      .collect().map(_.toSeq).toSeq
+    assert(emitted(1)._2 === whole)
+    // CRASH REPLAY: batch 1 already wrote its layer version (v=1) but the
+    // checkpoint never committed — the engine re-runs it. The replay must
+    // read only pre-batch state (v < 1), overwrite its own leftovers, and
+    // emit the identical readout; the layer must not double-count
+    PretrainStreamJob.processBatch(spark, b1, 1L, root, sink, ctxTokens = 8)
+    assert(emitted(2)._2 === whole)
+    val layer = CorpusPrep.readArtifacts(spark, root, maxVersionExclusive = 2L)
+    val rebuilt = CorpusPrep.pretrainArtifacts(docs)
+    assert(layer.exactDocs.select("doc_id").collect().map(_.getLong(0)).sorted
+      === rebuilt.exactDocs.select("doc_id").collect().map(_.getLong(0)).sorted)
+    assert(layer.pairs.count() === rebuilt.pairs.count())
+  }
+
   test("increment law precondition fails loudly: non-monotonic batch ids throw") {
     import spark.implicits._
     import graft.analysis.CorpusPrep

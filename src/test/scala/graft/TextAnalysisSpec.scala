@@ -851,4 +851,32 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out === Map("bpe" -> 1L, "unigram" -> 1L, "wordpiece" -> 1L))
   }
 
+  test("byte-fallback family report: train-unseen chars stay in the holdout and encode as byte pieces") {
+    import spark.implicits._
+    // 'x' and '9' never appear in the train slice; under byte fallback
+    // the holdout keeps BOTH words — "qx9" cannot merge (no learned pair
+    // contains an untrained char) and the unigram DP byte-falls-back the
+    // whole word, so every family reports n_words = 2 and "qx9" costs 3
+    // pieces in every arm (each char is one single-byte piece)
+    val docs = Seq(
+      (1L, "ab ab ab ab ac ac bc bc"),
+      (17L, "ab qx9")).toDF("doc_id", "text")
+    val out = graft.analysis.TextAnalysis
+      .tokenizerFamilyComparisonFallback(docs, budget = 1)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(4))).toMap
+    // budget-1 trainers all adopt "ab" ("a b" is the count AND ratio
+    // argmax on this train slice): holdout "ab" -> 1 piece (whole word),
+    // "qx9" -> 3 byte pieces; 2 words, 4 pieces, whole rate 1/2
+    assert(out("bpe") === ((2L, 4L, 500000L)))
+    assert(out("wordpiece") === ((2L, 4L, 500000L)))
+    assert(out("unigram") === ((2L, 4L, 500000L)))
+    // the restricted report on the same fixture sees only "ab" — the
+    // fallback variant widened the holdout, it did not change scoring
+    val strict = graft.analysis.TextAnalysis
+      .tokenizerFamilyComparison(docs, budget = 1)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(strict.values.toSet === Set(1L))
+  }
+
 }

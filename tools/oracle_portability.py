@@ -99,6 +99,16 @@ MARGIN_SPEC_PINNED = {
     # gate can move — the same spec measurement covers it
     "q288_pretrain_funnel": "GateMarginSpec (mixture rate boundary; "
         "shares q283's pretrainChainCtes prefix)",
+    # q290's oracle IS q283's SQL verbatim; its Spark path converges on the
+    # same clean corpus (the parquet round-trip law) — the same mixture-rate
+    # measurement covers it
+    "q290_pretrain_artifact_roundtrip": "GateMarginSpec (mixture rate "
+        "boundary; oracle is q283's SQL verbatim)",
+    # q291 runs q283's chain twice (as-of half + whole corpus); the spec
+    # measures the mixture-rate boundary over BOTH frames (whole via the
+    # q283 case, batch-0 half via its own case)
+    "q291_pretrain_funnel_series": "GateMarginSpec (mixture rate boundary "
+        "measured over both as-of frames)",
 }
 
 # All-integer gate queries whose float stage is DETERMINISTIC IEEE on
