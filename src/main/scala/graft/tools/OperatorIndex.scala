@@ -80,12 +80,16 @@ object OperatorIndex {
   }
 
   /** All BENCHSCALE families, oldest first — later families' measurements
-    * override earlier ones for the same query (a fresh re-measure wins). */
+    * override earlier ones for the same query (a fresh re-measure wins).
+    * BENCHSCALE20 is deliberately absent: its artifacts (`_tpl{1,3,10,30}x`)
+    * are the q275-vs-q284 A/B on the TEMPLATE-mode corpus — a different
+    * corpus class whose numbers must not feed the standard-ScaleUp slope
+    * columns (PLANS.md round-14 carries that table). */
   private val scaleFamilies = Seq("BENCHSCALE", "BENCHSCALE2", "BENCHSCALE3",
     "BENCHSCALE4", "BENCHSCALE5", "BENCHSCALE6", "BENCHSCALE7", "BENCHSCALE8",
     "BENCHSCALE9", "BENCHSCALE10", "BENCHSCALE11", "BENCHSCALE12",
     "BENCHSCALE13", "BENCHSCALE14", "BENCHSCALE15", "BENCHSCALE16",
-    "BENCHSCALE17", "BENCHSCALE18", "BENCHSCALE19")
+    "BENCHSCALE17", "BENCHSCALE18", "BENCHSCALE19", "BENCHSCALE21")
 
   private def slopesBetween(lo: String, hi: String, ratio: Double): Map[String, Double] =
     scaleFamilies.foldLeft(Map.empty[String, Double]) { (acc, fam) =>
