@@ -1207,6 +1207,34 @@ object SparkEntry {
         CorpusPrep.readArtifacts(s, root, maxVersionExclusive = 1L),
         docs.filter(col("doc_id") > half))
     },
+    // LAW gate: q290 with the layer COMPACTED between write and read —
+    // two ingest versions (v=0 bootstrap on the first third, v=1 delta on
+    // the second) fold into ONE base at v=1 (DeltaLayerCompactor's
+    // rename-chain), and the increment from the compacted read-back must
+    // still equal the whole rebuild (oracle IS q283's SQL). Exercises
+    // fold + promote + read-union on the real artifact schemas (array
+    // sketches, long fingerprints, centi-quantized quality) — the
+    // retention job every versioned delta layer eventually needs
+    "q292_pretrain_layer_compaction" -> { (s, d) =>
+      val docs = TestData.documents(s, d)
+      val maxId = docs.agg(max("doc_id")).head.getLong(0)
+      val (aCut, bCut) = (maxId / 3, 2 * maxId / 3)
+      val root = sys.props("java.io.tmpdir") + "/graft_q292_layer"
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        new java.net.URI(root), s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(root), true)
+      CorpusPrep.writeArtifacts(
+        CorpusPrep.pretrainArtifacts(docs.filter(col("doc_id") <= aCut)),
+        root, version = 0L)
+      val (_, deltas) = CorpusPrep.pretrainIncrementWithArtifacts(
+        CorpusPrep.readArtifacts(s, root, maxVersionExclusive = 1L),
+        docs.filter(col("doc_id") > aCut && col("doc_id") <= bCut))
+      CorpusPrep.writeArtifacts(deltas, root, version = 1L)
+      CorpusPrep.compactArtifacts(s, root, upToInclusive = 1L)
+      CorpusPrep.pretrainPipelineIncrement(
+        CorpusPrep.readArtifacts(s, root, maxVersionExclusive = 2L),
+        docs.filter(col("doc_id") > bCut))
+    },
     // the funnel-over-ingests TIME SERIES (q288 per ingest, one union):
     // per batch id, the funnel of the corpus AS OF that ingest — stage
     // deltas between consecutive ids isolate what each ingest added and
@@ -10121,6 +10149,10 @@ object SparkEntry {
     // the artifact set round-trips the parquet layer; increment from the
     // read-back state must STILL equal the whole rebuild — q283's SQL
     "q290_pretrain_artifact_roundtrip" -> pretrainPipelineSql(ctx = 256),
+    // LAW gate: the layer COMPACTED (versions 0-1 folded into one base)
+    // must serve the same increment — q283's SQL again; the Spark side
+    // proves fold + promote + read-union change nothing in retention
+    "q292_pretrain_layer_compaction" -> pretrainPipelineSql(ctx = 256),
     // one scoped chain+funnel arm per ingest over the as-of corpus,
     // keyed by batch_id — the shared constants, twice
     "q291_pretrain_funnel_series" -> pretrainFunnelSeriesSql,

@@ -543,6 +543,40 @@ object CorpusPrep {
       rd("pairs"), rd("scored"), rd("winnow_fps"), rd("eval_fps"))
   }
 
+  /** Fold every layer version `<= upToInclusive` of EVERY artifact kind
+    * into one base directory per kind (at the highest folded version) —
+    * the retention job a daily [[graft.streaming.PretrainStreamJob]]
+    * schedules so a year of ingests does not leave ~365 delta dirs per
+    * kind under every read ([[graft.sinks.DeltaLayerCompactor]]; the
+    * reference's curated-layer compaction shape,
+    * streaming_to_curated_stream.py:186-216). In-retention reads are
+    * unchanged: [[readArtifacts]] with any bound > the max folded version
+    * returns row-identical state before and after; bounds at or below it
+    * are out of retention by design, so pick `upToInclusive` below the
+    * oldest replay bound still served (the stream's committed watermark).
+    * Per-kind folds are individually crash-safe (rename-chain + recover);
+    * a crash between kinds leaves a mixed layer that still satisfies the
+    * read invariant. */
+  def compactArtifacts(
+      spark: org.apache.spark.sql.SparkSession,
+      root: String,
+      upToInclusive: Long,
+      targetFiles: Int = 1): Unit =
+    artifactKinds.foreach { kind =>
+      graft.sinks.DeltaLayerCompactor.compactKind(
+        spark, s"$root/$kind", upToInclusive, targetFiles)
+      ()
+    }
+
+  /** Run [[graft.sinks.DeltaLayerCompactor.recoverKind]] over every kind —
+    * the job-start repair call after a crash mid-[[compactArtifacts]]. */
+  def recoverArtifactLayer(
+      spark: org.apache.spark.sql.SparkSession, root: String): Unit =
+    artifactKinds.foreach { kind =>
+      graft.sinks.DeltaLayerCompactor.recoverKind(spark, s"$root/$kind")
+      ()
+    }
+
   /** Length-bucketed batch packing: assign documents to fixed-size training
     * batches in token-length order, so sequences in a batch have similar
     * lengths and padding-to-max waste stays low — the standard "sorted

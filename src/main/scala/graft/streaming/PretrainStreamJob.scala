@@ -45,7 +45,21 @@ object PretrainStreamJob {
 
   /** One micro-batch: read the pre-batch layer state, increment (or
     * bootstrap), write this batch's deltas as `v=<batchId>`, emit the
-    * packed readout. Exposed for direct spec-level replay injection. */
+    * packed readout — then, every `compactEvery` batches, fold the layer's
+    * old versions (see below). Exposed for direct spec-level replay
+    * injection.
+    *
+    * Compaction cadence (`compactEvery` > 0): after the sink call, batch B
+    * folds every layer version `<= B - retainVersions` into one base per
+    * kind ([[graft.analysis.CorpusPrep.compactArtifacts]]) — without it a
+    * year of daily batches leaves ~365 delta dirs per kind under every
+    * read. Replay-safe for any `retainVersions >= 1`: the fold target
+    * stays STRICTLY below B, so a crash-replayed batch B (which reads
+    * `v < B` and overwrites only `v=B`) sees a row-identical pre-batch
+    * state whether or not the fold ran; batches the checkpoint already
+    * committed past are never replayed, so folding them loses nothing.
+    * `retainVersions` > 1 merely keeps more recent deltas unfolded (for
+    * layer inspection/debugging); correctness needs only >= 1. */
   def processBatch(
       spark: SparkSession,
       batch: DataFrame,
@@ -55,7 +69,13 @@ object PretrainStreamJob {
       t: CorpusPrep.Thresholds = CorpusPrep.Thresholds(),
       evalMod: Int = 17,
       alpha: Double = 0.5,
-      ctxTokens: Int = 256): Unit = {
+      ctxTokens: Int = 256,
+      compactEvery: Int = 0,
+      retainVersions: Int = 2): Unit = {
+    require(compactEvery == 0 || retainVersions >= 1,
+      s"retainVersions must be >= 1 when compaction is on (the replay " +
+        s"contract needs the fold to stay strictly below the current " +
+        s"batch), got $retainVersions")
     if (hasPriorVersion(spark, artifactRoot, batchId)) {
       val (packed, deltas) = CorpusPrep.pretrainIncrementWithArtifacts(
         CorpusPrep.readArtifacts(spark, artifactRoot, batchId), batch,
@@ -68,6 +88,10 @@ object PretrainStreamJob {
         CorpusPrep.pretrainArtifacts(batch, t, evalMod), artifactRoot, batchId)
       sink(batchId, CorpusPrep.pretrainPipeline(batch, t, evalMod, alpha, ctxTokens))
     }
+    if (compactEvery > 0 && batchId % compactEvery == 0 &&
+        batchId - retainVersions >= 0)
+      CorpusPrep.compactArtifacts(spark, artifactRoot,
+        upToInclusive = batchId - retainVersions)
   }
 
   /** Start the stream; `sink` is called once per non-empty micro-batch
@@ -83,7 +107,9 @@ object PretrainStreamJob {
       t: CorpusPrep.Thresholds = CorpusPrep.Thresholds(),
       evalMod: Int = 17,
       alpha: Double = 0.5,
-      ctxTokens: Int = 256): StreamingQuery =
+      ctxTokens: Int = 256,
+      compactEvery: Int = 0,
+      retainVersions: Int = 2): StreamingQuery =
     source.writeStream
       .outputMode("append")
       .trigger(trigger)
@@ -92,7 +118,7 @@ object PretrainStreamJob {
         if (!batch.isEmpty) {
           batch.persist()
           try processBatch(batch.sparkSession, batch, batchId, artifactRoot,
-            sink, t, evalMod, alpha, ctxTokens)
+            sink, t, evalMod, alpha, ctxTokens, compactEvery, retainVersions)
           finally { batch.unpersist(); () }
         }
       }

@@ -104,6 +104,12 @@ MARGIN_SPEC_PINNED = {
     # measurement covers it
     "q290_pretrain_artifact_roundtrip": "GateMarginSpec (mixture rate "
         "boundary; oracle is q283's SQL verbatim)",
+    # q292's oracle IS q283's SQL verbatim; its Spark path is q290's with
+    # the layer compacted between write and read, and the compaction law
+    # (DeltaCompactorSpec: folded-read ≡ delta-read) converges it on the
+    # same clean corpus — the same mixture-rate measurement covers it
+    "q292_pretrain_layer_compaction": "GateMarginSpec (mixture rate "
+        "boundary; oracle is q283's SQL verbatim)",
     # q291 runs q283's chain twice (as-of half + whole corpus); the spec
     # measures the mixture-rate boundary over BOTH frames (whole via the
     # q283 case, batch-0 half via its own case)
