@@ -89,7 +89,8 @@ object OperatorIndex {
     "BENCHSCALE4", "BENCHSCALE5", "BENCHSCALE6", "BENCHSCALE7", "BENCHSCALE8",
     "BENCHSCALE9", "BENCHSCALE10", "BENCHSCALE11", "BENCHSCALE12",
     "BENCHSCALE13", "BENCHSCALE14", "BENCHSCALE15", "BENCHSCALE16",
-    "BENCHSCALE17", "BENCHSCALE18", "BENCHSCALE19", "BENCHSCALE21")
+    "BENCHSCALE17", "BENCHSCALE18", "BENCHSCALE19", "BENCHSCALE21",
+    "BENCHSCALE22")
 
   private def slopesBetween(lo: String, hi: String, ratio: Double): Map[String, Double] =
     scaleFamilies.foldLeft(Map.empty[String, Double]) { (acc, fam) =>
