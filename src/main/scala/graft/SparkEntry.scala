@@ -1156,7 +1156,7 @@ object SparkEntry {
           floor(col("quality_score") * 100 + 0.5).cast("long")
             .as("quality_centi"))
       Dedup.dedupClustersKeepBest(
-        Dedup.minhashNearDupPairs(docs), scored)
+        Dedup.minhashNearDupPairs(docs), scored, pairsWithinScored = true)
     },
     // THE CAPSTONE — the full pretraining data job in ONE gated
     // statement: quality gate → exact dedup → near-dup clusters with the
@@ -1271,7 +1271,7 @@ object SparkEntry {
         Dedup.minhashNearDupPairs(old).select("doc_a", "doc_b")
           .unionByName(Dedup.minhashNearDupPairs(fresh).select("doc_a", "doc_b"))
           .unionByName(cross),
-        scored)
+        scored, pairsWithinScored = true)
     },
     // Fleiss' kappa over a 3-heuristic annotation panel (length band,
     // lexical-diversity band, stopword band — each a pure INTEGER
@@ -2071,7 +2071,8 @@ object SparkEntry {
     "q49_dedup_clusters" -> { (s, d) =>
       val emb = TestData.embeddings(s, d)
       val pairs = Similarity.embeddingNearDupPairsExact(emb, minCosine = 0.4)
-      Dedup.dedupClusters(pairs, emb.select(col("vec_id").as("doc_id")))
+      Dedup.dedupClusters(pairs, emb.select(col("vec_id").as("doc_id")),
+          pairsWithinDocs = true)
         .orderBy("doc_id")
     },
     // the composition a 100 TB dedup actually runs: connected components
@@ -2083,7 +2084,8 @@ object SparkEntry {
       val emb = TestData.embeddings(s, d)
       val pairs = Similarity.embeddingNearDupPairsWith(emb,
         Similarity.axisSignSignature(_, 6), minCosine = 0.4)
-      Dedup.dedupClusters(pairs, emb.select(col("vec_id").as("doc_id")))
+      Dedup.dedupClusters(pairs, emb.select(col("vec_id").as("doc_id")),
+          pairsWithinDocs = true)
         .orderBy("doc_id")
     },
     // q72's OCCUPANCY-CONSTANT production variant: signature width grows
@@ -2098,7 +2100,8 @@ object SparkEntry {
       val bits = Similarity.axisSignBitsFor(emb.count())
       val pairs = Similarity.embeddingNearDupPairsWith(emb,
         Similarity.axisSignSignature(_, bits), minCosine = 0.4)
-      Dedup.dedupClusters(pairs, emb.select(col("vec_id").as("doc_id")))
+      Dedup.dedupClusters(pairs, emb.select(col("vec_id").as("doc_id")),
+          pairsWithinDocs = true)
         .orderBy("doc_id")
     },
     // gap-based sessionization (window-function batch variant; the

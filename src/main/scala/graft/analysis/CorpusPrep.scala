@@ -238,7 +238,8 @@ object CorpusPrep {
     val exact = Dedup.dedupExact(qualityPass, textCol, idCol).localCheckpoint(true)
     val keepers = Dedup.dedupClustersKeepBest(
         Dedup.minhashNearDupPairs(exact, textCol, idCol, minJaccard = t.minJaccard),
-        scored.join(exact.select(idCol), Seq(idCol)), idCol = idCol)
+        scored.join(exact.select(idCol), Seq(idCol)), idCol = idCol,
+        pairsWithinScored = true)
       .filter(col("is_keeper")).select(idCol)
     val survivors0 = exact.join(keepers, Seq(idCol))
     val survivors =
@@ -317,12 +318,27 @@ object CorpusPrep {
     require(batches.nonEmpty, "need at least one ingest batch")
     require(batches.map(_._1).sliding(2).forall(w => w.length < 2 || w(0) < w(1)),
       s"ingest batch ids must be strictly increasing, got ${batches.map(_._1)}")
-    batches.zipWithIndex.map { case ((id, _), i) =>
-      val asOf = batches.take(i + 1).map(_._2).reduce(_ unionByName _)
-      pretrainFunnel(asOf, t, evalMod, alpha, textCol, idCol, sourceCol)
-        .select(lit(id).as("batch_id"), col("stage_idx"), col("stage"),
-          col("n_docs"), col("n_tokens"))
-    }.reduce(_ unionByName _).orderBy("batch_id", "stage_idx")
+    // arms are independent as-of runs (they union, never join): build them
+    // CONCURRENTLY so each arm's stage checkpoints back-fill the idle tail
+    // of the others' jobs (guide §2.6 — 2-3 in flight is plenty); results
+    // are per-arm deterministic, so ordering cannot matter
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(3, batches.size))
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    val arms =
+      try Await.result(Future.sequence(
+        batches.zipWithIndex.map { case ((id, _), i) =>
+          Future {
+            val asOf = batches.take(i + 1).map(_._2).reduce(_ unionByName _)
+            pretrainFunnel(asOf, t, evalMod, alpha, textCol, idCol, sourceCol)
+              .select(lit(id).as("batch_id"), col("stage_idx"), col("stage"),
+                col("n_docs"), col("n_tokens"))
+          }
+        }), Duration.Inf)
+      finally pool.shutdown()
+    arms.reduce(_ unionByName _).orderBy("batch_id", "stage_idx")
   }
 
   /** One batch run's COMPLETE artifact set for [[pretrainPipelineIncrement]]
@@ -473,7 +489,8 @@ object CorpusPrep {
     val exactAll = a.exactDocs.unionByName(newExact)
     val newScoredExact = newScored.join(newExact.select(idCol), Seq(idCol))
     val keepers = Dedup.dedupClustersKeepBest(pairs,
-        a.scored.unionByName(newScoredExact), idCol = idCol)
+        a.scored.unionByName(newScoredExact), idCol = idCol,
+        pairsWithinScored = true)
       .filter(col("is_keeper")).select(idCol)
     val trainCand = exactAll.join(keepers, Seq(idCol))
       .filter(col(idCol) % evalMod =!= 0).localCheckpoint(true)
@@ -524,10 +541,37 @@ object CorpusPrep {
     artifactKinds.zip(Seq(a.exactDocs, a.fingerprints, a.sketch, a.pairs,
       a.scored, a.winnowFps, a.evalFps))
 
-  /** Write an artifact (delta) set as version `version` of the layer. */
+  /** Run one task per artifact kind CONCURRENTLY (bounded pool): the seven
+    * kinds are independent jobs against disjoint paths, and Spark's
+    * scheduler happily overlaps them — each kind's straggler tail
+    * back-fills with the next kind's tasks instead of leaving the cluster
+    * idle (guide §2.6). Sequential kind-by-kind execution was measured as
+    * 7 fixed job latencies end-to-end on the r14 gate. Any failure
+    * propagates (Await rethrows), matching the sequential contract. */
+  private def forEachKindParallel[A](kinds: Seq[A])(f: A => Unit): Unit = {
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(4, kinds.size))
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    try Await.result(
+      Future.sequence(kinds.map(k => Future(f(k)))), Duration.Inf)
+    finally pool.shutdown()
+    ()
+  }
+
+  /** Write an artifact (delta) set as version `version` of the layer.
+    * Kinds write concurrently ([[forEachKindParallel]]), and each frame
+    * takes a REBALANCE hint so AQE sizes the output files adaptively
+    * (guide §6: one file for a gate-sized delta, ~advisory-sized files for
+    * a production batch) instead of emitting one file per upstream
+    * partition — the checkpointed artifact frames otherwise land as
+    * cluster-parallelism many KB-sized files per kind per day, the
+    * small-file spiral the compactor exists to fight. */
   def writeArtifacts(a: PretrainArtifacts, root: String, version: Long): Unit =
-    kindFrames(a).foreach { case (kind, df) =>
-      graft.sinks.ParquetLayerSink.overwriteMart(df, s"$root/$kind/v=$version")
+    forEachKindParallel(kindFrames(a)) { case (kind, df) =>
+      graft.sinks.ParquetLayerSink.overwriteMart(
+        df.hint("rebalance"), s"$root/$kind/v=$version")
     }
 
   /** Read the layer state as of (exclusive) `maxVersionExclusive` — the
@@ -562,7 +606,11 @@ object CorpusPrep {
       root: String,
       upToInclusive: Long,
       targetFiles: Int = 1): Unit =
-    artifactKinds.foreach { kind =>
+    // per-kind folds are independent (disjoint paths, individually
+    // crash-safe) — run them concurrently, same rationale as
+    // [[writeArtifacts]]; the cross-kind non-atomicity documented above
+    // is unchanged by ordering
+    forEachKindParallel(artifactKinds) { kind =>
       graft.sinks.DeltaLayerCompactor.compactKind(
         spark, s"$root/$kind", upToInclusive, targetFiles)
       ()
@@ -572,7 +620,7 @@ object CorpusPrep {
     * the job-start repair call after a crash mid-[[compactArtifacts]]. */
   def recoverArtifactLayer(
       spark: org.apache.spark.sql.SparkSession, root: String): Unit =
-    artifactKinds.foreach { kind =>
+    forEachKindParallel(artifactKinds) { kind =>
       graft.sinks.DeltaLayerCompactor.recoverKind(spark, s"$root/$kind")
       ()
     }

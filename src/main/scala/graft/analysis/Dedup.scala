@@ -36,6 +36,24 @@ object Dedup {
     Seq.fill(n)(x).reduceLeft(_ * _)
   }
 
+  /** Spread `df` across the cluster before a CPU-bound projection —
+    * WITHOUT paying a shuffle when the input already arrives in at least
+    * cluster-parallelism many splits (a large corpus scan, a checkpointed
+    * upstream stage). The old unconditional `repartition(par)` re-shuffled
+    * the full document payload even when the source was already spread —
+    * at corpus scale that is a whole-corpus text exchange for nothing
+    * (guide §2.4: remove shuffles outright). Partition-count probe only
+    * (plan compile, no job); results never depend on partitioning (all
+    * hashing is md5-deterministic). Streaming frames cannot be probed
+    * (`.rdd` is batch-only) and keep the unconditional spread — a
+    * micro-batch is small by construction, the exchange is trigger-sized. */
+  private[analysis] def spreadForCpu(df: DataFrame): DataFrame = {
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    if (df.isStreaming) df.repartition(par)
+    else if (df.rdd.getNumPartitions >= par) df
+    else df.repartition(par)
+  }
+
   /** Contiguous token n-grams ("shingles") as strings: size-n+1 of them for
     * size tokens, empty for documents shorter than n tokens.
     *
@@ -159,12 +177,10 @@ object Dedup {
     // at corpus scale the signature table is a materialized artifact reused
     // by every dedup run, not something recomputed per query.
     //
-    // repartition first: signature hashing is CPU-bound, and a small input
-    // file otherwise pins the whole corpus to one partition/core. On a real
-    // cluster the input arrives in many splits, but the rule stands — spread
-    // CPU-bound projections across all cores before computing them.
-    val par = docs.sparkSession.sparkContext.defaultParallelism
-    val withSets = docs.repartition(par).select(
+    // spread first: signature hashing is CPU-bound, and a small input
+    // file otherwise pins the whole corpus to one partition/core; inputs
+    // already in enough splits skip the exchange (spreadForCpu).
+    val withSets = spreadForCpu(docs).select(
       col(idCol).as("id"),
       shingleSet(col(textCol), shingleN).as("sh"))
       // docs shorter than the shingle size have empty sets → all-null
@@ -227,8 +243,7 @@ object Dedup {
       bBits: Int = 2,
       minJaccard: Double = 0.8): DataFrame = {
     require(bBits >= 1 && bBits <= 4, s"bBits must be 1..4 (one hex char), got $bBits")
-    val par = docs.sparkSession.sparkContext.defaultParallelism
-    val withSets = docs.repartition(par).select(
+    val withSets = spreadForCpu(docs).select(
         col(idCol).as("id"), shingleSet(col(textCol), shingleN).as("sh"))
       .filter(size(col("sh")) > 0)
       .persist()
@@ -280,7 +295,7 @@ object Dedup {
       idCol: String = "doc_id",
       shingleN: Int = 3,
       k: Int = 16): DataFrame =
-    docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
+    spreadForCpu(docs)
       .select(col(idCol).as("id"), shingleSet(col(textCol), shingleN).as("sh"))
       .filter(size(col("sh")) > 0)
       .withColumn("sig", minhashSignature(col("sh"), k))
@@ -419,7 +434,7 @@ object Dedup {
     import org.apache.spark.sql.expressions.Window
     // materialized + spread + short-doc filtered for the same reasons as
     // minhashNearDupPairs
-    val sets = docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
+    val sets = spreadForCpu(docs)
       .select(col(idCol).as("id"), shingleSet(col(textCol), shingleN).as("sh"))
       .withColumn("n_sh", size(col("sh")))
       .filter(col("n_sh") > 0)
@@ -476,7 +491,7 @@ object Dedup {
       minContainment: Double = 0.9,
       maxShingleDf: Long = Long.MaxValue): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val sets = docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
+    val sets = spreadForCpu(docs)
       .select(col(idCol).as("id"), shingleSet(col(textCol), shingleN).as("sh"))
       .withColumn("n_sh", size(col("sh")))
       .filter(col("n_sh") > 0)
@@ -538,32 +553,76 @@ object Dedup {
     * Edges whose endpoints are not in `nodes` are INERT (filtered before
     * the loop): an out-of-set id must never become a component label, or a
     * cluster could end up keeper-less (its min label pointing at a node
-    * that does not exist downstream). */
+    * that does not exist downstream). Callers that can PROVE every
+    * endpoint is in `nodes` (every in-repo dedup path: the pair feed is
+    * generated from the node set itself) pass `edgesWithinNodes = true`
+    * and skip the two corpus-sized semi-join exchanges — a plan-shape
+    * change only, the filters are no-ops under the guarantee. */
   def connectedComponents(
       edges: DataFrame,
       nodes: DataFrame,
       srcCol: String = "src",
       dstCol: String = "dst",
       idCol: String = "id",
-      maxIter: Int = 20): DataFrame = {
-    // both-endpoints-in-nodes filter: two semi-joins of the (small) edge
-    // set against the node ids, once before the loop — keeps out-of-set
-    // endpoints inert instead of letting them become labels
-    val nodeIds = nodes.select(col(idCol).as("__nid"))
-    val sym = edges
+      maxIter: Int = 20,
+      edgesWithinNodes: Boolean = false): DataFrame = {
+    val (labels, small) = componentLabels(edges, srcCol, dstCol, maxIter,
+      nodeFilter = if (edgesWithinNodes) None else Some(nodes.select(col(idCol))))
+    // singletons rejoin via a LEFT join; `labels` holds only edge-incident
+    // nodes, so when the edge set is measured-small it broadcasts and the
+    // corpus-sized `nodes` side never shuffles (guide §3.1: at 100 TB the
+    // near-dup population is tiny next to the corpus — this join was the
+    // one corpus-sized exchange in the old shape)
+    nodes.select(col(idCol).as("id"))
+      .join(if (small) broadcast(labels) else labels, Seq("id"), "left")
+      .select(col("id"), coalesce(col("label"), col("id")).as("component"))
+  }
+
+  /** How many symmetrized edge rows still count as "small" for the
+    * broadcast-gated component joins: 4M rows ≈ 64 MB of (long, long)
+    * broadcast — well under executor/driver comfort, far above any
+    * realistic near-dup population at gate scale. The label frame is
+    * bounded by the edge-incident node count ≤ 2·|sym|, so one measured
+    * count gates every broadcast in the loop and the tails. */
+  private[analysis] val ccBroadcastMaxSymRows: Long = 4L * 1000 * 1000
+
+  /** The min-label propagation loop over the EDGE-INCIDENT subgraph only:
+    * returns (labels = (id, label) for every edge-incident node,
+    * small = measured size gate for broadcasting the label frame).
+    * Only nodes touched by an edge can ever leave their own label —
+    * everything else is a fixed point of min-label propagation, so the
+    * loop cost scales with |pair-touched docs|, never |docs|; callers
+    * attach singletons back with a left join.
+    *
+    * When the measured symmetrized edge count is under
+    * [[ccBroadcastMaxSymRows]], the per-round joins take explicit
+    * broadcast hints: the label/nbr-min frames are label-population-sized,
+    * and broadcasting them removes every per-round exchange except the
+    * neighbour-min aggregation (checkpointed inputs carry no size stats,
+    * so the static planner would otherwise plan shuffle joins; the gate
+    * is a measured row count, not an estimate). Above the gate the round
+    * shape is the former shuffle-join form, unchanged. */
+  private[analysis] def componentLabels(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      maxIter: Int,
+      nodeFilter: Option[DataFrame]): (DataFrame, Boolean) = {
+    val sym0 = edges
       .select(col(srcCol).as("a"), col(dstCol).as("b"))
       .union(edges.select(col(dstCol).as("a"), col(srcCol).as("b")))
       .distinct()
-      .join(nodeIds.withColumnRenamed("__nid", "a"), Seq("a"), "left_semi")
-      .join(nodeIds.withColumnRenamed("__nid", "b"), Seq("b"), "left_semi")
-      .persist()
-    sym.count() // materialize once; reused every round
-    // Only nodes touched by an edge can ever leave their own label —
-    // everything else is a fixed point of min-label propagation. The loop
-    // therefore runs over the edge-incident subgraph ONLY, and singletons
-    // rejoin at the end. In a real dedup this is the difference between
-    // iterating over the corpus and iterating over the (tiny) near-dup
-    // population: per-round cost scales with |pair-touched docs|, not |docs|.
+    // both-endpoints-in-nodes filter: two semi-joins of the (small) edge
+    // set against the node ids — only when the caller could not prove the
+    // endpoints are in-set (see connectedComponents scaladoc)
+    val sym = nodeFilter.fold(sym0) { nodes =>
+      val nodeIds = nodes.toDF("__nid")
+      sym0
+        .join(nodeIds.withColumnRenamed("__nid", "a"), Seq("a"), "left_semi")
+        .join(nodeIds.withColumnRenamed("__nid", "b"), Seq("b"), "left_semi")
+    }.persist()
+    val symCount = sym.count() // materialize once; reused every round
+    val small = symCount <= ccBroadcastMaxSymRows
     var labels = sym.select(col("a").as("id")).distinct()
       .select(col("id"), col("id").as("label"))
       .localCheckpoint(true)
@@ -601,9 +660,7 @@ object Dedup {
     }
     sym.unpersist()
     require(changed == 0, s"connectedComponents did not converge in $maxIter rounds")
-    nodes.select(col(idCol).as("id"))
-      .join(labels, Seq("id"), "left")
-      .select(col("id"), coalesce(col("label"), col("id")).as("component"))
+    (labels, small)
   }
 
   /** C4-style corpus-wide sentence dedup: only the FIRST occurrence — in
@@ -850,8 +907,10 @@ object Dedup {
       docs: DataFrame,
       idCol: String = "doc_id",
       pairA: String = "doc_a",
-      pairB: String = "doc_b"): DataFrame =
-    connectedComponents(pairs, docs, srcCol = pairA, dstCol = pairB, idCol = idCol)
+      pairB: String = "doc_b",
+      pairsWithinDocs: Boolean = false): DataFrame =
+    connectedComponents(pairs, docs, srcCol = pairA, dstCol = pairB,
+      idCol = idCol, edgesWithinNodes = pairsWithinDocs)
       .select(col("id").as(idCol), col("component").as("cluster_id"),
         (col("id") === col("component")).as("is_keeper"))
 
@@ -863,10 +922,16 @@ object Dedup {
     * deterministic by construction when the score is integer-quantized
     * (pass quality CENTI-units, not the raw double).
     *
-    * Scale shape: one components pass (the caller's pair feed decides
-    * banded-vs-exact cost), one cluster-keyed argmax aggregate, one
-    * broadcastable keeper join — nothing beyond [[dedupClusters]]'s
-    * plan but the tiny per-cluster reduction.
+    * Scale shape: one components pass over the pair-touched subgraph (the
+    * caller's pair feed decides banded-vs-exact cost), one argmax
+    * aggregate over the CLUSTERED docs only, then one left join of the
+    * corpus-sized `scored` frame against the (label → keeper) map — under
+    * the measured size gate that map broadcasts, so the corpus never
+    * shuffles before the final ORDER BY. Singletons are their own keeper
+    * by definition (cluster_id = id, is_keeper = true), exactly the
+    * verdict the old corpus-wide argmax produced for one-member clusters.
+    * `pairsWithinScored = true` additionally skips the endpoint semi-join
+    * exchanges (see [[connectedComponents]]).
     * Output: doc_id, cluster_id, quality_centi, is_keeper. */
   def dedupClustersKeepBest(
       pairs: DataFrame,
@@ -874,17 +939,25 @@ object Dedup {
       idCol: String = "doc_id",
       pairA: String = "doc_a",
       pairB: String = "doc_b",
-      scoreCol: String = "quality_centi"): DataFrame = {
-    val cc = connectedComponents(pairs, scored.select(col(idCol)),
-        srcCol = pairA, dstCol = pairB, idCol = idCol)
-      .select(col("id").as(idCol), col("component").as("cluster_id"))
-      .join(scored, idCol)
-    val best = cc.groupBy("cluster_id")
+      scoreCol: String = "quality_centi",
+      pairsWithinScored: Boolean = false): DataFrame = {
+    val (labels0, small) = componentLabels(pairs, pairA, pairB, maxIter = 20,
+      nodeFilter = if (pairsWithinScored) None else Some(scored.select(col(idCol))))
+    val labels = labels0.withColumnRenamed("id", idCol)
+    def bc(df: DataFrame): DataFrame = if (small) broadcast(df) else df
+    // argmax over clustered docs only: scores attach to the label frame
+    // (label-population-sized), not the whole corpus
+    val clustered = scored.join(bc(labels), idCol)
+    val best = clustered.groupBy("label")
       .agg(min(struct((-col(scoreCol)).as("ns"), col(idCol).as("bid"))).as("b"))
-      .select(col("cluster_id"), col("b.bid").as("keeper_id"))
-    cc.join(best, "cluster_id")
-      .select(col(idCol), col("cluster_id"), col(scoreCol),
-        (col(idCol) === col("keeper_id")).as("is_keeper"))
+      .select(col("label"), col("b.bid").as("keeper_id"))
+    val labelKeeper = labels.join(bc(best), "label")
+    scored
+      .join(bc(labelKeeper), Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("label"), col(idCol)).as("cluster_id"),
+        col(scoreCol),
+        coalesce(col(idCol) === col("keeper_id"), lit(true)).as("is_keeper"))
       .orderBy(idCol)
   }
 
@@ -1572,14 +1645,13 @@ object Dedup {
       idCol: String = "doc_id"): DataFrame = {
     require(window >= 2 && maskBits >= 1 && maskBits <= 20)
     val norm = TextAnalysis.normalized(col(textCol))
-    val base = docs
+    // spread the per-char work across the cluster BEFORE the chunking
+    // projection: a small parquet layer arrives as few (often one)
+    // input splits, which would pin the whole per-char hot loop to one
+    // core of the cluster; already-spread inputs skip the exchange
+    val base = spreadForCpu(docs
       .select(col(idCol), norm.as("t"), length(norm).as("len"))
-      .filter(col("len") > 0)
-      // spread the per-char work across the cluster BEFORE the chunking
-      // projection: a small parquet layer arrives as few (often one)
-      // input splits, which would pin the whole per-char hot loop to one
-      // core of the cluster
-      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
+      .filter(col("len") > 0))
     // boundary positions: mod-prime Horner hash of the trailing `window`
     // char codes ≡ 0 (mod 2^maskBits) — pure integer multiply/add/mod,
     // exact and identical on any engine build. Evaluated by the native

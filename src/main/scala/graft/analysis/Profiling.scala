@@ -124,9 +124,10 @@ object Profiling {
     // before the partial aggregate, so its CPU cost is (k+1)× the scan —
     // and a small single parquet file arrives as ONE split, pinning all of
     // it to one core (measured 4×+ on a 32-core local run). On a real
-    // cluster the input arrives in many splits and this rebalance is one
-    // narrow-row shuffle; same rule as the sketch pipelines.
-    val spread = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    // cluster the input arrives in many splits and the exchange is skipped
+    // outright (spreadForCpu's partition probe); same rule as the sketch
+    // pipelines.
+    val spread = Dedup.spreadForCpu(df)
     val aggs = cols.flatMap { c =>
       Seq(
         (count(lit(1)) - count(col(c))).as(s"${c}__nulls"),

@@ -1113,7 +1113,9 @@ object Similarity {
       .join(core.select(col("id").as("doc_a")), Seq("doc_a"), "left_semi")
       .join(core.select(col("id").as("doc_b")), Seq("doc_b"), "left_semi")
     val clusters = graft.analysis.Dedup
-      .dedupClusters(corePairs, core.select(col("id").as("doc_id")))
+      .dedupClusters(corePairs, core.select(col("id").as("doc_id")),
+        // corePairs is semi-joined against core on BOTH endpoints above
+        pairsWithinDocs = true)
       .select(col("doc_id").as("id"), col("cluster_id"))
     // border: not core, but adjacent to ≥1 core point — inherit the
     // smallest core neighbor's cluster (deterministic attachment)
