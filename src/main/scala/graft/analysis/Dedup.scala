@@ -524,31 +524,24 @@ object Dedup {
     finally { sets.unpersist(); () }
   }
 
-  /** Connected components by min-label propagation: every node starts
-    * labeled with itself; each round every node takes the min of its own
-    * label and its neighbors' labels; converged when no label changes.
-    * Output: (id, component) where component = min node id in the component.
+  /** Connected components: (id, component) for every node, where
+    * component = min node id in the component.
     *
     * This is the step near-dup PAIRS need to become dedup decisions: pair
     * sets are not transitive (A~B, B~C but A≁C), so keeping "one doc per
     * pair" under-deletes — the unit of dedup is the connected component.
     *
-    * Scale shape: each round is one equi-join edges⋈labels + one min
-    * aggregate, followed by one POINTER JUMP (label(v) ← label(label(v)),
-    * a self-join on the fresh labels) — all shuffles on node id, no global
-    * structure. The jump is path compression: plain propagation needs
-    * diameter rounds (measured 17 on the sf0.1 cosine graph, whose loose
-    * 0.4 threshold makes long chains), the jump cuts it to 11, and every
-    * round saved is a global barrier saved on a real cluster. More jumps
-    * per round were measured SLOWER (each needs its own checkpoint
-    * barrier; diminishing chain-halving per extra jump). For adversarial
-    * graphs the published O(log n) fix is alternating small-star/large-star
-    * (Kiveris et al., "Connected Components in MapReduce and Beyond") —
-    * same per-round shape, swap in if diameters grow beyond tens. Each
-    * round localCheckpoints: iterative lineage would otherwise grow the
-    * plan unboundedly, and the convergence count reads the checkpointed
-    * partitions (the old label rides along in `__old`) instead of paying a
-    * join per round.
+    * Scale shape: the edge-incident subgraph is labeled by
+    * [[componentLabels]] — a single-task union-find when the measured
+    * symmetrized edge count is under [[ccBroadcastMaxSymRows]] (the
+    * common case: near-dup populations are tiny next to the corpus), the
+    * min-label propagation loop with one pointer jump per round above it
+    * ([[componentLabelsLoop]]; diameter/2 rounds of equi-join + min
+    * aggregate, all shuffles on node id). For adversarial above-gate
+    * graphs the published O(log n) fix is alternating small-star/
+    * large-star (Kiveris et al., "Connected Components in MapReduce and
+    * Beyond") — same per-round shape, swap in if diameters grow beyond
+    * tens.
     *
     * Edges whose endpoints are not in `nodes` are INERT (filtered before
     * the loop): an out-of-set id must never become a component label, or a
@@ -579,30 +572,48 @@ object Dedup {
   }
 
   /** How many symmetrized edge rows still count as "small" for the
-    * broadcast-gated component joins: 4M rows ≈ 64 MB of (long, long)
-    * broadcast — well under executor/driver comfort, far above any
-    * realistic near-dup population at gate scale. The label frame is
-    * bounded by the edge-incident node count ≤ 2·|sym|, so one measured
-    * count gates every broadcast in the loop and the tails. */
-  private[analysis] val ccBroadcastMaxSymRows: Long = 4L * 1000 * 1000
+    * single-task components pass and the broadcast-gated tail joins.
+    * Bound restated in BYTES of the frames the gate actually admits
+    * (round-14 ADVICE: the old "4M rows ≈ 64 MB" note understated the
+    * worst case several-fold): at 2M sym rows, the label frame is ≤ 2M
+    * (id, label) rows ≈ 96 MB as broadcast unsafe rows (~48 B/row with
+    * overhead), the keepBest labelKeeper frame ≤ 2M 3-column rows
+    * ≈ 128 MB, and the union-find pass holds one ≤ 2M-entry LongMap
+    * (~64 MB) in a single task — each comfortably inside executor/driver
+    * headroom, and several orders above any measured near-dup population
+    * (sf0.1 graphs run 10²–10⁴ sym rows; the 100× ScaleUp decade stays
+    * under 10⁶). Above the gate the iterative loop + shuffle joins take
+    * over. */
+  private[analysis] val ccBroadcastMaxSymRows: Long = 2L * 1000 * 1000
 
-  /** The min-label propagation loop over the EDGE-INCIDENT subgraph only:
-    * returns (labels = (id, label) for every edge-incident node,
+  /** Component labels over the EDGE-INCIDENT subgraph only: returns
+    * (labels = (id, label = component min) for every edge-incident node,
     * small = measured size gate for broadcasting the label frame).
     * Only nodes touched by an edge can ever leave their own label —
     * everything else is a fixed point of min-label propagation, so the
-    * loop cost scales with |pair-touched docs|, never |docs|; callers
-    * attach singletons back with a left join.
+    * cost scales with |pair-touched docs|, never |docs|; callers attach
+    * singletons back with a left join.
     *
-    * When the measured symmetrized edge count is under
-    * [[ccBroadcastMaxSymRows]], the per-round joins take explicit
-    * broadcast hints: the label/nbr-min frames are label-population-sized,
-    * and broadcasting them removes every per-round exchange except the
-    * neighbour-min aggregation (checkpointed inputs carry no size stats,
-    * so the static planner would otherwise plan shuffle joins; the gate
-    * is a measured row count, not an estimate). Above the gate the round
-    * shape is the former shuffle-join form, unchanged. */
-  private[analysis] def componentLabels(
+    * Two physical strategies behind one contract, picked by the MEASURED
+    * symmetrized edge count (checkpointed inputs carry no stats, so a
+    * planner estimate would be garbage here):
+    *
+    *  - `symCount <= ccBroadcastMaxSymRows` and long-typed ids (every
+    *    in-repo graph): ONE streaming union-find task over the edge set
+    *    ([[unionFindLabels]]). The round-15 measurement that motivates it
+    *    (guide §1.2 step 1 — fix the algorithm before the per-task work):
+    *    the iterative loop pays 2 jobs × O(diameter/2) rounds of pure
+    *    fixed job latency on a gate-scale graph — the sf0.1 ensemble
+    *    graph (2,348 sym rows) ran 16 rounds ≈ 6.4 s of barriers to label
+    *    ~2.3k edges, where a single task does the same exact closure in
+    *    milliseconds. Below the gate the whole graph fits one task by
+    *    construction (the SAME bound that lets the tails broadcast the
+    *    label frame), so this is the "decide with small rows" shape of
+    *    guide §8, executor-side, no driver data work.
+    *  - above the gate (or exotic id types): the min-label propagation
+    *    loop with one pointer jump per round ([[componentLabelsLoop]]) —
+    *    the shuffle-join shape that scales out, unchanged. */
+  private[graft] def componentLabels(
       edges: DataFrame,
       srcCol: String,
       dstCol: String,
@@ -621,8 +632,74 @@ object Dedup {
         .join(nodeIds.withColumnRenamed("__nid", "a"), Seq("a"), "left_semi")
         .join(nodeIds.withColumnRenamed("__nid", "b"), Seq("b"), "left_semi")
     }.persist()
-    val symCount = sym.count() // materialize once; reused every round
+    val symCount = sym.count() // materialize once; reused by every consumer
     val small = symCount <= ccBroadcastMaxSymRows
+    val longIds = sym.schema.fields.forall(_.dataType ==
+      org.apache.spark.sql.types.LongType)
+    if (small && longIds) {
+      val labels = unionFindLabels(sym).localCheckpoint(true)
+      sym.unpersist()
+      return (labels, true)
+    }
+    componentLabelsLoop(sym, maxIter, small)
+  }
+
+  /** Exact connected components of a measured-small symmetrized edge frame
+    * in ONE task: coalesce the (persisted, gate-bounded) edges into a
+    * single partition and stream them through a union-find with
+    * min-root union and path compression — the root of every component is
+    * its minimum node id, exactly the fixed point the propagation loop
+    * converges to. Memory is one LongMap over the incident nodes
+    * (≤ 2·gate entries, see [[ccBroadcastMaxSymRows]]); edges are NOT
+    * retained. Executor-side (a mapPartitions task, not a driver
+    * collect); output is the (id, label) frame for every edge-incident
+    * node, set-identical to [[componentLabelsLoop]] (DedupSpec pins the
+    * equivalence on chain/star/cycle/disjoint fixtures). */
+  private[graft] def unionFindLabels(sym: DataFrame): DataFrame = {
+    val spark = sym.sparkSession
+    import spark.implicits._
+    sym.select(col("a"), col("b")).as[(Long, Long)]
+      .coalesce(1)
+      .mapPartitions { it =>
+        val parent = new scala.collection.mutable.LongMap[Long]()
+        def find(x: Long): Long = {
+          var r = x
+          while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+          var c = x // path-compress the walked chain
+          while (parent.getOrElse(c, c) != c) {
+            val n = parent(c); parent(c) = r; c = n
+          }
+          r
+        }
+        while (it.hasNext) {
+          val (a, b) = it.next()
+          parent.getOrElseUpdate(a, a)
+          parent.getOrElseUpdate(b, b)
+          val ra = find(a)
+          val rb = find(b)
+          // min-root union: the surviving root is the smaller id, so every
+          // component's root IS its min — the loop's exact fixed point
+          if (ra < rb) parent(rb) = ra
+          else if (rb < ra) parent(ra) = rb
+        }
+        parent.keysIterator.toArray.iterator.map(id => (id, find(id)))
+      }
+      .toDF("id", "label")
+  }
+
+  /** The min-label propagation loop ([[componentLabels]]' above-gate
+    * strategy): each round every node takes the min of its own and its
+    * neighbours' labels, then one pointer jump (label(v) ← label(label(v)))
+    * compresses paths — diameter/2 rounds instead of diameter. Each round
+    * localCheckpoints (iterative lineage would otherwise grow the plan
+    * unboundedly); the convergence count reads the checkpointed partitions
+    * (the old label rides along in `__old`). The per-round joins stay
+    * SHUFFLE joins on purpose: this path only runs on graphs the gate
+    * measured too big to broadcast or single-task. */
+  private[graft] def componentLabelsLoop(
+      sym: DataFrame,
+      maxIter: Int,
+      small: Boolean): (DataFrame, Boolean) = {
     var labels = sym.select(col("a").as("id")).distinct()
       .select(col("id"), col("id").as("label"))
       .localCheckpoint(true)

@@ -322,6 +322,40 @@ class DedupSpec extends SparkSpec {
       (13L, 10L, false), (14L, 10L, false)))
   }
 
+  test("single-task union-find labels equal the propagation loop's fixed point") {
+    // the two componentLabels strategies must be set-identical on every
+    // graph shape: long chains (many propagation rounds), stars, cycles,
+    // merged components, isolated edges, and an empty edge set
+    val fixtures: Seq[Seq[(Long, Long)]] = Seq(
+      (1L to 40L).sliding(2).map(w => (w(0), w(1))).toSeq, // 40-node chain
+      Seq((5L, 1L), (5L, 2L), (5L, 3L), (5L, 4L)), // star, hub not the min
+      Seq((1L, 2L), (2L, 3L), (3L, 1L), (10L, 11L)), // cycle + isolated edge
+      Seq((1L, 2L), (3L, 4L), (2L, 3L)), // merge two components via a bridge
+      Seq.empty)
+    fixtures.foreach { edges =>
+      val pairs = edges.toDF("doc_a", "doc_b")
+      val sym = pairs.select($"doc_a".as("a"), $"doc_b".as("b"))
+        .union(pairs.select($"doc_b".as("a"), $"doc_a".as("b")))
+        .distinct().persist()
+      val fast = Dedup.unionFindLabels(sym).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val loop = Dedup.componentLabelsLoop(sym, maxIter = 50, small = true)
+        ._1.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(fast === loop, s"strategies diverged on edges=$edges")
+    }
+  }
+
+  test("componentLabels gate: long ids under the row gate take the single-task path") {
+    // the fast path must label every edge-incident node with the component
+    // min and return small=true so the tails broadcast
+    val pairs = Seq((4L, 2L), (2L, 9L)).toDF("doc_a", "doc_b")
+    val (labels, small) = Dedup.componentLabels(
+      pairs, "doc_a", "doc_b", maxIter = 20, nodeFilter = None)
+    assert(small)
+    assert(labels.collect().map(r => (r.getLong(0), r.getLong(1))).toSet ===
+      Set((2L, 2L), (4L, 2L), (9L, 2L)))
+  }
+
   test("prefix-filtered jaccard equals exact all-pairs jaccard (lossless)") {
     val corpus = (docs.collect().map(r => (r.getLong(0), r.getString(1))).toSeq ++
       Seq((5L, "spark catalyst optimizer rules engine for completely different content"),
