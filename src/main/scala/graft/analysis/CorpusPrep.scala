@@ -321,9 +321,14 @@ object CorpusPrep {
     // arms are independent as-of runs (they union, never join): build them
     // CONCURRENTLY so each arm's stage checkpoints back-fill the idle tail
     // of the others' jobs (guide §2.6 — 2-3 in flight is plenty); results
-    // are per-arm deterministic, so ordering cannot matter
+    // are per-arm deterministic, so ordering cannot matter. On failure the
+    // shared job group is cancelled and the pool shut down hard, so no
+    // orphan arm keeps submitting jobs after the caller unwound (r14
+    // ADVICE).
     import scala.concurrent.{Await, ExecutionContext, Future}
     import scala.concurrent.duration.Duration
+    val spark = batches.head._2.sparkSession
+    val group = "graft-funnel-arms-" + java.util.UUID.randomUUID().toString
     val pool = java.util.concurrent.Executors.newFixedThreadPool(
       math.min(3, batches.size))
     implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
@@ -331,13 +336,22 @@ object CorpusPrep {
       try Await.result(Future.sequence(
         batches.zipWithIndex.map { case ((id, _), i) =>
           Future {
-            val asOf = batches.take(i + 1).map(_._2).reduce(_ unionByName _)
-            pretrainFunnel(asOf, t, evalMod, alpha, textCol, idCol, sourceCol)
-              .select(lit(id).as("batch_id"), col("stage_idx"), col("stage"),
-                col("n_docs"), col("n_tokens"))
+            spark.sparkContext.setJobGroup(group, s"funnel arm: batch $id",
+              interruptOnCancel = true)
+            try {
+              val asOf = batches.take(i + 1).map(_._2).reduce(_ unionByName _)
+              pretrainFunnel(asOf, t, evalMod, alpha, textCol, idCol, sourceCol)
+                .select(lit(id).as("batch_id"), col("stage_idx"), col("stage"),
+                  col("n_docs"), col("n_tokens"))
+            } finally spark.sparkContext.clearJobGroup()
           }
         }), Duration.Inf)
-      finally pool.shutdown()
+      catch {
+        case e: Throwable =>
+          spark.sparkContext.cancelJobGroup(group)
+          pool.shutdownNow()
+          throw e
+      } finally pool.shutdown()
     arms.reduce(_ unionByName _).orderBy("batch_id", "stage_idx")
   }
 
@@ -452,19 +466,29 @@ object CorpusPrep {
       idCol: String = "doc_id",
       sourceCol: String = "source"): (DataFrame, PretrainArtifacts) = {
     require(evalMod >= 2, s"need evalMod >= 2, got $evalMod")
+    val spark = newDocs.sparkSession
     // the increment LAW's precondition (monotonic ingest ids: every batch
     // id exceeds every stored id) fails LOUDLY instead of silently
     // diverging from the q283 rebuild (a violating batch would flip the
     // exact-dedup survivor and invert cross-pair orientation). Cost: one
     // aggregate over the stored id column + one over the batch — id-only
-    // scans, nothing text-sized.
-    val bound = a.scored.agg(max(col(idCol)).as("mx"))
-      .crossJoin(newDocs.agg(min(col(idCol)).as("mn")))
-      .filter(col("mx").isNotNull && col("mn").isNotNull && col("mx") >= col("mn"))
-    require(bound.isEmpty,
-      "pretrainPipelineIncrement requires monotonic ingest ids: " +
-        s"max stored $idCol must be < min batch $idCol")
-    val stats = pretrainScored(newDocs, textCol, idCol)
+    // scans, nothing text-sized. The guard job and the batch quality scan
+    // are independent, so they run CONCURRENTLY (guide §2.6) instead of as
+    // two sequential job latencies.
+    val statsRef = new java.util.concurrent.atomic.AtomicReference[DataFrame]()
+    forEachKindParallel(spark, Seq("guard", "stats")) {
+      case "guard" =>
+        val bound = a.scored.agg(max(col(idCol)).as("mx"))
+          .crossJoin(newDocs.agg(min(col(idCol)).as("mn")))
+          .filter(col("mx").isNotNull && col("mn").isNotNull &&
+            col("mx") >= col("mn"))
+        require(bound.isEmpty,
+          "pretrainPipelineIncrement requires monotonic ingest ids: " +
+            s"max stored $idCol must be < min batch $idCol")
+      case _ =>
+        statsRef.set(pretrainScored(newDocs, textCol, idCol))
+    }
+    val stats = statsRef.get()
     val newScored = stats.select(col(idCol), col("quality_centi"))
     val newQuality = newDocs.join(
       stats.filter(col("quality_score") >= t.minQuality).select(idCol), Seq(idCol))
@@ -477,33 +501,58 @@ object CorpusPrep {
       .localCheckpoint(true)
     val newSketch = Dedup.sketchDocs(newExact, textCol, idCol)
       .localCheckpoint(true)
-    val crossPairs = Dedup
-      .crossNearDupPairsFromSketches(newSketch, a.sketch,
-        minJaccard = t.minJaccard)
-      .select(col("existing_id").as("doc_a"), col("new_id").as("doc_b"))
-    val newPairs = Dedup
-      .nearDupPairsFromSketch(newSketch, minJaccard = t.minJaccard)
-      .select("doc_a", "doc_b")
-      .unionByName(crossPairs)
-    val pairs = a.pairs.unionByName(newPairs)
-    val exactAll = a.exactDocs.unionByName(newExact)
-    val newScoredExact = newScored.join(newExact.select(idCol), Seq(idCol))
-    val keepers = Dedup.dedupClustersKeepBest(pairs,
-        a.scored.unionByName(newScoredExact), idCol = idCol,
-        pairsWithinScored = true)
-      .filter(col("is_keeper")).select(idCol)
-    val trainCand = exactAll.join(keepers, Seq(idCol))
-      .filter(col(idCol) % evalMod =!= 0).localCheckpoint(true)
-    // per-doc fingerprint artifacts merge by union (q249); the new batch
-    // fingerprints only itself
-    val newWinnowFps = Dedup.winnowingFingerprints(newExact, textCol = textCol,
-      idCol = idCol)
+    // the batch's winnowing fingerprints (train + eval side, per-doc, q249's
+    // union law) depend only on newExact/newDocs — materialize them on side
+    // threads while the pair generation + keeper chain runs its own jobs
+    // (guide §2.6): the decontam stage later probes already-built artifacts
+    // instead of paying both fingerprint scans inside its own sequential
+    // job. Same cancel discipline as [[forEachKindParallel]].
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    val fpGroup = "graft-inc-fps-" + java.util.UUID.randomUUID().toString
+    val fpPool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    implicit val fpEc: ExecutionContext = ExecutionContext.fromExecutor(fpPool)
+    def fpTask(df: => DataFrame): Future[DataFrame] = Future {
+      spark.sparkContext.setJobGroup(fpGroup, "increment winnowing fps",
+        interruptOnCancel = true)
+      try df.localCheckpoint(true)
+      finally spark.sparkContext.clearJobGroup()
+    }
+    val (newWinnowFps, newEvalFps, trainCand, newPairs, newScoredExact) =
+      try {
+        val winnowF = fpTask(Dedup.winnowingFingerprints(newExact,
+          textCol = textCol, idCol = idCol))
+        val evalF = fpTask(Dedup.winnowingFingerprints(
+          newDocs.filter(col(idCol) % evalMod === 0), textCol = textCol,
+          idCol = idCol))
+        val crossPairs = Dedup
+          .crossNearDupPairsFromSketches(newSketch, a.sketch,
+            minJaccard = t.minJaccard)
+          .select(col("existing_id").as("doc_a"), col("new_id").as("doc_b"))
+        val np = Dedup
+          .nearDupPairsFromSketch(newSketch, minJaccard = t.minJaccard)
+          .select("doc_a", "doc_b")
+          .unionByName(crossPairs)
+        val pairs = a.pairs.unionByName(np)
+        val exactAll = a.exactDocs.unionByName(newExact)
+        val newScoredExact0 = newScored.join(newExact.select(idCol), Seq(idCol))
+        val keepers = Dedup.dedupClustersKeepBest(pairs,
+            a.scored.unionByName(newScoredExact0), idCol = idCol,
+            pairsWithinScored = true)
+          .filter(col("is_keeper")).select(idCol)
+        val tc = exactAll.join(keepers, Seq(idCol))
+          .filter(col(idCol) % evalMod =!= 0).localCheckpoint(true)
+        (Await.result(winnowF, Duration.Inf),
+          Await.result(evalF, Duration.Inf), tc, np, newScoredExact0)
+      } catch {
+        case e: Throwable =>
+          spark.sparkContext.cancelJobGroup(fpGroup)
+          fpPool.shutdownNow()
+          throw e
+      } finally fpPool.shutdown()
     val trainFps = a.winnowFps
       .unionByName(newWinnowFps)
       .join(trainCand.select(idCol), Seq(idCol))
-    val newEvalFps = Dedup.winnowingFingerprints(
-      newDocs.filter(col(idCol) % evalMod === 0), textCol = textCol,
-      idCol = idCol)
     val evalFps = a.evalFps.unionByName(newEvalFps)
     val contaminated = Dedup
       .winnowingDecontamFromFingerprints(trainFps, evalFps, idCol = idCol)
@@ -541,48 +590,96 @@ object CorpusPrep {
     artifactKinds.zip(Seq(a.exactDocs, a.fingerprints, a.sketch, a.pairs,
       a.scored, a.winnowFps, a.evalFps))
 
-  /** Run one task per artifact kind CONCURRENTLY (bounded pool): the seven
-    * kinds are independent jobs against disjoint paths, and Spark's
-    * scheduler happily overlaps them — each kind's straggler tail
-    * back-fills with the next kind's tasks instead of leaving the cluster
-    * idle (guide §2.6). Sequential kind-by-kind execution was measured as
-    * 7 fixed job latencies end-to-end on the r14 gate. Any failure
-    * propagates (Await rethrows), matching the sequential contract. */
-  private def forEachKindParallel[A](kinds: Seq[A])(f: A => Unit): Unit = {
+  /** Run one task per artifact kind CONCURRENTLY: the seven kinds are
+    * independent jobs against disjoint paths, and Spark's scheduler
+    * happily overlaps them — each kind's straggler tail back-fills with
+    * the next kind's tasks instead of leaving the cluster idle (guide
+    * §2.6). Sequential kind-by-kind execution was measured as 7 fixed job
+    * latencies end-to-end on the r14 gate; round 15 widened the pool from
+    * 4 to |kinds| (7) — the kinds are trigger-sized writes, so all-in-
+    * flight collapses two scheduling waves into one (A/B in
+    * OPTIMIZATION_r15.md).
+    *
+    * Failure discipline (round-14 ADVICE): every kind task runs under one
+    * shared job group; the first failure cancels the group (in-flight
+    * kinds stop submitting work / writing paths) and shuts the pool down
+    * before rethrowing — the caller never unwinds while orphan kind jobs
+    * keep mutating the layer. */
+  private def forEachKindParallel[A](
+      spark: org.apache.spark.sql.SparkSession,
+      kinds: Seq[A])(f: A => Unit): Unit = {
     import scala.concurrent.{Await, ExecutionContext, Future}
     import scala.concurrent.duration.Duration
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(
-      math.min(4, kinds.size))
+    if (kinds.isEmpty) return
+    // A/B-adjudicated r15 (site "kinds-pool1", branch removed): all-kinds-
+    // in-flight vs serialized kinds — q290 0.75, q292 0.80 same-JVM
+    // (OPTIMIZATION_r15.md)
+    if (kinds.size == 1) { f(kinds.head); return }
+    val group = "graft-kinds-" + java.util.UUID.randomUUID().toString
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(kinds.size)
     implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
     try Await.result(
-      Future.sequence(kinds.map(k => Future(f(k)))), Duration.Inf)
-    finally pool.shutdown()
+      Future.sequence(kinds.map { k =>
+        Future {
+          // job groups are thread-local: tag this kind's jobs so a failure
+          // elsewhere can cancel them mid-flight
+          spark.sparkContext.setJobGroup(group, s"artifact kind: $k",
+            interruptOnCancel = true)
+          try f(k) finally spark.sparkContext.clearJobGroup()
+        }
+      }), Duration.Inf)
+    catch {
+      case e: Throwable =>
+        spark.sparkContext.cancelJobGroup(group)
+        pool.shutdownNow()
+        throw e
+    } finally pool.shutdown()
     ()
   }
 
   /** Write an artifact (delta) set as version `version` of the layer.
-    * Kinds write concurrently ([[forEachKindParallel]]), and each frame
-    * takes a REBALANCE hint so AQE sizes the output files adaptively
-    * (guide §6: one file for a gate-sized delta, ~advisory-sized files for
-    * a production batch) instead of emitting one file per upstream
-    * partition — the checkpointed artifact frames otherwise land as
-    * cluster-parallelism many KB-sized files per kind per day, the
-    * small-file spiral the compactor exists to fight. */
-  def writeArtifacts(a: PretrainArtifacts, root: String, version: Long): Unit =
-    forEachKindParallel(kindFrames(a)) { case (kind, df) =>
-      graft.sinks.ParquetLayerSink.overwriteMart(
-        df.hint("rebalance"), s"$root/$kind/v=$version")
+    * Kinds write concurrently ([[forEachKindParallel]]).
+    *
+    * File sizing (guide §6 — the small-file spiral the compactor exists
+    * to fight): by default each frame takes a REBALANCE hint so AQE sizes
+    * the output files adaptively (one file for a gate-sized delta,
+    * ~advisory-sized files for a production batch) instead of emitting
+    * one file per upstream partition. `targetFiles = Some(n)` switches to
+    * an explicit `repartition(n)` — REQUIRED on the streaming path
+    * ([[graft.streaming.PretrainStreamJob]]): inside a foreachBatch the
+    * micro-batch plan runs without AQE, so the rebalance hint is inert
+    * there and stream-written deltas would land one-file-per-partition
+    * (round-14 verdict #5). Micro-batch deltas are trigger-sized, so the
+    * explicit exchange moves batch-sized bytes only. */
+  def writeArtifacts(
+      a: PretrainArtifacts,
+      root: String,
+      version: Long,
+      targetFiles: Option[Int] = None): Unit =
+    forEachKindParallel(a.exactDocs.sparkSession, kindFrames(a)) {
+      case (kind, df) =>
+        val sized = targetFiles.fold(df.hint("rebalance"))(df.repartition)
+        graft.sinks.ParquetLayerSink.overwriteMart(sized, s"$root/$kind/v=$version")
     }
 
-  /** Read the layer state as of (exclusive) `maxVersionExclusive` — the
-    * union of all delta versions below it. */
+  /** Read the layer state as of (exclusive) `maxVersionExclusive` — ONE
+    * partition-pruned scan per kind over the `v` directory column (never
+    * per-version unions). The seven reader constructions (driver-side
+    * file listing + footer schema reads) are independent and run through
+    * the kind pool — sequential construction was ~0.4 s of pure driver
+    * latency per read-back on the r15 gate. */
   def readArtifacts(
       spark: org.apache.spark.sql.SparkSession,
       root: String,
       maxVersionExclusive: Long): PretrainArtifacts = {
-    def rd(kind: String): DataFrame =
-      spark.read.parquet(s"$root/$kind")
-        .filter(col("v") < maxVersionExclusive).drop("v")
+    val frames = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+    forEachKindParallel(spark, artifactKinds) { kind =>
+      frames.put(kind,
+        spark.read.parquet(s"$root/$kind")
+          .filter(col("v") < maxVersionExclusive).drop("v"))
+      ()
+    }
+    def rd(kind: String): DataFrame = frames.get(kind)
     PretrainArtifacts(rd("exact"), rd("fingerprints"), rd("sketch"),
       rd("pairs"), rd("scored"), rd("winnow_fps"), rd("eval_fps"))
   }
@@ -610,7 +707,7 @@ object CorpusPrep {
     // crash-safe) — run them concurrently, same rationale as
     // [[writeArtifacts]]; the cross-kind non-atomicity documented above
     // is unchanged by ordering
-    forEachKindParallel(artifactKinds) { kind =>
+    forEachKindParallel(spark, artifactKinds) { kind =>
       graft.sinks.DeltaLayerCompactor.compactKind(
         spark, s"$root/$kind", upToInclusive, targetFiles)
       ()
@@ -620,7 +717,7 @@ object CorpusPrep {
     * the job-start repair call after a crash mid-[[compactArtifacts]]. */
   def recoverArtifactLayer(
       spark: org.apache.spark.sql.SparkSession, root: String): Unit =
-    forEachKindParallel(artifactKinds) { kind =>
+    forEachKindParallel(spark, artifactKinds) { kind =>
       graft.sinks.DeltaLayerCompactor.recoverKind(spark, s"$root/$kind")
       ()
     }
@@ -658,6 +755,11 @@ object CorpusPrep {
       .select(col(idCol),
         coalesce(size(array_remove(TextAnalysis.tokens(col(textCol)), "")), lit(0))
           .as("n_tok"))
+      // tokenize ONCE: the range exchange's boundary-sampling pass would
+      // otherwise re-run the tokenize-and-count projection over the whole
+      // corpus a second time (guide §2.4); the checkpoint holds two longs
+      // per row
+      .localCheckpoint(true)
       .repartitionByRange(parts, col("n_tok").desc, col(idCol))
       .withColumn("pid", spark_partition_id())
       .localCheckpoint(true)
@@ -951,6 +1053,9 @@ object CorpusPrep {
           col("copy").cast(StringType), lit("|" + seed))))
     val parts = spark.sparkContext.defaultParallelism
     val ranged = expanded
+      // materialize once: the range sampling pass would otherwise re-run
+      // the whole epoch-expansion + md5 projection (guide §2.4)
+      .localCheckpoint(true)
       .repartitionByRange(parts, col("skey"), col(idCol), col("copy"))
       .withColumn("pid", spark_partition_id())
       .localCheckpoint(true)
@@ -1296,8 +1401,11 @@ object CorpusPrep {
         coalesce(size(array_remove(TextAnalysis.tokens(col(textCol)), "")), lit(0))
           .cast("long").as("n_tok"))
       .filter(col("n_tok") > 0)
+    // materializeInput: the (id, n_tok) feed is a tokenize-and-count
+    // projection over the corpus — without it the range exchange's
+    // sampling pass tokenizes every document a second time (guide §2.4)
     val cum = graft.relational.Relational
-      .distributedCumSum(toks, Seq(idCol), Seq("n_tok"))
+      .distributedCumSum(toks, Seq(idCol), Seq("n_tok"), materializeInput = true)
     // the offset frame MUST be exactly one row — a multi-row frame would
     // silently duplicate every span through the crossJoin and corrupt the
     // packing artifact; collect it to a single literal instead (it is a

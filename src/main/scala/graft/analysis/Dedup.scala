@@ -42,15 +42,34 @@ object Dedup {
     * upstream stage). The old unconditional `repartition(par)` re-shuffled
     * the full document payload even when the source was already spread —
     * at corpus scale that is a whole-corpus text exchange for nothing
-    * (guide §2.4: remove shuffles outright). Partition-count probe only
-    * (plan compile, no job); results never depend on partitioning (all
-    * hashing is md5-deterministic). Streaming frames cannot be probed
-    * (`.rdd` is batch-only) and keep the unconditional spread — a
-    * micro-batch is small by construction, the exchange is trigger-sized. */
+    * (guide §2.4: remove shuffles outright). The probe is free ONLY for
+    * probe-safe plans (leaf scan / checkpointed RDD / projection-filter
+    * chain — see the gate below); shuffled inputs keep the unconditional
+    * spread rather than paying a doubled upstream execution. Results
+    * never depend on partitioning (all hashing is md5-deterministic).
+    * Streaming frames cannot be probed (`.rdd` is batch-only) and keep
+    * the unconditional spread — a micro-batch is small by construction,
+    * the exchange is trigger-sized. */
   private[analysis] def spreadForCpu(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter, LeafNode, LogicalPlan, Project}
     val par = df.sparkSession.sparkContext.defaultParallelism
+    // The skip-probe is gated on the PLAN SHAPE (round-14 ADVICE): under
+    // AQE, `.rdd` on a plan containing an exchange materializes every
+    // upstream query stage as real Spark jobs — and that work is thrown
+    // away, because the original df is returned and re-executed by the
+    // caller. A leaf scan / checkpointed RDD / projection-filter chain
+    // builds its RDD driver-side with no job, so only those probe; any
+    // other shape keeps the unconditional (pre-r14) spread, which is at
+    // worst one small exchange, never a doubled upstream execution.
+    def probeSafe(p: LogicalPlan): Boolean = p match {
+      case _: LeafNode => true
+      case pr: Project => probeSafe(pr.child)
+      case f: Filter => probeSafe(f.child)
+      case _ => false
+    }
     if (df.isStreaming) df.repartition(par)
-    else if (df.rdd.getNumPartitions >= par) df
+    else if (probeSafe(df.queryExecution.optimizedPlan) &&
+      df.rdd.getNumPartitions >= par) df
     else df.repartition(par)
   }
 
@@ -636,6 +655,9 @@ object Dedup {
     val small = symCount <= ccBroadcastMaxSymRows
     val longIds = sym.schema.fields.forall(_.dataType ==
       org.apache.spark.sql.types.LongType)
+    // A/B-adjudicated r15 (site "cc-unionfind", branch removed): same-JVM
+    // ratios vs the loop — q49 0.30, q178 0.33, q181 0.37, q129 0.36,
+    // q282 0.69 (OPTIMIZATION_r15.md)
     if (small && longIds) {
       val labels = unionFindLabels(sym).localCheckpoint(true)
       sym.unpersist()

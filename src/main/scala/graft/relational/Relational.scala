@@ -402,12 +402,23 @@ object Relational {
     * window see the same physical partitioning. */
   def distributedCumSum(
       df: DataFrame, orderCols: Seq[String], sumCols: Seq[String],
-      rankCol: Option[String] = None): DataFrame = {
+      rankCol: Option[String] = None,
+      materializeInput: Boolean = false): DataFrame = {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types.{LongType, StructField, StructType}
     val spark = df.sparkSession
     val parts = math.max(1, spark.sparkContext.defaultParallelism)
-    val ranged = df
+    // materializeInput: range partitioning first runs a boundary-SAMPLING
+    // pass over its child, so an unmaterialized input is fully computed
+    // TWICE — once for the sample, once for the exchange (guide §2.4).
+    // Callers whose input is an expensive projection (sequencePack's
+    // tokenize-and-count over the corpus) pass true to compute it once;
+    // callers with pre-aggregated or already-materialized inputs keep the
+    // default and skip the extra checkpoint job.
+    // A/B-adjudicated r15 (site "cumsum-mat", branch removed): q256 0.72,
+    // q269 0.94, q283 0.93 same-JVM even at gate SF (OPTIMIZATION_r15.md)
+    val mat = if (materializeInput) df.localCheckpoint(true) else df
+    val ranged = mat
       .repartitionByRange(parts, orderCols.map(col): _*)
       .withColumn("__pid", spark_partition_id())
       .localCheckpoint(true)

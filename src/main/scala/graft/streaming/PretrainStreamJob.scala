@@ -76,16 +76,25 @@ object PretrainStreamJob {
       s"retainVersions must be >= 1 when compaction is on (the replay " +
         s"contract needs the fold to stay strictly below the current " +
         s"batch), got $retainVersions")
+    // explicit delta file sizing: inside foreachBatch the micro-batch plan
+    // runs WITHOUT AQE, so writeArtifacts' default rebalance hint is inert
+    // here and every delta would land one-file-per-partition — the exact
+    // small-file spiral the compaction cadence exists to fight (round-14
+    // verdict #5; guide §6). Micro-batch deltas are trigger-sized, so one
+    // file per kind per batch is the right layout and the explicit
+    // exchange moves batch-sized bytes only.
+    val deltaFiles = Some(1)
     if (hasPriorVersion(spark, artifactRoot, batchId)) {
       val (packed, deltas) = CorpusPrep.pretrainIncrementWithArtifacts(
         CorpusPrep.readArtifacts(spark, artifactRoot, batchId), batch,
         t, evalMod, alpha, ctxTokens)
-      CorpusPrep.writeArtifacts(deltas, artifactRoot, batchId)
+      CorpusPrep.writeArtifacts(deltas, artifactRoot, batchId, deltaFiles)
       sink(batchId, packed)
     } else {
       // bootstrap: the batch IS the corpus — same two calls as a backfill
       CorpusPrep.writeArtifacts(
-        CorpusPrep.pretrainArtifacts(batch, t, evalMod), artifactRoot, batchId)
+        CorpusPrep.pretrainArtifacts(batch, t, evalMod), artifactRoot, batchId,
+        deltaFiles)
       sink(batchId, CorpusPrep.pretrainPipeline(batch, t, evalMod, alpha, ctxTokens))
     }
     if (compactEvery > 0 && batchId % compactEvery == 0 &&

@@ -408,6 +408,21 @@ class PipelineSpec extends SparkSpec {
     assert(layer.exactDocs.select("doc_id").collect().map(_.getLong(0)).sorted
       === rebuilt.exactDocs.select("doc_id").collect().map(_.getLong(0)).sorted)
     assert(layer.pairs.count() === rebuilt.pairs.count())
+    // stream-written deltas must be explicitly file-sized: the rebalance
+    // hint is inert without AQE in the micro-batch path, so processBatch
+    // passes targetFiles=1 — assert one data file per kind per version
+    // (round-14 verdict #5: the small-file spiral the compactor fights
+    // must not be fed by the stream itself)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(root), spark.sparkContext.hadoopConfiguration)
+    for (kind <- Seq("exact", "fingerprints", "sketch", "pairs", "scored",
+        "winnow_fps", "eval_fps"); v <- Seq(0L, 1L)) {
+      val dir = new org.apache.hadoop.fs.Path(s"$root/$kind/v=$v")
+      val dataFiles = fs.listStatus(dir)
+        .count(_.getPath.getName.endsWith(".parquet"))
+      assert(dataFiles == 1,
+        s"$kind/v=$v wrote $dataFiles data files, want exactly 1")
+    }
   }
 
   test("increment law precondition fails loudly: non-monotonic batch ids throw") {
