@@ -31,7 +31,7 @@ object Clustering {
   /** Assignment projection: each row of `pts` (id, v) gets its nearest
     * centroid by squared L2, ties broken by cluster id (lexicographic
     * struct sort = (distance, cluster) tie-break). Keeps `v`. */
-  private[analysis] def assignedOf(pts: DataFrame, centroids: Array[Array[Double]]): DataFrame = {
+  private[graft] def assignedOf(pts: DataFrame, centroids: Array[Array[Double]]): DataFrame = {
     val dists = centroids.zipWithIndex.map { case (c, i) =>
       val cLit = array(c.map(lit): _*)
       struct(
@@ -44,7 +44,7 @@ object Clustering {
         col("best.d2").as("d2"))
   }
 
-  private[analysis] def ptsOf(points: DataFrame, idCol: String, vecCol: String): DataFrame =
+  private[graft] def ptsOf(points: DataFrame, idCol: String, vecCol: String): DataFrame =
     points.select(col(idCol).as("id"),
       transform(col(vecCol), x => x.cast(DoubleType)).as("v"))
 

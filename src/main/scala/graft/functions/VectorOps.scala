@@ -65,6 +65,69 @@ object VectorOps {
 
   def dotProduct(a: Column, b: Column): Column =
     ColumnBridge.column(DotProductExpr(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** Σ (aᵢ−bᵢ)² in one primitive loop, with semantics BIT-IDENTICAL to the
+    * declarative `aggregate(zip_with(a, b, (x, y) => (x-y)*(x-y)), 0.0, _+_)`
+    * fold it replaces (see [[FuseVectorKernels]]): same ascending
+    * accumulation order and identical per-element IEEE ops; a length
+    * mismatch (zip_with's null padding) or any null element → null. Over
+    * DOUBLE arrays — the k-means/PQ assignment shape, where the centroid
+    * side is a literal array. Called from generated code. */
+  def sqDistOrNull(a: ArrayData, b: ArrayData): java.lang.Double = {
+    val n = a.numElements()
+    if (n != b.numElements()) return null
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      val d = a.getDouble(i) - b.getDouble(i)
+      acc += d * d
+      i += 1
+    }
+    java.lang.Double.valueOf(acc)
+  }
+
+  def sqDist(a: Column, b: Column): Column =
+    ColumnBridge.column(SqDistExpr(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+}
+
+/** Fused double-array squared-L2 distance — the kernel [[FuseVectorKernels]]
+  * substitutes for the interpreted higher-order-function fold in the
+  * k-means / PQ assignment projections. */
+case class SqDistExpr(left: Expression, right: Expression) extends BinaryExpression {
+  import org.apache.spark.sql.types.DoubleType
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "sq_dist"
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(DoubleType, _), ArrayType(DoubleType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires two array<double> arguments, got ${l.sql} and ${r.sql}")
+    }
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val a = left.eval(input)
+    if (a == null) return null
+    val b = right.eval(input)
+    if (b == null) return null
+    VectorOps.sqDistOrNull(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"""java.lang.Double ${ev.value}$$r = graft.functions.VectorOps.sqDistOrNull($a, $b);
+         |if (${ev.value}$$r == null) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = ${ev.value}$$r.doubleValue();
+         |}""".stripMargin)
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SqDistExpr =
+    copy(left = newLeft, right = newRight)
 }
 
 /** Fused float-array dot product — the kernel [[FuseVectorKernels]]

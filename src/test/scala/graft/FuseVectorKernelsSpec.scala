@@ -83,4 +83,62 @@ class FuseVectorKernelsSpec extends SparkSpec {
     val empty = both(Seq.empty, Seq.empty)
     assert(empty._1 === empty._2 && empty._1 === Some(0.0))
   }
+
+  private def countSqFused(df: DataFrame): Int = {
+    var n = 0
+    df.queryExecution.optimizedPlan.foreach(p =>
+      p.expressions.foreach(_.foreach {
+        case _: graft.functions.SqDistExpr => n += 1
+        case _ => ()
+      }))
+    n
+  }
+
+  /** The exact squared-distance fold the k-means/PQ assignments write. */
+  private def sqHof(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, d) => acc + d)
+
+  test("squared-distance fold over double arrays fuses, values unchanged") {
+    val d = vecs.select(col("id"),
+      transform(col("a"), x => x.cast("double")).as("a"),
+      transform(col("b"), x => x.cast("double")).as("b"))
+    val q = d.select(col("id"), sqHof(col("a"), col("b")).as("d2"))
+    assert(countSqFused(q) === 1, "rule did not fire on the HOF sq-dist shape")
+    // (1-4)²+(2-5)²+(3-6)² = 27 ; (0.5-2)²+(0-8)²+(-1-2)² = 2.25+64+9
+    assert(q.orderBy("id").collect().map(_.getDouble(1)).toSeq === Seq(27.0, 75.25))
+  }
+
+  test("sq-dist fusion fires inside the k-means assignment projection") {
+    val pts = viaParquet(Seq(
+      (1L, Array(0.0f, 0.0f)), (2L, Array(1.0f, 1.0f)), (3L, Array(9.0f, 9.0f))
+    ).toDF("vec_id", "embedding"))
+    val asg = graft.analysis.Clustering.lloydKMeans(pts, k = 2, iterations = 1)
+    // the checkpointed result hides the plan; re-derive the projection shape
+    val centroids = graft.analysis.Clustering.lloydCentroids(pts, 2, 1)
+    val proj = graft.analysis.Clustering.assignedOf(
+      graft.analysis.Clustering.ptsOf(pts, "vec_id", "embedding"), centroids)
+    assert(countSqFused(proj) === 2, "one fused kernel per centroid expected")
+    // verdicts identical to the (previously interpreted) fold's
+    val out = asg.orderBy("vec_id").collect().map(r => (r.getLong(0), r.getInt(1)))
+    assert(out.toSeq === Seq((1L, 0), (2L, 0), (3L, 1)))
+  }
+
+  test("sq-dist edge semantics: mismatch null, null element null, empty zero, float arrays unfused") {
+    def viaD(a: Seq[java.lang.Double], b: Seq[java.lang.Double]) = {
+      val df = viaParquet(Seq((a.toArray, b.toArray)).toDF("a", "b"))
+      val q = df.select(sqHof(col("a"), col("b")).as("d2"))
+      assert(countSqFused(q) === 1)
+      Option(q.collect().head.get(0))
+    }
+    assert(viaD(Seq(1.0, 2.0), Seq(1.0)).isEmpty)       // length mismatch
+    assert(viaD(Seq(1.0, null), Seq(1.0, 2.0)).isEmpty) // null element
+    assert(viaD(Seq.empty, Seq.empty) === Some(0.0))    // empty → fold zero
+    // float arrays keep the composable plan (SqDistExpr is double-only)
+    val qf = vecs.select(sqHof(col("a").cast("array<double>"),
+      col("b").cast("array<double>")).as("d2"))
+    assert(countSqFused(qf) === 1) // cast to double<arrays> IS eligible
+    val qfloat = vecs.select(sqHof(col("a"), col("b")).as("d2"))
+    assert(countSqFused(qfloat) === 0, "must not fire on array<float>")
+  }
 }
