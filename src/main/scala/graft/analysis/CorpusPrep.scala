@@ -60,14 +60,18 @@ object CorpusPrep {
         .select(idCol),
       Seq(idCol))
     val exact = Dedup.dedupExact(qualityPass, textCol, idCol).localCheckpoint(true)
+    // sketch ONCE: the materialized sketch is both the stored artifact AND
+    // today's pair feed (nearDupPairsFromSketch — identical pair set to
+    // minhashNearDupPairs on the sketched docs, same shingle/signature
+    // expressions). The old shape ran the shingle+signature projection
+    // over the whole exact set twice — once inside minhashNearDupPairs,
+    // once for the stored sketch (the r14 pretrainArtifacts fix, applied
+    // here; guide §5 reuse).
+    val sketch = Dedup.sketchDocs(exact, textCol, idCol).localCheckpoint(true)
     val losers = Dedup
-      .minhashNearDupPairs(exact, textCol, idCol, minJaccard = t.minJaccard)
+      .nearDupPairsFromSketch(sketch, minJaccard = t.minJaccard)
       .select(col("doc_b").as(idCol)).distinct()
     val corpus = exact.join(losers, Seq(idCol), "left_anti")
-    // the sketch is THE persisted artifact (its consumers read it twice:
-    // band join + jaccard verify) — materialize it, don't hand out a lazy
-    // recompute of shingles+signatures
-    val sketch = Dedup.sketchDocs(exact, textCol, idCol).localCheckpoint(true)
     val fingerprints = exact
       .select(TextAnalysis.fingerprint(col(textCol)).as("fingerprint"))
       .distinct()

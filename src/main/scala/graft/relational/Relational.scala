@@ -34,6 +34,11 @@ object Relational {
     * nondeterministic one. Inputs are 2-decimal values stored as doubles, so
     * the casts below are lossless; results are rounded to cents and returned
     * as DOUBLE to keep the public schema unchanged. */
+  /** Row gate for [[distributedCumSum]]'s single-partition fast path: one
+    * running-window task buffering ≤ 8M narrow rows (~128 MB spillable) —
+    * see the fast-path comment in [[distributedCumSum]]. */
+  private[graft] val cumSumSinglePartitionMaxRows: Long = 8L * 1000 * 1000
+
   private val moneyT = DecimalType(12, 2)   // covers TPC-H price domains
   private val rateT = DecimalType(4, 2)     // discount/tax ∈ [0, 1), 2 decimals
   private def money(c: Column): Column = c.cast(moneyT)
@@ -418,6 +423,23 @@ object Relational {
     // A/B-adjudicated r15 (site "cumsum-mat", branch removed): q256 0.72,
     // q269 0.94, q283 0.93 same-JVM even at gate SF (OPTIMIZATION_r15.md)
     val mat = if (materializeInput) df.localCheckpoint(true) else df
+    // measured-small fast path (materialized inputs only — the count is a
+    // cached-partition scan, not a recompute): below the gate the whole
+    // prefix sum is ONE running window over one partition — the same
+    // values row for row, minus the range-boundary sampling job, the
+    // ranged re-checkpoint, and the offsets collect. The gate bounds the
+    // single window task's buffered rows (~16 B/row of longs; 8M ≈ 128 MB
+    // spillable), far above any gate-SF frame and far below a 100 TB
+    // corpus, which keeps the scale-out shape below.
+    if (materializeInput && mat.count() <= cumSumSinglePartitionMaxRows) {
+      val wAll = Window.orderBy(orderCols.map(col): _*)
+      val wCum = wAll.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val withCums = sumCols.foldLeft(mat) { (d, c) =>
+        d.withColumn("cum_" + c, sum(col(c)).over(wCum))
+      }
+      return rankCol.fold(withCums)(rc =>
+        withCums.withColumn(rc, row_number().over(wAll).cast(LongType)))
+    }
     val ranged = mat
       .repartitionByRange(parts, orderCols.map(col): _*)
       .withColumn("__pid", spark_partition_id())
