@@ -150,6 +150,17 @@ object Graphs {
     *
     * Outputs are scaled so each side's MEAN is 1.0 (the [[pageRank]]
     * convention): side ('hub'|'authority'), id, score. */
+  /** Edge-count gate for [[hits]]' single-task strategy: ≤ 2M buffered
+    * (u, v) string pairs ≈ low hundreds of MB in one task — far above any
+    * gate-SF click graph, far below a production graph, which keeps the
+    * distributed per-iteration shape. Within the gate the whole power
+    * iteration is ONE task instead of 2·iterations checkpoint jobs of
+    * pure fixed latency (the r15 CC lesson applied to HITS; per-node sums
+    * accumulate in a different order than the distributed aggregate, which
+    * is exactly the ulp-level drift the micro-unit gate's pinned margins
+    * absorb — PagerankMarginSpec re-validates on the gate corpus). */
+  private[graft] val hitsSingleTaskMaxEdges: Long = 2L * 1000 * 1000
+
   def hits(
       edges: DataFrame,
       iterations: Int = 5,
@@ -157,6 +168,18 @@ object Graphs {
       dstCol: String = "dst"): DataFrame = {
     val e = edges.select(col(srcCol).cast("string").as("u"),
       col(dstCol).cast("string").as("v")).distinct().persist()
+    if (e.count() <= hitsSingleTaskMaxEdges) {
+      val out = hitsSingleTask(e, iterations).localCheckpoint(true)
+      e.unpersist()
+      return out
+    }
+    hitsLoop(e, iterations)
+  }
+
+  /** [[hits]]' above-gate strategy: the distributed per-half-step loop
+    * (two equi-joins + two sum aggregates + two scalar normalizers per
+    * iteration, each half eagerly checkpointed — see [[hits]] scaladoc). */
+  private[graft] def hitsLoop(e: DataFrame, iterations: Int): DataFrame = {
     val hubs = e.select(col("u").as("id")).distinct().persist()
     val auths = e.select(col("v").as("id")).distinct().persist()
     val nHub = hubs.count()
@@ -188,6 +211,45 @@ object Graphs {
     h.select(lit("hub").as("side"), col("id"), (col("s") * nHub).as("score"))
       .unionByName(a.select(lit("authority").as("side"), col("id"),
         (col("s") * nAuth).as("score")))
+  }
+
+  /** [[hits]]' below-gate strategy: the whole power iteration in one
+    * executor task over the buffered (measured-small) edge list — same
+    * half-step/normalizer/mean-1-scaling chain as the distributed loop,
+    * same outputs up to floating-point sum order (GraphsSpec pins the
+    * equivalence; the micro-unit gate's margins absorb the ulp drift). */
+  private[graft] def hitsSingleTask(e: DataFrame, iterations: Int): DataFrame = {
+    val spark = e.sparkSession
+    import spark.implicits._
+    e.select(col("u"), col("v")).as[(String, String)]
+      .coalesce(1)
+      .mapPartitions { it =>
+        val edges = it.toArray
+        if (edges.isEmpty) Iterator.empty
+        else {
+          val hubIds = edges.map(_._1).distinct
+          val authIds = edges.map(_._2).distinct
+          val nHub = hubIds.length
+          val nAuth = authIds.length
+          val h = scala.collection.mutable.HashMap(
+            hubIds.map(_ -> 1.0 / nHub).toSeq: _*)
+          val a = scala.collection.mutable.HashMap(
+            authIds.map(_ -> 1.0 / nAuth).toSeq: _*)
+          for (_ <- 1 to iterations) {
+            authIds.foreach(v => a(v) = 0.0)
+            edges.foreach { case (u, v) => a(v) += h(u) } // a ← Eᵀh
+            val ta = authIds.iterator.map(a).sum
+            authIds.foreach(v => a(v) = a(v) / ta)        // L1 normalize
+            hubIds.foreach(u => h(u) = 0.0)
+            edges.foreach { case (u, v) => h(u) += a(v) } // h ← Ea
+            val th = hubIds.iterator.map(h).sum
+            hubIds.foreach(u => h(u) = h(u) / th)
+          }
+          hubIds.iterator.map(u => ("hub", u, h(u) * nHub)) ++
+            authIds.iterator.map(v => ("authority", v, a(v) * nAuth))
+        }
+      }
+      .toDF("side", "id", "score")
   }
 
   /** Per-node triangle counts over an undirected edge list — the local

@@ -60,6 +60,24 @@ class GraphsSpec extends SparkSpec {
     assert(math.abs(out(("authority", "d1")) - out(("authority", "d2"))) < 1e-15)
   }
 
+  test("hits: single-task strategy equals the distributed loop within fp sum-order drift") {
+    // richer fixture: shared authorities, a chain, a detached component
+    val edges = Seq(
+      ("s1", "d1"), ("s1", "d2"), ("s2", "d1"), ("s2", "d3"),
+      ("s3", "d3"), ("s3", "d4"), ("s9", "d9")).toDF("src", "dst")
+    def asMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    val fast = asMap(Graphs.hits(edges, iterations = 5)) // under the gate
+    val e = edges.select($"src".cast("string").as("u"),
+      $"dst".cast("string").as("v")).distinct().persist()
+    val loop = asMap(Graphs.hitsLoop(e, iterations = 5))
+    e.unpersist()
+    assert(fast.keySet === loop.keySet)
+    fast.foreach { case (k, v) =>
+      assert(math.abs(v - loop(k)) < 1e-9, s"$k: fast $v vs loop ${loop(k)}")
+    }
+  }
+
   test("pagerank: mass conserves (mean stays 1) and hubs outrank leaves") {
     // star: center 0 linked to 1..4, plus a detached pair 5-6
     val edges = ((1 to 4).map(i => (0, i)) :+ ((5, 6))).toDF("src", "dst")
